@@ -1,0 +1,244 @@
+package graft.eslog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta._
+import graft.model.RecordBatchRow
+
+/** The ES-log table format: a stream = a directory of immutable Parquet
+  * segment files + a CAS-committed metadata log (see [[graft.meta.MetaLog]]).
+  *
+  * This is the Spark-native re-expression of the reference's data plane:
+  *
+  *  - `append`  = client append path (replication_stream.rs:326-363): offsets
+  *    are assigned contiguously at commit time by the single epoch-fenced
+  *    writer; executor tasks write Parquet, the driver's manifest commit is
+  *    the ack (quorum replaced by object-store durability).
+  *  - `fetch`   = client fetch path (replication_stream.rs:365-422): manifest
+  *    range routing (the BTreeMap upper_bound) becomes file pruning; the
+  *    sparse-index byte-range reads (object_reader.rs:34-80) become Parquet
+  *    row-group skipping on the physical `base_offset` column, which is
+  *    written in ascending order so min/max stats are tight.
+  *  - a batch straddling a fetch bound is returned whole
+  *    (api/Stream.java:36-44 semantics).
+  *
+  * Scale design: data files are written once and never rewritten; the scan is
+  * a plain vectorized Parquet scan, so predicate pushdown, column pruning and
+  * whole-stage codegen all apply untouched. Offset assignment is two passes
+  * over the input (per-partition delta sums, then the write) — no driver-side
+  * data movement, no collect of rows.
+  */
+object EsLog {
+  val DefaultStreamId = 0L
+
+  // ---- DDL surface (SURVEY §2.1) ----
+
+  /** CREATE_STREAM: allocate + persist stream metadata. */
+  def create(streamDir: String, streamId: Long = DefaultStreamId, replica: Int = 1,
+             ackCount: Int = 1, retentionMs: Long = -1L): StreamState = {
+    Files.createDirectories(Paths.get(streamDir))
+    MetaLog.commit(streamDir, StreamState.empty,
+      Seq(CreateStream(streamId, replica, ackCount, retentionMs)))
+  }
+
+  /** open_stream: fence with a higher epoch; seals the previous open segment
+    * so `nextOffset` is recovered exactly (replication_stream.rs:241-295). */
+  def open(streamDir: String, epoch: Long): StreamState =
+    MetaLog.commitWithRetry(streamDir) { st => Seq(OpenStream(epoch)) }
+
+  def describe(streamDir: String): StreamState = MetaLog.load(streamDir)
+
+  def update(streamDir: String, replica: Option[Int] = None, ackCount: Option[Int] = None,
+             retentionMs: Option[Long] = None): StreamState =
+    MetaLog.commitWithRetry(streamDir) { _ => Seq(UpdateStream(replica, ackCount, retentionMs)) }
+
+  /** DELETE_STREAM: mark deleted in the log, then remove data files. */
+  def delete(streamDir: String): Unit = {
+    MetaLog.commitWithRetry(streamDir) { st => if (st.deleted) Seq.empty else Seq(DeleteStream()) }
+    val root = Paths.get(streamDir)
+    if (Files.isDirectory(root)) {
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .filterNot(_.startsWith(MetaLog.logDir(streamDir)))
+        .filter(_ != root)
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  /** TRIM_STREAM: advance min offset; vacuum files fully below it. */
+  def trim(streamDir: String, minOffset: Long): StreamState = {
+    val before = MetaLog.load(streamDir)
+    val dropped = before.allFiles.filter(_.endOffset <= minOffset).map(_.path)
+    val after = MetaLog.commitWithRetry(streamDir) { st =>
+      if (minOffset <= st.startOffset) Seq.empty else Seq(Trim(minOffset))
+    }
+    // Physical vacuum only after the manifest no longer references the files.
+    dropped.foreach(rel => Files.deleteIfExists(Paths.get(streamDir, rel)))
+    after
+  }
+
+  // ---- write path ----
+
+  /** Normalize an input frame to appendable batch columns. Accepts any frame
+    * with a `payload` column; fills batch metadata defaults. */
+  private def normalize(df: DataFrame, streamId: Long): DataFrame = {
+    var d = df
+    def ensure(name: String, c: org.apache.spark.sql.Column): Unit =
+      if (!d.columns.contains(name)) d = d.withColumn(name, c)
+    ensure("properties", map().cast(MapType(StringType, StringType)))
+    ensure("base_timestamp", lit(0L))
+    ensure("last_offset_delta", lit(1))
+    ensure("flags", lit(0).cast(ShortType))
+    d.select(
+      lit(streamId).as("stream_id"),
+      col("flags").cast(ShortType).as("flags"),
+      col("last_offset_delta").cast(IntegerType).as("last_offset_delta"),
+      col("base_timestamp").cast(LongType).as("base_timestamp"),
+      col("properties").cast(MapType(StringType, StringType)).as("properties"),
+      col("payload").cast(BinaryType).as("payload"))
+  }
+
+  /** Append a frame of record batches. Columns used: `payload` (required),
+    * `properties`, `base_timestamp` (epoch ms), `last_offset_delta`, `flags`.
+    * Row order within the frame's partition structure defines offset order;
+    * use `sortKey` to impose a global order (range-partitioned sort).
+    * Returns (firstAssignedOffset, nextOffset).
+    */
+  def append(spark: SparkSession, streamDir: String, input: DataFrame, epoch: Long,
+             sortKey: Option[String] = None, numPartitions: Int = 0): (Long, Long) = {
+    val st0 = MetaLog.load(streamDir)
+    if (st0.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
+    if (epoch < st0.epoch) throw new FencedException(s"append epoch $epoch < ${st0.epoch}")
+
+    // Ensure an open segment (created lazily on first append, like the
+    // append_task's seal-and-new-range loop, replication_stream.rs:154-203).
+    val st = st0.openSegment match {
+      case Some(_) => st0
+      case None =>
+        val idx = st0.segments.lastOption.map(_.index + 1).getOrElse(0)
+        MetaLog.commit(streamDir, st0, Seq(OpenSegment(idx, st0.nextOffset, epoch)))
+    }
+    val seg = st.openSegment.get
+    val next = seg.confirmedEnd
+
+    val streamId = if (st.streamId >= 0) st.streamId else DefaultStreamId
+    var batches = normalize(input, streamId)
+    sortKey.foreach { k =>
+      val n = if (numPartitions > 0) numPartitions else batches.rdd.getNumPartitions
+      batches = batches.repartitionByRange(n, col(k)).sortWithinPartitions(col(k))
+        .select(batches.columns.map(col).toSeq: _*)
+    }
+
+    // Pass 1: per-partition delta sums -> contiguous per-partition base offsets.
+    // (The distributed analogue of the write window: gap-free by construction.)
+    val rdd = batches.rdd
+    val deltaIdx = 2 // last_offset_delta position in `normalize` output
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getInt(deltaIdx)); Iterator((pid, s))
+    }.collect().sortBy(_._1)
+    val partStarts = partSums.scanLeft(next) { case (acc, (_, s)) => acc + s }
+    val total = partSums.map(_._2).sum
+    if (total == 0) return (next, next)
+    val startByPid = partSums.map(_._1).zip(partStarts).toMap
+
+    // Pass 2: assign offsets, write Parquet sorted by base_offset so row-group
+    // min/max stats give tight offset pruning (= the reference's sparse index).
+    val segRel = f"seg-${seg.index}%05d"
+    val commitId = UUID.randomUUID().toString.take(8)
+    val outRel = s"$segRel/$commitId"
+    val outAbs = Paths.get(streamDir, outRel).toString
+    val segIndex = seg.index
+    val assigned = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var off = startByPid(pid)
+      it.map { r =>
+        val delta = r.getInt(deltaIdx)
+        val row = Row(r.getLong(0), segIndex, r.getShort(1), off, delta,
+          r.getLong(3), r.getMap(4), r.get(5))
+        off += delta
+        row
+      }
+    }
+    spark.createDataFrame(assigned, RecordBatchRow.schema)
+      .write.mode("errorifexists").parquet(outAbs)
+
+    // Collect per-file stats in one small job (offset/ts columns only).
+    val statRows = spark.read.parquet(outAbs)
+      .select(input_file_name().as("file"), col("base_offset"),
+        (col("base_offset") + col("last_offset_delta")).as("end_offset"), col("base_timestamp"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("rows"), min("base_offset").as("minOff"),
+        max("end_offset").as("maxEnd"), min("base_timestamp").as("minTs"),
+        max("base_timestamp").as("maxTs"))
+      .collect()
+
+    val files = statRows.map { r =>
+      val abs = r.getString(0).stripPrefix("file:")
+      val rel = Paths.get(streamDir).toAbsolutePath.relativize(Paths.get(abs).toAbsolutePath).toString
+      FileMeta(rel, r.getLong(1), Files.size(Paths.get(abs)), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }.sortBy(_.startOffset).toSeq
+
+    require(files.head.startOffset == next && files.last.endOffset == next + total,
+      s"offset assignment not contiguous: ${files.map(f => (f.startOffset, f.endOffset))}")
+
+    MetaLog.commit(streamDir, st, Seq(CommitFiles(seg.index, epoch, files)))
+    (next, next + total)
+  }
+
+  /** SEAL_RANGE on the open segment: fix `end` = confirmed end. */
+  def seal(streamDir: String): StreamState =
+    MetaLog.commitWithRetry(streamDir) { st =>
+      st.openSegment.map(seg => SealSegment(seg.index, seg.confirmedEnd, st.epoch)).toSeq
+    }
+
+  // ---- read path ----
+
+  private def batchFiles(streamDir: String, st: StreamState, from: Long, until: Long): Seq[String] =
+    st.filesInRange(math.max(from, st.startOffset), math.min(until, st.nextOffset))
+      .map(f => Paths.get(streamDir, f.path).toString)
+
+  /** fetch [start, end): returns whole batches whose span intersects the
+    * request (straddle semantics, api/Stream.java:36-44), bounded by the
+    * trim offset and the committed next offset. */
+  def fetch(spark: SparkSession, streamDir: String, start: Long = 0L,
+            end: Long = Long.MaxValue): DataFrame = {
+    val st = MetaLog.load(streamDir)
+    if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
+    val lo = math.max(start, st.startOffset)
+    val hi = math.min(end, st.nextOffset)
+    val files = batchFiles(streamDir, st, lo, hi)
+    if (files.isEmpty || lo >= hi)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RecordBatchRow.schema)
+    spark.read.schema(RecordBatchRow.schema).parquet(files: _*)
+      .where(col("base_offset") + col("last_offset_delta") > lo && col("base_offset") < hi)
+  }
+
+  /** Full committed scan (snapshot-isolated: bound to nextOffset at plan time). */
+  def scan(spark: SparkSession, streamDir: String): DataFrame =
+    fetch(spark, streamDir)
+
+  def startOffset(streamDir: String): Long = MetaLog.load(streamDir).startOffset
+  def nextOffset(streamDir: String): Long = MetaLog.load(streamDir).nextOffset
+
+  /** Segment listing (LIST_RANGE, range.go:49-125) as a DataFrame. */
+  def listSegments(spark: SparkSession, streamDir: String): DataFrame = {
+    val st = MetaLog.load(streamDir)
+    val rows = st.segments.map { s =>
+      Row(st.streamId, s.index, s.start, s.sealedEnd.getOrElse(s.confirmedEnd),
+        s.sealedEnd.isDefined, s.epoch, s.files.size.toLong, s.files.map(_.rows).sum,
+        s.files.map(_.bytes).sum)
+    }
+    val schema = StructType(Seq(
+      StructField("stream_id", LongType), StructField("seg_index", IntegerType),
+      StructField("start_offset", LongType), StructField("end_offset", LongType),
+      StructField("sealed", BooleanType), StructField("epoch", LongType),
+      StructField("num_files", LongType), StructField("num_records", LongType),
+      StructField("num_bytes", LongType)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+}

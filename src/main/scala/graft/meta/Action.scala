@@ -1,0 +1,72 @@
+package graft.meta
+
+/** Metadata-log actions — the durable state machine of a stream.
+  *
+  * Delta-style: a stream is a directory; its `_eslog/` subdirectory holds one
+  * JSON file per log version, committed with compare-and-swap (hard-link
+  * rename, see [[MetaLog]]). Folding the actions yields [[StreamState]].
+  *
+  * These actions re-express the reference's PD/range state machine as
+  * metadata-log invariants:
+  *  - CreateStream   = CREATE_STREAM (pd/pkg/server/cluster/stream.go:28-56)
+  *  - OpenStream     = open_stream epoch fencing + seal-last-range recovery
+  *                     (components/replication/src/stream/replication_stream.rs:241-295)
+  *  - OpenSegment    = CREATE_RANGE invariants: index = last+1, start = last.end,
+  *                     epoch >= last.epoch (pd/pkg/server/cluster/range.go:188-240)
+  *  - CommitFiles    = APPEND commit through the write window: offsets must be
+  *                     gap-free and contiguous (range-server/src/range_manager/window.rs:79-204)
+  *  - SealSegment    = SEAL_RANGE: fixes the final `end`, idempotent
+  *                     (components/model/src/range/mod.rs:129-140, replication_range.rs:313-316)
+  *  - Trim           = TRIM_STREAM: advance min offset, drop covered files
+  *                     (rpc.fbs:572-591)
+  *  - DeleteStream   = DELETE_STREAM (pd/pkg/server/cluster/stream.go:58-77)
+  */
+sealed trait Action { def action: String }
+
+final case class FileMeta(
+    path: String,          // relative to the stream dir
+    rows: Long,
+    bytes: Long,
+    startOffset: Long,     // first logical offset in the file
+    endOffset: Long,       // exclusive: last batch's base_offset + delta
+    minTimestamp: Long,    // epoch millis, for time-based pruning
+    maxTimestamp: Long
+)
+
+final case class CreateStream(streamId: Long, replica: Int, ackCount: Int,
+                              retentionMs: Long) extends Action {
+  val action = "createStream"
+}
+
+final case class OpenStream(epoch: Long) extends Action { val action = "openStream" }
+
+final case class OpenSegment(index: Int, start: Long, epoch: Long) extends Action {
+  val action = "openSegment"
+}
+
+final case class CommitFiles(index: Int, epoch: Long, files: Seq[FileMeta]) extends Action {
+  val action = "commitFiles"
+}
+
+final case class SealSegment(index: Int, end: Long, epoch: Long) extends Action {
+  val action = "sealSegment"
+}
+
+final case class Trim(minOffset: Long) extends Action { val action = "trim" }
+
+final case class DeleteStream() extends Action { val action = "deleteStream" }
+
+final case class UpdateStream(replica: Option[Int], ackCount: Option[Int],
+                              retentionMs: Option[Long]) extends Action {
+  val action = "updateStream"
+}
+
+/** KV surface (the PD-hosted etcd-like store, rpc.fbs:780-931, KVClient.java). */
+final case class KvPut(key: String, value: String) extends Action { val action = "kvPut" }
+final case class KvDel(key: String) extends Action { val action = "kvDel" }
+
+/** Rejections mirror the reference's error codes (rpc.fbs:40-45 + window.rs). */
+final class FencedException(msg: String) extends RuntimeException(msg)       // EXPIRED_STREAM_EPOCH
+final class OutOfOrderException(msg: String) extends RuntimeException(msg)   // OFFSET_OUT_OF_ORDER
+final class CommittedException(msg: String) extends RuntimeException(msg)    // OFFSET_COMMITTED (idempotent retry)
+final class SealedException(msg: String) extends RuntimeException(msg)       // RANGE_ALREADY_SEALED

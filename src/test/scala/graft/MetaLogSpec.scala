@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta._
+
+/** Invariant tests ported from the reference's own unit tests:
+  * window contiguity (window.rs:254-301), range contains (range/mod.rs:203-232),
+  * seal idempotence (replication_range.rs:313-316), epoch fencing, trim.
+  */
+class MetaLogSpec extends AnyFunSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("eslog-test-").toString
+
+  private def fm(start: Long, end: Long, path: String = "f"): FileMeta =
+    FileMeta(s"$path-$start", end - start, 100L, start, end, 0L, 0L)
+
+  test("create / open / segment / commit / seal lifecycle") {
+    val dir = tmp()
+    var st = EsLogTestOps.createAndOpen(dir)
+    st = MetaLog.commit(dir, st, Seq(OpenSegment(0, 0L, 1L)))
+    st = MetaLog.commit(dir, st, Seq(CommitFiles(0, 1L, Seq(fm(0, 10)))))
+    st = MetaLog.commit(dir, st, Seq(CommitFiles(0, 1L, Seq(fm(10, 25)))))
+    assert(st.nextOffset == 25)
+    st = MetaLog.commit(dir, st, Seq(SealSegment(0, 25L, 1L)))
+    assert(st.segments.head.sealed_)
+    // reload from disk gives identical state
+    assert(MetaLog.load(dir) == st)
+  }
+
+  test("window contiguity: gap and overlap rejected, exact retry is Committed") {
+    val dir = tmp()
+    var st = EsLogTestOps.createAndOpen(dir)
+    st = MetaLog.commit(dir, st, Seq(OpenSegment(0, 0L, 1L)))
+    st = MetaLog.commit(dir, st, Seq(CommitFiles(0, 1L, Seq(fm(0, 10)))))
+    // gap (OutOfOrder, window.rs: offset > next)
+    assertThrows[OutOfOrderException](
+      StreamState.apply(st, CommitFiles(0, 1L, Seq(fm(15, 20))), 99))
+    // full retry of committed span (Committed — idempotent signal)
+    assertThrows[CommittedException](
+      StreamState.apply(st, CommitFiles(0, 1L, Seq(fm(0, 10))), 99))
+    // partial overlap (Inflight-ish: starts below confirmed but extends past)
+    assertThrows[OutOfOrderException](
+      StreamState.apply(st, CommitFiles(0, 1L, Seq(fm(5, 15))), 99))
+    // internal gap inside one commit
+    assertThrows[OutOfOrderException](
+      StreamState.apply(st, CommitFiles(0, 1L, Seq(fm(10, 12), fm(14, 16))), 99))
+    // contiguous multi-file commit OK
+    val ok = StreamState.apply(st, CommitFiles(0, 1L, Seq(fm(12, 16), fm(10, 12))), 99)
+    assert(ok.nextOffset == 16)
+  }
+
+  test("segment contains: sealed [0,10) and open [10,∞) (range/mod.rs:219-231)") {
+    val s0 = SegmentState(0, 0L, 1L, Some(10L), Vector(fm(0, 10)))
+    assert(s0.contains(0) && s0.contains(9) && !s0.contains(10) && !s0.contains(11))
+    val s1 = SegmentState(1, 10L, 1L, None, Vector.empty)
+    assert(s1.contains(10) && s1.contains(1000000) && !s1.contains(9))
+  }
+
+  test("seal idempotence; reseal with different end rejected") {
+    val dir = tmp()
+    var st = EsLogTestOps.createAndOpen(dir)
+    st = MetaLog.commit(dir, st, Seq(OpenSegment(0, 0L, 1L), CommitFiles(0, 1L, Seq(fm(0, 10)))))
+    st = MetaLog.commit(dir, st, Seq(SealSegment(0, 10L, 1L)))
+    val again = StreamState.apply(st, SealSegment(0, 10L, 1L), 99)
+    assert(again.segments.head.sealedEnd.contains(10L))
+    assertThrows[IllegalArgumentException](
+      StreamState.apply(st, SealSegment(0, 12L, 1L), 99))
+  }
+
+  test("epoch fencing: stale writer rejected, open seals the open segment") {
+    val dir = tmp()
+    var st = EsLogTestOps.createAndOpen(dir) // epoch 1
+    st = MetaLog.commit(dir, st, Seq(OpenSegment(0, 0L, 1L), CommitFiles(0, 1L, Seq(fm(0, 7)))))
+    // a new writer opens with epoch 2: seal-on-open recovery
+    st = MetaLog.commit(dir, st, Seq(OpenStream(2L)))
+    assert(st.epoch == 2 && st.segments.head.sealedEnd.contains(7L))
+    assert(st.nextOffset == 7)
+    // the old epoch-1 writer is fenced on commit and on re-open
+    assertThrows[FencedException](
+      StreamState.apply(st, CommitFiles(0, 1L, Seq(fm(7, 9))), 99))
+    assertThrows[FencedException](StreamState.apply(st, OpenStream(1L), 99))
+    // new segment continues at the sealed end under the new epoch
+    st = MetaLog.commit(dir, st, Seq(OpenSegment(1, 7L, 2L), CommitFiles(1, 2L, Seq(fm(7, 12)))))
+    assert(st.nextOffset == 12)
+  }
+
+  test("segment chain invariants: index+1 and start=prev.end (range.go:188-240)") {
+    val dir = tmp()
+    var st = EsLogTestOps.createAndOpen(dir)
+    st = MetaLog.commit(dir, st, Seq(OpenSegment(0, 0L, 1L), CommitFiles(0, 1L, Seq(fm(0, 5)))))
+    // cannot open a new segment while one is open
+    assertThrows[SealedException](StreamState.apply(st, OpenSegment(1, 5L, 1L), 99))
+    st = MetaLog.commit(dir, st, Seq(SealSegment(0, 5L, 1L)))
+    assertThrows[IllegalArgumentException](StreamState.apply(st, OpenSegment(2, 5L, 1L), 99))
+    assertThrows[IllegalArgumentException](StreamState.apply(st, OpenSegment(1, 6L, 1L), 99))
+    st = MetaLog.commit(dir, st, Seq(OpenSegment(1, 5L, 1L)))
+    assert(st.openSegment.map(_.index).contains(1))
+  }
+
+  test("trim drops covered files, keeps straddlers, start advances") {
+    val dir = tmp()
+    var st = EsLogTestOps.createAndOpen(dir)
+    st = MetaLog.commit(dir, st, Seq(OpenSegment(0, 0L, 1L),
+      CommitFiles(0, 1L, Seq(fm(0, 10), fm(10, 20), fm(20, 30)))))
+    st = MetaLog.commit(dir, st, Seq(Trim(15L)))
+    assert(st.startOffset == 15)
+    assert(st.allFiles.map(f => (f.startOffset, f.endOffset)) == Seq((10L, 20L), (20L, 30L)))
+    assert(st.nextOffset == 30)
+    // trim below current start is invalid
+    assertThrows[IllegalArgumentException](StreamState.apply(st, Trim(3L), 99))
+    // filesInRange respects trim via caller clamp
+    assert(st.filesInRange(st.startOffset, st.nextOffset).size == 2)
+  }
+
+  test("CAS: second writer of the same version loses") {
+    val dir = tmp()
+    val st = EsLogTestOps.createAndOpen(dir)
+    val a = MetaLog.commit(dir, st, Seq(OpenSegment(0, 0L, 1L)))
+    assertThrows[ConcurrentCommitException](
+      MetaLog.commit(dir, st, Seq(OpenSegment(0, 0L, 1L))))
+    assert(MetaLog.load(dir) == a)
+  }
+
+  test("kv put/get/del fold") {
+    val dir = tmp()
+    var st = EsLogTestOps.createAndOpen(dir)
+    st = MetaLog.commit(dir, st, Seq(KvPut("k1", "v1"), KvPut("k2", "v2")))
+    assert(st.kv == Map("k1" -> "v1", "k2" -> "v2"))
+    st = MetaLog.commit(dir, st, Seq(KvDel("k1"), KvPut("k2", "v2b")))
+    assert(st.kv == Map("k2" -> "v2b"))
+    assert(MetaLog.load(dir).kv == Map("k2" -> "v2b"))
+  }
+
+  test("json action codec roundtrips every action type") {
+    val actions: Seq[Action] = Seq(
+      CreateStream(7, 3, 2, 86400000L), OpenStream(5),
+      OpenSegment(2, 100, 5), CommitFiles(2, 5, Seq(fm(100, 110, "data/x"))),
+      SealSegment(2, 110, 5), Trim(105), UpdateStream(Some(2), None, Some(1L)),
+      DeleteStream(), KvPut("a", "b"), KvDel("a"))
+    actions.foreach { a =>
+      assert(MetaLog.actionFromJson(MetaLog.actionToJson(a)) == a)
+    }
+  }
+}
+
+object EsLogTestOps {
+  def createAndOpen(dir: String): StreamState = {
+    val st = MetaLog.commit(dir, StreamState.empty, Seq(CreateStream(1L, 1, 1, -1L)))
+    MetaLog.commit(dir, st, Seq(OpenStream(1L)))
+  }
+}
