@@ -63,10 +63,12 @@ object EsLog {
     MetaLog.commitWithRetry(streamDir) { st => if (st.deleted) Seq.empty else Seq(DeleteStream()) }
     val root = Paths.get(streamDir)
     if (Files.isDirectory(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+      val s = Files.walk(root)
+      try s.iterator().asScala.toSeq.reverseIterator
         .filterNot(_.startsWith(MetaLog.logDir(streamDir)))
         .filter(_ != root)
         .foreach(p => Files.deleteIfExists(p))
+      finally s.close()
     }
   }
 
@@ -110,7 +112,8 @@ object EsLog {
     * Returns (firstAssignedOffset, nextOffset).
     */
   def append(spark: SparkSession, streamDir: String, input: DataFrame, epoch: Long,
-             sortKey: Option[String] = None, numPartitions: Int = 0): (Long, Long) = {
+             sortKey: Option[String] = None, numPartitions: Int = 0,
+             extraActions: Seq[Action] = Seq.empty): (Long, Long) = {
     val st0 = MetaLog.load(streamDir)
     if (st0.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
     if (epoch < st0.epoch) throw new FencedException(s"append epoch $epoch < ${st0.epoch}")
@@ -134,60 +137,117 @@ object EsLog {
         .select(batches.columns.map(col).toSeq: _*)
     }
 
-    // Pass 1: per-partition delta sums -> contiguous per-partition base offsets.
-    // (The distributed analogue of the write window: gap-free by construction.)
+    // Pin the input: both passes must see identical partition contents, and a
+    // nondeterministic upstream (shuffle read order, round-robin repartition)
+    // otherwise re-evaluates differently per pass. At cluster scale this also
+    // means the 100 TB source is scanned once, not twice.
     val rdd = batches.rdd
-    val deltaIdx = 2 // last_offset_delta position in `normalize` output
-    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L; it.foreach(r => s += r.getInt(deltaIdx)); Iterator((pid, s))
-    }.collect().sortBy(_._1)
-    val partStarts = partSums.scanLeft(next) { case (acc, (_, s)) => acc + s }
-    val total = partSums.map(_._2).sum
-    if (total == 0) return (next, next)
-    val startByPid = partSums.map(_._1).zip(partStarts).toMap
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Pass 1 (cheap, over the cache): per-partition delta sums -> contiguous
+      // per-partition base offsets. The distributed analogue of the write
+      // window: gap-free by construction (window.rs:79-204), plus per-partition
+      // stats so commit needs no re-read of the written files.
+      val deltaIdx = 2 // last_offset_delta position in `normalize` output
+      val tsIdx = 3
+      val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; var n = 0L; var maxD = 0
+        var minTs = Long.MaxValue; var maxTs = Long.MinValue
+        it.foreach { r =>
+          val d = r.getInt(deltaIdx); s += d; n += 1
+          if (d > maxD) maxD = d
+          val ts = r.getLong(tsIdx)
+          if (ts < minTs) minTs = ts
+          if (ts > maxTs) maxTs = ts
+        }
+        Iterator((pid, s, n, maxD, minTs, maxTs))
+      }.collect().sortBy(_._1)
+      val partStarts = partSums.scanLeft(next) { case (acc, p) => acc + p._2 }
+      val total = partSums.map(_._2).sum
+      if (total == 0) return (next, next)
+      val startByPid = partSums.map(_._1).zip(partStarts).toMap
 
-    // Pass 2: assign offsets, write Parquet sorted by base_offset so row-group
-    // min/max stats give tight offset pruning (= the reference's sparse index).
-    val segRel = f"seg-${seg.index}%05d"
-    val commitId = UUID.randomUUID().toString.take(8)
-    val outRel = s"$segRel/$commitId"
-    val outAbs = Paths.get(streamDir, outRel).toString
-    val segIndex = seg.index
-    val assigned = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var off = startByPid(pid)
-      it.map { r =>
-        val delta = r.getInt(deltaIdx)
-        val row = Row(r.getLong(0), segIndex, r.getShort(1), off, delta,
-          r.getLong(3), r.getMap(4), r.get(5))
-        off += delta
-        row
+      // Pass 2: assign offsets, write Parquet sorted by base_offset so
+      // row-group min/max stats give tight offset pruning (= the reference's
+      // sparse index, range_offload.rs:361-451).
+      val segRel = f"seg-${seg.index}%05d"
+      val commitId = UUID.randomUUID().toString.take(8)
+      val outRel = s"$segRel/$commitId"
+      val outAbs = Paths.get(streamDir, outRel).toString
+      val segIndex = seg.index
+      val assigned = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var off = startByPid(pid)
+        it.map { r =>
+          val delta = r.getInt(deltaIdx)
+          val row = Row(r.getLong(0), segIndex, r.getShort(1), off, delta,
+            r.getLong(3), r.getMap(4), r.get(5))
+          off += delta
+          row
+        }
       }
-    }
-    spark.createDataFrame(assigned, RecordBatchRow.schema)
-      .write.mode("errorifexists").parquet(outAbs)
+      spark.createDataFrame(assigned, RecordBatchRow.schema)
+        .write.mode("errorifexists").parquet(outAbs)
 
-    // Collect per-file stats in one small job (offset/ts columns only).
-    val statRows = spark.read.parquet(outAbs)
-      .select(input_file_name().as("file"), col("base_offset"),
-        (col("base_offset") + col("last_offset_delta")).as("end_offset"), col("base_timestamp"))
-      .groupBy(col("file"))
-      .agg(count(lit(1)).as("rows"), min("base_offset").as("minOff"),
-        max("end_offset").as("maxEnd"), min("base_timestamp").as("minTs"),
-        max("base_timestamp").as("maxTs"))
-      .collect()
+      // Commit from the pass-1 stats: one task partition = one written file
+      // (`part-<pid>-*`), so file boundaries are known without re-reading data
+      // (the reference gets this from the write window; DSv2 would get it from
+      // WriterCommitMessages). One directory listing, no per-row jobs.
+      val written = {
+        val s = Files.list(Paths.get(outAbs))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq
+        finally s.close()
+      }
+      val byPid = written.map(n => n.stripPrefix("part-").take(5).toInt -> n).toMap
+      val files = partSums.filter(_._3 > 0).map { case (pid, sum, nrows, maxD, minTs, maxTs) =>
+        val name = byPid.getOrElse(pid,
+          throw new IllegalStateException(s"no written file for partition $pid in $outAbs"))
+        val rel = s"$outRel/$name"
+        FileMeta(rel, nrows, Files.size(Paths.get(streamDir, rel)),
+          startByPid(pid), startByPid(pid) + sum, minTs, maxTs, maxD)
+      }.sortBy(_.startOffset).toSeq
 
-    val files = statRows.map { r =>
-      val abs = r.getString(0).stripPrefix("file:")
-      val rel = Paths.get(streamDir).toAbsolutePath.relativize(Paths.get(abs).toAbsolutePath).toString
-      FileMeta(rel, r.getLong(1), Files.size(Paths.get(abs)), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))
-    }.sortBy(_.startOffset).toSeq
+      require(files.head.startOffset == next && files.last.endOffset == next + total,
+        s"offset assignment not contiguous: ${files.map(f => (f.startOffset, f.endOffset))}")
 
-    require(files.head.startOffset == next && files.last.endOffset == next + total,
-      s"offset assignment not contiguous: ${files.map(f => (f.startOffset, f.endOffset))}")
+      try MetaLog.commit(streamDir, st, Seq(CommitFiles(seg.index, epoch, files)) ++ extraActions)
+      catch {
+        case e: ConcurrentCommitException =>
+          // The written files are unreachable (manifest never saw them) —
+          // delete before rethrow so a contended append can't leak storage.
+          val s = Files.walk(Paths.get(outAbs))
+          try s.iterator().asScala.toSeq
+            .reverseIterator.foreach(p => Files.deleteIfExists(p))
+          finally s.close()
+          throw e
+      }
+      (next, next + total)
+    } finally rdd.unpersist(blocking = false)
+  }
 
-    MetaLog.commit(streamDir, st, Seq(CommitFiles(seg.index, epoch, files)))
-    (next, next + total)
+  /** Ingest raw append-frame payloads: each row of `frames` carries a binary
+    * column `frame` holding back-to-back FlatRecordBatch entries (the
+    * reference's APPEND payload, rpc.fbs:263-278 / payload.rs:30-79). Entries
+    * are decoded in parallel on the executors and appended; base offsets are
+    * re-assigned by the commit (embedded offsets are advisory, exactly like a
+    * client-side retry). */
+  def ingestRaw(spark: SparkSession, streamDir: String, frames: DataFrame,
+                epoch: Long): (Long, Long) = {
+    import spark.implicits._
+    val rows = frames.select(col("frame").cast(BinaryType)).as[Array[Byte]]
+      .flatMap(bytes => graft.model.FlatRecordBatch.decodeAll(bytes))
+    append(spark, streamDir, rows.toDF(), epoch)
+  }
+
+  /** Export a scan as wire frames: one FlatRecordBatch entry per batch, in
+    * offset order within each partition — the inverse of [[ingestRaw]]. */
+  def exportRaw(spark: SparkSession, streamDir: String, start: Long = 0L,
+                end: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    fetch(spark, streamDir, start, end)
+      .as[RecordBatchRow]
+      .map(r => (r.base_offset, graft.model.FlatRecordBatch.encode(r)))
+      .toDF("base_offset", "frame")
   }
 
   /** SEAL_RANGE on the open segment: fix `end` = confirmed end. */
@@ -211,11 +271,19 @@ object EsLog {
     if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
     val lo = math.max(start, st.startOffset)
     val hi = math.min(end, st.nextOffset)
-    val files = batchFiles(streamDir, st, lo, hi)
+    val metas = st.filesInRange(lo, hi)
+    val files = metas.map(f => Paths.get(streamDir, f.path).toString)
     if (files.isEmpty || lo >= hi)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RecordBatchRow.schema)
+    // Straddle lower bound, written pushdown-friendly: the exact predicate
+    // `base_offset + last_offset_delta > lo` is two-column arithmetic no
+    // Parquet row-group stat can serve, so prune with the single-column
+    // relaxation `base_offset > lo - maxDelta` (maxDelta over the selected
+    // files) and keep the exact form as a cheap residual.
+    val maxDelta = metas.map(_.maxDelta.toLong).max
     spark.read.schema(RecordBatchRow.schema).parquet(files: _*)
-      .where(col("base_offset") + col("last_offset_delta") > lo && col("base_offset") < hi)
+      .where(col("base_offset") > lo - maxDelta && col("base_offset") < hi &&
+        col("base_offset") + col("last_offset_delta") > lo)
   }
 
   /** Full committed scan (snapshot-isolated: bound to nextOffset at plan time). */
@@ -224,6 +292,56 @@ object EsLog {
 
   def startOffset(streamDir: String): Long = MetaLog.load(streamDir).startOffset
   def nextOffset(streamDir: String): Long = MetaLog.load(streamDir).nextOffset
+
+  /** close_stream: seal the open segment, releasing the writer session
+    * (replication_stream.rs:297-311 — fail inflight, seal last range). */
+  def close(streamDir: String): StreamState = seal(streamDir)
+
+  /** Retention enforcement (components/model/src/stream/mod.rs:5-21:
+    * `retention_period` drives trim): advance the trim point past every file
+    * whose newest record is older than `now - retentionMs`. Time→offset
+    * resolution uses the per-file maxTimestamp already in the manifest, so
+    * this is a pure metadata operation — no data scan at any scale. */
+  def enforceRetention(streamDir: String, nowMs: Long): StreamState = {
+    val st = MetaLog.load(streamDir)
+    if (st.retentionMs < 0) return st
+    val cutoff = nowMs - st.retentionMs
+    val expired = st.allFiles.filter(_.maxTimestamp < cutoff)
+    if (expired.isEmpty) return st
+    trim(streamDir, expired.map(_.endOffset).max)
+  }
+
+  // ---- KV surface (PD-hosted etcd-like store: rpc.fbs:780-931, KVClient.java:9-33) ----
+
+  def putKV(streamDir: String, key: String, value: String): Unit =
+    MetaLog.commitWithRetry(streamDir) { _ => Seq(KvPut(key, value)) }
+
+  def getKV(streamDir: String, key: String): Option[String] =
+    MetaLog.load(streamDir).kv.get(key)
+
+  def delKV(streamDir: String, key: String): Unit =
+    MetaLog.commitWithRetry(streamDir) { st => if (st.kv.contains(key)) Seq(KvDel(key)) else Seq.empty }
+
+  /** Range scan [from, until) in key order (etcd RangeRequest, rpc.fbs:780-822). */
+  def rangeKV(streamDir: String, from: String = "", until: String = "￿"): Seq[(String, String)] =
+    MetaLog.load(streamDir).kv.toSeq
+      .filter { case (k, _) => k >= from && k < until }
+      .sortBy(_._1)
+
+  /** Compare-and-swap transaction (etcd TxnRequest, rpc.fbs:904-931): iff
+    * `key`'s current value equals `expect` (None = absent), apply `ops`
+    * atomically. Returns true on success. The metadata log's CAS commit makes
+    * the compare and the ops a single atomic unit. */
+  def txnKV(streamDir: String, key: String, expect: Option[String],
+            ops: Seq[(String, Option[String])]): Boolean = {
+    var ok = false
+    MetaLog.commitWithRetry(streamDir) { st =>
+      ok = st.kv.get(key) == expect
+      if (!ok) Seq.empty
+      else ops.map { case (k, Some(v)) => KvPut(k, v); case (k, None) => KvDel(k) }
+    }
+    ok
+  }
 
   /** Segment listing (LIST_RANGE, range.go:49-125) as a DataFrame. */
   def listSegments(spark: SparkSession, streamDir: String): DataFrame = {

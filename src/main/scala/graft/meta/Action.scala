@@ -30,7 +30,12 @@ final case class FileMeta(
     startOffset: Long,     // first logical offset in the file
     endOffset: Long,       // exclusive: last batch's base_offset + delta
     minTimestamp: Long,    // epoch millis, for time-based pruning
-    maxTimestamp: Long
+    maxTimestamp: Long,
+    // Widest batch in the file. Lets fetch rewrite the straddle lower bound
+    // `base_offset + last_offset_delta > lo` as the Parquet-pushable
+    // `base_offset > lo - maxDelta` (+ exact residual) — the pushdown analogue
+    // of the reference's sparse-index position hints (object_reader.rs:68-76).
+    maxDelta: Int = 1
 )
 
 final case class CreateStream(streamId: Long, replica: Int, ackCount: Int,

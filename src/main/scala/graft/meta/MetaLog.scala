@@ -18,12 +18,17 @@ import com.fasterxml.jackson.databind.node.{ObjectNode, ArrayNode}
   *
   * Designed for object-store translation: on S3 the hard-link trick becomes a
   * conditional PUT (If-None-Match) on the same layout; nothing else changes.
-  * The log stays O(segments); [[checkpoint]] compacts it so a 100 TB stream
-  * with ~100k files still loads in one read.
+  * The log stays O(segments): every [[CheckpointInterval]] commits the writer
+  * drops a `<v>.checkpoint.json` snapshot of the folded state plus a
+  * `_last_checkpoint` pointer (Delta-style), so `load` reads one checkpoint +
+  * at most [[CheckpointInterval]] deltas — O(1) in the number of commits, and
+  * a 100 TB stream with ~100k files still loads in one read.
   */
 object MetaLog {
   private val mapper = new ObjectMapper()
   val LogDirName = "_eslog"
+  val CheckpointInterval = 10
+  private val LastCheckpointName = "_last_checkpoint"
 
   def logDir(streamDir: String): Path = Paths.get(streamDir, LogDirName)
 
@@ -37,13 +42,18 @@ object MetaLog {
     o.put("path", f.path); o.put("rows", f.rows); o.put("bytes", f.bytes)
     o.put("startOffset", f.startOffset); o.put("endOffset", f.endOffset)
     o.put("minTimestamp", f.minTimestamp); o.put("maxTimestamp", f.maxTimestamp)
+    o.put("maxDelta", f.maxDelta)
     o
   }
 
   private def fileFromJson(n: JsonNode): FileMeta = FileMeta(
     n.get("path").asText(), n.get("rows").asLong(), n.get("bytes").asLong(),
     n.get("startOffset").asLong(), n.get("endOffset").asLong(),
-    n.get("minTimestamp").asLong(), n.get("maxTimestamp").asLong())
+    n.get("minTimestamp").asLong(), n.get("maxTimestamp").asLong(),
+    // Logs written before maxDelta existed: the widest batch a file can hold
+    // is its whole span, which keeps the rewritten fetch bound correct.
+    Option(n.get("maxDelta")).map(_.asInt())
+      .getOrElse(math.min(Int.MaxValue.toLong, math.max(1L, n.get("endOffset").asLong() - n.get("startOffset").asLong())).toInt))
 
   def actionToJson(a: Action): ObjectNode = {
     val o = mapper.createObjectNode()
@@ -87,32 +97,98 @@ object MetaLog {
     case other => throw new IllegalArgumentException(s"unknown action $other")
   }
 
+  // ---- state snapshot codec (checkpoint payload) ----
+
+  private def segToJson(seg: SegmentState): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("index", seg.index); o.put("start", seg.start); o.put("epoch", seg.epoch)
+    seg.sealedEnd.foreach(o.put("sealedEnd", _))
+    val arr = o.putArray("files"); seg.files.foreach(f => arr.add(fileToJson(f)))
+    o
+  }
+
+  private def segFromJson(n: JsonNode): SegmentState = SegmentState(
+    n.get("index").asInt(), n.get("start").asLong(), n.get("epoch").asLong(),
+    Option(n.get("sealedEnd")).map(_.asLong()),
+    n.get("files").elements().asScala.map(fileFromJson).toVector)
+
+  def stateToJson(s: StreamState): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("streamId", s.streamId); o.put("replica", s.replica); o.put("ackCount", s.ackCount)
+    o.put("retentionMs", s.retentionMs); o.put("epoch", s.epoch)
+    o.put("startOffset", s.startOffset); o.put("deleted", s.deleted); o.put("version", s.version)
+    val segs = o.putArray("segments"); s.segments.foreach(seg => segs.add(segToJson(seg)))
+    val kv = o.putObject("kv"); s.kv.foreach { case (k, v) => kv.put(k, v) }
+    o
+  }
+
+  def stateFromJson(n: JsonNode): StreamState = StreamState(
+    n.get("streamId").asLong(), n.get("replica").asInt(), n.get("ackCount").asInt(),
+    n.get("retentionMs").asLong(), n.get("epoch").asLong(), n.get("startOffset").asLong(),
+    n.get("segments").elements().asScala.map(segFromJson).toVector,
+    n.get("kv").fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
+    n.get("deleted").asBoolean(), n.get("version").asLong())
+
   // ---- log IO ----
 
   def exists(streamDir: String): Boolean = Files.isDirectory(logDir(streamDir))
 
-  private def listVersions(streamDir: String): Seq[Long] = {
+  private def checkpointFile(streamDir: String, v: Long): Path =
+    logDir(streamDir).resolve(f"$v%020d.checkpoint.json")
+
+  private def listVersionsAfter(streamDir: String, after: Long): Seq[Long] = {
     val dir = logDir(streamDir)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
+      .filter(n => n.endsWith(".json") && !n.startsWith("_") && !n.contains(".checkpoint"))
       .map(_.stripSuffix(".json").toLong)
+      .filter(_ > after)
       .toSeq.sorted
+    finally s.close()
   }
 
   private def readVersion(streamDir: String, v: Long): Seq[Action] = {
     val bytes = Files.readAllBytes(versionFile(streamDir, v))
-    val root = mapper.readTree(bytes)
-    // A version file may be a checkpoint: {"checkpoint": {...state...}} is
-    // handled by load(); plain versions are arrays of actions.
-    root.elements().asScala.map(actionFromJson).toSeq
+    mapper.readTree(bytes).elements().asScala.map(actionFromJson).toSeq
   }
 
-  /** Fold the log into a snapshot-consistent state. */
+  /** Best-effort read of the newest checkpointed state (None → fold from 0). */
+  private def readLastCheckpoint(streamDir: String): Option[StreamState] =
+    try {
+      val ptr = logDir(streamDir).resolve(LastCheckpointName)
+      if (!Files.isRegularFile(ptr)) return None
+      val v = new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8).trim.toLong
+      val f = checkpointFile(streamDir, v)
+      if (!Files.isRegularFile(f)) return None
+      val root = mapper.readTree(Files.readAllBytes(f))
+      Option(root.get("checkpoint")).map(stateFromJson)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Write `<v>.checkpoint.json` + `_last_checkpoint`. Content is a pure
+    * function of the log prefix, so concurrent writers racing here converge
+    * on identical bytes; REPLACE_EXISTING makes the race harmless. */
+  private def writeCheckpoint(streamDir: String, state: StreamState): Unit =
+    try {
+      val dir = logDir(streamDir)
+      val o = mapper.createObjectNode()
+      o.set[ObjectNode]("checkpoint", stateToJson(state))
+      val tmp = Files.createTempFile(dir, "_tmpckpt-", ".json")
+      Files.write(tmp, mapper.writeValueAsBytes(o))
+      Files.move(tmp, checkpointFile(streamDir, state.version),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      val tmp2 = Files.createTempFile(dir, "_tmpptr-", ".txt")
+      Files.write(tmp2, state.version.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp2, dir.resolve(LastCheckpointName),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } catch { case scala.util.control.NonFatal(_) => () } // advisory only
+
+  /** Fold the log into a snapshot-consistent state: newest checkpoint + the
+    * ≤ CheckpointInterval deltas after it (O(1) in total commits). */
   def load(streamDir: String): StreamState = {
-    val versions = listVersions(streamDir)
-    versions.foldLeft(StreamState.empty) { (s, v) =>
+    val base = readLastCheckpoint(streamDir).getOrElse(StreamState.empty)
+    listVersionsAfter(streamDir, base.version).foldLeft(base) { (s, v) =>
       readVersion(streamDir, v).foldLeft(s)((s2, a) => StreamState.apply(s2, a, v))
     }
   }
@@ -138,6 +214,7 @@ object MetaLog {
           throw new ConcurrentCommitException(s"version $v already committed in $streamDir")
       }
     } finally Files.deleteIfExists(tmp)
+    if (v > 0 && v % CheckpointInterval == 0) writeCheckpoint(streamDir, next)
     next
   }
 

@@ -36,6 +36,11 @@ object FlatRecordBatch {
     val propBytes = props.map { case (k, v) =>
       (k.getBytes(StandardCharsets.UTF_8), v.getBytes(StandardCharsets.UTF_8))
     }
+    require(propBytes.size <= 0xffff, s"too many properties: ${propBytes.size} > 65535")
+    propBytes.foreach { case (k, v) =>
+      require(k.length <= 0xffff && v.length <= 0xffff,
+        s"property key/value exceeds 65535 UTF-8 bytes (key=${k.length}, value=${v.length})")
+    }
     val metaLen = FixedMetaLen + propBytes.map { case (k, v) => 4 + k.length + v.length }.sum
     val payload = if (r.payload == null) Array.emptyByteArray else r.payload
     val buf = ByteBuffer.allocate(1 + 4 + metaLen + 4 + payload.length)

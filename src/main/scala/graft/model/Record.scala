@@ -31,14 +31,16 @@ final case class RecordBatchRow(
 }
 
 object RecordBatchRow {
-  /** Canonical Spark schema for the record-batch relation. */
+  /** Canonical Spark schema for the record-batch relation. Declared fully
+    * nullable to match what Spark's Parquet writer actually persists — a scan
+    * that trusted a false non-null flag could miscompile under codegen. */
   val schema: StructType = StructType(Seq(
-    StructField("stream_id", LongType, nullable = false),
-    StructField("range_index", IntegerType, nullable = false),
-    StructField("flags", ShortType, nullable = false),
-    StructField("base_offset", LongType, nullable = false),
-    StructField("last_offset_delta", IntegerType, nullable = false),
-    StructField("base_timestamp", LongType, nullable = false),
+    StructField("stream_id", LongType, nullable = true),
+    StructField("range_index", IntegerType, nullable = true),
+    StructField("flags", ShortType, nullable = true),
+    StructField("base_offset", LongType, nullable = true),
+    StructField("last_offset_delta", IntegerType, nullable = true),
+    StructField("base_timestamp", LongType, nullable = true),
     StructField("properties", MapType(StringType, StringType), nullable = true),
     StructField("payload", BinaryType, nullable = true)
   ))

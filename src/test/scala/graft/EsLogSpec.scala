@@ -89,6 +89,83 @@ class EsLogSpec extends SparkTestBase {
     assert(straddle.length == 1 && straddle.head.getAs[Long]("base_offset") == 1L)
   }
 
+  test("fetch lower bound is Parquet-pushable (single-column, no arithmetic)") {
+    val dir = tmpDir("eslog-push-")
+    EsLog.create(dir); EsLog.open(dir, 1L)
+    val input = spark.range(100).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    EsLog.append(spark, dir, input, 1L, sortKey = Some("id"), numPartitions = 4)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan = EsLog.fetch(spark, dir, 40, 60).queryExecution.executedPlan.toString
+    // The rewritten bound base_offset > lo - maxDelta must reach PushedFilters
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThan(base_offset,39)"), plan)
+    assert(plan.contains("LessThan(base_offset,60)"), plan)
+  }
+
+  test("kv public api: put/get/del/range/txn CAS") {
+    val dir = tmpDir("eslog-kv-")
+    EsLog.create(dir)
+    EsLog.putKV(dir, "a/1", "x"); EsLog.putKV(dir, "a/2", "y"); EsLog.putKV(dir, "b/1", "z")
+    assert(EsLog.getKV(dir, "a/2").contains("y"))
+    assert(EsLog.rangeKV(dir, "a/", "a0").map(_._1) == Seq("a/1", "a/2"))
+    EsLog.delKV(dir, "a/1")
+    assert(EsLog.getKV(dir, "a/1").isEmpty)
+    // CAS txn: succeeds against the expected value, then fails on stale expect
+    assert(EsLog.txnKV(dir, "b/1", Some("z"), Seq("b/1" -> Some("z2"), "c" -> Some("new"))))
+    assert(EsLog.getKV(dir, "b/1").contains("z2") && EsLog.getKV(dir, "c").contains("new"))
+    assert(!EsLog.txnKV(dir, "b/1", Some("z"), Seq("b/1" -> Some("z3"))))
+    assert(EsLog.getKV(dir, "b/1").contains("z2"))
+    // compare-on-absent
+    assert(!EsLog.txnKV(dir, "c", None, Seq("d" -> Some("1"))))
+    assert(EsLog.txnKV(dir, "nope", None, Seq("d" -> Some("1"))))
+  }
+
+  test("retention: time-based trim drops expired files (metadata-only)") {
+    val dir = tmpDir("eslog-ret-")
+    EsLog.create(dir, retentionMs = 1000L)
+    EsLog.open(dir, 1L)
+    // two appends with distinct timestamp ranges -> two files/commits
+    def batch(tsBase: Long, ids: Range) = spark.createDataFrame(
+      ids.map(i => (i.toLong, Array[Byte](i.toByte), tsBase + i))
+    ).toDF("id", "payload", "base_timestamp")
+    EsLog.append(spark, dir, batch(1000L, 0 until 10), 1L, sortKey = Some("id"), numPartitions = 1)
+    EsLog.append(spark, dir, batch(100000L, 0 until 10), 1L, sortKey = Some("id"), numPartitions = 1)
+    // cutoff = 50010 sits between file1's maxTs (1009) and file2's (100009):
+    // only the first file is beyond retention
+    val st = EsLog.enforceRetention(dir, nowMs = 51010L)
+    assert(st.startOffset == 10L)
+    assert(EsLog.scan(spark, dir).count() == 10)
+    // idempotent: nothing more to drop at the same cutoff
+    assert(EsLog.enforceRetention(dir, nowMs = 51010L).startOffset == 10L)
+    // no retention configured -> no-op
+    val dir2 = tmpDir("eslog-ret2-")
+    EsLog.create(dir2); EsLog.open(dir2, 1L)
+    EsLog.append(spark, dir2, batch(0L, 0 until 5), 1L, numPartitions = 1)
+    assert(EsLog.enforceRetention(dir2, nowMs = Long.MaxValue / 2).startOffset == 0L)
+  }
+
+  test("ingestRaw/exportRaw: wire codec roundtrip through a stream") {
+    import spark.implicits._
+    val dir = tmpDir("eslog-raw-")
+    EsLog.create(dir); EsLog.open(dir, 1L)
+    val rows = (0 until 50).map(i => graft.model.RecordBatchRow(
+      0L, 0, 0.toShort, i.toLong, 1, 1000L + i, Map("k" -> s"v$i"), s"payload-$i".getBytes))
+    // frames of 5 entries each, as an APPEND-frame payload would arrive
+    val frames = rows.grouped(5).map(g => Tuple1(graft.model.FlatRecordBatch.encodeAll(g))).toSeq
+    val framesDf = frames.toDF("frame")
+    val (first, next) = EsLog.ingestRaw(spark, dir, framesDf, 1L)
+    assert(first == 0L && next == 50L)
+    val back = EsLog.scan(spark, dir)
+    assert(back.count() == 50)
+    assert(back.where(col("payload").cast("string").startsWith("payload-")).count() == 50)
+    // export re-frames every batch; re-decoding yields the same payload set
+    val exported = EsLog.exportRaw(spark, dir).collect()
+    assert(exported.length == 50)
+    val decoded = exported.map(r => graft.model.FlatRecordBatch.decode(r.getAs[Array[Byte]]("frame")))
+    assert(decoded.map(d => new String(d.payload)).toSet == rows.map(r => new String(r.payload)).toSet)
+  }
+
   test("describe/update/delete surface") {
     val dir = tmpDir("eslog-ddl-")
     EsLog.create(dir, streamId = 9L, replica = 3, ackCount = 2, retentionMs = 1000L)

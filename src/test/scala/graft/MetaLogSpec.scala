@@ -134,6 +134,50 @@ class MetaLogSpec extends AnyFunSuite {
     assert(MetaLog.load(dir).kv == Map("k2" -> "v2b"))
   }
 
+  test("checkpoint: 1000-commit log loads from checkpoint + <=10 deltas") {
+    val dir = tmp()
+    var st = EsLogTestOps.createAndOpen(dir)
+    (0 until 1000).foreach { i =>
+      st = MetaLog.commit(dir, st, Seq(KvPut(s"k${i % 50}", s"v$i")))
+    }
+    // checkpoints exist and the pointer names the newest one
+    val ckpts = Files.list(MetaLog.logDir(dir)).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (ckpts.hasNext) names += ckpts.next().getFileName.toString
+    assert(names.exists(_.contains(".checkpoint")), "no checkpoint file written")
+    assert(names.contains("_last_checkpoint"))
+    // state from checkpointed load == full fold semantics
+    val loaded = MetaLog.load(dir)
+    assert(loaded == st)
+    assert(loaded.kv.size == 50 && loaded.kv("k49") == "v999")
+    // loading must not read older delta files: delete all version files at or
+    // below the checkpoint; load still succeeds and matches
+    val ptr = new String(Files.readAllBytes(
+      MetaLog.logDir(dir).resolve("_last_checkpoint"))).trim.toLong
+    names.filter(n => n.endsWith(".json") && !n.contains(".checkpoint") && !n.startsWith("_"))
+      .map(n => (n, n.stripSuffix(".json").toLong))
+      .filter(_._2 <= ptr)
+      .foreach { case (n, _) => Files.delete(MetaLog.logDir(dir).resolve(n)) }
+    assert(MetaLog.load(dir) == st)
+  }
+
+  test("checkpoint state json roundtrips a rich state") {
+    val st = StreamState(7L, 3, 2, 86400000L, 5L, 100L,
+      Vector(
+        SegmentState(0, 0L, 1L, Some(120L), Vector(fm(100, 120).copy(maxDelta = 4))),
+        SegmentState(1, 120L, 5L, None, Vector(fm(120, 140)))),
+      Map("a" -> "1", "b" -> "2"), deleted = false, version = 42L)
+    assert(MetaLog.stateFromJson(MetaLog.stateToJson(st)) == st)
+  }
+
+  test("fileMeta maxDelta defaults conservatively when absent in old logs") {
+    val json = MetaLog.actionToJson(CommitFiles(0, 1L, Seq(fm(0, 10))))
+    val files = json.get("files")
+    files.get(0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].remove("maxDelta")
+    val decoded = MetaLog.actionFromJson(json).asInstanceOf[CommitFiles]
+    assert(decoded.files.head.maxDelta == 10) // whole span = safest bound
+  }
+
   test("json action codec roundtrips every action type") {
     val actions: Seq[Action] = Seq(
       CreateStream(7, 3, 2, 86400000L), OpenStream(5),
