@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.eslog.EsLog
+import graft.meta._
+
+/** Shared eslog stream fixtures for the driver-contract queries.
+  *
+  * Each fixture deterministically derives a stream from the sf parquet tables
+  * so the DuckDB oracle can recompute the expected scan results from the same
+  * tables (offsets are forced to equal `event_id` by sorting on it — event
+  * ids are contiguous 0..n-1 in the test data, so `base_offset = event_id`).
+  *
+  * Builders are memoized per (sfDir, name): queries may be invoked repeatedly
+  * in one JVM (verify + bench) without re-appending.
+  */
+object Fixtures {
+  private val cache = TrieMap[String, String]()
+
+  /** Session settings every query needs: events.ts is INT64-nanos parquet —
+    * read it as a plain long (portable, timezone-free). */
+  def tune(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def events(s: SparkSession, sfDir: String): DataFrame = {
+    tune(s)
+    s.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  def documents(s: SparkSession, sfDir: String): DataFrame = {
+    tune(s)
+    s.read.parquet(s"$sfDir/documents.parquet")
+  }
+
+  def embeddings(s: SparkSession, sfDir: String): DataFrame = {
+    tune(s)
+    s.read.parquet(s"$sfDir/embeddings.parquet")
+  }
+
+  private def fixture(sfDir: String, name: String)(build: String => Unit): String =
+    cache.getOrElseUpdate(s"$sfDir#$name", {
+      val dir = Files.createTempDirectory(s"graft-$name-").toString
+      build(dir)
+      dir
+    })
+
+  /** Events as appendable record batches: payload = props JSON bytes,
+    * properties carry event_type, base_timestamp = epoch millis of ts. */
+  private def eventBatches(s: SparkSession, sfDir: String): DataFrame =
+    events(s, sfDir).select(
+      col("event_id"),
+      col("props").cast("binary").as("payload"),
+      map(lit("event_type"), col("event_type")).as("properties"),
+      expr("ts div 1000000").as("base_timestamp"))
+
+  /** The flagship two-segment stream: first half of events under epoch 1,
+    * seal-on-reopen, second half under epoch 2. base_offset == event_id. */
+  def eventsStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "events") { dir =>
+      val in = eventBatches(s, sfDir)
+      val n = in.count()
+      val k = n / 2
+      EsLog.create(dir, streamId = 42L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in.where(col("event_id") < k), 1L,
+        sortKey = Some("event_id"), numPartitions = 4)
+      EsLog.open(dir, 2L) // seal-on-open recovery fences epoch 1
+      EsLog.append(s, dir, in.where(col("event_id") >= k), 2L,
+        sortKey = Some("event_id"), numPartitions = 4)
+      ()
+    }
+
+  /** Full events stream trimmed to n/4 (exercises trim + vacuum). */
+  def trimmedStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "trimmed") { dir =>
+      val in = eventBatches(s, sfDir)
+      val n = in.count()
+      EsLog.create(dir, streamId = 43L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in, 1L, sortKey = Some("event_id"), numPartitions = 4)
+      EsLog.trim(dir, n / 4)
+      ()
+    }
+
+  /** Retention stream: base_timestamp = event_id (ms), two appends split at
+    * n/2, retention 1000 ms enforced at now = n/2 + 1000 => cutoff n/2 drops
+    * exactly the first file. */
+  def retentionStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "retention") { dir =>
+      val in = events(s, sfDir).select(
+        col("event_id"),
+        col("props").cast("binary").as("payload"),
+        col("event_id").as("base_timestamp"))
+      val n = in.count()
+      val k = n / 2
+      EsLog.create(dir, streamId = 44L, retentionMs = 1000L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in.where(col("event_id") < k), 1L,
+        sortKey = Some("event_id"), numPartitions = 2)
+      EsLog.append(s, dir, in.where(col("event_id") >= k), 1L,
+        sortKey = Some("event_id"), numPartitions = 2)
+      EsLog.enforceRetention(dir, nowMs = k + 1000L)
+      ()
+    }
+
+  /** Multi-offset batches: ids 0..999, delta = id%3+1, payload = id string.
+    * Total offsets = sum of deltas (= 2000 for 1000 ids). */
+  def straddleStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "straddle") { dir =>
+      val in = s.range(1000).select(
+        col("id"),
+        col("id").cast("string").cast("binary").as("payload"),
+        (col("id") % 3 + 1).cast("int").as("last_offset_delta"))
+      EsLog.create(dir, streamId = 45L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+      ()
+    }
+
+  /** KV fixture: puts, delete, a successful CAS txn, a failed (stale) one. */
+  def kvStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "kv") { dir =>
+      EsLog.create(dir, streamId = 46L)
+      EsLog.putKV(dir, "k1", "a"); EsLog.putKV(dir, "k2", "b"); EsLog.putKV(dir, "k3", "c")
+      EsLog.delKV(dir, "k2")
+      require(EsLog.txnKV(dir, "k1", Some("a"), Seq("k1" -> Some("a2"), "k4" -> Some("d"))))
+      require(!EsLog.txnKV(dir, "k1", Some("a"), Seq("k5" -> Some("never"))))
+      ()
+    }
+
+  /** DDL fixture: created then altered, never opened. */
+  def ddlStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "ddl") { dir =>
+      EsLog.create(dir, streamId = 77L, replica = 1, ackCount = 1, retentionMs = -1L)
+      EsLog.update(dir, replica = Some(3), ackCount = Some(2), retentionMs = Some(86400000L))
+      ()
+    }
+
+  /** Deleted stream: create, append, delete; data files must be gone. */
+  def deletedStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "deleted") { dir =>
+      EsLog.create(dir, streamId = 78L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir,
+        s.range(10).select(col("id"), col("id").cast("string").cast("binary").as("payload")),
+        1L, numPartitions = 1)
+      EsLog.delete(dir)
+      ()
+    }
+
+  /** Idempotent-commit probe: rejects of an exact retry (Committed) and a
+    * gapped commit (OutOfOrder), with the data intact afterwards. */
+  def idempotencyProbe(s: SparkSession, sfDir: String): (Boolean, Boolean, Long) = {
+    val dir = fixture(sfDir, "idem") { d =>
+      EsLog.create(d, streamId = 79L)
+      EsLog.open(d, 1L)
+      EsLog.append(s, d,
+        s.range(100).select(col("id"), col("id").cast("string").cast("binary").as("payload")),
+        1L, sortKey = Some("id"), numPartitions = 2)
+      ()
+    }
+    val st = MetaLog.load(dir)
+    val seg = st.segments.last
+    val retryRejected =
+      try { MetaLog.commit(dir, st, Seq(CommitFiles(seg.index, st.epoch, seg.files))); false }
+      catch { case _: CommittedException => true }
+    val gapRejected =
+      try {
+        MetaLog.commit(dir, st, Seq(CommitFiles(seg.index, st.epoch,
+          Seq(FileMeta("ghost", 10, 10, 150, 160, 0, 0)))))
+        false
+      } catch { case _: OutOfOrderException => true }
+    (retryRejected, gapRejected, EsLog.scan(s, dir).count())
+  }
+
+  /** Documents round-tripped through the wire codec into a stream. */
+  def codecStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "codec") { dir =>
+      import s.implicits._
+      val frames = documents(s, sfDir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          Tuple1(graft.model.FlatRecordBatch.encode(graft.model.RecordBatchRow(
+            0L, 0, 0.toShort, 0L, 1, 0L, Map("doc_id" -> id.toString),
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        }.toDF("frame")
+      EsLog.create(dir, streamId = 80L)
+      EsLog.open(dir, 1L)
+      EsLog.ingestRaw(s, dir, frames, 1L)
+      ()
+    }
+}

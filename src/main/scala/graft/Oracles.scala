@@ -1,0 +1,322 @@
+package graft
+
+import graft.functions.Portable
+
+/** DuckDB oracle SQL for every SparkEntry query.
+  *
+  * Each statement recomputes the query's expected result from the same sf
+  * parquet tables (exposed as views named `events`, `documents`, `lineitem`,
+  * ...). Numeric results are engineered to be bit-reproducible across
+  * engines: integer-valued aggregates, identical fold orders for double
+  * reductions, `//` integer division mirrored by Spark's `div`, and the
+  * portable 60-bit md5 hash for every pseudo-random choice.
+  *
+  * The stream fixtures sort events by `event_id` (contiguous 0..n-1), so
+  * `base_offset = event_id` — which is what lets plain SQL predict offsets.
+  */
+object Oracles {
+
+  private val H = Portable // hash60Sql helpers
+
+  // ---- shared fragments ----
+
+  /** Word-3-gram shingles of documents.text, one row per (doc_id, shingle). */
+  private val shingleRows =
+    s"""sh0 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    ELSE [] END) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+
+  private def minhashCols(numHashes: Int): String =
+    (0 until numHashes).map(i => s"min(${H.hash60Sql(i, "s")}) AS m$i").mkString(", ")
+
+  // ---- eslog ----
+
+  private val esAppendScan =
+    "SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props FROM events"
+
+  private val esFetchRange =
+    """SELECT event_id AS base_offset, event_type FROM events
+      |WHERE event_id >= (SELECT count(*) // 10 FROM events)
+      |  AND event_id < (SELECT count(*) // 2 FROM events)""".stripMargin
+
+  private val esFetchStraddle =
+    """WITH b AS (
+      |  SELECT id, CAST(id % 3 + 1 AS BIGINT) AS delta,
+      |    CAST(COALESCE(SUM(id % 3 + 1) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base_offset
+      |  FROM range(1000) t(id))
+      |SELECT base_offset, delta AS last_offset_delta, CAST(id AS VARCHAR) AS payload_str
+      |FROM b WHERE base_offset + delta > 667 AND base_offset < 1333""".stripMargin
+
+  private val esTrim =
+    """SELECT event_id AS base_offset, event_type FROM events
+      |WHERE event_id >= (SELECT count(*) // 4 FROM events)""".stripMargin
+
+  private val esRetention =
+    """SELECT event_id AS base_offset, event_id AS base_timestamp FROM events
+      |WHERE event_id >= (SELECT count(*) // 2 FROM events)""".stripMargin
+
+  private val esSegments =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events)
+      |SELECT CAST(0 AS BIGINT) AS seg_index, CAST(0 AS BIGINT) AS start_offset,
+      |       c // 2 AS end_offset, true AS sealed, CAST(1 AS BIGINT) AS epoch,
+      |       c // 2 AS num_records FROM n
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), c // 2, c, false, CAST(2 AS BIGINT), c - c // 2 FROM n""".stripMargin
+
+  private val esDescribe =
+    """SELECT CAST(42 AS BIGINT) AS stream_id, CAST(2 AS BIGINT) AS epoch,
+      |       CAST(0 AS BIGINT) AS start_offset, CAST(count(*) AS BIGINT) AS next_offset,
+      |       CAST(1 AS BIGINT) AS replica, CAST(1 AS BIGINT) AS ack_count FROM events""".stripMargin
+
+  private val esOffsets =
+    """SELECT 'events' AS stream, CAST(0 AS BIGINT) AS start_offset,
+      |       CAST(count(*) AS BIGINT) AS next_offset FROM events
+      |UNION ALL
+      |SELECT 'events_trimmed', CAST(count(*) // 4 AS BIGINT), CAST(count(*) AS BIGINT) FROM events""".stripMargin
+
+  private val esKv =
+    """SELECT * FROM (VALUES ('k1', 'a2'), ('k3', 'c'), ('k4', 'd')) AS t("key", "value")"""
+
+  private val esUpdateDescribe =
+    """SELECT CAST(77 AS BIGINT) AS stream_id, CAST(3 AS BIGINT) AS replica,
+      |       CAST(2 AS BIGINT) AS ack_count, CAST(86400000 AS BIGINT) AS retention_ms,
+      |       CAST(0 AS BIGINT) AS epoch, false AS deleted""".stripMargin
+
+  private val esDelete =
+    "SELECT true AS deleted, CAST(0 AS BIGINT) AS n_live_files"
+
+  private val esIdempotent =
+    "SELECT true AS retry_rejected, true AS gap_rejected, CAST(100 AS BIGINT) AS n_rows"
+
+  private val esCodec =
+    "SELECT doc_id, text FROM documents"
+
+  private val esWindowHourly =
+    """SELECT epoch_ms(ts) // 3600000 AS hour, CAST(count(*) AS BIGINT) AS n,
+      |       min(event_id) AS first_off, max(event_id) AS last_off
+      |FROM events GROUP BY 1""".stripMargin
+
+  private val esAggByType =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       min(event_id) AS first_off, max(event_id) AS last_off
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---- LLM pipelines ----
+
+  private val dedupExact =
+    """SELECT min(doc_id) AS doc_id, sha256(text) AS h, CAST(count(*) AS BIGINT) AS dups
+      |FROM documents GROUP BY sha256(text)""".stripMargin
+
+  private val dedupJaccard =
+    s"""WITH $shingleRows,
+       |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT i, j, inter / (si.n + sj.n - inter) AS jaccard
+       |FROM pairs JOIN sizes si ON pairs.i = si.doc_id JOIN sizes sj ON pairs.j = sj.doc_id
+       |WHERE inter / (si.n + sj.n - inter) >= 0.5""".stripMargin
+
+  private val dedupMinhash = {
+    val bands = (0 until 4).map { b =>
+      val sig = (0 until 4).map(i => s"CAST(m${b * 4 + i} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM m"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingleRows,
+       |m AS (SELECT doc_id, ${minhashCols(16)} FROM sh0 GROUP BY doc_id),
+       |b AS (
+       |$bands)
+       |SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+       |FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id""".stripMargin
+  }
+
+  private val dedupSimhash = {
+    val terms = (0 until 60).map { b =>
+      s"CASE WHEN sum(((h >> $b) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${H.hash60Sql("tok")} AS h FROM t)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+       |FROM h GROUP BY doc_id""".stripMargin
+  }
+
+  private val textStats =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  CAST(list_aggregate(list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT)), 'sum') AS BIGINT)
+      |    / len(string_split(text, ' ')) AS avg_token_len
+      |FROM documents""".stripMargin
+
+  private val stopList = TextOps_markers
+
+  private def TextOps_markers: Seq[(String, Seq[String])] =
+    graft.operators.TextOps.langMarkers
+
+  private val textQuality = {
+    val stops = stopList.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS lexical_diversity,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+       |  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / length(text) AS punct_ratio
+       |FROM documents""".stripMargin
+  }
+
+  private val textLangId = {
+    val scoreCols = stopList.map { case (lang, markers) =>
+      val set = markers.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = stopList.map(_._1)
+    val pred = langs.init.map { lang =>
+      val ge = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (SELECT doc_id,
+       |  $scoreCols
+       |FROM documents)
+       |SELECT doc_id,
+       |  CASE $pred ELSE '${langs.last}' END AS lang_pred,
+       |  ${langs.map(l => s"s_$l").mkString(", ")}
+       |FROM scored""".stripMargin
+  }
+
+  private val textFingerprint = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    s"""SELECT doc_id, md5($norm) AS fp_md5, ${H.hash60Sql(norm)} AS fp60 FROM documents"""
+  }
+
+  private val textTokens =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+      |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_marks,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_ish
+      |FROM documents""".stripMargin
+
+  /** dot(a,b) with the same left fold Spark's `aggregate` uses. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val simExact =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
+       |s AS (SELECT qid, nid, ${cosineSql("qvec", "nvec")} AS score FROM q, c WHERE nid <> qid),
+       |r AS (SELECT qid, nid, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
+       |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
+
+  private val simLsh = {
+    // bucket(table t) = sum over planes p of 2^p iff the Rademacher projection
+    // (weights = hash60(t:p:d) & 1 -> +/-1, folded over dims left-to-right) is > 0
+    def bucket(t: Int, vec: String): String = {
+      val planeTerms = (0 until 8).map { p =>
+        val proj = s"list_reduce(list_transform(range(1, len($vec) + 1), " +
+          s"d -> CASE WHEN (${H.hash60Sql(s"concat('$t:$p:', CAST(d - 1 AS VARCHAR))")} & 1) = 1 " +
+          s"THEN $vec[d] ELSE -$vec[d] END), (acc, x) -> acc + x)"
+        s"CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END"
+      }
+      planeTerms.mkString("(", " + ", ")")
+    }
+    def buckets(src: String, id: String, vec: String, out: String) =
+      (0 until 4).map(t =>
+        s"SELECT $id, $vec, $t AS tbl, ${bucket(t, vec)} AS bucket FROM $src")
+        .mkString("\nUNION ALL\n")
+    s"""WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
+       |c0 AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
+       |qb AS (
+       |${buckets("q0", "qid", "qvec", "qb")}),
+       |cb AS (
+       |${buckets("c0", "nid", "nvec", "cb")}),
+       |cand AS (
+       |  SELECT DISTINCT qid, qvec, nid, nvec
+       |  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket AND nid <> qid),
+       |s AS (SELECT qid, nid, ${cosineSql("qvec", "nvec")} AS score FROM cand),
+       |r AS (SELECT qid, nid, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
+       |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
+  }
+
+  private val multimodalDecode =
+    """SELECT doc_id AS media_id,
+      |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS content_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN doc_id % 3 IN (0, 2) THEN octet_length(encode(text)) % 640 + 16 ELSE 0 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 3 IN (0, 2) THEN (octet_length(encode(text)) * 7) % 480 + 16 ELSE 0 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 IN (1, 2) THEN octet_length(encode(text)) % 10000 ELSE 0 END AS BIGINT) AS duration_ms,
+      |  CAST(CASE WHEN length(text) = 0 THEN 0
+      |       ELSE ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, -1, 1)) END AS BIGINT) AS checksum
+      |FROM documents""".stripMargin
+
+  private val multimodalFrames =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT media_id, n_bytes % 30 AS n_frames,
+      |       unnest(range(0, n_bytes % 30, 5)) AS frame_idx
+      |FROM f WHERE n_bytes % 30 > 0""".stripMargin
+
+  // ---- relational ----
+
+  private val lineitemAgg =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n, avg(l_quantity) AS avg_qty,
+      |  epoch_ms(min(l_shipdate)) AS min_ship_ms, epoch_ms(max(l_shipdate)) AS max_ship_ms
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  private val joinAgg =
+    """SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  min(o_orderkey) AS min_order, max(l_partkey) AS max_part, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
+  private val topkOrders =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 3""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "es_append_scan" -> esAppendScan,
+    "es_fetch_range" -> esFetchRange,
+    "es_fetch_straddle" -> esFetchStraddle,
+    "es_trim" -> esTrim,
+    "es_retention" -> esRetention,
+    "es_segments" -> esSegments,
+    "es_describe" -> esDescribe,
+    "es_offsets" -> esOffsets,
+    "es_kv" -> esKv,
+    "es_update_describe" -> esUpdateDescribe,
+    "es_delete" -> esDelete,
+    "es_idempotent" -> esIdempotent,
+    "es_codec" -> esCodec,
+    "es_window_hourly" -> esWindowHourly,
+    "es_agg_by_type" -> esAggByType,
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "text_stats" -> textStats,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangId,
+    "text_fingerprint" -> textFingerprint,
+    "text_tokens" -> textTokens,
+    "sim_exact" -> simExact,
+    "sim_lsh" -> simLsh,
+    "multimodal_decode" -> multimodalDecode,
+    "multimodal_frames" -> multimodalFrames,
+    "lineitem_agg" -> lineitemAgg,
+    "join_agg" -> joinAgg,
+    "topk_orders" -> topkOrders)
+}

@@ -1,13 +1,289 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.eslog.EsLog
+import graft.functions.Portable
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 (and the four LLM-pipeline
+  * families) has a `queries` entry; every SQL-expressible one has a DuckDB
+  * oracle in `oracleSql` computing the same result from the same parquet
+  * tables. Column names and types are aligned on both sides (the driver's
+  * compare hashes values under sorted column names).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qEsAggByType(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- eslog --
+
+  /** CREATE/open/append×2/seal-on-reopen/scan: the full write+read lifecycle.
+    * base_offset must equal event_id (sorted append, contiguous ids). */
+  private def qEsAppendScan(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    EsLog.scan(s, dir).select(
+      col("base_offset"),
+      col("base_timestamp").as("ts_ms"),
+      col("properties")("event_type").as("event_type"),
+      col("payload").cast("string").as("props"))
+  }
+
+  /** fetch [n/10, n/2): manifest file pruning + offset bounds. */
+  private def qEsFetchRange(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    val n = Fixtures.events(s, sfDir).count()
+    EsLog.fetch(s, dir, n / 10, n / 2).select(
+      col("base_offset"),
+      col("properties")("event_type").as("event_type"))
+  }
+
+  /** Straddle semantics with multi-offset batches (delta = id%3+1). */
+  private def qEsFetchStraddle(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.straddleStream(s, sfDir)
+    EsLog.fetch(s, dir, 667, 1333).select(
+      col("base_offset"),
+      col("last_offset_delta").cast("long").as("last_offset_delta"),
+      col("payload").cast("string").as("payload_str"))
+  }
+
+  /** TRIM_STREAM to n/4 + vacuum, then full scan. */
+  private def qEsTrim(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.trimmedStream(s, sfDir)
+    EsLog.scan(s, dir).select(
+      col("base_offset"),
+      col("properties")("event_type").as("event_type"))
+  }
+
+  /** Retention job: time-based trim via per-file max timestamps. */
+  private def qEsRetention(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.retentionStream(s, sfDir)
+    EsLog.scan(s, dir).select(col("base_offset"), col("base_timestamp"))
+  }
+
+  /** LIST_RANGE across the sealed/open segment chain. */
+  private def qEsSegments(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    EsLog.listSegments(s, dir).select(
+      col("seg_index").cast("long").as("seg_index"),
+      col("start_offset"), col("end_offset"), col("sealed"),
+      col("epoch"), col("num_records"))
+  }
+
+  /** DESCRIBE_STREAM of the flagship stream. */
+  private def qEsDescribe(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    val st = EsLog.describe(dir)
+    s.createDataFrame(Seq((st.streamId, st.epoch, st.startOffset, st.nextOffset,
+      st.replica.toLong, st.ackCount.toLong)))
+      .toDF("stream_id", "epoch", "start_offset", "next_offset", "replica", "ack_count")
+  }
+
+  /** start_offset / next_offset across two streams. */
+  private def qEsOffsets(s: SparkSession, sfDir: String): DataFrame = {
+    val d1 = Fixtures.eventsStream(s, sfDir)
+    val d2 = Fixtures.trimmedStream(s, sfDir)
+    s.createDataFrame(Seq(
+      ("events", EsLog.startOffset(d1), EsLog.nextOffset(d1)),
+      ("events_trimmed", EsLog.startOffset(d2), EsLog.nextOffset(d2))))
+      .toDF("stream", "start_offset", "next_offset")
+  }
+
+  /** KV put/get/del/range + CAS txn surface; emits the final range scan. */
+  private def qEsKv(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.kvStream(s, sfDir)
+    s.createDataFrame(EsLog.rangeKV(dir)).toDF("key", "value")
+  }
+
+  /** UPDATE_STREAM + DESCRIBE_STREAM on a never-opened stream. */
+  private def qEsUpdateDescribe(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.ddlStream(s, sfDir)
+    val st = EsLog.describe(dir)
+    s.createDataFrame(Seq((st.streamId, st.replica.toLong, st.ackCount.toLong,
+      st.retentionMs, st.epoch, st.deleted)))
+      .toDF("stream_id", "replica", "ack_count", "retention_ms", "epoch", "deleted")
+  }
+
+  /** DELETE_STREAM: flag set, data files removed. */
+  private def qEsDelete(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.deletedStream(s, sfDir)
+    val st = EsLog.describe(dir)
+    val live = {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        val it = stream.iterator()
+        var c = 0L
+        while (it.hasNext) {
+          val p = it.next()
+          if (java.nio.file.Files.isRegularFile(p) &&
+            !p.startsWith(graft.meta.MetaLog.logDir(dir))) c += 1
+        }
+        c
+      } finally stream.close()
+    }
+    s.createDataFrame(Seq((st.deleted, live))).toDF("deleted", "n_live_files")
+  }
+
+  /** Idempotent-commit protocol: exact retry => Committed, gap => OutOfOrder
+    * (rpc.fbs:40-45 semantics), data intact. */
+  private def qEsIdempotent(s: SparkSession, sfDir: String): DataFrame = {
+    val (retry, gap, n) = Fixtures.idempotencyProbe(s, sfDir)
+    s.createDataFrame(Seq((retry, gap, n)))
+      .toDF("retry_rejected", "gap_rejected", "n_rows")
+  }
+
+  /** Wire-codec ingest: documents framed as FlatRecordBatch bytes, decoded on
+    * executors, appended, scanned back. */
+  private def qEsCodec(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.codecStream(s, sfDir)
+    EsLog.scan(s, dir).select(
+      col("properties")("doc_id").cast("long").as("doc_id"),
+      col("payload").cast("string").as("text"))
+  }
+
+  /** Event-time windowed aggregation (1h tumbling) over the stream. */
+  private def qEsWindowHourly(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    EsLog.scan(s, dir)
+      .groupBy(expr("base_timestamp div 3600000").as("hour"))
+      .agg(count(lit(1)).as("n"), min("base_offset").as("first_off"),
+        max("base_offset").as("last_off"))
+  }
+
+  /** Relational aggregation over the stream (Catalyst on the source). */
+  private def qEsAggByType(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    EsLog.scan(s, dir)
+      .groupBy(col("properties")("event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"), min("base_offset").as("first_off"),
+        max("base_offset").as("last_off"))
+  }
+
+  // ------------------------------------------------------- LLM pipelines --
+
+  private def qDedupExact(s: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(Fixtures.documents(s, sfDir), "doc_id", "text")
+
+  private def qDedupJaccard(s: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccard(Fixtures.documents(s, sfDir), "doc_id", "text", k = 3, threshold = 0.5)
+
+  private def qDedupMinHash(s: SparkSession, sfDir: String): DataFrame =
+    Dedup.minHashLshCandidates(Fixtures.documents(s, sfDir), "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4)
+
+  private def qDedupSimHash(s: SparkSession, sfDir: String): DataFrame =
+    Dedup.simHash(Fixtures.documents(s, sfDir), "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+
+  private def qTextStats(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.tokenStats(Fixtures.documents(s, sfDir), "doc_id", "text")
+
+  private def qTextQuality(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.qualityScore(Fixtures.documents(s, sfDir), "doc_id", "text")
+
+  private def qTextLangId(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.languageId(Fixtures.documents(s, sfDir), "doc_id", "text")
+
+  private def qTextFingerprint(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.fingerprint(Fixtures.documents(s, sfDir), "doc_id", "text")
+
+  private def qTextTokens(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.tokenCounts(Fixtures.documents(s, sfDir), "doc_id", "text")
+
+  private def qSimExact(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  private def qSimLsh(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    Similarity.hyperplaneLshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, dim = 64, planes = 8, tables = 4)
+  }
+
+  private def qMultimodalDecode(s: SparkSession, sfDir: String): DataFrame =
+    Multimodal.decodeFeatures(
+      Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text")).toDF()
+
+  private def qMultimodalFrames(s: SparkSession, sfDir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.decodeFeatures(
+        Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text")))
+
+  // ----------------------------------------------------------- relational --
+
+  private def qLineitemAgg(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    s.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+        avg("l_quantity").as("avg_qty"),
+        unix_millis(min("l_shipdate").cast("timestamp")).as("min_ship_ms"),
+        unix_millis(max("l_shipdate").cast("timestamp")).as("max_ship_ms"))
+  }
+
+  private def qJoinAgg(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    val customer = s.read.parquet(s"$sfDir/customer.parquet")
+    val orders = s.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = s.read.parquet(s"$sfDir/lineitem.parquet")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), min("o_orderkey").as("min_order"),
+        max("l_partkey").as("max_part"), sum("l_quantity").as("sum_qty"))
+  }
+
+  private def qTopKOrders(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    s.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select("o_custkey", "o_orderkey", "rank")
+  }
+
+  // -------------------------------------------------------------- registry --
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "es_append_scan" -> (qEsAppendScan _),
+    "es_fetch_range" -> (qEsFetchRange _),
+    "es_fetch_straddle" -> (qEsFetchStraddle _),
+    "es_trim" -> (qEsTrim _),
+    "es_retention" -> (qEsRetention _),
+    "es_segments" -> (qEsSegments _),
+    "es_describe" -> (qEsDescribe _),
+    "es_offsets" -> (qEsOffsets _),
+    "es_kv" -> (qEsKv _),
+    "es_update_describe" -> (qEsUpdateDescribe _),
+    "es_delete" -> (qEsDelete _),
+    "es_idempotent" -> (qEsIdempotent _),
+    "es_codec" -> (qEsCodec _),
+    "es_window_hourly" -> (qEsWindowHourly _),
+    "es_agg_by_type" -> (qEsAggByType _),
+    "dedup_exact" -> (qDedupExact _),
+    "dedup_jaccard" -> (qDedupJaccard _),
+    "dedup_minhash" -> (qDedupMinHash _),
+    "dedup_simhash" -> (qDedupSimHash _),
+    "text_stats" -> (qTextStats _),
+    "text_quality" -> (qTextQuality _),
+    "text_langid" -> (qTextLangId _),
+    "text_fingerprint" -> (qTextFingerprint _),
+    "text_tokens" -> (qTextTokens _),
+    "sim_exact" -> (qSimExact _),
+    "sim_lsh" -> (qSimLsh _),
+    "multimodal_decode" -> (qMultimodalDecode _),
+    "multimodal_frames" -> (qMultimodalFrames _),
+    "lineitem_agg" -> (qLineitemAgg _),
+    "join_agg" -> (qJoinAgg _),
+    "topk_orders" -> (qTopKOrders _))
+
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the usual scale trade-off:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast
+  *    (small side), the corpus streams through one scan — no shuffle of the
+  *    corpus, no driver collect. Right up to ~thousands of queries; it is
+  *    also the recall oracle for the approximate path.
+  *  - [[hyperplaneLshTopK]]: random-hyperplane (sign) LSH. Each vector gets a
+  *    `planes`-bit bucket per table; candidates = same bucket in any table,
+  *    re-ranked exactly. The corpus-side join key is the bucket, so the
+  *    quadratic cross join becomes a hash join on O(N · tables) rows — the
+  *    100 TB path. Hyperplane weights are ±1 Rademacher vectors derived from
+  *    the portable md5 hash, so results are reproducible anywhere (and by the
+  *    SQL oracle).
+  *
+  * All arithmetic is double (array<float> cast up), folded left-to-right, so
+  * an independent engine reproduces scores bit-for-bit.
+  */
+object Similarity {
+
+  /** dot(a,b) with sequential left fold — bit-deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus vectors
+    * (self excluded), ties broken by id. Queries are broadcast; ranking is a
+    * window partitioned by query (shuffle keyed by query id only). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "score")
+  }
+
+  /** `planes`-bit sign bucket of a vector under table `t`: bit p is the sign
+    * of `Σ_d w(t,p,d)·v[d]` with w = ±1 from the portable hash. */
+  def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // Rademacher projection: deterministic ±1 per (table, plane, dim)
+      val proj = (0 until dim).map { d =>
+        val sign = when(Portable.hash60(lit(s"$table:$p:$d")).bitwiseAND(1) === 1, lit(1.0d))
+          .otherwise(lit(-1.0d))
+        sign * element_at(vec, d + 1)
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via hyperplane LSH: bucket join per table, exact
+    * re-rank of candidates. `tables` trades recall for cost. */
+  def hyperplaneLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, dim: Int,
+                        planes: Int = 8, tables: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    def bucketed(df: DataFrame, vc: String, ic: String) =
+      df.select(col(ic), col(vc),
+        posexplode(array((0 until tables).map(t => lshBucket(col(vc), t, planes, dim)): _*))
+          .as(Seq("tbl", "bucket")))
+    val cb = bucketed(c, "nvec", "nid")
+    val qb = bucketed(q, "qvec", "qid")
+    val cands = cb.join(broadcast(qb),
+        cb("tbl") === qb("tbl") && cb("bucket") === qb("bucket") && col("nid") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("nid"), col("nvec"))
+      .distinct()
+    val scored = cands.select(col("qid"), col("nid"),
+      cosine(col("qvec"), col("nvec")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "score")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Text analysis operators for training-data pipelines: token statistics,
+  * quality scoring, language identification, document fingerprinting.
+  *
+  * Everything is built from codegen'd built-in functions (split / regexp /
+  * aggregate) — no UDFs — so the whole stage fuses into one pass over the
+  * text column and column pruning reaches the Parquet scan.
+  */
+object TextOps {
+
+  /** Per-language marker stopwords for the n-gram/stopword language-ID
+    * heuristic. Unambiguous across the five lists. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("und", "der", "das"),
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("y", "los", "las"),
+    "fr" -> Seq("et", "les", "dans"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Token statistics: counts, distinct counts, average token length. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Portable.words(col(textCol))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+        / size(toks)).as("avg_token_len"))
+  }
+
+  /** Quality-score features: length, lexical diversity, digit/punct/stopword
+    * ratios — the usual cheap filters before expensive pipeline stages. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Portable.words(col(textCol))
+    val nTok = size(toks).cast("long")
+    val stop = langMarkers.flatMap(_._2)
+    docs.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") / nTok).as("lexical_diversity"),
+      (size(filter(toks, t => t.isin(stop.map(x => x: Any): _*))).cast("double") / nTok)
+        .as("stopword_ratio"),
+      (size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0))).cast("double")
+        / length(col(textCol))).as("digit_ratio"),
+      (size(regexp_extract_all(col(textCol), lit("[.!?,;:]"), lit(0))).cast("double")
+        / length(col(textCol))).as("punct_ratio"))
+  }
+
+  /** Language ID via marker-stopword voting: score = marker-token occurrences
+    * per language; prediction = argmax, alphabetical tie-break. A real corpus
+    * would use char n-gram profiles; the mechanism (score columns + argmax)
+    * is identical and the scoring is engine-portable. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Portable.words(col(textCol))
+    val scored = docs.select(
+      (col(idCol) +: langMarkers.map { case (lang, markers) =>
+        size(filter(toks, t => t.isin(markers.map(x => x: Any): _*))).cast("long").as(s"s_$lang")
+      }): _*)
+    // argmax with alphabetical tie-break: first lang whose score >= all others
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight(lit(langs.last): Column) { (lang, rest) =>
+      val ge = langs.filter(_ != lang).map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+      when(ge, lit(lang)).otherwise(rest)
+    }
+    scored.select(col(idCol) +: pred.as("lang_pred") +: langs.map(l => col(s"s_$l")): _*)
+  }
+
+  /** Document fingerprints: md5 of whitespace/punctuation-normalized text
+    * (robust to formatting noise) + a 60-bit content hash for compact joins. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col(textCol)),
+      "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(
+      col(idCol),
+      md5(norm.cast("binary")).as("fp_md5"),
+      Portable.hash60(norm).as("fp60"))
+  }
+
+  /** Token counting with a BPE-ish regex segmentation: word pieces, number
+    * runs, and single non-alphanumeric marks counted separately (an estimator
+    * for LLM token budgets). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+"), lit(0))).cast("long").as("n_words"),
+      size(regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0))).cast("long").as("n_numbers"),
+      size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("n_marks"),
+      (size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        ).cast("long").as("n_bpe_ish"))
+}
