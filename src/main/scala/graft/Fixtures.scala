@@ -179,6 +179,72 @@ object Fixtures {
     (retryRejected, gapRejected, EsLog.scan(s, dir).count())
   }
 
+  /** Structured-Streaming roundtrip: the flagship stream drained through the
+    * rate-limited eslog source into an eslog sink (AvailableNow). */
+  def streamRoundtrip(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "stream-rt") { dst =>
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val ckpt = Files.createTempDirectory("graft-ckpt-rt-").toString
+      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select("payload", "properties", "base_timestamp", "last_offset_delta", "flags")
+        .writeStream.format("eslog")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      ()
+    }
+
+  /** Streaming event-time windowed aggregation (1h tumbling + watermark) into
+    * an in-memory complete-mode table; returns the result table name. */
+  def streamHourlyTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-hourly", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val name = "graft_stream_hourly_" + math.abs(sfDir.hashCode).toString
+      val q = s.readStream.format("eslog").load(src)
+        .withColumn("ts", timestamp_millis(col("base_timestamp")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("hour_start_ms"), col("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
+  /** Streaming stateful dedup (dropDuplicates on a derived key) into an
+    * append-mode memory table; returns the result table name. */
+  def streamDedupTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-dedup", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val name = "graft_stream_dedup_" + math.abs(sfDir.hashCode).toString
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", "1000")
+        .load(src)
+        .withColumn("k", col("base_offset") % 100)
+        .dropDuplicates("k")
+        .select("k")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** Documents round-tripped through the wire codec into a stream. */
   def codecStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "codec") { dir =>

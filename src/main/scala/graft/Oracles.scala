@@ -103,6 +103,17 @@ object Oracles {
       |       min(event_id) AS first_off, max(event_id) AS last_off
       |FROM events GROUP BY 1""".stripMargin
 
+  private val esStreamRoundtrip =
+    "SELECT epoch_ms(ts) AS ts_ms, event_type, props FROM events"
+
+  private val esStreamWindow =
+    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_start_ms,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  private val esStreamDedup =
+    "SELECT DISTINCT event_id % 100 AS k FROM events"
+
   // ---- LLM pipelines ----
 
   private val dedupExact =
@@ -303,6 +314,9 @@ object Oracles {
     "es_codec" -> esCodec,
     "es_window_hourly" -> esWindowHourly,
     "es_agg_by_type" -> esAggByType,
+    "es_stream_roundtrip" -> esStreamRoundtrip,
+    "es_stream_window" -> esStreamWindow,
+    "es_stream_dedup" -> esStreamDedup,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,

@@ -164,6 +164,24 @@ object SparkEntry {
         max("base_offset").as("last_off"))
   }
 
+  /** Structured Streaming roundtrip: eslog source → eslog sink (AvailableNow,
+    * rate-limited, exactly-once), then scan the sink stream. */
+  private def qEsStreamRoundtrip(s: SparkSession, sfDir: String): DataFrame = {
+    val dst = Fixtures.streamRoundtrip(s, sfDir)
+    EsLog.scan(s, dst).select(
+      col("base_timestamp").as("ts_ms"),
+      col("properties")("event_type").as("event_type"),
+      col("payload").cast("string").as("props"))
+  }
+
+  /** Streaming event-time windowed aggregation with watermark. */
+  private def qEsStreamWindow(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamHourlyTable(s, sfDir))
+
+  /** Streaming stateful dedup (dropDuplicates over micro-batches). */
+  private def qEsStreamDedup(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamDedupTable(s, sfDir))
+
   // ------------------------------------------------------- LLM pipelines --
 
   private def qDedupExact(s: SparkSession, sfDir: String): DataFrame =
@@ -268,6 +286,9 @@ object SparkEntry {
     "es_codec" -> (qEsCodec _),
     "es_window_hourly" -> (qEsWindowHourly _),
     "es_agg_by_type" -> (qEsAggByType _),
+    "es_stream_roundtrip" -> (qEsStreamRoundtrip _),
+    "es_stream_window" -> (qEsStreamWindow _),
+    "es_stream_dedup" -> (qEsStreamDedup _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_jaccard" -> (qDedupJaccard _),
     "dedup_minhash" -> (qDedupMinHash _),

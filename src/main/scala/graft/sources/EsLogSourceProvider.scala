@@ -1,0 +1,254 @@
+package graft.sources
+
+import java.nio.file.Paths
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.eslog.EsLog
+import graft.meta.{KvPut, MetaLog}
+import graft.model.RecordBatchRow
+
+/** `format("eslog")` — the DataSource registration for the ES-log table
+  * format, wiring all four surfaces to the metadata-log core:
+  *
+  *  - batch read: manifest-pruned scan with offset/timestamp filter pushdown
+  *    (the Spark face of the reference's BTreeMap range routing,
+  *    replication_stream.rs:393-421);
+  *  - batch write: epoch-fenced contiguous append (SaveMode.Append only —
+  *    streams are append-only by definition);
+  *  - streaming source: offset-tracked micro-batches with
+  *    `maxOffsetsPerTrigger` rate limiting (fetch max_bytes/min_bytes
+  *    semantics, rpc.fbs:302-321);
+  *  - streaming sink: epoch-fenced, batch-id-idempotent append — the
+  *    APPEND_TO_COMMITTED_OFFSET retry semantics (rpc.fbs:40-45) keyed by
+  *    micro-batch id, committed atomically with the data files.
+  */
+class EsLogSourceProvider extends DataSourceRegister
+    with RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider {
+
+  override def shortName(): String = "eslog"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("eslog requires a path (use .load(dir)/.option(\"path\", dir))"))
+
+  // ---- batch ----
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    new EsLogRelation(sqlContext, path(parameters), parameters)
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    require(mode == SaveMode.Append || mode == SaveMode.ErrorIfExists,
+      s"eslog is append-only; unsupported SaveMode $mode")
+    val dir = path(parameters)
+    val spark = sqlContext.sparkSession
+    if (!MetaLog.exists(dir)) EsLog.create(dir,
+      streamId = parameters.getOrElse("streamId", "0").toLong)
+    val epoch = parameters.get("epoch").map(_.toLong)
+      .getOrElse(MetaLog.load(dir).epoch)
+    EsLog.append(spark, dir, data, epoch,
+      sortKey = parameters.get("sortKey"),
+      numPartitions = parameters.getOrElse("numPartitions", "0").toInt)
+    createRelation(sqlContext, parameters)
+  }
+
+  // ---- streaming ----
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), RecordBatchRow.schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new EsLogStreamSource(sqlContext.sparkSession, path(parameters), parameters)
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String], outputMode: OutputMode): Sink =
+    new EsLogStreamSink(sqlContext.sparkSession, path(parameters), parameters)
+}
+
+/** Batch relation: schema-stable scan whose file set is pruned through the
+  * segment manifest using pushed offset/timestamp filters. Spark re-applies
+  * every filter exactly after the scan, so pruning only needs to be a
+  * superset (straddling batches included, like the reference's fetch). */
+class EsLogRelation(override val sqlContext: SQLContext, dir: String,
+                    parameters: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def schema: StructType = RecordBatchRow.schema
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val spark = sqlContext.sparkSession
+    val st = MetaLog.load(dir)
+    if (st.deleted) throw new IllegalStateException(s"stream $dir deleted")
+
+    // Explicit fetch-range options use reference straddle semantics
+    // (api/Stream.java:36-44); pushed filters prune exactly-matching rows
+    // (Spark re-evaluates the predicates post-scan).
+    var lo = parameters.get("startOffset").map(_.toLong).getOrElse(st.startOffset)
+    var hi = parameters.get("endOffset").map(_.toLong).getOrElse(st.nextOffset)
+    var tsLo = Long.MinValue
+    var tsHi = Long.MaxValue
+    filters.foreach {
+      case GreaterThanOrEqual("base_offset", v: Long) => lo = math.max(lo, v)
+      case GreaterThan("base_offset", v: Long)        => lo = math.max(lo, v + 1)
+      case LessThan("base_offset", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("base_offset", v: Long)    => hi = math.min(hi, v + 1)
+      case EqualTo("base_offset", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThanOrEqual("base_timestamp", v: Long) => tsLo = math.max(tsLo, v)
+      case GreaterThan("base_timestamp", v: Long)        => tsLo = math.max(tsLo, v + 1)
+      case LessThan("base_timestamp", v: Long)           => tsHi = math.min(tsHi, v)
+      case LessThanOrEqual("base_timestamp", v: Long)    => tsHi = math.min(tsHi, v + 1)
+      case EqualTo("base_timestamp", v: Long)            => tsLo = math.max(tsLo, v); tsHi = math.min(tsHi, v + 1)
+      case _ => () // non-prunable: Spark applies it post-scan
+    }
+    lo = math.max(lo, st.startOffset)
+    hi = math.min(hi, st.nextOffset)
+    val metas = st.filesInRange(lo, hi)
+      .filter(f => f.maxTimestamp >= tsLo && f.minTimestamp < tsHi)
+    val cols = if (requiredColumns.isEmpty) Array("base_offset") else requiredColumns
+    val base =
+      if (metas.isEmpty || lo >= hi)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else {
+        val maxDelta = metas.map(_.maxDelta.toLong).max
+        spark.read.schema(schema)
+          .parquet(metas.map(f => Paths.get(dir, f.path).toString): _*)
+          .where(col("base_offset") > lo - maxDelta && col("base_offset") < hi &&
+            col("base_offset") + col("last_offset_delta") > lo)
+      }
+    val projected = base.select(cols.map(col).toIndexedSeq: _*)
+    val result = projected.rdd
+    if (requiredColumns.isEmpty) result.map(_ => Row()) else result
+  }
+}
+
+/** V1 streaming offset: "all records with base_offset < n are available". */
+case class EsLogOffset(offset: Long) extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json(): String = offset.toString
+}
+
+/** Micro-batch source over a stream's committed offsets. Micro-batch
+  * [start, end) contains exactly the batches whose base_offset falls inside —
+  * strict partitioning, no straddle duplication across triggers.
+  *
+  * Implements the admission-control API (the FileStreamSource pattern) so
+  * `maxOffsetsPerTrigger` rate limiting and `Trigger.AvailableNow` (drain to
+  * a fixed point in rate-limited batches, then stop) both work. */
+class EsLogStreamSource(spark: SparkSession, dir: String,
+                        parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows, Offset => OffsetV2}
+
+  private val maxOffsetsPerTrigger =
+    parameters.get("maxOffsetsPerTrigger").map(_.toLong).filter(_ > 0)
+
+  /** Position the stream starts from when no checkpoint exists. */
+  private val initial: Long = parameters.getOrElse("startingOffsets", "earliest") match {
+    case "earliest" => MetaLog.load(dir).startOffset
+    case "latest"   => MetaLog.load(dir).nextOffset
+    case n          => n.toLong
+  }
+
+  // AvailableNow: a fixed drain target chosen at query start
+  private var drainTarget: Option[Long] = None
+
+  // last offset handed out; recovered via the first getBatch after restart
+  private var lastEnd: Long = -1L
+
+  private def offsetValue(o: OffsetV2): Long = o match {
+    case e: EsLogOffset => e.offset
+    case other => other.json().toLong // covers SerializedOffset after recovery
+  }
+
+  override def schema: StructType = RecordBatchRow.schema
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    drainTarget = Some(MetaLog.load(dir).nextOffset)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = EsLogOffset(MetaLog.load(dir).nextOffset)
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = Option(startOffset).map(offsetValue)
+      .getOrElse(if (lastEnd >= 0) lastEnd else initial)
+    val avail = drainTarget.getOrElse(MetaLog.load(dir).nextOffset)
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(avail, base + r.maxRows())
+      case _              => avail
+    }
+    if (capped <= base) null else EsLogOffset(capped)
+  }
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val next = MetaLog.load(dir).nextOffset
+    val base = if (lastEnd >= 0) lastEnd else initial
+    val capped = maxOffsetsPerTrigger match {
+      case Some(m) => math.min(next, base + m)
+      case None    => next
+    }
+    if (capped <= base) None else Some(EsLogOffset(capped))
+  }
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+                        end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val lo = start.map(o => o.json().toLong).getOrElse(initial)
+    val hi = end.json().toLong
+    lastEnd = math.max(lastEnd, hi)
+    val st = MetaLog.load(dir)
+    val metas = st.filesInRange(math.max(lo, st.startOffset), hi)
+    if (metas.isEmpty || lo >= hi)
+      return org.apache.spark.sql.graftshim.GraftShims.emptyStreamingDF(spark, schema)
+    val df = spark.read.schema(schema)
+      .parquet(metas.map(f => Paths.get(dir, f.path).toString): _*)
+      .where(col("base_offset") >= lo && col("base_offset") < hi)
+    org.apache.spark.sql.graftshim.GraftShims.asStreamingDF(df)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** Streaming sink: opens a fenced writer session (epoch bump on creation) and
+  * appends each micro-batch with the batch id recorded in the same metadata
+  * commit — a replayed batch after recovery is a metadata no-op, giving
+  * exactly-once output (the APPEND idempotent-retry semantics). */
+class EsLogStreamSink(spark: SparkSession, dir: String,
+                      parameters: Map[String, String]) extends Sink {
+
+  private val batchKey = "_sink.lastBatch." + parameters.getOrElse("queryName", "default")
+
+  private val epoch: Long = {
+    if (!MetaLog.exists(dir)) EsLog.create(dir,
+      streamId = parameters.getOrElse("streamId", "0").toLong)
+    EsLog.open(dir, MetaLog.load(dir).epoch + 1).epoch
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val committed = EsLog.getKV(dir, batchKey).map(_.toLong).getOrElse(-1L)
+    if (batchId <= committed) return // idempotent replay after recovery
+    // `data` is backed by the stream's IncrementalExecution; re-root it as a
+    // batch frame evaluated through that execution before composing with the
+    // append pipeline (transforming it directly would re-plan the streaming
+    // relations as a batch query and fail analysis).
+    val batchDf = org.apache.spark.sql.graftshim.GraftShims.materializeBatch(data)
+    EsLog.append(spark, dir, batchDf, epoch,
+      sortKey = parameters.get("sortKey"),
+      extraActions = Seq(KvPut(batchKey, batchId.toString)))
+  }
+}

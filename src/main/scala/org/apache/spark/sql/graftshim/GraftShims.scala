@@ -1,0 +1,42 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Minimal bridge into Spark's `private[sql]` surface, needed only to flag a
+  * V1 streaming source's `getBatch` result as streaming (MicroBatchExecution
+  * asserts `isStreaming` on the returned plan — the same bridge Spark's own
+  * FileStreamSource and Delta's DeltaSource use). Lives in a subpackage of
+  * `org.apache.spark.sql` purely for access; contains no Spark code.
+  */
+object GraftShims {
+
+  /** Re-root a batch DataFrame as a streaming one: every base relation in the
+    * analyzed plan is marked isStreaming = true. */
+  def asStreamingDF(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val plan = ds.queryExecution.analyzed.transform {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+    }
+    classic.Dataset.ofRows(ds.sparkSession, plan)
+  }
+
+  /** Re-root the micro-batch DataFrame a V1 Sink receives (backed by the
+    * stream's IncrementalExecution) as a plain batch frame: evaluating it
+    * through its own execution keeps the streaming planner in charge, while
+    * the returned frame is freely composable in batch jobs. */
+  def materializeBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+
+  /** Empty streaming-flagged frame (a micro-batch with no new data). */
+  def emptyStreamingDF(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.eslog.EsLog
+
+/** format("eslog") connector: batch read (pushdown pruning), batch write,
+  * streaming source (rate-limited micro-batches), streaming sink
+  * (epoch-fenced, batch-id idempotent). */
+class EsLogConnectorSpec extends SparkTestBase {
+
+  private def mkStream(n: Int): String = {
+    val dir = tmpDir("conn-")
+    EsLog.create(dir, streamId = 5L)
+    EsLog.open(dir, 1L)
+    val in = spark.range(n).select(
+      col("id"),
+      col("id").cast("string").cast("binary").as("payload"),
+      (col("id") * 10).as("base_timestamp"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+    dir
+  }
+
+  test("batch read through format(eslog) matches EsLog.scan") {
+    val dir = mkStream(500)
+    val viaFormat = spark.read.format("eslog").load(dir)
+    assert(viaFormat.schema == graft.model.RecordBatchRow.schema)
+    assert(viaFormat.count() == 500)
+    val direct = EsLog.scan(spark, dir).select("base_offset").collect().map(_.getLong(0)).sorted
+    val conn = viaFormat.select("base_offset").collect().map(_.getLong(0)).sorted
+    assert(direct.sameElements(conn))
+  }
+
+  test("filter pushdown prunes through the manifest (offset + timestamp)") {
+    val dir = mkStream(1000)
+    val q = spark.read.format("eslog").load(dir)
+      .where(col("base_offset") >= 100 && col("base_offset") < 110)
+    val offs = q.select("base_offset").collect().map(_.getLong(0)).sorted
+    assert(offs.sameElements(100L until 110L))
+    // timestamp bounds prune too (ts = offset * 10)
+    val t = spark.read.format("eslog").load(dir)
+      .where(col("base_timestamp") >= 9900L)
+    assert(t.count() == 10)
+    // explicit fetch-range options give straddle semantics
+    val opt = spark.read.format("eslog")
+      .option("startOffset", "40").option("endOffset", "60").load(dir)
+    assert(opt.count() == 20)
+  }
+
+  test("batch write through format(eslog) appends with epoch fencing") {
+    val dir = tmpDir("connw-")
+    EsLog.create(dir, streamId = 6L)
+    EsLog.open(dir, 3L)
+    val df = spark.range(100).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    df.write.format("eslog").option("epoch", "3").option("sortKey", "id")
+      .mode("append").save(dir)
+    assert(EsLog.nextOffset(dir) == 100L)
+    // stale epoch is fenced
+    assertThrows[graft.meta.FencedException] {
+      df.write.format("eslog").option("epoch", "2").mode("append").save(dir)
+    }
+    df.write.format("eslog").option("epoch", "3").mode("append").save(dir)
+    assert(EsLog.nextOffset(dir) == 200L)
+  }
+
+  test("streaming source: rate-limited micro-batches drain exactly once") {
+    val dir = mkStream(1000)
+    val ckpt = tmpDir("ckpt-")
+    val q = spark.readStream.format("eslog")
+      .option("maxOffsetsPerTrigger", "256")
+      .load(dir)
+      .groupBy().agg(count(lit(1)).as("n"), sum("base_offset").as("s"))
+      .writeStream.format("memory").queryName("src_drain")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val row = spark.table("src_drain").collect().head
+    assert(row.getLong(0) == 1000L)
+    assert(row.getLong(1) == (0L until 1000L).sum)
+    // rate limit produced multiple micro-batches
+    assert(q.recentProgress.length >= 4, s"expected >=4 batches, got ${q.recentProgress.length}")
+  }
+
+  test("streaming sink: exactly-once append, idempotent across restart") {
+    val src = mkStream(300)
+    val dst = tmpDir("sink-")
+    val ckpt = tmpDir("ckpt2-")
+    def run(): Unit = {
+      val q = spark.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", "100")
+        .load(src)
+        .select("payload", "properties", "base_timestamp", "last_offset_delta", "flags")
+        .writeStream.format("eslog")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    assert(EsLog.nextOffset(dst) == 300L)
+    val sum1 = EsLog.scan(spark, dst)
+      .agg(sum(col("payload").cast("string").cast("long"))).collect().head.getLong(0)
+    assert(sum1 == (0L until 300L).sum)
+    // restart with the same checkpoint: nothing new, no duplicates
+    run()
+    assert(EsLog.nextOffset(dst) == 300L)
+    // append more to the source; the restarted stream picks up only the delta
+    EsLog.append(spark, src,
+      spark.range(300, 400).select(col("id"), col("id").cast("string").cast("binary").as("payload"),
+        (col("id") * 10).as("base_timestamp")),
+      1L, sortKey = Some("id"))
+    run()
+    assert(EsLog.nextOffset(dst) == 400L)
+    val sum2 = EsLog.scan(spark, dst)
+      .agg(sum(col("payload").cast("string").cast("long"))).collect().head.getLong(0)
+    assert(sum2 == (0L until 400L).sum)
+  }
+}
