@@ -1,24 +1,90 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round benchmark: headline queries on SPARK_GRAFT_SF_DIR, one JSON line.
+  *
+  * Every query forces full evaluation — either a `noop` write (materializes
+  * all rows through codegen) or a full-column hash aggregate — never a bare
+  * `count()` a parquet footer could answer.
+  *
+  * Derived figures reported next to per-query seconds:
+  *  - append_mbps: payload MB/s through the eslog append-commit path
+  *    (BASELINE.md's ingest figure at this scale);
+  *  - scan_rows_per_sec: committed-batch scan rate through the source.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        results(name) = -1.0
+        return
+      }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // -- ingest path: append-commit throughput (eslog write) --
+    timed("append_events") { Fixtures.eventsStream(spark, sfDir); () }
+    val payloadBytes = Fixtures.events(spark, sfDir)
+      .agg(sum(octet_length(col("props")))).collect().head.getLong(0)
+    val nEvents = Fixtures.events(spark, sfDir).count()
+
+    // -- streaming path: source->sink drain (rate-limited, exactly-once) --
+    timed("stream_roundtrip") { Fixtures.streamRoundtrip(spark, sfDir); () }
+
+    // -- scan path: full scan + hash aggregate (reads every payload byte) --
+    timed("scan_events") {
+      val dir = Fixtures.eventsStream(spark, sfDir)
+      graft.eslog.EsLog.scan(spark, dir)
+        .agg(expr("bit_xor(xxhash64(payload))"), sum(col("base_offset")),
+          expr("bit_xor(xxhash64(properties['event_type']))"))
+        .collect()
+    }
+    timed("fetch_mid_range") {
+      val dir = Fixtures.eventsStream(spark, sfDir)
+      graft.eslog.EsLog.fetch(spark, dir, nEvents / 4, nEvents / 2)
+        .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
+    }
+
+    // -- relational / LLM-pipeline headline queries (registry plans) --
+    val heads = Seq("lineitem_agg", "join_agg", "topk_orders",
+      "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
+      "sim_exact", "sim_lsh", "text_stats", "text_langid", "multimodal_decode",
+      "es_window_hourly", "es_agg_by_type")
+    val registry = SparkEntry.queries
+    heads.foreach { name =>
+      timed(name) { force(registry(name)(spark, sfDir)) }
+    }
+
+    val total = results.values.filter(_ >= 0).sum
+    val appendSec = results.getOrElse("append_events", -1.0)
+    val scanSec = results.getOrElse("scan_events", -1.0)
+    val appendMbps = if (appendSec > 0) payloadBytes / 1e6 / appendSec else -1.0
+    val scanRps = if (scanSec > 0) nEvents / scanSec else -1.0
+    def f3(x: Double): String = f"$x%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","append_mbps":${f3(appendMbps)},"scan_rows_per_sec":${f3(scanRps)},"n_events":$nEvents,"payload_bytes":$payloadBytes}""")
     spark.stop()
   }
 }

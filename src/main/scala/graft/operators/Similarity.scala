@@ -51,16 +51,26 @@ object Similarity {
       .select("qid", "nid", "rank", "score")
   }
 
+  /** Deterministic ±1 Rademacher weight for (table, plane, dim): bit 0 of the
+    * portable 60-bit md5 hash of "t:p:d" — computed JVM-side so the plan
+    * carries one literal array per plane instead of `dim` hash expressions
+    * (same values the SQL oracle derives with md5 in-engine). */
+  def rademacherWeights(table: Int, planes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, d) =>
+      md.reset()
+      val hex = md.digest(s"$table:$p:$d".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
   /** `planes`-bit sign bucket of a vector under table `t`: bit p is the sign
-    * of `Σ_d w(t,p,d)·v[d]` with w = ±1 from the portable hash. */
+    * of `Σ_d w(t,p,d)·v[d]`, folded left-to-right like [[dot]]. */
   def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column = {
+    val w = rademacherWeights(table, planes, dim)
     val bits = (0 until planes).map { p =>
-      // Rademacher projection: deterministic ±1 per (table, plane, dim)
-      val proj = (0 until dim).map { d =>
-        val sign = when(Portable.hash60(lit(s"$table:$p:$d")).bitwiseAND(1) === 1, lit(1.0d))
-          .otherwise(lit(-1.0d))
-        sign * element_at(vec, d + 1)
-      }.reduce(_ + _)
+      val proj = dot(vec, typedLit(w(p).toSeq))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
