@@ -245,6 +245,38 @@ object Fixtures {
       name
     })
 
+  /** Straddle-stream clone, sealed and compacted to one file per segment. */
+  def compactedStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "compacted") { dir =>
+      val in = s.range(1000).select(
+        col("id"),
+        col("id").cast("string").cast("binary").as("payload"),
+        (col("id") % 3 + 1).cast("int").as("last_offset_delta"))
+      EsLog.create(dir, streamId = 47L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in, 1L, sortKey = Some("id"), numPartitions = 8)
+      EsLog.seal(dir)
+      EsLog.compact(s, dir, targetBytes = Long.MaxValue)
+      require(MetaLog.load(dir).allFiles.size == 1, "compaction did not merge files")
+      ()
+    }
+
+  /** Catalog with allocated ids and registered streams. */
+  def catalogRoot(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "catalog") { root =>
+      val cat = new graft.eslog.EsCatalog(root)
+      cat.allocateId() // burn id 0 (ALLOCATE_ID as a standalone op)
+      cat.createStream("alpha")
+      cat.createStream("beta", replica = 3)
+      cat.createStream("gamma", retentionMs = 86400000L)
+      cat.dropStream("beta")
+      EsLog.open(cat.streamDir("alpha"), 1L)
+      EsLog.append(s, cat.streamDir("alpha"),
+        s.range(7).select(col("id"), col("id").cast("string").cast("binary").as("payload")),
+        1L, numPartitions = 1)
+      ()
+    }
+
   /** Documents round-tripped through the wire codec into a stream. */
   def codecStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "codec") { dir =>

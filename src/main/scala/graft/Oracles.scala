@@ -103,6 +103,19 @@ object Oracles {
       |       min(event_id) AS first_off, max(event_id) AS last_off
       |FROM events GROUP BY 1""".stripMargin
 
+  private val esCompact =
+    """WITH b AS (
+      |  SELECT id, CAST(id % 3 + 1 AS BIGINT) AS delta,
+      |    CAST(COALESCE(SUM(id % 3 + 1) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base_offset
+      |  FROM range(1000) t(id))
+      |SELECT base_offset, delta AS last_offset_delta, CAST(id AS VARCHAR) AS payload_str FROM b""".stripMargin
+
+  private val esCatalog =
+    """SELECT * FROM (VALUES
+      |  ('alpha', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(7 AS BIGINT), false),
+      |  ('gamma', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), false)
+      |) AS t(name, stream_id, epoch, start_offset, next_offset, deleted)""".stripMargin
+
   private val esStreamRoundtrip =
     "SELECT epoch_ms(ts) AS ts_ms, event_type, props FROM events"
 
@@ -314,6 +327,8 @@ object Oracles {
     "es_codec" -> esCodec,
     "es_window_hourly" -> esWindowHourly,
     "es_agg_by_type" -> esAggByType,
+    "es_compact" -> esCompact,
+    "es_catalog" -> esCatalog,
     "es_stream_roundtrip" -> esStreamRoundtrip,
     "es_stream_window" -> esStreamWindow,
     "es_stream_dedup" -> esStreamDedup,

@@ -164,6 +164,22 @@ object SparkEntry {
         max("base_offset").as("last_off"))
   }
 
+  /** Compaction: sealed segment rewritten into one file (metadata swap);
+    * scan must be byte-identical to the uncompacted stream. */
+  private def qEsCompact(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.compactedStream(s, sfDir)
+    EsLog.scan(s, dir).select(
+      col("base_offset"),
+      col("last_offset_delta").cast("long").as("last_offset_delta"),
+      col("payload").cast("string").as("payload_str"))
+  }
+
+  /** Catalog: ALLOCATE_ID + stream registry + LIST_RESOURCE. */
+  private def qEsCatalog(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.catalogRoot(s, sfDir)
+    new graft.eslog.EsCatalog(root).listStreams(s)
+  }
+
   /** Structured Streaming roundtrip: eslog source → eslog sink (AvailableNow,
     * rate-limited, exactly-once), then scan the sink stream. */
   private def qEsStreamRoundtrip(s: SparkSession, sfDir: String): DataFrame = {
@@ -286,6 +302,8 @@ object SparkEntry {
     "es_codec" -> (qEsCodec _),
     "es_window_hourly" -> (qEsWindowHourly _),
     "es_agg_by_type" -> (qEsAggByType _),
+    "es_compact" -> (qEsCompact _),
+    "es_catalog" -> (qEsCatalog _),
     "es_stream_roundtrip" -> (qEsStreamRoundtrip _),
     "es_stream_window" -> (qEsStreamWindow _),
     "es_stream_dedup" -> (qEsStreamDedup _),

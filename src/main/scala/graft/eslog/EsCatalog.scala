@@ -1,0 +1,83 @@
+package graft.eslog
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.meta._
+
+/** The PD-equivalent catalog: a root directory whose own metadata log holds
+  * the id allocator and the stream registry (the reference keeps these in
+  * etcd under pd/pkg/server/storage/endpoint; here they are KV entries in a
+  * CAS-committed log, so every operation below is linearizable without a
+  * coordinator).
+  *
+  *  - [[allocateId]]      = ALLOCATE_ID (pd/pkg/server/id/): CAS counter.
+  *  - [[createStream]]    = CREATE_STREAM with allocated id + registration
+  *                          (pd/pkg/server/cluster/stream.go:28-56).
+  *  - [[listStreams]]     = LIST_RESOURCE over streams (rpc.fbs:691-778).
+  *  - [[dropStream]]      = DELETE_STREAM + deregistration.
+  */
+final class EsCatalog(val root: String) {
+  Files.createDirectories(Paths.get(root))
+  if (!MetaLog.exists(root))
+    try MetaLog.commit(root, StreamState.empty, Seq(CreateStream(-2L, 1, 1, -1L)))
+    catch { case _: ConcurrentCommitException => () } // another creator won; fine
+
+  private val IdKey = "id.next"
+  private def streamKey(name: String) = s"stream.$name"
+
+  /** Monotonic unique id via CAS increment on the catalog log. */
+  def allocateId(): Long = {
+    var id = -1L
+    MetaLog.commitWithRetry(root) { st =>
+      id = st.kv.get(IdKey).map(_.toLong).getOrElse(0L)
+      Seq(KvPut(IdKey, (id + 1).toString))
+    }
+    id
+  }
+
+  def streamDir(name: String): String = Paths.get(root, "streams", name).toString
+
+  /** Allocate an id, create the stream, register it. Name must be fresh. */
+  def createStream(name: String, replica: Int = 1, ackCount: Int = 1,
+                   retentionMs: Long = -1L): Long = {
+    require(getStream(name).isEmpty, s"stream '$name' already exists")
+    val id = allocateId()
+    EsLog.create(streamDir(name), id, replica, ackCount, retentionMs)
+    MetaLog.commitWithRetry(root) { st =>
+      require(!st.kv.contains(streamKey(name)), s"stream '$name' registered concurrently")
+      Seq(KvPut(streamKey(name), id.toString))
+    }
+    id
+  }
+
+  def getStream(name: String): Option[Long] =
+    MetaLog.load(root).kv.get(streamKey(name)).map(_.toLong)
+
+  def dropStream(name: String): Unit = {
+    EsLog.delete(streamDir(name))
+    MetaLog.commitWithRetry(root) { st =>
+      if (st.kv.contains(streamKey(name))) Seq(KvDel(streamKey(name))) else Seq.empty
+    }
+  }
+
+  /** LIST_RESOURCE: registered streams with their live metadata. */
+  def listStreams(spark: SparkSession): DataFrame = {
+    val rows = MetaLog.load(root).kv.toSeq
+      .filter(_._1.startsWith("stream."))
+      .sortBy(_._1)
+      .map { case (k, v) =>
+        val name = k.stripPrefix("stream.")
+        val st = MetaLog.load(streamDir(name))
+        Row(name, v.toLong, st.epoch, st.startOffset, st.nextOffset, st.deleted)
+      }
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("stream_id", LongType),
+      StructField("epoch", LongType), StructField("start_offset", LongType),
+      StructField("next_offset", LongType), StructField("deleted", BooleanType)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+}

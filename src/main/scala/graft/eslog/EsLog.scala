@@ -293,6 +293,84 @@ object EsLog {
   def startOffset(streamDir: String): Long = MetaLog.load(streamDir).startOffset
   def nextOffset(streamDir: String): Long = MetaLog.load(streamDir).nextOffset
 
+  /** Compaction — the file-size rolling policy (the reference's
+    * RangeAccumulator, range_accumulator.rs:37-98, with its 128 MiB object
+    * target): rewrite each sealed segment's files into ~targetBytes files and
+    * swap them in the manifest atomically ([[graft.meta.ReplaceFiles]]).
+    * Readers are never blocked: files are immutable, the swap is one CAS
+    * commit, and old files are deleted only after it lands. At 100 TB this is
+    * what keeps a long-lived stream from accumulating unbounded small files.
+    */
+  def compact(spark: SparkSession, streamDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): StreamState = {
+    var st = MetaLog.load(streamDir)
+    st.segments.filter(s => s.sealed_ && s.files.size > 1).foreach { seg =>
+      val totalBytes = seg.files.map(_.bytes).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      if (nOut < seg.files.size) {
+        val paths = seg.files.map(f => Paths.get(streamDir, f.path).toString)
+        val rdd = spark.read.schema(RecordBatchRow.schema).parquet(paths: _*)
+          .repartitionByRange(nOut, col("base_offset"))
+          .sortWithinPartitions(col("base_offset"))
+          .rdd
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+            var n = 0L; var minOff = Long.MaxValue; var maxEnd = Long.MinValue
+            var minTs = Long.MaxValue; var maxTs = Long.MinValue; var maxD = 0
+            it.foreach { r =>
+              n += 1
+              val off = r.getLong(3); val d = r.getInt(4); val ts = r.getLong(5)
+              if (off < minOff) minOff = off
+              if (off + d > maxEnd) maxEnd = off + d
+              if (ts < minTs) minTs = ts
+              if (ts > maxTs) maxTs = ts
+              if (d > maxD) maxD = d
+            }
+            Iterator((pid, n, minOff, maxEnd, minTs, maxTs, maxD))
+          }.collect().filter(_._2 > 0).sortBy(_._1)
+
+          val commitId = UUID.randomUUID().toString.take(8)
+          val outRel = f"seg-${seg.index}%05d/compact-$commitId"
+          val outAbs = Paths.get(streamDir, outRel).toString
+          spark.createDataFrame(rdd, RecordBatchRow.schema)
+            .write.mode("errorifexists").parquet(outAbs)
+
+          val written = {
+            val s = Files.list(Paths.get(outAbs))
+            try s.iterator().asScala.map(_.getFileName.toString)
+              .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq
+            finally s.close()
+          }
+          val byPid = written.map(n => n.stripPrefix("part-").take(5).toInt -> n).toMap
+          val added = stats.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
+            val rel = s"$outRel/${byPid(pid)}"
+            FileMeta(rel, n, Files.size(Paths.get(streamDir, rel)),
+              minOff, maxEnd, minTs, maxTs, maxD)
+          }.toSeq
+          val removed = seg.files.map(_.path)
+          st = MetaLog.commitWithRetry(streamDir) { cur =>
+            // revalidate against the current state: segment must still hold
+            // exactly the files we rewrote (a concurrent trim would change it)
+            val curSeg = cur.segments.find(_.index == seg.index)
+            if (curSeg.exists(_.files.map(_.path) == removed))
+              Seq(ReplaceFiles(seg.index, removed, added))
+            else Seq.empty
+          }
+          if (st.segments.find(_.index == seg.index).exists(_.files.map(_.path) == added.map(_.path)))
+            removed.foreach(rel => Files.deleteIfExists(Paths.get(streamDir, rel)))
+          else {
+            // lost the race — drop the rewritten copy instead
+            val s = Files.walk(Paths.get(outAbs))
+            try s.iterator().asScala.toSeq.reverseIterator.foreach(p => Files.deleteIfExists(p))
+            finally s.close()
+          }
+        } finally rdd.unpersist(blocking = false)
+      }
+    }
+    st
+  }
+
   /** close_stream: seal the open segment, releasing the writer session
     * (replication_stream.rs:297-311 — fail inflight, seal last range). */
   def close(streamDir: String): StreamState = seal(streamDir)

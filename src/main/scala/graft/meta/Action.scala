@@ -59,6 +59,15 @@ final case class SealSegment(index: Int, end: Long, epoch: Long) extends Action 
 
 final case class Trim(minOffset: Long) extends Action { val action = "trim" }
 
+/** Compaction (the RangeAccumulator file-size policy,
+  * components/object-storage/src/range_accumulator.rs:37-98, re-expressed as
+  * a metadata swap): `added` must tile exactly the offset span covered by
+  * `removed` — same records, fewer/larger immutable files. */
+final case class ReplaceFiles(index: Int, removed: Seq[String],
+                              added: Seq[FileMeta]) extends Action {
+  val action = "replaceFiles"
+}
+
 final case class DeleteStream() extends Action { val action = "deleteStream" }
 
 final case class UpdateStream(replica: Option[Int], ackCount: Option[Int],

@@ -68,6 +68,10 @@ object MetaLog {
         val arr = o.putArray("files"); files.foreach(f => arr.add(fileToJson(f)))
       case SealSegment(i, end, e) => o.put("index", i); o.put("end", end); o.put("epoch", e)
       case Trim(m) => o.put("minOffset", m)
+      case ReplaceFiles(i, removed, added) =>
+        o.put("index", i)
+        val r = o.putArray("removed"); removed.foreach(r.add)
+        val a2 = o.putArray("added"); added.foreach(f => a2.add(fileToJson(f)))
       case UpdateStream(r, ack, ret) =>
         r.foreach(o.put("replica", _)); ack.foreach(o.put("ackCount", _)); ret.foreach(o.put("retentionMs", _))
       case DeleteStream() => ()
@@ -87,6 +91,9 @@ object MetaLog {
       CommitFiles(n.get("index").asInt(), n.get("epoch").asLong(), files)
     case "sealSegment" => SealSegment(n.get("index").asInt(), n.get("end").asLong(), n.get("epoch").asLong())
     case "trim" => Trim(n.get("minOffset").asLong())
+    case "replaceFiles" => ReplaceFiles(n.get("index").asInt(),
+      n.get("removed").elements().asScala.map(_.asText()).toSeq,
+      n.get("added").elements().asScala.map(fileFromJson).toSeq)
     case "updateStream" => UpdateStream(
       Option(n.get("replica")).map(_.asInt()),
       Option(n.get("ackCount")).map(_.asInt()),

@@ -141,6 +141,34 @@ object StreamState {
           .filter(seg => seg.sealedEnd.forall(_ > minOffset) || seg.files.nonEmpty || !seg.sealed_)
         s.copy(startOffset = math.max(s.startOffset, minOffset), segments = segs)
 
+      case ReplaceFiles(index, removed, added) =>
+        val i = s.segments.indexWhere(_.index == index)
+        require(i >= 0, s"no segment $index")
+        val seg = s.segments(i)
+        require(seg.sealed_, s"compaction only on sealed segments (segment $index open)")
+        val removedSet = removed.toSet
+        val old = seg.files.filter(f => removedSet.contains(f.path))
+        require(old.size == removedSet.size,
+          s"replace references missing files: ${removedSet -- old.map(_.path)}")
+        require(old.nonEmpty && added.nonEmpty, "empty replace")
+        // The swap must cover exactly the same offset span, gap-free — the
+        // same window rule a commit obeys (window.rs:79-204).
+        val span = (old.map(_.startOffset).min, old.map(_.endOffset).max)
+        val sortedAdd = added.sortBy(_.startOffset)
+        require(sortedAdd.head.startOffset == span._1 && sortedAdd.last.endOffset == span._2,
+          s"replace span ${(sortedAdd.head.startOffset, sortedAdd.last.endOffset)} != $span")
+        sortedAdd.sliding(2).foreach {
+          case Seq(a0, b0) => require(a0.endOffset == b0.startOffset,
+            s"gap inside replacement: ${a0.endOffset} != ${b0.startOffset}")
+          case _ => ()
+        }
+        // Removed files must be contiguous in the chain (no partial holes).
+        val kept = seg.files.filterNot(f => removedSet.contains(f.path))
+        require(kept.forall(f => f.endOffset <= span._1 || f.startOffset >= span._2),
+          "removed files are not a contiguous run")
+        val files = (kept ++ sortedAdd).sortBy(_.startOffset).toVector
+        s.copy(segments = s.segments.updated(i, seg.copy(files = files)))
+
       case UpdateStream(replica, ack, retention) =>
         s.copy(replica = replica.getOrElse(s.replica),
                ackCount = ack.getOrElse(s.ackCount),

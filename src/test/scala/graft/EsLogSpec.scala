@@ -166,6 +166,79 @@ class EsLogSpec extends SparkTestBase {
     assert(decoded.map(d => new String(d.payload)).toSet == rows.map(r => new String(r.payload)).toSet)
   }
 
+  test("compaction: sealed segment files merge, scan identical, old files gone") {
+    val dir = tmpDir("eslog-compact-")
+    EsLog.create(dir); EsLog.open(dir, 1L)
+    val input = spark.range(1000).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"),
+      (col("id") % 3 + 1).cast("int").as("last_offset_delta"))
+    EsLog.append(spark, dir, input, 1L, sortKey = Some("id"), numPartitions = 8)
+    EsLog.seal(dir)
+    val before = graft.meta.MetaLog.load(dir)
+    assert(before.allFiles.size == 8)
+    val hashBefore = EsLog.scan(spark, dir)
+      .agg(expr("bit_xor(xxhash64(base_offset, last_offset_delta, payload))"))
+      .collect().head.getLong(0)
+    val oldPaths = before.allFiles.map(_.path)
+
+    EsLog.compact(spark, dir, targetBytes = Long.MaxValue) // everything -> 1 file
+    val after = graft.meta.MetaLog.load(dir)
+    assert(after.allFiles.size == 1, after.allFiles.map(_.path))
+    assert(after.nextOffset == before.nextOffset && after.startOffset == before.startOffset)
+    assert(after.allFiles.head.rows == 1000)
+    val hashAfter = EsLog.scan(spark, dir)
+      .agg(expr("bit_xor(xxhash64(base_offset, last_offset_delta, payload))"))
+      .collect().head.getLong(0)
+    assert(hashBefore == hashAfter)
+    // old files physically removed; fetch still prunes correctly
+    oldPaths.foreach(p => assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, p))))
+    assert(EsLog.fetch(spark, dir, 100, 120).count() > 0)
+    // idempotent: single-file segment is left alone
+    EsLog.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(graft.meta.MetaLog.load(dir).allFiles.size == 1)
+  }
+
+  test("replaceFiles invariants: span mismatch and open segment rejected") {
+    import graft.meta._
+    val dir = tmpDir("eslog-repl-")
+    var st = EsLogTestOps.createAndOpen(dir)
+    def fm(s: Long, e: Long, p: String) = FileMeta(p, e - s, 10, s, e, 0, 0)
+    st = MetaLog.commit(dir, st, Seq(OpenSegment(0, 0L, 1L),
+      CommitFiles(0, 1L, Seq(fm(0, 10, "a"), fm(10, 20, "b")))))
+    // open segment: rejected
+    assertThrows[IllegalArgumentException](
+      StreamState.apply(st, ReplaceFiles(0, Seq("a", "b"), Seq(fm(0, 20, "c"))), 99))
+    st = MetaLog.commit(dir, st, Seq(SealSegment(0, 20L, 1L)))
+    // wrong span
+    assertThrows[IllegalArgumentException](
+      StreamState.apply(st, ReplaceFiles(0, Seq("a", "b"), Seq(fm(0, 19, "c"))), 99))
+    // gap inside replacement
+    assertThrows[IllegalArgumentException](
+      StreamState.apply(st, ReplaceFiles(0, Seq("a", "b"), Seq(fm(0, 9, "c"), fm(10, 20, "d"))), 99))
+    // valid swap
+    val ok = StreamState.apply(st, ReplaceFiles(0, Seq("a", "b"), Seq(fm(0, 20, "c"))), 99)
+    assert(ok.allFiles.map(_.path) == Seq("c") && ok.nextOffset == 20)
+  }
+
+  test("catalog: allocateId CAS, create/list/drop streams") {
+    val root = tmpDir("eslog-cat-")
+    val cat = new graft.eslog.EsCatalog(root)
+    assert(cat.allocateId() == 0L && cat.allocateId() == 1L)
+    val idA = cat.createStream("alpha")
+    val idB = cat.createStream("beta", replica = 3, retentionMs = 1000L)
+    assert(idA == 2L && idB == 3L)
+    assertThrows[IllegalArgumentException](cat.createStream("alpha"))
+    EsLog.open(cat.streamDir("alpha"), 1L)
+    EsLog.append(spark, cat.streamDir("alpha"),
+      spark.range(5).select(col("id"), col("id").cast("string").cast("binary").as("payload")),
+      1L, numPartitions = 1)
+    val listed = cat.listStreams(spark).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(listed.toSeq == Seq(("alpha", 2L, 5L), ("beta", 3L, 0L)))
+    cat.dropStream("beta")
+    assert(cat.listStreams(spark).count() == 1)
+    assert(cat.getStream("beta").isEmpty)
+  }
+
   test("describe/update/delete surface") {
     val dir = tmpDir("eslog-ddl-")
     EsLog.create(dir, streamId = 9L, replica = 3, ackCount = 2, retentionMs = 1000L)
