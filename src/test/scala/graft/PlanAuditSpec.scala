@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Physical-plan audits: the properties that make these operators viable at
+  * 100 TB, asserted on the actual executed plans so regressions fail loudly.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def docs = {
+    Fixtures.tune(spark)
+    spark.read.parquet(sf("documents"))
+  }
+  private def emb = {
+    Fixtures.tune(spark)
+    spark.read.parquet(sf("embeddings"))
+  }
+
+  test("jaccard join is a hash/sort-merge equi-join, never cartesian") {
+    val p = plan(Dedup.ngramJaccard(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("Shuffle"), p)
+  }
+
+  test("minhash LSH candidates join on (band, signature) buckets, no cartesian") {
+    val p = plan(Dedup.minHashLshCandidates(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("brute-force ANN broadcasts the query side (no corpus shuffle for scoring)") {
+    val p = plan(Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 3))
+    // the deliberate pattern: corpus streams once, small query set broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("LSH ANN candidate join is an equi-join on (table, bucket)") {
+    val p = plan(Similarity.hyperplaneLshTopK(emb, emb.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, dim = 64))
+    assert(!p.contains("CartesianProduct"), p)
+    // bucket equality must appear as a join key (hash or broadcast-hash join),
+    // not as a post-cross filter
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("relational join picks broadcast for the small dimension side") {
+    Fixtures.tune(spark)
+    val customer = spark.read.parquet(sf("customer"))
+    val orders = spark.read.parquet(sf("orders"))
+    val joined = orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)))
+    val p = plan(joined)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text/dedup operators: single vectorized pass, hash aggregation") {
+    // higher-order functions (aggregate/transform lambdas) run as interpreted
+    // projections over a codegen'd vectorized scan — one pass, no shuffle
+    val p = plan(graft.operators.TextOps.tokenStats(docs, "doc_id", "text"))
+    assert(p.contains("*(1)") && !p.contains("Exchange"), p)
+    // exact dedup: hash aggregate with a map-side partial combine, so the
+    // shuffle carries one row per distinct hash, not per input row
+    val p2 = plan(Dedup.exact(docs, "doc_id", "text"))
+    assert(p2.contains("HashAggregate") && p2.contains("partial_min"), p2)
+  }
+
+  test("eslog scan projection prunes columns down to the parquet reader") {
+    val dir = tmpDir("plan-prune-")
+    graft.eslog.EsLog.create(dir)
+    graft.eslog.EsLog.open(dir, 1L)
+    graft.eslog.EsLog.append(spark, dir,
+      spark.range(100).select(col("id"), col("id").cast("string").cast("binary").as("payload")),
+      1L, numPartitions = 2)
+    val p = plan(graft.eslog.EsLog.scan(spark, dir).select("base_offset"))
+    // ReadSchema must not include payload/properties for an offsets-only query
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse(p)
+    assert(!readSchema.contains("payload"), readSchema)
+  }
+}
