@@ -31,6 +31,11 @@ object Bench {
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Warm the JVM/codegen/parquet-reader paths so fixed startup cost isn't
+    // billed to the first timed query (standard steady-state benching).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").collect()
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()

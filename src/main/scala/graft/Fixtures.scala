@@ -277,6 +277,25 @@ object Fixtures {
       ()
     }
 
+  /** WATCH_RESOURCE feed: the kv fixture's metadata log streamed as a change
+    * feed into a memory table; returns the table name. */
+  def streamWatchTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-watch", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = kvStream(s, sfDir)
+      val name = "graft_stream_watch_" + math.abs(sfDir.hashCode).toString
+      val q = s.readStream.format("eslog")
+        .option("watch", "metadata")
+        .load(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** Documents round-tripped through the wire codec into a stream. */
   def codecStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "codec") { dir =>

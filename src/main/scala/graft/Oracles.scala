@@ -127,6 +127,17 @@ object Oracles {
   private val esStreamDedup =
     "SELECT DISTINCT event_id % 100 AS k FROM events"
 
+  private val esWatchMeta =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'createStream'),
+      |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'kvPut'),
+      |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'kvPut'),
+      |  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), 'kvPut'),
+      |  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), 'kvDel'),
+      |  (CAST(5 AS BIGINT), CAST(0 AS BIGINT), 'kvPut'),
+      |  (CAST(5 AS BIGINT), CAST(1 AS BIGINT), 'kvPut')
+      |) AS t(version, seq, action)""".stripMargin
+
   // ---- LLM pipelines ----
 
   private val dedupExact =
@@ -269,6 +280,12 @@ object Oracles {
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
   }
 
+  private val dedupEmbedding =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS i, b.vec_id AS j, ${cosineSql("a.v", "b.v")} AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.v", "b.v")} >= 0.45""".stripMargin
+
   private val multimodalDecode =
     """SELECT doc_id AS media_id,
       |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS content_type,
@@ -332,6 +349,7 @@ object Oracles {
     "es_stream_roundtrip" -> esStreamRoundtrip,
     "es_stream_window" -> esStreamWindow,
     "es_stream_dedup" -> esStreamDedup,
+    "es_watch_meta" -> esWatchMeta,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
@@ -343,6 +361,7 @@ object Oracles {
     "text_tokens" -> textTokens,
     "sim_exact" -> simExact,
     "sim_lsh" -> simLsh,
+    "dedup_embedding" -> dedupEmbedding,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "lineitem_agg" -> lineitemAgg,

@@ -198,6 +198,10 @@ object SparkEntry {
   private def qEsStreamDedup(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamDedupTable(s, sfDir))
 
+  /** WATCH_RESOURCE: metadata log streamed as a versioned change feed. */
+  private def qEsWatchMeta(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamWatchTable(s, sfDir))
+
   // ------------------------------------------------------- LLM pipelines --
 
   private def qDedupExact(s: SparkSession, sfDir: String): DataFrame =
@@ -239,6 +243,9 @@ object SparkEntry {
     Similarity.hyperplaneLshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, dim = 64, planes = 8, tables = 4)
   }
+
+  private def qDedupEmbedding(s: SparkSession, sfDir: String): DataFrame =
+    Similarity.embeddingNearDups(Fixtures.embeddings(s, sfDir), "vec_id", "embedding", 0.45)
 
   private def qMultimodalDecode(s: SparkSession, sfDir: String): DataFrame =
     Multimodal.decodeFeatures(
@@ -307,6 +314,7 @@ object SparkEntry {
     "es_stream_roundtrip" -> (qEsStreamRoundtrip _),
     "es_stream_window" -> (qEsStreamWindow _),
     "es_stream_dedup" -> (qEsStreamDedup _),
+    "es_watch_meta" -> (qEsWatchMeta _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_jaccard" -> (qDedupJaccard _),
     "dedup_minhash" -> (qDedupMinHash _),
@@ -318,6 +326,7 @@ object SparkEntry {
     "text_tokens" -> (qTextTokens _),
     "sim_exact" -> (qSimExact _),
     "sim_lsh" -> (qSimLsh _),
+    "dedup_embedding" -> (qDedupEmbedding _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "lineitem_agg" -> (qLineitemAgg _),

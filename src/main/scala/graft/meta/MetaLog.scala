@@ -200,6 +200,16 @@ object MetaLog {
     }
   }
 
+  /** Actions of every version strictly after `after`, in commit order —
+    * the WATCH_RESOURCE feed (rpc.fbs:691-778): the metadata log is itself a
+    * watchable change stream keyed by version. */
+  def actionsSince(streamDir: String, after: Long): Seq[(Long, Seq[Action])] =
+    listVersionsAfter(streamDir, after).map(v => v -> readVersion(streamDir, v))
+
+  /** Newest committed version (-1 when the log is empty). */
+  def latestVersion(streamDir: String): Long =
+    listVersionsAfter(streamDir, -1L).lastOption.getOrElse(-1L)
+
   /** CAS-append `actions` as version `expectedVersion + 1`.
     * Returns the new state; throws [[ConcurrentCommitException]] if another
     * writer won the version (caller should re-load, re-validate, retry).

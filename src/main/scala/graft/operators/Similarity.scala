@@ -76,6 +76,20 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (i < j) with cosine >=
+    * threshold. Brute force is the exact baseline (O(N²/2) scoring, one
+    * shuffle-free broadcast pass when one side fits); at corpus scale swap in
+    * the [[hyperplaneLshTopK]] bucketing and verify candidates exactly —
+    * identical output above the S-curve knee. */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("i"), asDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("j"), asDouble(col(vecCol)).as("vb"))
+    a.join(broadcast(b), col("i") < col("j"))
+      .select(col("i"), col("j"), cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Approximate top-k via hyperplane LSH: bucket join per table, exact
     * re-rank of candidates. `tables` trades recall for cost. */
   def hyperplaneLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -63,15 +63,22 @@ class EsLogSourceProvider extends DataSourceRegister
 
   // ---- streaming ----
 
+  private def isMetaWatch(parameters: Map[String, String]): Boolean =
+    parameters.get("watch").exists(_.equalsIgnoreCase("metadata"))
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(), RecordBatchRow.schema)
+    (shortName(),
+      if (isMetaWatch(parameters)) EsLogMetaWatchSource.schema else RecordBatchRow.schema)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new EsLogStreamSource(sqlContext.sparkSession, path(parameters), parameters)
+    if (isMetaWatch(parameters))
+      new EsLogMetaWatchSource(sqlContext.sparkSession, path(parameters))
+    else
+      new EsLogStreamSource(sqlContext.sparkSession, path(parameters), parameters)
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String], outputMode: OutputMode): Sink =
@@ -156,6 +163,11 @@ class EsLogStreamSource(spark: SparkSession, dir: String,
   private val maxOffsetsPerTrigger =
     parameters.get("maxOffsetsPerTrigger").map(_.toLong).filter(_ > 0)
 
+  /** Fetch `max_bytes` semantics (rpc.fbs:302-321): cap a micro-batch at the
+    * file-size sum from the manifest, always admitting at least one file. */
+  private val maxBytesPerTrigger =
+    parameters.get("maxBytesPerTrigger").map(_.toLong).filter(_ > 0)
+
   /** Position the stream starts from when no checkpoint exists. */
   private val initial: Long = parameters.getOrElse("startingOffsets", "earliest") match {
     case "earliest" => MetaLog.load(dir).startOffset
@@ -186,12 +198,24 @@ class EsLogStreamSource(spark: SparkSession, dir: String,
   override def reportLatestOffset(): OffsetV2 = EsLogOffset(MetaLog.load(dir).nextOffset)
 
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val st = MetaLog.load(dir)
     val base = Option(startOffset).map(offsetValue)
       .getOrElse(if (lastEnd >= 0) lastEnd else initial)
-    val avail = drainTarget.getOrElse(MetaLog.load(dir).nextOffset)
-    val capped = limit match {
+    val avail = drainTarget.getOrElse(st.nextOffset)
+    var capped = limit match {
       case r: ReadMaxRows => math.min(avail, base + r.maxRows())
       case _              => avail
+    }
+    maxBytesPerTrigger.foreach { maxB =>
+      val files = st.filesInRange(math.max(base, st.startOffset), capped).sortBy(_.startOffset)
+      if (files.nonEmpty) {
+        val cum = files.scanLeft((0L, base)) { case ((acc, _), f) =>
+          (acc + f.bytes, math.min(capped, f.endOffset))
+        }.tail
+        val within = cum.takeWhile(_._1 <= maxB)
+        val end = if (within.nonEmpty) within.last._2 else cum.head._2
+        capped = math.min(capped, math.max(end, base))
+      }
     }
     if (capped <= base) null else EsLogOffset(capped)
   }
@@ -219,6 +243,45 @@ class EsLogStreamSource(spark: SparkSession, dir: String,
       .parquet(metas.map(f => Paths.get(dir, f.path).toString): _*)
       .where(col("base_offset") >= lo && col("base_offset") < hi)
     org.apache.spark.sql.graftshim.GraftShims.asStreamingDF(df)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object EsLogMetaWatchSource {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("action", StringType, nullable = false)))
+}
+
+/** WATCH_RESOURCE (rpc.fbs:691-778): the stream's metadata log as a change
+  * feed — one row per committed action, offset = log version. Revision-based
+  * watch semantics fall out of the versioned log for free. */
+class EsLogMetaWatchSource(spark: SparkSession, dir: String) extends Source {
+
+  override def schema: StructType = EsLogMetaWatchSource.schema
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val v = MetaLog.latestVersion(dir)
+    if (v < 0) None else Some(EsLogOffset(v))
+  }
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+                        end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val after = start.map(_.json().toLong).getOrElse(-1L)
+    val hi = end.json().toLong
+    val rows = MetaLog.actionsSince(dir, after)
+      .filter(_._1 <= hi)
+      .flatMap { case (v, actions) =>
+        actions.zipWithIndex.map { case (a, i) =>
+          org.apache.spark.sql.Row(v, i.toLong, a.action)
+        }
+      }
+    val df = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    org.apache.spark.sql.graftshim.GraftShims.asStreamingViaRdd(df)
   }
 
   override def stop(): Unit = ()

@@ -32,6 +32,14 @@ object GraftShims {
       ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
 
+  /** Streaming-flag any batch frame (incl. LocalRelation-backed ones) by
+    * evaluating it and re-rooting the row RDD as a streaming scan. */
+  def asStreamingViaRdd(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+
   /** Empty streaming-flagged frame (a micro-batch with no new data). */
   def emptyStreamingDF(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]

@@ -85,6 +85,42 @@ class EsLogConnectorSpec extends SparkTestBase {
     assert(q.recentProgress.length >= 4, s"expected >=4 batches, got ${q.recentProgress.length}")
   }
 
+  test("streaming source: maxBytesPerTrigger caps micro-batches by manifest file sizes") {
+    val dir = mkStream(1000) // 4 files (numPartitions = 4)
+    val fileBytes = graft.meta.MetaLog.load(dir).allFiles.map(_.bytes)
+    val ckpt = tmpDir("ckptb-")
+    val q = spark.readStream.format("eslog")
+      .option("maxBytesPerTrigger", fileBytes.min.toString) // ~one file per trigger
+      .load(dir)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("bytes_drain")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("bytes_drain").collect().head.getLong(0) == 1000L)
+    assert(q.recentProgress.length >= 4, s"expected >=4 byte-capped batches, got ${q.recentProgress.length}")
+  }
+
+  test("metadata watch source streams the log as a versioned change feed") {
+    val dir = tmpDir("watch-")
+    EsLog.create(dir, streamId = 8L)          // v0 createStream
+    EsLog.open(dir, 1L)                        // v1 openStream
+    EsLog.putKV(dir, "a", "1")                 // v2 kvPut
+    val q = spark.readStream.format("eslog")
+      .option("watch", "metadata")
+      .load(dir)
+      .writeStream.format("memory").queryName("meta_watch")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("meta_watch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(rows.toSeq == Seq((0L, 0L, "createStream"), (1L, 0L, "openStream"), (2L, 0L, "kvPut")))
+  }
+
   test("streaming sink: exactly-once append, idempotent across restart") {
     val src = mkStream(300)
     val dst = tmpDir("sink-")
