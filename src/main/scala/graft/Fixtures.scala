@@ -231,8 +231,10 @@ object Fixtures {
       tune(s)
       val src = eventsStream(s, sfDir)
       val name = "graft_stream_dedup_" + math.abs(sfDir.hashCode).toString
+      // ~10 micro-batches at any scale factor
+      val perTrigger = math.max(events(s, sfDir).count() / 10, 1000L)
       val q = s.readStream.format("eslog")
-        .option("maxOffsetsPerTrigger", "1000")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
         .load(src)
         .withColumn("k", col("base_offset") % 100)
         .dropDuplicates("k")
