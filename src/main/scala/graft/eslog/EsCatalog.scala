@@ -64,6 +64,19 @@ final class EsCatalog(val root: String) {
     }
   }
 
+  /** Union scan across every registered stream — multi-stream queries in one
+    * DataFrame (each row carries its stream_id; per-stream manifests prune
+    * independently, so this is the same plan N separate scans produce). */
+  def scanAll(spark: SparkSession): DataFrame = {
+    val live = MetaLog.load(root).kv.keys.filter(_.startsWith("stream."))
+      .map(_.stripPrefix("stream.")).toSeq.sorted
+      .filterNot(n => MetaLog.load(streamDir(n)).deleted)
+    live.map(n => EsLog.scan(spark, streamDir(n)))
+      .reduceOption(_ unionAll _)
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        graft.model.RecordBatchRow.schema))
+  }
+
   /** LIST_RESOURCE: registered streams with their live metadata. */
   def listStreams(spark: SparkSession): DataFrame = {
     val rows = MetaLog.load(root).kv.toSeq

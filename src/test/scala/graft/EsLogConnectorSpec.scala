@@ -121,6 +121,49 @@ class EsLogConnectorSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((0L, 0L, "createStream"), (1L, 0L, "openStream"), (2L, 0L, "kvPut")))
   }
 
+  test("streaming dropDuplicatesWithinWatermark over the eslog source") {
+    val dir = tmpDir("wmdedup-")
+    EsLog.create(dir, streamId = 9L)
+    EsLog.open(dir, 1L)
+    // 200 events, every value duplicated once within the same second; the
+    // timestamp base is off epoch-0 so no event time equals the initial
+    // watermark (which would classify the row as late)
+    val in = spark.range(400).select(
+      col("id"),
+      (col("id") % 200).cast("string").cast("binary").as("payload"),
+      (lit(1700000000000L) + (col("id") % 200) * 1000).as("base_timestamp"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+    val q = spark.readStream.format("eslog").load(dir)
+      .withColumn("ts", timestamp_millis(col("base_timestamp")))
+      .withColumn("k", col("payload").cast("string"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .select("k")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val keys = spark.table("wm_dedup").collect().map(_.getString(0))
+    assert(keys.length == 200 && keys.toSet.size == 200)
+  }
+
+  test("catalog scanAll unions registered streams with per-stream pruning") {
+    val root = tmpDir("catscan-")
+    val cat = new graft.eslog.EsCatalog(root)
+    cat.createStream("s1"); cat.createStream("s2")
+    Seq("s1" -> 10L, "s2" -> 20L).foreach { case (n, rows) =>
+      EsLog.open(cat.streamDir(n), 1L)
+      EsLog.append(spark, cat.streamDir(n),
+        spark.range(rows).select(col("id"), col("id").cast("string").cast("binary").as("payload")),
+        1L, numPartitions = 1)
+    }
+    val all = cat.scanAll(spark)
+    assert(all.count() == 30)
+    assert(all.groupBy("stream_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == Seq((0L, 10L), (1L, 20L)))
+  }
+
   test("streaming sink: exactly-once append, idempotent across restart") {
     val src = mkStream(300)
     val dst = tmpDir("sink-")
