@@ -54,6 +54,24 @@ object Bench {
       .agg(sum(octet_length(col("props")))).collect().head.getLong(0)
     val nEvents = Fixtures.events(spark, sfDir).count()
 
+    // -- reference-comparable workload: 64 KiB batches (BASELINE.md's unit,
+    //    docs/benchmark.md "Approach") — 2000 batches = 128 MiB of payload --
+    val dir64k = java.nio.file.Files.createTempDirectory("bench-64k-").toString
+    val n64k = 2000L
+    val payload64k = n64k * 36L * 1820L // repeat(uuid)=36B x 1820 = 65520 B/batch
+    graft.eslog.EsLog.create(dir64k, streamId = 99L)
+    graft.eslog.EsLog.open(dir64k, 1L)
+    val batches64k = spark.range(n64k).select(
+      col("id"),
+      expr("cast(repeat(uuid(), 1820) as binary)").as("payload")) // ~64 KiB each
+    timed("append_64k_batches") {
+      graft.eslog.EsLog.append(spark, dir64k, batches64k, 1L, numPartitions = 32)
+    }
+    timed("scan_64k_batches") {
+      graft.eslog.EsLog.scan(spark, dir64k)
+        .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
+    }
+
     // -- streaming path: source->sink drain (rate-limited, exactly-once) --
     timed("stream_roundtrip") { Fixtures.streamRoundtrip(spark, sfDir); () }
 
@@ -82,14 +100,21 @@ object Bench {
     }
 
     val total = results.values.filter(_ >= 0).sum
-    val appendSec = results.getOrElse("append_events", -1.0)
+    def mbps(name: String, bytes: Long): Double = {
+      val sec = results.getOrElse(name, -1.0)
+      if (sec > 0) bytes / 1e6 / sec else -1.0
+    }
     val scanSec = results.getOrElse("scan_events", -1.0)
-    val appendMbps = if (appendSec > 0) payloadBytes / 1e6 / appendSec else -1.0
     val scanRps = if (scanSec > 0) nEvents / scanSec else -1.0
     def f3(x: Double): String = f"$x%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","append_mbps":${f3(appendMbps)},"scan_rows_per_sec":${f3(scanRps)},"n_events":$nEvents,"payload_bytes":$payloadBytes}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","append_mbps":${f3(mbps("append_64k_batches", payload64k))}""" +
+      s""","scan_mbps":${f3(mbps("scan_64k_batches", payload64k))}""" +
+      s""","append_events_mbps":${f3(mbps("append_events", payloadBytes))}""" +
+      s""","scan_rows_per_sec":${f3(scanRps)},"n_events":$nEvents,"payload_bytes":$payloadBytes""" +
+      s""","batch_64k_payload_bytes":$payload64k}""")
     spark.stop()
   }
 }
