@@ -286,6 +286,30 @@ object Oracles {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE ${cosineSql("a.v", "b.v")} >= 0.45""".stripMargin
 
+  private val simIvf =
+    s"""WITH c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
+       |cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cc AS (SELECT nid, nvec, cid,
+       |         row_number() OVER (PARTITION BY nid ORDER BY ${cosineSql("nvec", "cvec")} DESC, cid ASC) AS r
+       |       FROM c, cent),
+       |cells AS (SELECT nid, nvec, cid AS cell FROM cc WHERE r = 1),
+       |qq AS (SELECT qid, qvec, cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY ${cosineSql("qvec", "cvec")} DESC, cid ASC) AS r
+       |       FROM q, cent),
+       |probes AS (SELECT qid, qvec, cid AS cell FROM qq WHERE r <= 4),
+       |cand AS (SELECT DISTINCT qid, qvec, nid, nvec
+       |         FROM cells JOIN probes USING (cell) WHERE nid <> qid),
+       |s AS (SELECT qid, nid, ${cosineSql("qvec", "nvec")} AS score FROM cand),
+       |r AS (SELECT qid, nid, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
+       |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
+
+  private val joinSalted =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   private val multimodalDecode =
     """SELECT doc_id AS media_id,
       |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS content_type,
@@ -362,6 +386,8 @@ object Oracles {
     "sim_exact" -> simExact,
     "sim_lsh" -> simLsh,
     "dedup_embedding" -> dedupEmbedding,
+    "sim_ivf" -> simIvf,
+    "join_salted" -> joinSalted,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "lineitem_agg" -> lineitemAgg,

@@ -244,6 +244,25 @@ object SparkEntry {
       k = 5, dim = 64, planes = 8, tables = 4)
   }
 
+  private def qSimIvf(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+  }
+
+  /** Salted skew join: same relation as a plain join (salt never leaks). */
+  private def qJoinSalted(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    val fact = s.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "okey")
+    val dim = s.read.parquet(s"$sfDir/orders.parquet")
+      .withColumnRenamed("o_orderkey", "okey")
+    graft.operators.Skew.saltedJoin(fact, dim, Seq("okey"), buckets = 8,
+        saltFrom = Seq("l_partkey", "l_linenumber"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+  }
+
   private def qDedupEmbedding(s: SparkSession, sfDir: String): DataFrame =
     Similarity.embeddingNearDups(Fixtures.embeddings(s, sfDir), "vec_id", "embedding", 0.45)
 
@@ -327,6 +346,8 @@ object SparkEntry {
     "sim_exact" -> (qSimExact _),
     "sim_lsh" -> (qSimLsh _),
     "dedup_embedding" -> (qDedupEmbedding _),
+    "sim_ivf" -> (qSimIvf _),
+    "join_salted" -> (qJoinSalted _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "lineitem_agg" -> (qLineitemAgg _),

@@ -90,6 +90,39 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** IVF-style ANN: a coarse quantizer of `nlist` centroids partitions the
+    * corpus into cells; a query probes its `nprobe` closest cells and only
+    * their members are scored exactly. The centroid set here is a
+    * deterministic sample (lowest `nlist` ids) — swap in k-means centroids
+    * for better cell balance; the plan shape (cell equi-join, no all-pairs)
+    * is identical. At corpus scale the cell assignment is one broadcast pass
+    * and the candidate join is a hash join on the cell id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val cents = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
+      .orderBy("cid").limit(nlist)
+    def rankCells(df: DataFrame, id: String, vec: String): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("cscore").desc, col("cid").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("cscore", cosine(col(vec), col("cvec")))
+        .withColumn("crank", row_number().over(w))
+    }
+    val cells = rankCells(c, "nid", "nvec").where(col("crank") === 1)
+      .select(col("nid"), col("nvec"), col("cid").as("cell"))
+    val probes = rankCells(q, "qid", "qvec").where(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+    val cands = cells.join(probes, Seq("cell"))
+      .where(col("nid") =!= col("qid"))
+      .select("qid", "qvec", "nid", "nvec").distinct()
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    cands.select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "score")
+  }
+
   /** Approximate top-k via hyperplane LSH: bucket join per table, exact
     * re-rank of candidates. `tables` trades recall for cost. */
   def hyperplaneLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -63,6 +63,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("salted join equals plain join and fans hot keys over salt buckets") {
+    import graft.operators.Skew
+    // heavily skewed fact side: 90% of rows share key 0
+    val fact = spark.range(10000).select(
+      when(col("id") % 10 === 0, col("id") % 50).otherwise(lit(0L)).as("k"),
+      col("id").as("payload_id"))
+    val dim = spark.range(50).select(col("id").as("k"), concat(lit("d"), col("id")).as("dval"))
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), buckets = 8, saltFrom = Seq("payload_id"))
+    val plain = fact.join(dim, "k")
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("k").count().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = plain.groupBy("k").count().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+    // the dim side is replicated per salt bucket (Generate/explode in plan)
+    val p = plan(salted)
+    assert(p.contains("Generate") || p.contains("explode"), p)
+  }
+
+  test("IVF ANN: cell assignment broadcasts centroids, candidates equi-join on cell") {
+    val p = plan(Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2))
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate join is on the cell key, not all-pairs: a hash join must exist
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("text/dedup operators: single vectorized pass, hash aggregation") {
     // higher-order functions (aggregate/transform lambdas) run as interpreted
     // projections over a codegen'd vectorized scan — one pass, no shuffle
