@@ -116,6 +116,11 @@ object Oracles {
       |  ('gamma', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), false)
       |) AS t(name, stream_id, epoch, start_offset, next_offset, deleted)""".stripMargin
 
+  private val esCatalogScan =
+    """SELECT CAST(1 AS BIGINT) AS stream_id, CAST(id AS BIGINT) AS base_offset,
+      |       CAST(id AS VARCHAR) AS payload_str
+      |FROM range(7) t(id)""".stripMargin
+
   private val esStreamRoundtrip =
     "SELECT epoch_ms(ts) AS ts_ms, event_type, props FROM events"
 
@@ -370,6 +375,7 @@ object Oracles {
     "es_agg_by_type" -> esAggByType,
     "es_compact" -> esCompact,
     "es_catalog" -> esCatalog,
+    "es_catalog_scan" -> esCatalogScan,
     "es_stream_roundtrip" -> esStreamRoundtrip,
     "es_stream_window" -> esStreamWindow,
     "es_stream_dedup" -> esStreamDedup,

@@ -180,6 +180,13 @@ object SparkEntry {
     new graft.eslog.EsCatalog(root).listStreams(s)
   }
 
+  /** Cross-stream union scan through the catalog. */
+  private def qEsCatalogScan(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.catalogRoot(s, sfDir)
+    new graft.eslog.EsCatalog(root).scanAll(s)
+      .select(col("stream_id"), col("base_offset"), col("payload").cast("string").as("payload_str"))
+  }
+
   /** Structured Streaming roundtrip: eslog source → eslog sink (AvailableNow,
     * rate-limited, exactly-once), then scan the sink stream. */
   private def qEsStreamRoundtrip(s: SparkSession, sfDir: String): DataFrame = {
@@ -330,6 +337,7 @@ object SparkEntry {
     "es_agg_by_type" -> (qEsAggByType _),
     "es_compact" -> (qEsCompact _),
     "es_catalog" -> (qEsCatalog _),
+    "es_catalog_scan" -> (qEsCatalogScan _),
     "es_stream_roundtrip" -> (qEsStreamRoundtrip _),
     "es_stream_window" -> (qEsStreamWindow _),
     "es_stream_dedup" -> (qEsStreamDedup _),
