@@ -3,96 +3,177 @@ package graft.model
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
-/** Wire/storage flat encoding of a record batch.
-  *
-  * Layout follows the reference's `FlatRecordBatch`
-  * (components/model/src/record/flat_record.rs:20-38 and
-  * components/model/src/payload.rs:30-79):
+import com.google.flatbuffers.FlatBufferBuilder
+
+/** Wire/storage flat encoding of a record batch — byte-compatible with the
+  * reference's `FlatRecordBatch`:
   *
   * {{{
-  *   Magic(1B = 0x22) | MetaLen(4B) | Meta | PayloadLen(4B) | Payload
+  *   Magic(i8 = 0x22) | MetaLen(i32 BE) | Meta(FlatBuffers) | PayloadLen(i32 BE) | Payload
   * }}}
   *
-  * The reference serializes Meta as a FlatBuffers table; we use a fixed
-  * little-endian binary meta record instead (no FlatBuffers dependency in this
-  * build), with the same field set and the same framing, so a stream of
+  * Framing per components/model/src/record/flat_record.rs:20-38 — note the
+  * length prefixes are BIG-endian (the Rust `bytes` crate's `put_i32`/
+  * `get_i32`). Meta is a genuine FlatBuffers `RecordBatchMeta` table
+  * (components/protocol/fbs/model.fbs:6-36):
+  *
+  * {{{
+  *   table RecordBatchMeta {
+  *     stream_id: int64 (id: 0);  range_index: int32 (id: 1);
+  *     flags: short (id: 2);      base_offset: int64 = -1 (id: 3);
+  *     last_offset_delta: int32 (id: 4); base_timestamp: int64 (id: 5);
+  *     properties: [KeyValue] (id: 6);
+  *   }
+  *   table KeyValue { key: string (id: 0, required); value: string (id: 1, required); }
+  * }}}
+  *
+  * Encoding uses the official `com.google.flatbuffers.FlatBufferBuilder`
+  * (ships with Spark's Arrow dependency); decoding walks the FlatBuffers
+  * binary layout directly (root offset → vtable → fields), so a stream of
   * entries is parsed exactly like the reference's append-frame payload
-  * (components/protocol/fbs/rpc.fbs:263-278): back-to-back flat entries.
-  *
-  * Meta layout (little-endian):
-  * {{{
-  *   stream_id i64 | range_index i32 | flags i16 | base_offset i64 |
-  *   last_offset_delta i32 | base_timestamp i64 | prop_count u16 |
-  *   (key_len u16 | key utf8 | val_len u16 | val utf8)*
-  * }}}
+  * (components/model/src/payload.rs:30-79): back-to-back flat entries.
   */
 object FlatRecordBatch {
   val Magic: Byte = 0x22
 
-  private val FixedMetaLen = 8 + 4 + 2 + 8 + 4 + 8 + 2
+  // model.fbs field ids (vtable slots are 4 + 2*id)
+  private val FStreamId = 0
+  private val FRangeIndex = 1
+  private val FFlags = 2
+  private val FBaseOffset = 3
+  private val FLastOffsetDelta = 4
+  private val FBaseTimestamp = 5
+  private val FProperties = 6
+
+  /** Serialize the meta table with the official builder. Properties are
+    * sorted by key so encoding is deterministic. */
+  private def encodeMeta(r: RecordBatchRow): Array[Byte] = {
+    val fbb = new FlatBufferBuilder(256)
+    val props = if (r.properties == null) Seq.empty else r.properties.toSeq.sortBy(_._1)
+    val propsVec =
+      if (props.isEmpty) 0
+      else {
+        val kvOffsets = props.map { case (k, v) =>
+          val ko = fbb.createString(k)
+          val vo = fbb.createString(v)
+          fbb.startTable(2)
+          fbb.addOffset(0, ko, 0)
+          fbb.addOffset(1, vo, 0)
+          fbb.endTable()
+        }
+        fbb.startVector(4, kvOffsets.size, 4)
+        kvOffsets.reverseIterator.foreach(fbb.addOffset)
+        fbb.endVector()
+      }
+    fbb.startTable(7)
+    fbb.addLong(FStreamId, r.stream_id, 0L)
+    fbb.addInt(FRangeIndex, r.range_index, 0)
+    fbb.addShort(FFlags, r.flags, 0)
+    fbb.addLong(FBaseOffset, r.base_offset, -1L)
+    fbb.addInt(FLastOffsetDelta, r.last_offset_delta, 0)
+    fbb.addLong(FBaseTimestamp, r.base_timestamp, 0L)
+    if (propsVec != 0) fbb.addOffset(FProperties, propsVec, 0)
+    fbb.finish(fbb.endTable())
+    fbb.sizedByteArray()
+  }
 
   def encode(r: RecordBatchRow): Array[Byte] = {
-    val props = if (r.properties == null) Seq.empty else r.properties.toSeq.sortBy(_._1)
-    val propBytes = props.map { case (k, v) =>
-      (k.getBytes(StandardCharsets.UTF_8), v.getBytes(StandardCharsets.UTF_8))
-    }
-    require(propBytes.size <= 0xffff, s"too many properties: ${propBytes.size} > 65535")
-    propBytes.foreach { case (k, v) =>
-      require(k.length <= 0xffff && v.length <= 0xffff,
-        s"property key/value exceeds 65535 UTF-8 bytes (key=${k.length}, value=${v.length})")
-    }
-    val metaLen = FixedMetaLen + propBytes.map { case (k, v) => 4 + k.length + v.length }.sum
+    val meta = encodeMeta(r)
     val payload = if (r.payload == null) Array.emptyByteArray else r.payload
-    val buf = ByteBuffer.allocate(1 + 4 + metaLen + 4 + payload.length)
-      .order(ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.allocate(1 + 4 + meta.length + 4 + payload.length)
+      .order(ByteOrder.BIG_ENDIAN) // framing lengths are BE (bytes crate put_i32)
     buf.put(Magic)
-    buf.putInt(metaLen)
-    buf.putLong(r.stream_id)
-    buf.putInt(r.range_index)
-    buf.putShort(r.flags)
-    buf.putLong(r.base_offset)
-    buf.putInt(r.last_offset_delta)
-    buf.putLong(r.base_timestamp)
-    buf.putShort(propBytes.size.toShort)
-    propBytes.foreach { case (k, v) =>
-      buf.putShort(k.length.toShort); buf.put(k)
-      buf.putShort(v.length.toShort); buf.put(v)
-    }
+    buf.putInt(meta.length)
+    buf.put(meta)
     buf.putInt(payload.length)
     buf.put(payload)
     buf.array()
   }
 
+  // ---- FlatBuffers binary walk (spec layout; all FB internals are LE) ----
+
+  private final class Meta(bytes: Array[Byte], base: Int, len: Int) {
+    private val bb = ByteBuffer.wrap(bytes, base, len).slice().order(ByteOrder.LITTLE_ENDIAN)
+    private val table = bb.getInt(0) // root table position
+    private val vtable = table - bb.getInt(table) // soffset (signed) back to vtable
+    private val vtableLen = bb.getShort(vtable) & 0xffff
+
+    /** Field position in the buffer, or 0 if absent (default applies). */
+    private def fieldPos(id: Int): Int = {
+      val slot = 4 + 2 * id
+      if (slot >= vtableLen) 0
+      else {
+        val off = bb.getShort(vtable + slot) & 0xffff
+        if (off == 0) 0 else table + off
+      }
+    }
+
+    def getLong(id: Int, default: Long): Long = {
+      val p = fieldPos(id); if (p == 0) default else bb.getLong(p)
+    }
+    def getInt(id: Int, default: Int): Int = {
+      val p = fieldPos(id); if (p == 0) default else bb.getInt(p)
+    }
+    def getShort(id: Int, default: Short): Short = {
+      val p = fieldPos(id); if (p == 0) default else bb.getShort(p)
+    }
+
+    private def indirect(p: Int): Int = p + bb.getInt(p) // uoffset to the object
+
+    private def string(p: Int): String = {
+      val s = indirect(p)
+      val n = bb.getInt(s)
+      val arr = new Array[Byte](n)
+      val dup = bb.duplicate(); dup.position(s + 4); dup.get(arr)
+      new String(arr, StandardCharsets.UTF_8)
+    }
+
+    /** properties: [KeyValue] with required key/value strings. */
+    def properties(id: Int): Map[String, String] = {
+      val p = fieldPos(id)
+      if (p == 0) return Map.empty
+      val vec = indirect(p)
+      val n = bb.getInt(vec)
+      (0 until n).map { i =>
+        val elemP = vec + 4 + 4 * i
+        val kv = indirect(elemP)
+        // KeyValue table: same vtable walk, inline
+        val kvVt = kv - bb.getInt(kv)
+        val kvVtLen = bb.getShort(kvVt) & 0xffff
+        def kvField(fid: Int): Int = {
+          val slot = 4 + 2 * fid
+          if (slot >= kvVtLen) 0
+          else { val o = bb.getShort(kvVt + slot) & 0xffff; if (o == 0) 0 else kv + o }
+        }
+        val kp = kvField(0); val vp = kvField(1)
+        require(kp != 0 && vp != 0, "KeyValue.key/value are required (model.fbs)")
+        string(kp) -> string(vp)
+      }.toMap
+    }
+  }
+
   /** Decode one entry starting at `offset`; returns (row, bytesConsumed). */
   def decodeOne(bytes: Array[Byte], offset: Int): (RecordBatchRow, Int) = {
     val buf = ByteBuffer.wrap(bytes, offset, bytes.length - offset)
-      .order(ByteOrder.LITTLE_ENDIAN)
+      .order(ByteOrder.BIG_ENDIAN)
     val magic = buf.get()
     require(magic == Magic, s"bad magic $magic at $offset (want $Magic)")
     val metaLen = buf.getInt
-    val metaEnd = buf.position() + metaLen
-    val streamId = buf.getLong
-    val rangeIndex = buf.getInt
-    val flags = buf.getShort
-    val baseOffset = buf.getLong
-    val delta = buf.getInt
-    val ts = buf.getLong
-    val nProps = buf.getShort & 0xffff
-    val props = Map.newBuilder[String, String]
-    var i = 0
-    while (i < nProps) {
-      val kl = buf.getShort & 0xffff
-      val k = new Array[Byte](kl); buf.get(k)
-      val vl = buf.getShort & 0xffff
-      val v = new Array[Byte](vl); buf.get(v)
-      props += new String(k, StandardCharsets.UTF_8) -> new String(v, StandardCharsets.UTF_8)
-      i += 1
-    }
-    require(buf.position() == metaEnd, s"meta length mismatch: ${buf.position()} != $metaEnd")
+    val metaStart = buf.position()
+    val meta = new Meta(bytes, metaStart, metaLen)
+    buf.position(metaStart + metaLen)
     val payloadLen = buf.getInt
     val payload = new Array[Byte](payloadLen)
     buf.get(payload)
-    val row = RecordBatchRow(streamId, rangeIndex, flags, baseOffset, delta, ts, props.result(), payload)
+    val row = RecordBatchRow(
+      meta.getLong(FStreamId, 0L),
+      meta.getInt(FRangeIndex, 0),
+      meta.getShort(FFlags, 0),
+      meta.getLong(FBaseOffset, -1L),
+      meta.getInt(FLastOffsetDelta, 0),
+      meta.getLong(FBaseTimestamp, 0L),
+      meta.properties(FProperties),
+      payload)
     (row, buf.position() - offset)
   }
 

@@ -27,10 +27,61 @@ class FlatRecordBatchSpec extends AnyFunSuite {
       Map("key" -> "value"), "hello world".getBytes("UTF-8"))
     val bytes = FlatRecordBatch.encode(row)
     assert(bytes(0) == FlatRecordBatch.Magic)
+    // framing lengths are BIG-endian i32 (flat_record.rs uses bytes::put_i32)
+    val metaLen = java.nio.ByteBuffer.wrap(bytes, 1, 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).getInt
+    assert(metaLen > 0 && metaLen < bytes.length)
+    val payloadLen = java.nio.ByteBuffer.wrap(bytes, 5 + metaLen, 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).getInt
+    assert(payloadLen == "hello world".length)
     val decoded = FlatRecordBatch.decode(bytes)
     assert(sameRow(row, decoded))
     // re-encode must be byte-identical (deterministic: props sorted)
     assert(java.util.Arrays.equals(bytes, FlatRecordBatch.encode(decoded)))
+  }
+
+  test("decode parses frames written directly by the official FlatBufferBuilder") {
+    // Independent of our encode(): build the RecordBatchMeta table with the
+    // reference's own serialization library (field ids per model.fbs) and the
+    // reference's BE framing, then decode with our binary walker.
+    import com.google.flatbuffers.FlatBufferBuilder
+    val fbb = new FlatBufferBuilder(64)
+    val k = fbb.createString("content-type"); val v = fbb.createString("image/png")
+    fbb.startTable(2); fbb.addOffset(0, k, 0); fbb.addOffset(1, v, 0)
+    val kv = fbb.endTable()
+    fbb.startVector(4, 1, 4); fbb.addOffset(kv)
+    val vec = fbb.endVector()
+    fbb.startTable(7)
+    fbb.addLong(0, 77L, 0L)        // stream_id
+    fbb.addInt(1, 3, 0)            // range_index
+    fbb.addShort(2, 5.toShort, 0)  // flags
+    fbb.addLong(3, 4096L, -1L)     // base_offset (default -1)
+    fbb.addInt(4, 12, 0)           // last_offset_delta
+    fbb.addLong(5, 1700000000000L, 0L) // base_timestamp
+    fbb.addOffset(6, vec, 0)       // properties
+    fbb.finish(fbb.endTable())
+    val meta = fbb.sizedByteArray()
+    val payload = "payload-bytes".getBytes("UTF-8")
+    val frame = java.nio.ByteBuffer
+      .allocate(1 + 4 + meta.length + 4 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .put(FlatRecordBatch.Magic).putInt(meta.length).put(meta)
+      .putInt(payload.length).put(payload).array()
+    val row = FlatRecordBatch.decode(frame)
+    assert(row.stream_id == 77L && row.range_index == 3 && row.flags == 5)
+    assert(row.base_offset == 4096L && row.last_offset_delta == 12)
+    assert(row.base_timestamp == 1700000000000L)
+    assert(row.properties == Map("content-type" -> "image/png"))
+    assert(new String(row.payload, "UTF-8") == "payload-bytes")
+    // omitted optional fields fall back to schema defaults (base_offset = -1)
+    val fbb2 = new FlatBufferBuilder(16)
+    fbb2.startTable(7); fbb2.addLong(0, 9L, 0L); fbb2.finish(fbb2.endTable())
+    val meta2 = fbb2.sizedByteArray()
+    val frame2 = java.nio.ByteBuffer.allocate(1 + 4 + meta2.length + 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .put(FlatRecordBatch.Magic).putInt(meta2.length).put(meta2).putInt(0).array()
+    val row2 = FlatRecordBatch.decode(frame2)
+    assert(row2.stream_id == 9L && row2.base_offset == -1L && row2.properties.isEmpty)
   }
 
   test("append-frame payload: back-to-back entries decode (payload.rs:30-79)") {
