@@ -186,7 +186,12 @@ object EsLog {
         }
       }
       spark.createDataFrame(assigned, RecordBatchRow.schema)
-        .write.mode("errorifexists").parquet(outAbs)
+        .write.mode("errorifexists")
+        // Row-group size = the reference's sparse-index granularity
+        // (range_offload.rs:26, one index entry ≈ every 16 MiB): offset
+        // pruning then skips at the same resolution the reference seeks at.
+        .option("parquet.block.size", (16L * 1024 * 1024).toString)
+        .parquet(outAbs)
 
       // Commit from the pass-1 stats: one task partition = one written file
       // (`part-<pid>-*`), so file boundaries are known without re-reading data
@@ -290,6 +295,12 @@ object EsLog {
   def scan(spark: SparkSession, streamDir: String): DataFrame =
     fetch(spark, streamDir)
 
+  /** Typed scan: the record-batch relation as `Dataset[RecordBatchRow]`. */
+  def scanTyped(spark: SparkSession, streamDir: String): org.apache.spark.sql.Dataset[RecordBatchRow] = {
+    import spark.implicits._
+    scan(spark, streamDir).as[RecordBatchRow]
+  }
+
   def startOffset(streamDir: String): Long = MetaLog.load(streamDir).startOffset
   def nextOffset(streamDir: String): Long = MetaLog.load(streamDir).nextOffset
 
@@ -334,7 +345,9 @@ object EsLog {
           val outRel = f"seg-${seg.index}%05d/compact-$commitId"
           val outAbs = Paths.get(streamDir, outRel).toString
           spark.createDataFrame(rdd, RecordBatchRow.schema)
-            .write.mode("errorifexists").parquet(outAbs)
+            .write.mode("errorifexists")
+            .option("parquet.block.size", (16L * 1024 * 1024).toString)
+            .parquet(outAbs)
 
           val written = {
             val s = Files.list(Paths.get(outAbs))
