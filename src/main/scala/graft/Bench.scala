@@ -64,9 +64,14 @@ object Bench {
     val batches64k = spark.range(n64k).select(
       col("id"),
       expr("cast(repeat(uuid(), 1820) as binary)").as("payload")) // ~64 KiB each
+    // materialize the synthetic payload first — the timed region measures the
+    // append pipeline (offset assignment + write + commit), not data generation
+    batches64k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batches64k.count()
     timed("append_64k_batches") {
       graft.eslog.EsLog.append(spark, dir64k, batches64k, 1L, numPartitions = 32)
     }
+    batches64k.unpersist(blocking = false)
     timed("scan_64k_batches") {
       graft.eslog.EsLog.scan(spark, dir64k)
         .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
