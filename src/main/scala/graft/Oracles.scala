@@ -357,6 +357,28 @@ object Oracles {
       |  FROM orders)
       |SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 3""".stripMargin
 
+  private val regionChain =
+    """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_lines,
+      |  sum(l_quantity) AS sum_qty, max(o_orderkey) AS max_order
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2""".stripMargin
+
+  private val rollupOrders =
+    """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  min(o_orderkey) AS min_key
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
+
+  private val customersNoOrders =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive,
+      |  min(c_custkey) AS min_cust
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, String] = Map(
     "es_append_scan" -> esAppendScan,
     "es_fetch_range" -> esFetchRange,
@@ -398,5 +420,8 @@ object Oracles {
     "multimodal_frames" -> multimodalFrames,
     "lineitem_agg" -> lineitemAgg,
     "join_agg" -> joinAgg,
-    "topk_orders" -> topkOrders)
+    "topk_orders" -> topkOrders,
+    "region_chain" -> regionChain,
+    "rollup_orders" -> rollupOrders,
+    "customers_no_orders" -> customersNoOrders)
 }

@@ -307,6 +307,38 @@ object SparkEntry {
         max("l_partkey").as("max_part"), sum("l_quantity").as("sum_qty"))
   }
 
+  /** Five-way dimension chain join (region→nation→customer→orders→lineitem). */
+  private def qRegionChain(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    def t(n: String) = s.read.parquet(s"$sfDir/$n.parquet")
+    t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t("customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"),
+        max("o_orderkey").as("max_order"))
+  }
+
+  /** ROLLUP aggregation (grouping sets surface). */
+  private def qRollupOrders(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    s.read.parquet(s"$sfDir/orders.parquet")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"))
+  }
+
+  /** Anti join: customers with no orders. */
+  private def qCustomersNoOrders(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    val customer = s.read.parquet(s"$sfDir/customer.parquet")
+    val orders = s.read.parquet(s"$sfDir/orders.parquet")
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_inactive"), min("c_custkey").as("min_cust"))
+  }
+
   private def qTopKOrders(s: SparkSession, sfDir: String): DataFrame = {
     Fixtures.tune(s)
     import org.apache.spark.sql.expressions.Window
@@ -360,7 +392,10 @@ object SparkEntry {
     "multimodal_frames" -> (qMultimodalFrames _),
     "lineitem_agg" -> (qLineitemAgg _),
     "join_agg" -> (qJoinAgg _),
-    "topk_orders" -> (qTopKOrders _))
+    "topk_orders" -> (qTopKOrders _),
+    "region_chain" -> (qRegionChain _),
+    "rollup_orders" -> (qRollupOrders _),
+    "customers_no_orders" -> (qCustomersNoOrders _))
 
   def oracleSql: Map[String, String] = Oracles.all
 }
