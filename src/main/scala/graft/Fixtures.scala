@@ -298,6 +298,43 @@ object Fixtures {
       name
     })
 
+  /** Events stream carrying user_id in properties (for sessionization). */
+  def userEventsStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "user-events") { dir =>
+      val in = events(s, sfDir).select(
+        col("event_id"),
+        col("props").cast("binary").as("payload"),
+        map(lit("user_id"), col("user_id").cast("string")).as("properties"),
+        expr("ts div 1000000").as("base_timestamp"))
+      EsLog.create(dir, streamId = 48L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in, 1L, sortKey = Some("event_id"), numPartitions = 4)
+      ()
+    }
+
+  /** Streaming gap-sessionization (flatMapGroupsWithState) over the stream;
+    * returns the memory table of sessions the stream has closed. */
+  def streamSessionsTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-sessions", {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      tune(s)
+      val src = userEventsStream(s, sfDir)
+      val name = "graft_stream_sessions_" + math.abs(sfDir.hashCode).toString
+      val eventsDs = s.readStream.format("eslog").load(src)
+        .select(col("properties")("user_id").cast("long").as("user_id"),
+          col("base_timestamp").as("t"))
+        .as[graft.operators.SessionEvent]
+      val q = graft.operators.Sessionize.streamingClosed(eventsDs, gapMs = 86400000L)
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** Documents round-tripped through the wire codec into a stream. */
   def codecStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "codec") { dir =>

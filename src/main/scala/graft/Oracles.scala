@@ -143,6 +143,30 @@ object Oracles {
       |  (CAST(5 AS BIGINT), CAST(1 AS BIGINT), 'kvPut')
       |) AS t(version, seq, action)""".stripMargin
 
+  /** Shared session CTE: gap = 1 day over per-user event times. */
+  private val sessionCte =
+    """e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+      |m AS (SELECT user_id, t,
+      |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 86400000
+      |             THEN 1 ELSE 0 END AS ns
+      |      FROM e),
+      |s AS (SELECT user_id, t,
+      |        CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |      FROM m),
+      |sess AS (SELECT user_id, sid, min(t) AS start_ms, max(t) AS end_ms,
+      |                CAST(count(*) AS BIGINT) AS n
+      |         FROM s GROUP BY 1, 2)""".stripMargin
+
+  private val esSessions =
+    s"""WITH $sessionCte
+       |SELECT user_id, sid, start_ms, end_ms, n FROM sess""".stripMargin
+
+  private val esStreamSessions =
+    s"""WITH $sessionCte
+       |SELECT user_id, sid, start_ms, end_ms, n FROM sess
+       |QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin
+
   // ---- LLM pipelines ----
 
   private val dedupExact =
@@ -402,6 +426,8 @@ object Oracles {
     "es_stream_window" -> esStreamWindow,
     "es_stream_dedup" -> esStreamDedup,
     "es_watch_meta" -> esWatchMeta,
+    "es_sessions" -> esSessions,
+    "es_stream_sessions" -> esStreamSessions,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,

@@ -209,6 +209,19 @@ object SparkEntry {
   private def qEsWatchMeta(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamWatchTable(s, sfDir))
 
+  /** Batch gap-sessionization (windowed lag + running sum). */
+  private def qEsSessions(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    val ev = Fixtures.events(s, sfDir)
+      .select(col("user_id"), expr("ts div 1000000").as("t"))
+    graft.operators.Sessionize.batch(ev, "user_id", "t", gapMs = 86400000L)
+  }
+
+  /** Streaming sessionization: flatMapGroupsWithState over the eslog source
+    * emits exactly the sessions the stream closed (open tails stay in state). */
+  private def qEsStreamSessions(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamSessionsTable(s, sfDir))
+
   // ------------------------------------------------------- LLM pipelines --
 
   private def qDedupExact(s: SparkSession, sfDir: String): DataFrame =
@@ -374,6 +387,8 @@ object SparkEntry {
     "es_stream_window" -> (qEsStreamWindow _),
     "es_stream_dedup" -> (qEsStreamDedup _),
     "es_watch_meta" -> (qEsWatchMeta _),
+    "es_sessions" -> (qEsSessions _),
+    "es_stream_sessions" -> (qEsStreamSessions _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_jaccard" -> (qDedupJaccard _),
     "dedup_minhash" -> (qDedupMinHash _),
