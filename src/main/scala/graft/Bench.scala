@@ -24,7 +24,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // driver heap comes from the launching JVM (build.sbt javaOptions /
+      // SPARK_DRIVER_MEM) — setting spark.driver.memory here would be a no-op
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -20,12 +20,12 @@ object Oracles {
 
   // ---- shared fragments ----
 
-  /** Word-3-gram shingles of documents.text, one row per (doc_id, shingle). */
+  /** Word-3-gram shingles of documents.text, one row per (doc_id, shingle);
+    * the shingle expression comes from the same generator the Spark side
+    * mirrors, so the two can never drift. */
   private val shingleRows =
     s"""sh0 AS (
-       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-       |    THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-       |    ELSE [] END) AS s
+       |  SELECT doc_id, unnest(${H.wordShinglesSql(3)}) AS s
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
 
   private def minhashCols(numHashes: Int): String =

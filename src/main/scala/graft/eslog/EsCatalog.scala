@@ -41,16 +41,22 @@ final class EsCatalog(val root: String) {
 
   def streamDir(name: String): String = Paths.get(root, "streams", name).toString
 
-  /** Allocate an id, create the stream, register it. Name must be fresh. */
+  /** Allocate an id, reserve the name, create the stream. The reservation is
+    * a CAS on the registry BEFORE any filesystem work, so concurrent creators
+    * race on one atomic commit: the loser fails cleanly with no orphaned
+    * stream directory. (A crash between reserve and create leaves a
+    * registered name whose dir is created on first use of EsLog.create —
+    * never a dangling unregistered dir.) */
   def createStream(name: String, replica: Int = 1, ackCount: Int = 1,
                    retentionMs: Long = -1L): Long = {
-    require(getStream(name).isEmpty, s"stream '$name' already exists")
     val id = allocateId()
-    EsLog.create(streamDir(name), id, replica, ackCount, retentionMs)
+    var reserved = false
     MetaLog.commitWithRetry(root) { st =>
-      require(!st.kv.contains(streamKey(name)), s"stream '$name' registered concurrently")
-      Seq(KvPut(streamKey(name), id.toString))
+      reserved = !st.kv.contains(streamKey(name))
+      if (reserved) Seq(KvPut(streamKey(name), id.toString)) else Seq.empty
     }
+    require(reserved, s"stream '$name' already exists")
+    EsLog.create(streamDir(name), id, replica, ackCount, retentionMs)
     id
   }
 

@@ -86,6 +86,34 @@ object EsLog {
 
   // ---- write path ----
 
+  /** Map written `part-<pid>-*` files to per-partition stats and build their
+    * FileMetas. Fails loudly if the writer produced anything other than one
+    * file per non-empty partition (the commit math depends on it; the write
+    * pins maxRecordsPerFile=0 to guarantee it). Part numbers are parsed up to
+    * the first '-', so >=100k-partition jobs parse correctly. */
+  private def commitFileMetas(streamDir: String, outRel: String, outAbs: String,
+      stats: Seq[(Int, Long, Long, Long, Long, Long, Int)]): Seq[FileMeta] = {
+    val written = {
+      val s = Files.list(Paths.get(outAbs))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    val byPid = written.groupBy(n => n.stripPrefix("part-").takeWhile(_ != '-').toInt)
+    byPid.find(_._2.size > 1).foreach { case (pid, names) =>
+      throw new IllegalStateException(
+        s"partition $pid wrote ${names.size} files (${names.mkString(", ")}) in $outAbs — " +
+          "one file per task is required for manifest commit")
+    }
+    stats.map { case (pid, nrows, startOff, endOff, minTs, maxTs, maxD) =>
+      val name = byPid.getOrElse(pid,
+        throw new IllegalStateException(s"no written file for partition $pid in $outAbs")).head
+      val rel = s"$outRel/$name"
+      FileMeta(rel, nrows, Files.size(Paths.get(streamDir, rel)),
+        startOff, endOff, minTs, maxTs, maxD)
+    }.sortBy(_.startOffset)
+  }
+
   /** Normalize an input frame to appendable batch columns. Accepts any frame
     * with a `payload` column; fills batch metadata defaults. */
   private def normalize(df: DataFrame, streamId: Long): DataFrame = {
@@ -131,10 +159,14 @@ object EsLog {
 
     val streamId = if (st.streamId >= 0) st.streamId else DefaultStreamId
     var batches = normalize(input, streamId)
-    sortKey.foreach { k =>
-      val n = if (numPartitions > 0) numPartitions else batches.rdd.getNumPartitions
-      batches = batches.repartitionByRange(n, col(k)).sortWithinPartitions(col(k))
-        .select(batches.columns.map(col).toSeq: _*)
+    sortKey match {
+      case Some(k) =>
+        val n = if (numPartitions > 0) numPartitions else batches.rdd.getNumPartitions
+        batches = batches.repartitionByRange(n, col(k)).sortWithinPartitions(col(k))
+          .select(batches.columns.map(col).toSeq: _*)
+      case None if numPartitions > 0 =>
+        batches = batches.repartition(numPartitions)
+      case None => ()
     }
 
     // Pin the input: both passes must see identical partition contents, and a
@@ -191,26 +223,20 @@ object EsLog {
         // (range_offload.rs:26, one index entry ≈ every 16 MiB): offset
         // pruning then skips at the same resolution the reference seeks at.
         .option("parquet.block.size", (16L * 1024 * 1024).toString)
+        // The commit derives file boundaries from pass-1 per-partition stats,
+        // which requires exactly one file per task — override any session-level
+        // maxRecordsPerFile so the writer can never split a partition.
+        .option("maxRecordsPerFile", "0")
         .parquet(outAbs)
 
       // Commit from the pass-1 stats: one task partition = one written file
       // (`part-<pid>-*`), so file boundaries are known without re-reading data
       // (the reference gets this from the write window; DSv2 would get it from
       // WriterCommitMessages). One directory listing, no per-row jobs.
-      val written = {
-        val s = Files.list(Paths.get(outAbs))
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq
-        finally s.close()
-      }
-      val byPid = written.map(n => n.stripPrefix("part-").take(5).toInt -> n).toMap
-      val files = partSums.filter(_._3 > 0).map { case (pid, sum, nrows, maxD, minTs, maxTs) =>
-        val name = byPid.getOrElse(pid,
-          throw new IllegalStateException(s"no written file for partition $pid in $outAbs"))
-        val rel = s"$outRel/$name"
-        FileMeta(rel, nrows, Files.size(Paths.get(streamDir, rel)),
-          startByPid(pid), startByPid(pid) + sum, minTs, maxTs, maxD)
-      }.sortBy(_.startOffset).toSeq
+      val files = commitFileMetas(streamDir, outRel, outAbs,
+        partSums.filter(_._3 > 0).map { case (pid, sum, nrows, maxD, minTs, maxTs) =>
+          (pid, nrows, startByPid(pid), startByPid(pid) + sum, minTs, maxTs, maxD)
+        })
 
       require(files.head.startOffset == next && files.last.endOffset == next + total,
         s"offset assignment not contiguous: ${files.map(f => (f.startOffset, f.endOffset))}")
@@ -262,10 +288,6 @@ object EsLog {
     }
 
   // ---- read path ----
-
-  private def batchFiles(streamDir: String, st: StreamState, from: Long, until: Long): Seq[String] =
-    st.filesInRange(math.max(from, st.startOffset), math.min(until, st.nextOffset))
-      .map(f => Paths.get(streamDir, f.path).toString)
 
   /** fetch [start, end): returns whole batches whose span intersects the
     * request (straddle semantics, api/Stream.java:36-44), bounded by the
@@ -347,20 +369,13 @@ object EsLog {
           spark.createDataFrame(rdd, RecordBatchRow.schema)
             .write.mode("errorifexists")
             .option("parquet.block.size", (16L * 1024 * 1024).toString)
+            .option("maxRecordsPerFile", "0")
             .parquet(outAbs)
 
-          val written = {
-            val s = Files.list(Paths.get(outAbs))
-            try s.iterator().asScala.map(_.getFileName.toString)
-              .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq
-            finally s.close()
-          }
-          val byPid = written.map(n => n.stripPrefix("part-").take(5).toInt -> n).toMap
-          val added = stats.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
-            val rel = s"$outRel/${byPid(pid)}"
-            FileMeta(rel, n, Files.size(Paths.get(streamDir, rel)),
-              minOff, maxEnd, minTs, maxTs, maxD)
-          }.toSeq
+          val added = commitFileMetas(streamDir, outRel, outAbs,
+            stats.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
+              (pid, n, minOff, maxEnd, minTs, maxTs, maxD)
+            })
           val removed = seg.files.map(_.path)
           st = MetaLog.commitWithRetry(streamDir) { cur =>
             // revalidate against the current state: segment must still hold
@@ -397,9 +412,12 @@ object EsLog {
     val st = MetaLog.load(streamDir)
     if (st.retentionMs < 0) return st
     val cutoff = nowMs - st.retentionMs
-    val expired = st.allFiles.filter(_.maxTimestamp < cutoff)
-    if (expired.isEmpty) return st
-    trim(streamDir, expired.map(_.endOffset).max)
+    // Trim only the contiguous expired PREFIX (Kafka retention semantics):
+    // event time need not be monotonic in offset order, and trimming past a
+    // fresh file because a later file expired would vacuum in-retention data.
+    val prefix = st.allFiles.sortBy(_.startOffset).takeWhile(_.maxTimestamp < cutoff)
+    if (prefix.isEmpty) return st
+    trim(streamDir, prefix.last.endOffset)
   }
 
   // ---- KV surface (PD-hosted etcd-like store: rpc.fbs:780-931, KVClient.java:9-33) ----

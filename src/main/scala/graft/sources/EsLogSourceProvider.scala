@@ -294,7 +294,17 @@ class EsLogMetaWatchSource(spark: SparkSession, dir: String) extends Source {
 class EsLogStreamSink(spark: SparkSession, dir: String,
                       parameters: Map[String, String]) extends Sink {
 
-  private val batchKey = "_sink.lastBatch." + parameters.getOrElse("queryName", "default")
+  // Batch ids are only comparable within one checkpoint lineage: a fresh
+  // checkpoint restarts ids at 0, so the idempotence marker must be scoped by
+  // the checkpoint location (stable across restarts of the same query, unique
+  // per query) — a static key would silently drop a new query's first batches.
+  private val batchKey = {
+    val scope = parameters.get("checkpointLocation")
+      .orElse(parameters.get("queryName"))
+      .getOrElse("default")
+    "_sink.lastBatch." + java.util.UUID.nameUUIDFromBytes(
+      scope.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+  }
 
   private val epoch: Long = {
     if (!MetaLog.exists(dir)) EsLog.create(dir,

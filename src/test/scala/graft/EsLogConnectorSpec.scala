@@ -198,5 +198,19 @@ class EsLogConnectorSpec extends SparkTestBase {
     val sum2 = EsLog.scan(spark, dst)
       .agg(sum(col("payload").cast("string").cast("long"))).collect().head.getLong(0)
     assert(sum2 == (0L until 400L).sum)
+    // a NEW query (fresh checkpoint) against the same sink stream restarts
+    // batch ids at 0 — its batches must NOT be confused with the old query's
+    // committed ids (it re-reads the source and appends everything again)
+    val ckpt3 = tmpDir("ckpt3-")
+    val q2 = spark.readStream.format("eslog").load(src)
+      .select("payload", "properties", "base_timestamp", "last_offset_delta", "flags")
+      .writeStream.format("eslog")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt3)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    assert(EsLog.nextOffset(dst) == 800L,
+      s"fresh-checkpoint query lost batches: ${EsLog.nextOffset(dst)}")
   }
 }

@@ -138,6 +138,13 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.scan(spark, dir).count() == 10)
     // idempotent: nothing more to drop at the same cutoff
     assert(EsLog.enforceRetention(dir, nowMs = 51010L).startOffset == 10L)
+    // out-of-order event time: a LATER file with expired timestamps must not
+    // drag the trim point past fresh data (only the contiguous expired
+    // prefix is dropped — Kafka retention semantics)
+    EsLog.append(spark, dir, batch(500L, 0 until 10), 1L, sortKey = Some("id"), numPartitions = 1)
+    val st2 = EsLog.enforceRetention(dir, nowMs = 51010L)
+    assert(st2.startOffset == 10L, s"trimmed past unexpired data: ${st2.startOffset}")
+    assert(EsLog.scan(spark, dir).count() == 20)
     // no retention configured -> no-op
     val dir2 = tmpDir("eslog-ret2-")
     EsLog.create(dir2); EsLog.open(dir2, 1L)

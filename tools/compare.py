@@ -58,11 +58,12 @@ def main():
             msg = "OK " if ok else "FAIL"
             print(f"{msg} {name}: rows {len(got)}/{len(want)} schema={schema_match} hash={hash_match}")
             if not ok and schema_match and len(got) and len(want):
-                gh = {tuple(sorted(gcols))}
                 order = sorted(range(len(gcols)), key=lambda i: gcols[i])
                 gs = sorted("\x01".join(canon(r[i]) for i in order) for r in got)
                 ws = sorted("\x01".join(canon(r[i]) for i in order) for r in want)
-                for a, b in zip(gs[:2000], ws[:2000]):
+                for idx in range(min(2000, max(len(gs), len(ws)))):
+                    a = gs[idx] if idx < len(gs) else "<missing>"
+                    b = ws[idx] if idx < len(ws) else "<missing>"
                     if a != b:
                         print(f"   first diff:\n     got  {a[:300]}\n     want {b[:300]}")
                         break
