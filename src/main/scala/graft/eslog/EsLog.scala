@@ -90,28 +90,76 @@ object EsLog {
     * FileMetas. Fails loudly if the writer produced anything other than one
     * file per non-empty partition (the commit math depends on it; the write
     * pins maxRecordsPerFile=0 to guarantee it). Part numbers are parsed up to
-    * the first '-', so >=100k-partition jobs parse correctly. */
+    * the first '-', so >=100k-partition jobs parse correctly.
+    *
+    * File sizes come from the same single directory listing (an object-store
+    * LIST returns name + size in one call — no per-file HEAD/stat round
+    * trips). A part file with no matching stats row (FileFormatWriter emits
+    * an empty file for a 0-row task 0) is deleted, not leaked. */
   private def commitFileMetas(streamDir: String, outRel: String, outAbs: String,
       stats: Seq[(Int, Long, Long, Long, Long, Long, Int)]): Seq[FileMeta] = {
-    val written = {
+    val written: Seq[(String, Long)] = {
       val s = Files.list(Paths.get(outAbs))
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq
+      try s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        .map(p => p.getFileName.toString ->
+          Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).size())
+        .toSeq
       finally s.close()
     }
-    val byPid = written.groupBy(n => n.stripPrefix("part-").takeWhile(_ != '-').toInt)
+    val byPid = written.groupBy(_._1.stripPrefix("part-").takeWhile(_ != '-').toInt)
     byPid.find(_._2.size > 1).foreach { case (pid, names) =>
       throw new IllegalStateException(
-        s"partition $pid wrote ${names.size} files (${names.mkString(", ")}) in $outAbs — " +
+        s"partition $pid wrote ${names.size} files (${names.map(_._1).mkString(", ")}) in $outAbs — " +
           "one file per task is required for manifest commit")
     }
+    val statPids = stats.map(_._1).toSet
+    byPid.filterNot(kv => statPids(kv._1)).values.flatten
+      .foreach { case (name, _) => Files.deleteIfExists(Paths.get(outAbs, name)) }
     stats.map { case (pid, nrows, startOff, endOff, minTs, maxTs, maxD) =>
-      val name = byPid.getOrElse(pid,
+      val (name, size) = byPid.getOrElse(pid,
         throw new IllegalStateException(s"no written file for partition $pid in $outAbs")).head
-      val rel = s"$outRel/$name"
-      FileMeta(rel, nrows, Files.size(Paths.get(streamDir, rel)),
-        startOff, endOff, minTs, maxTs, maxD)
+      FileMeta(s"$outRel/$name", nrows, size, startOff, endOff, minTs, maxTs, maxD)
     }.sortBy(_.startOffset)
+  }
+
+  /** Cross-check manifest row counts against what the writer actually wrote
+    * (parquet footer reads — metadata only, no data pages). Catches a
+    * nondeterministic upstream re-evaluating differently between the stats
+    * pass and the write pass (e.g. shuffle loss + round-robin repartition):
+    * a mismatching commit is aborted instead of landing a manifest that
+    * disagrees with file contents. */
+  private def validateFooters(spark: SparkSession, streamDir: String, files: Seq[FileMeta]): Unit = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val conf = spark.sparkContext.hadoopConfiguration
+    // One footer read per file, in parallel: each is a metadata-only open
+    // (~10 ms of Hadoop FS + thrift parse) and a commit may carry thousands
+    // of files — sequential reads would dominate small commits.
+    val checks = files.map { f => Future {
+      val p = new org.apache.hadoop.fs.Path(Paths.get(streamDir, f.path).toUri)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val rc = try reader.getRecordCount finally reader.close()
+      (f, rc)
+    }}
+    Await.result(Future.sequence(checks), Duration.Inf).foreach { case (f, rc) =>
+      if (rc != f.rows) throw new IllegalStateException(
+        s"footer row count $rc != stats rows ${f.rows} for ${f.path} — " +
+          "input evaluated differently between stats and write passes; commit aborted")
+    }
+  }
+
+  private def deleteRecursively(abs: String): Unit = {
+    val root = Paths.get(abs)
+    if (!Files.exists(root)) return
+    val s = Files.walk(root)
+    try s.iterator().asScala.toSeq.reverseIterator.foreach(p => Files.deleteIfExists(p))
+    finally s.close()
   }
 
   /** Normalize an input frame to appendable batch columns. Accepts any frame
@@ -169,91 +217,118 @@ object EsLog {
       case None => ()
     }
 
-    // Pin the input: both passes must see identical partition contents, and a
-    // nondeterministic upstream (shuffle read order, round-robin repartition)
-    // otherwise re-evaluates differently per pass. At cluster scale this also
-    // means the 100 TB source is scanned once, not twice.
-    val rdd = batches.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One physical plan shared by both passes, in Tungsten format end-to-end
+    // (no Row conversion, no executor-storage copy of the input). Pass 1
+    // (stats) and pass 2 (write) run as two jobs over the SAME RDD graph, so
+    // every shuffle stage inside the plan executes once and is reused — both
+    // passes are guaranteed identical partition membership. Per-partition
+    // aggregates are order-insensitive, so reduce-side fetch-order jitter
+    // between the jobs is harmless; `validateFooters` backstops the one
+    // remaining hazard (shuffle-output loss + nondeterministic recompute).
+    val dbgT = sys.env.contains("GRAFT_APPEND_TIMING")
+    var dbgT0 = System.nanoTime()
+    def dbgMark(name: String): Unit = if (dbgT) {
+      val now = System.nanoTime()
+      System.err.println(f"[append-timing] $name: ${(now - dbgT0) / 1e9}%.3f s")
+      dbgT0 = now
+    }
+    val internal = org.apache.spark.sql.graftshim.GraftShims.internalRdd(batches)
+    dbgMark("plan")
+    // Pass 1: per-partition delta sums -> contiguous per-partition base
+    // offsets. The distributed analogue of the write window: gap-free by
+    // construction (window.rs:79-204), plus per-partition stats so commit
+    // needs no re-read of the written files.
+    val deltaIdx = 2 // last_offset_delta position in `normalize` output
+    val tsIdx = 3
+    val partSums = internal.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; var n = 0L; var maxD = 0
+      var minTs = Long.MaxValue; var maxTs = Long.MinValue
+      it.foreach { r =>
+        val d = r.getInt(deltaIdx); s += d; n += 1
+        if (d > maxD) maxD = d
+        val ts = r.getLong(tsIdx)
+        if (ts < minTs) minTs = ts
+        if (ts > maxTs) maxTs = ts
+      }
+      Iterator((pid, s, n, maxD, minTs, maxTs))
+    }.collect().sortBy(_._1)
+    dbgMark("pass1")
+    val partStarts = partSums.scanLeft(next) { case (acc, p) => acc + p._2 }
+    val total = partSums.map(_._2).sum
+    if (total == 0) return (next, next)
+    val startByPid = partSums.map(_._1).zip(partStarts).toMap
+
+    // Pass 2: assign offsets, write Parquet sorted by base_offset so
+    // row-group min/max stats give tight offset pruning (= the reference's
+    // sparse index, range_offload.rs:361-451). Output rows reference the
+    // source row's map/binary buffers — safe because FileFormatWriter
+    // serializes each row into parquet column buffers before pulling next().
+    val segRel = f"seg-${seg.index}%05d"
+    val commitId = UUID.randomUUID().toString.take(8)
+    val outRel = s"$segRel/$commitId"
+    val outAbs = Paths.get(streamDir, outRel).toString
+    val segIndex = seg.index
+    val assigned = internal.mapPartitionsWithIndex { (pid, it) =>
+      var off = startByPid(pid)
+      it.map { r =>
+        val delta = r.getInt(deltaIdx)
+        val values = new Array[Any](8)
+        values(0) = if (r.isNullAt(0)) null else r.getLong(0)
+        values(1) = segIndex
+        values(2) = if (r.isNullAt(1)) null else r.getShort(1)
+        values(3) = off
+        values(4) = delta
+        values(5) = if (r.isNullAt(tsIdx)) null else r.getLong(tsIdx)
+        values(6) = if (r.isNullAt(4)) null else r.getMap(4)
+        values(7) = if (r.isNullAt(5)) null else r.getBinary(5)
+        off += delta
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.graftshim.GraftShims
+      .dfFromInternalRdd(spark, assigned, RecordBatchRow.schema)
+      .write.mode("errorifexists")
+      // Row-group size = the reference's sparse-index granularity
+      // (range_offload.rs:26, one index entry ≈ every 16 MiB): offset
+      // pruning then skips at the same resolution the reference seeks at.
+      .option("parquet.block.size", (16L * 1024 * 1024).toString)
+      // The commit derives file boundaries from pass-1 per-partition stats,
+      // which requires exactly one file per task — override any session-level
+      // maxRecordsPerFile so the writer can never split a partition.
+      .option("maxRecordsPerFile", "0")
+      .parquet(outAbs)
+    dbgMark("write")
+
+    // Commit from the pass-1 stats: one task partition = one written file
+    // (`part-<pid>-*`), so file boundaries are known without re-reading data
+    // (the reference gets this from the write window; DSv2 would get it from
+    // WriterCommitMessages). One directory listing, no per-row jobs.
+    val files = commitFileMetas(streamDir, outRel, outAbs,
+      partSums.filter(_._3 > 0).map { case (pid, sum, nrows, maxD, minTs, maxTs) =>
+        (pid, nrows, startByPid(pid), startByPid(pid) + sum, minTs, maxTs, maxD)
+      })
+
+    require(files.head.startOffset == next && files.last.endOffset == next + total,
+      s"offset assignment not contiguous: ${files.map(f => (f.startOffset, f.endOffset))}")
+    dbgMark("list+metas")
+
     try {
-      // Pass 1 (cheap, over the cache): per-partition delta sums -> contiguous
-      // per-partition base offsets. The distributed analogue of the write
-      // window: gap-free by construction (window.rs:79-204), plus per-partition
-      // stats so commit needs no re-read of the written files.
-      val deltaIdx = 2 // last_offset_delta position in `normalize` output
-      val tsIdx = 3
-      val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; var n = 0L; var maxD = 0
-        var minTs = Long.MaxValue; var maxTs = Long.MinValue
-        it.foreach { r =>
-          val d = r.getInt(deltaIdx); s += d; n += 1
-          if (d > maxD) maxD = d
-          val ts = r.getLong(tsIdx)
-          if (ts < minTs) minTs = ts
-          if (ts > maxTs) maxTs = ts
-        }
-        Iterator((pid, s, n, maxD, minTs, maxTs))
-      }.collect().sortBy(_._1)
-      val partStarts = partSums.scanLeft(next) { case (acc, p) => acc + p._2 }
-      val total = partSums.map(_._2).sum
-      if (total == 0) return (next, next)
-      val startByPid = partSums.map(_._1).zip(partStarts).toMap
-
-      // Pass 2: assign offsets, write Parquet sorted by base_offset so
-      // row-group min/max stats give tight offset pruning (= the reference's
-      // sparse index, range_offload.rs:361-451).
-      val segRel = f"seg-${seg.index}%05d"
-      val commitId = UUID.randomUUID().toString.take(8)
-      val outRel = s"$segRel/$commitId"
-      val outAbs = Paths.get(streamDir, outRel).toString
-      val segIndex = seg.index
-      val assigned = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var off = startByPid(pid)
-        it.map { r =>
-          val delta = r.getInt(deltaIdx)
-          val row = Row(r.getLong(0), segIndex, r.getShort(1), off, delta,
-            r.getLong(3), r.getMap(4), r.get(5))
-          off += delta
-          row
-        }
-      }
-      spark.createDataFrame(assigned, RecordBatchRow.schema)
-        .write.mode("errorifexists")
-        // Row-group size = the reference's sparse-index granularity
-        // (range_offload.rs:26, one index entry ≈ every 16 MiB): offset
-        // pruning then skips at the same resolution the reference seeks at.
-        .option("parquet.block.size", (16L * 1024 * 1024).toString)
-        // The commit derives file boundaries from pass-1 per-partition stats,
-        // which requires exactly one file per task — override any session-level
-        // maxRecordsPerFile so the writer can never split a partition.
-        .option("maxRecordsPerFile", "0")
-        .parquet(outAbs)
-
-      // Commit from the pass-1 stats: one task partition = one written file
-      // (`part-<pid>-*`), so file boundaries are known without re-reading data
-      // (the reference gets this from the write window; DSv2 would get it from
-      // WriterCommitMessages). One directory listing, no per-row jobs.
-      val files = commitFileMetas(streamDir, outRel, outAbs,
-        partSums.filter(_._3 > 0).map { case (pid, sum, nrows, maxD, minTs, maxTs) =>
-          (pid, nrows, startByPid(pid), startByPid(pid) + sum, minTs, maxTs, maxD)
-        })
-
-      require(files.head.startOffset == next && files.last.endOffset == next + total,
-        s"offset assignment not contiguous: ${files.map(f => (f.startOffset, f.endOffset))}")
-
-      try MetaLog.commit(streamDir, st, Seq(CommitFiles(seg.index, epoch, files)) ++ extraActions)
-      catch {
-        case e: ConcurrentCommitException =>
-          // The written files are unreachable (manifest never saw them) —
-          // delete before rethrow so a contended append can't leak storage.
-          val s = Files.walk(Paths.get(outAbs))
-          try s.iterator().asScala.toSeq
-            .reverseIterator.foreach(p => Files.deleteIfExists(p))
-          finally s.close()
-          throw e
-      }
-      (next, next + total)
-    } finally rdd.unpersist(blocking = false)
+      validateFooters(spark, streamDir, files)
+      dbgMark("footers")
+      MetaLog.commit(streamDir, st, Seq(CommitFiles(seg.index, epoch, files)) ++ extraActions)
+      dbgMark("commit")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // The written files are unreachable on any pre-commit failure (footer
+        // mismatch, fencing, CAS loss) — delete before rethrow so a failed
+        // append can't leak storage. Only skip cleanup if the commit in fact
+        // landed (an exception from post-commit bookkeeping).
+        val landed = MetaLog.load(streamDir).allFiles.map(_.path).toSet
+        if (!files.exists(f => landed(f.path))) deleteRecursively(outAbs)
+        throw e
+    }
+    (next, next + total)
   }
 
   /** Ingest raw append-frame payloads: each row of `frames` carries a binary
@@ -376,6 +451,7 @@ object EsLog {
             stats.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
               (pid, n, minOff, maxEnd, minTs, maxTs, maxD)
             })
+          validateFooters(spark, streamDir, added)
           val removed = seg.files.map(_.path)
           st = MetaLog.commitWithRetry(streamDir) { cur =>
             // revalidate against the current state: segment must still hold

@@ -47,4 +47,18 @@ object GraftShims {
       cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
       schema, isStreaming = true)
   }
+
+  /** The frame's physical output as an InternalRow RDD (Tungsten format, no
+    * Row conversion). Two jobs run over the SAME returned RDD share every
+    * shuffle stage inside the plan (map outputs are reused), which is what
+    * makes a stats pass + write pass see identical partition contents. */
+  def internalRdd(df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** Wrap an InternalRow RDD as a batch DataFrame without a Row round trip
+    * (the inverse of [[internalRdd]]; rows must already match `schema`). */
+  def dfFromInternalRdd(spark: SparkSession,
+                        rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                        schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
