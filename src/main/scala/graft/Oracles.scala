@@ -20,16 +20,22 @@ object Oracles {
 
   // ---- shared fragments ----
 
-  /** Word-3-gram shingles of documents.text, one row per (doc_id, shingle);
-    * the shingle expression comes from the same generator the Spark side
-    * mirrors, so the two can never drift. */
+  /** Word-3-gram shingles of documents.text, reduced to their 60-bit portable
+    * hash mod 2^31-1 and made distinct per (doc_id, hm), with the same
+    * document-frequency cap the Spark side applies
+    * ([[graft.operators.Dedup.cappedShingles]]); the shingle expression comes
+    * from the same generator the Spark side mirrors, so the two can never
+    * drift. */
   private val shingleRows =
     s"""sh0 AS (
        |  SELECT doc_id, unnest(${H.wordShinglesSql(3)}) AS s
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |shd AS (SELECT DISTINCT doc_id, ${H.uhashBaseSql("s")} AS hm FROM sh0),
+       |heavy AS (SELECT hm FROM shd GROUP BY hm HAVING count(*) > ${graft.operators.Dedup.DefaultMaxDf}),
+       |sh AS (SELECT doc_id, hm FROM shd WHERE hm NOT IN (SELECT hm FROM heavy))""".stripMargin
 
   private def minhashCols(numHashes: Int): String =
-    (0 until numHashes).map(i => s"min(${H.hash60Sql(i, "s")}) AS m$i").mkString(", ")
+    (0 until numHashes).map(i => s"min(${H.uhashSql(i, "hm")}) AS m$i").mkString(", ")
 
   // ---- eslog ----
 
@@ -175,11 +181,10 @@ object Oracles {
 
   private val dedupJaccard =
     s"""WITH $shingleRows,
-       |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |  FROM sh a JOIN sh b ON a.hm = b.hm AND a.doc_id < b.doc_id GROUP BY 1, 2)
        |SELECT i, j, inter / (si.n + sj.n - inter) AS jaccard
        |FROM pairs JOIN sizes si ON pairs.i = si.doc_id JOIN sizes sj ON pairs.j = sj.doc_id
        |WHERE inter / (si.n + sj.n - inter) >= 0.5""".stripMargin
@@ -190,7 +195,7 @@ object Oracles {
       s"SELECT doc_id, $b AS band, $sig AS sig FROM m"
     }.mkString("\nUNION ALL\n")
     s"""WITH $shingleRows,
-       |m AS (SELECT doc_id, ${minhashCols(16)} FROM sh0 GROUP BY doc_id),
+       |m AS (SELECT doc_id, ${minhashCols(16)} FROM sh GROUP BY doc_id),
        |b AS (
        |$bands)
        |SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
@@ -278,21 +283,23 @@ object Oracles {
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
 
-  private val simLsh = {
-    // bucket(table t) = sum over planes p of 2^p iff the Rademacher projection
-    // (weights = hash60(t:p:d) & 1 -> +/-1, folded over dims left-to-right) is > 0
-    def bucket(t: Int, vec: String): String = {
-      val planeTerms = (0 until 8).map { p =>
-        val proj = s"list_reduce(list_transform(range(1, len($vec) + 1), " +
-          s"d -> CASE WHEN (${H.hash60Sql(s"concat('$t:$p:', CAST(d - 1 AS VARCHAR))")} & 1) = 1 " +
-          s"THEN $vec[d] ELSE -$vec[d] END), (acc, x) -> acc + x)"
-        s"CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END"
-      }
-      planeTerms.mkString("(", " + ", ")")
+  /** bucket(table t) of `vec` = sum over planes p of 2^p iff the Rademacher
+    * projection (weights = hash60(t:p:d) & 1 -> +/-1, folded over dims
+    * left-to-right) is > 0 — same values as [[graft.operators.Similarity.lshBucket]]. */
+  private def lshBucketSql(t: Int, vec: String, planes: Int = 8): String = {
+    val planeTerms = (0 until planes).map { p =>
+      val proj = s"list_reduce(list_transform(range(1, len($vec) + 1), " +
+        s"d -> CASE WHEN (${H.hash60Sql(s"concat('$t:$p:', CAST(d - 1 AS VARCHAR))")} & 1) = 1 " +
+        s"THEN $vec[d] ELSE -$vec[d] END), (acc, x) -> acc + x)"
+      s"CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END"
     }
+    planeTerms.mkString("(", " + ", ")")
+  }
+
+  private val simLsh = {
     def buckets(src: String, id: String, vec: String, out: String) =
       (0 until 4).map(t =>
-        s"SELECT $id, $vec, $t AS tbl, ${bucket(t, vec)} AS bucket FROM $src")
+        s"SELECT $id, $vec, $t AS tbl, ${lshBucketSql(t, vec)} AS bucket FROM $src")
         .mkString("\nUNION ALL\n")
     s"""WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
        |c0 AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
@@ -309,11 +316,21 @@ object Oracles {
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
   }
 
-  private val dedupEmbedding =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-       |SELECT a.vec_id AS i, b.vec_id AS j, ${cosineSql("a.v", "b.v")} AS cosine
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE ${cosineSql("a.v", "b.v")} >= 0.45""".stripMargin
+  /** Mirrors [[graft.operators.Similarity.embeddingNearDupsLsh]]: candidates
+    * from the (table, bucket) self-equi-join, exact cosine on candidates. */
+  private val dedupEmbedding = {
+    val buckets = (0 until 12).map(t =>
+      s"SELECT id, v, $t AS tbl, ${lshBucketSql(t, "v", planes = 4)} AS bucket FROM e")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eb AS (
+       |$buckets),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS i, a.v AS va, b.id AS j, b.v AS vb
+       |  FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
+       |SELECT i, j, ${cosineSql("va", "vb")} AS cosine
+       |FROM cand WHERE ${cosineSql("va", "vb")} >= 0.45""".stripMargin
+  }
 
   private val simIvf =
     s"""WITH c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),

@@ -283,8 +283,15 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
   }
 
+  /** Scale path: bucketed LSH candidates + exact verify — never the all-pairs
+    * O(N²) join (that one, [[Similarity.embeddingNearDups]], is kept as the
+    * small-scale recall oracle only). The loose 0.45 threshold needs a
+    * shallow, wide bucket config (4 planes × 12 tables ≈ 0.9 recall there);
+    * real near-dup thresholds (≥ 0.85) would use the deeper default
+    * (8 planes) for far smaller candidate sets at the same recall. */
   private def qDedupEmbedding(s: SparkSession, sfDir: String): DataFrame =
-    Similarity.embeddingNearDups(Fixtures.embeddings(s, sfDir), "vec_id", "embedding", 0.45)
+    Similarity.embeddingNearDupsLsh(Fixtures.embeddings(s, sfDir), "vec_id", "embedding",
+      threshold = 0.45, dim = 64, planes = 4, tables = 12)
 
   private def qMultimodalDecode(s: SparkSession, sfDir: String): DataFrame =
     Multimodal.decodeFeatures(

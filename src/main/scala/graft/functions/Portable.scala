@@ -34,6 +34,47 @@ object Portable {
   def hash60Sql(seed: Int, expr: String): String =
     hash60Sql(s"concat('$seed:', $expr)")
 
+  // ---- universal-hash family (one digest, k arithmetic derivations) ----
+  //
+  // MinHash needs k independent hash functions per shingle. Hashing k times
+  // (md5 per family member) makes the digest the dominant cost of the whole
+  // dedup pipeline; the standard fix is ONE base digest h per value and a
+  // universal family h_i = (a_i * h + b_i) mod P on top — same collision
+  // guarantees (Carter–Wegman), k-fold fewer digests.
+
+  /** Family modulus: 2^31 - 1 (Mersenne prime). With h reduced mod P first,
+    * `a_i * h + b_i` stays below 2^62 — exact in BIGINT everywhere, so Spark
+    * and the SQL oracle can never diverge on overflow semantics. */
+  val UHPrime: Long = 2147483647L
+
+  private def md5Long(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Multiplier of family member i, in [1, P-1] — fixed engine-independent
+    * constants (derived from md5 JVM-side, embedded as literals in both the
+    * Spark plan and the oracle SQL). */
+  def uhA(i: Int): Long = md5Long(s"uh:a:$i") % (UHPrime - 1) + 1
+
+  /** Offset of family member i, in [0, P-1]. */
+  def uhB(i: Int): Long = md5Long(s"uh:b:$i") % UHPrime
+
+  /** Family member i over a base-hash column already reduced mod [[UHPrime]]. */
+  def uhash(i: Int, hm: Column): Column =
+    (lit(uhA(i)) * hm + lit(uhB(i))) % UHPrime
+
+  /** Base-hash column for the family: hash60 reduced mod [[UHPrime]]. */
+  def uhashBase(c: Column): Column = hash60(c) % UHPrime
+
+  /** DuckDB-SQL of [[uhash]] over an expression holding the reduced base hash. */
+  def uhashSql(i: Int, hmExpr: String): String =
+    s"(${uhA(i)} * $hmExpr + ${uhB(i)}) % $UHPrime"
+
+  /** DuckDB-SQL of [[uhashBase]]. */
+  def uhashBaseSql(expr: String): String = s"(${hash60Sql(expr)} % $UHPrime)"
+
   /** Whitespace word tokens (documents.text is single-space separated). */
   def words(text: Column): Column = split(text, " ")
 

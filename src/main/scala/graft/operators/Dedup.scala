@@ -14,10 +14,10 @@ import graft.functions.Portable
   *  - ngramJaccard: inverted-index self-join on shingles. The join key is the
   *    shingle, so co-occurring docs meet on the shuffle; pairs are counted,
   *    never materialized per-token on the driver.
-  *  - minHashLsh: MinHash signatures (k portable hash functions) banded into
-  *    b groups; candidates = docs sharing a (band, signature) bucket. At
-  *    100 TB the bucket join replaces the quadratic all-pairs scan; the
-  *    verify step only touches candidate pairs.
+  *  - minHashLsh: MinHash signatures (one md5 per shingle + a k-member
+  *    universal-hash family) banded into b groups; candidates = docs sharing
+  *    a (band, signature) bucket. At 100 TB the bucket join replaces the
+  *    quadratic all-pairs scan; the verify step only touches candidate pairs.
   *  - simHash: 60-bit sign-sum fingerprint per doc; near-dup = small Hamming
   *    distance (joinable by fingerprint bands if needed).
   *
@@ -26,6 +26,12 @@ import graft.functions.Portable
   */
 object Dedup {
 
+  /** Default document-frequency cap for shingle posting lists (see
+    * [[cappedShingles]]): absolute, so it needs no pre-count of the corpus;
+    * at web scale 1000 docs sharing a shingle is firmly stop-shingle
+    * territory, while small corpora (< 1000 docs) are never affected. */
+  val DefaultMaxDf: Long = 1000L
+
   /** Exact dedup by content hash: one representative (min id) per distinct
     * text + duplicate count. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -33,19 +39,48 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dups"))
       .select(idCol, "h", "dups")
 
+  /** Distinct (doc, shingle-hash) pairs with stop-shingles removed.
+    *
+    * Shingles are reduced to their 60-bit portable hash (`hm`, one md5 per
+    * occurrence) immediately after the explode, so every downstream shuffle —
+    * the distinct, the df aggregate, the posting-list self-joins — carries an
+    * 8-byte long instead of a k-word string. Jaccard over hashed shingles is
+    * the standard formulation (collisions at 2^-31 are noise); the SQL oracle
+    * applies the identical reduction, so results stay bit-equal.
+    *
+    * The df cap: a shingle in M documents contributes M² rows to any
+    * posting-list self-join, so common k-grams ("of the and") make the join
+    * quadratic on real corpora even though it is an equi-join. Hashes with
+    * document frequency > maxDf are dropped before the join — the heavy set
+    * is tiny by construction, so it broadcasts, and the anti join costs one
+    * map-side-combined aggregate. maxDf <= 0 disables the cap. */
+  private[graft] def cappedShingles(docs: DataFrame, idCol: String, textCol: String,
+                                    k: Int, maxDf: Long): DataFrame = {
+    val sh = OpUtil.rebalance(docs)
+      .select(col(idCol).as("doc"), explode(Portable.wordShingles(col(textCol), k)).as("s"))
+      .select(col("doc"), Portable.uhashBase(col("s")).as("hm"))
+      .distinct()
+    if (maxDf <= 0) sh
+    else {
+      val heavy = sh.groupBy("hm").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("hm")
+      sh.join(broadcast(heavy), Seq("hm"), "left_anti")
+    }
+  }
+
   /** N-gram (word shingle) Jaccard similarity join: all pairs (i < j) with
     * |shingles_i ∩ shingles_j| / |union| >= threshold.
     *
-    * Inverted-index plan: explode distinct shingles, self-join on the shingle
-    * (equi-join => hash shuffle on shingle, no cartesian), count matches per
-    * pair, combine with per-doc set sizes. */
+    * Inverted-index plan: explode distinct shingle hashes, self-join on the
+    * hash (equi-join => hash shuffle on an 8-byte key, no cartesian), count
+    * matches per pair, combine with per-doc set sizes. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"), explode(Portable.wordShingles(col(textCol), k)).as("s"))
-      .distinct()
+                   k: Int = 3, threshold: Double = 0.5,
+                   maxDf: Long = DefaultMaxDf): DataFrame = {
+    val sh = cappedShingles(docs, idCol, textCol, k, maxDf)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+        col("a.hm") === col("b.hm") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -57,12 +92,16 @@ object Dedup {
   }
 
   /** MinHash signature columns m0..m{numHashes-1}: per doc, min over shingles
-    * of the seeded portable hash. */
+    * of universal-hash family member i. One md5 per shingle total — the k
+    * family members are arithmetic derivations ([[Portable.uhash]]), not k
+    * separate digests, which cuts the dominant cost of signature computation
+    * by ~k×. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"), explode(Portable.wordShingles(col(textCol), k)).as("s"))
-    val mins = (0 until numHashes).map(i => min(Portable.hash60(i, col("s"))).as(s"m$i"))
-    sh.groupBy("doc").agg(mins.head, mins.tail: _*)
+                        k: Int, numHashes: Int,
+                        maxDf: Long = DefaultMaxDf): DataFrame = {
+    val hm = cappedShingles(docs, idCol, textCol, k, maxDf)
+    val mins = (0 until numHashes).map(i => min(Portable.uhash(i, col("hm"))).as(s"m$i"))
+    hm.groupBy("doc").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH candidate pairs: signatures banded into `bands` groups of
@@ -71,10 +110,11 @@ object Dedup {
     * 1 - (1 - j^r)^b — the standard S-curve; 16 hashes / 4 bands puts the
     * knee near j ≈ 0.5. */
   def minHashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
-                           k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                           k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                           maxDf: Long = DefaultMaxDf): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, k, numHashes)
+    val sigs = minHashSignatures(docs, idCol, textCol, k, numHashes, maxDf)
     val bandSigs = (0 until bands).map { b =>
       concat_ws(",", (0 until r).map(i => col(s"m${b * r + i}")): _*).as(s"band$b")
     }
@@ -91,8 +131,8 @@ object Dedup {
   /** SimHash fingerprint (60-bit): per token occurrence, each hash bit votes
     * +1/-1; fingerprint bit b is set iff the bit-b vote sum is positive. */
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-      explode(Portable.words(col(textCol))).as("t"))
+    val toks = OpUtil.rebalance(docs)
+      .select(col(idCol).as("doc"), explode(Portable.words(col(textCol))).as("t"))
       .withColumn("h", Portable.hash60(col("t")))
     val votes = (0 until bits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")
@@ -109,16 +149,16 @@ object Dedup {
     * candidates, not pairs). */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
-    val cands = minHashLshCandidates(docs, idCol, textCol, k, numHashes, bands)
-    val sh = docs.select(col(idCol).as("doc"), explode(Portable.wordShingles(col(textCol), k)).as("s"))
-      .distinct()
+                      threshold: Double = 0.5,
+                      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val cands = minHashLshCandidates(docs, idCol, textCol, k, numHashes, bands, maxDf)
+    val sh = cappedShingles(docs, idCol, textCol, k, maxDf)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    // intersection via composite equi-join (doc, shingle) — linear in the
-    // candidates' shingle lists, never |si| x |sj| per pair
+    // intersection via composite equi-join (doc, shingle hash) — linear in
+    // the candidates' shingle lists, never |si| x |sj| per pair
     val inter = cands
       .join(sh.as("x"), col("i") === col("x.doc"))
-      .join(sh.as("y"), col("j") === col("y.doc") && col("x.s") === col("y.s"))
+      .join(sh.as("y"), col("j") === col("y.doc") && col("x.hm") === col("y.hm"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc", "i").withColumnRenamed("n", "ni"), "i")

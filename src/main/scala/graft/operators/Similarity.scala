@@ -41,7 +41,7 @@ object Similarity {
     * window partitioned by query (shuffle keyed by query id only). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val c = OpUtil.rebalance(corpus).select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("score"))
@@ -76,17 +76,41 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (i < j) with cosine >=
-    * threshold. Brute force is the exact baseline (O(N²/2) scoring, one
-    * shuffle-free broadcast pass when one side fits); at corpus scale swap in
-    * the [[hyperplaneLshTopK]] bucketing and verify candidates exactly —
-    * identical output above the S-curve knee. */
+  /** Embedding-cosine near-duplicate pairs, exact: all (i < j) with cosine >=
+    * threshold via an all-pairs broadcast pass. O(N²/2) scoring — this is the
+    * small-scale recall oracle ONLY; the scale path is
+    * [[embeddingNearDupsLsh]], which replaces the quadratic scan with a
+    * bucketed candidate join. */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
     val a = corpus.select(col(idCol).as("i"), asDouble(col(vecCol)).as("va"))
     val b = corpus.select(col(idCol).as("j"), asDouble(col(vecCol)).as("vb"))
     a.join(broadcast(b), col("i") < col("j"))
       .select(col("i"), col("j"), cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs at corpus scale: hyperplane-LSH
+    * candidates — self equi-join on (table, bucket) with i < j — verified
+    * with the exact cosine and thresholded. Cost is O(N·tables) bucket rows
+    * plus candidate verification, never N²; pairs are found iff they collide
+    * in at least one table (probability follows the S-curve in `planes` /
+    * `tables`), so raise `tables` (or lower `planes`) to push recall up for
+    * a given threshold. [[embeddingNearDups]] is the exact baseline to
+    * measure that recall against. */
+  def embeddingNearDupsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, dim: Int,
+                           planes: Int = 8, tables: Int = 4): DataFrame = {
+    val e = OpUtil.rebalance(corpus).select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val eb = e.select(col("id"), col("v"),
+      posexplode(array((0 until tables).map(t => lshBucket(col("v"), t, planes, dim)): _*))
+        .as(Seq("tbl", "bucket")))
+    val cands = eb.as("a").join(eb.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("a.v").as("va"), col("b.id").as("j"), col("b.v").as("vb"))
+      .distinct()
+    cands.select(col("i"), col("j"), cosine(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
@@ -99,7 +123,7 @@ object Similarity {
     * and the candidate join is a hash join on the cell id. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val c = OpUtil.rebalance(corpus).select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     val cents = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
       .orderBy("cid").limit(nlist)
@@ -128,7 +152,7 @@ object Similarity {
   def hyperplaneLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, k: Int, dim: Int,
                         planes: Int = 8, tables: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val c = OpUtil.rebalance(corpus).select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     def bucketed(df: DataFrame, vc: String, ic: String) =
       df.select(col(ic), col(vc),

@@ -57,6 +57,18 @@ object BenchProbe {
         .option("parquet.page.write-checksum.enabled", "false")
     }
     raw("raw write 16MiB blocks") { _.option("parquet.block.size", (16L * 1024 * 1024).toString) }
+
+    // dedup pipeline stage timing at sf0.1
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs.count()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    for (i <- 1 to 2) {
+      t(s"capped shingles #$i") { noop(graft.operators.Dedup.cappedShingles(docs, "doc_id", "text", 3, 1000)) }
+      t(s"signatures #$i") { noop(graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text", 3, 16)) }
+      t(s"lsh candidates #$i") { noop(graft.operators.Dedup.minHashLshCandidates(docs, "doc_id", "text")) }
+      t(s"jaccard #$i") { noop(graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text")) }
+    }
     spark.stop()
   }
 }

@@ -53,6 +53,39 @@ class PlanAuditSpec extends SparkTestBase {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("embedding near-dup LSH path: bucket equi-join, never all-pairs") {
+    val p = plan(Similarity.embeddingNearDupsLsh(emb, "vec_id", "embedding",
+      threshold = 0.45, dim = 64))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("shingle df cap drops stop-shingles before the posting-list self-join") {
+    import spark.implicits._
+    // every doc shares the stop-shingle "a b c"; only docs 0/1 share a rare one
+    val corpus = Seq(
+      (0L, "a b c x0 y0 rare one two"),
+      (1L, "a b c x1 y1 rare one two"),
+      (2L, "a b c x2 y2 unrelated words here"),
+      (3L, "a b c x3 y3 other stuff entirely")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.cappedShingles(corpus, "doc_id", "text", k = 3, maxDf = 2)
+    val uncapped = Dedup.cappedShingles(corpus, "doc_id", "text", k = 3, maxDf = 0)
+    // the stop-shingle "a b c" (df=4) is gone from the posting list; no
+    // surviving hash may appear in more than maxDf docs
+    assert(capped.count() < uncapped.count())
+    val maxSurvivingDf = capped.groupBy("hm").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxSurvivingDf <= 2, s"df cap leaked: $maxSurvivingDf")
+    // the capped join finds the genuinely-similar pair without the stop-shingle
+    // blowup; jaccard values only use the capped universe on both sides
+    val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text", k = 3, threshold = 0.1, maxDf = 2)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), pairs.toString)
+  }
+
   test("relational join picks broadcast for the small dimension side") {
     Fixtures.tune(spark)
     val customer = spark.read.parquet(sf("customer"))
