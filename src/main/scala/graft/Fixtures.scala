@@ -123,7 +123,8 @@ object Fixtures {
       ()
     }
 
-  /** KV fixture: puts, delete, a successful CAS txn, a failed (stale) one. */
+  /** KV fixture: puts, delete, range delete, a successful CAS txn, a failed
+    * (stale) one. */
   def kvStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "kv") { dir =>
       EsLog.create(dir, streamId = 46L)
@@ -131,6 +132,8 @@ object Fixtures {
       EsLog.delKV(dir, "k2")
       require(EsLog.txnKV(dir, "k1", Some("a"), Seq("k1" -> Some("a2"), "k4" -> Some("d"))))
       require(!EsLog.txnKV(dir, "k1", Some("a"), Seq("k5" -> Some("never"))))
+      EsLog.putKV(dir, "z1", "tmp1"); EsLog.putKV(dir, "z2", "tmp2"); EsLog.putKV(dir, "z9", "keep")
+      EsLog.delRangeKV(dir, "z1", Some("z9")) // DELETE_RANGE [z1, z9): z9 survives
       ()
     }
 

@@ -507,11 +507,23 @@ object EsLog {
   def delKV(streamDir: String, key: String): Unit =
     MetaLog.commitWithRetry(streamDir) { st => if (st.kv.contains(key)) Seq(KvDel(key)) else Seq.empty }
 
-  /** Range scan [from, until) in key order (etcd RangeRequest, rpc.fbs:780-822). */
-  def rangeKV(streamDir: String, from: String = "", until: String = "￿"): Seq[(String, String)] =
+  /** Range scan [from, until) in key order (etcd RangeRequest, rpc.fbs:780-822).
+    * `until = None` means unbounded — no sentinel max-key string, so keys that
+    * sort at or above U+FFFF are still covered by a full scan. */
+  def rangeKV(streamDir: String, from: String = "",
+              until: Option[String] = None): Seq[(String, String)] =
     MetaLog.load(streamDir).kv.toSeq
-      .filter { case (k, _) => k >= from && k < until }
+      .filter { case (k, _) => k >= from && until.forall(k < _) }
       .sortBy(_._1)
+
+  /** DELETE_RANGE [from, until) (etcd DeleteRangeRequest, rpc.fbs:780-931):
+    * every key in the range is deleted in ONE atomic commit — a reader folds
+    * either none or all of the deletions. `until = None` deletes to the end
+    * of the keyspace. */
+  def delRangeKV(streamDir: String, from: String, until: Option[String]): Unit =
+    MetaLog.commitWithRetry(streamDir) { st =>
+      st.kv.keys.filter(k => k >= from && until.forall(k < _)).toSeq.sorted.map(KvDel(_))
+    }
 
   /** Compare-and-swap transaction (etcd TxnRequest, rpc.fbs:904-931): iff
     * `key`'s current value equals `expect` (None = absent), apply `ops`

@@ -156,7 +156,8 @@ case class EsLogOffset(offset: Long) extends org.apache.spark.sql.execution.stre
 class EsLogStreamSource(spark: SparkSession, dir: String,
                         parameters: Map[String, String]) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows, Offset => OffsetV2}
 
@@ -197,6 +198,20 @@ class EsLogStreamSource(spark: SparkSession, dir: String,
 
   override def reportLatestOffset(): OffsetV2 = EsLogOffset(MetaLog.load(dir).nextOffset)
 
+  /** Backlog reporting (the REPORT_METRICS intent, rpc.fbs:607-637): how far
+    * the query trails the stream's committed head, surfaced per batch in
+    * `StreamingQueryProgress.sources[i].metrics`. */
+  override def metrics(latestConsumedOffset: java.util.Optional[OffsetV2]): java.util.Map[String, String] = {
+    val latest = MetaLog.load(dir).nextOffset
+    val consumed =
+      if (latestConsumedOffset.isPresent) offsetValue(latestConsumedOffset.get)
+      else if (lastEnd >= 0) lastEnd
+      else initial
+    java.util.Map.of(
+      "latestOffset", latest.toString,
+      "backlogOffsets", math.max(0L, latest - consumed).toString)
+  }
+
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val st = MetaLog.load(dir)
     val base = Option(startOffset).map(offsetValue)
@@ -236,12 +251,25 @@ class EsLogStreamSource(spark: SparkSession, dir: String,
     val hi = end.json().toLong
     lastEnd = math.max(lastEnd, hi)
     val st = MetaLog.load(dir)
-    val metas = st.filesInRange(math.max(lo, st.startOffset), hi)
-    if (metas.isEmpty || lo >= hi)
+    val effLo = math.max(lo, st.startOffset)
+    val metas = st.filesInRange(effLo, hi)
+    if (metas.isEmpty || effLo >= hi)
       return org.apache.spark.sql.graftshim.GraftShims.emptyStreamingDF(spark, schema)
-    val df = spark.read.schema(schema)
+    val raw = spark.read.schema(schema)
       .parquet(metas.map(f => Paths.get(dir, f.path).toString): _*)
-      .where(col("base_offset") >= lo && col("base_offset") < hi)
+    // First micro-batch of a fresh checkpoint: use fetch's straddle lower
+    // bound so a multi-offset batch trimmed mid-span is still delivered (its
+    // readable records start at effLo but its base_offset sits below it).
+    // Later micro-batches partition strictly on base_offset — the straddling
+    // batch was already delivered by whichever trigger contained its base.
+    val df =
+      if (start.isEmpty) {
+        val maxDelta = metas.map(_.maxDelta.toLong).max
+        raw.where(col("base_offset") > effLo - maxDelta && col("base_offset") < hi &&
+          col("base_offset") + col("last_offset_delta") > effLo)
+      } else {
+        raw.where(col("base_offset") >= effLo && col("base_offset") < hi)
+      }
     org.apache.spark.sql.graftshim.GraftShims.asStreamingDF(df)
   }
 
@@ -297,11 +325,16 @@ class EsLogStreamSink(spark: SparkSession, dir: String,
   // Batch ids are only comparable within one checkpoint lineage: a fresh
   // checkpoint restarts ids at 0, so the idempotence marker must be scoped by
   // the checkpoint location (stable across restarts of the same query, unique
-  // per query) — a static key would silently drop a new query's first batches.
+  // per query). No fallback scope: two unnamed queries sharing one marker
+  // would silently drop the second query's batches (its ids restart at 0 and
+  // compare <= committed), so a missing scope is an error, not a default.
   private val batchKey = {
     val scope = parameters.get("checkpointLocation")
       .orElse(parameters.get("queryName"))
-      .getOrElse("default")
+      .getOrElse(throw new IllegalArgumentException(
+        "eslog sink needs an explicit idempotence scope: set " +
+          ".option(\"checkpointLocation\", dir) (or .option(\"queryName\", name)) " +
+          "on the writer — a session-conf checkpoint location is not visible here"))
     "_sink.lastBatch." + java.util.UUID.nameUUIDFromBytes(
       scope.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
   }

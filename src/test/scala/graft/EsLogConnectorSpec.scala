@@ -148,6 +148,82 @@ class EsLogConnectorSpec extends SparkTestBase {
     assert(keys.length == 200 && keys.toSet.size == 200)
   }
 
+  test("source reports backlog metrics in streaming progress") {
+    val dir = mkStream(1000)
+    val ckpt = tmpDir("ckptm-")
+    val q = spark.readStream.format("eslog")
+      .option("maxOffsetsPerTrigger", "250")
+      .load(dir)
+      .writeStream.format("memory").queryName("metrics_drain")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val progress = q.recentProgress
+    assert(progress.nonEmpty)
+    val metrics = progress.map(_.sources.head.metrics)
+    assert(metrics.forall(m => m.containsKey("backlogOffsets") && m.containsKey("latestOffset")),
+      metrics.mkString(", "))
+    // mid-drain batches trail the head; the final batch reports zero backlog
+    assert(metrics.head.get("latestOffset") == "1000")
+    assert(metrics.last.get("backlogOffsets") == "0", metrics.map(_.get("backlogOffsets")).mkString(","))
+    assert(metrics.exists(_.get("backlogOffsets").toLong > 0))
+  }
+
+  test("first micro-batch straddles a mid-batch trim point (fetch semantics)") {
+    val dir = tmpDir("straddle-src-")
+    EsLog.create(dir, streamId = 11L)
+    EsLog.open(dir, 1L)
+    // batches of 3 offsets each: ids 0..99, batch i covers [3i, 3i+3)
+    val in = spark.range(100).select(
+      col("id"),
+      col("id").cast("string").cast("binary").as("payload"),
+      lit(3).as("last_offset_delta"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 2)
+    EsLog.trim(dir, 100L) // mid-batch: batch 33 covers [99, 102)
+    val ckpt = tmpDir("ckpts-")
+    val q = spark.readStream.format("eslog").load(dir)
+      .writeStream.format("memory").queryName("straddle_drain")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val offs = spark.table("straddle_drain").select("base_offset")
+      .collect().map(_.getLong(0)).sorted
+    // the straddling batch (base 99) must be delivered, like EsLog.fetch does
+    val expected = EsLog.fetch(spark, dir).select("base_offset")
+      .collect().map(_.getLong(0)).sorted
+    assert(offs.head == 99L, offs.take(3).mkString(","))
+    assert(offs.sameElements(expected))
+  }
+
+  test("sink without an explicit idempotence scope is rejected") {
+    // the dangerous case: checkpoint set only via session conf, so the sink's
+    // parameters carry no scope — two unnamed queries would share one marker
+    val src = mkStream(10)
+    val dst = tmpDir("sink-noscope-")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", tmpDir("ckpt-conf-"))
+    try {
+      val e = intercept[Exception] {
+        val q = spark.readStream.format("eslog").load(src)
+          .select("payload")
+          .writeStream.format("eslog")
+          .option("path", dst)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        q.exception.foreach(throw _)
+      }
+      def all(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: all(x.getCause))
+      assert(all(e).exists(_.getMessage != null) &&
+        all(e).exists(t => Option(t.getMessage).exists(_.contains("idempotence scope"))),
+        e.toString)
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
   test("catalog scanAll unions registered streams with per-stream pruning") {
     val root = tmpDir("catscan-")
     val cat = new graft.eslog.EsCatalog(root)

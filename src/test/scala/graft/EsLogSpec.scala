@@ -108,9 +108,21 @@ class EsLogSpec extends SparkTestBase {
     EsLog.create(dir)
     EsLog.putKV(dir, "a/1", "x"); EsLog.putKV(dir, "a/2", "y"); EsLog.putKV(dir, "b/1", "z")
     assert(EsLog.getKV(dir, "a/2").contains("y"))
-    assert(EsLog.rangeKV(dir, "a/", "a0").map(_._1) == Seq("a/1", "a/2"))
+    assert(EsLog.rangeKV(dir, "a/", Some("a0")).map(_._1) == Seq("a/1", "a/2"))
     EsLog.delKV(dir, "a/1")
     assert(EsLog.getKV(dir, "a/1").isEmpty)
+    // unbounded scan covers keys above the BMP sentinel range
+    EsLog.putKV(dir, "￿-high", "h")
+    assert(EsLog.rangeKV(dir).map(_._1).contains("￿-high"))
+    // DELETE_RANGE: one atomic commit removes [a/, b) and nothing else
+    val vBefore = graft.meta.MetaLog.latestVersion(dir)
+    EsLog.delRangeKV(dir, "a/", Some("b"))
+    assert(graft.meta.MetaLog.latestVersion(dir) == vBefore + 1)
+    assert(EsLog.getKV(dir, "a/2").isEmpty)
+    assert(EsLog.getKV(dir, "b/1").nonEmpty)
+    // empty range -> no commit at all
+    EsLog.delRangeKV(dir, "m", Some("m0"))
+    assert(graft.meta.MetaLog.latestVersion(dir) == vBefore + 1)
     // CAS txn: succeeds against the expected value, then fails on stale expect
     assert(EsLog.txnKV(dir, "b/1", Some("z"), Seq("b/1" -> Some("z2"), "c" -> Some("new"))))
     assert(EsLog.getKV(dir, "b/1").contains("z2") && EsLog.getKV(dir, "c").contains("new"))
