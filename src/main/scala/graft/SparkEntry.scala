@@ -270,6 +270,16 @@ object SparkEntry {
       k = 5, nlist = 16, nprobe = 4)
   }
 
+  /** IVF with driver-side deterministic k-means centroids. The iterative
+    * float averaging is not reproducible in portable SQL, so this entry has
+    * no oracle (driver records rows-only); SimilaritySpec asserts recall
+    * >= 0.9 against the exact top-k instead. */
+  private def qSimIvfKmeans(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    Similarity.ivfTopKKmeans(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+  }
+
   /** Salted skew join: same relation as a plain join (salt never leaks). */
   private def qJoinSalted(s: SparkSession, sfDir: String): DataFrame = {
     Fixtures.tune(s)
@@ -409,6 +419,7 @@ object SparkEntry {
     "sim_lsh" -> (qSimLsh _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "sim_ivf" -> (qSimIvf _),
+    "sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "join_salted" -> (qJoinSalted _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),

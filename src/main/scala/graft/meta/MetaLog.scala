@@ -1,7 +1,7 @@
 package graft.meta
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Path, Paths}
 import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{ObjectMapper, JsonNode}
 import com.fasterxml.jackson.databind.node.{ObjectNode, ArrayNode}
@@ -16,8 +16,9 @@ import com.fasterxml.jackson.databind.node.{ObjectNode, ArrayNode}
   * fencing in [[StreamState]], gives the single-writer guarantee the
   * reference gets from the seal protocol.
   *
-  * Designed for object-store translation: on S3 the hard-link trick becomes a
-  * conditional PUT (If-None-Match) on the same layout; nothing else changes.
+  * All IO goes through the [[LogStore]] seam ([[FsLogStore]] locally): on S3
+  * the hard-link trick becomes a conditional PUT (If-None-Match) on the same
+  * layout — a new LogStore implementation, nothing else changes.
   * The log stays O(segments): every [[CheckpointInterval]] commits the writer
   * drops a `<v>.checkpoint.json` snapshot of the folded state plus a
   * `_last_checkpoint` pointer (Delta-style), so `load` reads one checkpoint +
@@ -29,6 +30,10 @@ object MetaLog {
   val LogDirName = "_eslog"
   val CheckpointInterval = 10
   private val LastCheckpointName = "_last_checkpoint"
+
+  /** The storage backend. Swappable for tests and for object-store
+    * deployments (see the [[LogStore]] contract); FS by default. */
+  @volatile var store: LogStore = FsLogStore
 
   def logDir(streamDir: String): Path = Paths.get(streamDir, LogDirName)
 
@@ -136,28 +141,22 @@ object MetaLog {
     n.get("kv").fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
     n.get("deleted").asBoolean(), n.get("version").asLong())
 
-  // ---- log IO ----
+  // ---- log IO (all through the LogStore seam) ----
 
-  def exists(streamDir: String): Boolean = Files.isDirectory(logDir(streamDir))
+  def exists(streamDir: String): Boolean = store.isDir(logDir(streamDir))
 
   private def checkpointFile(streamDir: String, v: Long): Path =
     logDir(streamDir).resolve(f"$v%020d.checkpoint.json")
 
-  private def listVersionsAfter(streamDir: String, after: Long): Seq[Long] = {
-    val dir = logDir(streamDir)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    val s = Files.list(dir)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
+  private def listVersionsAfter(streamDir: String, after: Long): Seq[Long] =
+    store.list(logDir(streamDir))
       .filter(n => n.endsWith(".json") && !n.startsWith("_") && !n.contains(".checkpoint"))
       .map(_.stripSuffix(".json").toLong)
       .filter(_ > after)
-      .toSeq.sorted
-    finally s.close()
-  }
+      .sorted
 
   private def readVersion(streamDir: String, v: Long): Seq[Action] = {
-    val bytes = Files.readAllBytes(versionFile(streamDir, v))
+    val bytes = store.read(versionFile(streamDir, v))
     mapper.readTree(bytes).elements().asScala.map(actionFromJson).toSeq
   }
 
@@ -165,30 +164,24 @@ object MetaLog {
   private def readLastCheckpoint(streamDir: String): Option[StreamState] =
     try {
       val ptr = logDir(streamDir).resolve(LastCheckpointName)
-      if (!Files.isRegularFile(ptr)) return None
-      val v = new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8).trim.toLong
+      if (!store.exists(ptr)) return None
+      val v = new String(store.read(ptr), StandardCharsets.UTF_8).trim.toLong
       val f = checkpointFile(streamDir, v)
-      if (!Files.isRegularFile(f)) return None
-      val root = mapper.readTree(Files.readAllBytes(f))
+      if (!store.exists(f)) return None
+      val root = mapper.readTree(store.read(f))
       Option(root.get("checkpoint")).map(stateFromJson)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Write `<v>.checkpoint.json` + `_last_checkpoint`. Content is a pure
     * function of the log prefix, so concurrent writers racing here converge
-    * on identical bytes; REPLACE_EXISTING makes the race harmless. */
+    * on identical bytes; the atomic replace makes the race harmless. */
   private def writeCheckpoint(streamDir: String, state: StreamState): Unit =
     try {
-      val dir = logDir(streamDir)
       val o = mapper.createObjectNode()
       o.set[ObjectNode]("checkpoint", stateToJson(state))
-      val tmp = Files.createTempFile(dir, "_tmpckpt-", ".json")
-      Files.write(tmp, mapper.writeValueAsBytes(o))
-      Files.move(tmp, checkpointFile(streamDir, state.version),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      val tmp2 = Files.createTempFile(dir, "_tmpptr-", ".txt")
-      Files.write(tmp2, state.version.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp2, dir.resolve(LastCheckpointName),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      store.putAtomic(checkpointFile(streamDir, state.version), mapper.writeValueAsBytes(o))
+      store.putAtomic(logDir(streamDir).resolve(LastCheckpointName),
+        state.version.toString.getBytes(StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => () } // advisory only
 
   /** Fold the log into a snapshot-consistent state: newest checkpoint + the
@@ -218,19 +211,13 @@ object MetaLog {
     // Validate locally first so a bad commit never hits the log.
     val v = state.version + 1
     val next = actions.foldLeft(state)((s, a) => StreamState.apply(s, a, v))
-    val dir = logDir(streamDir)
-    Files.createDirectories(dir)
+    store.mkdirs(logDir(streamDir))
     val arr: ArrayNode = mapper.createArrayNode()
     actions.foreach(a => arr.add(actionToJson(a)))
-    val tmp = Files.createTempFile(dir, s"_tmp-$v-", ".json")
-    try {
-      Files.write(tmp, mapper.writeValueAsBytes(arr))
-      try Files.createLink(versionFile(streamDir, v), tmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new ConcurrentCommitException(s"version $v already committed in $streamDir")
-      }
-    } finally Files.deleteIfExists(tmp)
+    // The version number IS the CAS token: putIfAbsent succeeds for exactly
+    // one writer of version v (FS: hard link; S3: If-None-Match PUT).
+    if (!store.putIfAbsent(versionFile(streamDir, v), mapper.writeValueAsBytes(arr)))
+      throw new ConcurrentCommitException(s"version $v already committed in $streamDir")
     if (v > 0 && v % CheckpointInterval == 0) writeCheckpoint(streamDir, next)
     next
   }

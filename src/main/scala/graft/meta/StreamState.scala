@@ -135,11 +135,27 @@ object StreamState {
       case Trim(minOffset) =>
         // TRIM_STREAM (rpc.fbs:572-591): advance start, drop fully-covered
         // files; a straddling file stays (readers re-filter on base_offset).
+        // Clamped at nextOffset — trimming "past the end" empties the stream
+        // but can never invent unwritten offsets.
         require(minOffset >= s.startOffset, s"trim $minOffset < ${s.startOffset}")
+        val eff = math.min(minOffset, s.nextOffset)
         val segs = s.segments
-          .map(seg => seg.copy(files = seg.files.filter(_.endOffset > minOffset)))
-          .filter(seg => seg.sealedEnd.forall(_ > minOffset) || seg.files.nonEmpty || !seg.sealed_)
-        s.copy(startOffset = math.max(s.startOffset, minOffset), segments = segs)
+          .map { seg =>
+            val kept = seg.files.filter(_.endOffset > eff)
+            // An open segment derives its confirm offset from its files
+            // (reference ranges track it separately, range/mod.rs:9-42): if
+            // the trim vacuums its file prefix, advance `start` to the kept
+            // boundary so the derived confirmedEnd — and with it nextOffset —
+            // can never regress below already-assigned offsets.
+            val start =
+              if (seg.sealed_) seg.start
+              else math.max(seg.start,
+                kept.headOption.map(f => math.min(eff, f.startOffset))
+                  .getOrElse(seg.confirmedEnd))
+            seg.copy(start = start, files = kept)
+          }
+          .filter(seg => seg.sealedEnd.forall(_ > eff) || seg.files.nonEmpty || !seg.sealed_)
+        s.copy(startOffset = math.max(s.startOffset, eff), segments = segs)
 
       case ReplaceFiles(index, removed, added) =>
         val i = s.segments.indexWhere(_.index == index)

@@ -117,16 +117,80 @@ object Similarity {
   /** IVF-style ANN: a coarse quantizer of `nlist` centroids partitions the
     * corpus into cells; a query probes its `nprobe` closest cells and only
     * their members are scored exactly. The centroid set here is a
-    * deterministic sample (lowest `nlist` ids) — swap in k-means centroids
-    * for better cell balance; the plan shape (cell equi-join, no all-pairs)
-    * is identical. At corpus scale the cell assignment is one broadcast pass
-    * and the candidate join is a hash join on the cell id. */
+    * deterministic sample (lowest `nlist` ids) — fully SQL-reproducible, so
+    * it is what the DuckDB oracle checks bit-for-bit; [[ivfTopKKmeans]] is
+    * the better-balanced variant. The plan shape (cell equi-join, no
+    * all-pairs) is identical in both. At corpus scale the cell assignment is
+    * one broadcast pass and the candidate join is a hash join on the cell id. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val c = OpUtil.rebalance(corpus).select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     val cents = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
       .orderBy("cid").limit(nlist)
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, cents, nprobe)
+  }
+
+  /** Deterministic k-means centroids for the IVF coarse quantizer, computed
+    * driver-side over a bounded sample: the `sampleN` lowest-id vectors
+    * (a top-k by id — never a full collect), L2-normalized, Lloyd's
+    * algorithm with cosine (= dot on unit vectors) assignment for a fixed
+    * `iters` iterations, empty cells keeping their previous centroid.
+    * Deterministic by construction — fixed sample, fixed iteration count,
+    * sequential accumulation — so repeated runs plan identical literals. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, sampleN: Int = 4096, iters: Int = 5): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy("id").limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(unit)
+    val dim = pts.head.length
+    var cents = pts.take(nlist).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist, dim)(0.0)
+      val counts = new Array[Long](nlist)
+      pts.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        for (c <- 0 until nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += cents(c)(i) * v(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) cents(c)
+        else unit(sums(c).map(_ / counts(c)))
+      }
+    }
+    cents
+  }
+
+  /** IVF ANN with k-means centroids (see [[kmeansCentroids]]): better cell
+    * balance — and thus tail latency — than the sampled quantizer on
+    * clustered data. Same bucketed plan as [[ivfTopK]]. */
+  def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                    sampleN: Int = 4096, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, sampleN, iters)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, cents, nprobe)
+  }
+
+  private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame, idCol: String,
+                               vecCol: String, k: Int, cents: DataFrame,
+                               nprobe: Int): DataFrame = {
+    val c = OpUtil.rebalance(corpus).select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     def rankCells(df: DataFrame, id: String, vec: String): DataFrame = {
       val w = Window.partitionBy(id).orderBy(col("cscore").desc, col("cid").asc)
       df.crossJoin(broadcast(cents))

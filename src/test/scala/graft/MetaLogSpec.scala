@@ -178,6 +178,41 @@ class MetaLogSpec extends AnyFunSuite {
     assert(decoded.files.head.maxDelta == 10) // whole span = safest bound
   }
 
+  test("all log IO flows through the LogStore seam; CAS contract holds") {
+    // instrumented store: counts every call, delegates to the FS impl
+    class CountingStore extends LogStore {
+      val calls = new java.util.concurrent.atomic.AtomicLong
+      private def c[A](a: => A): A = { calls.incrementAndGet(); a }
+      def read(p: java.nio.file.Path) = c(FsLogStore.read(p))
+      def exists(p: java.nio.file.Path) = c(FsLogStore.exists(p))
+      def isDir(p: java.nio.file.Path) = c(FsLogStore.isDir(p))
+      def list(d: java.nio.file.Path) = c(FsLogStore.list(d))
+      def putIfAbsent(p: java.nio.file.Path, b: Array[Byte]) = c(FsLogStore.putIfAbsent(p, b))
+      def putAtomic(p: java.nio.file.Path, b: Array[Byte]) = c(FsLogStore.putAtomic(p, b))
+      def mkdirs(p: java.nio.file.Path) = c(FsLogStore.mkdirs(p))
+    }
+    val counting = new CountingStore
+    val prev = MetaLog.store
+    MetaLog.store = counting
+    try {
+      val dir = tmp()
+      var st = EsLogTestOps.createAndOpen(dir)
+      st = MetaLog.commit(dir, st, Seq(OpenSegment(0, 0L, 1L)))
+      st = MetaLog.commit(dir, st, Seq(CommitFiles(0, 1L, Seq(fm(0, 10)))))
+      assert(MetaLog.load(dir) == st)
+      assert(counting.calls.get() > 0, "log IO bypassed the LogStore seam")
+      // CAS: a second writer of the same version must lose, exactly like the
+      // conditional-PUT contract requires
+      assertThrows[ConcurrentCommitException](
+        MetaLog.commit(dir, st.copy(version = st.version - 1), Seq(KvPut("x", "y"))))
+      // direct contract check on the primitive
+      val p = java.nio.file.Paths.get(dir, "cas-probe")
+      assert(counting.putIfAbsent(p, "a".getBytes))
+      assert(!counting.putIfAbsent(p, "b".getBytes))
+      assert(new String(counting.read(p)) == "a")
+    } finally MetaLog.store = prev
+  }
+
   test("json action codec roundtrips every action type") {
     val actions: Seq[Action] = Seq(
       CreateStream(7, 3, 2, 86400000L), OpenStream(5),

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Quality checks for the approximate similarity paths: the approximations
+  * must stay close to the exact answers, not just run. Uses the sf0.001
+  * embeddings table (100 vectors, dim 64). */
+class SimilaritySpec extends SparkTestBase {
+
+  private def emb = {
+    Fixtures.tune(spark)
+    spark.read.parquet(sf("embeddings"))
+  }
+
+  private def topKPairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("k-means centroids are deterministic and unit-norm") {
+    val a = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val b = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8)
+    assert(a.length == 8)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    a.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n")
+    }
+  }
+
+  test("IVF with k-means centroids: recall@5 >= 0.9 vs exact top-k") {
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = topKPairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val approx = topKPairs(Similarity.ivfTopKKmeans(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${(exact & approx).size}/${exact.size})")
+  }
+
+  test("embedding near-dup LSH recall vs the exact all-pairs baseline") {
+    val exact = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingNearDupsLsh(emb, "vec_id", "embedding",
+      threshold = 0.4, dim = 64, planes = 4, tables = 12)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH found pairs the exact path did not: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = (exact & lsh).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall (${(exact & lsh).size}/${exact.size})")
+    }
+  }
+}
