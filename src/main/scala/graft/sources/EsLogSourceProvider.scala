@@ -41,9 +41,38 @@ class EsLogSourceProvider extends DataSourceRegister
 
   // ---- batch ----
 
+  /** Batch read. Two physical strategies with identical results:
+    *
+    *  - FAST PATH (default): the manifest snapshot as Spark's NATIVE parquet
+    *    relation via a manifest-driven FileIndex (the Delta technique) —
+    *    vectorized reader, whole-stage codegen, columns pruned and filters
+    *    pushed into parquet, manifest stats feeding `sizeInBytes` for
+    *    broadcast decisions. No Row conversion anywhere.
+    *  - EXACT PATH: the V1 PrunedFilteredScan, only when row-level bounds
+    *    the file-granular index can't express are required — an explicit
+    *    startOffset/endOffset fetch range, or a stream trimmed mid-file
+    *    (sub-startOffset batches still live inside a straddling file).
+    */
   override def createRelation(sqlContext: SQLContext,
-                              parameters: Map[String, String]): BaseRelation =
-    new EsLogRelation(sqlContext, path(parameters), parameters)
+                              parameters: Map[String, String]): BaseRelation = {
+    val dir = path(parameters)
+    val explicitRange = parameters.contains("startOffset") || parameters.contains("endOffset")
+    val st = MetaLog.load(dir)
+    if (st.deleted) throw new IllegalStateException(s"stream $dir deleted")
+    val midFileTrim = st.allFiles.exists(f =>
+      f.startOffset < st.startOffset && f.endOffset > st.startOffset)
+    if (explicitRange || midFileTrim)
+      new EsLogRelation(sqlContext, dir, parameters)
+    else {
+      val files = st.allFiles.map { f =>
+        org.apache.spark.sql.graftshim.ManifestFile(
+          Paths.get(dir, f.path).toString, f.bytes,
+          f.startOffset, f.endOffset, f.minTimestamp, f.maxTimestamp)
+      }
+      org.apache.spark.sql.graftshim.EsLogManifestFileIndex.relation(
+        sqlContext.sparkSession, dir, files, RecordBatchRow.schema, parameters)
+    }
+  }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String], data: DataFrame): BaseRelation = {

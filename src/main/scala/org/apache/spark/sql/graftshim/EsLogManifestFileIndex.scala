@@ -1,0 +1,95 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileFormat, FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.BaseRelation
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** A manifest entry the index prunes on: absolute path + the stats the
+  * metadata log committed with the file. */
+final case class ManifestFile(absPath: String, bytes: Long,
+                              startOffset: Long, endOffset: Long,
+                              minTimestamp: Long, maxTimestamp: Long)
+
+/** Manifest-driven [[FileIndex]]: the stream's committed file set (a metadata
+  * snapshot taken at plan time) exposed to Spark's NATIVE parquet relation —
+  * the Delta/TahoeFileIndex technique. The scan that results is the
+  * vectorized, whole-stage-codegen parquet path with columns pruned and
+  * filters pushed to the reader; this class only decides WHICH files
+  * participate, using the per-file offset/timestamp stats from the manifest
+  * (the reference's range routing, replication_stream.rs:393-421).
+  *
+  * Pruning is conservative (supersets): Spark re-applies every data filter
+  * exactly after the scan. */
+class EsLogManifestFileIndex(streamDir: String, files: Seq[ManifestFile])
+    extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(new Path(streamDir))
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = files.map(_.bytes).sum
+  override def inputFiles: Array[String] = files.map(_.absPath).toArray
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    var lo = Long.MinValue; var hi = Long.MaxValue      // base_offset ∈ [lo, hi)
+    var tsLo = Long.MinValue; var tsHi = Long.MaxValue  // base_timestamp ∈ [tsLo, tsHi)
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def long(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+    def tighten(name: String, newLo: Long => Unit, newHi: Long => Unit)
+               (a: Option[String], v: Option[Long], isLo: Boolean, inclusive: Boolean): Unit =
+      for (n <- a; value <- v; if n == name)
+        if (isLo) newLo(if (inclusive) value else value + 1)
+        else newHi(if (inclusive) value + 1 else value)
+    def offBound = tighten("base_offset", v => lo = math.max(lo, v), v => hi = math.min(hi, v)) _
+    def tsBound = tighten("base_timestamp", v => tsLo = math.max(tsLo, v), v => tsHi = math.min(tsHi, v)) _
+    def each(b: (Option[String], Option[Long], Boolean, Boolean) => Unit)(e: Expression): Unit = e match {
+      case GreaterThanOrEqual(a, l) => b(attr(a), long(l), true, true); b(attr(l), long(a), false, true)
+      case GreaterThan(a, l)        => b(attr(a), long(l), true, false); b(attr(l), long(a), false, false)
+      case LessThan(a, l)           => b(attr(a), long(l), false, false); b(attr(l), long(a), true, false)
+      case LessThanOrEqual(a, l)    => b(attr(a), long(l), false, true); b(attr(l), long(a), true, true)
+      case EqualTo(a, l)            => b(attr(a), long(l), true, true); b(attr(a), long(l), false, true)
+                                       b(attr(l), long(a), true, true); b(attr(l), long(a), false, true)
+      case _ => ()
+    }
+    dataFilters.foreach { f => each(offBound)(f); each(tsBound)(f) }
+
+    // file [startOffset, endOffset) may hold a qualifying row iff spans overlap
+    val selected = files.filter { f =>
+      f.endOffset > lo && (hi == Long.MaxValue || f.startOffset < hi) &&
+        f.maxTimestamp >= tsLo && (tsHi == Long.MaxValue || f.minTimestamp < tsHi)
+    }
+    val statuses = selected.map { f =>
+      new FileStatus(f.bytes, false, 1, 128L * 1024 * 1024, 0L, new Path(f.absPath))
+    }.toArray
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  }
+}
+
+object EsLogManifestFileIndex {
+  /** The stream as Spark's native parquet relation over the manifest
+    * snapshot: vectorized scan + codegen, no Row conversion (the fix for the
+    * V1 PrunedFilteredScan conversion tax). `sizeInBytes` comes from the
+    * manifest, so broadcast decisions see real sizes. */
+  def relation(spark: org.apache.spark.sql.SparkSession, streamDir: String,
+               files: Seq[ManifestFile], schema: StructType,
+               options: Map[String, String]): BaseRelation =
+    HadoopFsRelation(
+      new EsLogManifestFileIndex(streamDir, files),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = options)(spark.asInstanceOf[classic.SparkSession])
+}

@@ -32,6 +32,45 @@ class EsLogConnectorSpec extends SparkTestBase {
     assert(direct.sameElements(conn))
   }
 
+  test("default batch read is the native vectorized parquet path (no Row conversion)") {
+    val dir = mkStream(500)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val q = spark.read.format("eslog").load(dir)
+      .where(col("base_offset") >= 100 && col("base_offset") < 200)
+      .select("base_offset")
+    val plan = q.queryExecution.executedPlan.toString
+    // native FileSourceScan, codegen'd, with pruned schema and pushed filters —
+    // NOT the V1 ExistingRDD bridge that exits Tungsten
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("FileScan parquet") && plan.contains("Batched: true"), plan)
+    assert(plan.contains("*(1)"), plan) // whole-stage codegen span
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("base_offset") && !readSchema.contains("payload"), readSchema)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(base_offset,100)"), plan)
+    assert(q.collect().map(_.getLong(0)).sorted.sameElements(100L until 200L))
+    // manifest stats drive file pruning: only files overlapping the bound scan
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(scanned.contains("numFiles") && scanned("numFiles").value <= 2,
+      scanned.get("numFiles").map(_.value).toString)
+  }
+
+  test("mid-file trim falls back to the exact row-bounded relation") {
+    val dir = tmpDir("trimfb-")
+    EsLog.create(dir, streamId = 12L)
+    EsLog.open(dir, 1L)
+    val in = spark.range(100).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 2)
+    EsLog.trim(dir, 30L) // inside the first file [0, 50)
+    val viaFormat = spark.read.format("eslog").load(dir)
+      .select("base_offset").collect().map(_.getLong(0)).sorted
+    val direct = EsLog.scan(spark, dir)
+      .select("base_offset").collect().map(_.getLong(0)).sorted
+    assert(viaFormat.sameElements(direct))
+    assert(viaFormat.head == 30L && viaFormat.length == 70)
+  }
+
   test("filter pushdown prunes through the manifest (offset + timestamp)") {
     val dir = mkStream(1000)
     val q = spark.read.format("eslog").load(dir)
