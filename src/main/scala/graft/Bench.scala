@@ -117,6 +117,10 @@ object Bench {
     }
     val scanSec = results.getOrElse("scan_events", -1.0)
     val scanRps = if (scanSec > 0) nEvents / scanSec else -1.0
+    // events are ~9-byte payloads: rows/s is the meaningful ingest figure
+    // for that workload (MB/s is dominated by per-batch bookkeeping)
+    val appendSec = results.getOrElse("append_events", -1.0)
+    val appendRps = if (appendSec > 0) nEvents / appendSec else -1.0
     def f3(x: Double): String = f"$x%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -124,6 +128,7 @@ object Bench {
       s""","append_mbps":${f3(mbps("append_64k_steady", nCommits * payload64k))}""" +
       s""","scan_mbps":${f3(mbps("scan_64k_batches", (nCommits + 1) * payload64k))}""" +
       s""","append_events_mbps":${f3(mbps("append_events", payloadBytes))}""" +
+      s""","append_events_rows_per_sec":${f3(appendRps)}""" +
       s""","scan_rows_per_sec":${f3(scanRps)},"n_events":$nEvents,"payload_bytes":$payloadBytes""" +
       s""","batch_64k_payload_bytes":$payload64k}""")
     spark.stop()

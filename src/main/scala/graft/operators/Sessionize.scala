@@ -40,7 +40,13 @@ object Sessionize {
     * session the incoming data CLOSES (a later event for the user exceeded
     * the gap); the newest session per user stays open in state. Events are
     * sorted per group before folding, so results are order-deterministic
-    * within a micro-batch. */
+    * within a micro-batch.
+    *
+    * Memory note: `it.toSeq.sortBy` buffers ONE user's events of ONE
+    * micro-batch on the executor — bounded by the trigger's admission
+    * control (`maxOffsetsPerTrigger`/`maxBytesPerTrigger`), not by total
+    * stream size. A single user dominating an unbounded trigger is the
+    * failure mode; cap the trigger when user skew is possible. */
   def streamingClosed(events: Dataset[SessionEvent], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     def fold(user: Long, it: Iterator[SessionEvent],
