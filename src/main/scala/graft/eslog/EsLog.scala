@@ -479,6 +479,58 @@ object EsLog {
     * (replication_stream.rs:297-311 — fail inflight, seal last range). */
   def close(streamDir: String): StreamState = seal(streamDir)
 
+  /** Garbage-collect data files the manifest does not reference: a writer
+    * that crashed between writing its part files and committing leaves an
+    * unreachable staging directory behind (the in-process failure paths
+    * clean up after themselves, but a killed JVM cannot). Only files older
+    * than `graceMs` are deleted, so an in-flight append's staging files —
+    * written but not yet committed — are never swept. Returns deleted paths.
+    *
+    * Reads one manifest snapshot first and deletes only files that existed
+    * before it: anything committed concurrently is newer than the snapshot
+    * and is never touched. */
+  def vacuum(streamDir: String, nowMs: Long, graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val st = MetaLog.load(streamDir)
+    val live: Set[String] = st.allFiles.map(_.path).toSet
+    val root = Paths.get(streamDir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val logRoot = MetaLog.logDir(streamDir)
+    val cutoff = nowMs - graceMs
+    // Hadoop writer debris: a `.X.crc` sidecar shares its companion X's
+    // fate; `_SUCCESS` job markers in committed dirs are harmless and kept.
+    def sweepable(rel: String, name: String): Boolean =
+      if (name == "_SUCCESS" || name.startsWith("._")) false
+      else if (name.startsWith(".") && name.endsWith(".crc")) {
+        val companion = rel.stripSuffix(name) + name.stripPrefix(".").stripSuffix(".crc")
+        !live.contains(companion)
+      } else !live.contains(rel)
+    val deleted = Seq.newBuilder[String]
+    val walk = Files.walk(root)
+    try {
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.startsWith(logRoot))
+        .foreach { p =>
+          val rel = root.relativize(p).toString
+          if (sweepable(rel, p.getFileName.toString) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff) {
+            Files.deleteIfExists(p)
+            deleted += rel
+          }
+        }
+    } finally walk.close()
+    // drop now-empty staging/segment directories (bottom-up)
+    val dirs = Files.walk(root)
+    try dirs.iterator().asScala.toSeq.reverseIterator
+      .filter(p => p != root && Files.isDirectory(p) && !logRoot.startsWith(p) && !p.startsWith(logRoot))
+      .foreach { p =>
+        val s = Files.list(p)
+        val empty = try !s.iterator().hasNext finally s.close()
+        if (empty) Files.deleteIfExists(p)
+      }
+    finally dirs.close()
+    deleted.result()
+  }
+
   /** Retention enforcement (components/model/src/stream/mod.rs:5-21:
     * `retention_period` drives trim): advance the trim point past every file
     * whose newest record is older than `now - retentionMs`. Time→offset

@@ -133,6 +133,45 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.txnKV(dir, "nope", None, Seq("d" -> Some("1"))))
   }
 
+  test("vacuum sweeps unreferenced staging files, honors the grace period") {
+    val dir = tmpDir("eslog-vac-")
+    EsLog.create(dir)
+    EsLog.open(dir, 1L)
+    EsLog.append(spark, dir,
+      spark.range(50).select(col("id"), col("id").cast("string").cast("binary").as("payload")),
+      1L, numPartitions = 2)
+    // simulate a crashed writer: a staging dir with part files the manifest
+    // never saw
+    val orphanDir = java.nio.file.Paths.get(dir, "seg-00000", "deadbeef")
+    java.nio.file.Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-00000-crashed.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val orphanCrc = orphanDir.resolve(".part-00000-crashed.parquet.crc")
+    java.nio.file.Files.write(orphanCrc, Array[Byte](9))
+    val nRows = EsLog.scan(spark, dir).count()
+    val liveCrcs = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try w.iterator().asScala.filter(_.getFileName.toString.startsWith(".part")).toSet
+      finally w.close()
+    }
+
+    // inside the grace period: nothing is swept
+    assert(EsLog.vacuum(dir, nowMs = System.currentTimeMillis()).isEmpty)
+    assert(java.nio.file.Files.exists(orphan))
+    // past the grace period: the orphan + its crc sidecar go; live part
+    // files AND their crc sidecars stay; scan intact
+    val deleted = EsLog.vacuum(dir, nowMs = System.currentTimeMillis() + 25L * 3600 * 1000)
+    assert(deleted.toSet == Set(
+      "seg-00000/deadbeef/part-00000-crashed.parquet",
+      "seg-00000/deadbeef/.part-00000-crashed.parquet.crc"), deleted)
+    assert(!java.nio.file.Files.exists(orphan) && !java.nio.file.Files.exists(orphanDir))
+    assert((liveCrcs - orphanCrc).forall(java.nio.file.Files.exists(_)))
+    assert(EsLog.scan(spark, dir).count() == nRows)
+    // metadata log untouched
+    assert(graft.meta.MetaLog.load(dir).allFiles.nonEmpty)
+  }
+
   test("retention: time-based trim drops expired files (metadata-only)") {
     val dir = tmpDir("eslog-ret-")
     EsLog.create(dir, retentionMs = 1000L)
