@@ -417,59 +417,59 @@ object EsLog {
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
       if (nOut < seg.files.size) {
         val paths = seg.files.map(f => Paths.get(streamDir, f.path).toString)
-        val rdd = spark.read.schema(RecordBatchRow.schema).parquet(paths: _*)
-          .repartitionByRange(nOut, col("base_offset"))
-          .sortWithinPartitions(col("base_offset"))
-          .rdd
-        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
-            var n = 0L; var minOff = Long.MaxValue; var maxEnd = Long.MinValue
-            var minTs = Long.MaxValue; var maxTs = Long.MinValue; var maxD = 0
-            it.foreach { r =>
-              n += 1
-              val off = r.getLong(3); val d = r.getInt(4); val ts = r.getLong(5)
-              if (off < minOff) minOff = off
-              if (off + d > maxEnd) maxEnd = off + d
-              if (ts < minTs) minTs = ts
-              if (ts > maxTs) maxTs = ts
-              if (d > maxD) maxD = d
-            }
-            Iterator((pid, n, minOff, maxEnd, minTs, maxTs, maxD))
-          }.collect().filter(_._2 > 0).sortBy(_._1)
-
-          val commitId = UUID.randomUUID().toString.take(8)
-          val outRel = f"seg-${seg.index}%05d/compact-$commitId"
-          val outAbs = Paths.get(streamDir, outRel).toString
-          spark.createDataFrame(rdd, RecordBatchRow.schema)
-            .write.mode("errorifexists")
-            .option("parquet.block.size", (16L * 1024 * 1024).toString)
-            .option("maxRecordsPerFile", "0")
-            .parquet(outAbs)
-
-          val added = commitFileMetas(streamDir, outRel, outAbs,
-            stats.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
-              (pid, n, minOff, maxEnd, minTs, maxTs, maxD)
-            })
-          validateFooters(spark, streamDir, added)
-          val removed = seg.files.map(_.path)
-          st = MetaLog.commitWithRetry(streamDir) { cur =>
-            // revalidate against the current state: segment must still hold
-            // exactly the files we rewrote (a concurrent trim would change it)
-            val curSeg = cur.segments.find(_.index == seg.index)
-            if (curSeg.exists(_.files.map(_.path) == removed))
-              Seq(ReplaceFiles(seg.index, removed, added))
-            else Seq.empty
+        // Stats pass + write pass share ONE Tungsten plan, same recipe as
+        // append: the range shuffle executes once and is reused; rows are
+        // written unchanged (offsets are stable across compaction), so no
+        // per-row mapping at all.
+        val internal = org.apache.spark.sql.graftshim.GraftShims.internalRdd(
+          spark.read.schema(RecordBatchRow.schema).parquet(paths: _*)
+            .repartitionByRange(nOut, col("base_offset"))
+            .sortWithinPartitions(col("base_offset")))
+        val stats = internal.mapPartitionsWithIndex { (pid, it) =>
+          var n = 0L; var minOff = Long.MaxValue; var maxEnd = Long.MinValue
+          var minTs = Long.MaxValue; var maxTs = Long.MinValue; var maxD = 0
+          it.foreach { r =>
+            n += 1
+            val off = r.getLong(3); val d = r.getInt(4); val ts = r.getLong(5)
+            if (off < minOff) minOff = off
+            if (off + d > maxEnd) maxEnd = off + d
+            if (ts < minTs) minTs = ts
+            if (ts > maxTs) maxTs = ts
+            if (d > maxD) maxD = d
           }
-          if (st.segments.find(_.index == seg.index).exists(_.files.map(_.path) == added.map(_.path)))
-            removed.foreach(rel => Files.deleteIfExists(Paths.get(streamDir, rel)))
-          else {
-            // lost the race — drop the rewritten copy instead
-            val s = Files.walk(Paths.get(outAbs))
-            try s.iterator().asScala.toSeq.reverseIterator.foreach(p => Files.deleteIfExists(p))
-            finally s.close()
-          }
-        } finally rdd.unpersist(blocking = false)
+          Iterator((pid, n, minOff, maxEnd, minTs, maxTs, maxD))
+        }.collect().filter(_._2 > 0).sortBy(_._1)
+
+        val commitId = UUID.randomUUID().toString.take(8)
+        val outRel = f"seg-${seg.index}%05d/compact-$commitId"
+        val outAbs = Paths.get(streamDir, outRel).toString
+        org.apache.spark.sql.graftshim.GraftShims
+          .dfFromInternalRdd(spark, internal, RecordBatchRow.schema)
+          .write.mode("errorifexists")
+          .option("parquet.block.size", (16L * 1024 * 1024).toString)
+          .option("maxRecordsPerFile", "0")
+          .parquet(outAbs)
+
+        val added = commitFileMetas(streamDir, outRel, outAbs,
+          stats.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
+            (pid, n, minOff, maxEnd, minTs, maxTs, maxD)
+          })
+        validateFooters(spark, streamDir, added)
+        val removed = seg.files.map(_.path)
+        st = MetaLog.commitWithRetry(streamDir) { cur =>
+          // revalidate against the current state: segment must still hold
+          // exactly the files we rewrote (a concurrent trim would change it)
+          val curSeg = cur.segments.find(_.index == seg.index)
+          if (curSeg.exists(_.files.map(_.path) == removed))
+            Seq(ReplaceFiles(seg.index, removed, added))
+          else Seq.empty
+        }
+        if (st.segments.find(_.index == seg.index).exists(_.files.map(_.path) == added.map(_.path)))
+          removed.foreach(rel => Files.deleteIfExists(Paths.get(streamDir, rel)))
+        else {
+          // lost the race — drop the rewritten copy instead
+          deleteRecursively(outAbs)
+        }
       }
     }
     st

@@ -133,6 +133,45 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.txnKV(dir, "nope", None, Seq("d" -> Some("1"))))
   }
 
+  test("concurrent appends: CAS keeps offsets contiguous, losers leave no files") {
+    val dir = tmpDir("eslog-conc-")
+    EsLog.create(dir)
+    EsLog.open(dir, 1L)
+    val in = spark.range(200).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // four writers race the same epoch; each retries until its commit lands
+    val writers = (0 until 4).map { _ => Future {
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 20) {
+        attempts += 1
+        try { EsLog.append(spark, dir, in, 1L, numPartitions = 2); done = true }
+        catch { case _: graft.meta.ConcurrentCommitException => () }
+      }
+      done
+    }}
+    assert(Await.result(Future.sequence(writers), 5.minutes).forall(identity))
+    // all four commits landed exactly once, contiguous, with correct content
+    assert(EsLog.nextOffset(dir) == 800L)
+    val st = graft.meta.MetaLog.load(dir)
+    val spans = st.allFiles.sortBy(_.startOffset)
+    assert(spans.head.startOffset == 0L && spans.last.endOffset == 800L)
+    spans.sliding(2).foreach {
+      case Seq(a, b) => assert(a.endOffset == b.startOffset)
+      case _ => ()
+    }
+    val agg = EsLog.scan(spark, dir)
+      .agg(count(lit(1)), sum(col("payload").cast("string").cast("long"))).collect().head
+    assert(agg.getLong(0) == 800L && agg.getLong(1) == 4 * (0L until 200L).sum)
+    // losers' cleanup left nothing unreferenced for vacuum to find
+    assert(EsLog.vacuum(dir, System.currentTimeMillis() + 25L * 3600 * 1000)
+      .forall(p => p.endsWith(".crc") || p.endsWith("_SUCCESS")),
+      "orphan data files leaked by losing writers")
+  }
+
   test("vacuum sweeps unreferenced staging files, honors the grace period") {
     val dir = tmpDir("eslog-vac-")
     EsLog.create(dir)
