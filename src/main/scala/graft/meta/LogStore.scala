@@ -29,6 +29,7 @@ trait LogStore {
   /** Write `path` atomically, replacing any existing content. */
   def putAtomic(path: Path, bytes: Array[Byte]): Unit
   def mkdirs(path: Path): Unit
+  def delete(path: Path): Unit
 }
 
 /** Local-filesystem LogStore: hard-link creation is the atomic
@@ -61,4 +62,5 @@ object FsLogStore extends LogStore {
   }
 
   override def mkdirs(path: Path): Unit = Files.createDirectories(path)
+  override def delete(path: Path): Unit = Files.deleteIfExists(path)
 }

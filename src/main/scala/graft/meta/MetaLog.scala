@@ -174,7 +174,10 @@ object MetaLog {
 
   /** Write `<v>.checkpoint.json` + `_last_checkpoint`. Content is a pure
     * function of the log prefix, so concurrent writers racing here converge
-    * on identical bytes; the atomic replace makes the race harmless. */
+    * on identical bytes; the atomic replace makes the race harmless.
+    * Checkpoints older than the previous one are deleted — each is a full
+    * state snapshot, so unbounded retention is pure garbage (delta files
+    * stay: they are the WATCH_RESOURCE history and are tiny). */
   private def writeCheckpoint(streamDir: String, state: StreamState): Unit =
     try {
       val o = mapper.createObjectNode()
@@ -182,6 +185,13 @@ object MetaLog {
       store.putAtomic(checkpointFile(streamDir, state.version), mapper.writeValueAsBytes(o))
       store.putAtomic(logDir(streamDir).resolve(LastCheckpointName),
         state.version.toString.getBytes(StandardCharsets.UTF_8))
+      // retain the new checkpoint + one predecessor (for readers that hold a
+      // slightly stale _last_checkpoint pointer mid-load)
+      store.list(logDir(streamDir))
+        .filter(_.endsWith(".checkpoint.json"))
+        .map(n => n.stripSuffix(".checkpoint.json").toLong)
+        .sorted.dropRight(2)
+        .foreach(v => store.delete(checkpointFile(streamDir, v)))
     } catch { case scala.util.control.NonFatal(_) => () } // advisory only
 
   /** Fold the log into a snapshot-consistent state: newest checkpoint + the

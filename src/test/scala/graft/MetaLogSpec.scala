@@ -190,6 +190,7 @@ class MetaLogSpec extends AnyFunSuite {
       def putIfAbsent(p: java.nio.file.Path, b: Array[Byte]) = c(FsLogStore.putIfAbsent(p, b))
       def putAtomic(p: java.nio.file.Path, b: Array[Byte]) = c(FsLogStore.putAtomic(p, b))
       def mkdirs(p: java.nio.file.Path) = c(FsLogStore.mkdirs(p))
+      def delete(p: java.nio.file.Path) = c(FsLogStore.delete(p))
     }
     val counting = new CountingStore
     val prev = MetaLog.store
@@ -211,6 +212,24 @@ class MetaLogSpec extends AnyFunSuite {
       assert(!counting.putIfAbsent(p, "b".getBytes))
       assert(new String(counting.read(p)) == "a")
     } finally MetaLog.store = prev
+  }
+
+  test("checkpoint retention: at most two snapshots survive, load unaffected") {
+    val dir = tmp()
+    var st = EsLogTestOps.createAndOpen(dir)
+    (0 until 45).foreach { i => st = MetaLog.commit(dir, st, Seq(KvPut(s"k$i", "v"))) }
+    val ckpts = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(MetaLog.logDir(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".checkpoint.json")).toSeq.sorted
+      finally s.close()
+    }
+    // 46 commits -> checkpoints at v10/20/30/40; only the newest two remain
+    assert(ckpts.size == 2, ckpts.toString)
+    assert(ckpts.last.startsWith("00000000000000000040"), ckpts.toString)
+    assert(MetaLog.load(dir) == st)
+    assert(MetaLog.load(dir).kv.size == 45)
   }
 
   test("json action codec roundtrips every action type") {
