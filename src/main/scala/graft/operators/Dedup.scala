@@ -64,12 +64,14 @@ object Dedup {
     val idx = when(size(col("toks")) >= k,
       sequence(lit(1), size(col("toks")) - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    val sh = OpUtil.rebalance(docs)
+    // shared(): the postings feed the heavy-hitter build, both self-join
+    // sides, and the per-doc sizes — explode+md5+distinct must run once.
+    val sh = OpUtil.shared(OpUtil.rebalance(docs)
       .select(col(idCol).as("doc"), toks.as("toks"))
       .select(col("doc"), col("toks"), explode(idx).as("i"))
       .select(col("doc"),
         Portable.uhashBase(concat_ws(" ", slice(col("toks"), col("i"), lit(k)))).as("hm"))
-      .distinct()
+      .distinct())
     if (maxDf <= 0) sh
     else {
       val heavy = sh.groupBy("hm").agg(count(lit(1)).as("df"))
@@ -108,10 +110,12 @@ object Dedup {
     * by ~k×. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int,
-                        maxDf: Long = DefaultMaxDf): DataFrame = {
-    val hm = cappedShingles(docs, idCol, textCol, k, maxDf)
+                        maxDf: Long = DefaultMaxDf): DataFrame =
+    signaturesFrom(cappedShingles(docs, idCol, textCol, k, maxDf), numHashes)
+
+  private def signaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i => min(Portable.uhash(i, col("hm"))).as(s"m$i"))
-    hm.groupBy("doc").agg(mins.head, mins.tail: _*)
+    sh.groupBy("doc").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH candidate pairs: signatures banded into `bands` groups of
@@ -121,10 +125,13 @@ object Dedup {
     * knee near j ≈ 0.5. */
   def minHashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                           maxDf: Long = DefaultMaxDf): DataFrame = {
+                           maxDf: Long = DefaultMaxDf): DataFrame =
+    bandedCandidates(cappedShingles(docs, idCol, textCol, k, maxDf), numHashes, bands)
+
+  private def bandedCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, k, numHashes, maxDf)
+    val sigs = signaturesFrom(sh, numHashes)
     val bandSigs = (0 until bands).map { b =>
       concat_ws(",", (0 until r).map(i => col(s"m${b * r + i}")): _*).as(s"band$b")
     }
@@ -161,8 +168,9 @@ object Dedup {
                       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5,
                       maxDf: Long = DefaultMaxDf): DataFrame = {
-    val cands = minHashLshCandidates(docs, idCol, textCol, k, numHashes, bands, maxDf)
+    // one shared postings frame feeds candidates, sizes, and the verify join
     val sh = cappedShingles(docs, idCol, textCol, k, maxDf)
+    val cands = bandedCandidates(sh, numHashes, bands)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     // intersection via composite equi-join (doc, shingle hash) — linear in
     // the candidates' shingle lists, never |si| x |sj| per pair

@@ -1,8 +1,27 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.storage.StorageLevel
 
 private[graft] object OpUtil {
+
+  /** Materialize-once sharing for a frame consumed by several plan subtrees
+    * (self-join sides, per-doc sizes, the heavy-hitter build). Spark's
+    * exchange-reuse rule does not dedupe identical subtrees across
+    * broadcast/subquery boundaries here, so each consumer would re-run the
+    * whole explode+hash pipeline (measured: 8 scans of the source per
+    * jaccard query). The rows are cached ONCE as an InternalRow RDD (copied
+    * out of the scan's reused buffers) and the frame re-rooted on it; the
+    * ContextCleaner unpersists automatically once the last consumer frame
+    * is garbage-collected, so the cache has the operator's lifetime, not
+    * the session's. */
+  def shared(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = GraftShims.internalRdd(df).map(_.copy())
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    GraftShims.dfFromInternalRdd(spark, rdd, df.schema)
+  }
   /** Re-balance a frame about to enter a CPU-bound expansion stage (shingle /
     * token / bucket explode multiplies rows ~tokens×): Spark's scan
     * partitioning is byte-based, so a few-MB documents file arrives as one
