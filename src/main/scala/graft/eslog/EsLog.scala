@@ -225,6 +225,8 @@ object EsLog {
     // aggregates are order-insensitive, so reduce-side fetch-order jitter
     // between the jobs is harmless; `validateFooters` backstops the one
     // remaining hazard (shuffle-output loss + nondeterministic recompute).
+    // env-gated stage timing for perf work: GRAFT_APPEND_TIMING=1 prints
+    // per-stage seconds (plan/pass1/write/list/footers/commit) to stderr
     val dbgT = sys.env.contains("GRAFT_APPEND_TIMING")
     var dbgT0 = System.nanoTime()
     def dbgMark(name: String): Unit = if (dbgT) {
@@ -366,13 +368,33 @@ object EsLog {
 
   /** fetch [start, end): returns whole batches whose span intersects the
     * request (straddle semantics, api/Stream.java:36-44), bounded by the
-    * trim offset and the committed next offset. */
+    * trim offset and the committed next offset.
+    *
+    * `maxBytesHint` mirrors the reference's third fetch argument
+    * (api/Stream.java:36-44, rpc.fbs:302-321): the scanned range is
+    * truncated at file granularity so the selected files' byte sum stays
+    * within the hint, always admitting at least one file — a soft cap, like
+    * the reference's, since a single batch may exceed it. <= 0 disables. */
   def fetch(spark: SparkSession, streamDir: String, start: Long = 0L,
-            end: Long = Long.MaxValue): DataFrame = {
+            end: Long = Long.MaxValue, maxBytesHint: Long = 0L): DataFrame = {
     val st = MetaLog.load(streamDir)
     if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
     val lo = math.max(start, st.startOffset)
-    val hi = math.min(end, st.nextOffset)
+    var hi = math.min(end, st.nextOffset)
+    if (maxBytesHint > 0) {
+      val inRange = st.filesInRange(lo, hi).sortBy(_.startOffset)
+      var acc = 0L
+      var cap = lo
+      var stop = false
+      inRange.foreach { f =>
+        if (!stop) {
+          if (acc == 0L || acc + f.bytes <= maxBytesHint) {
+            acc += f.bytes; cap = math.min(hi, f.endOffset)
+          } else stop = true
+        }
+      }
+      if (inRange.nonEmpty) hi = cap
+    }
     val metas = st.filesInRange(lo, hi)
     val files = metas.map(f => Paths.get(streamDir, f.path).toString)
     if (files.isEmpty || lo >= hi)

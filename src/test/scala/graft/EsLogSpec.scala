@@ -133,6 +133,28 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.txnKV(dir, "nope", None, Seq("d" -> Some("1"))))
   }
 
+  test("fetch maxBytesHint truncates at file granularity, always admits one file") {
+    val dir = tmpDir("eslog-hint-")
+    EsLog.create(dir)
+    EsLog.open(dir, 1L)
+    val in = spark.range(1000).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+    val files = graft.meta.MetaLog.load(dir).allFiles.sortBy(_.startOffset)
+    assert(files.size == 4)
+    // budget for exactly the first two files -> offsets [0, files(1).end)
+    val two = files(0).bytes + files(1).bytes
+    val got = EsLog.fetch(spark, dir, 0, Long.MaxValue, maxBytesHint = two)
+      .agg(max("base_offset")).collect().head.getLong(0)
+    assert(got == files(1).endOffset - 1, s"$got vs ${files(1).endOffset - 1}")
+    // a hint smaller than any single file still admits the first file
+    val tiny = EsLog.fetch(spark, dir, 0, Long.MaxValue, maxBytesHint = 1L)
+      .agg(count(lit(1)), max("base_offset")).collect().head
+    assert(tiny.getLong(0) > 0 && tiny.getLong(1) == files(0).endOffset - 1)
+    // no hint: everything
+    assert(EsLog.fetch(spark, dir).count() == 1000)
+  }
+
   test("concurrent appends: CAS keeps offsets contiguous, losers leave no files") {
     val dir = tmpDir("eslog-conc-")
     EsLog.create(dir)
