@@ -55,6 +55,15 @@ class EsLogConnectorSpec extends SparkTestBase {
       scanned.get("numFiles").map(_.value).toString)
   }
 
+  test("empty stream reads as an empty relation (both paths)") {
+    val dir = tmpDir("empty-")
+    EsLog.create(dir, streamId = 13L)
+    assert(spark.read.format("eslog").load(dir).count() == 0)
+    assert(spark.read.format("eslog")
+      .option("startOffset", "0").option("endOffset", "10").load(dir).count() == 0)
+    assert(EsLog.scan(spark, dir).count() == 0)
+  }
+
   test("mid-file trim falls back to the exact row-bounded relation") {
     val dir = tmpDir("trimfb-")
     EsLog.create(dir, streamId = 12L)
