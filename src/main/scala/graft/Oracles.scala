@@ -55,6 +55,10 @@ object Oracles {
       |SELECT base_offset, delta AS last_offset_delta, CAST(id AS VARCHAR) AS payload_str
       |FROM b WHERE base_offset + delta > 667 AND base_offset < 1333""".stripMargin
 
+  private val esSnapshot =
+    """SELECT event_id AS base_offset, event_type FROM events
+      |WHERE event_id < (SELECT count(*) // 2 FROM events)""".stripMargin
+
   private val esTrim =
     """SELECT event_id AS base_offset, event_type FROM events
       |WHERE event_id >= (SELECT count(*) // 4 FROM events)""".stripMargin
@@ -442,6 +446,7 @@ object Oracles {
     "es_window_hourly" -> esWindowHourly,
     "es_agg_by_type" -> esAggByType,
     "es_compact" -> esCompact,
+    "es_snapshot" -> esSnapshot,
     "es_catalog" -> esCatalog,
     "es_catalog_scan" -> esCatalogScan,
     "es_stream_roundtrip" -> esStreamRoundtrip,

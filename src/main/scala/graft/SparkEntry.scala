@@ -164,6 +164,19 @@ object SparkEntry {
         max("base_offset").as("last_off"))
   }
 
+  /** Time travel: scan the flagship stream AS OF the log version of its
+    * FIRST data commit — exactly the first half of events, while the live
+    * scan sees all of them (snapshot ids = WATCH revisions). */
+  private def qEsSnapshot(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    val firstCommit = graft.meta.MetaLog.actionsSince(dir, -1L)
+      .collectFirst { case (v, actions) if actions.exists(_.isInstanceOf[graft.meta.CommitFiles]) => v }
+      .getOrElse(sys.error(s"no data commit in $dir"))
+    EsLog.scanAt(s, dir, firstCommit).select(
+      col("base_offset"),
+      col("properties")("event_type").as("event_type"))
+  }
+
   /** Compaction: sealed segment rewritten into one file (metadata swap);
     * scan must be byte-identical to the uncompacted stream. */
   private def qEsCompact(s: SparkSession, sfDir: String): DataFrame = {
@@ -398,6 +411,7 @@ object SparkEntry {
     "es_window_hourly" -> (qEsWindowHourly _),
     "es_agg_by_type" -> (qEsAggByType _),
     "es_compact" -> (qEsCompact _),
+    "es_snapshot" -> (qEsSnapshot _),
     "es_catalog" -> (qEsCatalog _),
     "es_catalog_scan" -> (qEsCatalogScan _),
     "es_stream_roundtrip" -> (qEsStreamRoundtrip _),

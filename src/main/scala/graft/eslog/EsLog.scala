@@ -376,8 +376,25 @@ object EsLog {
     * within the hint, always admitting at least one file — a soft cap, like
     * the reference's, since a single batch may exceed it. <= 0 disables. */
   def fetch(spark: SparkSession, streamDir: String, start: Long = 0L,
-            end: Long = Long.MaxValue, maxBytesHint: Long = 0L): DataFrame = {
-    val st = MetaLog.load(streamDir)
+            end: Long = Long.MaxValue, maxBytesHint: Long = 0L): DataFrame =
+    fetchState(spark, streamDir, MetaLog.load(streamDir), start, end, maxBytesHint)
+
+  /** Time travel: fetch against the state as of metadata-log version
+    * `version` (the versioned log IS a history — WATCH revisions double as
+    * snapshot ids). Data files are immutable, so a snapshot stays readable
+    * for as long as its files live; trim's vacuum, compaction's swap and
+    * DELETE_STREAM physically remove files and thereby invalidate snapshots
+    * older than those operations — the same contract as Delta's VACUUM. */
+  def fetchAt(spark: SparkSession, streamDir: String, version: Long,
+              start: Long = 0L, end: Long = Long.MaxValue): DataFrame =
+    fetchState(spark, streamDir, MetaLog.loadAt(streamDir, version), start, end, 0L)
+
+  /** Full committed scan as of log version `version` (see [[fetchAt]]). */
+  def scanAt(spark: SparkSession, streamDir: String, version: Long): DataFrame =
+    fetchAt(spark, streamDir, version)
+
+  private def fetchState(spark: SparkSession, streamDir: String, st: StreamState,
+                         start: Long, end: Long, maxBytesHint: Long): DataFrame = {
     if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
     val lo = math.max(start, st.startOffset)
     var hi = math.min(end, st.nextOffset)

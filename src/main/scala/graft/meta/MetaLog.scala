@@ -203,6 +203,18 @@ object MetaLog {
     }
   }
 
+  /** Time travel: the state as of log version `asOf` (inclusive). Uses the
+    * newest checkpoint at or below the target when one survives retention;
+    * otherwise folds the (never-deleted) delta files from version 0 —
+    * O(asOf) reads in that case, the usual price of deep time travel. */
+  def loadAt(streamDir: String, asOf: Long): StreamState = {
+    val base = readLastCheckpoint(streamDir).filter(_.version <= asOf)
+      .getOrElse(StreamState.empty)
+    listVersionsAfter(streamDir, base.version).takeWhile(_ <= asOf).foldLeft(base) { (s, v) =>
+      readVersion(streamDir, v).foldLeft(s)((s2, a) => StreamState.apply(s2, a, v))
+    }
+  }
+
   /** Actions of every version strictly after `after`, in commit order —
     * the WATCH_RESOURCE feed (rpc.fbs:691-778): the metadata log is itself a
     * watchable change stream keyed by version. */

@@ -57,7 +57,11 @@ class EsLogSourceProvider extends DataSourceRegister
                               parameters: Map[String, String]): BaseRelation = {
     val dir = path(parameters)
     val explicitRange = parameters.contains("startOffset") || parameters.contains("endOffset")
-    val st = MetaLog.load(dir)
+    // time travel: .option("asOfVersion", v) pins the manifest snapshot
+    val st = parameters.get("asOfVersion") match {
+      case Some(v) => MetaLog.loadAt(dir, v.toLong)
+      case None    => MetaLog.load(dir)
+    }
     if (st.deleted) throw new IllegalStateException(s"stream $dir deleted")
     val midFileTrim = st.allFiles.exists(f =>
       f.startOffset < st.startOffset && f.endOffset > st.startOffset)
@@ -126,7 +130,10 @@ class EsLogRelation(override val sqlContext: SQLContext, dir: String,
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val spark = sqlContext.sparkSession
-    val st = MetaLog.load(dir)
+    val st = parameters.get("asOfVersion") match {
+      case Some(v) => MetaLog.loadAt(dir, v.toLong)
+      case None    => MetaLog.load(dir)
+    }
     if (st.deleted) throw new IllegalStateException(s"stream $dir deleted")
 
     // Explicit fetch-range options use reference straddle semantics

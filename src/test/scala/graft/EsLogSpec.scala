@@ -133,6 +133,31 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.txnKV(dir, "nope", None, Seq("d" -> Some("1"))))
   }
 
+  test("time travel: scanAt reads the snapshot at a log version") {
+    val dir = tmpDir("eslog-tt-")
+    EsLog.create(dir)
+    EsLog.open(dir, 1L)
+    def batch(from: Long, n: Long) = spark.range(from, from + n).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    EsLog.append(spark, dir, batch(0, 100), 1L, numPartitions = 1)
+    val v1 = graft.meta.MetaLog.latestVersion(dir)
+    EsLog.append(spark, dir, batch(100, 100), 1L, numPartitions = 1)
+    EsLog.putKV(dir, "marker", "post-append")
+    // live scan sees both commits; the snapshot sees only the first
+    assert(EsLog.scan(spark, dir).count() == 200)
+    assert(EsLog.scanAt(spark, dir, v1).count() == 100)
+    assert(EsLog.scanAt(spark, dir, v1)
+      .agg(max("base_offset")).collect().head.getLong(0) == 99L)
+    // the kv put got a new version but data is unchanged at it
+    assert(EsLog.scanAt(spark, dir, graft.meta.MetaLog.latestVersion(dir)).count() == 200)
+    // connector option
+    assert(spark.read.format("eslog").option("asOfVersion", v1.toString)
+      .load(dir).count() == 100)
+    // time travel works past checkpoint retention (deltas fold from 0)
+    (0 until 25).foreach(i => EsLog.putKV(dir, s"pad$i", "x"))
+    assert(EsLog.scanAt(spark, dir, v1).count() == 100)
+  }
+
   test("fetch maxBytesHint truncates at file granularity, always admits one file") {
     val dir = tmpDir("eslog-hint-")
     EsLog.create(dir)
