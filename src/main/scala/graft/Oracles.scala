@@ -453,6 +453,7 @@ object Oracles {
     "es_stream_window" -> esStreamWindow,
     "es_stream_dedup" -> esStreamDedup,
     "es_watch_meta" -> esWatchMeta,
+    "es_history" -> esWatchMeta, // batch twin: same fixture, same feed
     "es_sessions" -> esSessions,
     "es_stream_sessions" -> esStreamSessions,
     "dedup_exact" -> dedupExact,

@@ -222,6 +222,10 @@ object SparkEntry {
   private def qEsWatchMeta(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamWatchTable(s, sfDir))
 
+  /** Batch twin of the watch feed: commit history (time-travel snapshot ids). */
+  private def qEsHistory(s: SparkSession, sfDir: String): DataFrame =
+    EsLog.history(s, Fixtures.kvStream(s, sfDir))
+
   /** Batch gap-sessionization (windowed lag + running sum). */
   private def qEsSessions(s: SparkSession, sfDir: String): DataFrame = {
     Fixtures.tune(s)
@@ -418,6 +422,7 @@ object SparkEntry {
     "es_stream_window" -> (qEsStreamWindow _),
     "es_stream_dedup" -> (qEsStreamDedup _),
     "es_watch_meta" -> (qEsWatchMeta _),
+    "es_history" -> (qEsHistory _),
     "es_sessions" -> (qEsSessions _),
     "es_stream_sessions" -> (qEsStreamSessions _),
     "dedup_exact" -> (qDedupExact _),

@@ -631,6 +631,17 @@ object EsLog {
     ok
   }
 
+  /** Commit history as a DataFrame — the batch twin of the streaming
+    * metadata watch (`option("watch","metadata")`): one row per committed
+    * action, `version` being the snapshot id [[scanAt]] accepts. */
+  def history(spark: SparkSession, streamDir: String): DataFrame = {
+    val rows = MetaLog.actionsSince(streamDir, -1L).flatMap { case (v, actions) =>
+      actions.zipWithIndex.map { case (a, i) => Row(v, i.toLong, a.action) }
+    }
+    spark.createDataFrame(rows.asJava,
+      graft.sources.EsLogMetaWatchSource.schema)
+  }
+
   /** Segment listing (LIST_RANGE, range.go:49-125) as a DataFrame. */
   def listSegments(spark: SparkSession, streamDir: String): DataFrame = {
     val st = MetaLog.load(streamDir)
