@@ -36,6 +36,13 @@ object Bench {
     // billed to the first timed query (standard steady-state benching).
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").collect()
+    // ... including the dedup pipeline's interpreted-expression and join
+    // code paths, JIT-warmed on a tiny synthetic corpus (not the sf data)
+    val warmDocs = spark.range(200).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i => expr(s"cast(id % ${i + 7} as string)")): _*).as("text"))
+    force(graft.operators.Dedup.ngramJaccard(warmDocs, "doc_id", "text"))
+    force(graft.operators.Dedup.minHashLshCandidates(warmDocs, "doc_id", "text"))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed(name: String)(body: => Unit): Unit = {
