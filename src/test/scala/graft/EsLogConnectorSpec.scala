@@ -55,6 +55,17 @@ class EsLogConnectorSpec extends SparkTestBase {
       scanned.get("numFiles").map(_.value).toString)
   }
 
+  test("native path prunes files by manifest timestamp stats") {
+    val dir = mkStream(1000) // ts = offset * 10, 4 files
+    val q = spark.read.format("eslog").load(dir)
+      .where(col("base_timestamp") >= 9000L) // only the last file qualifies
+      .select("base_offset")
+    assert(q.collect().length == 100)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.metrics("numFiles").value == 1,
+      s"expected 1 file after ts pruning, got ${scan.metrics("numFiles").value}")
+  }
+
   test("empty stream reads as an empty relation (both paths)") {
     val dir = tmpDir("empty-")
     EsLog.create(dir, streamId = 13L)
