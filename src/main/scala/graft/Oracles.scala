@@ -211,6 +211,18 @@ object Oracles {
        |FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id""".stripMargin
   }
 
+  /** Connected components over the Jaccard pairs via transitive closure
+    * (recursive CTE) — min reachable id per doc, mirroring
+    * [[graft.operators.Dedup.nearDupClusters]]'s converged labels. */
+  private val dedupClusters =
+    s"""WITH RECURSIVE p AS (SELECT i, j FROM ($dedupJaccard) q),
+       |e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
+
   private val dedupSimhash = {
     val terms = (0 until 60).map { b =>
       s"CASE WHEN sum(((h >> $b) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END"
@@ -460,6 +472,7 @@ object Oracles {
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_clusters" -> dedupClusters,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,

@@ -251,6 +251,15 @@ object SparkEntry {
     Dedup.minHashLshCandidates(Fixtures.documents(s, sfDir), "doc_id", "text",
       k = 3, numHashes = 16, bands = 4)
 
+  /** Duplicate clusters over the verified Jaccard pairs: every doc in a
+    * near-dup pair labeled with its component's smallest doc id. */
+  private def qDedupClusters(s: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(Fixtures.documents(s, sfDir), "doc_id", "text",
+      k = 3, threshold = 0.5)
+    Dedup.nearDupClusters(pairs)
+      .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"))
+  }
+
   private def qDedupSimHash(s: SparkSession, sfDir: String): DataFrame =
     Dedup.simHash(Fixtures.documents(s, sfDir), "doc_id", "text")
       .withColumnRenamed("doc", "doc_id")
@@ -429,6 +438,7 @@ object SparkEntry {
     "dedup_jaccard" -> (qDedupJaccard _),
     "dedup_minhash" -> (qDedupMinHash _),
     "dedup_simhash" -> (qDedupSimHash _),
+    "dedup_clusters" -> (qDedupClusters _),
     "text_stats" -> (qTextStats _),
     "text_quality" -> (qTextQuality _),
     "text_langid" -> (qTextLangId _),

@@ -145,6 +145,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-duplicate pair list — the step every
+    * dedup pipeline ends with: assign each document in any pair a cluster id
+    * (the smallest doc id reachable through near-dup edges), then keep one
+    * representative per cluster. Distributed min-label propagation: each
+    * round joins labels across edges and takes the elementwise min, with an
+    * early exit at the fixpoint. Near-dup graphs are near-cliques, so
+    * convergence takes O(cluster diameter) rounds (2–3 in practice; a path
+    * of length d needs d rounds — bound with `maxIter`). Every round is a
+    * pair of bounded-key equi-joins, nothing driver-side but the
+    * convergence check. */
+  def nearDupClusters(pairs: DataFrame, iCol: String = "i", jCol: String = "j",
+                      maxIter: Int = 20): DataFrame = {
+    val edges = OpUtil.shared(
+      pairs.select(col(iCol).as("a"), col(jCol).as("b"))
+        .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
+        .distinct())
+    var labels = OpUtil.shared(
+      edges.select(col("a").as("doc")).distinct().withColumn("cluster", col("doc")))
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      it += 1
+      val nbrMin = edges.join(labels, edges("b") === labels("doc"))
+        .groupBy(edges("a").as("ndoc")).agg(min("cluster").as("nc"))
+      val next = OpUtil.shared(
+        labels.join(nbrMin, labels("doc") === nbrMin("ndoc"), "left")
+          .select(labels("doc"),
+            least(labels("cluster"), coalesce(col("nc"), labels("cluster"))).as("cluster")))
+      val changed = next.as("n").join(labels.as("o"), "doc")
+        .where(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      labels = next
+      converged = changed == 0
+    }
+    labels
+  }
+
   /** SimHash fingerprint (60-bit): per token occurrence, each hash bit votes
     * +1/-1; fingerprint bit b is set iff the bit-b vote sum is positive. */
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {

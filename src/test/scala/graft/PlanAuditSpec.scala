@@ -86,6 +86,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pairs.contains((0L, 1L)), pairs.toString)
   }
 
+  test("near-dup clustering: min-label propagation converges across hops") {
+    import spark.implicits._
+    // two components: a 4-node PATH 1-2-3-4 (needs multi-hop propagation)
+    // and an isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L), got)
+  }
+
   test("relational join picks broadcast for the small dimension side") {
     Fixtures.tune(spark)
     val customer = spark.read.parquet(sf("customer"))
