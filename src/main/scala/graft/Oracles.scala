@@ -289,6 +289,23 @@ object Oracles {
       |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_ish
       |FROM documents""".stripMargin
 
+  /** Mirrors [[graft.operators.TextOps.redactions]] in application order. */
+  private val textRedact = {
+    // DuckDB single-quoted strings are literal (no backslash processing), so
+    // the Java-regex pattern text goes in verbatim; only quotes need doubling
+    val scrubbed = graft.operators.TextOps.redactions.foldLeft("text") {
+      case (expr, (pat, repl)) =>
+        s"regexp_replace($expr, '${pat.replace("'", "''")}', '$repl', 'g')"
+    }
+    s"SELECT doc_id, $scrubbed AS text_redacted FROM documents"
+  }
+
+  private val textTruncate =
+    """SELECT doc_id,
+      |  array_to_string(string_split(text, ' ')[1:16], ' ') AS text_truncated,
+      |  CAST(least(len(string_split(text, ' ')), 16) AS BIGINT) AS n_tokens_kept
+      |FROM documents""".stripMargin
+
   /** dot(a,b) with the same left fold Spark's `aggregate` uses. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
@@ -478,6 +495,8 @@ object Oracles {
     "text_langid" -> textLangId,
     "text_fingerprint" -> textFingerprint,
     "text_tokens" -> textTokens,
+    "text_redact" -> textRedact,
+    "text_truncate" -> textTruncate,
     "sim_exact" -> simExact,
     "sim_lsh" -> simLsh,
     "dedup_embedding" -> dedupEmbedding,

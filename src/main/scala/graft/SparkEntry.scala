@@ -279,6 +279,12 @@ object SparkEntry {
   private def qTextTokens(s: SparkSession, sfDir: String): DataFrame =
     TextOps.tokenCounts(Fixtures.documents(s, sfDir), "doc_id", "text")
 
+  private def qTextRedact(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.redact(Fixtures.documents(s, sfDir), "doc_id", "text")
+
+  private def qTextTruncate(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.truncateTokens(Fixtures.documents(s, sfDir), "doc_id", "text", maxTokens = 16)
+
   private def qSimExact(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -444,6 +450,8 @@ object SparkEntry {
     "text_langid" -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "text_tokens" -> (qTextTokens _),
+    "text_redact" -> (qTextRedact _),
+    "text_truncate" -> (qTextTruncate _),
     "sim_exact" -> (qSimExact _),
     "sim_lsh" -> (qSimLsh _),
     "dedup_embedding" -> (qDedupEmbedding _),

@@ -93,4 +93,32 @@ object TextOps {
       size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("n_marks"),
       (size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
         ).cast("long").as("n_bpe_ish"))
+
+  /** Redaction patterns, ordered (URLs before emails before bare numbers so
+    * a URL's digits aren't re-tagged). RE2-safe character classes only —
+    * identical semantics in Java regex and the SQL oracle's engine. */
+  val redactions: Seq[(String, String)] = Seq(
+    "https?://[^ ]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "[0-9]+" -> "<NUM>")
+
+  /** PII-style scrubbing: URLs, email addresses and digit runs replaced with
+    * typed placeholder tokens — the standard cheap redaction pass before
+    * training-data export. One codegen'd projection, no UDFs. */
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scrubbed = redactions.foldLeft(col(textCol)) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs.select(col(idCol), scrubbed.as("text_redacted"))
+  }
+
+  /** Context-length capping: keep the first `maxTokens` whitespace tokens —
+    * the usual truncation step before tokenizer/packing stages. */
+  def truncateTokens(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    val toks = Portable.words(col(textCol))
+    docs.select(col(idCol),
+      array_join(slice(toks, 1, maxTokens), " ").as("text_truncated"),
+      least(size(toks), lit(maxTokens)).cast("long").as("n_tokens_kept"))
+  }
 }

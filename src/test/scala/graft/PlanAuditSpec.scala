@@ -86,6 +86,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pairs.contains((0L, 1L)), pairs.toString)
   }
 
+  test("redaction replaces urls, emails and digit runs (in that order)") {
+    import spark.implicits._
+    val docs = Seq((1L, "visit https://x.io/a?b=1 or mail bob@ex.com room 42"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.redact(docs, "doc_id", "text")
+      .collect().head.getString(1)
+    assert(out == "visit <URL> or mail <EMAIL> room <NUM>", out)
+    val trunc = graft.operators.TextOps.truncateTokens(docs, "doc_id", "text", 3)
+      .collect().head
+    assert(trunc.getString(1) == "visit https://x.io/a?b=1 or" && trunc.getLong(2) == 3L)
+  }
+
   test("near-dup clustering: min-label propagation converges across hops") {
     import spark.implicits._
     // two components: a 4-node PATH 1-2-3-4 (needs multi-hop propagation)
