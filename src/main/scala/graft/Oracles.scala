@@ -306,6 +306,17 @@ object Oracles {
       |  CAST(least(len(string_split(text, ' ')), 16) AS BIGINT) AS n_tokens_kept
       |FROM documents""".stripMargin
 
+  private val sampleHash =
+    s"""SELECT doc_id FROM documents
+       |WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 3""".stripMargin
+
+  private val textPack =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER
+      |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    // 512 AS pack_id
+      |FROM documents""".stripMargin
+
   /** dot(a,b) with the same left fold Spark's `aggregate` uses. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
@@ -497,6 +508,8 @@ object Oracles {
     "text_tokens" -> textTokens,
     "text_redact" -> textRedact,
     "text_truncate" -> textTruncate,
+    "sample_hash" -> sampleHash,
+    "text_pack" -> textPack,
     "sim_exact" -> simExact,
     "sim_lsh" -> simLsh,
     "dedup_embedding" -> dedupEmbedding,

@@ -285,6 +285,17 @@ object SparkEntry {
   private def qTextTruncate(s: SparkSession, sfDir: String): DataFrame =
     TextOps.truncateTokens(Fixtures.documents(s, sfDir), "doc_id", "text", maxTokens = 16)
 
+  /** Deterministic 30% hash sample — stable across runs/engines/cluster sizes. */
+  private def qSampleHash(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.sampleByHash(Fixtures.documents(s, sfDir), "doc_id", num = 3, den = 10)
+      .select("doc_id")
+
+  /** Greedy 512-token sequence packing in doc order (global here; shardCol
+    * is the 100 TB path). */
+  private def qTextPack(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.packGreedy(Fixtures.documents(s, sfDir), "doc_id", "text",
+      tokensPerPack = 512)
+
   private def qSimExact(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -452,6 +463,8 @@ object SparkEntry {
     "text_tokens" -> (qTextTokens _),
     "text_redact" -> (qTextRedact _),
     "text_truncate" -> (qTextTruncate _),
+    "sample_hash" -> (qSampleHash _),
+    "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
     "sim_lsh" -> (qSimLsh _),
     "dedup_embedding" -> (qDedupEmbedding _),

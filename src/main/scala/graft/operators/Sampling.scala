@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Corpus-shaping operators for training-data export: deterministic
+  * subsampling and greedy sequence packing. Both are pure codegen'd
+  * projections/windows with engine-portable arithmetic (md5-derived hashes,
+  * integral division), so an independent SQL engine reproduces every row.
+  */
+object Sampling {
+
+  /** Deterministic hash sampling: keep a row iff
+    * `hash60(id) mod den < num` — a stable num/den fraction that is
+    * reproducible across runs, engines and cluster sizes (unlike
+    * `DataFrame.sample`, whose outcome depends on partitioning). Selection
+    * is per-id, so re-running on a grown corpus keeps previously selected
+    * ids selected. No shuffle: a single codegen'd filter. */
+  def sampleByHash(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"bad fraction $num/$den")
+    df.where(Portable.hash60(col(idCol).cast("string")) % den < num)
+  }
+
+  /** Greedy contiguous sequence packing: documents, in `idCol` order, are
+    * assigned to consecutive packs of ~`tokensPerPack` whitespace tokens; a
+    * document never splits, so a pack may overflow by at most one document
+    * (the standard pre-tokenization packing rule).
+    *
+    * Scale note: a global order means a single-partition window — fine up to
+    * millions of docs, not at 100 TB. Pass `shardCol` (any coarse bucket,
+    * e.g. `hash60(id) % 1024`) to pack within shards: embarrassingly
+    * parallel, same guarantee per shard, pack ids unique as (shard, pack). */
+  def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+                 tokensPerPack: Int, shardCol: Option[String] = None): DataFrame = {
+    require(tokensPerPack > 0, "tokensPerPack must be positive")
+    val n = size(Portable.words(col(textCol))).cast("long")
+    val w = shardCol match {
+      case Some(s) => Window.partitionBy(col(s)).orderBy(col(idCol))
+      case None    => Window.orderBy(col(idCol))
+    }
+    val cum = w.rowsBetween(Window.unboundedPreceding, -1)
+    val base = docs.select(
+      (col(idCol) +: shardCol.map(col).toSeq) :+ n.as("n_tokens"): _*)
+    base
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(cum), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $tokensPerPack"))
+      .drop("cum_before")
+  }
+}

@@ -98,6 +98,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(trunc.getString(1) == "visit https://x.io/a?b=1 or" && trunc.getLong(2) == 3L)
   }
 
+  test("packing: sharded windows avoid the global sort; packs respect the budget") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = spark.range(100).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(_ => lit("w")): _*).as("text"), // 10 tokens each
+      (col("id") % 4).as("shard"))
+    // global: 10-token docs into 25-token packs -> docs 0,1 pack 0 (20 tok),
+    // doc 2 pack 0 (cum_before 20 div 25 = 0, overflow by one doc), doc 3 pack 1
+    val g = Sampling.packGreedy(docs.drop("shard"), "doc_id", "text", 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g(0L) == 0L && g(1L) == 0L && g(2L) == 0L && g(3L) == 1L, g.toString)
+    // sharded: window is partitioned (no single-partition global sort)
+    val sharded = Sampling.packGreedy(docs, "doc_id", "text", 25, shardCol = Some("shard"))
+    val p = sharded.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(shard"), p)
+    // per-shard pack ids restart at 0
+    assert(sharded.where(col("pack_id") === 0).count() == 4 * 3)
+    // deterministic hash sample: stable subset, exact re-run equality
+    val s1 = Sampling.sampleByHash(docs, "doc_id", 3, 10).select("doc_id").collect().map(_.getLong(0)).sorted
+    val s2 = Sampling.sampleByHash(docs, "doc_id", 3, 10).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2) && s1.nonEmpty && s1.length < 100)
+  }
+
   test("near-dup clustering: min-label propagation converges across hops") {
     import spark.implicits._
     // two components: a 4-node PATH 1-2-3-4 (needs multi-hop propagation)
