@@ -232,6 +232,25 @@ class MetaLogSpec extends AnyFunSuite {
     assert(MetaLog.load(dir).kv.size == 45)
   }
 
+  test("concurrent committers linearize: every commit lands exactly once") {
+    val dir = tmp()
+    EsLogTestOps.createAndOpen(dir) // v0, v1
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writers = (0 until 8).map { w => Future {
+      (0 until 10).foreach { i =>
+        MetaLog.commitWithRetry(dir, maxAttempts = 200) { _ => Seq(KvPut(s"w$w-$i", "x")) }
+      }
+    }}
+    Await.result(Future.sequence(writers), 2.minutes)
+    val st = MetaLog.load(dir)
+    // all 80 puts present, one commit each: versions are exactly 0..81
+    assert(st.kv.size == 80, st.kv.size.toString)
+    assert(st.version == 81L, st.version.toString)
+    assert(MetaLog.actionsSince(dir, 1L).map(_._2.size).sum == 80)
+  }
+
   test("json action codec roundtrips every action type") {
     val actions: Seq[Action] = Seq(
       CreateStream(7, 3, 2, 86400000L), OpenStream(5),
