@@ -86,72 +86,111 @@ object EsLog {
 
   // ---- write path ----
 
+  /** Per-file audit record read from a parquet footer: row count, file
+    * length, and — when column statistics are present — min/max of the
+    * physical `base_offset` column across all row groups. */
+  private final case class FooterInfo(rows: Long, bytes: Long,
+                                      minOff: Option[Long], maxOff: Option[Long])
+
+  /** Read every committed file's parquet footer EXECUTOR-SIDE (one tiny Spark
+    * job over the file list — metadata-only opens, no data pages) and return
+    * the audit records. Keeps the commit critical section free of driver-side
+    * GETs: at an object store a thousands-file commit would otherwise issue a
+    * thousand driver HTTP reads inside the commit path, and a wedged read
+    * would hang it. As a Spark job the reads are spread across the cluster,
+    * bounded by its parallelism, and covered by task retries/timeouts. The
+    * footer open also yields the file length, so the commit needs no separate
+    * per-file stat/HEAD round trips. */
+  private def footerAudit(spark: SparkSession, streamDir: String,
+                          relPaths: Seq[String]): Map[String, FooterInfo] = {
+    val conf = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
+    val base = Paths.get(streamDir).toAbsolutePath.toString
+    val slices = math.max(1, math.min(relPaths.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(relPaths, slices).map { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(new java.io.File(base, rel).toURI), conf())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        var rows = 0L
+        var minOff = Long.MaxValue; var maxOff = Long.MinValue; var statsOk = true
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
+          block.getColumns.asScala.find(_.getPath.toDotString == "base_offset") match {
+            case Some(c) =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) statsOk = false
+              else {
+                minOff = math.min(minOff, st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+                maxOff = math.max(maxOff, st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              }
+            case None => statsOk = false
+          }
+        }
+        val haveStats = statsOk && rows > 0
+        rel -> FooterInfo(rows, in.getLength,
+          if (haveStats) Some(minOff) else None, if (haveStats) Some(maxOff) else None)
+      } finally reader.close()
+    }.collect().toMap
+  }
+
   /** Map written `part-<pid>-*` files to per-partition stats and build their
-    * FileMetas. Fails loudly if the writer produced anything other than one
-    * file per non-empty partition (the commit math depends on it; the write
-    * pins maxRecordsPerFile=0 to guarantee it). Part numbers are parsed up to
-    * the first '-', so >=100k-partition jobs parse correctly.
+    * FileMetas, cross-checked against what the writer actually wrote. Fails
+    * loudly if the writer produced anything other than one file per non-empty
+    * partition (the commit math depends on it; the write pins
+    * maxRecordsPerFile=0 to guarantee it). Part numbers are parsed up to the
+    * first '-', so >=100k-partition jobs parse correctly.
     *
-    * File sizes come from the same single directory listing (an object-store
-    * LIST returns name + size in one call — no per-file HEAD/stat round
-    * trips). A part file with no matching stats row (FileFormatWriter emits
-    * an empty file for a 0-row task 0) is deleted, not leaked. */
-  private def commitFileMetas(streamDir: String, outRel: String, outAbs: String,
-      stats: Seq[(Int, Long, Long, Long, Long, Long, Int)]): Seq[FileMeta] = {
-    val written: Seq[(String, Long)] = {
+    * The footer audit ([[footerAudit]]) supplies file sizes AND validates the
+    * manifest against file contents before commit: row counts must match the
+    * stats pass exactly, and the parquet column statistics for `base_offset`
+    * must agree with the FileMeta span (min == startOffset; max inside
+    * [endOffset - maxDelta, endOffset)). This catches a nondeterministic
+    * upstream re-evaluating differently between the stats pass and the write
+    * pass — including the stable-count case where only offsets/deltas drift —
+    * so a mismatching commit aborts instead of landing a manifest that
+    * disagrees with file contents. A part file with no matching stats row
+    * (FileFormatWriter emits an empty file for a 0-row task 0) is deleted,
+    * not leaked. */
+  private def commitFileMetas(spark: SparkSession, streamDir: String, outRel: String,
+      outAbs: String, stats: Seq[(Int, Long, Long, Long, Long, Long, Int)]): Seq[FileMeta] = {
+    val written: Seq[String] = {
       val s = Files.list(Paths.get(outAbs))
       try s.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }
-        .map(p => p.getFileName.toString ->
-          Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).size())
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .toSeq
       finally s.close()
     }
-    val byPid = written.groupBy(_._1.stripPrefix("part-").takeWhile(_ != '-').toInt)
+    val byPid = written.groupBy(_.stripPrefix("part-").takeWhile(_ != '-').toInt)
     byPid.find(_._2.size > 1).foreach { case (pid, names) =>
       throw new IllegalStateException(
-        s"partition $pid wrote ${names.size} files (${names.map(_._1).mkString(", ")}) in $outAbs — " +
+        s"partition $pid wrote ${names.size} files (${names.mkString(", ")}) in $outAbs — " +
           "one file per task is required for manifest commit")
     }
     val statPids = stats.map(_._1).toSet
     byPid.filterNot(kv => statPids(kv._1)).values.flatten
-      .foreach { case (name, _) => Files.deleteIfExists(Paths.get(outAbs, name)) }
-    stats.map { case (pid, nrows, startOff, endOff, minTs, maxTs, maxD) =>
-      val (name, size) = byPid.getOrElse(pid,
-        throw new IllegalStateException(s"no written file for partition $pid in $outAbs")).head
-      FileMeta(s"$outRel/$name", nrows, size, startOff, endOff, minTs, maxTs, maxD)
-    }.sortBy(_.startOffset)
-  }
+      .foreach(name => Files.deleteIfExists(Paths.get(outAbs, name)))
 
-  /** Cross-check manifest row counts against what the writer actually wrote
-    * (parquet footer reads — metadata only, no data pages). Catches a
-    * nondeterministic upstream re-evaluating differently between the stats
-    * pass and the write pass (e.g. shuffle loss + round-robin repartition):
-    * a mismatching commit is aborted instead of landing a manifest that
-    * disagrees with file contents. */
-  private def validateFooters(spark: SparkSession, streamDir: String, files: Seq[FileMeta]): Unit = {
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val conf = spark.sparkContext.hadoopConfiguration
-    // One footer read per file, in parallel: each is a metadata-only open
-    // (~10 ms of Hadoop FS + thrift parse) and a commit may carry thousands
-    // of files — sequential reads would dominate small commits.
-    val checks = files.map { f => Future {
-      val p = new org.apache.hadoop.fs.Path(Paths.get(streamDir, f.path).toUri)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      val rc = try reader.getRecordCount finally reader.close()
-      (f, rc)
-    }}
-    Await.result(Future.sequence(checks), Duration.Inf).foreach { case (f, rc) =>
-      if (rc != f.rows) throw new IllegalStateException(
-        s"footer row count $rc != stats rows ${f.rows} for ${f.path} — " +
+    val names = stats.map { case (pid, _, _, _, _, _, _) =>
+      pid -> byPid.getOrElse(pid,
+        throw new IllegalStateException(s"no written file for partition $pid in $outAbs")).head
+    }.toMap
+    val audit = footerAudit(spark, streamDir, names.values.map(n => s"$outRel/$n").toSeq)
+
+    stats.map { case (pid, nrows, startOff, endOff, minTs, maxTs, maxD) =>
+      val rel = s"$outRel/${names(pid)}"
+      val info = audit(rel)
+      if (info.rows != nrows) throw new IllegalStateException(
+        s"footer row count ${info.rows} != stats rows $nrows for $rel — " +
           "input evaluated differently between stats and write passes; commit aborted")
-    }
+      for (mo <- info.minOff) if (mo != startOff) throw new IllegalStateException(
+        s"footer min base_offset $mo != stats startOffset $startOff for $rel — " +
+          "offsets drifted between stats and write passes; commit aborted")
+      for (mo <- info.maxOff) if (mo < endOff - maxD || mo >= endOff) throw new IllegalStateException(
+        s"footer max base_offset $mo outside [${endOff - maxD}, $endOff) for $rel — " +
+          "offsets drifted between stats and write passes; commit aborted")
+      FileMeta(rel, nrows, info.bytes, startOff, endOff, minTs, maxTs, maxD)
+    }.sortBy(_.startOffset)
   }
 
   private def deleteRecursively(abs: String): Unit = {
@@ -226,7 +265,7 @@ object EsLog {
     // between the jobs is harmless; `validateFooters` backstops the one
     // remaining hazard (shuffle-output loss + nondeterministic recompute).
     // env-gated stage timing for perf work: GRAFT_APPEND_TIMING=1 prints
-    // per-stage seconds (plan/pass1/write/list/footers/commit) to stderr
+    // per-stage seconds (plan/pass1/write/metas+footers/commit) to stderr
     val dbgT = sys.env.contains("GRAFT_APPEND_TIMING")
     var dbgT0 = System.nanoTime()
     def dbgMark(name: String): Unit = if (dbgT) {
@@ -305,27 +344,34 @@ object EsLog {
     // Commit from the pass-1 stats: one task partition = one written file
     // (`part-<pid>-*`), so file boundaries are known without re-reading data
     // (the reference gets this from the write window; DSv2 would get it from
-    // WriterCommitMessages). One directory listing, no per-row jobs.
-    val files = commitFileMetas(streamDir, outRel, outAbs,
-      partSums.filter(_._3 > 0).map { case (pid, sum, nrows, maxD, minTs, maxTs) =>
-        (pid, nrows, startByPid(pid), startByPid(pid) + sum, minTs, maxTs, maxD)
-      })
-
-    require(files.head.startOffset == next && files.last.endOffset == next + total,
-      s"offset assignment not contiguous: ${files.map(f => (f.startOffset, f.endOffset))}")
-    dbgMark("list+metas")
+    // WriterCommitMessages). One directory listing + one executor-side footer
+    // audit job, no per-row jobs, no driver FS reads.
+    val files = try {
+      val fs = commitFileMetas(spark, streamDir, outRel, outAbs,
+        partSums.filter(_._3 > 0).map { case (pid, sum, nrows, maxD, minTs, maxTs) =>
+          (pid, nrows, startByPid(pid), startByPid(pid) + sum, minTs, maxTs, maxD)
+        })
+      require(fs.head.startOffset == next && fs.last.endOffset == next + total,
+        s"offset assignment not contiguous: ${fs.map(f => (f.startOffset, f.endOffset))}")
+      fs
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // Nothing committed yet — the written files are unreachable; delete
+        // before rethrow so a failed append can't leak storage.
+        deleteRecursively(outAbs)
+        throw e
+    }
+    dbgMark("metas+footers")
 
     try {
-      validateFooters(spark, streamDir, files)
-      dbgMark("footers")
       MetaLog.commit(streamDir, st, Seq(CommitFiles(seg.index, epoch, files)) ++ extraActions)
       dbgMark("commit")
     } catch {
       case scala.util.control.NonFatal(e) =>
-        // The written files are unreachable on any pre-commit failure (footer
-        // mismatch, fencing, CAS loss) — delete before rethrow so a failed
-        // append can't leak storage. Only skip cleanup if the commit in fact
-        // landed (an exception from post-commit bookkeeping).
+        // The written files are unreachable on any pre-commit failure
+        // (fencing, CAS loss) — delete before rethrow so a failed append
+        // can't leak storage. Only skip cleanup if the commit in fact landed
+        // (an exception from post-commit bookkeeping).
         val landed = MetaLog.load(streamDir).allFiles.map(_.path).toSet
         if (!files.exists(f => landed(f.path))) deleteRecursively(outAbs)
         throw e
@@ -489,11 +535,10 @@ object EsLog {
           .option("maxRecordsPerFile", "0")
           .parquet(outAbs)
 
-        val added = commitFileMetas(streamDir, outRel, outAbs,
+        val added = commitFileMetas(spark, streamDir, outRel, outAbs,
           stats.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
             (pid, n, minOff, maxEnd, minTs, maxTs, maxD)
           })
-        validateFooters(spark, streamDir, added)
         val removed = seg.files.map(_.path)
         st = MetaLog.commitWithRetry(streamDir) { cur =>
           // revalidate against the current state: segment must still hold
@@ -557,10 +602,13 @@ object EsLog {
           }
         }
     } finally walk.close()
-    // drop now-empty staging/segment directories (bottom-up)
+    // Drop now-empty staging/segment directories (bottom-up). The same mtime
+    // grace applies to directories: a concurrent append's just-created, still
+    // -empty staging dir must not be swept out from under its writer.
     val dirs = Files.walk(root)
     try dirs.iterator().asScala.toSeq.reverseIterator
       .filter(p => p != root && Files.isDirectory(p) && !logRoot.startsWith(p) && !p.startsWith(logRoot))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
       .foreach { p =>
         val s = Files.list(p)
         val empty = try !s.iterator().hasNext finally s.close()

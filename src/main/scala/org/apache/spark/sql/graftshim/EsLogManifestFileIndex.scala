@@ -50,8 +50,11 @@ class EsLogManifestFileIndex(streamDir: String, files: Seq[ManifestFile])
     def tighten(name: String, newLo: Long => Unit, newHi: Long => Unit)
                (a: Option[String], v: Option[Long], isLo: Boolean, inclusive: Boolean): Unit =
       for (n <- a; value <- v; if n == name)
-        if (isLo) newLo(if (inclusive) value else value + 1)
-        else newHi(if (inclusive) value + 1 else value)
+        // value + 1 would wrap at Long.MaxValue (e.g. `<= Long.MaxValue`),
+        // collapsing hi to Long.MinValue and pruning every file; leave such a
+        // bound unbounded instead — pruning must stay a conservative superset.
+        if (isLo) { if (inclusive) newLo(value) else if (value != Long.MaxValue) newLo(value + 1) }
+        else { if (inclusive) { if (value != Long.MaxValue) newHi(value + 1) } else newHi(value) }
     def offBound = tighten("base_offset", v => lo = math.max(lo, v), v => hi = math.min(hi, v)) _
     def tsBound = tighten("base_timestamp", v => tsLo = math.max(tsLo, v), v => tsHi = math.min(tsHi, v)) _
     def each(b: (Option[String], Option[Long], Boolean, Boolean) => Unit)(e: Expression): Unit = e match {

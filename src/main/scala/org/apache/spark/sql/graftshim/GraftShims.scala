@@ -61,4 +61,19 @@ object GraftShims {
                         rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
                         schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** The session's Hadoop configuration as a task-shippable thunk (Spark's
+    * own SerializableConfiguration under a broadcast, the same mechanism
+    * every file source uses): executor-side metadata reads see the exact
+    * session FS config — credentials included — not classpath defaults. */
+  def shippableHadoopConf(spark: SparkSession): () => org.apache.hadoop.conf.Configuration = {
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+    new ShippedConf(bc)
+  }
+  private final class ShippedConf(
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
+    extends (() => org.apache.hadoop.conf.Configuration) with Serializable {
+    override def apply(): org.apache.hadoop.conf.Configuration = bc.value.value
+  }
 }

@@ -55,6 +55,18 @@ class EsLogConnectorSpec extends SparkTestBase {
       scanned.get("numFiles").map(_.value).toString)
   }
 
+  test("Long.MaxValue bounds don't overflow manifest pruning") {
+    val dir = mkStream(100)
+    // `<= Long.MaxValue` / `=== Long.MaxValue` used to wrap hi to
+    // Long.MinValue (value + 1 overflow) and prune every file
+    assert(spark.read.format("eslog").load(dir)
+      .where(col("base_offset") <= Long.MaxValue).count() == 100)
+    assert(spark.read.format("eslog").load(dir)
+      .where(col("base_offset") === Long.MaxValue).count() == 0)
+    assert(spark.read.format("eslog").load(dir)
+      .where(col("base_timestamp") <= Long.MaxValue).count() == 100)
+  }
+
   test("native path prunes files by manifest timestamp stats") {
     val dir = mkStream(1000) // ts = offset * 10, 4 files
     val q = spark.read.format("eslog").load(dir)

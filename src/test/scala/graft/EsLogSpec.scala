@@ -258,6 +258,20 @@ class EsLogSpec extends SparkTestBase {
     assert(graft.meta.MetaLog.load(dir).allFiles.nonEmpty)
   }
 
+  test("vacuum keeps a fresh empty staging dir (concurrent append in flight)") {
+    val dir = tmpDir("eslog-vacdir-")
+    EsLog.create(dir)
+    // a concurrent append has just created its staging dir but written nothing
+    val staging = java.nio.file.Paths.get(dir, "seg-00000", "inflight1")
+    java.nio.file.Files.createDirectories(staging)
+    assert(EsLog.vacuum(dir, nowMs = System.currentTimeMillis()).isEmpty)
+    assert(java.nio.file.Files.isDirectory(staging),
+      "fresh empty staging dir swept — would fail the in-flight append")
+    // past the grace period it is garbage and goes
+    EsLog.vacuum(dir, nowMs = System.currentTimeMillis() + 25L * 3600 * 1000)
+    assert(!java.nio.file.Files.exists(staging))
+  }
+
   test("retention: time-based trim drops expired files (metadata-only)") {
     val dir = tmpDir("eslog-ret-")
     EsLog.create(dir, retentionMs = 1000L)
