@@ -123,8 +123,9 @@ object Fixtures {
       ()
     }
 
-  /** KV fixture: puts, delete, range delete, a successful CAS txn, a failed
-    * (stale) one. */
+  /** KV fixture: puts, delete, range delete (ranged tombstone), a successful
+    * CAS txn, a failed (stale) one, and etcd-parity multi-guard txns with
+    * success AND failure branches. */
   def kvStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "kv") { dir =>
       EsLog.create(dir, streamId = 46L)
@@ -134,6 +135,17 @@ object Fixtures {
       require(!EsLog.txnKV(dir, "k1", Some("a"), Seq("k5" -> Some("never"))))
       EsLog.putKV(dir, "z1", "tmp1"); EsLog.putKV(dir, "z2", "tmp2"); EsLog.putKV(dir, "z9", "keep")
       EsLog.delRangeKV(dir, "z1", Some("z9")) // DELETE_RANGE [z1, z9): z9 survives
+      // etcd TxnRequest shape: multi-key guard (value + presence + absence)
+      // holds -> success ops (a put and a del) land in one commit
+      require(EsLog.txnKV(dir,
+        Seq(KvValueIs("k1", "a2"), KvPresent("k3"), KvAbsent("nope")),
+        onSuccess = Seq("t1" -> Some("yes"), "k4" -> None),
+        onFailure = Seq("t1" -> Some("no"))))
+      // one failing guard (k3 IS present) -> the FAILURE branch lands instead
+      require(!EsLog.txnKV(dir,
+        Seq(KvValueIs("k1", "a2"), KvAbsent("k3")),
+        onSuccess = Seq("t2" -> Some("yes")),
+        onFailure = Seq("t2" -> Some("fallback"), "z9" -> None)))
       ()
     }
 

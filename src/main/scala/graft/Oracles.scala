@@ -87,7 +87,7 @@ object Oracles {
       |SELECT 'events_trimmed', CAST(count(*) // 4 AS BIGINT), CAST(count(*) AS BIGINT) FROM events""".stripMargin
 
   private val esKv =
-    """SELECT * FROM (VALUES ('k1', 'a2'), ('k3', 'c'), ('k4', 'd'), ('z9', 'keep')) AS t("key", "value")"""
+    """SELECT * FROM (VALUES ('k1', 'a2'), ('k3', 'c'), ('t1', 'yes'), ('t2', 'fallback')) AS t("key", "value")"""
 
   private val esUpdateDescribe =
     """SELECT CAST(77 AS BIGINT) AS stream_id, CAST(3 AS BIGINT) AS replica,
@@ -154,8 +154,11 @@ object Oracles {
       |  (CAST(6 AS BIGINT), CAST(0 AS BIGINT), 'kvPut'),
       |  (CAST(7 AS BIGINT), CAST(0 AS BIGINT), 'kvPut'),
       |  (CAST(8 AS BIGINT), CAST(0 AS BIGINT), 'kvPut'),
-      |  (CAST(9 AS BIGINT), CAST(0 AS BIGINT), 'kvDel'),
-      |  (CAST(9 AS BIGINT), CAST(1 AS BIGINT), 'kvDel')
+      |  (CAST(9 AS BIGINT), CAST(0 AS BIGINT), 'kvDelRange'),
+      |  (CAST(10 AS BIGINT), CAST(0 AS BIGINT), 'kvPut'),
+      |  (CAST(10 AS BIGINT), CAST(1 AS BIGINT), 'kvDel'),
+      |  (CAST(11 AS BIGINT), CAST(0 AS BIGINT), 'kvPut'),
+      |  (CAST(11 AS BIGINT), CAST(1 AS BIGINT), 'kvDel')
       |) AS t(version, seq, action)""".stripMargin
 
   /** Shared session CTE: gap = 1 day over per-user event times. */

@@ -656,28 +656,45 @@ object EsLog {
       .sortBy(_._1)
 
   /** DELETE_RANGE [from, until) (etcd DeleteRangeRequest, rpc.fbs:780-931):
-    * every key in the range is deleted in ONE atomic commit — a reader folds
-    * either none or all of the deletions. `until = None` deletes to the end
-    * of the keyspace. */
+    * one ranged tombstone action ([[graft.meta.KvDelRange]]) deletes every
+    * key in the range atomically — a reader folds either none or all of the
+    * deletions, and the log entry is O(1) in the number of covered keys (a
+    * million-key range delete is one action, not a million materialized
+    * [[graft.meta.KvDel]]s). `until = None` deletes to the end of the
+    * keyspace. No-keys-in-range is a no-op commit. */
   def delRangeKV(streamDir: String, from: String, until: Option[String]): Unit =
     MetaLog.commitWithRetry(streamDir) { st =>
-      st.kv.keys.filter(k => k >= from && until.forall(k < _)).toSeq.sorted.map(KvDel(_))
+      if (st.kv.keys.exists(k => k >= from && until.forall(k < _)))
+        Seq(KvDelRange(from, until))
+      else Seq.empty
     }
 
-  /** Compare-and-swap transaction (etcd TxnRequest, rpc.fbs:904-931): iff
-    * `key`'s current value equals `expect` (None = absent), apply `ops`
-    * atomically. Returns true on success. The metadata log's CAS commit makes
-    * the compare and the ops a single atomic unit. */
-  def txnKV(streamDir: String, key: String, expect: Option[String],
-            ops: Seq[(String, Option[String])]): Boolean = {
+  /** etcd-parity transaction (TxnRequest, rpc.fbs:904-931): iff EVERY guard
+    * in `compares` holds against the current state, apply `onSuccess`,
+    * otherwise apply `onFailure`. Guards ([[graft.meta.KvValueIs]] /
+    * [[graft.meta.KvPresent]] / [[graft.meta.KvAbsent]]) and the chosen op
+    * list are evaluated and committed as ONE atomic CAS unit — a contended
+    * retry re-evaluates the guards against the fresh state. Ops: `Some(v)` =
+    * put, `None` = del. Returns whether the compares held. */
+  def txnKV(streamDir: String, compares: Seq[KvGuard],
+            onSuccess: Seq[(String, Option[String])],
+            onFailure: Seq[(String, Option[String])]): Boolean = {
     var ok = false
     MetaLog.commitWithRetry(streamDir) { st =>
-      ok = st.kv.get(key) == expect
-      if (!ok) Seq.empty
-      else ops.map { case (k, Some(v)) => KvPut(k, v); case (k, None) => KvDel(k) }
+      ok = compares.forall(_.holds(st.kv))
+      (if (ok) onSuccess else onFailure)
+        .map { case (k, Some(v)) => KvPut(k, v); case (k, None) => KvDel(k) }
     }
     ok
   }
+
+  /** Single value-compare convenience: iff `key`'s current value equals
+    * `expect` (None = absent), apply `ops` atomically. */
+  def txnKV(streamDir: String, key: String, expect: Option[String],
+            ops: Seq[(String, Option[String])]): Boolean =
+    txnKV(streamDir,
+      Seq(expect.map(KvValueIs(key, _)).getOrElse(KvAbsent(key))),
+      onSuccess = ops, onFailure = Seq.empty)
 
   /** Commit history as a DataFrame — the batch twin of the streaming
     * metadata watch (`option("watch","metadata")`): one row per committed

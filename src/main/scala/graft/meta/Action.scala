@@ -79,6 +79,34 @@ final case class UpdateStream(replica: Option[Int], ackCount: Option[Int],
 final case class KvPut(key: String, value: String) extends Action { val action = "kvPut" }
 final case class KvDel(key: String) extends Action { val action = "kvDel" }
 
+/** Ranged tombstone (etcd DeleteRangeRequest, rpc.fbs:780-931): one action
+  * deletes every key in [from, until) — `until = None` means to the end of
+  * the keyspace. A range delete over a million-key KV is one log entry, not
+  * a million [[KvDel]]s materialized into the commit. */
+final case class KvDelRange(from: String, until: Option[String]) extends Action {
+  val action = "kvDelRange"
+}
+
+/** Guards of a KV transaction (etcd Compare, rpc.fbs:904-931): request
+  * shapes, not actions — evaluated against the current state inside the CAS
+  * commit, never persisted. */
+sealed trait KvGuard {
+  def key: String
+  def holds(kv: Map[String, String]): Boolean
+}
+/** Key's current value equals `value`. */
+final case class KvValueIs(key: String, value: String) extends KvGuard {
+  def holds(kv: Map[String, String]): Boolean = kv.get(key).contains(value)
+}
+/** Key exists, any value (etcd existence compare). */
+final case class KvPresent(key: String) extends KvGuard {
+  def holds(kv: Map[String, String]): Boolean = kv.contains(key)
+}
+/** Key does not exist. */
+final case class KvAbsent(key: String) extends KvGuard {
+  def holds(kv: Map[String, String]): Boolean = !kv.contains(key)
+}
+
 /** Rejections mirror the reference's error codes (rpc.fbs:40-45 + window.rs). */
 final class FencedException(msg: String) extends RuntimeException(msg)       // EXPIRED_STREAM_EPOCH
 final class OutOfOrderException(msg: String) extends RuntimeException(msg)   // OFFSET_OUT_OF_ORDER

@@ -82,6 +82,7 @@ object MetaLog {
       case DeleteStream() => ()
       case KvPut(k, v) => o.put("key", k); o.put("value", v)
       case KvDel(k) => o.put("key", k)
+      case KvDelRange(from, until) => o.put("from", from); until.foreach(o.put("until", _))
     }
     o
   }
@@ -106,6 +107,7 @@ object MetaLog {
     case "deleteStream" => DeleteStream()
     case "kvPut" => KvPut(n.get("key").asText(), n.get("value").asText())
     case "kvDel" => KvDel(n.get("key").asText())
+    case "kvDelRange" => KvDelRange(n.get("from").asText(), Option(n.get("until")).map(_.asText()))
     case other => throw new IllegalArgumentException(s"unknown action $other")
   }
 

@@ -193,6 +193,8 @@ object StreamState {
       case DeleteStream() => s.copy(deleted = true)
       case KvPut(k, v)    => s.copy(kv = s.kv + (k -> v))
       case KvDel(k)       => s.copy(kv = s.kv - k)
+      case KvDelRange(from, until) =>
+        s.copy(kv = s.kv.filter { case (k, _) => k < from || until.exists(k >= _) })
     }
     next.copy(version = version)
   }

@@ -133,6 +133,49 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.txnKV(dir, "nope", None, Seq("d" -> Some("1"))))
   }
 
+  test("kv delRangeKV is one ranged tombstone action, atomic over the range") {
+    val dir = tmpDir("eslog-kvrange-")
+    EsLog.create(dir)
+    (0 until 50).foreach(i => EsLog.putKV(dir, f"r/$i%03d", i.toString))
+    EsLog.putKV(dir, "s/keep", "k")
+    val vBefore = graft.meta.MetaLog.latestVersion(dir)
+    EsLog.delRangeKV(dir, "r/", Some("s"))
+    // one commit, whose single action is the ranged tombstone
+    assert(graft.meta.MetaLog.latestVersion(dir) == vBefore + 1)
+    val actions = graft.meta.MetaLog.actionsSince(dir, vBefore).flatMap(_._2)
+    assert(actions == Seq(graft.meta.KvDelRange("r/", Some("s"))), actions)
+    assert(EsLog.rangeKV(dir).map(_._1) == Seq("s/keep"))
+    // unbounded tombstone deletes to end of keyspace
+    EsLog.delRangeKV(dir, "s", None)
+    assert(EsLog.rangeKV(dir).isEmpty)
+  }
+
+  test("kv txn: multi-guard compares with success and failure branches") {
+    import graft.meta.{KvValueIs, KvPresent, KvAbsent}
+    val dir = tmpDir("eslog-kvtxn-")
+    EsLog.create(dir)
+    EsLog.putKV(dir, "a", "1"); EsLog.putKV(dir, "b", "2")
+    // all guards hold -> success ops land atomically
+    assert(EsLog.txnKV(dir,
+      Seq(KvValueIs("a", "1"), KvPresent("b"), KvAbsent("c")),
+      onSuccess = Seq("c" -> Some("3"), "b" -> None),
+      onFailure = Seq("fail" -> Some("x"))))
+    assert(EsLog.getKV(dir, "c").contains("3") && EsLog.getKV(dir, "b").isEmpty)
+    assert(EsLog.getKV(dir, "fail").isEmpty)
+    // one failing guard -> failure branch lands, success ops don't
+    assert(!EsLog.txnKV(dir,
+      Seq(KvValueIs("a", "1"), KvPresent("b")),
+      onSuccess = Seq("never" -> Some("y")),
+      onFailure = Seq("fail" -> Some("x"), "c" -> None)))
+    assert(EsLog.getKV(dir, "never").isEmpty)
+    assert(EsLog.getKV(dir, "fail").contains("x") && EsLog.getKV(dir, "c").isEmpty)
+    // empty chosen branch commits nothing but still reports the verdict
+    val v = graft.meta.MetaLog.latestVersion(dir)
+    assert(!EsLog.txnKV(dir, Seq(KvAbsent("a")),
+      onSuccess = Seq("never" -> Some("y")), onFailure = Seq.empty))
+    assert(graft.meta.MetaLog.latestVersion(dir) == v)
+  }
+
   test("time travel: scanAt reads the snapshot at a log version") {
     val dir = tmpDir("eslog-tt-")
     EsLog.create(dir)

@@ -257,7 +257,8 @@ class MetaLogSpec extends AnyFunSuite {
       OpenSegment(2, 100, 5), CommitFiles(2, 5, Seq(fm(100, 110, "data/x"))),
       SealSegment(2, 110, 5), Trim(105), UpdateStream(Some(2), None, Some(1L)),
       ReplaceFiles(2, Seq("data/x", "data/y"), Seq(fm(100, 110, "data/z"))),
-      DeleteStream(), KvPut("a", "b"), KvDel("a"))
+      DeleteStream(), KvPut("a", "b"), KvDel("a"),
+      KvDelRange("a", Some("b")), KvDelRange("a", None))
     actions.foreach { a =>
       assert(MetaLog.actionFromJson(MetaLog.actionToJson(a)) == a)
     }
