@@ -477,6 +477,13 @@ object EsLog {
   def scan(spark: SparkSession, streamDir: String): DataFrame =
     fetch(spark, streamDir)
 
+  /** Full committed scan against an already-loaded state snapshot: catalog
+    * sweeps ([[EsCatalog.scanAll]]) load all states in one bounded-parallel
+    * pass — re-loading per scan would double the metadata reads. */
+  private[graft] def scanState(spark: SparkSession, streamDir: String,
+                               st: StreamState): DataFrame =
+    fetchState(spark, streamDir, st, 0L, Long.MaxValue, 0L)
+
   /** Typed scan: the record-batch relation as `Dataset[RecordBatchRow]`. */
   def scanTyped(spark: SparkSession, streamDir: String): org.apache.spark.sql.Dataset[RecordBatchRow] = {
     import spark.implicits._

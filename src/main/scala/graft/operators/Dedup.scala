@@ -161,7 +161,7 @@ object Dedup {
       pairs.select(col(iCol).as("a"), col(jCol).as("b"))
         .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
         .distinct())
-    var labels = OpUtil.shared(
+    var (labels, labelsRdd) = OpUtil.sharedWithHandle(
       edges.select(col("a").as("doc")).distinct().withColumn("cluster", col("doc")))
     var it = 0
     var converged = false
@@ -169,14 +169,21 @@ object Dedup {
       it += 1
       val nbrMin = edges.join(labels, edges("b") === labels("doc"))
         .groupBy(edges("a").as("ndoc")).agg(min("cluster").as("nc"))
-      val next = OpUtil.shared(
+      // The convergence flag rides the label frame itself (labels are
+      // monotone non-increasing, so "changed" = neighborhood min beat the
+      // current label): materializing the round and checking convergence is
+      // ONE job over the new cache — no second join against the old labels.
+      val (next, nextRdd) = OpUtil.sharedWithHandle(
         labels.join(nbrMin, labels("doc") === nbrMin("ndoc"), "left")
           .select(labels("doc"),
-            least(labels("cluster"), coalesce(col("nc"), labels("cluster"))).as("cluster")))
-      val changed = next.as("n").join(labels.as("o"), "doc")
-        .where(col("n.cluster") =!= col("o.cluster")).limit(1).count()
-      labels = next
-      converged = changed == 0
+            least(labels("cluster"), coalesce(col("nc"), labels("cluster"))).as("cluster"),
+            (coalesce(col("nc"), labels("cluster")) < labels("cluster")).as("changed")))
+      converged = next.where(col("changed")).limit(1).count() == 0
+      // previous round's cache is dead the moment `next` is materialized —
+      // free it now instead of holding up to maxIter label caches for GC
+      labelsRdd.unpersist(blocking = false)
+      labels = next.select("doc", "cluster")
+      labelsRdd = nextRdd
     }
     labels
   }

@@ -16,11 +16,17 @@ private[graft] object OpUtil {
     * ContextCleaner unpersists automatically once the last consumer frame
     * is garbage-collected, so the cache has the operator's lifetime, not
     * the session's. */
-  def shared(df: DataFrame): DataFrame = {
+  def shared(df: DataFrame): DataFrame = sharedWithHandle(df)._1
+
+  /** [[shared]], also returning the backing RDD so an iterative caller can
+    * unpersist each round's cache EXPLICITLY once the next round is
+    * materialized — waiting for the ContextCleaner means O(iterations)
+    * caches pinned in executor storage on a long-running fixpoint. */
+  def sharedWithHandle(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val spark = df.sparkSession
     val rdd = GraftShims.internalRdd(df).map(_.copy())
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    GraftShims.dfFromInternalRdd(spark, rdd, df.schema)
+    (GraftShims.dfFromInternalRdd(spark, rdd, df.schema), rdd)
   }
   /** Re-balance a frame about to enter a CPU-bound expansion stage (shingle /
     * token / bucket explode multiplies rows ~tokens×): Spark's scan

@@ -440,6 +440,55 @@ class EsLogSpec extends SparkTestBase {
     assert(cat.getStream("beta").isEmpty)
   }
 
+  test("catalog: listStreams/scanAll load each stream state once, in parallel") {
+    val root = tmpDir("cat-par-")
+    val cat = new graft.eslog.EsCatalog(root)
+    (0 until 100).foreach(i => cat.createStream(f"s$i%03d"))
+
+    // instrument the seam: per-stream log listings counted, concurrency peak
+    import graft.meta.{FsLogStore, LogStore, MetaLog}
+    class CountingStore extends LogStore {
+      val listsPerDir = new scala.collection.concurrent.TrieMap[String, Int]
+      val active = new java.util.concurrent.atomic.AtomicInteger
+      val peak = new java.util.concurrent.atomic.AtomicInteger
+      def read(p: java.nio.file.Path) = FsLogStore.read(p)
+      def exists(p: java.nio.file.Path) = FsLogStore.exists(p)
+      def isDir(p: java.nio.file.Path) = FsLogStore.isDir(p)
+      def list(d: java.nio.file.Path) = {
+        val dir = d.toString
+        if (dir.contains("/streams/")) {
+          listsPerDir.updateWith(dir)(c => Some(c.getOrElse(0) + 1))
+          val a = active.incrementAndGet()
+          peak.getAndUpdate(p => math.max(p, a))
+          try FsLogStore.list(d) finally active.decrementAndGet()
+        } else FsLogStore.list(d)
+      }
+      def putIfAbsent(p: java.nio.file.Path, b: Array[Byte]) = FsLogStore.putIfAbsent(p, b)
+      def putAtomic(p: java.nio.file.Path, b: Array[Byte]) = FsLogStore.putAtomic(p, b)
+      def mkdirs(p: java.nio.file.Path) = FsLogStore.mkdirs(p)
+      def delete(p: java.nio.file.Path) = FsLogStore.delete(p)
+    }
+    val counting = new CountingStore
+    val prev = MetaLog.store
+    MetaLog.store = counting
+    try {
+      val listed = cat.listStreams(spark)
+      assert(listed.count() == 100)
+      assert(listed.select("name").collect().map(_.getString(0)).sorted.head == "s000")
+      // ONE metadata pass: each stream's log listed exactly once
+      assert(counting.listsPerDir.size == 100, counting.listsPerDir.size.toString)
+      assert(counting.listsPerDir.values.forall(_ == 1),
+        counting.listsPerDir.filter(_._2 > 1).toString)
+      assert(counting.peak.get() >= 2, s"loads ran serially (peak=${counting.peak.get()})")
+
+      counting.listsPerDir.clear()
+      // scanAll: the same single pass feeds the deleted-filter AND the scans
+      cat.scanAll(spark)
+      assert(counting.listsPerDir.values.forall(_ == 1),
+        counting.listsPerDir.filter(_._2 > 1).toString)
+    } finally MetaLog.store = prev
+  }
+
   test("describe/update/delete surface") {
     val dir = tmpDir("eslog-ddl-")
     EsLog.create(dir, streamId = 9L, replica = 3, ackCount = 2, retentionMs = 1000L)

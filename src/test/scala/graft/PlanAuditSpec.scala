@@ -127,9 +127,15 @@ class PlanAuditSpec extends SparkTestBase {
     // two components: a 4-node PATH 1-2-3-4 (needs multi-hop propagation)
     // and an isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val got = Dedup.nearDupClusters(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L), got)
+    // intermediate rounds unpersist explicitly: after convergence only the
+    // edges cache and the final labels cache remain (NOT one per iteration —
+    // this path ran 4 propagation rounds)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.size <= 2, s"label caches leaked across rounds: $leaked")
   }
 
   test("relational join picks broadcast for the small dimension side") {
