@@ -149,6 +149,23 @@ object Fixtures {
       ()
     }
 
+  /** Stream whose METADATA LOG rides an (in-memory) object store through the
+    * [[MetaLog.route]] seam — the S3-class deployment shape: data files on
+    * shared storage, every log read and CAS commit via [[ObjectLogStore]]
+    * (conditional PUT). The require proves no `_eslog/` ever touches local
+    * FS, so the scan's manifest reads demonstrably go through the store. */
+  def objectLogStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "objlog") { dir =>
+      MetaLog.route(dir, new ObjectLogStore(new InMemoryObjectStore))
+      val in = eventBatches(s, sfDir).where(col("event_id") < 4000)
+      EsLog.create(dir, streamId = 48L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in, 1L, sortKey = Some("event_id"), numPartitions = 4)
+      require(!Files.isDirectory(java.nio.file.Paths.get(dir, MetaLog.LogDirName)),
+        "object-log stream leaked its metadata log to local FS")
+      ()
+    }
+
   /** DDL fixture: created then altered, never opened. */
   def ddlStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "ddl") { dir =>

@@ -86,6 +86,9 @@ object Oracles {
       |UNION ALL
       |SELECT 'events_trimmed', CAST(count(*) // 4 AS BIGINT), CAST(count(*) AS BIGINT) FROM events""".stripMargin
 
+  private val esObjectLog =
+    "SELECT event_id AS base_offset, event_type FROM events WHERE event_id < 4000"
+
   private val esKv =
     """SELECT * FROM (VALUES ('k1', 'a2'), ('k3', 'c'), ('t1', 'yes'), ('t2', 'fallback')) AS t("key", "value")"""
 
@@ -482,6 +485,7 @@ object Oracles {
     "es_describe" -> esDescribe,
     "es_offsets" -> esOffsets,
     "es_kv" -> esKv,
+    "es_object_log" -> esObjectLog,
     "es_update_describe" -> esUpdateDescribe,
     "es_delete" -> esDelete,
     "es_idempotent" -> esIdempotent,

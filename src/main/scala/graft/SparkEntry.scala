@@ -100,6 +100,17 @@ object SparkEntry {
     s.createDataFrame(EsLog.rangeKV(dir)).toDF("key", "value")
   }
 
+  /** Scan of a stream whose metadata log lives in an object store (the
+    * [[graft.meta.MetaLog.route]] seam + [[graft.meta.ObjectLogStore]]):
+    * every manifest read behind this scan is a GET/LIST against the store,
+    * every commit in the fixture a conditional PUT. */
+  private def qEsObjectLog(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.objectLogStream(s, sfDir)
+    EsLog.scan(s, dir).select(
+      col("base_offset"),
+      col("properties")("event_type").as("event_type"))
+  }
+
   /** UPDATE_STREAM + DESCRIBE_STREAM on a never-opened stream. */
   private def qEsUpdateDescribe(s: SparkSession, sfDir: String): DataFrame = {
     val dir = Fixtures.ddlStream(s, sfDir)
@@ -434,6 +445,7 @@ object SparkEntry {
     "es_describe" -> (qEsDescribe _),
     "es_offsets" -> (qEsOffsets _),
     "es_kv" -> (qEsKv _),
+    "es_object_log" -> (qEsObjectLog _),
     "es_update_describe" -> (qEsUpdateDescribe _),
     "es_delete" -> (qEsDelete _),
     "es_idempotent" -> (qEsIdempotent _),

@@ -31,9 +31,23 @@ object MetaLog {
   val CheckpointInterval = 10
   private val LastCheckpointName = "_last_checkpoint"
 
-  /** The storage backend. Swappable for tests and for object-store
+  /** The default storage backend. Swappable for tests and for object-store
     * deployments (see the [[LogStore]] contract); FS by default. */
   @volatile var store: LogStore = FsLogStore
+
+  /** Per-prefix store routing: a stream whose dir starts with a registered
+    * prefix commits its log through that store instead of the default —
+    * mixed deployments (some streams' logs on an object store, others on
+    * local FS) in one session. Longest matching prefix wins. Data files are
+    * unaffected; only the `_eslog/` log rides the routed store. */
+  private val routes = new scala.collection.concurrent.TrieMap[String, LogStore]()
+  def route(prefix: String, s: LogStore): Unit = { routes.put(prefix, s); () }
+  def unroute(prefix: String): Unit = { routes.remove(prefix); () }
+  private def storeFor(streamDir: String): LogStore = {
+    if (routes.isEmpty) return store
+    routes.filter { case (p, _) => streamDir.startsWith(p) }
+      .toSeq.sortBy(-_._1.length).headOption.map(_._2).getOrElse(store)
+  }
 
   def logDir(streamDir: String): Path = Paths.get(streamDir, LogDirName)
 
@@ -145,32 +159,33 @@ object MetaLog {
 
   // ---- log IO (all through the LogStore seam) ----
 
-  def exists(streamDir: String): Boolean = store.isDir(logDir(streamDir))
+  def exists(streamDir: String): Boolean = storeFor(streamDir).isDir(logDir(streamDir))
 
   private def checkpointFile(streamDir: String, v: Long): Path =
     logDir(streamDir).resolve(f"$v%020d.checkpoint.json")
 
   private def listVersionsAfter(streamDir: String, after: Long): Seq[Long] =
-    store.list(logDir(streamDir))
+    storeFor(streamDir).list(logDir(streamDir))
       .filter(n => n.endsWith(".json") && !n.startsWith("_") && !n.contains(".checkpoint"))
       .map(_.stripSuffix(".json").toLong)
       .filter(_ > after)
       .sorted
 
   private def readVersion(streamDir: String, v: Long): Seq[Action] = {
-    val bytes = store.read(versionFile(streamDir, v))
+    val bytes = storeFor(streamDir).read(versionFile(streamDir, v))
     mapper.readTree(bytes).elements().asScala.map(actionFromJson).toSeq
   }
 
   /** Best-effort read of the newest checkpointed state (None → fold from 0). */
   private def readLastCheckpoint(streamDir: String): Option[StreamState] =
     try {
+      val s = storeFor(streamDir)
       val ptr = logDir(streamDir).resolve(LastCheckpointName)
-      if (!store.exists(ptr)) return None
-      val v = new String(store.read(ptr), StandardCharsets.UTF_8).trim.toLong
+      if (!s.exists(ptr)) return None
+      val v = new String(s.read(ptr), StandardCharsets.UTF_8).trim.toLong
       val f = checkpointFile(streamDir, v)
-      if (!store.exists(f)) return None
-      val root = mapper.readTree(store.read(f))
+      if (!s.exists(f)) return None
+      val root = mapper.readTree(s.read(f))
       Option(root.get("checkpoint")).map(stateFromJson)
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -182,18 +197,19 @@ object MetaLog {
     * stay: they are the WATCH_RESOURCE history and are tiny). */
   private def writeCheckpoint(streamDir: String, state: StreamState): Unit =
     try {
+      val s = storeFor(streamDir)
       val o = mapper.createObjectNode()
       o.set[ObjectNode]("checkpoint", stateToJson(state))
-      store.putAtomic(checkpointFile(streamDir, state.version), mapper.writeValueAsBytes(o))
-      store.putAtomic(logDir(streamDir).resolve(LastCheckpointName),
+      s.putAtomic(checkpointFile(streamDir, state.version), mapper.writeValueAsBytes(o))
+      s.putAtomic(logDir(streamDir).resolve(LastCheckpointName),
         state.version.toString.getBytes(StandardCharsets.UTF_8))
       // retain the new checkpoint + one predecessor (for readers that hold a
       // slightly stale _last_checkpoint pointer mid-load)
-      store.list(logDir(streamDir))
+      s.list(logDir(streamDir))
         .filter(_.endsWith(".checkpoint.json"))
         .map(n => n.stripSuffix(".checkpoint.json").toLong)
         .sorted.dropRight(2)
-        .foreach(v => store.delete(checkpointFile(streamDir, v)))
+        .foreach(v => s.delete(checkpointFile(streamDir, v)))
     } catch { case scala.util.control.NonFatal(_) => () } // advisory only
 
   /** Fold the log into a snapshot-consistent state: newest checkpoint + the
@@ -235,12 +251,13 @@ object MetaLog {
     // Validate locally first so a bad commit never hits the log.
     val v = state.version + 1
     val next = actions.foldLeft(state)((s, a) => StreamState.apply(s, a, v))
-    store.mkdirs(logDir(streamDir))
+    val s0 = storeFor(streamDir)
+    s0.mkdirs(logDir(streamDir))
     val arr: ArrayNode = mapper.createArrayNode()
     actions.foreach(a => arr.add(actionToJson(a)))
     // The version number IS the CAS token: putIfAbsent succeeds for exactly
     // one writer of version v (FS: hard link; S3: If-None-Match PUT).
-    if (!store.putIfAbsent(versionFile(streamDir, v), mapper.writeValueAsBytes(arr)))
+    if (!s0.putIfAbsent(versionFile(streamDir, v), mapper.writeValueAsBytes(arr)))
       throw new ConcurrentCommitException(s"version $v already committed in $streamDir")
     if (v > 0 && v % CheckpointInterval == 0) writeCheckpoint(streamDir, next)
     next

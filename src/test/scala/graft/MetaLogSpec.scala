@@ -251,6 +251,29 @@ class MetaLogSpec extends AnyFunSuite {
     assert(MetaLog.actionsSince(dir, 1L).map(_._2.size).sum == 80)
   }
 
+  test("store routing: prefix match routes the log, longest prefix wins") {
+    val mem = new InMemoryObjectStore
+    MetaLog.route("/mem/route", new ObjectLogStore(mem))
+    try {
+      MetaLog.commit("/mem/route/s1", StreamState.empty, Seq(CreateStream(9L, 1, 1, -1L)))
+      assert(mem.head("mem/route/s1/_eslog/00000000000000000000.json"))
+      assert(MetaLog.load("/mem/route/s1").streamId == 9L)
+      // non-matching dirs keep the default FS store
+      val fsDir = tmp()
+      MetaLog.commit(fsDir, StreamState.empty, Seq(CreateStream(10L, 1, 1, -1L)))
+      assert(Files.isDirectory(MetaLog.logDir(fsDir)))
+      // longest registered prefix wins
+      val mem2 = new InMemoryObjectStore
+      MetaLog.route("/mem/route/nested", new ObjectLogStore(mem2))
+      try {
+        MetaLog.commit("/mem/route/nested/s2", StreamState.empty,
+          Seq(CreateStream(11L, 1, 1, -1L)))
+        assert(mem2.head("mem/route/nested/s2/_eslog/00000000000000000000.json"))
+        assert(!mem.head("mem/route/nested/s2/_eslog/00000000000000000000.json"))
+      } finally MetaLog.unroute("/mem/route/nested")
+    } finally MetaLog.unroute("/mem/route")
+  }
+
   test("json action codec roundtrips every action type") {
     val actions: Seq[Action] = Seq(
       CreateStream(7, 3, 2, 86400000L), OpenStream(5),
