@@ -52,9 +52,14 @@ class StreamStatePropSpec extends AnyFunSuite {
         Trim(off),
         OpenStream(e))
     } yield a
+    val kvKeys = Gen.oneOf("a", "ab", "b", "c")
+    val kvAction = Gen.frequency[Action](
+      3 -> kvKeys.map(k => KvPut(k, s"v$tag")),
+      1 -> kvKeys.map(KvDel(_)),
+      1 -> (for { f <- kvKeys; u <- Gen.option(kvKeys) } yield KvDelRange(f, u)))
     Gen.frequency(
       5 -> validCommit, 2 -> validOpenSeg, 1 -> validSeal,
-      1 -> validOpen, 1 -> validTrim, 3 -> garbage)
+      1 -> validOpen, 1 -> validTrim, 2 -> kvAction, 3 -> garbage)
   }
 
   /** Invariants that must hold for EVERY state reachable through apply. */
@@ -111,6 +116,36 @@ class StreamStatePropSpec extends AnyFunSuite {
         checkInvariants(s)
         assert(s.nextOffset >= monotoneNext, s"nextOffset went backwards (run $run step $i)")
         monotoneNext = s.nextOffset
+      }
+    }
+  }
+
+  test("kv fold matches a reference map model (incl. ranged tombstones)") {
+    // keys chosen to exercise prefix ordering and the unbounded-until case
+    val keys = Vector("a", "ab", "b", "bb", "c", "￿-hi")
+    val genKv: Gen[Action] = for {
+      pick <- Gen.choose(0, 9)
+      k <- Gen.oneOf(keys)
+      u <- Gen.option(Gen.oneOf(keys))
+    } yield
+      if (pick < 5) KvPut(k, s"v$pick")
+      else if (pick < 7) KvDel(k)
+      else KvDelRange(k, u)
+    (0 until 200).foreach { run =>
+      var s = StreamState.apply(StreamState.empty, CreateStream(1L, 1, 1, -1L), 0)
+      var model = Map.empty[String, String]
+      var v = 1L
+      (0 until 30).foreach { i =>
+        val a = genKv(params, Seed(run * 31337L + i)).getOrElse(KvPut("a", "x"))
+        s = StreamState.apply(s, a, v); v += 1
+        // the spec, stated independently: delete every key in [from, until)
+        model = a match {
+          case KvPut(k, value)    => model + (k -> value)
+          case KvDel(k)           => model - k
+          case KvDelRange(f, u)   => model.filterNot { case (k, _) => k >= f && u.forall(k < _) }
+          case _                  => model
+        }
+        assert(s.kv == model, s"kv fold diverged from model (run $run step $i, action $a)")
       }
     }
   }
