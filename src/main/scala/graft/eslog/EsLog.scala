@@ -151,7 +151,7 @@ object EsLog {
     * disagrees with file contents. A part file with no matching stats row
     * (FileFormatWriter emits an empty file for a 0-row task 0) is deleted,
     * not leaked. */
-  private def commitFileMetas(spark: SparkSession, streamDir: String, outRel: String,
+  private[graft] def commitFileMetas(spark: SparkSession, streamDir: String, outRel: String,
       outAbs: String, stats: Seq[(Int, Long, Long, Long, Long, Long, Int)]): Seq[FileMeta] = {
     val written: Seq[String] = {
       val s = Files.list(Paths.get(outAbs))

@@ -440,6 +440,41 @@ class EsLogSpec extends SparkTestBase {
     assert(cat.getStream("beta").isEmpty)
   }
 
+  test("commit audit: footer stats disagreeing with the manifest abort the commit") {
+    import org.apache.spark.sql.types.{IntegerType, ShortType}
+    val dir = tmpDir("eslog-audit-")
+    // one parquet part file with base_offset 0..99, deltas of 1
+    val outRel = "seg-00000/audit"
+    val outAbs = java.nio.file.Paths.get(dir, outRel).toString
+    spark.range(100).select(
+      lit(7L).as("stream_id"), lit(0).cast(IntegerType).as("range_index"),
+      lit(0).cast(ShortType).as("flags"), col("id").as("base_offset"),
+      lit(1).cast(IntegerType).as("last_offset_delta"), lit(5L).as("base_timestamp"),
+      map().cast("map<string,string>").as("properties"),
+      col("id").cast("string").cast("binary").as("payload"))
+      .coalesce(1).sortWithinPartitions("base_offset")
+      .write.parquet(outAbs)
+
+    // agreeing stats: metas built, sizes from the footer audit
+    val ok = EsLog.commitFileMetas(spark, dir, outRel, outAbs,
+      Seq((0, 100L, 0L, 100L, 5L, 5L, 1)))
+    assert(ok.size == 1 && ok.head.rows == 100 && ok.head.bytes > 0)
+    assert(ok.head.startOffset == 0L && ok.head.endOffset == 100L)
+
+    // row-count drift: stats say 99 rows, file holds 100
+    val e1 = intercept[IllegalStateException](
+      EsLog.commitFileMetas(spark, dir, outRel, outAbs,
+        Seq((0, 99L, 0L, 99L, 5L, 5L, 1))))
+    assert(e1.getMessage.contains("row count"), e1.getMessage)
+
+    // offset drift with a STABLE row count (the silent-corruption case the
+    // column-statistics cross-check exists for): stats claim [1, 101)
+    val e2 = intercept[IllegalStateException](
+      EsLog.commitFileMetas(spark, dir, outRel, outAbs,
+        Seq((0, 100L, 1L, 101L, 5L, 5L, 1))))
+    assert(e2.getMessage.contains("base_offset"), e2.getMessage)
+  }
+
   test("catalog: listStreams/scanAll load each stream state once, in parallel") {
     val root = tmpDir("cat-par-")
     val cat = new graft.eslog.EsCatalog(root)
