@@ -223,8 +223,7 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.fetch(spark, dir).count() == 1000)
   }
 
-  test("concurrent appends: CAS keeps offsets contiguous, losers leave no files") {
-    val dir = tmpDir("eslog-conc-")
+  private def concurrentAppendStress(dir: String): Unit = {
     EsLog.create(dir)
     EsLog.open(dir, 1L)
     val in = spark.range(200).select(
@@ -260,6 +259,19 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.vacuum(dir, System.currentTimeMillis() + 25L * 3600 * 1000)
       .forall(p => p.endsWith(".crc") || p.endsWith("_SUCCESS")),
       "orphan data files leaked by losing writers")
+  }
+
+  test("concurrent appends: CAS keeps offsets contiguous, losers leave no files") {
+    concurrentAppendStress(tmpDir("eslog-conc-"))
+  }
+
+  test("concurrent appends against an object-store-routed log: same guarantees") {
+    // full append path (parquet data files on FS, every log read + CAS
+    // commit through ObjectLogStore) under writer contention
+    val dir = tmpDir("eslog-conc-obj-")
+    graft.meta.MetaLog.route(dir, new graft.meta.ObjectLogStore(new graft.meta.InMemoryObjectStore))
+    try concurrentAppendStress(dir)
+    finally graft.meta.MetaLog.unroute(dir)
   }
 
   test("vacuum sweeps unreferenced staging files, honors the grace period") {
