@@ -542,10 +542,18 @@ object EsLog {
           .option("maxRecordsPerFile", "0")
           .parquet(outAbs)
 
-        val added = commitFileMetas(spark, streamDir, outRel, outAbs,
-          stats.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
-            (pid, n, minOff, maxEnd, minTs, maxTs, maxD)
-          })
+        val added = try {
+          commitFileMetas(spark, streamDir, outRel, outAbs,
+            stats.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
+              (pid, n, minOff, maxEnd, minTs, maxTs, maxD)
+            })
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // audit failed before the swap — the rewrite is unreachable;
+            // delete it so a failed compaction can't leak storage
+            deleteRecursively(outAbs)
+            throw e
+        }
         val removed = seg.files.map(_.path)
         st = MetaLog.commitWithRetry(streamDir) { cur =>
           // revalidate against the current state: segment must still hold
