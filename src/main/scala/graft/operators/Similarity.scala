@@ -186,21 +186,18 @@ object Similarity {
     ivfWithCentroids(corpus, queries, idCol, vecCol, k, cents, nprobe)
   }
 
-  private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame, idCol: String,
-                               vecCol: String, k: Int, cents: DataFrame,
-                               nprobe: Int): DataFrame = {
-    val c = OpUtil.rebalance(corpus).select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
-    def rankCells(df: DataFrame, id: String, vec: String): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("cscore").desc, col("cid").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("cscore", cosine(col(vec), col("cvec")))
-        .withColumn("crank", row_number().over(w))
-    }
-    val cells = rankCells(c, "nid", "nvec").where(col("crank") === 1)
-      .select(col("nid"), col("nvec"), col("cid").as("cell"))
-    val probes = rankCells(q, "qid", "qvec").where(col("crank") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+  /** Rank `cents` cells for each row of `df` by cosine: broadcast centroid
+    * pass, window over the row id — the only corpus-wide work in IVF. */
+  private def rankCells(df: DataFrame, id: String, vec: String,
+                        cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(id).orderBy(col("cscore").desc, col("cid").asc)
+    df.crossJoin(broadcast(cents))
+      .withColumn("cscore", cosine(col(vec), col("cvec")))
+      .withColumn("crank", row_number().over(w))
+  }
+
+  /** Exact scoring + top-k over the (cell-pruned) candidate join. */
+  private def ivfSearch(cells: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val cands = cells.join(probes, Seq("cell"))
       .where(col("nid") =!= col("qid"))
       .select("qid", "qvec", "nid", "nvec").distinct()
@@ -209,6 +206,57 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("qid", "nid", "rank", "score")
+  }
+
+  private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame, idCol: String,
+                               vecCol: String, k: Int, cents: DataFrame,
+                               nprobe: Int): DataFrame =
+    searchIvfIndex(IvfIndex(cents, assignCells(corpus, idCol, vecCol, cents)),
+      queries, idCol, vecCol, k, nprobe)
+
+  /** Materialized IVF index — build once at WRITE time, search many times
+    * (the deployment shape at corpus scale: the quantizer and the corpus
+    * cell assignment are one-off work; a query then touches only its
+    * `nprobe` cells). Both members are plain DataFrames, so the index
+    * persists as ordinary tables: write [[cells]] partitioned or bucketed BY
+    * `cell` (`df.write.bucketBy(n, "cell")...`) and the search-time
+    * candidate join co-locates on the bucket with no corpus shuffle;
+    * [[centroids]] is tiny and broadcasts. The reference has no ANN surface
+    * — this is part of the training-data-pipeline extension
+    * (SURVEY "LLM-data-pipeline operators"). */
+  final case class IvfIndex(centroids: DataFrame, cells: DataFrame)
+
+  private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame): DataFrame = {
+    val c = OpUtil.rebalance(corpus)
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    rankCells(c, "nid", "nvec", cents).where(col("crank") === 1)
+      .select(col("nid"), col("nvec"), col("cid").as("cell"))
+  }
+
+  /** Build the [[IvfIndex]]: k-means coarse quantizer ([[kmeansCentroids]])
+    * + one broadcast assignment pass over the corpus. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, sampleN: Int = 4096, iters: Int = 5): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, sampleN, iters)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+    IvfIndex(cents, assignCells(corpus, idCol, vecCol, cents))
+  }
+
+  /** Search a prebuilt [[IvfIndex]]: rank the query against the (broadcast)
+    * centroids, probe the top `nprobe` cells, score exactly, top-k. The
+    * corpus is touched only through `index.cells`, pruned by the cell
+    * equi-join. */
+  def searchIvfIndex(index: IvfIndex, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val probes = rankCells(q, "qid", "qvec", index.centroids)
+      .where(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+    ivfSearch(index.cells, probes, k)
   }
 
   /** Approximate top-k via hyperplane LSH: bucket join per table, exact

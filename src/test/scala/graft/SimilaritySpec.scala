@@ -38,6 +38,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall (${(exact & approx).size}/${exact.size})")
   }
 
+  test("materialized IVF index: build-once/search-many equals the inline path, survives persistence") {
+    val queries = emb.where(col("vec_id") < 10)
+    val inline = Similarity.ivfTopKKmeans(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val viaIndex = Similarity.searchIvfIndex(idx, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex == inline)
+    // the index is plain tables: persist, reload, search — identical results
+    val root = tmpDir("ivfidx-")
+    idx.centroids.write.parquet(s"$root/centroids")
+    idx.cells.write.parquet(s"$root/cells")
+    val reloaded = Similarity.IvfIndex(
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/cells"))
+    val viaReloaded = Similarity.searchIvfIndex(reloaded, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaReloaded == inline)
+  }
+
   test("embedding near-dup LSH recall vs the exact all-pairs baseline") {
     val exact = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
