@@ -259,19 +259,37 @@ object Similarity {
     ivfSearch(index.cells, probes, k)
   }
 
-  /** Approximate top-k via hyperplane LSH: bucket join per table, exact
-    * re-rank of candidates. `tables` trades recall for cost. */
-  def hyperplaneLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                        vecCol: String, k: Int, dim: Int,
-                        planes: Int = 8, tables: Int = 4): DataFrame = {
-    val c = OpUtil.rebalance(corpus).select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+  /** Materialized hyperplane-LSH index: the corpus exploded to one row per
+    * (table, bucket) membership — a plain DataFrame, persistable
+    * partitioned/bucketed by `(tbl, bucket)` so search co-locates on the
+    * bucket key. The hyperplanes are derived deterministically from
+    * (table, plane, dim) ([[rademacherWeights]]), so an index built
+    * yesterday answers queries bucketed today — no weight state to store
+    * beyond the three ints. */
+  final case class LshIndex(buckets: DataFrame, dim: Int, planes: Int, tables: Int)
+
+  private def lshBucketed(df: DataFrame, ic: String, vc: String,
+                          dim: Int, planes: Int, tables: Int): DataFrame =
+    df.select(col(ic), col(vc),
+      posexplode(array((0 until tables).map(t => lshBucket(col(vc), t, planes, dim)): _*))
+        .as(Seq("tbl", "bucket")))
+
+  /** Build the [[LshIndex]]: one projection pass over the corpus. */
+  def buildLshIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    planes: Int = 8, tables: Int = 4): LshIndex = {
+    val c = OpUtil.rebalance(corpus)
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    LshIndex(lshBucketed(c, "nid", "nvec", dim, planes, tables), dim, planes, tables)
+  }
+
+  /** Search a prebuilt [[LshIndex]]: bucket the queries under the same
+    * deterministic hyperplanes, candidate equi-join on (table, bucket),
+    * exact re-rank. */
+  def searchLshIndex(index: LshIndex, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
-    def bucketed(df: DataFrame, vc: String, ic: String) =
-      df.select(col(ic), col(vc),
-        posexplode(array((0 until tables).map(t => lshBucket(col(vc), t, planes, dim)): _*))
-          .as(Seq("tbl", "bucket")))
-    val cb = bucketed(c, "nvec", "nid")
-    val qb = bucketed(q, "qvec", "qid")
+    val cb = index.buckets
+    val qb = lshBucketed(q, "qid", "qvec", index.dim, index.planes, index.tables)
     val cands = cb.join(broadcast(qb),
         cb("tbl") === qb("tbl") && cb("bucket") === qb("bucket") && col("nid") =!= col("qid"))
       .select(col("qid"), col("qvec"), col("nid"), col("nvec"))
@@ -283,4 +301,13 @@ object Similarity {
       .where(col("rank") <= k)
       .select("qid", "nid", "rank", "score")
   }
+
+  /** Approximate top-k via hyperplane LSH: bucket join per table, exact
+    * re-rank of candidates. `tables` trades recall for cost. Inline form of
+    * [[buildLshIndex]] + [[searchLshIndex]]. */
+  def hyperplaneLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, dim: Int,
+                        planes: Int = 8, tables: Int = 4): DataFrame =
+    searchLshIndex(buildLshIndex(corpus, idCol, vecCol, dim, planes, tables),
+      queries, idCol, vecCol, k)
 }

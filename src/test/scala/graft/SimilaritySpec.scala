@@ -61,6 +61,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaReloaded == inline)
   }
 
+  test("materialized LSH index: persisted buckets answer queries identically") {
+    val queries = emb.where(col("vec_id") < 10)
+    val inline = Similarity.hyperplaneLshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dim = 64).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idx = Similarity.buildLshIndex(emb, "vec_id", "embedding", dim = 64)
+    val root = tmpDir("lshidx-")
+    idx.buckets.write.parquet(s"$root/buckets")
+    val reloaded = Similarity.LshIndex(
+      spark.read.parquet(s"$root/buckets"), idx.dim, idx.planes, idx.tables)
+    val viaReloaded = Similarity.searchLshIndex(reloaded, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaReloaded == inline)
+  }
+
   test("embedding near-dup LSH recall vs the exact all-pairs baseline") {
     val exact = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
