@@ -1,6 +1,5 @@
 package graft.eslog
 
-import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -21,7 +20,11 @@ import graft.meta._
   *  - [[dropStream]]      = DELETE_STREAM + deregistration.
   */
 final class EsCatalog(val root: String) {
-  Files.createDirectories(Paths.get(root))
+  new org.apache.hadoop.fs.Path(root).getFileSystem(
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    .mkdirs(new org.apache.hadoop.fs.Path(root))
   if (!MetaLog.exists(root))
     try MetaLog.commit(root, StreamState.empty, Seq(CreateStream(-2L, 1, 1, -1L)))
     catch { case _: ConcurrentCommitException => () } // another creator won; fine
@@ -39,7 +42,7 @@ final class EsCatalog(val root: String) {
     id
   }
 
-  def streamDir(name: String): String = Paths.get(root, "streams", name).toString
+  def streamDir(name: String): String = MetaLog.join(MetaLog.join(root, "streams"), name)
 
   /** Allocate an id, reserve the name, create the stream. The reservation is
     * a CAS on the registry BEFORE any filesystem work, so concurrent creators

@@ -1,6 +1,5 @@
 package graft.eslog
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
@@ -37,12 +36,27 @@ import graft.model.RecordBatchRow
 object EsLog {
   val DefaultStreamId = 0L
 
+  // ---- scheme-agnostic data-file IO ----
+  // streamDir may be a plain local path OR any Hadoop URI (file:/, hdfs://,
+  // s3a://): every data-file operation below goes through the Hadoop
+  // FileSystem resolved from the dir, with the active session's conf
+  // (credentials included) when one exists. The metadata log is routed
+  // separately (MetaLog.storeFor — HadoopLogStore for URI dirs by default).
+  private def hconf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+  private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def dataFs(dir: String): org.apache.hadoop.fs.FileSystem =
+    hpath(dir).getFileSystem(hconf())
+  private def join(base: String, rel: String): String = MetaLog.join(base, rel)
+
   // ---- DDL surface (SURVEY §2.1) ----
 
   /** CREATE_STREAM: allocate + persist stream metadata. */
   def create(streamDir: String, streamId: Long = DefaultStreamId, replica: Int = 1,
              ackCount: Int = 1, retentionMs: Long = -1L): StreamState = {
-    Files.createDirectories(Paths.get(streamDir))
+    dataFs(streamDir).mkdirs(hpath(streamDir))
     MetaLog.commit(streamDir, StreamState.empty,
       Seq(CreateStream(streamId, replica, ackCount, retentionMs)))
   }
@@ -58,18 +72,16 @@ object EsLog {
              retentionMs: Option[Long] = None): StreamState =
     MetaLog.commitWithRetry(streamDir) { _ => Seq(UpdateStream(replica, ackCount, retentionMs)) }
 
-  /** DELETE_STREAM: mark deleted in the log, then remove data files. */
+  /** DELETE_STREAM: mark deleted in the log, then remove data files (the
+    * log itself is kept — it records the deletion). */
   def delete(streamDir: String): Unit = {
     MetaLog.commitWithRetry(streamDir) { st => if (st.deleted) Seq.empty else Seq(DeleteStream()) }
-    val root = Paths.get(streamDir)
-    if (Files.isDirectory(root)) {
-      val s = Files.walk(root)
-      try s.iterator().asScala.toSeq.reverseIterator
-        .filterNot(_.startsWith(MetaLog.logDir(streamDir)))
-        .filter(_ != root)
-        .foreach(p => Files.deleteIfExists(p))
-      finally s.close()
-    }
+    val fs = dataFs(streamDir)
+    val root = hpath(streamDir)
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filterNot(_.getPath.getName == MetaLog.LogDirName)
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** TRIM_STREAM: advance min offset; vacuum files fully below it. */
@@ -80,7 +92,8 @@ object EsLog {
       if (minOffset <= st.startOffset) Seq.empty else Seq(Trim(minOffset))
     }
     // Physical vacuum only after the manifest no longer references the files.
-    dropped.foreach(rel => Files.deleteIfExists(Paths.get(streamDir, rel)))
+    val fs = dataFs(streamDir)
+    dropped.foreach(rel => fs.delete(hpath(join(streamDir, rel)), false))
     after
   }
 
@@ -104,11 +117,12 @@ object EsLog {
   private def footerAudit(spark: SparkSession, streamDir: String,
                           relPaths: Seq[String]): Map[String, FooterInfo] = {
     val conf = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
-    val base = Paths.get(streamDir).toAbsolutePath.toString
+    // fully-qualified so the executor-side FS resolution matches the driver's
+    val base = dataFs(streamDir).makeQualified(hpath(streamDir)).toString
     val slices = math.max(1, math.min(relPaths.size, spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(relPaths, slices).map { rel =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(new java.io.File(base, rel).toURI), conf())
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(base), rel), conf())
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         var rows = 0L
@@ -153,14 +167,11 @@ object EsLog {
     * not leaked. */
   private[graft] def commitFileMetas(spark: SparkSession, streamDir: String, outRel: String,
       outAbs: String, stats: Seq[(Int, Long, Long, Long, Long, Long, Int)]): Seq[FileMeta] = {
-    val written: Seq[String] = {
-      val s = Files.list(Paths.get(outAbs))
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
+    val outFs = dataFs(outAbs)
+    val written: Seq[String] =
+      outFs.listStatus(hpath(outAbs)).toSeq
+        .map(_.getPath.getName)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-        .toSeq
-      finally s.close()
-    }
     val byPid = written.groupBy(_.stripPrefix("part-").takeWhile(_ != '-').toInt)
     byPid.find(_._2.size > 1).foreach { case (pid, names) =>
       throw new IllegalStateException(
@@ -169,7 +180,7 @@ object EsLog {
     }
     val statPids = stats.map(_._1).toSet
     byPid.filterNot(kv => statPids(kv._1)).values.flatten
-      .foreach(name => Files.deleteIfExists(Paths.get(outAbs, name)))
+      .foreach(name => outFs.delete(hpath(join(outAbs, name)), false))
 
     val names = stats.map { case (pid, _, _, _, _, _, _) =>
       pid -> byPid.getOrElse(pid,
@@ -194,11 +205,9 @@ object EsLog {
   }
 
   private def deleteRecursively(abs: String): Unit = {
-    val root = Paths.get(abs)
-    if (!Files.exists(root)) return
-    val s = Files.walk(root)
-    try s.iterator().asScala.toSeq.reverseIterator.foreach(p => Files.deleteIfExists(p))
-    finally s.close()
+    val fs = dataFs(abs)
+    val p = hpath(abs)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** Normalize an input frame to appendable batch columns. Accepts any frame
@@ -307,7 +316,7 @@ object EsLog {
     val segRel = f"seg-${seg.index}%05d"
     val commitId = UUID.randomUUID().toString.take(8)
     val outRel = s"$segRel/$commitId"
-    val outAbs = Paths.get(streamDir, outRel).toString
+    val outAbs = join(streamDir, outRel)
     val segIndex = seg.index
     val assigned = internal.mapPartitionsWithIndex { (pid, it) =>
       var off = startByPid(pid)
@@ -459,7 +468,7 @@ object EsLog {
       if (inRange.nonEmpty) hi = cap
     }
     val metas = st.filesInRange(lo, hi)
-    val files = metas.map(f => Paths.get(streamDir, f.path).toString)
+    val files = metas.map(f => join(streamDir, f.path))
     if (files.isEmpty || lo >= hi)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RecordBatchRow.schema)
     // Straddle lower bound, written pushdown-friendly: the exact predicate
@@ -508,7 +517,7 @@ object EsLog {
       val totalBytes = seg.files.map(_.bytes).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
       if (nOut < seg.files.size) {
-        val paths = seg.files.map(f => Paths.get(streamDir, f.path).toString)
+        val paths = seg.files.map(f => join(streamDir, f.path))
         // Stats pass + write pass share ONE Tungsten plan, same recipe as
         // append: the range shuffle executes once and is reused; rows are
         // written unchanged (offsets are stable across compaction), so no
@@ -534,7 +543,7 @@ object EsLog {
 
         val commitId = UUID.randomUUID().toString.take(8)
         val outRel = f"seg-${seg.index}%05d/compact-$commitId"
-        val outAbs = Paths.get(streamDir, outRel).toString
+        val outAbs = join(streamDir, outRel)
         org.apache.spark.sql.graftshim.GraftShims
           .dfFromInternalRdd(spark, internal, RecordBatchRow.schema)
           .write.mode("errorifexists")
@@ -564,7 +573,7 @@ object EsLog {
           else Seq.empty
         }
         if (st.segments.find(_.index == seg.index).exists(_.files.map(_.path) == added.map(_.path)))
-          removed.foreach(rel => Files.deleteIfExists(Paths.get(streamDir, rel)))
+          removed.foreach(rel => dataFs(streamDir).delete(hpath(join(streamDir, rel)), false))
         else {
           // lost the race — drop the rewritten copy instead
           deleteRecursively(outAbs)
@@ -591,12 +600,19 @@ object EsLog {
   def vacuum(streamDir: String, nowMs: Long, graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val st = MetaLog.load(streamDir)
     val live: Set[String] = st.allFiles.map(_.path).toSet
-    val root = Paths.get(streamDir)
-    if (!Files.isDirectory(root)) return Seq.empty
-    val logRoot = MetaLog.logDir(streamDir)
+    val fs = dataFs(streamDir)
+    val root = fs.makeQualified(hpath(streamDir))
+    if (!fs.exists(root)) return Seq.empty
+    val rootStr = root.toString
     val cutoff = nowMs - graceMs
-    // Hadoop writer debris: a `.X.crc` sidecar shares its companion X's
-    // fate; `_SUCCESS` job markers in committed dirs are harmless and kept.
+    def relOf(p: org.apache.hadoop.fs.Path): String =
+      p.toString.stripPrefix(rootStr).stripPrefix("/")
+    def inLog(rel: String): Boolean =
+      rel == MetaLog.LogDirName || rel.startsWith(MetaLog.LogDirName + "/")
+    // Hadoop writer debris: `_SUCCESS` job markers in committed dirs are
+    // harmless and kept; `.X.crc` sidecars are invisible through the
+    // (checksummed) FileSystem listing and deleted implicitly with their
+    // companion X by fs.delete.
     def sweepable(rel: String, name: String): Boolean =
       if (name == "_SUCCESS" || name.startsWith("._")) false
       else if (name.startsWith(".") && name.endsWith(".crc")) {
@@ -604,32 +620,29 @@ object EsLog {
         !live.contains(companion)
       } else !live.contains(rel)
     val deleted = Seq.newBuilder[String]
-    val walk = Files.walk(root)
-    try {
-      walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && !p.startsWith(logRoot))
-        .foreach { p =>
-          val rel = root.relativize(p).toString
-          if (sweepable(rel, p.getFileName.toString) &&
-              Files.getLastModifiedTime(p).toMillis < cutoff) {
-            Files.deleteIfExists(p)
-            deleted += rel
-          }
-        }
-    } finally walk.close()
+    val files = scala.collection.mutable.ArrayBuffer[(org.apache.hadoop.fs.Path, String, Long)]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = relOf(f.getPath)
+      if (!inLog(rel)) files += ((f.getPath, rel, f.getModificationTime))
+    }
+    files.foreach { case (p, rel, mtime) =>
+      if (sweepable(rel, p.getName) && mtime < cutoff && fs.delete(p, false))
+        deleted += rel
+    }
     // Drop now-empty staging/segment directories (bottom-up). The same mtime
     // grace applies to directories: a concurrent append's just-created, still
     // -empty staging dir must not be swept out from under its writer.
-    val dirs = Files.walk(root)
-    try dirs.iterator().asScala.toSeq.reverseIterator
-      .filter(p => p != root && Files.isDirectory(p) && !logRoot.startsWith(p) && !p.startsWith(logRoot))
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .foreach { p =>
-        val s = Files.list(p)
-        val empty = try !s.iterator().hasNext finally s.close()
-        if (empty) Files.deleteIfExists(p)
+    def dirsUnder(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).filter(_.isDirectory).toSeq
+        .flatMap(d => dirsUnder(d.getPath) :+ d)
+    dirsUnder(root)
+      .filterNot(d => inLog(relOf(d.getPath)))
+      .filter(_.getModificationTime < cutoff)
+      .foreach { d =>
+        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
       }
-    finally dirs.close()
     deleted.result()
   }
 

@@ -1,11 +1,13 @@
 package graft.meta
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /** Storage seam for the metadata log — the complete set of IO primitives
   * [[MetaLog]] needs, so porting the log to an object store is a new
-  * implementation of this trait, not surgery on the log logic.
+  * implementation of this trait, not surgery on the log logic. Paths are
+  * STRINGS (a local path, a Hadoop URI, or an object key) so the seam is
+  * scheme-agnostic; each implementation interprets them natively.
   *
   * Contract an S3-class implementation must honor:
   *  - [[putIfAbsent]] is the CAS primitive: for a given path it succeeds for
@@ -20,47 +22,101 @@ import scala.jdk.CollectionConverters._
   *    (S3 has read-after-write consistency since 2020).
   */
 trait LogStore {
-  def read(path: Path): Array[Byte]
-  def exists(path: Path): Boolean
-  def isDir(path: Path): Boolean
-  def list(dir: Path): Seq[String]
+  def read(path: String): Array[Byte]
+  def exists(path: String): Boolean
+  def isDir(path: String): Boolean
+  def list(dir: String): Seq[String]
   /** Create `path` with `bytes` iff it does not exist; false if it does. */
-  def putIfAbsent(path: Path, bytes: Array[Byte]): Boolean
+  def putIfAbsent(path: String, bytes: Array[Byte]): Boolean
   /** Write `path` atomically, replacing any existing content. */
-  def putAtomic(path: Path, bytes: Array[Byte]): Unit
-  def mkdirs(path: Path): Unit
-  def delete(path: Path): Unit
+  def putAtomic(path: String, bytes: Array[Byte]): Unit
+  def mkdirs(path: String): Unit
+  def delete(path: String): Unit
 }
 
 /** Local-filesystem LogStore: hard-link creation is the atomic
   * create-if-absent, ATOMIC_MOVE the atomic replace. */
 object FsLogStore extends LogStore {
-  override def read(path: Path): Array[Byte] = Files.readAllBytes(path)
-  override def exists(path: Path): Boolean = Files.isRegularFile(path)
-  override def isDir(path: Path): Boolean = Files.isDirectory(path)
+  override def read(path: String): Array[Byte] = Files.readAllBytes(Paths.get(path))
+  override def exists(path: String): Boolean = Files.isRegularFile(Paths.get(path))
+  override def isDir(path: String): Boolean = Files.isDirectory(Paths.get(path))
 
-  override def list(dir: Path): Seq[String] = {
-    if (!Files.isDirectory(dir)) return Seq.empty
-    val s = Files.list(dir)
+  override def list(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
     try s.iterator().asScala.map(_.getFileName.toString).toSeq
     finally s.close()
   }
 
-  override def putIfAbsent(path: Path, bytes: Array[Byte]): Boolean = {
-    val tmp = Files.createTempFile(path.getParent, "_tmp-", ".tmp")
+  override def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    val p = Paths.get(path)
+    val tmp = Files.createTempFile(p.getParent, "_tmp-", ".tmp")
     try {
       Files.write(tmp, bytes)
-      try { Files.createLink(path, tmp); true }
+      try { Files.createLink(p, tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
   }
 
-  override def putAtomic(path: Path, bytes: Array[Byte]): Unit = {
-    val tmp = Files.createTempFile(path.getParent, "_tmp-", ".tmp")
+  override def putAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val p = Paths.get(path)
+    val tmp = Files.createTempFile(p.getParent, "_tmp-", ".tmp")
     Files.write(tmp, bytes)
-    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  override def mkdirs(path: Path): Unit = Files.createDirectories(path)
-  override def delete(path: Path): Unit = Files.deleteIfExists(path)
+  override def mkdirs(path: String): Unit = { Files.createDirectories(Paths.get(path)); () }
+  override def delete(path: String): Unit = { Files.deleteIfExists(Paths.get(path)); () }
+}
+
+/** LogStore over the Hadoop FileSystem API: the metadata log on any
+  * Hadoop-addressable URI (`hdfs://`, `s3a://`, `abfs://`, `file:/`).
+  *
+  * CAS caveat, stated plainly: [[putIfAbsent]] maps to
+  * `FileSystem.create(path, overwrite = false)`, which is atomic on HDFS and
+  * ABFS; on S3A it requires conditional-write support
+  * (`fs.s3a.create.conditional.enabled`, Hadoop 3.4.1+) — without it the
+  * check-then-create races and the CAS guarantee is lost. For S3 without
+  * that flag use [[ObjectLogStore]] over a native conditional-PUT client;
+  * for plain local paths prefer [[FsLogStore]] (hard links are atomic
+  * everywhere). [[putAtomic]] is only used for advisory checkpoint
+  * artifacts, so create-with-overwrite suffices (readers of a torn
+  * checkpoint fall back to folding deltas). */
+final class HadoopLogStore(confProvider: () => org.apache.hadoop.conf.Configuration)
+    extends LogStore {
+  def this(conf: org.apache.hadoop.conf.Configuration) = this(() => conf)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def fs(s: String) = hp(s).getFileSystem(confProvider())
+
+  override def read(path: String): Array[Byte] = {
+    val in = fs(path).open(hp(path))
+    try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+  }
+  override def exists(path: String): Boolean =
+    try fs(path).getFileStatus(hp(path)).isFile
+    catch { case _: java.io.FileNotFoundException => false }
+  override def isDir(path: String): Boolean =
+    try fs(path).getFileStatus(hp(path)).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  override def list(dir: String): Seq[String] =
+    try fs(dir).listStatus(hp(dir)).toSeq.map(_.getPath.getName)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  override def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
+    try {
+      val out = fs(path).create(hp(path), false)
+      try out.write(bytes) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException if e.getMessage != null &&
+        e.getMessage.contains("already exists") => false
+    }
+  override def putAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val out = fs(path).create(hp(path), true)
+    try out.write(bytes) finally out.close()
+  }
+  override def mkdirs(path: String): Unit = { fs(path).mkdirs(hp(path)); () }
+  override def delete(path: String): Unit = { fs(path).delete(hp(path), false); () }
 }

@@ -1,7 +1,6 @@
 package graft.meta
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Path, Paths}
 import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{ObjectMapper, JsonNode}
 import com.fasterxml.jackson.databind.node.{ObjectNode, ArrayNode}
@@ -31,9 +30,20 @@ object MetaLog {
   val CheckpointInterval = 10
   private val LastCheckpointName = "_last_checkpoint"
 
-  /** The default storage backend. Swappable for tests and for object-store
-    * deployments (see the [[LogStore]] contract); FS by default. */
+  /** The default storage backend for SCHEMELESS (plain local) stream dirs.
+    * Swappable for tests and for object-store deployments (see the
+    * [[LogStore]] contract); FS by default. URI-scheme stream dirs
+    * (`hdfs://`, `s3a://`, `file:/`, ...) default to [[HadoopLogStore]]
+    * instead — see [[storeFor]]. */
   @volatile var store: LogStore = FsLogStore
+
+  /** Hadoop-FS-backed store for URI-scheme stream dirs: conf comes from the
+    * active SparkSession when one exists (credentials included), else
+    * classpath defaults. */
+  private lazy val hadoopStore: LogStore = new HadoopLogStore(() =>
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration()))
 
   /** Per-prefix store routing: a stream whose dir starts with a registered
     * prefix commits its log through that store instead of the default —
@@ -44,15 +54,30 @@ object MetaLog {
   def route(prefix: String, s: LogStore): Unit = { routes.put(prefix, s); () }
   def unroute(prefix: String): Unit = { routes.remove(prefix); () }
   private def storeFor(streamDir: String): LogStore = {
-    if (routes.isEmpty) return store
-    routes.filter { case (p, _) => streamDir.startsWith(p) }
-      .toSeq.sortBy(-_._1.length).headOption.map(_._2).getOrElse(store)
+    if (routes.nonEmpty) {
+      val routed = routes.filter { case (p, _) => streamDir.startsWith(p) }
+        .toSeq.sortBy(-_._1.length).headOption.map(_._2)
+      if (routed.isDefined) return routed.get
+    }
+    if (hasScheme(streamDir)) hadoopStore else store
   }
 
-  def logDir(streamDir: String): Path = Paths.get(streamDir, LogDirName)
+  /** True for URI-style paths (`scheme:...` with a 2+ char scheme — a single
+    * letter is a Windows drive, not a scheme). */
+  private[meta] def hasScheme(path: String): Boolean = {
+    val i = path.indexOf(':')
+    i >= 2 && path.substring(0, i).forall(c => c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
+  }
 
-  private def versionFile(streamDir: String, v: Long): Path =
-    logDir(streamDir).resolve(f"$v%020d.json")
+  /** Join path segments scheme-agnostically (string concat — correct for
+    * POSIX paths, Hadoop URIs, and object keys alike). */
+  def join(base: String, rel: String): String =
+    if (base.endsWith("/")) base + rel else base + "/" + rel
+
+  def logDir(streamDir: String): String = join(streamDir, LogDirName)
+
+  private def versionFile(streamDir: String, v: Long): String =
+    join(logDir(streamDir), f"$v%020d.json")
 
   // ---- JSON codec (hand-rolled over Jackson nodes: stable, no reflection) ----
 
@@ -161,8 +186,8 @@ object MetaLog {
 
   def exists(streamDir: String): Boolean = storeFor(streamDir).isDir(logDir(streamDir))
 
-  private def checkpointFile(streamDir: String, v: Long): Path =
-    logDir(streamDir).resolve(f"$v%020d.checkpoint.json")
+  private def checkpointFile(streamDir: String, v: Long): String =
+    join(logDir(streamDir), f"$v%020d.checkpoint.json")
 
   private def listVersionsAfter(streamDir: String, after: Long): Seq[Long] =
     storeFor(streamDir).list(logDir(streamDir))
@@ -180,7 +205,7 @@ object MetaLog {
   private def readLastCheckpoint(streamDir: String): Option[StreamState] =
     try {
       val s = storeFor(streamDir)
-      val ptr = logDir(streamDir).resolve(LastCheckpointName)
+      val ptr = join(logDir(streamDir), LastCheckpointName)
       if (!s.exists(ptr)) return None
       val v = new String(s.read(ptr), StandardCharsets.UTF_8).trim.toLong
       val f = checkpointFile(streamDir, v)
@@ -201,7 +226,7 @@ object MetaLog {
       val o = mapper.createObjectNode()
       o.set[ObjectNode]("checkpoint", stateToJson(state))
       s.putAtomic(checkpointFile(streamDir, state.version), mapper.writeValueAsBytes(o))
-      s.putAtomic(logDir(streamDir).resolve(LastCheckpointName),
+      s.putAtomic(join(logDir(streamDir), LastCheckpointName),
         state.version.toString.getBytes(StandardCharsets.UTF_8))
       // retain the new checkpoint + one predecessor (for readers that hold a
       // slightly stale _last_checkpoint pointer mid-load)

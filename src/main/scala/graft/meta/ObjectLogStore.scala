@@ -1,7 +1,5 @@
 package graft.meta
 
-import java.nio.file.Path
-
 /** The S3-class object-store surface the metadata log needs — a flat,
   * strongly-consistent keyspace with a conditional create. This is the exact
   * API subset modern object stores expose (S3 since 2020 is read-after-write
@@ -44,21 +42,20 @@ trait ObjectStore {
   * (pd/pkg/server/storage/endpoint/stream.go:21-24).
   */
 final class ObjectLogStore(val store: ObjectStore) extends LogStore {
-  private def key(p: Path): String =
-    p.toAbsolutePath.normalize.toString.stripPrefix("/")
+  private def key(p: String): String = p.stripPrefix("/")
 
-  override def read(path: Path): Array[Byte] =
+  override def read(path: String): Array[Byte] =
     store.get(key(path)).getOrElse(
-      throw new java.nio.file.NoSuchFileException(path.toString))
-  override def exists(path: Path): Boolean = store.head(key(path))
-  override def isDir(path: Path): Boolean = store.listChildren(key(path) + "/").nonEmpty
-  override def list(dir: Path): Seq[String] = store.listChildren(key(dir) + "/")
-  override def putIfAbsent(path: Path, bytes: Array[Byte]): Boolean =
+      throw new java.nio.file.NoSuchFileException(path))
+  override def exists(path: String): Boolean = store.head(key(path))
+  override def isDir(path: String): Boolean = store.listChildren(key(path) + "/").nonEmpty
+  override def list(dir: String): Seq[String] = store.listChildren(key(dir) + "/")
+  override def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
     store.putIfNoneMatch(key(path), bytes)
-  override def putAtomic(path: Path, bytes: Array[Byte]): Unit =
+  override def putAtomic(path: String, bytes: Array[Byte]): Unit =
     store.put(key(path), bytes)
-  override def mkdirs(path: Path): Unit = () // keyspace is flat
-  override def delete(path: Path): Unit = store.delete(key(path))
+  override def mkdirs(path: String): Unit = () // keyspace is flat
+  override def delete(path: String): Unit = store.delete(key(path))
 }
 
 /** In-memory [[ObjectStore]] with S3 semantics: strongly consistent

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Paths
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
@@ -70,7 +69,7 @@ class EsLogSourceProvider extends DataSourceRegister
     else {
       val files = st.allFiles.map { f =>
         org.apache.spark.sql.graftshim.ManifestFile(
-          Paths.get(dir, f.path).toString, f.bytes,
+          graft.meta.MetaLog.join(dir, f.path), f.bytes,
           f.startOffset, f.endOffset, f.minTimestamp, f.maxTimestamp)
       }
       org.apache.spark.sql.graftshim.EsLogManifestFileIndex.relation(
@@ -167,7 +166,7 @@ class EsLogRelation(override val sqlContext: SQLContext, dir: String,
       else {
         val maxDelta = metas.map(_.maxDelta.toLong).max
         spark.read.schema(schema)
-          .parquet(metas.map(f => Paths.get(dir, f.path).toString): _*)
+          .parquet(metas.map(f => graft.meta.MetaLog.join(dir, f.path)): _*)
           .where(col("base_offset") > lo - maxDelta && col("base_offset") < hi &&
             col("base_offset") + col("last_offset_delta") > lo)
       }
@@ -292,7 +291,7 @@ class EsLogStreamSource(spark: SparkSession, dir: String,
     if (metas.isEmpty || effLo >= hi)
       return org.apache.spark.sql.graftshim.GraftShims.emptyStreamingDF(spark, schema)
     val raw = spark.read.schema(schema)
-      .parquet(metas.map(f => Paths.get(dir, f.path).toString): _*)
+      .parquet(metas.map(f => graft.meta.MetaLog.join(dir, f.path)): _*)
     // First micro-batch of a fresh checkpoint: use fetch's straddle lower
     // bound so a multi-offset batch trimmed mid-span is still delivered (its
     // readable records start at effLo but its base_offset sits below it).

@@ -300,13 +300,13 @@ class EsLogSpec extends SparkTestBase {
     // inside the grace period: nothing is swept
     assert(EsLog.vacuum(dir, nowMs = System.currentTimeMillis()).isEmpty)
     assert(java.nio.file.Files.exists(orphan))
-    // past the grace period: the orphan + its crc sidecar go; live part
-    // files AND their crc sidecars stay; scan intact
+    // past the grace period: the orphan goes (its crc sidecar is deleted
+    // implicitly by the checksummed FileSystem — reported names are the
+    // listed data files only); live part files AND their crc sidecars stay
     val deleted = EsLog.vacuum(dir, nowMs = System.currentTimeMillis() + 25L * 3600 * 1000)
-    assert(deleted.toSet == Set(
-      "seg-00000/deadbeef/part-00000-crashed.parquet",
-      "seg-00000/deadbeef/.part-00000-crashed.parquet.crc"), deleted)
-    assert(!java.nio.file.Files.exists(orphan) && !java.nio.file.Files.exists(orphanDir))
+    assert(deleted.toSet == Set("seg-00000/deadbeef/part-00000-crashed.parquet"), deleted)
+    assert(!java.nio.file.Files.exists(orphan) && !java.nio.file.Files.exists(orphanCrc))
+    assert(!java.nio.file.Files.exists(orphanDir))
     assert((liveCrcs - orphanCrc).forall(java.nio.file.Files.exists(_)))
     assert(EsLog.scan(spark, dir).count() == nRows)
     // metadata log untouched
@@ -498,22 +498,21 @@ class EsLogSpec extends SparkTestBase {
       val listsPerDir = new scala.collection.concurrent.TrieMap[String, Int]
       val active = new java.util.concurrent.atomic.AtomicInteger
       val peak = new java.util.concurrent.atomic.AtomicInteger
-      def read(p: java.nio.file.Path) = FsLogStore.read(p)
-      def exists(p: java.nio.file.Path) = FsLogStore.exists(p)
-      def isDir(p: java.nio.file.Path) = FsLogStore.isDir(p)
-      def list(d: java.nio.file.Path) = {
-        val dir = d.toString
+      def read(p: String) = FsLogStore.read(p)
+      def exists(p: String) = FsLogStore.exists(p)
+      def isDir(p: String) = FsLogStore.isDir(p)
+      def list(dir: String) = {
         if (dir.contains("/streams/")) {
           listsPerDir.updateWith(dir)(c => Some(c.getOrElse(0) + 1))
           val a = active.incrementAndGet()
           peak.getAndUpdate(p => math.max(p, a))
-          try FsLogStore.list(d) finally active.decrementAndGet()
-        } else FsLogStore.list(d)
+          try FsLogStore.list(dir) finally active.decrementAndGet()
+        } else FsLogStore.list(dir)
       }
-      def putIfAbsent(p: java.nio.file.Path, b: Array[Byte]) = FsLogStore.putIfAbsent(p, b)
-      def putAtomic(p: java.nio.file.Path, b: Array[Byte]) = FsLogStore.putAtomic(p, b)
-      def mkdirs(p: java.nio.file.Path) = FsLogStore.mkdirs(p)
-      def delete(p: java.nio.file.Path) = FsLogStore.delete(p)
+      def putIfAbsent(p: String, b: Array[Byte]) = FsLogStore.putIfAbsent(p, b)
+      def putAtomic(p: String, b: Array[Byte]) = FsLogStore.putAtomic(p, b)
+      def mkdirs(p: String) = FsLogStore.mkdirs(p)
+      def delete(p: String) = FsLogStore.delete(p)
     }
     val counting = new CountingStore
     val prev = MetaLog.store
@@ -534,6 +533,43 @@ class EsLogSpec extends SparkTestBase {
       assert(counting.listsPerDir.values.forall(_ == 1),
         counting.listsPerDir.filter(_._2 > 1).toString)
     } finally MetaLog.store = prev
+  }
+
+  test("full lifecycle over a file: URI stream dir (scheme-aware paths)") {
+    // URI-scheme dirs exercise the Hadoop path everywhere: the metadata log
+    // routes to HadoopLogStore (scheme-aware default), data files go through
+    // the Hadoop FileSystem — the same code path an hdfs:// or s3a:// dir
+    // takes, driven here through file:/.
+    val dir = "file:" + tmpDir("eslog-uri-")
+    EsLog.create(dir, streamId = 91L)
+    EsLog.open(dir, 1L)
+    val in = spark.range(100).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+    assert(EsLog.scan(spark, dir).count() == 100)
+    assert(EsLog.fetch(spark, dir, 10, 20).agg(min("base_offset"), max("base_offset"))
+      .collect().head match { case r => r.getLong(0) == 10L && r.getLong(1) == 19L })
+    // the log really lives behind the URI (versions on disk under _eslog)
+    assert(graft.meta.MetaLog.latestVersion(dir) >= 2L)
+    // connector read over the URI dir
+    assert(spark.read.format("eslog").load(dir).count() == 100)
+    // kv + checkpoint crossing through the Hadoop store (putAtomic path)
+    (0 until 12).foreach(i => EsLog.putKV(dir, s"k$i", i.toString))
+    assert(EsLog.getKV(dir, "k11").contains("11"))
+    assert(graft.meta.MetaLog.load(dir).kv.size == 12)
+    // trim drops the first file, compaction rewrites the sealed remainder
+    EsLog.trim(dir, 25)
+    assert(EsLog.scan(spark, dir).count() == 75)
+    EsLog.seal(dir)
+    EsLog.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(EsLog.scan(spark, dir).count() == 75)
+    assert(graft.meta.MetaLog.load(dir).allFiles.size == 1)
+    // vacuum + delete, all scheme-aware
+    EsLog.vacuum(dir, System.currentTimeMillis() + 25L * 3600 * 1000)
+    assert(EsLog.scan(spark, dir).count() == 75)
+    EsLog.delete(dir)
+    assert(EsLog.describe(dir).deleted)
+    assertThrows[IllegalStateException](EsLog.scan(spark, dir).count())
   }
 
   test("describe/update/delete surface") {

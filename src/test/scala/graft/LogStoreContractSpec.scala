@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.meta._
@@ -25,8 +25,8 @@ abstract class LogStoreContractSpec extends AnyFunSuite {
 
   test(s"$storeName: putIfAbsent has exactly one winner under contention") {
     val (store, root) = freshStore()
-    val p = Paths.get(root, "probe")
-    store.mkdirs(p.getParent)
+    val p = MetaLog.join(root, "probe")
+    store.mkdirs(root)
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -39,13 +39,13 @@ abstract class LogStoreContractSpec extends AnyFunSuite {
     assert(new String(store.read(p)) == s"w$winner")
     // and the key is immediately visible to exists + list (read-after-write)
     assert(store.exists(p))
-    assert(store.list(p.getParent).contains("probe"))
+    assert(store.list(root).contains("probe"))
   }
 
   test(s"$storeName: putAtomic replaces; delete is idempotent") {
     val (store, root) = freshStore()
-    val p = Paths.get(root, "ptr")
-    store.mkdirs(p.getParent)
+    val p = MetaLog.join(root, "ptr")
+    store.mkdirs(root)
     store.putAtomic(p, "1".getBytes)
     store.putAtomic(p, "2".getBytes)
     assert(new String(store.read(p)) == "2")
@@ -56,16 +56,16 @@ abstract class LogStoreContractSpec extends AnyFunSuite {
 
   test(s"$storeName: list returns immediate children only") {
     val (store, root) = freshStore()
-    val dir = Paths.get(root, "d")
+    val dir = MetaLog.join(root, "d")
     store.mkdirs(dir)
-    store.mkdirs(dir.resolve("sub"))
-    store.putAtomic(dir.resolve("a.json"), "x".getBytes)
-    store.putAtomic(dir.resolve("sub").resolve("b.json"), "y".getBytes)
+    store.mkdirs(MetaLog.join(dir, "sub"))
+    store.putAtomic(MetaLog.join(dir, "a.json"), "x".getBytes)
+    store.putAtomic(MetaLog.join(dir, "sub/b.json"), "y".getBytes)
     val names = store.list(dir)
     assert(names.contains("a.json"), names.toString)
     assert(names.contains("sub"), names.toString)
     assert(!names.exists(_.contains("b.json")), names.toString)
-    assert(store.isDir(dir) && !store.isDir(Paths.get(root, "nope")))
+    assert(store.isDir(dir) && !store.isDir(MetaLog.join(root, "nope")))
   }
 
   test(s"$storeName: MetaLog protocol — commits, checkpoint crossing, reload") {

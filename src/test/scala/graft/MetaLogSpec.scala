@@ -141,7 +141,7 @@ class MetaLogSpec extends AnyFunSuite {
       st = MetaLog.commit(dir, st, Seq(KvPut(s"k${i % 50}", s"v$i")))
     }
     // checkpoints exist and the pointer names the newest one
-    val ckpts = Files.list(MetaLog.logDir(dir)).iterator()
+    val ckpts = Files.list(java.nio.file.Paths.get(MetaLog.logDir(dir))).iterator()
     val names = new scala.collection.mutable.ArrayBuffer[String]
     while (ckpts.hasNext) names += ckpts.next().getFileName.toString
     assert(names.exists(_.contains(".checkpoint")), "no checkpoint file written")
@@ -152,12 +152,12 @@ class MetaLogSpec extends AnyFunSuite {
     assert(loaded.kv.size == 50 && loaded.kv("k49") == "v999")
     // loading must not read older delta files: delete all version files at or
     // below the checkpoint; load still succeeds and matches
-    val ptr = new String(Files.readAllBytes(
-      MetaLog.logDir(dir).resolve("_last_checkpoint"))).trim.toLong
+    val ptr = new String(Files.readAllBytes(java.nio.file.Paths
+      .get(MetaLog.logDir(dir), "_last_checkpoint"))).trim.toLong
     names.filter(n => n.endsWith(".json") && !n.contains(".checkpoint") && !n.startsWith("_"))
       .map(n => (n, n.stripSuffix(".json").toLong))
       .filter(_._2 <= ptr)
-      .foreach { case (n, _) => Files.delete(MetaLog.logDir(dir).resolve(n)) }
+      .foreach { case (n, _) => Files.delete(java.nio.file.Paths.get(MetaLog.logDir(dir), n)) }
     assert(MetaLog.load(dir) == st)
   }
 
@@ -183,14 +183,14 @@ class MetaLogSpec extends AnyFunSuite {
     class CountingStore extends LogStore {
       val calls = new java.util.concurrent.atomic.AtomicLong
       private def c[A](a: => A): A = { calls.incrementAndGet(); a }
-      def read(p: java.nio.file.Path) = c(FsLogStore.read(p))
-      def exists(p: java.nio.file.Path) = c(FsLogStore.exists(p))
-      def isDir(p: java.nio.file.Path) = c(FsLogStore.isDir(p))
-      def list(d: java.nio.file.Path) = c(FsLogStore.list(d))
-      def putIfAbsent(p: java.nio.file.Path, b: Array[Byte]) = c(FsLogStore.putIfAbsent(p, b))
-      def putAtomic(p: java.nio.file.Path, b: Array[Byte]) = c(FsLogStore.putAtomic(p, b))
-      def mkdirs(p: java.nio.file.Path) = c(FsLogStore.mkdirs(p))
-      def delete(p: java.nio.file.Path) = c(FsLogStore.delete(p))
+      def read(p: String) = c(FsLogStore.read(p))
+      def exists(p: String) = c(FsLogStore.exists(p))
+      def isDir(p: String) = c(FsLogStore.isDir(p))
+      def list(d: String) = c(FsLogStore.list(d))
+      def putIfAbsent(p: String, b: Array[Byte]) = c(FsLogStore.putIfAbsent(p, b))
+      def putAtomic(p: String, b: Array[Byte]) = c(FsLogStore.putAtomic(p, b))
+      def mkdirs(p: String) = c(FsLogStore.mkdirs(p))
+      def delete(p: String) = c(FsLogStore.delete(p))
     }
     val counting = new CountingStore
     val prev = MetaLog.store
@@ -207,7 +207,7 @@ class MetaLogSpec extends AnyFunSuite {
       assertThrows[ConcurrentCommitException](
         MetaLog.commit(dir, st.copy(version = st.version - 1), Seq(KvPut("x", "y"))))
       // direct contract check on the primitive
-      val p = java.nio.file.Paths.get(dir, "cas-probe")
+      val p = MetaLog.join(dir, "cas-probe")
       assert(counting.putIfAbsent(p, "a".getBytes))
       assert(!counting.putIfAbsent(p, "b".getBytes))
       assert(new String(counting.read(p)) == "a")
@@ -220,7 +220,7 @@ class MetaLogSpec extends AnyFunSuite {
     (0 until 45).foreach { i => st = MetaLog.commit(dir, st, Seq(KvPut(s"k$i", "v"))) }
     val ckpts = {
       import scala.jdk.CollectionConverters._
-      val s = Files.list(MetaLog.logDir(dir))
+      val s = Files.list(java.nio.file.Paths.get(MetaLog.logDir(dir)))
       try s.iterator().asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".checkpoint.json")).toSeq.sorted
       finally s.close()
@@ -261,7 +261,7 @@ class MetaLogSpec extends AnyFunSuite {
       // non-matching dirs keep the default FS store
       val fsDir = tmp()
       MetaLog.commit(fsDir, StreamState.empty, Seq(CreateStream(10L, 1, 1, -1L)))
-      assert(Files.isDirectory(MetaLog.logDir(fsDir)))
+      assert(Files.isDirectory(java.nio.file.Paths.get(MetaLog.logDir(fsDir))))
       // longest registered prefix wins
       val mem2 = new InMemoryObjectStore
       MetaLog.route("/mem/route/nested", new ObjectLogStore(mem2))
