@@ -311,6 +311,31 @@ class EsLogConnectorSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == Seq((0L, 10L), (1L, 20L)))
   }
 
+  test("streaming source + sink over file: URI stream dirs") {
+    // both ends on URI dirs: the source's manifest reads + per-batch parquet
+    // scans and the sink's append commits all resolve through the Hadoop
+    // FileSystem / scheme-routed log
+    val src = "file:" + mkStream(200)
+    val dst = "file:" + tmpDir("sink-uri-")
+    // pre-create via the plain-path spelling: both spellings address the
+    // same stream on disk, and the URI spelling reads the same log back
+    EsLog.create(dst.stripPrefix("file:"), streamId = 31L)
+    assert(EsLog.describe(dst).streamId == 31L)
+    val ckpt = tmpDir("ckpt-uri-")
+    val q = spark.readStream.format("eslog")
+      .option("maxOffsetsPerTrigger", "80")
+      .load(src)
+      .select("payload", "properties", "base_timestamp", "last_offset_delta", "flags")
+      .writeStream.format("eslog")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(EsLog.nextOffset(dst) == 200L)
+    assert(EsLog.scan(spark, dst).count() == 200)
+  }
+
   test("streaming sink: exactly-once append, idempotent across restart") {
     val src = mkStream(300)
     val dst = tmpDir("sink-")
