@@ -312,6 +312,20 @@ object Oracles {
       |  CAST(least(len(string_split(text, ' ')), 16) AS BIGINT) AS n_tokens_kept
       |FROM documents""".stripMargin
 
+  /** Repetition signals over word bigrams — the n-gram expression comes from
+    * the same generator the Spark side mirrors, so the two can never drift. */
+  private val textRepetition =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(${H.wordShinglesSql(2)}) AS g FROM t),
+       |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+       |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, max(c) AS topc,
+       |             CAST(count(*) AS BIGINT) AS uniq
+       |      FROM c GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(CAST(a.topc AS DOUBLE) / a.total, 0.0) AS top_ngram_frac,
+       |  coalesce(CAST(a.total - a.uniq AS DOUBLE) / a.total, 0.0) AS dup_ngram_frac
+       |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
+
   private val sampleHash =
     s"""SELECT doc_id FROM documents
        |WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 3""".stripMargin
@@ -515,6 +529,7 @@ object Oracles {
     "text_tokens" -> textTokens,
     "text_redact" -> textRedact,
     "text_truncate" -> textTruncate,
+    "text_repetition" -> textRepetition,
     "sample_hash" -> sampleHash,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,

@@ -296,6 +296,10 @@ object SparkEntry {
   private def qTextTruncate(s: SparkSession, sfDir: String): DataFrame =
     TextOps.truncateTokens(Fixtures.documents(s, sfDir), "doc_id", "text", maxTokens = 16)
 
+  /** Gopher/C4-style repetition quality signals (top/dup bigram shares). */
+  private def qTextRepetition(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.repetition(Fixtures.documents(s, sfDir), "doc_id", "text")
+
   /** Deterministic 30% hash sample — stable across runs/engines/cluster sizes. */
   private def qSampleHash(s: SparkSession, sfDir: String): DataFrame =
     graft.operators.Sampling.sampleByHash(Fixtures.documents(s, sfDir), "doc_id", num = 3, den = 10)
@@ -475,6 +479,7 @@ object SparkEntry {
     "text_tokens" -> (qTextTokens _),
     "text_redact" -> (qTextRedact _),
     "text_truncate" -> (qTextTruncate _),
+    "text_repetition" -> (qTextRepetition _),
     "sample_hash" -> (qSampleHash _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),

@@ -121,4 +121,28 @@ object TextOps {
       array_join(slice(toks, 1, maxTokens), " ").as("text_truncated"),
       least(size(toks), lit(maxTokens)).cast("long").as("n_tokens_kept"))
   }
+
+  /** Repetition signals — the Gopher/C4-style quality rules that catch
+    * boilerplate and degenerate generations: the share of the single most
+    * frequent word n-gram among all n-gram occurrences (`top_ngram_frac`)
+    * and the fraction of occurrences that repeat an already-seen n-gram
+    * (`dup_ngram_frac`). Both 0.0 for docs with fewer than n words.
+    *
+    * Plan shape at corpus scale: explode n-grams, one hash aggregate on
+    * (doc, gram) with map-side combine, one per-doc rollup — shuffles carry
+    * per-doc-distinct grams, never raw occurrences; no window over the whole
+    * corpus, no driver-side work. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val grams = OpUtil.rebalance(docs)
+      .select(col(idCol).as("doc"), explode(Portable.wordShingles(col(textCol), n)).as("g"))
+    val agg = grams.groupBy("doc", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc").agg(
+        sum("c").as("total"), max("c").as("topc"), count(lit(1)).as("uniq"))
+    docs.select(col(idCol))
+      .join(agg.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("topc").cast("double") / col("total"), lit(0.0)).as("top_ngram_frac"),
+        coalesce((col("total") - col("uniq")).cast("double") / col("total"), lit(0.0))
+          .as("dup_ngram_frac"))
+  }
 }

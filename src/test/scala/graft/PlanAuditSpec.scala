@@ -98,6 +98,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(trunc.getString(1) == "visit https://x.io/a?b=1 or" && trunc.getLong(2) == 3L)
   }
 
+  test("repetition signals: known values, hash-aggregate plan") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // "a a a b": bigrams (a a), (a a), (a b) -> top 2/3, dup 1/3; "x": no
+    // bigrams -> both 0.0
+    val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextOps.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(got(1L)._1 - 2.0 / 3) < 1e-12 && math.abs(got(1L)._2 - 1.0 / 3) < 1e-12, got)
+    assert(got(2L) == ((0.0, 0.0)), got)
+    val p = plan(TextOps.repetition(docs, "doc_id", "text"))
+    assert(p.contains("HashAggregate") && !p.contains("CartesianProduct"), p)
+  }
+
   test("packing: sharded windows avoid the global sort; packs respect the budget") {
     import spark.implicits._
     import graft.operators.Sampling
