@@ -34,6 +34,18 @@ object Oracles {
        |heavy AS (SELECT hm FROM shd GROUP BY hm HAVING count(*) > ${graft.operators.Dedup.DefaultMaxDf}),
        |sh AS (SELECT doc_id, hm FROM shd WHERE hm NOT IN (SELECT hm FROM heavy))""".stripMargin
 
+  /** Parameterized distinct-hashed-shingle CTE chain over `src` (table name
+    * or parenthesized subquery), mirroring [[graft.operators.Dedup.cappedShingles]]
+    * with its df cap — same generator expressions, so Spark and the oracle
+    * can never drift. */
+  private def shingleCte(src: String, alias: String, k: Int): String =
+    s"""${alias}0 AS (
+       |  SELECT doc_id, unnest(${H.wordShinglesSql(k)}) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src t)),
+       |${alias}d AS (SELECT DISTINCT doc_id, ${H.uhashBaseSql("s")} AS hm FROM ${alias}0),
+       |${alias}h AS (SELECT hm FROM ${alias}d GROUP BY hm HAVING count(*) > ${graft.operators.Dedup.DefaultMaxDf}),
+       |$alias AS (SELECT doc_id, hm FROM ${alias}d WHERE hm NOT IN (SELECT hm FROM ${alias}h))""".stripMargin
+
   private def minhashCols(numHashes: Int): String =
     (0 until numHashes).map(i => s"min(${H.uhashSql(i, "hm")}) AS m$i").mkString(", ")
 
@@ -326,6 +338,16 @@ object Oracles {
        |  coalesce(CAST(a.total - a.uniq AS DOUBLE) / a.total, 0.0) AS dup_ngram_frac
        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
 
+  private val decontaminate = {
+    val bench =
+      s"(SELECT doc_id, text FROM documents WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 20 < 1)"
+    s"""WITH ${shingleCte("documents", "cs", 3)},
+       |${shingleCte(bench, "bs", 3)},
+       |bh AS (SELECT DISTINCT hm FROM bs)
+       |SELECT cs.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM cs JOIN bh ON cs.hm = bh.hm GROUP BY 1""".stripMargin
+  }
+
   private val sampleHash =
     s"""SELECT doc_id FROM documents
        |WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 3""".stripMargin
@@ -530,6 +552,7 @@ object Oracles {
     "text_redact" -> textRedact,
     "text_truncate" -> textTruncate,
     "text_repetition" -> textRepetition,
+    "decontaminate" -> decontaminate,
     "sample_hash" -> sampleHash,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,

@@ -300,6 +300,14 @@ object SparkEntry {
   private def qTextRepetition(s: SparkSession, sfDir: String): DataFrame =
     TextOps.repetition(Fixtures.documents(s, sfDir), "doc_id", "text")
 
+  /** Decontamination vs a 5% hash-sampled "benchmark" slice: docs sharing
+    * any 3-gram with the benchmark, with distinct-shared-gram counts. */
+  private def qDecontaminate(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val bench = graft.operators.Sampling.sampleByHash(docs, "doc_id", num = 1, den = 20)
+    graft.operators.Dedup.decontaminate(docs, bench, "doc_id", "text", k = 3)
+  }
+
   /** Deterministic 30% hash sample — stable across runs/engines/cluster sizes. */
   private def qSampleHash(s: SparkSession, sfDir: String): DataFrame =
     graft.operators.Sampling.sampleByHash(Fixtures.documents(s, sfDir), "doc_id", num = 3, den = 10)
@@ -480,6 +488,7 @@ object SparkEntry {
     "text_redact" -> (qTextRedact _),
     "text_truncate" -> (qTextTruncate _),
     "text_repetition" -> (qTextRepetition _),
+    "decontaminate" -> (qDecontaminate _),
     "sample_hash" -> (qSampleHash _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),

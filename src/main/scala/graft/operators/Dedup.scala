@@ -188,6 +188,27 @@ object Dedup {
     labels
   }
 
+  /** Decontamination — the benchmark-overlap rule every training pipeline
+    * runs before a model sees the data (the GPT-3 report's 13-gram rule):
+    * flag corpus documents sharing at least one word k-gram with any
+    * document in `benchmark`, with the count of distinct shared k-grams.
+    *
+    * Plan at corpus scale: both sides reduce to distinct hashed shingles
+    * ([[cappedShingles]] — stop-grams df-capped away, 8-byte join keys), the
+    * benchmark's distinct hash set is typically small enough to broadcast,
+    * and the result is one hash aggregate per flagged doc. The corpus is
+    * never joined to itself — cost is corpus-shingles × lookup. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, k: Int = 8,
+                    maxDf: Long = DefaultMaxDf): DataFrame = {
+    val c = cappedShingles(corpus, idCol, textCol, k, maxDf)
+    val b = cappedShingles(benchmark, idCol, textCol, k, maxDf)
+      .select("hm").distinct()
+    // c is distinct (doc, hm), so the per-doc count IS distinct shared grams
+    c.join(b, "hm").groupBy("doc").agg(count(lit(1)).as("n_shared"))
+      .select(col("doc").as(idCol), col("n_shared"))
+  }
+
   /** SimHash fingerprint (60-bit): per token occurrence, each hash bit votes
     * +1/-1; fingerprint bit b is set iff the bit-b vote sum is positive. */
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
