@@ -134,8 +134,8 @@ object Bench {
     // -- relational / LLM-pipeline headline queries (registry plans) --
     val heads = Seq("lineitem_agg", "join_agg", "topk_orders",
       "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
-      "sim_exact", "sim_lsh", "text_stats", "text_langid", "multimodal_decode",
-      "es_window_hourly", "es_agg_by_type")
+      "sim_exact", "sim_lsh", "text_stats", "text_langid", "text_repetition",
+      "decontaminate", "multimodal_decode", "es_window_hourly", "es_agg_by_type")
     val registry = SparkEntry.queries
     heads.foreach { name =>
       timed(name) { force(registry(name)(spark, sfDir)) }

@@ -98,6 +98,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(trunc.getString(1) == "visit https://x.io/a?b=1 or" && trunc.getLong(2) == 3L)
   }
 
+  test("decontamination: shared-gram counts, equi-join plan, no self-join blowup") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with bench
+      (2L, "entirely different words here"),
+      (3L, "quick brown fox again today")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 3 share the "quick brown fox" 3-gram; doc 2 is clean
+    assert(got == Map(1L -> 1L, 3L -> 1L), got)
+    val p = plan(Dedup.decontaminate(corpus, bench, "doc_id", "text", k = 3))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("repetition signals: known values, hash-aggregate plan") {
     import spark.implicits._
     import graft.operators.TextOps
