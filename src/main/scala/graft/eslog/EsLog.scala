@@ -357,7 +357,7 @@ object EsLog {
     // audit job, no per-row jobs, no driver FS reads.
     val files = try {
       val fs = commitFileMetas(spark, streamDir, outRel, outAbs,
-        partSums.filter(_._3 > 0).map { case (pid, sum, nrows, maxD, minTs, maxTs) =>
+        partSums.toSeq.filter(_._3 > 0).map { case (pid, sum, nrows, maxD, minTs, maxTs) =>
           (pid, nrows, startByPid(pid), startByPid(pid) + sum, minTs, maxTs, maxD)
         })
       require(fs.head.startOffset == next && fs.last.endOffset == next + total,
@@ -553,7 +553,7 @@ object EsLog {
 
         val added = try {
           commitFileMetas(spark, streamDir, outRel, outAbs,
-            stats.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
+            stats.toSeq.map { case (pid, n, minOff, maxEnd, minTs, maxTs, maxD) =>
               (pid, n, minOff, maxEnd, minTs, maxTs, maxD)
             })
         } catch {

@@ -179,7 +179,7 @@ object MetaLog {
     n.get("streamId").asLong(), n.get("replica").asInt(), n.get("ackCount").asInt(),
     n.get("retentionMs").asLong(), n.get("epoch").asLong(), n.get("startOffset").asLong(),
     n.get("segments").elements().asScala.map(segFromJson).toVector,
-    n.get("kv").fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
+    n.get("kv").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
     n.get("deleted").asBoolean(), n.get("version").asLong())
 
   // ---- log IO (all through the LogStore seam) ----
