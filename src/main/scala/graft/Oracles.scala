@@ -59,6 +59,10 @@ object Oracles {
       |WHERE event_id >= (SELECT count(*) // 10 FROM events)
       |  AND event_id < (SELECT count(*) // 2 FROM events)""".stripMargin
 
+  private val esFetchHot =
+    """SELECT event_id AS base_offset, event_type FROM events
+      |WHERE event_id >= (SELECT count(*) // 2 FROM events)""".stripMargin
+
   private val esFetchStraddle =
     """WITH b AS (
       |  SELECT id, CAST(id % 3 + 1 AS BIGINT) AS delta,
@@ -514,6 +518,7 @@ object Oracles {
   val all: Map[String, String] = Map(
     "es_append_scan" -> esAppendScan,
     "es_fetch_range" -> esFetchRange,
+    "es_fetch_hot" -> esFetchHot,
     "es_fetch_straddle" -> esFetchStraddle,
     "es_trim" -> esTrim,
     "es_retention" -> esRetention,

@@ -43,6 +43,23 @@ object SparkEntry {
       col("properties")("event_type").as("event_type"))
   }
 
+  /** Tail fetch served by the HotCache (SURVEY §2.4, reference
+    * replication/src/stream/cache.rs): the first fetch admits the tail files
+    * to executor memory, the second scans the InMemoryRelations. Rows must be
+    * bit-identical to the cold oracle — the cache changes where bytes come
+    * from, never what they are. */
+  private def qEsFetchHot(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    val n = Fixtures.events(s, sfDir).count()
+    s.conf.set(graft.eslog.HotCache.GLOBAL_BYTES, (256L * 1024 * 1024).toString)
+    try {
+      EsLog.fetch(s, dir, n / 2, n).count() // admit + materialize the tail
+      EsLog.fetch(s, dir, n / 2, n).select( // hot plan, captured eagerly
+        col("base_offset"),
+        col("properties")("event_type").as("event_type"))
+    } finally s.conf.unset(graft.eslog.HotCache.GLOBAL_BYTES)
+  }
+
   /** Straddle semantics with multi-offset batches (delta = id%3+1). */
   private def qEsFetchStraddle(s: SparkSession, sfDir: String): DataFrame = {
     val dir = Fixtures.straddleStream(s, sfDir)
@@ -450,6 +467,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "es_append_scan" -> (qEsAppendScan _),
     "es_fetch_range" -> (qEsFetchRange _),
+    "es_fetch_hot" -> (qEsFetchHot _),
     "es_fetch_straddle" -> (qEsFetchStraddle _),
     "es_trim" -> (qEsTrim _),
     "es_retention" -> (qEsRetention _),

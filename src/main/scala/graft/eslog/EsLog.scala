@@ -76,6 +76,7 @@ object EsLog {
     * log itself is kept — it records the deletion). */
   def delete(streamDir: String): Unit = {
     MetaLog.commitWithRetry(streamDir) { st => if (st.deleted) Seq.empty else Seq(DeleteStream()) }
+    HotCache.invalidate(streamDir)
     val fs = dataFs(streamDir)
     val root = hpath(streamDir)
     if (fs.exists(root))
@@ -477,7 +478,20 @@ object EsLog {
     // relaxation `base_offset > lo - maxDelta` (maxDelta over the selected
     // files) and keep the exact form as a cheap residual.
     val maxDelta = metas.map(_.maxDelta.toLong).max
-    spark.read.schema(RecordBatchRow.schema).parquet(files: _*)
+    // Byte source: the HotCache may serve some of the pruned files from
+    // executor memory (same file set, same predicate — bit-identical rows);
+    // cold files stay a plain vectorized Parquet scan. See [[HotCache]].
+    val source = HotCache.split(spark, streamDir, st, metas) match {
+      case Some((hotDfs, cold)) =>
+        val coldDf =
+          if (cold.isEmpty) Nil
+          else Seq(spark.read.schema(RecordBatchRow.schema)
+            .parquet(cold.map(f => join(streamDir, f.path)): _*))
+        (hotDfs ++ coldDf).reduce(_ union _)
+      case None =>
+        spark.read.schema(RecordBatchRow.schema).parquet(files: _*)
+    }
+    source
       .where(col("base_offset") > lo - maxDelta && col("base_offset") < hi &&
         col("base_offset") + col("last_offset_delta") > lo)
   }

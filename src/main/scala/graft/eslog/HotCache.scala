@@ -1,0 +1,140 @@
+package graft.eslog
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.meta.{FileMeta, MetaLog, StreamState}
+import graft.model.RecordBatchRow
+
+/** HotCache — the tail-read cache (SURVEY §2.4; reference
+  * `components/replication/src/stream/cache.rs:10-94`).
+  *
+  * The reference keeps recently appended records in range-server memory so
+  * tailing consumers fetch them without touching the object store. The Spark
+  * re-expression caches at the *file* grain: each hot tail file is held as a
+  * single-file DataFrame persisted in executor memory (the block manager —
+  * Spark's native distributed cache), and a fetch whose pruned file set hits
+  * the cache scans `InMemoryRelation`s instead of re-reading Parquet. Rows are
+  * still filtered by the exact straddle predicate, so a hot read is
+  * bit-identical to a cold one.
+  *
+  * Admission is restricted to the stream's *hot window* — the suffix of files
+  * (by offset) whose byte sum fits `STREAM_BYTES` — so a full historical scan
+  * can never pollute the cache (the classic scan-pollution guard; the
+  * reference gets the same property by populating only from the append path).
+  * Per-file grain makes the cache incremental: a new append adds new files to
+  * the window without re-materializing the ones already cached.
+  *
+  * Eviction is LRU by bytes across all streams against `GLOBAL_BYTES`.
+  * Metadata changes need no hooks: every serve re-validates against the
+  * caller's [[StreamState]] (files are immutable and never reuse a path, so a
+  * path present in the state is current by construction), and entries for
+  * files that left the state are swept opportunistically.
+  *
+  * Disabled by default (`GLOBAL_BYTES` = 0): the SURVEY §2.4 position that the
+  * OS page cache already serves local-disk re-reads stands; this cache earns
+  * its memory when the stream dir is an object store or when many consumers
+  * tail the same stream.
+  */
+object HotCache {
+  /** Global cache budget in bytes (on-disk Parquet bytes as the accounting
+    * unit, like the reference's cache which counts serialized block bytes).
+    * 0 disables the cache entirely. */
+  val GLOBAL_BYTES = "spark.graft.eslog.hotCache.bytes"
+
+  /** Per-stream hot-window size in bytes: only the tail suffix of files whose
+    * byte sum fits is admissible. Defaults to the global budget. */
+  val STREAM_BYTES = "spark.graft.eslog.hotCache.streamBytes"
+
+  private final case class Cached(streamDir: String, meta: FileMeta,
+                                  df: DataFrame, lastUsed: AtomicLong)
+
+  // keyed by absolute file path — unique forever (UUID part names, immutable
+  // files), so a stale entry can only waste memory, never serve wrong rows.
+  private val entries = new ConcurrentHashMap[String, Cached]()
+  private val tick = new AtomicLong(0L)
+
+  private def globalBudget(spark: SparkSession): Long =
+    spark.conf.getOption(GLOBAL_BYTES).map(_.toLong).getOrElse(0L)
+  private def streamBudget(spark: SparkSession): Long =
+    spark.conf.getOption(STREAM_BYTES).map(_.toLong)
+      .getOrElse(globalBudget(spark))
+
+  /** The hot window: longest suffix of the state's files (by offset) whose
+    * byte sum fits the per-stream budget. */
+  private def hotWindow(st: StreamState, cap: Long): Set[String] = {
+    val tail = st.allFiles.sortBy(_.startOffset).reverse
+    var acc = 0L
+    tail.takeWhile { f => acc += f.bytes; acc <= cap }.map(_.path).toSet
+  }
+
+  /** Split the fetch's pruned file set into hot (cached or cache-admitted
+    * now) and cold halves and return the DataFrames to union. Exact row
+    * filtering stays with the caller — this only decides *where bytes come
+    * from*. Returns None when disabled or nothing is admissible, in which
+    * case the caller keeps its plain cold plan. */
+  private[eslog] def split(spark: SparkSession, streamDir: String,
+                           st: StreamState, metas: Seq[FileMeta])
+      : Option[(Seq[DataFrame], Seq[FileMeta])] = {
+    val budget = globalBudget(spark)
+    if (budget <= 0) return None
+    sweep(streamDir, st)
+    val window = hotWindow(st, streamBudget(spark))
+    if (!metas.exists(m => window.contains(m.path))) return None
+    val (hot, cold) = metas.partition(m => window.contains(m.path))
+    val now = tick.incrementAndGet()
+    val hotDfs = hot.map { m =>
+      val abs = MetaLog.join(streamDir, m.path)
+      val c = entries.computeIfAbsent(abs, { _ =>
+        Cached(streamDir, m,
+          spark.read.schema(RecordBatchRow.schema).parquet(abs)
+            .persist(StorageLevel.MEMORY_ONLY),
+          new AtomicLong(now))
+      })
+      c.lastUsed.set(now)
+      c.df
+    }
+    evict(budget, keep = hot.map(m => MetaLog.join(streamDir, m.path)).toSet)
+    Some((hotDfs, cold))
+  }
+
+  /** Drop entries of this stream whose file left the state (trim vacuum,
+    * compaction swap, delete): their path can never be requested again. */
+  private def sweep(streamDir: String, st: StreamState): Unit = {
+    val live = st.allFiles.map(f => MetaLog.join(streamDir, f.path)).toSet
+    entries.forEach { (abs, c) =>
+      if (c.streamDir == streamDir && !live.contains(abs)) drop(abs)
+    }
+  }
+
+  /** LRU eviction to the global byte budget, never evicting files being
+    * served right now. */
+  private def evict(budget: Long, keep: Set[String]): Unit = synchronized {
+    var total = entries.values.asScala.map(_.meta.bytes).sum
+    if (total <= budget) return
+    val lru = entries.asScala.toSeq.sortBy(_._2.lastUsed.get())
+    lru.foreach { case (abs, c) =>
+      if (total > budget && !keep.contains(abs)) {
+        if (drop(abs)) total -= c.meta.bytes
+      }
+    }
+  }
+
+  private def drop(abs: String): Boolean = {
+    val c = entries.remove(abs)
+    if (c != null) { c.df.unpersist(blocking = false); true } else false
+  }
+
+  /** Forget a whole stream (DELETE_STREAM path) or everything (tests). */
+  def invalidate(streamDir: String): Unit =
+    entries.forEach { (abs, c) => if (c.streamDir == streamDir) drop(abs) }
+  def clear(): Unit = entries.keySet().asScala.toSeq.foreach(drop)
+
+  /** Introspection for tests/ops: (absPath, bytes) of resident entries. */
+  def resident: Map[String, Long] =
+    entries.asScala.map { case (abs, c) => abs -> c.meta.bytes }.toMap
+}

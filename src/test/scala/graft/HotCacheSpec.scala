@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+
+import graft.eslog.{EsLog, HotCache}
+
+/** HotCache (SURVEY §2.4, reference replication/src/stream/cache.rs):
+  * tail-file caching must be bit-identical to cold reads, admission must be
+  * restricted to the tail window, eviction must respect the global budget,
+  * and the cache must be inert when disabled (the default). */
+class HotCacheSpec extends SparkTestBase with BeforeAndAfterEach {
+
+  override def beforeEach(): Unit = {
+    HotCache.clear()
+    spark.conf.unset(HotCache.GLOBAL_BYTES)
+    spark.conf.unset(HotCache.STREAM_BYTES)
+  }
+  override def afterEach(): Unit = beforeEach()
+
+  private def mkStream(n: Int, appends: Int = 2, id: Long = 77L): String = {
+    val dir = tmpDir("hotcache-")
+    EsLog.create(dir, streamId = id)
+    EsLog.open(dir, 1L)
+    val per = n / appends
+    (0 until appends).foreach { i =>
+      val input = spark.range(i.toLong * per, (i + 1).toLong * per).select(
+        col("id").as("event_id"),
+        concat(lit("payload-"), col("id")).cast("binary").as("payload"),
+        map(lit("k"), col("id").cast("string")).as("properties"),
+        col("id").as("base_timestamp"))
+      EsLog.append(spark, dir, input, 1L, sortKey = Some("event_id"),
+        numPartitions = 2)
+    }
+    dir
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, String)] =
+    df.select(col("base_offset"), col("payload").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+  private def usesInMemory(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("InMemoryTableScan") ||
+      df.queryExecution.optimizedPlan.toString.contains("InMemoryRelation")
+
+  test("disabled by default: no InMemoryRelation, no residency") {
+    val dir = mkStream(100)
+    val df = EsLog.fetch(spark, dir, 50, 100)
+    assert(!usesInMemory(df))
+    assert(df.count() == 50)
+    assert(HotCache.resident.isEmpty)
+  }
+
+  test("hot fetch is bit-identical to cold and scans executor memory") {
+    val dir = mkStream(100)
+    val cold = rows(EsLog.fetch(spark, dir, 30, 90))
+    spark.conf.set(HotCache.GLOBAL_BYTES, (64L * 1024 * 1024).toString)
+    val hot1 = EsLog.fetch(spark, dir, 30, 90)
+    assert(usesInMemory(hot1))
+    assert(rows(hot1) == cold)
+    assert(HotCache.resident.nonEmpty)
+    val before = HotCache.resident.keySet
+    val hot2 = EsLog.fetch(spark, dir, 30, 90)
+    assert(usesInMemory(hot2))
+    assert(rows(hot2) == cold)
+    assert(HotCache.resident.keySet == before, "re-fetch must not re-admit")
+  }
+
+  test("admission is tail-window only: scanning history does not pollute") {
+    val dir = mkStream(1000, appends = 4)
+    val bytes = graft.meta.MetaLog.load(dir).allFiles.sortBy(_.startOffset)
+    // window fits only the last append's files
+    val windowBytes = bytes.takeRight(2).map(_.bytes).sum
+    spark.conf.set(HotCache.GLOBAL_BYTES, (64L * 1024 * 1024).toString)
+    spark.conf.set(HotCache.STREAM_BYTES, windowBytes.toString)
+    // full historical scan: only tail-window files may be admitted
+    assert(EsLog.scan(spark, dir).count() == 1000)
+    val admitted = HotCache.resident.keySet
+    val tailPaths = bytes.takeRight(2).map(f => graft.meta.MetaLog.join(dir, f.path)).toSet
+    assert(admitted == tailPaths,
+      s"admitted $admitted must be exactly the tail window $tailPaths")
+    // a pure-history fetch stays cold
+    val hist = EsLog.fetch(spark, dir, 0, 250)
+    assert(!usesInMemory(hist))
+  }
+
+  test("incremental growth: new append adds files without dropping old ones") {
+    val dir = mkStream(100)
+    spark.conf.set(HotCache.GLOBAL_BYTES, (64L * 1024 * 1024).toString)
+    EsLog.fetch(spark, dir, 0, 100).count()
+    val firstGen = HotCache.resident.keySet
+    assert(firstGen.nonEmpty)
+    val more = spark.range(100, 200).select(
+      col("id").as("event_id"),
+      concat(lit("payload-"), col("id")).cast("binary").as("payload"),
+      map(lit("k"), col("id").cast("string")).as("properties"),
+      col("id").as("base_timestamp"))
+    EsLog.append(spark, dir, more, 1L, sortKey = Some("event_id"), numPartitions = 2)
+    val all = rows(EsLog.fetch(spark, dir, 0, 200))
+    assert(all.size == 200 && all.head._1 == 0L && all.last._1 == 199L)
+    assert(firstGen.subsetOf(HotCache.resident.keySet),
+      "already-cached files must survive an append (incremental fill)")
+  }
+
+  test("LRU eviction holds the global byte budget") {
+    val d1 = mkStream(500, appends = 1, id = 1L)
+    val d2 = mkStream(500, appends = 1, id = 2L)
+    val perStream = graft.meta.MetaLog.load(d1).allFiles.map(_.bytes).sum
+    // budget fits roughly one stream's files
+    spark.conf.set(HotCache.GLOBAL_BYTES, (perStream + 10).toString)
+    EsLog.fetch(spark, d1, 0, 500).count()
+    val r1 = HotCache.resident.keySet
+    assert(r1.nonEmpty && r1.forall(_.startsWith(d1)))
+    EsLog.fetch(spark, d2, 0, 500).count()
+    val r2 = HotCache.resident
+    assert(r2.values.sum <= perStream + 10, s"over budget: $r2")
+    assert(r2.keySet.forall(_.startsWith(d2)), "LRU must have evicted stream 1")
+  }
+
+  test("compaction swap and delete invalidate cleanly") {
+    val dir = mkStream(200, appends = 2)
+    spark.conf.set(HotCache.GLOBAL_BYTES, (64L * 1024 * 1024).toString)
+    val cold = rows(EsLog.fetch(spark, dir, 0, 200))
+    assert(HotCache.resident.nonEmpty)
+    // seal + compact rewrites files; swept entries must not break reads
+    EsLog.open(dir, 2L)
+    EsLog.compact(spark, dir, targetBytes = 1L * 1024 * 1024)
+    val after = rows(EsLog.fetch(spark, dir, 0, 200))
+    assert(after == cold)
+    val live = graft.meta.MetaLog.load(dir).allFiles
+      .map(f => graft.meta.MetaLog.join(dir, f.path)).toSet
+    assert(HotCache.resident.keySet.subsetOf(live), "stale entries must be swept")
+    EsLog.delete(dir)
+    assert(HotCache.resident.keySet.forall(!_.startsWith(dir)))
+  }
+}
