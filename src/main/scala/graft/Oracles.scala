@@ -356,6 +356,42 @@ object Oracles {
     s"""SELECT doc_id FROM documents
        |WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 3""".stripMargin
 
+  private val sampleStratified = {
+    val h = H.hash60Sql("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE CASE WHEN lang = 'en' THEN $h % 10 < 1
+       |           WHEN lang = 'de' THEN $h % 2 < 1
+       |           ELSE TRUE END""".stripMargin
+  }
+
+  private val shuffleShards = {
+    val h = H.hash60Sql(7, "CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, $h AS shuffle_key, $h % 8 AS shard,
+       |  CAST(row_number() OVER (PARTITION BY $h % 8 ORDER BY $h, doc_id) AS BIGINT)
+       |    AS shard_pos
+       |FROM documents""".stripMargin
+  }
+
+  /** TF-IDF ranks via the 6-decimal-scaled ln — integer score, so the rank
+    * (and the whole output) is float-free and engine-exact. */
+  private val textTfidf = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($norm, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok WHERE term <> '' GROUP BY 1, 2),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |s AS (SELECT doc_id, tf.term AS term, tf, df,
+       |        tf * CAST(round(ln((n_docs + 1.0) / (df + 1.0)) * 1000000) AS BIGINT) AS score
+       |      FROM tf JOIN dfx USING (term) CROSS JOIN n),
+       |r AS (SELECT doc_id, term, tf, df,
+       |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT)
+       |          AS term_rank
+       |      FROM s)
+       |SELECT doc_id, term, tf, df, term_rank FROM r WHERE term_rank <= 5""".stripMargin
+  }
+
   private val textPack =
     """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |  CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER
@@ -559,6 +595,9 @@ object Oracles {
     "text_repetition" -> textRepetition,
     "decontaminate" -> decontaminate,
     "sample_hash" -> sampleHash,
+    "sample_stratified" -> sampleStratified,
+    "shuffle_shards" -> shuffleShards,
+    "text_tfidf" -> textTfidf,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
     "sim_lsh" -> simLsh,

@@ -330,6 +330,25 @@ object SparkEntry {
     graft.operators.Sampling.sampleByHash(Fixtures.documents(s, sfDir), "doc_id", num = 3, den = 10)
       .select("doc_id")
 
+  /** Corpus rebalancing: downsample dominant English 10×, German 2×, keep
+    * low-resource strata whole — deterministic per-id fate. */
+  private def qSampleStratified(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.sampleStratified(Fixtures.documents(s, sfDir), "doc_id", "lang",
+      Seq("en" -> ((1, 10)), "de" -> ((1, 2))))
+      .select("doc_id", "lang")
+
+  /** Deterministic seeded corpus shuffle: (shard, shard_pos) read order is a
+    * reproducible permutation, parallel across shards. */
+  private def qShuffleShards(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.shuffleDeterministic(Fixtures.documents(s, sfDir), "doc_id",
+      seed = 7, numShards = 8)
+      .select("doc_id", "shuffle_key", "shard", "shard_pos")
+
+  /** TF-IDF top-5 terms per document (integer-rank output — see operator
+    * scaladoc for the float-free portability design). */
+  private def qTextTfidf(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.tfidfTopTerms(Fixtures.documents(s, sfDir), "doc_id", "text", k = 5)
+
   /** Greedy 512-token sequence packing in doc order (global here; shardCol
     * is the 100 TB path). */
   private def qTextPack(s: SparkSession, sfDir: String): DataFrame =
@@ -508,6 +527,9 @@ object SparkEntry {
     "text_repetition" -> (qTextRepetition _),
     "decontaminate" -> (qDecontaminate _),
     "sample_hash" -> (qSampleHash _),
+    "sample_stratified" -> (qSampleStratified _),
+    "shuffle_shards" -> (qShuffleShards _),
+    "text_tfidf" -> (qTextTfidf _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
     "sim_lsh" -> (qSimLsh _),

@@ -23,6 +23,44 @@ object Sampling {
     df.where(Portable.hash60(col(idCol).cast("string")) % den < num)
   }
 
+  /** Stratified deterministic sampling: per-stratum num/den keep fractions
+    * (first matching stratum wins; `default` covers the rest) — the standard
+    * corpus-rebalancing step (e.g. downsample the dominant language, keep
+    * low-resource strata whole). Selection stays per-id ([[sampleByHash]]
+    * semantics), so a document keeps one fate across runs and engines; the
+    * whole operator is a single codegen'd filter, no shuffle, no join. */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Seq[(String, (Int, Int))],
+                       default: (Int, Int) = (1, 1)): DataFrame = {
+    (fractions.map(_._2) :+ default).foreach { case (num, den) =>
+      require(num >= 0 && den > 0 && num <= den, s"bad fraction $num/$den") }
+    val h = Portable.hash60(col(idCol).cast("string"))
+    val keep = fractions.foldRight((h % default._2 < default._1): Column) {
+      case ((stratum, (num, den)), rest) =>
+        when(col(strataCol) === stratum, h % den < num).otherwise(rest)
+    }
+    df.where(keep)
+  }
+
+  /** Deterministic corpus shuffle for training-data export: every row gets a
+    * seeded pseudo-random `shuffle_key`, a `shard` (key mod `numShards`) and
+    * its rank within the shard (`shard_pos`) — reading shards in order of
+    * (shard, shard_pos) IS the shuffled corpus. Seeded hashing makes epochs
+    * reproducible (same seed → same order) and independent (different seed →
+    * fresh permutation), regardless of cluster size or partitioning.
+    *
+    * Scale: the window partitions by shard — numShards sets the parallelism
+    * (use thousands at 100 TB); no global sort, no single-partition window. */
+  def shuffleDeterministic(df: DataFrame, idCol: String, seed: Int,
+                           numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", Portable.hash60(seed, col(idCol).cast("string")))
+      .withColumn("shard", col("shuffle_key") % numShards)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   /** Greedy contiguous sequence packing: documents, in `idCol` order, are
     * assigned to consecutive packs of ~`tokensPerPack` whitespace tokens; a
     * document never splits, so a pack may overflow by at most one document

@@ -132,6 +132,44 @@ object TextOps {
     * (doc, gram) with map-side combine, one per-doc rollup — shuffles carry
     * per-doc-distinct grams, never raw occurrences; no window over the whole
     * corpus, no driver-side work. */
+  /** TF-IDF top-`k` terms per document — keyword extraction for corpus
+    * exploration and topic-balanced sampling. Terms come from the same
+    * normalization as [[fingerprint]] (lower, strip non-alnum, collapse
+    * spaces); idf = ln((N+1)/(df+1)) with N = distinct documents.
+    *
+    * Engine portability: floats never reach the output. Ranking uses the idf
+    * scaled to a 6-decimal integer (`round(ln(..)*1e6)`), so the
+    * (score desc, term asc) order — and therefore the emitted integer rank —
+    * is reproducible bit-for-bit by an independent SQL engine; emitted
+    * columns are the id, term, integer tf/df and the rank.
+    *
+    * Plan shape at corpus scale: explode → one (doc, term) hash aggregate
+    * with map-side combine; df is an aggregate OF the tf aggregate (shuffles
+    * carry doc-distinct terms, never raw occurrences); N rides a broadcast
+    * scalar; the final window partitions by document. No corpus-wide window,
+    * no driver-side data. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val norm = trim(regexp_replace(regexp_replace(lower(col(textCol)),
+      "[^a-z0-9 ]", ""), " +", " "))
+    val toks = OpUtil.rebalance(docs)
+      .select(col(idCol), explode(Portable.words(norm)).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count_distinct(col(idCol)).as("n_docs"))
+    val idf6 = round(log((col("n_docs") + lit(1)).cast("double") /
+      (col("df") + lit(1)).cast("double")) * lit(1000000d)).cast("long")
+    val scored = tf.join(dfT, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * idf6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("term_rank", row_number().over(w).cast("long"))
+      .where(col("term_rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("term_rank"))
+  }
+
   def repetition(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     val grams = OpUtil.rebalance(docs)
       .select(col(idCol).as("doc"), explode(Portable.wordShingles(col(textCol), n)).as("g"))

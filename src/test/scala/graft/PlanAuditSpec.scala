@@ -151,6 +151,74 @@ class PlanAuditSpec extends SparkTestBase {
     assert(s1.sameElements(s2) && s1.nonEmpty && s1.length < 100)
   }
 
+  test("stratified sampling: per-stratum fates, single codegen'd filter") {
+    import graft.operators.Sampling
+    val docs = spark.range(1000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de")
+        .otherwise("sw").as("lang"))
+    val kept = Sampling.sampleStratified(docs, "doc_id", "lang",
+      Seq("en" -> ((0, 10)), "de" -> ((1, 2))))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("en"), s"en must be dropped entirely: $byLang")
+    assert(byLang("sw") == 333L, s"default stratum must be kept whole: $byLang")
+    val de = byLang("de").toDouble / 333
+    assert(de > 0.35 && de < 0.65, s"de must be ~halved: $byLang")
+    // per-id fate is independent of strata config: same id, same hash draw
+    val again = Sampling.sampleStratified(docs, "doc_id", "lang",
+      Seq("de" -> ((1, 2))))
+    assert(again.where(col("lang") === "de").select("doc_id").collect().toSet ==
+      kept.where(col("lang") === "de").select("doc_id").collect().toSet)
+    // one filter, no shuffle, no join
+    val p = plan(kept)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
+  test("deterministic shuffle: reproducible per seed, windows per shard") {
+    import graft.operators.Sampling
+    val docs = spark.range(500).select(col("id").as("doc_id"))
+    def run(seed: Int) = Sampling.shuffleDeterministic(docs, "doc_id", seed, numShards = 8)
+    val a = run(7).select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = run(7).select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b), "same seed must reproduce the permutation")
+    val c = run(8).select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(!a.sameElements(c), "a fresh seed must be a fresh permutation")
+    // every shard's positions are exactly 1..count (a true per-shard ranking)
+    run(7).groupBy("shard").agg(count(lit(1)).as("n"), max("shard_pos").as("mx"),
+        min("shard_pos").as("mn"), countDistinct("shard_pos").as("d"))
+      .collect().foreach { r =>
+        val (n, mx, mn, d) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(mx == n && mn == 1L && d == n, r.toString)
+      }
+    // window partitions by shard, never a single global sort
+    val p = plan(run(7))
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
+  test("tfidf: rare terms outrank common ones; broadcast scalar, per-doc window") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // "common" appears in every doc (idf ~ 0); each doc also has a unique term
+    val docs = Seq(
+      (1L, "common common unique1"),
+      (2L, "common unique2 unique2"),
+      (3L, "common unique3")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top == Map(1L -> "unique1", 2L -> "unique2", 3L -> "unique3"), top)
+    val all = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 5)
+    assert(all.where(col("term_rank") > 5).count() == 0)
+    val p = plan(all)
+    // the only nested-loop is the broadcast single-row N scalar; the corpus
+    // joins are hash equi-joins on term
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
   test("near-dup clustering: min-label propagation converges across hops") {
     import spark.implicits._
     // two components: a 4-node PATH 1-2-3-4 (needs multi-hop propagation)
