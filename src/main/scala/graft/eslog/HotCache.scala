@@ -35,10 +35,15 @@ import graft.model.RecordBatchRow
   * path present in the state is current by construction), and entries for
   * files that left the state are swept opportunistically.
   *
-  * Disabled by default (`GLOBAL_BYTES` = 0): the SURVEY §2.4 position that the
-  * OS page cache already serves local-disk re-reads stands; this cache earns
-  * its memory when the stream dir is an object store or when many consumers
-  * tail the same stream.
+  * Disabled by default (`GLOBAL_BYTES` = 0), and deliberately so: measured on
+  * local NVMe at sf0.1 (131 MiB batch files, page cache warm), the hot scan
+  * LOSES to the cold one — the vectorized read of well-compressed Parquet is
+  * cheaper than building and scanning the in-memory columnar cache for fat
+  * binary payloads. That is the SURVEY §2.4 page-cache argument, now with a
+  * number behind it. The cache pays for itself when the per-read fixed cost
+  * it removes is large: object-store stream dirs (a GET per file per read) or
+  * many consumers tailing the same stream concurrently. Enable it there;
+  * leave it off for local-disk deployments.
   */
 object HotCache {
   /** Global cache budget in bytes (on-disk Parquet bytes as the accounting
