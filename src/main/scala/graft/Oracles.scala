@@ -372,6 +372,28 @@ object Oracles {
        |FROM documents""".stripMargin
   }
 
+  /** Composite quality gate: same rule order as TextOps.qualityFilter, same
+    * IEEE double ratios, so keep/first-fail-reason match bit-for-bit. */
+  private val textFilter = {
+    val stops = stopList.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+    val nTok = "len(string_split(text, ' '))"
+    val avgLen = s"CAST(list_aggregate(list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE) / $nTok"
+    val stopR = s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) / $nTok"
+    val digitR = s"CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)"
+    val lexDiv = s"CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok"
+    s"""SELECT doc_id, r AS drop_reason, r IS NULL AS keep FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN $nTok < 30 THEN 'too_short'
+       |         WHEN $nTok > 90 THEN 'too_long'
+       |         WHEN $avgLen < 4.0 THEN 'short_tokens'
+       |         WHEN $avgLen > 5.0 THEN 'long_tokens'
+       |         WHEN $digitR > 0.2 THEN 'digit_heavy'
+       |         WHEN $stopR < 0.01 THEN 'no_stopwords'
+       |         WHEN $lexDiv < 0.35 THEN 'repetitive'
+       |         ELSE NULL END AS r
+       |  FROM documents)""".stripMargin
+  }
+
   /** TF-IDF ranks via the 6-decimal-scaled ln — integer score, so the rank
     * (and the whole output) is float-free and engine-exact. */
   private val textTfidf = {
@@ -598,6 +620,7 @@ object Oracles {
     "sample_stratified" -> sampleStratified,
     "shuffle_shards" -> shuffleShards,
     "text_tfidf" -> textTfidf,
+    "text_filter" -> textFilter,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
     "sim_lsh" -> simLsh,

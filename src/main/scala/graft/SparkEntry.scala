@@ -349,6 +349,13 @@ object SparkEntry {
   private def qTextTfidf(s: SparkSession, sfDir: String): DataFrame =
     TextOps.tfidfTopTerms(Fixtures.documents(s, sfDir), "doc_id", "text", k = 5)
 
+  /** Composite C4/Gopher quality gate with thresholds that exercise every
+    * rule on the synthetic corpus; emits keep + first-fail audit reason. */
+  private def qTextFilter(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.qualityFilter(Fixtures.documents(s, sfDir), "doc_id", "text",
+      minTokens = 30, maxTokens = 90, minAvgTokenLen = 4.0, maxAvgTokenLen = 5.0,
+      maxDigitRatio = 0.2, minStopwordRatio = 0.01, minLexicalDiversity = 0.35)
+
   /** Greedy 512-token sequence packing in doc order (global here; shardCol
     * is the 100 TB path). */
   private def qTextPack(s: SparkSession, sfDir: String): DataFrame =
@@ -530,6 +537,7 @@ object SparkEntry {
     "sample_stratified" -> (qSampleStratified _),
     "shuffle_shards" -> (qShuffleShards _),
     "text_tfidf" -> (qTextTfidf _),
+    "text_filter" -> (qTextFilter _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
     "sim_lsh" -> (qSimLsh _),

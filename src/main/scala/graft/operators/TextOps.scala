@@ -132,6 +132,44 @@ object TextOps {
     * (doc, gram) with map-side combine, one per-doc rollup — shuffles carry
     * per-doc-distinct grams, never raw occurrences; no window over the whole
     * corpus, no driver-side work. */
+  /** Composite C4/Gopher-style quality gate — the cheap document filters a
+    * curation pipeline runs before any expensive stage, folded into ONE
+    * codegen'd pass over the text column (no shuffle, no join). Each document
+    * either passes (`keep = true`, `drop_reason` NULL) or carries the FIRST
+    * failed rule's name — the audit trail that lets drop rates be monitored
+    * per source/language downstream.
+    *
+    * Rule shapes follow the published heuristics (Gopher quality table / C4
+    * §2.2): token-count bounds, mean-token-length bounds, digit-character
+    * ratio cap, stopword-ratio floor, lexical-diversity (distinct/total
+    * tokens) floor. Thresholds are parameters. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 50, maxTokens: Int = 100000,
+                    minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+                    maxDigitRatio: Double = 0.2,
+                    minStopwordRatio: Double = 0.0,
+                    minLexicalDiversity: Double = 0.0): DataFrame = {
+    val toks = Portable.words(col(textCol))
+    val nTok = size(toks).cast("long")
+    val avgLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x).cast("double") / nTok
+    val stop = langMarkers.flatMap(_._2)
+    val stopRatio = size(filter(toks, t => t.isin(stop.map(x => x: Any): _*)))
+      .cast("double") / nTok
+    val digitRatio = size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0)))
+      .cast("double") / length(col(textCol))
+    val lexDiv = size(array_distinct(toks)).cast("double") / nTok
+    val reason = when(nTok < minTokens, "too_short")
+      .when(nTok > maxTokens, "too_long")
+      .when(avgLen < minAvgTokenLen, "short_tokens")
+      .when(avgLen > maxAvgTokenLen, "long_tokens")
+      .when(digitRatio > maxDigitRatio, "digit_heavy")
+      .when(stopRatio < minStopwordRatio, "no_stopwords")
+      .when(lexDiv < minLexicalDiversity, "repetitive")
+      .otherwise(lit(null).cast("string"))
+    docs.select(col(idCol), reason.as("drop_reason"), reason.isNull.as("keep"))
+  }
+
   /** TF-IDF top-`k` terms per document — keyword extraction for corpus
     * exploration and topic-balanced sampling. Terms come from the same
     * normalization as [[fingerprint]] (lower, strip non-alnum, collapse

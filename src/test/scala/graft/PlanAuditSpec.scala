@@ -219,6 +219,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("quality filter: every rule fires in order, one shuffle-free pass") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "hi there"),                                // 2 tokens -> too_short
+      (2L, "a b c d e f g h i j k the more words"),    // 14 -> too_long
+      (3L, "ab cd ef"),                                // avg 2 -> short_tokens
+      (4L, "the 12345 99999"),                         // digits -> digit_heavy
+      (5L, "zebra lion tiger"),                        // no stopwords
+      (6L, "the the the the"),                         // lexDiv .25 -> repetitive
+      (7L, "the quick brown fox")).toDF("doc_id", "text") // keeps
+    val out = TextOps.qualityFilter(docs, "doc_id", "text",
+      minTokens = 3, maxTokens = 10, minAvgTokenLen = 3.0, maxAvgTokenLen = 10.0,
+      maxDigitRatio = 0.2, minStopwordRatio = 0.1, minLexicalDiversity = 0.5)
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(1)), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      1L -> ((Some("too_short"), false)),
+      2L -> ((Some("too_long"), false)),
+      3L -> ((Some("short_tokens"), false)),
+      4L -> ((Some("digit_heavy"), false)),
+      5L -> ((Some("no_stopwords"), false)),
+      6L -> ((Some("repetitive"), false)),
+      7L -> ((None, true))), got.toString)
+    val p = plan(out)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
   test("near-dup clustering: min-label propagation converges across hops") {
     import spark.implicits._
     // two components: a 4-node PATH 1-2-3-4 (needs multi-hop propagation)
