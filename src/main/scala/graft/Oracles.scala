@@ -372,6 +372,19 @@ object Oracles {
        |FROM documents""".stripMargin
   }
 
+  private val textDomains =
+    """WITH aug AS (SELECT doc_id,
+      |  concat(text, ' see http://site', CAST(doc_id % 7 AS VARCHAR),
+      |         '.example/page/', CAST(doc_id AS VARCHAR),
+      |         ' and https://mirror', CAST(doc_id % 3 AS VARCHAR),
+      |         '.example/x') AS text
+      |  FROM documents),
+      |d AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain FROM aug)
+      |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_urls
+      |FROM d GROUP BY 1""".stripMargin
+
   /** Composite quality gate: same rule order as TextOps.qualityFilter, same
     * IEEE double ratios, so keep/first-fail-reason match bit-for-bit. */
   private val textFilter = {
@@ -621,6 +634,7 @@ object Oracles {
     "shuffle_shards" -> shuffleShards,
     "text_tfidf" -> textTfidf,
     "text_filter" -> textFilter,
+    "text_domains" -> textDomains,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
     "sim_lsh" -> simLsh,

@@ -349,6 +349,20 @@ object SparkEntry {
   private def qTextTfidf(s: SparkSession, sfDir: String): DataFrame =
     TextOps.tfidfTopTerms(Fixtures.documents(s, sfDir), "doc_id", "text", k = 5)
 
+  /** Per-domain URL rollup. The synthetic corpus carries no URLs, so both
+    * sides append two deterministic URLs per document (doc_id-derived hosts)
+    * before extraction — the operator mechanics (multi-URL extract, explode,
+    * distinct-doc rollup) are what's under test. */
+  private def qTextDomains(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" see http://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example/page/"), col("doc_id").cast("string"),
+        lit(" and https://mirror"), (col("doc_id") % 3).cast("string"),
+        lit(".example/x")).as("text"))
+    TextOps.domainStats(docs, "doc_id", "text")
+  }
+
   /** Composite C4/Gopher quality gate with thresholds that exercise every
     * rule on the synthetic corpus; emits keep + first-fail audit reason. */
   private def qTextFilter(s: SparkSession, sfDir: String): DataFrame =
@@ -538,6 +552,7 @@ object SparkEntry {
     "shuffle_shards" -> (qShuffleShards _),
     "text_tfidf" -> (qTextTfidf _),
     "text_filter" -> (qTextFilter _),
+    "text_domains" -> (qTextDomains _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
     "sim_lsh" -> (qSimLsh _),

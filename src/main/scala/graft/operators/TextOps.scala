@@ -132,6 +132,20 @@ object TextOps {
     * (doc, gram) with map-side combine, one per-doc rollup — shuffles carry
     * per-doc-distinct grams, never raw occurrences; no window over the whole
     * corpus, no driver-side work. */
+  /** Web-curation domain signals: the host of every URL occurrence, exploded
+    * to (id, domain) rows. Feed [[domainStats]] (or a blocklist anti-join /
+    * per-domain cap) — the standard provenance step of web-corpus curation. */
+  def urlDomains(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    OpUtil.rebalance(docs).select(col(idCol),
+      explode(regexp_extract_all(col(textCol), lit("https?://([^/ ]+)"), lit(1)))
+        .as("domain"))
+
+  /** Per-domain rollup over [[urlDomains]]: distinct documents and total URL
+    * occurrences per host — one hash aggregate with map-side combine. */
+  def domainStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    urlDomains(docs, idCol, textCol).groupBy("domain")
+      .agg(count_distinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_urls"))
+
   /** Composite C4/Gopher-style quality gate — the cheap document filters a
     * curation pipeline runs before any expensive stage, folded into ONE
     * codegen'd pass over the text column (no shuffle, no join). Each document
