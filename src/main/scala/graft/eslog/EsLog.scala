@@ -239,7 +239,15 @@ object EsLog {
   def append(spark: SparkSession, streamDir: String, input: DataFrame, epoch: Long,
              sortKey: Option[String] = None, numPartitions: Int = 0,
              extraActions: Seq[Action] = Seq.empty): (Long, Long) = {
+    val dbgT = sys.env.contains("GRAFT_APPEND_TIMING")
+    var dbgT0 = System.nanoTime()
+    def dbgMark(name: String): Unit = if (dbgT) {
+      val now = System.nanoTime()
+      System.err.println(f"[append-timing] $name: ${(now - dbgT0) / 1e9}%.3f s")
+      dbgT0 = now
+    }
     val st0 = MetaLog.load(streamDir)
+    dbgMark("load")
     if (st0.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
     if (epoch < st0.epoch) throw new FencedException(s"append epoch $epoch < ${st0.epoch}")
 
@@ -275,14 +283,9 @@ object EsLog {
     // between the jobs is harmless; `validateFooters` backstops the one
     // remaining hazard (shuffle-output loss + nondeterministic recompute).
     // env-gated stage timing for perf work: GRAFT_APPEND_TIMING=1 prints
-    // per-stage seconds (plan/pass1/write/metas+footers/commit) to stderr
-    val dbgT = sys.env.contains("GRAFT_APPEND_TIMING")
-    var dbgT0 = System.nanoTime()
-    def dbgMark(name: String): Unit = if (dbgT) {
-      val now = System.nanoTime()
-      System.err.println(f"[append-timing] $name: ${(now - dbgT0) / 1e9}%.3f s")
-      dbgT0 = now
-    }
+    // per-stage seconds (load/normalize/plan/pass1/write/metas+footers/
+    // commit) to stderr
+    dbgMark("normalize")
     val internal = org.apache.spark.sql.graftshim.GraftShims.internalRdd(batches)
     dbgMark("plan")
     // Pass 1: per-partition delta sums -> contiguous per-partition base
