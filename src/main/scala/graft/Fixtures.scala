@@ -255,6 +255,45 @@ object Fixtures {
       name
     })
 
+  /** Stream-stream inner join: the events stream read twice, split into
+    * even/odd halves joined on pair id (= id div 2) with an event-time range
+    * condition (|gap| <= 1 hour) and watermarks on BOTH sides — the full
+    * Structured Streaming join surface. The synthetic events are completely
+    * unordered in event time within their month, so the watermark delay (40
+    * days) must cover the whole span for a deterministic replay — that IS the
+    * knob's meaning (out-of-orderness tolerance); a production source with
+    * bounded disorder uses a tight delay and gets state eviction. */
+  def streamJoinTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-join", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val name = "graft_stream_join_" + math.abs(sfDir.hashCode).toString
+      def side = s.readStream.format("eslog").load(src)
+        .withColumn("ts", timestamp_millis(col("base_timestamp")))
+        .withColumn("event_type", col("properties")("event_type"))
+      val evens = side.where(col("base_offset") % 2 === 0)
+        .select(expr("base_offset div 2").as("pair_id"),
+          col("base_offset").as("even_id"), col("event_type").as("even_type"),
+          col("ts").as("even_ts"))
+        .withWatermark("even_ts", "40 days")
+      val odds = side.where(col("base_offset") % 2 === 1)
+        .select(expr("base_offset div 2").as("odd_pair_id"),
+          col("base_offset").as("odd_id"), col("event_type").as("odd_type"),
+          col("ts").as("odd_ts"))
+        .withWatermark("odd_ts", "40 days")
+      val joined = evens.join(odds,
+        col("pair_id") === col("odd_pair_id") &&
+          col("odd_ts") >= col("even_ts") - expr("INTERVAL 1 HOUR") &&
+          col("odd_ts") <= col("even_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("pair_id"), col("even_id"), col("odd_id"),
+          col("even_type"), col("odd_type"))
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** Streaming stateful dedup (dropDuplicates on a derived key) into an
     * append-mode memory table; returns the result table name. */
   def streamDedupTable(s: SparkSession, sfDir: String): String =

@@ -199,6 +199,14 @@ object Oracles {
     s"""WITH $sessionCte
        |SELECT user_id, sid, start_ms, end_ms, n FROM sess""".stripMargin
 
+  private val esStreamJoin =
+    """SELECT a.event_id // 2 AS pair_id, a.event_id AS even_id,
+      |  b.event_id AS odd_id, a.event_type AS even_type, b.event_type AS odd_type
+      |FROM events a JOIN events b
+      |  ON a.event_id % 2 = 0 AND b.event_id % 2 = 1
+      | AND a.event_id // 2 = b.event_id // 2
+      | AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 3600000""".stripMargin
+
   private val esStreamSessions =
     s"""WITH $sessionCte
        |SELECT user_id, sid, start_ms, end_ms, n FROM sess
@@ -615,6 +623,7 @@ object Oracles {
     "es_history" -> esWatchMeta, // batch twin: same fixture, same feed
     "es_sessions" -> esSessions,
     "es_stream_sessions" -> esStreamSessions,
+    "es_stream_join" -> esStreamJoin,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,

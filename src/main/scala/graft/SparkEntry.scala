@@ -267,6 +267,13 @@ object SparkEntry {
   private def qEsStreamSessions(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamSessionsTable(s, sfDir))
 
+  /** Stream-stream inner join (watermarked both sides, event-time range
+    * condition) — must equal the batch join oracle exactly. */
+  private def qEsStreamJoin(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamJoinTable(s, sfDir))
+      .select(col("pair_id"), col("even_id"), col("odd_id"),
+        col("even_type"), col("odd_type"))
+
   // ------------------------------------------------------- LLM pipelines --
 
   private def qDedupExact(s: SparkSession, sfDir: String): DataFrame =
@@ -533,6 +540,7 @@ object SparkEntry {
     "es_history" -> (qEsHistory _),
     "es_sessions" -> (qEsSessions _),
     "es_stream_sessions" -> (qEsStreamSessions _),
+    "es_stream_join" -> (qEsStreamJoin _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_jaccard" -> (qDedupJaccard _),
     "dedup_minhash" -> (qDedupMinHash _),
