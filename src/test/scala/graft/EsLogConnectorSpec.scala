@@ -156,6 +156,60 @@ class EsLogConnectorSpec extends SparkTestBase {
     assert(q.recentProgress.length >= 4, s"expected >=4 batches, got ${q.recentProgress.length}")
   }
 
+  test("stream-stream join equals the batch join under aggressive chunking") {
+    // scrambled event times (ts NOT correlated with offsets) + tiny admission
+    // limits force matches to straddle many micro-batches; with watermark
+    // delay covering the disorder, the streaming inner join must still emit
+    // exactly the batch-join rows.
+    val dir = tmpDir("join-")
+    EsLog.create(dir, streamId = 6L)
+    EsLog.open(dir, 1L)
+    val n = 400
+    val in = spark.range(n).select(
+      col("id"),
+      col("id").cast("string").cast("binary").as("payload"),
+      // scrambled minute timestamps within a day (97 coprime with 1440 →
+      // full-cycle permutation); consecutive ids sit ~97 min apart, inside
+      // the 2-hour window except where the day wraps. Shifted +1 day: a ts
+      // of exactly epoch 0 collides with Spark's initial watermark value
+      // and is dropped as late — a real API edge, avoided in real data.
+      ((col("id") * 97) % 1440 * 60000L + 86400000L).as("base_timestamp"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+    def side = spark.readStream.format("eslog")
+      .option("maxOffsetsPerTrigger", "64")
+      .load(dir)
+      .withColumn("ts", timestamp_millis(col("base_timestamp")))
+    val evens = side.where(col("base_offset") % 2 === 0)
+      .select(expr("base_offset div 2").as("p"), col("base_offset").as("even_id"),
+        col("ts").as("even_ts"))
+      .withWatermark("even_ts", "2 days")
+    val odds = side.where(col("base_offset") % 2 === 1)
+      .select(expr("base_offset div 2").as("p2"), col("base_offset").as("odd_id"),
+        col("ts").as("odd_ts"))
+      .withWatermark("odd_ts", "2 days")
+    val q = evens.join(odds,
+        col("p") === col("p2") &&
+          col("odd_ts") >= col("even_ts") - expr("INTERVAL 2 HOURS") &&
+          col("odd_ts") <= col("even_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("even_id"), col("odd_id"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin over the same committed data
+    val b = EsLog.scan(spark, dir)
+      .select(col("base_offset"), col("base_timestamp"))
+    val want = b.as("a").join(b.as("b"),
+        col("a.base_offset") % 2 === 0 && col("b.base_offset") % 2 === 1 &&
+          expr("a.base_offset div 2") === expr("b.base_offset div 2") &&
+          abs(col("a.base_timestamp") - col("b.base_timestamp")) <= 2L * 3600 * 1000)
+      .select(col("a.base_offset"), col("b.base_offset")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want,
+      s"streaming ${got.size} vs batch ${want.size} pairs")
+  }
+
   test("streaming source: maxBytesPerTrigger caps micro-batches by manifest file sizes") {
     val dir = mkStream(1000) // 4 files (numPartitions = 4)
     val fileBytes = graft.meta.MetaLog.load(dir).allFiles.map(_.bytes)
