@@ -380,6 +380,12 @@ object Oracles {
        |FROM documents""".stripMargin
   }
 
+  private val layoutZorder = {
+    val z = graft.operators.Layout.zValueSql(
+      Seq("user_id & 65535", "event_id & 65535"), 16)
+    s"SELECT event_id, CAST($z AS BIGINT) AS z_value FROM events"
+  }
+
   private val textDomains =
     """WITH aug AS (SELECT doc_id,
       |  concat(text, ' see http://site', CAST(doc_id % 7 AS VARCHAR),
@@ -644,6 +650,7 @@ object Oracles {
     "text_tfidf" -> textTfidf,
     "text_filter" -> textFilter,
     "text_domains" -> textDomains,
+    "layout_zorder" -> layoutZorder,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
     "sim_lsh" -> simLsh,

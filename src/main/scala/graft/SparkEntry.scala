@@ -370,6 +370,16 @@ object SparkEntry {
     TextOps.domainStats(docs, "doc_id", "text")
   }
 
+  /** Morton (Z-curve) values over (user_id, event_id) — the clustering key
+    * behind multi-dimensional file pruning ([[graft.operators.Layout]]);
+    * pure integer bit math, engine-exact. */
+  private def qLayoutZorder(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Layout
+    Fixtures.events(s, sfDir).select(col("event_id"),
+      Layout.zValue(Seq(col("user_id").bitwiseAND(65535),
+        col("event_id").bitwiseAND(65535)), 16).as("z_value"))
+  }
+
   /** Composite C4/Gopher quality gate with thresholds that exercise every
     * rule on the synthetic corpus; emits keep + first-fail audit reason. */
   private def qTextFilter(s: SparkSession, sfDir: String): DataFrame =
@@ -561,6 +571,7 @@ object SparkEntry {
     "text_tfidf" -> (qTextTfidf _),
     "text_filter" -> (qTextFilter _),
     "text_domains" -> (qTextDomains _),
+    "layout_zorder" -> (qLayoutZorder _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
     "sim_lsh" -> (qSimLsh _),
