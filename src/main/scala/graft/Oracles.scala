@@ -399,27 +399,46 @@ object Oracles {
       |  CAST(count(*) AS BIGINT) AS n_urls
       |FROM d GROUP BY 1""".stripMargin
 
-  /** Composite quality gate: same rule order as TextOps.qualityFilter, same
-    * IEEE double ratios, so keep/first-fail-reason match bit-for-bit. */
-  private val textFilter = {
+  /** The quality-gate first-fail CASE: same rule order as
+    * TextOps.qualityFilter, same IEEE double ratios, so keep/reason match
+    * bit-for-bit. Shared by text_filter and pipeline_export. */
+  private val textFilterCase = {
     val stops = stopList.flatMap(_._2).map(w => s"'$w'").mkString(", ")
     val nTok = "len(string_split(text, ' '))"
     val avgLen = s"CAST(list_aggregate(list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE) / $nTok"
     val stopR = s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) / $nTok"
     val digitR = s"CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)"
     val lexDiv = s"CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok"
-    s"""SELECT doc_id, r AS drop_reason, r IS NULL AS keep FROM (
-       |  SELECT doc_id,
-       |    CASE WHEN $nTok < 30 THEN 'too_short'
+    s"""CASE WHEN $nTok < 30 THEN 'too_short'
        |         WHEN $nTok > 90 THEN 'too_long'
        |         WHEN $avgLen < 4.0 THEN 'short_tokens'
        |         WHEN $avgLen > 5.0 THEN 'long_tokens'
        |         WHEN $digitR > 0.2 THEN 'digit_heavy'
        |         WHEN $stopR < 0.01 THEN 'no_stopwords'
        |         WHEN $lexDiv < 0.35 THEN 'repetitive'
-       |         ELSE NULL END AS r
-       |  FROM documents)""".stripMargin
+       |         ELSE NULL END""".stripMargin
   }
+
+  private val textFilter =
+    s"""SELECT doc_id, r AS drop_reason, r IS NULL AS keep FROM (
+       |  SELECT doc_id, $textFilterCase AS r
+       |  FROM documents)""".stripMargin
+
+  /** The composed curation pipeline: gate -> exact dedup (min id) ->
+    * deterministic 80% sample -> 64-token truncation. */
+  private val pipelineExport =
+    s"""WITH kept AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ($textFilterCase) IS NULL),
+       |ded AS (
+       |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+       |sam AS (
+       |  SELECT k.doc_id, k.text FROM ded JOIN kept k USING (doc_id)
+       |  WHERE ${H.hash60Sql("CAST(k.doc_id AS VARCHAR)")} % 10 < 8)
+       |SELECT doc_id,
+       |  array_to_string(string_split(text, ' ')[1:64], ' ') AS text_truncated,
+       |  CAST(least(len(string_split(text, ' ')), 64) AS BIGINT) AS n_tokens_kept
+       |FROM sam""".stripMargin
 
   /** TF-IDF ranks via the 6-decimal-scaled ln — integer score, so the rank
     * (and the whole output) is float-free and engine-exact. */
@@ -651,6 +670,7 @@ object Oracles {
     "text_filter" -> textFilter,
     "text_domains" -> textDomains,
     "layout_zorder" -> layoutZorder,
+    "pipeline_export" -> pipelineExport,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
     "sim_lsh" -> simLsh,

@@ -370,6 +370,22 @@ object SparkEntry {
     TextOps.domainStats(docs, "doc_id", "text")
   }
 
+  /** End-to-end curation pipeline, composed exactly as a library user would:
+    * quality gate -> exact dedup (min id survives) -> deterministic 80%
+    * sample -> 64-token truncation. One oracle row proves the stages compose
+    * without row-identity drift. */
+  private def qPipelineExport(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir).select("doc_id", "text")
+    val kept = TextOps.qualityFilter(docs, "doc_id", "text",
+      minTokens = 30, maxTokens = 90, minAvgTokenLen = 4.0, maxAvgTokenLen = 5.0,
+      maxDigitRatio = 0.2, minStopwordRatio = 0.01, minLexicalDiversity = 0.35)
+      .where(col("keep")).select("doc_id").join(docs, "doc_id")
+    val survivors = Dedup.exact(kept, "doc_id", "text").select("doc_id")
+      .join(kept, "doc_id")
+    val sampled = graft.operators.Sampling.sampleByHash(survivors, "doc_id", 8, 10)
+    TextOps.truncateTokens(sampled, "doc_id", "text", maxTokens = 64)
+  }
+
   /** Morton (Z-curve) values over (user_id, event_id) — the clustering key
     * behind multi-dimensional file pruning ([[graft.operators.Layout]]);
     * pure integer bit math, engine-exact. */
@@ -572,6 +588,7 @@ object SparkEntry {
     "text_filter" -> (qTextFilter _),
     "text_domains" -> (qTextDomains _),
     "layout_zorder" -> (qLayoutZorder _),
+    "pipeline_export" -> (qPipelineExport _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
     "sim_lsh" -> (qSimLsh _),
