@@ -120,7 +120,12 @@ object EsLog {
     val conf = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
     // fully-qualified so the executor-side FS resolution matches the driver's
     val base = dataFs(streamDir).makeQualified(hpath(streamDir)).toString
-    val slices = math.max(1, math.min(relPaths.size, spark.sparkContext.defaultParallelism))
+    // Footer opens are ~1 ms each: pack several per task so a routine commit
+    // (tens of files) pays one small job, not one task per file; a
+    // thousands-file commit still spreads across the cluster.
+    val perTask = 8
+    val slices = math.max(1, math.min(
+      (relPaths.size + perTask - 1) / perTask, spark.sparkContext.defaultParallelism * 4))
     spark.sparkContext.parallelize(relPaths, slices).map { rel =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(base), rel), conf())

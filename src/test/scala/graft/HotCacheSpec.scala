@@ -118,6 +118,58 @@ class HotCacheSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(r2.keySet.forall(_.startsWith(d2)), "LRU must have evicted stream 1")
   }
 
+  test("randomized append/trim/compact/fetch: hot reads always equal the model") {
+    spark.conf.set(HotCache.GLOBAL_BYTES, (32L * 1024 * 1024).toString)
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = tmpDir(s"hotprop$seed-")
+      EsLog.create(dir, streamId = 88L)
+      var epoch = 1L
+      EsLog.open(dir, epoch)
+      var nextOff = 0L
+      var minOff = 0L
+      val model = scala.collection.mutable.Map[Long, String]()
+      var fetches = 0
+      for (_ <- 0 until 24) {
+        rnd.nextInt(6) match {
+          case 0 | 1 => // append 20..200 single-delta batches
+            val k = 20 + rnd.nextInt(180)
+            val in = spark.range(nextOff, nextOff + k).select(
+              col("id"),
+              concat(lit("p"), col("id")).cast("binary").as("payload"),
+              col("id").as("base_timestamp"))
+            EsLog.append(spark, dir, in, epoch, sortKey = Some("id"),
+              numPartitions = 1 + rnd.nextInt(3))
+            (nextOff until nextOff + k).foreach(o => model(o) = s"p$o")
+            nextOff += k
+          case 2 if nextOff > minOff => // trim (vacuums covered files)
+            val to = minOff + rnd.nextInt((nextOff - minOff).toInt + 1)
+            EsLog.trim(dir, to)
+            minOff = math.max(minOff, to)
+            model.keys.filter(_ < minOff).toSeq.foreach(model.remove)
+          case 3 => // seal-on-open + compact sealed segments
+            epoch += 1
+            EsLog.open(dir, epoch)
+            EsLog.compact(spark, dir, targetBytes = 256L * 1024)
+          case _ => // fetch a random range through the cache, check vs model
+            val lo = rnd.nextLong(nextOff + 10)
+            val hi = lo + rnd.nextLong(nextOff - lo + 10) + 1
+            val got = EsLog.fetch(spark, dir, lo, hi)
+              .select(col("base_offset"), col("payload").cast("string"))
+              .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+            val want = model.view
+              .filterKeys(o => o >= math.max(lo, minOff) && o < math.min(hi, nextOff))
+              .toMap
+            assert(got == want,
+              s"seed=$seed fetch [$lo,$hi) min=$minOff next=$nextOff: " +
+                s"got ${got.size} want ${want.size}")
+            fetches += 1
+        }
+      }
+      assert(fetches >= 3, s"seed $seed exercised only $fetches fetches")
+    }
+  }
+
   test("compaction swap and delete invalidate cleanly") {
     val dir = mkStream(200, appends = 2)
     spark.conf.set(HotCache.GLOBAL_BYTES, (64L * 1024 * 1024).toString)
