@@ -135,6 +135,7 @@ object Bench {
     val heads = Seq("lineitem_agg", "join_agg", "topk_orders",
       "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
       "sim_exact", "sim_lsh", "text_stats", "text_langid", "text_repetition",
+      "text_filter", "pipeline_export",
       "decontaminate", "multimodal_decode", "es_window_hourly", "es_agg_by_type")
     val registry = SparkEntry.queries
     heads.foreach { name =>

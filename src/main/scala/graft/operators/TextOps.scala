@@ -208,7 +208,10 @@ object TextOps {
     val toks = OpUtil.rebalance(docs)
       .select(col(idCol), explode(Portable.words(norm)).as("term"))
       .where(col("term") =!= "")
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the df aggregate and the score join — materialize it once
+    // (cross-subtree exchange reuse doesn't cover the two consumers)
+    val tf = OpUtil.shared(
+      toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count_distinct(col(idCol)).as("n_docs"))
     val idf6 = round(log((col("n_docs") + lit(1)).cast("double") /
