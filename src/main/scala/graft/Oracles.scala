@@ -350,6 +350,29 @@ object Oracles {
        |  coalesce(CAST(a.total - a.uniq AS DOUBLE) / a.total, 0.0) AS dup_ngram_frac
        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** Bigram LM score: same occurrence/rollup lattice as TextOps.lmScore,
+    * ln scaled to a 6-decimal integer before the occurrence-weighted sum, so
+    * the emitted totals are integer-exact across engines. */
+  private val textLm =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(${H.wordShinglesSql(2)}) AS g FROM t),
+       |occ AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+       |big AS (SELECT g, CAST(sum(c) AS BIGINT) AS bc FROM occ GROUP BY 1),
+       |uni AS (SELECT split_part(g, ' ', 1) AS w, CAST(sum(bc) AS BIGINT) AS uc
+       |        FROM big GROUP BY 1),
+       |s AS (SELECT occ.doc_id,
+       |        CAST(sum(occ.c) AS BIGINT) AS n_bigrams,
+       |        CAST(-sum(occ.c * CAST(round(ln(CAST(big.bc AS DOUBLE) / uni.uc) * 1000000) AS BIGINT)) AS BIGINT)
+       |          AS nll_scaled
+       |      FROM occ
+       |      JOIN big USING (g)
+       |      JOIN uni ON split_part(occ.g, ' ', 1) = uni.w
+       |      GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(s.nll_scaled, 0) AS nll_scaled
+       |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+
   private val decontaminate = {
     val bench =
       s"(SELECT doc_id, text FROM documents WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 20 < 1)"
@@ -671,6 +694,7 @@ object Oracles {
     "text_domains" -> textDomains,
     "layout_zorder" -> layoutZorder,
     "pipeline_export" -> pipelineExport,
+    "text_lm" -> textLm,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
     "sim_lsh" -> simLsh,

@@ -370,6 +370,11 @@ object SparkEntry {
     TextOps.domainStats(docs, "doc_id", "text")
   }
 
+  /** Corpus-estimated bigram LM negative log-likelihood per document (the
+    * perplexity quality filter) — integer-scaled, engine-exact. */
+  private def qTextLm(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.lmScore(Fixtures.documents(s, sfDir), "doc_id", "text")
+
   /** End-to-end curation pipeline, composed exactly as a library user would:
     * quality gate -> exact dedup (min id survives) -> deterministic 80%
     * sample -> 64-token truncation. One oracle row proves the stages compose
@@ -589,6 +594,7 @@ object SparkEntry {
     "text_domains" -> (qTextDomains _),
     "layout_zorder" -> (qLayoutZorder _),
     "pipeline_export" -> (qPipelineExport _),
+    "text_lm" -> (qTextLm _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
     "sim_lsh" -> (qSimLsh _),

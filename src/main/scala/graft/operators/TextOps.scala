@@ -225,6 +225,44 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("term_rank"))
   }
 
+  /** Corpus-estimated bigram language-model score — the CCNet/KenLM-style
+    * perplexity filter: documents whose word transitions are improbable
+    * UNDER THE CORPUS'S OWN STATISTICS (garbled text, wrong-language
+    * fragments, boilerplate) score high and get dropped/bucketed. The model
+    * is the corpus itself: P(w2|w1) = count(w1 w2) / count(w1 ·), so the
+    * operator needs no external artifact.
+    *
+    * Output per document: `n_bigrams` and `nll_scaled` = −Σ occurrences ·
+    * round(ln P · 1e6) — the total negative log-likelihood as a scaled
+    * integer (the [[tfidfTopTerms]] float-free portability design; divide by
+    * 1e6·n_bigrams for cross-entropy in nats). Documents with fewer than two
+    * words score (0, 0).
+    *
+    * Plan shape: one explode → (doc, gram) hash aggregate, materialized once
+    * and reused by the corpus bigram rollup, whose unigram context totals
+    * are a further rollup OF that rollup — shuffles carry doc-distinct grams,
+    * then vocabulary-sized tables; joins are equi-joins on gram/context. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = OpUtil.rebalance(docs)
+      .select(col(idCol).as("doc"), explode(Portable.wordShingles(col(textCol), 2)).as("g"))
+    val occ = OpUtil.shared(grams.groupBy("doc", "g").agg(count(lit(1)).as("c")))
+    val big = occ.groupBy("g").agg(sum("c").as("bc"))
+    val uni = big.select(substring_index(col("g"), " ", 1).as("w"), col("bc"))
+      .groupBy("w").agg(sum("bc").as("uc"))
+    val scored = occ.join(big, "g")
+      .withColumn("w", substring_index(col("g"), " ", 1))
+      .join(uni, "w")
+      .withColumn("t", col("c") *
+        round(log(col("bc").cast("double") / col("uc").cast("double")) * lit(1000000d))
+          .cast("long"))
+      .groupBy("doc").agg(sum("c").as("n_bigrams"), (-sum(col("t"))).as("nll_scaled"))
+    docs.select(col(idCol))
+      .join(scored.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_scaled"), lit(0L)).as("nll_scaled"))
+  }
+
   def repetition(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     val grams = OpUtil.rebalance(docs)
       .select(col(idCol).as("doc"), explode(Portable.wordShingles(col(textCol), n)).as("g"))

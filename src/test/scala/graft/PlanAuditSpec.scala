@@ -219,6 +219,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("bigram LM score: hand-computed nll, zero for sub-bigram docs") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // corpus model: count(a b)=3, count(b a)=1, count(b c)=1;
+    // contexts: a·=3, b·=2 -> P(a b)=1 (ln 0), P(b a)=P(b c)=1/2
+    // round(ln(1/2)*1e6) = -693147
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 693147L)),  // bigrams (a b),(b a),(a b): one improbable hop
+      2L -> ((2L, 693147L)),  // (a b),(b c)
+      3L -> ((0L, 0L))), got.toString)
+    val p = plan(TextOps.lmScore(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("quality filter: every rule fires in order, one shuffle-free pass") {
     import spark.implicits._
     import graft.operators.TextOps
