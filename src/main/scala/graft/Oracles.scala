@@ -241,6 +241,31 @@ object Oracles {
        |FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id""".stripMargin
   }
 
+  /** Incremental dedup oracle: index slice (95%) vs probe slice (5%), same
+    * shingle/universal-hash/band generators as dedup_minhash, band buckets
+    * joined across the two slices. */
+  private val dedupIncremental = {
+    val r = 4
+    def bandRows(m: String) = (0 until 4).map { b =>
+      val sig = (0 until r).map(i => s"CAST(m${b * r + i} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM $m"
+    }.mkString("\nUNION ALL\n")
+    val h = H.hash60Sql("CAST(doc_id AS VARCHAR)")
+    val old = s"(SELECT doc_id, text FROM documents WHERE $h % 20 < 19)"
+    val nw = s"(SELECT doc_id, text FROM documents WHERE $h % 20 >= 19)"
+    s"""WITH ${shingleCte(old, "so", 3)},
+       |${shingleCte(nw, "sn", 3)},
+       |mo AS (SELECT doc_id, ${minhashCols(16)} FROM so GROUP BY doc_id),
+       |mn AS (SELECT doc_id, ${minhashCols(16)} FROM sn GROUP BY doc_id),
+       |bo AS (
+       |${bandRows("mo")}),
+       |bn AS (
+       |${bandRows("mn")})
+       |SELECT DISTINCT bo.doc_id AS existing, bn.doc_id AS incoming
+       |FROM bo JOIN bn ON bo.band = bn.band AND bo.sig = bn.sig
+       | AND bo.doc_id <> bn.doc_id""".stripMargin
+  }
+
   /** Connected components over the Jaccard pairs via transitive closure
     * (recursive CTE) — min reachable id per doc, mirroring
     * [[graft.operators.Dedup.nearDupClusters]]'s converged labels. */
@@ -675,6 +700,7 @@ object Oracles {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
     "text_stats" -> textStats,

@@ -295,6 +295,15 @@ object SparkEntry {
       .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** Incremental dedup: 95% of the corpus is the indexed "existing" set, the
+    * other 5% probes it as the incoming batch — only the batch is shingled. */
+  private def qDedupIncremental(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val h = graft.functions.Portable.hash60(col("doc_id").cast("string"))
+    val idx = Dedup.buildMinHashIndex(docs.where(h % 20 < 19), "doc_id", "text")
+    Dedup.probeMinHashIndex(idx, docs.where(h % 20 >= 19), "doc_id", "text")
+  }
+
   private def qDedupSimHash(s: SparkSession, sfDir: String): DataFrame =
     Dedup.simHash(Fixtures.documents(s, sfDir), "doc_id", "text")
       .withColumnRenamed("doc", "doc_id")
@@ -575,6 +584,7 @@ object SparkEntry {
     "dedup_exact" -> (qDedupExact _),
     "dedup_jaccard" -> (qDedupJaccard _),
     "dedup_minhash" -> (qDedupMinHash _),
+    "dedup_incremental" -> (qDedupIncremental _),
     "dedup_simhash" -> (qDedupSimHash _),
     "dedup_clusters" -> (qDedupClusters _),
     "text_stats" -> (qTextStats _),

@@ -128,20 +128,54 @@ object Dedup {
                            maxDf: Long = DefaultMaxDf): DataFrame =
     bandedCandidates(cappedShingles(docs, idCol, textCol, k, maxDf), numHashes, bands)
 
-  private def bandedCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** Banded signature rows (doc, band, sig) — the LSH bucket unit, shared by
+    * the one-shot candidate join and the materialized incremental index. */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = signaturesFrom(sh, numHashes)
     val bandSigs = (0 until bands).map { b =>
       concat_ws(",", (0 until r).map(i => col(s"m${b * r + i}")): _*).as(s"band$b")
     }
-    val banded = sigs.select(col("doc") +: bandSigs: _*)
-    val exploded = banded.select(col("doc"),
+    sigs.select(col("doc") +: bandSigs: _*).select(col("doc"),
       posexplode(array((0 until bands).map(b => col(s"band$b")): _*)).as(Seq("band", "sig")))
+  }
+
+  private def bandedCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val exploded = bandedSignatures(sh, numHashes, bands)
     exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("i"), col("b.doc").as("j"))
+      .distinct()
+  }
+
+  /** Build-once banded MinHash index of a corpus: (doc, band, sig) rows,
+    * a plain DataFrame that persists as a table. The universal-hash family is
+    * deterministic, so an index built today buckets identically with
+    * signatures computed tomorrow — the precondition for incremental dedup. */
+  def buildMinHashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                        maxDf: Long = DefaultMaxDf): DataFrame =
+    bandedSignatures(cappedShingles(docs, idCol, textCol, k, maxDf), numHashes, bands)
+
+  /** Incremental dedup: probe NEW documents against a [[buildMinHashIndex]]
+    * index built with the same (k, numHashes, bands) — distinct (existing,
+    * incoming) candidate pairs from a (band, sig) equi-join. Only the new
+    * slice is shingled; the existing corpus's text is never re-read. At
+    * 100 TB this is the production path for a growing corpus: the index
+    * appends, each ingest batch probes, and the full self-join never runs
+    * again. */
+  def probeMinHashIndex(index: DataFrame, newDocs: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                        maxDf: Long = DefaultMaxDf): DataFrame = {
+    val probe = bandedSignatures(
+      cappedShingles(newDocs, idCol, textCol, k, maxDf), numHashes, bands)
+    index.as("a").join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(col("a.doc").as("existing"), col("b.doc").as("incoming"))
       .distinct()
   }
 

@@ -219,6 +219,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("incremental minhash: probe finds cross-slice dups, equals full-join restriction") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about databases and storage engines")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (11L, "fresh content that matches nothing in the corpus today")).toDF("doc_id", "text")
+    val idx = Dedup.buildMinHashIndex(existing, "doc_id", "text")
+    val got = Dedup.probeMinHashIndex(idx, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)), got.toString)
+    // must equal the one-shot candidate join over the union, restricted to
+    // cross-slice pairs (the incremental path loses nothing)
+    val fullPairs: Set[(Long, Long)] =
+      Dedup.minHashLshCandidates(existing.union(incoming), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = fullPairs
+      .filter { case (i, j) => (i < 10L) != (j < 10L) }
+      .map { case (i, j) => if (i < 10L) (i, j) else (j, i) }
+    assert(got == full, s"probe $got vs full-join restriction $full")
+    val p = plan(Dedup.probeMinHashIndex(idx, incoming, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bigram LM score: hand-computed nll, zero for sub-bigram docs") {
     import spark.implicits._
     import graft.operators.TextOps
