@@ -137,7 +137,8 @@ object EsLog {
           rows += block.getRowCount
           block.getColumns.asScala.find(_.getPath.toDotString == "base_offset") match {
             case Some(c) =>
-              val st = c.getStatistics
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                c.getStatistics
               if (st == null || !st.hasNonNullValue) statsOk = false
               else {
                 minOff = math.min(minOff, st.genericGetMin.asInstanceOf[java.lang.Long].longValue())

@@ -195,8 +195,10 @@ object Dedup {
       pairs.select(col(iCol).as("a"), col(jCol).as("b"))
         .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
         .distinct())
-    var (labels, labelsRdd) = OpUtil.sharedWithHandle(
+    val seed: (DataFrame, org.apache.spark.rdd.RDD[_]) = OpUtil.sharedWithHandle(
       edges.select(col("a").as("doc")).distinct().withColumn("cluster", col("doc")))
+    var labels = seed._1
+    var labelsRdd = seed._2
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -207,11 +209,13 @@ object Dedup {
       // monotone non-increasing, so "changed" = neighborhood min beat the
       // current label): materializing the round and checking convergence is
       // ONE job over the new cache — no second join against the old labels.
-      val (next, nextRdd) = OpUtil.sharedWithHandle(
+      val round: (DataFrame, org.apache.spark.rdd.RDD[_]) = OpUtil.sharedWithHandle(
         labels.join(nbrMin, labels("doc") === nbrMin("ndoc"), "left")
           .select(labels("doc"),
             least(labels("cluster"), coalesce(col("nc"), labels("cluster"))).as("cluster"),
             (coalesce(col("nc"), labels("cluster")) < labels("cluster")).as("changed")))
+      val next = round._1
+      val nextRdd = round._2
       converged = next.where(col("changed")).limit(1).count() == 0
       // previous round's cache is dead the moment `next` is materialized —
       // free it now instead of holding up to maxIter label caches for GC
