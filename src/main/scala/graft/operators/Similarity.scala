@@ -26,9 +26,15 @@ import graft.functions.Portable
   */
 object Similarity {
 
-  /** dot(a,b) with sequential left fold — bit-deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** dot(a,b) — sequential left fold, bit-deterministic. Runs as the
+    * codegen'd [[org.apache.spark.sql.graftshim.DotProduct]] loop (the HOF formulation
+    * `aggregate(zip_with(..))` computes the identical IEEE fold but is
+    * interpreted per element; the custom Expression keeps the scalar inside
+    * whole-stage codegen). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    GraftShims.column(org.apache.spark.sql.graftshim.DotProduct(GraftShims.expr(a), GraftShims.expr(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

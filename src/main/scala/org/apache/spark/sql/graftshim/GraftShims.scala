@@ -62,6 +62,16 @@ object GraftShims {
                         schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema, isStreaming = false)
 
+  /** Wrap a catalyst Expression as a public Column (Spark 4 moved Column to
+    * the ColumnNode API; this is the classic-module bridge every custom
+    * Expression needs to surface in the DataFrame DSL). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a Column (inverse of [[column]]). */
+  def expr(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** The session's Hadoop configuration as a task-shippable thunk (Spark's
     * own SerializableConfiguration under a broadcast, the same mechanism
     * every file source uses): executor-side metadata reads see the exact
