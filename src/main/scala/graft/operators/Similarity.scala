@@ -38,7 +38,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cosine(a,b) — fused single-pass codegen
+    * ([[org.apache.spark.sql.graftshim.CosineSim]]): bit-identical to
+    * `dot(a,b) / (norm(a) * norm(b))` but one loop instead of three. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    GraftShims.column(org.apache.spark.sql.graftshim.CosineSim(GraftShims.expr(a), GraftShims.expr(b)))
+  }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
