@@ -78,14 +78,15 @@ object Similarity {
   }
 
   /** `planes`-bit sign bucket of a vector under table `t`: bit p is the sign
-    * of `Σ_d w(t,p,d)·v[d]`, folded left-to-right like [[dot]]. */
+    * of `Σ_d w(t,p,d)·v[d]`, folded left-to-right like [[dot]]. All planes
+    * project in ONE codegen'd pass over the vector
+    * ([[org.apache.spark.sql.graftshim.LshBucketExpr]]) — bit-compatible
+    * with the composed per-plane `when(dot > 0, 1<<p)` sum. */
   def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims
     val w = rademacherWeights(table, planes, dim)
-    val bits = (0 until planes).map { p =>
-      val proj = dot(vec, typedLit(w(p).toSeq))
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    GraftShims.column(org.apache.spark.sql.graftshim.LshBucketExpr(
+      GraftShims.expr(vec.cast("array<double>")), w.map(_.toSeq).toSeq))
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: all (i < j) with cosine >=
