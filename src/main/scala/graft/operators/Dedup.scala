@@ -56,21 +56,12 @@ object Dedup {
     * map-side-combined aggregate. maxDf <= 0 disables the cap. */
   private[graft] def cappedShingles(docs: DataFrame, idCol: String, textCol: String,
                                     k: Int, maxDf: Long): DataFrame = {
-    // Same (doc, shingle) universe as exploding Portable.wordShingles, but
-    // built codegen-friendly: explode an index range, then scalar
-    // slice/concat_ws — higher-order-function lambdas never enter whole-stage
-    // codegen, and the per-shingle lambda interpreter dominated this stage.
-    val toks = Portable.words(col(textCol))
-    val idx = when(size(col("toks")) >= k,
-      sequence(lit(1), size(col("toks")) - (k - 1)))
-      .otherwise(array().cast("array<int>"))
+    // Codegen-friendly shingle explode (OpUtil.explodedWordShingles — the
+    // HOF transform lambda interpreter dominated this stage before).
     // shared(): the postings feed the heavy-hitter build, both self-join
     // sides, and the per-doc sizes — explode+md5+distinct must run once.
-    val sh = OpUtil.shared(OpUtil.rebalance(docs)
-      .select(col(idCol).as("doc"), toks.as("toks"))
-      .select(col("doc"), col("toks"), explode(idx).as("i"))
-      .select(col("doc"),
-        Portable.uhashBase(concat_ws(" ", slice(col("toks"), col("i"), lit(k)))).as("hm"))
+    val sh = OpUtil.shared(OpUtil.explodedWordShingles(docs, idCol, textCol, k)
+      .select(col("doc"), Portable.uhashBase(col("g")).as("hm"))
       .distinct())
     if (maxDf <= 0) sh
     else {

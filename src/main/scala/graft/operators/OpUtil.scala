@@ -6,6 +6,25 @@ import org.apache.spark.storage.StorageLevel
 
 private[graft] object OpUtil {
 
+  /** Exploded word k-gram rows (`idCol.as("doc")`, `g` = space-joined gram):
+    * the same (doc, gram) multiset as `explode(Portable.wordShingles(..))`,
+    * built codegen-friendly — explode an index range, then scalar
+    * slice/concat_ws. The higher-order `transform` lambda never enters
+    * whole-stage codegen and its per-gram interpreter dominated the explode
+    * stage wherever it was used (first measured in the jaccard path). */
+  def explodedWordShingles(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = split(col(textCol), " ")
+    val idx = when(size(col("toks")) >= k,
+      sequence(lit(1), size(col("toks")) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    rebalance(docs)
+      .select(col(idCol).as("doc"), toks.as("toks"))
+      .select(col("doc"), col("toks"), explode(idx).as("i"))
+      .select(col("doc"), concat_ws(" ", slice(col("toks"), col("i"), lit(k))).as("g"))
+  }
+
   /** Materialize-once sharing for a frame consumed by several plan subtrees
     * (self-join sides, per-doc sizes, the heavy-hitter build). Spark's
     * exchange-reuse rule does not dedupe identical subtrees across

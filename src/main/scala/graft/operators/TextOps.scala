@@ -243,8 +243,7 @@ object TextOps {
     * are a further rollup OF that rollup — shuffles carry doc-distinct grams,
     * then vocabulary-sized tables; joins are equi-joins on gram/context. */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = OpUtil.rebalance(docs)
-      .select(col(idCol).as("doc"), explode(Portable.wordShingles(col(textCol), 2)).as("g"))
+    val grams = OpUtil.explodedWordShingles(docs, idCol, textCol, 2)
     val occ = OpUtil.shared(grams.groupBy("doc", "g").agg(count(lit(1)).as("c")))
     val big = occ.groupBy("g").agg(sum("c").as("bc"))
     val uni = big.select(substring_index(col("g"), " ", 1).as("w"), col("bc"))
@@ -264,8 +263,7 @@ object TextOps {
   }
 
   def repetition(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    val grams = OpUtil.rebalance(docs)
-      .select(col(idCol).as("doc"), explode(Portable.wordShingles(col(textCol), n)).as("g"))
+    val grams = OpUtil.explodedWordShingles(docs, idCol, textCol, n)
     val agg = grams.groupBy("doc", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc").agg(
         sum("c").as("total"), max("c").as("topc"), count(lit(1)).as("uniq"))
