@@ -219,6 +219,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("explodedWordShingles equals the HOF wordShingles multiset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val words = Seq("a", "bb", "ccc", "dd", "e")
+    val docs = ((0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    } ++ Seq((900L, ""), (901L, "solo"), (902L, "two words"),
+      (903L, "a  double  space"))).toDF("doc_id", "text")
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+      df.groupBy("doc", "g").count().collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fast = multiset(graft.operators.OpUtil.explodedWordShingles(docs, "doc_id", "text", 3))
+    val hof = multiset(docs.select(col("doc_id").as("doc"),
+      explode(graft.functions.Portable.wordShingles(col("text"), 3)).as("g")))
+    assert(fast == hof, s"sizes ${fast.size} vs ${hof.size}")
+  }
+
   test("incremental minhash: probe finds cross-slice dups, equals full-join restriction") {
     import spark.implicits._
     val existing = Seq(
