@@ -530,6 +530,15 @@ object Oracles {
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
 
+  /** Int8 quantization: integer codes + IEEE-exact scale, byte-identical. */
+  private val simQuantize =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS q_scale FROM e)
+      |SELECT vec_id, q_scale,
+      |  CASE WHEN q_scale = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
+      |       ELSE list_transform(v, x -> CAST(round(x * 127.0 / q_scale) AS TINYINT)) END AS q
+      |FROM s""".stripMargin
+
   /** bucket(table t) of `vec` = sum over planes p of 2^p iff the Rademacher
     * projection (weights = hash60(t:p:d) & 1 -> +/-1, folded over dims
     * left-to-right) is > 0 — same values as [[graft.operators.Similarity.lshBucket]]. */
@@ -723,6 +732,7 @@ object Oracles {
     "text_lm" -> textLm,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
+    "sim_quantize" -> simQuantize,
     "sim_lsh" -> simLsh,
     "dedup_embedding" -> dedupEmbedding,
     "sim_ivf" -> simIvf,

@@ -423,6 +423,11 @@ object SparkEntry {
     graft.operators.Sampling.packGreedy(Fixtures.documents(s, sfDir), "doc_id", "text",
       tokensPerPack = 512)
 
+  /** Int8 embedding quantization: per-vector scale + signed-byte codes,
+    * byte-exact across engines. */
+  private def qSimQuantize(s: SparkSession, sfDir: String): DataFrame =
+    Similarity.quantizeInt8(Fixtures.embeddings(s, sfDir), "vec_id", "embedding")
+
   private def qSimExact(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -607,6 +612,7 @@ object SparkEntry {
     "text_lm" -> (qTextLm _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
+    "sim_quantize" -> (qSimQuantize _),
     "sim_lsh" -> (qSimLsh _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "sim_ivf" -> (qSimIvf _),

@@ -48,6 +48,33 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Int8 symmetric quantization of an embedding column — the 4× storage
+    * lever for a 100 TB embedding corpus: per-vector scale = max |x|,
+    * q[i] = round(x[i] · 127 / scale) as a signed byte (an all-zero vector
+    * quantizes to zeros). Integer output + IEEE-exact scale arithmetic, so
+    * an independent engine reproduces every byte. A write-path projection —
+    * run once at export, not in a scoring loop. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    df.select(col(idCol), v.as("v"),
+        array_max(transform(v, x => abs(x))).as("q_scale"))
+      .select(col(idCol), col("q_scale"),
+        when(col("q_scale") === 0.0,
+          transform(col("v"), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col("v"),
+            x => round(x * lit(127.0) / col("q_scale")).cast("tinyint")))
+          .as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: x'[i] = q[i] · scale / 127. Lossy by
+    * construction — reconstruction keeps cosine ≈ 1 (unit-tested ≥ 0.999);
+    * use for recall-tolerant candidate generation over quantized storage,
+    * re-rank against the full-precision column. */
+  def dequantizeInt8(df: DataFrame, qCol: String = "q",
+                     scaleCol: String = "q_scale"): DataFrame =
+    df.withColumn("v_approx",
+      transform(col(qCol), b => b.cast("double") * col(scaleCol) / lit(127.0)))
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus vectors
     * (self excluded), ties broken by id. Queries are broadcast; ranking is a
     * window partitioned by query (shuffle keyed by query id only). */

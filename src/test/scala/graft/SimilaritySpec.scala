@@ -10,6 +10,23 @@ import graft.operators.Similarity
   * embeddings table (100 vectors, dim 64). */
 class SimilaritySpec extends SparkTestBase {
 
+  test("int8 quantization: byte-bounded codes, cosine-faithful reconstruction") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = graft.operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    // codes stay in [-127, 127]
+    val outOfRange = q.select(explode(col("q")).as("b"))
+      .where(col("b") > 127 || col("b") < -127).count()
+    assert(outOfRange == 0L)
+    // reconstruction keeps cosine >= 0.999 against the original vector
+    val joined = graft.operators.Similarity.dequantizeInt8(q)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val worst = joined.select(graft.operators.Similarity.cosine(
+        col("v_approx"), col("embedding").cast("array<double>")).as("c"))
+      .agg(min("c")).collect().head.getDouble(0)
+    assert(worst >= 0.999, s"worst reconstruction cosine $worst")
+  }
+
   private def emb = {
     Fixtures.tune(spark)
     spark.read.parquet(sf("embeddings"))
