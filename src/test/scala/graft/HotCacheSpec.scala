@@ -170,6 +170,48 @@ class HotCacheSpec extends SparkTestBase with BeforeAndAfterEach {
     }
   }
 
+  test("hot fetches stay consistent under a concurrent appender") {
+    spark.conf.set(HotCache.GLOBAL_BYTES, (32L * 1024 * 1024).toString)
+    val dir = tmpDir("hotconc-")
+    EsLog.create(dir, streamId = 89L)
+    EsLog.open(dir, 1L)
+    @volatile var committed = 0L
+    @volatile var failure: Throwable = null
+    val writer = new Thread(() => {
+      try {
+        var off = 0L
+        for (_ <- 0 until 10) {
+          val k = 50L
+          val in = spark.range(off, off + k).select(
+            col("id"),
+            concat(lit("p"), col("id")).cast("binary").as("payload"),
+            col("id").as("base_timestamp"))
+          EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 2)
+          off += k
+          committed = off
+        }
+      } catch { case t: Throwable => failure = t }
+    })
+    writer.start()
+    var checks = 0
+    while ((writer.isAlive || checks < 3) && checks < 60 && failure == null) {
+      val before = committed
+      val rows = EsLog.fetch(spark, dir)
+        .select(col("base_offset"), col("payload").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      // snapshot isolation: a fetch sees a contiguous committed prefix at
+      // least as long as what was committed before it was issued
+      assert(rows.map(_._1).sameElements(0L until rows.length),
+        s"non-contiguous prefix of ${rows.length}")
+      assert(rows.length >= before, s"saw ${rows.length} < committed $before")
+      rows.foreach { case (o, p) => assert(p == s"p$o", s"payload $p at $o") }
+      checks += 1
+    }
+    writer.join(120000)
+    assert(failure == null, s"writer failed: $failure")
+    assert(committed == 500L && checks >= 3)
+  }
+
   test("compaction swap and delete invalidate cleanly") {
     val dir = mkStream(200, appends = 2)
     spark.conf.set(HotCache.GLOBAL_BYTES, (64L * 1024 * 1024).toString)
