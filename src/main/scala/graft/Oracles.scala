@@ -530,14 +530,19 @@ object Oracles {
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
 
-  /** Int8 quantization: integer codes + IEEE-exact scale, byte-identical. */
+  /** Int8 quantization: integer codes + IEEE-exact scale, byte-identical.
+    * Codes are unnested to scalar rows (one per element) — the driver's
+    * pandas-based compare cannot sort array cells. */
   private val simQuantize =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS q_scale FROM e)
-      |SELECT vec_id, q_scale,
+      |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS q_scale FROM e),
+      |q AS (SELECT vec_id, q_scale,
       |  CASE WHEN q_scale = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
       |       ELSE list_transform(v, x -> CAST(round(x * 127.0 / q_scale) AS TINYINT)) END AS q
-      |FROM s""".stripMargin
+      |FROM s)
+      |SELECT vec_id, q_scale,
+      |  CAST(generate_subscripts(q, 1) - 1 AS INT) AS i, unnest(q) AS qi
+      |FROM q""".stripMargin
 
   /** bucket(table t) of `vec` = sum over planes p of 2^p iff the Rademacher
     * projection (weights = hash60(t:p:d) & 1 -> +/-1, folded over dims

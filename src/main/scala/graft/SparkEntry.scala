@@ -424,9 +424,13 @@ object SparkEntry {
       tokensPerPack = 512)
 
   /** Int8 embedding quantization: per-vector scale + signed-byte codes,
-    * byte-exact across engines. */
+    * byte-exact across engines. The codes are exploded to one scalar row per
+    * element — the driver's compare sorts rows with pandas, which cannot
+    * order array cells, so the oracle contract stays scalar-typed. */
   private def qSimQuantize(s: SparkSession, sfDir: String): DataFrame =
     Similarity.quantizeInt8(Fixtures.embeddings(s, sfDir), "vec_id", "embedding")
+      .select(col("vec_id"), col("q_scale"),
+        posexplode(col("q")).as(Seq("i", "qi")))
 
   private def qSimExact(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
