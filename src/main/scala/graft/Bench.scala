@@ -94,7 +94,10 @@ object Bench {
     // append pipeline (offset assignment + write + commit), not data generation
     batches64k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     batches64k.count()
-    graft.eslog.EsLog.append(spark, dir64k, batches64k, 1L) // warmup commit
+    // warmup commits: one is not enough for C2 — the round-4 driver run still
+    // paid 2.2 s / 1.8 s on the first two TIMED commits (steady state 0.4 s)
+    val nWarm = 3
+    (0 until nWarm).foreach(_ => graft.eslog.EsLog.append(spark, dir64k, batches64k, 1L))
     // per-commit seconds ride the JSON so a single GC/JIT outlier is visible
     // instead of silently dragging the mean (median vs mean separates engine
     // regressions from sandbox noise at judging time)
@@ -164,7 +167,7 @@ object Bench {
       s""","append_mbps_median":${f3(medianMbps)}""" +
       s""","append_mbps_max":${f3(maxMbps)}""" +
       s""","append_64k_commit_secs":${commitSecs.map(f3).mkString("[", ",", "]")}""" +
-      s""","scan_mbps":${f3(mbps("scan_64k_batches", (nCommits + 1) * payload64k))}""" +
+      s""","scan_mbps":${f3(mbps("scan_64k_batches", (nCommits + nWarm) * payload64k))}""" +
       s""","append_events_mbps":${f3(mbps("append_events", payloadBytes))}""" +
       s""","append_events_rows_per_sec":${f3(appendRps)}""" +
       s""","scan_rows_per_sec":${f3(scanRps)},"n_events":$nEvents,"payload_bytes":$payloadBytes""" +
