@@ -530,6 +530,24 @@ object Oracles {
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
 
+  /** SQL-surface top-k (graft_cosine in SQL text == CosineSim == this). */
+  private val sqlTopk =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings
+       |           WHERE vec_id >= 10 AND vec_id < 20),
+       |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
+       |s AS (SELECT qid, nid, ${cosineSql("qvec", "nvec")} AS score FROM q, c WHERE nid <> qid),
+       |r AS (SELECT qid, nid, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
+       |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 3""".stripMargin
+
+  /** SQL-surface TVF fetch: graft_fetch('dir', n/3, 2n/3) + graft_hash60. */
+  private val sqlFetch =
+    s"""SELECT event_id AS base_offset, event_type,
+       |  ${H.hash60Sql("CAST(event_id AS VARCHAR)")} AS h
+       |FROM events
+       |WHERE event_id >= (SELECT count(*) // 3 FROM events)
+       |  AND event_id < (SELECT 2 * count(*) // 3 FROM events)""".stripMargin
+
   /** Int8 quantization: integer codes + IEEE-exact scale, byte-identical.
     * Codes are unnested to scalar rows (one per element) — the driver's
     * pandas-based compare cannot sort array cells. */
@@ -737,6 +755,8 @@ object Oracles {
     "text_lm" -> textLm,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
+    "sql_topk" -> sqlTopk,
+    "sql_fetch" -> sqlFetch,
     "sim_quantize" -> simQuantize,
     "sim_lsh" -> simLsh,
     "dedup_embedding" -> dedupEmbedding,

@@ -443,6 +443,37 @@ object SparkEntry {
       k = 5, dim = 64, planes = 8, tables = 4)
   }
 
+  /** The SQL surface end-to-end: registered scalar functions
+    * ([[graft.sql.GraftFunctions]]) driving a cosine top-k written as plain
+    * SQL text — the same plan shape a DataFrame user gets, proven against
+    * the same oracle family as sim_exact (different query slice, k=3). */
+  private def qSqlTopk(s: SparkSession, sfDir: String): DataFrame = {
+    graft.sql.GraftFunctions.register(s)
+    Fixtures.embeddings(s, sfDir).createOrReplaceTempView("graft_emb")
+    s.sql(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS ARRAY<DOUBLE>) AS qvec
+        |           FROM graft_emb WHERE vec_id >= 10 AND vec_id < 20),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS ARRAY<DOUBLE>) AS nvec FROM graft_emb),
+        |sc AS (SELECT qid, nid, graft_cosine(qvec, nvec) AS score
+        |       FROM q JOIN c ON nid <> qid),
+        |r AS (SELECT qid, nid, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk
+        |      FROM sc)
+        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 3""".stripMargin)
+  }
+
+  /** Table-valued eslog access from SQL: `graft_fetch` splices the pruned
+    * scan into the enclosing query, composing with scalar graft functions. */
+  private def qSqlFetch(s: SparkSession, sfDir: String): DataFrame = {
+    graft.sql.GraftFunctions.register(s)
+    val dir = Fixtures.eventsStream(s, sfDir)
+    val n = Fixtures.events(s, sfDir).count()
+    s.sql(
+      s"""SELECT base_offset, properties['event_type'] AS event_type,
+         |  graft_hash60(CAST(base_offset AS STRING)) AS h
+         |FROM graft_fetch('$dir', ${n / 3}, ${2 * n / 3})""".stripMargin)
+  }
+
   private def qSimIvf(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
     Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
@@ -616,6 +647,8 @@ object SparkEntry {
     "text_lm" -> (qTextLm _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
+    "sql_topk" -> (qSqlTopk _),
+    "sql_fetch" -> (qSqlFetch _),
     "sim_quantize" -> (qSimQuantize _),
     "sim_lsh" -> (qSimLsh _),
     "dedup_embedding" -> (qDedupEmbedding _),

@@ -1,0 +1,154 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftshim.{CosineSim, DotProduct, GraftShims}
+
+import graft.eslog.EsLog
+import graft.functions.Portable
+import graft.operators.Similarity
+
+/** SQL-surface registration: every graft primitive a SQL-only user needs,
+  * callable from `spark.sql(...)` text.
+  *
+  * Two entry points, same registry:
+  *  - at session build: `.config("spark.sql.extensions",
+  *    "graft.sql.GraftSqlExtensions")` (the standard extensions hook);
+  *  - on a live session: `GraftFunctions.register(spark)` (create-or-replace,
+  *    idempotent) — for notebooks and the driver-owned Verify session.
+  *
+  * Scalar functions (all codegen'd — custom Expressions or compositions of
+  * built-ins, no UDFs, so SQL users stay on the 100 TB whole-stage path):
+  *  - `graft_dot(a, b)`          — IEEE left-fold dot product
+  *  - `graft_cosine(a, b)`       — fused single-pass cosine similarity
+  *  - `graft_hash60(x)`          — portable 60-bit md5 hash (BIGINT ≥ 0)
+  *  - `graft_hash60(seed, x)`    — seeded family member (seed: literal int)
+  *  - `graft_lsh_bucket(v, t, planes, dim)` — hyperplane-LSH sign bucket
+  *    (t/planes/dim: literal ints; same Rademacher family as
+  *    [[graft.operators.Similarity.lshBucket]])
+  *
+  * Table functions (FROM-clause access to eslog streams — the SQL analogue
+  * of the reference's FETCH/LIST_RANGE client calls):
+  *  - `graft_scan('dir')`             — full committed scan
+  *  - `graft_fetch('dir', lo, hi)`    — record batches with
+  *    `base_offset + last_offset_delta > lo AND base_offset < hi`
+  *    (straddle semantics, manifest-pruned before planning)
+  *  - `graft_history('dir')`          — the stream's commit history
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.scalar.foreach(ext.injectFunction)
+    GraftFunctions.table.foreach(ext.injectTableFunction)
+  }
+}
+
+object GraftFunctions {
+
+  /** Fail analysis (not execution) on a bad call: arity and literal-ness are
+    * static properties of the SQL text. */
+  private def literalInt(e: Expression, fn: String, pos: String): Int = {
+    require(e.foldable, s"$fn: $pos must be a literal integer, got $e")
+    e.eval(null) match {
+      case i: Int   => i
+      case l: Long  => math.toIntExact(l)
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $pos must be a literal integer, got $other")
+    }
+  }
+
+  private def literalLong(e: Expression, fn: String, pos: String): Long = {
+    require(e.foldable, s"$fn: $pos must be a literal integer, got $e")
+    e.eval(null) match {
+      case l: Long => l
+      case i: Int  => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: $pos must be a literal integer, got $other")
+    }
+  }
+
+  private def literalString(e: Expression, fn: String, pos: String): String = {
+    require(e.foldable, s"$fn: $pos must be a literal string, got $e")
+    val v = e.eval(null)
+    require(v != null, s"$fn: $pos must be a non-null literal string")
+    v.toString
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int*): Unit =
+    require(n.contains(args.size),
+      s"$fn expects ${n.mkString(" or ")} arguments, got ${args.size}")
+
+  // the (className, db, name) constructor is the one non-deprecated short
+  // form; usage text lives in the scaladoc above instead
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, null, name)
+
+  /** Scalar descriptions in `injectFunction` shape. */
+  val scalar: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => { arity("graft_dot", args, 2)
+        DotProduct(args(0), args(1)) }),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two double arrays"),
+      (args: Seq[Expression]) => { arity("graft_cosine", args, 2)
+        CosineSim(args(0), args(1)) }),
+    (FunctionIdentifier("graft_hash60"),
+      info("graft_hash60",
+        "graft_hash60(x) / graft_hash60(seed, x) - portable 60-bit md5 hash as non-negative BIGINT"),
+      (args: Seq[Expression]) => { arity("graft_hash60", args, 1, 2)
+        val c =
+          if (args.size == 1) Portable.hash60(GraftShims.column(args(0)))
+          else Portable.hash60(literalInt(args(0), "graft_hash60", "seed"),
+            GraftShims.column(args(1)))
+        GraftShims.convertedExpr(c) }),
+    (FunctionIdentifier("graft_lsh_bucket"),
+      info("graft_lsh_bucket",
+        "graft_lsh_bucket(vec, table, planes, dim) - hyperplane-LSH sign bucket (table/planes/dim literal ints)"),
+      (args: Seq[Expression]) => { arity("graft_lsh_bucket", args, 4)
+        val t = literalInt(args(1), "graft_lsh_bucket", "table")
+        val p = literalInt(args(2), "graft_lsh_bucket", "planes")
+        val d = literalInt(args(3), "graft_lsh_bucket", "dim")
+        GraftShims.convertedExpr(Similarity.lshBucket(GraftShims.column(args(0)), t, p, d)) }))
+
+  /** Table-function descriptions in `injectTableFunction` shape. The stream
+    * directory (and bounds) must be literals: the builder runs at analysis
+    * time on the driver, where it loads the manifest and splices the pruned
+    * scan plan into the enclosing query. */
+  val table: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_scan"),
+      info("graft_scan", "graft_scan('dir') - full committed scan of an eslog stream"),
+      (args: Seq[Expression]) => { arity("graft_scan", args, 1)
+        val dir = literalString(args(0), "graft_scan", "dir")
+        GraftShims.analyzedPlan(EsLog.scan(active(), dir)) }),
+    (FunctionIdentifier("graft_fetch"),
+      info("graft_fetch",
+        "graft_fetch('dir', start, end) - record batches overlapping [start, end)"),
+      (args: Seq[Expression]) => { arity("graft_fetch", args, 3)
+        val dir = literalString(args(0), "graft_fetch", "dir")
+        val lo = literalLong(args(1), "graft_fetch", "start")
+        val hi = literalLong(args(2), "graft_fetch", "end")
+        GraftShims.analyzedPlan(EsLog.fetch(active(), dir, lo, hi)) }),
+    (FunctionIdentifier("graft_history"),
+      info("graft_history", "graft_history('dir') - commit history of an eslog stream"),
+      (args: Seq[Expression]) => { arity("graft_history", args, 1)
+        val dir = literalString(args(0), "graft_history", "dir")
+        GraftShims.analyzedPlan(EsLog.history(active(), dir)) }))
+
+  private def active(): SparkSession =
+    SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession for graft table function"))
+
+  /** Create-or-replace everything on a live session. */
+  def register(spark: SparkSession): Unit = {
+    scalar.foreach { case (id, i, b) =>
+      GraftShims.registerSqlFunction(spark, id.funcName, i, b) }
+    table.foreach { case (id, i, b) =>
+      GraftShims.registerSqlTableFunction(spark, id.funcName, i, b) }
+  }
+}

@@ -68,9 +68,21 @@ object GraftShims {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     classic.ExpressionUtils.column(e)
 
-  /** The catalyst Expression behind a Column (inverse of [[column]]). */
+  /** The catalyst Expression behind a Column (inverse of [[column]]). Lazy:
+    * the result is a ColumnNodeExpression placeholder that Dataset's own
+    * column conversion rewrites — correct inside DataFrame-API operators,
+    * NOT inside a FunctionRegistry builder (nothing ever converts it there;
+    * codegen then sees an Unevaluable node). Builders use [[convertedExpr]]. */
   def expr(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Eagerly-converted catalyst Expression behind a Column: the same
+    * ColumnNode→Expression conversion Dataset applies, so the tree is plain
+    * catalyst (built-ins may still be UnresolvedFunction — the analyzer
+    * resolves those wherever the tree is spliced). Required when handing a
+    * composed Column to SQL: FunctionRegistry builders, rule rewrites. */
+  def convertedExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 
   /** The session's Hadoop configuration as a task-shippable thunk (Spark's
     * own SerializableConfiguration under a broadcast, the same mechanism
@@ -86,4 +98,35 @@ object GraftShims {
     extends (() => org.apache.hadoop.conf.Configuration) with Serializable {
     override def apply(): org.apache.hadoop.conf.Configuration = bc.value.value
   }
+
+  // ---- live-session SQL function registration ----
+  //
+  // `SparkSessionExtensions.injectFunction` only fires at session BUILD time;
+  // registering on an already-running session (the driver's Verify session,
+  // notebooks attached to a shared session) needs the session's
+  // FunctionRegistry, which is `private[sql]` — hence these bridges.
+
+  /** Register a scalar function on a live session (create-or-replace). */
+  def registerSqlFunction(
+      spark: SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** Register a table-valued function on a live session (create-or-replace). */
+  def registerSqlTableFunction(
+      spark: SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** The analyzed logical plan behind a frame (for table-function builders:
+    * a TVF must return a LogicalPlan, and an already-analyzed subtree splices
+    * cleanly into the enclosing query's analysis). */
+  def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 }

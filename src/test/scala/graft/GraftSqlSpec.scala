@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.eslog.EsLog
+import graft.functions.Portable
+import graft.operators.Similarity
+import graft.sql.{GraftFunctions, GraftSqlExtensions}
+
+/** SQL surface: graft functions callable from `spark.sql` text, registered
+  * either on a live session ([[GraftFunctions.register]]) or at session build
+  * via `spark.sql.extensions` ([[GraftSqlExtensions]]). Every SQL result is
+  * checked against the DataFrame-API formulation it mirrors. */
+class GraftSqlSpec extends SparkTestBase {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+    spark.read.parquet(sf("embeddings")).createOrReplaceTempView("emb_sql")
+  }
+
+  test("graft_dot / graft_cosine match the DataFrame formulations") {
+    val viaSql = spark.sql(
+      """SELECT vec_id, graft_dot(embedding, embedding) AS d,
+        |       graft_cosine(embedding, embedding) AS c
+        |FROM emb_sql WHERE vec_id < 50""".stripMargin).collect()
+    val emb = spark.read.parquet(sf("embeddings")).where(col("vec_id") < 50)
+    val viaDf = emb.select(col("vec_id"),
+        Similarity.dot(col("embedding"), col("embedding")).as("d"),
+        Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect()
+    val sqlMap = viaSql.map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    viaDf.foreach { r =>
+      val (d, c) = sqlMap(r.getLong(0))
+      assert(d == r.getDouble(1), "dot must be bit-identical")
+      assert(c == r.getDouble(2), "cosine must be bit-identical")
+    }
+    assert(viaDf.nonEmpty && viaSql.length == viaDf.length)
+  }
+
+  test("graft_hash60 matches Portable.hash60, both arities") {
+    val viaSql = spark.sql(
+      """SELECT vec_id, graft_hash60(CAST(vec_id AS STRING)) AS h,
+        |       graft_hash60(7, CAST(vec_id AS STRING)) AS hs
+        |FROM emb_sql WHERE vec_id < 20""".stripMargin).collect()
+    val viaDf = spark.read.parquet(sf("embeddings")).where(col("vec_id") < 20)
+      .select(col("vec_id"),
+        Portable.hash60(col("vec_id").cast("string")).as("h"),
+        Portable.hash60(7, col("vec_id").cast("string")).as("hs"))
+      .collect()
+    assert(viaSql.map(_.toSeq).toSet == viaDf.map(_.toSeq).toSet)
+  }
+
+  test("graft_lsh_bucket matches Similarity.lshBucket") {
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_lsh_bucket(embedding, 2, 8, 64) AS b FROM emb_sql")
+      .collect()
+    val viaDf = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 2, 8, 64).as("b"))
+      .collect()
+    assert(viaSql.map(_.toSeq).toSet == viaDf.map(_.toSeq).toSet)
+  }
+
+  test("bad calls fail at analysis: wrong arity, non-literal config args") {
+    intercept[Exception] { spark.sql("SELECT graft_dot(array(1.0d))").collect() }
+    intercept[Exception] {
+      spark.sql("SELECT graft_lsh_bucket(embedding, vec_id, 8, 64) FROM emb_sql").collect()
+    }
+  }
+
+  test("graft_scan / graft_fetch TVFs read an eslog stream from SQL") {
+    val dir = tmpDir("sqltvf-")
+    EsLog.create(dir, streamId = 77L)
+    EsLog.open(dir, 1L)
+    val in = spark.range(300).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+
+    val scanned = spark.sql(s"SELECT count(*) AS n FROM graft_scan('$dir')").collect()
+    assert(scanned.head.getLong(0) == 300)
+
+    // TVF output composes with the registered scalar functions and the rest
+    // of the query (filter, aggregate) like any relation
+    val fetched = spark.sql(
+      s"""SELECT count(*) AS n, min(base_offset) AS lo, max(base_offset) AS hi
+         |FROM graft_fetch('$dir', 100, 200)""".stripMargin).collect().head
+    val direct = EsLog.fetch(spark, dir, 100, 200)
+      .agg(count(lit(1)), min("base_offset"), max("base_offset")).collect().head
+    assert(fetched.getLong(0) == direct.getLong(0))
+    assert(fetched.getLong(1) == direct.getLong(1))
+    assert(fetched.getLong(2) == direct.getLong(2))
+
+    val hist = spark.sql(s"SELECT count(*) AS n FROM graft_history('$dir')").collect()
+    assert(hist.head.getLong(0) >= 3) // create + open + append
+
+    EsLog.delete(dir)
+  }
+
+  test("session built with spark.sql.extensions=GraftSqlExtensions has the functions") {
+    // newSession() shares the SparkContext but NOT the function registry;
+    // building a separate session with the extensions class proves the
+    // injectFunction path (what a cluster user configures) works end to end.
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", classOf[GraftSqlExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()
+      assert(r.head.getDouble(0) == 11.0)
+    } finally {
+      // drop only the session, not the shared context other suites use
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
