@@ -142,6 +142,13 @@ object Bench {
       "decontaminate", "multimodal_decode", "es_window_hourly", "es_agg_by_type")
     val registry = SparkEntry.queries
     heads.foreach { name =>
+      // one untimed pass first: a single run bills Janino + C2 compile of the
+      // query's generated code to the measurement (observed 5.4 s first run vs
+      // 0.56 s steady state on text_filter) — the 100 TB path pays that once
+      // per executor lifetime, not per partition, so steady state is the
+      // honest figure (same policy as the append warmup commits above)
+      try force(registry(name)(spark, sfDir))
+      catch { case _: Throwable => () } // failure surfaces in the timed run
       timed(name) { force(registry(name)(spark, sfDir)) }
     }
 

@@ -22,16 +22,25 @@ object TextOps {
     "fr" -> Seq("et", "les", "dans"),
     "zh" -> Seq("的", "是", "了"))
 
+  /** Total token characters: for a single-char-separator split this is
+    * exactly `length(text) - (n_tokens - 1)` (the separators partition the
+    * string), so no higher-order fold over the token array is needed — the
+    * HOF lambda runs interpreted and its Janino/JIT compile once dominated
+    * the quality-gate queries' first run. Exact for any content, including
+    * empty tokens from repeated separators. */
+  private def tokenChars(textCol: String, nTok: Column): Column =
+    length(col(textCol)).cast("long") - nTok + 1L
+
   /** Token statistics: counts, distinct counts, average token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Portable.words(col(textCol))
+    val nTok = size(toks).cast("long")
     docs.select(
       col(idCol),
       length(col(textCol)).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
+      nTok.as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
-      (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-        / size(toks)).as("avg_token_len"))
+      (tokenChars(textCol, nTok) / nTok).as("avg_token_len"))
   }
 
   /** Quality-score features: length, lexical diversity, digit/punct/stopword
@@ -165,8 +174,7 @@ object TextOps {
                     minLexicalDiversity: Double = 0.0): DataFrame = {
     val toks = Portable.words(col(textCol))
     val nTok = size(toks).cast("long")
-    val avgLen = aggregate(transform(toks, t => length(t).cast("long")),
-      lit(0L), (a, x) => a + x).cast("double") / nTok
+    val avgLen = tokenChars(textCol, nTok).cast("double") / nTok
     val stop = langMarkers.flatMap(_._2)
     val stopRatio = size(filter(toks, t => t.isin(stop.map(x => x: Any): _*)))
       .cast("double") / nTok
