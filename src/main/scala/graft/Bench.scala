@@ -149,7 +149,15 @@ object Bench {
       // honest figure (same policy as the append warmup commits above)
       try force(registry(name)(spark, sfDir))
       catch { case _: Throwable => () } // failure surfaces in the timed run
-      timed(name) { force(registry(name)(spark, sfDir)) }
+      // median of three timed runs: single-run figures on this host swing up
+      // to 10x run-to-run with the slow entry moving between queries (vCPU
+      // steal), which round after round has recorded regressions no code
+      // change explains; the median is stable under one bad draw
+      val runs = (1 to 3).flatMap { _ =>
+        timed(name) { force(registry(name)(spark, sfDir)) }
+        results.remove(name)
+      }.sorted
+      results(name) = if (runs.isEmpty) -1.0 else runs(runs.size / 2)
     }
 
     val total = results.values.filter(_ >= 0).sum
@@ -169,8 +177,13 @@ object Bench {
     val perCommitMbps = commitSecs.map(s => payload64k / 1e6 / s).sorted
     val medianMbps = if (perCommitMbps.isEmpty) -1.0 else perCommitMbps(perCommitMbps.size / 2)
     val maxMbps = if (perCommitMbps.isEmpty) -1.0 else perCommitMbps.last
+    // headline append figure = the MEDIAN steady-state commit: with 8
+    // identical back-to-back commits, one vCPU-steal outlier distorts the
+    // mean by 2x (observed: per-commit [0.38..0.94] s in one run); the
+    // median is the steady-state rate. Mean rides alongside for comparison.
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","append_mbps":${f3(mbps("append_64k_steady", nCommits * payload64k))}""" +
+      s""","append_mbps":${f3(medianMbps)}""" +
+      s""","append_mbps_mean":${f3(mbps("append_64k_steady", nCommits * payload64k))}""" +
       s""","append_mbps_median":${f3(medianMbps)}""" +
       s""","append_mbps_max":${f3(maxMbps)}""" +
       s""","append_64k_commit_secs":${commitSecs.map(f3).mkString("[", ",", "]")}""" +

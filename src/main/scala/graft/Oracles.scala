@@ -635,6 +635,63 @@ object Oracles {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Backward as-of join, recomputed the naive way (per-left-row LATERAL
+    * lookup) — correctness only; the Spark side is the union-and-sweep plan.
+    * Tie rules must mirror [[graft.operators.AsOfJoin.asOf]]: match at or
+    * before the left time in MILLISECONDS (the emitted unit — ordering by
+    * raw ts would resolve sub-ms ties differently), greatest right event_id
+    * wins a time tie, matches older than one hour null out (implemented here
+    * by the lateral WHERE, so the whole match row goes NULL). */
+  private val joinAsof =
+    """SELECT l.user_id, l.event_id, epoch_ms(l.ts) AS ts_ms,
+      |  c.mid AS matched_event_id, c.mts AS matched_ts_ms, c.mval AS matched_value
+      |FROM events l LEFT JOIN LATERAL (
+      |  SELECT r.event_id AS mid, epoch_ms(r.ts) AS mts, r.value AS mval
+      |  FROM events r
+      |  WHERE r.user_id = l.user_id AND r.event_type = 'click'
+      |    AND epoch_ms(r.ts) <= epoch_ms(l.ts)
+      |    AND epoch_ms(l.ts) - epoch_ms(r.ts) <= 3600000
+      |  ORDER BY epoch_ms(r.ts) DESC, r.event_id DESC LIMIT 1) c ON true
+      |WHERE l.event_type = 'view'""".stripMargin
+
+  /** Keyed point-in-interval join as the plain non-equi join the bucketed
+    * Spark plan must exactly reproduce. */
+  private val joinRange =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |iv AS (SELECT user_id, event_id AS interval_id, ts_ms - 14400000 AS lo, ts_ms AS hi
+      |       FROM e WHERE event_type = 'purchase' AND user_id % 2 = 0),
+      |p AS (SELECT user_id, event_id AS point_id, ts_ms FROM e WHERE event_type = 'view')
+      |SELECT iv.interval_id, p.point_id, p.user_id, p.ts_ms, iv.lo, iv.hi
+      |FROM iv JOIN p ON p.user_id = iv.user_id AND p.ts_ms >= iv.lo AND p.ts_ms <= iv.hi""".stripMargin
+
+  private val sketchKmv = graft.operators.Sketch.kmvDistinctSql(64,
+    """SELECT lang, tok AS v FROM
+      |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE tok <> ''""".stripMargin, Seq("lang"))
+
+  /** Count-min grid + point reads for the true top-10 tokens, depth 4 ×
+    * width 1024 — every cell count and estimate an exact integer. */
+  private val sketchCms = {
+    val depth = 4; val width = 1024
+    val cells = (0 until depth).map(i =>
+      s"SELECT $i AS d, ${H.uhashSql(i, "hm")} % $width AS slot, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 1, 2")
+      .mkString("\n  UNION ALL ")
+    val candCells = (0 until depth).map(i =>
+      s"SELECT tok, true_cnt, $i AS d, ${H.uhashSql(i, "hm")} % $width AS slot FROM ch")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tt AS (SELECT tok FROM t WHERE tok <> ''),
+       |h AS (SELECT tok, ${H.uhashBaseSql("tok")} AS hm FROM tt),
+       |cells AS ($cells),
+       |cand AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM tt
+       |         GROUP BY tok ORDER BY true_cnt DESC, tok ASC LIMIT 10),
+       |ch AS (SELECT tok, true_cnt, ${H.uhashBaseSql("tok")} AS hm FROM cand),
+       |cc AS ($candCells)
+       |SELECT cc.tok, cc.true_cnt, min(cells.cnt) AS est_cnt
+       |FROM cc JOIN cells USING (d, slot)
+       |GROUP BY cc.tok, cc.true_cnt""".stripMargin
+  }
+
   private val multimodalDecode =
     """SELECT doc_id AS media_id,
       |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS content_type,
@@ -762,6 +819,10 @@ object Oracles {
     "dedup_embedding" -> dedupEmbedding,
     "sim_ivf" -> simIvf,
     "join_salted" -> joinSalted,
+    "join_asof" -> joinAsof,
+    "join_range" -> joinRange,
+    "sketch_kmv" -> sketchKmv,
+    "sketch_cms" -> sketchCms,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "lineitem_agg" -> lineitemAgg,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.eslog.EsLog
 import graft.functions.Portable
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, Sketch, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -490,6 +490,59 @@ object SparkEntry {
       k = 5, nlist = 16, nprobe = 4)
   }
 
+  /** Backward as-of join: each view event picks the user's most recent click
+    * at or within the hour before it — one keyed shuffle + ordered sweep,
+    * never a per-row lookup join ([[graft.operators.AsOfJoin]]). */
+  private def qJoinAsof(s: SparkSession, sfDir: String): DataFrame = {
+    val ev = Fixtures.events(s, sfDir).withColumn("ts_ms", expr("ts div 1000000"))
+    val views = ev.where(col("event_type") === "view")
+      .select("user_id", "event_id", "ts_ms")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts_ms", "value")
+    AsOfJoin.asOf(views, clicks, keyCol = "user_id", timeCol = "ts_ms",
+      rightIdCol = "event_id", rightValueCols = Seq("value"),
+      tolerance = Some(3600000L))
+  }
+
+  /** Keyed point-in-interval join: view events landing inside the 4-hour
+    * window before each even-user purchase — bucketed equi-join, no
+    * nested-loop plan ([[graft.operators.RangeJoin]], plan-audited). */
+  private def qJoinRange(s: SparkSession, sfDir: String): DataFrame = {
+    val ev = Fixtures.events(s, sfDir).withColumn("ts_ms", expr("ts div 1000000"))
+    val intervals = ev.where(col("event_type") === "purchase" && col("user_id") % 2 === 0)
+      .select(col("user_id"), col("event_id").as("interval_id"),
+        (col("ts_ms") - 14400000L).as("lo"), col("ts_ms").as("hi"))
+    val points = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("point_id"), col("ts_ms"))
+    RangeJoin.pointInInterval(points, "ts_ms", intervals, "lo", "hi",
+        bucketWidth = 14400000L, keyCols = Seq("user_id"))
+      .select("interval_id", "point_id", "user_id", "ts_ms", "lo", "hi")
+  }
+
+  /** KMV distinct-vocabulary sketch per language — deterministic integer
+    * estimate, reproduced exactly by the oracle ([[graft.operators.Sketch]]). */
+  private def qSketchKmv(s: SparkSession, sfDir: String): DataFrame = {
+    val toks = Fixtures.documents(s, sfDir)
+      .select(col("lang"), explode(Portable.words(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    Sketch.kmvDistinct(toks, Seq("lang"), col("tok"), k = 64)
+  }
+
+  /** Count-min frequency estimates for the corpus's true top-10 tokens:
+    * `est_cnt >= true_cnt` always, both deterministic integers. */
+  private def qSketchCms(s: SparkSession, sfDir: String): DataFrame = {
+    val toks = Fixtures.documents(s, sfDir)
+      .select(explode(Portable.words(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val sketch = Sketch.cmsSketch(toks, col("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("true_cnt").desc, col("tok").asc)
+    val candidates = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 10).drop("rk")
+    Sketch.cmsEstimate(candidates, col("tok"), sketch)
+      .select("tok", "true_cnt", "est_cnt")
+  }
+
   /** Salted skew join: same relation as a plain join (salt never leaks). */
   private def qJoinSalted(s: SparkSession, sfDir: String): DataFrame = {
     Fixtures.tune(s)
@@ -655,6 +708,10 @@ object SparkEntry {
     "sim_ivf" -> (qSimIvf _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "join_salted" -> (qJoinSalted _),
+    "join_asof" -> (qJoinAsof _),
+    "join_range" -> (qJoinRange _),
+    "sketch_kmv" -> (qSketchKmv _),
+    "sketch_cms" -> (qSketchCms _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "lineitem_agg" -> (qLineitemAgg _),

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Mergeable sketches for corpus-scale profiling — distinct counting (KMV)
+  * and frequency estimation / heavy hitters (count-min) — built on the
+  * engine-portable md5 hash family in [[Portable]], so every estimate is a
+  * DETERMINISTIC integer any SQL engine reproduces bit-for-bit (unlike
+  * HLL++/datasketches binaries, which are implementation-defined).
+  *
+  * Both sketches are algebraic, the property that matters at 100 TB:
+  *  - a KMV sketch of a union is the k smallest of the union of the two
+  *    sketches' hash sets (partial sketches merge on executors, map-side);
+  *  - a CMS is a counter grid — sketches of shards merge by cell-wise sum.
+  * Unit tests assert both merge laws; the estimates come with the standard
+  * guarantees (KMV relative error ~ 1/√(k−2); CMS overestimates only, by at
+  * most εN with ε = e/width at the usual depth).
+  */
+object Sketch {
+
+  /** Hash space of [[Portable.hash60]]: [0, 2^60). */
+  val HashSpace: Long = 1L << 60
+
+  /** KMV (k-minimum-values) distinct-count sketch per group: the k smallest
+    * DISTINCT `hash60` values of `valueCol`, summarized per group as
+    * `(n_kept, kth_hash, n_distinct_est)`.
+    *
+    * Estimator (all BIGINT, overflow-free by construction: `kth >= k-1`
+    * because hashes are distinct non-negative integers, so the product is
+    * at most 2^60): `est = n_kept` when the group holds fewer than k
+    * distinct values (the sketch is exact), else
+    * `(k-1) * (HashSpace div kth_hash)`.
+    *
+    * Plan shape: hash values first (8-byte keys), dedupe on (group, hash) —
+    * the shuffle carries distinct hashes, never raw occurrences — then one
+    * per-group ordered window keeps the k minima. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+                  k: Int = 64): DataFrame =
+    kmvFromKept(kmvKeptHashes(df, groupCols, value, k), groupCols, k)
+
+  /** The sketch ITSELF as data: per group, the k smallest distinct hashes as
+    * `(groupCols..., _h)` rows — persist these per shard/partition and merge
+    * later with [[kmvFromKept]]; a merged sketch is bit-identical to the
+    * sketch of the union (unit-tested merge law). */
+  def kmvKeptHashes(df: DataFrame, groupCols: Seq[String], value: Column,
+                    k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val grp = groupCols.map(col)
+    val hashed = df.select(grp :+ Portable.hash60(value).as("_h"): _*).distinct()
+    val w = Window.partitionBy(grp: _*).orderBy(col("_h").asc)
+    hashed.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Finalize (or merge) kept-hash rows into the per-group summary. Input may
+    * be a UNION of shard sketches: hashes shared by shards dedupe, then the
+    * k smallest survive — exactly the KMV union rule. */
+  def kmvFromKept(kept: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(col("_h").asc)
+    kept.distinct()
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("_h")).as("kth_hash"))
+      .withColumn("n_distinct_est",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(lit((k - 1).toLong) * call_function("div", lit(HashSpace), col("kth_hash"))))
+  }
+
+  /** The [[kmvDistinct]] estimator in DuckDB SQL, for oracle generation:
+    * `valueExpr` must be the DISTINCT per-group value rows. */
+  def kmvDistinctSql(k: Int, fromDistinct: String, groupCols: Seq[String]): String = {
+    val g = groupCols.mkString(", ")
+    s"""WITH hashed AS (SELECT DISTINCT $g, ${Portable.hash60Sql("v")} AS h FROM ($fromDistinct)),
+       |rk AS (SELECT $g, h, row_number() OVER (PARTITION BY $g ORDER BY h) AS rn FROM hashed)
+       |SELECT $g, count(*) AS n_kept, max(h) AS kth_hash,
+       |       CASE WHEN count(*) < $k THEN count(*)
+       |            ELSE ${k - 1} * ($HashSpace // max(h)) END AS n_distinct_est
+       |FROM rk WHERE rn <= $k GROUP BY $g""".stripMargin
+  }
+
+  /** Count-min sketch over `valueCol` occurrences: a depth × width counter
+    * grid as rows `(d, slot, cnt)` — cell `(i, uhash_i(h) mod width)` counts
+    * every occurrence hashing there. Cells merge across shards by sum. One
+    * explode (depth rows per occurrence) + one hash aggregate; the result is
+    * `depth × width` rows regardless of input size. */
+  def cmsSketch(df: DataFrame, value: Column, depth: Int = 4,
+                width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val hm = Portable.uhashBase(value)
+    df.select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("d"), (Portable.uhash(i, hm) % width).as("slot"))): _*)).as("cell"))
+      .groupBy(col("cell.d").as("d"), col("cell.slot").as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsSketch]]: for each candidate row,
+    * `est = min` over the depth cells its value hashes to — the classic CMS
+    * read, never an underestimate. The sketch side is `depth × width` rows,
+    * so the join broadcasts regardless of corpus size. */
+  def cmsEstimate(candidates: DataFrame, value: Column, sketch: DataFrame,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val hm = Portable.uhashBase(value)
+    val cells = candidates.withColumn("cell", explode(array((0 until depth).map(i =>
+      struct(lit(i).as("d"), (Portable.uhash(i, hm) % width).as("slot"))): _*)))
+      .select(candidates.columns.map(col) :+ col("cell.d").as("d") :+
+        col("cell.slot").as("slot"): _*)
+    cells.join(broadcast(sketch), Seq("d", "slot"))
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin, Sketch}
+
+/** As-of join, range join, and sketch semantics on hand-built corpora where
+  * the expected answers are computable by eye, plus the merge laws that make
+  * the sketches usable shard-wise at scale. */
+class JoinOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- as-of join ----
+
+  private def asOfFixture = {
+    val left = Seq(
+      // (key, time, left id)
+      (1L, 100L, 10L), // exact-tie with right at t=100
+      (1L, 150L, 11L), // between rights -> latest at 100
+      (1L, 99L, 12L),  // before any right with tolerance reach (matches t=50)
+      (2L, 500L, 20L), // different key
+      (3L, 10L, 30L)   // key with no rights at all
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      // (key, time, right id, value)
+      (1L, 50L, 1L, 0.5),
+      (1L, 100L, 2L, 1.0),
+      (1L, 100L, 3L, 2.0), // same time as id=2: max id wins
+      (1L, 140L, 4L, 3.0),
+      (2L, 400L, 5L, 4.0)
+    ).toDF("k", "t", "rid", "v")
+    (left, right)
+  }
+
+  test("asOf: latest at-or-before match, max-id tie-break, missing keys null") {
+    val (left, right) = asOfFixture
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rid", Seq("v"))
+      .orderBy("lid").collect()
+    val byLid = out.map(r => r.getAs[Long]("lid") ->
+      (Option(r.getAs[java.lang.Long]("matched_rid")), Option(r.getAs[java.lang.Long]("matched_t")))).toMap
+    assert(byLid(10L) === ((Some(3L), Some(100L)))) // tie at 100: id 3 > 2
+    assert(byLid(11L) === ((Some(4L), Some(140L))))
+    assert(byLid(12L) === ((Some(1L), Some(50L))))
+    assert(byLid(20L) === ((Some(5L), Some(400L))))
+    assert(byLid(30L) === ((None, None)))
+    // left row count preserved exactly
+    assert(out.length === 5)
+  }
+
+  test("asOf: tolerance nulls out stale matches but keeps the row") {
+    val (left, right) = asOfFixture
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rid", Seq("v"), tolerance = Some(20L))
+    assert(out.count() === 5)
+    val m = out.collect().map(r => r.getAs[Long]("lid") ->
+      Option(r.getAs[java.lang.Long]("matched_rid"))).toMap
+    assert(m(10L) === Some(3L))  // distance 0 <= 20
+    assert(m(11L) === Some(4L))  // distance 10 <= 20
+    assert(m(12L) === None)      // distance 49 > 20
+    assert(m(20L) === None)      // distance 100 > 20
+  }
+
+  test("asOf plan: one keyed shuffle + window, no join operator at all") {
+    val (left, right) = asOfFixture
+    val p = AsOfJoin.asOf(left, right, "k", "t", "rid", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  // ---- range join ----
+
+  test("pointInInterval matches the naive non-equi join, including edges") {
+    val points = Seq((1L, -7L), (1L, 0L), (1L, 5L), (1L, 10L), (1L, 11L), (2L, 5L))
+      .toDF("k", "x")
+    val intervals = Seq(
+      (1L, 100L, 0L, 10L),   // [0,10]
+      (1L, 101L, -10L, -5L), // negative range
+      (1L, 102L, 7L, 3L),    // inverted: matches nothing
+      (2L, 103L, 4L, 6L)
+    ).toDF("k", "iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi",
+        bucketWidth = 4L, keyCols = Seq("k"))
+      .select("iid", "x").as[(Long, Long)].collect().toSet
+    val want = Set((100L, 0L), (100L, 5L), (100L, 10L), (101L, -7L), (103L, 5L))
+    assert(got === want)
+  }
+
+  test("pointInInterval emits each match exactly once (no bucket dupes)") {
+    // interval spanning many buckets; width far smaller than the interval
+    val points = (0L until 50L).map(x => (1L, x)).toDF("k", "x")
+    val intervals = Seq((1L, 1L, 5L, 45L)).toDF("k", "iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi",
+      bucketWidth = 3L, keyCols = Seq("k"))
+    assert(out.count() === 41) // 5..45 inclusive, once each
+  }
+
+  test("range join plan is an equi-join, never BroadcastNestedLoopJoin") {
+    val points = Seq((1L, 1L)).toDF("k", "x")
+    val intervals = Seq((1L, 1L, 0L, 10L)).toDF("k", "iid", "lo", "hi")
+    val p = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi", 4L, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  // ---- sketches ----
+
+  test("KMV: exact below k, estimate within 1/sqrt(k-2) bounds above k") {
+    val small = (0 until 40).map(i => ("a", s"v$i")).toDF("g", "v")
+    val exact = Sketch.kmvDistinct(small, Seq("g"), col("v"), k = 64).collect().head
+    assert(exact.getAs[Long]("n_kept") === 40L)
+    assert(exact.getAs[Long]("n_distinct_est") === 40L)
+
+    val big = (0 until 20000).map(i => ("a", s"v${i % 5000}")).toDF("g", "v")
+    val est = Sketch.kmvDistinct(big, Seq("g"), col("v"), k = 256)
+      .collect().head.getAs[Long]("n_distinct_est")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.2, s"est=$est for true 5000")
+  }
+
+  test("KMV merge law: k-min of unioned sketches == sketch of the union") {
+    val a = (0 until 3000).map(i => ("g", s"x$i")).toDF("g", "v")
+    val b = (1500 until 4500).map(i => ("g", s"x$i")).toDF("g", "v")
+    val whole = Sketch.kmvDistinct(a.union(b), Seq("g"), col("v"), k = 128).collect().head
+    // merge = union the two sketches' kept hashes, re-take the k smallest
+    val ka = Sketch.kmvKeptHashes(a, Seq("g"), col("v"), k = 128)
+    val kb = Sketch.kmvKeptHashes(b, Seq("g"), col("v"), k = 128)
+    val merged = Sketch.kmvFromKept(ka.union(kb), Seq("g"), k = 128).collect().head
+    assert(merged.getAs[Long]("kth_hash") === whole.getAs[Long]("kth_hash"))
+    assert(merged.getAs[Long]("n_distinct_est") === whole.getAs[Long]("n_distinct_est"))
+  }
+
+  test("CMS: never underestimates, exact on unique-slot corpora; shards merge by sum") {
+    val docs = (0 until 1000).map(i => s"tok${i % 7}").toDF("v")
+    val sk = Sketch.cmsSketch(docs, col("v"))
+    val cand = docs.groupBy("v").agg(count(lit(1)).as("true_cnt"))
+    val est = Sketch.cmsEstimate(cand, col("v"), sk)
+      .select("v", "true_cnt", "est_cnt").as[(String, Long, Long)].collect()
+    assert(est.length === 7)
+    est.foreach { case (v, t, e) => assert(e >= t, s"$v: est $e < true $t") }
+
+    // shard-wise build: cell-wise sum of shard sketches == whole-corpus sketch
+    val (s1, s2) = (docs.where(expr("substr(v, 4) < '4'")), docs.where(expr("substr(v, 4) >= '4'")))
+    val mergedCells = Sketch.cmsSketch(s1, col("v")).union(Sketch.cmsSketch(s2, col("v")))
+      .groupBy("d", "slot").agg(sum("cnt").as("cnt"))
+    val whole = sk.select("d", "slot", "cnt").as[(Int, Long, Long)].collect().toSet
+    val merged = mergedCells.select("d", "slot", "cnt").as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+  }
+}
