@@ -139,7 +139,8 @@ object Bench {
       "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
       "sim_exact", "sim_lsh", "text_stats", "text_langid", "text_repetition",
       "text_filter", "pipeline_export",
-      "decontaminate", "multimodal_decode", "es_window_hourly", "es_agg_by_type")
+      "decontaminate", "multimodal_decode", "es_window_hourly", "es_agg_by_type",
+      "join_asof", "join_range", "join_overlap", "sketch_kmv", "sketch_cms")
     val registry = SparkEntry.queries
     heads.foreach { name =>
       // one untimed pass first: a single run bills Janino + C2 compile of the

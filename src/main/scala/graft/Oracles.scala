@@ -664,6 +664,17 @@ object Oracles {
       |SELECT iv.interval_id, p.point_id, p.user_id, p.ts_ms, iv.lo, iv.hi
       |FROM iv JOIN p ON p.user_id = iv.user_id AND p.ts_ms >= iv.lo AND p.ts_ms <= iv.hi""".stripMargin
 
+  /** Interval-overlap join as the plain non-equi join the first-cell-emit
+    * bucketed Spark plan must exactly reproduce (inclusive ends). */
+  private val joinOverlap =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |a AS (SELECT user_id, event_id AS aid, ts_ms - 7200000 AS alo, ts_ms AS ahi
+      |      FROM e WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id, event_id AS bid, ts_ms - 7200000 AS blo, ts_ms AS bhi
+      |      FROM e WHERE event_type = 'error')
+      |SELECT a.user_id, aid, bid, alo, ahi, blo, bhi
+      |FROM a JOIN b ON a.user_id = b.user_id AND alo <= bhi AND blo <= ahi""".stripMargin
+
   private val sketchKmv = graft.operators.Sketch.kmvDistinctSql(64,
     """SELECT lang, tok AS v FROM
       |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -821,6 +832,7 @@ object Oracles {
     "join_salted" -> joinSalted,
     "join_asof" -> joinAsof,
     "join_range" -> joinRange,
+    "join_overlap" -> joinOverlap,
     "sketch_kmv" -> sketchKmv,
     "sketch_cms" -> sketchCms,
     "multimodal_decode" -> multimodalDecode,

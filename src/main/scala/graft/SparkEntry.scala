@@ -519,6 +519,22 @@ object SparkEntry {
       .select("interval_id", "point_id", "user_id", "ts_ms", "lo", "hi")
   }
 
+  /** Interval-overlap join: purchase lookback windows overlapping error
+    * lookback windows per user — both sides bucketed, pairs emitted from the
+    * intersection's first cell so no dedup pass is needed. */
+  private def qJoinOverlap(s: SparkSession, sfDir: String): DataFrame = {
+    val ev = Fixtures.events(s, sfDir).withColumn("ts_ms", expr("ts div 1000000"))
+    def windows(tpe: String, idName: String, lo: String, hi: String) =
+      ev.where(col("event_type") === tpe).select(col("user_id"),
+        col("event_id").as(idName),
+        (col("ts_ms") - 7200000L).as(lo), col("ts_ms").as(hi))
+    RangeJoin.intervalOverlap(
+        windows("purchase", "aid", "alo", "ahi"), "alo", "ahi",
+        windows("error", "bid", "blo", "bhi"), "blo", "bhi",
+        bucketWidth = 7200000L, keyCols = Seq("user_id"))
+      .select("user_id", "aid", "bid", "alo", "ahi", "blo", "bhi")
+  }
+
   /** KMV distinct-vocabulary sketch per language — deterministic integer
     * estimate, reproduced exactly by the oracle ([[graft.operators.Sketch]]). */
   private def qSketchKmv(s: SparkSession, sfDir: String): DataFrame = {
@@ -710,6 +726,7 @@ object SparkEntry {
     "join_salted" -> (qJoinSalted _),
     "join_asof" -> (qJoinAsof _),
     "join_range" -> (qJoinRange _),
+    "join_overlap" -> (qJoinOverlap _),
     "sketch_kmv" -> (qSketchKmv _),
     "sketch_cms" -> (qSketchCms _),
     "multimodal_decode" -> (qMultimodalDecode _),

@@ -59,4 +59,26 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bucket")
   }
+
+  /** Interval-overlap join — `[aLo,aHi] ∩ [bLo,bHi] ≠ ∅` (inclusive ends) —
+    * with the same bucketing scheme. Both sides explode to covering cells;
+    * an overlapping pair shares every cell their intersection covers, so the
+    * pair is emitted ONLY from the intersection's first cell
+    * (`max(floorDiv(aLo), floorDiv(bLo))`) — the standard duplicate-free
+    * spatial-join trick, no distinct pass over the output. */
+  def intervalOverlap(left: DataFrame, leftLo: String, leftHi: String,
+                      right: DataFrame, rightLo: String, rightHi: String,
+                      bucketWidth: Long, keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def cells(df: DataFrame, lo: String, hi: String) = df.withColumn("_bucket",
+      explode(when(col(lo) <= col(hi),
+        sequence(floorDiv(col(lo), bucketWidth), floorDiv(col(hi), bucketWidth)))
+        .otherwise(array().cast("array<long>"))))
+    cells(left, leftLo, leftHi)
+      .join(cells(right, rightLo, rightHi), Seq("_bucket") ++ keyCols)
+      .where(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi) &&
+        col("_bucket") === greatest(floorDiv(col(leftLo), bucketWidth),
+          floorDiv(col(rightLo), bucketWidth)))
+      .drop("_bucket")
+  }
 }

@@ -103,6 +103,21 @@ class JoinOpsSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("intervalOverlap matches the naive non-equi join, duplicate-free") {
+    // spans chosen so some pairs share MANY buckets (the dedup trick's target)
+    val a = Seq((1L, 100L, 0L, 50L), (1L, 101L, 60L, 61L), (1L, 102L, 90L, 80L), (2L, 103L, 0L, 10L))
+      .toDF("k", "aid", "alo", "ahi")
+    val b = Seq((1L, 200L, 40L, 70L), (1L, 201L, -5L, 0L), (1L, 202L, 55L, 58L), (2L, 203L, 11L, 20L))
+      .toDF("k", "bid", "blo", "bhi")
+    val got = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi",
+        bucketWidth = 7L, keyCols = Seq("k"))
+      .select("aid", "bid").as[(Long, Long)].collect().toList
+    // naive: (100,200) overlap [40,50]; (100,201) touch at 0; (101,200) inside
+    val want = Set((100L, 200L), (100L, 201L), (101L, 200L))
+    assert(got.toSet === want)
+    assert(got.length === want.size, s"duplicates emitted: $got") // exactly once each
+  }
+
   // ---- sketches ----
 
   test("KMV: exact below k, estimate within 1/sqrt(k-2) bounds above k") {
