@@ -70,6 +70,18 @@ object Bench {
       }
       results(name) = (System.nanoTime() - t0) / 1e9
     }
+    // one untimed warm pass + median of three timed runs — single-run figures
+    // on this host swing up to 10x with the slow entry moving between queries
+    // (vCPU steal); the median is stable under one bad draw. Only for bodies
+    // that re-execute the full work when re-run (pure scans / registry plans;
+    // NOT memoized fixture builders).
+    def timedMedian(name: String)(body: => Unit): Unit = {
+      try body catch { case _: Throwable => () } // failure surfaces timed
+      val runs = (1 to 3).flatMap { _ =>
+        timed(name)(body); results.remove(name)
+      }.sorted
+      results(name) = if (runs.isEmpty) -1.0 else runs(runs.size / 2)
+    }
 
     // -- ingest path: append-commit throughput (eslog write) --
     timed("append_events") { Fixtures.eventsStream(spark, sfDir); () }
@@ -112,7 +124,7 @@ object Bench {
       }
     }
     batches64k.unpersist(blocking = false)
-    timed("scan_64k_batches") {
+    timedMedian("scan_64k_batches") {
       graft.eslog.EsLog.scan(spark, dir64k)
         .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
     }
@@ -121,14 +133,14 @@ object Bench {
     timed("stream_roundtrip") { Fixtures.streamRoundtrip(spark, sfDir); () }
 
     // -- scan path: full scan + hash aggregate (reads every payload byte) --
-    timed("scan_events") {
+    timedMedian("scan_events") {
       val dir = Fixtures.eventsStream(spark, sfDir)
       graft.eslog.EsLog.scan(spark, dir)
         .agg(expr("bit_xor(xxhash64(payload))"), sum(col("base_offset")),
           expr("bit_xor(xxhash64(properties['event_type']))"))
         .collect()
     }
-    timed("fetch_mid_range") {
+    timedMedian("fetch_mid_range") {
       val dir = Fixtures.eventsStream(spark, sfDir)
       graft.eslog.EsLog.fetch(spark, dir, nEvents / 4, nEvents / 2)
         .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
@@ -143,22 +155,11 @@ object Bench {
       "join_asof", "join_range", "join_overlap", "sketch_kmv", "sketch_cms")
     val registry = SparkEntry.queries
     heads.foreach { name =>
-      // one untimed pass first: a single run bills Janino + C2 compile of the
-      // query's generated code to the measurement (observed 5.4 s first run vs
+      // warm pass bills Janino + C2 compile once (observed 5.4 s first run vs
       // 0.56 s steady state on text_filter) — the 100 TB path pays that once
-      // per executor lifetime, not per partition, so steady state is the
-      // honest figure (same policy as the append warmup commits above)
-      try force(registry(name)(spark, sfDir))
-      catch { case _: Throwable => () } // failure surfaces in the timed run
-      // median of three timed runs: single-run figures on this host swing up
-      // to 10x run-to-run with the slow entry moving between queries (vCPU
-      // steal), which round after round has recorded regressions no code
-      // change explains; the median is stable under one bad draw
-      val runs = (1 to 3).flatMap { _ =>
-        timed(name) { force(registry(name)(spark, sfDir)) }
-        results.remove(name)
-      }.sorted
-      results(name) = if (runs.isEmpty) -1.0 else runs(runs.size / 2)
+      // per executor lifetime, not per partition; steady state is the honest
+      // figure (same policy as the append warmup commits above)
+      timedMedian(name) { force(registry(name)(spark, sfDir)) }
     }
 
     val total = results.values.filter(_ >= 0).sum

@@ -49,7 +49,10 @@ object Sketch {
                     k: Int): DataFrame = {
     require(k >= 2, "k must be at least 2")
     val grp = groupCols.map(col)
-    val hashed = df.select(grp :+ Portable.hash60(value).as("_h"): _*).distinct()
+    // rebalance: a few-MB single-partition input would run the whole
+    // hash+dedupe pipeline on one core (no-op at cluster scale)
+    val hashed = OpUtil.rebalance(df)
+      .select(grp :+ Portable.hash60(value).as("_h"): _*).distinct()
     val w = Window.partitionBy(grp: _*).orderBy(col("_h").asc)
     hashed.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
       .drop("_rn")
@@ -91,7 +94,7 @@ object Sketch {
                 width: Int = 1024): DataFrame = {
     require(depth >= 1 && width >= 2)
     val hm = Portable.uhashBase(value)
-    df.select(explode(array((0 until depth).map(i =>
+    OpUtil.rebalance(df).select(explode(array((0 until depth).map(i =>
         struct(lit(i).as("d"), (Portable.uhash(i, hm) % width).as("slot"))): _*)).as("cell"))
       .groupBy(col("cell.d").as("d"), col("cell.slot").as("slot"))
       .agg(count(lit(1)).as("cnt"))
