@@ -536,12 +536,15 @@ object SparkEntry {
   }
 
   /** KMV distinct-vocabulary sketch per language — deterministic integer
-    * estimate, reproduced exactly by the oracle ([[graft.operators.Sketch]]). */
+    * estimate, reproduced exactly by the oracle ([[graft.operators.Sketch]]).
+    * Runs through the bounded-state custom aggregate (the scale path); the
+    * oracle recomputes via the declarative window formulation, so the
+    * hash-match also proves the two paths bit-identical end-to-end. */
   private def qSketchKmv(s: SparkSession, sfDir: String): DataFrame = {
     val toks = Fixtures.documents(s, sfDir)
       .select(col("lang"), explode(Portable.words(col("text"))).as("tok"))
       .where(col("tok") =!= "")
-    Sketch.kmvDistinct(toks, Seq("lang"), col("tok"), k = 64)
+    Sketch.kmvDistinctAgg(toks, Seq("lang"), col("tok"), k = 64)
   }
 
   /** Count-min frequency estimates for the corpus's true top-10 tokens:

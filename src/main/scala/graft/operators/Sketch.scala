@@ -41,6 +41,30 @@ object Sketch {
                   k: Int = 64): DataFrame =
     kmvFromKept(kmvKeptHashes(df, groupCols, value, k), groupCols, k)
 
+  /** [[kmvDistinct]] executed through the bounded-state
+    * [[org.apache.spark.sql.graftshim.KmvAgg]] aggregate — the 100 TB path.
+    * The declarative twin shuffles EVERY distinct hash and window-sorts each
+    * group; this one holds ≤ k longs per group per partition, partials merge
+    * map-side (ObjectHashAggregate, plan-audited), and the shuffle carries
+    * ≤ k longs per (group, partition). Bit-identical output (k-minima are
+    * order-insensitive; unit-pinned against the window twin). */
+  def kmvDistinctAgg(df: DataFrame, groupCols: Seq[String], value: Column,
+                     k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShims, KmvAgg}
+    require(k >= 2, "k must be at least 2")
+    val grp = groupCols.map(col)
+    val kept = GraftShims.column(
+      KmvAgg(GraftShims.expr(Portable.hash60(value)), k).toAggregateExpression())
+    OpUtil.rebalance(df).groupBy(grp: _*).agg(kept.as("_ks"))
+      .withColumn("n_kept", size(col("_ks")).cast("long"))
+      .withColumn("kth_hash", when(col("n_kept") > 0,
+        element_at(col("_ks"), size(col("_ks")))))
+      .withColumn("n_distinct_est",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(lit((k - 1).toLong) * call_function("div", lit(HashSpace), col("kth_hash"))))
+      .drop("_ks")
+  }
+
   /** The sketch ITSELF as data: per group, the k smallest distinct hashes as
     * `(groupCols..., _h)` rows — persist these per shard/partition and merge
     * later with [[kmvFromKept]]; a merged sketch is bit-identical to the

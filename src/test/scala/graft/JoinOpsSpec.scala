@@ -144,6 +144,19 @@ class JoinOpsSpec extends SparkTestBase {
     assert(merged.getAs[Long]("n_distinct_est") === whole.getAs[Long]("n_distinct_est"))
   }
 
+  test("KmvAgg: bit-identical to the window formulation, ObjectHashAggregate plan") {
+    val data = (0 until 30000).map(i => (s"g${i % 7}", s"v${(i * 31) % 4000}")).toDF("g", "v")
+    val viaAgg = Sketch.kmvDistinctAgg(data, Seq("g"), col("v"), k = 64)
+    val viaWindow = Sketch.kmvDistinct(data, Seq("g"), col("v"), k = 64)
+    val a = viaAgg.orderBy("g").collect().map(_.toSeq).toSeq
+    val w = viaWindow.orderBy("g").collect().map(_.toSeq).toSeq
+    assert(a === w)
+    // bounded-state partial aggregation, not a window sort
+    val p = viaAgg.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("CMS: never underestimates, exact on unique-slot corpora; shards merge by sum") {
     val docs = (0 until 1000).map(i => s"tok${i % 7}").toDF("v")
     val sk = Sketch.cmsSketch(docs, col("v"))
