@@ -383,6 +383,52 @@ object Fixtures {
       ()
     }
 
+  /** Events with BOTH user_id and event_type in properties — the
+    * enrichment-stream input (base_offset = event_id). */
+  def enrichEventsStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "enrich-events") { dir =>
+      val in = events(s, sfDir).select(
+        col("event_id"),
+        col("props").cast("binary").as("payload"),
+        map(lit("user_id"), col("user_id").cast("string"),
+          lit("event_type"), col("event_type")).as("properties"),
+        expr("ts div 1000000").as("base_timestamp"))
+      EsLog.create(dir, streamId = 49L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in, 1L, sortKey = Some("event_id"), numPartitions = 4)
+      ()
+    }
+
+  /** Streaming as-of enrichment over [[enrichEventsStream]]: views probe the
+    * latest click the stream had delivered for that user (strictly earlier
+    * offset). Rate-limited to ~8 micro-batches so cross-batch GroupState is
+    * actually exercised; the result is chunking-invariant by design. */
+  def streamEnrichTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-enrich", {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      tune(s)
+      val src = enrichEventsStream(s, sfDir)
+      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+      val name = "graft_stream_enrich_" + math.abs(sfDir.hashCode).toString
+      val ds = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .where(col("properties")("event_type").isin("view", "click"))
+        .select(col("properties")("user_id").cast("long").as("user_id"),
+          col("base_offset").as("offset"),
+          (col("properties")("event_type") === "click").as("is_right"),
+          col("base_timestamp").as("t"))
+        .as[graft.operators.EnrichEvent]
+      val q = graft.operators.AsOfJoin.streamingEnrich(ds).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** Streaming gap-sessionization (flatMapGroupsWithState) over the stream;
     * returns the memory table of sessions the stream has closed. */
   def streamSessionsTable(s: SparkSession, sfDir: String): String =

@@ -664,6 +664,21 @@ object Oracles {
       |SELECT iv.interval_id, p.point_id, p.user_id, p.ts_ms, iv.lo, iv.hi
       |FROM iv JOIN p ON p.user_id = iv.user_id AND p.ts_ms >= iv.lo AND p.ts_ms <= iv.hi""".stripMargin
 
+  /** Streaming as-of enrichment: arrival order IS offset order (the fixture
+    * appends sorted by event_id), so "latest click the stream had delivered
+    * before this view" = the lateral lookup on a strictly smaller event_id —
+    * chunking-invariant, hence exactly recomputable in batch SQL. */
+  private val esStreamAsof =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events)
+      |SELECT v.user_id, v.event_id AS offset, v.ts_ms AS t,
+      |       c.moff AS matched_offset, c.mt AS matched_t
+      |FROM e v LEFT JOIN LATERAL (
+      |  SELECT r.event_id AS moff, r.ts_ms AS mt FROM e r
+      |  WHERE r.user_id = v.user_id AND r.event_type = 'click'
+      |    AND r.event_id < v.event_id
+      |  ORDER BY r.event_id DESC LIMIT 1) c ON true
+      |WHERE v.event_type = 'view'""".stripMargin
+
   /** Interval-overlap join as the plain non-equi join the first-cell-emit
     * bucketed Spark plan must exactly reproduce (inclusive ends). */
   private val joinOverlap =
@@ -831,6 +846,7 @@ object Oracles {
     "sim_ivf" -> simIvf,
     "join_salted" -> joinSalted,
     "join_asof" -> joinAsof,
+    "es_stream_asof" -> esStreamAsof,
     "join_range" -> joinRange,
     "join_overlap" -> joinOverlap,
     "sketch_kmv" -> sketchKmv,

@@ -562,6 +562,13 @@ object SparkEntry {
       .select("tok", "true_cnt", "est_cnt")
   }
 
+  /** Streaming as-of enrichment ([[graft.operators.AsOfJoin.streamingEnrich]]):
+    * views enriched with the user's latest already-delivered click across
+    * ~8 rate-limited micro-batches; O(1) GroupState per user. */
+  private def qEsStreamAsof(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamEnrichTable(s, sfDir))
+      .select("user_id", "offset", "t", "matched_offset", "matched_t")
+
   /** Salted skew join: same relation as a plain join (salt never leaks). */
   private def qJoinSalted(s: SparkSession, sfDir: String): DataFrame = {
     Fixtures.tune(s)
@@ -693,6 +700,7 @@ object SparkEntry {
     "es_sessions" -> (qEsSessions _),
     "es_stream_sessions" -> (qEsStreamSessions _),
     "es_stream_join" -> (qEsStreamJoin _),
+    "es_stream_asof" -> (qEsStreamAsof _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_jaccard" -> (qDedupJaccard _),
     "dedup_minhash" -> (qDedupMinHash _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   *  - with `toleranceMs`, matches older than `leftTime - tolerance` are
   *    nulled out (the pandas `merge_asof(tolerance=)` contract).
   */
+/** One row of the union feeding [[AsOfJoin.streamingEnrich]]: `is_right`
+  * marks dimension-version rows; `offset` is the stream's arrival order
+  * (eslog `base_offset`); `t` is carried event time. */
+final case class EnrichEvent(user_id: Long, offset: Long, is_right: Boolean, t: Long)
+
+/** [[AsOfJoin.streamingEnrich]] output: each probe row with the latest
+  * dimension version that had ARRIVED before it (None = no version yet). */
+final case class Enriched(user_id: Long, offset: Long, t: Long,
+                          matched_offset: Option[Long], matched_t: Option[Long])
+
+private[operators] final case class DimVersionState(offset: Long, t: Long)
+
 object AsOfJoin {
 
   /** @param left       probe side; one output row per input row
@@ -82,5 +94,40 @@ object AsOfJoin {
         (when(inTol, col("_t" + rightIdCol)).as("matched_" + rightIdCol) +:
           when(inTol, col("_mtime")).as("matched_" + timeCol) +:
           rightValueCols.map(c => when(inTol, col("_v" + c)).as("matched_" + c))): _*)
+  }
+
+  /** STREAMING as-of enrichment — the online sibling of [[asOf]]: every probe
+    * row is joined to the latest dimension version that had ARRIVED before it
+    * (arrival = stream offset order), the KTable-style enrich-against-current
+    * -state semantic. State per key is ONE version (O(1) — no buffering of
+    * probe rows, no retained history), so key cardinality is the only state
+    * driver at any scale.
+    *
+    * Determinism: an eslog source delivers offsets in order, batches are
+    * sorted per key before folding, and the match rule is strictly
+    * `version.offset < probe.offset` — so the result is IDENTICAL under any
+    * micro-batch chunking, and equals the batch [[asOf]] run on the offset
+    * axis (both facts unit-pinned; the oracle recomputes the rule as a
+    * lateral lookup). */
+  def streamingEnrich(events: Dataset[EnrichEvent]): Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fold(user: Long, it: Iterator[EnrichEvent],
+             state: GroupState[DimVersionState]): Iterator[Enriched] = {
+      val sorted = it.toSeq.sortBy(_.offset)
+      var cur = state.getOption
+      val out = Seq.newBuilder[Enriched]
+      sorted.foreach { e =>
+        if (e.is_right) {
+          if (cur.forall(_.offset < e.offset)) cur = Some(DimVersionState(e.offset, e.t))
+        } else {
+          out += Enriched(user, e.offset, e.t, cur.map(_.offset), cur.map(_.t))
+        }
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 }

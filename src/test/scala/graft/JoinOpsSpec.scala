@@ -67,6 +67,63 @@ class JoinOpsSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("streamingEnrich == batch asOf on the offset axis, across awkward chunk sizes") {
+    import graft.operators.{AsOfJoin, Enriched, EnrichEvent}
+    Fixtures.tune(spark)
+    // eslog stream of interleaved probe/dimension rows, offsets = event ids
+    val ev = spark.read.parquet(sf("events"))
+      .where(col("event_type").isin("view", "click"))
+    val dir = tmpDir("enrich-")
+    graft.eslog.EsLog.create(dir)
+    graft.eslog.EsLog.open(dir, 1L)
+    graft.eslog.EsLog.append(spark, dir, ev.select(
+        col("event_id"),
+        col("props").cast("binary").as("payload"),
+        map(lit("user_id"), col("user_id").cast("string"),
+          lit("event_type"), col("event_type")).as("properties"),
+        expr("ts div 1000000").as("base_timestamp")),
+      1L, sortKey = Some("event_id"), numPartitions = 4)
+
+    // batch expectation: asOf on the offset axis (offsets are unique and the
+    // sides are disjoint, so <= and < coincide). The filtered append relabels
+    // offsets contiguously in event_id order — mirror that relabeling here.
+    val base = ev.withColumn("offset",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("event_id")).cast("long") - 1)
+      .select(col("user_id"), col("offset"),
+        col("event_type"), expr("ts div 1000000").as("t"))
+    val views = base.where(col("event_type") === "view").select("user_id", "offset", "t")
+    val clicks = base.where(col("event_type") === "click")
+      .select(col("user_id"), col("offset"), col("offset").as("rid"), col("t").as("rt"))
+    val expect = AsOfJoin.asOf(views, clicks, "user_id", "offset", "rid", Seq("rt"))
+      .select(col("user_id"), col("offset"), col("t"),
+        col("matched_rid").as("matched_offset"), col("matched_rt").as("matched_t"))
+      .as[Enriched].collect().toSet
+
+    // streaming, twice with different (awkward) chunk sizes
+    def run(perTrigger: Long, qname: String): Set[Enriched] = {
+      val ds = spark.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(dir)
+        .select(col("properties")("user_id").cast("long").as("user_id"),
+          col("base_offset").as("offset"),
+          (col("properties")("event_type") === "click").as("is_right"),
+          col("base_timestamp").as("t"))
+        .as[EnrichEvent]
+      val q = AsOfJoin.streamingEnrich(ds).toDF()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table(qname).as[Enriched].collect().toSet
+    }
+    val a = run(7L, "enrich_a")
+    val b = run(173L, "enrich_b")
+    assert(a === expect)
+    assert(b === expect)
+  }
+
   // ---- range join ----
 
   test("pointInInterval matches the naive non-equi join, including edges") {
