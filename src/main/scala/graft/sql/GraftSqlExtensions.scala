@@ -28,6 +28,8 @@ import graft.operators.Similarity
   *  - `graft_lsh_bucket(v, t, planes, dim)` — hyperplane-LSH sign bucket
   *    (t/planes/dim: literal ints; same Rademacher family as
   *    [[graft.operators.Similarity.lshBucket]])
+  *  - `graft_kmv(hash, k)`       — KMV distinct-count sketch AGGREGATE: the
+  *    k smallest distinct hashes, ascending (bounded state, map-side partials)
   *
   * Table functions (FROM-clause access to eslog streams — the SQL analogue
   * of the reference's FETCH/LIST_RANGE client calls):
@@ -106,6 +108,14 @@ object GraftFunctions {
           else Portable.hash60(literalInt(args(0), "graft_hash60", "seed"),
             GraftShims.column(args(1)))
         GraftShims.convertedExpr(c) }),
+    (FunctionIdentifier("graft_kmv"),
+      info("graft_kmv",
+        "graft_kmv(hash_col, k) - KMV sketch: the k smallest distinct BIGINT values, ascending array (k literal)"),
+      (args: Seq[Expression]) => { arity("graft_kmv", args, 2)
+        val k = literalInt(args(1), "graft_kmv", "k")
+        // an AggregateFunction from a registry builder is wrapped in its
+        // AggregateExpression by the analyzer (the built-in registration path)
+        org.apache.spark.sql.graftshim.KmvAgg(args(0), k) }),
     (FunctionIdentifier("graft_lsh_bucket"),
       info("graft_lsh_bucket",
         "graft_lsh_bucket(vec, table, planes, dim) - hyperplane-LSH sign bucket (table/planes/dim literal ints)"),

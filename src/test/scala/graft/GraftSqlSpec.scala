@@ -62,6 +62,24 @@ class GraftSqlSpec extends SparkTestBase {
     assert(viaSql.map(_.toSeq).toSet == viaDf.map(_.toSeq).toSet)
   }
 
+  test("graft_kmv aggregate from SQL matches the operator path") {
+    Fixtures.tune(spark)
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """WITH t AS (SELECT lang, explode(split(text, ' ')) AS tok FROM docs_sql)
+        |SELECT lang, graft_kmv(graft_hash60(tok), 32) AS ks
+        |FROM t WHERE tok <> '' GROUP BY lang""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val viaOp = graft.operators.Sketch.kmvKeptHashes(docs, Seq("lang"), col("tok"), 32)
+      .groupBy("lang").agg(sort_array(collect_list("_h")).as("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql.keySet === viaOp.keySet)
+    viaSql.keySet.foreach { lang => assert(viaSql(lang) === viaOp(lang), lang) }
+  }
+
   test("bad calls fail at analysis: wrong arity, non-literal config args") {
     intercept[Exception] { spark.sql("SELECT graft_dot(array(1.0d))").collect() }
     intercept[Exception] {
