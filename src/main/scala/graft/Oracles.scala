@@ -412,6 +412,16 @@ object Oracles {
     s"""SELECT doc_id FROM documents
        |WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 3""".stripMargin
 
+  /** k-per-group sample as the window formulation (the Spark side runs the
+    * bounded-state aggregate — hash-match proves the two paths equal). */
+  private val sampleTopkGroup = {
+    val h = H.hash60Sql(7, "CAST(doc_id AS VARCHAR)")
+    s"""WITH r AS (SELECT lang, doc_id,
+       |  row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rn
+       |  FROM documents)
+       |SELECT lang, doc_id FROM r WHERE rn <= 20""".stripMargin
+  }
+
   private val sampleStratified = {
     val h = H.hash60Sql("CAST(doc_id AS VARCHAR)")
     s"""SELECT doc_id, lang FROM documents
@@ -829,6 +839,7 @@ object Oracles {
     "decontaminate" -> decontaminate,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
+    "sample_topk_group" -> sampleTopkGroup,
     "shuffle_shards" -> shuffleShards,
     "text_tfidf" -> textTfidf,
     "text_filter" -> textFilter,

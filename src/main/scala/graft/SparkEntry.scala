@@ -353,6 +353,13 @@ object SparkEntry {
       Seq("en" -> ((1, 10)), "de" -> ((1, 2))))
       .select("doc_id", "lang")
 
+  /** Deterministic 20-per-language sample through the bounded-state TopKAgg
+    * (seeded hash minima); the oracle recomputes the window twin, so the
+    * hash-match proves aggregate == window end-to-end. */
+  private def qSampleTopkGroup(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.sampleKPerGroup(Fixtures.documents(s, sfDir),
+      Seq("lang"), "doc_id", k = 20, seed = 7)
+
   /** Deterministic seeded corpus shuffle: (shard, shard_pos) read order is a
     * reproducible permutation, parallel across shards. */
   private def qShuffleShards(s: SparkSession, sfDir: String): DataFrame =
@@ -718,6 +725,7 @@ object SparkEntry {
     "decontaminate" -> (qDecontaminate _),
     "sample_hash" -> (qSampleHash _),
     "sample_stratified" -> (qSampleStratified _),
+    "sample_topk_group" -> (qSampleTopkGroup _),
     "shuffle_shards" -> (qShuffleShards _),
     "text_tfidf" -> (qTextTfidf _),
     "text_filter" -> (qTextFilter _),

@@ -61,6 +61,43 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** Deterministic k-per-group sample: the k rows whose seeded hash60 is
+    * smallest within each group — a uniform-without-replacement draw that is
+    * reproducible across runs, engines and cluster sizes, with a fresh
+    * independent draw per seed.
+    *
+    * Runs on the bounded-state [[org.apache.spark.sql.graftshim.TopKAgg]]
+    * aggregate: O(k) state per group per partition, map-side partials — the
+    * scale path for per-group sampling, where the window formulation
+    * (`row_number() <= k` over the hash) shuffles and sorts EVERY row of
+    * every group. Output: (groupCols..., idCol) of the selected rows; join
+    * back on the id for payloads. Unit-pinned equal to the window twin. */
+  def sampleKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                      k: Int, seed: Int = 0): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShims, TopKAgg}
+    require(k >= 1, "k must be at least 1")
+    val grp = groupCols.map(col)
+    val pairs = GraftShims.column(TopKAgg(
+      GraftShims.expr(Portable.hash60(seed, col(idCol).cast("string"))),
+      GraftShims.expr(col(idCol).cast("long")), k).toAggregateExpression())
+    OpUtil.rebalance(df)
+      .groupBy(grp: _*).agg(pairs.as("_sel"))
+      .select(grp :+ explode(col("_sel")).as("_e"): _*)
+      .select(grp :+ col("_e.v").as(idCol): _*)
+  }
+
+  /** The [[sampleKPerGroup]] window twin — the declarative formulation used
+    * by the oracle and the equivalence unit test. */
+  def sampleKPerGroupViaWindow(df: DataFrame, groupCols: Seq[String],
+                               idCol: String, k: Int, seed: Int = 0): DataFrame = {
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*)
+      .orderBy(Portable.hash60(seed, col(idCol).cast("string")).asc, col(idCol).asc)
+    df.select(grp :+ col(idCol).cast("long").as(idCol): _*)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Greedy contiguous sequence packing: documents, in `idCol` order, are
     * assigned to consecutive packs of ~`tokensPerPack` whitespace tokens; a
     * document never splits, so a pack may overflow by at most one document

@@ -214,6 +214,39 @@ class JoinOpsSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("sampleKPerGroup (TopKAgg): equals the window twin; seeds independent") {
+    import graft.operators.Sampling
+    val data = (0 until 20000).map(i => (s"g${i % 5}", i.toLong)).toDF("g", "id")
+    val viaAgg = Sampling.sampleKPerGroup(data, Seq("g"), "id", k = 50, seed = 7)
+      .as[(String, Long)].collect().toSet
+    val viaWin = Sampling.sampleKPerGroupViaWindow(data, Seq("g"), "id", k = 50, seed = 7)
+      .as[(String, Long)].collect().toSet
+    assert(viaAgg === viaWin)
+    assert(viaAgg.size === 250)
+    // a different seed draws a (near-certainly) different sample
+    val other = Sampling.sampleKPerGroup(data, Seq("g"), "id", k = 50, seed = 8)
+      .as[(String, Long)].collect().toSet
+    assert(other !== viaAgg)
+    // bounded-state plan, not a window sort
+    val p = Sampling.sampleKPerGroup(data, Seq("g"), "id", k = 50, seed = 7)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("TopKAgg merge survives duplicates below the running max (regression)") {
+    // two partitions that share small pairs: the ascending-merge early exit
+    // must not stop on a duplicate that is smaller than the current max
+    val data = ((0 until 100) ++ (0 until 100)).map(i => ("g", i.toLong)).toDF("g", "id")
+      .repartition(7)
+    val got = graft.operators.Sampling.sampleKPerGroup(data, Seq("g"), "id", k = 10, seed = 1)
+      .as[(String, Long)].collect().toSet
+    val want = graft.operators.Sampling
+      .sampleKPerGroupViaWindow(data.distinct(), Seq("g"), "id", k = 10, seed = 1)
+      .as[(String, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("CMS: never underestimates, exact on unique-slot corpora; shards merge by sum") {
     val docs = (0 until 1000).map(i => s"tok${i % 7}").toDF("v")
     val sk = Sketch.cmsSketch(docs, col("v"))
