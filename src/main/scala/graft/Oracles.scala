@@ -640,6 +640,26 @@ object Oracles {
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
 
+  /** Discrete quantiles: value at rank floor((n-1)p/1000) — integer rank
+    * arithmetic mirrored exactly ([[graft.operators.Stats.quantilesDisc]]). */
+  private val statsQuantiles =
+    """WITH s AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+      |r AS (SELECT l_returnflag, qty,
+      |       row_number() OVER (PARTITION BY l_returnflag ORDER BY qty) - 1 AS rn,
+      |       count(*) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM s),
+      |p AS (SELECT CAST(unnest([0, 250, 500, 750, 1000]) AS BIGINT) AS permille)
+      |SELECT l_returnflag, permille, qty AS q_value
+      |FROM r JOIN p ON rn = ((n - 1) * permille) // 1000""".stripMargin
+
+  private val statsHistogram = {
+    val b = graft.operators.RangeJoin.floorDivSql("v", 50)
+    s"""WITH t AS (SELECT event_type, CAST(round(value) AS BIGINT) AS v FROM events),
+       |b AS (SELECT event_type, $b AS bucket FROM t)
+       |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n, bucket * 50 AS bucket_lo
+       |FROM b GROUP BY 1, 2""".stripMargin
+  }
+
   private val joinSalted =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, sum(l_quantity) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -855,6 +875,8 @@ object Oracles {
     "sim_lsh" -> simLsh,
     "dedup_embedding" -> dedupEmbedding,
     "sim_ivf" -> simIvf,
+    "stats_quantiles" -> statsQuantiles,
+    "stats_histogram" -> statsHistogram,
     "join_salted" -> joinSalted,
     "join_asof" -> joinAsof,
     "es_stream_asof" -> esStreamAsof,

@@ -608,6 +608,23 @@ object SparkEntry {
       Multimodal.decodeFeatures(
         Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text")))
 
+  /** Exact per-group discrete quantiles of l_quantity (min/quartiles/max as
+    * permille ranks) — order statistics with a portable integer rank rule. */
+  private def qStatsQuantiles(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    val li = s.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+    graft.operators.Stats.quantilesDisc(li, Seq("l_returnflag"), "qty",
+      permille = Seq(0, 250, 500, 750, 1000))
+  }
+
+  /** Fixed-width histogram of rounded event values per event type. */
+  private def qStatsHistogram(s: SparkSession, sfDir: String): DataFrame = {
+    val ev = Fixtures.events(s, sfDir)
+      .select(col("event_type"), round(col("value")).cast("long").as("v"))
+    graft.operators.Stats.histogram(ev, Seq("event_type"), "v", width = 50L)
+  }
+
   // ----------------------------------------------------------- relational --
 
   private def qLineitemAgg(s: SparkSession, sfDir: String): DataFrame = {
@@ -750,6 +767,8 @@ object SparkEntry {
     "sketch_cms" -> (qSketchCms _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
+    "stats_quantiles" -> (qStatsQuantiles _),
+    "stats_histogram" -> (qStatsHistogram _),
     "lineitem_agg" -> (qLineitemAgg _),
     "join_agg" -> (qJoinAgg _),
     "topk_orders" -> (qTopKOrders _),

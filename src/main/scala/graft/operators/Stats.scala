@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-statistics operators with engine-exact output: discrete quantiles
+  * and fixed-width histograms. Both are single-shuffle plans whose results
+  * are integers or existing input values — no interpolation, no floats
+  * manufactured by the engine — so an independent SQL engine reproduces
+  * them bit-for-bit.
+  */
+object Stats {
+
+  /** Exact per-group DISCRETE quantiles: for each requested permille p, the
+    * value at sorted rank `floor((n-1) * p / 1000)` — an existing input
+    * value (type-preserving), the `percentile_disc` rule. Duplicate values
+    * make the rank→value mapping well-defined regardless of their internal
+    * order, so the result is deterministic with no tie-break column.
+    *
+    * Plan: ONE hash shuffle on the group key + per-group sort (the
+    * sort-merge shape), ranks and counts from the same window pass, then a
+    * rank filter — no second aggregate, no driver work. For sketch-based
+    * approximate quantiles at extreme group sizes Spark's own
+    * `percentile_approx` exists; this operator is the exact, portable form. */
+  def quantilesDisc(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 0 && p <= 1000),
+      "permille values must be in [0, 1000]")
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(col(valueCol).asc)
+    val wAll = Window.partitionBy(grp: _*)
+    df.select(grp :+ col(valueCol): _*)
+      .withColumn("_rn", row_number().over(w).cast("long") - 1)
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("permille",
+        explode(array(permille.distinct.sorted.map(p => lit(p.toLong)): _*)))
+      .where(col("_rn") ===
+        call_function("div", (col("_n") - 1) * col("permille"), lit(1000L)))
+      .select(grp :+ col("permille") :+ col(valueCol).as("q_value"): _*)
+  }
+
+  /** Fixed-width integer histogram per group: bucket = floor(value / width)
+    * over an integral column, one hash aggregate with map-side combine.
+    * Emits only non-empty buckets (join a bucket spine downstream for dense
+    * output). */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                width: Long): DataFrame = {
+    require(width > 0, "width must be positive")
+    val grp = groupCols.map(col)
+    df.select(grp :+ RangeJoin.floorDiv(col(valueCol).cast("long"), width).as("bucket"): _*)
+      .groupBy(grp :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", col("bucket") * width)
+  }
+}

@@ -175,6 +175,21 @@ class JoinOpsSpec extends SparkTestBase {
     assert(got.length === want.size, s"duplicates emitted: $got") // exactly once each
   }
 
+  test("quantilesDisc picks exact order statistics; histogram floors negatives") {
+    import graft.operators.Stats
+    val data = (1L to 100L).map(v => ("a", v)).toDF("g", "v")
+    val q = Stats.quantilesDisc(data, Seq("g"), "v", Seq(0, 500, 1000))
+      .select("permille", "q_value").as[(Long, Long)].collect().toMap
+    // ranks over 1..100: p0 -> rank 0 = 1; p500 -> rank 49 = 50; p1000 -> rank 99 = 100
+    assert(q === Map(0L -> 1L, 500L -> 50L, 1000L -> 100L))
+
+    val h = Stats.histogram(Seq(("a", -1L), ("a", 0L), ("a", 49L), ("a", 50L), ("a", -50L))
+        .toDF("g", "v"), Seq("g"), "v", width = 50L)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    // -1 floors to bucket -1 (not 0); -50 to bucket -1
+    assert(h === Map(-1L -> 2L, 0L -> 2L, 1L -> 1L))
+  }
+
   // ---- sketches ----
 
   test("KMV: exact below k, estimate within 1/sqrt(k-2) bounds above k") {
