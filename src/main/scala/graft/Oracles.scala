@@ -640,6 +640,29 @@ object Oracles {
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
 
+  /** PIVOT as conditional aggregation (Spark's explicit-value pivot plans
+    * to exactly this single aggregate). */
+  private val pivotOrders = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val cols = prios.zipWithIndex.map { case (p, i) =>
+      s"CAST(count(*) FILTER (WHERE o_orderpriority = '$p') AS BIGINT) AS p$i" }
+      .mkString(",\n  ")
+    s"""SELECT o_orderstatus,
+       |  $cols
+       |FROM orders GROUP BY 1""".stripMargin
+  }
+
+  private val windowRunning =
+    """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders WHERE o_custkey % 10 = 0)
+      |SELECT o_custkey, o_orderkey, cents,
+      |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+      |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                   ROWS UNBOUNDED PRECEDING) AS run_cents,
+      |  lag(o_orderkey, 1) OVER w AS prev_order
+      |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   /** Discrete quantiles: value at rank floor((n-1)p/1000) — integer rank
     * arithmetic mirrored exactly ([[graft.operators.Stats.quantilesDisc]]). */
   private val statsQuantiles =
@@ -875,6 +898,8 @@ object Oracles {
     "sim_lsh" -> simLsh,
     "dedup_embedding" -> dedupEmbedding,
     "sim_ivf" -> simIvf,
+    "pivot_orders" -> pivotOrders,
+    "window_running" -> windowRunning,
     "stats_quantiles" -> statsQuantiles,
     "stats_histogram" -> statsHistogram,
     "join_salted" -> joinSalted,

@@ -672,6 +672,38 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"))
   }
 
+  /** PIVOT surface: order counts and quantity sums per market segment,
+    * pivoted on order priority (explicit value list keeps the plan one
+    * aggregate, no distinct-values pre-pass). */
+  private def qPivotOrders(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    val orders = s.read.parquet(s"$sfDir/orders.parquet")
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    orders.groupBy("o_orderstatus")
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +: prios.zipWithIndex.map { case (p, i) =>
+        coalesce(col(s"`$p`"), lit(0L)).as(s"p$i") }: _*)
+  }
+
+  /** Running-window analytics: per-customer cumulative order value and order
+    * sequence number in date order — lag/rank/cumulative-sum in one window
+    * pass (cents-integer money so the running sum is engine-exact). */
+  private def qWindowRunning(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    s.read.parquet(s"$sfDir/orders.parquet")
+      .where(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("order_seq", row_number().over(w).cast("long"))
+      .withColumn("run_cents", sum("cents").over(run))
+      .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+      .drop("o_orderdate")
+  }
+
   /** Anti join: customers with no orders. */
   private def qCustomersNoOrders(s: SparkSession, sfDir: String): DataFrame = {
     Fixtures.tune(s)
@@ -774,6 +806,8 @@ object SparkEntry {
     "topk_orders" -> (qTopKOrders _),
     "region_chain" -> (qRegionChain _),
     "rollup_orders" -> (qRollupOrders _),
+    "pivot_orders" -> (qPivotOrders _),
+    "window_running" -> (qWindowRunning _),
     "customers_no_orders" -> (qCustomersNoOrders _))
 
   def oracleSql: Map[String, String] = Oracles.all
