@@ -30,6 +30,8 @@ import graft.operators.Similarity
   *    [[graft.operators.Similarity.lshBucket]])
   *  - `graft_kmv(hash, k)`       — KMV distinct-count sketch AGGREGATE: the
   *    k smallest distinct hashes, ascending (bounded state, map-side partials)
+  *  - `graft_topk(key, val, k)`  — bounded-state top-k AGGREGATE: k smallest
+  *    distinct (key, payload) pairs as ascending struct<k,v> array
   *
   * Table functions (FROM-clause access to eslog streams — the SQL analogue
   * of the reference's FETCH/LIST_RANGE client calls):
@@ -116,6 +118,12 @@ object GraftFunctions {
         // an AggregateFunction from a registry builder is wrapped in its
         // AggregateExpression by the analyzer (the built-in registration path)
         org.apache.spark.sql.graftshim.KmvAgg(args(0), k) }),
+    (FunctionIdentifier("graft_topk"),
+      info("graft_topk",
+        "graft_topk(sort_key, payload, k) - k lexicographically smallest distinct (key, payload) BIGINT pairs, ascending array of struct<k,v> (k literal)"),
+      (args: Seq[Expression]) => { arity("graft_topk", args, 3)
+        val k = literalInt(args(2), "graft_topk", "k")
+        org.apache.spark.sql.graftshim.TopKAgg(args(0), args(1), k) }),
     (FunctionIdentifier("graft_lsh_bucket"),
       info("graft_lsh_bucket",
         "graft_lsh_bucket(vec, table, planes, dim) - hyperplane-LSH sign bucket (table/planes/dim literal ints)"),

@@ -80,6 +80,21 @@ class GraftSqlSpec extends SparkTestBase {
     viaSql.keySet.foreach { lang => assert(viaSql(lang) === viaOp(lang), lang) }
   }
 
+  test("graft_topk aggregate from SQL matches the sampler path") {
+    Fixtures.tune(spark)
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_topk")
+    val viaSql = spark.sql(
+      """SELECT lang, transform(
+        |  graft_topk(graft_hash60(7, CAST(doc_id AS STRING)), doc_id, 20), e -> e.v) AS ids
+        |FROM docs_topk GROUP BY lang""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaOp = graft.operators.Sampling.sampleKPerGroup(
+        spark.read.parquet(sf("documents")), Seq("lang"), "doc_id", k = 20, seed = 7)
+      .groupBy("lang").agg(collect_set("doc_id").as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(viaSql === viaOp)
+  }
+
   test("bad calls fail at analysis: wrong arity, non-literal config args") {
     intercept[Exception] { spark.sql("SELECT graft_dot(array(1.0d))").collect() }
     intercept[Exception] {
