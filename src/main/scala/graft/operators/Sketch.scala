@@ -124,6 +124,14 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge shard sketches built with identical (depth, width): cell-wise sum
+    * — the CMS merge law (unit-pinned equal to sketching the union). Build
+    * per shard/day/source, persist the tiny grids, merge on demand. */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_.unionByName(_)).groupBy("d", "slot").agg(sum("cnt").as("cnt"))
+  }
+
   /** Point-frequency estimates from a [[cmsSketch]]: for each candidate row,
     * `est = min` over the depth cells its value hashes to — the classic CMS
     * read, never an underestimate. The sketch side is `depth × width` rows,

@@ -273,8 +273,8 @@ class JoinOpsSpec extends SparkTestBase {
 
     // shard-wise build: cell-wise sum of shard sketches == whole-corpus sketch
     val (s1, s2) = (docs.where(expr("substr(v, 4) < '4'")), docs.where(expr("substr(v, 4) >= '4'")))
-    val mergedCells = Sketch.cmsSketch(s1, col("v")).union(Sketch.cmsSketch(s2, col("v")))
-      .groupBy("d", "slot").agg(sum("cnt").as("cnt"))
+    val mergedCells = Sketch.cmsMerge(Seq(
+      Sketch.cmsSketch(s1, col("v")), Sketch.cmsSketch(s2, col("v"))))
     val whole = sk.select("d", "slot", "cnt").as[(Int, Long, Long)].collect().toSet
     val merged = mergedCells.select("d", "slot", "cnt").as[(Int, Long, Long)].collect().toSet
     assert(merged === whole)
