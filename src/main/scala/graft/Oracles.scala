@@ -519,9 +519,11 @@ object Oracles {
   }
 
   private val textPack =
-    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    """SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |  CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER
-      |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
       |    // 512 AS pack_id
       |FROM documents""".stripMargin
 
@@ -621,10 +623,12 @@ object Oracles {
        |FROM cand WHERE ${cosineSql("va", "vb")} >= 0.45""".stripMargin
   }
 
-  private val simIvf =
+  /** IVF search oracle, parameterized on the coarse-quantizer source:
+    * `centSql` must yield `(cid BIGINT, cvec DOUBLE[])`. */
+  private def ivfSql(centSql: String): String =
     s"""WITH c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
-       |cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cent AS ($centSql),
        |cc AS (SELECT nid, nvec, cid,
        |         row_number() OVER (PARTITION BY nid ORDER BY ${cosineSql("nvec", "cvec")} DESC, cid ASC) AS r
        |       FROM c, cent),
@@ -640,6 +644,22 @@ object Oracles {
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
 
+  private val simIvf = ivfSql(
+    "SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings ORDER BY vec_id LIMIT 16")
+
+  /** Oracle for the k-means IVF variant: the driver-computed centroids are
+    * deterministic literals ([[graft.operators.Similarity.kmeansCentroids]]),
+    * so splicing them into a VALUES quantizer reproduces the search
+    * bit-for-bit — double literals round-trip exactly through
+    * `Double.toString` / SQL parse. Generated AFTER the query runs
+    * ([[SparkEntry.oracleSql]] is dumped last by [[Verify]]). */
+  def simIvfKmeansSql(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      s"(CAST($i AS BIGINT), [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    ivfSql(s"SELECT * FROM (VALUES\n    $rows) AS t(cid, cvec)")
+  }
+
   /** PIVOT as conditional aggregation (Spark's explicit-value pivot plans
     * to exactly this single aggregate). */
   private val pivotOrders = {
@@ -652,14 +672,18 @@ object Oracles {
        |FROM orders GROUP BY 1""".stripMargin
   }
 
+  /** DuckDB's `sum(BIGINT)` widens to HUGEINT (int128), which a pandas/arrow
+    * fetch renders as float64 — hash-diverging from Spark's int64 even when
+    * every value matches. Every BIGINT-sum an oracle exposes must be CAST back
+    * to BIGINT. */
   private val windowRunning =
     """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
       |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       |           FROM orders WHERE o_custkey % 10 = 0)
       |SELECT o_custkey, o_orderkey, cents,
       |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
-      |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |                   ROWS UNBOUNDED PRECEDING) AS run_cents,
+      |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
       |  lag(o_orderkey, 1) OVER w AS prev_order
       |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 

@@ -426,9 +426,14 @@ object SparkEntry {
 
   /** Greedy 512-token sequence packing in doc order (global here; shardCol
     * is the 100 TB path). */
+  /** Greedy sequence packing, SHARDED: the cumulative-token window runs per
+    * `doc_id % 8` shard (embarrassingly parallel), never as a partition-less
+    * global window — the registry plan sweep in PlanAuditSpec rejects the
+    * unsharded form. Pack ids are unique as (shard, pack_id). */
   private def qTextPack(s: SparkSession, sfDir: String): DataFrame =
-    graft.operators.Sampling.packGreedy(Fixtures.documents(s, sfDir), "doc_id", "text",
-      tokensPerPack = 512)
+    graft.operators.Sampling.packGreedy(
+      Fixtures.documents(s, sfDir).withColumn("shard", pmod(col("doc_id"), lit(8L))),
+      "doc_id", "text", tokensPerPack = 512, shardCol = Some("shard"))
 
   /** Int8 embedding quantization: per-vector scale + signed-byte codes,
     * byte-exact across engines. The codes are exploded to one scalar row per
@@ -487,14 +492,20 @@ object SparkEntry {
       k = 5, nlist = 16, nprobe = 4)
   }
 
-  /** IVF with driver-side deterministic k-means centroids. The iterative
-    * float averaging is not reproducible in portable SQL, so this entry has
-    * no oracle (driver records rows-only); SimilaritySpec asserts recall
-    * >= 0.9 against the exact top-k instead. */
+  /** IVF with driver-side deterministic k-means centroids. The centroids are
+    * deterministic literals, so they double as the oracle's coarse quantizer:
+    * the query stashes them here and [[oracleSql]] (dumped by [[Verify]]
+    * AFTER the queries run) splices them into generated SQL — closing the
+    * one registered query that used to be rows-only. SimilaritySpec
+    * additionally asserts recall >= 0.9 against the exact top-k. */
+  @volatile private var kmeansCents: Option[Array[Array[Double]]] = None
+
   private def qSimIvfKmeans(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
-    Similarity.ivfTopKKmeans(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 4)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 16)
+    kmeansCents = Some(cents)
+    Similarity.ivfTopKWith(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, cents, nprobe = 4)
   }
 
   /** Backward as-of join: each view event picks the user's most recent click
@@ -555,16 +566,18 @@ object SparkEntry {
   }
 
   /** Count-min frequency estimates for the corpus's true top-10 tokens:
-    * `est_cnt >= true_cnt` always, both deterministic integers. */
+    * `est_cnt >= true_cnt` always, both deterministic integers. Candidate
+    * selection is `orderBy(...).limit(10)` — Spark plans it as
+    * `TakeOrderedAndProject` (per-partition partial top-k, merged on the
+    * driver), NOT a partition-less window, which would sort every distinct
+    * token in the corpus on a single partition. */
   private def qSketchCms(s: SparkSession, sfDir: String): DataFrame = {
     val toks = Fixtures.documents(s, sfDir)
       .select(explode(Portable.words(col("text"))).as("tok"))
       .where(col("tok") =!= "")
     val sketch = Sketch.cmsSketch(toks, col("tok"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("true_cnt").desc, col("tok").asc)
     val candidates = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
-      .withColumn("rk", row_number().over(w)).where(col("rk") <= 10).drop("rk")
+      .orderBy(col("true_cnt").desc, col("tok").asc).limit(10)
     Sketch.cmsEstimate(candidates, col("tok"), sketch)
       .select("tok", "true_cnt", "est_cnt")
   }
@@ -810,5 +823,11 @@ object SparkEntry {
     "window_running" -> (qWindowRunning _),
     "customers_no_orders" -> (qCustomersNoOrders _))
 
-  def oracleSql: Map[String, String] = Oracles.all
+  /** Static oracles plus the one data-dependent entry: `sim_ivf_kmeans`'s
+    * quantizer literals exist only after [[qSimIvfKmeans]] ran in this JVM
+    * ([[Verify]] dumps oracles last, so the driver flow always has them;
+    * absent, the entry is omitted and the driver records rows-only as
+    * before). */
+  def oracleSql: Map[String, String] =
+    Oracles.all ++ kmeansCents.map(c => "sim_ivf_kmeans" -> Oracles.simIvfKmeansSql(c))
 }

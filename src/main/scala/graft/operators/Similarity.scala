@@ -217,13 +217,22 @@ object Similarity {
     * clustered data. Same bucketed plan as [[ivfTopK]]. */
   def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                    sampleN: Int = 4096, iters: Int = 5): DataFrame = {
+                    sampleN: Int = 4096, iters: Int = 5): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      kmeansCentroids(corpus, idCol, vecCol, nlist, sampleN, iters), nprobe)
+
+  /** [[ivfTopKKmeans]] with caller-supplied centroids (index `i` becomes cell
+    * id `i`): lets a caller compute [[kmeansCentroids]] once and reuse the
+    * exact same literals elsewhere — e.g. to generate an oracle query that
+    * reproduces the search bit-for-bit. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, cents: Array[Array[Double]],
+                  nprobe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, sampleN, iters)
-      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+    val cdf = cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
       .toDF("cid", "cvec")
-    ivfWithCentroids(corpus, queries, idCol, vecCol, k, cents, nprobe)
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, cdf, nprobe)
   }
 
   /** Rank `cents` cells for each row of `df` by cosine: broadcast centroid

@@ -135,7 +135,12 @@ object Sketch {
   /** Point-frequency estimates from a [[cmsSketch]]: for each candidate row,
     * `est = min` over the depth cells its value hashes to — the classic CMS
     * read, never an underestimate. The sketch side is `depth × width` rows,
-    * so the join broadcasts regardless of corpus size. */
+    * so the join broadcasts regardless of corpus size. The join is a LEFT
+    * join with absent cells counted 0: a persisted/merged shard sketch is
+    * sparse (cells nobody hashed to are simply missing rows), so a candidate
+    * absent from the sketched corpus estimates 0 — and still produces a row —
+    * rather than being silently dropped, and a partially-absent candidate's
+    * min runs over all `depth` cells. */
   def cmsEstimate(candidates: DataFrame, value: Column, sketch: DataFrame,
                   depth: Int = 4, width: Int = 1024): DataFrame = {
     val hm = Portable.uhashBase(value)
@@ -143,7 +148,8 @@ object Sketch {
       struct(lit(i).as("d"), (Portable.uhash(i, hm) % width).as("slot"))): _*)))
       .select(candidates.columns.map(col) :+ col("cell.d").as("d") :+
         col("cell.slot").as("slot"): _*)
-    cells.join(broadcast(sketch), Seq("d", "slot"))
+    cells.join(broadcast(sketch), Seq("d", "slot"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy(candidates.columns.map(col): _*)
       .agg(min(col("cnt")).as("est_cnt"))
   }

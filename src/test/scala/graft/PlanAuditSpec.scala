@@ -370,6 +370,45 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p2.contains("HashAggregate") && p2.contains("partial_min"), p2)
   }
 
+  test("registry sweep: no cartesian, no unexpected nested-loop join, no partition-less window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LocalRelation, OneRowRelation, Window => LWindow}
+    // Nested-loop joins whose broadcast side is bounded by construction are
+    // deliberate and documented on the operator:
+    //  - sim_exact / sql_topk: brute-force ANN broadcasts the (tiny) query
+    //    set — the baseline the bucketed variants are judged against.
+    //  - sim_ivf / sim_ivf_kmeans: the coarse-quantizer pass broadcasts the
+    //    nlist-row centroid table (Similarity.rankCells) — bounded by nlist.
+    //  - text_tfidf / text_filter / pipeline_export: a single-row corpus-N
+    //    scalar (count aggregate) cross-joined onto the term relation.
+    val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
+      "text_tfidf", "text_filter", "pipeline_export")
+    val sfDir = "/root/testdata/sf0.001"
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val opt = df.queryExecution.optimizedPlan
+      // A Window with an empty partition spec moves EVERYTHING to one
+      // partition — a scale-killer unless its input is already bounded
+      // (descends from a Limit or a literal/local relation). Global Sort is
+      // deliberately NOT flagged: Spark range-partitions it (distributed),
+      // and orderBy+limit becomes TakeOrderedAndProject.
+      opt.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val bounded = w.child.collectFirst {
+            case _: GlobalLimit => (); case _: LocalLimit => ()
+            case _: LocalRelation => (); case _: OneRowRelation => ()
+          }.isDefined
+          if (!bounded) failures += s"$name: partition-less Window over unbounded input"
+        case _ =>
+      }
+      val phys = df.queryExecution.executedPlan.toString
+      if (phys.contains("CartesianProduct")) failures += s"$name: CartesianProduct"
+      if (phys.contains("BroadcastNestedLoopJoin") && !bnljOk(name))
+        failures += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
   test("eslog scan projection prunes columns down to the parquet reader") {
     val dir = tmpDir("plan-prune-")
     graft.eslog.EsLog.create(dir)
