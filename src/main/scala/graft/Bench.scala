@@ -84,13 +84,19 @@ object Bench {
       try body catch { case _: Throwable => () } // failure surfaces timed
       val runs = (1 to 3).flatMap { _ =>
         timed(name)(body); results.remove(name)
-      }.sorted
-      results(name) = if (runs.isEmpty) -1.0 else runs(runs.size / 2)
-      best(name) = if (runs.isEmpty) -1.0 else runs.head
+      }
+      val ok = runs.filter(_ >= 0).sorted
+      // any failed run is loud: the median slot reports -1.0 rather than the
+      // median of the survivors masking it; best-of keeps the surviving min
+      // so a flaky-once query is still distinguishable from a dead one
+      results(name) = if (ok.size == runs.size && ok.nonEmpty) ok(ok.size / 2) else -1.0
+      best(name) = if (ok.nonEmpty) ok.head else -1.0
     }
 
-    // -- ingest path: append-commit throughput (eslog write) --
-    timed("append_events") { Fixtures.eventsStream(spark, sfDir); () }
+    // -- ingest path: append-commit throughput (eslog write). Median of three
+    //    over FRESH stream dirs — the memoized fixture would time a no-op on
+    //    re-run, making the figure single-shot (unfalsifiable vs host noise) --
+    timedMedian("append_events") { Fixtures.eventsStreamFresh(spark, sfDir); () }
     val payloadBytes = Fixtures.events(spark, sfDir)
       .agg(sum(octet_length(col("props")))).collect().head.getLong(0)
     val nEvents = Fixtures.events(spark, sfDir).count()
@@ -153,8 +159,11 @@ object Bench {
         .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
     }
 
-    // -- streaming path: source->sink drain (rate-limited, exactly-once) --
-    timed("stream_roundtrip") { Fixtures.streamRoundtrip(spark, sfDir); () }
+    // -- streaming path: source->sink drain (rate-limited, exactly-once).
+    //    Source stream built untimed; each timed run drains it into a fresh
+    //    sink + fresh checkpoint (median of three, same protocol as the rest) --
+    Fixtures.eventsStream(spark, sfDir)
+    timedMedian("stream_roundtrip") { Fixtures.streamRoundtripFresh(spark, sfDir); () }
 
     // -- scan path: full scan + hash aggregate (reads every payload byte) --
     timedMedian("scan_events") {
@@ -211,6 +220,10 @@ object Bench {
     // median is the steady-state rate. Mean rides alongside for comparison.
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","append_mbps":${f3(medianMbps)}""" +
+      // key semantics: since r5, append_mbps = MEDIAN per-commit rate (was
+      // whole-window mean through r4 — compare cross-round deltas against the
+      // matching definition; the mean still rides alongside)
+      s""","append_mbps_def":"median_per_commit_64k"""" +
       s""","append_mbps_mean":${f3(mbps("append_64k_steady", nCommits * payload64k))}""" +
       s""","append_mbps_median":${f3(medianMbps)}""" +
       s""","append_mbps_max":${f3(maxMbps)}""" +

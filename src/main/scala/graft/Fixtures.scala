@@ -62,19 +62,29 @@ object Fixtures {
   /** The flagship two-segment stream: first half of events under epoch 1,
     * seal-on-reopen, second half under epoch 2. base_offset == event_id. */
   def eventsStream(s: SparkSession, sfDir: String): String =
-    fixture(sfDir, "events") { dir =>
-      val in = eventBatches(s, sfDir)
-      val n = in.count()
-      val k = n / 2
-      EsLog.create(dir, streamId = 42L)
-      EsLog.open(dir, 1L)
-      EsLog.append(s, dir, in.where(col("event_id") < k), 1L,
-        sortKey = Some("event_id"), numPartitions = 4)
-      EsLog.open(dir, 2L) // seal-on-open recovery fences epoch 1
-      EsLog.append(s, dir, in.where(col("event_id") >= k), 2L,
-        sortKey = Some("event_id"), numPartitions = 4)
-      ()
-    }
+    fixture(sfDir, "events")(buildEventsStream(s, sfDir, _))
+
+  /** UNMEMOIZED twin of [[eventsStream]] — a brand-new stream dir per call,
+    * so a benchmark re-run re-executes the full append pipeline instead of
+    * timing a memoized no-op. */
+  def eventsStreamFresh(s: SparkSession, sfDir: String): String = {
+    val dir = Files.createTempDirectory("graft-events-fresh-").toString
+    buildEventsStream(s, sfDir, dir)
+    dir
+  }
+
+  private def buildEventsStream(s: SparkSession, sfDir: String, dir: String): Unit = {
+    val in = eventBatches(s, sfDir)
+    val n = in.count()
+    val k = n / 2
+    EsLog.create(dir, streamId = 42L)
+    EsLog.open(dir, 1L)
+    EsLog.append(s, dir, in.where(col("event_id") < k), 1L,
+      sortKey = Some("event_id"), numPartitions = 4)
+    EsLog.open(dir, 2L) // seal-on-open recovery fences epoch 1
+    EsLog.append(s, dir, in.where(col("event_id") >= k), 2L,
+      sortKey = Some("event_id"), numPartitions = 4)
+  }
 
   /** Full events stream trimmed to n/4 (exercises trim + vacuum). */
   def trimmedStream(s: SparkSession, sfDir: String): String =
@@ -214,24 +224,34 @@ object Fixtures {
   /** Structured-Streaming roundtrip: the flagship stream drained through the
     * rate-limited eslog source into an eslog sink (AvailableNow). */
   def streamRoundtrip(s: SparkSession, sfDir: String): String =
-    fixture(sfDir, "stream-rt") { dst =>
-      import org.apache.spark.sql.streaming.Trigger
-      tune(s)
-      val src = eventsStream(s, sfDir)
-      val ckpt = Files.createTempDirectory("graft-ckpt-rt-").toString
-      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
-      val q = s.readStream.format("eslog")
-        .option("maxOffsetsPerTrigger", perTrigger.toString)
-        .load(src)
-        .select("payload", "properties", "base_timestamp", "last_offset_delta", "flags")
-        .writeStream.format("eslog")
-        .option("path", dst)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
-      ()
-    }
+    fixture(sfDir, "stream-rt")(buildStreamRoundtrip(s, sfDir, _))
+
+  /** UNMEMOIZED twin of [[streamRoundtrip]] — fresh sink dir AND fresh
+    * checkpoint per call (the source stream stays memoized: re-reading it is
+    * the workload; rebuilding it is not). For benchmark re-runs. */
+  def streamRoundtripFresh(s: SparkSession, sfDir: String): String = {
+    val dst = Files.createTempDirectory("graft-stream-rt-fresh-").toString
+    buildStreamRoundtrip(s, sfDir, dst)
+    dst
+  }
+
+  private def buildStreamRoundtrip(s: SparkSession, sfDir: String, dst: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    tune(s)
+    val src = eventsStream(s, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-rt-").toString
+    val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+    val q = s.readStream.format("eslog")
+      .option("maxOffsetsPerTrigger", perTrigger.toString)
+      .load(src)
+      .select("payload", "properties", "base_timestamp", "last_offset_delta", "flags")
+      .writeStream.format("eslog")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+  }
 
   /** Streaming event-time windowed aggregation (1h tumbling + watermark) into
     * an in-memory complete-mode table; returns the result table name. */

@@ -71,7 +71,13 @@ object Sampling {
     * scale path for per-group sampling, where the window formulation
     * (`row_number() <= k` over the hash) shuffles and sorts EVERY row of
     * every group. Output: (groupCols..., idCol) of the selected rows; join
-    * back on the id for payloads. Unit-pinned equal to the window twin. */
+    * back on the id for payloads.
+    *
+    * PRECONDITION: `idCol` must be distinct within each group. The aggregate
+    * emits distinct (hash, id) pairs, while [[sampleKPerGroupViaWindow]] can
+    * emit a duplicated id twice — the unit-pinned equivalence between the
+    * two holds only for duplicate-free ids (the pin compares on
+    * `data.distinct()`). Dedupe first if ids can repeat. */
   def sampleKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                       k: Int, seed: Int = 0): DataFrame = {
     import org.apache.spark.sql.graftshim.{GraftShims, TopKAgg}
@@ -87,7 +93,9 @@ object Sampling {
   }
 
   /** The [[sampleKPerGroup]] window twin — the declarative formulation used
-    * by the oracle and the equivalence unit test. */
+    * by the oracle and the equivalence unit test. Same distinct-id
+    * precondition as the aggregate (a duplicated id ranks twice here but
+    * collapses to one pair there). */
   def sampleKPerGroupViaWindow(df: DataFrame, groupCols: Seq[String],
                                idCol: String, k: Int, seed: Int = 0): DataFrame = {
     val grp = groupCols.map(col)

@@ -20,9 +20,12 @@ object Stats {
     *
     * Plan: ONE hash shuffle on the group key + per-group sort (the
     * sort-merge shape), ranks and counts from the same window pass, then a
-    * rank filter — no second aggregate, no driver work. For sketch-based
-    * approximate quantiles at extreme group sizes Spark's own
-    * `percentile_approx` exists; this operator is the exact, portable form. */
+    * per-row rank-set FILTER over the permille array before the explode —
+    * only matching (row, permille) pairs materialize, never |permille| rows
+    * per input row. No second aggregate, no driver work. For sketch-based
+    * approximate quantiles at extreme group sizes see
+    * [[graft.operators.Sketch]] / Spark's own `percentile_approx`; this
+    * operator is the exact, portable form. */
   def quantilesDisc(df: DataFrame, groupCols: Seq[String], valueCol: String,
                     permille: Seq[Int]): DataFrame = {
     require(permille.nonEmpty && permille.forall(p => p >= 0 && p <= 1000),
@@ -30,13 +33,12 @@ object Stats {
     val grp = groupCols.map(col)
     val w = Window.partitionBy(grp: _*).orderBy(col(valueCol).asc)
     val wAll = Window.partitionBy(grp: _*)
+    val permilleArr = array(permille.distinct.sorted.map(p => lit(p.toLong)): _*)
     df.select(grp :+ col(valueCol): _*)
       .withColumn("_rn", row_number().over(w).cast("long") - 1)
       .withColumn("_n", count(lit(1)).over(wAll))
-      .withColumn("permille",
-        explode(array(permille.distinct.sorted.map(p => lit(p.toLong)): _*)))
-      .where(col("_rn") ===
-        call_function("div", (col("_n") - 1) * col("permille"), lit(1000L)))
+      .withColumn("permille", explode(filter(permilleArr,
+        p => col("_rn") === call_function("div", (col("_n") - 1) * p, lit(1000L)))))
       .select(grp :+ col("permille") :+ col(valueCol).as("q_value"): _*)
   }
 
