@@ -73,16 +73,20 @@ object FsLogStore extends LogStore {
 /** LogStore over the Hadoop FileSystem API: the metadata log on any
   * Hadoop-addressable URI (`hdfs://`, `s3a://`, `abfs://`, `file:/`).
   *
-  * CAS caveat, stated plainly: [[putIfAbsent]] maps to
+  * CAS caveat, stated plainly: by default [[putIfAbsent]] maps to
   * `FileSystem.create(path, overwrite = false)`, which is atomic on HDFS and
-  * ABFS; on S3A it requires conditional-write support
-  * (`fs.s3a.create.conditional.enabled`, Hadoop 3.4.1+) — without it the
-  * check-then-create races and the CAS guarantee is lost. For S3 without
-  * that flag use [[ObjectLogStore]] over a native conditional-PUT client;
-  * for plain local paths prefer [[FsLogStore]] (hard links are atomic
-  * everywhere). [[putAtomic]] is only used for advisory checkpoint
-  * artifacts, so create-with-overwrite suffices (readers of a torn
-  * checkpoint fall back to folding deltas). */
+  * ABFS but on S3A is a racy HEAD-then-PUT — the CAS guarantee is lost.
+  * Setting [[HadoopLogStore.ConditionalCreateKey]] `= true` in the Hadoop
+  * configuration switches [[putIfAbsent]] to the `createFile()` builder with
+  * `fs.option.create.conditional.overwrite` (HADOOP-19256, Hadoop 3.4.1+):
+  * the filesystem issues the PUT with `If-None-Match: *` and the
+  * create-if-absent decision moves INTO the store, surfacing a conflict at
+  * `close()` — exactly one concurrent creator ever succeeds, the same
+  * guarantee [[ObjectLogStore]] gets from a native conditional-PUT client.
+  * Set it for any `s3a://` stream dir; HDFS/ABFS/local don't need it.
+  * [[putAtomic]] is only used for advisory checkpoint artifacts, so
+  * create-with-overwrite suffices (readers of a torn checkpoint fall back to
+  * folding deltas). */
 final class HadoopLogStore(confProvider: () => org.apache.hadoop.conf.Configuration)
     extends LogStore {
   def this(conf: org.apache.hadoop.conf.Configuration) = this(() => conf)
@@ -104,12 +108,27 @@ final class HadoopLogStore(confProvider: () => org.apache.hadoop.conf.Configurat
     catch { case _: java.io.FileNotFoundException => Seq.empty }
   override def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
     try {
-      val out = fs(path).create(hp(path), false)
+      val out =
+        if (confProvider().getBoolean(HadoopLogStore.ConditionalCreateKey, false))
+          // conditional create (HADOOP-19256): `must(..CONDITIONAL_OVERWRITE,
+          // false)` = "overwrite=false, ENFORCED BY THE STORE" — S3A adds
+          // `If-None-Match: *` to the PUT, so the create-if-absent decision
+          // is atomic at the store and the losing writer fails (HTTP 412) at
+          // close(). A filesystem without conditional support rejects the
+          // mandatory key at build() — loud, never silently racy.
+          fs(path).createFile(hp(path)).overwrite(false)
+            .must(org.apache.hadoop.fs.Options.CreateFileOptionKeys
+              .FS_OPTION_CREATE_CONDITIONAL_OVERWRITE, false)
+            .build()
+        else fs(path).create(hp(path), false)
       try out.write(bytes) finally out.close()
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.FileAlreadyExistsException => false
+      case e: org.apache.hadoop.fs.PathIOException if e.getMessage != null &&
+        (e.getMessage.contains("412") || e.getMessage.contains("PreconditionFailed") ||
+         e.getMessage.contains("Precondition Failed")) => false
       case e: java.io.IOException if e.getMessage != null &&
         e.getMessage.contains("already exists") => false
     }
@@ -119,4 +138,14 @@ final class HadoopLogStore(confProvider: () => org.apache.hadoop.conf.Configurat
   }
   override def mkdirs(path: String): Unit = { fs(path).mkdirs(hp(path)); () }
   override def delete(path: String): Unit = { fs(path).delete(hp(path), false); () }
+}
+
+object HadoopLogStore {
+  /** Hadoop-configuration flag: when true, [[HadoopLogStore.putIfAbsent]]
+    * uses the HADOOP-19256 conditional-create builder (`If-None-Match: *` on
+    * S3A, Hadoop 3.4.1+) instead of `create(path, overwrite = false)` —
+    * REQUIRED for the CAS guarantee on `s3a://` stream dirs, where the plain
+    * create is a racy HEAD-then-PUT. Off by default: HDFS/ABFS/local creates
+    * are already atomic and don't understand the option. */
+  val ConditionalCreateKey = "graft.eslog.log.conditional.create"
 }
