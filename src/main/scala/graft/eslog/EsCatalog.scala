@@ -89,12 +89,21 @@ final class EsCatalog(val root: String) {
     if (names.isEmpty) return Seq.empty
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, names.size))
+    val threads = math.min(32, names.size)
+    // CHUNKED fan-out, one task per slice of ~N/(4*threads) names: a
+    // fast local log loads in tens of microseconds, so task-per-stream
+    // scheduling overhead would exceed the IO itself (measured at 10^4
+    // streams in EsCatalogScaleSpec — per-stream futures ran no faster than
+    // the serial sweep). Slices amortize that overhead while keeping 4
+    // tasks per thread for balance; a slow object-store log (ms per load)
+    // still overlaps across the full pool.
+    val slice = math.max(1, names.size / (threads * 4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try Await.result(
-      Future.traverse(names)(n => Future(n -> MetaLog.load(streamDir(n)))),
-      5.minutes)
+      Future.traverse(names.grouped(slice).toSeq)(c =>
+        Future(c.map(n => n -> MetaLog.load(streamDir(n))))),
+      5.minutes).flatten
     finally pool.shutdown()
   }
 
