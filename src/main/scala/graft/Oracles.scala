@@ -707,6 +707,24 @@ object Oracles {
        |FROM b GROUP BY 1, 2""".stripMargin
   }
 
+  /** Histogram-sketch quantiles: rank r = (n-1)p div 1000 falls in the
+    * bucket where cum-n <= r < cum (the [[graft.operators.Stats
+    * .quantilesFromHistogram]] rule, integer-exact on both engines; the
+    * window sums stay in predicates, so DuckDB's HUGEINT widening never
+    * reaches the projected columns). */
+  private val statsQuantilesApprox = {
+    val b = graft.operators.RangeJoin.floorDivSql("v", 50)
+    s"""WITH t AS (SELECT event_type, CAST(round(value) AS BIGINT) AS v FROM events),
+       |h AS (SELECT event_type, $b AS bucket, count(*) AS n FROM t GROUP BY 1, 2),
+       |c AS (SELECT event_type, bucket, n,
+       |        sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+       |        sum(n) OVER (PARTITION BY event_type) AS tot FROM h),
+       |p AS (SELECT CAST(unnest([0, 250, 500, 750, 1000]) AS BIGINT) AS permille)
+       |SELECT event_type, permille, CAST(bucket * 50 AS BIGINT) AS q_lo
+       |FROM c JOIN p ON (cum - n) <= ((tot - 1) * permille) // 1000
+       |              AND ((tot - 1) * permille) // 1000 < cum""".stripMargin
+  }
+
   private val joinSalted =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, sum(l_quantity) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -926,6 +944,7 @@ object Oracles {
     "window_running" -> windowRunning,
     "stats_quantiles" -> statsQuantiles,
     "stats_histogram" -> statsHistogram,
+    "stats_quantiles_approx" -> statsQuantilesApprox,
     "join_salted" -> joinSalted,
     "join_asof" -> joinAsof,
     "es_stream_asof" -> esStreamAsof,

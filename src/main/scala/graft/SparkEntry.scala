@@ -638,6 +638,23 @@ object SparkEntry {
     graft.operators.Stats.histogram(ev, Seq("event_type"), "v", width = 50L)
   }
 
+  /** Mergeable approximate quantiles: permille cut points read off the
+    * fixed-width histogram sketch — the bounded-state 100 TB twin of
+    * [[qStatsQuantiles]]'s exact per-group sort. Built here from TWO shard
+    * histograms merged ([[graft.operators.Stats.histogramMerge]]), so the
+    * oracle row also proves the merge law end-to-end against the
+    * whole-table histogram the SQL computes. */
+  private def qStatsQuantilesApprox(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Stats
+    val ev = Fixtures.events(s, sfDir)
+      .select(col("event_id"), col("event_type"), round(col("value")).cast("long").as("v"))
+    val shardA = Stats.histogram(ev.where(col("event_id") % 2 === 0), Seq("event_type"), "v", 50L)
+    val shardB = Stats.histogram(ev.where(col("event_id") % 2 =!= 0), Seq("event_type"), "v", 50L)
+    Stats.quantilesFromHistogram(
+      Stats.histogramMerge(Seq(shardA, shardB), Seq("event_type")),
+      Seq("event_type"), permille = Seq(0, 250, 500, 750, 1000))
+  }
+
   // ----------------------------------------------------------- relational --
 
   private def qLineitemAgg(s: SparkSession, sfDir: String): DataFrame = {
@@ -814,6 +831,7 @@ object SparkEntry {
     "multimodal_frames" -> (qMultimodalFrames _),
     "stats_quantiles" -> (qStatsQuantiles _),
     "stats_histogram" -> (qStatsHistogram _),
+    "stats_quantiles_approx" -> (qStatsQuantilesApprox _),
     "lineitem_agg" -> (qLineitemAgg _),
     "join_agg" -> (qJoinAgg _),
     "topk_orders" -> (qTopKOrders _),

@@ -55,4 +55,49 @@ object Stats {
       .agg(count(lit(1)).as("n"))
       .withColumn("bucket_lo", col("bucket") * width)
   }
+
+  /** Merge shard histograms built with identical (groupCols, width):
+    * bucket-wise sum — the histogram merge law (a merged histogram is
+    * bit-identical to the histogram of the union; unit-pinned). Build per
+    * shard/day/source, persist the tiny grids, merge on demand — same
+    * deployment shape as [[Sketch.cmsMerge]]. */
+  def histogramMerge(shards: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "need at least one histogram")
+    val grp = groupCols.map(col)
+    shards.reduce(_.unionByName(_))
+      .groupBy(grp :+ col("bucket") :+ col("bucket_lo"): _*)
+      .agg(sum("n").as("n"))
+      .select(grp :+ col("bucket") :+ col("n") :+ col("bucket_lo"): _*)
+  }
+
+  /** MERGEABLE approximate quantiles — the 100 TB percentile path that
+    * [[quantilesDisc]]'s exact per-group sort is not: quantiles read off a
+    * fixed-width [[histogram]] (possibly [[histogramMerge]]d across shards).
+    * For each permille p, emits the lower bound of the bucket holding the
+    * rank-`floor((n-1)p/1000)` value — a deterministic integer within
+    * `width` below the exact discrete quantile (`q_lo <= exact < q_lo +
+    * width`, unit-pinned), reproducible bit-for-bit by any SQL engine.
+    *
+    * State is bounded by the bucket count, never the row count: the
+    * histogram is one map-side-combined aggregate, and this read is a
+    * window over (group × non-empty buckets) — at a value range of 10^6 and
+    * width 50 that is 20k rows per group REGARDLESS of whether the group
+    * holds 10^3 or 10^12 values. */
+  def quantilesFromHistogram(hist: DataFrame, groupCols: Seq[String],
+                             permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 0 && p <= 1000),
+      "permille values must be in [0, 1000]")
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(col("bucket").asc)
+    val wAll = Window.partitionBy(grp: _*)
+    val permilleArr = array(permille.distinct.sorted.map(p => lit(p.toLong)): _*)
+    // rank r = (n-1)p div 1000 falls in THIS bucket iff cum-n <= r < cum
+    hist.withColumn("_cum", sum(col("n")).over(w))
+      .withColumn("_tot", sum(col("n")).over(wAll))
+      .withColumn("permille", explode(filter(permilleArr, p => {
+        val r = call_function("div", (col("_tot") - 1) * p, lit(1000L))
+        (col("_cum") - col("n")) <= r && r < col("_cum")
+      })))
+      .select(grp :+ col("permille") :+ col("bucket_lo").as("q_lo"): _*)
+  }
 }

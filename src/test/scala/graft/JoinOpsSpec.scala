@@ -190,6 +190,38 @@ class JoinOpsSpec extends SparkTestBase {
     assert(h === Map(-1L -> 2L, 0L -> 2L, 1L -> 1L))
   }
 
+  test("histogram merge law; sketch quantiles within width below the exact") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(41)
+    val data = (0 until 4000).map { i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong, rnd.nextLong(2000) - 500)
+    }.toDF("g", "id", "v")
+    val width = 50L
+    // merge law: histogram of the union == bucket-wise sum of shard histograms
+    val whole = Stats.histogram(data, Seq("g"), "v", width)
+    val merged = Stats.histogramMerge(Seq(
+      Stats.histogram(data.where(col("id") % 2 === 0), Seq("g"), "v", width),
+      Stats.histogram(data.where(col("id") % 2 =!= 0), Seq("g"), "v", width)), Seq("g"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "bucket", "n", "bucket_lo")
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(rows(whole) === rows(merged))
+    // accuracy pin: q_lo <= exact discrete quantile < q_lo + width, per
+    // (group, permille) — the sketch never overshoots and lands in-bucket
+    val permille = Seq(0, 250, 500, 750, 1000)
+    val approx = Stats.quantilesFromHistogram(merged, Seq("g"), permille)
+      .select("g", "permille", "q_lo").as[(String, Long, Long)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    val exactQ = Stats.quantilesDisc(data.select("g", "v"), Seq("g"), "v", permille)
+      .select("g", "permille", "q_value").as[(String, Long, Long)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    assert(approx.keySet === exactQ.keySet)
+    approx.foreach { case (k, qLo) =>
+      val ex = exactQ(k)
+      assert(qLo <= ex && ex < qLo + width, s"$k: q_lo=$qLo exact=$ex")
+    }
+  }
+
   // ---- sketches ----
 
   test("KMV: exact below k, estimate within 1/sqrt(k-2) bounds above k") {
