@@ -660,6 +660,33 @@ object Oracles {
     ivfSql(s"SELECT * FROM (VALUES\n    $rows) AS t(cid, cvec)")
   }
 
+  /** Bloom probe oracle: same uhash slot family, whole-corpus sketch (the
+    * union-distinct merge law makes it equal to the Spark side's two merged
+    * shard sketches), candidates = top-20 tokens + five fabricated absents.
+    * `maybe_present` verdicts are deterministic on both engines — even a
+    * false positive reproduces bit-for-bit. */
+  private val sketchBloom = {
+    val m = 1 << 20; val k = 5
+    val slotSel = (0 until k).map(i =>
+      s"SELECT ${H.uhashSql(i, "hm")} % $m AS slot FROM h").mkString("\n  UNION ALL ")
+    val candCells = (0 until k).map(i =>
+      s"SELECT tok, ${H.uhashSql(i, "hm")} % $m AS slot FROM ch").mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tt AS (SELECT tok FROM t WHERE tok <> ''),
+       |h AS (SELECT DISTINCT tok, ${H.uhashBaseSql("tok")} AS hm FROM tt),
+       |slots AS (SELECT DISTINCT slot FROM ($slotSel)),
+       |top AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tt GROUP BY tok
+       |        ORDER BY c DESC, tok ASC LIMIT 20)),
+       |cand AS (SELECT tok FROM top UNION ALL
+       |         SELECT tok FROM (VALUES ('__graft_absent_1'), ('__graft_absent_2'),
+       |           ('__graft_absent_3'), ('__graft_absent_4'), ('__graft_absent_5')) v(tok)),
+       |ch AS (SELECT tok, ${H.uhashBaseSql("tok")} AS hm FROM cand),
+       |cc AS ($candCells)
+       |SELECT cc.tok, count(s.slot) = $k AS maybe_present
+       |FROM cc LEFT JOIN slots s ON cc.slot = s.slot
+       |GROUP BY cc.tok""".stripMargin
+  }
+
   /** PIVOT as conditional aggregation (Spark's explicit-value pivot plans
     * to exactly this single aggregate). */
   private val pivotOrders = {
@@ -952,6 +979,7 @@ object Oracles {
     "join_overlap" -> joinOverlap,
     "sketch_kmv" -> sketchKmv,
     "sketch_cms" -> sketchCms,
+    "sketch_bloom" -> sketchBloom,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "lineitem_agg" -> lineitemAgg,

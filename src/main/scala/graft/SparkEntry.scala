@@ -582,6 +582,27 @@ object SparkEntry {
       .select("tok", "true_cnt", "est_cnt")
   }
 
+  /** Bloom membership probe against a SHARD-MERGED sketch of the corpus
+    * vocabulary: the top-20 tokens (all genuinely present — never a false
+    * negative) plus five fabricated absent tokens, whose verdicts are
+    * deterministic given the bit-exact hash family, so the oracle reproduces
+    * even a false positive identically. Sharding by doc_id % 2 makes the
+    * graded row also prove the union-distinct merge law end-to-end. */
+  private def qSketchBloom(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    def toks(docs: DataFrame) = docs
+      .select(explode(Portable.words(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val docs = Fixtures.documents(s, sfDir)
+    val sketch = Sketch.bloomMerge(Seq(
+      Sketch.bloomSketch(toks(docs.where(col("doc_id") % 2 === 0)), col("tok")),
+      Sketch.bloomSketch(toks(docs.where(col("doc_id") % 2 =!= 0)), col("tok"))))
+    val top = toks(docs).groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("tok").asc).limit(20).select("tok")
+    val absent = (1 to 5).map(i => s"__graft_absent_$i").toDF("tok")
+    Sketch.bloomProbe(top.unionByName(absent), col("tok"), sketch)
+  }
+
   /** Streaming as-of enrichment ([[graft.operators.AsOfJoin.streamingEnrich]]):
     * views enriched with the user's latest already-delivered click across
     * ~8 rate-limited micro-batches; O(1) GroupState per user. */
@@ -827,6 +848,7 @@ object SparkEntry {
     "join_overlap" -> (qJoinOverlap _),
     "sketch_kmv" -> (qSketchKmv _),
     "sketch_cms" -> (qSketchCms _),
+    "sketch_bloom" -> (qSketchBloom _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "stats_quantiles" -> (qStatsQuantiles _),

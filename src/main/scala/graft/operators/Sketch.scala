@@ -132,6 +132,48 @@ object Sketch {
     sketches.reduce(_.unionByName(_)).groupBy("d", "slot").agg(sum("cnt").as("cnt"))
   }
 
+  /** Bloom membership sketch: each DISTINCT value sets `k` slot indices in
+    * `[0, m)` (the [[Portable.uhash]] family); the sketch is the distinct
+    * set-slot rows `(slot)` — at most `min(m, n_distinct * k)` rows
+    * REGARDLESS of input size, and sparse exactly like a real bit array.
+    * Shard sketches built with identical `(m, k)` merge by UNION DISTINCT
+    * ([[bloomMerge]], law unit-pinned): the merged sketch is bit-identical
+    * to sketching the union — build per shard/day/source, persist the tiny
+    * slot tables, merge on demand. Membership ([[bloomProbe]]) has NO false
+    * negatives; false positives ~ `(1 - e^(-kn/m))^k`, the classic bound.
+    * The 100 TB use case is decontamination/membership at billions of keys:
+    * probe a benchmark set against a corpus WITHOUT joining the corpus. */
+  def bloomSketch(df: DataFrame, value: Column, m: Int = 1 << 20,
+                  k: Int = 5): DataFrame = {
+    require(m >= 2 && k >= 1)
+    val hm = Portable.uhashBase(value)
+    OpUtil.rebalance(df)
+      .select(explode(array((0 until k).map(i =>
+        Portable.uhash(i, hm) % m): _*)).as("slot"))
+      .distinct()
+  }
+
+  /** Merge shard Bloom sketches built with identical (m, k): union of set
+    * slots — the Bloom merge law (bitwise OR on the dense form). */
+  def bloomMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** Membership probe: for each candidate row, `maybe_present` = all `k` of
+    * its slots are set. The sketch side is ≤ `m` rows, so the join
+    * broadcasts; at corpus scale persist the sketch as a table and the
+    * probe is a plain equi-join on `slot`. Never a false negative. */
+  def bloomProbe(candidates: DataFrame, value: Column, sketch: DataFrame,
+                 m: Int = 1 << 20, k: Int = 5): DataFrame = {
+    val hm = Portable.uhashBase(value)
+    val cells = candidates.withColumn("slot", explode(array((0 until k).map(i =>
+      Portable.uhash(i, hm) % m): _*)))
+    cells.join(broadcast(sketch.withColumn("_set", lit(1))), Seq("slot"), "left")
+      .groupBy(candidates.columns.map(col): _*)
+      .agg((count(col("_set")) === k).as("maybe_present"))
+  }
+
   /** Point-frequency estimates from a [[cmsSketch]]: for each candidate row,
     * `est = min` over the depth cells its value hashes to — the classic CMS
     * read, never an underestimate. The sketch side is `depth × width` rows,

@@ -311,4 +311,26 @@ class JoinOpsSpec extends SparkTestBase {
     val merged = mergedCells.select("d", "slot", "cnt").as[(Int, Long, Long)].collect().toSet
     assert(merged === whole)
   }
+
+  test("Bloom: no false negatives, absent stays absent at sane m, shards merge by union") {
+    val corpus = (0 until 500).map(i => s"key$i").toDF("v")
+    val m = 1 << 20; val k = 5
+    // merge law: union-distinct of shard sketches == whole-corpus sketch
+    val whole = Sketch.bloomSketch(corpus, col("v"), m, k)
+    val merged = Sketch.bloomMerge(Seq(
+      Sketch.bloomSketch(corpus.where(expr("substr(v, 4) < '25'")), col("v"), m, k),
+      Sketch.bloomSketch(corpus.where(expr("substr(v, 4) >= '25'")), col("v"), m, k)))
+    assert(merged.as[Long].collect().toSet === whole.as[Long].collect().toSet)
+    // sketch is bounded: at most n_distinct * k slots
+    assert(whole.count() <= 500L * k)
+    // membership: every present key true (never a false negative); at
+    // n*k/m ~ 0.0024 the fabricated absents stay false (deterministic —
+    // the hash family is fixed, so this can never flake)
+    val cands = ((0 until 500 by 50).map(i => s"key$i") ++
+      (0 until 5).map(i => s"nope$i")).toDF("v")
+    val got = Sketch.bloomProbe(cands, col("v"), whole, m, k)
+      .as[(String, Boolean)].collect().toMap
+    (0 until 500 by 50).foreach(i => assert(got(s"key$i"), s"false negative on key$i"))
+    (0 until 5).foreach(i => assert(!got(s"nope$i"), s"false positive on nope$i"))
+  }
 }
