@@ -275,6 +275,48 @@ object Fixtures {
       name
     })
 
+  /** Streaming KMV distinct sketch per hour window: the bounded-state
+    * [[org.apache.spark.sql.graftshim.KmvAgg]] custom aggregate running
+    * INSIDE a streaming aggregation — its serialize/deserialize/merge path
+    * rides the state store across ~8 rate-limited micro-batches, so a green
+    * oracle row proves the sketch merges incrementally (arrivals split
+    * across batches land in the same window's sketch) exactly as it does
+    * map-side in batch. Complete-mode memory table. */
+  def streamKmvTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-kmv", {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.graftshim.{GraftShims, KmvAgg}
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+      val name = "graft_stream_kmv_" + math.abs(sfDir.hashCode).toString
+      val k = 64
+      val kept = GraftShims.column(KmvAgg(GraftShims.expr(
+        graft.functions.Portable.hash60(col("payload").cast("string"))), k)
+        .toAggregateExpression())
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .withColumn("ts", timestamp_millis(col("base_timestamp")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(kept.as("_ks"))
+        .select(unix_millis(col("window.start")).as("hour_start_ms"),
+          size(col("_ks")).cast("long").as("n_kept"),
+          when(size(col("_ks")) > 0,
+            element_at(col("_ks"), size(col("_ks")))).as("kth_hash"))
+        .withColumn("n_distinct_est",
+          when(col("n_kept") < k, col("n_kept"))
+            .otherwise(lit((k - 1).toLong) *
+              call_function("div", lit(graft.operators.Sketch.HashSpace), col("kth_hash"))))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** Stream-stream inner join: the events stream read twice, split into
     * even/odd halves joined on pair id (= id div 2) with an event-time range
     * condition (|gap| <= 1 hour) and watermarks on BOTH sides — the full

@@ -161,6 +161,14 @@ object Oracles {
   private val esStreamDedup =
     "SELECT DISTINCT event_id % 100 AS k FROM events"
 
+  /** Window-form KMV per hour window over the same events the streaming
+    * aggregate consumed: equality proves the custom aggregate's
+    * state-store merge path (arrivals split across micro-batches). */
+  private val esStreamKmv = graft.operators.Sketch.kmvDistinctSql(64,
+    """SELECT DISTINCT (epoch_ms(ts) // 3600000) * 3600000 AS hour_start_ms,
+      |       props AS v FROM events""".stripMargin,
+    Seq("hour_start_ms"))
+
   private val esWatchMeta =
     """SELECT * FROM (VALUES
       |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'createStream'),
@@ -929,6 +937,7 @@ object Oracles {
     "es_stream_roundtrip" -> esStreamRoundtrip,
     "es_stream_window" -> esStreamWindow,
     "es_stream_dedup" -> esStreamDedup,
+    "es_stream_kmv" -> esStreamKmv,
     "es_watch_meta" -> esWatchMeta,
     "es_history" -> esWatchMeta, // batch twin: same fixture, same feed
     "es_sessions" -> esSessions,

@@ -246,6 +246,13 @@ object SparkEntry {
   private def qEsStreamDedup(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamDedupTable(s, sfDir))
 
+  /** Streaming KMV: the custom bounded-state aggregate inside a windowed
+    * streaming aggregation ([[Fixtures.streamKmvTable]]) — the oracle
+    * recomputes the window-form KMV per hour over the same rows, so a green
+    * row proves the sketch's state-store merge path bit-exact. */
+  private def qEsStreamKmv(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamKmvTable(s, sfDir))
+
   /** WATCH_RESOURCE: metadata log streamed as a versioned change feed. */
   private def qEsWatchMeta(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamWatchTable(s, sfDir))
@@ -802,6 +809,7 @@ object SparkEntry {
     "es_stream_roundtrip" -> (qEsStreamRoundtrip _),
     "es_stream_window" -> (qEsStreamWindow _),
     "es_stream_dedup" -> (qEsStreamDedup _),
+    "es_stream_kmv" -> (qEsStreamKmv _),
     "es_watch_meta" -> (qEsWatchMeta _),
     "es_history" -> (qEsHistory _),
     "es_sessions" -> (qEsSessions _),
