@@ -416,6 +416,33 @@ object Oracles {
        |FROM cs JOIN bh ON cs.hm = bh.hm GROUP BY 1""".stripMargin
   }
 
+  /** Bloom-decontamination twin: whole benchmark gram set as a slot table,
+    * per (doc, gram) probe, docs with any hit. Bit-exact hashes make the
+    * `maybe_present` verdicts — false positives included — identical on
+    * both engines. */
+  private val decontaminateBloom = {
+    val m = 1 << 20; val hashes = 5
+    val bench =
+      s"(SELECT doc_id, text FROM documents WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 20 < 1)"
+    val slotSel = (0 until hashes).map(i =>
+      s"SELECT ${H.uhashSql(i, "hm")} % $m AS slot FROM bh").mkString("\n  UNION ALL ")
+    val candCells = (0 until hashes).map(i =>
+      s"SELECT doc_id, s, ${H.uhashSql(i, "hm")} % $m AS slot FROM ch").mkString("\n  UNION ALL ")
+    s"""WITH b0 AS (SELECT unnest(${H.wordShinglesSql(3)}) AS s
+       |           FROM (SELECT string_split(text, ' ') AS toks FROM $bench t)),
+       |bg AS (SELECT DISTINCT s FROM b0),
+       |bh AS (SELECT ${H.uhashBaseSql("s")} AS hm FROM bg),
+       |slots AS (SELECT DISTINCT slot FROM ($slotSel)),
+       |c0 AS (SELECT doc_id, unnest(${H.wordShinglesSql(3)}) AS s
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents t)),
+       |cg AS (SELECT DISTINCT doc_id, s FROM c0),
+       |ch AS (SELECT doc_id, s, ${H.uhashBaseSql("s")} AS hm FROM cg),
+       |cc AS ($candCells),
+       |hit AS (SELECT doc_id, s, count(sl.slot) = $hashes AS p
+       |        FROM cc LEFT JOIN slots sl ON cc.slot = sl.slot GROUP BY doc_id, s)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged FROM hit WHERE p GROUP BY 1""".stripMargin
+  }
+
   private val sampleHash =
     s"""SELECT doc_id FROM documents
        |WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 3""".stripMargin
@@ -958,6 +985,7 @@ object Oracles {
     "text_truncate" -> textTruncate,
     "text_repetition" -> textRepetition,
     "decontaminate" -> decontaminate,
+    "decontaminate_bloom" -> decontaminateBloom,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
     "sample_topk_group" -> sampleTopkGroup,

@@ -348,6 +348,17 @@ object SparkEntry {
     graft.operators.Dedup.decontaminate(docs, bench, "doc_id", "text", k = 3)
   }
 
+  /** Decontamination through the benchmark-gram Bloom sketch
+    * ([[graft.operators.Dedup.decontaminateBloom]]) — same bench split as
+    * [[qDecontaminate]], but the benchmark side collapses to a broadcast
+    * slot table instead of a join relation. Deterministic bit-exact hashes
+    * make even a false positive reproduce identically in the oracle. */
+  private def qDecontaminateBloom(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val bench = graft.operators.Sampling.sampleByHash(docs, "doc_id", num = 1, den = 20)
+    graft.operators.Dedup.decontaminateBloom(docs, bench, "doc_id", "text", k = 3)
+  }
+
   /** Deterministic 30% hash sample — stable across runs/engines/cluster sizes. */
   private def qSampleHash(s: SparkSession, sfDir: String): DataFrame =
     graft.operators.Sampling.sampleByHash(Fixtures.documents(s, sfDir), "doc_id", num = 3, den = 10)
@@ -831,6 +842,7 @@ object SparkEntry {
     "text_truncate" -> (qTextTruncate _),
     "text_repetition" -> (qTextRepetition _),
     "decontaminate" -> (qDecontaminate _),
+    "decontaminate_bloom" -> (qDecontaminateBloom _),
     "sample_hash" -> (qSampleHash _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),

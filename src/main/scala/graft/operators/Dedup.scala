@@ -238,6 +238,32 @@ object Dedup {
       .select(col("doc").as(idCol), col("n_shared"))
   }
 
+  /** Decontamination via a Bloom sketch of the benchmark's k-grams
+    * ([[Sketch.bloomSketch]]): flags corpus docs whose grams hit the sketch.
+    * The benchmark collapses to a ≤ `min(m, grams·hashes)`-row slot table
+    * that BROADCASTS — the corpus never joins the benchmark relation, which
+    * is the shape for a 100 TB corpus screened against a fixed benchmark
+    * suite (and the sketch persists: screen tomorrow's crawl without
+    * re-reading the benchmarks). Never a false negative relative to
+    * [[decontaminate]]'s exact gram match (every truly shared distinct gram
+    * is counted); per-gram false positives at the classic Bloom rate, so
+    * `n_flagged >= n_shared` with equality at sane `m` (unit-pinned). No df
+    * cap needed: the probe is per (doc, gram) against a broadcast — there
+    * is no posting-list self-join to blow up. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, k: Int = 8, m: Int = 1 << 20,
+                         hashes: Int = 5): DataFrame = {
+    val bGrams = OpUtil.explodedWordShingles(benchmark, idCol, textCol, k)
+      .select(col("g")).distinct()
+    val sketch = Sketch.bloomSketch(bGrams, col("g"), m, hashes)
+    val cGrams = OpUtil.explodedWordShingles(corpus, idCol, textCol, k)
+      .select(col("doc"), col("g")).distinct()
+    Sketch.bloomProbe(cGrams, col("g"), sketch, m, hashes)
+      .where(col("maybe_present"))
+      .groupBy("doc").agg(count(lit(1)).as("n_flagged"))
+      .select(col("doc").as(idCol), col("n_flagged"))
+  }
+
   /** SimHash fingerprint (60-bit): per token occurrence, each hash bit votes
     * +1/-1; fingerprint bit b is set iff the bit-b vote sum is positive. */
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {

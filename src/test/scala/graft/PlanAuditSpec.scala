@@ -98,6 +98,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(trunc.getString(1) == "visit https://x.io/a?b=1 or" && trunc.getLong(2) == 3L)
   }
 
+  test("bloom decontamination equals exact shared-gram counts at sane m; bench side broadcasts") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "entirely different words here"),
+      (3L, "quick brown fox again today")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text", k = 3, maxDf = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives ever; at m = 2^20 over a handful of grams, no false
+    // positives either (deterministic — the hash family is fixed)
+    assert(exact == Map(1L -> 1L, 3L -> 1L), exact.toString)
+    assert(bloom == exact, s"bloom $bloom vs exact $exact")
+    // the benchmark side reaches the corpus only as a broadcast slot table
+    val p = plan(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", k = 3))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("decontamination: shared-gram counts, equi-join plan, no self-join blowup") {
     import spark.implicits._
     val corpus = Seq(
