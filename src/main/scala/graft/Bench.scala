@@ -184,8 +184,10 @@ object Bench {
       "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
       "sim_exact", "sim_lsh", "text_stats", "text_langid", "text_repetition",
       "text_filter", "pipeline_export",
-      "decontaminate", "multimodal_decode", "es_window_hourly", "es_agg_by_type",
-      "join_asof", "join_range", "join_overlap", "sketch_kmv", "sketch_cms")
+      "decontaminate", "decontaminate_bloom", "multimodal_decode",
+      "es_window_hourly", "es_agg_by_type",
+      "join_asof", "join_range", "join_overlap",
+      "sketch_kmv", "sketch_cms", "sketch_bloom", "stats_quantiles_approx")
     val registry = SparkEntry.queries
     heads.foreach { name =>
       // warm pass bills Janino + C2 compile once (observed 5.4 s first run vs
