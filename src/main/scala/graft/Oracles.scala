@@ -447,6 +447,16 @@ object Oracles {
     s"""SELECT doc_id FROM documents
        |WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 3""".stripMargin
 
+  /** Weighted-sample twin: identical IEEE double arithmetic (len/400,
+    * clamp, *2^60, floor) then a pure integer hash comparison. */
+  private val sampleWeighted =
+    s"""SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |    least(greatest(len(string_split(text, ' ')) / 400.0, 0), 1) AS w
+       |  FROM documents)
+       |WHERE ${H.hash60Sql(7, "CAST(doc_id AS VARCHAR)")} <
+       |      CAST(floor(w * 1152921504606846976.0) AS BIGINT)""".stripMargin
+
   /** k-per-group sample as the window formulation (the Spark side runs the
     * bounded-state aggregate — hash-match proves the two paths equal). */
   private val sampleTopkGroup = {
@@ -987,6 +997,7 @@ object Oracles {
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "sample_hash" -> sampleHash,
+    "sample_weighted" -> sampleWeighted,
     "sample_stratified" -> sampleStratified,
     "sample_topk_group" -> sampleTopkGroup,
     "shuffle_shards" -> shuffleShards,

@@ -362,6 +362,16 @@ object SparkEntry {
   /** Deterministic 30% hash sample — stable across runs/engines/cluster sizes. */
   private def qSampleHash(s: SparkSession, sfDir: String): DataFrame =
     graft.operators.Sampling.sampleByHash(Fixtures.documents(s, sfDir), "doc_id", num = 3, den = 10)
+
+  /** Quality-weighted sample: keep probability = token count / 400 (clamped)
+    * — long docs kept with certainty, the short tail downsampled
+    * proportionally ([[graft.operators.Sampling.sampleWeighted]]). */
+  private def qSampleWeighted(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+      .withColumn("w", size(Portable.words(col("text"))).cast("double") / 400.0)
+    graft.operators.Sampling.sampleWeighted(docs, "doc_id", "w", seed = 7)
+      .select("doc_id")
+  }
       .select("doc_id")
 
   /** Corpus rebalancing: downsample dominant English 10×, German 2×, keep
@@ -844,6 +854,7 @@ object SparkEntry {
     "decontaminate" -> (qDecontaminate _),
     "decontaminate_bloom" -> (qDecontaminateBloom _),
     "sample_hash" -> (qSampleHash _),
+    "sample_weighted" -> (qSampleWeighted _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),
     "shuffle_shards" -> (qShuffleShards _),

@@ -23,6 +23,21 @@ object Sampling {
     df.where(Portable.hash60(col(idCol).cast("string")) % den < num)
   }
 
+  /** Deterministic WEIGHTED (importance) sampling: keep a row with
+    * probability = its weight (clamped to [0, 1]) — the quality-weighted
+    * corpus draw (keep high-quality docs with certainty, downsample the
+    * tail proportionally). The draw is `hash60(seed:id) <
+    * floor(clamp(w) * 2^60)`: pure integer comparison against an
+    * IEEE-deterministic threshold, so the SAME rows are kept across runs,
+    * engines, and cluster sizes, and a fresh `seed` is a fresh independent
+    * draw. One codegen'd filter, no shuffle. */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+                     seed: Int = 0): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.where(Portable.hash60(seed, col(idCol).cast("string")) <
+      floor(w * lit(Sketch.HashSpace.toDouble)).cast("long"))
+  }
+
   /** Stratified deterministic sampling: per-stratum num/den keep fractions
     * (first matching stratum wins; `default` covers the rest) — the standard
     * corpus-rebalancing step (e.g. downsample the dominant language, keep

@@ -172,6 +172,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(s1.sameElements(s2) && s1.nonEmpty && s1.length < 100)
   }
 
+  test("weighted sampling: P(keep) tracks weight, deterministic, certainty at w>=1") {
+    import graft.operators.Sampling
+    val docs = spark.range(4000).select(
+      col("id").as("doc_id"),
+      (when(col("id") % 4 === 0, 0.0).when(col("id") % 4 === 1, 0.25)
+        .when(col("id") % 4 === 2, 0.75).otherwise(2.0)).as("w"))
+    val kept = Sampling.sampleWeighted(docs, "doc_id", "w", seed = 3)
+    val byW = kept.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!byW.contains(0.0), s"w=0 rows must never be kept: $byW")
+    assert(byW(2.0) == 1000L, s"w>=1 rows must all be kept: $byW")
+    // 1000 draws per weight class: binomial(1000, w) stays within 5 sigma
+    assert(math.abs(byW(0.25) - 250) < 70, byW.toString)
+    assert(math.abs(byW(0.75) - 750) < 70, byW.toString)
+    // per-id fate is stable across runs; a fresh seed is a fresh draw
+    val again = Sampling.sampleWeighted(docs, "doc_id", "w", seed = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val other = Sampling.sampleWeighted(docs, "doc_id", "w", seed = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != again)
+    // one filter, no shuffle, no join
+    val p = plan(kept)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
   test("stratified sampling: per-stratum fates, single codegen'd filter") {
     import graft.operators.Sampling
     val docs = spark.range(1000).select(
