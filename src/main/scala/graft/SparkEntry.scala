@@ -362,6 +362,7 @@ object SparkEntry {
   /** Deterministic 30% hash sample — stable across runs/engines/cluster sizes. */
   private def qSampleHash(s: SparkSession, sfDir: String): DataFrame =
     graft.operators.Sampling.sampleByHash(Fixtures.documents(s, sfDir), "doc_id", num = 3, den = 10)
+      .select("doc_id")
 
   /** Quality-weighted sample: keep probability = token count / 400 (clamped)
     * — long docs kept with certainty, the short tail downsampled
@@ -372,7 +373,6 @@ object SparkEntry {
     graft.operators.Sampling.sampleWeighted(docs, "doc_id", "w", seed = 7)
       .select("doc_id")
   }
-      .select("doc_id")
 
   /** Corpus rebalancing: downsample dominant English 10×, German 2×, keep
     * low-resource strata whole — deterministic per-id fate. */
