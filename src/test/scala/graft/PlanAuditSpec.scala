@@ -456,6 +456,115 @@ class PlanAuditSpec extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
+
+  test("registry golden schemas: every query's output columns are pinned") {
+    // Column drift is invisible to the plan sweep and only surfaces in a
+    // full DuckDB compare (a lost projection once shipped a whole fixture
+    // table through sample_hash) — pin the exact output columns instead.
+    // Regenerate by dumping `fn(spark, sfDir).columns` per query.
+    val golden = Map[String, Seq[String]](
+    "customers_no_orders" -> Seq("c_mktsegment", "n_inactive", "min_cust"),
+    "decontaminate" -> Seq("doc_id", "n_shared"),
+    "decontaminate_bloom" -> Seq("doc_id", "n_flagged"),
+    "dedup_clusters" -> Seq("doc_id", "cluster_id"),
+    "dedup_embedding" -> Seq("i", "j", "cosine"),
+    "dedup_exact" -> Seq("doc_id", "h", "dups"),
+    "dedup_incremental" -> Seq("existing", "incoming"),
+    "dedup_jaccard" -> Seq("i", "j", "jaccard"),
+    "dedup_minhash" -> Seq("i", "j"),
+    "dedup_simhash" -> Seq("doc_id", "simhash"),
+    "es_agg_by_type" -> Seq("event_type", "n", "first_off", "last_off"),
+    "es_append_scan" -> Seq("base_offset", "ts_ms", "event_type", "props"),
+    "es_catalog" -> Seq("name", "stream_id", "epoch", "start_offset", "next_offset", "deleted"),
+    "es_catalog_scan" -> Seq("stream_id", "base_offset", "payload_str"),
+    "es_codec" -> Seq("doc_id", "text"),
+    "es_compact" -> Seq("base_offset", "last_offset_delta", "payload_str"),
+    "es_delete" -> Seq("deleted", "n_live_files"),
+    "es_describe" -> Seq("stream_id", "epoch", "start_offset", "next_offset", "replica", "ack_count"),
+    "es_fetch_hot" -> Seq("base_offset", "event_type"),
+    "es_fetch_range" -> Seq("base_offset", "event_type"),
+    "es_fetch_straddle" -> Seq("base_offset", "last_offset_delta", "payload_str"),
+    "es_history" -> Seq("version", "seq", "action"),
+    "es_idempotent" -> Seq("retry_rejected", "gap_rejected", "n_rows"),
+    "es_kv" -> Seq("key", "value"),
+    "es_object_log" -> Seq("base_offset", "event_type"),
+    "es_offsets" -> Seq("stream", "start_offset", "next_offset"),
+    "es_retention" -> Seq("base_offset", "base_timestamp"),
+    "es_segments" -> Seq("seg_index", "start_offset", "end_offset", "sealed", "epoch", "num_records"),
+    "es_sessions" -> Seq("user_id", "sid", "start_ms", "end_ms", "n"),
+    "es_snapshot" -> Seq("base_offset", "event_type"),
+    "es_stream_asof" -> Seq("user_id", "offset", "t", "matched_offset", "matched_t"),
+    "es_stream_dedup" -> Seq("k"),
+    "es_stream_join" -> Seq("pair_id", "even_id", "odd_id", "even_type", "odd_type"),
+    "es_stream_kmv" -> Seq("hour_start_ms", "n_kept", "kth_hash", "n_distinct_est"),
+    "es_stream_roundtrip" -> Seq("ts_ms", "event_type", "props"),
+    "es_stream_sessions" -> Seq("user_id", "sid", "start_ms", "end_ms", "n"),
+    "es_stream_window" -> Seq("hour_start_ms", "n"),
+    "es_trim" -> Seq("base_offset", "event_type"),
+    "es_update_describe" -> Seq("stream_id", "replica", "ack_count", "retention_ms", "epoch", "deleted"),
+    "es_watch_meta" -> Seq("version", "seq", "action"),
+    "es_window_hourly" -> Seq("hour", "n", "first_off", "last_off"),
+    "join_agg" -> Seq("c_mktsegment", "o_orderpriority", "n_lines", "min_order", "max_part", "sum_qty"),
+    "join_asof" -> Seq("user_id", "event_id", "ts_ms", "matched_event_id", "matched_ts_ms", "matched_value"),
+    "join_overlap" -> Seq("user_id", "aid", "bid", "alo", "ahi", "blo", "bhi"),
+    "join_range" -> Seq("interval_id", "point_id", "user_id", "ts_ms", "lo", "hi"),
+    "join_salted" -> Seq("o_orderpriority", "n_lines", "sum_qty"),
+    "layout_zorder" -> Seq("event_id", "z_value"),
+    "lineitem_agg" -> Seq("l_returnflag", "l_linestatus", "sum_qty", "n", "avg_qty", "min_ship_ms", "max_ship_ms"),
+    "multimodal_decode" -> Seq("media_id", "content_type", "n_bytes", "width", "height", "duration_ms", "checksum"),
+    "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
+    "pipeline_export" -> Seq("doc_id", "text_truncated", "n_tokens_kept"),
+    "pivot_orders" -> Seq("o_orderstatus", "p0", "p1", "p2", "p3", "p4"),
+    "region_chain" -> Seq("r_name", "n_name", "n_lines", "sum_qty", "max_order"),
+    "rollup_orders" -> Seq("o_orderpriority", "o_orderstatus", "n", "min_key"),
+    "sample_hash" -> Seq("doc_id"),
+    "sample_stratified" -> Seq("doc_id", "lang"),
+    "sample_topk_group" -> Seq("lang", "doc_id"),
+    "sample_weighted" -> Seq("doc_id"),
+    "shuffle_shards" -> Seq("doc_id", "shuffle_key", "shard", "shard_pos"),
+    "sim_exact" -> Seq("qid", "nid", "rank", "score"),
+    "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
+    "sim_ivf_kmeans" -> Seq("qid", "nid", "rank", "score"),
+    "sim_lsh" -> Seq("qid", "nid", "rank", "score"),
+    "sim_quantize" -> Seq("vec_id", "q_scale", "i", "qi"),
+    "sketch_bloom" -> Seq("tok", "maybe_present"),
+    "sketch_cms" -> Seq("tok", "true_cnt", "est_cnt"),
+    "sketch_kmv" -> Seq("lang", "n_kept", "kth_hash", "n_distinct_est"),
+    "sql_fetch" -> Seq("base_offset", "event_type", "h"),
+    "sql_topk" -> Seq("qid", "nid", "rank", "score"),
+    "stats_histogram" -> Seq("event_type", "bucket", "n", "bucket_lo"),
+    "stats_quantiles" -> Seq("l_returnflag", "permille", "q_value"),
+    "stats_quantiles_approx" -> Seq("event_type", "permille", "q_lo"),
+    "text_domains" -> Seq("domain", "n_docs", "n_urls"),
+    "text_filter" -> Seq("doc_id", "drop_reason", "keep"),
+    "text_fingerprint" -> Seq("doc_id", "fp_md5", "fp60"),
+    "text_langid" -> Seq("doc_id", "lang_pred", "s_de", "s_en", "s_es", "s_fr", "s_zh"),
+    "text_lm" -> Seq("doc_id", "n_bigrams", "nll_scaled"),
+    "text_pack" -> Seq("doc_id", "shard", "n_tokens", "pack_id"),
+    "text_quality" -> Seq("doc_id", "n_tokens", "lexical_diversity", "stopword_ratio", "digit_ratio", "punct_ratio"),
+    "text_redact" -> Seq("doc_id", "text_redacted"),
+    "text_repetition" -> Seq("doc_id", "top_ngram_frac", "dup_ngram_frac"),
+    "text_stats" -> Seq("doc_id", "n_chars", "n_tokens", "n_distinct", "avg_token_len"),
+    "text_tfidf" -> Seq("doc_id", "term", "tf", "df", "term_rank"),
+    "text_tokens" -> Seq("doc_id", "n_words", "n_numbers", "n_marks", "n_bpe_ish"),
+    "text_truncate" -> Seq("doc_id", "text_truncated", "n_tokens_kept"),
+    "topk_orders" -> Seq("o_custkey", "o_orderkey", "rank"),
+    "window_running" -> Seq("o_custkey", "o_orderkey", "cents", "order_seq", "run_cents", "prev_order")
+    )
+    val sfDir = "/root/testdata/sf0.001"
+    val drift = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val got = fn(spark, sfDir).columns.toSeq
+      golden.get(name) match {
+        case None => Some(s"$name: not in golden map (add it)")
+        case Some(want) if want != got => Some(s"$name: got $got want $want")
+        case _ => None
+      }
+    }
+    assert(drift.isEmpty, drift.mkString("; "))
+    assert(golden.keySet == SparkEntry.queries.keySet,
+      s"stale golden entries: ${golden.keySet -- SparkEntry.queries.keySet}")
+  }
+
   test("eslog scan projection prunes columns down to the parquet reader") {
     val dir = tmpDir("plan-prune-")
     graft.eslog.EsLog.create(dir)
