@@ -369,6 +369,19 @@ object Oracles {
       |  CAST(least(len(string_split(text, ' ')), 16) AS BIGINT) AS n_tokens_kept
       |FROM documents""".stripMargin
 
+  /** chunkTokens twin: chunkSize 64, overlap 16 (stride 48) — same integer
+    * chunk-count and slice arithmetic. */
+  private val textChunk =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+      |        1 + (greatest(CAST(len(toks) AS BIGINT) - 64, 0) + 47) // 48 AS c
+      |      FROM t),
+      |e AS (SELECT doc_id, toks, n, unnest(range(0, c)) AS cid FROM d)
+      |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+      |  CAST(least(n - cid * 48, 64) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(toks, cid * 48 + 1, cid * 48 + 64), ' ') AS chunk
+      |FROM e""".stripMargin
+
   /** Repetition signals over word bigrams — the n-gram expression comes from
     * the same generator the Spark side mirrors, so the two can never drift. */
   private val textRepetition =
@@ -993,6 +1006,7 @@ object Oracles {
     "text_tokens" -> textTokens,
     "text_redact" -> textRedact,
     "text_truncate" -> textTruncate,
+    "text_chunk" -> textChunk,
     "text_repetition" -> textRepetition,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,

@@ -364,6 +364,13 @@ object SparkEntry {
     graft.operators.Sampling.sampleByHash(Fixtures.documents(s, sfDir), "doc_id", num = 3, den = 10)
       .select("doc_id")
 
+  /** Sliding-window chunking: 64-token chunks, 16-token overlap
+    * ([[graft.operators.TextOps.chunkTokens]]) — pure map stage, integer
+    * chunk arithmetic the oracle reproduces exactly. */
+  private def qTextChunk(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextOps.chunkTokens(Fixtures.documents(s, sfDir),
+      "doc_id", "text", chunkSize = 64, overlap = 16)
+
   /** Quality-weighted sample: keep probability = token count / 400 (clamped)
     * — long docs kept with certainty, the short tail downsampled
     * proportionally ([[graft.operators.Sampling.sampleWeighted]]). */
@@ -850,6 +857,7 @@ object SparkEntry {
     "text_tokens" -> (qTextTokens _),
     "text_redact" -> (qTextRedact _),
     "text_truncate" -> (qTextTruncate _),
+    "text_chunk" -> (qTextChunk _),
     "text_repetition" -> (qTextRepetition _),
     "decontaminate" -> (qDecontaminate _),
     "decontaminate_bloom" -> (qDecontaminateBloom _),

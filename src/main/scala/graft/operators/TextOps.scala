@@ -131,6 +131,34 @@ object TextOps {
       least(size(toks), lit(maxTokens)).cast("long").as("n_tokens_kept"))
   }
 
+  /** Sliding-window chunking: split each document into `chunkSize`-token
+    * chunks overlapping by `overlap` tokens (stride = chunkSize − overlap) —
+    * the standard long-document windowing before tokenization, the
+    * truncation-free alternative to [[truncateTokens]]. Chunk `i` covers
+    * tokens `[i·stride, i·stride + chunkSize)`; the final chunk is short
+    * rather than padded, every token is covered, and chunk count is
+    * `1 + ceil(max(n − chunkSize, 0) / stride)` — integer arithmetic, so any
+    * SQL engine reproduces the split bit-for-bit. One generate (explode of a
+    * computed sequence), no shuffle: chunking a 100 TB corpus is a pure
+    * map stage. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = (chunkSize - overlap).toLong
+    docs
+      .withColumn("_toks", Portable.words(col(textCol)))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_c", lit(1L) + call_function("div",
+        greatest(col("_n") - chunkSize, lit(0L)) + (stride - 1), lit(stride)))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("_c") - 1)))
+      .withColumn("n_tokens",
+        least(col("_n") - col("chunk_id") * stride, lit(chunkSize.toLong)))
+      .withColumn("chunk", array_join(slice(col("_toks"),
+        (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " "))
+      .select(col(idCol), col("chunk_id"), col("n_tokens"), col("chunk"))
+  }
+
   /** Repetition signals — the Gopher/C4-style quality rules that catch
     * boilerplate and degenerate generations: the share of the single most
     * frequent word n-gram among all n-gram occurrences (`top_ngram_frac`)

@@ -148,6 +148,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("HashAggregate") && !p.contains("CartesianProduct"), p)
   }
 
+  test("chunking: hand-checked windows, full coverage, short tail, no shuffle") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // 10 tokens, chunkSize 4, overlap 1 (stride 3): chunks at 0/3/6 ->
+    // [t1..t4], [t4..t7], [t7..t10]; plus a short doc and an empty doc
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got == Map(
+      (1L, 0L) -> ((4L, "t1 t2 t3 t4")),
+      (1L, 1L) -> ((4L, "t4 t5 t6 t7")),
+      (1L, 2L) -> ((4L, "t7 t8 t9 t10")),
+      (2L, 0L) -> ((2L, "a b")),
+      (3L, 0L) -> ((1L, ""))), got.toString) // split("") = [""]: one empty token
+    val p = plan(TextOps.chunkTokens(docs, "doc_id", "text", 4, 1))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
   test("packing: sharded windows avoid the global sort; packs respect the budget") {
     import spark.implicits._
     import graft.operators.Sampling
@@ -548,6 +569,7 @@ class PlanAuditSpec extends SparkTestBase {
     "text_tfidf" -> Seq("doc_id", "term", "tf", "df", "term_rank"),
     "text_tokens" -> Seq("doc_id", "n_words", "n_numbers", "n_marks", "n_bpe_ish"),
     "text_truncate" -> Seq("doc_id", "text_truncated", "n_tokens_kept"),
+    "text_chunk" -> Seq("doc_id", "chunk_id", "n_tokens", "chunk"),
     "topk_orders" -> Seq("o_custkey", "o_orderkey", "rank"),
     "window_running" -> Seq("o_custkey", "o_orderkey", "cents", "order_seq", "run_cents", "prev_order")
     )
