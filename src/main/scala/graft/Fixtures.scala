@@ -317,6 +317,40 @@ object Fixtures {
       name
     })
 
+  /** STREAM-STATIC enrichment — the canonical streaming dimension join,
+    * completing the join matrix next to the stream-stream join fixture: the
+    * eslog stream's records are enriched through TWO chained broadcast
+    * joins against static relations (offset → user lookup, then the
+    * customer dimension), then aggregated per market segment. Both joins
+    * are stateless (no watermark, no join state) — the static sides
+    * broadcast once per micro-batch. Complete-mode memory table. */
+  def streamDimEnrichTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-dim", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+      val name = "graft_stream_dim_" + math.abs(sfDir.hashCode).toString
+      val lookup = events(s, sfDir).select(col("event_id"), col("user_id"))
+      val cust = s.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("base_offset"))
+        .join(broadcast(lookup), col("base_offset") === col("event_id"))
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** Stream-stream inner join: the events stream read twice, split into
     * even/odd halves joined on pair id (= id div 2) with an event-time range
     * condition (|gap| <= 1 hour) and watermarks on BOTH sides — the full

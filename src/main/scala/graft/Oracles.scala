@@ -161,6 +161,14 @@ object Oracles {
   private val esStreamDedup =
     "SELECT DISTINCT event_id % 100 AS k FROM events"
 
+  /** Stream-static enrichment relationally: the same two joins + aggregate
+    * the streaming query ran per micro-batch. */
+  private val esStreamEnrichDim =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+      |       min(user_id) AS min_user, max(user_id) AS max_user
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
   /** Window-form KMV per hour window over the same events the streaming
     * aggregate consumed: equality proves the custom aggregate's
     * state-store merge path (arrivals split across micro-batches). */
@@ -988,6 +996,7 @@ object Oracles {
     "es_stream_window" -> esStreamWindow,
     "es_stream_dedup" -> esStreamDedup,
     "es_stream_kmv" -> esStreamKmv,
+    "es_stream_enrich_dim" -> esStreamEnrichDim,
     "es_watch_meta" -> esWatchMeta,
     "es_history" -> esWatchMeta, // batch twin: same fixture, same feed
     "es_sessions" -> esSessions,

@@ -246,6 +246,13 @@ object SparkEntry {
   private def qEsStreamDedup(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamDedupTable(s, sfDir))
 
+  /** Stream-static enrichment ([[Fixtures.streamDimEnrichTable]]): two
+    * chained broadcast joins against static relations inside a streaming
+    * query — completes the join matrix (stream-stream: `es_stream_join`;
+    * stream-state as-of: `es_stream_asof`). */
+  private def qEsStreamEnrichDim(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamDimEnrichTable(s, sfDir))
+
   /** Streaming KMV: the custom bounded-state aggregate inside a windowed
     * streaming aggregation ([[Fixtures.streamKmvTable]]) — the oracle
     * recomputes the window-form KMV per hour over the same rows, so a green
@@ -838,6 +845,7 @@ object SparkEntry {
     "es_stream_window" -> (qEsStreamWindow _),
     "es_stream_dedup" -> (qEsStreamDedup _),
     "es_stream_kmv" -> (qEsStreamKmv _),
+    "es_stream_enrich_dim" -> (qEsStreamEnrichDim _),
     "es_watch_meta" -> (qEsWatchMeta _),
     "es_history" -> (qEsHistory _),
     "es_sessions" -> (qEsSessions _),

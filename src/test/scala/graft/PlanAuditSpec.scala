@@ -570,6 +570,7 @@ class PlanAuditSpec extends SparkTestBase {
     "text_tokens" -> Seq("doc_id", "n_words", "n_numbers", "n_marks", "n_bpe_ish"),
     "text_truncate" -> Seq("doc_id", "text_truncated", "n_tokens_kept"),
     "text_chunk" -> Seq("doc_id", "chunk_id", "n_tokens", "chunk"),
+    "es_stream_enrich_dim" -> Seq("c_mktsegment", "n_events", "min_user", "max_user"),
     "topk_orders" -> Seq("o_custkey", "o_orderkey", "rank"),
     "window_running" -> Seq("o_custkey", "o_orderkey", "cents", "order_seq", "run_cents", "prev_order")
     )
