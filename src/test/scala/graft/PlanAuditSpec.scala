@@ -169,6 +169,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
+  test("chunking invariants on random corpora: count formula, exact slices, lossless reconstruction") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(17)
+    val docs = (0 until 150).map { i =>
+      (i.toLong, (0 until rnd.nextInt(50)).map(j => s"w${rnd.nextInt(9)}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val texts = docs.as[(Long, String)].collect().toMap
+    for ((size, overlap) <- Seq((8, 0), (8, 3), (5, 4), (16, 15), (3, 1))) {
+      val stride = size - overlap
+      val got = TextOps.chunkTokens(docs, "doc_id", "text", size, overlap)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      texts.foreach { case (id, text) =>
+        val toks = text.split(" ", -1) // split("") = [""], matching Spark
+        val chunks = got(id)
+        val expected = 1 + (math.max(toks.length - size, 0) + stride - 1) / stride
+        assert(chunks.length == expected, s"doc $id size=$size ov=$overlap: ${chunks.length} != $expected")
+        chunks.foreach { case (_, cid, n, chunk) =>
+          val want = toks.slice((cid * stride).toInt, (cid * stride).toInt + size)
+          assert(chunk == want.mkString(" "), s"doc $id chunk $cid")
+          assert(n == want.length, s"doc $id chunk $cid n_tokens")
+        }
+        // lossless: stride-prefixes of all chunks + the tail of the last
+        // chunk reassemble the original token stream exactly
+        val rebuilt = chunks.flatMap { case (_, cid, _, chunk) =>
+          val ct = chunk.split(" ", -1)
+          if (cid == chunks.length - 1) ct else ct.take(stride)
+        }
+        assert(rebuilt.sameElements(toks), s"doc $id reconstruction size=$size ov=$overlap")
+      }
+    }
+  }
+
   test("packing: sharded windows avoid the global sort; packs respect the budget") {
     import spark.implicits._
     import graft.operators.Sampling
