@@ -26,6 +26,8 @@ import graft.operators.Similarity
   *  - `graft_hash60(x)`          — portable 60-bit md5 hash (BIGINT ≥ 0)
   *  - `graft_hash60(seed, x)`    — seeded family member (seed: literal int)
   *  - `graft_lsh_bucket(v, t, planes, dim)` — hyperplane-LSH sign bucket
+  *  - `graft_bloom_slots(x, m, k)` — Bloom slot indices (the
+  *    [[graft.operators.Sketch.bloomSketch]] family, SQL-composable)
   *    (t/planes/dim: literal ints; same Rademacher family as
   *    [[graft.operators.Similarity.lshBucket]])
   *  - `graft_kmv(hash, k)`       — KMV distinct-count sketch AGGREGATE: the
@@ -131,7 +133,17 @@ object GraftFunctions {
         val t = literalInt(args(1), "graft_lsh_bucket", "table")
         val p = literalInt(args(2), "graft_lsh_bucket", "planes")
         val d = literalInt(args(3), "graft_lsh_bucket", "dim")
-        GraftShims.convertedExpr(Similarity.lshBucket(GraftShims.column(args(0)), t, p, d)) }))
+        GraftShims.convertedExpr(Similarity.lshBucket(GraftShims.column(args(0)), t, p, d)) }),
+    (FunctionIdentifier("graft_bloom_slots"),
+      info("graft_bloom_slots",
+        "graft_bloom_slots(x, m, k) - x's k Bloom slot indices in [0, m) (m/k literal ints); build a sketch with SELECT DISTINCT explode(...), probe with all-slots-present"),
+      (args: Seq[Expression]) => { arity("graft_bloom_slots", args, 3)
+        val m = literalInt(args(1), "graft_bloom_slots", "m")
+        val k = literalInt(args(2), "graft_bloom_slots", "k")
+        require(m >= 2 && k >= 1, "graft_bloom_slots: need m >= 2 and k >= 1")
+        val hm = Portable.uhashBase(GraftShims.column(args(0)))
+        GraftShims.convertedExpr(org.apache.spark.sql.functions.array(
+          (0 until k).map(i => Portable.uhash(i, hm) % m): _*)) }))
 
   /** Table-function descriptions in `injectTableFunction` shape. The stream
     * directory (and bounds) must be literals: the builder runs at analysis

@@ -62,6 +62,19 @@ class GraftSqlSpec extends SparkTestBase {
     assert(viaSql.map(_.toSeq).toSet == viaDf.map(_.toSeq).toSet)
   }
 
+  test("graft_bloom_slots matches the Sketch.bloomSketch slot family") {
+    import spark.implicits._
+    val vals = Seq("alpha", "beta", "gamma").toDF("v")
+    vals.createOrReplaceTempView("bloom_vals")
+    val viaSql = spark.sql(
+      "SELECT v, explode(graft_bloom_slots(v, 1024, 5)) AS slot FROM bloom_vals")
+      .select("slot").as[Long].collect().toSet
+    val viaOp = graft.operators.Sketch.bloomSketch(vals, col("v"), m = 1024, k = 5)
+      .as[Long].collect().toSet
+    assert(viaSql == viaOp, s"sql $viaSql vs operator $viaOp")
+    assert(viaSql.forall(s => s >= 0 && s < 1024))
+  }
+
   test("graft_kmv aggregate from SQL matches the operator path") {
     Fixtures.tune(spark)
     spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_sql")
