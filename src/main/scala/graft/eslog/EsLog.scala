@@ -509,12 +509,49 @@ object EsLog {
   def scan(spark: SparkSession, streamDir: String): DataFrame =
     fetch(spark, streamDir)
 
-  /** Full committed scan against an already-loaded state snapshot: catalog
-    * sweeps ([[EsCatalog.scanAll]]) load all states in one bounded-parallel
-    * pass — re-loading per scan would double the metadata reads. */
-  private[graft] def scanState(spark: SparkSession, streamDir: String,
-                               st: StreamState): DataFrame =
-    fetchState(spark, streamDir, st, 0L, Long.MaxValue, 0L)
+  /** Multi-stream scan: N streams' committed files behind ONE native parquet
+    * relation via a combined manifest [[org.apache.spark.sql.graftshim.EsLogManifestFileIndex]].
+    * An N-way union of per-stream relations costs O(N) driver-side analysis
+    * and an N-leaf plan tree — a planning bottleneck at the 10⁴ streams a
+    * catalog can register (this is the Spark shape of the reference's
+    * server-side secondary range index, which answers multi-range listings
+    * from one indexed scan rather than N point lookups,
+    * pd/pkg/server/storage/endpoint/range.go:24-33). Here N streams cost one
+    * FileIndex and one scan node regardless of N.
+    *
+    * Per-stream pruning still works — every manifest entry carries its
+    * stream's id and offset/timestamp stats, so a `stream_id = X` or
+    * offset/time bound drops whole files before the scan. Correctness of the
+    * straddle-trim edge is preserved per stream: a file straddling its
+    * stream's trim offset gets an exact `stream_id`-scoped residual filter
+    * (rare — only streams trimmed mid-file; untouched streams contribute no
+    * residual at all). */
+  private[graft] def scanStates(spark: SparkSession,
+                                rootDir: String,
+                                streams: Seq[(String, StreamState)]): DataFrame = {
+    import org.apache.spark.sql.graftshim.{EsLogManifestFileIndex, GraftShims, ManifestFile}
+    val live = streams.filterNot(_._2.deleted)
+    val manifest = live.flatMap { case (dir, st) =>
+      st.filesInRange(st.startOffset, st.nextOffset).map(f =>
+        ManifestFile(join(dir, f.path), f.bytes, f.startOffset, f.endOffset,
+          f.minTimestamp, f.maxTimestamp, st.streamId))
+    }
+    if (manifest.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RecordBatchRow.schema)
+    val base = GraftShims.dfFromRelation(spark,
+      EsLogManifestFileIndex.relation(spark, rootDir, manifest,
+        RecordBatchRow.schema, Map.empty))
+    // Exact straddle residual, per mid-file-trimmed stream only: batches
+    // whose span ends at or before the trim offset are no longer readable
+    // (fetchState applies the same predicate on the single-stream path).
+    val straddled = live.collect {
+      case (_, st) if st.allFiles.exists(f => f.startOffset < st.startOffset) => st
+    }
+    straddled.foldLeft(base) { (df, st) =>
+      df.where(col("stream_id") =!= st.streamId ||
+        col("base_offset") + col("last_offset_delta") > st.startOffset)
+    }
+  }
 
   /** Typed scan: the record-batch relation as `Dataset[RecordBatchRow]`. */
   def scanTyped(spark: SparkSession, streamDir: String): org.apache.spark.sql.Dataset[RecordBatchRow] = {

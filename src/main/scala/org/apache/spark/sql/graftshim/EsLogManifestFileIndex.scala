@@ -11,10 +11,13 @@ import org.apache.spark.sql.sources.BaseRelation
 import org.apache.spark.sql.types.{LongType, StructType}
 
 /** A manifest entry the index prunes on: absolute path + the stats the
-  * metadata log committed with the file. */
+  * metadata log committed with the file. `streamId` = the owning stream for
+  * multi-stream (catalog) scans; -1 = unknown/single-stream (never pruned
+  * on). */
 final case class ManifestFile(absPath: String, bytes: Long,
                               startOffset: Long, endOffset: Long,
-                              minTimestamp: Long, maxTimestamp: Long)
+                              minTimestamp: Long, maxTimestamp: Long,
+                              streamId: Long = -1L)
 
 /** Manifest-driven [[FileIndex]]: the stream's committed file set (a metadata
   * snapshot taken at plan time) exposed to Spark's NATIVE parquet relation —
@@ -39,6 +42,7 @@ class EsLogManifestFileIndex(streamDir: String, files: Seq[ManifestFile])
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     var lo = Long.MinValue; var hi = Long.MaxValue      // base_offset ∈ [lo, hi)
     var tsLo = Long.MinValue; var tsHi = Long.MaxValue  // base_timestamp ∈ [tsLo, tsHi)
+    var sidLo = Long.MinValue; var sidHi = Long.MaxValue // stream_id ∈ [sidLo, sidHi)
     def attr(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       case _ => None
@@ -57,6 +61,7 @@ class EsLogManifestFileIndex(streamDir: String, files: Seq[ManifestFile])
         else { if (inclusive) { if (value != Long.MaxValue) newHi(value + 1) } else newHi(value) }
     def offBound = tighten("base_offset", v => lo = math.max(lo, v), v => hi = math.min(hi, v)) _
     def tsBound = tighten("base_timestamp", v => tsLo = math.max(tsLo, v), v => tsHi = math.min(tsHi, v)) _
+    def sidBound = tighten("stream_id", v => sidLo = math.max(sidLo, v), v => sidHi = math.min(sidHi, v)) _
     def each(b: (Option[String], Option[Long], Boolean, Boolean) => Unit)(e: Expression): Unit = e match {
       case GreaterThanOrEqual(a, l) => b(attr(a), long(l), true, true); b(attr(l), long(a), false, true)
       case GreaterThan(a, l)        => b(attr(a), long(l), true, false); b(attr(l), long(a), false, false)
@@ -66,12 +71,17 @@ class EsLogManifestFileIndex(streamDir: String, files: Seq[ManifestFile])
                                        b(attr(l), long(a), true, true); b(attr(l), long(a), false, true)
       case _ => ()
     }
-    dataFilters.foreach { f => each(offBound)(f); each(tsBound)(f) }
+    dataFilters.foreach { f => each(offBound)(f); each(tsBound)(f); each(sidBound)(f) }
 
-    // file [startOffset, endOffset) may hold a qualifying row iff spans overlap
+    // file [startOffset, endOffset) may hold a qualifying row iff spans
+    // overlap; stream_id is constant per file, so an id bound drops whole
+    // streams from a multi-stream (catalog) scan — the per-stream pruning a
+    // union of N single-stream relations used to get from N indexes.
     val selected = files.filter { f =>
       f.endOffset > lo && (hi == Long.MaxValue || f.startOffset < hi) &&
-        f.maxTimestamp >= tsLo && (tsHi == Long.MaxValue || f.minTimestamp < tsHi)
+        f.maxTimestamp >= tsLo && (tsHi == Long.MaxValue || f.minTimestamp < tsHi) &&
+        (f.streamId == -1L ||
+          (f.streamId >= sidLo && (sidHi == Long.MaxValue || f.streamId < sidHi)))
     }
     val statuses = selected.map { f =>
       new FileStatus(f.bytes, false, 1, 128L * 1024 * 1024, 0L, new Path(f.absPath))

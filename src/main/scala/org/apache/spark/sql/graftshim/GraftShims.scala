@@ -48,6 +48,13 @@ object GraftShims {
       schema, isStreaming = true)
   }
 
+  /** A BaseRelation as a DataFrame — for relations constructed directly
+    * (e.g. the multi-stream manifest index) rather than through DataSource
+    * format resolution. */
+  def dfFromRelation(spark: SparkSession,
+                     rel: org.apache.spark.sql.sources.BaseRelation): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(rel)
+
   /** The frame's physical output as an InternalRow RDD (Tungsten format, no
     * Row conversion). Two jobs run over the SAME returned RDD share every
     * shuffle stage inside the plan (map outputs are reused), which is what
