@@ -97,6 +97,7 @@ object Bench {
     //    over FRESH stream dirs — the memoized fixture would time a no-op on
     //    re-run, making the figure single-shot (unfalsifiable vs host noise) --
     timedMedian("append_events") { Fixtures.eventsStreamFresh(spark, sfDir); () }
+    Fixtures.dropFresh() // reclaim the 4 fresh stream copies, outside the timing
     val payloadBytes = Fixtures.events(spark, sfDir)
       .agg(sum(octet_length(col("props")))).collect().head.getLong(0)
     val nEvents = Fixtures.events(spark, sfDir).count()
@@ -154,8 +155,12 @@ object Bench {
       }
     }
     batches64k.unpersist(blocking = false)
+    // scan exactly the 16 TIMED commits' offset range (manifest pruning keeps
+    // the warmup commits' files out of the read): the denominator is then the
+    // fixed nCommits * payload64k, comparable across rounds — the whole-dir
+    // scan's byte count varied with the warm-until-steady commit count
     timedMedian("scan_64k_batches") {
-      graft.eslog.EsLog.scan(spark, dir64k)
+      graft.eslog.EsLog.fetch(spark, dir64k, warmed * n64k, (warmed + nCommits) * n64k)
         .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
     }
 
@@ -164,6 +169,7 @@ object Bench {
     //    sink + fresh checkpoint (median of three, same protocol as the rest) --
     Fixtures.eventsStream(spark, sfDir)
     timedMedian("stream_roundtrip") { Fixtures.streamRoundtripFresh(spark, sfDir); () }
+    Fixtures.dropFresh() // 4 fresh sinks + checkpoints reclaimed, outside the timing
 
     // -- scan path: full scan + hash aggregate (reads every payload byte) --
     timedMedian("scan_events") {
@@ -230,7 +236,12 @@ object Bench {
       s""","append_mbps_median":${f3(medianMbps)}""" +
       s""","append_mbps_max":${f3(maxMbps)}""" +
       s""","append_64k_commit_secs":${commitSecs.map(f3).mkString("[", ",", "]")}""" +
-      s""","scan_mbps":${f3(mbps("scan_64k_batches", (nCommits + warmed) * payload64k))}""" +
+      // scan_mbps semantics: since r7 the scan is a fetch over ONLY the 16
+      // timed commits' offsets (fixed byte count; was whole-dir incl. a
+      // variable warmup commit count through r6 — cross-round deltas must
+      // compare matching definitions)
+      s""","scan_mbps":${f3(mbps("scan_64k_batches", nCommits * payload64k))}""" +
+      s""","scan_mbps_def":"timed_commits_fetch_64k"""" +
       s""","append_events_mbps":${f3(mbps("append_events", payloadBytes))}""" +
       s""","append_events_rows_per_sec":${f3(appendRps)}""" +
       s""","scan_rows_per_sec":${f3(scanRps)},"n_events":$nEvents,"payload_bytes":$payloadBytes""" +

@@ -22,6 +22,35 @@ import graft.meta._
 object Fixtures {
   private val cache = TrieMap[String, String]()
 
+  // Temp dirs the UNMEMOIZED *Fresh twins create (full stream copies): a
+  // bench run invokes each twin 4x (1 warm + 3 timed), so without cleanup a
+  // larger-SF bench leaves gigabytes behind. Registered here, reclaimed by
+  // [[dropFresh]] — called OUTSIDE any timed region.
+  private val freshDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def freshDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    freshDirs.add(d)
+    d
+  }
+
+  /** Delete every temp dir the *Fresh twins (and their checkpoints) have
+    * created so far. Call after the timed body completes — deletion cost
+    * never lands inside a benchmark region. */
+  def dropFresh(): Unit = {
+    var d = freshDirs.poll()
+    while (d != null) {
+      try {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(d)
+        if (F.exists(root))
+          F.walk(root).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => F.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () } // best-effort reclamation
+      d = freshDirs.poll()
+    }
+  }
+
   /** Session settings every query needs: events.ts is INT64-nanos parquet —
     * read it as a plain long (portable, timezone-free). */
   def tune(s: SparkSession): Unit = {
@@ -68,7 +97,7 @@ object Fixtures {
     * so a benchmark re-run re-executes the full append pipeline instead of
     * timing a memoized no-op. */
   def eventsStreamFresh(s: SparkSession, sfDir: String): String = {
-    val dir = Files.createTempDirectory("graft-events-fresh-").toString
+    val dir = freshDir("graft-events-fresh-")
     buildEventsStream(s, sfDir, dir)
     dir
   }
@@ -230,7 +259,7 @@ object Fixtures {
     * checkpoint per call (the source stream stays memoized: re-reading it is
     * the workload; rebuilding it is not). For benchmark re-runs. */
   def streamRoundtripFresh(s: SparkSession, sfDir: String): String = {
-    val dst = Files.createTempDirectory("graft-stream-rt-fresh-").toString
+    val dst = freshDir("graft-stream-rt-fresh-")
     buildStreamRoundtrip(s, sfDir, dst)
     dst
   }
@@ -239,7 +268,9 @@ object Fixtures {
     import org.apache.spark.sql.streaming.Trigger
     tune(s)
     val src = eventsStream(s, sfDir)
-    val ckpt = Files.createTempDirectory("graft-ckpt-rt-").toString
+    // checkpoint registered for [[dropFresh]]: once the AvailableNow drain
+    // terminates it is dead weight (queries only ever re-scan the sink)
+    val ckpt = freshDir("graft-ckpt-rt-")
     val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
     val q = s.readStream.format("eslog")
       .option("maxOffsetsPerTrigger", perTrigger.toString)

@@ -539,13 +539,22 @@ object SparkEntry {
     * the query stashes them here and [[oracleSql]] (dumped by [[Verify]]
     * AFTER the queries run) splices them into generated SQL — closing the
     * one registered query that used to be rows-only. SimilaritySpec
-    * additionally asserts recall >= 0.9 against the exact top-k. */
-  @volatile private var kmeansCents: Option[Array[Array[Double]]] = None
+    * additionally asserts recall >= 0.9 against the exact top-k.
+    *
+    * Keyed by sfDir: one JVM may run the query against several datasets
+    * (bench at one SF before a Verify dump at another), and the generated
+    * oracle must carry the centroids of the dataset it is dumped FOR —
+    * [[oracleSqlFor]] selects by sfDir; a most-recent-call stash could leak
+    * another dataset's centroids into the compare. */
+  private val kmeansCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  @volatile private var lastKmeansSf: Option[String] = None
 
   private def qSimIvfKmeans(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 16)
-    kmeansCents = Some(cents)
+    kmeansCents.put(sfDir, cents)
+    lastKmeansSf = Some(sfDir)
     Similarity.ivfTopKWith(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, cents, nprobe = 4)
   }
@@ -910,11 +919,17 @@ object SparkEntry {
     "window_running" -> (qWindowRunning _),
     "customers_no_orders" -> (qCustomersNoOrders _))
 
-  /** Static oracles plus the one data-dependent entry: `sim_ivf_kmeans`'s
-    * quantizer literals exist only after [[qSimIvfKmeans]] ran in this JVM
-    * ([[Verify]] dumps oracles last, so the driver flow always has them;
-    * absent, the entry is omitted and the driver records rows-only as
-    * before). */
+  /** Static oracles plus the one data-dependent entry for `sfDir`:
+    * `sim_ivf_kmeans`'s quantizer literals exist only after [[qSimIvfKmeans]]
+    * ran against that dataset in this JVM ([[Verify]] dumps oracles last, so
+    * the driver flow always has them; absent, the entry is omitted and the
+    * driver records rows-only as before). */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    Oracles.all ++ Option(kmeansCents.get(sfDir))
+      .map(c => "sim_ivf_kmeans" -> Oracles.simIvfKmeansSql(c))
+
+  /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):
+    * uses the dataset [[qSimIvfKmeans]] ran against most recently. */
   def oracleSql: Map[String, String] =
-    Oracles.all ++ kmeansCents.map(c => "sim_ivf_kmeans" -> Oracles.simIvfKmeansSql(c))
+    lastKmeansSf.map(oracleSqlFor).getOrElse(Oracles.all)
 }

@@ -146,6 +146,16 @@ object HadoopLogStore {
     * S3A, Hadoop 3.4.1+) instead of `create(path, overwrite = false)` —
     * REQUIRED for the CAS guarantee on `s3a://` stream dirs, where the plain
     * create is a racy HEAD-then-PUT. Off by default: HDFS/ABFS/local creates
-    * are already atomic and don't understand the option. */
+    * are already atomic and don't understand the option.
+    *
+    * Verification status: the builder semantics (`must(..CONDITIONAL_OVERWRITE,
+    * false)` ⇒ enforced create-if-absent) are validated against this repo's
+    * S3-semantics FileSystem double, which is authored to the HADOOP-19256
+    * spec — hadoop-aws is not on this classpath, so the interpretation has
+    * NOT been cross-checked against a real S3AFileSystem. Before relying on
+    * s3a:// commit safety, run the LogStore contract suite against a real
+    * endpoint (or diff this path against the hadoop-aws CreateFileBuilder of
+    * the deployed Hadoop version); if real S3A gates the conditional PUT
+    * differently, this path would silently keep the racy HEAD-then-PUT. */
   val ConditionalCreateKey = "graft.eslog.log.conditional.create"
 }

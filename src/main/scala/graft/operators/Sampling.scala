@@ -129,9 +129,13 @@ object Sampling {
     * Scale note: a global order means a single-partition window — fine up to
     * millions of docs, not at 100 TB. Pass `shardCol` (any coarse bucket,
     * e.g. `hash60(id) % 1024`) to pack within shards: embarrassingly
-    * parallel, same guarantee per shard, pack ids unique as (shard, pack). */
+    * parallel, same guarantee per shard, pack ids unique as (shard, pack).
+    * `shardCol` has NO default: the global window is a silent scale-killer
+    * as a default, so callers choose explicitly — `Some(bucket)` at scale,
+    * `None` only when the corpus is known small and one strict global order
+    * is genuinely required. */
   def packGreedy(docs: DataFrame, idCol: String, textCol: String,
-                 tokensPerPack: Int, shardCol: Option[String] = None): DataFrame = {
+                 tokensPerPack: Int, shardCol: Option[String]): DataFrame = {
     require(tokensPerPack > 0, "tokensPerPack must be positive")
     val n = size(Portable.words(col(textCol))).cast("long")
     val w = shardCol match {

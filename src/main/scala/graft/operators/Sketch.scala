@@ -163,7 +163,12 @@ object Sketch {
   /** Membership probe: for each candidate row, `maybe_present` = all `k` of
     * its slots are set. The sketch side is ≤ `m` rows, so the join
     * broadcasts; at corpus scale persist the sketch as a table and the
-    * probe is a plain equi-join on `slot`. Never a false negative. */
+    * probe is a plain equi-join on `slot`. Never a false negative — the
+    * check is "no probed cell MISSED the sketch" (zero unmatched rows after
+    * the left join), which stays exact when candidates contain duplicate
+    * rows (duplicates multiply matched AND unmatched rows alike; a
+    * matched-row count vs `k` would not survive that) and when two of a
+    * value's `k` hash functions collide on one slot. */
   def bloomProbe(candidates: DataFrame, value: Column, sketch: DataFrame,
                  m: Int = 1 << 20, k: Int = 5): DataFrame = {
     val hm = Portable.uhashBase(value)
@@ -171,7 +176,7 @@ object Sketch {
       Portable.uhash(i, hm) % m): _*)))
     cells.join(broadcast(sketch.withColumn("_set", lit(1))), Seq("slot"), "left")
       .groupBy(candidates.columns.map(col): _*)
-      .agg((count(col("_set")) === k).as("maybe_present"))
+      .agg((count(when(col("_set").isNull, lit(1))) === 0).as("maybe_present"))
   }
 
   /** Point-frequency estimates from a [[cmsSketch]]: for each candidate row,

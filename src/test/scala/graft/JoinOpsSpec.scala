@@ -332,5 +332,11 @@ class JoinOpsSpec extends SparkTestBase {
       .as[(String, Boolean)].collect().toMap
     (0 until 500 by 50).foreach(i => assert(got(s"key$i"), s"false negative on key$i"))
     (0 until 5).foreach(i => assert(!got(s"nope$i"), s"false positive on nope$i"))
+    // duplicate candidate rows must not manufacture a false negative: the
+    // probe guarantee is per-row, whatever multiset the caller hands it
+    val dup = Sketch.bloomProbe(
+      (Seq.fill(3)("key0") ++ Seq.fill(2)("nope0")).toDF("v"), col("v"), whole, m, k)
+      .as[(String, Boolean)].collect().toMap
+    assert(dup("key0") && !dup("nope0"), s"duplicate-candidate probe broke: $dup")
   }
 }

@@ -212,7 +212,7 @@ class PlanAuditSpec extends SparkTestBase {
       (col("id") % 4).as("shard"))
     // global: 10-token docs into 25-token packs -> docs 0,1 pack 0 (20 tok),
     // doc 2 pack 0 (cum_before 20 div 25 = 0, overflow by one doc), doc 3 pack 1
-    val g = Sampling.packGreedy(docs.drop("shard"), "doc_id", "text", 25)
+    val g = Sampling.packGreedy(docs.drop("shard"), "doc_id", "text", 25, shardCol = None)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(g(0L) == 0L && g(1L) == 0L && g(2L) == 0L && g(3L) == 1L, g.toString)
     // sharded: window is partitioned (no single-partition global sort)
