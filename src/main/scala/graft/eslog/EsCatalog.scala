@@ -66,6 +66,31 @@ final class EsCatalog(val root: String) {
   def getStream(name: String): Option[Long] =
     MetaLog.load(root).kv.get(streamKey(name)).map(_.toLong)
 
+  /** CREATE-IF-ABSENT twin of [[createStream]] — the SQL DDL surface calls
+    * this (a statement's analysis may resolve more than once, so the SQL
+    * path must be idempotent, like `CREATE TABLE IF NOT EXISTS`). Returns
+    * (id, created); a lost creation race resolves to the winner's id. */
+  def createStreamIfAbsent(name: String, replica: Int = 1, ackCount: Int = 1,
+                           retentionMs: Long = -1L): (Long, Boolean) =
+    getStream(name) match {
+      case Some(id) => (id, false)
+      case None =>
+        try (createStream(name, replica, ackCount, retentionMs), true)
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("already exists") =>
+            (getStream(name).getOrElse(
+              throw new IllegalStateException(s"stream '$name' vanished mid-create")), false)
+        }
+    }
+
+  /** Idempotent drop for the SQL DDL surface: true when THIS call dropped. */
+  def dropStreamIfExists(name: String): Boolean =
+    getStream(name) match {
+      case Some(_) => dropStream(name); true
+      case None    => false
+    }
+
   def dropStream(name: String): Unit = {
     EsLog.delete(streamDir(name))
     MetaLog.commitWithRetry(root) { st =>

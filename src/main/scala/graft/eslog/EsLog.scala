@@ -36,6 +36,29 @@ import graft.model.RecordBatchRow
 object EsLog {
   val DefaultStreamId = 0L
 
+  /** Write-time rolling target — the reference's 128 MiB offload object size
+    * (components/object-storage/src/range_accumulator.rs:37-98), shared with
+    * [[compact]]'s post-hoc policy. `append(targetFileBytes = 0)` disables
+    * the ingest-side adjustment. */
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** Output file count for the rolling policy: ceil(estimated input bytes /
+    * targetBytes), from Catalyst's plan statistics. None when the policy is
+    * disabled or the estimate is unusable — RDD-backed plans (e.g. streaming
+    * micro-batches) default to `spark.sql.defaultSizeInBytes` = Long.MaxValue,
+    * so anything over a petabyte is treated as "no estimate" rather than
+    * exploding the file count. Caveat: projection estimates scale leaf sizes
+    * by schema-default column widths, so a plan that MANUFACTURES a wide
+    * payload (repeat/concat) under-estimates; real sources (file scans,
+    * cached frames) carry accurate byte counts, and the 2x hysteresis at the
+    * call site keeps a merely-imprecise estimate from forcing a reshuffle. */
+  private def sizeTargetedCount(df: DataFrame, targetBytes: Long): Option[Int] = {
+    if (targetBytes <= 0) return None
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= 0 || est >= BigInt(1L << 50)) None
+    else Some(((est + targetBytes - 1) / targetBytes).min(BigInt(1 << 16)).toInt.max(1))
+  }
+
   // ---- scheme-agnostic data-file IO ----
   // streamDir may be a plain local path OR any Hadoop URI (file:/, hdfs://,
   // s3a://): every data-file operation below goes through the Hadoop
@@ -244,7 +267,8 @@ object EsLog {
     */
   def append(spark: SparkSession, streamDir: String, input: DataFrame, epoch: Long,
              sortKey: Option[String] = None, numPartitions: Int = 0,
-             extraActions: Seq[Action] = Seq.empty): (Long, Long) = {
+             extraActions: Seq[Action] = Seq.empty,
+             targetFileBytes: Long = DefaultTargetFileBytes): (Long, Long) = {
     val dbgT = sys.env.contains("GRAFT_APPEND_TIMING")
     var dbgT0 = System.nanoTime()
     def dbgMark(name: String): Unit = if (dbgT) {
@@ -272,12 +296,33 @@ object EsLog {
     var batches = normalize(input, streamId)
     sortKey match {
       case Some(k) =>
-        val n = if (numPartitions > 0) numPartitions else batches.rdd.getNumPartitions
+        // an explicit sort shuffles anyway, so the size-targeted count is
+        // free to apply directly when the caller didn't pin numPartitions
+        val n =
+          if (numPartitions > 0) numPartitions
+          else sizeTargetedCount(batches, targetFileBytes)
+            .getOrElse(batches.rdd.getNumPartitions)
         batches = batches.repartitionByRange(n, col(k)).sortWithinPartitions(col(k))
           .select(batches.columns.map(col).toSeq: _*)
       case None if numPartitions > 0 =>
         batches = batches.repartition(numPartitions)
-      case None => ()
+      case None =>
+        // Write-time file rolling (the reference's RangeAccumulator sizes
+        // offload objects to 128 MiB as it accumulates,
+        // components/object-storage/src/range_accumulator.rs:37-98): a
+        // caller who didn't tune numPartitions used to get whatever
+        // partitioning the input had — thousands of KB files from a
+        // many-partition input, or one multi-GB file from a collapsed one.
+        // Adjust only when the estimated layout is >2x off target either
+        // way: coalescing down is shuffle-free; splitting up pays one
+        // shuffle to buy back write parallelism + bounded files. Within 2x,
+        // leave the input partitioning alone (no gratuitous shuffle);
+        // long-lived streams converge on target via compact() regardless.
+        sizeTargetedCount(batches, targetFileBytes).foreach { n =>
+          val cur = batches.rdd.getNumPartitions
+          if (n * 2 <= cur) batches = batches.coalesce(n)
+          else if (n >= cur * 2) batches = batches.repartition(n)
+        }
     }
 
     // One physical plan shared by both passes, in Tungsten format end-to-end

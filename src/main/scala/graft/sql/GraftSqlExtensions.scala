@@ -42,11 +42,35 @@ import graft.operators.Similarity
   *    `base_offset + last_offset_delta > lo AND base_offset < hi`
   *    (straddle semantics, manifest-pruned before planning)
   *  - `graft_history('dir')`          — the stream's commit history
+  *
+  * Stream-lifecycle DDL (procedure-style table functions backed by
+  * [[graft.eslog.EsCatalog]] — the full CREATE/DELETE/DESCRIBE/LIST stream
+  * lifecycle the reference exposes through one client surface,
+  * components/replication/src/stream_client.rs:70-98, now reachable from
+  * pure SQL; each returns its result row(s)):
+  *  - `graft_create_stream('root', 'name'[, retention_ms])` —
+  *    create-if-absent (idempotent, like CREATE TABLE IF NOT EXISTS:
+  *    analysis may resolve a statement more than once). Row:
+  *    (name, stream_id, created). Append to the new stream with
+  *    `CREATE TABLE t USING eslog OPTIONS (path '<root>/streams/<name>')
+  *    AS SELECT ...` or `df.write.format("eslog")`.
+  *  - `graft_drop_stream('root', 'name')`     — idempotent; (name, dropped)
+  *  - `graft_describe_stream('root', 'name')` — metadata row
+  *  - `graft_list_streams('root')`            — LIST_RESOURCE over streams
+  *  - `graft_catalog_scan('root')`            — every stream, ONE relation
+  *
+  * The DDL functions perform their effect when the statement is ANALYZED
+  * (table-function builders run at resolution, like the scan functions'
+  * manifest loads) — hence the hard idempotence requirement above.
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.scalar.foreach(ext.injectFunction)
     GraftFunctions.table.foreach(ext.injectTableFunction)
+    // SQL INSERT INTO an eslog table → the commit protocol, not raw parquet
+    // (see org.apache.spark.sql.graftshim.EsLogInsertRewrite)
+    ext.injectResolutionRule(_ =>
+      org.apache.spark.sql.graftshim.EsLogInsertRewrite.rule)
   }
 }
 
@@ -168,7 +192,69 @@ object GraftFunctions {
       info("graft_history", "graft_history('dir') - commit history of an eslog stream"),
       (args: Seq[Expression]) => { arity("graft_history", args, 1)
         val dir = literalString(args(0), "graft_history", "dir")
-        GraftShims.analyzedPlan(EsLog.history(active(), dir)) }))
+        GraftShims.analyzedPlan(EsLog.history(active(), dir)) }),
+    (FunctionIdentifier("graft_create_stream"),
+      info("graft_create_stream",
+        "graft_create_stream('root', 'name'[, retention_ms]) - create-if-absent; returns (name, stream_id, created)"),
+      (args: Seq[Expression]) => { arity("graft_create_stream", args, 2, 3)
+        val root = literalString(args(0), "graft_create_stream", "root")
+        val name = literalString(args(1), "graft_create_stream", "name")
+        val retention = if (args.size == 3)
+          literalLong(args(2), "graft_create_stream", "retention_ms") else -1L
+        val (id, created) = new graft.eslog.EsCatalog(root)
+          .createStreamIfAbsent(name, retentionMs = retention)
+        localRow(Seq(("name", name), ("stream_id", id), ("created", created))) }),
+    (FunctionIdentifier("graft_drop_stream"),
+      info("graft_drop_stream",
+        "graft_drop_stream('root', 'name') - idempotent drop; returns (name, dropped)"),
+      (args: Seq[Expression]) => { arity("graft_drop_stream", args, 2)
+        val root = literalString(args(0), "graft_drop_stream", "root")
+        val name = literalString(args(1), "graft_drop_stream", "name")
+        val dropped = new graft.eslog.EsCatalog(root).dropStreamIfExists(name)
+        localRow(Seq(("name", name), ("dropped", dropped))) }),
+    (FunctionIdentifier("graft_describe_stream"),
+      info("graft_describe_stream",
+        "graft_describe_stream('root', 'name') - stream metadata row"),
+      (args: Seq[Expression]) => { arity("graft_describe_stream", args, 2)
+        val root = literalString(args(0), "graft_describe_stream", "root")
+        val name = literalString(args(1), "graft_describe_stream", "name")
+        val cat = new graft.eslog.EsCatalog(root)
+        val id = cat.getStream(name).getOrElse(
+          throw new IllegalArgumentException(s"no stream '$name' under $root"))
+        val st = EsLog.describe(cat.streamDir(name))
+        localRow(Seq(("name", name), ("stream_id", id), ("epoch", st.epoch),
+          ("start_offset", st.startOffset), ("next_offset", st.nextOffset),
+          ("replica", st.replica), ("ack_count", st.ackCount),
+          ("retention_ms", st.retentionMs), ("deleted", st.deleted))) }),
+    (FunctionIdentifier("graft_list_streams"),
+      info("graft_list_streams",
+        "graft_list_streams('root') - registered streams with live metadata"),
+      (args: Seq[Expression]) => { arity("graft_list_streams", args, 1)
+        val root = literalString(args(0), "graft_list_streams", "root")
+        GraftShims.analyzedPlan(new graft.eslog.EsCatalog(root).listStreams(active())) }),
+    (FunctionIdentifier("graft_catalog_scan"),
+      info("graft_catalog_scan",
+        "graft_catalog_scan('root') - all registered streams behind ONE scan relation"),
+      (args: Seq[Expression]) => { arity("graft_catalog_scan", args, 1)
+        val root = literalString(args(0), "graft_catalog_scan", "root")
+        GraftShims.analyzedPlan(new graft.eslog.EsCatalog(root).scanAll(active())) }))
+
+  /** One-row LocalRelation result for the procedure-style DDL functions. */
+  private def localRow(fields: Seq[(String, Any)]): LogicalPlan = {
+    val spark = active()
+    import org.apache.spark.sql.types._
+    val schema = StructType(fields.map {
+      case (n, _: String)  => StructField(n, StringType, nullable = false)
+      case (n, _: Long)    => StructField(n, LongType, nullable = false)
+      case (n, _: Int)     => StructField(n, IntegerType, nullable = false)
+      case (n, _: Boolean) => StructField(n, BooleanType, nullable = false)
+      case (n, v) => throw new IllegalStateException(s"unsupported DDL field $n: $v")
+    })
+    GraftShims.analyzedPlan(spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(fields.map(_._2))),
+      schema))
+  }
 
   private def active(): SparkSession =
     SparkSession.getActiveSession.getOrElse(

@@ -29,7 +29,7 @@ final case class ManifestFile(absPath: String, bytes: Long,
   *
   * Pruning is conservative (supersets): Spark re-applies every data filter
   * exactly after the scan. */
-class EsLogManifestFileIndex(streamDir: String, files: Seq[ManifestFile])
+class EsLogManifestFileIndex(val streamDir: String, files: Seq[ManifestFile])
     extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(new Path(streamDir))
@@ -90,6 +90,25 @@ class EsLogManifestFileIndex(streamDir: String, files: Seq[ManifestFile])
   }
 }
 
+/** Read-only parquet format for manifest-backed relations: a SQL
+  * `INSERT INTO` over a `USING eslog` catalog table plans as
+  * InsertIntoHadoopFsRelationCommand, which would write raw part files into
+  * the stream directory — UNMANIFESTED, so scans would silently never see
+  * the rows. Writes must go through the commit protocol (EsLog.append /
+  * `df.write.format("eslog")` / the streaming sink); this makes the bypass
+  * loud instead of silently lossy. */
+private class EsLogReadOnlyParquet extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: org.apache.spark.sql.SparkSession,
+                            job: org.apache.hadoop.mapreduce.Job,
+                            options: Map[String, String],
+                            dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "direct INSERT into an eslog scan relation bypasses the offset/manifest " +
+        "commit protocol; append with df.write.format(\"eslog\") (or CREATE TABLE " +
+        "... USING eslog AS SELECT ..., or the streaming sink) instead")
+}
+
 object EsLogManifestFileIndex {
   /** The stream as Spark's native parquet relation over the manifest
     * snapshot: vectorized scan + codegen, no Row conversion (the fix for the
@@ -103,6 +122,6 @@ object EsLogManifestFileIndex {
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = new EsLogReadOnlyParquet,
       options = options)(spark.asInstanceOf[classic.SparkSession])
 }

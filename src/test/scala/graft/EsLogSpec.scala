@@ -37,6 +37,62 @@ class EsLogSpec extends SparkTestBase {
     assert(joined.count() == 0)
   }
 
+  test("append rolls output files toward targetFileBytes from skewed input partitioning") {
+    // UP: one collapsed multi-MB partition must split instead of writing one
+    // giant file from one task. Parquet source so Catalyst's size estimate
+    // is the real byte count (the policy's documented operating regime).
+    val src = tmpDir("roll-src-") + "/data"
+    spark.range(4096)
+      .select(col("id"), sha2(concat_ws("-", col("id"), lit("pad")), 512).as("fill"))
+      .withColumn("payload", expr(
+        "cast(concat(fill, fill, fill, fill, fill, fill, fill, fill) as binary)"))
+      .drop("fill")
+      .coalesce(1).write.parquet(src)
+    val in = spark.read.parquet(src) // ~4 MB raw, 1 partition
+    assert(in.rdd.getNumPartitions == 1)
+    val dir = tmpDir("eslog-roll-up-")
+    EsLog.create(dir); EsLog.open(dir, 1L)
+    val target = 256L * 1024
+    EsLog.append(spark, dir, in, 1L, targetFileBytes = target)
+    val files = graft.meta.MetaLog.load(dir).allFiles
+    // exact count tracks Catalyst's estimate of the normalized plan (not
+    // pinned — it may legitimately drift across Spark versions); the rolled
+    // PROPERTIES are what matter: the collapsed partition split, into evenly
+    // sized files, each at most ~target on disk
+    assert(files.size >= 2 && files.size <= 16,
+      s"skewed single partition should split into a handful of files, got ${files.size}")
+    assert(files.forall(_.bytes <= 2 * target),
+      s"rolled file exceeds 2x target: ${files.map(_.bytes)}")
+    val (minB, maxB) = (files.map(_.bytes).min, files.map(_.bytes).max)
+    assert(maxB <= 2 * minB, s"rolled files unbalanced: min=$minB max=$maxB")
+    // offsets stay contiguous and every row survives the reshuffle
+    assert(files.sortBy(_.startOffset).sliding(2).forall {
+      case Seq(a, b) => a.endOffset == b.startOffset; case _ => true })
+    assert(EsLog.scan(spark, dir).count() == 4096)
+
+    // DOWN: many near-empty partitions collapse (shuffle-free coalesce)
+    // instead of landing one tiny file per input partition.
+    val down = spark.read.parquet(src).repartition(24)
+    val dir2 = tmpDir("eslog-roll-down-")
+    EsLog.create(dir2); EsLog.open(dir2, 1L)
+    EsLog.append(spark, dir2, down, 1L) // default 128 MiB target
+    val files2 = graft.meta.MetaLog.load(dir2).allFiles
+    assert(files2.size == 1, s"24 tiny partitions should coalesce to 1 file, got ${files2.size}")
+    assert(EsLog.scan(spark, dir2).count() == 4096)
+
+    // explicit numPartitions still wins over the policy
+    val dir3 = tmpDir("eslog-roll-pin-")
+    EsLog.create(dir3); EsLog.open(dir3, 1L)
+    EsLog.append(spark, dir3, down, 1L, numPartitions = 6)
+    assert(graft.meta.MetaLog.load(dir3).allFiles.size == 6)
+
+    // targetFileBytes = 0 disables the adjustment (input partitioning kept)
+    val dir4 = tmpDir("eslog-roll-off-")
+    EsLog.create(dir4); EsLog.open(dir4, 1L)
+    EsLog.append(spark, dir4, down, 1L, targetFileBytes = 0L)
+    assert(graft.meta.MetaLog.load(dir4).allFiles.size == 24)
+  }
+
   test("fetch range pruning + straddle semantics; trim; reopen fencing") {
     val dir = tmpDir("eslog-rng-")
     EsLog.create(dir, streamId = 2L)

@@ -143,6 +143,71 @@ class GraftSqlSpec extends SparkTestBase {
     EsLog.delete(dir)
   }
 
+  test("pure-SQL stream lifecycle: create -> INSERT INTO -> scan -> describe -> drop") {
+    val root = tmpDir("sqlddl-")
+
+    // CREATE (idempotent: re-running the statement returns created=false)
+    val c1 = spark.sql(s"SELECT * FROM graft_create_stream('$root', 'sql1')").collect().head
+    assert(c1.getString(0) == "sql1" && c1.getBoolean(2), c1.toString)
+    val c2 = spark.sql(s"SELECT * FROM graft_create_stream('$root', 'sql1')").collect().head
+    assert(c2.getLong(1) == c1.getLong(1) && !c2.getBoolean(2), c2.toString)
+
+    // INSERT: a `USING eslog` catalog table + plain SQL INSERT INTO. The
+    // injected resolution rule (EsLogInsertRewrite) routes the rows through
+    // the real append path — offset assignment, footer audit, CAS manifest
+    // commit — never Spark's raw InsertIntoHadoopFsRelationCommand (which
+    // would drop unmanifested part files no scan ever sees).
+    val dir = s"$root/streams/sql1"
+    spark.sql(s"CREATE TABLE graft_sql_ddl_t USING eslog OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO graft_sql_ddl_t " +
+        "SELECT CAST(CAST(id AS STRING) AS BINARY) AS payload FROM range(120)")
+
+      // SCAN: TVF + catalog table read the same committed rows
+      assert(spark.sql(s"SELECT count(*) AS n FROM graft_scan('$dir')")
+        .collect().head.getLong(0) == 120)
+      assert(spark.sql("SELECT count(*) FROM graft_sql_ddl_t")
+        .collect().head.getLong(0) == 120)
+
+      // DESCRIBE: offsets reflect the committed append
+      val d = spark.sql(s"SELECT * FROM graft_describe_stream('$root', 'sql1')").collect().head
+      assert(d.getAs[Long]("next_offset") == 120L && !d.getAs[Boolean]("deleted"), d.toString)
+
+      // a second INSERT appends contiguously (offsets continue at 120)
+      spark.sql("INSERT INTO graft_sql_ddl_t " +
+        "SELECT CAST(CAST(id AS STRING) AS BINARY) AS payload FROM range(30)")
+      val d2 = spark.sql(s"SELECT * FROM graft_describe_stream('$root', 'sql1')").collect().head
+      assert(d2.getAs[Long]("next_offset") == 150L, d2.toString)
+      assert(spark.sql("SELECT count(*) FROM graft_sql_ddl_t")
+        .collect().head.getLong(0) == 150)
+
+      // LIST + combined scan see the stream
+      val listed = spark.sql(s"SELECT name FROM graft_list_streams('$root')")
+        .collect().map(_.getString(0))
+      assert(listed.sameElements(Array("sql1")), listed.mkString(","))
+      assert(spark.sql(s"SELECT count(*) FROM graft_catalog_scan('$root')")
+        .collect().head.getLong(0) == 150)
+
+      // INSERT OVERWRITE would violate append-only — rejected at analysis
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE TABLE graft_sql_ddl_t " +
+          "SELECT CAST(CAST(id AS STRING) AS BINARY) AS payload FROM range(5)")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("append-only")), e.toString)
+      assert(spark.sql(s"SELECT count(*) FROM graft_scan('$dir')")
+        .collect().head.getLong(0) == 150, "failed INSERT must not have committed rows")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_ddl_t")
+
+    // DROP (idempotent)
+    assert(spark.sql(s"SELECT * FROM graft_drop_stream('$root', 'sql1')")
+      .collect().head.getBoolean(1))
+    assert(!spark.sql(s"SELECT * FROM graft_drop_stream('$root', 'sql1')")
+      .collect().head.getBoolean(1))
+    assert(spark.sql(s"SELECT * FROM graft_list_streams('$root')").collect().isEmpty)
+  }
+
   test("session built with spark.sql.extensions=GraftSqlExtensions has the functions") {
     // newSession() shares the SparkContext but NOT the function registry;
     // building a separate session with the extensions class proves the

@@ -20,6 +20,9 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the full SQL surface, installed the way a cluster user configures it
+      // (GraftSqlSpec ALSO exercises the live-session register() path)
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
