@@ -93,6 +93,62 @@ class EsLogSpec extends SparkTestBase {
     assert(graft.meta.MetaLog.load(dir4).allFiles.size == 24)
   }
 
+  test("trim/vacuum racing a pinned snapshot reader: full rows or clean failure, never partial") {
+    // SURVEY §7 hard part (c), deterministically interleaved: a reader plans
+    // a time-travel scan at version v, then trim advances past v's files and
+    // physically vacuums them. The snapshot-read contract (Delta's VACUUM
+    // contract, and the reference's range-delete semantics): the pinned read
+    // either completes from still-live files or fails CLEANLY — a partial
+    // result (rows silently missing) is the one forbidden outcome.
+    def hasFnf(t: Throwable): Boolean =
+      Option(t).exists(x => x.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(x.getMessage).exists(_.toLowerCase.contains("does not exist")) ||
+        hasFnf(x.getCause))
+
+    // trim points: inside file 0 (straddler kept), at a file boundary
+    // (prefix files vacuumed), past several files
+    for (trimAt <- Seq(100L, 250L, 610L)) {
+      val dir = tmpDir(s"eslog-race-$trimAt-")
+      EsLog.create(dir); EsLog.open(dir, 1L)
+      val in = spark.range(1000).select(
+        col("id"), col("id").cast("string").cast("binary").as("payload"))
+      EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+      val v = graft.meta.MetaLog.load(dir).version
+      val files0 = graft.meta.MetaLog.load(dir).allFiles
+      assert(files0.size == 4) // 250 rows per file
+
+      // t1: reader plans (manifest snapshot at v resolved NOW)
+      val pinned = EsLog.scanAt(spark, dir, v)
+      // t2: executing before the trim lands sees every row
+      assert(pinned.count() == 1000)
+
+      // t3: trim advances and physically vacuums covered files
+      EsLog.trim(dir, trimAt)
+      val gone = files0.count(_.endOffset <= trimAt)
+
+      // t4: the SAME pinned plan re-executes — all 1000 or a clean failure
+      val outcome = scala.util.Try(
+        EsLog.scanAt(spark, dir, v).agg(count(lit(1))).collect().head.getLong(0))
+      outcome match {
+        case scala.util.Success(n) =>
+          assert(n == 1000L,
+            s"trimAt=$trimAt: pinned snapshot silently LOST rows: $n of 1000")
+          assert(gone == 0,
+            s"trimAt=$trimAt: $gone files vacuumed yet snapshot still read 1000 — stale FS?")
+        case scala.util.Failure(e) =>
+          assert(hasFnf(e), s"trimAt=$trimAt: failure must be the missing-file kind: $e")
+          assert(gone > 0, s"trimAt=$trimAt: clean failure but nothing was vacuumed: $e")
+      }
+
+      // t5: the LIVE (post-trim) scan remains exact under straddle semantics:
+      // batches whose span ends at or before trimAt are gone, the rest stay
+      val live = EsLog.scan(spark, dir)
+      assert(live.count() == 1000 - trimAt)
+      assert(live.agg(min(col("base_offset") + col("last_offset_delta")))
+        .collect().head.getLong(0) > trimAt)
+    }
+  }
+
   test("fetch range pruning + straddle semantics; trim; reopen fencing") {
     val dir = tmpDir("eslog-rng-")
     EsLog.create(dir, streamId = 2L)
