@@ -348,6 +348,89 @@ object Fixtures {
       name
     })
 
+  /** Streaming COUNT-MIN sketch per hour window: the depth × width counter
+    * grid as a plain windowed `groupBy(window, d, slot).count()` — CMS cells
+    * are ordinary counters, so the streaming form needs NO custom state:
+    * Spark's aggregation state IS the grid, bounded by depth·width counters
+    * per in-flight window (4096 here) regardless of event volume. Arrivals
+    * split across ~8 rate-limited micro-batches merge cell-wise in the state
+    * store — the CMS merge law exercised incrementally; the graded rows are
+    * the grid itself, bit-compared against DuckDB recomputing it from the
+    * events table. Complete-mode memory table. */
+  def streamCmsTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-cms", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+      val name = "graft_stream_cms_" + math.abs(sfDir.hashCode).toString
+      val depth = 4; val width = 1024
+      val hm = graft.functions.Portable.uhashBase(col("payload").cast("string"))
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .withColumn("ts", timestamp_millis(col("base_timestamp")))
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), explode(array((0 until depth).map(i =>
+          struct(lit(i).as("d"),
+            (graft.functions.Portable.uhash(i, hm) % width).as("slot"))): _*)).as("cell"))
+        .groupBy(window(col("ts"), "1 hour"),
+          col("cell.d").as("d"), col("cell.slot").as("slot"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_millis(col("window.start")).as("hour_start_ms"),
+          col("d"), col("slot"), col("cnt"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
+  /** Streaming BLOOM sketch per hour window, summarized: each value sets k=5
+    * slots in [0, m=2²⁰); the per-window slot SET accumulates in the bounded
+    * [[org.apache.spark.sql.graftshim.KmvAgg]] aggregate (the k-minimum
+    * carrier doubles as a bounded distinct-set collector: with cap 4096 ≥
+    * distinct slots per window at every tested SF it holds the COMPLETE set,
+    * and beyond the cap it degrades deterministically to the 4096 smallest —
+    * the oracle reproduces either regime with a rank filter). State ≤ 4096
+    * longs per in-flight window; the graded row is the per-window set
+    * fingerprint (count / min / max / xor), fully determined by the slot
+    * set. Complete-mode memory table. */
+  def streamBloomTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-bloom", {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.graftshim.{GraftShims, KmvAgg}
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+      val name = "graft_stream_bloom_" + math.abs(sfDir.hashCode).toString
+      val m = 1 << 20; val k = 5; val cap = 4096
+      val hm = graft.functions.Portable.uhashBase(col("payload").cast("string"))
+      // all k slot exprs explode first; KmvAgg then dedups + bounds the set
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .withColumn("ts", timestamp_millis(col("base_timestamp")))
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), explode(array((0 until k).map(i =>
+          graft.functions.Portable.uhash(i, hm) % m): _*)).as("slot"))
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(GraftShims.column(KmvAgg(
+          GraftShims.expr(col("slot")), cap).toAggregateExpression()).as("_ss"))
+        .select(unix_millis(col("window.start")).as("hour_start_ms"),
+          size(col("_ss")).cast("long").as("n_slots"),
+          element_at(col("_ss"), 1).as("slot_min"),
+          element_at(col("_ss"), size(col("_ss"))).as("slot_max"),
+          expr("aggregate(_ss, 0L, (a, x) -> a ^ x)").as("slot_xor"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** STREAM-STATIC enrichment — the canonical streaming dimension join,
     * completing the join matrix next to the stream-stream join fixture: the
     * eslog stream's records are enriched through TWO chained broadcast

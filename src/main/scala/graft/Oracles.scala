@@ -177,6 +177,44 @@ object Oracles {
       |       props AS v FROM events""".stripMargin,
     Seq("hour_start_ms"))
 
+  /** Streaming CMS grid: DuckDB recomputes the full (hour, d, slot, cnt)
+    * grid from the events table — bit-equality proves the streaming
+    * cell-wise merge across micro-batches. */
+  private val esStreamCms = {
+    val depth = 4; val width = 1024
+    val cells = (0 until depth).map(i =>
+      s"SELECT hour_start_ms, $i AS d, ${H.uhashSql(i, "hm")} % $width AS slot FROM h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH occ AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_start_ms,
+       |                    props AS v FROM events),
+       |h AS (SELECT hour_start_ms, ${H.uhashBaseSql("v")} AS hm FROM occ),
+       |cells AS ($cells)
+       |SELECT hour_start_ms, d, slot, CAST(count(*) AS BIGINT) AS cnt
+       |FROM cells GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** Streaming Bloom slot set, summarized per window. The rank filter
+    * mirrors the bounded carrier's cap (complete set at every tested SF;
+    * deterministic k-smallest subset beyond). */
+  private val esStreamBloom = {
+    val m = 1 << 20; val k = 5; val cap = 4096
+    val slots = (0 until k).map(i =>
+      s"SELECT hour_start_ms, ${H.uhashSql(i, "hm")} % $m AS slot FROM h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH occ AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_start_ms,
+       |                    props AS v FROM events),
+       |h AS (SELECT hour_start_ms, ${H.uhashBaseSql("v")} AS hm FROM occ),
+       |raw AS ($slots),
+       |dedup AS (SELECT DISTINCT hour_start_ms, slot FROM raw),
+       |rk AS (SELECT hour_start_ms, slot,
+       |              row_number() OVER (PARTITION BY hour_start_ms ORDER BY slot) AS rn
+       |       FROM dedup)
+       |SELECT hour_start_ms, CAST(count(*) AS BIGINT) AS n_slots,
+       |       min(slot) AS slot_min, max(slot) AS slot_max,
+       |       bit_xor(slot) AS slot_xor
+       |FROM rk WHERE rn <= $cap GROUP BY 1""".stripMargin
+  }
+
   private val esWatchMeta =
     """SELECT * FROM (VALUES
       |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'createStream'),
@@ -996,6 +1034,8 @@ object Oracles {
     "es_stream_window" -> esStreamWindow,
     "es_stream_dedup" -> esStreamDedup,
     "es_stream_kmv" -> esStreamKmv,
+    "es_stream_cms" -> esStreamCms,
+    "es_stream_bloom" -> esStreamBloom,
     "es_stream_enrich_dim" -> esStreamEnrichDim,
     "es_watch_meta" -> esWatchMeta,
     "es_history" -> esWatchMeta, // batch twin: same fixture, same feed

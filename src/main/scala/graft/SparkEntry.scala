@@ -260,6 +260,16 @@ object SparkEntry {
   private def qEsStreamKmv(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamKmvTable(s, sfDir))
 
+  /** Streaming CMS: the windowed counter grid ([[Fixtures.streamCmsTable]]).
+    * State bound: depth × width = 4096 counters per in-flight window. */
+  private def qEsStreamCms(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamCmsTable(s, sfDir))
+
+  /** Streaming Bloom: per-window slot-set fingerprint
+    * ([[Fixtures.streamBloomTable]]). State bound: ≤ 4096 longs per window. */
+  private def qEsStreamBloom(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamBloomTable(s, sfDir))
+
   /** WATCH_RESOURCE: metadata log streamed as a versioned change feed. */
   private def qEsWatchMeta(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamWatchTable(s, sfDir))
@@ -854,6 +864,8 @@ object SparkEntry {
     "es_stream_window" -> (qEsStreamWindow _),
     "es_stream_dedup" -> (qEsStreamDedup _),
     "es_stream_kmv" -> (qEsStreamKmv _),
+    "es_stream_cms" -> (qEsStreamCms _),
+    "es_stream_bloom" -> (qEsStreamBloom _),
     "es_stream_enrich_dim" -> (qEsStreamEnrichDim _),
     "es_watch_meta" -> (qEsWatchMeta _),
     "es_history" -> (qEsHistory _),
