@@ -35,25 +35,45 @@ import graft.model.RecordBatchRow
   * path present in the state is current by construction), and entries for
   * files that left the state are swept opportunistically.
   *
-  * Disabled by default (`GLOBAL_BYTES` = 0), and deliberately so: measured on
-  * local NVMe at sf0.1 (131 MiB batch files, page cache warm), the hot scan
-  * LOSES to the cold one — the vectorized read of well-compressed Parquet is
-  * cheaper than building and scanning the in-memory columnar cache for fat
-  * binary payloads. That is the SURVEY §2.4 page-cache argument, now with a
-  * number behind it. The cache pays for itself when the per-read fixed cost
-  * it removes is large: object-store stream dirs (a GET per file per read) or
-  * many consumers tailing the same stream concurrently. Enable it there;
-  * leave it off for local-disk deployments.
+  * Enablement policy, scheme-aware and measured both ways:
+  *  - LOCAL-DISK schemes (file/hdfs-like): off unless explicitly budgeted.
+  *    Measured on local NVMe at sf0.1 (131 MiB batch files, page cache
+  *    warm), the hot scan LOSES to the cold one — the vectorized read of
+  *    well-compressed Parquet is cheaper than building and scanning the
+  *    in-memory columnar cache for fat binary payloads. That is the SURVEY
+  *    §2.4 page-cache argument, with a number behind it.
+  *  - OBJECT-STORE schemes ([[DefaultAutoSchemes]]): AUTO-ENABLED with
+  *    [[DefaultAutoBytes]] when no explicit budget is set. There every read
+  *    of every file is a paid round trip (GET/open), and the cache removes
+  *    exactly those: HotCacheSpec measures a latency-injected FileSystem and
+  *    pins steady-state tail fetches at ZERO data-file opens served hot vs.
+  *    O(files) per fetch cold — the fixed per-read cost the reference's
+  *    range-server cache exists to remove (cache.rs:10-94).
+  *  - An explicit `GLOBAL_BYTES` always wins, in both directions
+  *    (0 disables everywhere, >0 enables anywhere).
   */
 object HotCache {
   /** Global cache budget in bytes (on-disk Parquet bytes as the accounting
     * unit, like the reference's cache which counts serialized block bytes).
-    * 0 disables the cache entirely. */
+    * 0 disables the cache entirely; unset defers to the scheme policy
+    * ([[AUTO_SCHEMES]]). */
   val GLOBAL_BYTES = "spark.graft.eslog.hotCache.bytes"
 
   /** Per-stream hot-window size in bytes: only the tail suffix of files whose
     * byte sum fits is admissible. Defaults to the global budget. */
   val STREAM_BYTES = "spark.graft.eslog.hotCache.streamBytes"
+
+  /** Comma-separated URI schemes where the cache auto-enables at
+    * [[DefaultAutoBytes]] when [[GLOBAL_BYTES]] is unset. */
+  val AUTO_SCHEMES = "spark.graft.eslog.hotCache.autoSchemes"
+
+  /** Object-store schemes: per-open round trips dominate tail reads there. */
+  val DefaultAutoSchemes =
+    "s3,s3a,s3n,gs,wasb,wasbs,abfs,abfss,oss,cos,obs"
+
+  /** Auto-enable budget: 1 GiB of on-disk Parquet bytes per JVM — a few hot
+    * tail windows, far below executor storage memory at any sane sizing. */
+  val DefaultAutoBytes: Long = 1L << 30
 
   private final case class Cached(streamDir: String, meta: FileMeta,
                                   df: DataFrame, lastUsed: AtomicLong)
@@ -63,11 +83,29 @@ object HotCache {
   private val entries = new ConcurrentHashMap[String, Cached]()
   private val tick = new AtomicLong(0L)
 
-  private def globalBudget(spark: SparkSession): Long =
-    spark.conf.getOption(GLOBAL_BYTES).map(_.toLong).getOrElse(0L)
-  private def streamBudget(spark: SparkSession): Long =
-    spark.conf.getOption(STREAM_BYTES).map(_.toLong)
-      .getOrElse(globalBudget(spark))
+  /** URI scheme of a stream dir; schemeless = plain local path = "file".
+    * Same 2+-char rule as MetaLog.hasScheme (one letter = Windows drive). */
+  private def scheme(streamDir: String): String = {
+    val i = streamDir.indexOf(':')
+    if (i >= 2 && streamDir.substring(0, i)
+          .forall(c => c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+      streamDir.substring(0, i).toLowerCase
+    else "file"
+  }
+
+  /** Effective global budget for a fetch of `streamDir`: an explicit
+    * [[GLOBAL_BYTES]] always wins (0 disables, >0 enables, any scheme);
+    * unset falls back to the scheme policy — [[DefaultAutoBytes]] for
+    * [[AUTO_SCHEMES]] members, 0 (off) otherwise. */
+  private[eslog] def effectiveBudget(spark: SparkSession, streamDir: String): Long =
+    spark.conf.getOption(GLOBAL_BYTES).map(_.toLong).getOrElse {
+      val auto = spark.conf.getOption(AUTO_SCHEMES).getOrElse(DefaultAutoSchemes)
+        .split(',').iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+      if (auto.contains(scheme(streamDir))) DefaultAutoBytes else 0L
+    }
+
+  private def streamBudget(spark: SparkSession, effective: Long): Long =
+    spark.conf.getOption(STREAM_BYTES).map(_.toLong).getOrElse(effective)
 
   /** The hot window: longest suffix of the state's files (by offset) whose
     * byte sum fits the per-stream budget. */
@@ -85,10 +123,10 @@ object HotCache {
   private[eslog] def split(spark: SparkSession, streamDir: String,
                            st: StreamState, metas: Seq[FileMeta])
       : Option[(Seq[DataFrame], Seq[FileMeta])] = {
-    val budget = globalBudget(spark)
+    val budget = effectiveBudget(spark, streamDir)
     if (budget <= 0) return None
     sweep(streamDir, st)
-    val window = hotWindow(st, streamBudget(spark))
+    val window = hotWindow(st, streamBudget(spark, budget))
     if (!metas.exists(m => window.contains(m.path))) return None
     val (hot, cold) = metas.partition(m => window.contains(m.path))
     val now = tick.incrementAndGet()

@@ -16,6 +16,8 @@ class HotCacheSpec extends SparkTestBase with BeforeAndAfterEach {
     HotCache.clear()
     spark.conf.unset(HotCache.GLOBAL_BYTES)
     spark.conf.unset(HotCache.STREAM_BYTES)
+    spark.conf.unset(HotCache.AUTO_SCHEMES)
+    CountingLocalFileSystem.reset()
   }
   override def afterEach(): Unit = beforeEach()
 
@@ -210,6 +212,58 @@ class HotCacheSpec extends SparkTestBase with BeforeAndAfterEach {
     writer.join(120000)
     assert(failure == null, s"writer failed: $failure")
     assert(committed == 500L && checks >= 3)
+  }
+
+  // ---- scheme-aware enablement policy (object-store auto-enable) ----
+
+  /** Stream on the open-counting `s3://` double ([[CountingLocalFileSystem]]). */
+  private def mkObjectStream(n: Int, id: Long): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3.impl", classOf[CountingLocalFileSystem].getName)
+    val dir = "s3:" + tmpDir("hotauto-")
+    EsLog.create(dir, streamId = id)
+    EsLog.open(dir, 1L)
+    (0 until 2).foreach { i =>
+      val per = n / 2
+      val in = spark.range(i.toLong * per, (i + 1).toLong * per).select(
+        col("id").as("event_id"),
+        concat(lit("payload-"), col("id")).cast("binary").as("payload"),
+        map(lit("k"), col("id").cast("string")).as("properties"),
+        col("id").as("base_timestamp"))
+      EsLog.append(spark, dir, in, 1L, sortKey = Some("event_id"),
+        numPartitions = 2)
+    }
+    dir
+  }
+
+  test("s3 scheme auto-enables with no knobs: steady hot tail fetch = zero GETs") {
+    val dir = mkObjectStream(100, id = 91L)
+    // explicit 0 beats the scheme policy: stays cold, pays a GET per file
+    spark.conf.set(HotCache.GLOBAL_BYTES, "0")
+    val cold = rows(EsLog.fetch(spark, dir, 20, 90))
+    CountingLocalFileSystem.reset()
+    assert(rows(EsLog.fetch(spark, dir, 20, 90)) == cold)
+    assert(CountingLocalFileSystem.dataFileOpens > 0,
+      "a cold object-store fetch pays a GET per data file")
+    assert(HotCache.resident.isEmpty)
+    // unset budget → DefaultAutoSchemes contains s3 → cache on, default budget
+    spark.conf.unset(HotCache.GLOBAL_BYTES)
+    val warm = EsLog.fetch(spark, dir, 20, 90) // warming pass pays its GETs once
+    assert(usesInMemory(warm) && rows(warm) == cold)
+    CountingLocalFileSystem.reset()
+    val hot = EsLog.fetch(spark, dir, 20, 90)
+    assert(usesInMemory(hot) && rows(hot) == cold)
+    assert(CountingLocalFileSystem.dataFileOpens == 0L,
+      "a steady-state hot tail fetch must not touch the object store")
+  }
+
+  test("AUTO_SCHEMES is configurable: dropping the scheme turns auto-enable off") {
+    val dir = mkObjectStream(40, id = 92L)
+    spark.conf.set(HotCache.AUTO_SCHEMES, "gs,abfss")
+    val df = EsLog.fetch(spark, dir, 0, 40)
+    assert(!usesInMemory(df))
+    assert(df.count() == 40)
+    assert(HotCache.resident.isEmpty)
   }
 
   test("compaction swap and delete invalidate cleanly") {
