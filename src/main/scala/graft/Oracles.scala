@@ -856,6 +856,27 @@ object Oracles {
        |              AND ((tot - 1) * permille) // 1000 < cum""".stripMargin
   }
 
+  /** Sample quantiles: the bottom-k-by-hash sample is a pure function of the
+    * input multiset (`DISTINCT flag, h, v` then the k smallest `(h, v)` per
+    * flag), so plain SQL reproduces the Spark aggregate bit-for-bit; the
+    * rank rule is [[graft.operators.Stats.quantilesDisc]]'s integer form. */
+  private val statsQuantilesSample = {
+    val h = graft.functions.Portable.hash60Sql("concat(l_orderkey, ':', l_linenumber)")
+    s"""WITH t AS (SELECT l_returnflag, $h AS h,
+       |             CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+       |s AS (SELECT DISTINCT l_returnflag, h, v FROM t),
+       |w AS (SELECT l_returnflag, v,
+       |        row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS hr
+       |      FROM s),
+       |r AS (SELECT l_returnflag, v,
+       |        row_number() OVER (PARTITION BY l_returnflag ORDER BY v) - 1 AS rn,
+       |        count(*) OVER (PARTITION BY l_returnflag) AS n
+       |      FROM w WHERE hr <= 256),
+       |p AS (SELECT CAST(unnest([0, 250, 500, 900, 1000]) AS BIGINT) AS permille)
+       |SELECT l_returnflag, permille, v AS q_value
+       |FROM r JOIN p ON rn = ((n - 1) * permille) // 1000""".stripMargin
+  }
+
   private val joinSalted =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, sum(l_quantity) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1083,6 +1104,7 @@ object Oracles {
     "stats_quantiles" -> statsQuantiles,
     "stats_histogram" -> statsHistogram,
     "stats_quantiles_approx" -> statsQuantilesApprox,
+    "stats_quantiles_sample" -> statsQuantilesSample,
     "join_salted" -> joinSalted,
     "join_asof" -> joinAsof,
     "es_stream_asof" -> esStreamAsof,

@@ -737,6 +737,23 @@ object SparkEntry {
       Seq("event_type"), permille = Seq(0, 250, 500, 750, 1000))
   }
 
+  /** Bounded-state sample quantiles over an unbounded domain: per return
+    * flag, permille cut points of the price-cents distribution read off a
+    * bottom-256-by-hash row sample ([[graft.operators.Stats
+    * .quantilesSample]]) — the deterministic, mergeable quantile path when
+    * no histogram range is known. Values are exact DECIMAL(_,2)-to-cents
+    * integers so both engines agree bit-for-bit. */
+  private def qStatsQuantilesSample(s: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.tune(s)
+    val li = s.read.parquet(s"$sfDir/lineitem.parquet").select(
+      col("l_returnflag"),
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rk"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    graft.operators.Stats.quantilesSample(li, Seq("l_returnflag"),
+      rowKey = col("rk"), value = col("cents"), k = 256,
+      permille = Seq(0, 250, 500, 900, 1000))
+  }
+
   // ----------------------------------------------------------- relational --
 
   private def qLineitemAgg(s: SparkSession, sfDir: String): DataFrame = {
@@ -922,6 +939,7 @@ object SparkEntry {
     "stats_quantiles" -> (qStatsQuantiles _),
     "stats_histogram" -> (qStatsHistogram _),
     "stats_quantiles_approx" -> (qStatsQuantilesApprox _),
+    "stats_quantiles_sample" -> (qStatsQuantilesSample _),
     "lineitem_agg" -> (qLineitemAgg _),
     "join_agg" -> (qJoinAgg _),
     "topk_orders" -> (qTopKOrders _),

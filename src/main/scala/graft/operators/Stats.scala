@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,6 +83,42 @@ object Stats {
     * window over (group × non-empty buckets) — at a value range of 10^6 and
     * width 50 that is 20k rows per group REGARDLESS of whether the group
     * holds 10^3 or 10^12 values. */
+  /** Bounded-state approximate quantiles over an UNBOUNDED value domain —
+    * the case [[quantilesFromHistogram]] (which needs a known range/width)
+    * cannot cover. Per group, a bottom-k-by-hash uniform row sample
+    * ([[org.apache.spark.sql.graftshim.QuantileSampleAgg]]: the k smallest
+    * distinct `(hash60(rowKey), value)` pairs — order-independent,
+    * mergeable by union-and-trim like KMV, ≤ k pairs of state per group per
+    * partition, map-side partials), then each permille p reads the sampled
+    * value at integer rank `(n-1)p div 1000`. Deterministic end-to-end: the
+    * retained sample is a pure function of the input multiset, so an
+    * independent SQL engine reproduces it bit-for-bit
+    * (`DISTINCT h, v ORDER BY h, v LIMIT k` + the same rank rule).
+    * Rank error is the standard O(1/sqrt(k)) sample-quantile bound.
+    *
+    * `rowKey` must identify rows uniquely (duplicate keys collapse — same
+    * contract as `sampleKPerGroup`); duplicate VALUES from distinct rows
+    * are preserved (their hashes differ), as a quantile sample requires. */
+  def quantilesSample(df: DataFrame, groupCols: Seq[String], rowKey: Column,
+                      value: Column, k: Int, permille: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShims, QuantileSampleAgg}
+    require(k >= 2, "k must be at least 2")
+    require(permille.nonEmpty && permille.forall(p => p >= 0 && p <= 1000),
+      "permille values must be in [0, 1000]")
+    val grp = groupCols.map(col)
+    val kept = GraftShims.column(QuantileSampleAgg(
+      GraftShims.expr(graft.functions.Portable.hash60(rowKey)),
+      GraftShims.expr(value.cast("long")), k).toAggregateExpression())
+    val permilleArr = array(permille.distinct.sorted.map(p => lit(p.toLong)): _*)
+    OpUtil.rebalance(df).groupBy(grp: _*).agg(kept.as("_vals"))
+      .withColumn("permille", explode(permilleArr))
+      .select(grp :+ col("permille") :+
+        when(size(col("_vals")) > 0, element_at(col("_vals"),
+          (call_function("div",
+            (size(col("_vals")).cast("long") - 1L) * col("permille"),
+            lit(1000L)) + 1L).cast("int"))).as("q_value"): _*)
+  }
+
   def quantilesFromHistogram(hist: DataFrame, groupCols: Seq[String],
                              permille: Seq[Int]): DataFrame = {
     require(permille.nonEmpty && permille.forall(p => p >= 0 && p <= 1000),

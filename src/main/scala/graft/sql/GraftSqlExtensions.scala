@@ -144,6 +144,12 @@ object GraftFunctions {
         // an AggregateFunction from a registry builder is wrapped in its
         // AggregateExpression by the analyzer (the built-in registration path)
         org.apache.spark.sql.graftshim.KmvAgg(args(0), k) }),
+    (FunctionIdentifier("graft_quantile_sample"),
+      info("graft_quantile_sample",
+        "graft_quantile_sample(hash_col, value_col, k) - bottom-k-by-hash quantile sample: values of the k smallest distinct (hash, value) BIGINT pairs, ascending array (k literal); read ranks with element_at"),
+      (args: Seq[Expression]) => { arity("graft_quantile_sample", args, 3)
+        val k = literalInt(args(2), "graft_quantile_sample", "k")
+        org.apache.spark.sql.graftshim.QuantileSampleAgg(args(0), args(1), k) }),
     (FunctionIdentifier("graft_topk"),
       info("graft_topk",
         "graft_topk(sort_key, payload, k) - k lexicographically smallest distinct (key, payload) BIGINT pairs, ascending array of struct<k,v> (k literal)"),

@@ -108,6 +108,31 @@ class GraftSqlSpec extends SparkTestBase {
     assert(viaSql === viaOp)
   }
 
+  test("graft_quantile_sample aggregate from SQL matches the operator path") {
+    Fixtures.tune(spark)
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_qs")
+    val viaSql = spark.sql(
+      """SELECT lang,
+        |  graft_quantile_sample(graft_hash60(CAST(doc_id AS STRING)),
+        |                        CAST(length(text) AS BIGINT), 64) AS vals
+        |FROM docs_qs GROUP BY lang""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // operator path emits rank reads; compare the p0/p1000 reads against the
+    // SQL array's endpoints and the p500 read against its middle rank
+    val viaOp = graft.operators.Stats.quantilesSample(
+        spark.read.parquet(sf("documents"))
+          .select(col("lang"), col("doc_id").cast("string").as("rk"),
+            length(col("text")).cast("long").as("v")),
+        Seq("lang"), col("rk"), col("v"), k = 64, permille = Seq(0, 500, 1000))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    viaSql.foreach { case (lang, vals) =>
+      val n = vals.size
+      assert(viaOp((lang, 0L)) === vals.head, s"$lang p0")
+      assert(viaOp((lang, 500L)) === vals((n - 1) / 2), s"$lang p500")
+      assert(viaOp((lang, 1000L)) === vals.last, s"$lang p1000")
+    }
+  }
+
   test("bad calls fail at analysis: wrong arity, non-literal config args") {
     intercept[Exception] { spark.sql("SELECT graft_dot(array(1.0d))").collect() }
     intercept[Exception] {

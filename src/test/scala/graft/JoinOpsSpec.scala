@@ -222,6 +222,42 @@ class JoinOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sample quantiles: twin equality, order-independence, exact below k") {
+    import graft.operators.Stats
+    import graft.functions.Portable
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(43)
+    val data = (0 until 3000).map { i =>
+      (if (i % 4 == 0) "a" else "b", s"row-$i", rnd.nextLong(1000000) - 300000)
+    }.toDF("g", "rk", "v")
+    val permille = Seq(0, 250, 500, 900, 1000)
+    val k = 128
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "permille", "q_value").as[(String, Long, Long)]
+        .collect().map { case (g, p, q) => (g, p) -> q }.toMap
+    val agg = asMap(Stats.quantilesSample(data, Seq("g"), col("rk"), col("v"),
+      k, permille))
+    // declarative twin: bottom-k (h, v) pairs via a window, then the same
+    // integer rank rule (quantilesDisc) over the sampled values
+    val sample = data
+      .select(col("g"), Portable.hash60(col("rk")).as("h"), col("v"))
+      .distinct()
+      .withColumn("hr", row_number().over(Window.partitionBy("g").orderBy("h", "v")))
+      .where(col("hr") <= k)
+    val twin = asMap(Stats.quantilesDisc(sample.select("g", "v"), Seq("g"), "v", permille))
+    assert(agg === twin, "aggregate must equal the declarative bottom-k twin")
+    // order-independence: partitioning and input order cannot move the sample
+    val shuffled = asMap(Stats.quantilesSample(
+      data.orderBy(col("v").desc).repartition(13), Seq("g"), col("rk"), col("v"),
+      k, permille))
+    assert(shuffled === agg)
+    // below k the sample IS the input: sample quantiles == exact quantiles
+    val small = (0 until 80).map(i => ("s", s"r$i", rnd.nextLong(500))).toDF("g", "rk", "v")
+    val exact = asMap(Stats.quantilesDisc(small.select("g", "v"), Seq("g"), "v", permille))
+    assert(asMap(Stats.quantilesSample(small, Seq("g"), col("rk"), col("v"),
+      k, permille)) === exact)
+  }
+
   // ---- sketches ----
 
   test("KMV: exact below k, estimate within 1/sqrt(k-2) bounds above k") {

@@ -592,6 +592,7 @@ class PlanAuditSpec extends SparkTestBase {
     "stats_histogram" -> Seq("event_type", "bucket", "n", "bucket_lo"),
     "stats_quantiles" -> Seq("l_returnflag", "permille", "q_value"),
     "stats_quantiles_approx" -> Seq("event_type", "permille", "q_lo"),
+    "stats_quantiles_sample" -> Seq("l_returnflag", "permille", "q_value"),
     "text_domains" -> Seq("domain", "n_docs", "n_urls"),
     "text_filter" -> Seq("doc_id", "drop_reason", "keep"),
     "text_fingerprint" -> Seq("doc_id", "fp_md5", "fp60"),
