@@ -560,6 +560,39 @@ object Fixtures {
       ()
     }
 
+  /** Catalog with a name-reuse lifecycle for the REGISTRY watch: create
+    * alpha/beta/gamma, drop beta, recreate beta (fresh id 3 — exercises the
+    * tombstone purge and the revision semantics that make reuse
+    * unambiguous). Deterministic commit sequence → deterministic
+    * (revision, op, name, stream_id) events. */
+  def catalogWatchRoot(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "catalog-watch") { root =>
+      val cat = new graft.eslog.EsCatalog(root)
+      cat.createStream("alpha")
+      cat.createStream("beta")
+      cat.createStream("gamma")
+      cat.dropStream("beta")
+      cat.createStream("beta")
+      ()
+    }
+
+  /** Registry WATCH_RESOURCE feed: [[catalogWatchRoot]]'s registry streamed
+    * as a change feed into a memory table; returns the table name. */
+  def catalogWatchTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#catalog-watch-table", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val cat = new graft.eslog.EsCatalog(catalogWatchRoot(s, sfDir))
+      val name = "graft_catalog_watch_" + math.abs(sfDir.hashCode).toString
+      val q = cat.watchRegistry(s)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** WATCH_RESOURCE feed: the kv fixture's metadata log streamed as a change
     * feed into a memory table; returns the table name. */
   def streamWatchTable(s: SparkSession, sfDir: String): String =

@@ -234,6 +234,21 @@ object Oracles {
       |  (CAST(11 AS BIGINT), CAST(1 AS BIGINT), 'kvDel')
       |) AS t(version, seq, action)""".stripMargin
 
+  /** Registry watch events of [[graft.Fixtures.catalogWatchRoot]]'s fixed
+    * lifecycle (create alpha/beta/gamma, drop beta, recreate beta).
+    * Revisions: catalog init = 0; each createStream = 2 commits (id
+    * allocation, then name reservation — the registry event); dropStream =
+    * 1 registry commit. The recreate carries id 3 at revision 9 — name
+    * reuse stays unambiguous in the feed. */
+  private val esWatchCatalog =
+    """SELECT * FROM (VALUES
+      |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'put', 'alpha', CAST(0 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), 'put', 'beta', CAST(1 AS BIGINT)),
+      |  (CAST(6 AS BIGINT), CAST(0 AS BIGINT), 'put', 'gamma', CAST(2 AS BIGINT)),
+      |  (CAST(7 AS BIGINT), CAST(0 AS BIGINT), 'del', 'beta', CAST(NULL AS BIGINT)),
+      |  (CAST(9 AS BIGINT), CAST(0 AS BIGINT), 'put', 'beta', CAST(3 AS BIGINT))
+      |) AS t(revision, seq, op, name, stream_id)""".stripMargin
+
   /** Shared session CTE: gap = 1 day over per-user event times. */
   private val sessionCte =
     """e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
@@ -1059,6 +1074,7 @@ object Oracles {
     "es_stream_bloom" -> esStreamBloom,
     "es_stream_enrich_dim" -> esStreamEnrichDim,
     "es_watch_meta" -> esWatchMeta,
+    "es_watch_catalog" -> esWatchCatalog,
     "es_history" -> esWatchMeta, // batch twin: same fixture, same feed
     "es_sessions" -> esSessions,
     "es_stream_sessions" -> esStreamSessions,

@@ -274,6 +274,13 @@ object SparkEntry {
   private def qEsWatchMeta(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamWatchTable(s, sfDir))
 
+  /** Registry-level watch: streams appearing/disappearing (with revisions)
+    * streamed off the CATALOG's own log — LIST/WATCH_RESOURCE parity at the
+    * registry grain, including an unambiguous name-reuse (drop + recreate
+    * carries a fresh stream_id at a later revision). */
+  private def qEsWatchCatalog(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.catalogWatchTable(s, sfDir))
+
   /** Batch twin of the watch feed: commit history (time-travel snapshot ids). */
   private def qEsHistory(s: SparkSession, sfDir: String): DataFrame =
     EsLog.history(s, Fixtures.kvStream(s, sfDir))
@@ -885,6 +892,7 @@ object SparkEntry {
     "es_stream_bloom" -> (qEsStreamBloom _),
     "es_stream_enrich_dim" -> (qEsStreamEnrichDim _),
     "es_watch_meta" -> (qEsWatchMeta _),
+    "es_watch_catalog" -> (qEsWatchCatalog _),
     "es_history" -> (qEsHistory _),
     "es_sessions" -> (qEsSessions _),
     "es_stream_sessions" -> (qEsStreamSessions _),

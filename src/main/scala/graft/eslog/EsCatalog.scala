@@ -59,6 +59,11 @@ final class EsCatalog(val root: String) {
       if (reserved) Seq(KvPut(streamKey(name), id.toString)) else Seq.empty
     }
     require(reserved, s"stream '$name' already exists")
+    // name reuse after a drop: the old stream's tombstoned log dir would
+    // make create lose its version-0 CAS forever — purge it (only the
+    // reservation winner reaches this line, so no second creator races us;
+    // purgeDeleted refuses non-deleted logs, so a live stream is never hit)
+    EsLog.purgeDeleted(streamDir(name))
     EsLog.create(streamDir(name), id, replica, ackCount, retentionMs)
     id
   }
@@ -142,6 +147,25 @@ final class EsCatalog(val root: String) {
   def scanAll(spark: SparkSession): DataFrame =
     EsLog.scanStates(spark, root,
       loadStates(registered()).map { case (n, st) => (streamDir(n), st) })
+
+  /** Registry-level WATCH_RESOURCE: streams appearing/disappearing as a
+    * STREAMING change feed — `put(name, stream_id)` / `del(name)` rows with
+    * `revision` = the catalog log version. List-then-watch has no gap:
+    * revisions are the same monotonic counter [[registryHistory]] and the
+    * registry log share. (The reference's PD resource watch over etcd,
+    * rpc.fbs:691-778; [[graft.sources.EsLogRegistryWatchSource]].) */
+  def watchRegistry(spark: SparkSession): DataFrame =
+    spark.readStream.format("eslog").option("watch", "registry").load(root)
+
+  /** Batch twin of [[watchRegistry]]: the full registry event history (same
+    * schema, same extraction — a catch-up read before switching to the
+    * stream). */
+  def registryHistory(spark: SparkSession): DataFrame = {
+    import graft.sources.EsLogRegistryWatchSource
+    spark.createDataFrame(
+      EsLogRegistryWatchSource.events(root, -1L, MetaLog.latestVersion(root)).asJava,
+      EsLogRegistryWatchSource.schema)
+  }
 
   /** LIST_RESOURCE: registered streams with their live metadata (states
     * loaded in one parallel pass, see [[loadStates]]). */

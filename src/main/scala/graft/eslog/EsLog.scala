@@ -84,6 +84,19 @@ object EsLog {
       Seq(CreateStream(streamId, replica, ackCount, retentionMs)))
   }
 
+  /** Remove the leftover directory of a DELETED stream so its name/path can
+    * be recreated (create CAS-commits at log version 0, which a tombstoned
+    * log would always lose). Data files are already gone ([[delete]] removed
+    * them); this drops the tombstoned log itself. Refuses to touch a live
+    * stream — returns false and leaves everything in place unless the log
+    * says `deleted`. */
+  private[graft] def purgeDeleted(streamDir: String): Boolean = {
+    if (!MetaLog.exists(streamDir) || !MetaLog.load(streamDir).deleted) return false
+    val fs = dataFs(streamDir)
+    fs.delete(hpath(streamDir), true)
+    true
+  }
+
   /** open_stream: fence with a higher epoch; seals the previous open segment
     * so `nextOffset` is recovered exactly (replication_stream.rs:241-295). */
   def open(streamDir: String, epoch: Long): StreamState =

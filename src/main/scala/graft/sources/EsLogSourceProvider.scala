@@ -95,22 +95,32 @@ class EsLogSourceProvider extends DataSourceRegister
 
   // ---- streaming ----
 
-  private def isMetaWatch(parameters: Map[String, String]): Boolean =
-    parameters.get("watch").exists(_.equalsIgnoreCase("metadata"))
+  private def watchMode(parameters: Map[String, String]): Option[String] =
+    parameters.get("watch").map(_.toLowerCase)
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      if (isMetaWatch(parameters)) EsLogMetaWatchSource.schema else RecordBatchRow.schema)
+    (shortName(), watchMode(parameters) match {
+      case Some("metadata") => EsLogMetaWatchSource.schema
+      case Some("registry") => EsLogRegistryWatchSource.schema
+      case _                => RecordBatchRow.schema
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    if (isMetaWatch(parameters))
-      new EsLogMetaWatchSource(sqlContext.sparkSession, path(parameters))
-    else
-      new EsLogStreamSource(sqlContext.sparkSession, path(parameters), parameters)
+    watchMode(parameters) match {
+      case Some("metadata") =>
+        new EsLogMetaWatchSource(sqlContext.sparkSession, path(parameters))
+      case Some("registry") =>
+        new EsLogRegistryWatchSource(sqlContext.sparkSession, path(parameters))
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"unknown watch mode '$other' (expected 'metadata' or 'registry')")
+      case None =>
+        new EsLogStreamSource(sqlContext.sparkSession, path(parameters), parameters)
+    }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String], outputMode: OutputMode): Sink =
@@ -344,6 +354,73 @@ class EsLogMetaWatchSource(spark: SparkSession, dir: String) extends Source {
       }
     val df = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    org.apache.spark.sql.graftshim.GraftShims.asStreamingViaRdd(df)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object EsLogRegistryWatchSource {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("revision", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("stream_id", LongType, nullable = true)))
+
+  private val Prefix = "stream."
+
+  /** Registry events in `(after, hi]` of a catalog root's log — shared by the
+    * streaming source and [[graft.eslog.EsCatalog.registryHistory]], so the
+    * batch twin is the same extraction by construction. `seq` is the action's
+    * index within its commit (same convention as the metadata watch). A
+    * [[graft.meta.KvDelRange]] touching the registry prefix surfaces as one
+    * `delRange` row with a null name — the resync signal (reload the LIST) —
+    * rather than being silently dropped; [[graft.eslog.EsCatalog]] itself
+    * never issues one against registry keys. */
+  private[graft] def events(dir: String, after: Long, hi: Long): Seq[org.apache.spark.sql.Row] =
+    MetaLog.actionsSince(dir, after)
+      .filter(_._1 <= hi)
+      .flatMap { case (v, actions) =>
+        actions.zipWithIndex.collect {
+          case (graft.meta.KvPut(k, value), i) if k.startsWith(Prefix) =>
+            org.apache.spark.sql.Row(v, i.toLong, "put", k.stripPrefix(Prefix), value.toLong)
+          case (graft.meta.KvDel(k), i) if k.startsWith(Prefix) =>
+            org.apache.spark.sql.Row(v, i.toLong, "del", k.stripPrefix(Prefix), null)
+          case (graft.meta.KvDelRange(from, until), i)
+              if from.startsWith(Prefix) || until.forall(_ > Prefix) && from <= Prefix =>
+            org.apache.spark.sql.Row(v, i.toLong, "delRange", null, null)
+        }
+      }
+}
+
+/** Registry-level WATCH_RESOURCE (rpc.fbs:691-778): the CATALOG's own log as
+  * a change feed of streams appearing/disappearing — `put(name, stream_id)`
+  * on create, `del(name)` on drop, revision = the catalog log version (the
+  * same monotonic revision LIST returns, so a consumer lists-then-watches
+  * with no gap: watch from the list's revision). Completes LIST/WATCH parity:
+  * [[EsLogMetaWatchSource]] watches ONE stream's metadata, this watches the
+  * registry itself (the reference's PD resource watch over etcd,
+  * pd/pkg/server/storage/endpoint/stream.go). Name reuse is unambiguous by
+  * construction: re-creating a dropped name carries a fresh stream_id at a
+  * later revision. */
+class EsLogRegistryWatchSource(spark: SparkSession, dir: String) extends Source {
+
+  override def schema: StructType = EsLogRegistryWatchSource.schema
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val v = MetaLog.latestVersion(dir)
+    if (v < 0) None else Some(EsLogOffset(v))
+  }
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+                        end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val after = start.map(_.json().toLong).getOrElse(-1L)
+    val hi = end.json().toLong
+    val df = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        EsLogRegistryWatchSource.events(dir, after, hi)).asJava, schema)
     org.apache.spark.sql.graftshim.GraftShims.asStreamingViaRdd(df)
   }
 

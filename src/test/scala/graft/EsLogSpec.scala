@@ -564,6 +564,38 @@ class EsLogSpec extends SparkTestBase {
     assert(cat.getStream("beta").isEmpty)
   }
 
+  test("catalog: registry watch events; name reuse after drop gets a fresh id") {
+    val root = tmpDir("eslog-catwatch-")
+    val cat = new graft.eslog.EsCatalog(root)
+    val a = cat.createStream("alpha")
+    val b = cat.createStream("beta")
+    cat.dropStream("beta")
+    val b2 = cat.createStream("beta") // tombstoned dir purged, fresh id
+    assert(a == 0L && b == 1L && b2 == 2L)
+    assert(cat.getStream("beta").contains(2L))
+    // the recreated stream is actually writable
+    EsLog.open(cat.streamDir("beta"), 1L)
+    EsLog.append(spark, cat.streamDir("beta"),
+      spark.range(3).select(col("id"), col("id").cast("string").cast("binary").as("payload")),
+      1L, numPartitions = 1)
+    assert(EsLog.scan(spark, cat.streamDir("beta")).count() == 3)
+    // batch event history: put/del/put, ids distinct, revisions increasing
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    val hist = rows(cat.registryHistory(spark))
+    assert(hist.map(t => (t._3, t._4, t._5)) ==
+      Seq(("put", "alpha", 0L), ("put", "beta", 1L), ("del", "beta", -1L),
+        ("put", "beta", 2L)))
+    assert(hist.map(_._1) == hist.map(_._1).sorted && hist.map(_._1).distinct == hist.map(_._1))
+    // streaming twin: a from-scratch watch equals the batch history
+    val q = cat.watchRegistry(spark).writeStream.format("memory")
+      .queryName("catwatch_unit").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(rows(spark.table("catwatch_unit")) == hist)
+  }
+
   test("commit audit: footer stats disagreeing with the manifest abort the commit") {
     import org.apache.spark.sql.types.{IntegerType, ShortType}
     val dir = tmpDir("eslog-audit-")
