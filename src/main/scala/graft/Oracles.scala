@@ -742,6 +742,24 @@ object Oracles {
        |FROM cand WHERE ${cosineSql("va", "vb")} >= 0.45""".stripMargin
   }
 
+  /** SemDeDup: same coarse quantizer as the IVF oracle (lowest-16-id
+    * centroids, cosine assignment with the (score DESC, cid ASC)
+    * tie-break), pairwise within cell, keep-lowest-id survivors. */
+  private val dedupSemantic =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cvec FROM e ORDER BY id LIMIT 16),
+       |cc AS (SELECT id, v, cid,
+       |         row_number() OVER (PARTITION BY id
+       |           ORDER BY ${cosineSql("v", "cvec")} DESC, cid ASC) AS r
+       |       FROM e, cent),
+       |cells AS (SELECT id, v, cid AS cell FROM cc WHERE r = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.id FROM cells a JOIN cells b
+       |  ON a.cell = b.cell AND a.id < b.id
+       |  WHERE ${cosineSql("a.v", "b.v")} >= 0.45)
+       |SELECT c.id AS vec_id, c.cell FROM cells c
+       |WHERE c.id NOT IN (SELECT id FROM dropped)""".stripMargin
+
   /** IVF search oracle, parameterized on the coarse-quantizer source:
     * `centSql` must yield `(cid BIGINT, cvec DOUBLE[])`. */
   private def ivfSql(centSql: String): String =
@@ -1114,6 +1132,7 @@ object Oracles {
     "sim_quantize" -> simQuantize,
     "sim_lsh" -> simLsh,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic,
     "sim_ivf" -> simIvf,
     "pivot_orders" -> pivotOrders,
     "window_running" -> windowRunning,

@@ -701,6 +701,12 @@ object SparkEntry {
     Similarity.embeddingNearDupsLsh(Fixtures.embeddings(s, sfDir), "vec_id", "embedding",
       threshold = 0.45, dim = 64, planes = 4, tables = 12)
 
+  /** SemDeDup: coarse-quantizer clustering + within-cell cosine near-dup
+    * drop (keep-lowest-id); survivors with their cell. */
+  private def qDedupSemantic(s: SparkSession, sfDir: String): DataFrame =
+    Dedup.semantic(Fixtures.embeddings(s, sfDir), "vec_id", "embedding",
+      threshold = 0.45, nlist = 16)
+
   private def qMultimodalDecode(s: SparkSession, sfDir: String): DataFrame =
     Multimodal.decodeFeatures(
       Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text")).toDF()
@@ -933,6 +939,7 @@ object SparkEntry {
     "sim_quantize" -> (qSimQuantize _),
     "sim_lsh" -> (qSimLsh _),
     "dedup_embedding" -> (qDedupEmbedding _),
+    "dedup_semantic" -> (qDedupSemantic _),
     "sim_ivf" -> (qSimIvf _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "join_salted" -> (qJoinSalted _),

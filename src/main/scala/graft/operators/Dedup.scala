@@ -264,6 +264,44 @@ object Dedup {
       .select(col("doc").as(idCol), col("n_flagged"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup over an embedding column: cluster with a
+    * coarse quantizer, then drop near-duplicates (cosine >= threshold)
+    * WITHIN each cluster, keeping the lowest id per duplicate pair. Emits
+    * survivors as `(idCol, cell)`.
+    *
+    * This is the embedding-space answer to [[minHashNearDups]]'s lexical
+    * one: paraphrases and re-encodings that share no shingles still collide
+    * in embedding space. The cluster pass is what makes it a 100 TB
+    * operator — pairwise scoring runs per CELL (an equi-join on the cell
+    * id, plan-audited; cost Σ|cell|², never N²), and the quantizer pass is
+    * one broadcast of `nlist` centroid rows. Same deterministic coarse
+    * quantizer as [[Similarity.ivfTopK]] (the `nlist` lowest-id vectors),
+    * so the full operator — assignment tie-breaks included — is
+    * reproducible bit-for-bit by the SQL oracle. Near-dups that land in
+    * different cells are missed (the SemDeDup trade: recall for the
+    * quadratic term); raise `nlist` for tighter cells or run
+    * [[Similarity.embeddingNearDupsLsh]] when cross-cell recall matters. */
+  def semantic(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nlist: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = OpUtil.rebalance(corpus)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = e.select(col("id").as("cid"), col("v").as("cvec"))
+      .orderBy("cid").limit(nlist)
+    val w = Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)
+    val cells = OpUtil.shared(e.crossJoin(broadcast(cents))
+      .withColumn("cscore", Similarity.cosine(col("v"), col("cvec")))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") === 1)
+      .select(col("id"), col("v"), col("cid").as("cell")))
+    val dropped = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    cells.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+
   /** SimHash fingerprint (60-bit): per token occurrence, each hash bit votes
     * +1/-1; fingerprint bit b is set iff the bit-b vote sum is positive. */
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {

@@ -482,8 +482,10 @@ class PlanAuditSpec extends SparkTestBase {
     //    nlist-row centroid table (Similarity.rankCells) — bounded by nlist.
     //  - text_tfidf / text_filter / pipeline_export: a single-row corpus-N
     //    scalar (count aggregate) cross-joined onto the term relation.
+    //  - dedup_semantic: the same bounded nlist-row centroid broadcast as
+    //    the IVF quantizer pass (Dedup.semantic's cell assignment).
     val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
-      "text_tfidf", "text_filter", "pipeline_export")
+      "dedup_semantic", "text_tfidf", "text_filter", "pipeline_export")
     val sfDir = "/root/testdata/sf0.001"
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -523,6 +525,7 @@ class PlanAuditSpec extends SparkTestBase {
     "decontaminate_bloom" -> Seq("doc_id", "n_flagged"),
     "dedup_clusters" -> Seq("doc_id", "cluster_id"),
     "dedup_embedding" -> Seq("i", "j", "cosine"),
+    "dedup_semantic" -> Seq("vec_id", "cell"),
     "dedup_exact" -> Seq("doc_id", "h", "dups"),
     "dedup_incremental" -> Seq("existing", "incoming"),
     "dedup_jaccard" -> Seq("i", "j", "jaccard"),
