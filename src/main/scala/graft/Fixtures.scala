@@ -560,6 +560,50 @@ object Fixtures {
       ()
     }
 
+  /** Catalog with three event streams (events split by `event_id % 3`,
+    * stream ids 0/1/2 matching the residue) — the whole-namespace
+    * subscription input. */
+  def catalogSubscribeRoot(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "catalog-sub") { root =>
+      val cat = new graft.eslog.EsCatalog(root)
+      val ev = events(s, sfDir).select(
+        col("event_id"),
+        col("event_type").cast("binary").as("payload"),
+        expr("ts div 1000000").as("base_timestamp"))
+      (0 until 3).foreach { r =>
+        val name = s"s$r"
+        cat.createStream(name)
+        val dir = cat.streamDir(name)
+        EsLog.open(dir, 1L)
+        EsLog.append(s, dir, ev.where(col("event_id") % 3 === r), 1L,
+          sortKey = Some("event_id"), numPartitions = 2)
+      }
+      ()
+    }
+
+  /** Whole-catalog subscription: ONE streaming query over every stream of
+    * [[catalogSubscribeRoot]] (`option("scan", "catalog")`), rate-limited so
+    * the vector offset advances across several micro-batches, drained into a
+    * memory table; returns the table name. */
+  def catalogSubscribeTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#catalog-sub-table", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val root = catalogSubscribeRoot(s, sfDir)
+      val perTrigger = math.max(events(s, sfDir).count() / 6, 1L)
+      val name = "graft_catalog_sub_" + math.abs(sfDir.hashCode).toString
+      val q = s.readStream.format("eslog")
+        .option("scan", "catalog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(root)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** Catalog with a name-reuse lifecycle for the REGISTRY watch: create
     * alpha/beta/gamma, drop beta, recreate beta (fresh id 3 — exercises the
     * tombstone purge and the revision semantics that make reuse

@@ -150,6 +150,16 @@ object Oracles {
       |       CAST(id AS VARCHAR) AS payload_str
       |FROM range(7) t(id)""".stripMargin
 
+  /** Whole-catalog subscription: streams hold `event_id % 3` slices of
+    * events, appended in event_id order, so per-stream offsets are the
+    * dense rank within the residue class. */
+  private val esCatalogSubscribe =
+    """SELECT CAST(event_id % 3 AS BIGINT) AS stream_id,
+      |       CAST(row_number() OVER (PARTITION BY event_id % 3 ORDER BY event_id) - 1
+      |            AS BIGINT) AS base_offset,
+      |       event_type AS payload_str
+      |FROM events""".stripMargin
+
   private val esStreamRoundtrip =
     "SELECT epoch_ms(ts) AS ts_ms, event_type, props FROM events"
 
@@ -1084,6 +1094,7 @@ object Oracles {
     "es_snapshot" -> esSnapshot,
     "es_catalog" -> esCatalog,
     "es_catalog_scan" -> esCatalogScan,
+    "es_catalog_subscribe" -> esCatalogSubscribe,
     "es_stream_roundtrip" -> esStreamRoundtrip,
     "es_stream_window" -> esStreamWindow,
     "es_stream_dedup" -> esStreamDedup,

@@ -228,6 +228,14 @@ object SparkEntry {
       .select(col("stream_id"), col("base_offset"), col("payload").cast("string").as("payload_str"))
   }
 
+  /** Whole-catalog subscription: one streaming query over every registered
+    * stream (vector offset, single manifest-backed scan per micro-batch,
+    * rate-limited across streams) — rows carry stream_id. */
+  private def qEsCatalogSubscribe(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.catalogSubscribeTable(s, sfDir))
+      .select(col("stream_id"), col("base_offset"),
+        col("payload").cast("string").as("payload_str"))
+
   /** Structured Streaming roundtrip: eslog source → eslog sink (AvailableNow,
     * rate-limited, exactly-once), then scan the sink stream. */
   private def qEsStreamRoundtrip(s: SparkSession, sfDir: String): DataFrame = {
@@ -890,6 +898,7 @@ object SparkEntry {
     "es_snapshot" -> (qEsSnapshot _),
     "es_catalog" -> (qEsCatalog _),
     "es_catalog_scan" -> (qEsCatalogScan _),
+    "es_catalog_subscribe" -> (qEsCatalogSubscribe _),
     "es_stream_roundtrip" -> (qEsStreamRoundtrip _),
     "es_stream_window" -> (qEsStreamWindow _),
     "es_stream_dedup" -> (qEsStreamDedup _),

@@ -148,6 +148,11 @@ final class EsCatalog(val root: String) {
     EsLog.scanStates(spark, root,
       loadStates(registered()).map { case (n, st) => (streamDir(n), st) })
 
+  /** Live (name, state) pairs in one bounded-parallel pass — the building
+    * block of [[scanAll]] and the catalog streaming source. */
+  private[graft] def namedStates(): Seq[(String, StreamState)] =
+    loadStates(registered())
+
   /** Registry-level WATCH_RESOURCE: streams appearing/disappearing as a
     * STREAMING change feed — `put(name, stream_id)` / `del(name)` rows with
     * `revision` = the catalog log version. List-then-watch has no gap:

@@ -611,6 +611,50 @@ object EsLog {
     }
   }
 
+  /** Range-limited multi-stream scan: each stream contributes exactly its
+    * `[lo, hi)` slice, all behind ONE manifest-backed relation (the
+    * [[scanStates]] shape — one scan node regardless of stream count). The
+    * per-stream offset residual is applied as a BROADCAST equi-join against
+    * a tiny `(stream_id, lo, hi)` bounds table rather than an OR-chain of
+    * per-stream predicates — at 10⁴ streams an OR-chain is a 10⁴-node
+    * expression tree (the planning bottleneck all over again, in the
+    * filter), while the bounds join is one hash lookup per row regardless
+    * of N. The residual matters because compaction may merge files across
+    * old slice boundaries: a merged file can straddle `lo`, so file pruning
+    * alone over-delivers. `initial = true` applies fetch's trim-straddle
+    * form (`base_offset + last_offset_delta > lo`) instead of the
+    * batch-aligned `base_offset >= lo`. */
+  private[graft] def scanStatesSlices(spark: SparkSession, rootDir: String,
+      slices: Seq[(String, StreamState, Long, Long, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.graftshim.{EsLogManifestFileIndex, GraftShims, ManifestFile}
+    val live = slices.filter { case (_, st, lo, hi, _) => !st.deleted && lo < hi }
+    val manifest = live.flatMap { case (dir, st, lo, hi, _) =>
+      st.filesInRange(lo, hi).map(f =>
+        ManifestFile(join(dir, f.path), f.bytes, f.startOffset, f.endOffset,
+          f.minTimestamp, f.maxTimestamp, st.streamId))
+    }
+    if (manifest.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RecordBatchRow.schema)
+    val base = GraftShims.dfFromRelation(spark,
+      EsLogManifestFileIndex.relation(spark, rootDir, manifest,
+        RecordBatchRow.schema, Map.empty))
+    val boundRows = live.map { case (_, st, lo, hi, initial) =>
+      Row(st.streamId, lo, hi, initial)
+    }
+    val boundSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_sid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_lo", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_hi", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_init", org.apache.spark.sql.types.BooleanType)))
+    val bounds = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(boundRows).asJava, boundSchema)
+    base.join(broadcast(bounds), col("stream_id") === col("_sid"))
+      .where(col("base_offset") < col("_hi") &&
+        when(col("_init"), col("base_offset") + col("last_offset_delta") > col("_lo"))
+          .otherwise(col("base_offset") >= col("_lo")))
+      .select(RecordBatchRow.schema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** Typed scan: the record-batch relation as `Dataset[RecordBatchRow]`. */
   def scanTyped(spark: SparkSession, streamDir: String): org.apache.spark.sql.Dataset[RecordBatchRow] = {
     import spark.implicits._

@@ -118,6 +118,8 @@ class EsLogSourceProvider extends DataSourceRegister
       case Some(other) =>
         throw new IllegalArgumentException(
           s"unknown watch mode '$other' (expected 'metadata' or 'registry')")
+      case None if parameters.get("scan").exists(_.equalsIgnoreCase("catalog")) =>
+        new EsLogCatalogStreamSource(sqlContext.sparkSession, path(parameters), parameters)
       case None =>
         new EsLogStreamSource(sqlContext.sparkSession, path(parameters), parameters)
     }
@@ -355,6 +357,149 @@ class EsLogMetaWatchSource(spark: SparkSession, dir: String) extends Source {
     val df = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
     org.apache.spark.sql.graftshim.GraftShims.asStreamingViaRdd(df)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** V1 streaming offset of the CATALOG source: one next-offset per stream
+  * name, JSON-encoded with sorted keys so equal positions serialize
+  * identically (offset equality is string equality after recovery). */
+case class EsLogCatalogOffset(offsets: scala.collection.immutable.SortedMap[String, Long])
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json(): String = {
+    val sb = new StringBuilder("{")
+    var first = true
+    offsets.foreach { case (n, o) =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append('"').append(n.replace("\\", "\\\\").replace("\"", "\\\""))
+        .append("\":").append(o)
+    }
+    sb.append('}').toString
+  }
+}
+
+object EsLogCatalogOffset {
+  import scala.collection.immutable.SortedMap
+
+  def parse(json: String): SortedMap[String, Long] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json, classOf[java.util.Map[String, java.lang.Number]])
+    var out = SortedMap.empty[String, Long]
+    m.forEach { (k, v) => out = out.updated(k, v.longValue()) }
+    out
+  }
+}
+
+/** Micro-batch source over EVERY stream of a catalog — subscribe to the
+  * whole namespace as ONE stream (`option("scan", "catalog")` on the
+  * catalog root). Rows carry `stream_id`; the offset is the vector of
+  * per-stream next offsets ([[EsLogCatalogOffset]]).
+  *
+  * Composes the two catalog-scale pieces this engine already proves
+  * separately: stream DISCOVERY is live (each getOffset re-lists the
+  * registry, so streams created after the query starts begin contributing
+  * from their first offset, and dropped streams stop cleanly), and each
+  * micro-batch reads all streams' slices behind ONE manifest-backed scan
+  * relation ([[graft.eslog.EsLog.scanStatesSlices]]) with the per-stream
+  * offset residual applied by a broadcast bounds join — never N relations
+  * or an N-term OR-chain. `maxOffsetsPerTrigger` rate-limits the TOTAL
+  * offsets per batch, allocated across streams in sorted-name order
+  * (deterministic replay). */
+class EsLogCatalogStreamSource(spark: SparkSession, root: String,
+                               parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import scala.collection.immutable.SortedMap
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows, Offset => OffsetV2}
+  import graft.eslog.{EsCatalog, EsLog}
+
+  private val cat = new EsCatalog(root)
+  private val maxOffsetsPerTrigger =
+    parameters.get("maxOffsetsPerTrigger").map(_.toLong).filter(_ > 0)
+
+  // AvailableNow: the fixed drain target chosen at query start
+  private var drainTarget: Option[SortedMap[String, Long]] = None
+  // last offsets handed out; recovered via the first getBatch after restart
+  private var last: Option[SortedMap[String, Long]] = None
+
+  private def liveStates(): Map[String, graft.meta.StreamState] =
+    cat.namedStates().filterNot(_._2.deleted).toMap
+
+  private def heads(st: Map[String, graft.meta.StreamState]): SortedMap[String, Long] =
+    st.foldLeft(SortedMap.empty[String, Long]) { case (m, (n, s)) => m.updated(n, s.nextOffset) }
+
+  private def offsetMap(o: OffsetV2): SortedMap[String, Long] = o match {
+    case c: EsLogCatalogOffset => c.offsets
+    case other                 => EsLogCatalogOffset.parse(other.json())
+  }
+
+  override def schema: StructType = RecordBatchRow.schema
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    drainTarget = Some(heads(liveStates()))
+  }
+
+  /** Advance `base` toward `target`, spending at most `budget` offsets in
+    * total, streams visited in sorted-name order. Streams absent from
+    * `base` start at their state's startOffset. */
+  private def advance(base: SortedMap[String, Long], target: SortedMap[String, Long],
+                      states: Map[String, graft.meta.StreamState],
+                      budget: Long): SortedMap[String, Long] = {
+    var remaining = budget
+    var out = base.filter { case (n, _) => target.contains(n) } // drop deleted
+    target.foreach { case (n, h) =>
+      val b = out.getOrElse(n, states.get(n).map(_.startOffset).getOrElse(h))
+      val step = math.max(0L, math.min(h - b, remaining))
+      remaining -= step
+      out = out.updated(n, b + step)
+    }
+    out
+  }
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val states = liveStates()
+    val target = drainTarget.getOrElse(heads(states))
+    val base = Option(startOffset).map(offsetMap).orElse(last)
+      .getOrElse(SortedMap.empty[String, Long])
+    val budget = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _              => Long.MaxValue
+    }
+    val end = advance(base, target, states, budget)
+    if (end == base && base.nonEmpty || end.isEmpty) null else EsLogCatalogOffset(end)
+  }
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val states = liveStates()
+    val base = last.getOrElse(SortedMap.empty[String, Long])
+    val end = advance(base, heads(states), states,
+      maxOffsetsPerTrigger.getOrElse(Long.MaxValue))
+    if (end == base && base.nonEmpty || end.isEmpty) None else Some(EsLogCatalogOffset(end))
+  }
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+                        end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val endMap = EsLogCatalogOffset.parse(end.json())
+    val startMap = start.map(o => EsLogCatalogOffset.parse(o.json()))
+      .getOrElse(SortedMap.empty[String, Long])
+    last = Some(last.map(l => endMap.foldLeft(l) { case (m, (n, o)) =>
+      m.updated(n, math.max(m.getOrElse(n, 0L), o)) }).getOrElse(endMap))
+    val states = liveStates()
+    val slices = endMap.toSeq.flatMap { case (name, hi) =>
+      states.get(name).map { st =>
+        val initial = !startMap.contains(name)
+        val lo = math.max(startMap.getOrElse(name, st.startOffset), st.startOffset)
+        (cat.streamDir(name), st, lo, hi, initial)
+      }
+    }
+    org.apache.spark.sql.graftshim.GraftShims.asStreamingViaRdd(
+      EsLog.scanStatesSlices(spark, root, slices))
   }
 
   override def stop(): Unit = ()

@@ -564,6 +564,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_update_describe" -> Seq("stream_id", "replica", "ack_count", "retention_ms", "epoch", "deleted"),
     "es_watch_meta" -> Seq("version", "seq", "action"),
     "es_watch_catalog" -> Seq("revision", "seq", "op", "name", "stream_id"),
+    "es_catalog_subscribe" -> Seq("stream_id", "base_offset", "payload_str"),
     "es_window_hourly" -> Seq("hour", "n", "first_off", "last_off"),
     "join_agg" -> Seq("c_mktsegment", "o_orderpriority", "n_lines", "min_order", "max_part", "sum_qty"),
     "join_asof" -> Seq("user_id", "event_id", "ts_ms", "matched_event_id", "matched_ts_ms", "matched_value"),
