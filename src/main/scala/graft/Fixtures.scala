@@ -431,6 +431,49 @@ object Fixtures {
       name
     })
 
+  /** Streaming SAMPLE-QUANTILES per hour window: the bounded
+    * [[org.apache.spark.sql.graftshim.QuantileSampleAgg]] (bottom-64-by-hash
+    * row sample of payload lengths, rowKey = base_offset) inside a windowed
+    * streaming aggregation — its serialize/merge path rides the state store
+    * across ~8 rate-limited micro-batches, completing the streaming twins
+    * for all four bounded-state sketch families (KMV, CMS, Bloom, quantile
+    * sample). State ≤ 64 (hash, value) pairs per in-flight window.
+    * Complete-mode memory table. */
+  def streamQuantileTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-qs", {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.graftshim.{GraftShims, QuantileSampleAgg}
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+      val name = "graft_stream_qs_" + math.abs(sfDir.hashCode).toString
+      val kept = GraftShims.column(QuantileSampleAgg(
+        GraftShims.expr(graft.functions.Portable.hash60(col("base_offset").cast("string"))),
+        GraftShims.expr(length(col("payload").cast("string")).cast("long")), 64)
+        .toAggregateExpression())
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .withColumn("ts", timestamp_millis(col("base_timestamp")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(kept.as("_vals"))
+        .select(unix_millis(col("window.start")).as("hour_start_ms"), col("_vals"))
+        .select(col("hour_start_ms"),
+          explode(array(lit(0L), lit(500L), lit(1000L))).as("permille"), col("_vals"))
+        .select(col("hour_start_ms"), col("permille"),
+          when(size(col("_vals")) > 0, element_at(col("_vals"),
+            (call_function("div",
+              (size(col("_vals")).cast("long") - 1L) * col("permille"),
+              lit(1000L)) + 1L).cast("int"))).as("q_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** STREAM-STATIC enrichment — the canonical streaming dimension join,
     * completing the join matrix next to the stream-stream join fixture: the
     * eslog stream's records are enriched through TWO chained broadcast

@@ -225,6 +225,27 @@ object Oracles {
        |FROM rk WHERE rn <= $cap GROUP BY 1""".stripMargin
   }
 
+  /** Streaming sample quantiles: DuckDB recomputes the bottom-64-by-hash
+    * sample of payload lengths per hour (rowKey = event_id = base_offset)
+    * and reads the same integer permille ranks — bit-equality proves the
+    * QuantileSampleAgg state-store merge across micro-batches. */
+  private val esStreamQuantile = {
+    val h = graft.functions.Portable.hash60Sql("CAST(event_id AS VARCHAR)")
+    s"""WITH occ AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_start_ms,
+       |                    $h AS h, CAST(length(props) AS BIGINT) AS v FROM events),
+       |s AS (SELECT DISTINCT hour_start_ms, h, v FROM occ),
+       |w AS (SELECT hour_start_ms, v,
+       |        row_number() OVER (PARTITION BY hour_start_ms ORDER BY h, v) AS hr
+       |      FROM s),
+       |r AS (SELECT hour_start_ms, v,
+       |        row_number() OVER (PARTITION BY hour_start_ms ORDER BY v) - 1 AS rn,
+       |        count(*) OVER (PARTITION BY hour_start_ms) AS n
+       |      FROM w WHERE hr <= 64),
+       |p AS (SELECT CAST(unnest([0, 500, 1000]) AS BIGINT) AS permille)
+       |SELECT hour_start_ms, permille, v AS q_value
+       |FROM r JOIN p ON rn = ((n - 1) * permille) // 1000""".stripMargin
+  }
+
   private val esWatchMeta =
     """SELECT * FROM (VALUES
       |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'createStream'),
@@ -1101,6 +1122,7 @@ object Oracles {
     "es_stream_kmv" -> esStreamKmv,
     "es_stream_cms" -> esStreamCms,
     "es_stream_bloom" -> esStreamBloom,
+    "es_stream_quantile" -> esStreamQuantile,
     "es_stream_enrich_dim" -> esStreamEnrichDim,
     "es_watch_meta" -> esWatchMeta,
     "es_watch_catalog" -> esWatchCatalog,

@@ -278,6 +278,10 @@ object SparkEntry {
   private def qEsStreamBloom(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamBloomTable(s, sfDir))
 
+  /** Streaming sample-quantiles: QuantileSampleAgg through the state store. */
+  private def qEsStreamQuantile(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamQuantileTable(s, sfDir))
+
   /** WATCH_RESOURCE: metadata log streamed as a versioned change feed. */
   private def qEsWatchMeta(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamWatchTable(s, sfDir))
@@ -905,6 +909,7 @@ object SparkEntry {
     "es_stream_kmv" -> (qEsStreamKmv _),
     "es_stream_cms" -> (qEsStreamCms _),
     "es_stream_bloom" -> (qEsStreamBloom _),
+    "es_stream_quantile" -> (qEsStreamQuantile _),
     "es_stream_enrich_dim" -> (qEsStreamEnrichDim _),
     "es_watch_meta" -> (qEsWatchMeta _),
     "es_watch_catalog" -> (qEsWatchCatalog _),

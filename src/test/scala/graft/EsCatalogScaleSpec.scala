@@ -122,6 +122,28 @@ class EsCatalogScaleSpec extends SparkTestBase {
       assert(scanSec < serialEstSec / ratio + 30.0,
         f"scanAll plan at $N streams took $scanSec%.1f s — driver-side bottleneck")
       info(f"scanAll at N=$N: plan in $scanSec%.2f s, 1 scan node, $N manifest files")
+
+      // the catalog SUBSCRIPTION micro-batch at N streams: per-stream slices
+      // behind one scan relation, residuals via a broadcast bounds join —
+      // the plan must stay one scan node + one join regardless of N (an
+      // N-term OR-chain would put a 10k-node expression in the filter)
+      val states = cat.namedStates()
+      val tSub = System.nanoTime()
+      val batch = graft.eslog.EsLog.scanStatesSlices(spark, root,
+        states.map { case (n, st) => (cat.streamDir(n), st, 0L, 64L, false) })
+      // sparkPlan, not executedPlan: the bounds join makes this an adaptive
+      // query, and AdaptiveSparkPlanExec hides the subtree until execution
+      val subPlan = batch.queryExecution.sparkPlan
+      val subSec = (System.nanoTime() - tSub) / 1e9
+      val subScans = subPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(subScans.size == 1,
+        s"subscribe batch: expected ONE scan node over $N streams, got ${subScans.size}")
+      assert(subPlan.toString.contains("BroadcastHashJoin"),
+        "per-stream bounds must apply as a broadcast hash join")
+      assert(subSec < serialEstSec / ratio + 30.0,
+        f"subscribe batch plan at $N streams took $subSec%.1f s")
+      info(f"subscribe batch at N=$N: plan in $subSec%.2f s, 1 scan node + bounds join")
     } finally MetaLog.unroute(root)
   }
 }

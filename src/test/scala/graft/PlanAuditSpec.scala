@@ -557,6 +557,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_kmv" -> Seq("hour_start_ms", "n_kept", "kth_hash", "n_distinct_est"),
     "es_stream_cms" -> Seq("hour_start_ms", "d", "slot", "cnt"),
     "es_stream_bloom" -> Seq("hour_start_ms", "n_slots", "slot_min", "slot_max", "slot_xor"),
+    "es_stream_quantile" -> Seq("hour_start_ms", "permille", "q_value"),
     "es_stream_roundtrip" -> Seq("ts_ms", "event_type", "props"),
     "es_stream_sessions" -> Seq("user_id", "sid", "start_ms", "end_ms", "n"),
     "es_stream_window" -> Seq("hour_start_ms", "n"),
