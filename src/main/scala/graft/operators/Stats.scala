@@ -98,7 +98,10 @@ object Stats {
     *
     * `rowKey` must identify rows uniquely (duplicate keys collapse — same
     * contract as `sampleKPerGroup`); duplicate VALUES from distinct rows
-    * are preserved (their hashes differ), as a quantile sample requires. */
+    * are preserved (their hashes differ), as a quantile sample requires.
+    * `value` is cast to long — pre-round fractional columns explicitly
+    * (e.g. `round(price * 100)` for cents): a raw double cast truncates,
+    * which an independent SQL engine may round instead. */
   def quantilesSample(df: DataFrame, groupCols: Seq[String], rowKey: Column,
                       value: Column, k: Int, permille: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.graftshim.{GraftShims, QuantileSampleAgg}

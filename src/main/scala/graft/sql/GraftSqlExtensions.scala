@@ -58,6 +58,7 @@ import graft.operators.Similarity
   *  - `graft_describe_stream('root', 'name')` — metadata row
   *  - `graft_list_streams('root')`            — LIST_RESOURCE over streams
   *  - `graft_catalog_scan('root')`            — every stream, ONE relation
+  *  - `graft_registry_history('root')`        — registry events + revisions
   *
   * The DDL functions perform their effect when the statement is ANALYZED
   * (table-function builders run at resolution, like the scan functions'
@@ -243,7 +244,14 @@ object GraftFunctions {
         "graft_catalog_scan('root') - all registered streams behind ONE scan relation"),
       (args: Seq[Expression]) => { arity("graft_catalog_scan", args, 1)
         val root = literalString(args(0), "graft_catalog_scan", "root")
-        GraftShims.analyzedPlan(new graft.eslog.EsCatalog(root).scanAll(active())) }))
+        GraftShims.analyzedPlan(new graft.eslog.EsCatalog(root).scanAll(active())) }),
+    (FunctionIdentifier("graft_registry_history"),
+      info("graft_registry_history",
+        "graft_registry_history('root') - registry events (put/del/delRange) with revisions"),
+      (args: Seq[Expression]) => { arity("graft_registry_history", args, 1)
+        val root = literalString(args(0), "graft_registry_history", "root")
+        GraftShims.analyzedPlan(
+          new graft.eslog.EsCatalog(root).registryHistory(active())) }))
 
   /** One-row LocalRelation result for the procedure-style DDL functions. */
   private def localRow(fields: Seq[(String, Any)]): LogicalPlan = {

@@ -213,6 +213,12 @@ class GraftSqlSpec extends SparkTestBase {
       assert(spark.sql(s"SELECT count(*) FROM graft_catalog_scan('$root')")
         .collect().head.getLong(0) == 150)
 
+      // registry history: the create is visible as a put event with its id
+      val hist = spark.sql(
+        s"SELECT op, name, stream_id FROM graft_registry_history('$root')")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(hist.sameElements(Array(("put", "sql1", c1.getLong(1)))), hist.mkString(","))
+
       // INSERT OVERWRITE would violate append-only — rejected at analysis
       val e = intercept[Exception] {
         spark.sql("INSERT OVERWRITE TABLE graft_sql_ddl_t " +
