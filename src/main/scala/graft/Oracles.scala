@@ -562,6 +562,24 @@ object Oracles {
        |WHERE ${H.hash60Sql(7, "CAST(doc_id AS VARCHAR)")} <
        |      CAST(floor(w * 1152921504606846976.0) AS BIGINT)""".stripMargin
 
+  /** Mixture sampling: the same in-plan fraction derivation (per-source
+    * mass → limiting-source total → per-source keep fraction) and the same
+    * floor-threshold draw as the Spark operator — the IEEE double chain is
+    * written in the identical order so both engines agree bit-for-bit. */
+  private val sampleMix =
+    s"""WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS mass FROM documents),
+       |w AS (SELECT * FROM (VALUES
+       |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+       |  ('src2', CAST(0.2 AS DOUBLE))) t(source, wt)),
+       |a AS (SELECT d.source, wt, CAST(sum(mass) AS DOUBLE) AS avail
+       |      FROM d JOIN w ON d.source = w.source GROUP BY d.source, wt),
+       |t AS (SELECT min(avail / wt) AS total FROM a),
+       |f AS (SELECT source, wt * (SELECT total FROM t) / avail AS frac FROM a)
+       |SELECT d.doc_id, d.source
+       |FROM d JOIN f ON d.source = f.source
+       |WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} <
+       |      CAST(floor(frac * 1152921504606846976.0) AS BIGINT)""".stripMargin
+
   /** k-per-group sample as the window formulation (the Spark side runs the
     * bounded-state aggregate — hash-match proves the two paths equal). */
   private val sampleTopkGroup = {
@@ -1149,6 +1167,7 @@ object Oracles {
     "decontaminate_bloom" -> decontaminateBloom,
     "sample_hash" -> sampleHash,
     "sample_weighted" -> sampleWeighted,
+    "sample_mix" -> sampleMix,
     "sample_stratified" -> sampleStratified,
     "sample_topk_group" -> sampleTopkGroup,
     "shuffle_shards" -> shuffleShards,

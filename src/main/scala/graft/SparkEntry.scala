@@ -410,6 +410,13 @@ object SparkEntry {
   /** Quality-weighted sample: keep probability = token count / 400 (clamped)
     * — long docs kept with certainty, the short tail downsampled
     * proportionally ([[graft.operators.Sampling.sampleWeighted]]). */
+  /** Mixture sampling: re-weight three sources to 50/30/20 by char mass at
+    * the largest total the data allows (limiting source keeps all). */
+  private def qSampleMix(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.mixBySource(Fixtures.documents(s, sfDir),
+      "doc_id", "source", "n_chars",
+      Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+
   private def qSampleWeighted(s: SparkSession, sfDir: String): DataFrame = {
     val docs = Fixtures.documents(s, sfDir)
       .withColumn("w", size(Portable.words(col("text"))).cast("double") / 400.0)
@@ -937,6 +944,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (qDecontaminateBloom _),
     "sample_hash" -> (qSampleHash _),
     "sample_weighted" -> (qSampleWeighted _),
+    "sample_mix" -> (qSampleMix _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),
     "shuffle_shards" -> (qShuffleShards _),

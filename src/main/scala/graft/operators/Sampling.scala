@@ -44,6 +44,50 @@ object Sampling {
     * low-resource strata whole). Selection stays per-id ([[sampleByHash]]
     * semantics), so a document keeps one fate across runs and engines; the
     * whole operator is a single codegen'd filter, no shuffle, no join. */
+  /** Deterministic MIXTURE sampling (training-data mixing): downsample each
+    * source so the kept corpus's mass (tokens/chars — `massCol`) follows the
+    * requested relative `weights`, at the largest total the data allows.
+    * The limiting source (the one whose availability/weight ratio is
+    * smallest) keeps everything; every other source keeps the fraction that
+    * matches its target share — the standard doc-level Bernoulli draw whose
+    * expected mass hits the mixture exactly.
+    *
+    * Fractions are computed IN the plan from the per-source mass aggregate
+    * (a tiny groupBy over |weights| rows, broadcast back), so the operator
+    * needs no pre-counting pass by the caller, and the whole computation —
+    * IEEE double chain included — is reproducible by an independent SQL
+    * engine. The draw itself is [[sampleWeighted]]'s integer-threshold
+    * rule: `hash60(id) < floor(frac · 2⁶⁰)`, one codegen'd filter over the
+    * corpus, no corpus-wide shuffle. Sources absent from `weights` are
+    * dropped (weight 0). */
+  def mixBySource(df: DataFrame, idCol: String, sourceCol: String,
+                  massCol: String, weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    require(weights.map(_._1).distinct.size == weights.size, "duplicate source")
+    val spark = df.sparkSession
+    val w = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        weights.map { case (s, wt) => org.apache.spark.sql.Row(s, wt) }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_src",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_wt",
+          org.apache.spark.sql.types.DoubleType))))
+    val dm = df.select(col(idCol), col(sourceCol), col(massCol).cast("long").as("_mass"))
+      .join(broadcast(w), col(sourceCol) === col("_src"))
+    val am = dm.groupBy(col(sourceCol), col("_wt"))
+      .agg(sum("_mass").cast("double").as("_avail"))
+    val total = am.select(min(col("_avail") / col("_wt")).as("_total"))
+    val fracs = am.crossJoin(broadcast(total))
+      .select(col(sourceCol).as("_fsrc"),
+        (col("_wt") * col("_total") / col("_avail")).as("_frac"))
+    dm.join(broadcast(fracs), col(sourceCol) === col("_fsrc"))
+      .where(Portable.hash60(col(idCol).cast("string")) <
+        floor(col("_frac") * lit(Sketch.HashSpace.toDouble)).cast("long"))
+      .select(col(idCol), col(sourceCol))
+  }
+
   def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
                        fractions: Seq[(String, (Int, Int))],
                        default: (Int, Int) = (1, 1)): DataFrame = {

@@ -253,6 +253,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
+  test("mixture sampling: limiting source kept whole, mass tracks targets") {
+    import graft.operators.Sampling
+    // three sources with mass 8000/4000/1000 per doc-count 800/400/100 (10
+    // chars each); targets 50/30/20 → src "c" is limiting (1000/0.2 = 5000
+    // smallest), achievable total 5000 → expected kept mass 2500/1500/1000
+    val docs = spark.range(1300).select(
+      col("id").as("doc_id"),
+      when(col("id") < 800, "a").when(col("id") < 1200, "b").otherwise("c")
+        .as("source"),
+      lit(10L).as("n_chars"))
+    val weights = Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val kept = Sampling.mixBySource(docs, "doc_id", "source", "n_chars", weights)
+    val byS = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("c") == 100L, s"limiting source must keep everything: $byS")
+    // binomial(800, 0.3125) and (400, 0.375): 5-sigma slack
+    assert(math.abs(byS("a") - 250) < 66, byS.toString)
+    assert(math.abs(byS("b") - 150) < 49, byS.toString)
+    // deterministic under re-partitioning; absent sources drop entirely
+    val again = Sampling.mixBySource(docs.repartition(7), "doc_id", "source",
+      "n_chars", weights).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val partial = Sampling.mixBySource(docs, "doc_id", "source", "n_chars",
+      Seq("a" -> 1.0, "c" -> 1.0))
+    assert(!partial.select("source").distinct().collect().map(_.getString(0))
+      .contains("b"))
+  }
+
   test("stratified sampling: per-stratum fates, single codegen'd filter") {
     import graft.operators.Sampling
     val docs = spark.range(1000).select(
@@ -484,8 +512,11 @@ class PlanAuditSpec extends SparkTestBase {
     //    scalar (count aggregate) cross-joined onto the term relation.
     //  - dedup_semantic: the same bounded nlist-row centroid broadcast as
     //    the IVF quantizer pass (Dedup.semantic's cell assignment).
+    //  - sample_mix: the single-row achievable-total scalar cross-joined
+    //    onto the |weights|-row fraction table (both bounded).
     val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
-      "dedup_semantic", "text_tfidf", "text_filter", "pipeline_export")
+      "dedup_semantic", "sample_mix", "text_tfidf", "text_filter",
+      "pipeline_export")
     val sfDir = "/root/testdata/sf0.001"
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -584,6 +615,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sample_stratified" -> Seq("doc_id", "lang"),
     "sample_topk_group" -> Seq("lang", "doc_id"),
     "sample_weighted" -> Seq("doc_id"),
+    "sample_mix" -> Seq("doc_id", "source"),
     "shuffle_shards" -> Seq("doc_id", "shuffle_key", "shard", "shard_pos"),
     "sim_exact" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
