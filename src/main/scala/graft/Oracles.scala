@@ -809,6 +809,25 @@ object Oracles {
        |SELECT c.id AS vec_id, c.cell FROM cells c
        |WHERE c.id NOT IN (SELECT id FROM dropped)""".stripMargin
 
+  /** Incremental semantic dedup: index (vec_id < 400) with the lowest-16-id
+    * quantizer, assign BOTH sides to their nearest cell with the
+    * (score DESC, cid ASC) tie-break, pair across the cell equi-join. */
+  private val dedupSemanticProbe =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT * FROM e WHERE id < 400),
+       |inc AS (SELECT * FROM e WHERE id >= 400),
+       |cent AS (SELECT id AS cid, v AS cvec FROM ex ORDER BY id LIMIT 16),
+       |xc AS (SELECT id, v, cid, row_number() OVER (PARTITION BY id
+       |         ORDER BY ${cosineSql("v", "cvec")} DESC, cid ASC) AS r FROM ex, cent),
+       |xcells AS (SELECT id, v, cid AS cell FROM xc WHERE r = 1),
+       |ic AS (SELECT id, v, cid, row_number() OVER (PARTITION BY id
+       |         ORDER BY ${cosineSql("v", "cvec")} DESC, cid ASC) AS r FROM inc, cent),
+       |icells AS (SELECT id, v, cid AS cell FROM ic WHERE r = 1)
+       |SELECT x.id AS existing, y.id AS incoming,
+       |       ${cosineSql("x.v", "y.v")} AS cosine
+       |FROM xcells x JOIN icells y ON x.cell = y.cell
+       |WHERE ${cosineSql("x.v", "y.v")} >= 0.4""".stripMargin
+
   /** IVF search oracle, parameterized on the coarse-quantizer source:
     * `centSql` must yield `(cid BIGINT, cvec DOUBLE[])`. */
   private def ivfSql(centSql: String): String =
@@ -1185,6 +1204,7 @@ object Oracles {
     "sim_lsh" -> simLsh,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_probe" -> dedupSemanticProbe,
     "sim_ivf" -> simIvf,
     "pivot_orders" -> pivotOrders,
     "window_running" -> windowRunning,

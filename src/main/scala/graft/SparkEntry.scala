@@ -726,6 +726,17 @@ object SparkEntry {
     Dedup.semantic(Fixtures.embeddings(s, sfDir), "vec_id", "embedding",
       threshold = 0.45, nlist = 16)
 
+  /** Incremental semantic dedup: existing corpus (vec_id < 400) indexed
+    * once with the SQL-reproducible sampled quantizer; the incoming batch
+    * (vec_id >= 400) probes — cross-batch near-dup pairs only. */
+  private def qDedupSemanticProbe(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val idx = Similarity.buildIvfIndexSampled(
+      emb.where(col("vec_id") < 400), "vec_id", "embedding", nlist = 16)
+    Dedup.semanticProbe(idx, emb.where(col("vec_id") >= 400),
+      "vec_id", "embedding", threshold = 0.4)
+  }
+
   private def qMultimodalDecode(s: SparkSession, sfDir: String): DataFrame =
     Multimodal.decodeFeatures(
       Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text")).toDF()
@@ -962,6 +973,7 @@ object SparkEntry {
     "sim_lsh" -> (qSimLsh _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_semantic" -> (qDedupSemantic _),
+    "dedup_semantic_probe" -> (qDedupSemanticProbe _),
     "sim_ivf" -> (qSimIvf _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "join_salted" -> (qJoinSalted _),

@@ -302,6 +302,26 @@ object Dedup {
       .select(col("id").as(idCol), col("cell"))
   }
 
+  /** Incremental SEMANTIC dedup: probe NEW embeddings against a prebuilt
+    * [[Similarity.IvfIndex]] — the embedding-space twin of
+    * [[probeMinHashIndex]], and [[semantic]]'s growing-corpus deployment
+    * shape. Each incoming vector is assigned to its nearest cell (one
+    * broadcast of the index's centroid rows) and scored exactly against
+    * ONLY that cell's members; emits `(existing, incoming, cosine)` pairs
+    * at or above `threshold`. The index cells persist as an ordinary table
+    * (bucket by `cell` to co-locate the probe join); the full within-corpus
+    * pairwise pass never reruns — per ingest batch the cost is
+    * |batch| × |matching cells|, not |corpus|². */
+  def semanticProbe(index: Similarity.IvfIndex, newDocs: DataFrame,
+                    idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val incoming = Similarity.assignCells(newDocs, idCol, vecCol, index.centroids)
+      .select(col("nid").as("iid"), col("nvec").as("ivec"), col("cell"))
+    index.cells.as("x").join(incoming.as("y"), col("x.cell") === col("y.cell"))
+      .select(col("x.nid").as("existing"), col("y.iid").as("incoming"),
+        Similarity.cosine(col("x.nvec"), col("y.ivec")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** SimHash fingerprint (60-bit): per token occurrence, each hash bit votes
     * +1/-1; fingerprint bit b is set iff the bit-b vote sum is positive. */
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {

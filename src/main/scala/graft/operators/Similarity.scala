@@ -275,7 +275,17 @@ object Similarity {
     * (SURVEY "LLM-data-pipeline operators"). */
   final case class IvfIndex(centroids: DataFrame, cells: DataFrame)
 
-  private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+  /** [[buildIvfIndex]] with the deterministic lowest-id coarse quantizer
+    * ([[ivfTopK]]'s) instead of k-means — the variant whose every step is
+    * reproducible by plain SQL (the oracle path), trading cell balance. */
+  def buildIvfIndexSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int = 16): IvfIndex = {
+    val cents = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
+      .orderBy("cid").limit(nlist)
+    IvfIndex(cents, assignCells(corpus, idCol, vecCol, cents))
+  }
+
+  private[operators] def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                           cents: DataFrame): DataFrame = {
     val c = OpUtil.rebalance(corpus)
       .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))

@@ -406,7 +406,8 @@ object EsLogCatalogOffset {
   * offset residual applied by a broadcast bounds join — never N relations
   * or an N-term OR-chain. `maxOffsetsPerTrigger` rate-limits the TOTAL
   * offsets per batch, allocated across streams in sorted-name order
-  * (deterministic replay). */
+  * (deterministic replay); `maxBytesPerTrigger` is a single-stream option
+  * and is not supported here. */
 class EsLogCatalogStreamSource(spark: SparkSession, root: String,
                                parameters: Map[String, String]) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl

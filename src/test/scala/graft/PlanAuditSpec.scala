@@ -515,8 +515,8 @@ class PlanAuditSpec extends SparkTestBase {
     //  - sample_mix: the single-row achievable-total scalar cross-joined
     //    onto the |weights|-row fraction table (both bounded).
     val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
-      "dedup_semantic", "sample_mix", "text_tfidf", "text_filter",
-      "pipeline_export")
+      "dedup_semantic", "dedup_semantic_probe", "sample_mix", "text_tfidf",
+      "text_filter", "pipeline_export")
     val sfDir = "/root/testdata/sf0.001"
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -557,6 +557,7 @@ class PlanAuditSpec extends SparkTestBase {
     "dedup_clusters" -> Seq("doc_id", "cluster_id"),
     "dedup_embedding" -> Seq("i", "j", "cosine"),
     "dedup_semantic" -> Seq("vec_id", "cell"),
+    "dedup_semantic_probe" -> Seq("existing", "incoming", "cosine"),
     "dedup_exact" -> Seq("doc_id", "h", "dups"),
     "dedup_incremental" -> Seq("existing", "incoming"),
     "dedup_jaccard" -> Seq("i", "j", "jaccard"),
