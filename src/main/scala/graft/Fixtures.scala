@@ -474,6 +474,42 @@ object Fixtures {
       name
     })
 
+  /** Streaming K-PER-WINDOW uniform sample: the bounded
+    * [[org.apache.spark.sql.graftshim.TopKAgg]] sampler (20 smallest
+    * seeded-hash draws per hour window) inside a windowed streaming
+    * aggregation — with [[streamKmvTable]], [[streamCmsTable]],
+    * [[streamBloomTable]] and [[streamQuantileTable]] this puts ALL five
+    * bounded-state aggregate families through the state-store
+    * serialize/merge path. State ≤ 20 (hash, id) pairs per in-flight
+    * window. Complete-mode memory table. */
+  def streamSampleTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-sample", {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.graftshim.{GraftShims, TopKAgg}
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+      val name = "graft_stream_sample_" + math.abs(sfDir.hashCode).toString
+      val kept = GraftShims.column(TopKAgg(
+        GraftShims.expr(graft.functions.Portable.hash60(7, col("base_offset").cast("string"))),
+        GraftShims.expr(col("base_offset")), 20).toAggregateExpression())
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .withColumn("ts", timestamp_millis(col("base_timestamp")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(kept.as("_ks"))
+        .select(unix_millis(col("window.start")).as("hour_start_ms"),
+          explode(transform(col("_ks"), e => e("v"))).as("event_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** STREAM-STATIC enrichment — the canonical streaming dimension join,
     * completing the join matrix next to the stream-stream join fixture: the
     * eslog stream's records are enriched through TWO chained broadcast

@@ -246,6 +246,19 @@ object Oracles {
        |FROM r JOIN p ON rn = ((n - 1) * permille) // 1000""".stripMargin
   }
 
+  /** Streaming k-per-window sample: DuckDB recomputes the 20 smallest
+    * seeded-hash draws per hour (event_id = base_offset) — bit-equality
+    * proves TopKAgg's state-store merge across micro-batches. */
+  private val esStreamSample = {
+    val h = graft.functions.Portable.hash60Sql(7, "CAST(event_id AS VARCHAR)")
+    s"""WITH occ AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_start_ms,
+       |                    event_id FROM events),
+       |r AS (SELECT hour_start_ms, event_id,
+       |        row_number() OVER (PARTITION BY hour_start_ms ORDER BY $h, event_id) AS rn
+       |      FROM occ)
+       |SELECT hour_start_ms, event_id FROM r WHERE rn <= 20""".stripMargin
+  }
+
   private val esWatchMeta =
     """SELECT * FROM (VALUES
       |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'createStream'),
@@ -1160,6 +1173,7 @@ object Oracles {
     "es_stream_cms" -> esStreamCms,
     "es_stream_bloom" -> esStreamBloom,
     "es_stream_quantile" -> esStreamQuantile,
+    "es_stream_sample" -> esStreamSample,
     "es_stream_enrich_dim" -> esStreamEnrichDim,
     "es_watch_meta" -> esWatchMeta,
     "es_watch_catalog" -> esWatchCatalog,

@@ -282,6 +282,10 @@ object SparkEntry {
   private def qEsStreamQuantile(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamQuantileTable(s, sfDir))
 
+  /** Streaming k-per-window sampler: TopKAgg through the state store. */
+  private def qEsStreamSample(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamSampleTable(s, sfDir))
+
   /** WATCH_RESOURCE: metadata log streamed as a versioned change feed. */
   private def qEsWatchMeta(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamWatchTable(s, sfDir))
@@ -928,6 +932,7 @@ object SparkEntry {
     "es_stream_cms" -> (qEsStreamCms _),
     "es_stream_bloom" -> (qEsStreamBloom _),
     "es_stream_quantile" -> (qEsStreamQuantile _),
+    "es_stream_sample" -> (qEsStreamSample _),
     "es_stream_enrich_dim" -> (qEsStreamEnrichDim _),
     "es_watch_meta" -> (qEsWatchMeta _),
     "es_watch_catalog" -> (qEsWatchCatalog _),

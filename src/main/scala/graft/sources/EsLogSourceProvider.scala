@@ -425,9 +425,17 @@ class EsLogCatalogStreamSource(spark: SparkSession, root: String,
   private var drainTarget: Option[SortedMap[String, Long]] = None
   // last offsets handed out; recovered via the first getBatch after restart
   private var last: Option[SortedMap[String, Long]] = None
+  // the sweep getOffset/latestOffset just paid, reusable by the same
+  // trigger's getBatch when it covers every promised offset (files are
+  // immutable and manifests append-only, so an older state that already
+  // covers [.., hi) lists every file getBatch needs)
+  @volatile private var sweepCache: Map[String, graft.meta.StreamState] = Map.empty
 
-  private def liveStates(): Map[String, graft.meta.StreamState] =
-    cat.namedStates().filterNot(_._2.deleted).toMap
+  private def liveStates(): Map[String, graft.meta.StreamState] = {
+    val s = cat.namedStates().filterNot(_._2.deleted).toMap
+    sweepCache = s
+    s
+  }
 
   private def heads(st: Map[String, graft.meta.StreamState]): SortedMap[String, Long] =
     st.foldLeft(SortedMap.empty[String, Long]) { case (m, (n, s)) => m.updated(n, s.nextOffset) }
@@ -491,7 +499,11 @@ class EsLogCatalogStreamSource(spark: SparkSession, root: String,
       .getOrElse(SortedMap.empty[String, Long])
     last = Some(last.map(l => endMap.foldLeft(l) { case (m, (n, o)) =>
       m.updated(n, math.max(m.getOrElse(n, 0L), o)) }).getOrElse(endMap))
-    val states = liveStates()
+    val cached = sweepCache
+    val states =
+      if (endMap.forall { case (n, hi) => cached.get(n).exists(_.nextOffset >= hi) })
+        cached // this trigger's getOffset sweep already covers every promised offset
+      else liveStates() // recovery replay (no prior sweep in this process)
     val slices = endMap.toSeq.flatMap { case (name, hi) =>
       states.get(name).map { st =>
         val initial = !startMap.contains(name)

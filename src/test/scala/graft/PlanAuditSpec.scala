@@ -590,6 +590,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_cms" -> Seq("hour_start_ms", "d", "slot", "cnt"),
     "es_stream_bloom" -> Seq("hour_start_ms", "n_slots", "slot_min", "slot_max", "slot_xor"),
     "es_stream_quantile" -> Seq("hour_start_ms", "permille", "q_value"),
+    "es_stream_sample" -> Seq("hour_start_ms", "event_id"),
     "es_stream_roundtrip" -> Seq("ts_ms", "event_type", "props"),
     "es_stream_sessions" -> Seq("user_id", "sid", "start_ms", "end_ms", "n"),
     "es_stream_window" -> Seq("hour_start_ms", "n"),
