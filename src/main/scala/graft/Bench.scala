@@ -194,7 +194,8 @@ object Bench {
       "es_window_hourly", "es_agg_by_type",
       "join_asof", "join_range", "join_overlap",
       "sketch_kmv", "sketch_cms", "sketch_bloom", "stats_quantiles_approx",
-      "stats_quantiles_sample", "dedup_semantic")
+      "stats_quantiles_sample", "dedup_semantic", "dedup_semantic_probe",
+      "sample_mix")
     val registry = SparkEntry.queries
     heads.foreach { name =>
       // warm pass bills Janino + C2 compile once (observed 5.4 s first run vs

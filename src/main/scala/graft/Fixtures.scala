@@ -43,9 +43,12 @@ object Fixtures {
         import java.nio.file.{Files => F, Paths}
         import scala.jdk.CollectionConverters._
         val root = Paths.get(d)
-        if (F.exists(root))
-          F.walk(root).iterator().asScala.toSeq.reverseIterator
+        if (F.exists(root)) {
+          val s = F.walk(root)
+          try s.iterator().asScala.toSeq.reverseIterator
             .foreach(p => F.deleteIfExists(p))
+          finally s.close()
+        }
       } catch { case _: java.io.IOException => () } // best-effort reclamation
       d = freshDirs.poll()
     }
@@ -462,10 +465,8 @@ object Fixtures {
         .select(col("hour_start_ms"),
           explode(array(lit(0L), lit(500L), lit(1000L))).as("permille"), col("_vals"))
         .select(col("hour_start_ms"), col("permille"),
-          when(size(col("_vals")) > 0, element_at(col("_vals"),
-            (call_function("div",
-              (size(col("_vals")).cast("long") - 1L) * col("permille"),
-              lit(1000L)) + 1L).cast("int"))).as("q_value"))
+          graft.operators.Stats.sampleQuantileRead(col("_vals"), col("permille"))
+            .as("q_value"))
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())

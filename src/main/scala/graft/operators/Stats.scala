@@ -116,11 +116,17 @@ object Stats {
     OpUtil.rebalance(df).groupBy(grp: _*).agg(kept.as("_vals"))
       .withColumn("permille", explode(permilleArr))
       .select(grp :+ col("permille") :+
-        when(size(col("_vals")) > 0, element_at(col("_vals"),
-          (call_function("div",
-            (size(col("_vals")).cast("long") - 1L) * col("permille"),
-            lit(1000L)) + 1L).cast("int"))).as("q_value"): _*)
+        sampleQuantileRead(col("_vals"), col("permille")).as("q_value"): _*)
   }
+
+  /** THE integer-rank read off an ascending sample array: permille p → the
+    * element at rank `(n-1)·p div 1000` (null on an empty sample). The one
+    * canonical encoding of the rule — [[quantilesSample]] and the streaming
+    * fixture share it, and the SQL oracles mirror it. */
+  def sampleQuantileRead(vals: Column, permille: Column): Column =
+    when(size(vals) > 0, element_at(vals,
+      (call_function("div",
+        (size(vals).cast("long") - 1L) * permille, lit(1000L)) + 1L).cast("int")))
 
   def quantilesFromHistogram(hist: DataFrame, groupCols: Seq[String],
                              permille: Seq[Int]): DataFrame = {

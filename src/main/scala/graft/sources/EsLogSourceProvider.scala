@@ -373,8 +373,14 @@ case class EsLogCatalogOffset(offsets: scala.collection.immutable.SortedMap[Stri
     offsets.foreach { case (n, o) =>
       if (!first) sb.append(',')
       first = false
-      sb.append('"').append(n.replace("\\", "\\\\").replace("\"", "\\\""))
-        .append("\":").append(o)
+      sb.append('"')
+      n.foreach {
+        case '\\'              => sb.append("\\\\")
+        case '"'               => sb.append("\\\"")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x") // control chars
+        case c                 => sb.append(c)
+      }
+      sb.append("\":").append(o)
     }
     sb.append('}').toString
   }
@@ -454,16 +460,32 @@ class EsLogCatalogStreamSource(spark: SparkSession, root: String,
     drainTarget = Some(heads(liveStates()))
   }
 
+  // round-robin cursor: which stream the next trigger's budget allocation
+  // starts from (in-memory only — the chosen end vector is checkpointed, so
+  // replay never re-runs the allocation)
+  private var rr = 0
+
   /** Advance `base` toward `target`, spending at most `budget` offsets in
-    * total, streams visited in sorted-name order. Streams absent from
-    * `base` start at their state's startOffset. */
+    * total. Streams are visited in sorted-name order ROTATED by a
+    * per-trigger round-robin cursor: with a binding budget a hot
+    * early-sorted stream would otherwise starve later names forever.
+    * Streams absent from `base` start at their state's startOffset. A
+    * target head BELOW the base position means the name was dropped and
+    * recreated (a fresh stream — offsets restart): the position resets to
+    * the new stream's start so recreated data is delivered, not pinned
+    * behind the stale high offset. */
   private def advance(base: SortedMap[String, Long], target: SortedMap[String, Long],
                       states: Map[String, graft.meta.StreamState],
                       budget: Long): SortedMap[String, Long] = {
     var remaining = budget
     var out = base.filter { case (n, _) => target.contains(n) } // drop deleted
-    target.foreach { case (n, h) =>
-      val b = out.getOrElse(n, states.get(n).map(_.startOffset).getOrElse(h))
+    val names = target.keys.toIndexedSeq // SortedMap => sorted
+    val start = if (names.isEmpty) 0 else { val s = rr % names.size; rr += 1; s }
+    (names.drop(start) ++ names.take(start)).foreach { n =>
+      val h = target(n)
+      val b0 = out.getOrElse(n, states.get(n).map(_.startOffset).getOrElse(h))
+      val b = // name reuse: head moved backwards => fresh stream, reset
+        if (h < b0) states.get(n).map(_.startOffset).getOrElse(h) else b0
       val step = math.max(0L, math.min(h - b, remaining))
       remaining -= step
       out = out.updated(n, b + step)
@@ -505,10 +527,23 @@ class EsLogCatalogStreamSource(spark: SparkSession, root: String,
         cached // this trigger's getOffset sweep already covers every promised offset
       else liveStates() // recovery replay (no prior sweep in this process)
     val slices = endMap.toSeq.flatMap { case (name, hi) =>
-      states.get(name).map { st =>
-        val initial = !startMap.contains(name)
-        val lo = math.max(startMap.getOrElse(name, st.startOffset), st.startOffset)
-        (cat.streamDir(name), st, lo, hi, initial)
+      states.get(name) match {
+        case Some(st) =>
+          // a start position ABOVE this batch's end is the drop-and-recreate
+          // rewind advance() published: treat the fresh stream like a newly
+          // discovered one (first-batch straddle semantics from its start)
+          val raw = startMap.getOrElse(name, Long.MaxValue)
+          val initial = !startMap.contains(name) || raw > hi
+          val lo = if (initial) st.startOffset else math.max(raw, st.startOffset)
+          Some((cat.streamDir(name), st, lo, hi, initial))
+        case None =>
+          val lo = startMap.getOrElse(name, 0L)
+          if (lo < hi) throw new IllegalStateException(
+            s"catalog subscription: stream '$name' vanished with undelivered " +
+              s"offsets [$lo, $hi) — dropped before this batch could run or " +
+              "replay; its rows cannot be recovered (exactly-once would be " +
+              "silently violated by skipping them)")
+          None
       }
     }
     org.apache.spark.sql.graftshim.GraftShims.asStreamingViaRdd(

@@ -30,8 +30,37 @@ object EsLogInsertRewrite {
       case i: InsertIntoStatement if i.query.resolved && eslogDir(i.table).isDefined =>
         require(!i.overwrite,
           "eslog is append-only; INSERT OVERWRITE is unsupported (use TRIM/DELETE_STREAM)")
+        require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+          "eslog INSERT does not take a PARTITION spec (streams are not partitioned tables)")
         val (dir, table) = eslogDir(i.table).get
-        EsLogInsertCommand(dir, table, i.query)
+        // an explicit column list renames the query's output positionally
+        // (standard INSERT (cols...) semantics) before the by-name append
+        val q =
+          if (i.userSpecifiedCols.isEmpty) i.query
+          else {
+            require(i.userSpecifiedCols.size == i.query.output.size,
+              s"INSERT column list has ${i.userSpecifiedCols.size} names but the " +
+                s"query produces ${i.query.output.size} columns")
+            org.apache.spark.sql.catalyst.plans.logical.Project(
+              i.query.output.zip(i.userSpecifiedCols).map { case (a, n) =>
+                org.apache.spark.sql.catalyst.expressions.Alias(a, n)()
+              }, i.query)
+          }
+        // rows are matched BY NAME downstream (EsLog.append normalize), which
+        // silently defaults absent fields — so reject the silent cases HERE:
+        // a query column the append would drop, or a missing payload, is a
+        // user mistake that must fail analysis, not commit corrupted rows
+        val writable = Set("payload", "properties", "base_timestamp",
+          "last_offset_delta", "flags")
+        val names = q.output.map(_.name)
+        require(names.contains("payload"),
+          s"eslog INSERT must produce a 'payload' column; got (${names.mkString(", ")}) — " +
+            "columns are matched by name, alias your SELECT")
+        val unknown = names.filterNot(writable.contains)
+        require(unknown.isEmpty,
+          s"eslog INSERT produced unrecognized column(s) (${unknown.mkString(", ")}); " +
+            s"writable columns are (${writable.toSeq.sorted.mkString(", ")}), matched by name")
+        EsLogInsertCommand(dir, table, q)
     }
   }
 

@@ -420,6 +420,16 @@ class EsLogConnectorSpec extends SparkTestBase {
       "stream a resumes exactly at its checkpointed offset")
     assert(run2.count(_._1 == 2L) == 25, "new stream c is discovered from offset 0")
     assert(run2.distinct.size == 135, "exactly-once across the two drains")
+    // drop-and-recreate under the SAME name: the fresh stream's head is
+    // below the checkpointed position — the vector offset must reset, not
+    // pin the recreated data behind the stale high watermark
+    cat.dropStream("b"); cat.createStream("b"); appendTo("b", 0, 10)
+    val run3 = drain()
+    assert(run3.size == 145, s"recreated b's rows must arrive, got ${run3.size}")
+    val bNew = run3.filter(t => t._3.startsWith("b:") && t._1 == 3L)
+    assert(bNew.map(_._2).sorted == (0L until 10L).toSeq,
+      s"recreated b delivers from offset 0 with its fresh id: $bNew")
+    assert(run3.distinct.size == 145, "no duplicates after the rewind")
   }
 
   test("streaming source + sink over file: URI stream dirs") {

@@ -227,8 +227,22 @@ class GraftSqlSpec extends SparkTestBase {
       def msgs(t: Throwable): Seq[String] =
         Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
       assert(msgs(e).exists(_.contains("append-only")), e.toString)
+      // a query column the by-name append would silently drop fails analysis
+      // instead of committing corrupted rows (ts here would be discarded and
+      // base_timestamp default to 0 for every row)
+      val e2 = intercept[Exception] {
+        spark.sql("INSERT INTO graft_sql_ddl_t " +
+          "SELECT CAST(CAST(id AS STRING) AS BINARY) AS payload, id AS ts FROM range(5)")
+      }
+      assert(msgs(e2).exists(_.contains("unrecognized column")), e2.toString)
+      // an explicit column list renames positionally, standard INSERT shape
+      spark.sql("INSERT INTO graft_sql_ddl_t (payload, base_timestamp) " +
+        "SELECT CAST(CAST(id AS STRING) AS BINARY), id + 7 FROM range(5)")
+      assert(spark.sql(s"SELECT count(*) FROM graft_fetch('$dir', 150, 155) " +
+        "WHERE base_timestamp >= 7").collect().head.getLong(0) == 5,
+        "column-list INSERT must map the second column to base_timestamp")
       assert(spark.sql(s"SELECT count(*) FROM graft_scan('$dir')")
-        .collect().head.getLong(0) == 150, "failed INSERT must not have committed rows")
+        .collect().head.getLong(0) == 155, "failed INSERTs must not have committed rows")
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_ddl_t")
 
     // DROP (idempotent)
