@@ -362,25 +362,30 @@ class EsLogMetaWatchSource(spark: SparkSession, dir: String) extends Source {
   override def stop(): Unit = ()
 }
 
-/** V1 streaming offset of the CATALOG source: one next-offset per stream
-  * name, JSON-encoded with sorted keys so equal positions serialize
-  * identically (offset equality is string equality after recovery). */
-case class EsLogCatalogOffset(offsets: scala.collection.immutable.SortedMap[String, Long])
+/** V1 streaming offset of the CATALOG source: per stream NAME, the pair
+  * `[stream_id, next_offset]` — JSON with sorted keys so equal positions
+  * serialize identically (offset equality is string equality after
+  * recovery). The stream id is the IDENTITY: a name dropped and recreated
+  * carries a fresh id, which is how the source distinguishes "same stream,
+  * no progress" from "fresh stream whose head happens to equal the stale
+  * position" — a head-only comparison cannot. */
+case class EsLogCatalogOffset(
+    offsets: scala.collection.immutable.SortedMap[String, (Long, Long)])
     extends org.apache.spark.sql.execution.streaming.Offset {
   override def json(): String = {
     val sb = new StringBuilder("{")
     var first = true
-    offsets.foreach { case (n, o) =>
+    offsets.foreach { case (n, (id, o)) =>
       if (!first) sb.append(',')
       first = false
       sb.append('"')
       n.foreach {
-        case '\\'              => sb.append("\\\\")
-        case '"'               => sb.append("\\\"")
+        case '\\'         => sb.append("\\\\")
+        case '"'          => sb.append("\\\"")
         case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x") // control chars
-        case c                 => sb.append(c)
+        case c            => sb.append(c)
       }
-      sb.append("\":").append(o)
+      sb.append("\":[").append(id).append(',').append(o).append(']')
     }
     sb.append('}').toString
   }
@@ -389,11 +394,11 @@ case class EsLogCatalogOffset(offsets: scala.collection.immutable.SortedMap[Stri
 object EsLogCatalogOffset {
   import scala.collection.immutable.SortedMap
 
-  def parse(json: String): SortedMap[String, Long] = {
+  def parse(json: String): SortedMap[String, (Long, Long)] = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readValue(json, classOf[java.util.Map[String, java.lang.Number]])
-    var out = SortedMap.empty[String, Long]
-    m.forEach { (k, v) => out = out.updated(k, v.longValue()) }
+      .readValue(json, classOf[java.util.Map[String, java.util.List[java.lang.Number]]])
+    var out = SortedMap.empty[String, (Long, Long)]
+    m.forEach { (k, v) => out = out.updated(k, (v.get(0).longValue(), v.get(1).longValue())) }
     out
   }
 }
@@ -412,8 +417,11 @@ object EsLogCatalogOffset {
   * offset residual applied by a broadcast bounds join — never N relations
   * or an N-term OR-chain. `maxOffsetsPerTrigger` rate-limits the TOTAL
   * offsets per batch, allocated across streams in sorted-name order
-  * (deterministic replay); `maxBytesPerTrigger` is a single-stream option
-  * and is not supported here. */
+  * rotated by a per-trigger round-robin cursor (no starvation; the chosen
+  * end vector is checkpointed, so replay never re-runs the allocation);
+  * `maxBytesPerTrigger` is a single-stream option and is not supported
+  * here. Offsets carry each stream's ID, so drop-and-recreate under the
+  * same name is detected by identity, not position heuristics. */
 class EsLogCatalogStreamSource(spark: SparkSession, root: String,
                                parameters: Map[String, String]) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
@@ -428,9 +436,9 @@ class EsLogCatalogStreamSource(spark: SparkSession, root: String,
     parameters.get("maxOffsetsPerTrigger").map(_.toLong).filter(_ > 0)
 
   // AvailableNow: the fixed drain target chosen at query start
-  private var drainTarget: Option[SortedMap[String, Long]] = None
+  private var drainTarget: Option[SortedMap[String, (Long, Long)]] = None
   // last offsets handed out; recovered via the first getBatch after restart
-  private var last: Option[SortedMap[String, Long]] = None
+  private var last: Option[SortedMap[String, (Long, Long)]] = None
   // the sweep getOffset/latestOffset just paid, reusable by the same
   // trigger's getBatch when it covers every promised offset (files are
   // immutable and manifests append-only, so an older state that already
@@ -443,10 +451,12 @@ class EsLogCatalogStreamSource(spark: SparkSession, root: String,
     s
   }
 
-  private def heads(st: Map[String, graft.meta.StreamState]): SortedMap[String, Long] =
-    st.foldLeft(SortedMap.empty[String, Long]) { case (m, (n, s)) => m.updated(n, s.nextOffset) }
+  private def heads(st: Map[String, graft.meta.StreamState]): SortedMap[String, (Long, Long)] =
+    st.foldLeft(SortedMap.empty[String, (Long, Long)]) {
+      case (m, (n, s)) => m.updated(n, (s.streamId, s.nextOffset))
+    }
 
-  private def offsetMap(o: OffsetV2): SortedMap[String, Long] = o match {
+  private def offsetMap(o: OffsetV2): SortedMap[String, (Long, Long)] = o match {
     case c: EsLogCatalogOffset => c.offsets
     case other                 => EsLogCatalogOffset.parse(other.json())
   }
@@ -470,25 +480,34 @@ class EsLogCatalogStreamSource(spark: SparkSession, root: String,
     * per-trigger round-robin cursor: with a binding budget a hot
     * early-sorted stream would otherwise starve later names forever.
     * Streams absent from `base` start at their state's startOffset. A
-    * target head BELOW the base position means the name was dropped and
-    * recreated (a fresh stream — offsets restart): the position resets to
-    * the new stream's start so recreated data is delivered, not pinned
-    * behind the stale high offset. */
-  private def advance(base: SortedMap[String, Long], target: SortedMap[String, Long],
+    * target stream id DIFFERENT from the base entry's id means the name
+    * was dropped and recreated (a fresh stream — offsets restart): the
+    * position resets to the new stream's start so recreated data is
+    * delivered, not pinned behind the stale position — identity-based, so
+    * a fresh stream whose head already reached the stale position is still
+    * detected. Names absent from the live `states` (dropped mid-drain
+    * while a stale AvailableNow target still lists them) get NO new
+    * promises — their base entry is carried unchanged, never advanced
+    * toward a dead target. */
+  private def advance(base: SortedMap[String, (Long, Long)],
+                      target: SortedMap[String, (Long, Long)],
                       states: Map[String, graft.meta.StreamState],
-                      budget: Long): SortedMap[String, Long] = {
+                      budget: Long): SortedMap[String, (Long, Long)] = {
     var remaining = budget
     var out = base.filter { case (n, _) => target.contains(n) } // drop deleted
     val names = target.keys.toIndexedSeq // SortedMap => sorted
     val start = if (names.isEmpty) 0 else { val s = rr % names.size; rr += 1; s }
     (names.drop(start) ++ names.take(start)).foreach { n =>
-      val h = target(n)
-      val b0 = out.getOrElse(n, states.get(n).map(_.startOffset).getOrElse(h))
-      val b = // name reuse: head moved backwards => fresh stream, reset
-        if (h < b0) states.get(n).map(_.startOffset).getOrElse(h) else b0
-      val step = math.max(0L, math.min(h - b, remaining))
-      remaining -= step
-      out = out.updated(n, b + step)
+      states.get(n).foreach { st => // no promises for vanished streams
+        val (tid, h) = target(n)
+        val b = out.get(n) match {
+          case Some((bid, off)) if bid == tid => off
+          case _                              => st.startOffset // new or recreated
+        }
+        val step = math.max(0L, math.min(h - b, remaining))
+        remaining -= step
+        out = out.updated(n, (tid, b + step))
+      }
     }
     out
   }
@@ -497,7 +516,7 @@ class EsLogCatalogStreamSource(spark: SparkSession, root: String,
     val states = liveStates()
     val target = drainTarget.getOrElse(heads(states))
     val base = Option(startOffset).map(offsetMap).orElse(last)
-      .getOrElse(SortedMap.empty[String, Long])
+      .getOrElse(SortedMap.empty[String, (Long, Long)])
     val budget = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _              => Long.MaxValue
@@ -508,7 +527,7 @@ class EsLogCatalogStreamSource(spark: SparkSession, root: String,
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val states = liveStates()
-    val base = last.getOrElse(SortedMap.empty[String, Long])
+    val base = last.getOrElse(SortedMap.empty[String, (Long, Long)])
     val end = advance(base, heads(states), states,
       maxOffsetsPerTrigger.getOrElse(Long.MaxValue))
     if (end == base && base.nonEmpty || end.isEmpty) None else Some(EsLogCatalogOffset(end))
@@ -518,31 +537,37 @@ class EsLogCatalogStreamSource(spark: SparkSession, root: String,
                         end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val endMap = EsLogCatalogOffset.parse(end.json())
     val startMap = start.map(o => EsLogCatalogOffset.parse(o.json()))
-      .getOrElse(SortedMap.empty[String, Long])
-    last = Some(last.map(l => endMap.foldLeft(l) { case (m, (n, o)) =>
-      m.updated(n, math.max(m.getOrElse(n, 0L), o)) }).getOrElse(endMap))
+      .getOrElse(SortedMap.empty[String, (Long, Long)])
+    last = Some(last.map(l => endMap.foldLeft(l) { case (m, (n, e @ (id, o))) =>
+      m.get(n) match {
+        case Some((pid, po)) if pid == id => m.updated(n, (id, math.max(po, o)))
+        case _                            => m.updated(n, e) // new generation wins
+      }
+    }).getOrElse(endMap))
     val cached = sweepCache
     val states =
-      if (endMap.forall { case (n, hi) => cached.get(n).exists(_.nextOffset >= hi) })
+      if (endMap.forall { case (n, (id, hi)) =>
+            cached.get(n).exists(s => s.streamId == id && s.nextOffset >= hi) })
         cached // this trigger's getOffset sweep already covers every promised offset
       else liveStates() // recovery replay (no prior sweep in this process)
-    val slices = endMap.toSeq.flatMap { case (name, hi) =>
+    val slices = endMap.toSeq.flatMap { case (name, (endId, hi)) =>
       states.get(name) match {
-        case Some(st) =>
-          // a start position ABOVE this batch's end is the drop-and-recreate
-          // rewind advance() published: treat the fresh stream like a newly
+        case Some(st) if st.streamId == endId =>
+          // a start entry from a DIFFERENT stream generation means the name
+          // was dropped and recreated: read the fresh stream like a newly
           // discovered one (first-batch straddle semantics from its start)
-          val raw = startMap.getOrElse(name, Long.MaxValue)
-          val initial = !startMap.contains(name) || raw > hi
-          val lo = if (initial) st.startOffset else math.max(raw, st.startOffset)
+          val initial = !startMap.get(name).exists(_._1 == endId)
+          val lo =
+            if (initial) st.startOffset
+            else math.max(startMap(name)._2, st.startOffset)
           Some((cat.streamDir(name), st, lo, hi, initial))
-        case None =>
-          val lo = startMap.getOrElse(name, 0L)
+        case other =>
+          val lo = startMap.get(name).filter(_._1 == endId).map(_._2).getOrElse(0L)
           if (lo < hi) throw new IllegalStateException(
-            s"catalog subscription: stream '$name' vanished with undelivered " +
-              s"offsets [$lo, $hi) — dropped before this batch could run or " +
-              "replay; its rows cannot be recovered (exactly-once would be " +
-              "silently violated by skipping them)")
+            s"catalog subscription: stream '$name' (id $endId) " +
+              (if (other.isDefined) "was dropped and recreated" else "vanished") +
+              s" with undelivered offsets [$lo, $hi) — its rows cannot be " +
+              "recovered (exactly-once would be silently violated by skipping them)")
           None
       }
     }

@@ -49,14 +49,21 @@ object EsLogInsertRewrite {
         // rows are matched BY NAME downstream (EsLog.append normalize), which
         // silently defaults absent fields — so reject the silent cases HERE:
         // a query column the append would drop, or a missing payload, is a
-        // user mistake that must fail analysis, not commit corrupted rows
+        // user mistake that must fail analysis, not commit corrupted rows.
+        // Matching is case-insensitive (Spark's default resolution is).
+        // Engine-assigned read columns (stream_id, range_index, base_offset)
+        // are ACCEPTED and ignored: `INSERT INTO dst SELECT * FROM src`
+        // between two eslog tables is well-defined (the append reassigns
+        // them), not a mistake.
         val writable = Set("payload", "properties", "base_timestamp",
           "last_offset_delta", "flags")
+        val engineAssigned = Set("stream_id", "range_index", "base_offset")
         val names = q.output.map(_.name)
-        require(names.contains("payload"),
+        require(names.exists(_.equalsIgnoreCase("payload")),
           s"eslog INSERT must produce a 'payload' column; got (${names.mkString(", ")}) — " +
             "columns are matched by name, alias your SELECT")
-        val unknown = names.filterNot(writable.contains)
+        val unknown = names.filterNot(n =>
+          writable.contains(n.toLowerCase) || engineAssigned.contains(n.toLowerCase))
         require(unknown.isEmpty,
           s"eslog INSERT produced unrecognized column(s) (${unknown.mkString(", ")}); " +
             s"writable columns are (${writable.toSeq.sorted.mkString(", ")}), matched by name")

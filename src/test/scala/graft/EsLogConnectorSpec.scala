@@ -420,16 +420,18 @@ class EsLogConnectorSpec extends SparkTestBase {
       "stream a resumes exactly at its checkpointed offset")
     assert(run2.count(_._1 == 2L) == 25, "new stream c is discovered from offset 0")
     assert(run2.distinct.size == 135, "exactly-once across the two drains")
-    // drop-and-recreate under the SAME name: the fresh stream's head is
-    // below the checkpointed position — the vector offset must reset, not
-    // pin the recreated data behind the stale high watermark
-    cat.dropStream("b"); cat.createStream("b"); appendTo("b", 0, 10)
+    // drop-and-recreate under the SAME name, with the fresh stream's head
+    // already PAST the checkpointed position (45 > 40) — only stream-ID
+    // identity in the vector offset can tell this fresh stream from "the
+    // old one made progress"; a head-vs-position heuristic would deliver
+    // rows [40,45) as a continuation and silently lose [0,40)
+    cat.dropStream("b"); cat.createStream("b"); appendTo("b", 0, 45)
     val run3 = drain()
-    assert(run3.size == 145, s"recreated b's rows must arrive, got ${run3.size}")
+    assert(run3.size == 180, s"ALL recreated b's rows must arrive, got ${run3.size}")
     val bNew = run3.filter(t => t._3.startsWith("b:") && t._1 == 3L)
-    assert(bNew.map(_._2).sorted == (0L until 10L).toSeq,
-      s"recreated b delivers from offset 0 with its fresh id: $bNew")
-    assert(run3.distinct.size == 145, "no duplicates after the rewind")
+    assert(bNew.map(_._2).sorted == (0L until 45L).toSeq,
+      s"recreated b delivers from offset 0 with its fresh id: ${bNew.take(5)}...")
+    assert(run3.distinct.size == 180, "no duplicates after the rewind")
   }
 
   test("streaming source + sink over file: URI stream dirs") {
