@@ -391,6 +391,22 @@ object Oracles {
        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
+  /** Cluster representatives: same recursive-CTE cluster assignment as
+    * [[dedupClusters]], then per-cluster argmax by (n_chars DESC, id ASC). */
+  private val dedupClusterBest =
+    s"""WITH RECURSIVE p AS (SELECT i, j FROM ($dedupJaccard) q),
+       |e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+       |c AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+       |s AS (SELECT c.cluster_id, c.doc_id, CAST(d.n_chars AS BIGINT) AS score,
+       |        row_number() OVER (PARTITION BY c.cluster_id
+       |          ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+       |      FROM c JOIN documents d ON c.doc_id = d.doc_id)
+       |SELECT cluster_id, doc_id AS rep_id, score AS rep_score FROM s WHERE rk = 1""".stripMargin
+
   private val dedupSimhash = {
     val terms = (0 until 60).map { b =>
       s"CASE WHEN sum(((h >> $b) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END"
@@ -1217,6 +1233,7 @@ object Oracles {
     "sim_quantize" -> simQuantize,
     "sim_lsh" -> simLsh,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_cluster_best" -> dedupClusterBest,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_probe" -> dedupSemanticProbe,
     "sim_ivf" -> simIvf,

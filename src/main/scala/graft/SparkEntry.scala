@@ -342,6 +342,18 @@ object SparkEntry {
       .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** Cluster representatives by QUALITY: each near-dup cluster keeps its
+    * longest member (n_chars as the score; ties → lowest id) — the
+    * "keep the best duplicate" step real pipelines run after clustering. */
+  private def qDedupClusterBest(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.5)
+    val clusters = Dedup.nearDupClusters(pairs)
+      .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"))
+    Dedup.clusterRepresentatives(clusters,
+      docs.select(col("doc_id"), col("n_chars").as("score")))
+  }
+
   /** Incremental dedup: 95% of the corpus is the indexed "existing" set, the
     * other 5% probes it as the incoming batch — only the batch is shingled. */
   private def qDedupIncremental(s: SparkSession, sfDir: String): DataFrame = {
@@ -947,6 +959,7 @@ object SparkEntry {
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_simhash" -> (qDedupSimHash _),
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_cluster_best" -> (qDedupClusterBest _),
     "text_stats" -> (qTextStats _),
     "text_quality" -> (qTextQuality _),
     "text_langid" -> (qTextLangId _),

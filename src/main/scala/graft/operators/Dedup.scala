@@ -302,6 +302,28 @@ object Dedup {
       .select(col("id").as(idCol), col("cell"))
   }
 
+  /** Per-cluster REPRESENTATIVE selection by score: production dedup keeps
+    * each near-dup cluster's highest-QUALITY member, not its lowest id —
+    * given [[nearDupClusters]]' assignment and a per-doc score (quality
+    * gate output, length, perplexity…), emit one `(cluster, rep, score)`
+    * row per cluster, ties broken by lowest id (deterministic). Scale: the
+    * window partitions by cluster id over ONLY the clustered docs (a small
+    * fraction of any real corpus — unclustered docs never enter), and
+    * near-dup clusters are near-cliques of bounded size, so no partition
+    * is ever corpus-sized. */
+  def clusterRepresentatives(clusters: DataFrame, scores: DataFrame,
+                             idCol: String = "doc_id",
+                             clusterCol: String = "cluster_id",
+                             scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(clusterCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters.join(scores, Seq(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .select(col(clusterCol), col(idCol).as("rep_id"), col(scoreCol).as("rep_score"))
+  }
+
   /** Incremental SEMANTIC dedup: probe NEW embeddings against a prebuilt
     * [[Similarity.IvfIndex]] — the embedding-space twin of
     * [[probeMinHashIndex]], and [[semantic]]'s growing-corpus deployment

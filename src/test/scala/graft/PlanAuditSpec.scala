@@ -555,6 +555,7 @@ class PlanAuditSpec extends SparkTestBase {
     "decontaminate" -> Seq("doc_id", "n_shared"),
     "decontaminate_bloom" -> Seq("doc_id", "n_flagged"),
     "dedup_clusters" -> Seq("doc_id", "cluster_id"),
+    "dedup_cluster_best" -> Seq("cluster_id", "rep_id", "rep_score"),
     "dedup_embedding" -> Seq("i", "j", "cosine"),
     "dedup_semantic" -> Seq("vec_id", "cell"),
     "dedup_semantic_probe" -> Seq("existing", "incoming", "cosine"),
