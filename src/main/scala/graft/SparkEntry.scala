@@ -345,14 +345,9 @@ object SparkEntry {
   /** Cluster representatives by QUALITY: each near-dup cluster keeps its
     * longest member (n_chars as the score; ties → lowest id) — the
     * "keep the best duplicate" step real pipelines run after clustering. */
-  private def qDedupClusterBest(s: SparkSession, sfDir: String): DataFrame = {
-    val docs = Fixtures.documents(s, sfDir)
-    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.5)
-    val clusters = Dedup.nearDupClusters(pairs)
-      .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"))
-    Dedup.clusterRepresentatives(clusters,
-      docs.select(col("doc_id"), col("n_chars").as("score")))
-  }
+  private def qDedupClusterBest(s: SparkSession, sfDir: String): DataFrame =
+    Dedup.clusterRepresentatives(qDedupClusters(s, sfDir),
+      Fixtures.documents(s, sfDir).select(col("doc_id"), col("n_chars").as("score")))
 
   /** Incremental dedup: 95% of the corpus is the indexed "existing" set, the
     * other 5% probes it as the incoming batch — only the batch is shingled. */

@@ -257,8 +257,13 @@ object EsLog {
     * with a `payload` column; fills batch metadata defaults. */
   private def normalize(df: DataFrame, streamId: Long): DataFrame = {
     var d = df
+    // case-INSENSITIVE presence check, matching Spark's default resolution:
+    // a case-sensitive `contains` would miss a caller's "FLAGS" column and
+    // the withColumn below (which resolves case-insensitively) would then
+    // silently REPLACE it with the default — the corruption mode, not a
+    // default fill
     def ensure(name: String, c: org.apache.spark.sql.Column): Unit =
-      if (!d.columns.contains(name)) d = d.withColumn(name, c)
+      if (!d.columns.exists(_.equalsIgnoreCase(name))) d = d.withColumn(name, c)
     ensure("properties", map().cast(MapType(StringType, StringType)))
     ensure("base_timestamp", lit(0L))
     ensure("last_offset_delta", lit(1))

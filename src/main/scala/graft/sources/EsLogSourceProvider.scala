@@ -396,9 +396,20 @@ object EsLogCatalogOffset {
 
   def parse(json: String): SortedMap[String, (Long, Long)] = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readValue(json, classOf[java.util.Map[String, java.util.List[java.lang.Number]]])
+      .readValue(json, classOf[java.util.Map[String, Object]])
     var out = SortedMap.empty[String, (Long, Long)]
-    m.forEach { (k, v) => out = out.updated(k, (v.get(0).longValue(), v.get(1).longValue())) }
+    m.forEach { (k, v) =>
+      v match {
+        case l: java.util.List[_] if l.size == 2 =>
+          out = out.updated(k, (l.get(0).asInstanceOf[Number].longValue(),
+            l.get(1).asInstanceOf[Number].longValue()))
+        case other => throw new IllegalStateException(
+          s"catalog subscription offset entry '$k' is $other — expected the " +
+            "[stream_id, next_offset] pair format; a checkpoint written by an " +
+            "older (scalar-offset) build cannot be resumed, start a fresh " +
+            "checkpoint")
+      }
+    }
     out
   }
 }

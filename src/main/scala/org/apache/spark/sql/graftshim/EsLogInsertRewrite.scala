@@ -62,8 +62,10 @@ object EsLogInsertRewrite {
         require(names.exists(_.equalsIgnoreCase("payload")),
           s"eslog INSERT must produce a 'payload' column; got (${names.mkString(", ")}) — " +
             "columns are matched by name, alias your SELECT")
-        val unknown = names.filterNot(n =>
-          writable.contains(n.toLowerCase) || engineAssigned.contains(n.toLowerCase))
+        val unknown = names.filterNot { n =>
+          val lc = n.toLowerCase(java.util.Locale.ROOT)
+          writable.contains(lc) || engineAssigned.contains(lc)
+        }
         require(unknown.isEmpty,
           s"eslog INSERT produced unrecognized column(s) (${unknown.mkString(", ")}); " +
             s"writable columns are (${writable.toSeq.sorted.mkString(", ")}), matched by name")

@@ -241,8 +241,16 @@ class GraftSqlSpec extends SparkTestBase {
       assert(spark.sql(s"SELECT count(*) FROM graft_fetch('$dir', 150, 155) " +
         "WHERE base_timestamp >= 7").collect().head.getLong(0) == 5,
         "column-list INSERT must map the second column to base_timestamp")
+      // a case-DIFFERING writable column is delivered, never silently
+      // clobbered with its default (normalize's presence check is
+      // case-insensitive, like Spark's own resolution)
+      spark.sql("INSERT INTO graft_sql_ddl_t (payload, FLAGS) " +
+        "SELECT CAST(CAST(id AS STRING) AS BINARY), CAST(1 AS SMALLINT) FROM range(3)")
+      assert(spark.sql(s"SELECT count(*) FROM graft_fetch('$dir', 155, 158) " +
+        "WHERE flags = 1").collect().head.getLong(0) == 3,
+        "uppercase FLAGS values must survive the by-name append")
       assert(spark.sql(s"SELECT count(*) FROM graft_scan('$dir')")
-        .collect().head.getLong(0) == 155, "failed INSERTs must not have committed rows")
+        .collect().head.getLong(0) == 158, "failed INSERTs must not have committed rows")
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_ddl_t")
 
     // DROP (idempotent)
