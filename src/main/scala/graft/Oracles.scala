@@ -550,6 +550,51 @@ object Oracles {
        |FROM cs JOIN bh ON cs.hm = bh.hm GROUP BY 1""".stripMargin
   }
 
+  /** decontaminateReport twin: same df-capped shingle lattice as
+    * `decontaminate`, but a LEFT join so every doc reports (n_grams,
+    * n_shared, integer permille). */
+  private val decontaminateReport = {
+    val bench =
+      s"(SELECT doc_id, text FROM documents WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 20 < 1)"
+    s"""WITH ${shingleCte("documents", "cs", 3)},
+       |${shingleCte(bench, "bs", 3)},
+       |bh AS (SELECT DISTINCT hm FROM bs),
+       |per AS (SELECT cs.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |          CAST(count(bh.hm) AS BIGINT) AS n_shared
+       |        FROM cs LEFT JOIN bh ON cs.hm = bh.hm GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(per.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(CASE WHEN coalesce(per.n_grams, 0) > 0
+       |            THEN (per.n_shared * 1000) // per.n_grams
+       |            ELSE 0 END AS BIGINT) AS permille
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+  }
+
+  /** dedupSegments/reassembleSegments twin over 12-token chunk segments
+    * (stride 12 — same integer arithmetic as the `text_chunk` twin): drop
+    * segments in >= 2 distinct docs, rebuild in order, report drop counts. */
+  private val dedupLines =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+       |        1 + (greatest(CAST(len(toks) AS BIGINT) - 12, 0) + 11) // 12 AS c
+       |      FROM t),
+       |e AS (SELECT doc_id, toks, unnest(range(0, c)) AS cid FROM d),
+       |ch AS (SELECT doc_id, CAST(cid AS BIGINT) AS pos,
+       |         array_to_string(list_slice(toks, cid * 12 + 1, cid * 12 + 12), ' ') AS line
+       |       FROM e),
+       |h AS (SELECT doc_id, pos, line, ${H.hash60Sql("line")} AS hm FROM ch),
+       |dups AS (SELECT hm FROM (SELECT hm, count(DISTINCT doc_id) AS df
+       |                         FROM h GROUP BY 1) WHERE df >= 2),
+       |kept AS (SELECT doc_id, pos, line FROM h
+       |         WHERE hm NOT IN (SELECT hm FROM dups)),
+       |reb AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_dedup,
+       |          CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM ch GROUP BY 1)
+       |SELECT tot.doc_id, coalesce(reb.text_dedup, '') AS text_dedup, tot.n_lines,
+       |  CAST(tot.n_lines - coalesce(reb.n_kept, 0) AS BIGINT) AS n_dropped
+       |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id""".stripMargin
+
   /** Bloom-decontamination twin: whole benchmark gram set as a slot table,
     * per (doc, gram) probe, docs with any hit. Bit-exact hashes make the
     * `maybe_present` verdicts — false positives included — identical on
@@ -1214,6 +1259,8 @@ object Oracles {
     "text_repetition" -> textRepetition,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
+    "decontaminate_report" -> decontaminateReport,
+    "dedup_lines" -> dedupLines,
     "sample_hash" -> sampleHash,
     "sample_weighted" -> sampleWeighted,
     "sample_mix" -> sampleMix,

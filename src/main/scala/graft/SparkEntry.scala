@@ -406,6 +406,38 @@ object SparkEntry {
     graft.operators.Dedup.decontaminateBloom(docs, bench, "doc_id", "text", k = 3)
   }
 
+  /** Per-doc contamination report ([[graft.operators.Dedup.decontaminateReport]])
+    * — same bench split as [[qDecontaminate]], but every doc reports its
+    * distinct-gram count, benchmark-shared count, and integer permille
+    * share (the thresholdable form of the any-hit filter). */
+  private def qDecontaminateReport(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val bench = graft.operators.Sampling.sampleByHash(docs, "doc_id", num = 1, den = 20)
+    graft.operators.Dedup.decontaminateReport(docs, bench, "doc_id", "text", k = 3)
+  }
+
+  /** Corpus-level SEGMENT dedup ([[graft.operators.Dedup.dedupSegments]] +
+    * [[graft.operators.Dedup.reassembleSegments]]): the CCNet/RefinedWeb
+    * remove-duplicated-lines step. The synthetic corpus carries no newline
+    * structure (same honesty note as `text_chunk`), so segments here are
+    * 12-token windows from [[graft.operators.TextOps.chunkTokens]]; in
+    * deployment the splitter is a newline split ([[graft.operators.Dedup.dedupLines]],
+    * unit-tested on line-structured docs). Every doc emits a row — docs
+    * whose every segment was boilerplate come back empty. */
+  private def qDedupLines(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val segs = graft.operators.TextOps.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 12, overlap = 0)
+      .select(col("doc_id"), col("chunk_id").as("pos"), col("chunk").as("line"))
+    val kept = graft.operators.Dedup.dedupSegments(segs, "doc_id", "pos", "line")
+    val rebuilt = graft.operators.Dedup.reassembleSegments(kept, "doc_id", "pos", "line", " ")
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Deterministic 30% hash sample — stable across runs/engines/cluster sizes. */
   private def qSampleHash(s: SparkSession, sfDir: String): DataFrame =
     graft.operators.Sampling.sampleByHash(Fixtures.documents(s, sfDir), "doc_id", num = 3, den = 10)
@@ -966,6 +998,8 @@ object SparkEntry {
     "text_repetition" -> (qTextRepetition _),
     "decontaminate" -> (qDecontaminate _),
     "decontaminate_bloom" -> (qDecontaminateBloom _),
+    "decontaminate_report" -> (qDecontaminateReport _),
+    "dedup_lines" -> (qDedupLines _),
     "sample_hash" -> (qSampleHash _),
     "sample_weighted" -> (qSampleWeighted _),
     "sample_mix" -> (qSampleMix _),

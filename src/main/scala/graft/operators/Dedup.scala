@@ -384,4 +384,97 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
   }
+
+  /** SEGMENT-level exact dedup across the corpus — the CCNet/RefinedWeb
+    * "remove duplicated lines" curation step, which document-level dedup
+    * cannot express: boilerplate (headers, nav bars, license blocks) repeats
+    * across otherwise-distinct documents. Input is one row per segment
+    * (`idCol`, `posCol`, `segCol`) from any splitter — newline split in
+    * deployment ([[dedupLines]]), token windows ([[TextOps.chunkTokens]])
+    * when the corpus carries no line structure. Drops every segment whose
+    * exact text occurs in >= `minDf` DISTINCT documents (a segment repeated
+    * within one doc survives); returns the kept segment rows unchanged.
+    *
+    * Plan at corpus scale: segments reduce to their 60-bit portable hash at
+    * the source, so the df aggregate — distinct (hm, doc) then a count per
+    * hm — and the anti-join all shuffle 8-byte keys; the duplicated-segment
+    * set is small by construction (only text that actually repeats across
+    * docs). No self-join, no window over the corpus. Deterministic: exact
+    * string hashing, integer df — the SQL oracle reproduces it bit-for-bit. */
+  def dedupSegments(segments: DataFrame, idCol: String, posCol: String,
+                    segCol: String, minDf: Long = 2L): DataFrame = {
+    require(minDf >= 2, s"minDf >= 2 required (got $minDf): df 1 would drop every segment")
+    val hm = Portable.hash60(col(segCol))
+    val df = segments.select(hm.as("hm"), col(idCol)).distinct()
+      .groupBy("hm").agg(count(lit(1)).as("df"))
+    val dup = df.where(col("df") >= minDf).select("hm")
+    segments.withColumn("_hm", hm)
+      .join(dup, col("_hm") === dup("hm"), "left_anti")
+      .drop("_hm")
+  }
+
+  /** Reassemble documents from kept segments: per doc, segments back in
+    * original `posCol` order joined by `sep`, plus the kept count. Documents
+    * whose every segment was dropped do not appear (join from the original
+    * corpus and coalesce — [[dedupLines]] does). Per-doc state is bounded by
+    * that document's own segment count, the same bound as any per-doc
+    * rebuild. */
+  def reassembleSegments(kept: DataFrame, idCol: String, posCol: String,
+                         segCol: String, sep: String = "\n"): DataFrame =
+    kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col(posCol), col(segCol).as("_s")))),
+        x => x.getField("_s")), sep).as("text_dedup"),
+      count(lit(1)).as("n_kept"))
+
+  /** Line-level corpus dedup, the user-facing composition: split each doc on
+    * the LITERAL separator `sep`, drop lines duplicated across >= `minDf`
+    * docs ([[dedupSegments]]), reassemble in order ([[reassembleSegments]]).
+    * Every input doc emits a row — a fully-boilerplate doc comes back with
+    * empty text and `n_dropped == n_lines`. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n", minDf: Long = 2L): DataFrame = {
+    val segs = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val kept = dedupSegments(segs, idCol, "pos", "line", minDf)
+    val rebuilt = reassembleSegments(kept, idCol, "pos", "line", sep)
+    docs.select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Per-document contamination REPORT — the thresholdable variant of
+    * [[decontaminate]]'s any-hit filter: for EVERY corpus doc, its distinct
+    * (df-capped) k-gram count, how many of those grams the benchmark set
+    * contains, and the integer permille share (floor(1000·shared/grams)).
+    * GPT-3-style any-hit is `permille > 0`; stricter pipelines cut at e.g.
+    * `permille >= 100`. Docs shorter than k words report all zeros.
+    *
+    * Same plan shape as [[decontaminate]] — both sides collapse to distinct
+    * hashed shingles, the benchmark's distinct-gram set broadcasts, one
+    * left join + per-doc aggregate; the corpus never joins itself. All
+    * outputs are integers, bit-reproducible by the SQL oracle. */
+  def decontaminateReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, k: Int = 8,
+                          maxDf: Long = DefaultMaxDf): DataFrame = {
+    val c = cappedShingles(corpus, idCol, textCol, k, maxDf)
+    val b = cappedShingles(benchmark, idCol, textCol, k, maxDf)
+      .select("hm").distinct().withColumn("_hit", lit(1))
+    val per = c.join(b, Seq("hm"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(per.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          call_function("div", col("n_shared") * 1000, col("n_grams")))
+          .otherwise(lit(0L)).as("permille"))
+  }
 }

@@ -134,6 +134,54 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("line dedup: drops cross-doc duplicated lines, keeps order, reports empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\nshared boiler\npair line"),
+      (2L, "pair line\nshared boiler\nother text"),
+      (3L, "shared boiler"),             // fully boilerplate -> comes back empty
+      (4L, "repeat\nrepeat\nonly here")  // in-doc repeat: df counts DISTINCT docs
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("unique one", 3L, 2L)), got(1L).toString)
+    assert(got(2L) == (("other text", 3L, 2L)), got(2L).toString)
+    assert(got(3L) == (("", 1L, 1L)), got(3L).toString)
+    assert(got(4L) == (("repeat\nrepeat\nonly here", 3L, 0L)), got(4L).toString)
+    // minDf = 3: the df-2 "pair line" survives, the df-3 boilerplate still drops
+    val loose = Dedup.dedupLines(docs, "doc_id", "text", minDf = 3L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L) == "unique one\npair line", loose(1L))
+    assert(loose(2L) == "pair line\nother text", loose(2L))
+    // df aggregate + anti-join + rebuild: equi-only plan
+    val p = plan(Dedup.dedupLines(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("contamination report: every doc reports, agrees with the any-hit filter") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "entirely different words here"),
+      (3L, "quick brown fox again today")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val rep = Dedup.decontaminateReport(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 5-word docs have 3 distinct 3-grams (doc 2 has 4 words -> 2);
+    // docs 1/3 share "quick brown fox"
+    assert(rep(1L) == ((3L, 1L, 333L)), rep(1L).toString)
+    assert(rep(2L) == ((2L, 0L, 0L)), rep(2L).toString)
+    assert(rep(3L) == ((3L, 1L, 333L)), rep(3L).toString)
+    // n_shared agrees with decontaminate's flagged set exactly
+    val flt = Dedup.decontaminate(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.collect { case (id, (_, s, _)) if s > 0 => id -> s } == flt)
+    // shorter than k words: zero grams, zero permille (no division)
+    val short = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    val r2 = Dedup.decontaminateReport(short, bench, "doc_id", "text", k = 3).collect().head
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L && r2.getLong(3) == 0L)
+  }
+
   test("repetition signals: known values, hash-aggregate plan") {
     import spark.implicits._
     import graft.operators.TextOps
@@ -554,6 +602,8 @@ class PlanAuditSpec extends SparkTestBase {
     "customers_no_orders" -> Seq("c_mktsegment", "n_inactive", "min_cust"),
     "decontaminate" -> Seq("doc_id", "n_shared"),
     "decontaminate_bloom" -> Seq("doc_id", "n_flagged"),
+    "decontaminate_report" -> Seq("doc_id", "n_grams", "n_shared", "permille"),
+    "dedup_lines" -> Seq("doc_id", "text_dedup", "n_lines", "n_dropped"),
     "dedup_clusters" -> Seq("doc_id", "cluster_id"),
     "dedup_cluster_best" -> Seq("cluster_id", "rep_id", "rep_score"),
     "dedup_embedding" -> Seq("i", "j", "cosine"),
