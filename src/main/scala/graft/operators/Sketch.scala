@@ -175,7 +175,7 @@ object Sketch {
     val cells = candidates.withColumn("slot", explode(array((0 until k).map(i =>
       Portable.uhash(i, hm) % m): _*)))
     cells.join(broadcast(sketch.withColumn("_set", lit(1))), Seq("slot"), "left")
-      .groupBy(candidates.columns.map(col): _*)
+      .groupBy(candidates.columns.toIndexedSeq.map(col): _*)
       .agg((count(when(col("_set").isNull, lit(1))) === 0).as("maybe_present"))
   }
 
@@ -193,11 +193,11 @@ object Sketch {
     val hm = Portable.uhashBase(value)
     val cells = candidates.withColumn("cell", explode(array((0 until depth).map(i =>
       struct(lit(i).as("d"), (Portable.uhash(i, hm) % width).as("slot"))): _*)))
-      .select(candidates.columns.map(col) :+ col("cell.d").as("d") :+
+      .select(candidates.columns.toIndexedSeq.map(col) :+ col("cell.d").as("d") :+
         col("cell.slot").as("slot"): _*)
     cells.join(broadcast(sketch), Seq("d", "slot"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .groupBy(candidates.columns.map(col): _*)
+      .groupBy(candidates.columns.toIndexedSeq.map(col): _*)
       .agg(min(col("cnt")).as("est_cnt"))
   }
 }

@@ -496,7 +496,7 @@ class PlanAuditSpec extends SparkTestBase {
     // intermediate rounds unpersist explicitly: after convergence only the
     // edges cache and the final labels cache remain (NOT one per iteration —
     // this path ran 4 propagation rounds)
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(cachedBefore)
     assert(leaked.size <= 2, s"label caches leaked across rounds: $leaked")
   }
 
