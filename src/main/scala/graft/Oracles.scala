@@ -585,7 +585,8 @@ object Oracles {
        |       FROM e),
        |h AS (SELECT doc_id, pos, line, ${H.hash60Sql("line")} AS hm FROM ch),
        |dups AS (SELECT hm FROM (SELECT hm, count(DISTINCT doc_id) AS df
-       |                         FROM h GROUP BY 1) WHERE df >= 2),
+       |                         FROM h WHERE length(line) >= 1
+       |                         GROUP BY 1) WHERE df >= 2),
        |kept AS (SELECT doc_id, pos, line FROM h
        |         WHERE hm NOT IN (SELECT hm FROM dups)),
        |reb AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_dedup,

@@ -429,13 +429,7 @@ object SparkEntry {
     val segs = graft.operators.TextOps.chunkTokens(docs, "doc_id", "text",
         chunkSize = 12, overlap = 0)
       .select(col("doc_id"), col("chunk_id").as("pos"), col("chunk").as("line"))
-    val kept = graft.operators.Dedup.dedupSegments(segs, "doc_id", "pos", "line")
-    val rebuilt = graft.operators.Dedup.reassembleSegments(kept, "doc_id", "pos", "line", " ")
-    segs.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"), col("n_lines"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+    graft.operators.Dedup.dedupSegmentsReport(segs, "doc_id", "pos", "line", " ")
   }
 
   /** Deterministic 30% hash sample — stable across runs/engines/cluster sizes. */

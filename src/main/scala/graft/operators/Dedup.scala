@@ -393,59 +393,85 @@ object Dedup {
     * deployment ([[dedupLines]]), token windows ([[TextOps.chunkTokens]])
     * when the corpus carries no line structure. Drops every segment whose
     * exact text occurs in >= `minDf` DISTINCT documents (a segment repeated
-    * within one doc survives); returns the kept segment rows unchanged.
+    * within one doc survives); segments shorter than `minLen` characters
+    * never participate and are always kept — blank lines and trailing
+    * separators are structure, not boilerplate (the CCNet guard; without
+    * it the empty line is the most frequent "line" in any real corpus and
+    * paragraph breaks would dedup away). Returns the kept segment rows
+    * unchanged.
     *
-    * Plan at corpus scale: segments reduce to their 60-bit portable hash at
-    * the source, so the df aggregate — distinct (hm, doc) then a count per
-    * hm — and the anti-join all shuffle 8-byte keys; the duplicated-segment
-    * set is small by construction (only text that actually repeats across
-    * docs). No self-join, no window over the corpus. Deterministic: exact
-    * string hashing, integer df — the SQL oracle reproduces it bit-for-bit. */
+    * Plan at corpus scale: segments reduce to their 60-bit portable hash
+    * ONCE ([[OpUtil.shared]] — the df aggregate and the anti-join probe
+    * both consume the hashed frame without re-running the upstream
+    * explode+md5), the df aggregate — distinct (hm, doc) then a count per
+    * hm — and the anti-join all shuffle 8-byte keys, and the
+    * duplicated-segment set is small by construction (only text that
+    * actually repeats across docs). No self-join, no window over the
+    * corpus. Deterministic: exact string hashing, integer df — the SQL
+    * oracle reproduces it bit-for-bit. */
   def dedupSegments(segments: DataFrame, idCol: String, posCol: String,
-                    segCol: String, minDf: Long = 2L): DataFrame = {
+                    segCol: String, minDf: Long = 2L, minLen: Int = 1): DataFrame = {
+    val sh = OpUtil.shared(segments.withColumn("_hm", Portable.hash60(col(segCol))))
+    keptSegments(sh, idCol, segCol, minDf, minLen).drop("_hm")
+  }
+
+  /** The df-filter + anti-join core over an already-hashed (and shared)
+    * segments frame carrying `_hm`. */
+  private def keptSegments(sh: DataFrame, idCol: String, segCol: String,
+                           minDf: Long, minLen: Int): DataFrame = {
     require(minDf >= 2, s"minDf >= 2 required (got $minDf): df 1 would drop every segment")
-    val hm = Portable.hash60(col(segCol))
-    val df = segments.select(hm.as("hm"), col(idCol)).distinct()
-      .groupBy("hm").agg(count(lit(1)).as("df"))
-    val dup = df.where(col("df") >= minDf).select("hm")
-    segments.withColumn("_hm", hm)
-      .join(dup, col("_hm") === dup("hm"), "left_anti")
-      .drop("_hm")
+    val dup = sh.where(length(col(segCol)) >= minLen)
+      .select(col("_hm"), col(idCol)).distinct()
+      .groupBy("_hm").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf).select(col("_hm").as("_duphm"))
+    sh.join(dup, sh("_hm") === dup("_duphm"), "left_anti")
   }
 
   /** Reassemble documents from kept segments: per doc, segments back in
-    * original `posCol` order joined by `sep`, plus the kept count. Documents
-    * whose every segment was dropped do not appear (join from the original
-    * corpus and coalesce — [[dedupLines]] does). Per-doc state is bounded by
-    * that document's own segment count, the same bound as any per-doc
-    * rebuild. */
+    * original `posCol` order (cast to long, so a string-typed position
+    * column cannot silently sort lexicographically) joined by `sep`, plus
+    * the kept count. Documents whose every segment was dropped do not
+    * appear (join from the original corpus and coalesce —
+    * [[dedupSegmentsReport]] does). Per-doc state is bounded by that
+    * document's own segment count, the same bound as any per-doc rebuild. */
   def reassembleSegments(kept: DataFrame, idCol: String, posCol: String,
                          segCol: String, sep: String = "\n"): DataFrame =
     kept.groupBy(idCol).agg(
       array_join(transform(
-        array_sort(collect_list(struct(col(posCol), col(segCol).as("_s")))),
+        array_sort(collect_list(struct(col(posCol).cast("long").as("_p"),
+          col(segCol).as("_s")))),
         x => x.getField("_s")), sep).as("text_dedup"),
       count(lit(1)).as("n_kept"))
 
-  /** Line-level corpus dedup, the user-facing composition: split each doc on
-    * the LITERAL separator `sep`, drop lines duplicated across >= `minDf`
-    * docs ([[dedupSegments]]), reassemble in order ([[reassembleSegments]]).
-    * Every input doc emits a row — a fully-boilerplate doc comes back with
-    * empty text and `n_dropped == n_lines`. */
-  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-                 sep: String = "\n", minDf: Long = 2L): DataFrame = {
-    val segs = docs.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("pos", "line")))
-    val kept = dedupSegments(segs, idCol, "pos", "line", minDf)
-    val rebuilt = reassembleSegments(kept, idCol, "pos", "line", sep)
-    docs.select(col(idCol),
-        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .cast("long").as("n_lines"))
+  /** [[dedupSegments]] + [[reassembleSegments]] + per-doc accounting in one
+    * call over pre-split segments: every document that contributed a
+    * segment emits `(idCol, text_dedup, n_lines, n_dropped)` — a fully-
+    * boilerplate doc comes back with empty text and `n_dropped ==
+    * n_lines`. The segments frame is materialized once and feeds all three
+    * consumers (df aggregate, anti-join probe, per-doc totals). */
+  def dedupSegmentsReport(segments: DataFrame, idCol: String, posCol: String,
+                          segCol: String, sep: String = "\n",
+                          minDf: Long = 2L, minLen: Int = 1): DataFrame = {
+    val sh = OpUtil.shared(segments.withColumn("_hm", Portable.hash60(col(segCol))))
+    val kept = keptSegments(sh, idCol, segCol, minDf, minLen)
+    val rebuilt = reassembleSegments(kept, idCol, posCol, segCol, sep)
+    sh.groupBy(idCol).agg(count(lit(1)).as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("text_dedup"), lit("")).as("text_dedup"),
         col("n_lines"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Line-level corpus dedup, the user-facing composition: split each doc
+    * on the LITERAL separator `sep` and run [[dedupSegmentsReport]]. Blank
+    * lines survive (`minLen` guard), so paragraph structure is preserved;
+    * every input doc emits a row. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n", minDf: Long = 2L, minLen: Int = 1): DataFrame = {
+    val segs = OpUtil.rebalance(docs).select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    dedupSegmentsReport(segs, idCol, "pos", "line", sep, minDf, minLen)
   }
 
   /** Per-document contamination REPORT — the thresholdable variant of

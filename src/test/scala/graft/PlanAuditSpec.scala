@@ -153,6 +153,22 @@ class PlanAuditSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(loose(1L) == "unique one\npair line", loose(1L))
     assert(loose(2L) == "pair line\nother text", loose(2L))
+    // blank lines are structure, not boilerplate: the empty line between
+    // paragraphs is in every doc (df would be corpus-wide) yet survives,
+    // as does a trailing separator; minLen can raise the bar further
+    val para = Seq(
+      (1L, "alpha text\n\nbeta text\n"),
+      (2L, "gamma text\n\ndelta text\n")).toDF("doc_id", "text")
+    val kept = Dedup.dedupLines(para, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(kept(1L) == (("alpha text\n\nbeta text\n", 0L)), kept(1L).toString)
+    assert(kept(2L) == (("gamma text\n\ndelta text\n", 0L)), kept(2L).toString)
+    val shortGuard = Dedup.dedupLines(
+      Seq((1L, "ok\nlong unique line a"), (2L, "ok\nlong unique line b"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(shortGuard == Map(1L -> 0L, 2L -> 0L), shortGuard.toString)
     // df aggregate + anti-join + rebuild: equi-only plan
     val p = plan(Dedup.dedupLines(docs, "doc_id", "text"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
