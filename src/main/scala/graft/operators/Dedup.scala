@@ -389,7 +389,8 @@ object Dedup {
     * "remove duplicated lines" curation step, which document-level dedup
     * cannot express: boilerplate (headers, nav bars, license blocks) repeats
     * across otherwise-distinct documents. Input is one row per segment
-    * (`idCol`, `posCol`, `segCol`) from any splitter — newline split in
+    * (`idCol`, `segCol`; keep a position column if you will reassemble)
+    * from any splitter — newline split in
     * deployment ([[dedupLines]]), token windows ([[TextOps.chunkTokens]])
     * when the corpus carries no line structure. Drops every segment whose
     * exact text occurs in >= `minDf` DISTINCT documents (a segment repeated
@@ -409,8 +410,8 @@ object Dedup {
     * actually repeats across docs). No self-join, no window over the
     * corpus. Deterministic: exact string hashing, integer df — the SQL
     * oracle reproduces it bit-for-bit. */
-  def dedupSegments(segments: DataFrame, idCol: String, posCol: String,
-                    segCol: String, minDf: Long = 2L, minLen: Int = 1): DataFrame = {
+  def dedupSegments(segments: DataFrame, idCol: String, segCol: String,
+                    minDf: Long = 2L, minLen: Int = 1): DataFrame = {
     val sh = OpUtil.shared(segments.withColumn("_hm", Portable.hash60(col(segCol))))
     keptSegments(sh, idCol, segCol, minDf, minLen).drop("_hm")
   }
