@@ -429,20 +429,28 @@ object Dedup {
   }
 
   /** Reassemble documents from kept segments: per doc, segments back in
-    * original `posCol` order (cast to long, so a string-typed position
-    * column cannot silently sort lexicographically) joined by `sep`, plus
-    * the kept count. Documents whose every segment was dropped do not
-    * appear (join from the original corpus and coalesce —
-    * [[dedupSegmentsReport]] does). Per-doc state is bounded by that
-    * document's own segment count, the same bound as any per-doc rebuild. */
+    * original `posCol` order joined by `sep`, plus the kept count. The
+    * position column must be NUMERIC (required loudly) — a string-typed
+    * position would sort lexicographically ('10' before '2') and a silent
+    * cast would NULL non-numeric values and reorder by segment text; both
+    * corrupt document order without an error. Documents whose every
+    * segment was dropped do not appear (join from the original corpus and
+    * coalesce — [[dedupSegmentsReport]] does). Per-doc state is bounded by
+    * that document's own segment count, the same bound as any per-doc
+    * rebuild. */
   def reassembleSegments(kept: DataFrame, idCol: String, posCol: String,
-                         segCol: String, sep: String = "\n"): DataFrame =
+                         segCol: String, sep: String = "\n"): DataFrame = {
+    val posType = kept.schema(posCol).dataType
+    require(posType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"posCol '$posCol' must be numeric (got $posType): non-numeric positions " +
+        "would reassemble segments in lexicographic order")
     kept.groupBy(idCol).agg(
       array_join(transform(
-        array_sort(collect_list(struct(col(posCol).cast("long").as("_p"),
+        array_sort(collect_list(struct(col(posCol).as("_p"),
           col(segCol).as("_s")))),
         x => x.getField("_s")), sep).as("text_dedup"),
       count(lit(1)).as("n_kept"))
+  }
 
   /** [[dedupSegments]] + [[reassembleSegments]] + per-doc accounting in one
     * call over pre-split segments: every document that contributed a
@@ -466,12 +474,13 @@ object Dedup {
   /** Line-level corpus dedup, the user-facing composition: split each doc
     * on the LITERAL separator `sep` and run [[dedupSegmentsReport]]. Blank
     * lines survive (`minLen` guard), so paragraph structure is preserved;
-    * every input doc emits a row. */
+    * every input doc emits a row — a NULL text is treated as empty (one
+    * blank segment), not silently dropped. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n", minDf: Long = 2L, minLen: Int = 1): DataFrame = {
     val segs = OpUtil.rebalance(docs).select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("pos", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
     dedupSegmentsReport(segs, idCol, "pos", "line", sep, minDf, minLen)
   }
 

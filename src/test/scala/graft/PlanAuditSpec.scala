@@ -169,6 +169,18 @@ class PlanAuditSpec extends SparkTestBase {
       "doc_id", "text", minLen = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(shortGuard == Map(1L -> 0L, 2L -> 0L), shortGuard.toString)
+    // NULL text is an empty doc, not a vanished row (row-per-doc contract)
+    val withNull = Dedup.dedupLines(
+      Seq((1L, "some text"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(withNull(2L) == (("", 1L, 0L)), withNull.toString)
+    // a non-numeric position column is rejected loudly, never reordered
+    val strPos = Seq((1L, "a", "x")).toDF("doc_id", "pos", "line")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.reassembleSegments(strPos, "doc_id", "pos", "line")
+    }
+    assert(ex.getMessage.contains("must be numeric"), ex.getMessage)
     // df aggregate + anti-join + rebuild: equi-only plan
     val p = plan(Dedup.dedupLines(docs, "doc_id", "text"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
