@@ -484,6 +484,16 @@ object Oracles {
     s"SELECT doc_id, $scrubbed AS text_redacted FROM documents"
   }
 
+  /** TextOps.normalize twin over the same deterministic mangling the Spark
+    * query applies (upper-cased copy + punctuation + digits), so every
+    * normalization stage fires on every row. */
+  private val textNormalize =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(regexp_replace(
+      |    lower(upper(text) || '!!  42, ' || text),
+      |    '[^a-z0-9 ]+', ' ', 'g'), '[0-9]', '0', 'g'), ' +', ' ', 'g')) AS text_norm
+      |FROM documents""".stripMargin
+
   private val textTruncate =
     """SELECT doc_id,
       |  array_to_string(string_split(text, ' ')[1:16], ' ') AS text_truncated,
@@ -1255,6 +1265,7 @@ object Oracles {
     "text_fingerprint" -> textFingerprint,
     "text_tokens" -> textTokens,
     "text_redact" -> textRedact,
+    "text_normalize" -> textNormalize,
     "text_truncate" -> textTruncate,
     "text_chunk" -> textChunk,
     "text_repetition" -> textRepetition,

@@ -380,6 +380,19 @@ object SparkEntry {
   private def qTextRedact(s: SparkSession, sfDir: String): DataFrame =
     TextOps.redact(Fixtures.documents(s, sfDir), "doc_id", "text")
 
+  /** Normalization ([[graft.operators.TextOps.normalize]]) exercised for
+    * real: the synthetic corpus is already lowercase and punctuation-free
+    * (same honesty note as `text_redact`), so the query first mangles each
+    * doc deterministically — an upper-cased copy, punctuation, digits —
+    * and normalizes THAT, making casing, stripping, digit folding and
+    * whitespace collapse all fire on every row in both engines. */
+  private def qTextNormalize(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val mangled = docs.select(col("doc_id"),
+      concat(upper(col("text")), lit("!!  42, "), col("text")).as("text"))
+    TextOps.normalize(mangled, "doc_id", "text")
+  }
+
   private def qTextTruncate(s: SparkSession, sfDir: String): DataFrame =
     TextOps.truncateTokens(Fixtures.documents(s, sfDir), "doc_id", "text", maxTokens = 16)
 
@@ -987,6 +1000,7 @@ object SparkEntry {
     "text_fingerprint" -> (qTextFingerprint _),
     "text_tokens" -> (qTextTokens _),
     "text_redact" -> (qTextRedact _),
+    "text_normalize" -> (qTextNormalize _),
     "text_truncate" -> (qTextTruncate _),
     "text_chunk" -> (qTextChunk _),
     "text_repetition" -> (qTextRepetition _),

@@ -111,6 +111,26 @@ object TextOps {
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
     "[0-9]+" -> "<NUM>")
 
+  /** CCNet-style text normalization for dedup / fingerprint keys: lowercase,
+    * strip runs of non-alphanumerics to a single space, optionally fold
+    * every digit to `0` (CCNet's digit normalization — "page 17" and
+    * "page 42" hash identically), collapse space runs, trim. The canonical
+    * form feeds [[Dedup.exact]] / [[fingerprint]] / shingle hashing so
+    * casing and punctuation differences stop defeating exact dedup.
+    *
+    * One codegen'd projection — no shuffle, no UDF. Patterns are
+    * ASCII-safe, so an independent SQL engine reproduces the output
+    * byte-for-byte (accent folding needs ICU collation and is deliberately
+    * out of scope; non-ASCII characters strip to a space like any other
+    * non-alphanumeric). Emits `(idCol, text_norm)`. */
+  def normalize(docs: DataFrame, idCol: String, textCol: String,
+                foldDigits: Boolean = true): DataFrame = {
+    val stripped = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " ")
+    val folded = if (foldDigits) regexp_replace(stripped, "[0-9]", "0") else stripped
+    docs.select(col(idCol),
+      trim(regexp_replace(folded, " +", " ")).as("text_norm"))
+  }
+
   /** PII-style scrubbing: URLs, email addresses and digit runs replaced with
     * typed placeholder tokens — the standard cheap redaction pass before
     * training-data export. One codegen'd projection, no UDFs. */

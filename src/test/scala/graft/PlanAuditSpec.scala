@@ -98,6 +98,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(trunc.getString(1) == "visit https://x.io/a?b=1 or" && trunc.getLong(2) == 3L)
   }
 
+  test("normalization: casing, punctuation, digit folding, collapse; shuffle-free") {
+    import spark.implicits._
+    val docs = Seq((1L, "  Hello,\tWORLD!!  Page 42 & co. ")).toDF("doc_id", "text")
+    val folded = graft.operators.TextOps.normalize(docs, "doc_id", "text")
+      .collect().head.getString(1)
+    assert(folded == "hello world page 00 co", folded)
+    val kept = graft.operators.TextOps.normalize(docs, "doc_id", "text", foldDigits = false)
+      .collect().head.getString(1)
+    assert(kept == "hello world page 42 co", kept)
+    // canonical forms collide where raw texts differ — the dedup-key purpose
+    val pair = Seq((1L, "Page 17, ok"), (2L, "page 42 OK")).toDF("doc_id", "text")
+    val norms = graft.operators.TextOps.normalize(pair, "doc_id", "text")
+      .collect().map(_.getString(1)).distinct
+    assert(norms.toSeq == Seq("page 00 ok"), norms.mkString("|"))
+    val p = plan(graft.operators.TextOps.normalize(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("bloom decontamination equals exact shared-gram counts at sane m; bench side broadcasts") {
     import spark.implicits._
     val corpus = Seq(
@@ -632,6 +650,7 @@ class PlanAuditSpec extends SparkTestBase {
     "decontaminate_bloom" -> Seq("doc_id", "n_flagged"),
     "decontaminate_report" -> Seq("doc_id", "n_grams", "n_shared", "permille"),
     "dedup_lines" -> Seq("doc_id", "text_dedup", "n_lines", "n_dropped"),
+    "text_normalize" -> Seq("doc_id", "text_norm"),
     "dedup_clusters" -> Seq("doc_id", "cluster_id"),
     "dedup_cluster_best" -> Seq("cluster_id", "rep_id", "rep_score"),
     "dedup_embedding" -> Seq("i", "j", "cosine"),
