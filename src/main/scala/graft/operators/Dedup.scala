@@ -440,7 +440,9 @@ object Dedup {
     * rebuild. */
   def reassembleSegments(kept: DataFrame, idCol: String, posCol: String,
                          segCol: String, sep: String = "\n"): DataFrame = {
-    val posType = kept.schema(posCol).dataType
+    // Resolve through the analyzer (not kept.schema(posCol)) so posCol honors
+    // spark.sql.caseSensitive like every other column reference here.
+    val posType = kept.select(col(posCol)).schema.head.dataType
     require(posType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"posCol '$posCol' must be numeric (got $posType): non-numeric positions " +
         "would reassemble segments in lexicographic order")

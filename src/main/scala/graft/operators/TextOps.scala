@@ -80,11 +80,24 @@ object TextOps {
     scored.select(col(idCol) +: pred.as("lang_pred") +: langs.map(l => col(s"s_$l")): _*)
   }
 
+  /** The one canonicalization chain behind [[fingerprint]], [[normalize]] and
+    * [[tfidfTopTerms]]: lowercase, replace non-alphanumeric runs with
+    * `replacement` (`""` = delete, `" "` = word-boundary-preserving),
+    * optionally fold digits to `0`, collapse space runs, trim. The two
+    * parameters are the ONLY deliberate differences between the callers —
+    * keep divergence here, not in per-caller regex copies. ASCII-safe
+    * patterns: identical output under Java regex and the SQL oracles. */
+  private def canonical(c: Column, replacement: String,
+                        foldDigits: Boolean): Column = {
+    val stripped = regexp_replace(lower(c), "[^a-z0-9 ]+", replacement)
+    val folded = if (foldDigits) regexp_replace(stripped, "[0-9]", "0") else stripped
+    trim(regexp_replace(folded, " +", " "))
+  }
+
   /** Document fingerprints: md5 of whitespace/punctuation-normalized text
     * (robust to formatting noise) + a 60-bit content hash for compact joins. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = trim(regexp_replace(regexp_replace(lower(col(textCol)),
-      "[^a-z0-9 ]", ""), " +", " "))
+    val norm = canonical(col(textCol), "", foldDigits = false)
     docs.select(
       col(idCol),
       md5(norm.cast("binary")).as("fp_md5"),
@@ -124,12 +137,9 @@ object TextOps {
     * out of scope; non-ASCII characters strip to a space like any other
     * non-alphanumeric). Emits `(idCol, text_norm)`. */
   def normalize(docs: DataFrame, idCol: String, textCol: String,
-                foldDigits: Boolean = true): DataFrame = {
-    val stripped = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " ")
-    val folded = if (foldDigits) regexp_replace(stripped, "[0-9]", "0") else stripped
+                foldDigits: Boolean = true): DataFrame =
     docs.select(col(idCol),
-      trim(regexp_replace(folded, " +", " ")).as("text_norm"))
-  }
+      canonical(col(textCol), " ", foldDigits).as("text_norm"))
 
   /** PII-style scrubbing: URLs, email addresses and digit runs replaced with
     * typed placeholder tokens — the standard cheap redaction pass before
@@ -259,8 +269,7 @@ object TextOps {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 5): DataFrame = {
     require(k > 0, "k must be positive")
-    val norm = trim(regexp_replace(regexp_replace(lower(col(textCol)),
-      "[^a-z0-9 ]", ""), " +", " "))
+    val norm = canonical(col(textCol), "", foldDigits = false)
     val toks = OpUtil.rebalance(docs)
       .select(col(idCol), explode(Portable.words(norm)).as("term"))
       .where(col("term") =!= "")

@@ -199,6 +199,11 @@ class PlanAuditSpec extends SparkTestBase {
       Dedup.reassembleSegments(strPos, "doc_id", "pos", "line")
     }
     assert(ex.getMessage.contains("must be numeric"), ex.getMessage)
+    // posCol resolves like any column reference: case-insensitive by default
+    val mixedCase = Seq((1L, 1, "b"), (1L, 0, "a")).toDF("doc_id", "Pos", "line")
+    val mixed = Dedup.reassembleSegments(mixedCase, "doc_id", "pos", "line")
+      .collect().map(r => r.getString(1)).toSeq
+    assert(mixed == Seq("a\nb"), mixed.toString)
     // df aggregate + anti-join + rebuild: equi-only plan
     val p = plan(Dedup.dedupLines(docs, "doc_id", "text"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
