@@ -937,17 +937,68 @@ object Oracles {
   private val simIvf = ivfSql(
     "SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings ORDER BY vec_id LIMIT 16")
 
+  /** A double literal DuckDB parses AS DOUBLE. Bare decimal literals type as
+    * DECIMAL, and a bracketed list of mixed-scale DECIMALs unifies to ONE
+    * decimal type BEFORE any `::DOUBLE[]` cast — rounding some elements by
+    * an ULP (observed on the PQ codebooks, whose raw-mean magnitudes vary;
+    * the unit-normalized IVF centroids merely got lucky). An exponent
+    * suffix forces the DOUBLE parse path; `Double.toString` round-trips, so
+    * the suffix changes only the parse type, never the value. */
+  private def doubleLit(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  private def doubleArrayLit(v: Array[Double]): String =
+    s"[${v.map(doubleLit).mkString(", ")}]::DOUBLE[]"
+
   /** Oracle for the k-means IVF variant: the driver-computed centroids are
     * deterministic literals ([[graft.operators.Similarity.kmeansCentroids]]),
     * so splicing them into a VALUES quantizer reproduces the search
     * bit-for-bit — double literals round-trip exactly through
-    * `Double.toString` / SQL parse. Generated AFTER the query runs
-    * ([[SparkEntry.oracleSql]] is dumped last by [[Verify]]). */
+    * `Double.toString` / SQL parse ([[doubleLit]] pins the parse type).
+    * Generated AFTER the query runs ([[SparkEntry.oracleSql]] is dumped
+    * last by [[Verify]]). */
   def simIvfKmeansSql(cents: Array[Array[Double]]): String = {
     val rows = cents.zipWithIndex.map { case (v, i) =>
-      s"(CAST($i AS BIGINT), [${v.mkString(", ")}]::DOUBLE[])"
+      s"(CAST($i AS BIGINT), ${doubleArrayLit(v)})"
     }.mkString(",\n    ")
     ivfSql(s"SELECT * FROM (VALUES\n    $rows) AS t(cid, cvec)")
+  }
+
+  /** Oracle for PQ asymmetric-distance search: like [[simIvfKmeansSql]], the
+    * deterministic codebooks ([[graft.operators.Similarity.pqCodebooks]])
+    * are spliced in as a VALUES table AFTER the query runs. Codes = per
+    * (vector, subspace) argmin over the subspace's centroids (ties to the
+    * lowest centroid id, Spark's first-match `array_position`); adist = the
+    * explicit left-to-right m-term sum of table lookups — every term
+    * `>= +0.0`, so Spark's zero-seeded fold equals this init-free one
+    * bit-for-bit. */
+  def simPqSql(books: Array[Array[Array[Double]]]): String = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val rows = for { j <- books.indices; c <- books(j).indices } yield
+      s"($j, $c, ${doubleArrayLit(books(j)(c))})"
+    def sq(vec: String) =
+      s"list_reduce(list_transform(range(1, $dsub + 1), " +
+        s"i -> ($vec[j * $dsub + i] - cvec[i]) * ($vec[j * $dsub + i] - cvec[i])), " +
+        "(acc, x) -> acc + x)"
+    val adc = (1 to m).map(p => s"dt[$p][codes[$p] + 1]").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
+       |book AS (SELECT * FROM (VALUES
+       |    ${rows.mkString(",\n    ")}) AS t(j, cnum, cvec)),
+       |cd AS (SELECT nid, j, cnum,
+       |         row_number() OVER (PARTITION BY nid, j ORDER BY ${sq("nvec")} ASC, cnum ASC) AS r
+       |       FROM c, book),
+       |codes AS (SELECT nid, list(cnum ORDER BY j) AS codes FROM cd WHERE r = 1 GROUP BY nid),
+       |dtc AS (SELECT qid, j, cnum, ${sq("qvec")} AS d FROM q, book),
+       |dtj AS (SELECT qid, j, list(d ORDER BY cnum) AS ds FROM dtc GROUP BY qid, j),
+       |dtm AS (SELECT qid, list(ds ORDER BY j) AS dt FROM dtj GROUP BY qid),
+       |s AS (SELECT qid, nid, $adc AS adist FROM codes, dtm WHERE nid <> qid),
+       |r AS (SELECT qid, nid, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rk FROM s)
+       |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, adist FROM r WHERE rk <= 5""".stripMargin
   }
 
   /** Bloom probe oracle: same uhash slot family, whole-corpus sketch (the

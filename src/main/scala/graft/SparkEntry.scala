@@ -645,6 +645,21 @@ object SparkEntry {
       k = 5, cents, nprobe = 4)
   }
 
+  /** Product-quantization ADC search: deterministic per-subspace codebooks
+    * ([[Similarity.pqCodebooks]]) stashed per sfDir like [[kmeansCents]], so
+    * [[oracleSqlFor]] can splice them into the generated VALUES quantizer. */
+  private val pqBooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def qSimPq(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    pqBooks.put(sfDir, books)
+    lastKmeansSf = Some(sfDir)
+    Similarity.pqTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, books)
+  }
+
   /** Backward as-of join: each view event picks the user's most recent click
     * at or within the hour before it — one keyed shuffle + ordered sweep,
     * never a per-row lookup join ([[graft.operators.AsOfJoin]]). */
@@ -1031,6 +1046,7 @@ object SparkEntry {
     "dedup_semantic_probe" -> (qDedupSemanticProbe _),
     "sim_ivf" -> (qSimIvf _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),
+    "sim_pq" -> (qSimPq _),
     "join_salted" -> (qJoinSalted _),
     "join_asof" -> (qJoinAsof _),
     "join_range" -> (qJoinRange _),
@@ -1053,14 +1069,17 @@ object SparkEntry {
     "window_running" -> (qWindowRunning _),
     "customers_no_orders" -> (qCustomersNoOrders _))
 
-  /** Static oracles plus the one data-dependent entry for `sfDir`:
-    * `sim_ivf_kmeans`'s quantizer literals exist only after [[qSimIvfKmeans]]
-    * ran against that dataset in this JVM ([[Verify]] dumps oracles last, so
-    * the driver flow always has them; absent, the entry is omitted and the
-    * driver records rows-only as before). */
+  /** Static oracles plus the data-dependent entries for `sfDir`:
+    * `sim_ivf_kmeans`'s quantizer literals and `sim_pq`'s codebooks exist
+    * only after [[qSimIvfKmeans]] / [[qSimPq]] ran against that dataset in
+    * this JVM ([[Verify]] dumps oracles last, so the driver flow always has
+    * them; absent, the entry is omitted and the driver records rows-only as
+    * before). */
   def oracleSqlFor(sfDir: String): Map[String, String] =
     Oracles.all ++ Option(kmeansCents.get(sfDir))
-      .map(c => "sim_ivf_kmeans" -> Oracles.simIvfKmeansSql(c))
+      .map(c => "sim_ivf_kmeans" -> Oracles.simIvfKmeansSql(c)) ++
+      Option(pqBooks.get(sfDir))
+        .map(b => "sim_pq" -> Oracles.simPqSql(b))
 
   /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):
     * uses the dataset [[qSimIvfKmeans]] ran against most recently. */

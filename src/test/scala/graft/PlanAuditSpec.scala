@@ -613,9 +613,11 @@ class PlanAuditSpec extends SparkTestBase {
     //    the IVF quantizer pass (Dedup.semantic's cell assignment).
     //  - sample_mix: the single-row achievable-total scalar cross-joined
     //    onto the |weights|-row fraction table (both bounded).
+    //  - sim_pq: ADC broadcasts the query set with its m×ksub distance
+    //    tables (bounded like sim_exact's query broadcast).
     val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
-      "dedup_semantic", "dedup_semantic_probe", "sample_mix", "text_tfidf",
-      "text_filter", "pipeline_export")
+      "sim_pq", "dedup_semantic", "dedup_semantic_probe", "sample_mix",
+      "text_tfidf", "text_filter", "pipeline_export")
     val sfDir = "/root/testdata/sf0.001"
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -725,6 +727,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_exact" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_kmeans" -> Seq("qid", "nid", "rank", "score"),
+    "sim_pq" -> Seq("qid", "nid", "rank", "adist"),
     "sim_lsh" -> Seq("qid", "nid", "rank", "score"),
     "sim_quantize" -> Seq("vec_id", "q_scale", "i", "qi"),
     "sketch_bloom" -> Seq("tok", "maybe_present"),

@@ -92,6 +92,56 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaReloaded == inline)
   }
 
+  test("PQ: deterministic codebooks, bounded codes, ADC == distance to the reconstruction") {
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val books2 = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    books.zip(books2).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) } }
+    assert(books.length == 8 && books.forall(_.length == 16)
+      && books.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .where(col("c") < 0 || col("c") >= 16).count()
+    assert(bad == 0L)
+    // The ADC law: adist(q, x) is EXACTLY the squared L2 between q and the
+    // reconstructed vector, up to fold-order rounding (per-subspace partial
+    // sums vs one flat fold) — pin it to 1e-9.
+    val queries = emb.where(col("vec_id") < 5)
+    val adc = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 3, books)
+    val recon = Similarity.pqDecode(codes, books)
+      .select(col("vec_id").as("nid"), col("v_approx"))
+    val joined = adc.join(recon, "nid").join(
+      queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec")), "qid")
+    val worst = joined.select(abs(
+        aggregate(zip_with(col("qvec"), col("v_approx"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _) - col("adist")).as("err"))
+      .agg(max("err")).collect().head.getDouble(0)
+    assert(worst < 1e-9, s"ADC vs reconstruction distance diverged by $worst")
+  }
+
+  test("PQ ADC respects cluster structure: every query's top-1 is from its own cluster") {
+    import spark.implicits._
+    // 4 well-separated clusters in dim 16 (m=4 subspaces of 4): center c
+    // puts mass 10 in block c; members add small deterministic jitter.
+    val rows = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(16) { d =>
+        val base = if (d / 4 == c) 10.0 else 0.0
+        base + 0.01 * ((i * 16 + d) % 7)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, ksub = 8)
+    val top1 = Similarity.pqTopK(df, df.where(col("vec_id") < 4), "vec_id",
+        "embedding", k = 1, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.length == 4)
+    top1.foreach { case (qid, nid) =>
+      assert(qid % 4 == nid % 4, s"query $qid matched cross-cluster neighbor $nid") }
+  }
+
   test("embedding near-dup LSH recall vs the exact all-pairs baseline") {
     val exact = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
