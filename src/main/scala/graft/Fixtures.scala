@@ -819,6 +819,85 @@ object Fixtures {
       name
     })
 
+  /** The documents table as an eslog stream (two epochs, split at n/2) —
+    * the "crawl arriving as a stream" side of the screening fixtures.
+    * payload = UTF-8 text bytes, properties carry the doc id. */
+  def docsStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "docs") { dir =>
+      val in = documents(s, sfDir).select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        map(lit("doc_id"), col("doc_id").cast("string")).as("properties"),
+        col("doc_id").as("base_timestamp"))
+      val k = in.count() / 2
+      EsLog.create(dir, streamId = 82L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in.where(col("doc_id") < k), 1L,
+        sortKey = Some("doc_id"), numPartitions = 4)
+      EsLog.open(dir, 2L)
+      EsLog.append(s, dir, in.where(col("doc_id") >= k), 2L,
+        sortKey = Some("doc_id"), numPartitions = 4)
+    }
+
+  /** STREAMING decontamination — "screen tomorrow's crawl against the
+    * persisted benchmark sketch", proven end-to-end: the benchmark's k-gram
+    * Bloom slot table is built ONCE in batch and persisted (the artifact
+    * [[graft.operators.Dedup.decontaminateBloom]]'s scaladoc promises), and
+    * the docs stream is screened per micro-batch with STATELESS broadcast
+    * semi-joins — one per hash function, because Bloom membership ("all k
+    * slots set") needs no aggregation when each probe is its own join — so
+    * the ONLY stateful operator is the final per-doc hit count. A gram
+    * occurrence survives iff every one of its `hashes` slots is in the
+    * sketch; `n_hits` counts surviving occurrences (multiplicity included —
+    * per-doc distinct would be a second stateful aggregation, which
+    * Structured Streaming does not chain). The flagged DOC SET is exactly
+    * `decontaminate_bloom`'s (present iff any gram hits; unit-pinned).
+    * State: one count per flagged doc. Complete-mode memory table. */
+  def streamDecontaminateTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-decon", {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.functions.Portable
+      import graft.operators.{OpUtil, Sampling, Sketch}
+      tune(s)
+      val src = docsStream(s, sfDir)
+      val perTrigger = math.max(documents(s, sfDir).count() / 8, 1L)
+      val name = "graft_stream_decon_" + math.abs(sfDir.hashCode).toString
+      val m = 1 << 20; val hashes = 5
+      val bench = Sampling.sampleByHash(documents(s, sfDir), "doc_id", num = 1, den = 20)
+      val bGrams = OpUtil.explodedWordShingles(bench, "doc_id", "text", 3)
+        .select(col("g")).distinct()
+      // The persisted sketch: materialized once, reused by every micro-batch
+      // (an unpersisted static side would re-run the benchmark explode per
+      // trigger — exactly what the sketch exists to avoid).
+      val slots = Sketch.bloomSketch(bGrams, col("g"), m, hashes).persist()
+      slots.count()
+      val toks = split(col("payload").cast("string"), " ")
+      val grams = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(when(size(col("toks")) >= 3, sequence(lit(1), size(col("toks")) - 2))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), col("i"), lit(3))).as("g"))
+      val hm = Portable.uhashBase(col("g"))
+      val probed = (0 until hashes).foldLeft(
+        grams.select(col("doc_id") +: (0 until hashes)
+          .map(i => (Portable.uhash(i, hm) % m).as(s"_s$i")): _*)) { (df, i) =>
+        df.join(broadcast(slots.select(col("slot").as(s"_slot$i"))),
+          df(s"_s$i") === col(s"_slot$i"), "left_semi")
+      }
+      val q = probed.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      slots.unpersist()
+      name
+    })
+
   /** Documents round-tripped through the wire codec into a stream. */
   def codecStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "codec") { dir =>

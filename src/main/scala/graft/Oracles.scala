@@ -633,6 +633,34 @@ object Oracles {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged FROM hit WHERE p GROUP BY 1""".stripMargin
   }
 
+  /** Streaming decontamination twin: same benchmark split and slot family as
+    * [[decontaminateBloom]], but per gram OCCURRENCE (positions kept — the
+    * streaming path counts multiplicity because a per-doc distinct would be
+    * a second stateful aggregation); a doc appears iff any occurrence hits
+    * all `hashes` slots. */
+  private val esStreamDecontaminate = {
+    val m = 1 << 20; val hashes = 5
+    val bench =
+      s"(SELECT doc_id, text FROM documents WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 20 < 1)"
+    val slotSel = (0 until hashes).map(i =>
+      s"SELECT ${H.uhashSql(i, "hm")} % $m AS slot FROM bh").mkString("\n  UNION ALL ")
+    val candCells = (0 until hashes).map(i =>
+      s"SELECT doc_id, pos, ${H.uhashSql(i, "hm")} % $m AS slot FROM ch").mkString("\n  UNION ALL ")
+    s"""WITH b0 AS (SELECT unnest(${H.wordShinglesSql(3)}) AS s
+       |           FROM (SELECT string_split(text, ' ') AS toks FROM $bench t)),
+       |bg AS (SELECT DISTINCT s FROM b0),
+       |bh AS (SELECT ${H.uhashBaseSql("s")} AS hm FROM bg),
+       |slots AS (SELECT DISTINCT slot FROM ($slotSel)),
+       |c0 AS (SELECT doc_id, unnest(g) AS s, generate_subscripts(g, 1) AS pos
+       |       FROM (SELECT doc_id, ${H.wordShinglesSql(3)} AS g
+       |             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents t))),
+       |ch AS (SELECT doc_id, pos, ${H.uhashBaseSql("s")} AS hm FROM c0),
+       |cc AS ($candCells),
+       |hit AS (SELECT doc_id, pos, count(sl.slot) = $hashes AS p
+       |        FROM cc LEFT JOIN slots sl ON cc.slot = sl.slot GROUP BY doc_id, pos)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM hit WHERE p GROUP BY 1""".stripMargin
+  }
+
   private val sampleHash =
     s"""SELECT doc_id FROM documents
        |WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 3""".stripMargin
@@ -1322,6 +1350,7 @@ object Oracles {
     "text_repetition" -> textRepetition,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
+    "es_stream_decontaminate" -> esStreamDecontaminate,
     "decontaminate_report" -> decontaminateReport,
     "dedup_lines" -> dedupLines,
     "sample_hash" -> sampleHash,

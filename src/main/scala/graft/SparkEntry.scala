@@ -254,6 +254,14 @@ object SparkEntry {
   private def qEsStreamDedup(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamDedupTable(s, sfDir))
 
+  /** Streaming decontamination ([[Fixtures.streamDecontaminateTable]]): the
+    * docs stream screened per micro-batch against the PERSISTED benchmark
+    * Bloom slot table — membership as stateless broadcast semi-joins (one
+    * per hash function), one stateful per-doc count. The flagged doc set is
+    * exactly `decontaminate_bloom`'s (unit-pinned). */
+  private def qEsStreamDecontaminate(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamDecontaminateTable(s, sfDir))
+
   /** Stream-static enrichment ([[Fixtures.streamDimEnrichTable]]): two
     * chained broadcast joins against static relations inside a streaming
     * query — completes the join matrix (stream-stream: `es_stream_join`;
@@ -995,6 +1003,7 @@ object SparkEntry {
     "es_stream_quantile" -> (qEsStreamQuantile _),
     "es_stream_sample" -> (qEsStreamSample _),
     "es_stream_enrich_dim" -> (qEsStreamEnrichDim _),
+    "es_stream_decontaminate" -> (qEsStreamDecontaminate _),
     "es_watch_meta" -> (qEsWatchMeta _),
     "es_watch_catalog" -> (qEsWatchCatalog _),
     "es_history" -> (qEsHistory _),

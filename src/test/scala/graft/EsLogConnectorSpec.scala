@@ -434,6 +434,27 @@ class EsLogConnectorSpec extends SparkTestBase {
     assert(run3.distinct.size == 180, "no duplicates after the rewind")
   }
 
+  test("streaming decontamination flags exactly the batch bloom path's docs") {
+    // The stream screens per micro-batch (stateless semi-joins against the
+    // persisted sketch) and counts occurrences; the batch operator counts
+    // distinct grams. Different counts, same verdict: a doc is flagged iff
+    // ANY gram hits, so the DOC SETS must be identical — and every streamed
+    // count must be >= its batch distinct-gram count.
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = spark.table(Fixtures.streamDecontaminateTable(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Fixtures.documents(spark, sfDir)
+    val bench = graft.operators.Sampling.sampleByHash(docs, "doc_id", num = 1, den = 20)
+    val batch = graft.operators.Dedup.decontaminateBloom(docs, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"flagged doc sets diverge: stream-only ${streamed.keySet -- batch.keySet}, " +
+        s"batch-only ${batch.keySet -- streamed.keySet}")
+    streamed.foreach { case (doc, n) =>
+      assert(n >= batch(doc), s"doc $doc: $n occurrence hits < ${batch(doc)} distinct-gram hits")
+    }
+  }
+
   test("streaming source + sink over file: URI stream dirs") {
     // both ends on URI dirs: the source's manifest reads + per-batch parquet
     // scans and the sink's append commits all resolve through the Hadoop

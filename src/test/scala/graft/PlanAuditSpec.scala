@@ -655,6 +655,7 @@ class PlanAuditSpec extends SparkTestBase {
     "customers_no_orders" -> Seq("c_mktsegment", "n_inactive", "min_cust"),
     "decontaminate" -> Seq("doc_id", "n_shared"),
     "decontaminate_bloom" -> Seq("doc_id", "n_flagged"),
+    "es_stream_decontaminate" -> Seq("doc_id", "n_hits"),
     "decontaminate_report" -> Seq("doc_id", "n_grams", "n_shared", "permille"),
     "dedup_lines" -> Seq("doc_id", "text_dedup", "n_lines", "n_dropped"),
     "text_normalize" -> Seq("doc_id", "text_norm"),
