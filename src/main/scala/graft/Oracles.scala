@@ -665,6 +665,47 @@ object Oracles {
     s"""SELECT doc_id FROM documents
        |WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 3""".stripMargin
 
+  /** Split-assignment twin: the same permille bucket chain over the seeded
+    * id hash. */
+  private val sampleSplit = {
+    val p = s"${H.hash60Sql(11, "CAST(doc_id AS VARCHAR)")} % 1000"
+    s"""SELECT doc_id,
+       |  CASE WHEN $p < 800 THEN 'train'
+       |       WHEN $p < 900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
+  /** Vocabulary twin: corpus token counts + doc frequency, top-100 by
+    * (occurrences desc, term asc), dense rank ids. Terms are distinct, so
+    * the rank order — and therefore token_id — is total. */
+  private val textVocab =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tt AS (SELECT * FROM t WHERE term <> ''),
+      |s AS (SELECT term, CAST(count(*) AS BIGINT) AS n_occ,
+      |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tt GROUP BY term),
+      |top AS (SELECT * FROM s WHERE n_occ >= 2 ORDER BY n_occ DESC, term ASC LIMIT 100)
+      |SELECT term, n_occ, n_docs,
+      |  CAST(row_number() OVER (ORDER BY n_occ DESC, term ASC) - 1 AS BIGINT) AS token_id
+      |FROM top""".stripMargin
+
+  /** Encode twin: positions from the raw whitespace split (0-based, empty
+    * tokens hold their slot), inner join = OOV dropped. */
+  private val textVocabEncode =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tt AS (SELECT * FROM t WHERE term <> ''),
+      |s AS (SELECT term, CAST(count(*) AS BIGINT) AS n_occ,
+      |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tt GROUP BY term),
+      |top AS (SELECT * FROM s WHERE n_occ >= 2 ORDER BY n_occ DESC, term ASC LIMIT 100),
+      |v AS (SELECT term,
+      |        CAST(row_number() OVER (ORDER BY n_occ DESC, term ASC) - 1 AS BIGINT) AS token_id
+      |      FROM top),
+      |e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |        CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos
+      |      FROM documents WHERE doc_id % 10 = 0)
+      |SELECT e.doc_id, e.pos, v.token_id
+      |FROM e JOIN v USING (term) WHERE e.term <> ''""".stripMargin
+
   /** Weighted-sample twin: identical IEEE double arithmetic (len/400,
     * clamp, *2^60, floor) then a pure integer hash comparison. */
   private val sampleWeighted =
@@ -1355,6 +1396,9 @@ object Oracles {
     "dedup_lines" -> dedupLines,
     "sample_hash" -> sampleHash,
     "sample_weighted" -> sampleWeighted,
+    "sample_split" -> sampleSplit,
+    "text_vocab" -> textVocab,
+    "text_vocab_encode" -> textVocabEncode,
     "sample_mix" -> sampleMix,
     "sample_stratified" -> sampleStratified,
     "sample_topk_group" -> sampleTopkGroup,

@@ -475,6 +475,28 @@ object SparkEntry {
       "doc_id", "source", "n_chars",
       Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
 
+  /** Deterministic train/val/test split ([[graft.operators.Sampling.splitByHash]]):
+    * 800/100/100 permille by id hash — per-id fates, so no document ever
+    * migrates between train and eval across pipeline re-runs. */
+  private def qSampleSplit(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.splitByHash(Fixtures.documents(s, sfDir), "doc_id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100), seed = 11)
+      .select("doc_id", "split")
+
+  /** Vocabulary building ([[TextOps.buildVocab]]): top-100 corpus tokens with
+    * occurrence/doc-frequency counts and dense rank-order ids. */
+  private def qTextVocab(s: SparkSession, sfDir: String): DataFrame =
+    TextOps.buildVocab(Fixtures.documents(s, sfDir), "doc_id", "text",
+      maxSize = 100, minCount = 2L)
+
+  /** Token-id encoding ([[TextOps.applyVocab]]): every 10th document encoded
+    * against the built vocab — (doc, position, token_id) rows, OOV dropped. */
+  private def qTextVocabEncode(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val vocab = TextOps.buildVocab(docs, "doc_id", "text", maxSize = 100, minCount = 2L)
+    TextOps.applyVocab(docs.where(col("doc_id") % 10 === 0), vocab, "doc_id", "text")
+  }
+
   private def qSampleWeighted(s: SparkSession, sfDir: String): DataFrame = {
     val docs = Fixtures.documents(s, sfDir)
       .withColumn("w", size(Portable.words(col("text"))).cast("double") / 400.0)
@@ -1034,6 +1056,9 @@ object SparkEntry {
     "dedup_lines" -> (qDedupLines _),
     "sample_hash" -> (qSampleHash _),
     "sample_weighted" -> (qSampleWeighted _),
+    "sample_split" -> (qSampleSplit _),
+    "text_vocab" -> (qTextVocab _),
+    "text_vocab_encode" -> (qTextVocabEncode _),
     "sample_mix" -> (qSampleMix _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),

@@ -23,6 +23,29 @@ object Sampling {
     df.where(Portable.hash60(col(idCol).cast("string")) % den < num)
   }
 
+  /** Deterministic TRAIN/VAL/TEST splitting: every row gets exactly one
+    * split label from its id hash — `splits` are (name, permille) weights
+    * summing to 1000, and the label is the bucket `hash60(seed:id) % 1000`
+    * lands in. Per-id fates ([[sampleByHash]] semantics): assignment is
+    * stable across runs, engines, cluster sizes, and re-shuffles of the
+    * corpus, so a document can never leak from train into an eval split
+    * because a pipeline re-run dealt different cards. A fresh `seed` is a
+    * fresh independent partition. One codegen'd projection — no shuffle, no
+    * sampling pass, no global count. Adds a `split` column. */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Int)], seed: Int = 0): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"split weights must be positive: $splits")
+    require(splits.map(_._2).sum == 1000,
+      s"split permille weights must sum to 1000 (got ${splits.map(_._2).sum})")
+    val p = Portable.hash60(seed, col(idCol).cast("string")) % 1000
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(bounds).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), hi), rest) => when(p < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Deterministic WEIGHTED (importance) sampling: keep a row with
     * probability = its weight (clamped to [0, 1]) — the quality-weighted
     * corpus draw (keep high-quality docs with certainty, downsample the

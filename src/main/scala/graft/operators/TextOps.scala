@@ -116,6 +116,48 @@ object TextOps {
       (size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
         ).cast("long").as("n_bpe_ish"))
 
+  /** Vocabulary building — the frequency-ranked token table a tokenizer
+    * trainer (or an id-encoding export) starts from: whitespace tokens
+    * counted corpus-wide, ranked by (occurrences desc, term asc), the top
+    * `maxSize` assigned dense ids `0..maxSize-1` in rank order. Emits
+    * `(term, n_occ, n_docs, token_id)` — all-integer, deterministic.
+    *
+    * Plan at corpus scale: explode → ONE hash aggregate with map-side
+    * combine (shuffle carries distinct terms); the doc frequency rides the
+    * same aggregate as a count-distinct. The rank is a top-`maxSize`
+    * (`TakeOrderedAndProject`, never a corpus-wide sort), and the id window
+    * runs over the LIMITED result — `maxSize` rows, driver-bounded, which
+    * the registry plan sweep recognizes as bounded input. */
+  def buildVocab(docs: DataFrame, idCol: String, textCol: String,
+                 maxSize: Int, minCount: Long = 1L): DataFrame = {
+    require(maxSize > 0, "maxSize must be positive")
+    val t = OpUtil.rebalance(docs)
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    val top = t.groupBy("term")
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc")).as("n_docs"))
+      .where(col("n_occ") >= minCount)
+      .orderBy(col("n_occ").desc, col("term").asc).limit(maxSize)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("term").asc)
+    top.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Encode documents against a [[buildVocab]] table: every in-vocabulary
+    * token occurrence becomes `(idCol, pos, token_id)` with `pos` the
+    * 0-based token position in the raw whitespace split (empty tokens hold
+    * their position but emit nothing; out-of-vocabulary tokens are dropped
+    * — add an explicit UNK row to the vocab to keep them). The vocab is
+    * `maxSize` rows, so the join broadcasts; the explode is a pure map
+    * stage — no corpus shuffle at any size. */
+  def applyVocab(docs: DataFrame, vocab: DataFrame, idCol: String,
+                 textCol: String): DataFrame =
+    OpUtil.rebalance(docs)
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .where(col("term") =!= "")
+      .join(broadcast(vocab.select(col("term"), col("token_id"))), Seq("term"))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("token_id"))
+
   /** Redaction patterns, ordered (URLs before emails before bare numbers so
     * a URL's digits aren't re-tagged). RE2-safe character classes only —
     * identical semantics in Java regex and the SQL oracle's engine. */

@@ -352,6 +352,50 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
+  test("split assignment: complete partition, proportional, stable per id") {
+    import graft.operators.Sampling
+    val docs = spark.range(4000).select(col("id").as("doc_id"))
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val got = Sampling.splitByHash(docs, "doc_id", splits, seed = 5)
+    // every row gets exactly one label; proportions binomial within 5 sigma
+    val byLabel = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"), byLabel.toString)
+    assert(byLabel.values.sum == 4000L, byLabel.toString)
+    assert(math.abs(byLabel("train") - 3200) < 127, byLabel.toString)
+    assert(math.abs(byLabel("val") - 400) < 95, byLabel.toString)
+    // per-id fate is stable; a fresh seed reassigns
+    def fates(seed: Int) = Sampling.splitByHash(docs, "doc_id", splits, seed)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fates(5) == fates(5))
+    assert(fates(5) != fates(6))
+    // one projection, no shuffle, no join; bad weights rejected loudly
+    val p = plan(got)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(docs, "doc_id", Seq("a" -> 900, "b" -> 90))
+    }
+  }
+
+  test("vocab build + encode: rank ids, minCount, positions, OOV dropped") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "b a  a c"),   // double space: empty token holds position 2
+      (2L, "a b x"),
+      (3L, "a")).toDF("doc_id", "text")
+    val vocab = TextOps.buildVocab(docs, "doc_id", "text", maxSize = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: 4 occ / 3 docs; b: 2 occ / 2 docs; c and x fall below minCount or rank
+    assert(vocab.toSeq == Seq(("a", 4L, 3L, 0L), ("b", 2L, 2L, 1L)), vocab.toSeq.toString)
+    val enc = TextOps.applyVocab(docs, TextOps.buildVocab(docs, "doc_id", "text", 2, 2L),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 raw split: [b, a, "", a, c] -> b@0, a@1, a@3 (c is OOV)
+    assert(enc == Set((1L, 0L, 1L), (1L, 1L, 0L), (1L, 3L, 0L),
+      (2L, 0L, 0L), (2L, 1L, 1L), (3L, 0L, 0L)), enc.toString)
+  }
+
   test("mixture sampling: limiting source kept whole, mass tracks targets") {
     import graft.operators.Sampling
     // three sources with mass 8000/4000/1000 per doc-count 800/400/100 (10
@@ -723,6 +767,9 @@ class PlanAuditSpec extends SparkTestBase {
     "sample_stratified" -> Seq("doc_id", "lang"),
     "sample_topk_group" -> Seq("lang", "doc_id"),
     "sample_weighted" -> Seq("doc_id"),
+    "sample_split" -> Seq("doc_id", "split"),
+    "text_vocab" -> Seq("term", "n_occ", "n_docs", "token_id"),
+    "text_vocab_encode" -> Seq("doc_id", "pos", "token_id"),
     "sample_mix" -> Seq("doc_id", "source"),
     "shuffle_shards" -> Seq("doc_id", "shuffle_key", "shard", "shard_pos"),
     "sim_exact" -> Seq("qid", "nid", "rank", "score"),
