@@ -1070,6 +1070,53 @@ object Oracles {
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, adist FROM r WHERE rk <= 5""".stripMargin
   }
 
+  /** Oracle for IVF-PQ: both quantizers spliced as VALUES tables (the IVF
+    * centroids AND the PQ codebooks are deterministic literals). Cell
+    * assignment/probing mirrors [[ivfSql]]'s cosine rank; codes and the ADC
+    * sum mirror [[simPqSql]]; candidates come from the cell join. */
+  def simIvfPqSql(cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+                  nprobe: Int = 4): String = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val centRows = cents.zipWithIndex.map { case (v, i) =>
+      s"(CAST($i AS BIGINT), ${doubleArrayLit(v)})" }.mkString(",\n    ")
+    val bookRows = (for { j <- books.indices; c <- books(j).indices } yield
+      s"($j, $c, ${doubleArrayLit(books(j)(c))})").mkString(",\n    ")
+    def sq(vec: String) =
+      s"list_reduce(list_transform(range(1, $dsub + 1), " +
+        s"i -> ($vec[j * $dsub + i] - bvec[i]) * ($vec[j * $dsub + i] - bvec[i])), " +
+        "(acc, x) -> acc + x)"
+    val adc = (1 to m).map(p => s"dt[$p][codes[$p] + 1]").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
+       |cent AS (SELECT * FROM (VALUES
+       |    $centRows) AS t(cid, cvec)),
+       |book AS (SELECT * FROM (VALUES
+       |    $bookRows) AS t2(j, cnum, bvec)),
+       |cellr AS (SELECT nid, nvec, cid,
+       |            row_number() OVER (PARTITION BY nid ORDER BY ${cosineSql("nvec", "cvec")} DESC, cid ASC) AS r
+       |          FROM c, cent),
+       |cells AS (SELECT nid, nvec, cid AS cell FROM cellr WHERE r = 1),
+       |qr AS (SELECT qid, qvec, cid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY ${cosineSql("qvec", "cvec")} DESC, cid ASC) AS r
+       |       FROM q, cent),
+       |probes AS (SELECT qid, cid AS cell FROM qr WHERE r <= $nprobe),
+       |cd AS (SELECT nid, j, cnum,
+       |         row_number() OVER (PARTITION BY nid, j ORDER BY ${sq("nvec")} ASC, cnum ASC) AS r
+       |       FROM cells, book),
+       |codes AS (SELECT nid, list(cnum ORDER BY j) AS codes FROM cd WHERE r = 1 GROUP BY nid),
+       |dtc AS (SELECT qid, j, cnum, ${sq("qvec")} AS d FROM q, book),
+       |dtj AS (SELECT qid, j, list(d ORDER BY cnum) AS ds FROM dtc GROUP BY qid, j),
+       |dtm AS (SELECT qid, list(ds ORDER BY j) AS dt FROM dtj GROUP BY qid),
+       |cand AS (SELECT p.qid, cl.nid FROM cells cl JOIN probes p USING (cell)
+       |         WHERE cl.nid <> p.qid),
+       |s AS (SELECT cand.qid, cand.nid, $adc AS adist
+       |      FROM cand JOIN codes ON cand.nid = codes.nid JOIN dtm ON cand.qid = dtm.qid),
+       |r AS (SELECT qid, nid, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rk FROM s)
+       |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, adist FROM r WHERE rk <= 5""".stripMargin
+  }
+
   /** Bloom probe oracle: same uhash slot family, whole-corpus sketch (the
     * union-distinct merge law makes it equal to the Spark side's two merged
     * shard sketches), candidates = top-20 tokens + five fabricated absents.

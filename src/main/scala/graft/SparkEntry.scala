@@ -690,6 +690,21 @@ object SparkEntry {
       k = 5, books)
   }
 
+  /** IVF-PQ composed search ([[Similarity.ivfPqTopK]]): cells prune, codes
+    * compress. Both quantizers stashed for the generated oracle. */
+  private val ivfPqParams = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  private def qSimIvfPq(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    ivfPqParams.put(sfDir, (cents, books))
+    lastKmeansSf = Some(sfDir)
+    Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, cents, books, nprobe = 4)
+  }
+
   /** Backward as-of join: each view event picks the user's most recent click
     * at or within the hour before it — one keyed shuffle + ordered sweep,
     * never a per-row lookup join ([[graft.operators.AsOfJoin]]). */
@@ -1081,6 +1096,7 @@ object SparkEntry {
     "sim_ivf" -> (qSimIvf _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "sim_pq" -> (qSimPq _),
+    "sim_ivf_pq" -> (qSimIvfPq _),
     "join_salted" -> (qJoinSalted _),
     "join_asof" -> (qJoinAsof _),
     "join_range" -> (qJoinRange _),
@@ -1113,7 +1129,9 @@ object SparkEntry {
     Oracles.all ++ Option(kmeansCents.get(sfDir))
       .map(c => "sim_ivf_kmeans" -> Oracles.simIvfKmeansSql(c)) ++
       Option(pqBooks.get(sfDir))
-        .map(b => "sim_pq" -> Oracles.simPqSql(b))
+        .map(b => "sim_pq" -> Oracles.simPqSql(b)) ++
+      Option(ivfPqParams.get(sfDir))
+        .map { case (c, b) => "sim_ivf_pq" -> Oracles.simIvfPqSql(c, b) }
 
   /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):
     * uses the dataset [[qSimIvfKmeans]] ran against most recently. */

@@ -429,23 +429,43 @@ object Similarity {
     }
   }
 
-  /** Encode vectors against [[pqCodebooks]]: per subspace, the 0-based id of
-    * the nearest centroid (squared L2; ties to the lowest id via first-match
-    * `array_position`). One shuffle-free codegen'd projection — the write-path
-    * compression pass; persist `(id, codes)` as the searchable corpus.
-    * Emits `(idCol, codes array<int>)`. */
-  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               books: Array[Array[Array[Double]]]): DataFrame = {
+  /** The PQ code array for vector column `v`: per subspace, the 0-based id
+    * of the nearest centroid (squared L2; ties to the lowest id via
+    * first-match `array_position`). */
+  private def pqCodesCol(books: Array[Array[Array[Double]]], v: Column): Column = {
     val dsub = books(0)(0).length
-    val v = asDouble(col(vecCol))
-    val codes = array(books.indices.map { j =>
+    array(books.indices.map { j =>
       val bookLit = typedlit(books(j).map(_.toSeq).toSeq)
       val sub = slice(v, j * dsub + 1, dsub)
       val dists = transform(bookLit, c => sqDist(sub, c))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
-    corpus.select(col(idCol), codes.as("codes"))
   }
+
+  /** A query's ADC distance table: `dt(j)(c)` = exact squared subspace
+    * distance from `v`'s j-th subvector to centroid c of subspace j. */
+  private def pqDistTableCol(books: Array[Array[Array[Double]]], v: Column): Column = {
+    val dsub = books(0)(0).length
+    array(books.indices.map { j =>
+      val bookLit = typedlit(books(j).map(_.toSeq).toSeq)
+      val sub = slice(v, j * dsub + 1, dsub)
+      transform(bookLit, c => sqDist(sub, c))
+    }: _*)
+  }
+
+  /** ADC score from a code array and a distance table: m lookups + adds in
+    * fixed order (every term >= +0.0, so the zero-seeded fold is oracle-
+    * reproducible). */
+  private def adcCol(codes: Column, dt: Column): Column =
+    aggregate(zip_with(codes, dt, (cd, t) => element_at(t, cd + 1)),
+      lit(0.0), _ + _)
+
+  /** Encode vectors against [[pqCodebooks]]: one shuffle-free codegen'd
+    * projection — the write-path compression pass; persist `(id, codes)` as
+    * the searchable corpus. Emits `(idCol, codes array<int>)`. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(idCol), pqCodesCol(books, asDouble(col(vecCol))).as("codes"))
 
   /** Reconstruct the quantized vector (concatenated per-subspace centroids) —
     * the decode side of [[pqEncode]], for re-rank-free consumers and for the
@@ -477,20 +497,50 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int,
              books: Array[Array[Array[Double]]]): DataFrame = {
-    val dsub = books(0)(0).length
     val codes = pqEncode(OpUtil.rebalance(corpus), idCol, vecCol, books)
       .select(col(idCol).as("nid"), col("codes"))
-    val qv = asDouble(col(vecCol))
-    val dt = array(books.indices.map { j =>
-      val bookLit = typedlit(books(j).map(_.toSeq).toSeq)
-      val sub = slice(qv, j * dsub + 1, dsub)
-      transform(bookLit, c => sqDist(sub, c))
-    }: _*)
-    val q = queries.select(col(idCol).as("qid"), dt.as("dt"))
+    val q = queries.select(col(idCol).as("qid"),
+      pqDistTableCol(books, asDouble(col(vecCol))).as("dt"))
     val scored = codes.join(broadcast(q), col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        aggregate(zip_with(col("codes"), col("dt"),
-          (cd, t) => element_at(t, cd + 1)), lit(0.0), _ + _).as("adist"))
+      .select(col("qid"), col("nid"), adcCol(col("codes"), col("dt")).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "adist")
+  }
+
+  /** IVF-PQ — the standard billion-scale ANN split, both halves composed:
+    * the IVF coarse quantizer PRUNES (a query touches only its `nprobe`
+    * nearest cells' rows, sublinear candidate generation) and PQ codes
+    * COMPRESS what those cells store (`m` small codes per vector; scoring
+    * is ADC table lookups, never float math over the corpus). Cell
+    * assignment is the same deterministic cosine rank as the IVF family;
+    * candidates come from a cell equi-join (probes broadcast — no
+    * nested-loop over the corpus), and each corpus vector lives in exactly
+    * one cell, so no dedup pass is needed. With `nprobe = nlist` this
+    * equals [[pqTopK]]'s full ADC sweep bit-for-bit (law unit-pinned);
+    * smaller `nprobe` trades recall for touching `nprobe/nlist` of the
+    * corpus. Emits `(qid, nid, rank, adist)`. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, cents: Array[Array[Double]],
+                books: Array[Array[Array[Double]]], nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+    val cells = assignCells(corpus, idCol, vecCol, cdf)
+    val codes = cells.select(col("nid"), col("cell"),
+      pqCodesCol(books, col("nvec")).as("codes"))
+    // dt computed in the query projection (once per query), then riding the
+    // bounded centroid cross join into the probe rows
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"),
+      pqDistTableCol(books, asDouble(col(vecCol))).as("dt"))
+    val probes = rankCells(q, "qid", "qvec", cdf)
+      .where(col("crank") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"), col("dt"))
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adcCol(col("codes"), col("dt")).as("adist"))
     val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

@@ -660,8 +660,8 @@ class PlanAuditSpec extends SparkTestBase {
     //  - sim_pq: ADC broadcasts the query set with its m×ksub distance
     //    tables (bounded like sim_exact's query broadcast).
     val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
-      "sim_pq", "dedup_semantic", "dedup_semantic_probe", "sample_mix",
-      "text_tfidf", "text_filter", "pipeline_export")
+      "sim_pq", "sim_ivf_pq", "dedup_semantic", "dedup_semantic_probe",
+      "sample_mix", "text_tfidf", "text_filter", "pipeline_export")
     val sfDir = "/root/testdata/sf0.001"
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -776,6 +776,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_kmeans" -> Seq("qid", "nid", "rank", "score"),
     "sim_pq" -> Seq("qid", "nid", "rank", "adist"),
+    "sim_ivf_pq" -> Seq("qid", "nid", "rank", "adist"),
     "sim_lsh" -> Seq("qid", "nid", "rank", "score"),
     "sim_quantize" -> Seq("vec_id", "q_scale", "i", "qi"),
     "sketch_bloom" -> Seq("tok", "maybe_present"),

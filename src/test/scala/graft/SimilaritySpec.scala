@@ -120,6 +120,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(worst < 1e-9, s"ADC vs reconstruction distance diverged by $worst")
   }
 
+  test("IVF-PQ: nprobe = nlist equals the full ADC sweep; pruning keeps in-cluster recall") {
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val queries = emb.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // the law: probing every cell = scanning every code, bit-for-bit
+    val all = rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, cents, books, nprobe = 8))
+    val full = rows(Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5, books))
+    assert(all == full, s"nprobe=nlist diverged from the full sweep: ${all.diff(full)}")
+    // pruned probing still returns k rows per query (candidates non-empty)
+    val pruned = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, cents, books, nprobe = 4)
+    assert(pruned.groupBy("qid").count().collect().forall(_.getLong(1) == 5L))
+  }
+
   test("PQ ADC respects cluster structure: every query's top-1 is from its own cluster") {
     import spark.implicits._
     // 4 well-separated clusters in dim 16 (m=4 subspaces of 4): center c
