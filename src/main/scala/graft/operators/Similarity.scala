@@ -496,9 +496,17 @@ object Similarity {
     * distance, ties to the lower id. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int,
-             books: Array[Array[Array[Double]]]): DataFrame = {
-    val codes = pqEncode(OpUtil.rebalance(corpus), idCol, vecCol, books)
-      .select(col(idCol).as("nid"), col("codes"))
+             books: Array[Array[Array[Double]]]): DataFrame =
+    pqSearchCodes(
+      pqEncode(OpUtil.rebalance(corpus), idCol, vecCol, books)
+        .select(col(idCol).as("nid"), col("codes")),
+      queries, idCol, vecCol, k, books)
+
+  /** ADC search over an ALREADY-ENCODED corpus `(nid, codes)` — the
+    * search-many half of [[buildPqIndex]]. */
+  private def pqSearchCodes(codes: DataFrame, queries: DataFrame, idCol: String,
+                            vecCol: String, k: Int,
+                            books: Array[Array[Array[Double]]]): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       pqDistTableCol(books, asDouble(col(vecCol))).as("dt"))
     val scored = codes.join(broadcast(q), col("nid") =!= col("qid"))
@@ -508,6 +516,50 @@ object Similarity {
       .where(col("rank") <= k)
       .select("qid", "nid", "rank", "adist")
   }
+
+  /** Materialized PQ index — build once at WRITE time, search many times.
+    * Both members are plain DataFrames, so the index persists as ordinary
+    * tables: [[PqIndex.codes]] is the compressed corpus (`m` ints per
+    * vector — the only thing a search scans), [[PqIndex.books]] the tiny
+    * codebook table `(j, c, cvec)` that reloads into literals. */
+  final case class PqIndex(books: DataFrame, codes: DataFrame)
+
+  /** Codebooks as a persistable DataFrame `(j, c, cvec)`. */
+  def pqBooksToDF(spark: org.apache.spark.sql.SparkSession,
+                  books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for { j <- books.indices; c <- books(j).indices }
+      yield (j, c, books(j)(c).toSeq)).toDF("j", "c", "cvec")
+  }
+
+  /** Reload persisted codebooks into the literal form the search plans
+    * splice in. Requires the dense (j, c) grid [[pqBooksToDF]] wrote. */
+  def pqBooksFromDF(books: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = books.select("j", "c", "cvec").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val m = rows.keys.map(_._1).max + 1
+    val ksub = rows.keys.map(_._2).max + 1
+    require(rows.size == m * ksub, s"codebook grid not dense: ${rows.size} != $m*$ksub")
+    Array.tabulate(m, ksub)((j, c) => rows((j, c)))
+  }
+
+  /** Build the [[PqIndex]]: train codebooks, encode the corpus once. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   m: Int = 8, ksub: Int = 16, sampleN: Int = 4096,
+                   iters: Int = 5): PqIndex = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, sampleN, iters)
+    PqIndex(pqBooksToDF(corpus.sparkSession, books),
+      pqEncode(OpUtil.rebalance(corpus), idCol, vecCol, books)
+        .select(col(idCol).as("nid"), col("codes")))
+  }
+
+  /** Search a prebuilt [[PqIndex]]: reload the codebooks, ADC-score the
+    * persisted codes. Equal to the inline [[pqTopK]] (unit-pinned through a
+    * parquet round trip). */
+  def searchPqIndex(index: PqIndex, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame =
+    pqSearchCodes(index.codes, queries, idCol, vecCol, k,
+      pqBooksFromDF(index.books))
 
   /** IVF-PQ — the standard billion-scale ANN split, both halves composed:
     * the IVF coarse quantizer PRUNES (a query touches only its `nprobe`

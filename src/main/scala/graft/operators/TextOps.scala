@@ -129,14 +129,35 @@ object TextOps {
     * runs over the LIMITED result — `maxSize` rows, driver-bounded, which
     * the registry plan sweep recognizes as bounded input. */
   def buildVocab(docs: DataFrame, idCol: String, textCol: String,
-                 maxSize: Int, minCount: Long = 1L): DataFrame = {
-    require(maxSize > 0, "maxSize must be positive")
-    val t = OpUtil.rebalance(docs)
+                 maxSize: Int, minCount: Long = 1L): DataFrame =
+    rankVocab(vocabStats(docs, idCol, textCol), maxSize, minCount)
+
+  /** The UNBOUNDED per-term statistics under [[buildVocab]]: `(term, n_occ,
+    * n_docs)` for every corpus token — the mergeable form. Shard stats built
+    * over doc-disjoint shards merge by [[vocabStatsMerge]] (occurrences sum;
+    * doc frequencies sum BECAUSE the doc sets are disjoint), and ranking the
+    * merged stats equals building on the union (law unit-pinned). Persist
+    * shard stats — NOT ranked shard vocabs: a top-`maxSize` cut before the
+    * merge would lose tail counts that the merged ranking needs. */
+  def vocabStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    OpUtil.rebalance(docs)
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")
-    val top = t.groupBy("term")
+      .groupBy("term")
       .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc")).as("n_docs"))
-      .where(col("n_occ") >= minCount)
+
+  /** Merge doc-disjoint shard [[vocabStats]]: per-term sums. */
+  def vocabStatsMerge(shards: Seq[DataFrame]): DataFrame = {
+    require(shards.nonEmpty, "need at least one shard")
+    shards.reduce(_.unionByName(_)).groupBy("term")
+      .agg(sum("n_occ").as("n_occ"), sum("n_docs").as("n_docs"))
+  }
+
+  /** Rank [[vocabStats]] into the final vocab: top-`maxSize` by
+    * (occurrences desc, term asc) with dense rank-order ids. */
+  def rankVocab(stats: DataFrame, maxSize: Int, minCount: Long = 1L): DataFrame = {
+    require(maxSize > 0, "maxSize must be positive")
+    val top = stats.where(col("n_occ") >= minCount)
       .orderBy(col("n_occ").desc, col("term").asc).limit(maxSize)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_occ").desc, col("term").asc)

@@ -396,6 +396,21 @@ class PlanAuditSpec extends SparkTestBase {
       (2L, 0L, 0L), (2L, 1L, 1L), (3L, 0L, 0L)), enc.toString)
   }
 
+  test("vocab merge law: ranking merged doc-disjoint shard stats == building on the union") {
+    import graft.operators.TextOps
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val merged = TextOps.rankVocab(TextOps.vocabStatsMerge(Seq(
+        TextOps.vocabStats(a, "doc_id", "text"),
+        TextOps.vocabStats(b, "doc_id", "text"))),
+      maxSize = 50, minCount = 2L)
+    val whole = TextOps.buildVocab(docs, "doc_id", "text", maxSize = 50, minCount = 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(merged) == rows(whole))
+  }
+
   test("mixture sampling: limiting source kept whole, mass tracks targets") {
     import graft.operators.Sampling
     // three sources with mass 8000/4000/1000 per doc-count 800/400/100 (10

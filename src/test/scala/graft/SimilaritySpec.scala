@@ -120,6 +120,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(worst < 1e-9, s"ADC vs reconstruction distance diverged by $worst")
   }
 
+  test("materialized PQ index: persisted codes + codebooks answer identically") {
+    val queries = emb.where(col("vec_id") < 10)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val inline = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding")
+    val root = tmpDir("pqidx-")
+    idx.codes.write.parquet(s"$root/codes")
+    idx.books.write.parquet(s"$root/books")
+    val reloaded = Similarity.PqIndex(
+      spark.read.parquet(s"$root/books"), spark.read.parquet(s"$root/codes"))
+    val viaReloaded = Similarity.searchPqIndex(reloaded, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaReloaded == inline)
+  }
+
   test("IVF-PQ: nprobe = nlist equals the full ADC sweep; pruning keeps in-cluster recall") {
     val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8)
