@@ -829,7 +829,10 @@ object Fixtures {
         col("text").cast("binary").as("payload"),
         map(lit("doc_id"), col("doc_id").cast("string")).as("properties"),
         col("doc_id").as("base_timestamp"))
-      val k = in.count() / 2
+      // split at the id MEDIAN, not count/2: sparse or offset doc ids must
+      // still land half the rows in each epoch (two-epoch coverage is the
+      // point of this fixture)
+      val k = in.selectExpr("percentile(doc_id, 0.5)").first().getDouble(0)
       EsLog.create(dir, streamId = 82L)
       EsLog.open(dir, 1L)
       EsLog.append(s, dir, in.where(col("doc_id") < k), 1L,
@@ -871,16 +874,13 @@ object Fixtures {
       // trigger — exactly what the sketch exists to avoid).
       val slots = Sketch.bloomSketch(bGrams, col("g"), m, hashes).persist()
       slots.count()
-      val toks = split(col("payload").cast("string"), " ")
-      val grams = s.readStream.format("eslog")
-        .option("maxOffsetsPerTrigger", perTrigger.toString)
-        .load(src)
-        .select(col("properties")("doc_id").cast("long").as("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), col("toks"),
-          explode(when(size(col("toks")) >= 3, sequence(lit(1), size(col("toks")) - 2))
-            .otherwise(array().cast("array<int>"))).as("i"))
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("toks"), col("i"), lit(3))).as("g"))
+      val grams = OpUtil.explodedShinglesFromTokens(
+        s.readStream.format("eslog")
+          .option("maxOffsetsPerTrigger", perTrigger.toString)
+          .load(src)
+          .select(col("properties")("doc_id").cast("long").as("doc"),
+            split(col("payload").cast("string"), " ").as("toks")), k = 3)
+        .withColumnRenamed("doc", "doc_id")
       val hm = Portable.uhashBase(col("g"))
       val probed = (0 until hashes).foldLeft(
         grams.select(col("doc_id") +: (0 until hashes)

@@ -1014,6 +1014,9 @@ object Oracles {
     * suffix forces the DOUBLE parse path; `Double.toString` round-trips, so
     * the suffix changes only the parse type, never the value. */
   private def doubleLit(v: Double): String = {
+    require(!v.isNaN && !v.isInfinite,
+      s"non-finite value $v cannot be spliced as a SQL double literal " +
+        "(a NaN/Inf here means a quantizer trained on non-finite input)")
     val s = v.toString
     if (s.contains("E") || s.contains("e")) s else s + "e0"
   }
@@ -1035,6 +1038,37 @@ object Oracles {
     ivfSql(s"SELECT * FROM (VALUES\n    $rows) AS t(cid, cvec)")
   }
 
+  // ---- Shared generated-SQL scaffolding for the PQ oracles: ONE copy of
+  // the codebook VALUES, the per-subspace squared-distance lambda (book
+  // vector aliased `bvec`), the codes/distance-table CTE block, and the
+  // explicit left-to-right ADC sum — [[simPqSql]] and [[simIvfPqSql]]
+  // differ only in candidate generation.
+  private def pqBookRows(books: Array[Array[Array[Double]]]): String =
+    (for { j <- books.indices; c <- books(j).indices }
+      yield s"($j, $c, ${doubleArrayLit(books(j)(c))})").mkString(",\n    ")
+
+  private def pqSqSql(dsub: Int)(vec: String): String =
+    s"list_reduce(list_transform(range(1, $dsub + 1), " +
+      s"i -> ($vec[j * $dsub + i] - bvec[i]) * ($vec[j * $dsub + i] - bvec[i])), " +
+      "(acc, x) -> acc + x)"
+
+  private def pqAdcSql(m: Int): String =
+    (1 to m).map(p => s"dt[$p][codes[$p] + 1]").mkString(" + ")
+
+  /** The codes + per-query distance-table CTEs; `src` must expose
+    * `(nid, nvec)` and the enclosing query must define `q(qid, qvec)` and
+    * `book(j, cnum, bvec)`. */
+  private def pqCodeCtes(src: String, dsub: Int): String = {
+    val sq = pqSqSql(dsub) _
+    s"""cd AS (SELECT nid, j, cnum,
+       |         row_number() OVER (PARTITION BY nid, j ORDER BY ${sq("nvec")} ASC, cnum ASC) AS r
+       |       FROM $src, book),
+       |codes AS (SELECT nid, list(cnum ORDER BY j) AS codes FROM cd WHERE r = 1 GROUP BY nid),
+       |dtc AS (SELECT qid, j, cnum, ${sq("qvec")} AS d FROM q, book),
+       |dtj AS (SELECT qid, j, list(d ORDER BY cnum) AS ds FROM dtc GROUP BY qid, j),
+       |dtm AS (SELECT qid, list(ds ORDER BY j) AS dt FROM dtj GROUP BY qid)""".stripMargin
+  }
+
   /** Oracle for PQ asymmetric-distance search: like [[simIvfKmeansSql]], the
     * deterministic codebooks ([[graft.operators.Similarity.pqCodebooks]])
     * are spliced in as a VALUES table AFTER the query runs. Codes = per
@@ -1046,25 +1080,12 @@ object Oracles {
   def simPqSql(books: Array[Array[Array[Double]]]): String = {
     val m = books.length
     val dsub = books(0)(0).length
-    val rows = for { j <- books.indices; c <- books(j).indices } yield
-      s"($j, $c, ${doubleArrayLit(books(j)(c))})"
-    def sq(vec: String) =
-      s"list_reduce(list_transform(range(1, $dsub + 1), " +
-        s"i -> ($vec[j * $dsub + i] - cvec[i]) * ($vec[j * $dsub + i] - cvec[i])), " +
-        "(acc, x) -> acc + x)"
-    val adc = (1 to m).map(p => s"dt[$p][codes[$p] + 1]").mkString(" + ")
     s"""WITH c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
        |book AS (SELECT * FROM (VALUES
-       |    ${rows.mkString(",\n    ")}) AS t(j, cnum, cvec)),
-       |cd AS (SELECT nid, j, cnum,
-       |         row_number() OVER (PARTITION BY nid, j ORDER BY ${sq("nvec")} ASC, cnum ASC) AS r
-       |       FROM c, book),
-       |codes AS (SELECT nid, list(cnum ORDER BY j) AS codes FROM cd WHERE r = 1 GROUP BY nid),
-       |dtc AS (SELECT qid, j, cnum, ${sq("qvec")} AS d FROM q, book),
-       |dtj AS (SELECT qid, j, list(d ORDER BY cnum) AS ds FROM dtc GROUP BY qid, j),
-       |dtm AS (SELECT qid, list(ds ORDER BY j) AS dt FROM dtj GROUP BY qid),
-       |s AS (SELECT qid, nid, $adc AS adist FROM codes, dtm WHERE nid <> qid),
+       |    ${pqBookRows(books)}) AS t(j, cnum, bvec)),
+       |${pqCodeCtes("c", dsub)},
+       |s AS (SELECT qid, nid, ${pqAdcSql(m)} AS adist FROM codes, dtm WHERE nid <> qid),
        |r AS (SELECT qid, nid, adist,
        |        row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rk FROM s)
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, adist FROM r WHERE rk <= 5""".stripMargin
@@ -1080,19 +1101,12 @@ object Oracles {
     val dsub = books(0)(0).length
     val centRows = cents.zipWithIndex.map { case (v, i) =>
       s"(CAST($i AS BIGINT), ${doubleArrayLit(v)})" }.mkString(",\n    ")
-    val bookRows = (for { j <- books.indices; c <- books(j).indices } yield
-      s"($j, $c, ${doubleArrayLit(books(j)(c))})").mkString(",\n    ")
-    def sq(vec: String) =
-      s"list_reduce(list_transform(range(1, $dsub + 1), " +
-        s"i -> ($vec[j * $dsub + i] - bvec[i]) * ($vec[j * $dsub + i] - bvec[i])), " +
-        "(acc, x) -> acc + x)"
-    val adc = (1 to m).map(p => s"dt[$p][codes[$p] + 1]").mkString(" + ")
     s"""WITH c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
        |cent AS (SELECT * FROM (VALUES
        |    $centRows) AS t(cid, cvec)),
        |book AS (SELECT * FROM (VALUES
-       |    $bookRows) AS t2(j, cnum, bvec)),
+       |    ${pqBookRows(books)}) AS t2(j, cnum, bvec)),
        |cellr AS (SELECT nid, nvec, cid,
        |            row_number() OVER (PARTITION BY nid ORDER BY ${cosineSql("nvec", "cvec")} DESC, cid ASC) AS r
        |          FROM c, cent),
@@ -1101,16 +1115,10 @@ object Oracles {
        |         row_number() OVER (PARTITION BY qid ORDER BY ${cosineSql("qvec", "cvec")} DESC, cid ASC) AS r
        |       FROM q, cent),
        |probes AS (SELECT qid, cid AS cell FROM qr WHERE r <= $nprobe),
-       |cd AS (SELECT nid, j, cnum,
-       |         row_number() OVER (PARTITION BY nid, j ORDER BY ${sq("nvec")} ASC, cnum ASC) AS r
-       |       FROM cells, book),
-       |codes AS (SELECT nid, list(cnum ORDER BY j) AS codes FROM cd WHERE r = 1 GROUP BY nid),
-       |dtc AS (SELECT qid, j, cnum, ${sq("qvec")} AS d FROM q, book),
-       |dtj AS (SELECT qid, j, list(d ORDER BY cnum) AS ds FROM dtc GROUP BY qid, j),
-       |dtm AS (SELECT qid, list(ds ORDER BY j) AS dt FROM dtj GROUP BY qid),
+       |${pqCodeCtes("cells", dsub)},
        |cand AS (SELECT p.qid, cl.nid FROM cells cl JOIN probes p USING (cell)
        |         WHERE cl.nid <> p.qid),
-       |s AS (SELECT cand.qid, cand.nid, $adc AS adist
+       |s AS (SELECT cand.qid, cand.nid, ${pqAdcSql(m)} AS adist
        |      FROM cand JOIN codes ON cand.nid = codes.nid JOIN dtm ON cand.qid = dtm.qid),
        |r AS (SELECT qid, nid, adist,
        |        row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rk FROM s)

@@ -685,7 +685,10 @@ object SparkEntry {
     val emb = Fixtures.embeddings(s, sfDir)
     val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
     pqBooks.put(sfDir, books)
-    lastKmeansSf = Some(sfDir)
+    // deliberately does NOT touch lastKmeansSf: sim_pq runs in Bench's heads,
+    // and a bench at another SF between a verify's queries and its no-arg
+    // oracleSql dump must not swap which dataset that dump keys on (the
+    // per-sfDir stash itself is immune; only the no-arg key is at stake)
     Similarity.pqTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, books)
   }
@@ -700,7 +703,7 @@ object SparkEntry {
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 16)
     val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
     ivfPqParams.put(sfDir, (cents, books))
-    lastKmeansSf = Some(sfDir)
+    // no lastKmeansSf write — same bench-interleaving reasoning as qSimPq
     Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, cents, books, nprobe = 4)
   }
@@ -1134,7 +1137,11 @@ object SparkEntry {
         .map { case (c, b) => "sim_ivf_pq" -> Oracles.simIvfPqSql(c, b) }
 
   /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):
-    * uses the dataset [[qSimIvfKmeans]] ran against most recently. */
+    * keys on the dataset [[qSimIvfKmeans]] ran against most recently —
+    * deliberately ONLY that query (not the PQ stashes, whose queries run in
+    * Bench heads): in any full verify all data-dependent queries run at the
+    * same sfDir, so that one key selects every stash, while a bench at a
+    * different SF in the same JVM cannot move it. */
   def oracleSql: Map[String, String] =
     lastKmeansSf.map(oracleSqlFor).getOrElse(Oracles.all)
 }

@@ -15,13 +15,22 @@ private[graft] object OpUtil {
   def explodedWordShingles(docs: DataFrame, idCol: String, textCol: String,
                            k: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val toks = split(col(textCol), " ")
+    explodedShinglesFromTokens(
+      rebalance(docs).select(col(idCol).as("doc"),
+        split(col(textCol), " ").as("toks")), k)
+  }
+
+  /** The shingle construction itself, over a pre-projected `(doc, toks)`
+    * frame — the ONE place the k-gram semantics live. Stream-safe (no
+    * [[rebalance]], whose `df.rdd` probe a streaming frame forbids), so the
+    * streaming screening fixtures share it instead of re-deriving the
+    * explode chain. */
+  def explodedShinglesFromTokens(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
     val idx = when(size(col("toks")) >= k,
       sequence(lit(1), size(col("toks")) - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    rebalance(docs)
-      .select(col(idCol).as("doc"), toks.as("toks"))
-      .select(col("doc"), col("toks"), explode(idx).as("i"))
+    docs.select(col("doc"), col("toks"), explode(idx).as("i"))
       .select(col("doc"), concat_ws(" ", slice(col("toks"), col("i"), lit(k))).as("g"))
   }
 

@@ -31,7 +31,9 @@ object Sampling {
     * corpus, so a document can never leak from train into an eval split
     * because a pipeline re-run dealt different cards. A fresh `seed` is a
     * fresh independent partition. One codegen'd projection — no shuffle, no
-    * sampling pass, no global count. Adds a `split` column. */
+    * sampling pass, no global count. Adds a `split` column. A NULL id gets a
+    * NULL split (the hash is null, so every bucket test is unknown) — never
+    * a silent assignment to some bucket; filter or fix null ids upstream. */
   def splitByHash(df: DataFrame, idCol: String,
                   splits: Seq[(String, Int)], seed: Int = 0): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
@@ -40,7 +42,9 @@ object Sampling {
       s"split permille weights must sum to 1000 (got ${splits.map(_._2).sum})")
     val p = Portable.hash60(seed, col(idCol).cast("string")) % 1000
     val bounds = splits.scanLeft(0)(_ + _._2).tail
-    val label = splits.zip(bounds).init.foldRight(lit(splits.last._1)) {
+    // every branch is a strict `when` (the last tests p < 1000, always true
+    // for a real hash): a null id matches no branch and yields NULL
+    val label = splits.zip(bounds).foldRight(lit(null).cast("string"): Column) {
       case (((name, _), hi), rest) => when(p < hi, lit(name)).otherwise(rest)
     }
     df.withColumn("split", label)

@@ -375,6 +375,13 @@ class PlanAuditSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sampling.splitByHash(docs, "doc_id", Seq("a" -> 900, "b" -> 90))
     }
+    // a NULL id gets a NULL split — never a silent landing in some bucket
+    import spark.implicits._
+    val withNull = Sampling.splitByHash(
+        Seq(Option(1L), Option.empty[Long]).toDF("doc_id"), "doc_id", splits)
+      .collect().map(r => (r.isNullAt(0), Option(r.getString(1)))).toMap
+    assert(withNull(true).isEmpty, withNull.toString)
+    assert(withNull(false).nonEmpty, withNull.toString)
   }
 
   test("vocab build + encode: rank ids, minCount, positions, OOV dropped") {
