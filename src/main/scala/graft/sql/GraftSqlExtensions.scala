@@ -183,10 +183,15 @@ object GraftFunctions {
   val table: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("graft_scan"),
-      info("graft_scan", "graft_scan('dir') - full committed scan of an eslog stream"),
-      (args: Seq[Expression]) => { arity("graft_scan", args, 1)
+      info("graft_scan",
+        "graft_scan('dir'[, version]) - committed scan of an eslog stream; " +
+          "with a version, the snapshot at that commit (time travel — " +
+          "versions from graft_history)"),
+      (args: Seq[Expression]) => { arity("graft_scan", args, 1, 2)
         val dir = literalString(args(0), "graft_scan", "dir")
-        GraftShims.analyzedPlan(EsLog.scan(active(), dir)) }),
+        if (args.size == 1) GraftShims.analyzedPlan(EsLog.scan(active(), dir))
+        else GraftShims.analyzedPlan(EsLog.scanAt(active(), dir,
+          literalLong(args(1), "graft_scan", "version"))) }),
     (FunctionIdentifier("graft_fetch"),
       info("graft_fetch",
         "graft_fetch('dir', start, end) - record batches overlapping [start, end)"),
@@ -233,6 +238,28 @@ object GraftFunctions {
           ("start_offset", st.startOffset), ("next_offset", st.nextOffset),
           ("replica", st.replica), ("ack_count", st.ackCount),
           ("retention_ms", st.retentionMs), ("deleted", st.deleted))) }),
+    (FunctionIdentifier("graft_alter_stream"),
+      info("graft_alter_stream",
+        "graft_alter_stream('root', 'name', replica, ack_count, retention_ms) - " +
+          "UPDATE_STREAM: pass -1 to leave a field unchanged; returns the new metadata row"),
+      (args: Seq[Expression]) => { arity("graft_alter_stream", args, 5)
+        val root = literalString(args(0), "graft_alter_stream", "root")
+        val name = literalString(args(1), "graft_alter_stream", "name")
+        def opt(i: Int, field: String): Option[Long] = {
+          val v = literalLong(args(i), "graft_alter_stream", field)
+          if (v == -1L) None else Some(v)
+        }
+        val cat = new graft.eslog.EsCatalog(root)
+        val id = cat.getStream(name).getOrElse(
+          throw new IllegalArgumentException(s"no stream '$name' under $root"))
+        val dir = cat.streamDir(name)
+        EsLog.update(dir,
+          replica = opt(2, "replica").map(_.toInt),
+          ackCount = opt(3, "ack_count").map(_.toInt),
+          retentionMs = opt(4, "retention_ms"))
+        val st = EsLog.describe(dir)
+        localRow(Seq(("name", name), ("stream_id", id), ("replica", st.replica),
+          ("ack_count", st.ackCount), ("retention_ms", st.retentionMs))) }),
     (FunctionIdentifier("graft_list_streams"),
       info("graft_list_streams",
         "graft_list_streams('root') - registered streams with live metadata"),

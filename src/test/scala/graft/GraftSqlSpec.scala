@@ -165,6 +165,18 @@ class GraftSqlSpec extends SparkTestBase {
     val hist = spark.sql(s"SELECT count(*) AS n FROM graft_history('$dir')").collect()
     assert(hist.head.getLong(0) >= 3) // create + open + append
 
+    // time travel from SQL: scan the snapshot BEFORE a second append
+    val v = spark.sql(s"SELECT max(version) FROM graft_history('$dir')")
+      .collect().head.getLong(0)
+    EsLog.append(spark, dir, spark.range(50).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload")), 1L,
+      sortKey = Some("id"), numPartitions = 2)
+    assert(spark.sql(s"SELECT count(*) FROM graft_scan('$dir')")
+      .collect().head.getLong(0) == 350)
+    assert(spark.sql(s"SELECT count(*) FROM graft_scan('$dir', $v)")
+      .collect().head.getLong(0) == 300,
+      "versioned graft_scan must read the pre-append snapshot")
+
     EsLog.delete(dir)
   }
 
@@ -241,6 +253,20 @@ class GraftSqlSpec extends SparkTestBase {
       assert(spark.sql(s"SELECT count(*) FROM graft_fetch('$dir', 150, 155) " +
         "WHERE base_timestamp >= 7").collect().head.getLong(0) == 5,
         "column-list INSERT must map the second column to base_timestamp")
+      // ALTER (UPDATE_STREAM) from SQL: -1 leaves a field unchanged
+      val alt = spark.sql(s"SELECT * FROM graft_alter_stream('$root', 'sql1', " +
+        "3, 2, 86400000)").collect().head
+      assert(alt.getAs[Int]("replica") == 3 && alt.getAs[Int]("ack_count") == 2
+        && alt.getAs[Long]("retention_ms") == 86400000L, alt.toString)
+      val alt2 = spark.sql(s"SELECT * FROM graft_alter_stream('$root', 'sql1', " +
+        "-1, -1, 1000)").collect().head
+      assert(alt2.getAs[Int]("replica") == 3 && alt2.getAs[Long]("retention_ms") == 1000L,
+        s"-1 must leave replica/ack unchanged: $alt2")
+      val dAlt = spark.sql(s"SELECT * FROM graft_describe_stream('$root', 'sql1')")
+        .collect().head
+      assert(dAlt.getAs[Int]("replica") == 3 && dAlt.getAs[Long]("retention_ms") == 1000L,
+        dAlt.toString)
+
       // a case-DIFFERING writable column is delivered, never silently
       // clobbered with its default (normalize's presence check is
       // case-insensitive, like Spark's own resolution)
