@@ -855,7 +855,11 @@ object Fixtures {
     * per-doc distinct would be a second stateful aggregation, which
     * Structured Streaming does not chain). The flagged DOC SET is exactly
     * `decontaminate_bloom`'s (present iff any gram hits; unit-pinned).
-    * State: one count per flagged doc. Complete-mode memory table. */
+    * The count is keyed by (event-time window, doc), with the watermark
+    * declared — in deployment closed windows evict, so in-flight state is
+    * bounded by the watermark horizon, not the stream's lifetime (each doc
+    * row lands in one window; the verdict itself is batch-local). Complete-
+    * mode memory table, like every streaming fixture here. */
   def streamDecontaminateTable(s: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(s"$sfDir#stream-decon", {
       import org.apache.spark.sql.streaming.Trigger
@@ -878,17 +882,21 @@ object Fixtures {
         s.readStream.format("eslog")
           .option("maxOffsetsPerTrigger", perTrigger.toString)
           .load(src)
+          .withColumn("ts", timestamp_millis(col("base_timestamp")))
+          .withWatermark("ts", "1 hour")
           .select(col("properties")("doc_id").cast("long").as("doc"),
-            split(col("payload").cast("string"), " ").as("toks")), k = 3)
+            split(col("payload").cast("string"), " ").as("toks"), col("ts")), k = 3)
         .withColumnRenamed("doc", "doc_id")
       val hm = Portable.uhashBase(col("g"))
       val probed = (0 until hashes).foldLeft(
-        grams.select(col("doc_id") +: (0 until hashes)
+        grams.select(col("doc_id") +: col("ts") +: (0 until hashes)
           .map(i => (Portable.uhash(i, hm) % m).as(s"_s$i")): _*)) { (df, i) =>
         df.join(broadcast(slots.select(col("slot").as(s"_slot$i"))),
           df(s"_s$i") === col(s"_slot$i"), "left_semi")
       }
-      val q = probed.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      val q = probed.groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"))
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())

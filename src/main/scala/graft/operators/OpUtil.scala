@@ -20,18 +20,20 @@ private[graft] object OpUtil {
         split(col(textCol), " ").as("toks")), k)
   }
 
-  /** The shingle construction itself, over a pre-projected `(doc, toks)`
-    * frame — the ONE place the k-gram semantics live. Stream-safe (no
-    * [[rebalance]], whose `df.rdd` probe a streaming frame forbids), so the
-    * streaming screening fixtures share it instead of re-deriving the
-    * explode chain. */
+  /** The shingle construction itself, over a frame carrying a `toks` token
+    * array — the ONE place the k-gram semantics live. Every other column
+    * rides through (e.g. a streaming event-time column); `toks` is replaced
+    * by the exploded gram `g`. Stream-safe (no [[rebalance]], whose
+    * `df.rdd` probe a streaming frame forbids), so the streaming screening
+    * fixtures share it instead of re-deriving the explode chain. */
   def explodedShinglesFromTokens(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val idx = when(size(col("toks")) >= k,
       sequence(lit(1), size(col("toks")) - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    docs.select(col("doc"), col("toks"), explode(idx).as("i"))
-      .select(col("doc"), concat_ws(" ", slice(col("toks"), col("i"), lit(k))).as("g"))
+    val keep = docs.columns.filterNot(_ == "toks").map(col).toIndexedSeq
+    docs.select(keep :+ col("toks") :+ explode(idx).as("i"): _*)
+      .select(keep :+ concat_ws(" ", slice(col("toks"), col("i"), lit(k))).as("g"): _*)
   }
 
   /** Materialize-once sharing for a frame consumed by several plan subtrees
