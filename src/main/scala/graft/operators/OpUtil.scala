@@ -28,6 +28,11 @@ private[graft] object OpUtil {
     * fixtures share it instead of re-deriving the explode chain. */
   def explodedShinglesFromTokens(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.functions._
+    // `g` (the output gram) and `i` (the explode alias) are reserved: a
+    // pass-through column with either name would become an ambiguous
+    // reference downstream — reject loudly instead
+    require(!docs.columns.exists(c => c == "g" || c == "i"),
+      s"input must not carry reserved columns 'g'/'i': ${docs.columns.mkString(",")}")
     val idx = when(size(col("toks")) >= k,
       sequence(lit(1), size(col("toks")) - (k - 1)))
       .otherwise(array().cast("array<int>"))

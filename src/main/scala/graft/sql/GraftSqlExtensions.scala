@@ -37,7 +37,9 @@ import graft.operators.Similarity
   *
   * Table functions (FROM-clause access to eslog streams — the SQL analogue
   * of the reference's FETCH/LIST_RANGE client calls):
-  *  - `graft_scan('dir')`             — full committed scan
+  *  - `graft_scan('dir'[, version])`  — full committed scan; with a
+  *    version, the snapshot at that commit (time travel — snapshot ids
+  *    from `graft_history`)
   *  - `graft_fetch('dir', lo, hi)`    — record batches with
   *    `base_offset + last_offset_delta > lo AND base_offset < hi`
   *    (straddle semantics, manifest-pruned before planning)
@@ -55,6 +57,10 @@ import graft.operators.Similarity
   *    `CREATE TABLE t USING eslog OPTIONS (path '<root>/streams/<name>')
   *    AS SELECT ...` or `df.write.format("eslog")`.
   *  - `graft_drop_stream('root', 'name')`     — idempotent; (name, dropped)
+  *  - `graft_alter_stream('root', 'name', replica, ack_count,
+  *    retention_ms)` — UPDATE_STREAM; NULL leaves a field unchanged
+  *    (`-1` stays retention's explicit "unlimited"); commits only an
+  *    EFFECTIVE change, so a no-op or re-resolved alter appends nothing
   *  - `graft_describe_stream('root', 'name')` — metadata row
   *  - `graft_list_streams('root')`            — LIST_RESOURCE over streams
   *  - `graft_catalog_scan('root')`            — every stream, ONE relation
@@ -241,23 +247,34 @@ object GraftFunctions {
     (FunctionIdentifier("graft_alter_stream"),
       info("graft_alter_stream",
         "graft_alter_stream('root', 'name', replica, ack_count, retention_ms) - " +
-          "UPDATE_STREAM: pass -1 to leave a field unchanged; returns the new metadata row"),
+          "UPDATE_STREAM: pass NULL to leave a field unchanged (retention_ms -1 = " +
+          "unlimited); returns the new metadata row"),
       (args: Seq[Expression]) => { arity("graft_alter_stream", args, 5)
         val root = literalString(args(0), "graft_alter_stream", "root")
         val name = literalString(args(1), "graft_alter_stream", "name")
-        def opt(i: Int, field: String): Option[Long] = {
-          val v = literalLong(args(i), "graft_alter_stream", field)
-          if (v == -1L) None else Some(v)
-        }
+        // NULL = leave unchanged — NOT -1, which must stay available as
+        // retention's explicit "unlimited" (the create-time default)
+        def isNull(e: Expression): Boolean = e.foldable && e.eval(null) == null
+        def optInt(i: Int, field: String): Option[Int] =
+          if (isNull(args(i))) None
+          else Some(literalInt(args(i), "graft_alter_stream", field))
         val cat = new graft.eslog.EsCatalog(root)
         val id = cat.getStream(name).getOrElse(
           throw new IllegalArgumentException(s"no stream '$name' under $root"))
         val dir = cat.streamDir(name)
-        EsLog.update(dir,
-          replica = opt(2, "replica").map(_.toInt),
-          ackCount = opt(3, "ack_count").map(_.toInt),
-          retentionMs = opt(4, "retention_ms"))
-        val st = EsLog.describe(dir)
+        val replicaO = optInt(2, "replica")
+        val ackO = optInt(3, "ack_count")
+        val retO = if (isNull(args(4))) None
+          else Some(literalLong(args(4), "graft_alter_stream", "retention_ms"))
+        // Idempotence contract (see class doc: analysis may resolve a
+        // statement more than once): commit ONLY an effective change. A
+        // no-op alter — all NULLs, or values the stream already has —
+        // appends nothing and cannot shift the snapshot ids graft_history
+        // exposes; a re-resolved alter sees its own result and skips.
+        val st0 = EsLog.describe(dir)
+        val changed = replicaO.exists(_ != st0.replica) ||
+          ackO.exists(_ != st0.ackCount) || retO.exists(_ != st0.retentionMs)
+        val st = if (changed) EsLog.update(dir, replicaO, ackO, retO) else st0
         localRow(Seq(("name", name), ("stream_id", id), ("replica", st.replica),
           ("ack_count", st.ackCount), ("retention_ms", st.retentionMs))) }),
     (FunctionIdentifier("graft_list_streams"),

@@ -253,18 +253,40 @@ class GraftSqlSpec extends SparkTestBase {
       assert(spark.sql(s"SELECT count(*) FROM graft_fetch('$dir', 150, 155) " +
         "WHERE base_timestamp >= 7").collect().head.getLong(0) == 5,
         "column-list INSERT must map the second column to base_timestamp")
-      // ALTER (UPDATE_STREAM) from SQL: -1 leaves a field unchanged
+      // ALTER (UPDATE_STREAM) from SQL: NULL leaves a field unchanged
       val alt = spark.sql(s"SELECT * FROM graft_alter_stream('$root', 'sql1', " +
         "3, 2, 86400000)").collect().head
       assert(alt.getAs[Int]("replica") == 3 && alt.getAs[Int]("ack_count") == 2
         && alt.getAs[Long]("retention_ms") == 86400000L, alt.toString)
       val alt2 = spark.sql(s"SELECT * FROM graft_alter_stream('$root', 'sql1', " +
-        "-1, -1, 1000)").collect().head
+        "NULL, NULL, 1000)").collect().head
       assert(alt2.getAs[Int]("replica") == 3 && alt2.getAs[Long]("retention_ms") == 1000L,
-        s"-1 must leave replica/ack unchanged: $alt2")
+        s"NULL must leave replica/ack unchanged: $alt2")
+      // -1 stays retention's explicit "unlimited" (restorable from SQL)
+      val alt3 = spark.sql(s"SELECT * FROM graft_alter_stream('$root', 'sql1', " +
+        "NULL, NULL, -1)").collect().head
+      assert(alt3.getAs[Long]("retention_ms") == -1L, alt3.toString)
+      // a NO-OP alter commits nothing: snapshot ids must not shift
+      val vBefore = spark.sql(s"SELECT max(version) FROM graft_history('$dir')")
+        .collect().head.getLong(0)
+      spark.sql(s"SELECT * FROM graft_alter_stream('$root', 'sql1', " +
+        "NULL, NULL, NULL)").collect()
+      spark.sql(s"SELECT * FROM graft_alter_stream('$root', 'sql1', " +
+        "3, 2, -1)").collect() // values already in effect — also a no-op
+      assert(spark.sql(s"SELECT max(version) FROM graft_history('$dir')")
+        .collect().head.getLong(0) == vBefore,
+        "no-op alters must not append metadata-log commits")
+      // an out-of-Int-range replica fails analysis instead of wrapping
+      val eOv = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_alter_stream('$root', 'sql1', " +
+          "4294967296, NULL, NULL)").collect()
+      }
+      assert(Option(eOv.getMessage).exists(m =>
+          m.contains("overflow") || m.contains("literal integer")),
+        eOv.toString)
       val dAlt = spark.sql(s"SELECT * FROM graft_describe_stream('$root', 'sql1')")
         .collect().head
-      assert(dAlt.getAs[Int]("replica") == 3 && dAlt.getAs[Long]("retention_ms") == 1000L,
+      assert(dAlt.getAs[Int]("replica") == 3 && dAlt.getAs[Long]("retention_ms") == -1L,
         dAlt.toString)
 
       // a case-DIFFERING writable column is delivered, never silently
