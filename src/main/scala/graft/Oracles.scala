@@ -606,6 +606,35 @@ object Oracles {
        |  CAST(tot.n_lines - coalesce(reb.n_kept, 0) AS BIGINT) AS n_dropped
        |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id""".stripMargin
 
+  /** Duplicated-span removal twin: window hashes, cross-doc df, the same
+    * cumulative-max interval merge, anti-join cut, ordered reassembly. */
+  private val dedupSpans = {
+    val K = 8
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (SELECT doc_id, unnest(range(0, greatest(len(toks) - $K + 1, 0))) AS p, toks FROM t),
+       |wh AS (SELECT doc_id, p,
+       |         ${H.hash60Sql(s"array_to_string(list_slice(toks, p + 1, p + $K), ' ')")} AS hm
+       |       FROM w),
+       |dup AS (SELECT hm FROM (SELECT hm, count(DISTINCT doc_id) AS df FROM wh GROUP BY 1)
+       |        WHERE df >= 2),
+       |mk AS (SELECT doc_id, p FROM wh WHERE hm IN (SELECT hm FROM dup)),
+       |m AS (SELECT doc_id, p, CASE WHEN p >= coalesce(max(p + $K) OVER
+       |        (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |        -1) THEN 1 ELSE 0 END AS newgrp FROM mk),
+       |g AS (SELECT doc_id, p, sum(newgrp) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM m),
+       |spans AS (SELECT doc_id, min(p) AS lo, max(p) + $K AS hi FROM g GROUP BY doc_id, grp),
+       |tok AS (SELECT doc_id, unnest(toks) AS tokv,
+       |          generate_subscripts(toks, 1) - 1 AS pos FROM t),
+       |kept AS (SELECT tok.doc_id, tok.pos, tok.tokv FROM tok ANTI JOIN spans
+       |         ON tok.doc_id = spans.doc_id AND tok.pos >= spans.lo AND tok.pos < spans.hi),
+       |re AS (SELECT doc_id, string_agg(tokv, ' ' ORDER BY pos) AS text_dedup,
+       |         CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+       |SELECT t.doc_id, coalesce(re.text_dedup, '') AS text_dedup,
+       |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.toks) - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM t LEFT JOIN re ON t.doc_id = re.doc_id""".stripMargin
+  }
+
   /** Bloom-decontamination twin: whole benchmark gram set as a slot table,
     * per (doc, gram) probe, docs with any hit. Bit-exact hashes make the
     * `maybe_present` verdicts — false positives included — identical on
@@ -1449,6 +1478,7 @@ object Oracles {
     "es_stream_decontaminate" -> esStreamDecontaminate,
     "decontaminate_report" -> decontaminateReport,
     "dedup_lines" -> dedupLines,
+    "dedup_spans" -> dedupSpans,
     "sample_hash" -> sampleHash,
     "sample_weighted" -> sampleWeighted,
     "sample_split" -> sampleSplit,

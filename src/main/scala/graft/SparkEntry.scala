@@ -427,6 +427,12 @@ object SparkEntry {
     graft.operators.Dedup.decontaminateBloom(docs, bench, "doc_id", "text", k = 3)
   }
 
+  /** Exact duplicated-span removal ([[graft.operators.Dedup.dedupSpans]]):
+    * cross-doc duplicated 8-token runs cut at any offset, overlapping
+    * windows merged to maximal spans, survivors reassembled in order. */
+  private def qDedupSpans(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.dedupSpans(Fixtures.documents(s, sfDir), "doc_id", "text", k = 8)
+
   /** Per-doc contamination report ([[graft.operators.Dedup.decontaminateReport]])
     * — same bench split as [[qDecontaminate]], but every doc reports its
     * distinct-gram count, benchmark-shared count, and integer permille
@@ -1072,6 +1078,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (qDecontaminateBloom _),
     "decontaminate_report" -> (qDecontaminateReport _),
     "dedup_lines" -> (qDedupLines _),
+    "dedup_spans" -> (qDedupSpans _),
     "sample_hash" -> (qSampleHash _),
     "sample_weighted" -> (qSampleWeighted _),
     "sample_split" -> (qSampleSplit _),

@@ -486,6 +486,71 @@ object Dedup {
     dedupSegmentsReport(segs, idCol, "pos", "line", sep, minDf, minLen)
   }
 
+  /** Exact duplicated-SPAN removal — the token-window form of the
+    * exact-substring dedup step (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better") that [[dedupLines]]'s fixed
+    * segmentation cannot express: a duplicated run is found WHEREVER it
+    * starts, not only on line boundaries. Every k-token window occurring in
+    * `>= minDf` DISTINCT documents marks its token range; per doc,
+    * overlapping ranges merge into maximal spans (so a duplicated run of
+    * any length >= k is cut exactly once, not window-by-window) and the
+    * surviving tokens reassemble in order. In-doc repeats alone don't
+    * trigger removal (df counts distinct docs, matching [[dedupSegments]]);
+    * docs shorter than k tokens pass through untouched. Emits
+    * `(idCol, text_dedup, n_tokens, n_removed)` for EVERY input doc.
+    *
+    * Plan at corpus scale: windows explode to one row per token position
+    * with an 8-byte hash (never the gram text) — one hash aggregate for
+    * the df, an equi-join back, then the interval merge is a per-doc
+    * window (cumulative max of span ends) and the reassembly one keyed
+    * aggregate; the corpus never joins itself. Deterministic end to end —
+    * integer positions, portable hashes — so the SQL oracle reproduces
+    * every removed span bit-for-bit. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int = 8,
+                 minDf: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be positive (got $k)")
+    require(minDf >= 2, s"minDf >= 2 required (got $minDf): df 1 would drop every window")
+    val toks = OpUtil.shared(OpUtil.rebalance(docs).select(col(idCol).as("doc"),
+      split(coalesce(col(textCol), lit("")), " ").as("toks")))
+    // every k-window start position, hashed (8-byte shuffle keys)
+    val wins = OpUtil.shared(toks
+      .select(col("doc"), col("toks"),
+        explode(when(size(col("toks")) >= k, sequence(lit(0), size(col("toks")) - k))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc"), col("p"),
+        Portable.hash60(concat_ws(" ",
+          slice(col("toks"), col("p") + 1, lit(k)))).as("_hm")))
+    val dup = wins.select(col("_hm"), col("doc")).distinct()
+      .groupBy("_hm").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf).select(col("_hm").as("_duphm"))
+    val marked = wins.join(dup, wins("_hm") === dup("_duphm"), "left_semi")
+      .select(col("doc"), col("p"))
+    // merge overlapping [p, p+k) ranges: a window starts a NEW span iff it
+    // begins at or after the running max end of all earlier windows
+    val ordered = Window.partitionBy("doc").orderBy("p")
+    val prevEnd = max(col("p") + k).over(
+      ordered.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = marked
+      .withColumn("_new", when(col("p") >= coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("_grp", sum(col("_new")).over(ordered))
+      .groupBy(col("doc"), col("_grp"))
+      .agg(min("p").as("lo"), (max("p") + k).as("hi"))
+    // cut the spans: anti-join token positions against their doc's spans
+    val tok = toks.select(col("doc"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tok.join(spans,
+      tok("doc") === spans("doc") && col("pos") >= col("lo") && col("pos") < col("hi"),
+      "left_anti")
+    val rebuilt = reassembleSegments(kept, "doc", "pos", "tok", " ")
+    toks.select(col("doc"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Per-document contamination REPORT — the thresholdable variant of
     * [[decontaminate]]'s any-hit filter: for EVERY corpus doc, its distinct
     * (df-capped) k-gram count, how many of those grams the benchmark set

@@ -209,6 +209,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("span dedup: windows merge to maximal spans, in-doc repeats survive, short docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u"),            // shares run "p q r s t" with doc 2
+      (2L, "z1 p q r s t z2"),
+      (3L, "m m m m"),                // in-doc repeat only: df counts DISTINCT docs
+      (4L, "aa bb"),                  // shorter than k: untouched
+      (5L, "p q r s t gap h i j"),    // TWO disjoint shared runs -> two spans
+      (6L, "h i j zz p q r s t")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: windows 0,1,2 duplicated -> span [0,5) -> "u" survives
+    assert(got(1L) == (("u", 6L, 5L)), got(1L).toString)
+    // doc 2: windows 1,2,3 -> span [1,6) -> "z1 z2"
+    assert(got(2L) == (("z1 z2", 7L, 5L)), got(2L).toString)
+    assert(got(3L) == (("m m m m", 4L, 0L)), got(3L).toString)
+    assert(got(4L) == (("aa bb", 2L, 0L)), got(4L).toString)
+    // doc 5: spans [0,5) and [6,9) stay separate (6 >= 5: no overlap) -> "gap"
+    assert(got(5L) == (("gap", 9L, 8L)), got(5L).toString)
+    // doc 6: "h i j" at 0 and "p q r s t" at 4 -> spans [0,3) + [4,9) -> "zz"
+    assert(got(6L) == (("zz", 9L, 8L)), got(6L).toString)
+    // df aggregate + semi-join + window + anti-join: equi-only plan
+    val p = plan(Dedup.dedupSpans(docs, "doc_id", "text", k = 3))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("contamination report: every doc reports, agrees with the any-hit filter") {
     import spark.implicits._
     val corpus = Seq(
@@ -724,6 +751,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_decontaminate" -> Seq("doc_id", "n_hits"),
     "decontaminate_report" -> Seq("doc_id", "n_grams", "n_shared", "permille"),
     "dedup_lines" -> Seq("doc_id", "text_dedup", "n_lines", "n_dropped"),
+    "dedup_spans" -> Seq("doc_id", "text_dedup", "n_tokens", "n_removed"),
     "text_normalize" -> Seq("doc_id", "text_norm"),
     "dedup_clusters" -> Seq("doc_id", "cluster_id"),
     "dedup_cluster_best" -> Seq("cluster_id", "rep_id", "rep_score"),
