@@ -54,15 +54,30 @@ object Fixtures {
     }
   }
 
-  /** Session settings every query needs: events.ts is INT64-nanos parquet —
-    * read it as a plain long (portable, timezone-free). */
+  /** Session settings every query needs: an INT64-nanos `events.ts` should
+    * read as a plain long (portable, timezone-free), and timestamp math must
+    * be UTC so a TIMESTAMP_NTZ `ts` normalizes identically everywhere. */
   def tune(s: SparkSession): Unit = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  /** The events table with `ts` ALWAYS a BIGINT of epoch nanos. The driver
+    * has shipped two physical encodings of this column across rounds —
+    * INT64 TIMESTAMP(NANOS) (read as long via `nanosAsLong`) and
+    * timestamp[us] (read as TIMESTAMP_NTZ) — so the fixture normalizes at
+    * the boundary and every downstream `ts div 1000000` (epoch ms) keeps
+    * working unchanged. The DuckDB oracle reads the same parquet natively
+    * as TIMESTAMP and uses `epoch_ms(ts)`; micros*1000 here floors to the
+    * identical millisecond. */
   def events(s: SparkSession, sfDir: String): DataFrame = {
     tune(s)
-    s.read.parquet(s"$sfDir/events.parquet")
+    val df = s.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
   }
 
   def documents(s: SparkSession, sfDir: String): DataFrame = {
@@ -840,6 +855,41 @@ object Fixtures {
       EsLog.open(dir, 2L)
       EsLog.append(s, dir, in.where(col("doc_id") >= k), 2L,
         sortKey = Some("doc_id"), numPartitions = 4)
+    }
+
+  /** A stream appended in SCRAMBLED time order — `(event_id * 48271) % n` is
+    * a permutation of 0..n-1 (48271 is coprime to any n without it as a
+    * factor; fixture requires it), so `base_offset = skey` exactly and the
+    * oracle predicts offsets with pure arithmetic, while consecutive offsets
+    * carry wildly non-consecutive timestamps: the "late/out-of-order data
+    * destroyed time locality" layout. Then layout-aware compaction rewrites
+    * it clustered by `Layout.zValue(hour, event-type hash)` with small row
+    * groups — [[graft.eslog.EsLog.compact]]'s OPTIMIZE..ZORDER path. Offsets
+    * and rows are unchanged (what the oracle row proves); the row-group
+    * skip win is pinned in EsLogSpec. */
+  def zorderStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "zorder") { dir =>
+      val ev = events(s, sfDir)
+      val n = ev.count()
+      require(n % 48271L != 0, s"48271 divides event count $n")
+      val in = ev.select(
+        ((col("event_id") * 48271L) % n).as("skey"),
+        col("props").cast("binary").as("payload"),
+        map(lit("event_type"), col("event_type")).as("properties"),
+        expr("ts div 1000000").as("base_timestamp"))
+      EsLog.create(dir, streamId = 83L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in, 1L, sortKey = Some("skey"), numPartitions = 8)
+      EsLog.seal(dir)
+      EsLog.compact(s, dir, targetBytes = Long.MaxValue,
+        clusterBy = Seq(graft.operators.Layout.zValue(Seq(
+          expr("base_timestamp div 3600000").bitwiseAND(65535L),
+          graft.functions.Portable.hash60(
+            element_at(col("properties"), "event_type")).bitwiseAND(255L)),
+          bits = 16)),
+        blockBytes = 64L * 1024)
+      require(MetaLog.load(dir).allFiles.size == 1, "compaction did not merge files")
+      ()
     }
 
   /** STREAMING decontamination — "screen tomorrow's crawl against the

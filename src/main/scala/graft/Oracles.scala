@@ -105,6 +105,15 @@ object Oracles {
   private val esObjectLog =
     "SELECT event_id AS base_offset, event_type FROM events WHERE event_id < 4000"
 
+  /** Offsets of the scrambled stream are pure arithmetic: `skey = (event_id
+    * * 48271) % n` is a permutation of 0..n-1, and append sorted by skey
+    * makes base_offset == skey (see Fixtures.zorderStream). */
+  private val esCompactZorder =
+    """SELECT (event_id * 48271) % (SELECT count(*) FROM events) AS base_offset,
+      |       epoch_ms(ts) AS base_timestamp, event_type
+      |FROM events
+      |WHERE (epoch_ms(ts) // 3600000) % 24 BETWEEN 3 AND 5""".stripMargin
+
   private val esKv =
     """SELECT * FROM (VALUES ('k1', 'a2'), ('k3', 'c'), ('t1', 'yes'), ('t2', 'fallback')) AS t("key", "value")"""
 
@@ -1067,6 +1076,27 @@ object Oracles {
     ivfSql(s"SELECT * FROM (VALUES\n    $rows) AS t(cid, cvec)")
   }
 
+  /** Oracle for the learned classifier gate: the quantized model
+    * ([[graft.operators.TextClassifier.LinearModel]]) is spliced in as the
+    * F-row weight VALUES table after the query runs — all-integer math
+    * (BIGINT token-bucket dot product + n·bias), so the margin reproduces
+    * bit-for-bit with no float aggregation anywhere. */
+  def textClassifySql(m: graft.operators.TextClassifier.LinearModel): String = {
+    val rows = m.wMicro.zipWithIndex.map { case (wm, b) =>
+      s"(CAST($b AS BIGINT), CAST($wm AS BIGINT))"
+    }.mkString(",\n    ")
+    val bucket = s"(${graft.functions.Portable.hash60Sql("tok")} % ${m.nFeatures})"
+    s"""WITH w(b, wm) AS (VALUES
+       |    $rows),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |SELECT t.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(w.wm) + count(*) * ${m.biasMicro} AS BIGINT) AS score_micro,
+       |       (SUM(w.wm) + count(*) * ${m.biasMicro}) >= 0 AS pred
+       |FROM tok t JOIN w ON $bucket = w.b
+       |GROUP BY t.doc_id""".stripMargin
+  }
+
   // ---- Shared generated-SQL scaffolding for the PQ oracles: ONE copy of
   // the codebook VALUES, the per-subspace squared-distance lambda (book
   // vector aliased `bvec`), the codes/distance-table CTE block, and the
@@ -1438,6 +1468,7 @@ object Oracles {
     "es_window_hourly" -> esWindowHourly,
     "es_agg_by_type" -> esAggByType,
     "es_compact" -> esCompact,
+    "es_compact_zorder" -> esCompactZorder,
     "es_snapshot" -> esSnapshot,
     "es_catalog" -> esCatalog,
     "es_catalog_scan" -> esCatalogScan,

@@ -215,6 +215,19 @@ object SparkEntry {
       col("payload").cast("string").as("payload_str"))
   }
 
+  /** Layout-aware compaction ([[Fixtures.zorderStream]]): a time-scrambled
+    * stream rewritten clustered by z(hour, type-hash); this row proves rows
+    * and offsets survive the clustered rewrite bit-for-bit (the row-group
+    * skip win is pinned in EsLogSpec). Time-window read, offsets predicted
+    * arithmetically by the oracle. */
+  private def qEsCompactZorder(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.zorderStream(s, sfDir)
+    EsLog.scan(s, dir)
+      .where(expr("base_timestamp div 3600000 % 24 BETWEEN 3 AND 5"))
+      .select(col("base_offset"), col("base_timestamp"),
+        col("properties")("event_type").as("event_type"))
+  }
+
   /** Catalog: ALLOCATE_ID + stream registry + LIST_RESOURCE. */
   private def qEsCatalog(s: SparkSession, sfDir: String): DataFrame = {
     val root = Fixtures.catalogRoot(s, sfDir)
@@ -501,6 +514,28 @@ object SparkEntry {
     val docs = Fixtures.documents(s, sfDir)
     val vocab = TextOps.buildVocab(docs, "doc_id", "text", maxSize = 100, minCount = 2L)
     TextOps.applyVocab(docs.where(col("doc_id") % 10 === 0), vocab, "doc_id", "text")
+  }
+
+  /** Learned classifier gate ([[graft.operators.TextClassifier]]): fit a
+    * logistic model for lang=='en' on a bounded deterministic sample, score
+    * the whole corpus distributed (integer-micro margin — order-independent
+    * BIGINT math, so the oracle reproduces it bit-for-bit). The quantized
+    * model doubles as the oracle's weight table, stashed per sfDir like
+    * [[kmeansCents]]. NOTE the synthetic corpus's lang label is
+    * content-free (shared vocabulary across langs), so this row proves the
+    * train+score+oracle mechanics; learnability on a separable corpus is
+    * pinned in TextClassifierSpec. */
+  private val classifierModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.TextClassifier.LinearModel]()
+
+  private def qTextClassify(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextClassifier
+    val docs = Fixtures.documents(s, sfDir)
+    val model = TextClassifier.trainLogReg(docs, "doc_id", "text",
+      col("lang") === "en", nFeatures = 256)
+    classifierModels.put(sfDir, model)
+    // no lastKmeansSf write — same bench-interleaving reasoning as qSimPq
+    TextClassifier.scoreLinear(docs, "doc_id", "text", model)
   }
 
   private def qSampleWeighted(s: SparkSession, sfDir: String): DataFrame = {
@@ -1036,6 +1071,7 @@ object SparkEntry {
     "es_window_hourly" -> (qEsWindowHourly _),
     "es_agg_by_type" -> (qEsAggByType _),
     "es_compact" -> (qEsCompact _),
+    "es_compact_zorder" -> (qEsCompactZorder _),
     "es_snapshot" -> (qEsSnapshot _),
     "es_catalog" -> (qEsCatalog _),
     "es_catalog_scan" -> (qEsCatalogScan _),
@@ -1084,6 +1120,7 @@ object SparkEntry {
     "sample_split" -> (qSampleSplit _),
     "text_vocab" -> (qTextVocab _),
     "text_vocab_encode" -> (qTextVocabEncode _),
+    "text_classify" -> (qTextClassify _),
     "sample_mix" -> (qSampleMix _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),
@@ -1141,7 +1178,9 @@ object SparkEntry {
       Option(pqBooks.get(sfDir))
         .map(b => "sim_pq" -> Oracles.simPqSql(b)) ++
       Option(ivfPqParams.get(sfDir))
-        .map { case (c, b) => "sim_ivf_pq" -> Oracles.simIvfPqSql(c, b) }
+        .map { case (c, b) => "sim_ivf_pq" -> Oracles.simIvfPqSql(c, b) } ++
+      Option(classifierModels.get(sfDir))
+        .map(m => "text_classify" -> Oracles.textClassifySql(m))
 
   /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):
     * keys on the dataset [[qSimIvfKmeans]] ran against most recently —

@@ -676,9 +676,21 @@ object EsLog {
     * Readers are never blocked: files are immutable, the swap is one CAS
     * commit, and old files are deleted only after it lands. At 100 TB this is
     * what keeps a long-lived stream from accumulating unbounded small files.
+    *
+    * `clusterBy` makes the rewrite LAYOUT-AWARE (the lakehouse
+    * OPTIMIZE..ZORDER shape): files are still assigned by base_offset range
+    * — file-level offset pruning, contiguity and the footer audit are
+    * untouched — but rows inside each file are re-sorted by the given
+    * expressions (e.g. `Layout.zValue(...)` or a plain timestamp). Row-group
+    * stats then turn tight on the cluster dimensions, so pushed filters on
+    * them skip row groups a purely offset-sorted layout has to read — the
+    * fix for "late/out-of-order data scrambled time locality". `blockBytes`
+    * bounds the parquet row-group size: the skip granularity.
     */
   def compact(spark: SparkSession, streamDir: String,
-              targetBytes: Long = 128L * 1024 * 1024): StreamState = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+              blockBytes: Long = 16L * 1024 * 1024): StreamState = {
     var st = MetaLog.load(streamDir)
     st.segments.filter(s => s.sealed_ && s.files.size > 1).foreach { seg =>
       val totalBytes = seg.files.map(_.bytes).sum
@@ -689,10 +701,11 @@ object EsLog {
         // append: the range shuffle executes once and is reused; rows are
         // written unchanged (offsets are stable across compaction), so no
         // per-row mapping at all.
+        val sortCols = if (clusterBy.nonEmpty) clusterBy else Seq(col("base_offset"))
         val internal = org.apache.spark.sql.graftshim.GraftShims.internalRdd(
           spark.read.schema(RecordBatchRow.schema).parquet(paths: _*)
             .repartitionByRange(nOut, col("base_offset"))
-            .sortWithinPartitions(col("base_offset")))
+            .sortWithinPartitions(sortCols: _*))
         val stats = internal.mapPartitionsWithIndex { (pid, it) =>
           var n = 0L; var minOff = Long.MaxValue; var maxEnd = Long.MinValue
           var minTs = Long.MaxValue; var maxTs = Long.MinValue; var maxD = 0
@@ -714,7 +727,7 @@ object EsLog {
         org.apache.spark.sql.graftshim.GraftShims
           .dfFromInternalRdd(spark, internal, RecordBatchRow.schema)
           .write.mode("errorifexists")
-          .option("parquet.block.size", (16L * 1024 * 1024).toString)
+          .option("parquet.block.size", blockBytes.toString)
           .option("maxRecordsPerFile", "0")
           .parquet(outAbs)
 

@@ -16,7 +16,7 @@ class EsLogSpec extends SparkTestBase {
     val dir = tmpDir("eslog-e2e-")
     EsLog.create(dir, streamId = 1L)
     EsLog.open(dir, epoch = 1L)
-    val events = spark.read.parquet(sf("events"))
+    val events = eventsDf
     val input = events.select(
       col("event_id"),
       to_json(struct(col("event_id"), col("user_id"), col("event_type"),
@@ -35,6 +35,71 @@ class EsLogSpec extends SparkTestBase {
       .select(col("base_offset"), get_json_object(col("payload").cast("string"), "$.event_id").cast("long").as("eid"))
       .where(col("base_offset") =!= col("eid"))
     assert(joined.count() == 0)
+  }
+
+  test("layout-aware compaction: clustered row groups prune a time window plain layout reads in full") {
+    import graft.meta.MetaLog
+    // same scrambled input appended to two streams: time order destroyed
+    // relative to offset order ((id*48271)%n is a permutation)
+    def build(cluster: Seq[org.apache.spark.sql.Column]): String = {
+      val dir = tmpDir("eslog-zorder-")
+      val ev = eventsDf
+      val n = ev.count()
+      val in = ev.select(
+        ((col("event_id") * 48271L) % n).as("skey"),
+        col("props").cast("binary").as("payload"),
+        map(lit("event_type"), col("event_type")).as("properties"),
+        expr("ts div 1000000").as("base_timestamp"))
+      EsLog.create(dir); EsLog.open(dir, 1L)
+      EsLog.append(spark, dir, in, 1L, sortKey = Some("skey"), numPartitions = 8)
+      EsLog.seal(dir)
+      EsLog.compact(spark, dir, targetBytes = Long.MaxValue,
+        clusterBy = cluster, blockBytes = 4096L)
+      dir
+    }
+    val plain = build(Nil)
+    val clustered = build(Seq(col("base_timestamp")))
+
+    // the rewrite changes LAYOUT only: same rows, same offsets
+    val a = EsLog.scan(spark, plain)
+      .select("base_offset", "base_timestamp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = EsLog.scan(spark, clustered)
+      .select("base_offset", "base_timestamp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.size == 1000)
+
+    // per-row-group base_timestamp spans straight from the parquet footers
+    def tsGroups(dir: String): Seq[(Long, Long)] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      MetaLog.load(dir).allFiles.map(_.path).flatMap { rel =>
+        val p = new org.apache.hadoop.fs.Path(dir, rel)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.toSeq.map { blk =>
+            val c = blk.getColumns.asScala
+              .find(_.getPath.toDotString == "base_timestamp").get
+            val st = c.getStatistics
+            (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
+        } finally reader.close()
+      }
+    }
+    val pg = tsGroups(plain)
+    val cg = tsGroups(clustered)
+    assert(pg.size >= 5, s"need several row groups for a skip test, got ${pg.size}")
+    // probe: a 10%-of-span time window in the middle
+    val lo = pg.map(_._1).min; val hi = pg.map(_._2).max
+    val (wLo, wHi) = (lo + (hi - lo) * 2 / 5, lo + (hi - lo) / 2)
+    def hits(gs: Seq[(Long, Long)]) = gs.count { case (mn, mx) => mx >= wLo && mn <= wHi }
+    info(s"row groups: plain ${hits(pg)}/${pg.size} vs clustered ${hits(cg)}/${cg.size}")
+    // scrambled layout: every group spans ~the whole range -> reads all;
+    // clustered layout: only the groups owning the window
+    assert(hits(pg) == pg.size, "scrambled groups should all intersect the window")
+    assert(hits(cg) * 2 <= cg.size, s"clustered should skip most groups: ${hits(cg)}/${cg.size}")
   }
 
   test("append rolls output files toward targetFileBytes from skewed input partitioning") {

@@ -71,7 +71,7 @@ class JoinOpsSpec extends SparkTestBase {
     import graft.operators.{AsOfJoin, Enriched, EnrichEvent}
     Fixtures.tune(spark)
     // eslog stream of interleaved probe/dimension rows, offsets = event ids
-    val ev = spark.read.parquet(sf("events"))
+    val ev = eventsDf
       .where(col("event_type").isin("view", "click"))
     val dir = tmpDir("enrich-")
     graft.eslog.EsLog.create(dir)

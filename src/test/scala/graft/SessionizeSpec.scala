@@ -11,7 +11,7 @@ class SessionizeSpec extends SparkTestBase {
   test("batch sessions = streaming closed sessions + one open tail per user") {
     import spark.implicits._
     Fixtures.tune(spark)
-    val ev = spark.read.parquet(sf("events"))
+    val ev = eventsDf
       .select(col("user_id"), expr("ts div 1000000").as("t"))
     val gap = 86400000L
 
@@ -24,7 +24,7 @@ class SessionizeSpec extends SparkTestBase {
     graft.eslog.EsLog.create(dir)
     graft.eslog.EsLog.open(dir, 1L)
     graft.eslog.EsLog.append(spark, dir,
-      spark.read.parquet(sf("events")).select(
+      eventsDf.select(
         col("event_id"),
         col("props").cast("binary").as("payload"),
         map(lit("user_id"), col("user_id").cast("string")).as("properties"),

@@ -7,6 +7,9 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
   def sf(name: String): String = s"/root/testdata/sf0.001/$name.parquet"
+  /** events with `ts` normalized to epoch-nanos BIGINT (see Fixtures.events). */
+  def eventsDf: org.apache.spark.sql.DataFrame =
+    Fixtures.events(spark, "/root/testdata/sf0.001")
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 }
