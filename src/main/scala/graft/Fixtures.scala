@@ -956,6 +956,65 @@ object Fixtures {
       name
     })
 
+  /** The tail of the embeddings table (vec_id >= 400, the "new crawl") as an
+    * eslog stream: payload = JSON of the float vector (the codec-free way to
+    * carry an array through the binary payload; decode round-trip is
+    * unit-pinned), properties carry the id, base_timestamp = vec_id. */
+  def embeddingsStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "embstream") { dir =>
+      val in = embeddings(s, sfDir).where(col("vec_id") >= 400).select(
+        col("vec_id"),
+        to_json(struct(col("embedding"))).cast("binary").as("payload"),
+        map(lit("vec_id"), col("vec_id").cast("string")).as("properties"),
+        col("vec_id").as("base_timestamp"))
+      EsLog.create(dir, streamId = 84L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in, 1L, sortKey = Some("vec_id"), numPartitions = 4)
+      ()
+    }
+
+  /** STREAMING semantic screening — "flag near-duplicate embeddings in the
+    * crawl stream against the persisted corpus index": the IVF index is
+    * built ONCE in batch from the existing corpus (vec_id < 400) and
+    * persisted; each micro-batch of incoming vectors decodes, assigns its
+    * nearest cell with the window-free argmax expression and broadcast-joins
+    * ONLY that cell's members — completely STATELESS (append-mode output,
+    * nothing in the state store; the streaming sibling of
+    * `dedup_semantic_probe`). */
+  def streamSemanticTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-semantic", {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import graft.operators.{Dedup, Similarity}
+      tune(s)
+      val src = embeddingsStream(s, sfDir)
+      val emb = embeddings(s, sfDir)
+      val idx = Similarity.buildIvfIndexSampled(
+        emb.where(col("vec_id") < 400), "vec_id", "embedding", nlist = 16)
+      val cells = idx.cells.persist()
+      cells.count() // materialize once; every micro-batch reuses it
+      val perTrigger = math.max(emb.where(col("vec_id") >= 400).count() / 6, 1L)
+      val name = "graft_stream_semantic_" + math.abs(sfDir.hashCode).toString
+      val payloadSchema = new StructType()
+        .add("embedding", ArrayType(FloatType))
+      val stream = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("vec_id").cast("long").as("vec_id"),
+          from_json(col("payload").cast("string"), payloadSchema)
+            .getField("embedding").as("embedding"))
+      val q = Dedup.semanticProbeStream(
+          Similarity.IvfIndex(idx.centroids, cells), stream,
+          "vec_id", "embedding", threshold = 0.4)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      cells.unpersist()
+      name
+    })
+
   /** Documents round-tripped through the wire codec into a stream. */
   def codecStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "codec") { dir =>

@@ -1507,6 +1507,8 @@ object Oracles {
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "es_stream_decontaminate" -> esStreamDecontaminate,
+    // the streaming semantic screen's flagged pair set IS the batch probe's
+    "es_stream_semantic" -> dedupSemanticProbe,
     "decontaminate_report" -> decontaminateReport,
     "dedup_lines" -> dedupLines,
     "dedup_spans" -> dedupSpans,

@@ -275,6 +275,13 @@ object SparkEntry {
   private def qEsStreamDecontaminate(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamDecontaminateTable(s, sfDir))
 
+  /** Streaming semantic screen ([[Fixtures.streamSemanticTable]]): incoming
+    * embeddings flagged against the persisted IVF index per micro-batch,
+    * stateless — flagged pair set == `dedup_semantic_probe` (same oracle
+    * SQL). */
+  private def qEsStreamSemantic(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamSemanticTable(s, sfDir))
+
   /** Stream-static enrichment ([[Fixtures.streamDimEnrichTable]]): two
     * chained broadcast joins against static relations inside a streaming
     * query — completes the join matrix (stream-stream: `es_stream_join`;
@@ -1086,6 +1093,7 @@ object SparkEntry {
     "es_stream_sample" -> (qEsStreamSample _),
     "es_stream_enrich_dim" -> (qEsStreamEnrichDim _),
     "es_stream_decontaminate" -> (qEsStreamDecontaminate _),
+    "es_stream_semantic" -> (qEsStreamSemantic _),
     "es_watch_meta" -> (qEsWatchMeta _),
     "es_watch_catalog" -> (qEsWatchCatalog _),
     "es_history" -> (qEsHistory _),

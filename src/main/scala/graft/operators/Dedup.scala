@@ -344,6 +344,28 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** STREAMING-safe twin of [[semanticProbe]]: cell assignment is the
+    * window-free argmax expression ([[Similarity.assignCellsExpr]]) and the
+    * index side is a broadcast, so the whole screen is STATELESS per
+    * micro-batch — embeddings arrive on a stream, near-dups against the
+    * persisted corpus index flag immediately, nothing accumulates in the
+    * state store. Batch-callable too (bit-equal to [[semanticProbe]],
+    * unit-pinned). At scale the broadcast bound is the INDEX's cells; for
+    * corpora past broadcast size, run the batch twin over micro-batch
+    * snapshots with a bucketed cells table instead. */
+  def semanticProbeStream(index: Similarity.IvfIndex, newDocs: DataFrame,
+                          idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val incoming = Similarity.assignCellsExpr(newDocs, idCol, vecCol, index.centroids)
+      .select(col("nid").as("iid"), col("nvec").as("ivec"), col("cell"))
+    incoming.join(
+        broadcast(index.cells.select(col("nid").as("existing"),
+          col("nvec").as("xvec"), col("cell"))), Seq("cell"))
+      .select(col("existing"), col("iid").as("incoming"),
+        Similarity.cosine(col("xvec"), col("ivec")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** SimHash fingerprint (60-bit): per token occurrence, each hash bit votes
     * +1/-1; fingerprint bit b is set iff the bit-b vote sum is positive. */
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {

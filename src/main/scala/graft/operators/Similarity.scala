@@ -293,6 +293,28 @@ object Similarity {
       .select(col("nid"), col("nvec"), col("cid").as("cell"))
   }
 
+  /** Window-free twin of [[assignCells]]: the centroids (collected once —
+    * nlist tiny rows) become ONE codegen'd argmax expression
+    * (`array_max` over `struct(score, -cid)`), so nearest-cell assignment
+    * is a pure per-row projection — legal inside a STREAMING micro-batch
+    * (no window function, no crossjoin) and shuffle-free in batch. The
+    * tie-break is identical to [[assignCells]]: score DESC, cid ASC
+    * (max of `(s, -cid)` picks the higher score, then the lower cid), so
+    * the two paths are bit-equal (unit-pinned in SimilaritySpec). */
+  def assignCellsExpr(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame): DataFrame = {
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "empty centroid table")
+    val v = asDouble(col(vecCol))
+    val scored = cents.map { case (cid, cv) =>
+      struct(cosine(v, typedlit(cv)).as("s"), lit(-cid).as("nc"))
+    }
+    df.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"),
+      (-array_max(array(scored.toSeq: _*)).getField("nc")).as("cell"))
+  }
+
   /** Build the [[IvfIndex]]: k-means coarse quantizer ([[kmeansCentroids]])
     * + one broadcast assignment pass over the corpus. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,

@@ -749,6 +749,7 @@ class PlanAuditSpec extends SparkTestBase {
     "decontaminate" -> Seq("doc_id", "n_shared"),
     "decontaminate_bloom" -> Seq("doc_id", "n_flagged"),
     "es_stream_decontaminate" -> Seq("doc_id", "n_hits"),
+    "es_stream_semantic" -> Seq("existing", "incoming", "cosine"),
     "decontaminate_report" -> Seq("doc_id", "n_grams", "n_shared", "permille"),
     "dedup_lines" -> Seq("doc_id", "text_dedup", "n_lines", "n_dropped"),
     "dedup_spans" -> Seq("doc_id", "text_dedup", "n_tokens", "n_removed"),

@@ -187,4 +187,40 @@ class SimilaritySpec extends SparkTestBase {
       assert(recall >= 0.8, s"recall $recall (${(exact & lsh).size}/${exact.size})")
     }
   }
+
+  test("assignCellsExpr == assignCells bit-for-bit (window-free argmax twin)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(sf("embeddings"))
+    val idx = Similarity.buildIvfIndexSampled(emb, "vec_id", "embedding", nlist = 16)
+    val a = idx.cells.select("nid", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Similarity.assignCellsExpr(emb, "vec_id", "embedding", idx.centroids)
+      .select("nid", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("semanticProbeStream == semanticProbe on a batch, and the JSON payload round-trips floats") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.operators.{Dedup, Similarity}
+    val emb = spark.read.parquet(sf("embeddings"))
+    val idx = Similarity.buildIvfIndexSampled(
+      emb.where(col("vec_id") < 400), "vec_id", "embedding", nlist = 16)
+    val incoming = emb.where(col("vec_id") >= 400)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("existing", "incoming", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = pairs(Dedup.semanticProbe(idx, incoming, "vec_id", "embedding", 0.4))
+    val tween = pairs(Dedup.semanticProbeStream(idx, incoming, "vec_id", "embedding", 0.4))
+    assert(batch == tween && batch.nonEmpty)
+    // the streaming fixture's payload codec: to_json -> from_json is exact
+    val schema = new StructType().add("embedding", ArrayType(FloatType))
+    val rt = incoming.select(col("vec_id"),
+        from_json(to_json(struct(col("embedding"))), schema)
+          .getField("embedding").as("back"), col("embedding"))
+      .where(not(col("back") <=> col("embedding")))
+    assert(rt.count() == 0, "JSON float round-trip must be exact")
+  }
 }
