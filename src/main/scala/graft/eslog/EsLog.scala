@@ -256,24 +256,21 @@ object EsLog {
   /** Normalize an input frame to appendable batch columns. Accepts any frame
     * with a `payload` column; fills batch metadata defaults. */
   private def normalize(df: DataFrame, streamId: Long): DataFrame = {
-    var d = df
     // case-INSENSITIVE presence check, matching Spark's default resolution:
     // a case-sensitive `contains` would miss a caller's "FLAGS" column and
-    // the withColumn below (which resolves case-insensitively) would then
-    // silently REPLACE it with the default — the corruption mode, not a
-    // default fill
-    def ensure(name: String, c: org.apache.spark.sql.Column): Unit =
-      if (!d.columns.exists(_.equalsIgnoreCase(name))) d = d.withColumn(name, c)
-    ensure("properties", map().cast(MapType(StringType, StringType)))
-    ensure("base_timestamp", lit(0L))
-    ensure("last_offset_delta", lit(1))
-    ensure("flags", lit(0).cast(ShortType))
-    d.select(
+    // a default would then silently REPLACE it — the corruption mode, not a
+    // default fill. ONE select (not a withColumn chain): append pays this
+    // driver-side analysis on every commit, and each withColumn is a full
+    // extra analyzer pass (~15 ms each on the 64 KiB bench's profile).
+    def have(name: String): Boolean = df.columns.exists(_.equalsIgnoreCase(name))
+    def get(name: String, default: org.apache.spark.sql.Column) =
+      if (have(name)) col(name) else default
+    df.select(
       lit(streamId).as("stream_id"),
-      col("flags").cast(ShortType).as("flags"),
-      col("last_offset_delta").cast(IntegerType).as("last_offset_delta"),
-      col("base_timestamp").cast(LongType).as("base_timestamp"),
-      col("properties").cast(MapType(StringType, StringType)).as("properties"),
+      get("flags", lit(0)).cast(ShortType).as("flags"),
+      get("last_offset_delta", lit(1)).cast(IntegerType).as("last_offset_delta"),
+      get("base_timestamp", lit(0L)).cast(LongType).as("base_timestamp"),
+      get("properties", map()).cast(MapType(StringType, StringType)).as("properties"),
       col("payload").cast(BinaryType).as("payload"))
   }
 
@@ -316,10 +313,17 @@ object EsLog {
       case Some(k) =>
         // an explicit sort shuffles anyway, so the size-targeted count is
         // free to apply directly when the caller didn't pin numPartitions
+        // (same parallelism floor as the unsorted branch: never sort into
+        // fewer write tasks than the measured-optimal fraction of cores)
         val n =
           if (numPartitions > 0) numPartitions
-          else sizeTargetedCount(batches, targetFileBytes)
-            .getOrElse(batches.rdd.getNumPartitions)
+          else {
+            val cur = batches.rdd.getNumPartitions
+            val floor = math.min(cur, math.max(2, spark.sparkContext.defaultParallelism / 4))
+            sizeTargetedCount(batches, targetFileBytes)
+              .map(m => math.max(m, floor))
+              .getOrElse(cur)
+          }
         batches = batches.repartitionByRange(n, col(k)).sortWithinPartitions(col(k))
           .select(batches.columns.map(col).toSeq: _*)
       case None if numPartitions > 0 =>
@@ -334,12 +338,23 @@ object EsLog {
         // Adjust only when the estimated layout is >2x off target either
         // way: coalescing down is shuffle-free; splitting up pays one
         // shuffle to buy back write parallelism + bounded files. Within 2x,
-        // leave the input partitioning alone (no gratuitous shuffle);
-        // long-lived streams converge on target via compact() regardless.
+        // leave the input partitioning alone (no gratuitous shuffle).
+        //
+        // Coalescing FLOORS at a quarter of the cluster's cores: the write
+        // stage's cost curve over task count is U-shaped (measured on the
+        // 64 KiB bench's 131 MB commits — 2 tasks serialize the encode at
+        // ~0.30 s, 32 tasks pay per-task writer/commit overhead at ~0.30 s,
+        // 4-8 tasks hit ~0.17 s), so the policy aims file count at
+        // [cores/4, bytes/target] instead of collapsing to the byte target
+        // alone. At 100 TB commit sizes bytes/target dwarfs any floor; the
+        // floor only guards small commits, where ingest latency matters and
+        // compact() converges layout to the storage-optimal target anyway.
         sizeTargetedCount(batches, targetFileBytes).foreach { n =>
           val cur = batches.rdd.getNumPartitions
-          if (n * 2 <= cur) batches = batches.coalesce(n)
-          else if (n >= cur * 2) batches = batches.repartition(n)
+          val floor = math.min(cur, math.max(2, spark.sparkContext.defaultParallelism / 4))
+          val floored = math.max(n, floor)
+          if (floored * 2 <= cur) batches = batches.coalesce(floored)
+          else if (floored >= cur * 2) batches = batches.repartition(floored)
         }
     }
 

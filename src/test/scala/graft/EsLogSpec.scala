@@ -136,13 +136,17 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.scan(spark, dir).count() == 4096)
 
     // DOWN: many near-empty partitions collapse (shuffle-free coalesce)
-    // instead of landing one tiny file per input partition.
+    // instead of landing one tiny file per input partition — but never
+    // below the parallelism floor (max(2, cores/4)): ingest keeps encode
+    // parallelism; compact() owns storage-optimal layout.
     val down = spark.read.parquet(src).repartition(24)
     val dir2 = tmpDir("eslog-roll-down-")
     EsLog.create(dir2); EsLog.open(dir2, 1L)
     EsLog.append(spark, dir2, down, 1L) // default 128 MiB target
     val files2 = graft.meta.MetaLog.load(dir2).allFiles
-    assert(files2.size == 1, s"24 tiny partitions should coalesce to 1 file, got ${files2.size}")
+    val floor = math.min(24, math.max(2, spark.sparkContext.defaultParallelism / 4))
+    assert(files2.size == floor,
+      s"24 tiny partitions should coalesce to the parallelism floor $floor, got ${files2.size}")
     assert(EsLog.scan(spark, dir2).count() == 4096)
 
     // explicit numPartitions still wins over the policy
