@@ -1097,6 +1097,22 @@ object Oracles {
        |GROUP BY t.doc_id""".stripMargin
   }
 
+  /** Oracle for the BPE tokenizer: the learned merges are spliced in as the
+    * identical literal REPLACE chain over the spaced-char representation —
+    * Java/Spark and DuckDB `replace` share left-to-right non-overlapping
+    * sweep semantics, so token streams agree byte-for-byte. */
+  def textBpeSql(merges: Seq[(String, String)]): String = {
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    val chain = merges.foldLeft(
+      "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+      case (r, (x, y)) => s"replace($r, ${q(s" $x $y ")}, ${q(s" $x$y ")})"
+    }
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |nz AS (SELECT w FROM w WHERE w <> ''),
+       |t AS (SELECT unnest(string_split(trim($chain), ' ')) AS token FROM nz)
+       |SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1""".stripMargin
+  }
+
   // ---- Shared generated-SQL scaffolding for the PQ oracles: ONE copy of
   // the codebook VALUES, the per-subspace squared-distance lambda (book
   // vector aliased `bvec`), the codes/distance-table CTE block, and the

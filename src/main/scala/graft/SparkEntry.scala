@@ -545,6 +545,23 @@ object SparkEntry {
     TextClassifier.scoreLinear(docs, "doc_id", "text", model)
   }
 
+  /** BPE tokenizer ([[graft.operators.Bpe]]): merges learned on the cluster
+    * (word-count-first — the corpus is touched once), encoding applied as a
+    * codegen'd literal-replace chain. The learned merges are spliced into
+    * the generated oracle ([[Oracles.textBpeSql]]), which replays the
+    * identical REPLACE chain, so the row proves learn+encode end-to-end. */
+  private val bpeMerges = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String)]]()
+
+  private def qTextBpe(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Bpe
+    val docs = Fixtures.documents(s, sfDir)
+    val merges = Bpe.learn(docs, "doc_id", "text", numMerges = 40)
+    bpeMerges.put(sfDir, merges)
+    // no lastKmeansSf write — same bench-interleaving reasoning as qSimPq
+    Bpe.tokenFrequencies(docs, "doc_id", "text", merges)
+  }
+
   private def qSampleWeighted(s: SparkSession, sfDir: String): DataFrame = {
     val docs = Fixtures.documents(s, sfDir)
       .withColumn("w", size(Portable.words(col("text"))).cast("double") / 400.0)
@@ -1129,6 +1146,7 @@ object SparkEntry {
     "text_vocab" -> (qTextVocab _),
     "text_vocab_encode" -> (qTextVocabEncode _),
     "text_classify" -> (qTextClassify _),
+    "text_bpe" -> (qTextBpe _),
     "sample_mix" -> (qSampleMix _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),
@@ -1188,7 +1206,9 @@ object SparkEntry {
       Option(ivfPqParams.get(sfDir))
         .map { case (c, b) => "sim_ivf_pq" -> Oracles.simIvfPqSql(c, b) } ++
       Option(classifierModels.get(sfDir))
-        .map(m => "text_classify" -> Oracles.textClassifySql(m))
+        .map(m => "text_classify" -> Oracles.textClassifySql(m)) ++
+      Option(bpeMerges.get(sfDir))
+        .map(m => "text_bpe" -> Oracles.textBpeSql(m))
 
   /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):
     * keys on the dataset [[qSimIvfKmeans]] ran against most recently —

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer — learned on the cluster, applied as pure
+  * codegen. The missing piece between [[TextOps.buildVocab]] (whole-word
+  * vocabulary) and a trainable LLM pipeline: subword units.
+  *
+  * Shape (the industrial one, cf. the word-count-first design of public BPE
+  * trainers): the corpus collapses ONCE to a `(word, n)` table — bounded by
+  * the vocabulary, not the corpus — and the merge loop iterates over that
+  * table only: per iteration, one weighted pair-count aggregation and one
+  * literal `replace` sweep. At 100 TB the corpus is touched exactly once
+  * (the word count); 40 merge rounds then cost 40 small jobs over millions
+  * of distinct words, not the corpus.
+  *
+  * Encoding is a chain of literal `replace` calls over the space-joined
+  * character representation — one codegen'd expression, no UDF, no shuffle;
+  * the merge list broadcasts inside the plan as string literals, and the
+  * SQL oracle replays the identical REPLACE chain.
+  *
+  * Determinism contract: pair selection is argmax by (count DESC, pair
+  * lexicographic ASC) over exact integer counts; merge application is ONE
+  * left-to-right non-overlapping `replace` sweep per rule per round —
+  * Java/Spark (`UTF8String.replace`) and DuckDB (`replace`) share these
+  * semantics including the resume-after-replacement boundary case
+  * (unit-pinned on 'a a a a a'). Words must not contain the space
+  * separator (they come from a space-split); empty words are dropped.
+  */
+object Bpe {
+
+  /** The spaced char representation a merge sweep rewrites:
+    * `"word"` -> `" w o r d "` (sentinel spaces so every symbol boundary,
+    * including the edges, matches `" x y "`). */
+  private def spacedChars(word: Column): Column =
+    concat(lit(" "), concat_ws(" ", split(word, "", 0)), lit(" "))
+
+  /** Learn `numMerges` merge rules from the corpus.
+    *
+    * @return merges in application order (highest-count first).
+    */
+  def learn(docs: DataFrame, idCol: String, textCol: String,
+            numMerges: Int, minPairCount: Long = 2L): Seq[(String, String)] = {
+    // corpus -> (word, n): the only pass over the full data
+    val words = docs
+      .select(explode(graft.functions.Portable.words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    // localCheckpoint (not persist): each round derives the next
+    // representation from the last, and without lineage TRUNCATION the plan
+    // tree doubles per round — 40 rounds of chained replace turned planning
+    // itself into the bottleneck. The word table is tiny relative to the
+    // corpus; executor-local blocks are the right durability tradeoff here
+    // (a lost executor restarts the cheap merge loop, not the corpus scan).
+    var repr = words.select(spacedChars(col("w")).as("r"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      // adjacent symbol pairs of the current representation, weighted by n
+      val best = repr
+        .select(split(trim(col("r")), " ", 0).as("a"), col("n"))
+        // slice keeps the index list empty for single-symbol words (a bare
+        // sequence(0, size-2) would emit [0,-1] there and trip ANSI bounds)
+        .select(explode(expr(
+          "transform(slice(sequence(0, size(a)), 1, greatest(size(a) - 1, 0)), " +
+            "i -> struct(a[i] AS x, a[i+1] AS y))"))
+          .as("p"), col("n"))
+        .groupBy(col("p.x"), col("p.y")).agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minPairCount) continue = false
+      else {
+        val (x, y) = (best.head.getString(0), best.head.getString(1))
+        merges += ((x, y))
+        val next = repr.select(
+            call_function("replace", col("r"), lit(s" $x $y "), lit(s" $x$y ")).as("r"),
+            col("n"))
+          .localCheckpoint()
+        repr.unpersist()
+        repr = next
+      }
+    }
+    repr.unpersist()
+    merges.toSeq
+  }
+
+  /** The encode expression for one word column: spaced chars, then the merge
+    * sweeps in learned order — a single codegen'd literal-replace chain. */
+  def encodeExpr(word: Column, merges: Seq[(String, String)]): Column = {
+    val swept = merges.foldLeft(spacedChars(word)) { case (r, (x, y)) =>
+      call_function("replace", r, lit(s" $x $y "), lit(s" $x$y "))
+    }
+    split(trim(swept), " ", 0)
+  }
+
+  /** Encode every document: `(id, pos, token)` rows — token positions are
+    * word-major (whole-doc token order), empty words dropped. One generate +
+    * one codegen'd replace chain, no shuffle. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col(idCol),
+        expr(s"filter(split($textCol, ' ', -1), w -> w != '')").as("_ws"))
+      .select(col(idCol), posexplode(col("_ws")).as(Seq("_wi", "_w")))
+      .select(col(idCol), col("_wi"),
+        posexplode(encodeExpr(col("_w"), merges)).as(Seq("_ti", "token")))
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("_wi"), col("_ti"))).cast("long") - 1L)
+      .select(col(idCol), col("pos"), col("token"))
+
+  /** Corpus token frequencies under the learned merges — the compact
+    * whole-corpus view (and the oracle-checked query shape). */
+  def tokenFrequencies(docs: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(explode(graft.functions.Portable.words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .select(explode(encodeExpr(col("w"), merges)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+
+  /** Decode = concatenate a word's tokens (the representation is lossless
+    * within a word; document reconstruction re-joins with spaces). */
+  def decodeWord(tokens: Column): Column = concat_ws("", tokens)
+}
