@@ -196,7 +196,8 @@ object Bench {
       "sketch_kmv", "sketch_cms", "sketch_bloom", "stats_quantiles_approx",
       "stats_quantiles_sample", "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "dedup_lines", "decontaminate_report",
-      "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split")
+      "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split",
+      "text_classify", "text_bpe", "es_compact_zorder")
     val registry = SparkEntry.queries
     heads.foreach { name =>
       // warm pass bills Janino + C2 compile once (observed 5.4 s first run vs

@@ -1015,6 +1015,40 @@ object Fixtures {
       name
     })
 
+  /** STREAMING classifier gate — "score tomorrow's crawl with the trained
+    * model": the quantized model is fit ONCE in batch (deterministic, so it
+    * equals `text_classify`'s) and each micro-batch of the docs stream is
+    * scored by the per-row expression form
+    * ([[graft.operators.TextClassifier.scoreLinearExpr]]) — STATELESS
+    * (the id-keyed join form would be a stateful streaming aggregation).
+    * Completes the persisted-artifact streaming triple: sketch →
+    * es_stream_decontaminate, ANN index → es_stream_semantic, model →
+    * this. */
+  def streamClassifyTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-classify", {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.TextClassifier
+      tune(s)
+      val src = docsStream(s, sfDir)
+      val docs = documents(s, sfDir)
+      val model = TextClassifier.trainLogReg(docs, "doc_id", "text",
+        col("lang") === "en", nFeatures = 256)
+      val perTrigger = math.max(docs.count() / 8, 1L)
+      val name = "graft_stream_classify_" + math.abs(sfDir.hashCode).toString
+      val stream = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+      val q = TextClassifier.scoreLinearExpr(stream, "doc_id", "text", model)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** Documents round-tripped through the wire codec into a stream. */
   def codecStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "codec") { dir =>

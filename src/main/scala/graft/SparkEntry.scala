@@ -282,6 +282,19 @@ object SparkEntry {
   private def qEsStreamSemantic(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamSemanticTable(s, sfDir))
 
+  /** Streaming classifier gate ([[Fixtures.streamClassifyTable]]): the docs
+    * stream scored per micro-batch with the batch-trained quantized model —
+    * stateless per-row scoring; the model is retrained here (deterministic,
+    * so identical to the fixture's) to stash weights for the generated
+    * oracle, which is `text_classify`'s. */
+  private def qEsStreamClassify(s: SparkSession, sfDir: String): DataFrame = {
+    val model = graft.operators.TextClassifier.trainLogReg(
+      Fixtures.documents(s, sfDir), "doc_id", "text",
+      col("lang") === "en", nFeatures = 256)
+    classifierModels.put(sfDir, model)
+    s.table(Fixtures.streamClassifyTable(s, sfDir))
+  }
+
   /** Stream-static enrichment ([[Fixtures.streamDimEnrichTable]]): two
     * chained broadcast joins against static relations inside a streaming
     * query — completes the join matrix (stream-stream: `es_stream_join`;
@@ -1111,6 +1124,7 @@ object SparkEntry {
     "es_stream_enrich_dim" -> (qEsStreamEnrichDim _),
     "es_stream_decontaminate" -> (qEsStreamDecontaminate _),
     "es_stream_semantic" -> (qEsStreamSemantic _),
+    "es_stream_classify" -> (qEsStreamClassify _),
     "es_watch_meta" -> (qEsWatchMeta _),
     "es_watch_catalog" -> (qEsWatchCatalog _),
     "es_history" -> (qEsHistory _),
@@ -1206,7 +1220,9 @@ object SparkEntry {
       Option(ivfPqParams.get(sfDir))
         .map { case (c, b) => "sim_ivf_pq" -> Oracles.simIvfPqSql(c, b) } ++
       Option(classifierModels.get(sfDir))
-        .map(m => "text_classify" -> Oracles.textClassifySql(m)) ++
+        .flatMap(m => Some(Oracles.textClassifySql(m)).map(sql =>
+          Seq("text_classify" -> sql, "es_stream_classify" -> sql)))
+        .getOrElse(Seq.empty) ++
       Option(bpeMerges.get(sfDir))
         .map(m => "text_bpe" -> Oracles.textBpeSql(m))
 

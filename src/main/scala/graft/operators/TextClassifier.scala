@@ -146,6 +146,27 @@ object TextClassifier {
       .withColumn("pred", col("score_micro") >= 0L)
   }
 
+  /** Per-ROW twin of [[scoreLinear]]: the weight table rides the plan as a
+    * literal array and the token sum is a higher-order `aggregate` over the
+    * split — zero joins, zero shuffles, one projection. That makes it legal
+    * inside a STREAMING micro-batch (an id-keyed groupBy would be a
+    * stateful streaming aggregation; this is stateless) and bit-equal to
+    * the join form (unit-pinned — integer math again). Tradeoff: the HOF
+    * lambda evaluates outside whole-stage codegen, so on wide batch scans
+    * the codegen'd explode+broadcast-join form can still win; both are
+    * exact, pick by context. */
+  def scoreLinearExpr(docs: DataFrame, idCol: String, textCol: String,
+                      model: LinearModel): DataFrame = {
+    val w = typedlit(model.wMicro.toSeq)
+    val toks = Portable.words(col(textCol))
+    val sw = aggregate(toks, lit(0L),
+      (acc, t) => acc + element_at(w, (bucket(t, model.nFeatures) + 1L).cast("int")))
+    docs.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        (sw + size(toks).cast("long") * model.biasMicro).as("score_micro"))
+      .withColumn("pred", col("score_micro") >= 0L)
+  }
+
   /** [[scoreLinear]] then keep only predicted-positive docs — the DCLM-style
     * "classifier gate" as a filter: original columns survive, scores ride
     * along. Same plan plus one broadcast-able semi-join by id. */

@@ -750,6 +750,7 @@ class PlanAuditSpec extends SparkTestBase {
     "decontaminate_bloom" -> Seq("doc_id", "n_flagged"),
     "es_stream_decontaminate" -> Seq("doc_id", "n_hits"),
     "es_stream_semantic" -> Seq("existing", "incoming", "cosine"),
+    "es_stream_classify" -> Seq("doc_id", "n_tokens", "score_micro", "pred"),
     "decontaminate_report" -> Seq("doc_id", "n_grams", "n_shared", "permille"),
     "dedup_lines" -> Seq("doc_id", "text_dedup", "n_lines", "n_dropped"),
     "dedup_spans" -> Seq("doc_id", "text_dedup", "n_tokens", "n_removed"),

@@ -80,6 +80,17 @@ class TextClassifierSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(got == want)
   }
 
+  test("scoreLinearExpr (per-row, streaming-safe) == scoreLinear (join form) bit-for-bit") {
+    val m = TextClassifier.trainLogReg(docs, "doc_id", "text",
+      col("lang") === "en", nFeatures = 256)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "score_micro", "pred").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val a = rows(TextClassifier.scoreLinear(docs, "doc_id", "text", m))
+    val b = rows(TextClassifier.scoreLinearExpr(docs, "doc_id", "text", m))
+    assert(a == b && a.size == 500)
+  }
+
   test("filterByModel keeps exactly the predicted-positive docs") {
     val m = TextClassifier.trainLogReg(docs, "doc_id", "text",
       col("lang") === "en", nFeatures = 256)
