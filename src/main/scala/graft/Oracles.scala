@@ -1101,17 +1101,47 @@ object Oracles {
     * identical literal REPLACE chain over the spaced-char representation —
     * Java/Spark and DuckDB `replace` share left-to-right non-overlapping
     * sweep semantics, so token streams agree byte-for-byte. */
-  def textBpeSql(merges: Seq[(String, String)]): String = {
+  /** The literal REPLACE chain of a merge list over the spaced-char
+    * representation of word expression `w`. */
+  private def bpeChainSql(merges: Seq[(String, String)]): String = {
     def q(s: String): String = "'" + s.replace("'", "''") + "'"
-    val chain = merges.foldLeft(
-      "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+    merges.foldLeft("' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
       case (r, (x, y)) => s"replace($r, ${q(s" $x $y ")}, ${q(s" $x$y ")})"
     }
+  }
+
+  def textBpeSql(merges: Seq[(String, String)]): String =
     s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |nz AS (SELECT w FROM w WHERE w <> ''),
-       |t AS (SELECT unnest(string_split(trim($chain), ' ')) AS token FROM nz)
+       |t AS (SELECT unnest(string_split(trim(${bpeChainSql(merges)}), ' ')) AS token FROM nz)
        |SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1""".stripMargin
-  }
+
+  /** Oracle for the token-ID capstone: same spliced REPLACE chain, then
+    * frequency-ranked ids over the WHOLE corpus (count DESC, token ASC) and
+    * word-major positions per doc — output restricted to every 10th doc
+    * like the query. Word/token ordinals ride `list_zip(xs, range(...))`
+    * (numeric struct fields: [1]=element, [2]=ordinal). */
+  def textBpeIdsSql(merges: Seq[(String, String)]): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |wz AS (SELECT doc_id, u.p[1] AS w, u.p[2] AS wi FROM (
+       |         SELECT doc_id, unnest(list_zip(ws, range(1, len(ws)+1))) AS p FROM d) u),
+       |nz AS (SELECT * FROM wz WHERE w <> ''),
+       |enc AS (SELECT doc_id, wi,
+       |          string_split(trim(${bpeChainSql(merges)}), ' ') AS toks FROM nz),
+       |tz AS (SELECT doc_id, wi, u.p[1] AS token, u.p[2] AS ti FROM (
+       |         SELECT doc_id, wi, unnest(list_zip(toks, range(1, len(toks)+1))) AS p
+       |         FROM enc) u),
+       |ids AS (SELECT token,
+       |          row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS token_id
+       |        FROM (SELECT token, count(*) AS n FROM tz GROUP BY 1
+       |              ORDER BY n DESC, token ASC LIMIT 65536)),
+       |pos AS (SELECT doc_id, token,
+       |          row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1 AS pos
+       |        FROM tz)
+       |SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+       |       CAST(i.token_id AS BIGINT) AS token_id
+       |FROM pos p JOIN ids i USING (token)
+       |WHERE p.doc_id % 10 = 0""".stripMargin
 
   // ---- Shared generated-SQL scaffolding for the PQ oracles: ONE copy of
   // the codebook VALUES, the per-subspace squared-distance lambda (book

@@ -575,6 +575,19 @@ object SparkEntry {
     Bpe.tokenFrequencies(docs, "doc_id", "text", merges)
   }
 
+  /** The pretraining-data capstone row ([[graft.operators.Bpe.encodeIds]]):
+    * every 10th document as its subword token-ID sequence — the corpus a
+    * trainer would actually consume. Same stashed merges; the generated
+    * oracle replays encode + frequency-ranked ids + word-major positions. */
+  private def qTextBpeIds(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Bpe
+    val docs = Fixtures.documents(s, sfDir)
+    val merges = Bpe.learn(docs, "doc_id", "text", numMerges = 40)
+    bpeMerges.put(sfDir, merges)
+    Bpe.encodeIds(docs, "doc_id", "text", merges)
+      .where(col("doc_id") % 10 === 0)
+  }
+
   private def qSampleWeighted(s: SparkSession, sfDir: String): DataFrame = {
     val docs = Fixtures.documents(s, sfDir)
       .withColumn("w", size(Portable.words(col("text"))).cast("double") / 400.0)
@@ -1161,6 +1174,7 @@ object SparkEntry {
     "text_vocab_encode" -> (qTextVocabEncode _),
     "text_classify" -> (qTextClassify _),
     "text_bpe" -> (qTextBpe _),
+    "text_bpe_ids" -> (qTextBpeIds _),
     "sample_mix" -> (qSampleMix _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),
@@ -1224,7 +1238,10 @@ object SparkEntry {
           Seq("text_classify" -> sql, "es_stream_classify" -> sql)))
         .getOrElse(Seq.empty) ++
       Option(bpeMerges.get(sfDir))
-        .map(m => "text_bpe" -> Oracles.textBpeSql(m))
+        .flatMap(m => Some(Seq(
+          "text_bpe" -> Oracles.textBpeSql(m),
+          "text_bpe_ids" -> Oracles.textBpeIdsSql(m))))
+        .getOrElse(Seq.empty)
 
   /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):
     * keys on the dataset [[qSimIvfKmeans]] ran against most recently —

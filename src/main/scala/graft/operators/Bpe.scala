@@ -124,4 +124,32 @@ object Bpe {
   /** Decode = concatenate a word's tokens (the representation is lossless
     * within a word; document reconstruction re-joins with spaces). */
   def decodeWord(tokens: Column): Column = concat_ws("", tokens)
+
+  /** Frequency-ranked token-id table for the learned subword vocabulary:
+    * top-`maxVocab` tokens by (count DESC, token ASC), dense 0-based ids —
+    * the subword sibling of `TextOps.rankVocab` (same driver-bounded
+    * window-after-limit shape; a BPE vocab is chars+merges, so `maxVocab`
+    * is a guard, not a working limit). */
+  def tokenIds(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)], maxVocab: Int = 65536): DataFrame = {
+    val top = tokenFrequencies(docs, idCol, textCol, merges)
+      .orderBy(col("n").desc, col("token").asc).limit(maxVocab)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    top.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .select("token", "token_id")
+  }
+
+  /** The pretraining-data capstone: corpus -> per-doc token-ID sequences.
+    * `(id, pos, token_id)` with `pos` the whole-doc subword position
+    * (word-major; positions are assigned BEFORE the id join, so a
+    * hypothetical over-`maxVocab` OOV drop leaves holes rather than
+    * renumbering). Plan: the encode chain (map-only) + one doc-keyed
+    * window + a broadcast id join — no corpus-sized shuffle beyond the
+    * per-doc ordering. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)], maxVocab: Int = 65536): DataFrame =
+    encode(docs, idCol, textCol, merges)
+      .join(broadcast(tokenIds(docs, idCol, textCol, merges, maxVocab)), Seq("token"))
+      .select(col(idCol), col("pos"), col("token_id"))
 }

@@ -80,6 +80,24 @@ class BpeSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("encodeIds: dense ids by frequency, id-decoded sequences reconstruct the doc") {
+    val merges = Bpe.learn(docs, "doc_id", "text", numMerges = 20)
+    val ids = Bpe.tokenIds(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dense 0..V-1, rank order = (freq desc, token asc)
+    assert(ids.values.toSeq.sorted == (0L until ids.size).toSeq)
+    val back = ids.map(_.swap)
+    val seqs = Bpe.encodeIds(docs, "doc_id", "text", merges)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(r => back(r.getLong(2))).mkString("")
+      }
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).mkString(""))
+      .toMap
+    assert(seqs == want, "id-decoded concatenation must equal the space-stripped doc")
+  }
+
   test("encode emits word-major positions; frequencies agree with encode") {
     val merges = Bpe.learn(docs, "doc_id", "text", numMerges = 20)
     val enc = Bpe.encode(docs.limit(50), "doc_id", "text", merges)

@@ -824,6 +824,7 @@ class PlanAuditSpec extends SparkTestBase {
     "text_vocab_encode" -> Seq("doc_id", "pos", "token_id"),
     "text_classify" -> Seq("doc_id", "n_tokens", "score_micro", "pred"),
     "text_bpe" -> Seq("token", "n"),
+    "text_bpe_ids" -> Seq("doc_id", "pos", "token_id"),
     "es_compact_zorder" -> Seq("base_offset", "base_timestamp", "event_type"),
     "sample_mix" -> Seq("doc_id", "source"),
     "shuffle_shards" -> Seq("doc_id", "shuffle_key", "shard", "shard_pos"),
