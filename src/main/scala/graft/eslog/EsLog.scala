@@ -151,43 +151,69 @@ object EsLog {
     * bounded by its parallelism, and covered by task retries/timeouts. The
     * footer open also yields the file length, so the commit needs no separate
     * per-file stat/HEAD round trips. */
+  private def readFooter(base: String, rel: String,
+                         conf: org.apache.hadoop.conf.Configuration): (String, FooterInfo) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(base), rel), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var rows = 0L
+      var minOff = Long.MaxValue; var maxOff = Long.MinValue; var statsOk = true
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        rows += block.getRowCount
+        block.getColumns.asScala.find(_.getPath.toDotString == "base_offset") match {
+          case Some(c) =>
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              c.getStatistics
+            if (st == null || !st.hasNonNullValue) statsOk = false
+            else {
+              minOff = math.min(minOff, st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+              maxOff = math.max(maxOff, st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+          case None => statsOk = false
+        }
+      }
+      val haveStats = statsOk && rows > 0
+      rel -> FooterInfo(rows, in.getLength,
+        if (haveStats) Some(minOff) else None, if (haveStats) Some(maxOff) else None)
+    } finally reader.close()
+  }
+
+  /** Commits at or below this many files read footers on the DRIVER (a small
+    * thread pool): a routine commit then skips a whole Spark job's schedule/
+    * collect round-trip (~25-50 ms of the append critical path). Above it,
+    * the executor-side job takes over — see [[footerAudit]]'s rationale. */
+  private val DriverFooterAuditMax = 32
+
   private def footerAudit(spark: SparkSession, streamDir: String,
                           relPaths: Seq[String]): Map[String, FooterInfo] = {
     val conf = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
     // fully-qualified so the executor-side FS resolution matches the driver's
     val base = dataFs(streamDir).makeQualified(hpath(streamDir)).toString
-    // Footer opens are ~1 ms each: pack several per task so a routine commit
-    // (tens of files) pays one small job, not one task per file; a
-    // thousands-file commit still spreads across the cluster.
-    val perTask = 8
-    val slices = math.max(1, math.min(
-      (relPaths.size + perTask - 1) / perTask, spark.sparkContext.defaultParallelism * 4))
-    spark.sparkContext.parallelize(relPaths, slices).map { rel =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(base), rel), conf())
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    if (relPaths.size <= DriverFooterAuditMax) {
+      // small commit: bounded driver pool, same reads, no job overhead
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, relPaths.size)))
       try {
-        var rows = 0L
-        var minOff = Long.MaxValue; var maxOff = Long.MinValue; var statsOk = true
-        reader.getFooter.getBlocks.asScala.foreach { block =>
-          rows += block.getRowCount
-          block.getColumns.asScala.find(_.getPath.toDotString == "base_offset") match {
-            case Some(c) =>
-              val st: org.apache.parquet.column.statistics.Statistics[_] =
-                c.getStatistics
-              if (st == null || !st.hasNonNullValue) statsOk = false
-              else {
-                minOff = math.min(minOff, st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
-                maxOff = math.max(maxOff, st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-              }
-            case None => statsOk = false
-          }
-        }
-        val haveStats = statsOk && rows > 0
-        rel -> FooterInfo(rows, in.getLength,
-          if (haveStats) Some(minOff) else None, if (haveStats) Some(maxOff) else None)
-      } finally reader.close()
-    }.collect().toMap
+        import scala.jdk.CollectionConverters._
+        val c = conf()
+        pool.invokeAll(relPaths.map { rel =>
+          (() => readFooter(base, rel, c)): java.util.concurrent.Callable[(String, FooterInfo)]
+        }.asJava).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    } else {
+      // Footer opens are ~1 ms each: pack several per task so a mid-size
+      // commit pays one small job; a thousands-file commit spreads across
+      // the cluster, bounded by its parallelism, covered by task retries —
+      // and keeps the commit critical section free of unbounded driver-side
+      // GETs at an object store.
+      val perTask = 8
+      val slices = math.max(1, math.min(
+        (relPaths.size + perTask - 1) / perTask, spark.sparkContext.defaultParallelism * 4))
+      spark.sparkContext.parallelize(relPaths, slices)
+        .map(rel => readFooter(base, rel, conf()))
+        .collect().toMap
+    }
   }
 
   /** Map written `part-<pid>-*` files to per-partition stats and build their
