@@ -56,6 +56,8 @@ object Bpe {
     var repr = words.select(spacedChars(col("w")).as("r"), col("n"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var lastCheckpoint = repr
+    var sinceCheckpoint = 0
     var continue = true
     while (continue && merges.size < numMerges) {
       // adjacent symbol pairs of the current representation, weighted by n
@@ -74,15 +76,22 @@ object Bpe {
       else {
         val (x, y) = (best.head.getString(0), best.head.getString(1))
         merges += ((x, y))
-        val next = repr.select(
-            call_function("replace", col("r"), lit(s" $x $y "), lit(s" $x$y ")).as("r"),
-            col("n"))
-          .localCheckpoint()
-        repr.unpersist()
-        repr = next
+        // chain up to 8 sweeps per checkpoint: truncation keeps planning
+        // O(1) per round, but materializing EVERY round doubled the loop's
+        // job count — a depth-8 replace chain is still trivially plannable
+        val chained = repr.select(
+          call_function("replace", col("r"), lit(s" $x $y "), lit(s" $x$y ")).as("r"),
+          col("n"))
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= 8) {
+          repr = chained.localCheckpoint()
+          lastCheckpoint.unpersist()
+          lastCheckpoint = repr
+          sinceCheckpoint = 0
+        } else repr = chained
       }
     }
-    repr.unpersist()
+    lastCheckpoint.unpersist()
     merges.toSeq
   }
 
