@@ -758,6 +758,25 @@ object Oracles {
     * mass → limiting-source total → per-source keep fraction) and the same
     * floor-threshold draw as the Spark operator — the IEEE double chain is
     * written in the identical order so both engines agree bit-for-bit. */
+  /** Token-budget mixing: seeded-hash admission order per source, integer
+    * running token sum, cut where the running total would cross the
+    * budget — all-integer, bit-exact. */
+  private val sampleTokenBudget = {
+    val budgetRows = (0 until 10).map(i => s"('src$i', CAST(600 AS BIGINT))").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |             ${H.hash60Sql(7, "CAST(doc_id AS VARCHAR)")} AS h
+       |           FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |      FROM t),
+       |b AS (SELECT * FROM (VALUES $budgetRows) x(source, budget))
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM c JOIN b USING (source)
+       |WHERE cum_tokens <= budget""".stripMargin
+  }
+
   private val sampleMix =
     s"""WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS mass FROM documents),
        |w AS (SELECT * FROM (VALUES
@@ -1515,6 +1534,7 @@ object Oracles {
     "es_agg_by_type" -> esAggByType,
     "es_compact" -> esCompact,
     "es_compact_zorder" -> esCompactZorder,
+    "sample_token_budget" -> sampleTokenBudget,
     "es_snapshot" -> esSnapshot,
     "es_catalog" -> esCatalog,
     "es_catalog_scan" -> esCatalogScan,

@@ -588,6 +588,15 @@ object SparkEntry {
       .where(col("doc_id") % 10 === 0)
   }
 
+  /** Token-budget mixing ([[graft.operators.Sampling.sampleToTokenBudget]]):
+    * the first 10 sources admitted to 600 tokens each in seeded-hash order —
+    * pretraining recipes are specified in tokens, and the integer running
+    * sum makes the cut oracle-exact. */
+  private def qSampleTokenBudget(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.sampleToTokenBudget(
+      Fixtures.documents(s, sfDir), "doc_id", "text", "source",
+      (0 until 10).map(i => s"src$i" -> 600L), seed = 7)
+
   private def qSampleWeighted(s: SparkSession, sfDir: String): DataFrame = {
     val docs = Fixtures.documents(s, sfDir)
       .withColumn("w", size(Portable.words(col("text"))).cast("double") / 400.0)
@@ -1176,6 +1185,7 @@ object SparkEntry {
     "text_bpe" -> (qTextBpe _),
     "text_bpe_ids" -> (qTextBpeIds _),
     "sample_mix" -> (qSampleMix _),
+    "sample_token_budget" -> (qSampleTokenBudget _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),
     "shuffle_shards" -> (qShuffleShards _),

@@ -115,6 +115,40 @@ object Sampling {
       .select(col(idCol), col(sourceCol))
   }
 
+  /** Admit documents per source until a TOKEN budget is met — the "data
+    * recipe" mixing step: pretraining mixes are specified in tokens, not
+    * documents, so the admission unit must be the token count. Docs are
+    * considered in a deterministic seeded-hash order (a reproducible
+    * shuffle, so the admitted set is an unbiased sample of the source, not
+    * its head) and admitted while the running token total INCLUDING the
+    * doc stays within the budget; the doc that would cross it, and
+    * everything after, is cut. Sources absent from `budgets` are dropped.
+    *
+    * Emits `(id, source, n_tokens, cum_tokens)` — all integers, so the SQL
+    * oracle reproduces the cut bit-for-bit. Scale: one keyed window per
+    * source (a single shuffle on the source key; no global order), budget
+    * table broadcasts. Skewed source sizes are fine — the window's state is
+    * one running sum. */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, budgets: Seq[(String, Long)],
+                          seed: Int = 7): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0), "budgets must be >= 0")
+    require(budgets.map(_._1).distinct.size == budgets.size, "duplicate source")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = broadcast(budgets.toDF("_src", "_budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(Portable.hash60(seed, col(idCol).cast("string")).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol), col(sourceCol),
+        size(Portable.words(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(b, col(sourceCol) === col("_src"))
+      .where(col("cum_tokens") <= col("_budget"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
                        fractions: Seq[(String, (Int, Int))],
                        default: (Int, Int) = (1, 1)): DataFrame = {

@@ -353,6 +353,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(s1.sameElements(s2) && s1.nonEmpty && s1.length < 100)
   }
 
+  test("token-budget mixing: budgets respected exactly, greedy cut, deterministic order") {
+    import graft.operators.Sampling
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val budgets = Seq("src0" -> 600L, "src1" -> 600L, "src2" -> 0L)
+    val out = Sampling.sampleToTokenBudget(docs, "doc_id", "text", "source", budgets)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // per-source: total within budget, and the NEXT doc in admission order
+    // would have crossed it (the cut is greedy-maximal)
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.keySet == Set("src0", "src1"), s"src2 (budget 0) must be empty: ${bySrc.keySet}")
+    bySrc.foreach { case (src, rs) =>
+      val total = rs.map(_._3).sum
+      assert(total <= 600L && total == rs.map(_._4).max)
+      val admitted = rs.map(_._1).toSet
+      val next = docs.where(col("source") === src)
+        .select(col("doc_id"),
+          graft.functions.Portable.hash60(7, col("doc_id").cast("string")).as("h"),
+          size(graft.functions.Portable.words(col("text"))).cast("long").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._2, t._1))
+        .find(t => !admitted(t._1))
+      next.foreach { case (_, _, n) =>
+        assert(total + n > 600L, s"$src: next doc ($n toks) would still fit under 600")
+      }
+    }
+    // determinism
+    val again = Sampling.sampleToTokenBudget(docs, "doc_id", "text", "source", budgets)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_._1).toSet)
+  }
+
   test("weighted sampling: P(keep) tracks weight, deterministic, certainty at w>=1") {
     import graft.operators.Sampling
     val docs = spark.range(4000).select(
@@ -827,6 +859,7 @@ class PlanAuditSpec extends SparkTestBase {
     "text_bpe_ids" -> Seq("doc_id", "pos", "token_id"),
     "es_compact_zorder" -> Seq("base_offset", "base_timestamp", "event_type"),
     "sample_mix" -> Seq("doc_id", "source"),
+    "sample_token_budget" -> Seq("doc_id", "source", "n_tokens", "cum_tokens"),
     "shuffle_shards" -> Seq("doc_id", "shuffle_key", "shard", "shard_pos"),
     "sim_exact" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
