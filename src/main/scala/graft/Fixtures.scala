@@ -1049,6 +1049,40 @@ object Fixtures {
       name
     })
 
+  /** STREAMING tokenization — "tokenize the crawl as it arrives": the BPE
+    * merges and the frequency-ranked id table are learned ONCE in batch
+    * (deterministic, so they equal `text_bpe_ids`'s) and each micro-batch
+    * of the docs stream encodes to (doc, pos, token_id) via the map-only
+    * encode + broadcast id join — STATELESS (the window-free flatten form
+    * of Bpe.encode is what makes this legal). The fourth persisted-artifact
+    * streaming screen beside sketch/index/model. */
+  def streamBpeTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-bpe", {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Bpe
+      tune(s)
+      val src = docsStream(s, sfDir)
+      val docs = documents(s, sfDir)
+      val merges = Bpe.learn(docs, "doc_id", "text", numMerges = 40)
+      val ids = Bpe.tokenIds(docs, "doc_id", "text", merges).persist()
+      ids.count() // materialize once; every micro-batch broadcasts it
+      val perTrigger = math.max(docs.count() / 8, 1L)
+      val name = "graft_stream_bpe_" + math.abs(sfDir.hashCode).toString
+      val stream = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+      val q = Bpe.encodeWithIds(stream, "doc_id", "text", merges, ids)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      ids.unpersist()
+      name
+    })
+
   /** Documents round-tripped through the wire codec into a stream. */
   def codecStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "codec") { dir =>

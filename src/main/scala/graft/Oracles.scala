@@ -1141,6 +1141,14 @@ object Oracles {
     * like the query. Word/token ordinals ride `list_zip(xs, range(...))`
     * (numeric struct fields: [1]=element, [2]=ordinal). */
   def textBpeIdsSql(merges: Seq[(String, String)]): String =
+    textBpeIdsSqlWhere(merges, "WHERE p.doc_id % 10 = 0")
+
+  /** Streaming-tokenization variant: every doc (the stream covers the whole
+    * corpus). */
+  def esStreamBpeSql(merges: Seq[(String, String)]): String =
+    textBpeIdsSqlWhere(merges, "")
+
+  private def textBpeIdsSqlWhere(merges: Seq[(String, String)], where: String): String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |wz AS (SELECT doc_id, u.p[1] AS w, u.p[2] AS wi FROM (
        |         SELECT doc_id, unnest(list_zip(ws, range(1, len(ws)+1))) AS p FROM d) u),
@@ -1160,7 +1168,7 @@ object Oracles {
        |SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
        |       CAST(i.token_id AS BIGINT) AS token_id
        |FROM pos p JOIN ids i USING (token)
-       |WHERE p.doc_id % 10 = 0""".stripMargin
+       |$where""".stripMargin
 
   // ---- Shared generated-SQL scaffolding for the PQ oracles: ONE copy of
   // the codebook VALUES, the per-subspace squared-distance lambda (book

@@ -295,6 +295,18 @@ object SparkEntry {
     s.table(Fixtures.streamClassifyTable(s, sfDir))
   }
 
+  /** Streaming tokenization ([[Fixtures.streamBpeTable]]): the docs stream
+    * encoded to token-ID sequences per micro-batch with the batch-learned
+    * tokenizer artifact — stateless map + broadcast join; merges retrained
+    * here (deterministic == the fixture's) to stash for the generated
+    * oracle. */
+  private def qEsStreamBpe(s: SparkSession, sfDir: String): DataFrame = {
+    val merges = graft.operators.Bpe.learn(
+      Fixtures.documents(s, sfDir), "doc_id", "text", numMerges = 40)
+    bpeMerges.put(sfDir, merges)
+    s.table(Fixtures.streamBpeTable(s, sfDir))
+  }
+
   /** Stream-static enrichment ([[Fixtures.streamDimEnrichTable]]): two
     * chained broadcast joins against static relations inside a streaming
     * query — completes the join matrix (stream-stream: `es_stream_join`;
@@ -1147,6 +1159,7 @@ object SparkEntry {
     "es_stream_decontaminate" -> (qEsStreamDecontaminate _),
     "es_stream_semantic" -> (qEsStreamSemantic _),
     "es_stream_classify" -> (qEsStreamClassify _),
+    "es_stream_bpe" -> (qEsStreamBpe _),
     "es_watch_meta" -> (qEsWatchMeta _),
     "es_watch_catalog" -> (qEsWatchCatalog _),
     "es_history" -> (qEsHistory _),
@@ -1250,7 +1263,8 @@ object SparkEntry {
       Option(bpeMerges.get(sfDir))
         .flatMap(m => Some(Seq(
           "text_bpe" -> Oracles.textBpeSql(m),
-          "text_bpe_ids" -> Oracles.textBpeIdsSql(m))))
+          "text_bpe_ids" -> Oracles.textBpeIdsSql(m),
+          "es_stream_bpe" -> Oracles.esStreamBpeSql(m))))
         .getOrElse(Seq.empty)
 
   /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):

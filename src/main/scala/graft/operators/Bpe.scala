@@ -105,20 +105,19 @@ object Bpe {
   }
 
   /** Encode every document: `(id, pos, token)` rows — token positions are
-    * word-major (whole-doc token order), empty words dropped. One generate +
-    * one codegen'd replace chain, no shuffle. */
+    * word-major (whole-doc token order), empty words dropped. The per-word
+    * token arrays FLATTEN before the single posexplode, so positions come
+    * straight from array order: one generate + one codegen'd replace chain,
+    * no window, NO SHUFFLE AT ALL — which also makes it legal inside a
+    * streaming micro-batch. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame =
     docs
       .select(col(idCol),
-        expr(s"filter(split($textCol, ' ', -1), w -> w != '')").as("_ws"))
-      .select(col(idCol), posexplode(col("_ws")).as(Seq("_wi", "_w")))
-      .select(col(idCol), col("_wi"),
-        posexplode(encodeExpr(col("_w"), merges)).as(Seq("_ti", "token")))
-      .withColumn("pos",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(idCol).orderBy(col("_wi"), col("_ti"))).cast("long") - 1L)
-      .select(col(idCol), col("pos"), col("token"))
+        posexplode(flatten(transform(
+          expr(s"filter(split($textCol, ' ', -1), w -> w != '')"),
+          w => encodeExpr(w, merges)))).as(Seq("pos", "token")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("token"))
 
   /** Corpus token frequencies under the learned merges — the compact
     * whole-corpus view (and the oracle-checked query shape). */
@@ -158,7 +157,16 @@ object Bpe {
     * per-doc ordering. */
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)], maxVocab: Int = 65536): DataFrame =
+    encodeWithIds(docs, idCol, textCol, merges,
+      tokenIds(docs, idCol, textCol, merges, maxVocab))
+
+  /** [[encodeIds]] against a PRE-BUILT id table — the deployment shape:
+    * merges and ids are the persisted tokenizer artifact, and encoding is a
+    * pure map + broadcast join, so it runs unchanged inside a streaming
+    * micro-batch (tokenize the crawl as it arrives). */
+  def encodeWithIds(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)], ids: DataFrame): DataFrame =
     encode(docs, idCol, textCol, merges)
-      .join(broadcast(tokenIds(docs, idCol, textCol, merges, maxVocab)), Seq("token"))
+      .join(broadcast(ids.select(col("token"), col("token_id"))), Seq("token"))
       .select(col(idCol), col("pos"), col("token_id"))
 }

@@ -857,6 +857,7 @@ class PlanAuditSpec extends SparkTestBase {
     "text_classify" -> Seq("doc_id", "n_tokens", "score_micro", "pred"),
     "text_bpe" -> Seq("token", "n"),
     "text_bpe_ids" -> Seq("doc_id", "pos", "token_id"),
+    "es_stream_bpe" -> Seq("doc_id", "pos", "token_id"),
     "es_compact_zorder" -> Seq("base_offset", "base_timestamp", "event_type"),
     "sample_mix" -> Seq("doc_id", "source"),
     "sample_token_budget" -> Seq("doc_id", "source", "n_tokens", "cum_tokens"),
