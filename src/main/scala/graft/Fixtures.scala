@@ -60,6 +60,11 @@ object Fixtures {
   def tune(s: SparkSession): Unit = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
+    // NOT set here: spark.sql.files.maxPartitionBytes. A same-JVM A/B on the
+    // 64 KiB-batch scan showed the default 128 MiB splits already yield full
+    // parallelism (leaf default parallelism floors the split count) and
+    // 16 MiB splits were no faster — don't tune what measurement doesn't
+    // support.
   }
 
   /** The events table with `ts` ALWAYS a BIGINT of epoch nanos. The driver
