@@ -1029,15 +1029,14 @@ object Fixtures {
     * Completes the persisted-artifact streaming triple: sketch →
     * es_stream_decontaminate, ANN index → es_stream_semantic, model →
     * this. */
-  def streamClassifyTable(s: SparkSession, sfDir: String): String =
+  def streamClassifyTable(s: SparkSession, sfDir: String,
+                          model: graft.operators.TextClassifier.LinearModel): String =
     cache.getOrElseUpdate(s"$sfDir#stream-classify", {
       import org.apache.spark.sql.streaming.Trigger
       import graft.operators.TextClassifier
       tune(s)
       val src = docsStream(s, sfDir)
       val docs = documents(s, sfDir)
-      val model = TextClassifier.trainLogReg(docs, "doc_id", "text",
-        col("lang") === "en", nFeatures = 256)
       val perTrigger = math.max(docs.count() / 8, 1L)
       val name = "graft_stream_classify_" + math.abs(sfDir.hashCode).toString
       val stream = s.readStream.format("eslog")
@@ -1061,14 +1060,14 @@ object Fixtures {
     * encode + broadcast id join — STATELESS (the window-free flatten form
     * of Bpe.encode is what makes this legal). The fourth persisted-artifact
     * streaming screen beside sketch/index/model. */
-  def streamBpeTable(s: SparkSession, sfDir: String): String =
+  def streamBpeTable(s: SparkSession, sfDir: String,
+                     merges: Seq[(String, String)]): String =
     cache.getOrElseUpdate(s"$sfDir#stream-bpe", {
       import org.apache.spark.sql.streaming.Trigger
       import graft.operators.Bpe
       tune(s)
       val src = docsStream(s, sfDir)
       val docs = documents(s, sfDir)
-      val merges = Bpe.learn(docs, "doc_id", "text", numMerges = 40)
       val ids = Bpe.tokenIds(docs, "doc_id", "text", merges).persist()
       ids.count() // materialize once; every micro-batch broadcasts it
       val perTrigger = math.max(docs.count() / 8, 1L)

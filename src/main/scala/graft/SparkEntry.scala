@@ -288,11 +288,11 @@ object SparkEntry {
     * so identical to the fixture's) to stash weights for the generated
     * oracle, which is `text_classify`'s. */
   private def qEsStreamClassify(s: SparkSession, sfDir: String): DataFrame = {
-    val model = graft.operators.TextClassifier.trainLogReg(
-      Fixtures.documents(s, sfDir), "doc_id", "text",
-      col("lang") === "en", nFeatures = 256)
-    classifierModels.put(sfDir, model)
-    s.table(Fixtures.streamClassifyTable(s, sfDir))
+    val model = classifierModels.computeIfAbsent(sfDir, _ =>
+      graft.operators.TextClassifier.trainLogReg(
+        Fixtures.documents(s, sfDir), "doc_id", "text",
+        col("lang") === "en", nFeatures = 256))
+    s.table(Fixtures.streamClassifyTable(s, sfDir, model))
   }
 
   /** Streaming tokenization ([[Fixtures.streamBpeTable]]): the docs stream
@@ -300,12 +300,8 @@ object SparkEntry {
     * tokenizer artifact — stateless map + broadcast join; merges retrained
     * here (deterministic == the fixture's) to stash for the generated
     * oracle. */
-  private def qEsStreamBpe(s: SparkSession, sfDir: String): DataFrame = {
-    val merges = graft.operators.Bpe.learn(
-      Fixtures.documents(s, sfDir), "doc_id", "text", numMerges = 40)
-    bpeMerges.put(sfDir, merges)
-    s.table(Fixtures.streamBpeTable(s, sfDir))
-  }
+  private def qEsStreamBpe(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamBpeTable(s, sfDir, bpeMergesFor(s, sfDir)))
 
   /** Stream-static enrichment ([[Fixtures.streamDimEnrichTable]]): two
     * chained broadcast joins against static relations inside a streaming
@@ -578,6 +574,14 @@ object SparkEntry {
   private val bpeMerges = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(String, String)]]()
 
+  /** Train-or-reuse: learning is deterministic, so the per-sfDir stash is
+    * safe to share across the four BPE-family queries — EXCEPT `text_bpe`
+    * itself, which always retrains (it is the benched query; a memoized
+    * no-op would fake its steady-state figure). */
+  private def bpeMergesFor(s: SparkSession, sfDir: String): Seq[(String, String)] =
+    bpeMerges.computeIfAbsent(sfDir, _ => graft.operators.Bpe.learn(
+      Fixtures.documents(s, sfDir), "doc_id", "text", numMerges = 40))
+
   private def qTextBpe(s: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Bpe
     val docs = Fixtures.documents(s, sfDir)
@@ -591,14 +595,10 @@ object SparkEntry {
     * every 10th document as its subword token-ID sequence — the corpus a
     * trainer would actually consume. Same stashed merges; the generated
     * oracle replays encode + frequency-ranked ids + word-major positions. */
-  private def qTextBpeIds(s: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.Bpe
-    val docs = Fixtures.documents(s, sfDir)
-    val merges = Bpe.learn(docs, "doc_id", "text", numMerges = 40)
-    bpeMerges.put(sfDir, merges)
-    Bpe.encodeIds(docs, "doc_id", "text", merges)
+  private def qTextBpeIds(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Bpe.encodeIds(Fixtures.documents(s, sfDir), "doc_id", "text",
+        bpeMergesFor(s, sfDir))
       .where(col("doc_id") % 10 === 0)
-  }
 
   /** Token-budget mixing ([[graft.operators.Sampling.sampleToTokenBudget]]):
     * the first 10 sources admitted to 600 tokens each in seeded-hash order —
@@ -1257,14 +1257,14 @@ object SparkEntry {
       Option(ivfPqParams.get(sfDir))
         .map { case (c, b) => "sim_ivf_pq" -> Oracles.simIvfPqSql(c, b) } ++
       Option(classifierModels.get(sfDir))
-        .flatMap(m => Some(Oracles.textClassifySql(m)).map(sql =>
-          Seq("text_classify" -> sql, "es_stream_classify" -> sql)))
+        .map(m => Oracles.textClassifySql(m))
+        .map(sql => Seq("text_classify" -> sql, "es_stream_classify" -> sql))
         .getOrElse(Seq.empty) ++
       Option(bpeMerges.get(sfDir))
-        .flatMap(m => Some(Seq(
+        .map(m => Seq(
           "text_bpe" -> Oracles.textBpeSql(m),
           "text_bpe_ids" -> Oracles.textBpeIdsSql(m),
-          "es_stream_bpe" -> Oracles.esStreamBpeSql(m))))
+          "es_stream_bpe" -> Oracles.esStreamBpeSql(m)))
         .getOrElse(Seq.empty)
 
   /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):

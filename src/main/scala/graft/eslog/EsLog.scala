@@ -191,14 +191,29 @@ object EsLog {
     // fully-qualified so the executor-side FS resolution matches the driver's
     val base = dataFs(streamDir).makeQualified(hpath(streamDir)).toString
     if (relPaths.size <= DriverFooterAuditMax) {
-      // small commit: bounded driver pool, same reads, no job overhead
+      // small commit: bounded driver pool, same reads, no job overhead.
+      // The executor-side path below inherits Spark's task retries; this
+      // path must provide its own, or one transient storage hiccup on one
+      // footer GET would abort the whole commit.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(8, relPaths.size)))
       try {
         import scala.jdk.CollectionConverters._
         val c = conf()
+        def withRetry(rel: String): (String, FooterInfo) = {
+          var attempt = 0
+          while (true) {
+            try return readFooter(base, rel, c)
+            catch {
+              case e: java.io.IOException if attempt < 2 =>
+                attempt += 1
+                Thread.sleep(50L << attempt)
+            }
+          }
+          throw new IllegalStateException("unreachable")
+        }
         pool.invokeAll(relPaths.map { rel =>
-          (() => readFooter(base, rel, c)): java.util.concurrent.Callable[(String, FooterInfo)]
+          (() => withRetry(rel)): java.util.concurrent.Callable[(String, FooterInfo)]
         }.asJava).asScala.map(_.get()).toMap
       } finally pool.shutdown()
     } else {

@@ -47,7 +47,10 @@ object Portable {
     * and the SQL oracle can never diverge on overflow semantics. */
   val UHPrime: Long = 2147483647L
 
-  private def md5Long(s: String): Long = {
+  /** JVM twin of [[hash60]] (first 15 hex chars of md5 as a long) — shared
+    * so driver-side featurization (e.g. classifier training) can never
+    * desynchronize from the distributed bucket expression. */
+  private[graft] def md5Long(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString.take(15)
     java.lang.Long.parseLong(hex, 16)

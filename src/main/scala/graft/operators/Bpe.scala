@@ -150,11 +150,11 @@ object Bpe {
 
   /** The pretraining-data capstone: corpus -> per-doc token-ID sequences.
     * `(id, pos, token_id)` with `pos` the whole-doc subword position
-    * (word-major; positions are assigned BEFORE the id join, so a
-    * hypothetical over-`maxVocab` OOV drop leaves holes rather than
-    * renumbering). Plan: the encode chain (map-only) + one doc-keyed
-    * window + a broadcast id join — no corpus-sized shuffle beyond the
-    * per-doc ordering. */
+    * (word-major, straight from the flattened array order — [[encode]] is
+    * window- and shuffle-free; positions are assigned BEFORE the id join,
+    * so a hypothetical over-`maxVocab` OOV drop leaves holes rather than
+    * renumbering). Plan: the map-only encode chain + a broadcast id join —
+    * no corpus-sized shuffle at all. */
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)], maxVocab: Int = 65536): DataFrame =
     encodeWithIds(docs, idCol, textCol, merges,

@@ -141,10 +141,13 @@ object Sampling {
       .partitionBy(col(sourceCol))
       .orderBy(Portable.hash60(seed, col(idCol).cast("string")).asc, col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // budget join BEFORE the window: out-of-recipe sources drop before the
+    // source-keyed shuffle instead of riding it only to be discarded, and
+    // pruning whole sources cannot change surviving sources' running sums
     df.select(col(idCol), col(sourceCol),
         size(Portable.words(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .join(b, col(sourceCol) === col("_src"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .where(col("cum_tokens") <= col("_budget"))
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_tokens"))
   }

@@ -48,14 +48,11 @@ object TextClassifier {
   def bucketSql(tokExpr: String, nFeatures: Int): String =
     s"(${Portable.hash60Sql(tokExpr)} % $nFeatures)"
 
-  // JVM twin of the bucket expression, used only at training time. Must
-  // agree with `bucket` exactly: first 15 hex chars of md5 => 60 bits.
-  private def bucketJvm(tok: String, nFeatures: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(tok.getBytes("UTF-8")).take(8)
-      .map(b => f"$b%02x").mkString.take(15)
-    (java.lang.Long.parseLong(hex, 16) % nFeatures).toInt
-  }
+  // JVM twin of the bucket expression, used only at training time —
+  // delegates to the ONE md5-to-long primitive so it can never drift from
+  // the distributed `bucket` expression.
+  private def bucketJvm(tok: String, nFeatures: Int): Int =
+    (Portable.md5Long(tok) % nFeatures).toInt
 
   /** Fit a logistic-regression model on a bounded deterministic sample.
     *

@@ -144,9 +144,13 @@ class EsLogSpec extends SparkTestBase {
     EsLog.create(dir2); EsLog.open(dir2, 1L)
     EsLog.append(spark, dir2, down, 1L) // default 128 MiB target
     val files2 = graft.meta.MetaLog.load(dir2).allFiles
+    // expectation mirrors the policy INCLUDING the 2x hysteresis: on hosts
+    // where the floor exceeds cur/2 the input partitioning is (by design)
+    // left alone, so derive the expected count rather than assuming
     val floor = math.min(24, math.max(2, spark.sparkContext.defaultParallelism / 4))
-    assert(files2.size == floor,
-      s"24 tiny partitions should coalesce to the parallelism floor $floor, got ${files2.size}")
+    val expected = if (floor * 2 <= 24) floor else 24
+    assert(files2.size == expected,
+      s"24 tiny partitions should coalesce to $expected (floor $floor), got ${files2.size}")
     assert(EsLog.scan(spark, dir2).count() == 4096)
 
     // explicit numPartitions still wins over the policy
