@@ -730,8 +730,11 @@ object EsLog {
     * target): rewrite each sealed segment's files into ~targetBytes files and
     * swap them in the manifest atomically ([[graft.meta.ReplaceFiles]]).
     * Readers are never blocked: files are immutable, the swap is one CAS
-    * commit, and old files are deleted only after it lands. At 100 TB this is
-    * what keeps a long-lived stream from accumulating unbounded small files.
+    * commit, and replaced files are left for [[vacuum]]'s grace-protected
+    * sweep by default (`deferDelete`) — a reader pinned on the pre-swap
+    * manifest keeps its files for the same horizon trim gives it. At 100 TB
+    * this is what keeps a long-lived stream from accumulating unbounded
+    * small files.
     *
     * `clusterBy` makes the rewrite LAYOUT-AWARE (the lakehouse
     * OPTIMIZE..ZORDER shape): files are still assigned by base_offset range
@@ -746,7 +749,8 @@ object EsLog {
   def compact(spark: SparkSession, streamDir: String,
               targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
-              blockBytes: Long = 16L * 1024 * 1024): StreamState = {
+              blockBytes: Long = 16L * 1024 * 1024,
+              deferDelete: Boolean = true): StreamState = {
     var st = MetaLog.load(streamDir)
     st.segments.filter(s => s.sealed_ && s.files.size > 1).foreach { seg =>
       val totalBytes = seg.files.map(_.bytes).sum
@@ -808,9 +812,16 @@ object EsLog {
             Seq(ReplaceFiles(seg.index, removed, added))
           else Seq.empty
         }
-        if (st.segments.find(_.index == seg.index).exists(_.files.map(_.path) == added.map(_.path)))
-          removed.foreach(rel => dataFs(streamDir).delete(hpath(join(streamDir, rel)), false))
-        else {
+        if (st.segments.find(_.index == seg.index).exists(_.files.map(_.path) == added.map(_.path))) {
+          if (!deferDelete)
+            removed.foreach(rel => dataFs(streamDir).delete(hpath(join(streamDir, rel)), false))
+          // deferDelete (default): the replaced files stay on disk,
+          // unreferenced, until vacuum() sweeps them after its grace period
+          // — a reader pinned on the pre-swap manifest keeps its files for
+          // the same horizon trim gives it (files are immutable, so the
+          // read stays CORRECT; only reclamation is deferred). This is the
+          // delayed-GC discipline of every production table format.
+        } else {
           // lost the race — drop the rewritten copy instead
           deleteRecursively(outAbs)
         }

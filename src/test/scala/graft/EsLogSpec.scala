@@ -564,7 +564,7 @@ class EsLogSpec extends SparkTestBase {
     assert(decoded.map(d => new String(d.payload)).toSet == rows.map(r => new String(r.payload)).toSet)
   }
 
-  test("compaction: sealed segment files merge, scan identical, old files gone") {
+  test("compaction: sealed segment files merge, scan identical, originals deferred to vacuum") {
     val dir = tmpDir("eslog-compact-")
     EsLog.create(dir); EsLog.open(dir, 1L)
     val input = spark.range(1000).select(
@@ -588,7 +588,12 @@ class EsLogSpec extends SparkTestBase {
       .agg(expr("bit_xor(xxhash64(base_offset, last_offset_delta, payload))"))
       .collect().head.getLong(0)
     assert(hashBefore == hashAfter)
-    // old files physically removed; fetch still prunes correctly
+    // replaced files stay for pinned readers (grace-deferred reclamation)...
+    oldPaths.foreach(p => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, p)),
+      s"replaced file $p should await vacuum, not die at swap"))
+    // ...and vacuum sweeps exactly them once the grace horizon passes
+    val swept = EsLog.vacuum(dir, nowMs = System.currentTimeMillis() + 1, graceMs = 0L)
+    assert(oldPaths.forall(p => swept.exists(_.endsWith(p))), s"vacuum swept $swept")
     oldPaths.foreach(p => assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, p))))
     assert(EsLog.fetch(spark, dir, 100, 120).count() > 0)
     // idempotent: single-file segment is left alone
