@@ -41,8 +41,30 @@ trait ObjectStore {
   * transactions play for the reference's PD
   * (pd/pkg/server/storage/endpoint/stream.go:21-24).
   */
-final class ObjectLogStore(val store: ObjectStore) extends LogStore {
+final class ObjectLogStore(
+    val store: ObjectStore,
+    multipartThreshold: Int = 16 * 1024 * 1024) extends LogStore {
   private def key(p: String): String = p.stripPrefix("/")
+
+  /** A payload at or above the threshold rides a multipart upload when the
+    * backend supports one (S3's single-PUT ceiling is 5 GiB, but real
+    * deployments switch far earlier to stream instead of buffering — the
+    * reference rolls parts at 16 MiB, range_offload.rs:26). Visibility and
+    * CAS semantics are IDENTICAL to the single-PUT path: nothing appears
+    * until complete, and `ifNoneMatch` rides the complete call. At 10⁴
+    * registered streams the catalog checkpoint is the payload this exists
+    * for. */
+  private def bigPut(k: String, bytes: Array[Byte], ifNoneMatch: Boolean): Boolean =
+    store match {
+      case mp: ObjectStore with MultipartStore if bytes.length >= multipartThreshold =>
+        val w = new MultipartObjectWriter(mp, k,
+          partSize = math.max(multipartThreshold, MultipartStore.MinPartBytes))
+        try w.write(bytes) catch { case e: Throwable => w.abort(); throw e }
+        w.close(ifNoneMatch)
+      case _ =>
+        if (ifNoneMatch) store.putIfNoneMatch(k, bytes)
+        else { store.put(k, bytes); true }
+    }
 
   override def read(path: String): Array[Byte] =
     store.get(key(path)).getOrElse(
@@ -51,11 +73,25 @@ final class ObjectLogStore(val store: ObjectStore) extends LogStore {
   override def isDir(path: String): Boolean = store.listChildren(key(path) + "/").nonEmpty
   override def list(dir: String): Seq[String] = store.listChildren(key(dir) + "/")
   override def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
-    store.putIfNoneMatch(key(path), bytes)
-  override def putAtomic(path: String, bytes: Array[Byte]): Unit =
-    store.put(key(path), bytes)
+    bigPut(key(path), bytes, ifNoneMatch = true)
+  override def putAtomic(path: String, bytes: Array[Byte]): Unit = {
+    bigPut(key(path), bytes, ifNoneMatch = false); ()
+  }
   override def mkdirs(path: String): Unit = () // keyspace is flat
   override def delete(path: String): Unit = store.delete(key(path))
+
+  /** Reclaim dangling multipart uploads under `prefix` — writers that died
+    * between initiate and complete/abort leave invisible staged parts that
+    * only an explicit abort (or S3 lifecycle's AbortIncompleteMultipartUpload)
+    * frees. Returns the number of uploads aborted. Callers gate on age the
+    * same way vacuum's grace sweep does for replaced data files. */
+  def abortDanglingUploads(prefix: String): Int = store match {
+    case mp: ObjectStore with MultipartStore =>
+      val ups = mp.listMultipartUploads(key(prefix))
+      ups.foreach { case (k, id) => mp.abortMultipart(k, id) }
+      ups.size
+    case _ => 0
+  }
 }
 
 /** In-memory [[ObjectStore]] with S3 semantics: strongly consistent
@@ -65,10 +101,13 @@ final class ObjectLogStore(val store: ObjectStore) extends LogStore {
   * [[beforeConditionalPut]] hook injects a competing writer immediately
   * before a conditional PUT decides — modeling the duplicate-PUT race a real
   * deployment sees when two drivers commit the same log version. */
-final class InMemoryObjectStore extends ObjectStore {
+final class InMemoryObjectStore extends ObjectStore with MultipartStore {
   private val objects =
     new java.util.concurrent.ConcurrentSkipListMap[String, Array[Byte]]()
   @volatile var beforeConditionalPut: String => Unit = _ => ()
+  /** Injected immediately before a part upload stages — lets a test kill a
+    * writer mid-upload and prove the key stays untouched + reclaimable. */
+  @volatile var beforePartUpload: (String, Int) => Unit = (_, _) => ()
 
   override def get(key: String): Option[Array[Byte]] =
     Option(objects.get(key)).map(_.clone())
@@ -88,4 +127,86 @@ final class InMemoryObjectStore extends ObjectStore {
       .distinct.toSeq
   }
   override def delete(key: String): Unit = { objects.remove(key); () }
+
+  // ---- multipart (S3 semantics; staged parts never touch `objects`) ----
+
+  /** uploadId -> (key, partNumber -> (etag, bytes)). Staged state lives in a
+    * separate map so parts are invisible to get/head/list by construction. */
+  private val uploads = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, java.util.concurrent.ConcurrentHashMap[Int, (String, Array[Byte])])]()
+  private val uploadSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  override def initiateMultipart(key: String): String = {
+    val id = s"upload-${uploadSeq.incrementAndGet()}"
+    uploads.put(id, (key, new java.util.concurrent.ConcurrentHashMap[Int, (String, Array[Byte])]()))
+    id
+  }
+
+  override def uploadPart(key: String, uploadId: String,
+                          partNumber: Int, bytes: Array[Byte]): String = {
+    require(partNumber >= 1 && partNumber <= MultipartStore.MaxParts,
+      s"partNumber out of range: $partNumber")
+    beforePartUpload(key, partNumber)
+    val up = uploads.get(uploadId)
+    if (up == null || up._1 != key)
+      throw new IllegalStateException(s"NoSuchUpload: $uploadId for $key")
+    // etag = content hash, as S3 computes it; re-upload of a partNumber
+    // replaces the previous part and invalidates its etag.
+    val etag = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5").digest(bytes))
+    up._2.put(partNumber, (etag, bytes.clone()))
+    etag
+  }
+
+  override def completeMultipart(key: String, uploadId: String,
+                                 parts: Seq[(Int, String)],
+                                 ifNoneMatch: Boolean): Boolean = {
+    val up = uploads.get(uploadId)
+    if (up == null || up._1 != key)
+      throw new IllegalStateException(s"NoSuchUpload: $uploadId for $key")
+    require(parts.nonEmpty, "completeMultipart requires at least one part")
+    require(parts.map(_._1) == parts.map(_._1).sorted && parts.map(_._1).distinct == parts.map(_._1),
+      "parts must be listed in ascending partNumber order without repeats")
+    val resolved = parts.map { case (n, etag) =>
+      val staged = up._2.get(n)
+      if (staged == null || staged._1 != etag)
+        throw new IllegalStateException(s"InvalidPart: part $n etag $etag for $key")
+      staged._2
+    }
+    // S3's EntityTooSmall: every listed part but the last must meet the minimum.
+    resolved.dropRight(1).zip(parts).foreach { case (b, (n, _)) =>
+      if (b.length < MultipartStore.MinPartBytes)
+        throw new IllegalStateException(
+          s"EntityTooSmall: part $n is ${b.length} B < ${MultipartStore.MinPartBytes}")
+    }
+    val assembled = new Array[Byte](resolved.map(_.length).sum)
+    var pos = 0
+    resolved.foreach { b => System.arraycopy(b, 0, assembled, pos, b.length); pos += b.length }
+    // assembly decided under the same hook/CAS discipline as single PUT
+    val created =
+      if (ifNoneMatch) putIfNoneMatch(key, assembled)
+      else { put(key, assembled); true }
+    // S3: a successful complete consumes the uploadId; a 412 PreconditionFailed
+    // (If-None-Match lost) leaves the upload for the caller to abort.
+    if (created) uploads.remove(uploadId)
+    created
+  }
+
+  override def abortMultipart(key: String, uploadId: String): Unit = {
+    uploads.remove(uploadId); () // idempotent; unknown id is a no-op
+  }
+
+  override def listMultipartUploads(prefix: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    uploads.asScala.iterator
+      .collect { case (id, (k, _)) if k.startsWith(prefix) => (k, id) }
+      .toSeq.sorted
+  }
+
+  /** Bytes currently staged in in-progress uploads (tests: abort reclaims). */
+  def stagedBytes: Long = {
+    import scala.jdk.CollectionConverters._
+    uploads.asScala.valuesIterator
+      .flatMap(_._2.asScala.valuesIterator.map(_._2.length.toLong)).sum
+  }
 }
