@@ -193,7 +193,8 @@ object Bench {
       "decontaminate", "decontaminate_bloom", "multimodal_decode",
       "es_window_hourly", "es_agg_by_type",
       "join_asof", "join_range", "join_overlap",
-      "sketch_kmv", "sketch_cms", "sketch_bloom", "stats_quantiles_approx",
+      "sketch_kmv", "sketch_cms", "sketch_bloom", "sketch_hll",
+      "stats_quantiles_approx",
       "stats_quantiles_sample", "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "dedup_lines", "decontaminate_report",
       "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split",

@@ -1435,6 +1435,14 @@ object Oracles {
       |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
       |WHERE tok <> ''""".stripMargin, Seq("lang"))
 
+  /** HLL register table (p=6) per language — whole-corpus registers equal the
+    * Spark side's two merged doc-parity shard sketches by the per-bucket-max
+    * merge law; rho is integer-exact via bit length (no float log). */
+  private val sketchHll = graft.operators.Sketch.hllSketchSql(6,
+    """SELECT lang, tok AS v FROM
+      |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE tok <> ''""".stripMargin, Seq("lang"))
+
   /** Count-min grid + point reads for the true top-10 tokens, depth 4 ×
     * width 1024 — every cell count and estimate an exact integer. */
   private val sketchCms = {
@@ -1626,6 +1634,7 @@ object Oracles {
     "sketch_kmv" -> sketchKmv,
     "sketch_cms" -> sketchCms,
     "sketch_bloom" -> sketchBloom,
+    "sketch_hll" -> sketchHll,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "lineitem_agg" -> lineitemAgg,

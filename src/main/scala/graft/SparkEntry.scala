@@ -915,6 +915,23 @@ object SparkEntry {
     Sketch.bloomProbe(top.unionByName(absent), col("tok"), sketch)
   }
 
+  /** HyperLogLog registers per language (p = 6, 64 buckets), built as TWO
+    * doc-parity shard sketches merged by per-bucket max — the driver row
+    * proves the HLL merge law end-to-end, and every register is an exact
+    * integer the oracle reproduces (rho from bit length, no float log). The
+    * float estimator rides [[graft.operators.Sketch.hllEstimate]] and is
+    * accuracy-pinned in units. */
+  private def qSketchHll(s: SparkSession, sfDir: String): DataFrame = {
+    def toks(docs: DataFrame) = docs
+      .select(col("lang"), explode(Portable.words(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val docs = Fixtures.documents(s, sfDir)
+    Sketch.hllMerge(Seq(
+      Sketch.hllSketch(toks(docs.where(col("doc_id") % 2 === 0)), Seq("lang"), col("tok"), p = 6),
+      Sketch.hllSketch(toks(docs.where(col("doc_id") % 2 =!= 0)), Seq("lang"), col("tok"), p = 6)),
+      Seq("lang"))
+  }
+
   /** Streaming as-of enrichment ([[graft.operators.AsOfJoin.streamingEnrich]]):
     * views enriched with the user's latest already-delivered click across
     * ~8 rate-limited micro-batches; O(1) GroupState per user. */
@@ -1228,6 +1245,7 @@ object SparkEntry {
     "sketch_kmv" -> (qSketchKmv _),
     "sketch_cms" -> (qSketchCms _),
     "sketch_bloom" -> (qSketchBloom _),
+    "sketch_hll" -> (qSketchHll _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "stats_quantiles" -> (qStatsQuantiles _),

@@ -109,6 +109,95 @@ object Sketch {
        |FROM rk WHERE rn <= $k GROUP BY $g""".stripMargin
   }
 
+  /** HyperLogLog register sketch per group — the fourth canonical mergeable
+    * sketch beside KMV/CMS/Bloom, and the one real catalogs standardize on
+    * for cardinality. Registers as SPARSE rows `(groupCols..., bucket, rho)`:
+    * bucket = the hash's top `p` bits, rho = 1 + leading-zero count of the
+    * remaining `w = 60 - p` bits, register value = max rho seen. At most
+    * `m = 2^p` rows per group regardless of input; an absent bucket is
+    * register 0, exactly like the sparse Bloom/CMS forms.
+    *
+    * Everything is INTEGER and engine-portable: rho derives from the bit
+    * length of the suffix (`length(bin(suffix))`, exact in any engine — no
+    * float log), so a register table reproduces bit-for-bit in SQL, unlike
+    * HLL++/datasketches binaries. The float estimator lives separately in
+    * [[hllEstimate]] (unit-tested against exact counts); the registers ARE
+    * the sketch and merge by per-bucket max ([[hllMerge]], law unit-pinned).
+    *
+    * Plan shape: one projection + one hash aggregate — partial maxes combine
+    * map-side, so the shuffle carries ≤ m rows per group per partition. */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], value: Column,
+                p: Int = 10): DataFrame = {
+    require(p >= 2 && p <= 20, s"p must be in [2, 20]; got $p")
+    val w = 60 - p
+    val suffixSpace = 1L << w
+    val grp = groupCols.map(col)
+    val h = Portable.hash60(value)
+    val bucket = call_function("div", h, lit(suffixSpace)).as("bucket")
+    val suffix = h % suffixSpace
+    // bit length of x>0 is length(bin(x)); rho = w - bitlen + 1, or w + 1
+    // for an all-zero suffix
+    val rho = when(suffix === 0, lit(w + 1).cast("long"))
+      .otherwise(lit(w + 1).cast("long") - length(bin(suffix)).cast("long"))
+    OpUtil.rebalance(df)
+      .select(grp :+ bucket :+ rho.as("_rho"): _*)
+      .groupBy(grp :+ col("bucket"): _*)
+      .agg(max(col("_rho")).as("rho"))
+  }
+
+  /** Merge shard HLL register tables built with identical `p`: per-bucket
+    * max — the HLL merge law (the sparse form of register-wise max). The
+    * merged table is bit-identical to sketching the union. */
+  def hllMerge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    val keys = groupCols :+ "bucket"
+    sketches.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*).agg(max("rho").as("rho"))
+  }
+
+  /** Cardinality estimate from a register table: the classic HLL estimator
+    * with the small-range linear-counting correction. Floats enter ONLY
+    * here — `alpha·m² / Σ 2^(−rho)` over all m registers (absent buckets
+    * contribute 2^0), switching to `m·ln(m/V)` when the raw estimate is
+    * under 2.5m and V = zero registers > 0. Deterministic given the
+    * registers, but implementation-defined at the ULP level — oracle rows
+    * pin the REGISTERS; accuracy is unit-tested against exact counts. */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = 1L << p
+    val alpha = m match {
+      case 4L => 0.673
+      case 8L => 0.697
+      case 16L => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val grp = groupCols.map(col)
+    val agg = sketch.groupBy(grp: _*).agg(
+      count(lit(1)).as("n_set"),
+      sum(pow(lit(2.0), -col("rho"))).as("_sum_set"))
+    val sumInv = col("_sum_set") + (lit(m.toDouble) - col("n_set")) // absents at 2^0
+    val zeros = lit(m.toDouble) - col("n_set")
+    val raw = lit(alpha * m * m) / sumInv
+    agg.withColumn("n_distinct_est",
+        when(raw <= lit(2.5 * m) && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+          .otherwise(raw))
+      .drop("_sum_set")
+  }
+
+  /** The [[hllSketch]] register table in DuckDB SQL, for oracle generation:
+    * `from` supplies per-group value rows as `($groupCols..., v)`. */
+  def hllSketchSql(p: Int, from: String, groupCols: Seq[String]): String = {
+    val w = 60 - p
+    val suffixSpace = 1L << w
+    val g = groupCols.mkString(", ")
+    s"""WITH hh AS (SELECT $g, ${Portable.hash60Sql("v")} AS h FROM ($from)),
+       |rr AS (SELECT $g, h // $suffixSpace AS bucket,
+       |         CASE WHEN h % $suffixSpace = 0 THEN ${w + 1}
+       |              ELSE ${w + 1} - length(bin(h % $suffixSpace)) END AS rho
+       |       FROM hh)
+       |SELECT $g, bucket, CAST(max(rho) AS BIGINT) AS rho FROM rr GROUP BY ALL""".stripMargin
+  }
+
   /** Count-min sketch over `valueCol` occurrences: a depth × width counter
     * grid as rows `(d, slot, cnt)` — cell `(i, uhash_i(h) mod width)` counts
     * every occurrence hashing there. Cells merge across shards by sum. One

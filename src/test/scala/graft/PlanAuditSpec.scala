@@ -870,6 +870,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_lsh" -> Seq("qid", "nid", "rank", "score"),
     "sim_quantize" -> Seq("vec_id", "q_scale", "i", "qi"),
     "sketch_bloom" -> Seq("tok", "maybe_present"),
+    "sketch_hll" -> Seq("lang", "bucket", "rho"),
     "sketch_cms" -> Seq("tok", "true_cnt", "est_cnt"),
     "sketch_kmv" -> Seq("lang", "n_kept", "kth_hash", "n_distinct_est"),
     "sql_fetch" -> Seq("base_offset", "event_type", "h"),
