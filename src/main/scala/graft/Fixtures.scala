@@ -410,6 +410,39 @@ object Fixtures {
       name
     })
 
+  /** Streaming HLL register table per hour window: the [[graft.operators
+    * .Sketch.hllCells]] derivation inside a windowed streaming aggregation —
+    * `max(rho)` per (window, bucket) rides the state store across
+    * micro-batches exactly like a register-wise max merge. State bound:
+    * ≤ 2^p = 64 registers per in-flight window. Complete-mode memory table;
+    * the oracle recomputes the registers per hour over the same rows, so a
+    * green row proves the incremental per-bucket-max merge bit-exact. */
+  def streamHllTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-hll", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = eventsStream(s, sfDir)
+      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+      val name = "graft_stream_hll_" + math.abs(sfDir.hashCode).toString
+      val (bucket, rho) = graft.operators.Sketch.hllCells(col("payload").cast("string"), p = 6)
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .withColumn("ts", timestamp_millis(col("base_timestamp")))
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), bucket.as("bucket"), rho.as("_rho"))
+        .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+        .agg(max(col("_rho")).as("rho"))
+        .select(unix_millis(col("window.start")).as("hour_start_ms"),
+          col("bucket"), col("rho"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** Streaming BLOOM sketch per hour window, summarized: each value sets k=5
     * slots in [0, m=2²⁰); the per-window slot SET accumulates in the bounded
     * [[org.apache.spark.sql.graftshim.KmvAgg]] aggregate (the k-minimum

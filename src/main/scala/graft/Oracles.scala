@@ -75,6 +75,12 @@ object Oracles {
     """SELECT event_id AS base_offset, event_type FROM events
       |WHERE event_id < (SELECT count(*) // 2 FROM events)""".stripMargin
 
+  /** scanDelta between the first data commit and head = the second half of
+    * the events stream (offsets = event_id, as in the snapshot/trim rows). */
+  private val esScanDelta =
+    """SELECT event_id AS base_offset, event_type FROM events
+      |WHERE event_id >= (SELECT count(*) // 2 FROM events)""".stripMargin
+
   private val esTrim =
     """SELECT event_id AS base_offset, event_type FROM events
       |WHERE event_id >= (SELECT count(*) // 4 FROM events)""".stripMargin
@@ -211,6 +217,14 @@ object Oracles {
        |SELECT hour_start_ms, d, slot, CAST(count(*) AS BIGINT) AS cnt
        |FROM cells GROUP BY 1, 2, 3""".stripMargin
   }
+
+  /** Streaming HLL registers: DuckDB recomputes the per-hour register table
+    * from the events table — bit-equality proves the streaming per-bucket-max
+    * merge across micro-batches. */
+  private val esStreamHll = graft.operators.Sketch.hllSketchSql(6,
+    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_start_ms,
+      |       props AS v FROM events""".stripMargin,
+    Seq("hour_start_ms"))
 
   /** Streaming Bloom slot set, summarized per window. The rank filter
     * mirrors the bounded carrier's cap (complete set at every tested SF;
@@ -1552,6 +1566,7 @@ object Oracles {
     "es_compact_zorder" -> esCompactZorder,
     "sample_token_budget" -> sampleTokenBudget,
     "es_snapshot" -> esSnapshot,
+    "es_scan_delta" -> esScanDelta,
     "es_catalog" -> esCatalog,
     "es_catalog_scan" -> esCatalogScan,
     "es_catalog_subscribe" -> esCatalogSubscribe,
@@ -1560,6 +1575,7 @@ object Oracles {
     "es_stream_dedup" -> esStreamDedup,
     "es_stream_kmv" -> esStreamKmv,
     "es_stream_cms" -> esStreamCms,
+    "es_stream_hll" -> esStreamHll,
     "es_stream_bloom" -> esStreamBloom,
     "es_stream_quantile" -> esStreamQuantile,
     "es_stream_sample" -> esStreamSample,

@@ -205,6 +205,20 @@ object SparkEntry {
       col("properties")("event_type").as("event_type"))
   }
 
+  /** Incremental batch read ([[EsLog.scanDelta]]): the rows appended between
+    * the first data commit and the head — exactly the SECOND append of
+    * [[Fixtures.eventsStream]] (the batch-incremental consumption a
+    * checkpoint-then-catch-up ETL does; offset-delimited, so compaction can
+    * never re-deliver). */
+  private def qEsScanDelta(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    val firstCommit = graft.meta.MetaLog.actionsSince(dir, -1L)
+      .collectFirst { case (v, actions) if actions.exists(_.isInstanceOf[graft.meta.CommitFiles]) => v }
+      .getOrElse(sys.error(s"no data commit in $dir"))
+    EsLog.scanDelta(s, dir, firstCommit, graft.meta.MetaLog.latestVersion(dir))
+      .select(col("base_offset"), col("properties")("event_type").as("event_type"))
+  }
+
   /** Compaction: sealed segment rewritten into one file (metadata swap);
     * scan must be byte-identical to the uncompacted stream. */
   private def qEsCompact(s: SparkSession, sfDir: String): DataFrame = {
@@ -326,6 +340,11 @@ object SparkEntry {
     * ([[Fixtures.streamBloomTable]]). State bound: ≤ 4096 longs per window. */
   private def qEsStreamBloom(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamBloomTable(s, sfDir))
+
+  /** Streaming HLL: windowed register table ([[Fixtures.streamHllTable]]).
+    * State bound: ≤ 2^p = 64 registers per in-flight window. */
+  private def qEsStreamHll(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamHllTable(s, sfDir))
 
   /** Streaming sample-quantiles: QuantileSampleAgg through the state store. */
   private def qEsStreamQuantile(s: SparkSession, sfDir: String): DataFrame =
@@ -1161,6 +1180,7 @@ object SparkEntry {
     "es_compact" -> (qEsCompact _),
     "es_compact_zorder" -> (qEsCompactZorder _),
     "es_snapshot" -> (qEsSnapshot _),
+    "es_scan_delta" -> (qEsScanDelta _),
     "es_catalog" -> (qEsCatalog _),
     "es_catalog_scan" -> (qEsCatalogScan _),
     "es_catalog_subscribe" -> (qEsCatalogSubscribe _),
@@ -1169,6 +1189,7 @@ object SparkEntry {
     "es_stream_dedup" -> (qEsStreamDedup _),
     "es_stream_kmv" -> (qEsStreamKmv _),
     "es_stream_cms" -> (qEsStreamCms _),
+    "es_stream_hll" -> (qEsStreamHll _),
     "es_stream_bloom" -> (qEsStreamBloom _),
     "es_stream_quantile" -> (qEsStreamQuantile _),
     "es_stream_sample" -> (qEsStreamSample _),

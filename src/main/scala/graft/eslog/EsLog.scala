@@ -577,6 +577,29 @@ object EsLog {
   def scanAt(spark: SparkSession, streamDir: String, version: Long): DataFrame =
     fetchAt(spark, streamDir, version)
 
+  /** Incremental batch read: the rows appended BETWEEN two log versions —
+    * `(confirmed end at fromVersion, confirmed end at toVersion]` on the
+    * offset axis, read against the `toVersion` snapshot. The batch sibling
+    * of the streaming source's offset tracking (a batch-incremental ETL
+    * checkpoints the log version instead of running a continuous query —
+    * Delta's CDF shape, free here because the stream is append-only).
+    *
+    * Deliberately OFFSET-delimited, not file-diffed: compaction rewrites
+    * files without changing rows, so a file set difference would re-deliver
+    * rewritten rows; the offset high-water marks are invariant under
+    * compaction. Reading AT `toVersion` keeps the slice stable however far
+    * the live log advances. A `fromVersion` older than retention still
+    * yields only still-live offsets (trim truncates the low end, same
+    * contract as [[fetchAt]]). */
+  def scanDelta(spark: SparkSession, streamDir: String,
+                fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val lo = MetaLog.loadAt(streamDir, fromVersion).nextOffset
+    val hi = MetaLog.loadAt(streamDir, toVersion).nextOffset
+    fetchAt(spark, streamDir, toVersion, lo, hi)
+  }
+
   private def fetchState(spark: SparkSession, streamDir: String, st: StreamState,
                          start: Long, end: Long, maxBytesHint: Long): DataFrame = {
     if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")

@@ -128,21 +128,29 @@ object Sketch {
     * map-side, so the shuffle carries ≤ m rows per group per partition. */
   def hllSketch(df: DataFrame, groupCols: Seq[String], value: Column,
                 p: Int = 10): DataFrame = {
+    val grp = groupCols.map(col)
+    val (bucket, rho) = hllCells(value, p)
+    OpUtil.rebalance(df)
+      .select(grp :+ bucket.as("bucket") :+ rho.as("_rho"): _*)
+      .groupBy(grp :+ col("bucket"): _*)
+      .agg(max(col("_rho")).as("rho"))
+  }
+
+  /** The (bucket, rho) derivation shared by [[hllSketch]] and its streaming
+    * twin — one definition, so batch and micro-batch registers are bit-equal
+    * by construction. */
+  def hllCells(value: Column, p: Int): (Column, Column) = {
     require(p >= 2 && p <= 20, s"p must be in [2, 20]; got $p")
     val w = 60 - p
     val suffixSpace = 1L << w
-    val grp = groupCols.map(col)
     val h = Portable.hash60(value)
-    val bucket = call_function("div", h, lit(suffixSpace)).as("bucket")
+    val bucket = call_function("div", h, lit(suffixSpace))
     val suffix = h % suffixSpace
     // bit length of x>0 is length(bin(x)); rho = w - bitlen + 1, or w + 1
     // for an all-zero suffix
     val rho = when(suffix === 0, lit(w + 1).cast("long"))
       .otherwise(lit(w + 1).cast("long") - length(bin(suffix)).cast("long"))
-    OpUtil.rebalance(df)
-      .select(grp :+ bucket :+ rho.as("_rho"): _*)
-      .groupBy(grp :+ col("bucket"): _*)
-      .agg(max(col("_rho")).as("rho"))
+    (bucket, rho)
   }
 
   /** Merge shard HLL register tables built with identical `p`: per-bucket

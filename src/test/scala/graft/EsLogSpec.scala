@@ -386,6 +386,40 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.scanAt(spark, dir, v1).count() == 100)
   }
 
+  test("scanDelta: offset-delimited version increments, invariant under compaction") {
+    import spark.implicits._
+    val dir = tmpDir("eslog-delta-")
+    EsLog.create(dir)
+    EsLog.open(dir, 1L)
+    def batch(from: Long, n: Long) = spark.range(from, from + n).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    EsLog.append(spark, dir, batch(0, 100), 1L, numPartitions = 1)
+    val v1 = graft.meta.MetaLog.latestVersion(dir)
+    EsLog.append(spark, dir, batch(100, 50), 1L, numPartitions = 1)
+    val v2 = graft.meta.MetaLog.latestVersion(dir)
+    EsLog.append(spark, dir, batch(150, 25), 1L, numPartitions = 1)
+    val v3 = graft.meta.MetaLog.latestVersion(dir)
+    // each increment delivers exactly the rows its commits appended
+    def offs(df: org.apache.spark.sql.DataFrame) =
+      df.select("base_offset").as[Long].collect().sorted.toSeq
+    assert(offs(EsLog.scanDelta(spark, dir, v1, v2)) == (100L until 150L))
+    assert(offs(EsLog.scanDelta(spark, dir, v2, v3)) == (150L until 175L))
+    assert(offs(EsLog.scanDelta(spark, dir, v1, v3)) == (100L until 175L))
+    // empty increment, and the full history from version 0
+    assert(EsLog.scanDelta(spark, dir, v3, v3).count() == 0)
+    assert(EsLog.scanDelta(spark, dir, 0L, v3).count() == 175)
+    // a compaction-era increment re-delivers NOTHING: the rewrite commits a
+    // new version but moves no offsets (the file-diff formulation would
+    // re-deliver every rewritten row here)
+    EsLog.open(dir, 2L) // seal so the segment is compactable
+    EsLog.compact(spark, dir)
+    val v4 = graft.meta.MetaLog.latestVersion(dir)
+    assert(v4 > v3)
+    assert(EsLog.scanDelta(spark, dir, v3, v4).count() == 0)
+    // and an increment READ ACROSS the compaction still yields the same rows
+    assert(offs(EsLog.scanDelta(spark, dir, v1, v4)) == (100L until 175L))
+  }
+
   test("fetch maxBytesHint truncates at file granularity, always admits one file") {
     val dir = tmpDir("eslog-hint-")
     EsLog.create(dir)

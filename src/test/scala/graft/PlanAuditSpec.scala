@@ -817,6 +817,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_segments" -> Seq("seg_index", "start_offset", "end_offset", "sealed", "epoch", "num_records"),
     "es_sessions" -> Seq("user_id", "sid", "start_ms", "end_ms", "n"),
     "es_snapshot" -> Seq("base_offset", "event_type"),
+    "es_scan_delta" -> Seq("base_offset", "event_type"),
     "es_stream_asof" -> Seq("user_id", "offset", "t", "matched_offset", "matched_t"),
     "es_stream_dedup" -> Seq("k"),
     "es_stream_join" -> Seq("pair_id", "even_id", "odd_id", "even_type", "odd_type"),
@@ -871,6 +872,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_quantize" -> Seq("vec_id", "q_scale", "i", "qi"),
     "sketch_bloom" -> Seq("tok", "maybe_present"),
     "sketch_hll" -> Seq("lang", "bucket", "rho"),
+    "es_stream_hll" -> Seq("hour_start_ms", "bucket", "rho"),
     "sketch_cms" -> Seq("tok", "true_cnt", "est_cnt"),
     "sketch_kmv" -> Seq("lang", "n_kept", "kth_hash", "n_distinct_est"),
     "sql_fetch" -> Seq("base_offset", "event_type", "h"),
