@@ -43,6 +43,8 @@ import graft.operators.Similarity
   *  - `graft_fetch('dir', lo, hi)`    — record batches with
   *    `base_offset + last_offset_delta > lo AND base_offset < hi`
   *    (straddle semantics, manifest-pruned before planning)
+  *  - `graft_scan_delta('dir', v1, v2)` — rows appended between two log
+  *    versions (offset-delimited incremental read, stable under compaction)
   *  - `graft_history('dir')`          — the stream's commit history
   *
   * Stream-lifecycle DDL (procedure-style table functions backed by
@@ -206,6 +208,16 @@ object GraftFunctions {
         val lo = literalLong(args(1), "graft_fetch", "start")
         val hi = literalLong(args(2), "graft_fetch", "end")
         GraftShims.analyzedPlan(EsLog.fetch(active(), dir, lo, hi)) }),
+    (FunctionIdentifier("graft_scan_delta"),
+      info("graft_scan_delta",
+        "graft_scan_delta('dir', from_version, to_version) - rows appended " +
+          "between two log versions (offset-delimited incremental read; " +
+          "versions from graft_history)"),
+      (args: Seq[Expression]) => { arity("graft_scan_delta", args, 3)
+        val dir = literalString(args(0), "graft_scan_delta", "dir")
+        val from = literalLong(args(1), "graft_scan_delta", "from_version")
+        val to = literalLong(args(2), "graft_scan_delta", "to_version")
+        GraftShims.analyzedPlan(EsLog.scanDelta(active(), dir, from, to)) }),
     (FunctionIdentifier("graft_history"),
       info("graft_history", "graft_history('dir') - commit history of an eslog stream"),
       (args: Seq[Expression]) => { arity("graft_history", args, 1)

@@ -177,6 +177,17 @@ class GraftSqlSpec extends SparkTestBase {
       .collect().head.getLong(0) == 300,
       "versioned graft_scan must read the pre-append snapshot")
 
+    // incremental read from SQL: exactly the second append, by offset range
+    val v2 = spark.sql(s"SELECT max(version) FROM graft_history('$dir')")
+      .collect().head.getLong(0)
+    val delta = spark.sql(
+      s"SELECT count(*) AS n, min(base_offset) AS lo, max(base_offset) AS hi " +
+        s"FROM graft_scan_delta('$dir', $v, $v2)").collect().head
+    assert(delta.getLong(0) == 50 && delta.getLong(1) == 300 && delta.getLong(2) == 349,
+      s"graft_scan_delta must deliver the second append only: $delta")
+    assert(spark.sql(s"SELECT count(*) FROM graft_scan_delta('$dir', $v2, $v2)")
+      .collect().head.getLong(0) == 0)
+
     EsLog.delete(dir)
   }
 
