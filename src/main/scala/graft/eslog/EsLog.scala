@@ -370,33 +370,9 @@ object EsLog {
       case None if numPartitions > 0 =>
         batches = batches.repartition(numPartitions)
       case None =>
-        // Write-time file rolling (the reference's RangeAccumulator sizes
-        // offload objects to 128 MiB as it accumulates,
-        // components/object-storage/src/range_accumulator.rs:37-98): a
-        // caller who didn't tune numPartitions used to get whatever
-        // partitioning the input had — thousands of KB files from a
-        // many-partition input, or one multi-GB file from a collapsed one.
-        // Adjust only when the estimated layout is >2x off target either
-        // way: coalescing down is shuffle-free; splitting up pays one
-        // shuffle to buy back write parallelism + bounded files. Within 2x,
-        // leave the input partitioning alone (no gratuitous shuffle).
-        //
-        // Coalescing FLOORS at a quarter of the cluster's cores: the write
-        // stage's cost curve over task count is U-shaped (measured on the
-        // 64 KiB bench's 131 MB commits — 2 tasks serialize the encode at
-        // ~0.30 s, 32 tasks pay per-task writer/commit overhead at ~0.30 s,
-        // 4-8 tasks hit ~0.17 s), so the policy aims file count at
-        // [cores/4, bytes/target] instead of collapsing to the byte target
-        // alone. At 100 TB commit sizes bytes/target dwarfs any floor; the
-        // floor only guards small commits, where ingest latency matters and
-        // compact() converges layout to the storage-optimal target anyway.
-        sizeTargetedCount(batches, targetFileBytes).foreach { n =>
-          val cur = batches.rdd.getNumPartitions
-          val floor = math.min(cur, math.max(2, spark.sparkContext.defaultParallelism / 4))
-          val floored = math.max(n, floor)
-          if (floored * 2 <= cur) batches = batches.coalesce(floored)
-          else if (floored >= cur * 2) batches = batches.repartition(floored)
-        }
+        // Write-time file rolling decided BELOW at the RDD level — see the
+        // comment on `internal`.
+        ()
     }
 
     // One physical plan shared by both passes, in Tungsten format end-to-end
@@ -411,7 +387,47 @@ object EsLog {
     // per-stage seconds (load/normalize/plan/pass1/write/metas+footers/
     // commit) to stderr
     dbgMark("normalize")
-    val internal = org.apache.spark.sql.graftshim.GraftShims.internalRdd(batches)
+    val internal0 = org.apache.spark.sql.graftshim.GraftShims.internalRdd(batches)
+    // Write-time file rolling (the reference's RangeAccumulator sizes
+    // offload objects to 128 MiB as it accumulates,
+    // components/object-storage/src/range_accumulator.rs:37-98): a caller
+    // who didn't tune numPartitions used to get whatever partitioning the
+    // input had — thousands of KB files from a many-partition input, or one
+    // multi-GB file from a collapsed one. Adjust only when the estimated
+    // layout is >2x off target either way: coalescing down is shuffle-free;
+    // splitting up pays one shuffle to buy back write parallelism + bounded
+    // files. Within 2x, leave the input partitioning alone.
+    //
+    // Coalescing FLOORS at a quarter of the cluster's cores: the write
+    // stage's cost curve over task count is U-shaped (measured on the
+    // 64 KiB bench's 131 MB commits — 2 tasks serialize the encode at
+    // ~0.30 s, 32 tasks pay per-task writer/commit overhead at ~0.30 s,
+    // 4-8 tasks hit ~0.17 s), so the policy aims file count at
+    // [cores/4, bytes/target] instead of collapsing to the byte target
+    // alone. At 100 TB commit sizes bytes/target dwarfs any floor; the
+    // floor only guards small commits, where ingest latency matters and
+    // compact() converges layout to the storage-optimal target anyway.
+    //
+    // The common coalesce-down applies at the RDD level: stats, partition
+    // count and the two execution passes then share ONE QueryExecution —
+    // a DataFrame-level coalesce re-ran the whole Catalyst pipeline on the
+    // wrapped plan, a measurable per-commit driver tax at ingest rates
+    // (~15-25 ms of a ~250 ms commit). The rare split-up path still pays
+    // the second pass: it shuffles anyway.
+    val internal =
+      if (sortKey.isEmpty && numPartitions == 0)
+        sizeTargetedCount(batches, targetFileBytes) match {
+          case Some(n) =>
+            val cur = internal0.getNumPartitions
+            val floor = math.min(cur, math.max(2, spark.sparkContext.defaultParallelism / 4))
+            val floored = math.max(n, floor)
+            if (floored * 2 <= cur) internal0.coalesce(floored)
+            else if (floored >= cur * 2)
+              org.apache.spark.sql.graftshim.GraftShims.internalRdd(batches.repartition(floored))
+            else internal0
+          case None => internal0
+        }
+      else internal0
     dbgMark("plan")
     // Pass 1: per-partition delta sums -> contiguous per-partition base
     // offsets. The distributed analogue of the write window: gap-free by
