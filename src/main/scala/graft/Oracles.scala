@@ -1449,6 +1449,17 @@ object Oracles {
       |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
       |WHERE tok <> ''""".stripMargin, Seq("lang"))
 
+  /** KMV overlap of the two doc-parity shard vocabularies per language —
+    * the same k-min coincidence estimator over the same md5 hashes. */
+  private val sketchKmvOverlap = graft.operators.Sketch.kmvOverlapSql(256,
+    """SELECT lang, tok AS v FROM
+      |  (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE tok <> '' AND doc_id % 2 = 0""".stripMargin,
+    """SELECT lang, tok AS v FROM
+      |  (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE tok <> '' AND doc_id % 2 <> 0""".stripMargin,
+    Seq("lang"))
+
   /** HLL register table (p=6) per language — whole-corpus registers equal the
     * Spark side's two merged doc-parity shard sketches by the per-bucket-max
     * merge law; rho is integer-exact via bit length (no float log). */
@@ -1651,6 +1662,7 @@ object Oracles {
     "sketch_cms" -> sketchCms,
     "sketch_bloom" -> sketchBloom,
     "sketch_hll" -> sketchHll,
+    "sketch_kmv_overlap" -> sketchKmvOverlap,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "lineitem_agg" -> lineitemAgg,

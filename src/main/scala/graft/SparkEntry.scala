@@ -934,6 +934,22 @@ object SparkEntry {
     Sketch.bloomProbe(top.unionByName(absent), col("tok"), sketch)
   }
 
+  /** KMV set-overlap estimator ([[graft.operators.Sketch.kmvOverlap]]):
+    * per-language token-vocabulary overlap between the even-doc and odd-doc
+    * halves of the corpus, estimated ONLY from the two k=256 kept-hash
+    * sketches — every output a deterministic BIGINT the oracle reproduces. */
+  private def qSketchKmvOverlap(s: SparkSession, sfDir: String): DataFrame = {
+    def toks(docs: DataFrame) = docs
+      .select(col("lang"), explode(Portable.words(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val docs = Fixtures.documents(s, sfDir)
+    val k = 256
+    Sketch.kmvOverlap(
+      Sketch.kmvKeptHashes(toks(docs.where(col("doc_id") % 2 === 0)), Seq("lang"), col("tok"), k),
+      Sketch.kmvKeptHashes(toks(docs.where(col("doc_id") % 2 =!= 0)), Seq("lang"), col("tok"), k),
+      Seq("lang"), k)
+  }
+
   /** HyperLogLog registers per language (p = 6, 64 buckets), built as TWO
     * doc-parity shard sketches merged by per-bucket max — the driver row
     * proves the HLL merge law end-to-end, and every register is an exact
@@ -1267,6 +1283,7 @@ object SparkEntry {
     "sketch_cms" -> (qSketchCms _),
     "sketch_bloom" -> (qSketchBloom _),
     "sketch_hll" -> (qSketchHll _),
+    "sketch_kmv_overlap" -> (qSketchKmvOverlap _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "stats_quantiles" -> (qStatsQuantiles _),

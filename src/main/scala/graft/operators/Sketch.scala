@@ -109,6 +109,72 @@ object Sketch {
        |FROM rk WHERE rn <= $k GROUP BY $g""".stripMargin
   }
 
+  /** Set-overlap estimates from two KMV kept-hash sketches (the theta-sketch
+    * role: intersection / Jaccard WITHOUT touching the raw sets — compare
+    * yesterday's corpus sketch against today's crawl sketch in milliseconds).
+    * Inputs are [[kmvKeptHashes]] tables keyed by the same `groupCols`;
+    * per group the k smallest hashes of the UNION are taken (that is the
+    * union's KMV sketch, so the distinct estimator applies), and within
+    * those survivors `n_both` counts hashes present in BOTH sides — a
+    * uniform sample of the union, so `n_both / n_kept` estimates the
+    * Jaccard similarity (the classic KMV coincidence estimator).
+    *
+    * Everything emitted is a deterministic BIGINT, bit-reproducible in SQL:
+    * `jaccard_permille = 1000·n_both div n_kept`, `n_union_est` the standard
+    * KMV estimate, `n_inter_est = n_union_est·n_both div n_kept`. Exact when
+    * both groups hold < k distinct values (the sketches are then complete
+    * sets). Plan shape: two bounded sketch tables (≤ k rows per group per
+    * side) union + one windowed rank — never the raw data. */
+  def kmvOverlap(keptA: DataFrame, keptB: DataFrame, groupCols: Seq[String],
+                 k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val grp = groupCols.map(col)
+    val a = keptA.select(grp :+ col("_h"): _*).withColumn("_in_a", lit(1)).withColumn("_in_b", lit(0))
+    val b = keptB.select(grp :+ col("_h"): _*).withColumn("_in_a", lit(0)).withColumn("_in_b", lit(1))
+    val both = a.unionByName(b)
+      .groupBy(grp :+ col("_h"): _*)
+      .agg(max(col("_in_a")).as("_a"), max(col("_in_b")).as("_b"))
+    val w = Window.partitionBy(grp: _*).orderBy(col("_h").asc)
+    val kept = both.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+    kept.groupBy(grp: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("_h")).as("kth_hash"),
+        sum(when(col("_a") === 1 && col("_b") === 1, 1L).otherwise(0L)).as("n_both"))
+      .withColumn("n_union_est",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(lit((k - 1).toLong) * call_function("div", lit(HashSpace), col("kth_hash"))))
+      .withColumn("jaccard_permille",
+        call_function("div", lit(1000L) * col("n_both"), col("n_kept")))
+      .withColumn("n_inter_est",
+        call_function("div", col("n_union_est") * col("n_both"), col("n_kept")))
+      .drop("kth_hash")
+  }
+
+  /** The [[kmvOverlap]] estimator in DuckDB SQL: `fromA` / `fromB` supply
+    * per-group DISTINCT value rows as `($groupCols..., v)`. */
+  def kmvOverlapSql(k: Int, fromA: String, fromB: String,
+                    groupCols: Seq[String]): String = {
+    val g = groupCols.mkString(", ")
+    s"""WITH ha AS (SELECT DISTINCT $g, ${Portable.hash60Sql("v")} AS h FROM ($fromA)),
+       |hb AS (SELECT DISTINCT $g, ${Portable.hash60Sql("v")} AS h FROM ($fromB)),
+       |ka AS (SELECT $g, h FROM (SELECT $g, h, row_number() OVER (PARTITION BY $g ORDER BY h) AS rn FROM ha) WHERE rn <= $k),
+       |kb AS (SELECT $g, h FROM (SELECT $g, h, row_number() OVER (PARTITION BY $g ORDER BY h) AS rn FROM hb) WHERE rn <= $k),
+       |u AS (SELECT $g, h, max(ia) AS a, max(ib) AS b FROM (
+       |        SELECT $g, h, 1 AS ia, 0 AS ib FROM ka
+       |        UNION ALL SELECT $g, h, 0 AS ia, 1 AS ib FROM kb)
+       |      GROUP BY ALL),
+       |rk AS (SELECT $g, h, a, b, row_number() OVER (PARTITION BY $g ORDER BY h) AS rn FROM u),
+       |agg AS (SELECT $g, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash,
+       |               CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+       |        FROM rk WHERE rn <= $k GROUP BY $g)
+       |SELECT $g, n_kept, n_both,
+       |       CASE WHEN n_kept < $k THEN n_kept
+       |            ELSE ${k - 1} * ($HashSpace // kth_hash) END AS n_union_est,
+       |       (1000 * n_both) // n_kept AS jaccard_permille,
+       |       ((CASE WHEN n_kept < $k THEN n_kept
+       |              ELSE ${k - 1} * ($HashSpace // kth_hash) END) * n_both) // n_kept AS n_inter_est
+       |FROM agg""".stripMargin
+  }
+
   /** HyperLogLog register sketch per group — the fourth canonical mergeable
     * sketch beside KMV/CMS/Bloom, and the one real catalogs standardize on
     * for cardinality. Registers as SPARSE rows `(groupCols..., bucket, rho)`:

@@ -376,6 +376,36 @@ class JoinOpsSpec extends SparkTestBase {
     assert(dup("key0") && !dup("nope0"), s"duplicate-candidate probe broke: $dup")
   }
 
+  test("KMV overlap: exact below k, coincidence estimator near truth above it") {
+    // sub-k sets: the sketches ARE the sets, every figure exact
+    val a0 = (0 until 40).map(i => ("g", s"s$i")).toDF("g", "v")
+    val b0 = (30 until 60).map(i => ("g", s"s$i")).toDF("g", "v") // 10 shared, union 60
+    val ex = Sketch.kmvOverlap(
+      Sketch.kmvKeptHashes(a0, Seq("g"), col("v"), 64),
+      Sketch.kmvKeptHashes(b0, Seq("g"), col("v"), 64), Seq("g"), 64).collect().head
+    assert(ex.getAs[Long]("n_kept") === 60L)
+    assert(ex.getAs[Long]("n_both") === 10L)
+    assert(ex.getAs[Long]("n_union_est") === 60L)
+    assert(ex.getAs[Long]("jaccard_permille") === 1000L * 10 / 60)
+    assert(ex.getAs[Long]("n_inter_est") === 10L)
+
+    // large overlapping sets: true jaccard 1500/4500 = 1/3
+    val a = (0 until 3000).map(i => ("g", s"x$i")).toDF("g", "v")
+    val b = (1500 until 4500).map(i => ("g", s"x$i")).toDF("g", "v")
+    val k = 256
+    val est = Sketch.kmvOverlap(
+      Sketch.kmvKeptHashes(a, Seq("g"), col("v"), k),
+      Sketch.kmvKeptHashes(b, Seq("g"), col("v"), k), Seq("g"), k).collect().head
+    val jac = est.getAs[Long]("jaccard_permille")
+    // 3-sigma binomial band around 333 at k draws
+    val sd = math.sqrt((1.0 / 3) * (2.0 / 3) / k) * 1000
+    assert(math.abs(jac - 333.0) < 3 * sd, s"jaccard_permille=$jac")
+    val u = est.getAs[Long]("n_union_est")
+    assert(math.abs(u - 4500.0) / 4500.0 < 0.2, s"n_union_est=$u")
+    val i = est.getAs[Long]("n_inter_est")
+    assert(math.abs(i - 1500.0) / 1500.0 < 0.35, s"n_inter_est=$i")
+  }
+
   test("HLL: registers bounded, merge law by per-bucket max, estimator accuracy") {
     val p = 10; val m = 1 << p
     val data = (0 until 60000).map(i => ("a", s"v${(i * 131) % 20000}")).toDF("g", "v")
