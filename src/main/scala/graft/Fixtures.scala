@@ -138,6 +138,23 @@ object Fixtures {
       sortKey = Some("event_id"), numPartitions = 4)
   }
 
+  /** [[eventsStream]] cloned at its FIRST data commit ([[graft.eslog.EsLog
+    * .cloneStream]] version-pinned): an independent stream whose content is
+    * the first half of the events — proves log + data files survive the
+    * copy byte-for-byte through the driver compare. */
+  def clonedEventsStream(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#events-clone", {
+      val src = eventsStream(s, sfDir)
+      val firstCommit = graft.meta.MetaLog.actionsSince(src, -1L)
+        .collectFirst { case (v, actions) if actions.exists(_.isInstanceOf[graft.meta.CommitFiles]) => v }
+        .getOrElse(sys.error(s"no data commit in $src"))
+      // NOT freshDir: this dir is memoized for the session, so it must not
+      // be swept by dropFresh() between uses
+      val dst = Files.createTempDirectory("graft-events-clone-").toString
+      graft.eslog.EsLog.cloneStream(s, src, dst, version = firstCommit)
+      dst
+    })
+
   /** Full events stream trimmed to n/4 (exercises trim + vacuum). */
   def trimmedStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "trimmed") { dir =>

@@ -1578,6 +1578,7 @@ object Oracles {
     "sample_token_budget" -> sampleTokenBudget,
     "es_snapshot" -> esSnapshot,
     "es_scan_delta" -> esScanDelta,
+    "es_clone" -> esSnapshot, // clone pinned at the first commit == that snapshot
     "es_catalog" -> esCatalog,
     "es_catalog_scan" -> esCatalogScan,
     "es_catalog_subscribe" -> esCatalogSubscribe,

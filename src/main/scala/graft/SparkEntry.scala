@@ -219,6 +219,15 @@ object SparkEntry {
       .select(col("base_offset"), col("properties")("event_type").as("event_type"))
   }
 
+  /** Deep clone pinned at the first data commit ([[Fixtures
+    * .clonedEventsStream]]): scanning the CLONE reproduces the first half
+    * of the events bit-for-bit — log and data files both survived the
+    * copy. */
+  private def qEsClone(s: SparkSession, sfDir: String): DataFrame =
+    EsLog.scan(s, Fixtures.clonedEventsStream(s, sfDir)).select(
+      col("base_offset"),
+      col("properties")("event_type").as("event_type"))
+
   /** Compaction: sealed segment rewritten into one file (metadata swap);
     * scan must be byte-identical to the uncompacted stream. */
   private def qEsCompact(s: SparkSession, sfDir: String): DataFrame = {
@@ -1197,6 +1206,7 @@ object SparkEntry {
     "es_compact_zorder" -> (qEsCompactZorder _),
     "es_snapshot" -> (qEsSnapshot _),
     "es_scan_delta" -> (qEsScanDelta _),
+    "es_clone" -> (qEsClone _),
     "es_catalog" -> (qEsCatalog _),
     "es_catalog_scan" -> (qEsCatalogScan _),
     "es_catalog_subscribe" -> (qEsCatalogSubscribe _),

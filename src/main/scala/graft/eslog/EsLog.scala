@@ -593,6 +593,45 @@ object EsLog {
   def scanAt(spark: SparkSession, streamDir: String, version: Long): DataFrame =
     fetchAt(spark, streamDir, version)
 
+  /** CLONE: copy a stream — metadata log AND the data files its snapshot
+    * references — into a fresh dir (Delta's deep CLONE; cheap here because
+    * both halves are immutable, so "copy" needs no coordination with
+    * writers and a clone of a LIVE stream is a consistent prefix). With
+    * `version`, the clone's head is that snapshot — history BELOW the head
+    * rides along in the log, readable insofar as its files are shared with
+    * the head (the same contract vacuum imposes on the source itself).
+    *
+    * The clone is fully independent after the copy: append/trim/vacuum/
+    * delete on either side never touches the other. Source and destination
+    * resolve their stores separately, so a local stream can clone onto an
+    * object store (or back) in one call. File copy is one executor-parallel
+    * job over the manifest's relative paths — O(live bytes), no driver
+    * byte-shuffling, layout preserved so every row-group stat and offset
+    * bound survives verbatim. */
+  def cloneStream(spark: SparkSession, srcDir: String, dstDir: String,
+                  version: Long = -1L): StreamState = {
+    val srcState = if (version < 0L) MetaLog.load(srcDir) else MetaLog.loadAt(srcDir, version)
+    require(!srcState.deleted, s"cannot clone deleted stream $srcDir")
+    val upTo = if (version < 0L) srcState.version else version
+    MetaLog.cloneLog(srcDir, dstDir, upTo)
+    val rels = srcState.allFiles.map(_.path)
+    if (rels.nonEmpty) {
+      val conf = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
+      val (s, d) = (srcDir, dstDir)
+      spark.sparkContext
+        .parallelize(rels, math.min(rels.size, spark.sparkContext.defaultParallelism))
+        .foreach { rel =>
+          val sp = hpath(MetaLog.join(s, rel))
+          val dp = hpath(MetaLog.join(d, rel))
+          val c = conf()
+          org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(c), sp, dp.getFileSystem(c), dp,
+            false /* deleteSource */, true /* overwrite */, c)
+        }
+    }
+    MetaLog.load(dstDir)
+  }
+
   /** Incremental batch read: the rows appended BETWEEN two log versions —
     * `(confirmed end at fromVersion, confirmed end at toVersion]` on the
     * offset axis, read against the `toVersion` snapshot. The batch sibling

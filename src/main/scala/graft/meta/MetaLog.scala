@@ -237,6 +237,42 @@ object MetaLog {
         .foreach(v => s.delete(checkpointFile(streamDir, v)))
     } catch { case scala.util.control.NonFatal(_) => () } // advisory only
 
+  /** Copy `srcDir`'s metadata log into `dstDir`, up to and including
+    * `upToVersion` — the log half of a stream clone. Version files are
+    * immutable, so a clone of a LIVE stream is a consistent prefix by
+    * construction: commits landing mid-copy simply aren't in the listed
+    * snapshot. Checkpoints at or below the bound ride along (best-effort:
+    * the source's checkpoint retention may delete one mid-copy, which only
+    * costs the clone a longer first fold). Source and destination each use
+    * their own routed store, so a clone can cross backends (local log →
+    * object-store log). Returns the highest version copied. */
+  def cloneLog(srcDir: String, dstDir: String,
+               upToVersion: Long = Long.MaxValue): Long = {
+    val ss = storeFor(srcDir)
+    val ds = storeFor(dstDir)
+    require(!exists(dstDir), s"$dstDir already has a metadata log")
+    ds.mkdirs(logDir(dstDir))
+    val names = ss.list(logDir(srcDir))
+    val versions = names
+      .filter(n => n.endsWith(".json") && !n.startsWith("_") && !n.contains(".checkpoint"))
+      .map(_.stripSuffix(".json").toLong).filter(_ <= upToVersion).sorted
+    require(versions.nonEmpty, s"$srcDir has no log versions <= $upToVersion")
+    versions.foreach { v =>
+      ds.putAtomic(versionFile(dstDir, v), ss.read(versionFile(srcDir, v)))
+    }
+    val cps = names.filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong).filter(_ <= upToVersion).sorted
+    val copied = cps.filter { v =>
+      try { ds.putAtomic(checkpointFile(dstDir, v), ss.read(checkpointFile(srcDir, v))); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    copied.lastOption.foreach { v =>
+      ds.putAtomic(join(logDir(dstDir), LastCheckpointName),
+        v.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    versions.last
+  }
+
   /** Fold the log into a snapshot-consistent state: newest checkpoint + the
     * ≤ CheckpointInterval deltas after it (O(1) in total commits). */
   def load(streamDir: String): StreamState = {

@@ -234,6 +234,18 @@ object GraftFunctions {
         val (id, created) = new graft.eslog.EsCatalog(root)
           .createStreamIfAbsent(name, retentionMs = retention)
         localRow(Seq(("name", name), ("stream_id", id), ("created", created))) }),
+    (FunctionIdentifier("graft_clone_stream"),
+      info("graft_clone_stream",
+        "graft_clone_stream('src_dir', 'dst_dir'[, version]) - deep clone of " +
+          "a stream (log + referenced data files); returns (dst, version, next_offset)"),
+      (args: Seq[Expression]) => { arity("graft_clone_stream", args, 2, 3)
+        val src = literalString(args(0), "graft_clone_stream", "src_dir")
+        val dst = literalString(args(1), "graft_clone_stream", "dst_dir")
+        val v = if (args.size == 3)
+          literalLong(args(2), "graft_clone_stream", "version") else -1L
+        val st = EsLog.cloneStream(active(), src, dst, v)
+        localRow(Seq(("dst", dst), ("version", st.version),
+          ("next_offset", st.nextOffset))) }),
     (FunctionIdentifier("graft_drop_stream"),
       info("graft_drop_stream",
         "graft_drop_stream('root', 'name') - idempotent drop; returns (name, dropped)"),

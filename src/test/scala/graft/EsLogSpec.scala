@@ -869,6 +869,53 @@ class EsLogSpec extends SparkTestBase {
     }
   }
 
+  test("cloneStream: independent deep copy, version-pinned head, cross-store onto S3 semantics") {
+    import spark.implicits._
+    val src = tmpDir("eslog-clone-src-")
+    EsLog.create(src, streamId = 77L)
+    EsLog.open(src, 1L)
+    def batch(from: Long, n: Long) = spark.range(from, from + n).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    EsLog.append(spark, src, batch(0, 100), 1L, numPartitions = 2)
+    val v1 = graft.meta.MetaLog.latestVersion(src)
+    EsLog.append(spark, src, batch(100, 50), 1L, numPartitions = 2)
+
+    // full clone: bit-equal content, history preserved
+    val full = tmpDir("eslog-clone-full-")
+    EsLog.cloneStream(spark, src, full)
+    def rows(dir: String) =
+      EsLog.scan(spark, dir).select("base_offset", "payload")
+        .as[(Long, Array[Byte])].collect().map { case (o, p) => (o, new String(p)) }.toSet
+    assert(rows(full) === rows(src))
+    assert(graft.meta.MetaLog.latestVersion(full) == graft.meta.MetaLog.latestVersion(src))
+    // the clone's own time travel works (log history rode along)
+    assert(EsLog.scanAt(spark, full, v1).count() == 100)
+
+    // version-pinned clone: head == that snapshot
+    val pinned = tmpDir("eslog-clone-pin-")
+    EsLog.cloneStream(spark, src, pinned, version = v1)
+    assert(EsLog.scan(spark, pinned).count() == 100)
+    assert(graft.meta.MetaLog.latestVersion(pinned) == v1)
+
+    // cross-store: clone onto the S3-semantics double and read back there
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3double.impl", classOf[S3DoubleFileSystem].getName)
+    try {
+      val s3 = s"s3double://clone${System.nanoTime()}/streams/s1"
+      EsLog.cloneStream(spark, src, s3)
+      assert(rows(s3) === rows(src))
+    } finally hc.unset("fs.s3double.impl")
+
+    // independence: divergent append on the clone, trim on the source
+    EsLog.open(full, 2L)
+    EsLog.append(spark, full, batch(150, 25), 2L, numPartitions = 1)
+    assert(EsLog.scan(spark, full).count() == 175)
+    assert(EsLog.scan(spark, src).count() == 150)
+    EsLog.trim(src, 100)
+    assert(EsLog.scan(spark, src).count() == 50)
+    assert(EsLog.scan(spark, full).count() == 175)
+  }
+
   test("describe/update/delete surface") {
     val dir = tmpDir("eslog-ddl-")
     EsLog.create(dir, streamId = 9L, replica = 3, ackCount = 2, retentionMs = 1000L)

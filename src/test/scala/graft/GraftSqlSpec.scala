@@ -229,6 +229,14 @@ class GraftSqlSpec extends SparkTestBase {
       assert(spark.sql("SELECT count(*) FROM graft_sql_ddl_t")
         .collect().head.getLong(0) == 150)
 
+      // CLONE from SQL: a deep copy readable through the TVF, source intact
+      val cdst = tmpDir("sqlddl-clone-")
+      val cl = spark.sql(s"SELECT * FROM graft_clone_stream('$dir', '$cdst/c1')")
+        .collect().head
+      assert(cl.getAs[Long]("next_offset") == 150L, cl.toString)
+      assert(spark.sql(s"SELECT count(*) FROM graft_scan('$cdst/c1')")
+        .collect().head.getLong(0) == 150)
+
       // LIST + combined scan see the stream
       val listed = spark.sql(s"SELECT name FROM graft_list_streams('$root')")
         .collect().map(_.getString(0))

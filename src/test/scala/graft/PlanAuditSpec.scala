@@ -818,6 +818,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_sessions" -> Seq("user_id", "sid", "start_ms", "end_ms", "n"),
     "es_snapshot" -> Seq("base_offset", "event_type"),
     "es_scan_delta" -> Seq("base_offset", "event_type"),
+    "es_clone" -> Seq("base_offset", "event_type"),
     "es_stream_asof" -> Seq("user_id", "offset", "t", "matched_offset", "matched_t"),
     "es_stream_dedup" -> Seq("k"),
     "es_stream_join" -> Seq("pair_id", "even_id", "odd_id", "even_type", "odd_type"),
