@@ -916,6 +916,69 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.scan(spark, full).count() == 175)
   }
 
+  test("lifecycle chaos: concurrent append/seal/trim/compact/kv keeps offsets contiguous") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // Four writers race randomized lifecycle ops (seeded — reruns are
+    // deterministic per thread). No epoch bumps: fencing has its own tests;
+    // this one pins the CAS/commit invariants under full interleaving:
+    //   (1) successful appends tile [0, nextOffset) with no overlap or gap,
+    //   (2) the final scan is exactly [startOffset, nextOffset), each
+    //       offset once, whatever trims and compactions landed in between.
+    val dir = tmpDir("eslog-chaos-")
+    EsLog.create(dir)
+    EsLog.open(dir, 1L)
+    val ranges = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(1000 + t)
+        try {
+          (0 until 8).foreach { _ =>
+            rnd.nextInt(10) match {
+              case n if n < 5 => // append 20 rows
+                val base = rnd.nextInt(1 << 20).toLong
+                val b = spark.range(base, base + 20).select(
+                  col("id"), col("id").cast("string").cast("binary").as("payload"))
+                // a raced append loses its CAS and throws (losers leave no
+                // files — pinned elsewhere); the client contract is retry
+                var done = false
+                var attempts = 0
+                while (!done) {
+                  try { ranges.add(EsLog.append(spark, dir, b, 1L, numPartitions = 1)); done = true }
+                  catch { case _: graft.meta.ConcurrentCommitException =>
+                    attempts += 1; require(attempts < 50, "append starved") }
+                }
+              case 5 | 6 => // trim somewhere below the current head
+                val st = graft.meta.MetaLog.load(dir)
+                if (st.nextOffset > 0) EsLog.trim(dir, rnd.nextLong(st.nextOffset + 1))
+              case 7 => EsLog.seal(dir) // seal so compaction has work
+              case 8 => EsLog.compact(spark, dir, targetBytes = Long.MaxValue)
+              case _ => EsLog.putKV(dir, s"k${rnd.nextInt(8)}", t.toString)
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"chaos ops failed: ${errors.asScala.map(_.toString).mkString("; ")}")
+
+    // (1) append ranges tile [0, nextOffset)
+    val sorted = ranges.asScala.toSeq.sortBy(_._1)
+    val st = graft.meta.MetaLog.load(dir)
+    sorted.foldLeft(0L) { (expect, r) =>
+      assert(r._1 == expect, s"append ranges overlap or gap at $r (expected start $expect)")
+      r._2
+    }
+    assert(sorted.lastOption.map(_._2).getOrElse(0L) == st.nextOffset)
+
+    // (2) the scan is exactly the live range, each offset once
+    val offs = EsLog.scan(spark, dir).select("base_offset").as[Long].collect().sorted
+    assert(offs.toSeq == (st.startOffset until st.nextOffset),
+      s"scan range mismatch: got ${offs.length} rows, state [${st.startOffset}, ${st.nextOffset})")
+  }
+
   test("describe/update/delete surface") {
     val dir = tmpDir("eslog-ddl-")
     EsLog.create(dir, streamId = 9L, replica = 3, ackCount = 2, retentionMs = 1000L)
