@@ -194,7 +194,7 @@ object Bench {
       "es_window_hourly", "es_agg_by_type",
       "join_asof", "join_range", "join_overlap",
       "sketch_kmv", "sketch_cms", "sketch_bloom", "sketch_hll",
-      "stats_quantiles_approx",
+      "sketch_kmv_overlap", "stats_quantiles_approx",
       "stats_quantiles_sample", "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "dedup_lines", "decontaminate_report",
       "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split",
