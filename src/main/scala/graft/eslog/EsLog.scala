@@ -415,7 +415,7 @@ object EsLog {
     // (~15-25 ms of a ~250 ms commit). The rare split-up path still pays
     // the second pass: it shuffles anyway.
     val internal =
-      if (sortKey.isEmpty && numPartitions == 0)
+      if (sortKey.isEmpty && numPartitions <= 0) // any non-positive count = auto-roll
         sizeTargetedCount(batches, targetFileBytes) match {
           case Some(n) =>
             val cur = internal0.getNumPartitions
@@ -613,23 +613,36 @@ object EsLog {
     val srcState = if (version < 0L) MetaLog.load(srcDir) else MetaLog.loadAt(srcDir, version)
     require(!srcState.deleted, s"cannot clone deleted stream $srcDir")
     val upTo = if (version < 0L) srcState.version else version
-    MetaLog.cloneLog(srcDir, dstDir, upTo)
-    val rels = srcState.allFiles.map(_.path)
-    if (rels.nonEmpty) {
-      val conf = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
-      val (s, d) = (srcDir, dstDir)
-      spark.sparkContext
-        .parallelize(rels, math.min(rels.size, spark.sparkContext.defaultParallelism))
-        .foreach { rel =>
-          val sp = hpath(MetaLog.join(s, rel))
-          val dp = hpath(MetaLog.join(d, rel))
-          val c = conf()
-          org.apache.hadoop.fs.FileUtil.copy(
-            sp.getFileSystem(c), sp, dp.getFileSystem(c), dp,
-            false /* deleteSource */, true /* overwrite */, c)
-        }
+    // Failure atomicity (append's delete-before-rethrow discipline): a copy
+    // racing the source's vacuum/compaction sweep can lose a referenced
+    // file mid-clone — the half-written destination (log already in place,
+    // data incomplete) is deleted before rethrow, so the clone FAILS CLEAN
+    // and a retry against the same dstDir works instead of tripping
+    // cloneLog's already-has-a-log guard forever.
+    try {
+      MetaLog.cloneLog(srcDir, dstDir, upTo)
+      val rels = srcState.allFiles.map(_.path)
+      if (rels.nonEmpty) {
+        val conf = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
+        val (s, d) = (srcDir, dstDir)
+        spark.sparkContext
+          .parallelize(rels, math.min(rels.size, spark.sparkContext.defaultParallelism))
+          .foreach { rel =>
+            val sp = hpath(MetaLog.join(s, rel))
+            val dp = hpath(MetaLog.join(d, rel))
+            val c = conf()
+            org.apache.hadoop.fs.FileUtil.copy(
+              sp.getFileSystem(c), sp, dp.getFileSystem(c), dp,
+              false /* deleteSource */, true /* overwrite */, c)
+          }
+      }
+      MetaLog.load(dstDir)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        MetaLog.dropLog(dstDir) // routed-store logs are invisible to the FS delete
+        deleteRecursively(dstDir)
+        throw e
     }
-    MetaLog.load(dstDir)
   }
 
   /** Incremental batch read: the rows appended BETWEEN two log versions —

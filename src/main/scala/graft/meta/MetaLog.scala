@@ -273,6 +273,15 @@ object MetaLog {
     versions.last
   }
 
+  /** Best-effort removal of every log file under `streamDir` — clone-failure
+    * cleanup through the ROUTED store (a Hadoop-side recursive delete cannot
+    * see a log that rides an ObjectLogStore route). Never throws. */
+  private[graft] def dropLog(streamDir: String): Unit = {
+    val s = storeFor(streamDir)
+    try s.list(logDir(streamDir)).foreach(n => s.delete(join(logDir(streamDir), n)))
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Fold the log into a snapshot-consistent state: newest checkpoint + the
     * ≤ CheckpointInterval deltas after it (O(1) in total commits). */
   def load(streamDir: String): StreamState = {

@@ -80,25 +80,39 @@ final class MultipartObjectWriter(
   private var nextPart = 1
   private var closed = false
 
+  /** Full parts are sliced straight out of the incoming array — the buffer
+    * only ever holds a sub-part tail (< partSize), so a large single write
+    * costs one copy per part and peak extra memory of one part, not the
+    * O(N²/partSize) re-copying a buffer-then-split shape would pay on the
+    * exact hot path (multi-part catalog checkpoints at ingest rates). */
   def write(bytes: Array[Byte]): Unit = {
     require(!closed, s"writer for $key is closed")
-    buf.write(bytes)
-    while (buf.size >= partSize) rollPart()
+    var off = 0
+    if (buf.size > 0) { // top up the buffered tail to a full part first
+      val take = math.min(partSize - buf.size, bytes.length)
+      buf.write(bytes, 0, take)
+      off = take
+      if (buf.size == partSize) {
+        uploadPartBytes(buf.toByteArray)
+        buf.reset()
+      }
+    }
+    while (bytes.length - off >= partSize) { // whole parts, no buffering
+      uploadPartBytes(java.util.Arrays.copyOfRange(bytes, off, off + partSize))
+      off += partSize
+    }
+    if (off < bytes.length) buf.write(bytes, off, bytes.length - off)
   }
 
-  private def rollPart(): Unit = {
+  private def uploadPartBytes(part: Array[Byte]): Unit = {
     val id = uploadId.getOrElse {
       val i = store.initiateMultipart(key); uploadId = Some(i); i
     }
-    val all = buf.toByteArray
-    val (part, rest) = all.splitAt(partSize)
     require(nextPart <= MultipartStore.MaxParts,
       s"$key exceeds ${MultipartStore.MaxParts} parts at partSize=$partSize")
     val etag = store.uploadPart(key, id, nextPart, part)
     parts = (nextPart, etag) :: parts
     nextPart += 1
-    buf.reset()
-    buf.write(rest)
   }
 
   /** Upload any tail bytes as the final (possibly short) part and assemble.
@@ -112,10 +126,7 @@ final class MultipartObjectWriter(
         if (ifNoneMatch) store.putIfNoneMatch(key, buf.toByteArray)
         else { store.put(key, buf.toByteArray); true }
       case Some(id) =>
-        if (buf.size > 0) {
-          val etag = store.uploadPart(key, id, nextPart, buf.toByteArray)
-          parts = (nextPart, etag) :: parts
-        }
+        if (buf.size > 0) uploadPartBytes(buf.toByteArray)
         val created = store.completeMultipart(key, id, parts.reverse, ifNoneMatch)
         // a lost conditional complete leaves the upload staged (S3's 412
         // behavior) — reclaim it; the winner's object is untouched

@@ -59,8 +59,11 @@ final class ObjectLogStore(
       case mp: ObjectStore with MultipartStore if bytes.length >= multipartThreshold =>
         val w = new MultipartObjectWriter(mp, k,
           partSize = math.max(multipartThreshold, MultipartStore.MinPartBytes))
-        try w.write(bytes) catch { case e: Throwable => w.abort(); throw e }
-        w.close(ifNoneMatch)
+        // abort on ANY staging/assembly failure — a throw from close()'s
+        // tail-part upload or complete would otherwise leak the staged
+        // parts (invisible, but billed until a dangling-upload sweep)
+        try { w.write(bytes); w.close(ifNoneMatch) }
+        catch { case e: Throwable => w.abort(); throw e }
       case _ =>
         if (ifNoneMatch) store.putIfNoneMatch(k, bytes)
         else { store.put(k, bytes); true }

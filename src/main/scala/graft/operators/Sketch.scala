@@ -144,8 +144,14 @@ object Sketch {
           .otherwise(lit((k - 1).toLong) * call_function("div", lit(HashSpace), col("kth_hash"))))
       .withColumn("jaccard_permille",
         call_function("div", lit(1000L) * col("n_both"), col("n_kept")))
+      // floor(U·B/K) computed as (U div K)·B + ((U mod K)·B) div K — the
+      // exact same integer, but overflow-free: U ≤ 2^60 and B ≤ K bound the
+      // first term by 2^60 and the second by k², where the naive product
+      // U·B can pass 2^63 at large cardinalities
       .withColumn("n_inter_est",
-        call_function("div", col("n_union_est") * col("n_both"), col("n_kept")))
+        call_function("div", col("n_union_est"), col("n_kept")) * col("n_both") +
+          call_function("div", (col("n_union_est") % col("n_kept")) * col("n_both"),
+            col("n_kept")))
       .drop("kth_hash")
   }
 
@@ -165,14 +171,16 @@ object Sketch {
        |rk AS (SELECT $g, h, a, b, row_number() OVER (PARTITION BY $g ORDER BY h) AS rn FROM u),
        |agg AS (SELECT $g, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash,
        |               CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
-       |        FROM rk WHERE rn <= $k GROUP BY $g)
-       |SELECT $g, n_kept, n_both,
-       |       CASE WHEN n_kept < $k THEN n_kept
-       |            ELSE ${k - 1} * ($HashSpace // kth_hash) END AS n_union_est,
+       |        FROM rk WHERE rn <= $k GROUP BY $g),
+       |est AS (SELECT $g, n_kept, n_both,
+       |               CASE WHEN n_kept < $k THEN n_kept
+       |                    ELSE ${k - 1} * ($HashSpace // kth_hash) END AS n_union_est
+       |        FROM agg)
+       |SELECT $g, n_kept, n_both, n_union_est,
        |       (1000 * n_both) // n_kept AS jaccard_permille,
-       |       ((CASE WHEN n_kept < $k THEN n_kept
-       |              ELSE ${k - 1} * ($HashSpace // kth_hash) END) * n_both) // n_kept AS n_inter_est
-       |FROM agg""".stripMargin
+       |       (n_union_est // n_kept) * n_both
+       |         + ((n_union_est % n_kept) * n_both) // n_kept AS n_inter_est
+       |FROM est""".stripMargin
   }
 
   /** HyperLogLog register sketch per group — the fourth canonical mergeable
