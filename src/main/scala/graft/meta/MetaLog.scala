@@ -273,6 +273,11 @@ object MetaLog {
     versions.last
   }
 
+  /** Serialized size of a state's checkpoint payload (scale tests: where
+    * does the multipart threshold engage). */
+  private[graft] def stateToJsonBytes(s: StreamState): Long =
+    mapper.writeValueAsBytes(stateToJson(s)).length.toLong
+
   /** Best-effort removal of every log file under `streamDir` — clone-failure
     * cleanup through the ROUTED store (a Hadoop-side recursive delete cannot
     * see a log that rides an ObjectLogStore route). Never throws. */

@@ -51,9 +51,10 @@ final class ObjectLogStore(
     * deployments switch far earlier to stream instead of buffering — the
     * reference rolls parts at 16 MiB, range_offload.rs:26). Visibility and
     * CAS semantics are IDENTICAL to the single-PUT path: nothing appears
-    * until complete, and `ifNoneMatch` rides the complete call. At 10⁴
-    * registered streams the catalog checkpoint is the payload this exists
-    * for. */
+    * until complete, and `ifNoneMatch` rides the complete call. The regime
+    * this serves: large KV payloads and registry checkpoints past ~5×10⁵
+    * streams (~30 B/stream, measured in EsCatalogScaleSpec — 10⁴ streams
+    * is ~300 KB and stays a single PUT). */
   private def bigPut(k: String, bytes: Array[Byte], ifNoneMatch: Boolean): Boolean =
     store match {
       case mp: ObjectStore with MultipartStore if bytes.length >= multipartThreshold =>

@@ -80,6 +80,16 @@ class EsCatalogScaleSpec extends SparkTestBase {
       assert(reg.kv.size == N)
       assert(regLoadMs < 2000, f"registry load took $regLoadMs%.0f ms")
 
+      // size the registry checkpoint at this scale and record where the
+      // multipart threshold actually engages: ~30 B/stream puts 10⁴ streams
+      // around 300 KB (single PUT) and the 16 MiB multipart default around
+      // ~5×10⁵ streams — the multipart path is for THAT regime plus large
+      // KV payloads, not this one
+      val cpBytes = graft.meta.MetaLog.stateToJsonBytes(reg)
+      info(f"registry checkpoint at N=$N: ${cpBytes / 1024} KiB (~${cpBytes / N} B/stream)")
+      assert(cpBytes > N * 10L && cpBytes < 16L * 1024 * 1024,
+        s"checkpoint unexpectedly sized: $cpBytes B")
+
       // serial cost, measured over a sample and extrapolated: each load is
       // a fixed number of latency-bound ops, so the extrapolation is linear
       val tS = System.nanoTime()
