@@ -60,11 +60,17 @@ object Fixtures {
   def tune(s: SparkSession): Unit = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    // NOT set here: spark.sql.files.maxPartitionBytes. A same-JVM A/B on the
-    // 64 KiB-batch scan showed the default 128 MiB splits already yield full
-    // parallelism (leaf default parallelism floors the split count) and
-    // 16 MiB splits were no faster — don't tune what measurement doesn't
-    // support.
+    // Leaf splits sized for compressed payload scans (README deployment
+    // note): payloads compress 10-20x and Spark bins by COMPRESSED bytes,
+    // and since the write-time rolling policy cut file counts the default
+    // binning lands exactly at defaultParallelism — zero straggler slack,
+    // measured 0.97-9.0 s variance on one 2.6 GB hash. 16 MiB bins = 3-4
+    // tasks/core: 0.7-0.9 s stable, and the relational heads improved too.
+    // (An earlier same-JVM A/B in the pre-rolling regime showed no win; the
+    // file-count change moved the regime, and the measurement moved with
+    // it.)
+    s.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    s.conf.set("spark.sql.files.openCostInBytes", "1m")
   }
 
   /** The events table with `ts` ALWAYS a BIGINT of epoch nanos. The driver
