@@ -227,6 +227,28 @@ object Sketch {
     (bucket, rho)
   }
 
+  /** [[hllSketch]] executed through the bounded-state
+    * [[org.apache.spark.sql.graftshim.HllAgg]] aggregate — the 100 TB path.
+    * The declarative twin shuffles up to `2^p` sparse register rows per
+    * group per partition; this one holds exactly `2^p` BYTES per group,
+    * partials merge map-side by register-wise max (ObjectHashAggregate),
+    * and the shuffle carries one register array per (group, partition).
+    * Output is the same sparse `(groupCols..., bucket, rho)` row form,
+    * bit-identical to [[hllSketch]] (max is order-insensitive; unit-pinned). */
+  def hllSketchAgg(df: DataFrame, groupCols: Seq[String], value: Column,
+                   p: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShims, HllAgg}
+    val grp = groupCols.map(col)
+    val regs = GraftShims.column(
+      HllAgg(GraftShims.expr(Portable.hash60(value)), p).toAggregateExpression())
+    OpUtil.rebalance(df).groupBy(grp: _*).agg(regs.as("_regs"))
+      .select(grp :+ posexplode(col("_regs")): _*)
+      .withColumnRenamed("pos", "bucket").withColumnRenamed("col", "rho")
+      .where(col("rho") > 0)
+      .select(grp :+ col("bucket").cast("long").as("bucket")
+        :+ col("rho").cast("long").as("rho"): _*)
+  }
+
   /** Merge shard HLL register tables built with identical `p`: per-bucket
     * max — the HLL merge law (the sparse form of register-wise max). The
     * merged table is bit-identical to sketching the union. */

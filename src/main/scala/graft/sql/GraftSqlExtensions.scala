@@ -34,6 +34,8 @@ import graft.operators.Similarity
   *    k smallest distinct hashes, ascending (bounded state, map-side partials)
   *  - `graft_topk(key, val, k)`  — bounded-state top-k AGGREGATE: k smallest
   *    distinct (key, payload) pairs as ascending struct<k,v> array
+  *  - `graft_hll(hash, p)`       — HLL register AGGREGATE: dense 2^p-int
+  *    register array (2^p BYTES of state; register-wise-max merge)
   *
   * Table functions (FROM-clause access to eslog streams — the SQL analogue
   * of the reference's FETCH/LIST_RANGE client calls):
@@ -153,6 +155,12 @@ object GraftFunctions {
         // an AggregateFunction from a registry builder is wrapped in its
         // AggregateExpression by the analyzer (the built-in registration path)
         org.apache.spark.sql.graftshim.KmvAgg(args(0), k) }),
+    (FunctionIdentifier("graft_hll"),
+      info("graft_hll",
+        "graft_hll(hash_col, p) - HyperLogLog registers over a 60-bit hash: dense array<int> of length 2^p, index = bucket, value = register (p literal)"),
+      (args: Seq[Expression]) => { arity("graft_hll", args, 2)
+        val p = literalInt(args(1), "graft_hll", "p")
+        org.apache.spark.sql.graftshim.HllAgg(args(0), p) }),
     (FunctionIdentifier("graft_quantile_sample"),
       info("graft_quantile_sample",
         "graft_quantile_sample(hash_col, value_col, k) - bottom-k-by-hash quantile sample: values of the k smallest distinct (hash, value) BIGINT pairs, ascending array (k literal); read ranks with element_at"),

@@ -93,6 +93,27 @@ class GraftSqlSpec extends SparkTestBase {
     viaSql.keySet.foreach { lang => assert(viaSql(lang) === viaOp(lang), lang) }
   }
 
+  test("graft_hll aggregate from SQL matches the operator path") {
+    Fixtures.tune(spark)
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_hll_sql")
+    // SQL registers -> sparse rows (posexplode, drop zeros), vs the operator
+    val viaSql = spark.sql(
+      """WITH t AS (SELECT lang, explode(split(text, ' ')) AS tok FROM docs_hll_sql),
+        |r AS (SELECT lang, graft_hll(graft_hash60(tok), 6) AS regs
+        |      FROM t WHERE tok <> '' GROUP BY lang)
+        |SELECT lang, pos AS bucket, col AS rho FROM r
+        |LATERAL VIEW posexplode(regs) AS pos, col
+        |WHERE col > 0""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getInt(2).toLong)).toSet
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val viaOp = graft.operators.Sketch.hllSketch(docs, Seq("lang"), col("tok"), p = 6)
+      .select("lang", "bucket", "rho")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql === viaOp)
+  }
+
   test("graft_topk aggregate from SQL matches the sampler path") {
     Fixtures.tune(spark)
     spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_topk")

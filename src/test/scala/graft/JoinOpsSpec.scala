@@ -429,6 +429,19 @@ class JoinOpsSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate") && !plan.contains("Window"), plan)
   }
 
+  test("HllAgg: bit-identical to the declarative sketch, ObjectHashAggregate plan") {
+    val data = (0 until 30000).map(i => (s"g${i % 7}", s"v${(i * 31) % 4000}")).toDF("g", "v")
+    val viaAgg = Sketch.hllSketchAgg(data, Seq("g"), col("v"), p = 8)
+    val viaRows = Sketch.hllSketch(data, Seq("g"), col("v"), p = 8)
+    val a = viaAgg.select("g", "bucket", "rho").as[(String, Long, Long)].collect().toSet
+    val r = viaRows.select("g", "bucket", "rho").as[(String, Long, Long)].collect().toSet
+    assert(a === r)
+    // one register array per group through the shuffle, not a window sort
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("HLL small range: linear counting is near-exact; rho bit-length edge cases") {
     val p = 10; val m = 1 << p
     val small = (0 until 300).map(i => ("g", s"u$i")).toDF("g", "v")
