@@ -206,6 +206,7 @@ object Sketch {
     val (bucket, rho) = hllCells(value, p)
     OpUtil.rebalance(df)
       .select(grp :+ bucket.as("bucket") :+ rho.as("_rho"): _*)
+      .where(col("bucket").isNotNull) // null values sketch nothing (= the agg twin)
       .groupBy(grp :+ col("bucket"): _*)
       .agg(max(col("_rho")).as("rho"))
   }
@@ -242,11 +243,12 @@ object Sketch {
     val regs = GraftShims.column(
       HllAgg(GraftShims.expr(Portable.hash60(value)), p).toAggregateExpression())
     OpUtil.rebalance(df).groupBy(grp: _*).agg(regs.as("_regs"))
-      .select(grp :+ posexplode(col("_regs")): _*)
-      .withColumnRenamed("pos", "bucket").withColumnRenamed("col", "rho")
-      .where(col("rho") > 0)
-      .select(grp :+ col("bucket").cast("long").as("bucket")
-        :+ col("rho").cast("long").as("rho"): _*)
+      // explicit generator aliases: posexplode's default (pos, col) names
+      // would collide with group columns so named
+      .select(grp :+ posexplode(col("_regs")).as(Seq("__hll_bucket", "__hll_rho")): _*)
+      .where(col("__hll_rho") > 0)
+      .select(grp :+ col("__hll_bucket").cast("long").as("bucket")
+        :+ col("__hll_rho").cast("long").as("rho"): _*)
   }
 
   /** Merge shard HLL register tables built with identical `p`: per-bucket
@@ -294,7 +296,8 @@ object Sketch {
     val w = 60 - p
     val suffixSpace = 1L << w
     val g = groupCols.mkString(", ")
-    s"""WITH hh AS (SELECT $g, ${Portable.hash60Sql("v")} AS h FROM ($from)),
+    s"""WITH hh AS (SELECT $g, ${Portable.hash60Sql("v")} AS h FROM ($from)
+       |           WHERE v IS NOT NULL),
        |rr AS (SELECT $g, h // $suffixSpace AS bucket,
        |         CASE WHEN h % $suffixSpace = 0 THEN ${w + 1}
        |              ELSE ${w + 1} - length(bin(h % $suffixSpace)) END AS rho

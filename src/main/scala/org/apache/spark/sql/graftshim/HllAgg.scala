@@ -42,7 +42,11 @@ case class HllAgg(child: Expression, p: Int,
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // the contract is a 60-bit hash ([[graft.functions.Portable.hash60]]);
+      // arbitrary user input (SQL: graft_hll over xxhash64/negative longs)
+      // is reduced to its low 60 bits instead of indexing out of bounds —
+      // identity for every in-contract value
+      val h = v.asInstanceOf[Long] & ((1L << 60) - 1)
       val bucket = (h >>> w).toInt
       val suffix = h & suffixMask
       val rho =

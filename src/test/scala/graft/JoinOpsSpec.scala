@@ -440,6 +440,22 @@ class JoinOpsSpec extends SparkTestBase {
     val plan = viaAgg.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
+
+    // nulls sketch nothing on BOTH paths; a group column named 'col' is fine
+    // (posexplode's default output names must not collide); out-of-contract
+    // hashes (negative longs) reduce to their low 60 bits instead of crashing
+    val withNulls = (Seq(("a", "x"), ("a", null), ("b", null)): Seq[(String, String)])
+      .toDF("col", "v")
+    val an = Sketch.hllSketchAgg(withNulls, Seq("col"), col("v"), p = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rn = Sketch.hllSketch(withNulls, Seq("col"), col("v"), p = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(an === rn && an.map(_._1) === Set("a")) // all-null group sketches nothing
+    import org.apache.spark.sql.graftshim.{GraftShims, HllAgg}
+    val wild = spark.range(100).select(
+      GraftShims.column(HllAgg(GraftShims.expr(expr("xxhash64(id)")), 6)
+        .toAggregateExpression()).as("regs"))
+    assert(wild.collect().head.getSeq[Int](0).size == 64) // no AIOOBE on full-width hashes
   }
 
   test("HLL small range: linear counting is near-exact; rho bit-length edge cases") {
