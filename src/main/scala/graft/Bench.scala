@@ -206,7 +206,7 @@ object Bench {
       "sketch_kmv", "sketch_cms", "sketch_bloom", "sketch_hll",
       "sketch_kmv_overlap", "stats_quantiles_approx",
       "stats_quantiles_sample", "dedup_semantic", "dedup_semantic_probe",
-      "sample_mix", "dedup_lines", "decontaminate_report",
+      "sample_mix", "dedup_lines", "decontaminate_report", "text_datacard",
       "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split",
       "text_classify", "text_bpe", "es_compact_zorder")
     val registry = SparkEntry.queries

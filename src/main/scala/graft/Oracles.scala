@@ -1449,6 +1449,34 @@ object Oracles {
       |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
       |WHERE tok <> ''""".stripMargin, Seq("lang"))
 
+  /** Dataset card: every metric recomputed independently — counts/sums,
+    * duplicate-doc mass over the text hash, the exact lower-median document
+    * length at rank (n+1)//2, and the same KMV vocabulary estimator. */
+  private val textDatacard = {
+    val kmv = graft.operators.Sketch.kmvDistinctSql(256,
+      """SELECT lang, tok AS v FROM
+        |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok <> ''""".stripMargin, Seq("lang"))
+    s"""WITH base AS (SELECT lang, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         ${H.hash60Sql("text")} AS h FROM documents),
+       |per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |               CAST(sum(n_chars) AS BIGINT) AS n_chars FROM base GROUP BY 1),
+       |dup AS (SELECT lang,
+       |               CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_dup_docs
+       |        FROM (SELECT lang, h, count(*) AS c FROM base GROUP BY 1, 2) GROUP BY 1),
+       |med AS (SELECT lang, n_tok AS median_doc_tokens FROM (
+       |          SELECT lang, n_tok,
+       |                 row_number() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
+       |                 count(*) OVER (PARTITION BY lang) AS cnt FROM base)
+       |        WHERE rn = (cnt + 1) // 2),
+       |voc AS (SELECT lang, n_distinct_est AS vocab_est FROM ($kmv))
+       |SELECT per.lang, n_docs, n_tokens, n_chars, n_dup_docs, median_doc_tokens, vocab_est
+       |FROM per JOIN dup USING (lang) JOIN med USING (lang) JOIN voc USING (lang)""".stripMargin
+  }
+
   /** KMV overlap of the two doc-parity shard vocabularies per language —
     * the same k-min coincidence estimator over the same md5 hashes. */
   private val sketchKmvOverlap = graft.operators.Sketch.kmvOverlapSql(256,
@@ -1664,6 +1692,7 @@ object Oracles {
     "sketch_bloom" -> sketchBloom,
     "sketch_hll" -> sketchHll,
     "sketch_kmv_overlap" -> sketchKmvOverlap,
+    "text_datacard" -> textDatacard,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "lineitem_agg" -> lineitemAgg,

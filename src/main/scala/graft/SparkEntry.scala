@@ -943,6 +943,40 @@ object SparkEntry {
     Sketch.bloomProbe(top.unionByName(absent), col("tok"), sketch)
   }
 
+  /** Dataset card ([[graft.operators.Sketch]] + plain aggregation composed):
+    * the corpus profile a data release ships — per language: doc/token/char
+    * counts, exact-duplicate docs, the exact median document length, and
+    * the KMV vocabulary estimate. Every figure a deterministic integer; one
+    * pass over the corpus plus the bounded vocabulary sketch. */
+  private def qTextDatacard(s: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Fixtures.documents(s, sfDir)
+    val base = docs.select(col("lang"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      length(col("text")).cast("long").as("n_chars"),
+      Portable.hash60(col("text")).as("h"))
+    val per = base.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens"),
+      sum("n_chars").as("n_chars"))
+    // docs sharing their exact text hash with at least one other doc
+    val dup = base.groupBy("lang", "h").agg(count(lit(1)).as("c"))
+      .groupBy("lang").agg(
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("n_dup_docs"))
+    // exact lower median of document token counts (value at a fixed rank is
+    // deterministic whatever the tie order)
+    val w = Window.partitionBy("lang").orderBy(col("n_tok").asc)
+    val med = base.withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("lang")))
+      .where(col("_rn") === call_function("div", col("_cnt") + 1, lit(2L)))
+      .select(col("lang"), col("n_tok").as("median_doc_tokens"))
+    val toks = docs.select(col("lang"), explode(Portable.words(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val voc = Sketch.kmvDistinct(toks, Seq("lang"), col("tok"), k = 256)
+      .select(col("lang"), col("n_distinct_est").as("vocab_est"))
+    per.join(dup, "lang").join(med, "lang").join(voc, "lang")
+  }
+
   /** KMV set-overlap estimator ([[graft.operators.Sketch.kmvOverlap]]):
     * per-language token-vocabulary overlap between the even-doc and odd-doc
     * halves of the corpus, estimated ONLY from the two k=256 kept-hash
@@ -1294,6 +1328,7 @@ object SparkEntry {
     "sketch_bloom" -> (qSketchBloom _),
     "sketch_hll" -> (qSketchHll _),
     "sketch_kmv_overlap" -> (qSketchKmvOverlap _),
+    "text_datacard" -> (qTextDatacard _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "stats_quantiles" -> (qStatsQuantiles _),

@@ -876,6 +876,8 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_hll" -> Seq("hour_start_ms", "bucket", "rho"),
     "sketch_kmv_overlap" -> Seq("lang", "n_kept", "n_both", "n_union_est",
       "jaccard_permille", "n_inter_est"),
+    "text_datacard" -> Seq("lang", "n_docs", "n_tokens", "n_chars",
+      "n_dup_docs", "median_doc_tokens", "vocab_est"),
     "sketch_cms" -> Seq("tok", "true_cnt", "est_cnt"),
     "sketch_kmv" -> Seq("lang", "n_kept", "kth_hash", "n_distinct_est"),
     "sql_fetch" -> Seq("base_offset", "event_type", "h"),
