@@ -125,6 +125,29 @@ class MultipartSpec extends AnyFunSuite {
     assert(inner.stagedBytes == 0L)
   }
 
+  test("writer invariants on random chunkings: byte-exact assembly, no staged residue") {
+    val rnd = new scala.util.Random(42)
+    val s = new InMemoryObjectStore
+    (0 until 20).foreach { i =>
+      val total = rnd.nextInt(3 * Min + Min / 2) // 0 .. ~3.5 parts
+      val payload = bytes(total, seed = i)
+      val w = new MultipartObjectWriter(s, s"rand/$i", partSize = Min)
+      // feed in random-sized chunks (incl. empty and part-straddling ones)
+      var off = 0
+      while (off < total) {
+        val n = math.min(total - off, rnd.nextInt(Min + Min / 3 + 1))
+        w.write(java.util.Arrays.copyOfRange(payload, off, off + n))
+        off += n
+      }
+      assert(w.close())
+      assert(java.util.Arrays.equals(s.get(s"rand/$i").get, payload),
+        s"round $i: content mismatch at total=$total")
+      assert(w.partCount == (if (total < Min) 0 else (total + Min - 1) / Min),
+        s"round $i: partCount=${w.partCount} for total=$total")
+    }
+    assert(s.stagedBytes == 0L && s.listMultipartUploads("").isEmpty)
+  }
+
   test("writer crash mid-part: abort leaves the key untouched and reclaims staged bytes") {
     val s = new InMemoryObjectStore
     s.beforePartUpload = (_, n) => if (n == 2) throw new RuntimeException("network down")
