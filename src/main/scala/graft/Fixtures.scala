@@ -151,8 +151,7 @@ object Fixtures {
   def clonedEventsStream(s: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(s"$sfDir#events-clone", {
       val src = eventsStream(s, sfDir)
-      val firstCommit = graft.meta.MetaLog.actionsSince(src, -1L)
-        .collectFirst { case (v, actions) if actions.exists(_.isInstanceOf[graft.meta.CommitFiles]) => v }
+      val firstCommit = graft.meta.MetaLog.firstDataCommit(src)
         .getOrElse(sys.error(s"no data commit in $src"))
       // NOT freshDir: this dir is memoized for the session, so it must not
       // be swept by dropFresh() between uses
@@ -454,6 +453,7 @@ object Fixtures {
         .withColumn("ts", timestamp_millis(col("base_timestamp")))
         .withWatermark("ts", "1 hour")
         .select(col("ts"), bucket.as("bucket"), rho.as("_rho"))
+        .where(col("bucket").isNotNull) // null payloads sketch nothing (= batch twin)
         .groupBy(window(col("ts"), "1 hour"), col("bucket"))
         .agg(max(col("_rho")).as("rho"))
         .select(unix_millis(col("window.start")).as("hour_start_ms"),

@@ -197,8 +197,7 @@ object SparkEntry {
     * scan sees all of them (snapshot ids = WATCH revisions). */
   private def qEsSnapshot(s: SparkSession, sfDir: String): DataFrame = {
     val dir = Fixtures.eventsStream(s, sfDir)
-    val firstCommit = graft.meta.MetaLog.actionsSince(dir, -1L)
-      .collectFirst { case (v, actions) if actions.exists(_.isInstanceOf[graft.meta.CommitFiles]) => v }
+    val firstCommit = graft.meta.MetaLog.firstDataCommit(dir)
       .getOrElse(sys.error(s"no data commit in $dir"))
     EsLog.scanAt(s, dir, firstCommit).select(
       col("base_offset"),
@@ -212,8 +211,7 @@ object SparkEntry {
     * never re-deliver). */
   private def qEsScanDelta(s: SparkSession, sfDir: String): DataFrame = {
     val dir = Fixtures.eventsStream(s, sfDir)
-    val firstCommit = graft.meta.MetaLog.actionsSince(dir, -1L)
-      .collectFirst { case (v, actions) if actions.exists(_.isInstanceOf[graft.meta.CommitFiles]) => v }
+    val firstCommit = graft.meta.MetaLog.firstDataCommit(dir)
       .getOrElse(sys.error(s"no data commit in $dir"))
     EsLog.scanDelta(s, dir, firstCommit, graft.meta.MetaLog.latestVersion(dir))
       .select(col("base_offset"), col("properties")("event_type").as("event_type"))

@@ -612,16 +612,21 @@ object EsLog {
                   version: Long = -1L): StreamState = {
     val srcState = if (version < 0L) MetaLog.load(srcDir) else MetaLog.loadAt(srcDir, version)
     require(!srcState.deleted, s"cannot clone deleted stream $srcDir")
+    // The not-a-stream-already guard runs OUTSIDE the cleanup scope: a
+    // pre-existing destination must fail WITHOUT being touched — cleanup
+    // may only ever remove state THIS call created.
+    require(!MetaLog.exists(dstDir), s"$dstDir already has a metadata log")
     val upTo = if (version < 0L) srcState.version else version
+    val rels = srcState.allFiles.map(_.path)
     // Failure atomicity (append's delete-before-rethrow discipline): a copy
     // racing the source's vacuum/compaction sweep can lose a referenced
-    // file mid-clone — the half-written destination (log already in place,
-    // data incomplete) is deleted before rethrow, so the clone FAILS CLEAN
-    // and a retry against the same dstDir works instead of tripping
-    // cloneLog's already-has-a-log guard forever.
+    // file mid-clone — the half-written destination is cleaned before
+    // rethrow so a retry works instead of tripping the log guard forever.
+    // Cleanup is TARGETED (the cloned log + exactly the file paths this
+    // call copies), never a recursive delete of dstDir: unrelated
+    // pre-existing content under the destination is not ours to remove.
     try {
       MetaLog.cloneLog(srcDir, dstDir, upTo)
-      val rels = srcState.allFiles.map(_.path)
       if (rels.nonEmpty) {
         val conf = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
         val (s, d) = (srcDir, dstDir)
@@ -640,7 +645,9 @@ object EsLog {
     } catch {
       case scala.util.control.NonFatal(e) =>
         MetaLog.dropLog(dstDir) // routed-store logs are invisible to the FS delete
-        deleteRecursively(dstDir)
+        val fs = dataFs(dstDir)
+        fs.delete(hpath(MetaLog.join(dstDir, MetaLog.LogDirName)), true)
+        rels.foreach(rel => fs.delete(hpath(MetaLog.join(dstDir, rel)), false))
         throw e
     }
   }

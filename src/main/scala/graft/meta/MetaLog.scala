@@ -273,6 +273,14 @@ object MetaLog {
     versions.last
   }
 
+  /** First log version that committed data files — the natural "stream has
+    * content" snapshot id (fixtures and snapshot/delta readers share this
+    * definition so it can never drift between them). */
+  def firstDataCommit(streamDir: String): Option[Long] =
+    actionsSince(streamDir, -1L).collectFirst {
+      case (v, actions) if actions.exists(_.isInstanceOf[CommitFiles]) => v
+    }
+
   /** Serialized size of a state's checkpoint payload (scale tests: where
     * does the multipart threshold engage). */
   private[graft] def stateToJsonBytes(s: StreamState): Long =

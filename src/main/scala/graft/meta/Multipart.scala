@@ -35,8 +35,11 @@ trait MultipartStore { self: ObjectStore =>
   def completeMultipart(key: String, uploadId: String, parts: Seq[(Int, String)],
                         ifNoneMatch: Boolean = false): Boolean
   def abortMultipart(key: String, uploadId: String): Unit
-  /** In-progress uploads under `prefix` as (key, uploadId) pairs. */
-  def listMultipartUploads(prefix: String): Seq[(String, String)]
+  /** In-progress uploads under `prefix` as (key, uploadId, initiatedAtMillis)
+    * — the initiation time is what S3's ListMultipartUploads returns as
+    * `Initiated`, and what lets a sweep distinguish a DANGLING upload (dead
+    * writer) from a live in-flight one. */
+  def listMultipartUploads(prefix: String): Seq[(String, String, Long)]
 }
 
 object MultipartStore {

@@ -87,12 +87,17 @@ final class ObjectLogStore(
   /** Reclaim dangling multipart uploads under `prefix` — writers that died
     * between initiate and complete/abort leave invisible staged parts that
     * only an explicit abort (or S3 lifecycle's AbortIncompleteMultipartUpload)
-    * frees. Returns the number of uploads aborted. Callers gate on age the
-    * same way vacuum's grace sweep does for replaced data files. */
-  def abortDanglingUploads(prefix: String): Int = store match {
+    * frees. Only uploads initiated BEFORE `initiatedBefore` are aborted —
+    * the age gate that keeps a sweep from killing a LIVE writer's in-flight
+    * upload mid-commit (same grace discipline as vacuum's sweep for
+    * replaced data files; pass a cutoff comfortably older than any commit
+    * could run). Returns the number of uploads aborted. */
+  def abortDanglingUploads(prefix: String,
+                           initiatedBefore: Long = Long.MaxValue): Int = store match {
     case mp: ObjectStore with MultipartStore =>
       val ups = mp.listMultipartUploads(key(prefix))
-      ups.foreach { case (k, id) => mp.abortMultipart(k, id) }
+        .filter { case (_, _, at) => at < initiatedBefore }
+      ups.foreach { case (k, id, _) => mp.abortMultipart(k, id) }
       ups.size
     case _ => 0
   }
@@ -134,15 +139,17 @@ final class InMemoryObjectStore extends ObjectStore with MultipartStore {
 
   // ---- multipart (S3 semantics; staged parts never touch `objects`) ----
 
-  /** uploadId -> (key, partNumber -> (etag, bytes)). Staged state lives in a
-    * separate map so parts are invisible to get/head/list by construction. */
+  /** uploadId -> (key, initiatedAtMillis, partNumber -> (etag, bytes)).
+    * Staged state lives in a separate map so parts are invisible to
+    * get/head/list by construction. */
   private val uploads = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, java.util.concurrent.ConcurrentHashMap[Int, (String, Array[Byte])])]()
+    String, (String, Long, java.util.concurrent.ConcurrentHashMap[Int, (String, Array[Byte])])]()
   private val uploadSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   override def initiateMultipart(key: String): String = {
     val id = s"upload-${uploadSeq.incrementAndGet()}"
-    uploads.put(id, (key, new java.util.concurrent.ConcurrentHashMap[Int, (String, Array[Byte])]()))
+    uploads.put(id, (key, System.currentTimeMillis(),
+      new java.util.concurrent.ConcurrentHashMap[Int, (String, Array[Byte])]()))
     id
   }
 
@@ -158,7 +165,7 @@ final class InMemoryObjectStore extends ObjectStore with MultipartStore {
     // replaces the previous part and invalidates its etag.
     val etag = java.util.Base64.getEncoder.encodeToString(
       java.security.MessageDigest.getInstance("MD5").digest(bytes))
-    up._2.put(partNumber, (etag, bytes.clone()))
+    up._3.put(partNumber, (etag, bytes.clone()))
     etag
   }
 
@@ -172,7 +179,7 @@ final class InMemoryObjectStore extends ObjectStore with MultipartStore {
     require(parts.map(_._1) == parts.map(_._1).sorted && parts.map(_._1).distinct == parts.map(_._1),
       "parts must be listed in ascending partNumber order without repeats")
     val resolved = parts.map { case (n, etag) =>
-      val staged = up._2.get(n)
+      val staged = up._3.get(n)
       if (staged == null || staged._1 != etag)
         throw new IllegalStateException(s"InvalidPart: part $n etag $etag for $key")
       staged._2
@@ -200,10 +207,10 @@ final class InMemoryObjectStore extends ObjectStore with MultipartStore {
     uploads.remove(uploadId); () // idempotent; unknown id is a no-op
   }
 
-  override def listMultipartUploads(prefix: String): Seq[(String, String)] = {
+  override def listMultipartUploads(prefix: String): Seq[(String, String, Long)] = {
     import scala.jdk.CollectionConverters._
     uploads.asScala.iterator
-      .collect { case (id, (k, _)) if k.startsWith(prefix) => (k, id) }
+      .collect { case (id, (k, at, _)) if k.startsWith(prefix) => (k, id, at) }
       .toSeq.sorted
   }
 
@@ -211,6 +218,6 @@ final class InMemoryObjectStore extends ObjectStore with MultipartStore {
   def stagedBytes: Long = {
     import scala.jdk.CollectionConverters._
     uploads.asScala.valuesIterator
-      .flatMap(_._2.asScala.valuesIterator.map(_._2.length.toLong)).sum
+      .flatMap(_._3.asScala.valuesIterator.map(_._2.length.toLong)).sum
   }
 }

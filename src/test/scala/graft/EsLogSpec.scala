@@ -914,6 +914,13 @@ class EsLogSpec extends SparkTestBase {
     EsLog.trim(src, 100)
     assert(EsLog.scan(spark, src).count() == 50)
     assert(EsLog.scan(spark, full).count() == 175)
+
+    // cloning ONTO an existing stream fails WITHOUT touching it — the guard
+    // runs outside the failure-cleanup scope, so the cleanup can never
+    // delete a destination this call did not create
+    assertThrows[IllegalArgumentException](EsLog.cloneStream(spark, src, full))
+    assert(EsLog.scan(spark, full).count() == 175)
+    assert(EsLog.scanAt(spark, full, v1).count() == 100) // history intact too
   }
 
   test("lifecycle chaos: concurrent append/seal/trim/compact/kv keeps offsets contiguous") {

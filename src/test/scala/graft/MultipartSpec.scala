@@ -97,7 +97,7 @@ class MultipartSpec extends AnyFunSuite {
     // the winner's bytes are untouched by the losing complete
     assert(java.util.Arrays.equals(s.get("v/000003.json").get, bytes(Min, 100)))
     // S3's 412 path: the loser's upload survives for an explicit abort
-    assert(s.listMultipartUploads("v/") == Seq(("v/000003.json", idB)))
+    assert(s.listMultipartUploads("v/").map(u => (u._1, u._2)) == Seq(("v/000003.json", idB)))
     assert(s.stagedBytes == Min.toLong)
     s.abortMultipart("v/000003.json", idB)
     s.abortMultipart("v/000003.json", idB) // idempotent
@@ -186,9 +186,14 @@ class MultipartSpec extends AnyFunSuite {
     val id1 = inner.initiateMultipart("s1/_eslog/x"); inner.uploadPart("s1/_eslog/x", id1, 1, bytes(Min, 1))
     val id2 = inner.initiateMultipart("s2/_eslog/y"); inner.uploadPart("s2/_eslog/y", id2, 1, bytes(Min, 2))
     assert(inner.stagedBytes == 2L * Min)
+    // the age gate protects LIVE writers: a cutoff earlier than every
+    // initiation aborts nothing
+    assert(log.abortDanglingUploads("/", initiatedBefore = 0L) == 0)
+    assert(inner.stagedBytes == 2L * Min)
     assert(log.abortDanglingUploads("/s1/") == 1) // prefix-scoped
     assert(inner.stagedBytes == Min.toLong)
-    assert(log.abortDanglingUploads("/") == 1)
+    assert(log.abortDanglingUploads("/",
+      initiatedBefore = System.currentTimeMillis() + 60000) == 1)
     assert(inner.stagedBytes == 0L)
   }
 
