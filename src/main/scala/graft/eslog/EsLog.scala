@@ -121,18 +121,18 @@ object EsLog {
         .foreach(st => fs.delete(st.getPath, true))
   }
 
-  /** TRIM_STREAM: advance min offset; vacuum files fully below it. */
-  def trim(streamDir: String, minOffset: Long): StreamState = {
-    val before = MetaLog.load(streamDir)
-    val dropped = before.allFiles.filter(_.endOffset <= minOffset).map(_.path)
-    val after = MetaLog.commitWithRetry(streamDir) { st =>
+  /** TRIM_STREAM: advance min offset — METADATA ONLY. Files fully below the
+    * new start leave the manifest with the commit and are reclaimed by
+    * [[vacuum]]'s grace-protected sweep, exactly like compaction's replaced
+    * files: an eager physical delete here raced every reader of a pre-trim
+    * snapshot (a concurrent compact mid-rewrite of the same segment hit
+    * FILE_NOT_EXIST — caught by the lifecycle chaos test) and bought
+    * nothing a grace sweep doesn't. This is the delayed-GC discipline of
+    * every production table format, applied uniformly. */
+  def trim(streamDir: String, minOffset: Long): StreamState =
+    MetaLog.commitWithRetry(streamDir) { st =>
       if (minOffset <= st.startOffset) Seq.empty else Seq(Trim(minOffset))
     }
-    // Physical vacuum only after the manifest no longer references the files.
-    val fs = dataFs(streamDir)
-    dropped.foreach(rel => fs.delete(hpath(join(streamDir, rel)), false))
-    after
-  }
 
   // ---- write path ----
 

@@ -195,8 +195,16 @@ class EsLogSpec extends SparkTestBase {
       // t2: executing before the trim lands sees every row
       assert(pinned.count() == 1000)
 
-      // t3: trim advances and physically vacuums covered files
+      // t3: trim advances — METADATA ONLY (reclamation rides vacuum's grace
+      // sweep, like compaction's replaced files), so a trim alone can NEVER
+      // break the pinned reader: the re-execute must see all 1000
       EsLog.trim(dir, trimAt)
+      assert(EsLog.scanAt(spark, dir, v).count() == 1000,
+        s"trimAt=$trimAt: metadata-only trim broke a pinned snapshot")
+
+      // t3b: vacuum past the grace period physically reclaims the files the
+      // manifest no longer references
+      EsLog.vacuum(dir, nowMs = System.currentTimeMillis() + 25L * 3600 * 1000)
       val gone = files0.count(_.endOffset <= trimAt)
 
       // t4: the SAME pinned plan re-executes — all 1000 or a clean failure
