@@ -207,6 +207,34 @@ object Fixtures {
       ()
     }
 
+  /** Consumer-group fixture: the at-least-once consume loop over the KV
+    * surface ([[EsLog.readGroup]]/[[EsLog.commitGroupOffset]]). Round 1:
+    * group "etl" reads the first-half append from the start and CAS-commits
+    * its position at n/2; the second half is then appended. The stream is
+    * left mid-protocol — position n/2, head n — so the QUERY performs the
+    * second (catch-up) read itself, repeatably. CAS fencing is asserted
+    * here: a stale expected value and an expected-on-absent both refuse. */
+  def groupStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "group") { dir =>
+      val in = eventBatches(s, sfDir)
+      val n = in.count()
+      val k = n / 2
+      EsLog.create(dir, streamId = 52L)
+      EsLog.open(dir, 1L)
+      EsLog.append(s, dir, in.where(col("event_id") < k), 1L,
+        sortKey = Some("event_id"), numPartitions = 4)
+      val (df1, upTo1, prev1) = EsLog.readGroup(s, dir, "etl")
+      require(prev1.isEmpty && upTo1 == k, s"round-1 readGroup ($prev1, $upTo1)")
+      require(df1.count() == k, "round-1 delivery")
+      require(EsLog.commitGroupOffset(dir, "etl", upTo1, prev1), "round-1 commit")
+      // fencing: stale expected and expected-on-absent both refuse
+      require(!EsLog.commitGroupOffset(dir, "etl", 999L, Some(123L)), "stale CAS accepted")
+      require(!EsLog.commitGroupOffset(dir, "rival", 5L, Some(0L)), "absent-expected accepted")
+      EsLog.append(s, dir, in.where(col("event_id") >= k), 1L,
+        sortKey = Some("event_id"), numPartitions = 4)
+      ()
+    }
+
   /** KV fixture: puts, delete, range delete (ranged tombstone), a successful
     * CAS txn, a failed (stale) one, and etcd-parity multi-guard txns with
     * success AND failure branches. */

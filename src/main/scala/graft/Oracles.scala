@@ -81,6 +81,36 @@ object Oracles {
     """SELECT event_id AS base_offset, event_type FROM events
       |WHERE event_id >= (SELECT count(*) // 2 FROM events)""".stripMargin
 
+  /** fetchByTime over the [t0+span/4, t0+span/2) event-time window; the
+    * millisecond bounds use the same integer division the query computes
+    * driver-side. */
+  private val esFetchTime =
+    """WITH b AS (SELECT epoch_ms(min(ts)) AS t0, epoch_ms(max(ts)) AS t1 FROM events)
+      |SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type
+      |FROM events, b
+      |WHERE epoch_ms(ts) >= t0 + (t1 - t0) // 4
+      |  AND epoch_ms(ts) <  t0 + (t1 - t0) // 2""".stripMargin
+
+  /** offsetForTimestamp = min(event_id) with ts >= probe (offsets ==
+    * event_id); a probe past the newest record resolves to next_offset =
+    * count(*). */
+  private val esOffsetForTime =
+    """WITH b AS (SELECT epoch_ms(min(ts)) AS t0, epoch_ms(max(ts)) AS t1,
+      |                  CAST(count(*) AS BIGINT) AS n FROM events),
+      |p AS (SELECT t0 - 1000 AS probe_ms FROM b
+      |      UNION ALL SELECT t0 + (t1 - t0) // 3 FROM b
+      |      UNION ALL SELECT t1 + 1 FROM b)
+      |SELECT probe_ms,
+      |       coalesce((SELECT min(event_id) FROM events WHERE epoch_ms(ts) >= p.probe_ms),
+      |                (SELECT n FROM b)) AS "offset"
+      |FROM p""".stripMargin
+
+  /** The consumer group's catch-up read: committed at n/2, head at n => the
+    * second half, exactly once. */
+  private val esGroupCommit =
+    """SELECT event_id AS base_offset, event_type FROM events
+      |WHERE event_id >= (SELECT count(*) // 2 FROM events)""".stripMargin
+
   private val esTrim =
     """SELECT event_id AS base_offset, event_type FROM events
       |WHERE event_id >= (SELECT count(*) // 4 FROM events)""".stripMargin
@@ -1109,6 +1139,28 @@ object Oracles {
     ivfSql(s"SELECT * FROM (VALUES\n    $rows) AS t(cid, cvec)")
   }
 
+  /** Oracle for the embedding-diversity sample: the spliced centroids drive
+    * the same score-DESC/cid-ASC nearest-cell assignment as [[ivfSql]], and
+    * the per-cell draw mirrors [[graft.operators.Sampling
+    * .sampleKPerGroupViaWindow]]'s (hash60(seed:id) ASC, id ASC) rank —
+    * deterministic integers end to end, so the sample reproduces
+    * bit-for-bit. k = 8, seed = 7 (the registered query's parameters). */
+  def sampleDiverseSql(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      s"(CAST($i AS BIGINT), ${doubleArrayLit(v)})"
+    }.mkString(",\n    ")
+    s"""WITH cent AS (SELECT * FROM (VALUES
+       |    $rows) AS t(cid, cvec)),
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |a AS (SELECT id, cid, row_number() OVER (PARTITION BY id
+       |        ORDER BY ${cosineSql("v", "cvec")} DESC, cid ASC) AS r FROM e, cent),
+       |cells AS (SELECT id, cid AS cell FROM a WHERE r = 1),
+       |rk AS (SELECT cell, id, row_number() OVER (PARTITION BY cell
+       |         ORDER BY ${H.hash60Sql(7, "CAST(id AS VARCHAR)")} ASC, id ASC) AS rn
+       |       FROM cells)
+       |SELECT cell, id AS vec_id FROM rk WHERE rn <= 8""".stripMargin
+  }
+
   /** Oracle for the learned classifier gate: the quantized model
     * ([[graft.operators.TextClassifier.LinearModel]]) is spliced in as the
     * F-row weight VALUES table after the query runs — all-integer math
@@ -1606,6 +1658,9 @@ object Oracles {
     "sample_token_budget" -> sampleTokenBudget,
     "es_snapshot" -> esSnapshot,
     "es_scan_delta" -> esScanDelta,
+    "es_fetch_time" -> esFetchTime,
+    "es_offset_for_time" -> esOffsetForTime,
+    "es_group_commit" -> esGroupCommit,
     "es_clone" -> esSnapshot, // clone pinned at the first commit == that snapshot
     "es_catalog" -> esCatalog,
     "es_catalog_scan" -> esCatalogScan,

@@ -217,6 +217,52 @@ object SparkEntry {
       .select(col("base_offset"), col("properties")("event_type").as("event_type"))
   }
 
+  /** Time-windowed fetch ([[EsLog.fetchByTime]]) through the SQL TVF: the
+    * window is the [t0+span/4, t0+span/2) quarter of the stream's event-time
+    * range; file pruning runs on the manifest's per-file min/max timestamps
+    * BEFORE the scan (the same stats [[EsLog.enforceRetention]] trims by),
+    * then the pushed base_timestamp range skips row groups. */
+  private def qEsFetchTime(s: SparkSession, sfDir: String): DataFrame = {
+    graft.sql.GraftFunctions.register(s)
+    val dir = Fixtures.eventsStream(s, sfDir)
+    val b = Fixtures.events(s, sfDir)
+      .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).head()
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val from = t0 + (t1 - t0) / 4
+    val until = t0 + (t1 - t0) / 2
+    s.sql(
+      s"""SELECT base_offset, base_timestamp AS ts_ms,
+         |  properties['event_type'] AS event_type
+         |FROM graft_fetch_time('$dir', $from, $until)""".stripMargin)
+  }
+
+  /** ListOffsets-by-timestamp ([[EsLog.offsetForTimestamp]]): three probes —
+    * before all data (resolves to the start), mid-range (earliest offset at
+    * or after the probe, found by reading exactly ONE file), and past the
+    * newest record (resolves to next_offset, the live head). */
+  private def qEsOffsetForTime(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    val b = Fixtures.events(s, sfDir)
+      .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).head()
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val probes = Seq(t0 - 1000L, t0 + (t1 - t0) / 3, t1 + 1L)
+    s.createDataFrame(probes.map(p => (p, EsLog.offsetForTimestamp(s, dir, p))))
+      .toDF("probe_ms", "offset")
+  }
+
+  /** Consumer-group catch-up read ([[Fixtures.groupStream]] left the group
+    * committed at n/2 with head n): [[EsLog.readGroup]] resumes from the
+    * CAS-committed KV position and delivers exactly the second half —
+    * no replay of round 1, no gap. */
+  private def qEsGroupCommit(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.groupStream(s, sfDir)
+    val n = Fixtures.events(s, sfDir).count()
+    val (df, upTo, prev) = EsLog.readGroup(s, dir, "etl")
+    require(prev.contains(n / 2) && upTo == n,
+      s"group position ($prev) / head ($upTo) drifted from fixture protocol")
+    df.select(col("base_offset"), col("properties")("event_type").as("event_type"))
+  }
+
   /** Deep clone pinned at the first data commit ([[Fixtures
     * .clonedEventsStream]]): scanning the CLONE reproduces the first half
     * of the events bit-for-bit — log and data files both survived the
@@ -813,6 +859,22 @@ object SparkEntry {
       k = 5, cents, nprobe = 4)
   }
 
+  /** Embedding-diversity sample ([[Similarity.diverseSample]]): k-means
+    * cells + a seeded uniform draw of 8 ids per cell — the cluster-quota
+    * corpus draw (uniform-over-cells covers every populated region of
+    * embedding space instead of oversampling dense clusters). Centroids
+    * stashed per sfDir for the generated VALUES-quantizer oracle, the
+    * [[qSimPq]] pattern (no lastKmeansSf write — bench-interleaving). */
+  private val diverseCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def qSampleDiverse(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 16)
+    diverseCents.put(sfDir, cents)
+    Similarity.diverseSample(emb, "vec_id", "embedding", cents, k = 8, seed = 7)
+  }
+
   /** Product-quantization ADC search: deterministic per-subspace codebooks
     * ([[Similarity.pqCodebooks]]) stashed per sfDir like [[kmeansCents]], so
     * [[oracleSqlFor]] can splice them into the generated VALUES quantizer. */
@@ -1238,6 +1300,9 @@ object SparkEntry {
     "es_compact_zorder" -> (qEsCompactZorder _),
     "es_snapshot" -> (qEsSnapshot _),
     "es_scan_delta" -> (qEsScanDelta _),
+    "es_fetch_time" -> (qEsFetchTime _),
+    "es_offset_for_time" -> (qEsOffsetForTime _),
+    "es_group_commit" -> (qEsGroupCommit _),
     "es_clone" -> (qEsClone _),
     "es_catalog" -> (qEsCatalog _),
     "es_catalog_scan" -> (qEsCatalogScan _),
@@ -1293,6 +1358,7 @@ object SparkEntry {
     "text_classify" -> (qTextClassify _),
     "text_bpe" -> (qTextBpe _),
     "text_bpe_ids" -> (qTextBpeIds _),
+    "sample_diverse" -> (qSampleDiverse _),
     "sample_mix" -> (qSampleMix _),
     "sample_token_budget" -> (qSampleTokenBudget _),
     "sample_stratified" -> (qSampleStratified _),
@@ -1353,6 +1419,8 @@ object SparkEntry {
       .map(c => "sim_ivf_kmeans" -> Oracles.simIvfKmeansSql(c)) ++
       Option(pqBooks.get(sfDir))
         .map(b => "sim_pq" -> Oracles.simPqSql(b)) ++
+      Option(diverseCents.get(sfDir))
+        .map(c => "sample_diverse" -> Oracles.sampleDiverseSql(c)) ++
       Option(ivfPqParams.get(sfDir))
         .map { case (c, b) => "sim_ivf_pq" -> Oracles.simIvfPqSql(c, b) } ++
       Option(classifierModels.get(sfDir))

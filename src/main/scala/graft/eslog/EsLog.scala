@@ -675,6 +675,67 @@ object EsLog {
     fetchAt(spark, streamDir, toVersion, lo, hi)
   }
 
+  /** Earliest readable offset whose record timestamp is >= `tsMs` — the
+    * ListOffsets-by-timestamp lookup (Kafka's `offsetsForTimes`; the
+    * reference stores `base_timestamp` in every RecordBatchMeta,
+    * components/protocol/fbs/model.fbs:6-36, and its manifest-level
+    * min/max timestamps are the time index). Returns `nextOffset` when no
+    * such record exists (probe beyond the newest data — "start at the live
+    * head", the same convention Kafka's consumer uses for a miss).
+    *
+    * Scale: data files are disjoint in offset space, so the answer can only
+    * live in the lowest-offset file whose `maxTimestamp >= tsMs` — any
+    * higher file starts past that file's whole span, and any lower file has
+    * no qualifying row at all. The lookup therefore reads ONE file (two
+    * columns of it), regardless of stream size; the manifest does the rest.
+    * (Sole exception: a file straddling the trim offset whose qualifying
+    * rows were all trimmed falls through to the next candidate — at most
+    * one extra read, only ever on the stream's head-trimmed first file.)
+    * Event time need not be monotonic in offset order for this to be exact —
+    * it is min(base_offset) over READABLE qualifying rows, computed from the
+    * first file that can contain it. */
+  def offsetForTimestamp(spark: SparkSession, streamDir: String, tsMs: Long): Long = {
+    val st = MetaLog.load(streamDir)
+    if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
+    val cands = st.filesInRange(st.startOffset, st.nextOffset)
+      .filter(_.maxTimestamp >= tsMs).sortBy(_.startOffset)
+    cands.foreach { f =>
+      val m = spark.read.schema(graft.model.RecordBatchRow.schema)
+        .parquet(join(streamDir, f.path))
+        .where(col("base_timestamp") >= tsMs &&
+          col("base_offset") + col("last_offset_delta") > st.startOffset)
+        .agg(min("base_offset")).head()
+      if (!m.isNullAt(0)) return math.max(st.startOffset, m.getLong(0))
+    }
+    st.nextOffset
+  }
+
+  /** Time-windowed fetch: all readable batches with
+    * `fromMs <= base_timestamp < untilMs`. File pruning happens on the
+    * manifest's per-file min/max timestamps BEFORE any scan is planned (the
+    * role [[enforceRetention]] already uses them for), and `base_timestamp`
+    * is a physical Parquet column, so the residual range predicate also
+    * prunes row groups inside the surviving files — two layers of skipping
+    * with zero data read outside the window (tight when ingestion is
+    * roughly time-ordered or the segment was compacted `clusterBy` time).
+    * Trim semantics match [[fetch]]: a batch wholly below the trim offset
+    * is gone even if its timestamp qualifies. */
+  def fetchByTime(spark: SparkSession, streamDir: String,
+                  fromMs: Long, untilMs: Long): DataFrame = {
+    val st = MetaLog.load(streamDir)
+    if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
+    val metas = st.filesInRange(st.startOffset, st.nextOffset)
+      .filter(f => f.maxTimestamp >= fromMs && f.minTimestamp < untilMs)
+    if (metas.isEmpty || fromMs >= untilMs)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        graft.model.RecordBatchRow.schema)
+    spark.read.schema(graft.model.RecordBatchRow.schema)
+      .parquet(metas.map(f => join(streamDir, f.path)): _*)
+      .where(col("base_timestamp") >= fromMs && col("base_timestamp") < untilMs &&
+        col("base_offset") < st.nextOffset &&
+        col("base_offset") + col("last_offset_delta") > st.startOffset)
+  }
+
   private def fetchState(spark: SparkSession, streamDir: String, st: StreamState,
                          start: Long, end: Long, maxBytesHint: Long): DataFrame = {
     if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
@@ -1068,6 +1129,60 @@ object EsLog {
     txnKV(streamDir,
       Seq(expect.map(KvValueIs(key, _)).getOrElse(KvAbsent(key))),
       onSuccess = ops, onFailure = Seq.empty)
+
+  // ---- consumer-group committed offsets (on the KV surface) ----
+
+  /** Key prefix for consumer-group positions. A reserved prefix (not a
+    * separate store): group offsets ride the SAME CAS commit protocol as
+    * every other KV write, so a commit is atomic with any other metadata the
+    * consumer stores in the same transaction. */
+  val GroupKeyPrefix = "__group/"
+  private def groupKey(group: String): String = {
+    require(group.nonEmpty && !group.contains("/"),
+      s"group name must be non-empty and '/'-free: '$group'")
+    GroupKeyPrefix + group
+  }
+
+  /** The group's committed position (the next offset it will read), if any.
+    *
+    * This is the consumer-group shape the reference's PD KV store exists to
+    * serve — "used by compute layers (e.g. Kafka-on-ES) for their own
+    * metadata" (SURVEY §1.1; rpc.fbs:780-931) — done as a first-class
+    * helper: Kafka's OffsetFetch against __consumer_offsets. */
+  def groupOffset(streamDir: String, group: String): Option[Long] =
+    getKV(streamDir, groupKey(group)).map(_.toLong)
+
+  /** Commit a group's position with CAS fencing (Kafka's OffsetCommit with
+    * generation checking): the commit applies iff the current stored
+    * position equals `expected` (`None` = no position yet). A consumer that
+    * lost a rebalance race — another instance advanced the position since it
+    * read — gets `false` and must re-read instead of silently clobbering the
+    * winner's progress. Offsets must be monotone per group under this
+    * protocol by construction: a successful CAS chain never goes back. */
+  def commitGroupOffset(streamDir: String, group: String, offset: Long,
+                        expected: Option[Long]): Boolean =
+    txnKV(streamDir, groupKey(group), expected.map(_.toString),
+      Seq(groupKey(group) -> Some(offset.toString)))
+
+  /** Read everything from the group's committed position (start of stream if
+    * none) to the current head, returning the frame plus the head offset to
+    * pass to [[commitGroupOffset]] AFTER processing succeeds — the
+    * at-least-once consume loop:
+    * {{{
+    *   val (df, upTo, prev) = EsLog.readGroup(spark, dir, "etl")
+    *   process(df)                                   // may be retried
+    *   EsLog.commitGroupOffset(dir, "etl", upTo, prev) // commit last
+    * }}}
+    * Exactly-once needs the processing to be idempotent or transactional
+    * with the commit — the same contract every offset-tracking consumer
+    * (including Spark's own streaming sink) lives with. */
+  def readGroup(spark: SparkSession, streamDir: String,
+                group: String): (DataFrame, Long, Option[Long]) = {
+    val st = MetaLog.load(streamDir)
+    val prev = groupOffset(streamDir, group)
+    val from = prev.getOrElse(st.startOffset)
+    (fetchState(spark, streamDir, st, from, st.nextOffset, 0L), st.nextOffset, prev)
+  }
 
   /** Commit history as a DataFrame — the batch twin of the streaming
     * metadata watch (`option("watch","metadata")`): one row per committed

@@ -315,6 +315,32 @@ object Similarity {
       (-array_max(array(scored.toSeq: _*)).getField("nc")).as("cell"))
   }
 
+  /** Embedding-diversity sample: nearest-centroid cell assignment + a seeded
+    * uniform draw of `k` rows PER CELL — the cluster-quota corpus draw
+    * (SemDeDup/DDC-style pretraining-data curation: uniform-over-corpus
+    * oversamples dense regions of embedding space; uniform-over-cells covers
+    * every populated region). Returns (cell, idCol).
+    *
+    * Scale shape: assignment is [[assignCellsExpr]]'s single codegen'd
+    * argmax projection (centroids ride the plan as literals — no join, no
+    * shuffle), and the per-cell draw is the bounded-state top-k aggregate
+    * ([[Sampling.sampleKPerGroup]] — O(k) state per cell per partition,
+    * map-side partials), so the whole draw is one narrow pass + one
+    * nlist-key aggregate regardless of corpus size. Deterministic: same
+    * centroids + seed => same sample on any cluster layout.
+    *
+    * Same distinct-id precondition as [[Sampling.sampleKPerGroup]]. */
+  def diverseSample(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Double]], k: Int, seed: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+    val cells = assignCellsExpr(corpus, idCol, vecCol, cdf)
+      .select(col("cell"), col("nid").as(idCol))
+    Sampling.sampleKPerGroup(cells, Seq("cell"), idCol, k, seed)
+  }
+
   /** Build the [[IvfIndex]]: k-means coarse quantizer ([[kmeansCentroids]])
     * + one broadcast assignment pass over the corpus. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,

@@ -216,11 +216,21 @@ class EsLogStreamSource(spark: SparkSession, dir: String,
   private val maxBytesPerTrigger =
     parameters.get("maxBytesPerTrigger").map(_.toLong).filter(_ > 0)
 
-  /** Position the stream starts from when no checkpoint exists. */
-  private val initial: Long = parameters.getOrElse("startingOffsets", "earliest") match {
-    case "earliest" => MetaLog.load(dir).startOffset
-    case "latest"   => MetaLog.load(dir).nextOffset
-    case n          => n.toLong
+  /** Position the stream starts from when no checkpoint exists.
+    * `startingTimestamp` (epoch ms) resolves through the manifest time index
+    * ([[graft.eslog.EsLog.offsetForTimestamp]] — one file read, Kafka's
+    * `startingTimestamp` consumer option); mutually exclusive with
+    * `startingOffsets`. */
+  private val initial: Long = parameters.get("startingTimestamp") match {
+    case Some(ts) =>
+      require(!parameters.contains("startingOffsets"),
+        "startingTimestamp and startingOffsets are mutually exclusive")
+      graft.eslog.EsLog.offsetForTimestamp(spark, dir, ts.toLong)
+    case None => parameters.getOrElse("startingOffsets", "earliest") match {
+      case "earliest" => MetaLog.load(dir).startOffset
+      case "latest"   => MetaLog.load(dir).nextOffset
+      case n          => n.toLong
+    }
   }
 
   // AvailableNow: a fixed drain target chosen at query start

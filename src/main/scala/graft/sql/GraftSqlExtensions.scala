@@ -47,6 +47,10 @@ import graft.operators.Similarity
   *    (straddle semantics, manifest-pruned before planning)
   *  - `graft_scan_delta('dir', v1, v2)` — rows appended between two log
   *    versions (offset-delimited incremental read, stable under compaction)
+  *  - `graft_fetch_time('dir', from_ms, until_ms)` — time-windowed fetch
+  *    through the manifest time index (file pruning + row-group skipping)
+  *  - `graft_offset_for_time('dir', ts_ms)` — ListOffsets-by-timestamp:
+  *    earliest readable offset with base_timestamp >= ts_ms, one file read
   *  - `graft_history('dir')`          — the stream's commit history
   *
   * Stream-lifecycle DDL (procedure-style table functions backed by
@@ -216,6 +220,26 @@ object GraftFunctions {
         val lo = literalLong(args(1), "graft_fetch", "start")
         val hi = literalLong(args(2), "graft_fetch", "end")
         GraftShims.analyzedPlan(EsLog.fetch(active(), dir, lo, hi)) }),
+    (FunctionIdentifier("graft_fetch_time"),
+      info("graft_fetch_time",
+        "graft_fetch_time('dir', from_ms, until_ms) - record batches with " +
+          "from_ms <= base_timestamp < until_ms (manifest time-index file " +
+          "pruning + row-group skipping)"),
+      (args: Seq[Expression]) => { arity("graft_fetch_time", args, 3)
+        val dir = literalString(args(0), "graft_fetch_time", "dir")
+        val from = literalLong(args(1), "graft_fetch_time", "from_ms")
+        val until = literalLong(args(2), "graft_fetch_time", "until_ms")
+        GraftShims.analyzedPlan(EsLog.fetchByTime(active(), dir, from, until)) }),
+    (FunctionIdentifier("graft_offset_for_time"),
+      info("graft_offset_for_time",
+        "graft_offset_for_time('dir', ts_ms) - earliest readable offset with " +
+          "base_timestamp >= ts_ms (next_offset if none); returns one row " +
+          "(ts_ms, offset)"),
+      (args: Seq[Expression]) => { arity("graft_offset_for_time", args, 2)
+        val dir = literalString(args(0), "graft_offset_for_time", "dir")
+        val ts = literalLong(args(1), "graft_offset_for_time", "ts_ms")
+        localRow(Seq(("ts_ms", ts),
+          ("offset", EsLog.offsetForTimestamp(active(), dir, ts)))) }),
     (FunctionIdentifier("graft_scan_delta"),
       info("graft_scan_delta",
         "graft_scan_delta('dir', from_version, to_version) - rows appended " +

@@ -156,6 +156,34 @@ class EsLogConnectorSpec extends SparkTestBase {
     assert(q.recentProgress.length >= 4, s"expected >=4 batches, got ${q.recentProgress.length}")
   }
 
+  test("streaming startingTimestamp resolves through the time index") {
+    val dir = mkStream(1000) // ts = offset * 10
+    val ckpt = tmpDir("ckpt-ts-")
+    val q = spark.readStream.format("eslog")
+      .option("startingTimestamp", "5000") // resolves to offset 500
+      .load(dir)
+      .groupBy().agg(count(lit(1)).as("n"), min("base_offset").as("lo"))
+      .writeStream.format("memory").queryName("ts_start")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val row = spark.table("ts_start").collect().head
+    assert(row.getLong(0) == 500L && row.getLong(1) == 500L)
+    // mutually exclusive with startingOffsets — refuse loudly
+    val bad = intercept[Exception] {
+      spark.readStream.format("eslog")
+        .option("startingTimestamp", "5000").option("startingOffsets", "earliest")
+        .load(dir)
+        .writeStream.format("memory").queryName("ts_bad")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(bad).exists(_.contains("mutually exclusive")), msgs(bad))
+  }
+
   test("stream-stream join equals the batch join under aggressive chunking") {
     // scrambled event times (ts NOT correlated with offsets) + tiny admission
     // limits force matches to straddle many micro-batches; with watermark

@@ -1005,4 +1005,113 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.describe(dir).deleted)
     assertThrows[IllegalStateException](EsLog.scan(spark, dir))
   }
+
+  test("time index: fetchByTime prunes files via manifest stats; offsetForTimestamp reads one file") {
+    val dir = tmpDir("eslog-time-")
+    EsLog.create(dir, streamId = 20L)
+    EsLog.open(dir, 1L)
+    // 4 commits of 250 ids each, ts = id*10 => commit c covers [c*2500, (c+1)*2500)
+    for (c <- 0 until 4) {
+      val in = spark.range(c * 250L, (c + 1) * 250L).select(
+        col("id"),
+        col("id").cast("string").cast("binary").as("payload"),
+        (col("id") * 10L).as("base_timestamp"))
+      EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 1)
+    }
+    assert(EsLog.describe(dir).allFiles.size == 4)
+
+    // window fully inside commit 1: exactly ONE file planned
+    val mid = EsLog.fetchByTime(spark, dir, 2500L, 5000L)
+    assert(mid.inputFiles.length == 1, mid.inputFiles.toSeq)
+    val midOffs = mid.select("base_offset").collect().map(_.getLong(0)).sorted
+    assert(midOffs.sameElements(250L until 500L))
+
+    // window straddling the commit-1/commit-2 boundary: two files, tight rows
+    val strad = EsLog.fetchByTime(spark, dir, 4990L, 5020L)
+    assert(strad.inputFiles.length == 2, strad.inputFiles.toSeq)
+    assert(strad.select("base_offset").collect().map(_.getLong(0)).sorted
+      .sameElements(Seq(499L, 500L, 501L)))
+
+    // empty / inverted windows
+    assert(EsLog.fetchByTime(spark, dir, 100000L, 200000L).count() == 0)
+    assert(EsLog.fetchByTime(spark, dir, 5000L, 5000L).count() == 0)
+
+    // ListOffsets-by-timestamp: before-all -> 0; exact & between -> earliest
+    // qualifying; past-newest -> nextOffset
+    assert(EsLog.offsetForTimestamp(spark, dir, -5L) == 0L)
+    assert(EsLog.offsetForTimestamp(spark, dir, 0L) == 0L)
+    assert(EsLog.offsetForTimestamp(spark, dir, 4995L) == 500L)
+    assert(EsLog.offsetForTimestamp(spark, dir, 5000L) == 500L)
+    assert(EsLog.offsetForTimestamp(spark, dir, 9990L) == 999L)
+    assert(EsLog.offsetForTimestamp(spark, dir, 9991L) == 1000L)
+
+    // trim clamps both surfaces: offsets below the trim point are gone even
+    // when their timestamps qualify
+    EsLog.trim(dir, 300L)
+    assert(EsLog.offsetForTimestamp(spark, dir, 0L) == 300L)
+    val postTrim = EsLog.fetchByTime(spark, dir, 0L, 5000L)
+      .select("base_offset").collect().map(_.getLong(0)).sorted
+    assert(postTrim.head == 300L && postTrim.length == 200)
+  }
+
+  test("offsetForTimestamp is exact when event time is NOT offset-monotonic") {
+    val dir = tmpDir("eslog-time-scram-")
+    EsLog.create(dir, streamId = 21L)
+    EsLog.open(dir, 1L)
+    // offsets 0..99, but ts scrambled: ts = ((id*37) % 100) * 10
+    val in = spark.range(100).select(
+      col("id"),
+      col("id").cast("string").cast("binary").as("payload"),
+      ((col("id") * 37L) % 100L * 10L).as("base_timestamp"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+    val probe = 500L
+    val expect = (0L until 100L).filter(id => (id * 37) % 100 * 10 >= probe).min
+    assert(EsLog.offsetForTimestamp(spark, dir, probe) == expect)
+    // fall-through edge: ts 990 belongs to exactly one row (id 27, since
+    // 37 is invertible mod 100); trimming past it leaves its file's
+    // timestamp stats qualifying but no READABLE qualifying row — the
+    // lookup must fall through to the miss answer, never return a stale hit
+    assert(EsLog.offsetForTimestamp(spark, dir, 990L) == 27L)
+    EsLog.trim(dir, 28L)
+    assert(EsLog.offsetForTimestamp(spark, dir, 990L) == 100L)
+  }
+
+  test("consumer group offsets: CAS commit chain, catch-up reads, fencing") {
+    val dir = tmpDir("eslog-group-")
+    EsLog.create(dir, streamId = 22L)
+    EsLog.open(dir, 1L)
+    def put(lo: Long, hi: Long): Unit = {
+      val in = spark.range(lo, hi).select(
+        col("id"), col("id").cast("string").cast("binary").as("payload"))
+      EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 2)
+    }
+    put(0L, 100L)
+    val (df1, upTo1, prev1) = EsLog.readGroup(spark, dir, "g")
+    assert(prev1.isEmpty && upTo1 == 100L && df1.count() == 100L)
+    assert(EsLog.commitGroupOffset(dir, "g", upTo1, prev1))
+    assert(EsLog.groupOffset(dir, "g").contains(100L))
+    // fencing: a stale expected value refuses (another instance won)
+    assert(!EsLog.commitGroupOffset(dir, "g", 50L, None))
+    assert(!EsLog.commitGroupOffset(dir, "g", 120L, Some(99L)))
+    assert(EsLog.groupOffset(dir, "g").contains(100L))
+
+    put(100L, 150L)
+    val (df2, upTo2, prev2) = EsLog.readGroup(spark, dir, "g")
+    assert(prev2.contains(100L) && upTo2 == 150L)
+    assert(df2.select("base_offset").collect().map(_.getLong(0)).sorted
+      .sameElements(100L until 150L))
+    assert(EsLog.commitGroupOffset(dir, "g", upTo2, prev2))
+
+    // caught up: an immediate re-read delivers nothing
+    val (df3, upTo3, prev3) = EsLog.readGroup(spark, dir, "g")
+    assert(df3.count() == 0 && upTo3 == 150L && prev3.contains(150L))
+
+    // groups are independent; reserved prefix is invisible to them
+    assert(EsLog.groupOffset(dir, "other").isEmpty)
+    val (dfO, _, _) = EsLog.readGroup(spark, dir, "other")
+    assert(dfO.count() == 150L)
+    // malformed group names refuse early
+    assertThrows[IllegalArgumentException](EsLog.groupOffset(dir, "a/b"))
+    assertThrows[IllegalArgumentException](EsLog.commitGroupOffset(dir, "", 0L, None))
+  }
 }

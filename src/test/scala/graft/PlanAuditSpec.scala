@@ -818,6 +818,9 @@ class PlanAuditSpec extends SparkTestBase {
     "es_sessions" -> Seq("user_id", "sid", "start_ms", "end_ms", "n"),
     "es_snapshot" -> Seq("base_offset", "event_type"),
     "es_scan_delta" -> Seq("base_offset", "event_type"),
+    "es_fetch_time" -> Seq("base_offset", "ts_ms", "event_type"),
+    "es_offset_for_time" -> Seq("probe_ms", "offset"),
+    "es_group_commit" -> Seq("base_offset", "event_type"),
     "es_clone" -> Seq("base_offset", "event_type"),
     "es_stream_asof" -> Seq("user_id", "offset", "t", "matched_offset", "matched_t"),
     "es_stream_dedup" -> Seq("k"),
@@ -853,6 +856,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sample_stratified" -> Seq("doc_id", "lang"),
     "sample_topk_group" -> Seq("lang", "doc_id"),
     "sample_weighted" -> Seq("doc_id"),
+    "sample_diverse" -> Seq("cell", "vec_id"),
     "sample_split" -> Seq("doc_id", "split"),
     "text_vocab" -> Seq("term", "n_occ", "n_docs", "token_id"),
     "text_vocab_encode" -> Seq("doc_id", "pos", "token_id"),

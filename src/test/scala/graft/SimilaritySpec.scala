@@ -223,4 +223,42 @@ class SimilaritySpec extends SparkTestBase {
       .where(not(col("back") <=> col("embedding")))
     assert(rt.count() == 0, "JSON float round-trip must be exact")
   }
+
+  test("diverseSample: per-cell quota, full coverage, deterministic, equals the window twin") {
+    import spark.implicits._
+    val e = emb
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8)
+    val k = 5
+    val s1 = Similarity.diverseSample(e, "vec_id", "embedding", cents, k = k, seed = 3)
+      .select("cell", "vec_id").as[(Long, Long)].collect().toSet
+
+    val cdf = cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+    val cells = Similarity.assignCellsExpr(e, "vec_id", "embedding", cdf)
+      .select(col("cell"), col("nid").as("vec_id"))
+
+    // quota: never more than k per cell; a cell with <= k members keeps ALL
+    // of them (coverage — the point of the diverse draw)
+    val drawn = s1.groupBy(_._1).map { case (c, xs) => c -> xs.size }
+    val pop = cells.groupBy("cell").count().as[(Long, Long)].collect().toMap
+    assert(drawn.forall { case (_, n) => n <= k })
+    pop.foreach { case (cell, n) =>
+      assert(drawn.getOrElse(cell, 0) == math.min(n, k.toLong).toInt,
+        s"cell $cell: population $n, drew ${drawn.getOrElse(cell, 0)}")
+    }
+
+    // deterministic + bit-equal to the declarative window twin (the oracle's
+    // formulation)
+    val s2 = Similarity.diverseSample(e, "vec_id", "embedding", cents, k = k, seed = 3)
+      .select("cell", "vec_id").as[(Long, Long)].collect().toSet
+    assert(s1 == s2)
+    val twin = graft.operators.Sampling
+      .sampleKPerGroupViaWindow(cells, Seq("cell"), "vec_id", k, seed = 3)
+      .select("cell", "vec_id").as[(Long, Long)].collect().toSet
+    assert(s1 == twin)
+    // a different seed draws a different sample (sanity that the seed wires)
+    val s3 = Similarity.diverseSample(e, "vec_id", "embedding", cents, k = k, seed = 4)
+      .select("cell", "vec_id").as[(Long, Long)].collect().toSet
+    assert(s1 != s3)
+  }
 }
