@@ -235,6 +235,35 @@ object Fixtures {
       ()
     }
 
+  /** Exactly-once ETL fixture ([[EsLog.consumeProcessProduce]]): clicks from
+    * the events stream piped into a destination stream, the source position
+    * committed ATOMICALLY with the destination's data files. The job runs
+    * TWICE — the second run must be a no-op (position == head), which is the
+    * whole exactly-once claim: any replay re-reads nothing and appends
+    * nothing. Destination offsets are deterministic (sortKey = source
+    * offset), so the oracle predicts them with a row_number. */
+  def etlStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "etl") { dst =>
+      val src = eventsStream(s, sfDir)
+      EsLog.create(dst, streamId = 53L)
+      EsLog.open(dst, 1L)
+      def job(): (Long, Long) =
+        EsLog.consumeProcessProduce(s, src, dst, "etl", 1L,
+          sortKey = Some("src_off")) { df =>
+          df.where(col("properties")("event_type") === "click")
+            .select(col("base_offset").as("src_off"), col("payload"),
+              map(lit("src_off"), col("base_offset").cast("string"),
+                lit("event_type"), col("properties")("event_type")).as("properties"),
+              col("base_timestamp"))
+        }
+      val n = EsLog.nextOffset(src)
+      val (f1, u1) = job()
+      require(f1 == 0L && u1 == n, s"round-1 span ($f1, $u1) != (0, $n)")
+      val (f2, u2) = job() // replay: must consume nothing, append nothing
+      require(f2 == n && u2 == n, s"replay consumed ($f2, $u2)")
+      ()
+    }
+
   /** KV fixture: puts, delete, range delete (ranged tombstone), a successful
     * CAS txn, a failed (stale) one, and etcd-parity multi-guard txns with
     * success AND failure branches. */
@@ -1101,6 +1130,51 @@ object Fixtures {
         .start()
       q.awaitTermination(300000)
       cells.unpersist()
+      name
+    })
+
+  /** STREAMING diversity draw — "keep a cluster-balanced reservoir of the
+    * incoming embedding stream": the sampled coarse quantizer is built ONCE
+    * in batch from the existing corpus (vec_id < 400, the
+    * [[graft.operators.Similarity.buildIvfIndexSampled]] centroids — plain
+    * SQL-reproducible, so the oracle needs no spliced literals); each
+    * micro-batch assigns cells with the window-free argmax expression
+    * (stateless), and the only state is the per-cell bounded draw — ≤ 6
+    * (hash, id) pairs per cell in [[org.apache.spark.sql.graftshim
+    * .TopKAgg]], riding the state store across micro-batches. The streaming
+    * sibling of `sample_diverse`. Complete-mode memory table. */
+  def streamDiverseTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-diverse", {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.graftshim.{GraftShims, TopKAgg}
+      import graft.operators.Similarity
+      tune(s)
+      val src = embeddingsStream(s, sfDir)
+      val emb = embeddings(s, sfDir)
+      val cdf = emb.where(col("vec_id") < 400)
+        .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cvec"))
+        .orderBy("cid").limit(16)
+      val perTrigger = math.max(emb.where(col("vec_id") >= 400).count() / 6, 1L)
+      val name = "graft_stream_diverse_" + math.abs(sfDir.hashCode).toString
+      val payloadSchema = new StructType().add("embedding", ArrayType(FloatType))
+      val stream = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("vec_id").cast("long").as("vec_id"),
+          from_json(col("payload").cast("string"), payloadSchema)
+            .getField("embedding").as("embedding"))
+      val kept = GraftShims.column(TopKAgg(
+        GraftShims.expr(graft.functions.Portable.hash60(11, col("nid").cast("string"))),
+        GraftShims.expr(col("nid")), 6).toAggregateExpression())
+      val q = Similarity.assignCellsExpr(stream, "vec_id", "embedding", cdf)
+        .groupBy("cell").agg(kept.as("_ks"))
+        .select(col("cell"), explode(transform(col("_ks"), e => e("v"))).as("vec_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
       name
     })
 

@@ -111,6 +111,16 @@ object Oracles {
     """SELECT event_id AS base_offset, event_type FROM events
       |WHERE event_id >= (SELECT count(*) // 2 FROM events)""".stripMargin
 
+  /** The exactly-once ETL destination: every click exactly once (the job ran
+    * twice — a duplicate-producing replay would double these rows), offsets
+    * dense in source order. */
+  private val esEtl =
+    """WITH c AS (SELECT event_id, event_type,
+      |             row_number() OVER (ORDER BY event_id) - 1 AS dst_off
+      |           FROM events WHERE event_type = 'click')
+      |SELECT CAST(dst_off AS BIGINT) AS base_offset, event_id AS src_off, event_type
+      |FROM c""".stripMargin
+
   private val esTrim =
     """SELECT event_id AS base_offset, event_type FROM events
       |WHERE event_id >= (SELECT count(*) // 4 FROM events)""".stripMargin
@@ -1083,6 +1093,22 @@ object Oracles {
        |FROM xcells x JOIN icells y ON x.cell = y.cell
        |WHERE ${cosineSql("x.v", "y.v")} >= 0.4""".stripMargin
 
+  /** Streaming diversity draw: sampled quantizer (lowest-id 16 corpus
+    * vectors, like [[dedupSemanticProbe]]'s), incoming side vec_id >= 400,
+    * per-cell draw = (hash60('11:'||id) ASC, id ASC) rank <= 6 — mirrors
+    * the TopKAgg reservoir riding the streaming state store. */
+  private val esStreamDiverse =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cvec FROM e WHERE id < 400 ORDER BY id LIMIT 16),
+       |inc AS (SELECT * FROM e WHERE id >= 400),
+       |a AS (SELECT id, cid, row_number() OVER (PARTITION BY id
+       |        ORDER BY ${cosineSql("v", "cvec")} DESC, cid ASC) AS r FROM inc, cent),
+       |cells AS (SELECT id, cid AS cell FROM a WHERE r = 1),
+       |rk AS (SELECT cell, id, row_number() OVER (PARTITION BY cell
+       |         ORDER BY ${H.hash60Sql(11, "CAST(id AS VARCHAR)")} ASC, id ASC) AS rn
+       |       FROM cells)
+       |SELECT cell, id AS vec_id FROM rk WHERE rn <= 6""".stripMargin
+
   /** IVF search oracle, parameterized on the coarse-quantizer source:
     * `centSql` must yield `(cid BIGINT, cvec DOUBLE[])`. */
   private def ivfSql(centSql: String): String =
@@ -1661,6 +1687,7 @@ object Oracles {
     "es_fetch_time" -> esFetchTime,
     "es_offset_for_time" -> esOffsetForTime,
     "es_group_commit" -> esGroupCommit,
+    "es_etl" -> esEtl,
     "es_clone" -> esSnapshot, // clone pinned at the first commit == that snapshot
     "es_catalog" -> esCatalog,
     "es_catalog_scan" -> esCatalogScan,
@@ -1674,6 +1701,7 @@ object Oracles {
     "es_stream_bloom" -> esStreamBloom,
     "es_stream_quantile" -> esStreamQuantile,
     "es_stream_sample" -> esStreamSample,
+    "es_stream_diverse" -> esStreamDiverse,
     "es_stream_enrich_dim" -> esStreamEnrichDim,
     "es_watch_meta" -> esWatchMeta,
     "es_watch_catalog" -> esWatchCatalog,

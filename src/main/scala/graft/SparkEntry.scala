@@ -263,6 +263,18 @@ object SparkEntry {
     df.select(col("base_offset"), col("properties")("event_type").as("event_type"))
   }
 
+  /** Exactly-once consume-process-produce ([[Fixtures.etlStream]]): the
+    * destination stream holds every click exactly once with deterministic
+    * offsets, after the job ran twice — the source position commits in the
+    * same CAS commit as the data, so the replay was a no-op. */
+  private def qEsEtl(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.etlStream(s, sfDir)
+    EsLog.scan(s, dir).select(
+      col("base_offset"),
+      col("properties")("src_off").cast("long").as("src_off"),
+      col("properties")("event_type").as("event_type"))
+  }
+
   /** Deep clone pinned at the first data commit ([[Fixtures
     * .clonedEventsStream]]): scanning the CLONE reproduces the first half
     * of the events bit-for-bit — log and data files both survived the
@@ -406,6 +418,13 @@ object SparkEntry {
   /** Streaming k-per-window sampler: TopKAgg through the state store. */
   private def qEsStreamSample(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamSampleTable(s, sfDir))
+
+  /** Streaming diversity draw ([[Fixtures.streamDiverseTable]]): a
+    * cluster-balanced reservoir of the incoming embedding stream — stateless
+    * cell assignment against the persisted sampled quantizer, bounded
+    * per-cell TopK state. The streaming sibling of `sample_diverse`. */
+  private def qEsStreamDiverse(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamDiverseTable(s, sfDir))
 
   /** WATCH_RESOURCE: metadata log streamed as a versioned change feed. */
   private def qEsWatchMeta(s: SparkSession, sfDir: String): DataFrame =
@@ -1303,6 +1322,7 @@ object SparkEntry {
     "es_fetch_time" -> (qEsFetchTime _),
     "es_offset_for_time" -> (qEsOffsetForTime _),
     "es_group_commit" -> (qEsGroupCommit _),
+    "es_etl" -> (qEsEtl _),
     "es_clone" -> (qEsClone _),
     "es_catalog" -> (qEsCatalog _),
     "es_catalog_scan" -> (qEsCatalogScan _),
@@ -1316,6 +1336,7 @@ object SparkEntry {
     "es_stream_bloom" -> (qEsStreamBloom _),
     "es_stream_quantile" -> (qEsStreamQuantile _),
     "es_stream_sample" -> (qEsStreamSample _),
+    "es_stream_diverse" -> (qEsStreamDiverse _),
     "es_stream_enrich_dim" -> (qEsStreamEnrichDim _),
     "es_stream_decontaminate" -> (qEsStreamDecontaminate _),
     "es_stream_semantic" -> (qEsStreamSemantic _),

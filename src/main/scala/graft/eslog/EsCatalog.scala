@@ -176,14 +176,41 @@ final class EsCatalog(val root: String) {
     * loaded in one parallel pass, see [[loadStates]]). */
   def listStreams(spark: SparkSession): DataFrame = {
     val ids = MetaLog.load(root).kv
-    val rows = loadStates(registered()).map { case (name, st) =>
+    spark.createDataFrame(
+      pageRows(ids, loadStates(registered())).asJava, ListSchema)
+  }
+
+  /** Paginated LIST_RESOURCE (the reference's ListResourceRequest carries a
+    * limit and an opaque continuation token, rpc.fbs:691-778 — PD pages its
+    * etcd range scan). The token is the last name of the previous page
+    * (exclusive resume point); `None` back means the listing is complete.
+    *
+    * Scale: a page loads ONLY its own streams' states — a 10⁴-stream
+    * registry serves a 100-row page with 100 state loads, not 10⁴ (the
+    * registry NAME list itself is one O(1) checkpointed log read). Pages
+    * run against the live registry, like the reference's: a stream created
+    * before the cursor or dropped after it may be missed/seen — callers
+    * needing a gap-free view compose list with [[watchRegistry]] revisions,
+    * exactly the etcd list-then-watch pattern. */
+  def listStreamsPage(spark: SparkSession, limit: Int,
+                      continueFrom: Option[String] = None): (DataFrame, Option[String]) = {
+    require(limit >= 1, s"limit must be >= 1, got $limit")
+    val all = registered().filter(n => continueFrom.forall(_ < n))
+    val page = all.take(limit)
+    val next = if (all.size > limit) Some(page.last) else None
+    val ids = MetaLog.load(root).kv
+    (spark.createDataFrame(pageRows(ids, loadStates(page)).asJava, ListSchema), next)
+  }
+
+  private val ListSchema = StructType(Seq(
+    StructField("name", StringType), StructField("stream_id", LongType),
+    StructField("epoch", LongType), StructField("start_offset", LongType),
+    StructField("next_offset", LongType), StructField("deleted", BooleanType)))
+
+  private def pageRows(ids: Map[String, String],
+                       states: Seq[(String, StreamState)]): Seq[Row] =
+    states.map { case (name, st) =>
       Row(name, ids(s"stream.$name").toLong, st.epoch, st.startOffset,
         st.nextOffset, st.deleted)
     }
-    val schema = StructType(Seq(
-      StructField("name", StringType), StructField("stream_id", LongType),
-      StructField("epoch", LongType), StructField("start_offset", LongType),
-      StructField("next_offset", LongType), StructField("deleted", BooleanType)))
-    spark.createDataFrame(rows.asJava, schema)
-  }
 }

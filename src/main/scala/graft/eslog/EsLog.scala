@@ -1184,6 +1184,47 @@ object EsLog {
     (fetchState(spark, streamDir, st, from, st.nextOffset, 0L), st.nextOffset, prev)
   }
 
+  /** Exactly-once consume-process-produce between two streams — the Kafka
+    * transactions role (sendOffsetsToTransaction), re-expressed on the commit
+    * protocol with no coordinator: the source group's new position rides the
+    * SAME CAS commit as the destination's data files ([[append]]'s
+    * `extraActions`), so a crash at any point either lands both or neither.
+    * On restart, the position read from the DESTINATION's KV says where to
+    * resume in the source — reprocessing never duplicates output.
+    *
+    * What makes one-log atomicity sufficient: the destination is
+    * epoch-fenced single-writer, so a zombie instance of a fenced
+    * generation cannot commit a stale batch + position (its append throws
+    * [[graft.meta.FencedException]] before anything lands). This is the
+    * "store offsets where you store output" pattern (the reference's PD KV
+    * exists exactly for compute layers' own metadata, rpc.fbs:780-931) —
+    * no two-phase commit, because there is only one commit.
+    *
+    * `process` sees the `[position, head)` slice; its output needs a
+    * `payload` column ([[append]]'s contract). An all-filtered (empty)
+    * output still advances the position (a separate commit — safe: either
+    * order of crash re-reads an empty slice and emits nothing). Returns the
+    * consumed span `(from, upTo)`. */
+  def consumeProcessProduce(spark: SparkSession, srcDir: String, dstDir: String,
+                            group: String, epoch: Long,
+                            sortKey: Option[String] = None)
+                           (process: DataFrame => DataFrame): (Long, Long) = {
+    val key = groupKey(group)
+    val srcSt = MetaLog.load(srcDir)
+    if (srcSt.deleted) throw new IllegalStateException(s"stream $srcDir deleted")
+    val from = getKV(dstDir, key).map(_.toLong).getOrElse(srcSt.startOffset)
+    val upTo = srcSt.nextOffset
+    if (upTo <= from) return (from, from)
+    val out = process(fetchState(spark, srcDir, srcSt, from, upTo, 0L))
+    val (a, b) = append(spark, dstDir, out, epoch, sortKey = sortKey,
+      extraActions = Seq(KvPut(key, upTo.toString)))
+    // Empty processed batch: append fenced the epoch, then returned without
+    // committing (no files => no extraActions) — advance the position alone
+    // so the loop cannot spin on an all-filtered slice.
+    if (b == a) putKV(dstDir, key, upTo.toString)
+    (from, upTo)
+  }
+
   /** Commit history as a DataFrame — the batch twin of the streaming
     * metadata watch (`option("watch","metadata")`): one row per committed
     * action, `version` being the snapshot id [[scanAt]] accepts. */

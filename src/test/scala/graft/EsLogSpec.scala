@@ -1006,6 +1006,80 @@ class EsLogSpec extends SparkTestBase {
     assertThrows[IllegalStateException](EsLog.scan(spark, dir))
   }
 
+  test("catalog: paginated LIST_RESOURCE walks the registry with continuation tokens") {
+    val root = tmpDir("eslog-page-")
+    val cat = new graft.eslog.EsCatalog(root)
+    val names = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf")
+    names.foreach(cat.createStream(_))
+    // walk in pages of 3: 3 + 3 + 1, tokens chain, order preserved
+    val (p1, t1) = cat.listStreamsPage(spark, 3)
+    assert(p1.select("name").collect().map(_.getString(0)).toSeq ==
+      Seq("alpha", "bravo", "charlie") && t1.contains("charlie"))
+    val (p2, t2) = cat.listStreamsPage(spark, 3, t1)
+    assert(p2.select("name").collect().map(_.getString(0)).toSeq ==
+      Seq("delta", "echo", "foxtrot") && t2.contains("foxtrot"))
+    val (p3, t3) = cat.listStreamsPage(spark, 3, t2)
+    assert(p3.select("name").collect().map(_.getString(0)).toSeq == Seq("golf")
+      && t3.isEmpty)
+    // exact-boundary page: size == remaining -> complete, no dangling token
+    val (pb, tb) = cat.listStreamsPage(spark, 7)
+    assert(pb.count() == 7 && tb.isEmpty)
+    // pages agree with the unpaginated listing row-for-row
+    val full = cat.listStreams(spark).collect().map(_.toSeq).toSet
+    val paged = (p1.collect() ++ p2.collect() ++ p3.collect()).map(_.toSeq).toSet
+    assert(paged == full)
+    assertThrows[IllegalArgumentException](cat.listStreamsPage(spark, 0))
+  }
+
+  test("consume-process-produce: atomic offset+data commit, replay-safe, zombie-fenced") {
+    val src = tmpDir("eslog-cpp-src-")
+    val dst = tmpDir("eslog-cpp-dst-")
+    EsLog.create(src, streamId = 30L); EsLog.open(src, 1L)
+    EsLog.create(dst, streamId = 31L); EsLog.open(dst, 1L)
+    def put(lo: Long, hi: Long): Unit = {
+      val in = spark.range(lo, hi).select(
+        col("id"), col("id").cast("string").cast("binary").as("payload"))
+      EsLog.append(spark, src, in, 1L, sortKey = Some("id"), numPartitions = 2)
+    }
+    def job(epoch: Long): (Long, Long) =
+      EsLog.consumeProcessProduce(spark, src, dst, "etl", epoch,
+        sortKey = Some("src_off")) { df =>
+        df.where(col("base_offset") % 2 === 0) // keep evens
+          .select(col("base_offset").as("src_off"), col("payload"),
+            map(lit("src_off"), col("base_offset").cast("string")).as("properties"))
+      }
+    put(0L, 100L)
+    assert(job(1L) == (0L, 100L))
+    assert(EsLog.nextOffset(dst) == 50L)
+    // replay = no-op: position rode the data commit
+    assert(job(1L) == (100L, 100L))
+    assert(EsLog.nextOffset(dst) == 50L)
+    // incremental round picks up exactly the delta
+    put(100L, 160L)
+    assert(job(1L) == (100L, 160L))
+    assert(EsLog.nextOffset(dst) == 80L)
+    // output = every even source offset exactly once, in order
+    val srcOffs = EsLog.scan(spark, dst)
+      .select(col("properties")("src_off").cast("long")).collect().map(_.getLong(0)).sorted
+    assert(srcOffs.sameElements(0L until 160L by 2))
+    // zombie fencing: a new generation opens dst at epoch 2; the old
+    // generation's job must be fenced BEFORE committing data or position
+    EsLog.open(dst, 2L)
+    put(160L, 170L)
+    assertThrows[FencedException](job(1L))
+    assert(EsLog.getKV(dst, EsLog.GroupKeyPrefix + "etl").contains("160"))
+    assert(EsLog.nextOffset(dst) == 80L)
+    // the live generation drains the slice; an all-filtered slice still
+    // advances the position (no spin)
+    assert(job(2L) == (160L, 170L))
+    EsLog.trim(src, 170L) // nothing new
+    put(170L, 171L) // one odd... 170 is even; use a slice that filters empty
+    EsLog.consumeProcessProduce(spark, src, dst, "etl", 2L) { df =>
+      df.where(lit(false)).select(col("payload"))
+    }
+    assert(EsLog.getKV(dst, EsLog.GroupKeyPrefix + "etl").contains("171"))
+  }
+
   test("time index: fetchByTime prunes files via manifest stats; offsetForTimestamp reads one file") {
     val dir = tmpDir("eslog-time-")
     EsLog.create(dir, streamId = 20L)

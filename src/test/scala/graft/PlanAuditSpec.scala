@@ -821,6 +821,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_fetch_time" -> Seq("base_offset", "ts_ms", "event_type"),
     "es_offset_for_time" -> Seq("probe_ms", "offset"),
     "es_group_commit" -> Seq("base_offset", "event_type"),
+    "es_etl" -> Seq("base_offset", "src_off", "event_type"),
     "es_clone" -> Seq("base_offset", "event_type"),
     "es_stream_asof" -> Seq("user_id", "offset", "t", "matched_offset", "matched_t"),
     "es_stream_dedup" -> Seq("k"),
@@ -830,6 +831,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_bloom" -> Seq("hour_start_ms", "n_slots", "slot_min", "slot_max", "slot_xor"),
     "es_stream_quantile" -> Seq("hour_start_ms", "permille", "q_value"),
     "es_stream_sample" -> Seq("hour_start_ms", "event_id"),
+    "es_stream_diverse" -> Seq("cell", "vec_id"),
     "es_stream_roundtrip" -> Seq("ts_ms", "event_type", "props"),
     "es_stream_sessions" -> Seq("user_id", "sid", "start_ms", "end_ms", "n"),
     "es_stream_window" -> Seq("hour_start_ms", "n"),
