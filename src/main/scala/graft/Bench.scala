@@ -194,6 +194,19 @@ object Bench {
       graft.eslog.EsLog.fetch(spark, dir, nEvents / 4, nEvents / 2)
         .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
     }
+    // time-indexed fetch over the same stream: manifest ts pruning + pushed
+    // base_timestamp range (bounds computed once, outside the timed region)
+    locally {
+      val dir = Fixtures.eventsStream(spark, sfDir)
+      val b = Fixtures.events(spark, sfDir)
+        .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).collect().head
+      val (t0, t1) = (b.getLong(0), b.getLong(1))
+      timedMedian("fetch_time_mid") {
+        graft.eslog.EsLog.fetchByTime(spark, dir,
+            t0 + (t1 - t0) / 4, t0 + (t1 - t0) / 2)
+          .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
+      }
+    }
 
     // -- relational / LLM-pipeline headline queries (registry plans) --
     val heads = Seq("lineitem_agg", "join_agg", "topk_orders",
@@ -208,7 +221,7 @@ object Bench {
       "stats_quantiles_sample", "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "dedup_lines", "decontaminate_report", "text_datacard",
       "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split",
-      "text_classify", "text_bpe", "es_compact_zorder")
+      "text_classify", "text_bpe", "es_compact_zorder", "sample_diverse")
     val registry = SparkEntry.queries
     heads.foreach { name =>
       // warm pass bills Janino + C2 compile once (observed 5.4 s first run vs

@@ -195,10 +195,11 @@ final class EsCatalog(val root: String) {
   def listStreamsPage(spark: SparkSession, limit: Int,
                       continueFrom: Option[String] = None): (DataFrame, Option[String]) = {
     require(limit >= 1, s"limit must be >= 1, got $limit")
-    val all = registered().filter(n => continueFrom.forall(_ < n))
+    val ids = MetaLog.load(root).kv // ONE registry load serves names and ids
+    val all = ids.keys.filter(_.startsWith("stream.")).map(_.stripPrefix("stream."))
+      .toSeq.sorted.filter(n => continueFrom.forall(_ < n))
     val page = all.take(limit)
     val next = if (all.size > limit) Some(page.last) else None
-    val ids = MetaLog.load(root).kv
     (spark.createDataFrame(pageRows(ids, loadStates(page)).asJava, ListSchema), next)
   }
 

@@ -1181,8 +1181,20 @@ object EsLog {
     val st = MetaLog.load(streamDir)
     val prev = groupOffset(streamDir, group)
     val from = prev.getOrElse(st.startOffset)
+    checkGroupPosition(group, from, st.nextOffset)
     (fetchState(spark, streamDir, st, from, st.nextOffset, 0L), st.nextOffset, prev)
   }
+
+  /** A committed position can only ever come from an observed head, so a
+    * position BEYOND the head means the source stream was dropped and
+    * recreated (offsets restarted) or the position was corrupted — fail
+    * loudly instead of silently consuming nothing forever (the same
+    * generation-identity discipline the catalog subscription's vector
+    * offset enforces by stream id). */
+  private def checkGroupPosition(group: String, from: Long, head: Long): Unit =
+    require(from <= head,
+      s"group '$group' position $from is beyond the source head $head — " +
+        "source stream recreated or position corrupted; reset the position explicitly")
 
   /** Exactly-once consume-process-produce between two streams — the Kafka
     * transactions role (sendOffsetsToTransaction), re-expressed on the commit
@@ -1214,6 +1226,7 @@ object EsLog {
     if (srcSt.deleted) throw new IllegalStateException(s"stream $srcDir deleted")
     val from = getKV(dstDir, key).map(_.toLong).getOrElse(srcSt.startOffset)
     val upTo = srcSt.nextOffset
+    checkGroupPosition(group, from, upTo)
     if (upTo <= from) return (from, from)
     val out = process(fetchState(spark, srcDir, srcSt, from, upTo, 0L))
     val (a, b) = append(spark, dstDir, out, epoch, sortKey = sortKey,

@@ -51,6 +51,10 @@ import graft.operators.Similarity
   *    through the manifest time index (file pruning + row-group skipping)
   *  - `graft_offset_for_time('dir', ts_ms)` — ListOffsets-by-timestamp:
   *    earliest readable offset with base_timestamp >= ts_ms, one file read
+  *  - `graft_group_offset('dir', 'group')` — consumer group's committed
+  *    position (OffsetFetch)
+  *  - `graft_commit_group_offset('dir', 'group', offset, expected)` —
+  *    CAS-fenced position commit (OffsetCommit; NULL expected = first)
   *  - `graft_history('dir')`          — the stream's commit history
   *
   * Stream-lifecycle DDL (procedure-style table functions backed by
@@ -240,6 +244,38 @@ object GraftFunctions {
         val ts = literalLong(args(1), "graft_offset_for_time", "ts_ms")
         localRow(Seq(("ts_ms", ts),
           ("offset", EsLog.offsetForTimestamp(active(), dir, ts)))) }),
+    (FunctionIdentifier("graft_group_offset"),
+      info("graft_group_offset",
+        "graft_group_offset('dir', 'group') - the consumer group's committed " +
+          "position; one row (grp, committed, offset) with committed=false, " +
+          "offset=start when none"),
+      (args: Seq[Expression]) => { arity("graft_group_offset", args, 2)
+        val dir = literalString(args(0), "graft_group_offset", "dir")
+        val group = literalString(args(1), "graft_group_offset", "group")
+        val pos = EsLog.groupOffset(dir, group)
+        localRow(Seq(("grp", group), ("committed", pos.isDefined),
+          ("offset", pos.getOrElse(EsLog.startOffset(dir))))) }),
+    (FunctionIdentifier("graft_commit_group_offset"),
+      info("graft_commit_group_offset",
+        "graft_commit_group_offset('dir', 'group', offset, expected) - CAS " +
+          "position commit (expected NULL = no prior position); one row " +
+          "(grp, offset, committed). NOTE: effects run at analysis; see the " +
+          "DDL idempotence contract — a re-resolved successful commit " +
+          "re-evaluates as a no-op retry (expected == stored) and still " +
+          "reports true"),
+      (args: Seq[Expression]) => { arity("graft_commit_group_offset", args, 4)
+        val dir = literalString(args(0), "graft_commit_group_offset", "dir")
+        val group = literalString(args(1), "graft_commit_group_offset", "group")
+        val off = literalLong(args(2), "graft_commit_group_offset", "offset")
+        val expected =
+          if (args(3).foldable && args(3).eval(null) == null) None
+          else Some(literalLong(args(3), "graft_commit_group_offset", "expected"))
+        // Idempotent under re-analysis: if the stored position already equals
+        // the target (a re-resolved successful commit), report success
+        // without a second CAS — same retry rule Kafka's OffsetCommit has.
+        val done = EsLog.groupOffset(dir, group).contains(off) ||
+          EsLog.commitGroupOffset(dir, group, off, expected)
+        localRow(Seq(("grp", group), ("offset", off), ("committed", done))) }),
     (FunctionIdentifier("graft_scan_delta"),
       info("graft_scan_delta",
         "graft_scan_delta('dir', from_version, to_version) - rows appended " +

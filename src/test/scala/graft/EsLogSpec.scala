@@ -1078,6 +1078,13 @@ class EsLogSpec extends SparkTestBase {
       df.where(lit(false)).select(col("payload"))
     }
     assert(EsLog.getKV(dst, EsLog.GroupKeyPrefix + "etl").contains("171"))
+    // generation identity: a position beyond the source head (drop+recreate)
+    // fails loudly instead of consuming nothing forever
+    EsLog.putKV(dst, EsLog.GroupKeyPrefix + "etl", "9999")
+    assertThrows[IllegalArgumentException](
+      EsLog.consumeProcessProduce(spark, src, dst, "etl", 2L)(identity))
+    EsLog.putKV(src, EsLog.GroupKeyPrefix + "direct", "9999")
+    assertThrows[IllegalArgumentException](EsLog.readGroup(spark, src, "direct"))
   }
 
   test("time index: fetchByTime prunes files via manifest stats; offsetForTimestamp reads one file") {

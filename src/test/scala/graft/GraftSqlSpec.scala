@@ -212,6 +212,48 @@ class GraftSqlSpec extends SparkTestBase {
     EsLog.delete(dir)
   }
 
+  test("time-index and consumer-group TVFs: fetch_time, offset_for_time, group offsets") {
+    val dir = tmpDir("sqltime-")
+    EsLog.create(dir, streamId = 76L)
+    EsLog.open(dir, 1L)
+    val in = spark.range(400).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"),
+      (col("id") * 10L).as("base_timestamp"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+
+    val tw = spark.sql(
+      s"""SELECT count(*) AS n, min(base_offset) AS lo, max(base_offset) AS hi
+         |FROM graft_fetch_time('$dir', 1000, 2000)""".stripMargin).collect().head
+    assert(tw.getLong(0) == 100 && tw.getLong(1) == 100 && tw.getLong(2) == 199)
+
+    assert(spark.sql(s"SELECT offset FROM graft_offset_for_time('$dir', 1995)")
+      .collect().head.getLong(0) == 200)
+    assert(spark.sql(s"SELECT offset FROM graft_offset_for_time('$dir', 99999)")
+      .collect().head.getLong(0) == 400) // past newest -> next_offset
+
+    // group position: absent -> (false, start); CAS commit; fenced retry
+    val g0 = spark.sql(s"SELECT * FROM graft_group_offset('$dir', 'sqlg')").collect().head
+    assert(!g0.getBoolean(1) && g0.getLong(2) == 0L)
+    val c1 = spark.sql(
+      s"SELECT committed FROM graft_commit_group_offset('$dir', 'sqlg', 250, NULL)")
+      .collect().head.getBoolean(0)
+    assert(c1)
+    val g1 = spark.sql(s"SELECT * FROM graft_group_offset('$dir', 'sqlg')").collect().head
+    assert(g1.getBoolean(1) && g1.getLong(2) == 250L)
+    // stale expected refuses; position unchanged
+    val c2 = spark.sql(
+      s"SELECT committed FROM graft_commit_group_offset('$dir', 'sqlg', 300, 99)")
+      .collect().head.getBoolean(0)
+    assert(!c2)
+    assert(EsLog.groupOffset(dir, "sqlg").contains(250L))
+    // duplicate commit of the SAME offset = success (idempotent retry rule)
+    val c3 = spark.sql(
+      s"SELECT committed FROM graft_commit_group_offset('$dir', 'sqlg', 250, NULL)")
+      .collect().head.getBoolean(0)
+    assert(c3)
+    EsLog.delete(dir)
+  }
+
   test("pure-SQL stream lifecycle: create -> INSERT INTO -> scan -> describe -> drop") {
     val root = tmpDir("sqlddl-")
 
