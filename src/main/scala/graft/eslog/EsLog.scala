@@ -756,18 +756,16 @@ object EsLog {
       if (inRange.nonEmpty) hi = cap
     }
     val metas = st.filesInRange(lo, hi)
-    val files = metas.map(f => join(streamDir, f.path))
-    if (files.isEmpty || lo >= hi)
+    if (metas.isEmpty || lo >= hi)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RecordBatchRow.schema)
-    // Straddle lower bound, written pushdown-friendly: the exact predicate
-    // `base_offset + last_offset_delta > lo` is two-column arithmetic no
-    // Parquet row-group stat can serve, so prune with the single-column
-    // relaxation `base_offset > lo - maxDelta` (maxDelta over the selected
-    // files) and keep the exact form as a cheap residual.
-    val maxDelta = metas.map(_.maxDelta.toLong).max
     // Byte source: the HotCache may serve some of the pruned files from
     // executor memory (same file set, same predicate — bit-identical rows);
     // cold files stay a plain vectorized Parquet scan. See [[HotCache]].
+    // The all-cold default rides the manifest FileIndex (same relation the
+    // connector builds): pushed offset/timestamp predicates prune FILES
+    // before planning, sizeInBytes feeds broadcast decisions from real
+    // manifest stats, and an unfiltered count(*) collapses to a metadata
+    // answer ([[org.apache.spark.sql.graftshim.EsLogMetadataOnlyCount]]).
     val source = HotCache.split(spark, streamDir, st, metas) match {
       case Some((hotDfs, cold)) =>
         val coldDf =
@@ -776,11 +774,34 @@ object EsLog {
             .parquet(cold.map(f => join(streamDir, f.path)): _*))
         (hotDfs ++ coldDf).reduce(_ union _)
       case None =>
-        spark.read.schema(RecordBatchRow.schema).parquet(files: _*)
+        import org.apache.spark.sql.graftshim.{EsLogManifestFileIndex, GraftShims, ManifestFile}
+        GraftShims.dfFromRelation(spark,
+          EsLogManifestFileIndex.relation(spark, streamDir,
+            metas.map(f => ManifestFile(join(streamDir, f.path), f.bytes,
+              f.startOffset, f.endOffset, f.minTimestamp, f.maxTimestamp,
+              rows = f.rows)),
+            RecordBatchRow.schema, Map.empty))
     }
-    source
-      .where(col("base_offset") > lo - maxDelta && col("base_offset") < hi &&
+    // Residual bounds, applied only when they can exclude anything — a
+    // vacuous predicate costs a Filter node that blocks the metadata-only
+    // count and widens every downstream plan for nothing:
+    //  - lower (straddle) residual iff some selected file starts below lo.
+    //    Written pushdown-friendly: the exact `base_offset +
+    //    last_offset_delta > lo` is two-column arithmetic no Parquet
+    //    row-group stat can serve, so prune with the single-column
+    //    relaxation `base_offset > lo - maxDelta` and keep the exact form
+    //    as a cheap residual;
+    //  - upper residual iff some selected file ends above hi.
+    val needLower = metas.exists(_.startOffset < lo)
+    val needUpper = metas.exists(_.endOffset > hi)
+    var out = source
+    if (needLower) {
+      val maxDelta = metas.map(_.maxDelta.toLong).max
+      out = out.where(col("base_offset") > lo - maxDelta &&
         col("base_offset") + col("last_offset_delta") > lo)
+    }
+    if (needUpper) out = out.where(col("base_offset") < hi)
+    out
   }
 
   /** Full committed scan (snapshot-isolated: bound to nextOffset at plan time). */
@@ -812,7 +833,7 @@ object EsLog {
     val manifest = live.flatMap { case (dir, st) =>
       st.filesInRange(st.startOffset, st.nextOffset).map(f =>
         ManifestFile(join(dir, f.path), f.bytes, f.startOffset, f.endOffset,
-          f.minTimestamp, f.maxTimestamp, st.streamId))
+          f.minTimestamp, f.maxTimestamp, st.streamId, rows = f.rows))
     }
     if (manifest.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RecordBatchRow.schema)

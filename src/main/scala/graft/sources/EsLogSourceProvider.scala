@@ -70,7 +70,8 @@ class EsLogSourceProvider extends DataSourceRegister
       val files = st.allFiles.map { f =>
         org.apache.spark.sql.graftshim.ManifestFile(
           graft.meta.MetaLog.join(dir, f.path), f.bytes,
-          f.startOffset, f.endOffset, f.minTimestamp, f.maxTimestamp)
+          f.startOffset, f.endOffset, f.minTimestamp, f.maxTimestamp,
+          rows = f.rows)
       }
       org.apache.spark.sql.graftshim.EsLogManifestFileIndex.relation(
         sqlContext.sparkSession, dir, files, RecordBatchRow.schema, parameters)

@@ -90,6 +90,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // (see org.apache.spark.sql.graftshim.EsLogInsertRewrite)
     ext.injectResolutionRule(_ =>
       org.apache.spark.sql.graftshim.EsLogInsertRewrite.rule)
+    // unfiltered count(*) over an eslog relation answers from the manifest
+    // (zero IO, zero tasks — see EsLogMetadataOnlyCount's exactness guards)
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graftshim.EsLogMetadataOnlyCount)
   }
 }
 

@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{LongType, StructType}
 final case class ManifestFile(absPath: String, bytes: Long,
                               startOffset: Long, endOffset: Long,
                               minTimestamp: Long, maxTimestamp: Long,
-                              streamId: Long = -1L)
+                              streamId: Long = -1L,
+                              rows: Long = -1L) // -1 = unknown (blocks metadata-only count)
 
 /** Manifest-driven [[FileIndex]]: the stream's committed file set (a metadata
   * snapshot taken at plan time) exposed to Spark's NATIVE parquet relation —
@@ -37,6 +38,21 @@ class EsLogManifestFileIndex(val streamDir: String, files: Seq[ManifestFile])
   override def sizeInBytes: Long = files.map(_.bytes).sum
   override def inputFiles: Array[String] = files.map(_.absPath).toArray
   override def refresh(): Unit = ()
+
+  /** Exact aggregate stats of the manifest snapshot, when every entry
+    * carries a row count — serves `count(*)` / `min(base_offset)` /
+    * `min/max(base_timestamp)` from metadata alone (see
+    * [[EsLogMetadataOnlyCount]]). The relation builders only construct this
+    * index for streams whose every committed row is readable (mid-file-trim
+    * streams fall back to the exact row-bounded V1 relation; multi-stream
+    * scans put straddle residuals in a Filter ABOVE the relation, which
+    * blocks the rewrite), so the manifest stats ARE the scan's. */
+  def manifestStats: Option[EsLogManifestStats] =
+    if (files.isEmpty) Some(EsLogManifestStats(0L, 0L, 0L, 0L, empty = true))
+    else if (files.forall(_.rows >= 0))
+      Some(EsLogManifestStats(files.map(_.rows).sum, files.map(_.startOffset).min,
+        files.map(_.minTimestamp).min, files.map(_.maxTimestamp).max, empty = false))
+    else None
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

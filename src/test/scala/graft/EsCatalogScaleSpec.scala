@@ -154,6 +154,29 @@ class EsCatalogScaleSpec extends SparkTestBase {
       assert(subSec < serialEstSec / ratio + 30.0,
         f"subscribe batch plan at $N streams took $subSec%.1f s")
       info(f"subscribe batch at N=$N: plan in $subSec%.2f s, 1 scan node + bounds join")
+
+      // paginated LIST at N streams: a 100-row page must cost ~100 state
+      // loads, never O(N) — bounded by the SERIAL cost of its own page
+      // (with slack), which is itself ~N/100th of the full serial sweep
+      val tPage = System.nanoTime()
+      val (page, token) = cat.listStreamsPage(spark, 100)
+      val pageRows = page.collect()
+      val pageSec = (System.nanoTime() - tPage) / 1e6 / 1e3
+      assert(pageRows.length == 100 && token.contains(f"s${99}%05d"))
+      assert(pageRows.map(_.getString(0)).sameElements((0 until 100).map(i => f"s$i%05d")))
+      val pageBudget = serialEstSec * 100.0 / N + 2.0
+      assert(pageSec < pageBudget,
+        f"page of 100 at N=$N took $pageSec%.2f s (budget $pageBudget%.2f s) — page is loading more than its own states")
+      // a token-resumed page deep in the registry costs the same
+      val tPage2 = System.nanoTime()
+      val (page2, _) = cat.listStreamsPage(spark, 100, Some(f"s${7000}%05d"))
+      val page2Rows = page2.collect()
+      val page2Sec = (System.nanoTime() - tPage2) / 1e6 / 1e3
+      assert(page2Rows.length == 100 &&
+        page2Rows.head.getString(0) == f"s${7001}%05d")
+      assert(page2Sec < pageBudget,
+        f"resumed page took $page2Sec%.2f s (budget $pageBudget%.2f s)")
+      info(f"page(100) at N=$N: $pageSec%.2f s first, $page2Sec%.2f s resumed (budget $pageBudget%.2f s)")
     } finally MetaLog.unroute(root)
   }
 }

@@ -156,6 +156,53 @@ class EsLogConnectorSpec extends SparkTestBase {
     assert(q.recentProgress.length >= 4, s"expected >=4 batches, got ${q.recentProgress.length}")
   }
 
+  test("metadata-only count(*): answered from the manifest, zero file scan") {
+    val dir = mkStream(1000)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // unfiltered count(*) collapses to a LocalTableScan — no FileScan at all
+    val q = spark.read.format("eslog").load(dir).groupBy().count()
+    assert(q.collect().head.getLong(0) == 1000L)
+    assert(!planOf(q).contains("FileScan"), planOf(q))
+    assert(planOf(q).contains("LocalTableScan"), planOf(q))
+    // ... and from SQL through the TVF
+    val s = spark.sql(s"SELECT count(*) AS n FROM graft_scan('$dir')")
+    assert(s.collect().head.getLong(0) == 1000L)
+    assert(!planOf(s).contains("FileScan"), planOf(s))
+    // min(base_offset) / min/max(base_timestamp) are metadata too; a mixed
+    // aggregate with them stays metadata-only (ts = offset * 10 here)
+    val m = spark.read.format("eslog").load(dir)
+      .agg(count(lit(1)).as("n"), min("base_offset").as("lo"),
+        min("base_timestamp").as("t0"), max("base_timestamp").as("t1"))
+    val mr = m.collect().head
+    assert(mr.getLong(0) == 1000L && mr.getLong(1) == 0L &&
+      mr.getLong(2) == 0L && mr.getLong(3) == 9990L)
+    assert(!planOf(m).contains("FileScan"), planOf(m))
+    // max(base_offset) is NOT derivable from the manifest: must scan
+    val mx = spark.read.format("eslog").load(dir).agg(max("base_offset"))
+    assert(planOf(mx).contains("FileScan"), planOf(mx))
+    assert(mx.collect().head.getLong(0) == 999L)
+    // a filter blocks the rewrite and still counts correctly through the scan
+    val f = spark.read.format("eslog").load(dir)
+      .where(col("base_offset") >= 500).groupBy().count()
+    assert(planOf(f).contains("FileScan"), planOf(f))
+    assert(f.collect().head.getLong(0) == 500L)
+    // count(DISTINCT x) is not a count(*): must scan
+    val d = spark.read.format("eslog").load(dir)
+      .agg(countDistinct(col("base_offset")))
+    assert(planOf(d).contains("FileScan"), planOf(d))
+    assert(d.collect().head.getLong(0) == 1000L)
+    // mid-file trim: V1 fallback relation, rewrite does not apply, count exact
+    EsLog.trim(dir, 30L)
+    val t = spark.read.format("eslog").load(dir).groupBy().count()
+    assert(t.collect().head.getLong(0) == 970L)
+    // boundary trim: manifest path again, metadata answer reflects the trim
+    EsLog.trim(dir, 250L) // file boundary (4 files x 250)
+    val b = spark.read.format("eslog").load(dir).groupBy().count()
+    assert(b.collect().head.getLong(0) == 750L)
+    assert(!planOf(b).contains("FileScan"), planOf(b))
+  }
+
   test("streaming startingTimestamp resolves through the time index") {
     val dir = mkStream(1000) // ts = offset * 10
     val ckpt = tmpDir("ckpt-ts-")

@@ -190,16 +190,23 @@ class EsLogSpec extends SparkTestBase {
       val files0 = graft.meta.MetaLog.load(dir).allFiles
       assert(files0.size == 4) // 250 rows per file
 
+      // NOTE: a bare count(*) would be answered from the MANIFEST
+      // (EsLogMetadataOnlyCount) — correct by definition even after vacuum
+      // (the commit-time footer audit pinned manifest == data), but useless
+      // as a does-the-data-still-read probe. count(payload) forces the scan.
+      def dataCount(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(col("payload"))).collect().head.getLong(0)
+
       // t1: reader plans (manifest snapshot at v resolved NOW)
       val pinned = EsLog.scanAt(spark, dir, v)
       // t2: executing before the trim lands sees every row
-      assert(pinned.count() == 1000)
+      assert(dataCount(pinned) == 1000)
 
       // t3: trim advances — METADATA ONLY (reclamation rides vacuum's grace
       // sweep, like compaction's replaced files), so a trim alone can NEVER
       // break the pinned reader: the re-execute must see all 1000
       EsLog.trim(dir, trimAt)
-      assert(EsLog.scanAt(spark, dir, v).count() == 1000,
+      assert(dataCount(EsLog.scanAt(spark, dir, v)) == 1000,
         s"trimAt=$trimAt: metadata-only trim broke a pinned snapshot")
 
       // t3b: vacuum past the grace period physically reclaims the files the
@@ -207,9 +214,14 @@ class EsLogSpec extends SparkTestBase {
       EsLog.vacuum(dir, nowMs = System.currentTimeMillis() + 25L * 3600 * 1000)
       val gone = files0.count(_.endOffset <= trimAt)
 
-      // t4: the SAME pinned plan re-executes — all 1000 or a clean failure
-      val outcome = scala.util.Try(
-        EsLog.scanAt(spark, dir, v).agg(count(lit(1))).collect().head.getLong(0))
+      // the snapshot's metadata-only count STILL answers (and answers
+      // right) after its files are gone — the manifest is the source of
+      // truth for cardinality, the same contract Delta's metadata count has
+      assert(EsLog.scanAt(spark, dir, v).count() == 1000L)
+
+      // t4: the SAME pinned plan re-executes a DATA read — all 1000 or a
+      // clean failure
+      val outcome = scala.util.Try(dataCount(EsLog.scanAt(spark, dir, v)))
       outcome match {
         case scala.util.Success(n) =>
           assert(n == 1000L,
