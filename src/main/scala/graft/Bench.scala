@@ -221,7 +221,8 @@ object Bench {
       "stats_quantiles_sample", "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "dedup_lines", "decontaminate_report", "text_datacard",
       "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split",
-      "text_classify", "text_bpe", "es_compact_zorder", "sample_diverse")
+      "text_classify", "text_bpe", "text_unigram", "es_compact_zorder",
+      "sample_diverse")
     val registry = SparkEntry.queries
     heads.foreach { name =>
       // warm pass bills Janino + C2 compile once (observed 5.4 s first run vs

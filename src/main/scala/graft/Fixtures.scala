@@ -1245,6 +1245,42 @@ object Fixtures {
       name
     })
 
+  /** STREAMING unigram tokenization — the persisted artifact TABLES
+    * (word→segmentation + piece ids) tokenize the docs stream per
+    * micro-batch: one generate, one broadcast join, one generate — no
+    * shuffle, no state ([[graft.operators.Unigram.encodeWithTables]] is
+    * streaming-legal by construction, like [[streamBpeTable]]'s encode).
+    * Joins the persisted-artifact quad as the second tokenizer family. */
+  def streamUnigramTable(s: SparkSession, sfDir: String,
+                         model: graft.operators.Unigram.UnigramModel): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-unigram", {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Unigram
+      tune(s)
+      val src = docsStream(s, sfDir)
+      val docs = documents(s, sfDir)
+      val seg = Unigram.segTable(s, model).persist()
+      val ids = Unigram.idTable(s, model).persist()
+      seg.count(); ids.count() // materialize once; micro-batches broadcast
+      val perTrigger = math.max(docs.count() / 8, 1L)
+      val name = "graft_stream_unigram_" + math.abs(sfDir.hashCode).toString
+      val stream = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+      val q = Unigram.encodeWithTables(stream, "doc_id", "text", seg)
+        .join(broadcast(ids), Seq("piece"))
+        .select(col("doc_id"), col("wi"), col("pj"), col("piece_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      seg.unpersist(); ids.unpersist()
+      name
+    })
+
   /** Documents round-tripped through the wire codec into a stream. */
   def codecStream(s: SparkSession, sfDir: String): String =
     fixture(sfDir, "codec") { dir =>

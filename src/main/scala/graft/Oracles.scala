@@ -1221,6 +1221,50 @@ object Oracles {
     }
   }
 
+  /** Oracle for the unigram tokenizer: the learned artifact — the
+    * word→segmentation table and the piece-id table — is spliced in as
+    * VALUES, and the SQL replays [[graft.operators.Unigram.encodeIds]]'s
+    * plan: filtered 0-based word index, LEFT JOIN to the segmentation with
+    * per-character fallback, piece positions from array order, id join
+    * (OOV pieces drop). All strings and integers — bit-exact. */
+  def textUnigramSql(m: graft.operators.Unigram.UnigramModel): String =
+    textUnigramSqlWhere(m, "WHERE doc_id % 10 = 0")
+
+  /** Streaming-tokenization variant: every doc (the stream covers the whole
+    * corpus). */
+  def esStreamUnigramSql(m: graft.operators.Unigram.UnigramModel): String =
+    textUnigramSqlWhere(m, "")
+
+  private def textUnigramSqlWhere(m: graft.operators.Unigram.UnigramModel,
+                                  where: String): String = {
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    val segRows = m.wordPieces.map { case (w, ps) =>
+      s"(${q(w)}, ${q(ps.mkString(" "))})"
+    }.mkString(",\n    ")
+    val idRows = m.pieceIds.toSeq.sortBy(_._2).map { case (p, i) =>
+      s"(${q(p)}, CAST($i AS BIGINT))"
+    }.mkString(",\n    ")
+    s"""WITH seg(w, toks) AS (VALUES
+       |    $segRows),
+       |ids(piece, piece_id) AS (VALUES
+       |    $idRows),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |      $where),
+       |wz AS (SELECT doc_id, u.p[1] AS w, u.p[2] AS wo FROM (
+       |        SELECT doc_id, unnest(list_zip(ws, range(1, len(ws)+1))) AS p FROM d) u),
+       |nz AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY wo) - 1 AS wi
+       |       FROM wz WHERE w <> ''),
+       |sg AS (SELECT n.doc_id, n.wi,
+       |         string_split(coalesce(s.toks,
+       |           array_to_string(string_split(n.w, ''), ' ')), ' ') AS ps
+       |       FROM nz n LEFT JOIN seg s ON n.w = s.w),
+       |pz AS (SELECT doc_id, wi, u.p[1] AS piece, u.p[2] - 1 AS pj FROM (
+       |        SELECT doc_id, wi, unnest(list_zip(ps, range(1, len(ps)+1))) AS p FROM sg) u)
+       |SELECT p.doc_id, CAST(p.wi AS BIGINT) AS wi, CAST(p.pj AS BIGINT) AS pj,
+       |       i.piece_id
+       |FROM pz p JOIN ids i ON p.piece = i.piece""".stripMargin
+  }
+
   def textBpeSql(merges: Seq[(String, String)]): String =
     s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |nz AS (SELECT w FROM w WHERE w <> ''),

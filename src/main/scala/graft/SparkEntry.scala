@@ -691,6 +691,34 @@ object SparkEntry {
         bpeMergesFor(s, sfDir))
       .where(col("doc_id") % 10 === 0)
 
+  /** Unigram-LM (SentencePiece-family) tokenizer
+    * ([[graft.operators.Unigram]]): the PRUNING subword algorithm beside
+    * BPE's merging — EM over the bounded driver-side word table (the
+    * kmeans/classifier bounded-artifact contract), distributed encode as
+    * one broadcast join (shuffle-free). Every 10th doc as (wi, pj)-ordered
+    * piece-id rows; the model is stashed per sfDir and the generated oracle
+    * replays the spliced word→segmentation and piece-id tables. */
+  private val unigramModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Unigram.UnigramModel]()
+
+  private def unigramModelFor(s: SparkSession, sfDir: String): graft.operators.Unigram.UnigramModel =
+    unigramModels.computeIfAbsent(sfDir,
+      _ => graft.operators.Unigram.learn(Fixtures.documents(s, sfDir),
+        "doc_id", "text", vocabSize = 512, iters = 3))
+
+  private def qTextUnigram(s: SparkSession, sfDir: String): DataFrame = {
+    // no lastKmeansSf write — same bench-interleaving reasoning as qSimPq
+    graft.operators.Unigram.encodeIds(Fixtures.documents(s, sfDir),
+        "doc_id", "text", unigramModelFor(s, sfDir))
+      .where(col("doc_id") % 10 === 0)
+  }
+
+  /** Streaming unigram tokenization ([[Fixtures.streamUnigramTable]]): the
+    * persisted segmentation + id tables tokenize the docs stream per
+    * micro-batch — stateless, shuffle-free. */
+  private def qEsStreamUnigram(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamUnigramTable(s, sfDir, unigramModelFor(s, sfDir)))
+
   /** Token-budget mixing ([[graft.operators.Sampling.sampleToTokenBudget]]):
     * the first 10 sources admitted to 600 tokens each in seeded-hash order —
     * pretraining recipes are specified in tokens, and the integer running
@@ -1342,6 +1370,7 @@ object SparkEntry {
     "es_stream_semantic" -> (qEsStreamSemantic _),
     "es_stream_classify" -> (qEsStreamClassify _),
     "es_stream_bpe" -> (qEsStreamBpe _),
+    "es_stream_unigram" -> (qEsStreamUnigram _),
     "es_watch_meta" -> (qEsWatchMeta _),
     "es_watch_catalog" -> (qEsWatchCatalog _),
     "es_history" -> (qEsHistory _),
@@ -1378,6 +1407,7 @@ object SparkEntry {
     "text_vocab_encode" -> (qTextVocabEncode _),
     "text_classify" -> (qTextClassify _),
     "text_bpe" -> (qTextBpe _),
+    "text_unigram" -> (qTextUnigram _),
     "text_bpe_ids" -> (qTextBpeIds _),
     "sample_diverse" -> (qSampleDiverse _),
     "sample_mix" -> (qSampleMix _),
@@ -1447,6 +1477,11 @@ object SparkEntry {
       Option(classifierModels.get(sfDir))
         .map(m => Oracles.textClassifySql(m))
         .map(sql => Seq("text_classify" -> sql, "es_stream_classify" -> sql))
+        .getOrElse(Seq.empty) ++
+      Option(unigramModels.get(sfDir))
+        .map(m => Seq(
+          "text_unigram" -> Oracles.textUnigramSql(m),
+          "es_stream_unigram" -> Oracles.esStreamUnigramSql(m)))
         .getOrElse(Seq.empty) ++
       Option(bpeMerges.get(sfDir))
         .map(m => Seq(

@@ -864,6 +864,8 @@ class PlanAuditSpec extends SparkTestBase {
     "text_vocab_encode" -> Seq("doc_id", "pos", "token_id"),
     "text_classify" -> Seq("doc_id", "n_tokens", "score_micro", "pred"),
     "text_bpe" -> Seq("token", "n"),
+    "text_unigram" -> Seq("doc_id", "wi", "pj", "piece_id"),
+    "es_stream_unigram" -> Seq("doc_id", "wi", "pj", "piece_id"),
     "text_bpe_ids" -> Seq("doc_id", "pos", "token_id"),
     "es_stream_bpe" -> Seq("doc_id", "pos", "token_id"),
     "es_compact_zorder" -> Seq("base_offset", "base_timestamp", "event_type"),
