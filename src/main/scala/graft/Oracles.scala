@@ -1732,6 +1732,8 @@ object Oracles {
     "es_offset_for_time" -> esOffsetForTime,
     "es_group_commit" -> esGroupCommit,
     "es_etl" -> esEtl,
+    // the manifest-exported external view must equal the full stream
+    "es_symlink" -> "SELECT event_id AS base_offset, event_type FROM events",
     "es_clone" -> esSnapshot, // clone pinned at the first commit == that snapshot
     "es_catalog" -> esCatalog,
     "es_catalog_scan" -> esCatalogScan,

@@ -263,6 +263,18 @@ object SparkEntry {
     df.select(col("base_offset"), col("properties")("event_type").as("event_type"))
   }
 
+  /** Symlink-format manifest export ([[EsLog.generateSymlinkManifest]]):
+    * the row simulates the external engine — read the manifest text file,
+    * scan exactly the listed parquet paths, no eslog code involved — and
+    * must reproduce the full committed stream. */
+  private def qEsSymlink(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.eventsStream(s, sfDir)
+    val mf = EsLog.generateSymlinkManifest(dir)
+    val files = s.read.textFile(mf).collect().toSeq // the external reader's view
+    s.read.schema(graft.model.RecordBatchRow.schema).parquet(files: _*)
+      .select(col("base_offset"), col("properties")("event_type").as("event_type"))
+  }
+
   /** Exactly-once consume-process-produce ([[Fixtures.etlStream]]): the
     * destination stream holds every click exactly once with deterministic
     * offsets, after the job ran twice — the source position commits in the
@@ -1351,6 +1363,7 @@ object SparkEntry {
     "es_offset_for_time" -> (qEsOffsetForTime _),
     "es_group_commit" -> (qEsGroupCommit _),
     "es_etl" -> (qEsEtl _),
+    "es_symlink" -> (qEsSymlink _),
     "es_clone" -> (qEsClone _),
     "es_catalog" -> (qEsCatalog _),
     "es_catalog_scan" -> (qEsCatalogScan _),

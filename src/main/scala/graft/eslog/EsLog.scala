@@ -1035,7 +1035,10 @@ object EsLog {
     def relOf(p: org.apache.hadoop.fs.Path): String =
       p.toString.stripPrefix(rootStr).stripPrefix("/")
     def inLog(rel: String): Boolean =
-      rel == MetaLog.LogDirName || rel.startsWith(MetaLog.LogDirName + "/")
+      rel == MetaLog.LogDirName || rel.startsWith(MetaLog.LogDirName + "/") ||
+        // the symlink-manifest export is a deliberate artifact, not debris
+        rel == "_symlink_format_manifest" ||
+        rel.startsWith("_symlink_format_manifest/")
     // Hadoop writer debris: `_SUCCESS` job markers in committed dirs are
     // harmless and kept; `.X.crc` sidecars are invisible through the
     // (checksummed) FileSystem listing and deleted implicitly with their
@@ -1268,6 +1271,49 @@ object EsLog {
     }
     spark.createDataFrame(rows.asJava,
       graft.sources.EsLogMetaWatchSource.schema)
+  }
+
+  /** Export a snapshot as a SYMLINK-FORMAT MANIFEST — the lakehouse interop
+    * convention (Delta's `GENERATE symlink_format_manifest`, Hive's
+    * SymlinkTextInputFormat): a text file of fully-qualified data-file URIs
+    * under `_symlink_format_manifest/manifest`, so external engines
+    * (Trino/Presto/Athena/Hive) can query the stream's committed snapshot
+    * as a plain external table without understanding the metadata log.
+    *
+    * Semantics and caveats are Delta's exactly: the manifest is a SNAPSHOT
+    * (re-generate after appends/compactions to advance it), readers get no
+    * straddle-trim filtering (a mid-file-trimmed stream refuses to export
+    * rather than hand external readers rows the log says are gone), and
+    * vacuum's grace period is what keeps a just-exported manifest's files
+    * alive while external readers use it. Pass `version` for a pinned
+    * snapshot. Returns the manifest file path. */
+  def generateSymlinkManifest(streamDir: String, version: Long = -1L): String = {
+    val st = if (version < 0L) MetaLog.load(streamDir) else MetaLog.loadAt(streamDir, version)
+    if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
+    require(!st.allFiles.exists(f => f.startOffset < st.startOffset),
+      s"stream $streamDir is trimmed mid-file: an external reader would see " +
+        "rows below the trim offset; compact() first to realign files")
+    val fs = dataFs(streamDir)
+    val root = fs.makeQualified(hpath(streamDir))
+    val dir = new org.apache.hadoop.fs.Path(root, "_symlink_format_manifest")
+    fs.mkdirs(dir)
+    val out = new org.apache.hadoop.fs.Path(dir, "manifest")
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest.${UUID.randomUUID().toString.take(8)}.tmp")
+    val lines = st.allFiles.sortBy(_.startOffset)
+      .map(f => fs.makeQualified(hpath(join(streamDir, f.path))).toString)
+      .mkString("", "\n", "\n")
+    val os = fs.create(tmp, true)
+    try os.write(lines.getBytes("UTF-8")) finally os.close()
+    // best-effort atomic swap: external readers see old-or-new, never a
+    // half-written list (object stores without rename overwrite in place —
+    // acceptable for an explicitly re-generated snapshot artifact)
+    if (fs.exists(out)) fs.delete(out, false)
+    if (!fs.rename(tmp, out)) {
+      val os2 = fs.create(out, true)
+      try os2.write(lines.getBytes("UTF-8")) finally os2.close()
+      fs.delete(tmp, false)
+    }
+    out.toString
   }
 
   /** Segment listing (LIST_RANGE, range.go:49-125) as a DataFrame. */

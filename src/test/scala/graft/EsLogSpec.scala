@@ -1018,6 +1018,47 @@ class EsLogSpec extends SparkTestBase {
     assertThrows[IllegalStateException](EsLog.scan(spark, dir))
   }
 
+  test("symlink manifest export: external read == scan, trim rules, vacuum-safe") {
+    val dir = tmpDir("eslog-symlink-")
+    EsLog.create(dir, streamId = 33L)
+    EsLog.open(dir, 1L)
+    val in = spark.range(400).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+    val v1 = graft.meta.MetaLog.load(dir).version
+    EsLog.append(spark, dir, spark.range(400, 500).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload")), 1L,
+      sortKey = Some("id"), numPartitions = 1)
+
+    // live export lists every committed file; an external-style read (text
+    // manifest -> plain parquet scan, no eslog code) equals the scan
+    val mf = EsLog.generateSymlinkManifest(dir)
+    val listed = spark.read.textFile(mf).collect().toSeq
+    assert(listed.size == graft.meta.MetaLog.load(dir).allFiles.size)
+    val ext = spark.read.parquet(listed: _*)
+      .select("base_offset").collect().map(_.getLong(0)).sorted
+    assert(ext.sameElements(0L until 500L))
+
+    // version-pinned export = that snapshot's files only
+    val mfV = EsLog.generateSymlinkManifest(dir, version = v1)
+    assert(spark.read.parquet(spark.read.textFile(mfV).collect().toSeq: _*)
+      .count() == 400L)
+
+    // vacuum never sweeps the export artifact
+    EsLog.vacuum(dir, nowMs = System.currentTimeMillis() + 25L * 3600 * 1000)
+    assert(spark.read.textFile(mf).count() > 0)
+
+    // a mid-file trim refuses to export (external readers can't filter);
+    // a file-boundary trim exports the post-trim view after regeneration
+    EsLog.trim(dir, 30L)
+    assertThrows[IllegalArgumentException](EsLog.generateSymlinkManifest(dir))
+    EsLog.trim(dir, 100L) // file boundary (4 x 100 + 1 x 100)
+    val mf2 = EsLog.generateSymlinkManifest(dir)
+    val ext2 = spark.read.parquet(spark.read.textFile(mf2).collect().toSeq: _*)
+      .select("base_offset").collect().map(_.getLong(0)).sorted
+    assert(ext2.head == 100L && ext2.length == 400)
+  }
+
   test("catalog: paginated LIST_RESOURCE walks the registry with continuation tokens") {
     val root = tmpDir("eslog-page-")
     val cat = new graft.eslog.EsCatalog(root)

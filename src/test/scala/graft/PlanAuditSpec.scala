@@ -822,6 +822,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_offset_for_time" -> Seq("probe_ms", "offset"),
     "es_group_commit" -> Seq("base_offset", "event_type"),
     "es_etl" -> Seq("base_offset", "src_off", "event_type"),
+    "es_symlink" -> Seq("base_offset", "event_type"),
     "es_clone" -> Seq("base_offset", "event_type"),
     "es_stream_asof" -> Seq("user_id", "offset", "t", "matched_offset", "matched_t"),
     "es_stream_dedup" -> Seq("k"),
