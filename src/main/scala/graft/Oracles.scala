@@ -1227,6 +1227,21 @@ object Oracles {
     * plan: filtered 0-based word index, LEFT JOIN to the segmentation with
     * per-character fallback, piece positions from array order, id join
     * (OOV pieces drop). All strings and integers — bit-exact. */
+  /** Oracle for temperature sampling: the driver-computed (source,
+    * 60-bit threshold) artifact is spliced as VALUES and the draw replays
+    * as the same integer hash comparison — bit-exact (seed 5, the
+    * registered query's). */
+  def sampleTemperatureSql(thr: Seq[(String, Long)]): String = {
+    val rows = thr.map { case (s, t) =>
+      s"('${s.replace("'", "''")}', CAST($t AS BIGINT))"
+    }.mkString(",\n    ")
+    s"""WITH thr(source, t) AS (VALUES
+       |    $rows)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN thr USING (source)
+       |WHERE ${H.hash60Sql(5, "CAST(d.doc_id AS VARCHAR)")} < thr.t""".stripMargin
+  }
+
   def textUnigramSql(m: graft.operators.Unigram.UnigramModel): String =
     textUnigramSqlWhere(m, "WHERE doc_id % 10 = 0")
 

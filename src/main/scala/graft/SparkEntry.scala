@@ -625,6 +625,26 @@ object SparkEntry {
       "doc_id", "source", "n_chars",
       Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
 
+  /** Temperature-based source rebalancing
+    * ([[graft.operators.Sampling.sampleTemperature]], α = 0.3): the
+    * multilingual α-sampling rule — larger sources downsample toward
+    * `n^α`-proportional shares, the smallest is kept whole. The
+    * driver-computed 60-bit thresholds are stashed per sfDir; the
+    * generated oracle splices them and replays the integer hash draw
+    * bit-for-bit. */
+  private val temperatureThrs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  private def qSampleTemperature(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    temperatureThrs.put(sfDir,
+      graft.operators.Sampling.temperatureThresholds(docs, "source", 0.3))
+    // no lastKmeansSf write — same bench-interleaving reasoning as qSimPq
+    graft.operators.Sampling.sampleTemperature(docs, "doc_id", "source",
+        alpha = 0.3, seed = 5)
+      .select("doc_id", "source")
+  }
+
   /** Deterministic train/val/test split ([[graft.operators.Sampling.splitByHash]]):
     * 800/100/100 permille by id hash — per-id fates, so no document ever
     * migrates between train and eval across pipeline re-runs. */
@@ -1424,6 +1444,7 @@ object SparkEntry {
     "text_bpe_ids" -> (qTextBpeIds _),
     "sample_diverse" -> (qSampleDiverse _),
     "sample_mix" -> (qSampleMix _),
+    "sample_temperature" -> (qSampleTemperature _),
     "sample_token_budget" -> (qSampleTokenBudget _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),
@@ -1491,6 +1512,8 @@ object SparkEntry {
         .map(m => Oracles.textClassifySql(m))
         .map(sql => Seq("text_classify" -> sql, "es_stream_classify" -> sql))
         .getOrElse(Seq.empty) ++
+      Option(temperatureThrs.get(sfDir))
+        .map(t => "sample_temperature" -> Oracles.sampleTemperatureSql(t)) ++
       Option(unigramModels.get(sfDir))
         .map(m => Seq(
           "text_unigram" -> Oracles.textUnigramSql(m),

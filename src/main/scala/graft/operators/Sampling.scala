@@ -50,6 +50,53 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Temperature-based source rebalancing — the multilingual α-sampling
+    * rule (XLM/mT5): resample so source s's share follows
+    * `q_s ∝ n_s^alpha` instead of its raw share `n_s` (α = 1 keeps the
+    * natural distribution; α → 0 flattens toward uniform; the usual
+    * α ∈ [0.2, 0.7] boosts low-resource sources). As a FILTER-ONLY op (no
+    * upsampling), the keep rate is `r_s = n_s^(α−1) / max_t n_t^(α−1)` —
+    * the smallest source is kept whole and larger sources are downsampled
+    * toward the target shape.
+    *
+    * Determinism: per-source counts are exact integers (one aggregate over
+    * the bounded source column — the same bounded-sources precondition as
+    * [[mixBySource]]); keep thresholds are driver-computed doubles
+    * (`StrictMath.pow`, reproducible) frozen into 60-bit INTEGER
+    * thresholds, and the draw is [[sampleWeighted]]'s
+    * `hash60(seed:id) < t_s` — per-id fates, engine-reproducible, one
+    * broadcast join + one codegen'd filter, no corpus shuffle.
+    *
+    * Returns the kept rows with their source; [[temperatureThresholds]]
+    * exposes the (source, threshold) table so the artifact can be
+    * persisted/spliced (an oracle replays the draw bit-for-bit from it). */
+  def sampleTemperature(df: DataFrame, idCol: String, srcCol: String,
+                        alpha: Double, seed: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thr = temperatureThresholds(df, srcCol, alpha).toDF(srcCol, "_thr")
+    df.join(broadcast(thr), Seq(srcCol))
+      .where(Portable.hash60(seed, col(idCol).cast("string")) < col("_thr"))
+      .drop("_thr")
+  }
+
+  /** The (source, 60-bit keep threshold) artifact of [[sampleTemperature]]:
+    * threshold = floor(n_s^(α−1) / max_t n_t^(α−1) · 2^60). */
+  def temperatureThresholds(df: DataFrame, srcCol: String,
+                            alpha: Double): Seq[(String, Long)] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    val counts: Seq[(String, Long)] = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1) // deterministic driver-side fold order
+    require(counts.nonEmpty, "no sources")
+    val pow = counts.map { case (s, n) => (s, StrictMath.pow(n.toDouble, alpha - 1.0)) }
+    val mx = pow.map(_._2).max
+    pow.map { case (s, p) =>
+      val r = p / mx // in (0, 1], 1 for the smallest source
+      s -> (if (r >= 1.0) (1L << 60) else (r * (1L << 60).toDouble).toLong)
+    }
+  }
+
   /** Deterministic WEIGHTED (importance) sampling: keep a row with
     * probability = its weight (clamped to [0, 1]) — the quality-weighted
     * corpus draw (keep high-quality docs with certainty, downsample the

@@ -411,6 +411,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
+  test("temperature sampling: alpha=1 keeps all, alpha<1 flattens toward uniform, deterministic") {
+    import graft.operators.Sampling
+    // three sources 4000 / 1000 / 250 — a 16:4:1 imbalance
+    val docs = spark.range(5250).select(col("id").as("doc_id"),
+      when(col("id") < 4000, "big").when(col("id") < 5000, "mid")
+        .otherwise("small").as("source"))
+    // alpha = 1: natural distribution — every row kept, thresholds saturate
+    assert(Sampling.sampleTemperature(docs, "doc_id", "source", alpha = 1.0).count() == 5250L)
+    assert(Sampling.temperatureThresholds(docs, "source", 1.0).forall(_._2 == (1L << 60)))
+    // alpha = 0: uniform target — every source downsamples to ~|smallest|
+    val flat = Sampling.sampleTemperature(docs, "doc_id", "source", alpha = 0.0, seed = 9)
+    val byS = flat.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("small") == 250L, s"smallest source must be kept whole: $byS")
+    assert(math.abs(byS("big") - 250) < 80, byS.toString)   // binomial(4000, 1/16)
+    assert(math.abs(byS("mid") - 250) < 70, byS.toString)   // binomial(1000, 1/4)
+    // alpha between: keep rates are monotone in source size (bigger => lower)
+    val thr = Sampling.temperatureThresholds(docs, "source", 0.5).toMap
+    assert(thr("small") == (1L << 60) && thr("mid") < thr("small") && thr("big") < thr("mid"))
+    // per-id fates: deterministic across runs, fresh seed = fresh draw
+    val a = flat.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleTemperature(docs, "doc_id", "source", alpha = 0.0, seed = 9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a != Sampling.sampleTemperature(docs, "doc_id", "source", alpha = 0.0, seed = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // plan: broadcast join + filter; the corpus itself never shuffles
+    val p = plan(Sampling.sampleTemperature(docs, "doc_id", "source", alpha = 0.5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ShuffleExchange"), p)
+  }
+
   test("split assignment: complete partition, proportional, stable per id") {
     import graft.operators.Sampling
     val docs = spark.range(4000).select(col("id").as("doc_id"))
@@ -871,6 +903,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_bpe" -> Seq("doc_id", "pos", "token_id"),
     "es_compact_zorder" -> Seq("base_offset", "base_timestamp", "event_type"),
     "sample_mix" -> Seq("doc_id", "source"),
+    "sample_temperature" -> Seq("doc_id", "source"),
     "sample_token_budget" -> Seq("doc_id", "source", "n_tokens", "cum_tokens"),
     "shuffle_shards" -> Seq("doc_id", "shuffle_key", "shard", "shard_pos"),
     "sim_exact" -> Seq("qid", "nid", "rank", "score"),
