@@ -105,11 +105,9 @@ object Oracles {
       |                (SELECT n FROM b)) AS "offset"
       |FROM p""".stripMargin
 
-  /** The consumer group's catch-up read: committed at n/2, head at n => the
-    * second half, exactly once. */
-  private val esGroupCommit =
-    """SELECT event_id AS base_offset, event_type FROM events
-      |WHERE event_id >= (SELECT count(*) // 2 FROM events)""".stripMargin
+  // es_group_commit: the catch-up read (committed at n/2, head at n) is
+  // exactly the second half — the same rows as esScanDelta; registered as
+  // an alias below (the "es_clone" -> esSnapshot pattern).
 
   /** The exactly-once ETL destination: every click exactly once (the job ran
     * twice — a duplicate-producing replay would double these rows), offsets
@@ -1221,12 +1219,6 @@ object Oracles {
     }
   }
 
-  /** Oracle for the unigram tokenizer: the learned artifact — the
-    * word→segmentation table and the piece-id table — is spliced in as
-    * VALUES, and the SQL replays [[graft.operators.Unigram.encodeIds]]'s
-    * plan: filtered 0-based word index, LEFT JOIN to the segmentation with
-    * per-character fallback, piece positions from array order, id join
-    * (OOV pieces drop). All strings and integers — bit-exact. */
   /** Oracle for temperature sampling: the driver-computed (source,
     * 60-bit threshold) artifact is spliced as VALUES and the draw replays
     * as the same integer hash comparison — bit-exact (seed 5, the
@@ -1250,6 +1242,12 @@ object Oracles {
   def esStreamUnigramSql(m: graft.operators.Unigram.UnigramModel): String =
     textUnigramSqlWhere(m, "")
 
+  /** Oracle for the unigram tokenizer: the learned artifact — the
+    * word→segmentation table and the piece-id table — is spliced in as
+    * VALUES, and the SQL replays [[graft.operators.Unigram.encodeIds]]'s
+    * plan: filtered 0-based word index, LEFT JOIN to the segmentation with
+    * per-character fallback, piece positions from array order, id join
+    * (OOV pieces drop). All strings and integers — bit-exact. */
   private def textUnigramSqlWhere(m: graft.operators.Unigram.UnigramModel,
                                   where: String): String = {
     def q(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -1745,7 +1743,7 @@ object Oracles {
     "es_scan_delta" -> esScanDelta,
     "es_fetch_time" -> esFetchTime,
     "es_offset_for_time" -> esOffsetForTime,
-    "es_group_commit" -> esGroupCommit,
+    "es_group_commit" -> esScanDelta, // catch-up read == the second append
     "es_etl" -> esEtl,
     // the manifest-exported external view must equal the full stream
     "es_symlink" -> "SELECT event_id AS base_offset, event_type FROM events",

@@ -637,11 +637,11 @@ object SparkEntry {
 
   private def qSampleTemperature(s: SparkSession, sfDir: String): DataFrame = {
     val docs = Fixtures.documents(s, sfDir)
-    temperatureThrs.put(sfDir,
-      graft.operators.Sampling.temperatureThresholds(docs, "source", 0.3))
+    val thr = graft.operators.Sampling.temperatureThresholds(docs, "source", 0.3)
+    temperatureThrs.put(sfDir, thr)
     // no lastKmeansSf write — same bench-interleaving reasoning as qSimPq
-    graft.operators.Sampling.sampleTemperature(docs, "doc_id", "source",
-        alpha = 0.3, seed = 5)
+    graft.operators.Sampling.sampleTemperatureWith(docs, "doc_id", "source",
+        thr, seed = 5)
       .select("doc_id", "source")
   }
 

@@ -1202,8 +1202,11 @@ object EsLog {
     * (including Spark's own streaming sink) lives with. */
   def readGroup(spark: SparkSession, streamDir: String,
                 group: String): (DataFrame, Long, Option[Long]) = {
+    // position and head from ONE snapshot: a second load could observe a
+    // position another consumer committed past this snapshot's head and
+    // misreport a plain race as corruption
     val st = MetaLog.load(streamDir)
-    val prev = groupOffset(streamDir, group)
+    val prev = st.kv.get(groupKey(group)).map(_.toLong)
     val from = prev.getOrElse(st.startOffset)
     checkGroupPosition(group, from, st.nextOffset)
     (fetchState(spark, streamDir, st, from, st.nextOffset, 0L), st.nextOffset, prev)
@@ -1248,7 +1251,8 @@ object EsLog {
     val key = groupKey(group)
     val srcSt = MetaLog.load(srcDir)
     if (srcSt.deleted) throw new IllegalStateException(s"stream $srcDir deleted")
-    val from = getKV(dstDir, key).map(_.toLong).getOrElse(srcSt.startOffset)
+    val prev0 = getKV(dstDir, key)
+    val from = prev0.map(_.toLong).getOrElse(srcSt.startOffset)
     val upTo = srcSt.nextOffset
     checkGroupPosition(group, from, upTo)
     if (upTo <= from) return (from, from)
@@ -1257,8 +1261,17 @@ object EsLog {
       extraActions = Seq(KvPut(key, upTo.toString)))
     // Empty processed batch: append fenced the epoch, then returned without
     // committing (no files => no extraActions) — advance the position alone
-    // so the loop cannot spin on an all-filtered slice.
-    if (b == a) putKV(dstDir, key, upTo.toString)
+    // so the loop cannot spin on an all-filtered slice. The advance must be
+    // as guarded as the data path: epoch-fenced (a stalled zombie must not
+    // move a fenced generation's position) AND CAS'd on the position we
+    // read (a concurrent advance wins; rewinding it would re-deliver its
+    // slice — the exactly-once violation). Both checks evaluate against the
+    // fresh state inside the CAS commit.
+    if (b == a) MetaLog.commitWithRetry(dstDir) { st =>
+      if (epoch < st.epoch)
+        throw new FencedException(s"group advance epoch $epoch < ${st.epoch}")
+      if (st.kv.get(key) == prev0) Seq(KvPut(key, upTo.toString)) else Seq.empty
+    }
     (from, upTo)
   }
 
@@ -1286,7 +1299,9 @@ object EsLog {
     * rather than hand external readers rows the log says are gone), and
     * vacuum's grace period is what keeps a just-exported manifest's files
     * alive while external readers use it. Pass `version` for a pinned
-    * snapshot. Returns the manifest file path. */
+    * snapshot — pinned exports write to `manifest-v<version>` so a
+    * backfill can never clobber the LIVE manifest external engines point
+    * at. Returns the manifest file path. */
   def generateSymlinkManifest(streamDir: String, version: Long = -1L): String = {
     val st = if (version < 0L) MetaLog.load(streamDir) else MetaLog.loadAt(streamDir, version)
     if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
@@ -1297,7 +1312,8 @@ object EsLog {
     val root = fs.makeQualified(hpath(streamDir))
     val dir = new org.apache.hadoop.fs.Path(root, "_symlink_format_manifest")
     fs.mkdirs(dir)
-    val out = new org.apache.hadoop.fs.Path(dir, "manifest")
+    val name = if (version < 0L) "manifest" else s"manifest-v$version"
+    val out = new org.apache.hadoop.fs.Path(dir, name)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest.${UUID.randomUUID().toString.take(8)}.tmp")
     val lines = st.allFiles.sortBy(_.startOffset)
       .map(f => fs.makeQualified(hpath(join(streamDir, f.path))).toString)

@@ -71,10 +71,18 @@ object Sampling {
     * exposes the (source, threshold) table so the artifact can be
     * persisted/spliced (an oracle replays the draw bit-for-bit from it). */
   def sampleTemperature(df: DataFrame, idCol: String, srcCol: String,
-                        alpha: Double, seed: Int = 0): DataFrame = {
+                        alpha: Double, seed: Int = 0): DataFrame =
+    sampleTemperatureWith(df, idCol, srcCol,
+      temperatureThresholds(df, srcCol, alpha), seed)
+
+  /** [[sampleTemperature]] against a PRECOMPUTED threshold artifact — reuse
+    * a stashed/persisted table instead of re-aggregating the corpus. */
+  def sampleTemperatureWith(df: DataFrame, idCol: String, srcCol: String,
+                            thresholds: Seq[(String, Long)],
+                            seed: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val thr = temperatureThresholds(df, srcCol, alpha).toDF(srcCol, "_thr")
+    val thr = thresholds.toDF(srcCol, "_thr")
     df.join(broadcast(thr), Seq(srcCol))
       .where(Portable.hash60(seed, col(idCol).cast("string")) < col("_thr"))
       .drop("_thr")

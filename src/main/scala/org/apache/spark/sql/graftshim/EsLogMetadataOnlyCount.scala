@@ -44,16 +44,23 @@ final case class EsLogManifestStats(rows: Long, minOff: Long,
   */
 object EsLogMetadataOnlyCount extends Rule[LogicalPlan] {
 
-  /** Stats of the manifest relation under row-preserving Projects only
-    * (projection never changes cardinality or column values read from the
-    * relation's attributes). */
-  private def statsOf(plan: LogicalPlan): Option[EsLogManifestStats] = plan match {
+  /** The manifest relation under row-preserving Projects only (projection
+    * never changes cardinality). Returns its stats AND its own output
+    * attributes: min/max matching must be by ATTRIBUTE IDENTITY (exprId),
+    * never by name — a Project can alias a computed expression AS
+    * `base_timestamp`, and a name match would answer it from raw manifest
+    * stats (silently wrong). Pass-through Projects keep the relation's
+    * exprIds; an alias of a computed expression mints a fresh one, so the
+    * identity check blocks exactly the unsafe cases. */
+  private def statsOf(plan: LogicalPlan)
+      : Option[(EsLogManifestStats, Seq[Attribute])] = plan match {
     case Project(_, child) => statsOf(child)
     case l: LogicalRelation =>
       l.relation match {
         case fs: HadoopFsRelation =>
           fs.location match {
-            case idx: EsLogManifestFileIndex => idx.manifestStats
+            case idx: EsLogManifestFileIndex =>
+              idx.manifestStats.map(st => (st, l.output))
             case _ => None
           }
         case _ => None
@@ -64,26 +71,31 @@ object EsLogMetadataOnlyCount extends Rule[LogicalPlan] {
   /** The metadata value of one aggregate expression, if it has one.
     * `None` = not metadata-answerable (blocks the whole rewrite). A
     * `Some(null)` is a real answer: min/max over an empty relation. */
-  private def metaValue(e: NamedExpression, st: EsLogManifestStats): Option[Any] = e match {
-    case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
-      ae.aggregateFunction match {
-        case Count(Seq(Literal(v, _))) if v != null => Some(st.rows)
-        case Min(a: AttributeReference) if a.name == "base_offset" =>
-          Some(if (st.empty) null else st.minOff)
-        case Min(a: AttributeReference) if a.name == "base_timestamp" =>
-          Some(if (st.empty) null else st.minTs)
-        case Max(a: AttributeReference) if a.name == "base_timestamp" =>
-          Some(if (st.empty) null else st.maxTs)
-        case _ => None
-      }
-    case _ => None
+  private def metaValue(e: NamedExpression, st: EsLogManifestStats,
+                        relOut: Seq[Attribute]): Option[Any] = {
+    def isRel(a: AttributeReference, name: String): Boolean =
+      relOut.exists(o => o.exprId == a.exprId && o.name == name)
+    e match {
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null => Some(st.rows)
+          case Min(a: AttributeReference) if isRel(a, "base_offset") =>
+            Some(if (st.empty) null else st.minOff)
+          case Min(a: AttributeReference) if isRel(a, "base_timestamp") =>
+            Some(if (st.empty) null else st.minTs)
+          case Max(a: AttributeReference) if isRel(a, "base_timestamp") =>
+            Some(if (st.empty) null else st.maxTs)
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
       statsOf(child) match {
-        case Some(st) =>
-          val vals = aggExprs.map(metaValue(_, st))
+        case Some((st, relOut)) =>
+          val vals = aggExprs.map(metaValue(_, st, relOut))
           if (vals.forall(_.isDefined))
             LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals.map(_.get))))
           else agg

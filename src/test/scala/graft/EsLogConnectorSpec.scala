@@ -182,6 +182,14 @@ class EsLogConnectorSpec extends SparkTestBase {
     val mx = spark.read.format("eslog").load(dir).agg(max("base_offset"))
     assert(planOf(mx).contains("FileScan"), planOf(mx))
     assert(mx.collect().head.getLong(0) == 999L)
+    // a projection that SHADOWS a stats column with a computed value must
+    // never be answered from raw manifest stats (identity check by exprId)
+    val sh = spark.read.format("eslog").load(dir)
+      .withColumn("base_timestamp", col("base_offset") * 1000L)
+      .agg(min("base_timestamp").as("t0"), max("base_timestamp").as("t1"))
+    val shr = sh.collect().head
+    assert(shr.getLong(0) == 0L && shr.getLong(1) == 999000L,
+      s"shadowed column answered wrong: $shr")
     // a filter blocks the rewrite and still counts correctly through the scan
     val f = spark.read.format("eslog").load(dir)
       .where(col("base_offset") >= 500).groupBy().count()

@@ -1039,10 +1039,14 @@ class EsLogSpec extends SparkTestBase {
       .select("base_offset").collect().map(_.getLong(0)).sorted
     assert(ext.sameElements(0L until 500L))
 
-    // version-pinned export = that snapshot's files only
+    // version-pinned export = that snapshot's files only, under its OWN
+    // name — a backfill can never clobber the live manifest
     val mfV = EsLog.generateSymlinkManifest(dir, version = v1)
+    assert(mfV != mf && mfV.endsWith(s"manifest-v$v1"))
     assert(spark.read.parquet(spark.read.textFile(mfV).collect().toSeq: _*)
       .count() == 400L)
+    assert(spark.read.textFile(mf).count() == listed.size.toLong,
+      "pinned export must not touch the live manifest")
 
     // vacuum never sweeps the export artifact
     EsLog.vacuum(dir, nowMs = System.currentTimeMillis() + 25L * 3600 * 1000)
@@ -1131,6 +1135,19 @@ class EsLogSpec extends SparkTestBase {
       df.where(lit(false)).select(col("payload"))
     }
     assert(EsLog.getKV(dst, EsLog.GroupKeyPrefix + "etl").contains("171"))
+    // the EMPTY-slice position advance is fenced and CAS'd like the data
+    // path: a zombie of a fenced generation must not move the position
+    put(171L, 172L)
+    EsLog.open(dst, 3L)
+    assertThrows[FencedException](
+      EsLog.consumeProcessProduce(spark, src, dst, "etl", 2L) { df =>
+        df.where(lit(false)).select(col("payload"))
+      })
+    assert(EsLog.getKV(dst, EsLog.GroupKeyPrefix + "etl").contains("171"))
+    EsLog.consumeProcessProduce(spark, src, dst, "etl", 3L) { df =>
+      df.where(lit(false)).select(col("payload"))
+    }
+    assert(EsLog.getKV(dst, EsLog.GroupKeyPrefix + "etl").contains("172"))
     // generation identity: a position beyond the source head (drop+recreate)
     // fails loudly instead of consuming nothing forever
     EsLog.putKV(dst, EsLog.GroupKeyPrefix + "etl", "9999")
