@@ -1157,6 +1157,51 @@ class EsLogSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](EsLog.readGroup(spark, src, "direct"))
   }
 
+  test("consume-process-produce under seeded crash injection: global exactly-once") {
+    // every crash point the loop's atomicity argument covers, exercised at
+    // random: (a) crash INSIDE process (nothing lands — retry reprocesses);
+    // (b) replay of a COMPLETED round (position rode the commit — no-op);
+    // the mid-commit case is the MetaLog CAS's own atomicity, covered by
+    // its contract suite. After any interleaving, the destination must hold
+    // every kept source row exactly once.
+    val src = tmpDir("eslog-cpp-chaos-src-")
+    val dst = tmpDir("eslog-cpp-chaos-dst-")
+    EsLog.create(src, streamId = 34L); EsLog.open(src, 1L)
+    EsLog.create(dst, streamId = 35L); EsLog.open(dst, 1L)
+    val rnd = new scala.util.Random(42)
+    var srcHead = 0L
+    def job(crash: Boolean): Unit = {
+      try EsLog.consumeProcessProduce(spark, src, dst, "etl", 1L,
+        sortKey = Some("src_off")) { df =>
+        if (crash) throw new RuntimeException("injected crash in process")
+        df.where(col("base_offset") % 3 === 0)
+          .select(col("base_offset").as("src_off"), col("payload"),
+            map(lit("src_off"), col("base_offset").cast("string")).as("properties"))
+      } catch { case e: RuntimeException if e.getMessage.contains("injected") => () }
+    }
+    for (round <- 0 until 15) {
+      val k = 20 + rnd.nextInt(60)
+      val in = spark.range(srcHead, srcHead + k).select(
+        col("id"), col("id").cast("string").cast("binary").as("payload"))
+      EsLog.append(spark, src, in, 1L, sortKey = Some("id"), numPartitions = 2)
+      srcHead += k
+      rnd.nextInt(3) match {
+        case 0 => job(crash = false)                       // normal
+        case 1 => job(crash = true); job(crash = false)    // crash, then retry
+        case 2 => job(crash = false); job(crash = false)   // replay a success
+      }
+    }
+    job(crash = false) // final drain
+    val got = EsLog.scan(spark, dst)
+      .select(col("properties")("src_off").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val want = (0L until srcHead).filter(_ % 3 == 0)
+    assert(got.length == want.length && got.sameElements(want),
+      s"exactly-once broken: ${got.length} rows vs ${want.length} expected " +
+        s"(dups: ${got.diff(got.distinct).take(5).mkString(",")})")
+    assert(EsLog.getKV(dst, EsLog.GroupKeyPrefix + "etl").contains(srcHead.toString))
+  }
+
   test("time index: fetchByTime prunes files via manifest stats; offsetForTimestamp reads one file") {
     val dir = tmpDir("eslog-time-")
     EsLog.create(dir, streamId = 20L)
