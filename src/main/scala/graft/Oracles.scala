@@ -1673,6 +1673,24 @@ object Oracles {
       |       unnest(range(0, n_bytes % 30, 5)) AS frame_idx
       |FROM f WHERE n_bytes % 30 > 0""".stripMargin
 
+  /** Codec-free media near-dup: 32-byte (64 hex chars) fixed-grid chunks of
+    * the payload bytes, distinct 60-bit chunk hashes with the df cap, pairs
+    * sharing >= 2 — mirrors [[graft.operators.Multimodal.binaryNearDups]]
+    * (upper-hex encoding makes the chunk text byte-identical across
+    * engines). */
+  private val multimodalDedup =
+    s"""WITH m AS (SELECT doc_id AS media_id, upper(hex(encode(text))) AS hx FROM documents),
+       |cz AS (SELECT media_id,
+       |         unnest(list_transform(range(0, greatest((length(hx) - 1) // 64, 0) + 1),
+       |           i -> substring(hx, CAST(i * 64 + 1 AS BIGINT), 64))) AS c
+       |       FROM m),
+       |chd AS (SELECT DISTINCT media_id, ${H.hash60Sql("c")} AS ch FROM cz WHERE c <> ''),
+       |heavy AS (SELECT ch FROM chd GROUP BY ch HAVING count(*) > 64),
+       |ch AS (SELECT media_id, ch FROM chd WHERE ch NOT IN (SELECT ch FROM heavy))
+       |SELECT a.media_id AS i, b.media_id AS j, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM ch a JOIN ch b USING (ch) WHERE a.media_id < b.media_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   // ---- relational ----
 
   private val lineitemAgg =
@@ -1837,6 +1855,7 @@ object Oracles {
     "text_datacard" -> textDatacard,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
+    "multimodal_dedup" -> multimodalDedup,
     "lineitem_agg" -> lineitemAgg,
     "join_agg" -> joinAgg,
     "topk_orders" -> topkOrders,

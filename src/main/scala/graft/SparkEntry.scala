@@ -1205,6 +1205,15 @@ object SparkEntry {
       Multimodal.decodeFeatures(
         Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text")))
 
+  /** Codec-free media dedup ([[Multimodal.binaryNearDups]]): medias sharing
+    * >= 2 df-capped 32-byte chunks of raw payload bytes — the byte-region
+    * near-dup detector for opaque binary columns (hex-portable hashing, so
+    * the oracle reproduces every pair). */
+  private def qMultimodalDedup(s: SparkSession, sfDir: String): DataFrame =
+    Multimodal.binaryNearDups(
+      Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text").toDF(),
+      "media_id", "payload", chunkBytes = 32, minShared = 2)
+
   /** Exact per-group discrete quantiles of l_quantity (min/quartiles/max as
     * permille ranks) — order statistics with a portable integer rank rule. */
   private def qStatsQuantiles(s: SparkSession, sfDir: String): DataFrame = {
@@ -1480,6 +1489,7 @@ object SparkEntry {
     "text_datacard" -> (qTextDatacard _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
+    "multimodal_dedup" -> (qMultimodalDedup _),
     "stats_quantiles" -> (qStatsQuantiles _),
     "stats_histogram" -> (qStatsHistogram _),
     "stats_quantiles_approx" -> (qStatsQuantilesApprox _),

@@ -75,6 +75,70 @@ object Multimodal {
         explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong))).as("frame_idx"))
   }
 
+  /** Distinct per-media CHUNK hashes of the raw payload bytes: the fixed
+    * 64-byte grid, each chunk reduced to the portable 60-bit hash — the
+    * dedup unit for opaque media that needs NO codec (exact-byte-region
+    * sharing: re-encoded uploads of the same file, partial copies,
+    * watermarked variants sharing most regions). The payload is
+    * hex-encoded first (`upper(hex(...))` — byte-identical text in Spark
+    * and DuckDB), so chunking is plain string slicing and every hash is
+    * engine-reproducible. Heavy chunks occurring in more than `maxDf`
+    * medias (shared headers/padding) are dropped BEFORE any join — the
+    * [[Dedup]] df-cap rule that keeps posting lists from going quadratic.
+    *
+    * Fixed-grid chunking is alignment-sensitive by design (an INSERTED
+    * byte shifts every later chunk): it detects shared aligned regions
+    * exactly and cheaply; content-defined chunking is the alignment-robust
+    * refinement and shares this plan shape. */
+  def binaryChunkHashes(df: DataFrame, idCol: String, payloadCol: String,
+                        chunkBytes: Int = 64, maxDf: Int = 64): DataFrame = {
+    require(chunkBytes >= 1 && maxDf >= 1)
+    val w = 2 * chunkBytes // hex chars per chunk
+    val hexp = upper(hex(col(payloadCol)))
+    // last chunk index = floor((len - 1) / w), clamped at 0 for empty
+    // payloads (their lone empty chunk is filtered below); integer div via
+    // floor-of-double is exact here (hex lengths are far below 2^53)
+    val lastIdx = greatest(floor((length(hexp) - 1).cast("double") / w), lit(0.0))
+      .cast("int")
+    val chunks = transform(
+      sequence(lit(0), lastIdx),
+      i => hexp.substr((i * w + 1).cast("int"), lit(w)))
+    val ch = df
+      .select(col(idCol), explode(chunks).as("c"))
+      .where(col("c") =!= "")
+      .select(col(idCol), graft.functions.Portable.hash60(col("c")).as("ch"))
+      .distinct()
+    val heavy = ch.groupBy("ch").count().where(col("count") > maxDf).select("ch")
+    ch.join(heavy, Seq("ch"), "left_anti")
+  }
+
+  /** Chunk-overlap near-dup pairs over opaque binary payloads: medias
+    * sharing at least `minShared` distinct (df-capped) chunks, as
+    * `(i, j, n_shared)` with i < j — integer counts, bit-reproducible.
+    * Plan: one inverted-index equi-join on 8-byte chunk hashes (the
+    * [[Dedup.ngramJaccard]] shape), never an all-pairs product. */
+  def binaryNearDups(df: DataFrame, idCol: String, payloadCol: String,
+                     chunkBytes: Int = 64, minShared: Int = 2,
+                     maxDf: Int = 64): DataFrame = {
+    val ch = binaryChunkHashes(df, idCol, payloadCol, chunkBytes, maxDf)
+    val a = ch.select(col(idCol).as("i"), col("ch"))
+    val b = ch.select(col(idCol).as("j"), col("ch"))
+    a.join(b, Seq("ch")).where(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Exact byte-level duplicate groups: payloads hashing identically
+    * (`hash60(upper(hex(payload)))` — the md5-family content address),
+    * with the group's representative = the lowest id ([[Dedup.exact]]'s
+    * convention for text, applied to media bytes). */
+  def binaryExactDups(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.Portable.hash60(upper(hex(col(payloadCol)))).as("h"))
+      .groupBy("h")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+
   /** Wrap a text/metadata DataFrame as media records (content-type routed by
     * id — the shape of a crawl table where payloads arrive as raw bytes). */
   def fromDocuments(spark: SparkSession, docs: DataFrame,

@@ -443,6 +443,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("ShuffleExchange"), p)
   }
 
+  test("binary chunk dedup: exact copies share all chunks, tail edit drops one, df cap, exact groups") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 64 bytes = 8 chunks of 8, all DISTINCT (a repeating pattern would
+    // collapse to fewer distinct chunk hashes and undercount sharing)
+    val p = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ+-"
+    val q = p.dropRight(8) + "########"       // last chunk differs
+    val r = "z" * 64                           // 8 chunks, all the same text!
+    val df = Seq((0L, p), (1L, p), (2L, r), (3L, q))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload").cast("binary").as("payload"))
+    val pairs = Multimodal.binaryNearDups(df, "media_id", "payload",
+        chunkBytes = 8, minShared = 2, maxDf = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    // chunk hashes are DISTINCT per media, so p's 8 distinct chunks all
+    // match between exact copies; q shares the 7 untouched ones; r's 8
+    // identical chunks collapse to ONE hash and meet nobody
+    assert(pairs == Set((0L, 1L, 8L), (0L, 3L, 7L), (1L, 3L, 7L)), pairs.toString)
+    // df cap: a chunk present in > maxDf medias is dropped before the join
+    val many = (0L until 20L).map(i => (i, p)).toDF("media_id", "payload")
+    assert(Multimodal.binaryNearDups(many, "media_id", "payload",
+      chunkBytes = 8, minShared = 1, maxDf = 4).count() == 0L)
+    // exact byte-level duplicate groups
+    val ex = Multimodal.binaryExactDups(df, "media_id", "payload")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(ex == Set((0L, 2L)), ex.toString)
+  }
+
   test("split assignment: complete partition, proportional, stable per id") {
     import graft.operators.Sampling
     val docs = spark.range(4000).select(col("id").as("doc_id"))
@@ -883,6 +911,7 @@ class PlanAuditSpec extends SparkTestBase {
     "lineitem_agg" -> Seq("l_returnflag", "l_linestatus", "sum_qty", "n", "avg_qty", "min_ship_ms", "max_ship_ms"),
     "multimodal_decode" -> Seq("media_id", "content_type", "n_bytes", "width", "height", "duration_ms", "checksum"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
+    "multimodal_dedup" -> Seq("i", "j", "n_shared"),
     "pipeline_export" -> Seq("doc_id", "text_truncated", "n_tokens_kept"),
     "pivot_orders" -> Seq("o_orderstatus", "p0", "p1", "p2", "p3", "p4"),
     "region_chain" -> Seq("r_name", "n_name", "n_lines", "sum_qty", "max_order"),
