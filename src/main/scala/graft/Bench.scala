@@ -222,7 +222,8 @@ object Bench {
       "sample_mix", "dedup_lines", "decontaminate_report", "text_datacard",
       "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split",
       "text_classify", "text_bpe", "text_unigram", "es_compact_zorder",
-      "sample_diverse", "sample_temperature", "multimodal_dedup")
+      "sample_diverse", "sample_temperature", "multimodal_dedup",
+      "ts_similarity")
     val registry = SparkEntry.queries
     heads.foreach { name =>
       // warm pass bills Janino + C2 compile once (observed 5.4 s first run vs

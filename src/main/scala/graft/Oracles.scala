@@ -1691,6 +1691,24 @@ object Oracles {
        |FROM ch a JOIN ch b USING (ch) WHERE a.media_id < b.media_id
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** Time-series similarity: dense 24-bucket daily profiles (cross join ×
+    * left join × ordered list — integer counts, so vectors are
+    * bit-identical), then the [[simExact]] cosine/rank recipe over them. */
+  private val tsSimilarity =
+    s"""WITH e AS (SELECT user_id, (epoch_ms(ts) // 3600000) % 24 AS b FROM events),
+       |cnt AS (SELECT user_id, b, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+       |u AS (SELECT DISTINCT user_id FROM e),
+       |grid AS (SELECT u.user_id, h.h FROM u CROSS JOIN (SELECT unnest(range(0, 24)) AS h) h),
+       |dense AS (SELECT g.user_id, g.h, CAST(coalesce(c.n, 0) AS DOUBLE) AS n
+       |          FROM grid g LEFT JOIN cnt c ON c.user_id = g.user_id AND c.b = g.h),
+       |prof AS (SELECT user_id, list(n ORDER BY h) AS v FROM dense GROUP BY user_id),
+       |q AS (SELECT user_id AS qid, v AS qvec FROM prof WHERE user_id < 10),
+       |c AS (SELECT user_id AS nid, v AS nvec FROM prof),
+       |s AS (SELECT qid, nid, ${cosineSql("qvec", "nvec")} AS score FROM q, c WHERE nid <> qid),
+       |r AS (SELECT qid, nid, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
+       |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
+
   // ---- relational ----
 
   private val lineitemAgg =
@@ -1856,6 +1874,7 @@ object Oracles {
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_dedup" -> multimodalDedup,
+    "ts_similarity" -> tsSimilarity,
     "lineitem_agg" -> lineitemAgg,
     "join_agg" -> joinAgg,
     "topk_orders" -> topkOrders,

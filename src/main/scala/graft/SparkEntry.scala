@@ -1205,6 +1205,19 @@ object SparkEntry {
       Multimodal.decodeFeatures(
         Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text")))
 
+  /** Time-series similarity search ([[graft.operators.TimeSeries]]): per-user
+    * 24-bin daily activity profiles from the events stream (one keyed
+    * aggregate over raw events — the only full pass), then exact cosine
+    * top-5 most-similar users for the 10 lowest user ids, reusing the
+    * similarity family's broadcast search. */
+  private def qTsSimilarity(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val ev = Fixtures.events(s, sfDir)
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"))
+    val prof = TimeSeries.activityProfiles(ev, "user_id", "ts_ms")
+    TimeSeries.topKSimilar(prof, prof.where(col("user_id") < 10), "user_id", k = 5)
+  }
+
   /** Codec-free media dedup ([[Multimodal.binaryNearDups]]): medias sharing
     * >= 2 df-capped 32-byte chunks of raw payload bytes — the byte-region
     * near-dup detector for opaque binary columns (hex-portable hashing, so
@@ -1490,6 +1503,7 @@ object SparkEntry {
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),
+    "ts_similarity" -> (qTsSimilarity _),
     "stats_quantiles" -> (qStatsQuantiles _),
     "stats_histogram" -> (qStatsHistogram _),
     "stats_quantiles_approx" -> (qStatsQuantilesApprox _),

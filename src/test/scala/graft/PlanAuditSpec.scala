@@ -443,6 +443,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("ShuffleExchange"), p)
   }
 
+  test("time-series profiles: dense bucket vectors, rhythm matches over volume") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // bucketMs=10, buckets=4: ts 0-9 -> b0, 10-19 -> b1, ... 40 folds to b0
+    val ev = Seq(
+      (1L, 0L), (1L, 5L), (1L, 12L),                    // u1: [2,1,0,0]
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 40L),          // u2: [4,0,0,0]... use same rhythm
+      (3L, 35L), (3L, 36L)                               // u3: [0,0,0,2]
+    ).toDF("u", "ts")
+    val prof = TimeSeries.activityProfiles(ev, "u", "ts", buckets = 4, bucketMs = 10L)
+    val m = prof.as[(Long, Seq[Double])].collect().toMap
+    assert(m(1L) == Seq(2.0, 1.0, 0.0, 0.0), m.toString)
+    assert(m(2L) == Seq(4.0, 0.0, 0.0, 0.0), m.toString)
+    assert(m(3L) == Seq(0.0, 0.0, 0.0, 2.0), m.toString)
+    // cosine is scale-invariant: a 10x-volume copy of u1's rhythm matches
+    // u1 perfectly (score 1.0) and beats every different rhythm
+    val ev2 = ev.union(Seq((4L, 0L), (4L, 1L), (4L, 2L), (4L, 3L), (4L, 4L),
+      (4L, 5L), (4L, 6L), (4L, 7L), (4L, 8L), (4L, 9L),
+      (4L, 10L), (4L, 11L), (4L, 12L), (4L, 13L), (4L, 14L),
+      (4L, 15L), (4L, 16L), (4L, 17L), (4L, 18L), (4L, 19L), (4L, 40L),
+      (4L, 41L), (4L, 42L), (4L, 43L), (4L, 44L), (4L, 45L), (4L, 46L),
+      (4L, 47L), (4L, 48L), (4L, 49L)).toDF("u", "ts"))
+    // u4 = [20,10,0,0]: exactly 10x u1's profile
+    val prof2 = TimeSeries.activityProfiles(ev2, "u", "ts", buckets = 4, bucketMs = 10L)
+    val top = TimeSeries.topKSimilar(prof2,
+        prof2.where(col("u") === 1L), "u", k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(top.head._2 == 4L && math.abs(top.head._4 - 1.0) < 1e-12,
+      s"10x-volume same-rhythm user must rank first at cosine 1.0: ${top.toSeq}")
+  }
+
   test("binary chunk dedup: exact copies share all chunks, tail edit drops one, df cap, exact groups") {
     import spark.implicits._
     import graft.operators.Multimodal
@@ -800,9 +831,12 @@ class PlanAuditSpec extends SparkTestBase {
     //    onto the |weights|-row fraction table (both bounded).
     //  - sim_pq: ADC broadcasts the query set with its m×ksub distance
     //    tables (bounded like sim_exact's query broadcast).
+    //  - ts_similarity: bruteForceTopK over activity profiles — the same
+    //    bounded query-set broadcast as sim_exact.
     val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
       "sim_pq", "sim_ivf_pq", "dedup_semantic", "dedup_semantic_probe",
-      "sample_mix", "text_tfidf", "text_filter", "pipeline_export")
+      "sample_mix", "text_tfidf", "text_filter", "pipeline_export",
+      "ts_similarity")
     val sfDir = "/root/testdata/sf0.001"
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -912,6 +946,7 @@ class PlanAuditSpec extends SparkTestBase {
     "multimodal_decode" -> Seq("media_id", "content_type", "n_bytes", "width", "height", "duration_ms", "checksum"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
     "multimodal_dedup" -> Seq("i", "j", "n_shared"),
+    "ts_similarity" -> Seq("qid", "nid", "rank", "score"),
     "pipeline_export" -> Seq("doc_id", "text_truncated", "n_tokens_kept"),
     "pivot_orders" -> Seq("o_orderstatus", "p0", "p1", "p2", "p3", "p4"),
     "region_chain" -> Seq("r_name", "n_name", "n_lines", "sum_qty", "max_order"),
