@@ -55,6 +55,8 @@ import graft.operators.Similarity
   *    position (OffsetFetch)
   *  - `graft_commit_group_offset('dir', 'group', offset, expected)` —
   *    CAS-fenced position commit (OffsetCommit; NULL expected = first)
+  *  - `graft_symlink_manifest('dir'[, version])` — export the snapshot as
+  *    a symlink-format manifest for external engines
   *  - `graft_history('dir')`          — the stream's commit history
   *
   * Stream-lifecycle DDL (procedure-style table functions backed by
@@ -318,6 +320,19 @@ object GraftFunctions {
         val st = EsLog.cloneStream(active(), src, dst, v)
         localRow(Seq(("dst", dst), ("version", st.version),
           ("next_offset", st.nextOffset))) }),
+    (FunctionIdentifier("graft_symlink_manifest"),
+      info("graft_symlink_manifest",
+        "graft_symlink_manifest('dir'[, version]) - export the snapshot as a " +
+          "symlink-format manifest for external engines; returns (dir, " +
+          "manifest_path, n_files). Idempotent per the DDL contract (an " +
+          "identical re-export overwrites in place)."),
+      (args: Seq[Expression]) => { arity("graft_symlink_manifest", args, 1, 2)
+        val dir = literalString(args(0), "graft_symlink_manifest", "dir")
+        val v = if (args.size == 2)
+          literalLong(args(1), "graft_symlink_manifest", "version") else -1L
+        val path = EsLog.generateSymlinkManifest(dir, v)
+        val n = active().read.textFile(path).count()
+        localRow(Seq(("dir", dir), ("manifest_path", path), ("n_files", n))) }),
     (FunctionIdentifier("graft_drop_stream"),
       info("graft_drop_stream",
         "graft_drop_stream('root', 'name') - idempotent drop; returns (name, dropped)"),

@@ -254,6 +254,20 @@ class GraftSqlSpec extends SparkTestBase {
     EsLog.delete(dir)
   }
 
+  test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
+    val dir = tmpDir("sqlsym-")
+    EsLog.create(dir, streamId = 75L)
+    EsLog.open(dir, 1L)
+    EsLog.append(spark, dir, spark.range(200).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload")), 1L,
+      sortKey = Some("id"), numPartitions = 2)
+    val row = spark.sql(s"SELECT * FROM graft_symlink_manifest('$dir')").collect().head
+    assert(row.getString(0) == dir && row.getLong(2) == 2L)
+    val files = spark.read.textFile(row.getString(1)).collect().toSeq
+    assert(spark.read.parquet(files: _*).count() == 200L)
+    EsLog.delete(dir)
+  }
+
   test("pure-SQL stream lifecycle: create -> INSERT INTO -> scan -> describe -> drop") {
     val root = tmpDir("sqlddl-")
 
