@@ -193,6 +193,34 @@ object Fixtures {
       ()
     }
 
+  /** Size/row retention fixture: four equal single-file appends, then BOTH
+    * capacity policies applied with manifest-derived budgets — row
+    * retention (keep > n/2 rows => three newest files, cut at n/4), then
+    * byte retention (budget = the newest two files' exact manifest bytes
+    * => cut at n/2). Every cut is pure manifest arithmetic, so the scan's
+    * offset range is oracle-predictable. */
+  def sizeRetentionStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "size-retention") { dir =>
+      val in = eventBatches(s, sfDir)
+      val n = in.count()
+      val q = n / 4
+      EsLog.create(dir, streamId = 54L)
+      EsLog.open(dir, 1L)
+      for (i <- 0 until 4) {
+        val lo = i * q
+        val hi = if (i == 3) n else (i + 1) * q
+        EsLog.append(s, dir, in.where(col("event_id") >= lo && col("event_id") < hi),
+          1L, sortKey = Some("event_id"), numPartitions = 1)
+      }
+      EsLog.enforceRetentionRows(dir, n / 2 + 1)
+      require(EsLog.startOffset(dir) == q, s"row retention cut ${EsLog.startOffset(dir)} != $q")
+      val live = EsLog.describe(dir).allFiles.sortBy(_.startOffset)
+      EsLog.enforceRetentionBytes(dir, live.takeRight(2).map(_.bytes).sum)
+      require(EsLog.startOffset(dir) == n / 2,
+        s"byte retention cut ${EsLog.startOffset(dir)} != ${n / 2}")
+      ()
+    }
+
   /** Multi-offset batches: ids 0..999, delta = id%3+1, payload = id string.
     * Total offsets = sum of deltas (= 2000 for 1000 ids). */
   def straddleStream(s: SparkSession, sfDir: String): String =

@@ -1780,6 +1780,8 @@ object Oracles {
     "es_fetch_time" -> esFetchTime,
     "es_offset_for_time" -> esOffsetForTime,
     "es_group_commit" -> esScanDelta, // catch-up read == the second append
+    // rows+bytes capacity retention leaves exactly the newest half
+    "es_retention_size" -> esScanDelta,
     "es_etl" -> esEtl,
     // the manifest-exported external view must equal the full stream
     "es_symlink" -> "SELECT event_id AS base_offset, event_type FROM events",

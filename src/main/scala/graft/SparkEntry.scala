@@ -83,6 +83,17 @@ object SparkEntry {
     EsLog.scan(s, dir).select(col("base_offset"), col("base_timestamp"))
   }
 
+  /** Capacity retention ([[Fixtures.sizeRetentionStream]]): row-count
+    * retention then byte-size retention (Kafka's retention.bytes role),
+    * both file-granular metadata arithmetic — the surviving range is
+    * exactly the newest half. */
+  private def qEsRetentionSize(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.sizeRetentionStream(s, sfDir)
+    EsLog.scan(s, dir).select(
+      col("base_offset"),
+      col("properties")("event_type").as("event_type"))
+  }
+
   /** LIST_RANGE across the sealed/open segment chain. */
   private def qEsSegments(s: SparkSession, sfDir: String): DataFrame = {
     val dir = Fixtures.eventsStream(s, sfDir)
@@ -1386,6 +1397,7 @@ object SparkEntry {
     "es_fetch_straddle" -> (qEsFetchStraddle _),
     "es_trim" -> (qEsTrim _),
     "es_retention" -> (qEsRetention _),
+    "es_retention_size" -> (qEsRetentionSize _),
     "es_segments" -> (qEsSegments _),
     "es_describe" -> (qEsDescribe _),
     "es_offsets" -> (qEsOffsets _),

@@ -1093,6 +1093,48 @@ object EsLog {
     trim(streamDir, prefix.last.endOffset)
   }
 
+  /** Size-based retention — the `retention.bytes` sibling of
+    * [[enforceRetention]]'s time policy: advance the trim point past the
+    * oldest contiguous files while the stream's live bytes exceed
+    * `maxBytes`. File-granularity (a file is dropped whole or kept whole),
+    * metadata-only like every trim (reclamation rides vacuum's grace
+    * sweep), and the NEWEST file always survives — a stream never trims
+    * its own tail. Pure manifest arithmetic: no data scan at any scale. */
+  def enforceRetentionBytes(streamDir: String, maxBytes: Long): StreamState = {
+    require(maxBytes >= 0, s"maxBytes must be >= 0, got $maxBytes")
+    val st = MetaLog.load(streamDir)
+    val files = st.allFiles.sortBy(_.startOffset)
+    if (files.isEmpty) return st
+    var total = files.map(_.bytes).sum
+    var cut = st.startOffset
+    var i = 0
+    while (total > maxBytes && i < files.size - 1) {
+      total -= files(i).bytes; cut = files(i).endOffset; i += 1
+    }
+    if (cut <= st.startOffset) st else trim(streamDir, cut)
+  }
+
+  /** Row-count retention: keep (at least) the newest `keepRows` rows,
+    * trimming older whole files — the deterministic twin of
+    * [[enforceRetentionBytes]] (row counts are exact manifest facts where
+    * byte sizes depend on encoding). Keeps the smallest file SUFFIX whose
+    * row sum reaches `keepRows`; like the byte policy, file-granular,
+    * metadata-only, and the newest file always survives. */
+  def enforceRetentionRows(streamDir: String, keepRows: Long): StreamState = {
+    require(keepRows >= 0, s"keepRows must be >= 0, got $keepRows")
+    val st = MetaLog.load(streamDir)
+    val files = st.allFiles.sortBy(_.startOffset)
+    if (files.isEmpty) return st
+    var kept = 0L
+    var cut = st.startOffset
+    var i = files.size - 1
+    while (i >= 0 && (kept < keepRows || i == files.size - 1)) {
+      kept += files(i).rows; i -= 1
+    }
+    if (i >= 0) cut = files(i).endOffset
+    if (cut <= st.startOffset) st else trim(streamDir, cut)
+  }
+
   // ---- KV surface (PD-hosted etcd-like store: rpc.fbs:780-931, KVClient.java:9-33) ----
 
   def putKV(streamDir: String, key: String, value: String): Unit =

@@ -1018,6 +1018,34 @@ class EsLogSpec extends SparkTestBase {
     assertThrows[IllegalStateException](EsLog.scan(spark, dir))
   }
 
+  test("capacity retention: byte and row policies, tail always survives, no-op budgets") {
+    val dir = tmpDir("eslog-cap-")
+    EsLog.create(dir, streamId = 36L)
+    EsLog.open(dir, 1L)
+    for (i <- 0 until 4) {
+      val in = spark.range(i * 100L, (i + 1) * 100L).select(
+        col("id"), col("id").cast("string").cast("binary").as("payload"))
+      EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 1)
+    }
+    val files = EsLog.describe(dir).allFiles.sortBy(_.startOffset)
+    assert(files.size == 4)
+    // generous budgets: no-ops
+    assert(EsLog.enforceRetentionBytes(dir, files.map(_.bytes).sum).startOffset == 0L)
+    assert(EsLog.enforceRetentionRows(dir, 400L).startOffset == 0L)
+    // row budget 150: newest file (100) + one more => keep [200, 400)
+    assert(EsLog.enforceRetentionRows(dir, 150L).startOffset == 200L)
+    // byte budget below even one file: the newest file still survives
+    assert(EsLog.enforceRetentionBytes(dir, 1L).startOffset == 300L)
+    assert(EsLog.scan(spark, dir).count() == 100L)
+    // keepRows = 0 likewise keeps the tail file
+    assert(EsLog.enforceRetentionRows(dir, 0L).startOffset == 300L)
+    // empty stream: both are no-ops
+    val empty = tmpDir("eslog-cap-empty-")
+    EsLog.create(empty, streamId = 37L)
+    assert(EsLog.enforceRetentionBytes(empty, 0L).startOffset == 0L)
+    assert(EsLog.enforceRetentionRows(empty, 0L).startOffset == 0L)
+  }
+
   test("symlink manifest export: external read == scan, trim rules, vacuum-safe") {
     val dir = tmpDir("eslog-symlink-")
     EsLog.create(dir, streamId = 33L)

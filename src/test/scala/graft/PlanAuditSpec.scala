@@ -908,6 +908,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_object_log" -> Seq("base_offset", "event_type"),
     "es_offsets" -> Seq("stream", "start_offset", "next_offset"),
     "es_retention" -> Seq("base_offset", "base_timestamp"),
+    "es_retention_size" -> Seq("base_offset", "event_type"),
     "es_segments" -> Seq("seg_index", "start_offset", "end_offset", "sealed", "epoch", "num_records"),
     "es_sessions" -> Seq("user_id", "sid", "start_ms", "end_ms", "n"),
     "es_snapshot" -> Seq("base_offset", "event_type"),
