@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Shape (the industrial one, cf. the word-count-first design of public BPE
   * trainers): the corpus collapses ONCE to a `(word, n)` table — bounded by
-  * the vocabulary, not the corpus — and the merge loop iterates over that
-  * table only: per iteration, one weighted pair-count aggregation and one
-  * literal `replace` sweep. At 100 TB the corpus is touched exactly once
-  * (the word count); 40 merge rounds then cost 40 small jobs over millions
-  * of distinct words, not the corpus.
+  * the vocabulary, not the corpus — which is collected, and the merge loop
+  * runs in-process over it: per iteration, one weighted pair count and one
+  * literal `replace` sweep over at most `maxWords` strings. At 100 TB the
+  * corpus is touched exactly once (the word count); the merge rounds cost
+  * driver CPU over the bounded table, zero further jobs.
   *
   * Encoding is a chain of literal `replace` calls over the space-joined
   * character representation — one codegen'd expression, no UDF, no shuffle;
@@ -36,62 +36,107 @@ object Bpe {
   private def spacedChars(word: Column): Column =
     concat(lit(" "), concat_ws(" ", split(word, "", 0)), lit(" "))
 
+  /** UTF-8 byte order (Spark's binary string ordering) — the merge
+    * tie-break must match what the distributed `orderBy(col.asc)` used, not
+    * Java's UTF-16 code-unit order (they diverge above the BMP). */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Learn `numMerges` merge rules from the corpus.
+    *
+    * ONE Spark job total: the corpus collapses to the `(word, n)` table
+    * (bounded by the vocabulary, not the corpus — `maxWords` caps it by
+    * frequency as a guard, the [[Unigram.learn]] bounded-artifact
+    * contract), which is collected once; the merge loop then runs entirely
+    * driver-side over those strings. Earlier revisions ran the loop as one
+    * Spark aggregation per merge — same exact counts, but numMerges
+    * scheduler round-trips made training the priciest registry query; the
+    * in-process loop computes the identical argmax (exact integer pair
+    * counts; ties by UTF-8-byte pair order, matching Spark's binary string
+    * sort) and applies the identical left-to-right `String.replace` sweep
+    * (`UTF8String.replace` and DuckDB `replace` share its
+    * resume-after-replacement semantics, unit-pinned on 'a a a a a'), so
+    * the learned merges are bit-identical to the distributed loop's.
+    *
+    * `maxWords` only engages above its bound (default 1M distinct words ≈
+    * tens of MB collected): past it, merges are learned on the
+    * highest-frequency vocabulary slice — the standard trainer practice,
+    * and the tail it drops holds singleton-grade counts that cannot win an
+    * argmax whose winners sit orders of magnitude higher.
     *
     * @return merges in application order (highest-count first).
     */
   def learn(docs: DataFrame, idCol: String, textCol: String,
-            numMerges: Int, minPairCount: Long = 2L): Seq[(String, String)] = {
+            numMerges: Int, minPairCount: Long = 2L,
+            maxWords: Int = 1000000): Seq[(String, String)] = {
     // corpus -> (word, n): the only pass over the full data
-    val words = docs
+    val rows = docs
       .select(explode(graft.functions.Portable.words(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
-    // localCheckpoint (not persist): each round derives the next
-    // representation from the last, and without lineage TRUNCATION the plan
-    // tree doubles per round — 40 rounds of chained replace turned planning
-    // itself into the bottleneck. The word table is tiny relative to the
-    // corpus; executor-local blocks are the right durability tradeoff here
-    // (a lost executor restarts the cheap merge loop, not the corpus scan).
-    var repr = words.select(spacedChars(col("w")).as("r"), col("n"))
-      .localCheckpoint()
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxWords)
+      .collect()
+    // the same spaced representation spacedChars builds plan-side:
+    // " w o r d " — split("") chunks to code points exactly as Spark's
+    // split(col, "", 0) does (both ride Java's regex engine)
+    val repr = new Array[String](rows.length)
+    val weight = new Array[Long](rows.length)
+    var wi = 0
+    while (wi < rows.length) {
+      repr(wi) = " " + rows(wi).getString(0).split("").mkString(" ") + " "
+      weight(wi) = rows(wi).getLong(1)
+      wi += 1
+    }
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    var lastCheckpoint = repr
-    var sinceCheckpoint = 0
     var continue = true
     while (continue && merges.size < numMerges) {
       // adjacent symbol pairs of the current representation, weighted by n
-      val best = repr
-        .select(split(trim(col("r")), " ", 0).as("a"), col("n"))
-        // slice keeps the index list empty for single-symbol words (a bare
-        // sequence(0, size-2) would emit [0,-1] there and trip ANSI bounds)
-        .select(explode(expr(
-          "transform(slice(sequence(0, size(a)), 1, greatest(size(a) - 1, 0)), " +
-            "i -> struct(a[i] AS x, a[i+1] AS y))"))
-          .as("p"), col("n"))
-        .groupBy(col("p.x"), col("p.y")).agg(sum("n").as("cnt"))
-        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best.head.getLong(2) < minPairCount) continue = false
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      wi = 0
+      while (wi < repr.length) {
+        val syms = repr(wi).trim.split(" ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + weight(wi))
+          i += 1
+        }
+        wi += 1
+      }
+      // argmax by (count DESC, pair UTF-8 ASC) — a linear scan, not a sort
+      var bestPair: (String, String) = null
+      var bestCnt = Long.MinValue
+      counts.foreach { case (p, c) =>
+        if (bestPair == null || c > bestCnt ||
+          (c == bestCnt && (utf8Less(p._1, bestPair._1) ||
+            (p._1 == bestPair._1 && utf8Less(p._2, bestPair._2))))) {
+          bestPair = p; bestCnt = c
+        }
+      }
+      if (bestPair == null || bestCnt < minPairCount) continue = false
       else {
-        val (x, y) = (best.head.getString(0), best.head.getString(1))
+        val (x, y) = bestPair
         merges += ((x, y))
-        // chain up to 8 sweeps per checkpoint: truncation keeps planning
-        // O(1) per round, but materializing EVERY round doubled the loop's
-        // job count — a depth-8 replace chain is still trivially plannable
-        val chained = repr.select(
-          call_function("replace", col("r"), lit(s" $x $y "), lit(s" $x$y ")).as("r"),
-          col("n"))
-        sinceCheckpoint += 1
-        if (sinceCheckpoint >= 8) {
-          repr = chained.localCheckpoint()
-          lastCheckpoint.unpersist()
-          lastCheckpoint = repr
-          sinceCheckpoint = 0
-        } else repr = chained
+        val pat = s" $x $y "
+        val rep = s" $x$y "
+        wi = 0
+        while (wi < repr.length) {
+          if (repr(wi).contains(pat)) repr(wi) = repr(wi).replace(pat, rep)
+          wi += 1
+        }
       }
     }
-    lastCheckpoint.unpersist()
     merges.toSeq
   }
 
