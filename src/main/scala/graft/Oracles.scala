@@ -1691,6 +1691,35 @@ object Oracles {
        |FROM ch a JOIN ch b USING (ch) WHERE a.media_id < b.media_id
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** CDC media near-dup over the byte-inserted-twin fixture: cuts at byte
+    * offsets whose trailing 8-byte window hashes to 0 mod 16 (the purely
+    * position-local content-defined rule), chunks between consecutive cuts,
+    * then the same df-cap + shared-chunk pair join — mirrors
+    * [[graft.operators.Multimodal.binaryNearDupsCdc]]. */
+  private val multimodalDedupCdc = {
+    val winHash = H.hash60Sql("substring(hx, (c-8)*2+1, 16)")
+    s"""WITH base AS (SELECT doc_id AS media_id, text FROM documents),
+       |ins AS (SELECT media_id + 1000000 AS media_id, 'X' || text AS text
+       |        FROM base WHERE media_id % 7 = 0),
+       |m AS (SELECT media_id, upper(hex(encode(text))) AS hx
+       |      FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)),
+       |b AS (SELECT media_id, hx, CAST(length(hx) / 2 AS BIGINT) AS n FROM m),
+       |cz0 AS (SELECT media_id, hx,
+       |  list_concat(list_concat([CAST(0 AS BIGINT)],
+       |    list_filter(range(8, n), c -> $winHash % 16 = 0)), [n]) AS cs
+       |  FROM b),
+       |cz AS (SELECT media_id,
+       |  unnest(list_transform(range(1, len(cs)),
+       |    k -> substring(hx, cs[k]*2+1, CAST((cs[k+1]-cs[k])*2 AS BIGINT)))) AS c
+       |  FROM cz0),
+       |chd AS (SELECT DISTINCT media_id, ${H.hash60Sql("c")} AS ch FROM cz WHERE c <> ''),
+       |heavy AS (SELECT ch FROM chd GROUP BY ch HAVING count(*) > 64),
+       |ch AS (SELECT media_id, ch FROM chd WHERE ch NOT IN (SELECT ch FROM heavy))
+       |SELECT a.media_id AS i, b.media_id AS j, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM ch a JOIN ch b USING (ch) WHERE a.media_id < b.media_id
+       |GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin
+  }
+
   /** Time-series similarity: dense 24-bucket daily profiles (cross join ×
     * left join × ordered list — integer counts, so vectors are
     * bit-identical), then the [[simExact]] cosine/rank recipe over them. */
@@ -1876,6 +1905,7 @@ object Oracles {
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_dedup" -> multimodalDedup,
+    "multimodal_dedup_cdc" -> multimodalDedupCdc,
     "ts_similarity" -> tsSimilarity,
     "lineitem_agg" -> lineitemAgg,
     "join_agg" -> joinAgg,

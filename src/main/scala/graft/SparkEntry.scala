@@ -1238,6 +1238,25 @@ object SparkEntry {
       Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text").toDF(),
       "media_id", "payload", chunkBytes = 32, minShared = 2)
 
+  /** Content-defined-chunking media dedup ([[Multimodal.binaryNearDupsCdc]])
+    * on a fixture of byte-INSERTED near-copies (every 7th doc re-uploaded
+    * with one leading byte prepended — the edit that shifts every fixed-grid
+    * chunk): CDC's position-local cut rule re-aligns after ~window bytes, so
+    * each twin shares nearly all its chunks with its original (70 of the
+    * 72 sf0.01 twins clear minShared=4; the misses are the shortest docs,
+    * with too few chunks). */
+  private def qMultimodalDedupCdc(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val ins = docs.where(col("media_id") % 7 === 0)
+      .select((col("media_id") + 1000000L).as("media_id"),
+        concat(lit("X"), col("text")).as("text"))
+    val all = docs.unionByName(ins)
+      .select(col("media_id"), col("text").cast("binary").as("payload"))
+    Multimodal.binaryNearDupsCdc(all, "media_id", "payload",
+      window = 8, divisor = 16, minShared = 4)
+  }
+
   /** Exact per-group discrete quantiles of l_quantity (min/quartiles/max as
     * permille ranks) — order statistics with a portable integer rank rule. */
   private def qStatsQuantiles(s: SparkSession, sfDir: String): DataFrame = {
@@ -1515,6 +1534,7 @@ object SparkEntry {
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),
+    "multimodal_dedup_cdc" -> (qMultimodalDedupCdc _),
     "ts_similarity" -> (qTsSimilarity _),
     "stats_quantiles" -> (qStatsQuantiles _),
     "stats_histogram" -> (qStatsHistogram _),

@@ -112,6 +112,64 @@ object Multimodal {
     ch.join(heavy, Seq("ch"), "left_anti")
   }
 
+  /** Content-defined chunk hashes: the alignment-robust refinement of
+    * [[binaryChunkHashes]]. A cut is placed at byte offset `c` iff the
+    * 60-bit hash of the `window` bytes ENDING at `c` is 0 mod `divisor` —
+    * a purely position-local rule (the gear/Rabin family with the min/max
+    * bounds dropped), so an inserted or deleted byte perturbs only the cuts
+    * within `window` bytes of the edit and every later chunk re-aligns;
+    * fixed-grid chunking loses ALL chunks after the edit point. Expected
+    * chunk length ≈ `divisor` bytes. No min-chunk enforcement keeps the
+    * rule stateless per offset — that is what makes it reproducible by an
+    * independent SQL engine (the boundary set is a pure per-position
+    * predicate over the hex text, not a left-to-right scan state); the
+    * occasional tiny chunk it allows is absorbed by the same `maxDf` cap
+    * that drops shared headers. Reference role: the sparse-index block
+    * boundaries (`components/object-storage/src/range_offload.rs:361-451`)
+    * are content-position-stable the same way.
+    *
+    * Plan shape is identical to the fixed grid: hex once, per-row array
+    * work (no shuffle), distinct, df-cap — corpus-linear at 100 TB. */
+  def cdcChunkHashes(df: DataFrame, idCol: String, payloadCol: String,
+                     window: Int = 8, divisor: Int = 16,
+                     maxDf: Int = 64): DataFrame = {
+    require(window >= 1 && divisor >= 1 && maxDf >= 1)
+    val hexp = upper(hex(col(payloadCol)))
+    val nB = (length(hexp) / 2).cast("int") // hex length is even: exact
+    // candidate cut offsets w..n-1 (a cut at 0 or n is implicit); Spark's
+    // sequence DESCENDS when start > stop, so guard the short-payload case
+    val cand = when(nB - 1 >= window, sequence(lit(window), nB - 1))
+      .otherwise(array().cast("array<int>"))
+    val cuts0 = filter(cand, c =>
+      graft.functions.Portable.hash60(
+        hexp.substr((c - window) * 2 + 1, lit(window * 2))) % divisor === 0)
+    val cuts = concat(array(lit(0)), cuts0, array(nB))
+    val chunks = transform(sequence(lit(0), size(cuts) - 2), k =>
+      hexp.substr(element_at(cuts, k + 1) * 2 + 1,
+        (element_at(cuts, k + 2) - element_at(cuts, k + 1)) * 2))
+    val ch = df
+      .select(col(idCol), explode(chunks).as("c"))
+      .where(col("c") =!= "")
+      .select(col(idCol), graft.functions.Portable.hash60(col("c")).as("ch"))
+      .distinct()
+    val heavy = ch.groupBy("ch").count().where(col("count") > maxDf).select("ch")
+    ch.join(heavy, Seq("ch"), "left_anti")
+  }
+
+  /** [[binaryNearDups]] over content-defined chunks — catches byte-inserted
+    * / byte-deleted near-copies the fixed grid provably misses (every
+    * post-edit grid chunk shifts). Same inverted-index equi-join plan. */
+  def binaryNearDupsCdc(df: DataFrame, idCol: String, payloadCol: String,
+                        window: Int = 8, divisor: Int = 16,
+                        minShared: Int = 2, maxDf: Int = 64): DataFrame = {
+    val ch = cdcChunkHashes(df, idCol, payloadCol, window, divisor, maxDf)
+    val a = ch.select(col(idCol).as("i"), col("ch"))
+    val b = ch.select(col(idCol).as("j"), col("ch"))
+    a.join(b, Seq("ch")).where(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Chunk-overlap near-dup pairs over opaque binary payloads: medias
     * sharing at least `minShared` distinct (df-capped) chunks, as
     * `(i, j, n_shared)` with i < j — integer counts, bit-reproducible.

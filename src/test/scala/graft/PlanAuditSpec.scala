@@ -502,6 +502,47 @@ class PlanAuditSpec extends SparkTestBase {
     assert(ex == Set((0L, 2L)), ex.toString)
   }
 
+  test("CDC chunk dedup: byte-inserted copies realign (fixed grid misses them); edit-locality") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // deterministic pseudo-random payloads (no repeated substrings to
+    // accidentally share): 400 bytes each, plus a twin with ONE byte
+    // inserted at the front — the edit that shifts every fixed-grid chunk
+    def blob(seed: Int): String =
+      (0 until 50).map(i => f"${graft.functions.Portable.md5Long(s"$seed:$i")}%08x").mkString
+    val df = Seq(
+        (0L, blob(1)), (1L, "Q" + blob(1)),   // inserted-byte twin of 0
+        (2L, blob(2)), (3L, blob(3)))         // unrelated
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload").cast("binary").as("payload"))
+    // fixed grid: the shifted twin shares NO aligned 32-byte chunk
+    val grid = Multimodal.binaryNearDups(df, "media_id", "payload",
+      chunkBytes = 32, minShared = 2).as[(Long, Long, Long)].collect().toSet
+    assert(!grid.exists(p => p._1 == 0L && p._2 == 1L),
+      s"fixed grid must miss the byte-inserted twin: $grid")
+    // CDC: cuts are content-positioned, so the twin re-aligns after ~window
+    // bytes and shares nearly all chunks; unrelated payloads share none
+    val cdc = Multimodal.binaryNearDupsCdc(df, "media_id", "payload",
+      window = 8, divisor = 16, minShared = 2).as[(Long, Long, Long)].collect().toSet
+    assert(cdc.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 2L),
+      s"CDC must catch the byte-inserted twin: $cdc")
+    assert(cdc.forall(p => Set((0L, 1L)).contains((p._1, p._2))),
+      s"unrelated payloads must not pair: $cdc")
+    // edit-locality: an edit perturbs only chunks near it — the chunk-hash
+    // sets before/after a mid-payload insertion still share >= 70%
+    val mid = blob(4)
+    val edited = mid.substring(0, 200) + "!" + mid.substring(200)
+    val pair = Seq((10L, mid), (11L, edited)).toDF("media_id", "payload")
+      .select(col("media_id"), col("payload").cast("binary").as("payload"))
+    val hs = Multimodal.cdcChunkHashes(pair, "media_id", "payload", window = 8,
+        divisor = 16, maxDf = 64)
+      .select("media_id", "ch") // the df-cap anti-join leads with the key
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val shared = (hs(10L) intersect hs(11L)).size.toDouble
+    assert(shared / hs(10L).size >= 0.7 && shared / hs(11L).size >= 0.7,
+      s"CDC chunk sets must mostly survive a one-byte edit: ${hs(10L).size}/${hs(11L).size}/shared=$shared")
+  }
+
   test("split assignment: complete partition, proportional, stable per id") {
     import graft.operators.Sampling
     val docs = spark.range(4000).select(col("id").as("doc_id"))
