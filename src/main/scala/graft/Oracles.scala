@@ -1885,6 +1885,8 @@ object Oracles {
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_probe" -> dedupSemanticProbe,
     "sim_ivf" -> simIvf,
+    "sim_ivf_persisted" -> simIvf, // persisted-index roundtrip: identical result
+
     "pivot_orders" -> pivotOrders,
     "window_running" -> windowRunning,
     "stats_quantiles" -> statsQuantiles,

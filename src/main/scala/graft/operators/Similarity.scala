@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
@@ -364,6 +364,50 @@ object Similarity {
       .where(col("crank") <= nprobe)
       .select(col("qid"), col("qvec"), col("cid").as("cell"))
     ivfSearch(index.cells, probes, k)
+  }
+
+  /** Persist an [[IvfIndex]] as ordinary parquet tables: tiny `centroids`
+    * plus `cells` PARTITIONED BY `cell` — the on-disk layout that makes a
+    * probe read only its cells' files (hive-style `cell=N/` directories =
+    * static partition pruning at planning time, no data-file I/O for
+    * unprobed cells). Build once at write time, search many times. */
+  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells")
+  }
+
+  /** Open a persisted index. The partition column's inferred type follows
+    * the directory VALUES (small cids infer INT), so re-read with the
+    * inferred schema corrected to LONG — a filter must compare the
+    * partition column un-cast for pruning to engage. */
+  def readIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val inferred = spark.read.parquet(s"$dir/cells").schema
+    val fixed = StructType(inferred.map {
+      case f if f.name == "cell" => f.copy(dataType = LongType)
+      case f => f
+    })
+    IvfIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.schema(fixed).parquet(s"$dir/cells"))
+  }
+
+  /** Search a PERSISTED index with guaranteed partition pruning: the
+    * distinct probed cells (bounded by `nlist`, never by the query count —
+    * a legal driver collect) become a static `isin` filter on the partition
+    * column, so the cells scan plans over exactly the probed `cell=N/`
+    * directories (`inputFiles`-pinned in SimilaritySpec). Results are
+    * bit-identical to [[searchIvfIndex]] on the in-memory index. */
+  def searchIvfIndexAt(spark: SparkSession, dir: String, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nprobe: Int = 4): DataFrame = {
+    val index = readIvfIndex(spark, dir)
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val probes = rankCells(q, "qid", "qvec", index.centroids)
+      .where(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+    val probed = probes.select("cell").distinct().collect().map(_.getLong(0))
+    ivfSearch(index.cells.where(col("cell").isin(probed.toSeq: _*)), probes, k)
   }
 
   /** Materialized hyperplane-LSH index: the corpus exploded to one row per

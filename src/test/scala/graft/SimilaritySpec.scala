@@ -78,6 +78,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaReloaded == inline)
   }
 
+  test("partition-pruned persisted IVF index: nprobe cells' files only, identical results") {
+    val queries = emb.where(col("vec_id") < 2)
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val root = tmpDir("ivfpart-")
+    Similarity.writeIvfIndex(idx, root)
+    val viaMemory = Similarity.searchIvfIndex(idx, queries, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pruned = Similarity.searchIvfIndexAt(spark, root, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == viaMemory, "persisted+pruned search must equal the in-memory index")
+    // the pruning proof: the cells scan's SELECTED partitions (the planner's
+    // post-pruning file listing — `inputFiles` reports the pre-pruning
+    // index) cover only the probed cell=N/ directories (<= 3 queries x
+    // nprobe 4 distinct cells, out of 8 on disk). AQE off so the physical
+    // scan is reachable by plain tree collect (query stages are leaves).
+    val allCells = new java.io.File(s"$root/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(allCells.size == 8, s"expected 8 cell partitions on disk: $allCells")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val again = Similarity.searchIvfIndexAt(spark, root, queries,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      val scans = again.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/cells")) => s
+      }
+      assert(scans.nonEmpty, "no file scan over the cells table found in the plan")
+      val readDirs = scans.flatMap(_.selectedPartitions.toPartitionArray.toSeq)
+        .map(pf => pf.filePath.toString.split("/cells/")(1).split("/")(0)).toSet
+      assert(readDirs.nonEmpty && readDirs.forall(_.startsWith("cell=")), readDirs.toString)
+      assert(readDirs.size <= 2 * 2 && readDirs.size < allCells.size,
+        s"scan must plan only probed cells: planned $readDirs of $allCells")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("materialized LSH index: persisted buckets answer queries identically") {
     val queries = emb.where(col("vec_id") < 10)
     val inline = Similarity.hyperplaneLshTopK(emb, queries, "vec_id", "embedding",
