@@ -292,6 +292,52 @@ object Fixtures {
       ()
     }
 
+  /** Fan-in exactly-once ETL fixture ([[EsLog.consumeProcessProduceMulti]]):
+    * events split by `event_id % 3` into THREE source streams, clicks from
+    * all three merged into one destination — all three source positions and
+    * the data in ONE CAS commit. The job runs TWICE; the replay consumes
+    * and appends nothing (asserted here), which is the fan-in exactly-once
+    * claim. Destination offsets are deterministic: sortKey = (source index,
+    * per-source offset) composite, so the oracle predicts them with a
+    * two-level row_number. */
+  def etlFanInStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "etlfanin") { dst =>
+      val in = eventBatches(s, sfDir)
+      val srcs = (0 until 3).map { i =>
+        val d = Files.createTempDirectory(s"graft-etlfanin-src$i-").toString
+        EsLog.create(d, streamId = 60L + i)
+        EsLog.open(d, 1L)
+        EsLog.append(s, d, in.where(col("event_id") % 3 === i), 1L,
+          sortKey = Some("event_id"), numPartitions = 2)
+        d
+      }
+      EsLog.create(dst, streamId = 59L)
+      EsLog.open(dst, 1L)
+      def job(): Seq[(Long, Long)] =
+        EsLog.consumeProcessProduceMulti(s, srcs, dst, "fanin", 1L,
+          sortKey = Some("sk")) { slices =>
+          slices.zipWithIndex.map { case (df, i) =>
+            df.where(col("properties")("event_type") === "click")
+              .select(
+                (lit(i.toLong) * 1000000000L + col("base_offset")).as("sk"),
+                col("payload"),
+                map(lit("src"), lit(i.toString),
+                  lit("src_off"), col("base_offset").cast("string"),
+                  lit("event_type"), col("properties")("event_type")).as("properties"),
+                col("base_timestamp"))
+          }.reduce(_.unionByName(_))
+        }
+      val heads = srcs.map(EsLog.nextOffset)
+      val spans1 = job()
+      require(spans1 == heads.map(h => (0L, h)),
+        s"round-1 spans $spans1 != ${heads.map(h => (0L, h))}")
+      val dstHead = EsLog.nextOffset(dst)
+      val spans2 = job() // replay: every source caught up, nothing lands
+      require(spans2 == heads.map(h => (h, h)), s"replay consumed $spans2")
+      require(EsLog.nextOffset(dst) == dstHead, "replay appended to destination")
+      ()
+    }
+
   /** KV fixture: puts, delete, range delete (ranged tombstone), a successful
     * CAS txn, a failed (stale) one, and etcd-parity multi-guard txns with
     * success AND failure branches. */

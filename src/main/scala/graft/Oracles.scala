@@ -119,6 +119,19 @@ object Oracles {
       |SELECT CAST(dst_off AS BIGINT) AS base_offset, event_id AS src_off, event_type
       |FROM c""".stripMargin
 
+  /** The fan-in ETL destination: clicks from three %3-split sources exactly
+    * once (the job ran twice), destination offsets dense in (source,
+    * per-source offset) order. */
+  private val esEtlFanIn =
+    """WITH e AS (SELECT event_id, event_type, event_id % 3 AS src,
+      |             row_number() OVER (PARTITION BY event_id % 3 ORDER BY event_id) - 1 AS src_off
+      |           FROM events),
+      |c AS (SELECT *, row_number() OVER (ORDER BY src, src_off) - 1 AS dst_off
+      |      FROM e WHERE event_type = 'click')
+      |SELECT CAST(dst_off AS BIGINT) AS base_offset, CAST(src AS BIGINT) AS src,
+      |       CAST(src_off AS BIGINT) AS src_off, event_type
+      |FROM c""".stripMargin
+
   private val esTrim =
     """SELECT event_id AS base_offset, event_type FROM events
       |WHERE event_id >= (SELECT count(*) // 4 FROM events)""".stripMargin
@@ -1812,6 +1825,7 @@ object Oracles {
     // rows+bytes capacity retention leaves exactly the newest half
     "es_retention_size" -> esScanDelta,
     "es_etl" -> esEtl,
+    "es_etl_fanin" -> esEtlFanIn,
     // the manifest-exported external view must equal the full stream
     "es_symlink" -> "SELECT event_id AS base_offset, event_type FROM events",
     "es_clone" -> esSnapshot, // clone pinned at the first commit == that snapshot

@@ -298,6 +298,20 @@ object SparkEntry {
       col("properties")("event_type").as("event_type"))
   }
 
+  /** Fan-in exactly-once ETL ([[Fixtures.etlFanInStream]]): clicks from
+    * THREE source streams merged into one destination, all three source
+    * positions committed atomically with the data; the job ran twice and
+    * the replay landed nothing, so every click appears exactly once with
+    * deterministic (src, src_off)-ordered offsets. */
+  private def qEsEtlFanIn(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.etlFanInStream(s, sfDir)
+    EsLog.scan(s, dir).select(
+      col("base_offset"),
+      col("properties")("src").cast("long").as("src"),
+      col("properties")("src_off").cast("long").as("src_off"),
+      col("properties")("event_type").as("event_type"))
+  }
+
   /** Deep clone pinned at the first data commit ([[Fixtures
     * .clonedEventsStream]]): scanning the CLONE reproduces the first half
     * of the events bit-for-bit — log and data files both survived the
@@ -1457,6 +1471,7 @@ object SparkEntry {
     "es_offset_for_time" -> (qEsOffsetForTime _),
     "es_group_commit" -> (qEsGroupCommit _),
     "es_etl" -> (qEsEtl _),
+    "es_etl_fanin" -> (qEsEtlFanIn _),
     "es_symlink" -> (qEsSymlink _),
     "es_clone" -> (qEsClone _),
     "es_catalog" -> (qEsCatalog _),

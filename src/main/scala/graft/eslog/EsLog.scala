@@ -324,7 +324,8 @@ object EsLog {
   def append(spark: SparkSession, streamDir: String, input: DataFrame, epoch: Long,
              sortKey: Option[String] = None, numPartitions: Int = 0,
              extraActions: Seq[Action] = Seq.empty,
-             targetFileBytes: Long = DefaultTargetFileBytes): (Long, Long) = {
+             targetFileBytes: Long = DefaultTargetFileBytes,
+             extraGuards: Seq[KvGuard] = Seq.empty): (Long, Long) = {
     val dbgT = sys.env.contains("GRAFT_APPEND_TIMING")
     var dbgT0 = System.nanoTime()
     def dbgMark(name: String): Unit = if (dbgT) {
@@ -347,6 +348,17 @@ object EsLog {
     }
     val seg = st.openSegment.get
     val next = seg.confirmedEnd
+    // KV guards (etcd-compare shapes) make the data commit conditional on
+    // KV state — e.g. a consumer-group position unchanged since it was
+    // read ([[consumeProcessProduce]]'s exactly-once fence). Checked here
+    // against the SAME snapshot the commit CAS-es on (any interleaving
+    // commit bumps the version and the final commit fails regardless), so
+    // holding-at-st == holding-at-commit; checking before the write passes
+    // just fails fast instead of after the I/O.
+    extraGuards.find(!_.holds(st.kv)).foreach { g =>
+      throw new ConcurrentCommitException(
+        s"append guard failed on '${g.key}' — KV state changed since read: $g")
+    }
 
     val streamId = if (st.streamId >= 0) st.streamId else DefaultStreamId
     var batches = normalize(input, streamId)
@@ -1299,8 +1311,14 @@ object EsLog {
     checkGroupPosition(group, from, upTo)
     if (upTo <= from) return (from, from)
     val out = process(fetchState(spark, srcDir, srcSt, from, upTo, 0L))
+    // The position put is GUARDED on the position we read (etcd-compare in
+    // the same CAS commit): two same-epoch instances racing the same slice
+    // can otherwise both append — double-produce. The loser of this guard
+    // gets ConcurrentCommitException instead (epoch fencing already blocks
+    // cross-generation zombies; the guard closes the same-epoch race).
     val (a, b) = append(spark, dstDir, out, epoch, sortKey = sortKey,
-      extraActions = Seq(KvPut(key, upTo.toString)))
+      extraActions = Seq(KvPut(key, upTo.toString)),
+      extraGuards = Seq(prev0.map(KvValueIs(key, _)).getOrElse(KvAbsent(key))))
     // Empty processed batch: append fenced the epoch, then returned without
     // committing (no files => no extraActions) — advance the position alone
     // so the loop cannot spin on an all-filtered slice. The advance must be
@@ -1315,6 +1333,74 @@ object EsLog {
       if (st.kv.get(key) == prev0) Seq(KvPut(key, upTo.toString)) else Seq.empty
     }
     (from, upTo)
+  }
+
+  /** Per-source position group name of a fan-in pipeline: positions are
+    * keyed by SOURCE IDENTITY (the stream id), not by list order, so
+    * re-ordering the source list or adding a source never mis-resumes an
+    * existing one — the (group, topic-partition) discipline of Kafka's
+    * __consumer_offsets. Each is an ordinary group, readable by
+    * [[groupOffset]] / the lag surface. */
+  def fanInGroup(group: String, streamId: Long): String = s"$group@src$streamId"
+
+  /** Fan-in exactly-once ETL: N source streams merge into one destination,
+    * with ALL N source positions and the destination's data files in ONE
+    * CAS commit — the multi-source extension of [[consumeProcessProduce]]
+    * (`extraActions` carries N puts; `extraGuards` carries N position
+    * compares). A crash at ANY point — including "between sources", which
+    * cannot exist as a commit boundary here — lands either everything or
+    * nothing; replay re-reads exactly the unconsumed slices.
+    *
+    * Sources must carry distinct non-negative stream ids (create via
+    * [[EsCatalog]] or `create(streamId = ...)`): ids key the positions
+    * ([[fanInGroup]]). `process` receives the N slices in `srcDirs` order
+    * (caught-up sources contribute an empty frame). Same-epoch races lose
+    * the guard; fenced generations throw before anything lands. Returns
+    * the consumed `(from, upTo)` span per source. */
+  def consumeProcessProduceMulti(spark: SparkSession, srcDirs: Seq[String],
+                                 dstDir: String, group: String, epoch: Long,
+                                 sortKey: Option[String] = None)
+                                (process: Seq[DataFrame] => DataFrame): Seq[(Long, Long)] = {
+    require(srcDirs.nonEmpty, "fan-in needs at least one source")
+    val srcSts = srcDirs.map(MetaLog.load)
+    srcDirs.zip(srcSts).foreach { case (d, s) =>
+      if (s.deleted) throw new IllegalStateException(s"stream $d deleted") }
+    val sids = srcSts.map(_.streamId)
+    require(sids.forall(_ >= 0) && sids.distinct.size == sids.size,
+      s"fan-in sources must carry distinct non-negative stream ids (got $sids): " +
+        "positions are keyed by source identity, not list order")
+    val keys = sids.map(id => groupKey(fanInGroup(group, id)))
+    // one destination snapshot for ALL positions: a per-key load could see
+    // a torn view across another instance's atomic multi-put
+    val dstKv = MetaLog.load(dstDir).kv
+    val prevs = keys.map(dstKv.get)
+    val froms = prevs.zip(srcSts).map { case (p, s) =>
+      p.map(_.toLong).getOrElse(s.startOffset) }
+    val upTos = srcSts.map(_.nextOffset)
+    froms.lazyZip(upTos).lazyZip(sids).foreach { case (f, u, id) =>
+      checkGroupPosition(s"$group@src$id", f, u) }
+    val spans = froms.zip(upTos)
+    if (spans.forall { case (f, u) => u <= f }) return froms.map(f => (f, f))
+    val slices = srcDirs.lazyZip(srcSts).lazyZip(spans).map {
+      case (d, s, (f, u)) => fetchState(spark, d, s, f, u, 0L) }
+    val out = process(slices)
+    val guards = keys.zip(prevs).map { case (k, p) =>
+      p.map(KvValueIs(k, _)).getOrElse(KvAbsent(k)) }
+    // only advanced positions are re-put (a caught-up source's position is
+    // still GUARDED — its slice was [f, f) only if nothing moved it)
+    val puts = keys.lazyZip(spans).collect {
+      case (k, (f, u)) if u > f => KvPut(k, u.toString) }.toSeq
+    val (a, b) = append(spark, dstDir, out, epoch, sortKey = sortKey,
+      extraActions = puts, extraGuards = guards)
+    // all-filtered output: advance the positions alone, with the same
+    // epoch + compare discipline as the single-source path
+    if (b == a) MetaLog.commitWithRetry(dstDir) { st =>
+      if (epoch < st.epoch)
+        throw new FencedException(s"group advance epoch $epoch < ${st.epoch}")
+      if (keys.zip(prevs).forall { case (k, p) => st.kv.get(k) == p }) puts
+      else Seq.empty
+    }
+    spans
   }
 
   /** Commit history as a DataFrame — the batch twin of the streaming

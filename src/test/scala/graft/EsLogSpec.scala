@@ -1230,6 +1230,76 @@ class EsLogSpec extends SparkTestBase {
     assert(EsLog.getKV(dst, EsLog.GroupKeyPrefix + "etl").contains(srcHead.toString))
   }
 
+  test("fan-in consume-process-produce: N positions + data in one commit, replay-safe, race-guarded") {
+    val srcs = (0 until 3).map { i =>
+      val d = tmpDir(s"eslog-fanin-src$i-")
+      EsLog.create(d, streamId = 70L + i); EsLog.open(d, 1L)
+      d
+    }
+    val dst = tmpDir("eslog-fanin-dst-")
+    EsLog.create(dst, streamId = 69L); EsLog.open(dst, 1L)
+    def put(i: Int, lo: Long, hi: Long): Unit = {
+      val in = spark.range(lo, hi).select(
+        col("id"), col("id").cast("string").cast("binary").as("payload"))
+      EsLog.append(spark, srcs(i), in, 1L, sortKey = Some("id"), numPartitions = 2)
+    }
+    def job(epoch: Long, hook: () => Unit = () => ()): Seq[(Long, Long)] =
+      EsLog.consumeProcessProduceMulti(spark, srcs, dst, "fan", epoch,
+        sortKey = Some("sk")) { slices =>
+        hook()
+        slices.zipWithIndex.map { case (df, i) =>
+          df.select((lit(i.toLong) * 1000000L + col("base_offset")).as("sk"),
+            col("payload"),
+            map(lit("tag"), concat_ws(":", lit(i.toString),
+              col("base_offset").cast("string"))).as("properties"))
+        }.reduce(_.unionByName(_))
+      }
+    put(0, 0L, 10L); put(1, 0L, 20L); put(2, 0L, 5L)
+    assert(job(1L) == Seq((0L, 10L), (0L, 20L), (0L, 5L)))
+    assert(EsLog.nextOffset(dst) == 35L)
+    // replay: all caught up, nothing lands
+    assert(job(1L) == Seq((10L, 10L), (20L, 20L), (5L, 5L)))
+    assert(EsLog.nextOffset(dst) == 35L)
+    // incremental: only source 1 advanced — its delta alone is consumed
+    put(1, 20L, 26L)
+    assert(job(1L) == Seq((10L, 10L), (20L, 26L), (5L, 5L)))
+    assert(EsLog.nextOffset(dst) == 41L)
+    // per-source positions are ordinary groups, keyed by stream id
+    assert(EsLog.groupOffset(dst, EsLog.fanInGroup("fan", 70L)).contains(10L))
+    assert(EsLog.groupOffset(dst, EsLog.fanInGroup("fan", 71L)).contains(26L))
+    assert(EsLog.groupOffset(dst, EsLog.fanInGroup("fan", 72L)).contains(5L))
+    // destination holds every (src, off) exactly once
+    val tags = EsLog.scan(spark, dst).select(col("properties")("tag"))
+      .collect().map(_.getString(0)).sorted
+    val want = (Seq.tabulate(10)(o => s"0:$o") ++ Seq.tabulate(26)(o => s"1:$o") ++
+      Seq.tabulate(5)(o => s"2:$o")).sorted
+    assert(tags.sameElements(want), s"${tags.length} vs ${want.length}")
+    // same-epoch race: a rival advances source 0's position between this
+    // instance's read and its append (injected inside process) — the guard
+    // fails the commit; nothing lands, the rival's position survives
+    put(0, 10L, 12L)
+    val key = EsLog.GroupKeyPrefix + EsLog.fanInGroup("fan", 70L)
+    assertThrows[graft.meta.ConcurrentCommitException](
+      job(1L, hook = () => EsLog.putKV(dst, key, "12")))
+    assert(EsLog.getKV(dst, key).contains("12"))
+    assert(EsLog.nextOffset(dst) == 41L, "guarded loser must append nothing")
+    EsLog.putKV(dst, key, "10") // restore the true position
+    // zombie fencing: a new generation owns dst; the old epoch throws
+    EsLog.open(dst, 2L)
+    assertThrows[FencedException](job(1L))
+    assert(job(2L) == Seq((10L, 12L), (26L, 26L), (5L, 5L)))
+    // all-filtered slice still advances positions (fenced + guarded commit)
+    put(2, 5L, 7L)
+    EsLog.consumeProcessProduceMulti(spark, srcs, dst, "fan", 2L) { slices =>
+      slices.head.where(lit(false)).select(col("payload"))
+    }
+    assert(EsLog.groupOffset(dst, EsLog.fanInGroup("fan", 72L)).contains(7L))
+    // identity discipline: duplicate stream ids are rejected up front
+    assertThrows[IllegalArgumentException](
+      EsLog.consumeProcessProduceMulti(spark, Seq(srcs(0), srcs(0)), dst,
+        "fan", 2L)(_.head))
+  }
+
   test("time index: fetchByTime prunes files via manifest stats; offsetForTimestamp reads one file") {
     val dir = tmpDir("eslog-time-")
     EsLog.create(dir, streamId = 20L)
