@@ -109,6 +109,12 @@ object Oracles {
   // exactly the second half — the same rows as esScanDelta; registered as
   // an alias below (the "es_clone" -> esSnapshot pattern).
 
+  /** Group lag over the group fixture: "etl" committed at n/2, head n. */
+  private val esGroupLag =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events)
+      |SELECT 'etl' AS grp, true AS committed, c // 2 AS position,
+      |       c AS next_offset, c - c // 2 AS lag FROM n""".stripMargin
+
   /** The exactly-once ETL destination: every click exactly once (the job ran
     * twice — a duplicate-producing replay would double these rows), offsets
     * dense in source order. */
@@ -1825,6 +1831,7 @@ object Oracles {
     // rows+bytes capacity retention leaves exactly the newest half
     "es_retention_size" -> esScanDelta,
     "es_etl" -> esEtl,
+    "es_group_lag" -> esGroupLag,
     "es_etl_fanin" -> esEtlFanIn,
     // the manifest-exported external view must equal the full stream
     "es_symlink" -> "SELECT event_id AS base_offset, event_type FROM events",

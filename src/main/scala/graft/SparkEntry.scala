@@ -274,6 +274,16 @@ object SparkEntry {
     df.select(col("base_offset"), col("properties")("event_type").as("event_type"))
   }
 
+  /** Consumer-group lag ([[EsLog.groupLags]], SQL `graft_group_lag`): the
+    * admin describe-groups view over [[Fixtures.groupStream]] — group "etl"
+    * committed at n/2 against head n, position and head from one snapshot.
+    * Runs through the SQL TVF so the row also pins the SQL surface. */
+  private def qEsGroupLag(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.groupStream(s, sfDir)
+    graft.sql.GraftFunctions.register(s)
+    s.sql(s"SELECT * FROM graft_group_lag('$dir')")
+  }
+
   /** Symlink-format manifest export ([[EsLog.generateSymlinkManifest]]):
     * the row simulates the external engine — read the manifest text file,
     * scan exactly the listed parquet paths, no eslog code involved — and
@@ -1470,6 +1480,7 @@ object SparkEntry {
     "es_fetch_time" -> (qEsFetchTime _),
     "es_offset_for_time" -> (qEsOffsetForTime _),
     "es_group_commit" -> (qEsGroupCommit _),
+    "es_group_lag" -> (qEsGroupLag _),
     "es_etl" -> (qEsEtl _),
     "es_etl_fanin" -> (qEsEtlFanIn _),
     "es_symlink" -> (qEsSymlink _),

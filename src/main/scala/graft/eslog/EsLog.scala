@@ -1242,6 +1242,38 @@ object EsLog {
     txnKV(streamDir, groupKey(group), expected.map(_.toString),
       Seq(groupKey(group) -> Some(offset.toString)))
 
+  /** Consumer-group lag surface — the Kafka admin query (`describe-groups`
+    * / `kafka-consumer-groups --describe`) every operator of a long-running
+    * pipeline runs first: per group, the committed position against the
+    * stream head, BOTH read from ONE snapshot (a per-value read could pair
+    * a stale position with a fresher head and report phantom lag). One row
+    * `(grp, committed, position, next_offset, lag)` per group; with `group`
+    * given, exactly that group (uncommitted => `committed=false`, position
+    * = start of stream, lag = the whole backlog it would consume);
+    * otherwise every group committed on the stream, name-ordered. */
+  def groupLags(spark: SparkSession, streamDir: String,
+                group: Option[String] = None): DataFrame = {
+    val st = MetaLog.load(streamDir)
+    val head = st.nextOffset
+    val groups: Seq[(String, Option[Long])] = group match {
+      case Some(g) => Seq(g -> st.kv.get(groupKey(g)).map(_.toLong))
+      case None => st.kv.toSeq.collect {
+        case (k, v) if k.startsWith(GroupKeyPrefix) =>
+          k.stripPrefix(GroupKeyPrefix) -> Some(v.toLong)
+      }.sortBy(_._1)
+    }
+    val rows = groups.map { case (g, p) =>
+      val pos = p.getOrElse(st.startOffset)
+      Row(g, p.isDefined, pos, head, head - pos)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("grp", StringType, nullable = false),
+      StructField("committed", BooleanType, nullable = false),
+      StructField("position", LongType, nullable = false),
+      StructField("next_offset", LongType, nullable = false),
+      StructField("lag", LongType, nullable = false))))
+  }
+
   /** Read everything from the group's committed position (start of stream if
     * none) to the current head, returning the frame plus the head offset to
     * pass to [[commitGroupOffset]] AFTER processing succeeds — the

@@ -261,6 +261,17 @@ object GraftFunctions {
         val pos = EsLog.groupOffset(dir, group)
         localRow(Seq(("grp", group), ("committed", pos.isDefined),
           ("offset", pos.getOrElse(EsLog.startOffset(dir))))) }),
+    (FunctionIdentifier("graft_group_lag"),
+      info("graft_group_lag",
+        "graft_group_lag('dir'[, 'group']) - consumer-group lag vs the " +
+          "stream head from one snapshot; one row (grp, committed, " +
+          "position, next_offset, lag) per group (all committed groups " +
+          "when none named)"),
+      (args: Seq[Expression]) => { arity("graft_group_lag", args, 1, 2)
+        val dir = literalString(args(0), "graft_group_lag", "dir")
+        val group = if (args.size == 2)
+          Some(literalString(args(1), "graft_group_lag", "group")) else None
+        GraftShims.analyzedPlan(EsLog.groupLags(active(), dir, group)) }),
     (FunctionIdentifier("graft_commit_group_offset"),
       info("graft_commit_group_offset",
         "graft_commit_group_offset('dir', 'group', offset, expected) - CAS " +

@@ -251,6 +251,19 @@ class GraftSqlSpec extends SparkTestBase {
       s"SELECT committed FROM graft_commit_group_offset('$dir', 'sqlg', 250, NULL)")
       .collect().head.getBoolean(0)
     assert(c3)
+    // lag surface: named group, one snapshot (position 250 vs head 400)
+    val lag = spark.sql(s"SELECT * FROM graft_group_lag('$dir', 'sqlg')").collect().head
+    assert(lag.getString(0) == "sqlg" && lag.getBoolean(1) &&
+      lag.getLong(2) == 250L && lag.getLong(3) == 400L && lag.getLong(4) == 150L,
+      lag.toString)
+    // uncommitted group: the whole backlog, committed=false
+    val lag0 = spark.sql(s"SELECT * FROM graft_group_lag('$dir', 'nope')").collect().head
+    assert(!lag0.getBoolean(1) && lag0.getLong(2) == 0L && lag0.getLong(4) == 400L)
+    // all-groups listing: exactly the committed groups, name-ordered
+    EsLog.commitGroupOffset(dir, "another", 400L, None)
+    val all = spark.sql(s"SELECT grp, lag FROM graft_group_lag('$dir')").collect()
+    assert(all.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("another", 0L), ("sqlg", 150L)), all.mkString(","))
     EsLog.delete(dir)
   }
 
