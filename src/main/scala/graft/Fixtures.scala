@@ -1285,6 +1285,43 @@ object Fixtures {
       name
     })
 
+  /** STREAMING temperature rebalancing — "α-sample the crawl as it
+    * arrives": the (source, threshold) artifact is computed ONCE in batch
+    * ([[graft.operators.Sampling.temperatureThresholds]] — a static
+    * broadcast table, so the per-row draw is a stream-legal codegen'd
+    * filter, completely STATELESS). The stream carries doc ids; the source
+    * label rides a stream-static broadcast join with the documents table
+    * (the deployment shape where the routing table is a dimension). The
+    * streaming sibling of `sample_temperature` — identical kept set. */
+  def streamTemperatureTable(s: SparkSession, sfDir: String,
+                             thr: Seq[(String, Long)]): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-temperature", {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Sampling
+      tune(s)
+      val src = docsStream(s, sfDir)
+      val docs = documents(s, sfDir)
+      val srcMap = docs.select(col("doc_id"), col("source")).persist()
+      srcMap.count() // materialize once; every micro-batch broadcasts it
+      val perTrigger = math.max(docs.count() / 8, 1L)
+      val name = "graft_stream_temperature_" + math.abs(sfDir.hashCode).toString
+      val stream = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("doc_id"))
+        .join(broadcast(srcMap), Seq("doc_id"))
+      val q = Sampling.sampleTemperatureWith(stream, "doc_id", "source",
+          thr, seed = 5)
+        .select("doc_id", "source")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      srcMap.unpersist()
+      name
+    })
+
   /** STREAMING tokenization — "tokenize the crawl as it arrives": the BPE
     * merges and the frequency-ranked id table are learned ONCE in batch
     * (deterministic, so they equal `text_bpe_ids`'s) and each micro-batch

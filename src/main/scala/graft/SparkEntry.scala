@@ -680,6 +680,17 @@ object SparkEntry {
       .select("doc_id", "source")
   }
 
+  /** Streaming temperature draw ([[Fixtures.streamTemperatureTable]]): the
+    * batch-computed threshold artifact filters the incoming docs stream —
+    * stateless, same kept set as `sample_temperature` (the oracle SQL is
+    * shared via the spliced thresholds). */
+  private def qEsStreamTemperature(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val thr = graft.operators.Sampling.temperatureThresholds(docs, "source", 0.3)
+    temperatureThrs.put(sfDir, thr)
+    s.table(Fixtures.streamTemperatureTable(s, sfDir, thr))
+  }
+
   /** Deterministic train/val/test split ([[graft.operators.Sampling.splitByHash]]):
     * 800/100/100 permille by id hash — per-id fates, so no document ever
     * migrates between train and eval across pipeline re-runs. */
@@ -1545,6 +1556,7 @@ object SparkEntry {
     "sample_diverse" -> (qSampleDiverse _),
     "sample_mix" -> (qSampleMix _),
     "sample_temperature" -> (qSampleTemperature _),
+    "es_stream_temperature" -> (qEsStreamTemperature _),
     "sample_token_budget" -> (qSampleTokenBudget _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),
@@ -1617,7 +1629,10 @@ object SparkEntry {
         .map(sql => Seq("text_classify" -> sql, "es_stream_classify" -> sql))
         .getOrElse(Seq.empty) ++
       Option(temperatureThrs.get(sfDir))
-        .map(t => "sample_temperature" -> Oracles.sampleTemperatureSql(t)) ++
+        .map(t => Oracles.sampleTemperatureSql(t))
+        .map(sql => Seq("sample_temperature" -> sql,
+          "es_stream_temperature" -> sql)) // same kept set, streaming path
+        .getOrElse(Seq.empty) ++
       Option(unigramModels.get(sfDir))
         .map(m => Seq(
           "text_unigram" -> Oracles.textUnigramSql(m),

@@ -874,8 +874,11 @@ class PlanAuditSpec extends SparkTestBase {
     //    tables (bounded like sim_exact's query broadcast).
     //  - ts_similarity: bruteForceTopK over activity profiles — the same
     //    bounded query-set broadcast as sim_exact.
+    //  - sim_ivf_persisted: same bounded centroid broadcast as sim_ivf
+    //    (the cells side is additionally partition-pruned on disk).
     val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
-      "sim_pq", "sim_ivf_pq", "dedup_semantic", "dedup_semantic_probe",
+      "sim_pq", "sim_ivf_pq", "sim_ivf_persisted",
+      "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "text_tfidf", "text_filter", "pipeline_export",
       "ts_similarity")
     val sfDir = "/root/testdata/sf0.001"
@@ -928,6 +931,11 @@ class PlanAuditSpec extends SparkTestBase {
     "dedup_semantic" -> Seq("vec_id", "cell"),
     "dedup_semantic_probe" -> Seq("existing", "incoming", "cosine"),
     "dedup_exact" -> Seq("doc_id", "h", "dups"),
+    "multimodal_dedup_cdc" -> Seq("i", "j", "n_shared"),
+    "sim_ivf_persisted" -> Seq("qid", "nid", "rank", "score"),
+    "es_etl_fanin" -> Seq("base_offset", "src", "src_off", "event_type"),
+    "es_group_lag" -> Seq("grp", "committed", "position", "next_offset", "lag"),
+    "es_stream_temperature" -> Seq("doc_id", "source"),
     "dedup_incremental" -> Seq("existing", "incoming"),
     "dedup_jaccard" -> Seq("i", "j", "jaccard"),
     "dedup_minhash" -> Seq("i", "j"),
