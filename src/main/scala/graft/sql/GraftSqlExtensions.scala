@@ -83,6 +83,17 @@ import graft.operators.Similarity
   * The DDL functions perform their effect when the statement is ANALYZED
   * (table-function builders run at resolution, like the scan functions'
   * manifest loads) — hence the hard idempotence requirement above.
+  *
+  * Pipeline-operator TVFs (the highest-traffic LLM-data operators from pure
+  * SQL over any table/view or parquet path — first arg with a '/' reads
+  * parquet, else resolves a table/temp view; the spliced plan is the Scala
+  * operator's own):
+  *  - `graft_dedup_exact('t', 'id', 'text')`   — exact duplicate groups
+  *  - `graft_dedup_minhash('t', 'id', 'text'[, k, num_hashes, bands])` —
+  *    MinHash+LSH near-dup candidate pairs
+  *  - `graft_text_stats('t', 'id', 'text')`    — per-doc token statistics
+  *  - `graft_text_quality('t', 'id', 'text')`  — per-doc quality features
+  *  - `graft_text_langid('t', 'id', 'text')`   — marker-voting language id
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -417,7 +428,70 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("graft_registry_history", args, 1)
         val root = literalString(args(0), "graft_registry_history", "root")
         GraftShims.analyzedPlan(
-          new graft.eslog.EsCatalog(root).registryHistory(active())) }))
+          new graft.eslog.EsCatalog(root).registryHistory(active())) }),
+
+    // ---- pipeline-operator TVFs: the highest-traffic LLM-data operators
+    //      callable from pure SQL over any table/view or parquet path —
+    //      the "drive the whole pipeline from SQL" completion of the DDL
+    //      surface. Input resolution ('/' => parquet path, else catalog
+    //      table / temp view) happens at analysis like the stream TVFs;
+    //      the spliced plan is the operator's own (same pushdown, same
+    //      codegen, same plan-audit guarantees). ----
+    (FunctionIdentifier("graft_dedup_exact"),
+      info("graft_dedup_exact",
+        "graft_dedup_exact('table_or_path', 'id_col', 'text_col') - exact " +
+          "duplicate groups by content hash: (id, h, dups)"),
+      (args: Seq[Expression]) => { arity("graft_dedup_exact", args, 3)
+        val (df, id, text) = opInput("graft_dedup_exact", args)
+        GraftShims.analyzedPlan(graft.operators.Dedup.exact(df, id, text)) }),
+    (FunctionIdentifier("graft_dedup_minhash"),
+      info("graft_dedup_minhash",
+        "graft_dedup_minhash('table_or_path', 'id_col', 'text_col'[, k, " +
+          "num_hashes, bands]) - MinHash+LSH near-dup candidate pairs (i, j)"),
+      (args: Seq[Expression]) => { arity("graft_dedup_minhash", args, 3, 4, 5, 6)
+        val (df, id, text) = opInput("graft_dedup_minhash", args)
+        val k = optLong(args, 3, 3L, "graft_dedup_minhash", "k").toInt
+        val nh = optLong(args, 4, 16L, "graft_dedup_minhash", "num_hashes").toInt
+        val b = optLong(args, 5, 4L, "graft_dedup_minhash", "bands").toInt
+        GraftShims.analyzedPlan(graft.operators.Dedup.minHashLshCandidates(
+          df, id, text, k = k, numHashes = nh, bands = b)) }),
+    (FunctionIdentifier("graft_text_stats"),
+      info("graft_text_stats",
+        "graft_text_stats('table_or_path', 'id_col', 'text_col') - token " +
+          "statistics per doc (n_chars, n_tokens, n_distinct, avg_token_len)"),
+      (args: Seq[Expression]) => { arity("graft_text_stats", args, 3)
+        val (df, id, text) = opInput("graft_text_stats", args)
+        GraftShims.analyzedPlan(graft.operators.TextOps.tokenStats(df, id, text)) }),
+    (FunctionIdentifier("graft_text_quality"),
+      info("graft_text_quality",
+        "graft_text_quality('table_or_path', 'id_col', 'text_col') - quality " +
+          "features per doc (lexical diversity, stopword/digit/punct ratios)"),
+      (args: Seq[Expression]) => { arity("graft_text_quality", args, 3)
+        val (df, id, text) = opInput("graft_text_quality", args)
+        GraftShims.analyzedPlan(graft.operators.TextOps.qualityScore(df, id, text)) }),
+    (FunctionIdentifier("graft_text_langid"),
+      info("graft_text_langid",
+        "graft_text_langid('table_or_path', 'id_col', 'text_col') - " +
+          "marker-voting language id per doc (scores + argmax prediction)"),
+      (args: Seq[Expression]) => { arity("graft_text_langid", args, 3)
+        val (df, id, text) = opInput("graft_text_langid", args)
+        GraftShims.analyzedPlan(graft.operators.TextOps.languageId(df, id, text)) }))
+
+  /** Shared input resolution of the pipeline-operator TVFs: first arg names
+    * the corpus ('/'-containing => parquet path; else table/temp view),
+    * second and third its id/text columns. */
+  private def opInput(fn: String,
+                      args: Seq[Expression]): (org.apache.spark.sql.DataFrame, String, String) = {
+    val ref = literalString(args(0), fn, "table_or_path")
+    val id = literalString(args(1), fn, "id_col")
+    val text = literalString(args(2), fn, "text_col")
+    val df = if (ref.contains("/")) active().read.parquet(ref) else active().table(ref)
+    (df, id, text)
+  }
+
+  private def optLong(args: Seq[Expression], i: Int, default: Long,
+                      fn: String, pos: String): Long =
+    if (args.size > i) literalLong(args(i), fn, pos) else default
 
   /** One-row LocalRelation result for the procedure-style DDL functions. */
   private def localRow(fields: Seq[(String, Any)]): LogicalPlan = {

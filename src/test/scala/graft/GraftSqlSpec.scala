@@ -267,6 +267,36 @@ class GraftSqlSpec extends SparkTestBase {
     EsLog.delete(dir)
   }
 
+  test("pipeline-operator TVFs: SQL results equal the Scala operator path") {
+    import graft.operators.{Dedup, TextOps}
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("sqldocs")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // temp-view input
+    assert(rows(spark.sql("SELECT * FROM graft_dedup_exact('sqldocs', 'doc_id', 'text')"))
+      == rows(Dedup.exact(docs, "doc_id", "text")))
+    assert(rows(spark.sql(
+        "SELECT * FROM graft_dedup_minhash('sqldocs', 'doc_id', 'text', 3, 16, 4)"))
+      == rows(Dedup.minHashLshCandidates(docs, "doc_id", "text")))
+    assert(rows(spark.sql("SELECT * FROM graft_text_stats('sqldocs', 'doc_id', 'text')"))
+      == rows(TextOps.tokenStats(docs, "doc_id", "text")))
+    assert(rows(spark.sql("SELECT * FROM graft_text_quality('sqldocs', 'doc_id', 'text')"))
+      == rows(TextOps.qualityScore(docs, "doc_id", "text")))
+    assert(rows(spark.sql("SELECT * FROM graft_text_langid('sqldocs', 'doc_id', 'text')"))
+      == rows(TextOps.languageId(docs, "doc_id", "text")))
+    // parquet-path input resolves the same corpus directly
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_text_stats('/root/testdata/sf0.001/documents.parquet', 'doc_id', 'text')")
+      .collect().head.getLong(0) == docs.count())
+    // composable: TVF output joins like any relation
+    val joined = spark.sql(
+      """SELECT s.doc_id FROM graft_text_stats('sqldocs', 'doc_id', 'text') s
+        |JOIN graft_text_langid('sqldocs', 'doc_id', 'text') l USING (doc_id)
+        |WHERE s.n_tokens > 0""".stripMargin).count()
+    assert(joined == docs.count())
+  }
+
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
     val dir = tmpDir("sqlsym-")
     EsLog.create(dir, streamId = 75L)
