@@ -1480,14 +1480,26 @@ object EsLog {
       .mkString("", "\n", "\n")
     val os = fs.create(tmp, true)
     try os.write(lines.getBytes("UTF-8")) finally os.close()
-    // best-effort atomic swap: external readers see old-or-new, never a
-    // half-written list (object stores without rename overwrite in place —
-    // acceptable for an explicitly re-generated snapshot artifact)
-    if (fs.exists(out)) fs.delete(out, false)
-    if (!fs.rename(tmp, out)) {
-      val os2 = fs.create(out, true)
-      try os2.write(lines.getBytes("UTF-8")) finally os2.close()
-      fs.delete(tmp, false)
+    // Swap: an OVERWRITING rename (FileContext with Options.Rename.OVERWRITE)
+    // where the FS supports it — external readers then see old-or-new with
+    // no window where the manifest is missing. Stores without it fall back
+    // to delete-then-rename (a brief transient-absence window a concurrent
+    // reader can hit — retry-on-missing is the external contract there) and
+    // finally to an in-place create; never a half-written list either way
+    // (the content lands in the tmp file first).
+    val renamed =
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(out.toUri, fs.getConf)
+          .rename(tmp, out, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!renamed) {
+      if (fs.exists(out)) fs.delete(out, false)
+      if (!fs.rename(tmp, out)) {
+        val os2 = fs.create(out, true)
+        try os2.write(lines.getBytes("UTF-8")) finally os2.close()
+        fs.delete(tmp, false)
+      }
     }
     out.toString
   }

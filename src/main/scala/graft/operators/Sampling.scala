@@ -76,7 +76,15 @@ object Sampling {
       temperatureThresholds(df, srcCol, alpha), seed)
 
   /** [[sampleTemperature]] against a PRECOMPUTED threshold artifact — reuse
-    * a stashed/persisted table instead of re-aggregating the corpus. */
+    * a stashed/persisted table instead of re-aggregating the corpus.
+    *
+    * DROP semantics (deliberate, and what the oracle replays): the join is
+    * INNER, so rows whose source is absent from the artifact — a NULL
+    * source, or a source that appeared after the artifact was computed —
+    * are dropped, not kept whole. Dropping an unknown source is the safe
+    * default for a rebalancing draw (keeping it whole would let a new
+    * dominant source flood the mix the artifact was tuned to prevent);
+    * recompute the artifact to admit new sources. */
   def sampleTemperatureWith(df: DataFrame, idCol: String, srcCol: String,
                             thresholds: Seq[(String, Long)],
                             seed: Int = 0): DataFrame = {

@@ -34,10 +34,17 @@ object TimeSeries {
                        buckets: Int = 24, bucketMs: Long = 3600000L): DataFrame = {
     require(buckets >= 1 && bucketMs >= 1)
     // `div`, not `/`: Column./ is DOUBLE division, and trunc-of-rounded can
-    // land one bucket off exact integer floor-division at ms magnitudes
+    // land one bucket off exact integer floor-division at ms magnitudes.
+    // pmod, not `%`: a pre-epoch (negative) timestamp under `%` lands in a
+    // negative bucket that the densify step silently drops — the event
+    // would vanish from the profile; floor-mod folds it onto the cycle
+    // like any other instant. (`div` truncates toward zero rather than
+    // flooring for negatives — one-bucket phase shift at worst within the
+    // pre-1970 era, acceptable for a rhythm profile; the invariant that
+    // matters is no dropped events, which pmod restores.)
     val counts = df
       .groupBy(col(keyCol),
-        (expr(s"CAST($tsMsCol AS BIGINT) div $bucketMs") % buckets)
+        pmod(expr(s"CAST($tsMsCol AS BIGINT) div $bucketMs"), lit(buckets))
           .cast("int").as("_b"))
       .agg(count(lit(1)).as("_n"))
     counts

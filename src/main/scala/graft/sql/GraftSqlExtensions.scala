@@ -289,8 +289,11 @@ object GraftFunctions {
           "position commit (expected NULL = no prior position); one row " +
           "(grp, offset, committed). NOTE: effects run at analysis; see the " +
           "DDL idempotence contract — a re-resolved successful commit " +
-          "re-evaluates as a no-op retry (expected == stored) and still " +
-          "reports true"),
+          "re-evaluates as a no-op retry and still reports true. CAVEAT: " +
+          "the retry rule makes committed=true whenever stored == offset, " +
+          "even for a caller whose expected was stale — a same-offset race " +
+          "loser is indistinguishable from a re-analysis replay at this " +
+          "surface; use Scala commitGroupOffset for strict CAS reporting"),
       (args: Seq[Expression]) => { arity("graft_commit_group_offset", args, 4)
         val dir = literalString(args(0), "graft_commit_group_offset", "dir")
         val group = literalString(args(1), "graft_commit_group_offset", "group")

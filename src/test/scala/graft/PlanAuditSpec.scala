@@ -457,6 +457,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(m(1L) == Seq(2.0, 1.0, 0.0, 0.0), m.toString)
     assert(m(2L) == Seq(4.0, 0.0, 0.0, 0.0), m.toString)
     assert(m(3L) == Seq(0.0, 0.0, 0.0, 2.0), m.toString)
+    // pre-epoch (negative) timestamps fold onto the cycle via pmod instead
+    // of vanishing into a negative bucket: every event is counted
+    val neg = Seq((9L, -1L), (9L, -15L), (9L, 5L)).toDF("u", "ts")
+    val pn = TimeSeries.activityProfiles(neg, "u", "ts", buckets = 4, bucketMs = 10L)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(pn(9L).sum == 3.0, s"negative-ts events must not be dropped: $pn")
     // cosine is scale-invariant: a 10x-volume copy of u1's rhythm matches
     // u1 perfectly (score 1.0) and beats every different rhythm
     val ev2 = ev.union(Seq((4L, 0L), (4L, 1L), (4L, 2L), (4L, 3L), (4L, 4L),
