@@ -1711,21 +1711,26 @@ object Oracles {
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
   /** CDC media near-dup over the byte-inserted-twin fixture: cuts at byte
-    * offsets whose trailing 8-byte window hashes to 0 mod 16 (the purely
-    * position-local content-defined rule), chunks between consecutive cuts,
-    * then the same df-cap + shared-chunk pair join — mirrors
+    * offsets whose trailing 8-byte polynomial window hash
+    * (Σ B[c−k]·131^k, exact BIGINT) is 0 mod 16 — the purely
+    * position-local content-defined rule — chunks between consecutive
+    * cuts, then the same df-cap + shared-chunk pair join; mirrors
     * [[graft.operators.Multimodal.binaryNearDupsCdc]]. */
   private val multimodalDedupCdc = {
-    val winHash = H.hash60Sql("substring(hx, (c-8)*2+1, 16)")
+    val winHash = graft.operators.Multimodal.gearPow(8).zipWithIndex
+      .map { case (p, k) => s"bv[c-$k] * $p" }.mkString(" + ")
     s"""WITH base AS (SELECT doc_id AS media_id, text FROM documents),
        |ins AS (SELECT media_id + 1000000 AS media_id, 'X' || text AS text
        |        FROM base WHERE media_id % 7 = 0),
        |m AS (SELECT media_id, upper(hex(encode(text))) AS hx
        |      FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)),
-       |b AS (SELECT media_id, hx, CAST(length(hx) / 2 AS BIGINT) AS n FROM m),
+       |b AS (SELECT media_id, hx, CAST(length(hx) / 2 AS BIGINT) AS n,
+       |        list_transform(range(1, CAST(length(hx) / 2 AS BIGINT) + 1),
+       |          j -> CAST(concat('0x', substr(hx, CAST((j-1)*2+1 AS BIGINT), 2)) AS BIGINT)) AS bv
+       |      FROM m),
        |cz0 AS (SELECT media_id, hx,
        |  list_concat(list_concat([CAST(0 AS BIGINT)],
-       |    list_filter(range(8, n), c -> $winHash % 16 = 0)), [n]) AS cs
+       |    list_filter(range(8, n), c -> ($winHash) % 16 = 0)), [n]) AS cs
        |  FROM b),
        |cz AS (SELECT media_id,
        |  unnest(list_transform(range(1, len(cs)),

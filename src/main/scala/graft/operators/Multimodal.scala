@@ -94,64 +94,117 @@ object Multimodal {
                         chunkBytes: Int = 64, maxDf: Int = 64): DataFrame = {
     require(chunkBytes >= 1 && maxDf >= 1)
     val w = 2 * chunkBytes // hex chars per chunk
-    val hexp = upper(hex(col(payloadCol)))
+    // hex ONCE into a materialized column: the per-chunk lambda below runs
+    // interpreted (higher-order functions don't codegen), and an embedded
+    // hex(payload) subtree would re-encode the WHOLE payload for every
+    // chunk — O(n²) per row (measured: the sf0.1 sweep's dominant cost).
+    // A bound column reference is an O(1) row read instead. rebalance:
+    // a few-MB media table arrives as one leaf split, serializing the
+    // interpreted chunking; at cluster scale it's a no-op.
+    val base = OpUtil.rebalance(
+      df.select(col(idCol), upper(hex(col(payloadCol))).as("_hx")))
+    val hx = col("_hx")
     // last chunk index = floor((len - 1) / w), clamped at 0 for empty
     // payloads (their lone empty chunk is filtered below); integer div via
     // floor-of-double is exact here (hex lengths are far below 2^53)
-    val lastIdx = greatest(floor((length(hexp) - 1).cast("double") / w), lit(0.0))
+    val lastIdx = greatest(floor((length(hx) - 1).cast("double") / w), lit(0.0))
       .cast("int")
     val chunks = transform(
       sequence(lit(0), lastIdx),
-      i => hexp.substr((i * w + 1).cast("int"), lit(w)))
-    val ch = df
+      i => hx.substr((i * w + 1).cast("int"), lit(w)))
+    // shared(): the df-cap anti-join reads the chunk pipeline TWICE (main
+    // side + heavy side) and the pair join twice more — materialize the
+    // distinct (id, ch) rows once (same reasoning as Dedup's shingle
+    // cache; the rows are a small fraction of the payload bytes)
+    val ch = OpUtil.shared(base
       .select(col(idCol), explode(chunks).as("c"))
       .where(col("c") =!= "")
       .select(col(idCol), graft.functions.Portable.hash60(col("c")).as("ch"))
-      .distinct()
+      .distinct())
     val heavy = ch.groupBy("ch").count().where(col("count") > maxDf).select("ch")
     ch.join(heavy, Seq("ch"), "left_anti")
   }
 
   /** Content-defined chunk hashes: the alignment-robust refinement of
     * [[binaryChunkHashes]]. A cut is placed at byte offset `c` iff the
-    * 60-bit hash of the `window` bytes ENDING at `c` is 0 mod `divisor` —
-    * a purely position-local rule (the gear/Rabin family with the min/max
-    * bounds dropped), so an inserted or deleted byte perturbs only the cuts
-    * within `window` bytes of the edit and every later chunk re-aligns;
-    * fixed-grid chunking loses ALL chunks after the edit point. Expected
-    * chunk length ≈ `divisor` bytes. No min-chunk enforcement keeps the
-    * rule stateless per offset — that is what makes it reproducible by an
-    * independent SQL engine (the boundary set is a pure per-position
-    * predicate over the hex text, not a left-to-right scan state); the
-    * occasional tiny chunk it allows is absorbed by the same `maxDf` cap
-    * that drops shared headers. Reference role: the sparse-index block
-    * boundaries (`components/object-storage/src/range_offload.rs:361-451`)
-    * are content-position-stable the same way.
+    * polynomial hash `Σ_{k<window} B[c−k]·131^k` of the `window` bytes
+    * ENDING at `c` is 0 mod `divisor` — a purely position-local rule (the
+    * gear/Rabin family with the min/max bounds dropped), so an inserted or
+    * deleted byte perturbs only the cuts within `window` bytes of the edit
+    * and every later chunk re-aligns; fixed-grid chunking loses ALL chunks
+    * after the edit point. Expected chunk length ≈ `divisor` bytes. No
+    * min-chunk enforcement keeps the rule stateless per offset — that is
+    * what makes it reproducible by an independent SQL engine (the boundary
+    * set is a pure per-position predicate over the byte values, not a
+    * left-to-right scan state), and the polynomial stays exact in 64-bit
+    * integers on both engines; the occasional tiny chunk it allows is
+    * absorbed by the same `maxDf` cap that drops shared headers. Reference
+    * role: the sparse-index block boundaries
+    * (`components/object-storage/src/range_offload.rs:361-451`) are
+    * content-position-stable the same way.
     *
-    * Plan shape is identical to the fixed grid: hex once, per-row array
-    * work (no shuffle), distinct, df-cap — corpus-linear at 100 TB. */
+    * Plan shape is identical to the fixed grid: hex + byte array once,
+    * per-row array work (no shuffle), distinct, df-cap — corpus-linear at
+    * 100 TB, O(window) integer ops per byte. */
+  /** Polynomial window-hash multipliers 131^k — exact in BIGINT for
+    * window ≤ 8 (131^7·255 < 2^58), so Spark and the SQL oracle can never
+    * diverge on overflow. */
+  private[graft] def gearPow(window: Int): Seq[Long] = {
+    require(window >= 1 && window <= 8, "window must be in [1, 8]")
+    Seq.iterate(1L, window)(_ * 131L)
+  }
+
   def cdcChunkHashes(df: DataFrame, idCol: String, payloadCol: String,
                      window: Int = 8, divisor: Int = 16,
                      maxDf: Int = 64): DataFrame = {
-    require(window >= 1 && divisor >= 1 && maxDf >= 1)
-    val hexp = upper(hex(col(payloadCol)))
-    val nB = (length(hexp) / 2).cast("int") // hex length is even: exact
+    require(divisor >= 1 && maxDf >= 1)
+    val pows = gearPow(window)
+    // hex ONCE into a materialized column (the per-chunk lambdas run
+    // interpreted — an embedded hex subtree would re-encode the whole
+    // payload per element, O(n²) per row), and the BYTE-VALUE array once
+    // beside it: the cut predicate runs per byte offset, so its per-offset
+    // work must be O(window) element reads + integer arithmetic, not a
+    // digest (an md5-per-offset draft measured ~25x slower at sf0.1 for
+    // identical chunking quality). The polynomial Σ B[c-k]·131^k is the
+    // gear-hash family's shape, exact in 64-bit on both engines.
+    // STAGED selects: each derived value (_hx, _b, _cuts) lands as a real
+    // column before anything references it, so every cross-stage reference
+    // is a bound O(1) read. Composing these as one Column tree instead
+    // duplicates the producer SUBTREE at every reference site — the chunk
+    // lambda references the cut list three times, and an inlined cut
+    // filter re-runs over all n offsets PER CHUNK (measured 14 s for
+    // 1.5 MB at sf0.1; staged: sub-second). CollapseProject keeps the
+    // stages apart: each producer is non-cheap and multiply-referenced.
+    val hx = col("_hx")
+    val bytes = col("_b")
+    val cuts = col("_cuts")
+    val hexed = df.select(col(idCol), upper(hex(col(payloadCol))).as("_hx"))
+    val n0 = (length(hx) / 2).cast("int")
+    val withBytes = OpUtil.rebalance(hexed.select(
+      col(idCol), hx,
+      when(n0 >= 1, transform(sequence(lit(1), n0),
+          j => conv(hx.substr((j - 1) * 2 + 1, lit(2)), 16, 10).cast("long")))
+        .otherwise(array().cast("array<long>")).as("_b")))
+    val nB = size(bytes)
     // candidate cut offsets w..n-1 (a cut at 0 or n is implicit); Spark's
     // sequence DESCENDS when start > stop, so guard the short-payload case
     val cand = when(nB - 1 >= window, sequence(lit(window), nB - 1))
       .otherwise(array().cast("array<int>"))
     val cuts0 = filter(cand, c =>
-      graft.functions.Portable.hash60(
-        hexp.substr((c - window) * 2 + 1, lit(window * 2))) % divisor === 0)
-    val cuts = concat(array(lit(0)), cuts0, array(nB))
+      pows.zipWithIndex.map { case (p, k) =>
+        element_at(bytes, c - k) * lit(p)
+      }.reduce(_ + _) % divisor === 0)
+    val withCuts = withBytes.select(col(idCol), hx,
+      concat(array(lit(0)), cuts0, array(nB)).as("_cuts"))
     val chunks = transform(sequence(lit(0), size(cuts) - 2), k =>
-      hexp.substr(element_at(cuts, k + 1) * 2 + 1,
+      hx.substr(element_at(cuts, k + 1) * 2 + 1,
         (element_at(cuts, k + 2) - element_at(cuts, k + 1)) * 2))
-    val ch = df
+    // shared(): same multi-consumer materialization as the fixed grid
+    val ch = OpUtil.shared(withCuts
       .select(col(idCol), explode(chunks).as("c"))
       .where(col("c") =!= "")
       .select(col(idCol), graft.functions.Portable.hash60(col("c")).as("ch"))
-      .distinct()
+      .distinct())
     val heavy = ch.groupBy("ch").count().where(col("count") > maxDf).select("ch")
     ch.join(heavy, Seq("ch"), "left_anti")
   }

@@ -527,11 +527,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!grid.exists(p => p._1 == 0L && p._2 == 1L),
       s"fixed grid must miss the byte-inserted twin: $grid")
     // CDC: cuts are content-positioned, so the twin re-aligns after ~window
-    // bytes and shares nearly all chunks; unrelated payloads share none
+    // bytes and shares nearly all chunks; unrelated payloads share at most
+    // a couple of TINY chunks (no min-chunk bound), which minShared=4 —
+    // the registry query's setting — screens out
     val cdc = Multimodal.binaryNearDupsCdc(df, "media_id", "payload",
-      window = 8, divisor = 16, minShared = 2).as[(Long, Long, Long)].collect().toSet
-    assert(cdc.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 2L),
-      s"CDC must catch the byte-inserted twin: $cdc")
+      window = 8, divisor = 16, minShared = 4).as[(Long, Long, Long)].collect().toSet
+    assert(cdc.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 10L),
+      s"CDC must catch the byte-inserted twin with most chunks shared: $cdc")
     assert(cdc.forall(p => Set((0L, 1L)).contains((p._1, p._2))),
       s"unrelated payloads must not pair: $cdc")
     // edit-locality: an edit perturbs only chunks near it — the chunk-hash
