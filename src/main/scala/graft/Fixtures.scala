@@ -1322,6 +1322,44 @@ object Fixtures {
       name
     })
 
+  /** STREAMING media-dedup screen — "check each upload against the
+    * library as it arrives": the library's df-capped CDC chunk index is
+    * built ONCE in batch over the even-id docs ([[graft.operators
+    * .Multimodal.cdcChunkHashes]]) and persisted; each micro-batch of the
+    * docs stream chunks statelessly and probes it ([[Multimodal
+    * .mediaDedupProbe]] — stream-static join; the pair-count aggregate is
+    * the only state). Complete-mode memory table. */
+  def streamMediaDedupTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-media-dedup", {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Multimodal
+      tune(s)
+      val src = docsStream(s, sfDir)
+      val docs = documents(s, sfDir)
+      val library = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("existing_id"),
+          col("text").cast("binary").as("payload"))
+      val idx = Multimodal.cdcChunkHashes(library, "existing_id", "payload")
+        .persist()
+      idx.count() // materialize once; every micro-batch re-joins it
+      val perTrigger = math.max(docs.count() / 8, 1L)
+      val name = "graft_stream_media_dedup_" + math.abs(sfDir.hashCode).toString
+      val stream = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("media_id"),
+          col("payload"))
+      val q = Multimodal.mediaDedupProbe(idx, stream, "media_id", "payload",
+          minShared = 4)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      idx.unpersist()
+      name
+    })
+
   /** STREAMING tokenization — "tokenize the crawl as it arrives": the BPE
     * merges and the frequency-ranked id table are learned ONCE in batch
     * (deterministic, so they equal `text_bpe_ids`'s) and each micro-batch

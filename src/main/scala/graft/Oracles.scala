@@ -1716,6 +1716,45 @@ object Oracles {
     * position-local content-defined rule — chunks between consecutive
     * cuts, then the same df-cap + shared-chunk pair join; mirrors
     * [[graft.operators.Multimodal.binaryNearDupsCdc]]. */
+  /** One side's DISTINCT (id, ch) CDC chunk rows as a derived-table SQL
+    * fragment (shared by the batch CDC pair row and the streaming media
+    * screen): polynomial window hash, cuts, chunks, 60-bit chunk hashes. */
+  private def cdcChunksSql(from: String, idAs: String): String = {
+    val winHash = graft.operators.Multimodal.gearPow(8).zipWithIndex
+      .map { case (p, k) => s"bv[c-$k] * $p" }.mkString(" + ")
+    s"""(WITH m AS (SELECT doc_id AS $idAs, upper(hex(encode(text))) AS hx FROM $from),
+       | b AS (SELECT $idAs, hx, CAST(length(hx) / 2 AS BIGINT) AS n,
+       |         list_transform(range(1, CAST(length(hx) / 2 AS BIGINT) + 1),
+       |           j -> CAST(concat('0x', substr(hx, CAST((j-1)*2+1 AS BIGINT), 2)) AS BIGINT)) AS bv
+       |       FROM m),
+       | cz0 AS (SELECT $idAs, hx,
+       |   list_concat(list_concat([CAST(0 AS BIGINT)],
+       |     list_filter(range(8, n), c -> ($winHash) % 16 = 0)), [n]) AS cs
+       |   FROM b),
+       | cz AS (SELECT $idAs,
+       |   unnest(list_transform(range(1, len(cs)),
+       |     k -> substring(hx, cs[k]*2+1, CAST((cs[k+1]-cs[k])*2 AS BIGINT)))) AS c
+       |   FROM cz0)
+       | SELECT DISTINCT $idAs, ${H.hash60Sql("c")} AS ch FROM cz WHERE c <> '')""".stripMargin
+  }
+
+  /** Streaming media screen: every doc probed against the even-id library's
+    * df-capped chunk index — mirrors [[graft.operators.Multimodal
+    * .mediaDedupProbe]] over [[graft.Fixtures.streamMediaDedupTable]]. */
+  private val esStreamMediaDedup = {
+    val inc = cdcChunksSql("documents", "media_id")
+    val lib = cdcChunksSql("(SELECT * FROM documents WHERE doc_id % 2 = 0)", "existing_id")
+    s"""WITH incch AS (SELECT * FROM $inc i),
+       |libch0 AS (SELECT * FROM $lib l),
+       |heavy AS (SELECT ch FROM libch0 GROUP BY ch HAVING count(*) > 64),
+       |libch AS (SELECT * FROM libch0 WHERE ch NOT IN (SELECT ch FROM heavy))
+       |SELECT i.media_id AS incoming, l.existing_id AS existing,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM incch i JOIN libch l USING (ch)
+       |WHERE i.media_id <> l.existing_id
+       |GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin
+  }
+
   private val multimodalDedupCdc = {
     val winHash = graft.operators.Multimodal.gearPow(8).zipWithIndex
       .map { case (p, k) => s"bv[c-$k] * $p" }.mkString(" + ")
@@ -1934,6 +1973,7 @@ object Oracles {
     "multimodal_frames" -> multimodalFrames,
     "multimodal_dedup" -> multimodalDedup,
     "multimodal_dedup_cdc" -> multimodalDedupCdc,
+    "es_stream_media_dedup" -> esStreamMediaDedup,
     "ts_similarity" -> tsSimilarity,
     "lineitem_agg" -> lineitemAgg,
     "join_agg" -> joinAgg,

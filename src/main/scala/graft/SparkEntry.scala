@@ -1313,6 +1313,12 @@ object SparkEntry {
       window = 8, divisor = 16, minShared = 4)
   }
 
+  /** Streaming media-dedup screen ([[Fixtures.streamMediaDedupTable]]):
+    * uploads probed against the batch-built library chunk index as they
+    * arrive — pairs sharing >= 4 content-defined chunks. */
+  private def qEsStreamMediaDedup(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamMediaDedupTable(s, sfDir))
+
   /** Exact per-group discrete quantiles of l_quantity (min/quartiles/max as
     * permille ranks) — order statistics with a portable integer rank rule. */
   private def qStatsQuantiles(s: SparkSession, sfDir: String): DataFrame = {
@@ -1595,6 +1601,7 @@ object SparkEntry {
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),
     "multimodal_dedup_cdc" -> (qMultimodalDedupCdc _),
+    "es_stream_media_dedup" -> (qEsStreamMediaDedup _),
     "ts_similarity" -> (qTsSimilarity _),
     "stats_quantiles" -> (qStatsQuantiles _),
     "stats_histogram" -> (qStatsHistogram _),

@@ -154,10 +154,18 @@ object Multimodal {
     Seq.iterate(1L, window)(_ * 131L)
   }
 
-  def cdcChunkHashes(df: DataFrame, idCol: String, payloadCol: String,
-                     window: Int = 8, divisor: Int = 16,
-                     maxDf: Int = 64): DataFrame = {
-    require(divisor >= 1 && maxDf >= 1)
+  /** Per-row CDC chunk rows `(id, ch)` — the STREAM-LEGAL core of
+    * [[cdcChunkHashes]]: everything is a stateless per-row projection
+    * (chunk, hash, per-payload `array_distinct`), no shuffle, no
+    * repartition probe, so it runs unchanged inside a streaming
+    * micro-batch. Per-payload `array_distinct` equals the batch path's
+    * global distinct exactly when ids are unique per row (the media-table
+    * contract) — and costs no shuffle. No df-cap here: a stream can't know
+    * corpus-wide document frequencies; cap against a STATIC library index
+    * ([[cdcChunkHashes]]'s) instead. */
+  def cdcChunkRows(df: DataFrame, idCol: String, payloadCol: String,
+                   window: Int = 8, divisor: Int = 16): DataFrame = {
+    require(divisor >= 1)
     val pows = gearPow(window)
     // hex ONCE into a materialized column (the per-chunk lambdas run
     // interpreted — an embedded hex subtree would re-encode the whole
@@ -180,11 +188,11 @@ object Multimodal {
     val cuts = col("_cuts")
     val hexed = df.select(col(idCol), upper(hex(col(payloadCol))).as("_hx"))
     val n0 = (length(hx) / 2).cast("int")
-    val withBytes = OpUtil.rebalance(hexed.select(
+    val withBytes = hexed.select(
       col(idCol), hx,
       when(n0 >= 1, transform(sequence(lit(1), n0),
           j => conv(hx.substr((j - 1) * 2 + 1, lit(2)), 16, 10).cast("long")))
-        .otherwise(array().cast("array<long>")).as("_b")))
+        .otherwise(array().cast("array<long>")).as("_b"))
     val nB = size(bytes)
     // candidate cut offsets w..n-1 (a cut at 0 or n is implicit); Spark's
     // sequence DESCENDS when start > stop, so guard the short-payload case
@@ -199,14 +207,54 @@ object Multimodal {
     val chunks = transform(sequence(lit(0), size(cuts) - 2), k =>
       hx.substr(element_at(cuts, k + 1) * 2 + 1,
         (element_at(cuts, k + 2) - element_at(cuts, k + 1)) * 2))
-    // shared(): same multi-consumer materialization as the fixed grid
-    val ch = OpUtil.shared(withCuts
-      .select(col(idCol), explode(chunks).as("c"))
-      .where(col("c") =!= "")
-      .select(col(idCol), graft.functions.Portable.hash60(col("c")).as("ch"))
-      .distinct())
+    withCuts
+      .select(col(idCol), explode(array_distinct(transform(
+        filter(chunks, c => c =!= ""),
+        c => graft.functions.Portable.hash60(c)))).as("ch"))
+  }
+
+  def cdcChunkHashes(df: DataFrame, idCol: String, payloadCol: String,
+                     window: Int = 8, divisor: Int = 16,
+                     maxDf: Int = 64): DataFrame = {
+    require(maxDf >= 1)
+    // shared(): the df-cap anti-join and the pair join re-read the chunk
+    // pipeline up to 4x — materialize the (id, ch) rows once. rebalance:
+    // a few-MB media table arrives as one leaf split, serializing the
+    // interpreted chunking; at cluster scale it's a no-op.
+    val ch = OpUtil.shared(
+      cdcChunkRows(OpUtil.rebalance(df), idCol, payloadCol, window, divisor))
     val heavy = ch.groupBy("ch").count().where(col("count") > maxDf).select("ch")
     ch.join(heavy, Seq("ch"), "left_anti")
+  }
+
+  /** Screen incoming media against a STATIC library chunk index — the
+    * upload-time dedup gate, and the streaming sibling of
+    * [[binaryNearDupsCdc]] (the `dedup_semantic_probe` pattern applied to
+    * bytes): each incoming payload chunks statelessly ([[cdcChunkRows]] —
+    * legal inside a micro-batch), equi-joins the library's df-capped
+    * postings (stream-static), and pairs sharing >= `minShared` chunks
+    * surface as `(incoming, existing, n_shared)`. The only streaming state
+    * is the pair-count aggregate. Same-id pairs are dropped (the id IS the
+    * object identity; a re-upload under a new id is what the screen
+    * catches). At corpus scale, persist the library index bucketed by `ch`
+    * so the probe join co-locates without shuffling the library. */
+  def mediaDedupProbe(libraryIndex: DataFrame, incoming: DataFrame,
+                      idCol: String, payloadCol: String,
+                      window: Int = 8, divisor: Int = 16,
+                      minShared: Int = 4): DataFrame = {
+    val libId = libraryIndex.columns.filterNot(_ == "ch") match {
+      case Array(one) => one
+      case _ => throw new IllegalArgumentException(
+        "library index must carry exactly (id, ch) columns, got " +
+          libraryIndex.columns.mkString(","))
+    }
+    val inc = cdcChunkRows(incoming, idCol, payloadCol, window, divisor)
+      .select(col(idCol).as("incoming"), col("ch"))
+    val lib = libraryIndex.select(col(libId).as("existing"), col("ch"))
+    inc.join(lib, Seq("ch"))
+      .where(col("incoming") =!= col("existing"))
+      .groupBy("incoming", "existing").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 
   /** [[binaryNearDups]] over content-defined chunks — catches byte-inserted
