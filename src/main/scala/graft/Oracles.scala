@@ -1945,6 +1945,8 @@ object Oracles {
     "sql_fetch" -> sqlFetch,
     "sim_quantize" -> simQuantize,
     "sim_lsh" -> simLsh,
+    "sim_lsh_persisted" -> simLsh, // persisted-index roundtrip: identical result
+
     "dedup_embedding" -> dedupEmbedding,
     "dedup_cluster_best" -> dedupClusterBest,
     "dedup_semantic" -> dedupSemantic,

@@ -922,6 +922,27 @@ object SparkEntry {
       k = 5, dim = 64, planes = 8, tables = 4)
   }
 
+  /** LSH search against the index PERSISTED to disk and partition-pruned
+    * ([[Similarity.writeLshIndex]]/[[searchLshIndexAt]]): same hyperplanes
+    * as `sim_lsh` (positionally derived), so the oracle SQL is shared —
+    * the roundtrip changes nothing. Build memoized per sfDir; every run
+    * reads the buckets from disk. */
+  private val lshIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qSimLshPersisted(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val dir = lshIndexDirs.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-lsh-").toString
+      Similarity.writeLshIndex(
+        Similarity.buildLshIndex(emb, "vec_id", "embedding", dim = 64,
+          planes = 8, tables = 4), d)
+      d
+    })
+    Similarity.searchLshIndexAt(s, dir, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
   /** The SQL surface end-to-end: registered scalar functions
     * ([[graft.sql.GraftFunctions]]) driving a cosine top-k written as plain
     * SQL text — the same plan shape a DataFrame user gets, proven against
@@ -1579,6 +1600,7 @@ object SparkEntry {
     "sql_fetch" -> (qSqlFetch _),
     "sim_quantize" -> (qSimQuantize _),
     "sim_lsh" -> (qSimLsh _),
+    "sim_lsh_persisted" -> (qSimLshPersisted _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_semantic" -> (qDedupSemantic _),
     "dedup_semantic_probe" -> (qDedupSemanticProbe _),

@@ -453,6 +453,56 @@ object Similarity {
       .select("qid", "nid", "rank", "score")
   }
 
+  /** Persist an [[LshIndex]]'s buckets PARTITIONED BY (tbl, bucket) — the
+    * on-disk layout where a probe reads only its buckets' files. The
+    * hyperplanes are positionally derived ([[rademacherWeights]]), so only
+    * the bucket table needs storing; `dim`/`planes`/`tables` ride a tiny
+    * params file. */
+  def writeLshIndex(index: LshIndex, dir: String): Unit = {
+    index.buckets.write.mode("overwrite").partitionBy("tbl", "bucket")
+      .parquet(s"$dir/buckets")
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    Seq((index.dim, index.planes, index.tables))
+      .toDF("dim", "planes", "tables")
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Open a persisted LSH index (partition columns re-read as INT — the
+    * type [[lshBucketed]] produces, so probe filters compare un-cast and
+    * pruning engages). */
+  def readLshIndex(spark: SparkSession, dir: String): LshIndex = {
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    val inferred = spark.read.parquet(s"$dir/buckets").schema
+    val fixed = StructType(inferred.map {
+      case f if f.name == "tbl" || f.name == "bucket" =>
+        f.copy(dataType = IntegerType)
+      case f => f
+    })
+    LshIndex(spark.read.schema(fixed).parquet(s"$dir/buckets"),
+      p.getInt(0), p.getInt(1), p.getInt(2))
+  }
+
+  /** Search a PERSISTED LSH index with guaranteed partition pruning: the
+    * distinct probed (tbl, bucket) pairs — bounded by `tables * 2^planes`
+    * by construction, never the query count — become a static filter on
+    * the partition columns, so the scan plans only the probed
+    * `tbl=T/bucket=B/` directories. Results are bit-identical to
+    * [[searchLshIndex]] on the in-memory index. */
+  def searchLshIndexAt(spark: SparkSession, dir: String, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val index = readLshIndex(spark, dir)
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val qb = lshBucketed(q, "qid", "qvec", index.dim, index.planes, index.tables)
+    val probed = qb.select("tbl", "bucket").distinct().collect()
+      .map(r => (r.getAs[Number]("tbl").intValue, r.getAs[Number]("bucket").intValue))
+    val pruned = index.buckets.where(
+      probed.map { case (t, b) => col("tbl") === t && col("bucket") === b }
+        .reduceOption(_ || _).getOrElse(lit(false)))
+    searchLshIndex(index.copy(buckets = pruned), queries, idCol, vecCol, k)
+  }
+
   /** Approximate top-k via hyperplane LSH: bucket join per table, exact
     * re-rank of candidates. `tables` trades recall for cost. Inline form of
     * [[buildLshIndex]] + [[searchLshIndex]]. */

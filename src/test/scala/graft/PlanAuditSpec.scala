@@ -941,6 +941,7 @@ class PlanAuditSpec extends SparkTestBase {
     "dedup_exact" -> Seq("doc_id", "h", "dups"),
     "multimodal_dedup_cdc" -> Seq("i", "j", "n_shared"),
     "sim_ivf_persisted" -> Seq("qid", "nid", "rank", "score"),
+    "sim_lsh_persisted" -> Seq("qid", "nid", "rank", "score"),
     "es_etl_fanin" -> Seq("base_offset", "src", "src_off", "event_type"),
     "es_group_lag" -> Seq("grp", "committed", "position", "next_offset", "lag"),
     "es_stream_temperature" -> Seq("doc_id", "source"),

@@ -115,6 +115,46 @@ class SimilaritySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("partition-pruned persisted LSH index: probed (tbl,bucket) dirs only, identical results") {
+    val queries = emb.where(col("vec_id") < 2)
+    val idx = Similarity.buildLshIndex(emb, "vec_id", "embedding", dim = 64)
+    val root = tmpDir("lshpart-")
+    Similarity.writeLshIndex(idx, root)
+    val viaMemory = Similarity.searchLshIndex(idx, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pruned = Similarity.searchLshIndexAt(spark, root, queries,
+      "vec_id", "embedding", k = 5)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == viaMemory, "persisted+pruned search must equal the in-memory index")
+    // pruning proof via the planner's selected partitions: 2 queries x 4
+    // tables probe <= 8 (tbl,bucket) dirs of the many on disk
+    val allDirs = {
+      def walk(f: java.io.File): Seq[String] = f.listFiles().toSeq
+        .filter(_.isDirectory).flatMap(d =>
+          if (d.getName.startsWith("bucket=")) Seq(d.getParentFile.getName + "/" + d.getName)
+          else walk(d))
+      walk(new java.io.File(s"$root/buckets")).toSet
+    }
+    assert(allDirs.size > 8, s"fixture needs more buckets than probes: $allDirs")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val again = Similarity.searchLshIndexAt(spark, root, queries,
+        "vec_id", "embedding", k = 5)
+      val scans = again.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/buckets")) => s
+      }
+      assert(scans.nonEmpty, "no file scan over the buckets table found")
+      val readDirs = scans.flatMap(_.selectedPartitions.toPartitionArray.toSeq)
+        .map { pf =>
+          val parts = pf.filePath.toString.split("/buckets/")(1).split("/")
+          parts(0) + "/" + parts(1)
+        }.toSet
+      assert(readDirs.nonEmpty && readDirs.size <= 2 * 4 && readDirs.size < allDirs.size,
+        s"scan must plan only probed buckets: planned ${readDirs.size} of ${allDirs.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("materialized LSH index: persisted buckets answer queries identically") {
     val queries = emb.where(col("vec_id") < 10)
     val inline = Similarity.hyperplaneLshTopK(emb, queries, "vec_id", "embedding",
