@@ -254,7 +254,7 @@ object Bench {
       "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split",
       "text_classify", "text_bpe", "text_unigram", "es_compact_zorder",
       "sample_diverse", "sample_temperature", "multimodal_dedup",
-      "ts_similarity")
+      "multimodal_dedup_cdc", "ts_similarity")
     val registry = SparkEntry.queries
     heads.foreach { name =>
       // warm pass bills Janino + C2 compile once (observed 5.4 s first run vs

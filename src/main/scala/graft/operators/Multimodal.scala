@@ -155,15 +155,30 @@ object Multimodal {
   }
 
   /** Per-row CDC chunk rows `(id, ch)` — the STREAM-LEGAL core of
-    * [[cdcChunkHashes]]: everything is a stateless per-row projection
-    * (chunk, hash, per-payload `array_distinct`), no shuffle, no
-    * repartition probe, so it runs unchanged inside a streaming
-    * micro-batch. Per-payload `array_distinct` equals the batch path's
-    * global distinct exactly when ids are unique per row (the media-table
-    * contract) — and costs no shuffle. No df-cap here: a stream can't know
-    * corpus-wide document frequencies; cap against a STATIC library index
-    * ([[cdcChunkHashes]]'s) instead. */
+    * [[cdcChunkHashes]]: one stateless per-row projection (the codegen'd
+    * [[org.apache.spark.sql.graftshim.CdcChunkHashesExpr]] — cut, chunk,
+    * hash and per-payload dedup in a single compiled pass over the raw
+    * bytes) + explode, no shuffle, no repartition probe, so it runs
+    * unchanged inside a streaming micro-batch. Per-payload distinct equals
+    * the batch path's global distinct exactly when ids are unique per row
+    * (the media-table contract) — and costs no shuffle. No df-cap here: a
+    * stream can't know corpus-wide document frequencies; cap against a
+    * STATIC library index ([[cdcChunkHashes]]'s) instead. */
   def cdcChunkRows(df: DataFrame, idCol: String, payloadCol: String,
+                   window: Int = 8, divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftshim.{CdcChunkHashesExpr, GraftShims}
+    require(divisor >= 1)
+    df.select(col(idCol),
+      explode(GraftShims.column(CdcChunkHashesExpr(
+        GraftShims.expr(col(payloadCol).cast("binary")), window, divisor)))
+        .as("ch"))
+  }
+
+  /** The COLUMN-composed twin of [[cdcChunkRows]] — the exact shape the SQL
+    * oracle replays (hex text, byte-value array, higher-order cut filter),
+    * kept as the executable spec the codegen'd expression is unit-pinned
+    * against. Interpreted HOFs make it ~20× slower; never on a hot path. */
+  private[graft] def cdcChunkRowsComposed(df: DataFrame, idCol: String, payloadCol: String,
                    window: Int = 8, divisor: Int = 16): DataFrame = {
     require(divisor >= 1)
     val pows = gearPow(window)

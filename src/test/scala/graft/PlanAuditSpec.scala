@@ -551,6 +551,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"CDC chunk sets must mostly survive a one-byte edit: ${hs(10L).size}/${hs(11L).size}/shared=$shared")
   }
 
+  test("CdcChunkHashesExpr == the composed Column pipeline, incl. edge cases") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(31)
+    // random payloads incl. empties, shorter-than-window, all-same-byte,
+    // high bytes (sign-extension traps), and long runs
+    val payloads: Seq[Array[Byte]] =
+      Seq(Array.emptyByteArray, Array[Byte](7), Array.fill[Byte](3)(65),
+        Array.fill[Byte](500)(0), Array.fill[Byte](64)(-1)) ++
+        (0 until 40).map(_ => {
+          val b = new Array[Byte](rnd.nextInt(600))
+          rnd.nextBytes(b)
+          b
+        })
+    val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("media_id", "payload")
+    for ((w, d) <- Seq((8, 16), (4, 8), (1, 2))) {
+      val fast = Multimodal.cdcChunkRows(df, "media_id", "payload", w, d)
+        .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      val slow = Multimodal.cdcChunkRowsComposed(df, "media_id", "payload", w, d)
+        .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      assert(fast == slow, s"window=$w divisor=$d: expression != composed pipeline")
+    }
+    // the expression stays inside whole-stage codegen (one static call/row)
+    val plan = Multimodal.cdcChunkRows(df, "media_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cdc_chunk_hashes"), plan)
+  }
+
   test("split assignment: complete partition, proportional, stable per id") {
     import graft.operators.Sampling
     val docs = spark.range(4000).select(col("id").as("doc_id"))
