@@ -847,6 +847,28 @@ object Fixtures {
       ()
     }
 
+  /** Catalog-wide lag fixture: two streams (events split by parity), group
+    * "etl" committed at half of lagA's head, "audit" fully caught up on
+    * lagB — the --all-groups admin sweep's input, positions derivable from
+    * the events table. */
+  def catalogLagRoot(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "catalog-lag") { root =>
+      val cat = new graft.eslog.EsCatalog(root)
+      val ev = eventBatches(s, sfDir)
+      Seq(("lagA", 0), ("lagB", 1)).foreach { case (name, r) =>
+        cat.createStream(name)
+        val dir = cat.streamDir(name)
+        EsLog.open(dir, 1L)
+        EsLog.append(s, dir, ev.where(col("event_id") % 2 === r), 1L,
+          sortKey = Some("event_id"), numPartitions = 2)
+      }
+      val aHead = EsLog.nextOffset(cat.streamDir("lagA"))
+      require(EsLog.commitGroupOffset(cat.streamDir("lagA"), "etl", aHead / 2, None))
+      val bHead = EsLog.nextOffset(cat.streamDir("lagB"))
+      require(EsLog.commitGroupOffset(cat.streamDir("lagB"), "audit", bHead, None))
+      ()
+    }
+
   /** Catalog with three event streams (events split by `event_id % 3`,
     * stream ids 0/1/2 matching the residue) — the whole-namespace
     * subscription input. */

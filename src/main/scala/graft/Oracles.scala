@@ -115,6 +115,16 @@ object Oracles {
       |SELECT 'etl' AS grp, true AS committed, c // 2 AS position,
       |       c AS next_offset, c - c // 2 AS lag FROM n""".stripMargin
 
+  /** Catalog-wide lag over the two-stream parity fixture. */
+  private val esCatalogGroupLag =
+    """WITH n AS (SELECT
+      |  CAST(count(*) FILTER (event_id % 2 = 0) AS BIGINT) AS na,
+      |  CAST(count(*) FILTER (event_id % 2 = 1) AS BIGINT) AS nb FROM events)
+      |SELECT 'lagA' AS stream, 'etl' AS grp, true AS committed,
+      |       na // 2 AS position, na AS next_offset, na - na // 2 AS lag FROM n
+      |UNION ALL
+      |SELECT 'lagB', 'audit', true, nb, nb, 0 FROM n""".stripMargin
+
   /** The exactly-once ETL destination: every click exactly once (the job ran
     * twice — a duplicate-producing replay would double these rows), offsets
     * dense in source order. */
@@ -1876,6 +1886,7 @@ object Oracles {
     "es_retention_size" -> esScanDelta,
     "es_etl" -> esEtl,
     "es_group_lag" -> esGroupLag,
+    "es_catalog_group_lag" -> esCatalogGroupLag,
     "es_etl_fanin" -> esEtlFanIn,
     // the manifest-exported external view must equal the full stream
     "es_symlink" -> "SELECT event_id AS base_offset, event_type FROM events",

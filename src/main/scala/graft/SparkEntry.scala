@@ -284,6 +284,16 @@ object SparkEntry {
     s.sql(s"SELECT * FROM graft_group_lag('$dir')")
   }
 
+  /** Catalog-wide consumer-group lag ([[graft.eslog.EsCatalog.groupLags]],
+    * SQL `graft_catalog_group_lag`): the --all-groups admin sweep — one
+    * parallel state pass over the registry, per-stream position and head
+    * from one snapshot. Runs through the SQL TVF. */
+  private def qEsCatalogGroupLag(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.catalogLagRoot(s, sfDir)
+    graft.sql.GraftFunctions.register(s)
+    s.sql(s"SELECT * FROM graft_catalog_group_lag('$root')")
+  }
+
   /** Symlink-format manifest export ([[EsLog.generateSymlinkManifest]]):
     * the row simulates the external engine — read the manifest text file,
     * scan exactly the listed parquet paths, no eslog code involved — and
@@ -1519,6 +1529,7 @@ object SparkEntry {
     "es_offset_for_time" -> (qEsOffsetForTime _),
     "es_group_commit" -> (qEsGroupCommit _),
     "es_group_lag" -> (qEsGroupLag _),
+    "es_catalog_group_lag" -> (qEsCatalogGroupLag _),
     "es_etl" -> (qEsEtl _),
     "es_etl_fanin" -> (qEsEtlFanIn _),
     "es_symlink" -> (qEsSymlink _),

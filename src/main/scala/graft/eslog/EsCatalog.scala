@@ -180,6 +180,40 @@ final class EsCatalog(val root: String) {
       pageRows(ids, loadStates(registered())).asJava, ListSchema)
   }
 
+  /** Catalog-wide consumer-group lag — the `--all-groups` admin sweep over
+    * every registered stream: one row `(stream, grp, committed, position,
+    * next_offset, lag)` per (stream, committed group), name-ordered. Each
+    * stream's position and head come from its ONE state load (the
+    * [[loadStates]] parallel sweep — never a torn per-value read); with
+    * `group` given, every stream reports that group (uncommitted =>
+    * `committed=false`, lag = the whole backlog). Deleted streams are
+    * skipped. */
+  def groupLags(spark: SparkSession, group: Option[String] = None): DataFrame = {
+    val rows = loadStates(registered()).sortBy(_._1)
+      .filterNot(_._2.deleted)
+      .flatMap { case (name, st) =>
+        val groups: Seq[(String, Option[Long])] = group match {
+          case Some(g) =>
+            Seq(g -> st.kv.get(EsLog.GroupKeyPrefix + g).map(_.toLong))
+          case None => st.kv.toSeq.collect {
+            case (k, v) if k.startsWith(EsLog.GroupKeyPrefix) =>
+              k.stripPrefix(EsLog.GroupKeyPrefix) -> Some(v.toLong)
+          }.sortBy(_._1)
+        }
+        groups.map { case (g, p) =>
+          val pos = p.getOrElse(st.startOffset)
+          Row(name, g, p.isDefined, pos, st.nextOffset, st.nextOffset - pos)
+        }
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("stream", StringType, nullable = false),
+      StructField("grp", StringType, nullable = false),
+      StructField("committed", BooleanType, nullable = false),
+      StructField("position", LongType, nullable = false),
+      StructField("next_offset", LongType, nullable = false),
+      StructField("lag", LongType, nullable = false))))
+  }
+
   /** Paginated LIST_RESOURCE (the reference's ListResourceRequest carries a
     * limit and an opaque continuation token, rpc.fbs:691-778 — PD pages its
     * etcd range scan). The token is the last name of the previous page

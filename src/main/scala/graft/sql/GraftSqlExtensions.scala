@@ -425,6 +425,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("graft_catalog_scan", args, 1)
         val root = literalString(args(0), "graft_catalog_scan", "root")
         GraftShims.analyzedPlan(new graft.eslog.EsCatalog(root).scanAll(active())) }),
+    (FunctionIdentifier("graft_catalog_group_lag"),
+      info("graft_catalog_group_lag",
+        "graft_catalog_group_lag('root'[, 'group']) - consumer-group lag " +
+          "across EVERY registered stream (the --all-groups admin sweep); " +
+          "one row (stream, grp, committed, position, next_offset, lag)"),
+      (args: Seq[Expression]) => { arity("graft_catalog_group_lag", args, 1, 2)
+        val root = literalString(args(0), "graft_catalog_group_lag", "root")
+        val group = if (args.size == 2)
+          Some(literalString(args(1), "graft_catalog_group_lag", "group")) else None
+        GraftShims.analyzedPlan(
+          new graft.eslog.EsCatalog(root).groupLags(active(), group)) }),
     (FunctionIdentifier("graft_registry_history"),
       info("graft_registry_history",
         "graft_registry_history('root') - registry events (put/del/delRange) with revisions"),

@@ -973,6 +973,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_lsh_persisted" -> Seq("qid", "nid", "rank", "score"),
     "es_etl_fanin" -> Seq("base_offset", "src", "src_off", "event_type"),
     "es_group_lag" -> Seq("grp", "committed", "position", "next_offset", "lag"),
+    "es_catalog_group_lag" -> Seq("stream", "grp", "committed", "position", "next_offset", "lag"),
     "es_stream_temperature" -> Seq("doc_id", "source"),
     "es_stream_media_dedup" -> Seq("incoming", "existing", "n_shared"),
     "dedup_incremental" -> Seq("existing", "incoming"),
