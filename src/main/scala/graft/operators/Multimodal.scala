@@ -92,17 +92,41 @@ object Multimodal {
     * refinement and shares this plan shape. */
   def binaryChunkHashes(df: DataFrame, idCol: String, payloadCol: String,
                         chunkBytes: Int = 64, maxDf: Int = 64): DataFrame = {
-    require(chunkBytes >= 1 && maxDf >= 1)
+    require(maxDf >= 1)
+    // shared(): the df-cap anti-join reads the chunk pipeline TWICE (main
+    // side + heavy side) and the pair join twice more — materialize the
+    // distinct (id, ch) rows once (same reasoning as Dedup's shingle
+    // cache; the rows are a small fraction of the payload bytes).
+    // rebalance: a few-MB media table arrives as one leaf split; at
+    // cluster scale it's a no-op.
+    val ch = OpUtil.shared(
+      binaryChunkRows(OpUtil.rebalance(df), idCol, payloadCol, chunkBytes))
+    val heavy = ch.groupBy("ch").count().where(col("count") > maxDf).select("ch")
+    ch.join(heavy, Seq("ch"), "left_anti")
+  }
+
+  /** Per-row fixed-grid chunk rows `(id, ch)` — one codegen'd pass over
+    * the raw bytes ([[org.apache.spark.sql.graftshim.GridChunkHashesExpr]])
+    * + explode; stateless, so stream-legal like [[cdcChunkRows]].
+    * Per-payload dedup equals the global distinct when ids are unique. */
+  def binaryChunkRows(df: DataFrame, idCol: String, payloadCol: String,
+                      chunkBytes: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShims, GridChunkHashesExpr}
+    require(chunkBytes >= 1)
+    df.select(col(idCol),
+      explode(GraftShims.column(GridChunkHashesExpr(
+        GraftShims.expr(col(payloadCol).cast("binary")), chunkBytes)))
+        .as("ch"))
+  }
+
+  /** Column-composed twin of [[binaryChunkRows]] — the exact hex-text shape
+    * the SQL oracle replays; kept as the executable spec the codegen'd
+    * expression is unit-pinned against (interpreted HOFs; never hot). */
+  private[graft] def binaryChunkRowsComposed(df: DataFrame, idCol: String,
+                                             payloadCol: String,
+                                             chunkBytes: Int): DataFrame = {
     val w = 2 * chunkBytes // hex chars per chunk
-    // hex ONCE into a materialized column: the per-chunk lambda below runs
-    // interpreted (higher-order functions don't codegen), and an embedded
-    // hex(payload) subtree would re-encode the WHOLE payload for every
-    // chunk — O(n²) per row (measured: the sf0.1 sweep's dominant cost).
-    // A bound column reference is an O(1) row read instead. rebalance:
-    // a few-MB media table arrives as one leaf split, serializing the
-    // interpreted chunking; at cluster scale it's a no-op.
-    val base = OpUtil.rebalance(
-      df.select(col(idCol), upper(hex(col(payloadCol))).as("_hx")))
+    val base = df.select(col(idCol), upper(hex(col(payloadCol))).as("_hx"))
     val hx = col("_hx")
     // last chunk index = floor((len - 1) / w), clamped at 0 for empty
     // payloads (their lone empty chunk is filtered below); integer div via
@@ -112,17 +136,10 @@ object Multimodal {
     val chunks = transform(
       sequence(lit(0), lastIdx),
       i => hx.substr((i * w + 1).cast("int"), lit(w)))
-    // shared(): the df-cap anti-join reads the chunk pipeline TWICE (main
-    // side + heavy side) and the pair join twice more — materialize the
-    // distinct (id, ch) rows once (same reasoning as Dedup's shingle
-    // cache; the rows are a small fraction of the payload bytes)
-    val ch = OpUtil.shared(base
-      .select(col(idCol), explode(chunks).as("c"))
-      .where(col("c") =!= "")
-      .select(col(idCol), graft.functions.Portable.hash60(col("c")).as("ch"))
-      .distinct())
-    val heavy = ch.groupBy("ch").count().where(col("count") > maxDf).select("ch")
-    ch.join(heavy, Seq("ch"), "left_anti")
+    base
+      .select(col(idCol), explode(array_distinct(transform(
+        filter(chunks, c => c =!= ""),
+        c => graft.functions.Portable.hash60(c)))).as("ch"))
   }
 
   /** Content-defined chunk hashes: the alignment-robust refinement of

@@ -48,8 +48,74 @@ case class CdcChunkHashesExpr(child: Expression, window: Int, divisor: Int)
     copy(child = newChild)
 }
 
+/** Fixed-grid sibling of [[CdcChunkHashesExpr]]: distinct 60-bit hashes of
+  * the payload's `chunkBytes`-aligned chunks (short tail kept), same
+  * uppercase-hex-text hashing — one compiled pass per row. */
+case class GridChunkHashesExpr(child: Expression, chunkBytes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(chunkBytes >= 1, "chunkBytes must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "grid_chunk_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    GridChunkHashesExpr.computeArrayData(v.asInstanceOf[Array[Byte]], chunkBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftshim.GridChunkHashesExpr" +
+        s".computeArrayData($c, $chunkBytes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GridChunkHashesExpr {
+  def computeArrayData(payload: Array[Byte], chunkBytes: Int): ArrayData = {
+    val n = payload.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var lo = 0
+    while (lo < n) {
+      val hi = math.min(lo + chunkBytes, n)
+      seen.add(CdcChunkHashesExpr.hash60OfChunk(payload, lo, hi, md))
+      lo = hi
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object CdcChunkHashesExpr {
   private val Hex = "0123456789ABCDEF".toCharArray
+
+  /** hash60 of the uppercase-hex text of payload[lo, hi) — the shared
+    * chunk-content address ([[graft.functions.Portable.hash60]] over the
+    * engine-portable hex representation). */
+  private[graftshim] def hash60OfChunk(payload: Array[Byte], lo: Int, hi: Int,
+                                       md: java.security.MessageDigest): Long = {
+    val hex = new Array[Byte]((hi - lo) * 2)
+    var j = lo
+    var p = 0
+    while (j < hi) {
+      val b = payload(j) & 0xff
+      hex(p) = Hex(b >>> 4).toByte
+      hex(p + 1) = Hex(b & 0xf).toByte
+      j += 1
+      p += 2
+    }
+    md.reset()
+    val d = md.digest(hex)
+    var v = 0L
+    var q = 0
+    while (q < 8) { v = (v << 8) | (d(q) & 0xffL); q += 1 }
+    v >>> 4
+  }
 
   def computeArrayData(payload: Array[Byte], window: Int, divisor: Int): ArrayData =
     new GenericArrayData(compute(payload, window, divisor))
@@ -83,26 +149,7 @@ object CdcChunkHashesExpr {
     while (i < cuts.size - 1) {
       val lo = cuts.get(i)
       val hi = cuts.get(i + 1)
-      if (hi > lo) {
-        // UTF-8 bytes of the chunk's uppercase-hex text, built directly
-        val hex = new Array[Byte]((hi - lo) * 2)
-        var j = lo
-        var p = 0
-        while (j < hi) {
-          val b = payload(j) & 0xff
-          hex(p) = Hex(b >>> 4).toByte
-          hex(p + 1) = Hex(b & 0xf).toByte
-          j += 1
-          p += 2
-        }
-        md.reset()
-        val d = md.digest(hex)
-        // first 60 bits of the digest = first 15 hex chars as a long
-        var v = 0L
-        var q = 0
-        while (q < 8) { v = (v << 8) | (d(q) & 0xffL); q += 1 }
-        seen.add(v >>> 4)
-      }
+      if (hi > lo) seen.add(hash60OfChunk(payload, lo, hi, md))
       i += 1
     }
     val out = new Array[Long](seen.size)

@@ -574,10 +574,21 @@ class PlanAuditSpec extends SparkTestBase {
         .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
       assert(fast == slow, s"window=$w divisor=$d: expression != composed pipeline")
     }
-    // the expression stays inside whole-stage codegen (one static call/row)
+    // the fixed-grid expression against ITS composed twin
+    for (cb <- Seq(1, 8, 32, 64)) {
+      val fast = Multimodal.binaryChunkRows(df, "media_id", "payload", cb)
+        .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      val slow = Multimodal.binaryChunkRowsComposed(df, "media_id", "payload", cb)
+        .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      assert(fast == slow, s"chunkBytes=$cb: grid expression != composed pipeline")
+    }
+    // the expressions stay inside whole-stage codegen (one static call/row)
     val plan = Multimodal.cdcChunkRows(df, "media_id", "payload")
       .queryExecution.executedPlan.toString
     assert(plan.contains("cdc_chunk_hashes"), plan)
+    val plan2 = Multimodal.binaryChunkRows(df, "media_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("grid_chunk_hashes"), plan2)
   }
 
   test("split assignment: complete partition, proportional, stable per id") {
