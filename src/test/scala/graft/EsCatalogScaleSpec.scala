@@ -177,6 +177,20 @@ class EsCatalogScaleSpec extends SparkTestBase {
       assert(page2Sec < pageBudget,
         f"resumed page took $page2Sec%.2f s (budget $pageBudget%.2f s)")
       info(f"page(100) at N=$N: $pageSec%.2f s first, $page2Sec%.2f s resumed (budget $pageBudget%.2f s)")
+
+      // catalog-wide group lag rides the SAME parallel state sweep: the
+      // named-group --all-groups form over 10^4 streams must land in
+      // sweep time (not the serial sum), one row per stream with the
+      // whole backlog reported for the uncommitted group
+      val tLag = System.nanoTime()
+      val lags = cat.groupLags(spark, Some("etl")).collect()
+      val lagSec = (System.nanoTime() - tLag) / 1e9
+      assert(lags.length == N)
+      assert(lags.forall(r => !r.getBoolean(2) && r.getLong(5) == 64L),
+        "uncommitted group must report the whole backlog per stream")
+      assert(lagSec < serialEstSec / ratio,
+        f"groupLags sweep $lagSec%.2f s vs serial(est) $serialEstSec%.2f s — sweep claim broken")
+      info(f"groupLags at N=$N: $lagSec%.2f s (serial est $serialEstSec%.1f s)")
     } finally MetaLog.unroute(root)
   }
 }
