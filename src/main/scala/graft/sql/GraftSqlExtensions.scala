@@ -94,6 +94,8 @@ import graft.operators.Similarity
   *  - `graft_text_stats('t', 'id', 'text')`    — per-doc token statistics
   *  - `graft_text_quality('t', 'id', 'text')`  — per-doc quality features
   *  - `graft_text_langid('t', 'id', 'text')`   — marker-voting language id
+  *  - `graft_media_dedup_cdc('t', 'id', 'payload'[, ...])` — CDC media
+  *    near-dup pairs over opaque binary columns
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -483,6 +485,20 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("graft_text_quality", args, 3)
         val (df, id, text) = opInput("graft_text_quality", args)
         GraftShims.analyzedPlan(graft.operators.TextOps.qualityScore(df, id, text)) }),
+    (FunctionIdentifier("graft_media_dedup_cdc"),
+      info("graft_media_dedup_cdc",
+        "graft_media_dedup_cdc('table_or_path', 'id_col', 'payload_col'" +
+          "[, window, divisor, min_shared, max_df]) - content-defined-" +
+          "chunking media near-dup pairs (i, j, n_shared)"),
+      (args: Seq[Expression]) => {
+        arity("graft_media_dedup_cdc", args, 3, 4, 5, 6, 7)
+        val (df, id, payload) = opInput("graft_media_dedup_cdc", args)
+        val w = optLong(args, 3, 8L, "graft_media_dedup_cdc", "window").toInt
+        val d = optLong(args, 4, 16L, "graft_media_dedup_cdc", "divisor").toInt
+        val ms = optLong(args, 5, 4L, "graft_media_dedup_cdc", "min_shared").toInt
+        val mdf = optLong(args, 6, 64L, "graft_media_dedup_cdc", "max_df").toInt
+        GraftShims.analyzedPlan(graft.operators.Multimodal.binaryNearDupsCdc(
+          df, id, payload, window = w, divisor = d, minShared = ms, maxDf = mdf)) }),
     (FunctionIdentifier("graft_text_langid"),
       info("graft_text_langid",
         "graft_text_langid('table_or_path', 'id_col', 'text_col') - " +

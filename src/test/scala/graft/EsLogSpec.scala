@@ -1300,6 +1300,67 @@ class EsLogSpec extends SparkTestBase {
         "fan", 2L)(_.head))
   }
 
+  test("fan-in consume-process-produce under seeded crash injection: global exactly-once") {
+    // the fan-in twin of the single-source chaos test: random interleavings
+    // of per-source appends, crashes INSIDE process (nothing lands — all N
+    // positions and the data are one commit), and replays of completed
+    // rounds; after any interleaving the destination holds every kept
+    // (source, offset) exactly once
+    val srcs = (0 until 3).map { i =>
+      val d = tmpDir(s"eslog-fanin-chaos-src$i-")
+      EsLog.create(d, streamId = 80L + i); EsLog.open(d, 1L)
+      d
+    }
+    val dst = tmpDir("eslog-fanin-chaos-dst-")
+    EsLog.create(dst, streamId = 79L); EsLog.open(dst, 1L)
+    val rnd = new scala.util.Random(7)
+    val heads = Array.fill(3)(0L)
+    def job(crash: Boolean): Unit = {
+      try EsLog.consumeProcessProduceMulti(spark, srcs, dst, "fan", 1L,
+        sortKey = Some("sk")) { slices =>
+        if (crash) throw new RuntimeException("injected crash in process")
+        slices.zipWithIndex.map { case (df, i) =>
+          df.where(col("base_offset") % 3 === 0) // keep every third offset
+            .select((lit(i.toLong) * 1000000L + col("base_offset")).as("sk"),
+              col("payload"),
+              map(lit("tag"), concat_ws(":", lit(i.toString),
+                col("base_offset").cast("string"))).as("properties"))
+        }.reduce(_.unionByName(_))
+      } catch { case e: RuntimeException if e.getMessage.contains("injected") => () }
+    }
+    for (round <- 0 until 12) {
+      // advance a random non-empty subset of sources by random amounts
+      (0 until 3).filter(_ => rnd.nextBoolean()) match {
+        case picked if picked.nonEmpty => picked.foreach { i =>
+          val k = 5 + rnd.nextInt(30)
+          val in = spark.range(heads(i), heads(i) + k).select(
+            col("id"), col("id").cast("string").cast("binary").as("payload"))
+          EsLog.append(spark, srcs(i), in, 1L, sortKey = Some("id"), numPartitions = 2)
+          heads(i) += k
+        }
+        case _ => ()
+      }
+      rnd.nextInt(3) match {
+        case 0 => job(crash = false)
+        case 1 => job(crash = true); job(crash = false)
+        case 2 => job(crash = false); job(crash = false)
+      }
+    }
+    job(crash = false) // final drain
+    val got = EsLog.scan(spark, dst).select(col("properties")("tag"))
+      .collect().map(_.getString(0)).sorted
+    val want = (0 until 3).flatMap { i =>
+      (0L until heads(i)).filter(_ % 3 == 0).map(o => s"$i:$o")
+    }.sorted
+    assert(got.length == want.length && got.sameElements(want),
+      s"fan-in exactly-once broken: ${got.length} rows vs ${want.length} expected " +
+        s"(dups: ${got.diff(got.distinct).take(5).mkString(",")})")
+    (0 until 3).foreach { i =>
+      assert(EsLog.groupOffset(dst, EsLog.fanInGroup("fan", 80L + i))
+        .contains(heads(i)), s"source $i position must sit at its head")
+    }
+  }
+
   test("time index: fetchByTime prunes files via manifest stats; offsetForTimestamp reads one file") {
     val dir = tmpDir("eslog-time-")
     EsLog.create(dir, streamId = 20L)

@@ -289,6 +289,14 @@ class GraftSqlSpec extends SparkTestBase {
     assert(spark.sql(
       "SELECT count(*) FROM graft_text_stats('/root/testdata/sf0.001/documents.parquet', 'doc_id', 'text')")
       .collect().head.getLong(0) == docs.count())
+    // the media TVF over the binary payload form of the same corpus
+    spark.sql("SELECT doc_id AS media_id, CAST(text AS BINARY) AS payload FROM sqldocs")
+      .createOrReplaceTempView("sqlmedia")
+    assert(rows(spark.sql(
+        "SELECT * FROM graft_media_dedup_cdc('sqlmedia', 'media_id', 'payload', 8, 16, 2, 64)"))
+      == rows(graft.operators.Multimodal.binaryNearDupsCdc(
+          spark.table("sqlmedia"), "media_id", "payload",
+          window = 8, divisor = 16, minShared = 2, maxDf = 64)))
     // composable: TVF output joins like any relation
     val joined = spark.sql(
       """SELECT s.doc_id FROM graft_text_stats('sqldocs', 'doc_id', 'text') s
