@@ -492,7 +492,7 @@ object GraftFunctions {
           "chunking media near-dup pairs (i, j, n_shared)"),
       (args: Seq[Expression]) => {
         arity("graft_media_dedup_cdc", args, 3, 4, 5, 6, 7)
-        val (df, id, payload) = opInput("graft_media_dedup_cdc", args)
+        val (df, id, payload) = opInput("graft_media_dedup_cdc", args, textual = false)
         val w = optLong(args, 3, 8L, "graft_media_dedup_cdc", "window").toInt
         val d = optLong(args, 4, 16L, "graft_media_dedup_cdc", "divisor").toInt
         val ms = optLong(args, 5, 4L, "graft_media_dedup_cdc", "min_shared").toInt
@@ -508,15 +508,30 @@ object GraftFunctions {
         GraftShims.analyzedPlan(graft.operators.TextOps.languageId(df, id, text)) }))
 
   /** Shared input resolution of the pipeline-operator TVFs: first arg names
-    * the corpus ('/'-containing => parquet path; else table/temp view),
-    * second and third its id/text columns. */
-  private def opInput(fn: String,
-                      args: Seq[Expression]): (org.apache.spark.sql.DataFrame, String, String) = {
+    * the corpus — a '/'-containing path (an eslog STREAM dir if it carries
+    * the metadata log, else parquet) or a table/temp view name — second
+    * and third its id/text columns. Stream-dir support means a screening
+    * TVF composes directly over ingested data:
+    * `graft_text_stats('/streams/crawl', 'base_offset', 'payload')`. */
+  private def opInput(fn: String, args: Seq[Expression],
+                      textual: Boolean = true): (org.apache.spark.sql.DataFrame, String, String) = {
     val ref = literalString(args(0), fn, "table_or_path")
     val id = literalString(args(1), fn, "id_col")
     val text = literalString(args(2), fn, "text_col")
-    val df = if (ref.contains("/")) active().read.parquet(ref) else active().table(ref)
-    (df, id, text)
+    val df =
+      if (!ref.contains("/")) active().table(ref)
+      else if (graft.meta.MetaLog.exists(ref)) EsLog.scan(active(), ref)
+      else active().read.parquet(ref)
+    // text operators take a STRING column; an eslog payload arrives binary —
+    // resolve case-insensitively like Spark does and cast in place. The
+    // media TVF passes textual=false: its payload must STAY binary (a
+    // string roundtrip is lossy on non-UTF-8 bytes).
+    val isBinary = textual && df.schema.exists(f =>
+      f.name.equalsIgnoreCase(text) && f.dataType == org.apache.spark.sql.types.BinaryType)
+    val dfText = if (isBinary)
+      df.withColumn(text, org.apache.spark.sql.functions.col(text).cast("string"))
+    else df
+    (dfText, id, text)
   }
 
   private def optLong(args: Seq[Expression], i: Int, default: Long,

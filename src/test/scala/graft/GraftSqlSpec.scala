@@ -297,6 +297,21 @@ class GraftSqlSpec extends SparkTestBase {
       == rows(graft.operators.Multimodal.binaryNearDupsCdc(
           spark.table("sqlmedia"), "media_id", "payload",
           window = 8, divisor = 16, minShared = 2, maxDf = 64)))
+    // pipeline TVFs compose directly over an eslog STREAM dir: the path
+    // resolves through the metadata log, payload auto-casts to string for
+    // the text family
+    val sdir = tmpDir("sqlops-stream-")
+    EsLog.create(sdir, streamId = 91L); EsLog.open(sdir, 1L)
+    EsLog.append(spark, sdir, docs.select(col("doc_id"),
+        col("text").cast("binary").as("payload")), epoch = 1L)
+    val viaStream = spark.sql(
+      s"SELECT * FROM graft_text_stats('$sdir', 'base_offset', 'payload')")
+    assert(viaStream.count() == docs.count())
+    assert(viaStream.agg(sum("n_tokens")).collect().head.getLong(0) ==
+      TextOps.tokenStats(docs, "doc_id", "text")
+        .agg(sum("n_tokens")).collect().head.getLong(0),
+      "stream-dir TVF must see the same corpus")
+    EsLog.delete(sdir)
     // composable: TVF output joins like any relation
     val joined = spark.sql(
       """SELECT s.doc_id FROM graft_text_stats('sqldocs', 'doc_id', 'text') s
