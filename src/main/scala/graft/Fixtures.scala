@@ -1382,6 +1382,42 @@ object Fixtures {
       name
     })
 
+  /** STREAMING token-budget admission — "fill the data recipe as the crawl
+    * arrives": the per-source running token total is the only state
+    * ([[graft.operators.Sampling.tokenBudgetStream]]); delivered as ONE
+    * AvailableNow batch here so the admitted set equals the batch
+    * operator's exactly (the cross-batch state fold is unit-pinned with
+    * awkward chunkings in PlanAuditSpec). Source labels ride the same
+    * stream-static dimension join as the temperature twin. */
+  def streamTokenBudgetTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-token-budget", {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Sampling
+      tune(s)
+      val src = docsStream(s, sfDir)
+      val docs = documents(s, sfDir)
+      val srcMap = docs.select(col("doc_id"), col("source"), col("text")).persist()
+      srcMap.count()
+      val name = "graft_stream_token_budget_" + math.abs(sfDir.hashCode).toString
+      val stream = s.readStream.format("eslog")
+        // one-batch delivery made EXPLICIT (the admitted set must equal the
+        // batch operator's; multi-batch admission is a different — valid —
+        // fold, pinned separately in the unit)
+        .option("maxOffsetsPerTrigger", (1L << 60).toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("doc_id"))
+        .join(broadcast(srcMap), Seq("doc_id"))
+      val q = Sampling.tokenBudgetStream(stream, "doc_id", "text", "source",
+          (0 until 10).map(i => s"src$i" -> 600L), seed = 7)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      srcMap.unpersist()
+      name
+    })
+
   /** STREAMING tokenization — "tokenize the crawl as it arrives": the BPE
     * merges and the frequency-ranked id table are learned ONCE in batch
     * (deterministic, so they equal `text_bpe_ids`'s) and each micro-batch

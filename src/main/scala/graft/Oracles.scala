@@ -1877,6 +1877,8 @@ object Oracles {
     "es_compact" -> esCompact,
     "es_compact_zorder" -> esCompactZorder,
     "sample_token_budget" -> sampleTokenBudget,
+    "es_stream_token_budget" -> sampleTokenBudget, // one-batch twin: same set
+
     "es_snapshot" -> esSnapshot,
     "es_scan_delta" -> esScanDelta,
     "es_fetch_time" -> esFetchTime,

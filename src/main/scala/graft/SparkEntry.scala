@@ -816,6 +816,12 @@ object SparkEntry {
       Fixtures.documents(s, sfDir), "doc_id", "text", "source",
       (0 until 10).map(i => s"src$i" -> 600L), seed = 7)
 
+  /** Streaming token-budget twin ([[Fixtures.streamTokenBudgetTable]]):
+    * one-batch delivery => admitted set identical to `sample_token_budget`
+    * (shared oracle); the cross-batch state fold is unit-pinned. */
+  private def qEsStreamTokenBudget(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamTokenBudgetTable(s, sfDir))
+
   private def qSampleWeighted(s: SparkSession, sfDir: String): DataFrame = {
     val docs = Fixtures.documents(s, sfDir)
       .withColumn("w", size(Portable.words(col("text"))).cast("double") / 400.0)
@@ -1596,6 +1602,7 @@ object SparkEntry {
     "sample_temperature" -> (qSampleTemperature _),
     "es_stream_temperature" -> (qEsStreamTemperature _),
     "sample_token_budget" -> (qSampleTokenBudget _),
+    "es_stream_token_budget" -> (qEsStreamTokenBudget _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_topk_group" -> (qSampleTopkGroup _),
     "shuffle_shards" -> (qShuffleShards _),

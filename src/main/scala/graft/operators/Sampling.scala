@@ -215,6 +215,51 @@ object Sampling {
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** STREAMING token-budget admission — the online form of
+    * [[sampleToTokenBudget]]: the per-source running token total is the
+    * ONLY state (`flatMapGroupsWithState`, carried across micro-batches);
+    * within a batch a source's arrivals are considered in the same
+    * seeded-hash order as the batch operator, so a corpus arriving as ONE
+    * batch admits exactly the batch operator's set, and across batches the
+    * admission is the deterministic fold of per-batch hash orders. The
+    * total accumulates over EVERY doc (admitted or not) exactly like the
+    * batch cum-filter, so a source that crosses its budget is closed
+    * forever. Sources absent from `budgets` drop. The per-batch group
+    * buffer is bounded by the micro-batch size (the source's admission
+    * control — maxOffsetsPerTrigger — is the knob); ids must be long. */
+  def tokenBudgetStream(stream: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, budgets: Seq[(String, Long)],
+                        seed: Int = 7): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0), "budgets must be >= 0")
+    require(budgets.map(_._1).distinct.size == budgets.size, "duplicate source")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bmap = budgets.toMap
+    val rows = stream.select(
+        col(idCol).cast("long"),
+        col(sourceCol).cast("string"),
+        size(Portable.words(col(textCol))).cast("long"),
+        Portable.hash60(seed, col(idCol).cast("string")))
+      .as[(Long, String, Long, Long)]
+    val fold = (src: String, it: Iterator[(Long, String, Long, Long)],
+                state: GroupState[Long]) =>
+      bmap.get(src) match {
+        case None => Iterator.empty
+        case Some(budget) =>
+          var cum = state.getOption.getOrElse(0L)
+          val admitted = it.toIndexedSeq.sortBy(r => (r._4, r._1)).flatMap { r =>
+            cum += r._3
+            if (cum <= budget) Some((r._1, src, r._3, cum)) else None
+          }
+          state.update(cum)
+          admitted.iterator
+      }
+    rows.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+      .toDF(idCol, sourceCol, "n_tokens", "cum_tokens")
+  }
+
   def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
                        fractions: Seq[(String, (Int, Int))],
                        default: (Int, Int) = (1, 1)): DataFrame = {

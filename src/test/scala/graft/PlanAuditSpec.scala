@@ -591,6 +591,56 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan2.contains("grid_chunk_hashes"), plan2)
   }
 
+  test("tokenBudgetStream: single-batch == batch operator; state folds across awkward chunkings") {
+    import graft.operators.Sampling
+    Fixtures.tune(spark)
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val budgets = (0 until 10).map(i => s"src$i" -> 600L)
+    // single batch: batch-mode flatMapGroupsWithState sees each source once
+    // with empty state — must admit EXACTLY the batch operator's set
+    val viaBatchOp = Sampling.sampleToTokenBudget(docs, "doc_id", "text", "source",
+        budgets, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val viaStreamOp = Sampling.tokenBudgetStream(docs, "doc_id", "text", "source",
+        budgets, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaStreamOp == viaBatchOp, s"${viaStreamOp.size} vs ${viaBatchOp.size}")
+    // cross-batch state fold: with an UNBOUNDED budget and awkward chunk
+    // sizes, every doc is admitted exactly once and each source's final
+    // cum equals its total token count — the running total survived the
+    // micro-batch boundaries (MemoryStream-fed real streaming execution)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = docs.select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val inRecipe = docs.where(col("source").isin((0 until 10).map(i => s"src$i"): _*))
+    for (chunk <- Seq(7, 64)) {
+      val ms = MemoryStream[(Long, String, String)]
+      val name = s"tbs_chunk_$chunk"
+      val q = Sampling.tokenBudgetStream(
+          ms.toDF().toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source",
+          (0 until 10).map(i => s"src$i" -> Long.MaxValue), seed = 7)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      rows.grouped(chunk).foreach { batch => ms.addData(batch); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      assert(got.length == inRecipe.count(), s"chunk=$chunk: every in-recipe doc admitted once")
+      val finalCum = spark.table(name).groupBy("source").agg(max("cum_tokens").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = inRecipe.select(col("source"),
+          size(graft.functions.Portable.words(col("text"))).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(finalCum == want,
+        s"chunk=$chunk: state must accumulate across batches: $finalCum vs $want")
+    }
+  }
+
   test("split assignment: complete partition, proportional, stable per id") {
     import graft.operators.Sampling
     val docs = spark.range(4000).select(col("id").as("doc_id"))
@@ -986,6 +1036,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_group_lag" -> Seq("grp", "committed", "position", "next_offset", "lag"),
     "es_catalog_group_lag" -> Seq("stream", "grp", "committed", "position", "next_offset", "lag"),
     "es_stream_temperature" -> Seq("doc_id", "source"),
+    "es_stream_token_budget" -> Seq("doc_id", "source", "n_tokens", "cum_tokens"),
     "es_stream_media_dedup" -> Seq("incoming", "existing", "n_shared"),
     "dedup_incremental" -> Seq("existing", "incoming"),
     "dedup_jaccard" -> Seq("i", "j", "jaccard"),
