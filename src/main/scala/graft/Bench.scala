@@ -332,6 +332,27 @@ object Bench {
     }
     val registryGatePassed = dirty.isEmpty
 
+    // -- CDC chunker throughput, fixture divisor (16 B mean chunks — what
+    //    the oracle fixtures use on few-hundred-byte payloads) vs the
+    //    deployment divisor (16 KiB mean chunks — what real media runs;
+    //    Multimodal.DeploymentDivisor). Same codegen'd expression; the
+    //    figure the docs quote must be measured at BOTH settings because
+    //    the md5-per-chunk cost scales with cut density --
+    val cdcCorpus = spark.range(2048).select(col("id"),
+      expr("cast(repeat(uuid(), 1820) as binary)").as("payload")) // ~64 KiB/row
+    cdcCorpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cdcCorpus.count()
+    val cdcBytes = 2048L * 36L * 1820L
+    timedMedian("cdc_chunk_div16") {
+      force(graft.operators.Multimodal.cdcChunkRows(cdcCorpus, "id", "payload",
+        window = 8, divisor = 16))
+    }
+    timedMedian("cdc_chunk_div16k") {
+      force(graft.operators.Multimodal.cdcChunkRows(cdcCorpus, "id", "payload",
+        window = 8, divisor = graft.operators.Multimodal.DeploymentDivisor))
+    }
+    cdcCorpus.unpersist(blocking = false)
+
     val total = results.values.filter(_ >= 0).sum
     def mbps(name: String, bytes: Long): Double = {
       val sec = results.getOrElse(name, -1.0)
@@ -399,6 +420,8 @@ object Bench {
       s""","registry_gate_factor":${f3(RegistryGateFactor)}""" +
       s""","registry_gate_passed":$registryGatePassed""" +
       s""","registry_segments_rerun":$segmentsRerun""" +
+      s""","cdc_chunk_mbps_div16":${f3(mbps("cdc_chunk_div16", cdcBytes))}""" +
+      s""","cdc_chunk_mbps_div16k":${f3(mbps("cdc_chunk_div16k", cdcBytes))}""" +
       s""","scan_mbps":${f3(mbps("scan_64k_batches", nCommits * payload64k))}""" +
       s""","scan_mbps_def":"timed_commits_fetch_64k"""" +
       s""","append_events_mbps":${f3(mbps("append_events", payloadBytes))}""" +

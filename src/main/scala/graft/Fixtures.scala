@@ -338,6 +338,49 @@ object Fixtures {
       ()
     }
 
+  /** Fan-OUT exactly-once ETL fixture ([[EsLog.consumeProcessProduceFanOut]]):
+    * all events in ONE source stream, clicks routed by `src_off % 3` to
+    * THREE destination streams under the intent/apply/complete protocol
+    * (source-KV intent fixes the slice; per-destination marker-guarded
+    * applies; completion advances the position). The job runs TWICE; the
+    * replay consumes and appends nothing (asserted here) — the fan-out
+    * exactly-once claim. Destination offsets are deterministic (sortKey =
+    * source offset), so the oracle predicts them with a per-destination
+    * row_number. Returns the fixture ROOT; destinations live at
+    * `root/dst0..2`. */
+  def etlFanOutStreams(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "etlfanout") { root =>
+      val in = eventBatches(s, sfDir)
+      val src = s"$root/src"
+      EsLog.create(src, streamId = 64L)
+      EsLog.open(src, 1L)
+      EsLog.append(s, src, in, 1L, sortKey = Some("event_id"), numPartitions = 2)
+      val dsts = (0 until 3).map { i =>
+        val d = s"$root/dst$i"
+        EsLog.create(d, streamId = 65L + i)
+        EsLog.open(d, 1L)
+        d
+      }
+      def job(): (Long, Long) =
+        EsLog.consumeProcessProduceFanOut(s, src, dsts, "fanout", 1L,
+          sortKey = Some("sk")) { (slice, i) =>
+          slice.where(col("properties")("event_type") === "click")
+            .where(col("base_offset") % 3 === i)
+            .select(col("base_offset").as("sk"), col("payload"),
+              map(lit("src_off"), col("base_offset").cast("string"),
+                lit("event_type"), col("properties")("event_type")).as("properties"),
+              col("base_timestamp"))
+        }
+      val head = EsLog.nextOffset(src)
+      val span1 = job()
+      require(span1 == (0L, head), s"round-1 span $span1 != (0, $head)")
+      val dstHeads = dsts.map(EsLog.nextOffset)
+      val span2 = job() // replay: caught up, nothing lands anywhere
+      require(span2 == (head, head), s"replay consumed $span2")
+      require(dsts.map(EsLog.nextOffset) == dstHeads, "replay appended to a destination")
+      ()
+    }
+
   /** KV fixture: puts, delete, range delete (ranged tombstone), a successful
     * CAS txn, a failed (stale) one, and etcd-parity multi-guard txns with
     * success AND failure branches. */
@@ -1380,6 +1423,23 @@ object Fixtures {
       q.awaitTermination(300000)
       idx.unpersist()
       name
+    })
+
+  /** PERSISTED media-library chunk index over the even-id docs — the same
+    * library [[streamMediaDedupTable]] probes in memory, written once per
+    * sfDir via [[graft.operators.Multimodal.writeMediaLibraryIndex]]
+    * (bucket-partitioned on the chunk hash) so the probe row proves the
+    * on-disk deployment shape: partition-pruned, library never shuffled. */
+  def mediaLibraryIndexDir(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#media-library-index", {
+      tune(s)
+      val library = documents(s, sfDir).where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("existing_id"),
+          col("text").cast("binary").as("payload"))
+      val dir = java.nio.file.Files.createTempDirectory("media-index-").toString
+      graft.operators.Multimodal.writeMediaLibraryIndex(
+        library, "existing_id", "payload", dir)
+      dir
     })
 
   /** STREAMING token-budget admission — "fill the data recipe as the crawl

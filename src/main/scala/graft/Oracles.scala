@@ -148,6 +148,20 @@ object Oracles {
       |       CAST(src_off AS BIGINT) AS src_off, event_type
       |FROM c""".stripMargin
 
+  // fan-out: source offsets = event_id rank (one stream, sortKey event_id);
+  // clicks route by src_off % 3; per-destination offsets = row_number in
+  // source-offset order (the fixture's sortKey)
+  private val esEtlFanOut =
+    """WITH e AS (SELECT event_id, event_type,
+      |             row_number() OVER (ORDER BY event_id) - 1 AS src_off
+      |           FROM events),
+      |r AS (SELECT *, src_off % 3 AS dst FROM e WHERE event_type = 'click'),
+      |c AS (SELECT *, row_number() OVER (PARTITION BY dst ORDER BY src_off) - 1 AS dst_off
+      |      FROM r)
+      |SELECT CAST(dst AS BIGINT) AS dst, CAST(dst_off AS BIGINT) AS base_offset,
+      |       CAST(src_off AS BIGINT) AS src_off, event_type
+      |FROM c""".stripMargin
+
   private val esTrim =
     """SELECT event_id AS base_offset, event_type FROM events
       |WHERE event_id >= (SELECT count(*) // 4 FROM events)""".stripMargin
@@ -1890,6 +1904,7 @@ object Oracles {
     "es_group_lag" -> esGroupLag,
     "es_catalog_group_lag" -> esCatalogGroupLag,
     "es_etl_fanin" -> esEtlFanIn,
+    "es_etl_fanout" -> esEtlFanOut,
     // the manifest-exported external view must equal the full stream
     "es_symlink" -> "SELECT event_id AS base_offset, event_type FROM events",
     "es_clone" -> esSnapshot, // clone pinned at the first commit == that snapshot
@@ -1988,6 +2003,10 @@ object Oracles {
     "multimodal_frames" -> multimodalFrames,
     "multimodal_dedup" -> multimodalDedup,
     "multimodal_dedup_cdc" -> multimodalDedupCdc,
+    // the persisted-index probe shares the stream row's SQL: same library
+    // (even-id docs), same incoming set, and the bucket-partitioned parquet
+    // roundtrip changes no result rows
+    "multimodal_probe_persisted" -> esStreamMediaDedup,
     "es_stream_media_dedup" -> esStreamMediaDedup,
     "ts_similarity" -> tsSimilarity,
     "lineitem_agg" -> lineitemAgg,

@@ -332,6 +332,21 @@ object SparkEntry {
       col("properties")("event_type").as("event_type"))
   }
 
+  /** Fan-out exactly-once ETL ([[Fixtures.etlFanOutStreams]]): union of the
+    * three destination scans, each tagged with its destination index — the
+    * observable of the intent/apply/complete protocol run twice (the
+    * replay appended nothing, asserted in the fixture). */
+  private def qEsEtlFanOut(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.etlFanOutStreams(s, sfDir)
+    (0 until 3).map { i =>
+      EsLog.scan(s, s"$root/dst$i").select(
+        lit(i.toLong).as("dst"),
+        col("base_offset"),
+        col("properties")("src_off").cast("long").as("src_off"),
+        col("properties")("event_type").as("event_type"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Deep clone pinned at the first data commit ([[Fixtures
     * .clonedEventsStream]]): scanning the CLONE reproduces the first half
     * of the events bit-for-bit — log and data files both survived the
@@ -1356,6 +1371,22 @@ object SparkEntry {
   private def qEsStreamMediaDedup(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamMediaDedupTable(s, sfDir))
 
+  /** Media-dedup probe against the PERSISTED bucket-partitioned library
+    * index ([[graft.operators.Multimodal.mediaDedupProbeAt]]): same library
+    * (even-id docs) and incoming set (all docs) as `es_stream_media_dedup`,
+    * so the oracle SQL is shared verbatim — the parquet roundtrip through
+    * `bucket=N/` partitions changes nothing. What this row adds is the
+    * deployment shape: the probe broadcast-joins the incoming chunks
+    * against a partition-PRUNED library scan (plan-pinned in
+    * PlanAuditSpec — no Exchange ever touches the library side). */
+  private def qMultimodalProbePersisted(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.mediaLibraryIndexDir(s, sfDir)
+    val incoming = Fixtures.documents(s, sfDir)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    graft.operators.Multimodal.mediaDedupProbeAt(s, dir, incoming,
+      "media_id", "payload", minShared = 4)
+  }
+
   /** Exact per-group discrete quantiles of l_quantity (min/quartiles/max as
     * permille ranks) — order statistics with a portable integer rank rule. */
   private def qStatsQuantiles(s: SparkSession, sfDir: String): DataFrame = {
@@ -1538,6 +1569,7 @@ object SparkEntry {
     "es_catalog_group_lag" -> (qEsCatalogGroupLag _),
     "es_etl" -> (qEsEtl _),
     "es_etl_fanin" -> (qEsEtlFanIn _),
+    "es_etl_fanout" -> (qEsEtlFanOut _),
     "es_symlink" -> (qEsSymlink _),
     "es_clone" -> (qEsClone _),
     "es_catalog" -> (qEsCatalog _),
@@ -1641,6 +1673,7 @@ object SparkEntry {
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),
     "multimodal_dedup_cdc" -> (qMultimodalDedupCdc _),
+    "multimodal_probe_persisted" -> (qMultimodalProbePersisted _),
     "es_stream_media_dedup" -> (qEsStreamMediaDedup _),
     "ts_similarity" -> (qTsSimilarity _),
     "stats_quantiles" -> (qStatsQuantiles _),

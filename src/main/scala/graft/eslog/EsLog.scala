@@ -1435,6 +1435,141 @@ object EsLog {
     spans
   }
 
+  /** Reserved KV key of a fan-out pipeline's in-flight intent (in the
+    * SOURCE's KV) and per-destination applied marker (in each destination's
+    * KV). Distinct prefixes from [[GroupKeyPrefix]] so the lag surface's
+    * group scan never lists protocol bookkeeping as a consumer group. */
+  private def fanOutIntentKey(group: String): String = s"__fanout/$group"
+  private def fanOutAppliedKey(group: String): String = s"__fanout-applied/$group"
+
+  /** Fan-OUT exactly-once ETL: ONE source slice routed to N destination
+    * streams, every destination exactly-once — the dual of
+    * [[consumeProcessProduceMulti]]. There is no single log whose CAS can
+    * carry all N destinations' data, so the commit is coordinated the way
+    * the reference's PD coordinates a two-phase seal
+    * (`pd/pkg/server/cluster/range.go:127-186` — a coordinator FIXES an
+    * outcome, participants idempotently converge to it):
+    *
+    *  1. **Intent** (source KV, CAS): fix the slice `[from, upTo)` as an
+    *     intent record, guarded on the group position unchanged and no
+    *     intent in flight. The span is now immutable — every instance that
+    *     reads the intent re-derives exactly this slice.
+    *  2. **Apply** (each destination, CAS + epoch fence): route the slice
+    *     (`process(slice, i)`), append to destination `i` with the
+    *     destination's applied-marker advance in the SAME commit, guarded
+    *     on the marker's prior value — a replay of an already-applied
+    *     intent skips on the marker; a same-epoch racing rival loses the
+    *     guard; a fenced zombie generation throws before anything lands.
+    *     Intents are strictly sequential per group (a new one is only cut
+    *     after the last completed), so ONE marker per (group, destination)
+    *     — O(1) bookkeeping, not O(intents).
+    *  3. **Complete** (source KV, CAS): advance the group position to
+    *     `upTo` and delete the intent, guarded on the intent being ours.
+    *
+    * A crash anywhere replays safely: before the intent — nothing
+    * happened; mid-apply — the next run adopts the intent, already-applied
+    * destinations skip on their marker, the rest apply; after all applies —
+    * the next run completes the intent. "Crash between destinations"
+    * exists as a code point but not as an OBSERVABLE state: each
+    * destination's visibility flips atomically with its marker, and the
+    * source position only moves after every marker has.
+    *
+    * `process` must be deterministic over the fixed slice (the replay
+    * contract every exactly-once path here shares); outputs need a
+    * `payload` column. Returns the consumed `(from, upTo)` span. */
+  def consumeProcessProduceFanOut(spark: SparkSession, srcDir: String,
+                                  dstDirs: Seq[String], group: String,
+                                  epoch: Long, sortKey: Option[String] = None)
+                                 (process: (DataFrame, Int) => DataFrame): (Long, Long) =
+    fanOutRun(spark, srcDir, dstDirs, group, epoch, sortKey, _ => ())(process)
+
+  /** [[consumeProcessProduceFanOut]] with a post-apply hook — the seam the
+    * crash-injection suite uses to kill the job between destination
+    * applies; production callers use the public overload (no-op hook). */
+  private[graft] def fanOutRun(spark: SparkSession, srcDir: String,
+                               dstDirs: Seq[String], group: String,
+                               epoch: Long, sortKey: Option[String],
+                               afterApply: Int => Unit)
+                              (process: (DataFrame, Int) => DataFrame): (Long, Long) = {
+    require(dstDirs.nonEmpty, "fan-out needs at least one destination")
+    require(dstDirs.distinct.size == dstDirs.size,
+      s"fan-out destinations must be distinct: $dstDirs")
+    val posKey = groupKey(group)
+    val intentKey = fanOutIntentKey(group)
+    val appliedKey = fanOutAppliedKey(group)
+    def parseSpan(s: String): (Long, Long) = {
+      val Array(f, u) = s.split(":", 2); (f.toLong, u.toLong)
+    }
+
+    // phase 1: adopt the in-flight intent if one exists (recovery), else
+    // cut a new one under CAS. Loop: a rival may land its intent first —
+    // adopt it (idempotent applies make N concurrent appliers safe).
+    var span: Option[(Long, Long)] = None
+    var caughtUpAt = -1L
+    while (span.isEmpty && caughtUpAt < 0) {
+      val st = MetaLog.load(srcDir)
+      if (st.deleted) throw new IllegalStateException(s"stream $srcDir deleted")
+      st.kv.get(intentKey) match {
+        case Some(s) => span = Some(parseSpan(s))
+        case None =>
+          val prev0 = st.kv.get(posKey)
+          val from = prev0.map(_.toLong).getOrElse(st.startOffset)
+          val upTo = st.nextOffset
+          checkGroupPosition(group, from, upTo)
+          if (upTo <= from) caughtUpAt = from
+          else MetaLog.commitWithRetry(srcDir) { s2 =>
+            // re-check against the commit snapshot: first writer wins, a
+            // loser returns no actions and re-reads (outer loop)
+            if (s2.kv.get(intentKey).isEmpty && s2.kv.get(posKey) == prev0)
+              Seq(KvPut(intentKey, s"$from:$upTo"))
+            else Seq.empty
+          }
+      }
+    }
+    if (caughtUpAt >= 0) return (caughtUpAt, caughtUpAt)
+    val (from, upTo) = span.get
+    val spanStr = s"$from:$upTo"
+
+    // phase 2: apply to each destination, marker-idempotent
+    val srcSt = MetaLog.load(srcDir)
+    val slice = fetchState(spark, srcDir, srcSt, from, upTo, 0L)
+    dstDirs.zipWithIndex.foreach { case (d, i) =>
+      val dstSt = MetaLog.load(d)
+      val prevApplied = dstSt.kv.get(appliedKey)
+      // skip when the marker is AT or BEYOND our intent: spans are
+      // sequential per group, so a marker from a later span means a rival
+      // already completed ours and moved on — re-applying would
+      // double-deliver (the marker guard alone can't catch it because the
+      // rival's marker is a perfectly valid compare base)
+      val alreadyApplied = prevApplied.exists(s => parseSpan(s)._1 >= from)
+      if (!alreadyApplied) {
+        val out = process(slice, i)
+        val (a, b) = append(spark, d, out, epoch, sortKey = sortKey,
+          extraActions = Seq(KvPut(appliedKey, spanStr)),
+          extraGuards = Seq(prevApplied.map(KvValueIs(appliedKey, _))
+            .getOrElse(KvAbsent(appliedKey))))
+        // empty routed slice for this destination: advance the marker alone,
+        // with the same epoch + compare discipline as the data path
+        if (b == a) MetaLog.commitWithRetry(d) { s2 =>
+          if (epoch < s2.epoch)
+            throw new FencedException(s"fan-out apply epoch $epoch < ${s2.epoch}")
+          if (s2.kv.get(appliedKey) == prevApplied) Seq(KvPut(appliedKey, spanStr))
+          else Seq.empty
+        }
+        afterApply(i)
+      }
+    }
+
+    // phase 3: complete — position advance + intent delete, one CAS. A
+    // rival that completed first makes this a no-op (same outcome).
+    MetaLog.commitWithRetry(srcDir) { s2 =>
+      if (s2.kv.get(intentKey).contains(spanStr))
+        Seq(KvPut(posKey, upTo.toString), KvDel(intentKey))
+      else Seq.empty
+    }
+    (from, upTo)
+  }
+
   /** Commit history as a DataFrame — the batch twin of the streaming
     * metadata watch (`option("watch","metadata")`): one row per committed
     * action, `version` being the snapshot id [[scanAt]] accepts. */

@@ -34,6 +34,20 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
+  /** Deployment default for the CDC `divisor` (expected mean chunk length in
+    * bytes). The in-repo fixtures and oracles use `divisor = 16` because the
+    * test payloads are a few hundred BYTES — at that scale 16 B chunks give
+    * each payload enough chunks for overlap counting to mean something. Real
+    * media runs KiB-scale payloads, and a 16 B divisor there would grow the
+    * (id, chunk-hash) index to a constant factor of the corpus itself;
+    * production CDC systems cut 4-64 KiB mean chunks. Use THIS default (or
+    * larger) in deployment: the plan is corpus-linear at any divisor — only
+    * the index-size constant changes (index rows ≈ corpus_bytes / divisor) —
+    * and the codegen'd chunker's throughput RISES with the divisor (fewer
+    * cut tests succeed, fewer md5 digests per byte; the bench reports
+    * measured MB/s at both 16 and this value side by side). */
+  val DeploymentDivisor: Int = 16384
+
   /** STUB decoder: deterministic fake feature extraction from payload bytes.
     * A real deployment decodes here (libjpeg/ffmpeg/...); the arithmetic is
     * fixed so results are reproducible and oracle-checkable. */
@@ -268,8 +282,10 @@ object Multimodal {
     * surface as `(incoming, existing, n_shared)`. The only streaming state
     * is the pair-count aggregate. Same-id pairs are dropped (the id IS the
     * object identity; a re-upload under a new id is what the screen
-    * catches). At corpus scale, persist the library index bucketed by `ch`
-    * so the probe join co-locates without shuffling the library. */
+    * catches). At corpus scale, persist the library index with
+    * [[writeMediaLibraryIndex]] and probe with [[mediaDedupProbeAt]] —
+    * bucket-partition-pruned, and the library never shuffles (plan-pinned
+    * in PlanAuditSpec). */
   def mediaDedupProbe(libraryIndex: DataFrame, incoming: DataFrame,
                       idCol: String, payloadCol: String,
                       window: Int = 8, divisor: Int = 16,
@@ -284,6 +300,71 @@ object Multimodal {
       .select(col(idCol).as("incoming"), col("ch"))
     val lib = libraryIndex.select(col(libId).as("existing"), col("ch"))
     inc.join(lib, Seq("ch"))
+      .where(col("incoming") =!= col("existing"))
+      .groupBy("incoming", "existing").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Persist a media library's df-capped CDC chunk index PARTITIONED BY a
+    * chunk-hash bucket — the on-disk deployment shape [[mediaDedupProbe]]'s
+    * scaladoc prescribes (the [[graft.operators.Similarity.writeIvfIndex]]
+    * treatment applied to the chunk index): build once over the library,
+    * probe many times without ever shuffling the library. `bucket =
+    * pmod(ch, nBuckets)` is a pure function of the join key, so a probe
+    * knows exactly which `bucket=N/` directories its chunks can live in and
+    * pushes them as a static partition filter. Params ride a tiny sidecar
+    * so probes can never chunk with mismatched (window, divisor). */
+  def writeMediaLibraryIndex(df: DataFrame, idCol: String, payloadCol: String,
+                             dir: String, window: Int = 8, divisor: Int = 16,
+                             maxDf: Int = 64, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1)
+    val spark = df.sparkSession
+    val ch = cdcChunkHashes(df, idCol, payloadCol, window, divisor, maxDf)
+    ch.select(col(idCol), col("ch"),
+        pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/chunks")
+    import spark.implicits._
+    Seq((window, divisor, maxDf, nBuckets))
+      .toDF("window", "divisor", "max_df", "n_buckets")
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** [[mediaDedupProbe]] against a PERSISTED library index with two
+    * plan-level guarantees (both pinned in PlanAuditSpec):
+    *
+    *  1. the library NEVER shuffles — the incoming (micro-batch-sized) chunk
+    *     rows broadcast, so the join is a BroadcastHashJoin with the library
+    *     scan as the streamed side, no Exchange anywhere above it;
+    *  2. the library scan plans over ONLY the probed `bucket=N/` partitions —
+    *     the incoming chunks' distinct buckets (bounded by `nBuckets`, never
+    *     by the batch size — a legal driver collect) push as a static `isin`
+    *     partition filter, pruned at planning time.
+    *
+    * Results are bit-identical to the in-memory probe on the same index. */
+  def mediaDedupProbeAt(spark: SparkSession, dir: String, incoming: DataFrame,
+                        idCol: String, payloadCol: String,
+                        minShared: Int = 4): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    val (window, divisor, nBuckets) =
+      (p.getAs[Int]("window"), p.getAs[Int]("divisor"), p.getAs[Int]("n_buckets"))
+    val inc = OpUtil.shared(
+      cdcChunkRows(incoming, idCol, payloadCol, window, divisor)
+        .select(col(idCol).as("incoming"), col("ch")))
+    val probed = inc
+      .select(pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // partition-column dtype: directory values 0..nBuckets-1 infer INT, and
+    // the literals must match un-cast for pruning to engage (the
+    // readIvfIndex lesson) — bucket was written as INT, probed is Seq[Int]
+    val chunks = spark.read.parquet(s"$dir/chunks")
+    val libId = chunks.columns.filterNot(c => c == "ch" || c == "bucket") match {
+      case Array(one) => one
+      case other => throw new IllegalArgumentException(
+        s"library index must carry (id, ch, bucket), got ${other.mkString(",")}")
+    }
+    val lib = chunks.where(col("bucket").isin(probed: _*))
+      .select(col(libId).as("existing"), col("ch"))
+    broadcast(inc).join(lib, Seq("ch"))
       .where(col("incoming") =!= col("existing"))
       .groupBy("incoming", "existing").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)

@@ -1361,6 +1361,128 @@ class EsLogSpec extends SparkTestBase {
     }
   }
 
+  test("fan-out consume-process-produce: one slice to N destinations, replay-safe, fenced") {
+    val src = tmpDir("eslog-fanout-src-")
+    EsLog.create(src, streamId = 90L); EsLog.open(src, 1L)
+    val dsts = (0 until 3).map { i =>
+      val d = tmpDir(s"eslog-fanout-dst$i-")
+      EsLog.create(d, streamId = 91L + i); EsLog.open(d, 1L)
+      d
+    }
+    def put(lo: Long, hi: Long): Unit = {
+      val in = spark.range(lo, hi).select(
+        col("id"), col("id").cast("string").cast("binary").as("payload"))
+      EsLog.append(spark, src, in, 1L, sortKey = Some("id"), numPartitions = 2)
+    }
+    def route(slice: org.apache.spark.sql.DataFrame, i: Int) =
+      slice.where(col("base_offset") % 3 === i)
+        .select(col("base_offset").as("sk"), col("payload"),
+          map(lit("tag"), concat_ws(":", lit(i.toString),
+            col("base_offset").cast("string"))).as("properties"))
+    def job(epoch: Long): (Long, Long) =
+      EsLog.consumeProcessProduceFanOut(spark, src, dsts, "route", epoch,
+        sortKey = Some("sk"))(route)
+    put(0L, 30L)
+    assert(job(1L) == (0L, 30L))
+    dsts.foreach(d => assert(EsLog.nextOffset(d) == 10L))
+    // replay: caught up, nothing lands anywhere
+    assert(job(1L) == (30L, 30L))
+    dsts.foreach(d => assert(EsLog.nextOffset(d) == 10L))
+    // incremental: only the delta routes
+    put(30L, 36L)
+    assert(job(1L) == (30L, 36L))
+    dsts.foreach(d => assert(EsLog.nextOffset(d) == 12L))
+    // every destination holds exactly its residue class, exactly once
+    dsts.zipWithIndex.foreach { case (d, i) =>
+      val tags = EsLog.scan(spark, d).select(col("properties")("tag"))
+        .collect().map(_.getString(0)).sorted
+      val want = (0L until 36L).filter(_ % 3 == i).map(o => s"$i:$o").sorted
+      assert(tags.sameElements(want), s"dst $i: ${tags.length} vs ${want.length}")
+    }
+    // the group position lives on the SOURCE, readable as an ordinary group
+    assert(EsLog.groupOffset(src, "route").contains(36L))
+    // zombie fencing mid-protocol: destination 1 moves to a new generation;
+    // the old-epoch job applies dst 0, then throws at dst 1 — intent stays
+    put(36L, 39L)
+    EsLog.open(dsts(1), 2L)
+    assertThrows[FencedException](job(1L))
+    assert(EsLog.nextOffset(dsts(0)) == 13L, "dst 0 applied before the fence")
+    assert(EsLog.nextOffset(dsts(1)) == 12L, "fenced dst must hold nothing new")
+    assert(EsLog.groupOffset(src, "route").contains(36L),
+      "source position must not advance while the intent is incomplete")
+    // recovery at the new epoch adopts the intent: dst 0 skips on its
+    // marker (no double-delivery), dst 1 and 2 apply, intent completes
+    assert(job(2L) == (36L, 39L))
+    dsts.foreach(d => assert(EsLog.nextOffset(d) == 13L))
+    assert(EsLog.groupOffset(src, "route").contains(39L))
+    dsts.zipWithIndex.foreach { case (d, i) =>
+      val tags = EsLog.scan(spark, d).select(col("properties")("tag"))
+        .collect().map(_.getString(0)).sorted
+      val want = (0L until 39L).filter(_ % 3 == i).map(o => s"$i:$o").sorted
+      assert(tags.sameElements(want), s"dst $i after recovery: ${tags.length} vs ${want.length}")
+    }
+    // duplicate destinations rejected up front
+    assertThrows[IllegalArgumentException](
+      EsLog.consumeProcessProduceFanOut(spark, src, Seq(dsts(0), dsts(0)),
+        "route", 2L)((s, _) => s.select(col("payload"))))
+  }
+
+  test("fan-out under seeded crash injection between destination applies: per-destination exactly-once") {
+    val src = tmpDir("eslog-fanout-chaos-src-")
+    EsLog.create(src, streamId = 95L); EsLog.open(src, 1L)
+    val dsts = (0 until 3).map { i =>
+      val d = tmpDir(s"eslog-fanout-chaos-dst$i-")
+      EsLog.create(d, streamId = 96L + i); EsLog.open(d, 1L)
+      d
+    }
+    val rnd = new scala.util.Random(11)
+    var head = 0L
+    def route(slice: org.apache.spark.sql.DataFrame, i: Int) =
+      slice.where(col("base_offset") % 3 === i)
+        .where(col("base_offset") % 2 === 0) // and an in-route filter
+        .select(col("base_offset").as("sk"), col("payload"),
+          map(lit("tag"), concat_ws(":", lit(i.toString),
+            col("base_offset").cast("string"))).as("properties"))
+    def job(crashAfter: Int): Unit = {
+      // crashAfter = k kills the job after k-th destination's apply commits
+      // (-1 = crash inside process before anything lands; 3 = run clean)
+      try EsLog.fanOutRun(spark, src, dsts, "route", 1L, Some("sk"),
+        afterApply = i =>
+          if (i >= crashAfter) throw new RuntimeException("injected crash between applies")) {
+        (slice, i) =>
+          if (crashAfter < 0) throw new RuntimeException("injected crash in process")
+          route(slice, i)
+      } catch { case e: RuntimeException if e.getMessage.contains("injected") => () }
+    }
+    for (_ <- 0 until 12) {
+      if (rnd.nextBoolean()) {
+        val k = 5 + rnd.nextInt(30)
+        val in = spark.range(head, head + k).select(
+          col("id"), col("id").cast("string").cast("binary").as("payload"))
+        EsLog.append(spark, src, in, 1L, sortKey = Some("id"), numPartitions = 2)
+        head += k
+      }
+      rnd.nextInt(4) match {
+        case 0 => job(crashAfter = 3)                       // clean
+        case 1 => job(crashAfter = rnd.nextInt(3)); job(3)  // crash mid-apply, recover
+        case 2 => job(crashAfter = -1); job(3)              // crash in process, recover
+        case 3 => job(3); job(3)                            // replay a success
+      }
+    }
+    job(crashAfter = 3) // final drain
+    dsts.zipWithIndex.foreach { case (d, i) =>
+      val tags = EsLog.scan(spark, d).select(col("properties")("tag"))
+        .collect().map(_.getString(0)).sorted
+      val want = (0L until head).filter(o => o % 3 == i && o % 2 == 0)
+        .map(o => s"$i:$o").sorted
+      assert(tags.length == want.length && tags.sameElements(want),
+        s"fan-out exactly-once broken at dst $i: ${tags.length} vs ${want.length} " +
+          s"(dups: ${tags.diff(tags.distinct).take(5).mkString(",")})")
+    }
+    assert(EsLog.groupOffset(src, "route").contains(head),
+      "source position must sit at the head after the drain")
+  }
+
   test("time index: fetchByTime prunes files via manifest stats; offsetForTimestamp reads one file") {
     val dir = tmpDir("eslog-time-")
     EsLog.create(dir, streamId = 20L)

@@ -551,6 +551,69 @@ class PlanAuditSpec extends SparkTestBase {
       s"CDC chunk sets must mostly survive a one-byte edit: ${hs(10L).size}/${hs(11L).size}/shared=$shared")
   }
 
+  test("persisted media library index: probe prunes buckets and never shuffles the library") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def blob(seed: Int): String =
+      (0 until 50).map(i => f"${graft.functions.Portable.md5Long(s"m$seed:$i")}%08x").mkString
+    val lib = (0 until 12).map(i => (i.toLong, blob(i))).toDF("media_id", "payload")
+      .select(col("media_id"), col("payload").cast("binary").as("payload"))
+    val root = java.nio.file.Files.createTempDirectory("media-idx-").toString
+    Multimodal.writeMediaLibraryIndex(lib, "media_id", "payload", root)
+    // incoming: ONE exact re-upload of library #3 under a new id — its
+    // chunk set (and hence its probed bucket set) is a small fraction of
+    // the buckets on disk
+    val inc = Seq((100L, blob(3))).toDF("media_id", "payload")
+      .select(col("media_id"), col("payload").cast("binary").as("payload"))
+    val got = Multimodal.mediaDedupProbeAt(spark, root, inc, "media_id", "payload",
+        minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(p => (p._1, p._2)) == Set((100L, 3L)), got.toString)
+    // bit-equal to the in-memory probe over the same (un-persisted) index
+    val memIdx = Multimodal.cdcChunkHashes(
+      lib.select(col("media_id").as("existing_id"), col("payload")),
+      "existing_id", "payload")
+    val mem = Multimodal.mediaDedupProbe(memIdx, inc, "media_id", "payload",
+        minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == mem, s"persisted probe must equal in-memory probe: $got vs $mem")
+    // plan proof (AQE off so the physical scan is reachable): the library
+    // scan is the STREAMED side of the one BroadcastHashJoin with no
+    // Exchange anywhere in its subtree, and its selected partitions are a
+    // strict subset of the bucket=N/ directories on disk
+    val allBuckets = new java.io.File(s"$root/chunks").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(allBuckets.size > 30, s"fixture needs bucket spread, got $allBuckets")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val again = Multimodal.mediaDedupProbeAt(spark, root, inc, "media_id", "payload",
+        minShared = 4)
+      val plan = again.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(joins.size == 1, plan.toString)
+      val streamed = joins.head.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => joins.head.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => joins.head.left
+      }
+      val libScans = streamed.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/chunks")) => s
+      }
+      assert(libScans.size == 1,
+        s"library must be the streamed (never broadcast) side: $plan")
+      assert(streamed.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"library side must carry no Exchange: $streamed")
+      val readDirs = libScans.flatMap(_.selectedPartitions.toPartitionArray.toSeq)
+        .map(pf => pf.filePath.toString.split("/chunks/")(1).split("/")(0)).toSet
+      assert(readDirs.nonEmpty && readDirs.size < allBuckets.size,
+        s"probe must plan a strict subset of buckets: ${readDirs.size} of ${allBuckets.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("CdcChunkHashesExpr == the composed Column pipeline, incl. edge cases") {
     import spark.implicits._
     import graft.operators.Multimodal
@@ -1030,9 +1093,11 @@ class PlanAuditSpec extends SparkTestBase {
     "dedup_semantic_probe" -> Seq("existing", "incoming", "cosine"),
     "dedup_exact" -> Seq("doc_id", "h", "dups"),
     "multimodal_dedup_cdc" -> Seq("i", "j", "n_shared"),
+    "multimodal_probe_persisted" -> Seq("incoming", "existing", "n_shared"),
     "sim_ivf_persisted" -> Seq("qid", "nid", "rank", "score"),
     "sim_lsh_persisted" -> Seq("qid", "nid", "rank", "score"),
     "es_etl_fanin" -> Seq("base_offset", "src", "src_off", "event_type"),
+    "es_etl_fanout" -> Seq("dst", "base_offset", "src_off", "event_type"),
     "es_group_lag" -> Seq("grp", "committed", "position", "next_offset", "lag"),
     "es_catalog_group_lag" -> Seq("stream", "grp", "committed", "position", "next_offset", "lag"),
     "es_stream_temperature" -> Seq("doc_id", "source"),
