@@ -79,14 +79,23 @@ object Bpe {
   def learn(docs: DataFrame, idCol: String, textCol: String,
             numMerges: Int, minPairCount: Long = 2L,
             maxWords: Int = 1000000): Seq[(String, String)] = {
-    // corpus -> (word, n): the only pass over the full data
-    val rows = docs
+    // corpus -> (word, n): the only pass over the full data. One row past
+    // the cap is fetched purely as a TRUNCATION PROBE: when it comes back,
+    // the vocabulary exceeded maxWords and the merges are being learned on
+    // the highest-frequency slice — say so out loud instead of silently
+    // (the caller may want a bigger cap for a byte-exact artifact).
+    val rows0 = docs
       .select(explode(graft.functions.Portable.words(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w").asc)
-      .limit(maxWords)
+      .limit(maxWords + 1)
       .collect()
+    if (rows0.length > maxWords)
+      System.err.println(s"[bpe] corpus has more than $maxWords distinct words — " +
+        "merges are learned on the top-" + maxWords + " frequency slice " +
+        "(raise maxWords for a full-vocabulary artifact)")
+    val rows = rows0.take(maxWords)
     // the same spaced representation spacedChars builds plan-side:
     // " w o r d " — split("") chunks to code points exactly as Spark's
     // split(col, "", 0) does (both ride Java's regex engine)

@@ -388,7 +388,14 @@ object Multimodal {
     * sharing at least `minShared` distinct (df-capped) chunks, as
     * `(i, j, n_shared)` with i < j — integer counts, bit-reproducible.
     * Plan: one inverted-index equi-join on 8-byte chunk hashes (the
-    * [[Dedup.ngramJaccard]] shape), never an all-pairs product. */
+    * [[Dedup.ngramJaccard]] shape), never an all-pairs product.
+    *
+    * CONTRACT: `idCol` must be unique per row (the media-table shape).
+    * Chunk dedup is per-PAYLOAD — a duplicated id contributes duplicate
+    * (id, ch) rows and inflates that id's `n_shared` counts. Pre-aggregate
+    * (`dropDuplicates(idCol)`) before calling if the input can repeat ids;
+    * the operator does not pay that shuffle for the common case. Applies
+    * equally to [[binaryNearDupsCdc]] and [[mediaDedupProbe]]. */
   def binaryNearDups(df: DataFrame, idCol: String, payloadCol: String,
                      chunkBytes: Int = 64, minShared: Int = 2,
                      maxDf: Int = 64): DataFrame = {

@@ -224,12 +224,22 @@ object Sampling {
     * admission is the deterministic fold of per-batch hash orders. The
     * total accumulates over EVERY doc (admitted or not) exactly like the
     * batch cum-filter, so a source that crosses its budget is closed
-    * forever. Sources absent from `budgets` drop. The per-batch group
-    * buffer is bounded by the micro-batch size (the source's admission
-    * control — maxOffsetsPerTrigger — is the knob); ids must be long. */
+    * forever. Sources absent from `budgets` drop; ids must be long.
+    *
+    * CONTRACT: run under a rate-limited trigger. Sorting a source's slice
+    * into seeded-hash order requires buffering it on one task, so the
+    * per-batch group buffer is bounded by the micro-batch size — the
+    * source's admission control (`maxOffsetsPerTrigger` /
+    * `maxBytesPerTrigger`) is the knob. An unthrottled AvailableNow
+    * catch-up over a large backlog would deliver the whole backlog as one
+    * batch; rather than silently OOM the task, the fold FAILS FAST when a
+    * source's slice exceeds `maxBatchRows` (raise it deliberately if a
+    * bigger buffer is really wanted). */
   def tokenBudgetStream(stream: DataFrame, idCol: String, textCol: String,
                         sourceCol: String, budgets: Seq[(String, Long)],
-                        seed: Int = 7): DataFrame = {
+                        seed: Int = 7,
+                        maxBatchRows: Int = 4 * 1000 * 1000): DataFrame = {
+    require(maxBatchRows >= 1, "maxBatchRows must be positive")
     require(budgets.nonEmpty && budgets.forall(_._2 >= 0), "budgets must be >= 0")
     require(budgets.map(_._1).distinct.size == budgets.size, "duplicate source")
     val spark = stream.sparkSession
@@ -248,7 +258,18 @@ object Sampling {
         case None => Iterator.empty
         case Some(budget) =>
           var cum = state.getOption.getOrElse(0L)
-          val admitted = it.toIndexedSeq.sortBy(r => (r._4, r._1)).flatMap { r =>
+          val buf = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+          it.foreach { r =>
+            if (buf.size >= maxBatchRows)
+              throw new IllegalStateException(
+                s"tokenBudgetStream: source '$src' delivered more than " +
+                  s"$maxBatchRows rows in one micro-batch — the seeded-hash " +
+                  "sort buffers a source's slice on one task, so run under a " +
+                  "rate-limited trigger (maxOffsetsPerTrigger) or raise " +
+                  "maxBatchRows deliberately")
+            buf += r
+          }
+          val admitted = buf.sortBy(r => (r._4, r._1)).flatMap { r =>
             cum += r._3
             if (cum <= budget) Some((r._1, src, r._3, cum)) else None
           }

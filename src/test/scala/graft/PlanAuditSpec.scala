@@ -702,6 +702,17 @@ class PlanAuditSpec extends SparkTestBase {
       assert(finalCum == want,
         s"chunk=$chunk: state must accumulate across batches: $finalCum vs $want")
     }
+    // backlog guard: a source slice larger than maxBatchRows fails FAST with
+    // the rate-limited-trigger contract in the message, instead of buffering
+    // an unbounded backlog on one task (the unthrottled-AvailableNow trap)
+    val oversized = docs.where(col("source") === "src0").limit(8)
+    val guarded = Sampling.tokenBudgetStream(oversized, "doc_id", "text", "source",
+      Seq("src0" -> Long.MaxValue), seed = 7, maxBatchRows = 5)
+    val e = intercept[Exception](guarded.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("maxOffsetsPerTrigger")),
+      s"guard must name the admission-control knob: ${messages(e)}")
   }
 
   test("split assignment: complete partition, proportional, stable per id") {
