@@ -1327,6 +1327,24 @@ object Oracles {
        |t AS (SELECT unnest(string_split(trim(${bpeChainSql(merges)}), ' ')) AS token FROM nz)
        |SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1""".stripMargin
 
+  /** Byte-level chain: the spaced representation is the word's UTF-8 bytes
+    * as uppercase hex pairs — `hex(encode(w))` split every two chars (the
+    * regexp's trailing space + the prepended `' '` give the same sentinel
+    * spacing as the char chain). Hex text is byte-identical across
+    * engines, so the replace chain replays exactly. */
+  private def bpeBytesChainSql(merges: Seq[(String, String)]): String = {
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    merges.foldLeft("""' ' || regexp_replace(hex(encode(w)), '(..)', '\1 ', 'g')""") {
+      case (r, (x, y)) => s"replace($r, ${q(s" $x $y ")}, ${q(s" $x$y ")})"
+    }
+  }
+
+  def textBpeBytesSql(merges: Seq[(String, String)]): String =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |nz AS (SELECT w FROM w WHERE w <> ''),
+       |t AS (SELECT unnest(string_split(trim(${bpeBytesChainSql(merges)}), ' ')) AS token FROM nz)
+       |SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1""".stripMargin
+
   /** Oracle for the token-ID capstone: same spliced REPLACE chain, then
     * frequency-ranked ids over the WHOLE corpus (count DESC, token ASC) and
     * word-major positions per doc — output restricted to every 10th doc

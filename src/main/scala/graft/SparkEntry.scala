@@ -785,6 +785,22 @@ object SparkEntry {
     Bpe.tokenFrequencies(docs, "doc_id", "text", merges)
   }
 
+  /** Byte-level BPE ([[graft.operators.Bpe.learnBytes]]): the GPT-2-family
+    * alphabet — symbols are UTF-8 bytes as hex pairs, so no word is ever
+    * OOV and merges may cross multi-byte character boundaries. Same
+    * word-count-first learn, same codegen'd replace-chain encode; the
+    * generated oracle replays the chain over DuckDB's
+    * `hex(encode(w))`-derived spaced bytes. */
+  private val bpeBytesMerges = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String)]]()
+  private def qTextBpeBytes(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Bpe
+    val docs = Fixtures.documents(s, sfDir)
+    val merges = Bpe.learnBytes(docs, "doc_id", "text", numMerges = 40)
+    bpeBytesMerges.put(sfDir, merges)
+    Bpe.tokenFrequenciesBytes(docs, "doc_id", "text", merges)
+  }
+
   /** The pretraining-data capstone row ([[graft.operators.Bpe.encodeIds]]):
     * every 10th document as its subword token-ID sequence — the corpus a
     * trainer would actually consume. Same stashed merges; the generated
@@ -1627,6 +1643,7 @@ object SparkEntry {
     "text_vocab_encode" -> (qTextVocabEncode _),
     "text_classify" -> (qTextClassify _),
     "text_bpe" -> (qTextBpe _),
+    "text_bpe_bytes" -> (qTextBpeBytes _),
     "text_unigram" -> (qTextUnigram _),
     "text_bpe_ids" -> (qTextBpeIds _),
     "sample_diverse" -> (qSampleDiverse _),
@@ -1723,6 +1740,9 @@ object SparkEntry {
           "text_bpe" -> Oracles.textBpeSql(m),
           "text_bpe_ids" -> Oracles.textBpeIdsSql(m),
           "es_stream_bpe" -> Oracles.esStreamBpeSql(m)))
+        .getOrElse(Seq.empty) ++
+      Option(bpeBytesMerges.get(sfDir))
+        .map(m => Seq("text_bpe_bytes" -> Oracles.textBpeBytesSql(m)))
         .getOrElse(Seq.empty)
 
   /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):

@@ -107,12 +107,22 @@ object Bpe {
       weight(wi) = rows(wi).getLong(1)
       wi += 1
     }
+    mergeLoop(repr, weight, numMerges, minPairCount)
+  }
+
+  /** The driver-side merge loop over spaced symbol representations — shared
+    * by the char-alphabet [[learn]] and byte-alphabet [[learnBytes]] (the
+    * algorithm is symbol-agnostic: count adjacent pairs weighted by word
+    * frequency, argmax by (count DESC, pair UTF-8 ASC), one left-to-right
+    * replace sweep per merge). MUTATES `repr` in place. */
+  private def mergeLoop(repr: Array[String], weight: Array[Long],
+                        numMerges: Int, minPairCount: Long): Seq[(String, String)] = {
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var continue = true
     while (continue && merges.size < numMerges) {
       // adjacent symbol pairs of the current representation, weighted by n
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      wi = 0
+      var wi = 0
       while (wi < repr.length) {
         val syms = repr(wi).trim.split(" ")
         var i = 0
@@ -139,10 +149,10 @@ object Bpe {
         merges += ((x, y))
         val pat = s" $x $y "
         val rep = s" $x$y "
-        wi = 0
-        while (wi < repr.length) {
-          if (repr(wi).contains(pat)) repr(wi) = repr(wi).replace(pat, rep)
-          wi += 1
+        var wi2 = 0
+        while (wi2 < repr.length) {
+          if (repr(wi2).contains(pat)) repr(wi2) = repr(wi2).replace(pat, rep)
+          wi2 += 1
         }
       }
     }
@@ -157,6 +167,96 @@ object Bpe {
     }
     split(trim(swept), " ", 0)
   }
+
+  // ---- byte-level alphabet (the GPT-2 family): symbols are UTF-8 BYTES
+  //      rendered as fixed-width uppercase hex pairs, so the alphabet is
+  //      exactly 256 symbols and NO word is ever out-of-vocabulary — a word
+  //      whose characters never appeared at learn time still encodes (to
+  //      its byte symbols), where the char alphabet would surface unseen
+  //      code points as novel symbols. Merges may cross multi-byte
+  //      character boundaries (byte-level merges do); decoding re-parses
+  //      hex to bytes, so reconstruction is lossless regardless. Same
+  //      merge loop, same replace-chain encode, same SQL-replayable
+  //      machinery — hex text is byte-identical across engines. ----
+
+  /** One byte as its fixed-width uppercase hex symbol. */
+  private def hexByte(b: Byte): String = f"${b & 0xff}%02X"
+
+  /** The spaced byte representation a merge sweep rewrites:
+    * `"ab"` -> `" 61 62 "` (hex pairs; sentinel spaces like
+    * [[spacedChars]]). Plan-side twin of the driver-side construction in
+    * [[learnBytes]]: `hex` of the UTF-8 bytes, split every two chars. */
+  private def spacedBytes(word: Column): Column =
+    concat(lit(" "),
+      regexp_replace(upper(hex(word.cast("binary"))), "(..)", "$1 "))
+
+  /** [[learn]] over the byte alphabet: identical word-count pass and merge
+    * loop; only the initial representation differs (hex byte symbols).
+    * The 256-symbol alphabet means zero OOV by construction. */
+  def learnBytes(docs: DataFrame, idCol: String, textCol: String,
+                 numMerges: Int, minPairCount: Long = 2L,
+                 maxWords: Int = 1000000): Seq[(String, String)] = {
+    val rows0 = docs
+      .select(explode(graft.functions.Portable.words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxWords + 1)
+      .collect()
+    if (rows0.length > maxWords)
+      System.err.println(s"[bpe] corpus has more than $maxWords distinct words — " +
+        "byte merges are learned on the top-" + maxWords + " frequency slice " +
+        "(raise maxWords for a full-vocabulary artifact)")
+    val rows = rows0.take(maxWords)
+    val repr = new Array[String](rows.length)
+    val weight = new Array[Long](rows.length)
+    var wi = 0
+    while (wi < rows.length) {
+      repr(wi) = rows(wi).getString(0)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(hexByte).mkString(" ", " ", " ")
+      weight(wi) = rows(wi).getLong(1)
+      wi += 1
+    }
+    mergeLoop(repr, weight, numMerges, minPairCount)
+  }
+
+  /** Byte-level encode expression: spaced hex bytes, then the merge chain —
+    * one codegen'd literal-replace chain, like [[encodeExpr]]. */
+  def encodeBytesExpr(word: Column, merges: Seq[(String, String)]): Column = {
+    val swept = merges.foldLeft(spacedBytes(word)) { case (r, (x, y)) =>
+      call_function("replace", r, lit(s" $x $y "), lit(s" $x$y "))
+    }
+    split(trim(swept), " ", 0)
+  }
+
+  /** Byte-level [[encode]]: `(id, pos, token)` with hex-string tokens;
+    * same flatten-then-one-posexplode shape — no window, no shuffle,
+    * streaming-legal. */
+  def encodeBytes(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(flatten(transform(
+          expr(s"filter(split($textCol, ' ', -1), w -> w != '')"),
+          w => encodeBytesExpr(w, merges)))).as(Seq("pos", "token")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("token"))
+
+  /** Corpus token frequencies under byte-level merges — the oracle-checked
+    * query shape ([[tokenFrequencies]] twin). */
+  def tokenFrequenciesBytes(docs: DataFrame, idCol: String, textCol: String,
+                            merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(explode(graft.functions.Portable.words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .select(explode(encodeBytesExpr(col("w"), merges)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+
+  /** Decode a word's byte-level tokens: concatenate the hex, parse back to
+    * bytes, decode UTF-8 — lossless even when merges crossed multi-byte
+    * character boundaries (the hex stream is the byte stream). */
+  def decodeBytesWord(tokens: Column): Column =
+    decode(unhex(concat_ws("", tokens)), "UTF-8")
 
   /** Encode every document: `(id, pos, token)` rows — token positions are
     * word-major (whole-doc token order), empty words dropped. The per-word

@@ -505,7 +505,55 @@ object GraftFunctions {
           "marker-voting language id per doc (scores + argmax prediction)"),
       (args: Seq[Expression]) => { arity("graft_text_langid", args, 3)
         val (df, id, text) = opInput("graft_text_langid", args)
-        GraftShims.analyzedPlan(graft.operators.TextOps.languageId(df, id, text)) }))
+        GraftShims.analyzedPlan(graft.operators.TextOps.languageId(df, id, text)) }),
+    (FunctionIdentifier("graft_sample_temperature"),
+      info("graft_sample_temperature",
+        "graft_sample_temperature('table_or_path', 'id_col', 'source_col', " +
+          "alpha_permille[, seed]) - temperature (alpha) source rebalancing: " +
+          "keeps rows so source shares follow n^alpha (alpha in permille, " +
+          "0 = flatten to the smallest source, 1000 = keep everything)"),
+      (args: Seq[Expression]) => { arity("graft_sample_temperature", args, 4, 5)
+        val (df, id, srcCol) = opInput("graft_sample_temperature", args)
+        val alphaPm = literalLong(args(3), "graft_sample_temperature", "alpha_permille")
+        require(alphaPm >= 0 && alphaPm <= 1000,
+          s"graft_sample_temperature: alpha_permille must be in [0, 1000], got $alphaPm")
+        val seed = optLong(args, 4, 0L, "graft_sample_temperature", "seed").toInt
+        GraftShims.analyzedPlan(graft.operators.Sampling.sampleTemperature(
+          df, id, srcCol, alphaPm / 1000.0, seed)) }),
+    (FunctionIdentifier("graft_sample_token_budget"),
+      info("graft_sample_token_budget",
+        "graft_sample_token_budget('table_or_path', 'id_col', 'text_col', " +
+          "'source_col', 'budgets_table_or_path'[, seed]) - token-budget " +
+          "admission per source in seeded-hash order; the budgets relation's " +
+          "first two columns are (source STRING, budget BIGINT); returns " +
+          "(id, source, n_tokens, cum_tokens)"),
+      (args: Seq[Expression]) => { arity("graft_sample_token_budget", args, 5, 6)
+        val (df, id, text) = opInput("graft_sample_token_budget", args)
+        val srcCol = literalString(args(3), "graft_sample_token_budget", "source_col")
+        val bref = literalString(args(4), "graft_sample_token_budget", "budgets_table_or_path")
+        // budgets are recipe-sized (one row per source) — a bounded, legal
+        // driver collect, exactly what the Scala caller passes as a Seq
+        val budgets = resolveRef(bref).collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1)))
+        val seed = optLong(args, 5, 7L, "graft_sample_token_budget", "seed").toInt
+        GraftShims.analyzedPlan(graft.operators.Sampling.sampleToTokenBudget(
+          df, id, text, srcCol, budgets, seed)) }),
+    (FunctionIdentifier("graft_sim_search"),
+      info("graft_sim_search",
+        "graft_sim_search('index_dir', 'queries_table_or_path', 'id_col', " +
+          "'vec_col', k[, nprobe]) - ANN top-k over a PERSISTED partition-" +
+          "pruned IVF index (graft.operators.Similarity.writeIvfIndex); " +
+          "probed cells push as a static partition filter; returns " +
+          "(qid, nid, rank, score)"),
+      (args: Seq[Expression]) => { arity("graft_sim_search", args, 5, 6)
+        val dir = literalString(args(0), "graft_sim_search", "index_dir")
+        val qref = literalString(args(1), "graft_sim_search", "queries_table_or_path")
+        val qid = literalString(args(2), "graft_sim_search", "id_col")
+        val vec = literalString(args(3), "graft_sim_search", "vec_col")
+        val k = literalLong(args(4), "graft_sim_search", "k").toInt
+        val nprobe = optLong(args, 5, 4L, "graft_sim_search", "nprobe").toInt
+        GraftShims.analyzedPlan(graft.operators.Similarity.searchIvfIndexAt(
+          active(), dir, resolveRef(qref), qid, vec, k, nprobe)) }))
 
   /** Shared input resolution of the pipeline-operator TVFs: first arg names
     * the corpus — a '/'-containing path (an eslog STREAM dir if it carries
@@ -518,10 +566,7 @@ object GraftFunctions {
     val ref = literalString(args(0), fn, "table_or_path")
     val id = literalString(args(1), fn, "id_col")
     val text = literalString(args(2), fn, "text_col")
-    val df =
-      if (!ref.contains("/")) active().table(ref)
-      else if (graft.meta.MetaLog.exists(ref)) EsLog.scan(active(), ref)
-      else active().read.parquet(ref)
+    val df = resolveRef(ref)
     // text operators take a STRING column; an eslog payload arrives binary —
     // resolve case-insensitively like Spark does and cast in place. The
     // media TVF passes textual=false: its payload must STAY binary (a
@@ -533,6 +578,15 @@ object GraftFunctions {
     else df
     (dfText, id, text)
   }
+
+  /** Corpus reference resolution shared by every operator TVF: a
+    * '/'-containing path is an eslog stream dir (if it carries the
+    * metadata log) or a parquet dir; anything else is a catalog table /
+    * temp view name. */
+  private def resolveRef(ref: String): org.apache.spark.sql.DataFrame =
+    if (!ref.contains("/")) active().table(ref)
+    else if (graft.meta.MetaLog.exists(ref)) EsLog.scan(active(), ref)
+    else active().read.parquet(ref)
 
   private def optLong(args: Seq[Expression], i: Int, default: Long,
                       fn: String, pos: String): Long =

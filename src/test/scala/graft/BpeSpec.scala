@@ -113,4 +113,93 @@ class BpeSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaEncode == viaFreq)
   }
+
+  // byte-level reference twin: symbols are uppercase hex pairs of the
+  // word's UTF-8 bytes; merge loop/encode semantics identical
+  private def hexSyms(w: String): Seq[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
+      .map(b => f"${b & 0xff}%02X")
+  private def refLearnBytes(words: Map[String, Long], numMerges: Int,
+                            minCount: Long = 2L): Seq[(String, String)] = {
+    var repr: Map[String, Long] = words.map { case (w, n) =>
+      (hexSyms(w).mkString(" ", " ", " "), n)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var go = true
+    while (go && out.size < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      repr.foreach { case (r, n) =>
+        r.trim.split(" ").sliding(2).foreach {
+          case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ =>
+        }
+      }
+      counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption match {
+        case Some(((a, b), c)) if c >= minCount =>
+          out += ((a, b))
+          repr = repr.map { case (r, n) => (r.replace(s" $a $b ", s" $a$b "), n) }
+        case _ => go = false
+      }
+    }
+    out.toSeq
+  }
+  private def refEncodeBytes(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var r = hexSyms(word).mkString(" ", " ", " ")
+    merges.foreach { case (a, b) => r = r.replace(s" $a $b ", s" $a$b ") }
+    r.trim.split(" ").toSeq
+  }
+
+  test("byte-level learn matches the reference implementation; encode matches the sweep") {
+    val got = Bpe.learnBytes(docs, "doc_id", "text", numMerges = 20)
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refLearnBytes(words, 20)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    import spark.implicits._
+    val sample = words.keys.toSeq.sorted.take(40) ++ Seq("héllo", "日本", "x")
+    val df = sample.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    val enc = df.select(col("id"), Bpe.encodeBytesExpr(col("w"), got).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    sample.zipWithIndex.foreach { case (w, i) =>
+      assert(enc(i.toLong) == refEncodeBytes(w, got),
+        s"word '$w': ${enc(i.toLong)} vs ${refEncodeBytes(w, got)}")
+    }
+  }
+
+  test("byte alphabet: no OOV — unseen unicode words encode and decode losslessly") {
+    import spark.implicits._
+    val merges = Bpe.learnBytes(docs, "doc_id", "text", numMerges = 40)
+    // none of these appear in the training corpus; the char alphabet would
+    // surface novel symbols, the byte alphabet covers them by construction
+    val unseen = Seq("héllo", "naïve", "日本語のテキスト", "🚀🚀", "Ω≈ç√", "mixedé日x")
+    val df = unseen.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    val back = df.select(col("id"), col("w"),
+        Bpe.decodeBytesWord(Bpe.encodeBytesExpr(col("w"), merges)).as("back"))
+      .where(col("w") =!= col("back"))
+    assert(back.count() == 0, "byte-level reconstruction must be lossless on unseen words")
+    // every emitted token is even-length hex (whole bytes)
+    val toks = df.select(explode(Bpe.encodeBytesExpr(col("w"), merges)).as("t"))
+      .collect().map(_.getString(0))
+    assert(toks.nonEmpty && toks.forall(t => t.length % 2 == 0 &&
+      t.forall(c => c.isDigit || ('A' to 'F').contains(c))), toks.mkString(","))
+  }
+
+  test("byte-level corpus reconstruction + determinism over the full corpus") {
+    val m1 = Bpe.learnBytes(docs, "doc_id", "text", numMerges = 40)
+    val m2 = Bpe.learnBytes(docs, "doc_id", "text", numMerges = 40)
+    assert(m1 == m2)
+    val bad = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+      .select(col("w"), Bpe.decodeBytesWord(Bpe.encodeBytesExpr(col("w"), m1)).as("back"))
+      .where(col("w") =!= col("back"))
+    assert(bad.count() == 0)
+    // frequency view agrees with per-doc encode (the registry row's shape)
+    val viaEncode = Bpe.encodeBytes(docs, "doc_id", "text", m1)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaFreq = Bpe.tokenFrequenciesBytes(docs, "doc_id", "text", m1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaEncode == viaFreq)
+  }
 }

@@ -768,23 +768,30 @@ class EsLogSpec extends SparkTestBase {
     val cat = new graft.eslog.EsCatalog(root)
     (0 until 100).foreach(i => cat.createStream(f"s$i%03d"))
 
-    // instrument the seam: per-stream log listings counted, concurrency peak
+    // instrument the seam: loads counted via the one-per-load checkpoint
+    // probe (MetaLog.load no longer LISTS the log dir — it probes forward
+    // from the checkpoint, so the old per-dir listing count would read 0),
+    // concurrency peak tracked around version-file reads
     import graft.meta.{FsLogStore, LogStore, MetaLog}
     class CountingStore extends LogStore {
-      val listsPerDir = new scala.collection.concurrent.TrieMap[String, Int]
+      val loadsPerDir = new scala.collection.concurrent.TrieMap[String, Int]
       val active = new java.util.concurrent.atomic.AtomicInteger
       val peak = new java.util.concurrent.atomic.AtomicInteger
-      def read(p: String) = FsLogStore.read(p)
-      def exists(p: String) = FsLogStore.exists(p)
-      def isDir(p: String) = FsLogStore.isDir(p)
-      def list(dir: String) = {
-        if (dir.contains("/streams/")) {
-          listsPerDir.updateWith(dir)(c => Some(c.getOrElse(0) + 1))
+      def read(p: String) = {
+        if (p.contains("/streams/")) {
           val a = active.incrementAndGet()
-          peak.getAndUpdate(p => math.max(p, a))
-          try FsLogStore.list(dir) finally active.decrementAndGet()
-        } else FsLogStore.list(dir)
+          peak.getAndUpdate(x => math.max(x, a))
+          try FsLogStore.read(p) finally active.decrementAndGet()
+        } else FsLogStore.read(p)
       }
+      def exists(p: String) = {
+        // readLastCheckpoint probes _last_checkpoint exactly once per load
+        if (p.contains("/streams/") && p.endsWith("_last_checkpoint"))
+          loadsPerDir.updateWith(p)(c => Some(c.getOrElse(0) + 1))
+        FsLogStore.exists(p)
+      }
+      def isDir(p: String) = FsLogStore.isDir(p)
+      def list(dir: String) = FsLogStore.list(dir)
       def putIfAbsent(p: String, b: Array[Byte]) = FsLogStore.putIfAbsent(p, b)
       def putAtomic(p: String, b: Array[Byte]) = FsLogStore.putAtomic(p, b)
       def mkdirs(p: String) = FsLogStore.mkdirs(p)
@@ -797,17 +804,17 @@ class EsLogSpec extends SparkTestBase {
       val listed = cat.listStreams(spark)
       assert(listed.count() == 100)
       assert(listed.select("name").collect().map(_.getString(0)).sorted.head == "s000")
-      // ONE metadata pass: each stream's log listed exactly once
-      assert(counting.listsPerDir.size == 100, counting.listsPerDir.size.toString)
-      assert(counting.listsPerDir.values.forall(_ == 1),
-        counting.listsPerDir.filter(_._2 > 1).toString)
+      // ONE metadata pass: each stream's state loaded exactly once
+      assert(counting.loadsPerDir.size == 100, counting.loadsPerDir.size.toString)
+      assert(counting.loadsPerDir.values.forall(_ == 1),
+        counting.loadsPerDir.filter(_._2 > 1).toString)
       assert(counting.peak.get() >= 2, s"loads ran serially (peak=${counting.peak.get()})")
 
-      counting.listsPerDir.clear()
+      counting.loadsPerDir.clear()
       // scanAll: the same single pass feeds the deleted-filter AND the scans
       cat.scanAll(spark)
-      assert(counting.listsPerDir.values.forall(_ == 1),
-        counting.listsPerDir.filter(_._2 > 1).toString)
+      assert(counting.loadsPerDir.values.forall(_ == 1),
+        counting.loadsPerDir.filter(_._2 > 1).toString)
     } finally MetaLog.store = prev
   }
 

@@ -320,6 +320,48 @@ class GraftSqlSpec extends SparkTestBase {
     assert(joined == docs.count())
   }
 
+  test("sampling + ANN probe TVFs: SQL equals the Scala operator path") {
+    import graft.operators.{Sampling, Similarity}
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("sqldocs_samp")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // temperature rebalancing: alpha 0.5 (500 permille), both input forms
+    assert(rows(spark.sql(
+        "SELECT * FROM graft_sample_temperature('sqldocs_samp', 'doc_id', 'source', 500, 3)"))
+      == rows(Sampling.sampleTemperature(docs, "doc_id", "source", 0.5, seed = 3)))
+    assert(rows(spark.sql(
+        "SELECT * FROM graft_sample_temperature('" + sf("documents") +
+          "', 'doc_id', 'source', 0)"))
+      == rows(Sampling.sampleTemperature(
+          spark.read.parquet(sf("documents")), "doc_id", "source", 0.0)))
+    // token-budget admission: budgets ride an ordinary relation
+    val budgets = (0 until 10).map(i => (s"src$i", 600L))
+    import spark.implicits._
+    budgets.toDF("source", "budget").createOrReplaceTempView("sql_budgets")
+    assert(rows(spark.sql(
+        "SELECT * FROM graft_sample_token_budget('sqldocs_samp', 'doc_id', 'text', " +
+          "'source', 'sql_budgets', 7)"))
+      == rows(Sampling.sampleToTokenBudget(docs, "doc_id", "text", "source",
+          budgets, seed = 7)))
+    // ANN probe over a PERSISTED partition-pruned IVF index
+    val emb = spark.read.parquet(sf("embeddings"))
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val root = tmpDir("sqlsim-")
+    Similarity.writeIvfIndex(idx, root)
+    emb.where(col("vec_id") < 3).createOrReplaceTempView("sql_queries")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_sim_search('$root', 'sql_queries', 'vec_id', 'embedding', 5, 2)"))
+      == rows(Similarity.searchIvfIndexAt(spark, root,
+          emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 5, nprobe = 2)))
+    // composable: the TVF output joins like any relation
+    val j = spark.sql(
+      s"""SELECT s.qid, count(*) AS n
+         |FROM graft_sim_search('$root', 'sql_queries', 'vec_id', 'embedding', 5, 2) s
+         |GROUP BY s.qid""".stripMargin).collect()
+    assert(j.forall(_.getLong(1) == 5L), j.mkString(","))
+  }
+
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
     val dir = tmpDir("sqlsym-")
     EsLog.create(dir, streamId = 75L)

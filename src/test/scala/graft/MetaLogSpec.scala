@@ -274,6 +274,61 @@ class MetaLogSpec extends AnyFunSuite {
     } finally MetaLog.unroute("/mem/route")
   }
 
+  test("commit churn: load cost is O(checkpoint + tail), flat across 10x log growth") {
+    // SURVEY §7 hard part (e): the manifest must stay O(segments) —
+    // checkpoint + tail — no matter how many commits the stream has seen.
+    // Drive one stream's log through 10^3 then 10^4 commits and pin the
+    // EXACT per-load store-op counts equal at both sizes (op counts, not
+    // wall time: deterministic on any host). This is what the probe-forward
+    // load guarantees; a listing-based load would scale its cost with the
+    // directory size and fail the equality.
+    final class CountingLogStore(inner: LogStore) extends LogStore {
+      val reads = new java.util.concurrent.atomic.AtomicLong()
+      val existChecks = new java.util.concurrent.atomic.AtomicLong()
+      val lists = new java.util.concurrent.atomic.AtomicLong()
+      def snapshot(): (Long, Long, Long) = (reads.get, existChecks.get, lists.get)
+      override def read(p: String) = { reads.incrementAndGet(); inner.read(p) }
+      override def exists(p: String) = { existChecks.incrementAndGet(); inner.exists(p) }
+      override def isDir(p: String) = inner.isDir(p)
+      override def list(d: String) = { lists.incrementAndGet(); inner.list(d) }
+      override def putIfAbsent(p: String, b: Array[Byte]) = inner.putIfAbsent(p, b)
+      override def putAtomic(p: String, b: Array[Byte]): Unit = inner.putAtomic(p, b)
+      override def mkdirs(p: String): Unit = inner.mkdirs(p)
+      override def delete(p: String): Unit = inner.delete(p)
+    }
+    val dir = Files.createTempDirectory("metalog-churn-").toString
+    val counting = new CountingLogStore(FsLogStore)
+    MetaLog.route(dir, counting)
+    try {
+      var st = EsLogTestOps.createAndOpen(dir)
+      var i = 0
+      def churn(until: Int): Unit = while (i < until) {
+        // cheapest real commit: a KV put (state size stays constant, so
+        // only the LOG LENGTH grows — exactly the variable under test)
+        st = MetaLog.commit(dir, st, Seq(KvPut("cursor", i.toString)))
+        i += 1
+      }
+      def opsPerLoad(): (Long, Long, Long) = {
+        val before = counting.snapshot()
+        val loaded = MetaLog.load(dir)
+        assert(loaded.version == st.version, "load must see the head")
+        val after = counting.snapshot()
+        (after._1 - before._1, after._2 - before._2, after._3 - before._3)
+      }
+      churn(1000)
+      val at1k = opsPerLoad()
+      churn(10000)
+      val at10k = opsPerLoad()
+      assert(at1k == at10k,
+        s"load op-counts must be flat across 10x commit growth: $at1k vs $at10k")
+      assert(at10k._1 <= 2 + MetaLog.CheckpointInterval,
+        s"reads per load must be bounded by checkpoint + tail: $at10k")
+      assert(at10k._3 == 0, s"load must not list the log directory: $at10k")
+      // and the state survived: the last put is visible, version is the head
+      assert(MetaLog.load(dir).kv("cursor") == "9999")
+    } finally MetaLog.unroute(dir)
+  }
+
   test("json action codec roundtrips every action type") {
     val actions: Seq[Action] = Seq(
       CreateStream(7, 3, 2, 86400000L), OpenStream(5),

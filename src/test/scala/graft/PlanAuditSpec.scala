@@ -1105,6 +1105,7 @@ class PlanAuditSpec extends SparkTestBase {
     "dedup_exact" -> Seq("doc_id", "h", "dups"),
     "multimodal_dedup_cdc" -> Seq("i", "j", "n_shared"),
     "multimodal_probe_persisted" -> Seq("incoming", "existing", "n_shared"),
+    "text_bpe_bytes" -> Seq("token", "n"),
     "sim_ivf_persisted" -> Seq("qid", "nid", "rank", "score"),
     "sim_lsh_persisted" -> Seq("qid", "nid", "rank", "score"),
     "es_etl_fanin" -> Seq("base_offset", "src", "src_off", "event_type"),
