@@ -538,6 +538,22 @@ object GraftFunctions {
         val seed = optLong(args, 5, 7L, "graft_sample_token_budget", "seed").toInt
         GraftShims.analyzedPlan(graft.operators.Sampling.sampleToTokenBudget(
           df, id, text, srcCol, budgets, seed)) }),
+    (FunctionIdentifier("graft_media_probe"),
+      info("graft_media_probe",
+        "graft_media_probe('index_dir', 'incoming_table_or_path', 'id_col', " +
+          "'payload_col'[, min_shared]) - screen incoming media against a " +
+          "PERSISTED bucket-partitioned CDC chunk library index " +
+          "(graft.operators.Multimodal.writeMediaLibraryIndex); the library " +
+          "is partition-pruned and never shuffles; returns " +
+          "(incoming, existing, n_shared)"),
+      (args: Seq[Expression]) => { arity("graft_media_probe", args, 4, 5)
+        val dir = literalString(args(0), "graft_media_probe", "index_dir")
+        val iref = literalString(args(1), "graft_media_probe", "incoming_table_or_path")
+        val id = literalString(args(2), "graft_media_probe", "id_col")
+        val payload = literalString(args(3), "graft_media_probe", "payload_col")
+        val ms = optLong(args, 4, 4L, "graft_media_probe", "min_shared").toInt
+        GraftShims.analyzedPlan(graft.operators.Multimodal.mediaDedupProbeAt(
+          active(), dir, resolveRef(iref), id, payload, minShared = ms)) }),
     (FunctionIdentifier("graft_sim_search"),
       info("graft_sim_search",
         "graft_sim_search('index_dir', 'queries_table_or_path', 'id_col', " +

@@ -360,6 +360,19 @@ class GraftSqlSpec extends SparkTestBase {
          |FROM graft_sim_search('$root', 'sql_queries', 'vec_id', 'embedding', 5, 2) s
          |GROUP BY s.qid""".stripMargin).collect()
     assert(j.forall(_.getLong(1) == 5L), j.mkString(","))
+    // media probe over a persisted bucket-partitioned chunk library index
+    import graft.operators.Multimodal
+    val media = docs.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"))
+    val lib = media.where(col("media_id") % 2 === 0)
+      .select(col("media_id").as("existing_id"), col("payload"))
+    val mroot = tmpDir("sqlmediaidx-")
+    Multimodal.writeMediaLibraryIndex(lib, "existing_id", "payload", mroot)
+    media.createOrReplaceTempView("sql_incoming")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_media_probe('$mroot', 'sql_incoming', 'media_id', 'payload', 4)"))
+      == rows(Multimodal.mediaDedupProbeAt(spark, mroot, media,
+          "media_id", "payload", minShared = 4)))
   }
 
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
