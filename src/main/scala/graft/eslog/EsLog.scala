@@ -1442,6 +1442,16 @@ object EsLog {
   private def fanOutIntentKey(group: String): String = s"__fanout/$group"
   private def fanOutAppliedKey(group: String): String = s"__fanout-applied/$group"
 
+  /** The in-flight fan-out intent for `group` on the source, if any — the
+    * operator's stuck-pipeline probe: a long-lived intent means a crashed
+    * or fenced run holds the next span; any instance (at a live epoch) can
+    * adopt and complete it by re-running the job. Pairs with
+    * [[groupLags]] on the source, which reports the committed position. */
+  def fanOutIntent(srcDir: String, group: String): Option[(Long, Long)] =
+    getKV(srcDir, fanOutIntentKey(group)).map { s =>
+      val Array(f, u) = s.split(":", 2); (f.toLong, u.toLong)
+    }
+
   /** Fan-OUT exactly-once ETL: ONE source slice routed to N destination
     * streams, every destination exactly-once — the dual of
     * [[consumeProcessProduceMulti]]. There is no single log whose CAS can

@@ -532,9 +532,16 @@ object GraftFunctions {
         val srcCol = literalString(args(3), "graft_sample_token_budget", "source_col")
         val bref = literalString(args(4), "graft_sample_token_budget", "budgets_table_or_path")
         // budgets are recipe-sized (one row per source) — a bounded, legal
-        // driver collect, exactly what the Scala caller passes as a Seq
-        val budgets = resolveRef(bref).collect().toSeq
-          .map(r => (r.getString(0), r.getLong(1)))
+        // driver collect, exactly what the Scala caller passes as a Seq;
+        // positional (source, budget) with type coercion so an INT budget
+        // column works as naturally as BIGINT
+        val bdf0 = resolveRef(bref)
+        require(bdf0.columns.length >= 2,
+          s"graft_sample_token_budget: budgets relation '$bref' needs (source, budget) columns")
+        val budgets = bdf0.select(
+            org.apache.spark.sql.functions.col(bdf0.columns(0)).cast("string"),
+            org.apache.spark.sql.functions.col(bdf0.columns(1)).cast("long"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
         val seed = optLong(args, 5, 7L, "graft_sample_token_budget", "seed").toInt
         GraftShims.analyzedPlan(graft.operators.Sampling.sampleToTokenBudget(
           df, id, text, srcCol, budgets, seed)) }),

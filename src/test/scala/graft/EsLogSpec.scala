@@ -1412,16 +1412,20 @@ class EsLogSpec extends SparkTestBase {
     // the old-epoch job applies dst 0, then throws at dst 1 — intent stays
     put(36L, 39L)
     EsLog.open(dsts(1), 2L)
+    assert(EsLog.fanOutIntent(src, "route").isEmpty, "no intent before the run")
     assertThrows[FencedException](job(1L))
     assert(EsLog.nextOffset(dsts(0)) == 13L, "dst 0 applied before the fence")
     assert(EsLog.nextOffset(dsts(1)) == 12L, "fenced dst must hold nothing new")
     assert(EsLog.groupOffset(src, "route").contains(36L),
       "source position must not advance while the intent is incomplete")
+    // the stuck intent is visible to the admin surface while incomplete
+    assert(EsLog.fanOutIntent(src, "route").contains((36L, 39L)))
     // recovery at the new epoch adopts the intent: dst 0 skips on its
     // marker (no double-delivery), dst 1 and 2 apply, intent completes
     assert(job(2L) == (36L, 39L))
     dsts.foreach(d => assert(EsLog.nextOffset(d) == 13L))
     assert(EsLog.groupOffset(src, "route").contains(39L))
+    assert(EsLog.fanOutIntent(src, "route").isEmpty, "completed intent must clear")
     dsts.zipWithIndex.foreach { case (d, i) =>
       val tags = EsLog.scan(spark, d).select(col("properties")("tag"))
         .collect().map(_.getString(0)).sorted
