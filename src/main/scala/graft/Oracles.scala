@@ -634,8 +634,11 @@ object Oracles {
   /** Bigram LM score: same occurrence/rollup lattice as TextOps.lmScore,
     * ln scaled to a 6-decimal integer before the occurrence-weighted sum, so
     * the emitted totals are integer-exact across engines. */
-  private val textLm =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** Shared CTE body of the bigram-LM score (`lmx` = one row per doc with
+    * (doc_id, n_bigrams, nll_scaled)) — reused by [[textLm]] and the
+    * CCNet-bucketing oracle. */
+  private val textLmCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |g AS (SELECT doc_id, unnest(${H.wordShinglesSql(2)}) AS g FROM t),
        |occ AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
        |big AS (SELECT g, CAST(sum(c) AS BIGINT) AS bc FROM occ GROUP BY 1),
@@ -648,11 +651,36 @@ object Oracles {
        |      FROM occ
        |      JOIN big USING (g)
        |      JOIN uni ON split_part(occ.g, ' ', 1) = uni.w
-       |      GROUP BY 1)
-       |SELECT d.doc_id,
-       |  coalesce(s.n_bigrams, 0) AS n_bigrams,
-       |  coalesce(s.nll_scaled, 0) AS nll_scaled
-       |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+       |      GROUP BY 1),
+       |lmx AS (SELECT d.doc_id,
+       |          coalesce(s.n_bigrams, 0) AS n_bigrams,
+       |          coalesce(s.nll_scaled, 0) AS nll_scaled
+       |        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)""".stripMargin
+
+  private val textLm =
+    s"""WITH $textLmCtes
+       |SELECT doc_id, n_bigrams, nll_scaled FROM lmx""".stripMargin
+
+  // CCNet head/middle/tail: per-source tercile thresholds are ORDER
+  // STATISTICS of mean_nll (value at rank (n-1)·p div 1000 — the
+  // quantilesDisc rule), so ties cannot make them engine-dependent; docs
+  // without a bigram take Long.MaxValue and land in tail
+  private val textLmBuckets =
+    s"""WITH $textLmCtes,
+       |m AS (SELECT lmx.doc_id, d.source,
+       |        CASE WHEN lmx.n_bigrams > 0 THEN lmx.nll_scaled // lmx.n_bigrams
+       |             ELSE 9223372036854775807 END AS mean_nll
+       |      FROM lmx JOIN documents d USING (doc_id)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY mean_nll) - 1 AS rn,
+       |              count(*) OVER (PARTITION BY source) AS n FROM m),
+       |thr AS (SELECT source,
+       |          max(CASE WHEN rn = (n - 1) * 333 // 1000 THEN mean_nll END) AS q333,
+       |          max(CASE WHEN rn = (n - 1) * 667 // 1000 THEN mean_nll END) AS q667
+       |        FROM rk GROUP BY source)
+       |SELECT m.doc_id, m.source, CAST(m.mean_nll AS BIGINT) AS mean_nll,
+       |  CASE WHEN m.mean_nll <= t.q333 THEN 'head'
+       |       WHEN m.mean_nll <= t.q667 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM m JOIN thr t USING (source)""".stripMargin
 
   private val decontaminate = {
     val bench =
@@ -1985,6 +2013,7 @@ object Oracles {
     "layout_zorder" -> layoutZorder,
     "pipeline_export" -> pipelineExport,
     "text_lm" -> textLm,
+    "text_lm_buckets" -> textLmBuckets,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
     "sql_topk" -> sqlTopk,

@@ -900,6 +900,13 @@ object SparkEntry {
     TextOps.domainStats(docs, "doc_id", "text")
   }
 
+  /** CCNet-style head/middle/tail bucketing: per-source terciles of the
+    * bigram-LM score ([[graft.operators.TextOps.lmBuckets]]) — the
+    * perplexity-bucket assignment CCNet makes with KenLM, all-integer. */
+  private def qTextLmBuckets(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextOps.lmBuckets(Fixtures.documents(s, sfDir),
+      "doc_id", "text", "source")
+
   /** Corpus-estimated bigram LM negative log-likelihood per document (the
     * perplexity quality filter) — integer-scaled, engine-exact. */
   private def qTextLm(s: SparkSession, sfDir: String): DataFrame =
@@ -1661,6 +1668,7 @@ object SparkEntry {
     "layout_zorder" -> (qLayoutZorder _),
     "pipeline_export" -> (qPipelineExport _),
     "text_lm" -> (qTextLm _),
+    "text_lm_buckets" -> (qTextLmBuckets _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
     "sql_topk" -> (qSqlTopk _),

@@ -390,6 +390,40 @@ object TextOps {
         coalesce(col("nll_scaled"), lit(0L)).as("nll_scaled"))
   }
 
+  /** CCNet-style quality bucketing: per-SOURCE head/middle/tail terciles of
+    * the [[lmScore]] bigram negative-log-likelihood — the
+    * perplexity-bucketing step CCNet runs with a KenLM model, re-expressed
+    * on the in-corpus bigram LM. Per doc: `mean_nll` = integer micro-nats
+    * per bigram (`nll_scaled div n_bigrams`; docs with no bigram get
+    * Long.MaxValue, landing in `tail`); per source: the exact discrete
+    * tercile thresholds ([[Stats.quantilesDisc]] at permille 333/667 —
+    * order STATISTICS, so ties in `mean_nll` cannot make the thresholds
+    * engine-dependent); label = `head` (≤ q333), `middle` (≤ q667), else
+    * `tail`. All-integer, bit-reproducible by the SQL oracle.
+    *
+    * Plan shape: [[lmScore]]'s rollups + one per-source quantile window
+    * over the DOC-count-sized score table (not the corpus) + a broadcast
+    * threshold join — the corpus is touched only by lmScore's one explode. */
+  def lmBuckets(docs: DataFrame, idCol: String, textCol: String,
+                srcCol: String): DataFrame = {
+    val withSrc = lmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
+      .withColumn("mean_nll",
+        when(col("n_bigrams") > 0,
+          call_function("div", col("nll_scaled"), col("n_bigrams")))
+          .otherwise(lit(Long.MaxValue)))
+    val thr = Stats.quantilesDisc(withSrc, Seq(srcCol), "mean_nll", Seq(333, 667))
+      .groupBy(srcCol).agg(
+        max(when(col("permille") === 333, col("q_value"))).as("_q333"),
+        max(when(col("permille") === 667, col("q_value"))).as("_q667"))
+    withSrc.join(broadcast(thr), Seq(srcCol))
+      .withColumn("bucket",
+        when(col("mean_nll") <= col("_q333"), lit("head"))
+          .when(col("mean_nll") <= col("_q667"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(srcCol), col("mean_nll"), col("bucket"))
+  }
+
   def repetition(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     val grams = OpUtil.explodedWordShingles(docs, idCol, textCol, n)
     val agg = grams.groupBy("doc", "g").agg(count(lit(1)).as("c"))

@@ -614,6 +614,46 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("lmBuckets: CCNet terciles — full coverage, ordered buckets, sane shares") {
+    import graft.operators.TextOps
+    Fixtures.tune(spark)
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val b = TextOps.lmBuckets(docs, "doc_id", "text", "source")
+    val rows = b.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // every doc appears exactly once, in exactly one bucket
+    assert(rows.length == docs.count(), s"${rows.length} vs ${docs.count()}")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => Set("head", "middle", "tail").contains(r._4)))
+    // per source: buckets are ORDERED — every head score <= every middle
+    // score <= every tail score (threshold construction makes this strict
+    // at the boundaries)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      def scores(bk: String) = rs.filter(_._4 == bk).map(_._3)
+      for ((lo, hi) <- Seq(("head", "middle"), ("middle", "tail")))
+        if (scores(lo).nonEmpty && scores(hi).nonEmpty)
+          assert(scores(lo).max <= scores(hi).min,
+            s"$src: $lo max ${scores(lo).max} > $hi min ${scores(hi).min}")
+      // tercile shares are approximate under ties, but a populated source
+      // must keep the head within a sane band
+      if (rs.length >= 30) {
+        val share = scores("head").length.toDouble / rs.length
+        assert(share >= 0.2 && share <= 0.55, s"$src head share $share")
+      }
+    }
+  }
+
+  test("mediaDedupProbeAt: empty incoming probes nothing and returns empty") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val lib = Seq((1L, "abcdefghabcdefgh")).toDF("media_id", "payload")
+      .select(col("media_id"), col("payload").cast("binary").as("payload"))
+    val root = java.nio.file.Files.createTempDirectory("media-idx-empty-").toString
+    Multimodal.writeMediaLibraryIndex(lib, "media_id", "payload", root)
+    val empty = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+    assert(Multimodal.mediaDedupProbeAt(spark, root, empty,
+      "media_id", "payload").count() == 0L)
+  }
+
   test("CdcChunkHashesExpr == the composed Column pipeline, incl. edge cases") {
     import spark.implicits._
     import graft.operators.Multimodal
@@ -1226,6 +1266,7 @@ class PlanAuditSpec extends SparkTestBase {
     "text_fingerprint" -> Seq("doc_id", "fp_md5", "fp60"),
     "text_langid" -> Seq("doc_id", "lang_pred", "s_de", "s_en", "s_es", "s_fr", "s_zh"),
     "text_lm" -> Seq("doc_id", "n_bigrams", "nll_scaled"),
+    "text_lm_buckets" -> Seq("doc_id", "source", "mean_nll", "bucket"),
     "text_pack" -> Seq("doc_id", "shard", "n_tokens", "pack_id"),
     "text_quality" -> Seq("doc_id", "n_tokens", "lexical_diversity", "stopword_ratio", "digit_ratio", "punct_ratio"),
     "text_redact" -> Seq("doc_id", "text_redacted"),
