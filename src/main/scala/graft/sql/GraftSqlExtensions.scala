@@ -506,6 +506,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("graft_text_langid", args, 3)
         val (df, id, text) = opInput("graft_text_langid", args)
         GraftShims.analyzedPlan(graft.operators.TextOps.languageId(df, id, text)) }),
+    (FunctionIdentifier("graft_text_lm_buckets"),
+      info("graft_text_lm_buckets",
+        "graft_text_lm_buckets('table_or_path', 'id_col', 'text_col', " +
+          "'source_col') - CCNet-style head/middle/tail quality buckets: " +
+          "per-source exact integer terciles of the bigram-LM score; " +
+          "returns (id, source, mean_nll, bucket)"),
+      (args: Seq[Expression]) => { arity("graft_text_lm_buckets", args, 4)
+        val (df, id, text) = opInput("graft_text_lm_buckets", args)
+        val srcCol = literalString(args(3), "graft_text_lm_buckets", "source_col")
+        GraftShims.analyzedPlan(graft.operators.TextOps.lmBuckets(
+          df, id, text, srcCol)) }),
     (FunctionIdentifier("graft_sample_temperature"),
       info("graft_sample_temperature",
         "graft_sample_temperature('table_or_path', 'id_col', 'source_col', " +

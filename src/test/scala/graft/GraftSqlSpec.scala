@@ -335,6 +335,10 @@ class GraftSqlSpec extends SparkTestBase {
           "', 'doc_id', 'source', 0)"))
       == rows(Sampling.sampleTemperature(
           spark.read.parquet(sf("documents")), "doc_id", "source", 0.0)))
+    // CCNet quality bucketing
+    assert(rows(spark.sql(
+        "SELECT * FROM graft_text_lm_buckets('sqldocs_samp', 'doc_id', 'text', 'source')"))
+      == rows(graft.operators.TextOps.lmBuckets(docs, "doc_id", "text", "source")))
     // token-budget admission: budgets ride an ordinary relation
     val budgets = (0 until 10).map(i => (s"src$i", 600L))
     import spark.implicits._
