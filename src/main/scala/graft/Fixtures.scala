@@ -1442,6 +1442,40 @@ object Fixtures {
       dir
     })
 
+  /** STREAMING LM scoring — "score the crawl at ingest against the persisted
+    * language model" (CCNet's KenLM-at-ingest role): the bigram-stats
+    * artifact is built ONCE in batch ([[graft.operators.TextOps.lmStats]]),
+    * each micro-batch of the docs stream scores against it statelessly
+    * ([[graft.operators.TextOps.lmScoreWith]] — stream-static gram join);
+    * the per-doc sum is the only stateful aggregate. Completes the
+    * batch-artifact-screens-live-stream family (sketch → decontaminate,
+    * ANN → semantic, classifier → classify, tokenizer → tokenize,
+    * LM → score). Complete-mode memory table. */
+  def streamLmTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-lm", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = docsStream(s, sfDir)
+      val docs = documents(s, sfDir)
+      val stats = graft.operators.TextOps.lmStats(docs, "doc_id", "text").persist()
+      stats.count() // materialize once; every micro-batch re-joins it
+      val perTrigger = math.max(docs.count() / 8, 1L)
+      val name = "graft_stream_lm_" + math.abs(sfDir.hashCode).toString
+      val stream = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+      val q = graft.operators.TextOps.lmScoreWith(stream, "doc_id", "text", stats)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      stats.unpersist()
+      name
+    })
+
   /** STREAMING token-budget admission — "fill the data recipe as the crawl
     * arrives": the per-source running token total is the only state
     * ([[graft.operators.Sampling.tokenBudgetStream]]); delivered as ONE

@@ -661,6 +661,12 @@ object Oracles {
     s"""WITH $textLmCtes
        |SELECT doc_id, n_bigrams, nll_scaled FROM lmx""".stripMargin
 
+  // streaming twin scores against the persisted artifact: same derivation,
+  // minus the bigram-less docs a stream cannot left-join into existence
+  private val esStreamLm =
+    s"""WITH $textLmCtes
+       |SELECT doc_id, n_bigrams, nll_scaled FROM lmx WHERE n_bigrams > 0""".stripMargin
+
   // CCNet head/middle/tail: per-source tercile thresholds are ORDER
   // STATISTICS of mean_nll (value at rank (n-1)·p div 1000 — the
   // quantilesDisc rule), so ties cannot make them engine-dependent; docs
@@ -2014,6 +2020,7 @@ object Oracles {
     "pipeline_export" -> pipelineExport,
     "text_lm" -> textLm,
     "text_lm_buckets" -> textLmBuckets,
+    "es_stream_lm" -> esStreamLm,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
     "sql_topk" -> sqlTopk,

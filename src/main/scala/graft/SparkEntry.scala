@@ -907,6 +907,13 @@ object SparkEntry {
     graft.operators.TextOps.lmBuckets(Fixtures.documents(s, sfDir),
       "doc_id", "text", "source")
 
+  /** Streaming LM scoring against the persisted bigram artifact
+    * ([[Fixtures.streamLmTable]]) — the fifth batch-artifact-screens-stream
+    * row; scores equal `text_lm`'s nonzero rows (shared-derivation oracle). */
+  private def qEsStreamLm(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamLmTable(s, sfDir))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_scaled"))
+
   /** Corpus-estimated bigram LM negative log-likelihood per document (the
     * perplexity quality filter) — integer-scaled, engine-exact. */
   private def qTextLm(s: SparkSession, sfDir: String): DataFrame =
@@ -1669,6 +1676,7 @@ object SparkEntry {
     "pipeline_export" -> (qPipelineExport _),
     "text_lm" -> (qTextLm _),
     "text_lm_buckets" -> (qTextLmBuckets _),
+    "es_stream_lm" -> (qEsStreamLm _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
     "sql_topk" -> (qSqlTopk _),

@@ -390,6 +390,47 @@ object TextOps {
         coalesce(col("nll_scaled"), lit(0L)).as("nll_scaled"))
   }
 
+  /** Corpus bigram statistics as a PERSISTABLE artifact — the language-model
+    * role for [[lmScoreWith]] (what CCNet ships as a KenLM binary): one row
+    * per distinct bigram with its integer micro-nat conditional
+    * log-probability `t = round(ln(count(bigram) / count(context)) * 1e6)`.
+    * Rollups match [[lmScore]]'s exactly, so scoring with this artifact
+    * reproduces the in-corpus scores bit-for-bit (unit-pinned). Write it
+    * with `stats.write.parquet(...)` and score tomorrow's crawl against
+    * today's model. */
+  def lmStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = OpUtil.explodedWordShingles(docs, idCol, textCol, 2)
+    val big = OpUtil.shared(grams.groupBy("g").agg(count(lit(1)).as("bc")))
+    val uni = big.select(substring_index(col("g"), " ", 1).as("w"), col("bc"))
+      .groupBy("w").agg(sum("bc").as("uc"))
+    big.withColumn("w", substring_index(col("g"), " ", 1))
+      .join(uni, "w")
+      .select(col("g"),
+        round(log(col("bc").cast("double") / col("uc").cast("double")) * lit(1000000d))
+          .cast("long").as("t"))
+  }
+
+  /** [[lmScore]] against a PRE-BUILT [[lmStats]] artifact — the deployment
+    * and STREAMING shape (CCNet's score-at-ingest): one stream-safe explode
+    * ([[OpUtil.explodedShinglesFromTokens]] — no rebalance probe), one
+    * stream-static equi-join on the gram, and a per-doc sum — the only
+    * stateful operator in a micro-batch. Two contract differences from the
+    * in-corpus form, both inherent to scoring with a fixed artifact: docs
+    * with no bigram emit NO row (a stream cannot left-join work that never
+    * arrives), and grams absent from the artifact drop (the
+    * [[applyVocab]]-style OOV rule; an artifact built on the same corpus
+    * drops nothing — equality with [[lmScore]]'s nonzero rows is
+    * unit-pinned). */
+  def lmScoreWith(docs: DataFrame, idCol: String, textCol: String,
+                  stats: DataFrame): DataFrame = {
+    val grams = OpUtil.explodedShinglesFromTokens(
+      docs.select(col(idCol).as("doc"), split(col(textCol), " ").as("toks")), 2)
+    grams.join(stats.select(col("g"), col("t")), Seq("g"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("t"))).as("nll_scaled"))
+      .withColumnRenamed("doc", idCol)
+  }
+
   /** CCNet-style quality bucketing: per-SOURCE head/middle/tail terciles of
     * the [[lmScore]] bigram negative-log-likelihood — the
     * perplexity-bucketing step CCNet runs with a KenLM model, re-expressed

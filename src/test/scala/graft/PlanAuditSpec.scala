@@ -642,6 +642,33 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("lmScoreWith(lmStats) == lmScore's nonzero rows; artifact round-trips parquet") {
+    import graft.operators.TextOps
+    Fixtures.tune(spark)
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val viaCorpus = TextOps.lmScore(docs, "doc_id", "text")
+      .where(col("n_bigrams") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stats = TextOps.lmStats(docs, "doc_id", "text")
+    val viaArtifact = TextOps.lmScoreWith(docs, "doc_id", "text", stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaArtifact == viaCorpus,
+      s"artifact scoring must equal in-corpus scoring: ${viaArtifact.size} vs ${viaCorpus.size}")
+    // persisted-artifact deployment shape: parquet round trip changes nothing
+    val dir = java.nio.file.Files.createTempDirectory("lmstats-").toString
+    stats.write.mode("overwrite").parquet(dir)
+    val viaDisk = TextOps.lmScoreWith(docs, "doc_id", "text", spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaDisk == viaCorpus)
+    // OOV rule: grams absent from the artifact drop (score docs against a
+    // model built on a DIFFERENT corpus slice)
+    val halfStats = TextOps.lmStats(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+    val oov = TextOps.lmScoreWith(docs, "doc_id", "text", halfStats)
+      .agg(sum("n_bigrams")).collect().head.getLong(0)
+    val full = viaCorpus.toSeq.map(_._2).sum
+    assert(oov < full, "a partial model must score fewer grams, never invent them")
+  }
+
   test("mediaDedupProbeAt: empty incoming probes nothing and returns empty") {
     import spark.implicits._
     import graft.operators.Multimodal
@@ -1267,6 +1294,7 @@ class PlanAuditSpec extends SparkTestBase {
     "text_langid" -> Seq("doc_id", "lang_pred", "s_de", "s_en", "s_es", "s_fr", "s_zh"),
     "text_lm" -> Seq("doc_id", "n_bigrams", "nll_scaled"),
     "text_lm_buckets" -> Seq("doc_id", "source", "mean_nll", "bucket"),
+    "es_stream_lm" -> Seq("doc_id", "n_bigrams", "nll_scaled"),
     "text_pack" -> Seq("doc_id", "shard", "n_tokens", "pack_id"),
     "text_quality" -> Seq("doc_id", "n_tokens", "lexical_diversity", "stopword_ratio", "digit_ratio", "punct_ratio"),
     "text_redact" -> Seq("doc_id", "text_redacted"),
