@@ -1494,6 +1494,55 @@ class EsLogSpec extends SparkTestBase {
       "source position must sit at the head after the drain")
   }
 
+  test("fan-out under TRUE concurrency: two same-epoch rivals, per-destination exactly-once") {
+    // two instances race the same group concurrently for several rounds —
+    // the intent CAS makes them agree on each span, the applied-span
+    // markers make double-apply impossible, and a guard loser surfaces as
+    // ConcurrentCommitException (caught; the next round drains). The
+    // invariant after any interleaving: every destination holds exactly
+    // its routed subset, once.
+    val src = tmpDir("eslog-fanout-race-src-")
+    EsLog.create(src, streamId = 101L); EsLog.open(src, 1L)
+    val dsts = (0 until 2).map { i =>
+      val d = tmpDir(s"eslog-fanout-race-dst$i-")
+      EsLog.create(d, streamId = 102L + i); EsLog.open(d, 1L)
+      d
+    }
+    def route(slice: org.apache.spark.sql.DataFrame, i: Int) =
+      slice.where(col("base_offset") % 2 === i)
+        .select(col("base_offset").as("sk"), col("payload"),
+          map(lit("tag"), concat_ws(":", lit(i.toString),
+            col("base_offset").cast("string"))).as("properties"))
+    def job(): Unit =
+      try EsLog.consumeProcessProduceFanOut(spark, src, dsts, "race", 1L,
+        sortKey = Some("sk"))(route)
+      catch { case _: graft.meta.ConcurrentCommitException => () }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var head = 0L
+    for (round <- 0 until 4) {
+      val k = 10 + round * 5
+      val in = spark.range(head, head + k).select(
+        col("id"), col("id").cast("string").cast("binary").as("payload"))
+      EsLog.append(spark, src, in, 1L, sortKey = Some("id"), numPartitions = 2)
+      head += k
+      val rivals = Seq(Future(job()), Future(job()))
+      rivals.foreach(Await.result(_, 120.seconds))
+    }
+    job() // final drain (a round may have ended with a swallowed loser)
+    dsts.zipWithIndex.foreach { case (d, i) =>
+      val tags = EsLog.scan(spark, d).select(col("properties")("tag"))
+        .collect().map(_.getString(0)).sorted
+      val want = (0L until head).filter(_ % 2 == i).map(o => s"$i:$o").sorted
+      assert(tags.length == want.length && tags.sameElements(want),
+        s"concurrent fan-out broke exactly-once at dst $i: ${tags.length} vs " +
+          s"${want.length} (dups: ${tags.diff(tags.distinct).take(5).mkString(",")})")
+    }
+    assert(EsLog.groupOffset(src, "race").contains(head))
+    assert(EsLog.fanOutIntent(src, "race").isEmpty)
+  }
+
   test("time index: fetchByTime prunes files via manifest stats; offsetForTimestamp reads one file") {
     val dir = tmpDir("eslog-time-")
     EsLog.create(dir, streamId = 20L)
