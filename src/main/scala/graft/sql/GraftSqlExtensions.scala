@@ -285,6 +285,20 @@ object GraftFunctions {
         val group = if (args.size == 2)
           Some(literalString(args(1), "graft_group_lag", "group")) else None
         GraftShims.analyzedPlan(EsLog.groupLags(active(), dir, group)) }),
+    (FunctionIdentifier("graft_fanout_intent"),
+      info("graft_fanout_intent",
+        "graft_fanout_intent('src_dir', 'group') - the fan-out pipeline's " +
+          "in-flight intent span, if any: one row (in_flight, from_offset, " +
+          "up_to) — a long-lived intent means a crashed/fenced run holds " +
+          "the next span (re-run the job at a live epoch to adopt it)"),
+      (args: Seq[Expression]) => { arity("graft_fanout_intent", args, 2)
+        val dir = literalString(args(0), "graft_fanout_intent", "src_dir")
+        val group = literalString(args(1), "graft_fanout_intent", "group")
+        val intent = EsLog.fanOutIntent(dir, group)
+        localRow(Seq(
+          "in_flight" -> intent.isDefined,
+          "from_offset" -> intent.map(_._1).getOrElse(-1L),
+          "up_to" -> intent.map(_._2).getOrElse(-1L))) }),
     (FunctionIdentifier("graft_commit_group_offset"),
       info("graft_commit_group_offset",
         "graft_commit_group_offset('dir', 'group', offset, expected) - CAS " +

@@ -379,6 +379,31 @@ class GraftSqlSpec extends SparkTestBase {
           "media_id", "payload", minShared = 4)))
   }
 
+  test("graft_fanout_intent TVF: reports the in-flight span, clears on completion") {
+    val src = tmpDir("sqlfanout-src-")
+    EsLog.create(src, streamId = 105L); EsLog.open(src, 1L)
+    val dst = tmpDir("sqlfanout-dst-")
+    EsLog.create(dst, streamId = 106L); EsLog.open(dst, 1L)
+    EsLog.append(spark, src, spark.range(10).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload")),
+      1L, sortKey = Some("id"))
+    val none = spark.sql(s"SELECT * FROM graft_fanout_intent('$src', 'g')").collect().head
+    assert(!none.getBoolean(0) && none.getLong(1) == -1L && none.getLong(2) == -1L)
+    // a crash inside process leaves the intent behind — the TVF surfaces it
+    try EsLog.fanOutRun(spark, src, Seq(dst), "g", 1L, None, _ => ()) { (_, _) =>
+      throw new RuntimeException("injected")
+    } catch { case e: RuntimeException if e.getMessage == "injected" => () }
+    val some = spark.sql(s"SELECT * FROM graft_fanout_intent('$src', 'g')").collect().head
+    assert(some.getBoolean(0) && some.getLong(1) == 0L && some.getLong(2) == 10L)
+    // adopting and completing the intent clears it
+    EsLog.fanOutRun(spark, src, Seq(dst), "g", 1L, Some("sk"), _ => ()) { (s, _) =>
+      s.select(col("base_offset").as("sk"), col("payload"))
+    }
+    assert(!spark.sql(s"SELECT * FROM graft_fanout_intent('$src', 'g')")
+      .collect().head.getBoolean(0))
+    assert(EsLog.nextOffset(dst) == 10L)
+  }
+
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
     val dir = tmpDir("sqlsym-")
     EsLog.create(dir, streamId = 75L)
