@@ -1392,13 +1392,21 @@ object Oracles {
   def esStreamBpeSql(merges: Seq[(String, String)]): String =
     textBpeIdsSqlWhere(merges, "")
 
+  /** The byte-level ids capstone: the same ranked-id/position machinery as
+    * the char chain, over the spaced-hex representation. */
+  def textBpeBytesIdsSql(merges: Seq[(String, String)]): String =
+    bpeIdsSqlWhere(bpeBytesChainSql(merges), "WHERE p.doc_id % 10 = 0")
+
   private def textBpeIdsSqlWhere(merges: Seq[(String, String)], where: String): String =
+    bpeIdsSqlWhere(bpeChainSql(merges), where)
+
+  private def bpeIdsSqlWhere(chainSql: String, where: String): String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |wz AS (SELECT doc_id, u.p[1] AS w, u.p[2] AS wi FROM (
        |         SELECT doc_id, unnest(list_zip(ws, range(1, len(ws)+1))) AS p FROM d) u),
        |nz AS (SELECT * FROM wz WHERE w <> ''),
        |enc AS (SELECT doc_id, wi,
-       |          string_split(trim(${bpeChainSql(merges)}), ' ') AS toks FROM nz),
+       |          string_split(trim($chainSql), ' ') AS toks FROM nz),
        |tz AS (SELECT doc_id, wi, u.p[1] AS token, u.p[2] AS ti FROM (
        |         SELECT doc_id, wi, unnest(list_zip(toks, range(1, len(toks)+1))) AS p
        |         FROM enc) u),

@@ -801,6 +801,20 @@ object SparkEntry {
     Bpe.tokenFrequenciesBytes(docs, "doc_id", "text", merges)
   }
 
+  /** Train-or-reuse for the byte-merge stash (deterministic learn; the
+    * benched row `text_bpe_bytes` always retrains, same policy as char). */
+  private def bpeBytesMergesFor(s: SparkSession, sfDir: String): Seq[(String, String)] =
+    bpeBytesMerges.computeIfAbsent(sfDir, _ => graft.operators.Bpe.learnBytes(
+      Fixtures.documents(s, sfDir), "doc_id", "text", numMerges = 40))
+
+  /** Byte-level pretraining capstone ([[graft.operators.Bpe.encodeIdsBytes]]):
+    * every 10th document as its no-OOV subword token-ID sequence — the
+    * `text_bpe_ids` twin on the byte alphabet. */
+  private def qTextBpeBytesIds(s: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Bpe.encodeIdsBytes(Fixtures.documents(s, sfDir),
+        "doc_id", "text", bpeBytesMergesFor(s, sfDir))
+      .where(col("doc_id") % 10 === 0)
+
   /** The pretraining-data capstone row ([[graft.operators.Bpe.encodeIds]]):
     * every 10th document as its subword token-ID sequence — the corpus a
     * trainer would actually consume. Same stashed merges; the generated
@@ -1658,6 +1672,7 @@ object SparkEntry {
     "text_classify" -> (qTextClassify _),
     "text_bpe" -> (qTextBpe _),
     "text_bpe_bytes" -> (qTextBpeBytes _),
+    "text_bpe_bytes_ids" -> (qTextBpeBytesIds _),
     "text_unigram" -> (qTextUnigram _),
     "text_bpe_ids" -> (qTextBpeIds _),
     "sample_diverse" -> (qSampleDiverse _),
@@ -1758,7 +1773,9 @@ object SparkEntry {
           "es_stream_bpe" -> Oracles.esStreamBpeSql(m)))
         .getOrElse(Seq.empty) ++
       Option(bpeBytesMerges.get(sfDir))
-        .map(m => Seq("text_bpe_bytes" -> Oracles.textBpeBytesSql(m)))
+        .map(m => Seq(
+          "text_bpe_bytes" -> Oracles.textBpeBytesSql(m),
+          "text_bpe_bytes_ids" -> Oracles.textBpeBytesIdsSql(m)))
         .getOrElse(Seq.empty)
 
   /** No-argument form of [[oracleSqlFor]] (the driver contract's signature):

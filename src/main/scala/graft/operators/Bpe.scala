@@ -258,6 +258,34 @@ object Bpe {
   def decodeBytesWord(tokens: Column): Column =
     decode(unhex(concat_ws("", tokens)), "UTF-8")
 
+  /** Frequency-ranked token-id table over the byte-level vocabulary —
+    * [[tokenIds]]'s twin on [[tokenFrequenciesBytes]]. The byte alphabet
+    * plus merges bound the vocab at 256 + numMerges, so `maxVocab` is a
+    * guard, not a working limit. */
+  def tokenIdsBytes(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)], maxVocab: Int = 65536): DataFrame = {
+    val top = tokenFrequenciesBytes(docs, idCol, textCol, merges)
+      .orderBy(col("n").desc, col("token").asc).limit(maxVocab)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    top.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .select("token", "token_id")
+  }
+
+  /** The byte-level pretraining capstone — [[encodeIds]] on the no-OOV
+    * alphabet: per-doc `(id, pos, token_id)` sequences, word-major
+    * positions straight from the flattened array order, ids by a broadcast
+    * join. Because the alphabet covers every byte, NO token can miss the
+    * id table (unseen-at-learn-time words still fully encode) — the
+    * hole-instead-of-renumber caveat [[encodeIds]] documents cannot arise
+    * below `maxVocab`. */
+  def encodeIdsBytes(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)], maxVocab: Int = 65536): DataFrame =
+    encodeBytes(docs, idCol, textCol, merges)
+      .join(broadcast(tokenIdsBytes(docs, idCol, textCol, merges, maxVocab)
+        .select(col("token"), col("token_id"))), Seq("token"))
+      .select(col(idCol), col("pos"), col("token_id"))
+
   /** Encode every document: `(id, pos, token)` rows — token positions are
     * word-major (whole-doc token order), empty words dropped. The per-word
     * token arrays FLATTEN before the single posexplode, so positions come

@@ -185,6 +185,25 @@ class BpeSpec extends SparkTestBase {
       t.forall(c => c.isDigit || ('A' to 'F').contains(c))), toks.mkString(","))
   }
 
+  test("byte-level encodeIds: dense ids, id-decoded sequences reconstruct every doc") {
+    val merges = Bpe.learnBytes(docs, "doc_id", "text", numMerges = 20)
+    val ids = Bpe.tokenIdsBytes(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids.values.toSeq.sorted == (0L until ids.size).toSeq)
+    val back = ids.map(_.swap)
+    def unhexStr(h: String): String = new String(
+      h.grouped(2).map(p => Integer.parseInt(p, 16).toByte).toArray, "UTF-8")
+    val seqs = Bpe.encodeIdsBytes(docs, "doc_id", "text", merges)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> unhexStr(rs.sortBy(_.getLong(1)).map(r => back(r.getLong(2))).mkString(""))
+      }
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).mkString(""))
+      .toMap
+    assert(seqs == want, "id-decoded hex concatenation must rebuild the space-stripped doc")
+  }
+
   test("byte-level corpus reconstruction + determinism over the full corpus") {
     val m1 = Bpe.learnBytes(docs, "doc_id", "text", numMerges = 40)
     val m2 = Bpe.learnBytes(docs, "doc_id", "text", numMerges = 40)

@@ -1173,6 +1173,7 @@ class PlanAuditSpec extends SparkTestBase {
     "multimodal_dedup_cdc" -> Seq("i", "j", "n_shared"),
     "multimodal_probe_persisted" -> Seq("incoming", "existing", "n_shared"),
     "text_bpe_bytes" -> Seq("token", "n"),
+    "text_bpe_bytes_ids" -> Seq("doc_id", "pos", "token_id"),
     "sim_ivf_persisted" -> Seq("qid", "nid", "rank", "score"),
     "sim_lsh_persisted" -> Seq("qid", "nid", "rank", "score"),
     "es_etl_fanin" -> Seq("base_offset", "src", "src_off", "event_type"),
