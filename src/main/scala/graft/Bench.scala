@@ -200,44 +200,50 @@ object Bench {
     // the warmup commits' files out of the read): the denominator is then the
     // fixed nCommits * payload64k, comparable across rounds — the whole-dir
     // scan's byte count varied with the warm-until-steady commit count
-    timedMedian("scan_64k_batches") {
-      graft.eslog.EsLog.fetch(spark, dir64k, warmed * n64k, (warmed + nCommits) * n64k)
-        .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
-    }
-
-    // -- streaming path: source->sink drain (rate-limited, exactly-once).
-    //    Source stream built untimed; each timed run drains it into a fresh
-    //    sink + fresh checkpoint (median of three, same protocol as the rest) --
+    // -- the read-path heads (scan/stream/fetch) join the SAME sentinel
+    //    gate as the registry below: they were the one stretch of timed
+    //    queries covered by neither the append gate nor the registry gate,
+    //    so a host phase there inflated five figures invisibly. All five
+    //    bodies are idempotent (pure reads / fresh-sink drains), so
+    //    re-measuring a dirty segment is safe; fresh sinks are reclaimed by
+    //    the per-segment cleanup, outside every timing. Untimed setup
+    //    (stream build, ts bounds) happens here, once. --
     Fixtures.eventsStream(spark, sfDir)
-    timedMedian("stream_roundtrip") { Fixtures.streamRoundtripFresh(spark, sfDir); () }
-    Fixtures.dropFresh() // 4 fresh sinks + checkpoints reclaimed, outside the timing
-
-    // -- scan path: full scan + hash aggregate (reads every payload byte) --
-    timedMedian("scan_events") {
-      val dir = Fixtures.eventsStream(spark, sfDir)
-      graft.eslog.EsLog.scan(spark, dir)
-        .agg(expr("bit_xor(xxhash64(payload))"), sum(col("base_offset")),
-          expr("bit_xor(xxhash64(properties['event_type']))"))
-        .collect()
-    }
-    timedMedian("fetch_mid_range") {
-      val dir = Fixtures.eventsStream(spark, sfDir)
-      graft.eslog.EsLog.fetch(spark, dir, nEvents / 4, nEvents / 2)
-        .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
-    }
-    // time-indexed fetch over the same stream: manifest ts pruning + pushed
-    // base_timestamp range (bounds computed once, outside the timed region)
-    locally {
-      val dir = Fixtures.eventsStream(spark, sfDir)
-      val b = Fixtures.events(spark, sfDir)
-        .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).collect().head
-      val (t0, t1) = (b.getLong(0), b.getLong(1))
-      timedMedian("fetch_time_mid") {
-        graft.eslog.EsLog.fetchByTime(spark, dir,
-            t0 + (t1 - t0) / 4, t0 + (t1 - t0) / 2)
+    val tsBounds = Fixtures.events(spark, sfDir)
+      .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).collect().head
+    val (ts0, ts1) = (tsBounds.getLong(0), tsBounds.getLong(1))
+    val frontSeg: Seq[(String, () => Unit)] = Seq(
+      // scan exactly the 16 TIMED commits' offset range (manifest pruning
+      // keeps warmup commits out): denominator fixed at nCommits*payload64k
+      "scan_64k_batches" -> (() => {
+        graft.eslog.EsLog.fetch(spark, dir64k, warmed * n64k, (warmed + nCommits) * n64k)
           .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
-      }
-    }
+        ()
+      }),
+      // streaming source->sink drain (rate-limited, exactly-once), each run
+      // into a fresh sink + fresh checkpoint
+      "stream_roundtrip" -> (() => { Fixtures.streamRoundtripFresh(spark, sfDir); () }),
+      // full scan + hash aggregate (reads every payload byte)
+      "scan_events" -> (() => {
+        graft.eslog.EsLog.scan(spark, Fixtures.eventsStream(spark, sfDir))
+          .agg(expr("bit_xor(xxhash64(payload))"), sum(col("base_offset")),
+            expr("bit_xor(xxhash64(properties['event_type']))"))
+          .collect()
+        ()
+      }),
+      "fetch_mid_range" -> (() => {
+        graft.eslog.EsLog.fetch(spark, Fixtures.eventsStream(spark, sfDir),
+            nEvents / 4, nEvents / 2)
+          .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
+        ()
+      }),
+      // time-indexed fetch: manifest ts pruning + pushed base_timestamp range
+      "fetch_time_mid" -> (() => {
+        graft.eslog.EsLog.fetchByTime(spark, Fixtures.eventsStream(spark, sfDir),
+            ts0 + (ts1 - ts0) / 4, ts0 + (ts1 - ts0) / 2)
+          .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
+        ()
+      }))
 
     // -- relational / LLM-pipeline headline queries (registry plans) --
     val heads = Seq("lineitem_agg", "join_agg", "topk_orders",
@@ -280,17 +286,24 @@ object Bench {
     sentinelOnce(); sentinelOnce() // JIT/codegen warm, untimed
     val s0raw = { val xs = (1 to 5).map(_ => sentinelOnce()).sorted; xs(2) }
     val RegistryGateFactor = 1.5
-    val segs = BenchGate.segments(heads, 10)
+    // gated units: segment 0 = the read-path heads above (with fresh-sink
+    // cleanup after each pass), then the registry heads in segments of 10
+    val segs: Seq[Seq[(String, () => Unit)]] =
+      frontSeg +: BenchGate.segments(heads, 10).map(_.map(n =>
+        n -> (() => force(registry(n)(spark, sfDir)))))
+    def segCleanup(si: Int): Unit = if (si == 0) Fixtures.dropFresh()
+    val gatedNames = segs.flatten.map(_._1)
     val boundaries = scala.collection.mutable.ArrayBuffer[Double]()
     boundaries += sentinelSec()
-    segs.foreach { seg =>
-      seg.foreach { name =>
+    segs.zipWithIndex.foreach { case (seg, si) =>
+      seg.foreach { case (name, body) =>
         // warm pass (inside timedMedian) bills Janino + C2 compile once
         // (observed 5.4 s first run vs 0.56 s steady on text_filter) — the
         // 100 TB path pays that once per executor lifetime, not per
         // partition; steady state is the honest figure
-        timedMedian(name) { force(registry(name)(spark, sfDir)) }
+        timedMedian(name) { body() }
       }
+      segCleanup(si)
       boundaries += sentinelSec()
     }
     // effective baseline = the QUIETEST sentinel observed anywhere: if the
@@ -299,7 +312,8 @@ object Bench {
     var s0 = math.min(s0raw, boundaries.min)
     var dirty = BenchGate.dirtySegments(boundaries.toSeq, s0, RegistryGateFactor)
     val windowTag = scala.collection.mutable.LinkedHashMap[String, String]()
-    heads.foreach(n => windowTag(n) = if (dirty.exists(si => segs(si).contains(n))) "w0-noisy" else "w0")
+    gatedNames.foreach(n => windowTag(n) =
+      if (dirty.exists(si => segs(si).exists(_._1 == n))) "w0-noisy" else "w0")
     val rerunSentinels = scala.collection.mutable.ArrayBuffer[Double]()
     var segmentsRerun = 0
     var rerunPass = 0
@@ -308,8 +322,9 @@ object Bench {
       val stillDirty = scala.collection.mutable.Set[Int]()
       dirty.toSeq.sorted.foreach { si =>
         val before = sentinelSec(); rerunSentinels += before
-        val old = segs(si).map(n => (n, results(n), best(n), spread(n)))
-        segs(si).foreach { name => timedMedian(name) { force(registry(name)(spark, sfDir)) } }
+        val old = segs(si).map { case (n, _) => (n, results(n), best(n), spread(n)) }
+        segs(si).foreach { case (name, body) => timedMedian(name) { body() } }
+        segCleanup(si)
         val after = sentinelSec(); rerunSentinels += after
         segmentsRerun += 1
         s0 = math.min(s0, math.min(before, after))
