@@ -1476,6 +1476,44 @@ object Fixtures {
       name
     })
 
+  /** STREAMING quality-bucket assignment — "label the crawl head/middle/tail
+    * at ingest": LM stats AND tercile thresholds are batch-built artifacts
+    * ([[graft.operators.TextOps.lmStats]]/[[graft.operators.TextOps
+    * .lmBucketThresholds]] — thresholds over the FULL corpus, including
+    * bigram-less docs); the stream scores and labels against them
+    * ([[graft.operators.TextOps.lmBucketsWith]] — broadcast dimension +
+    * threshold joins after the score aggregate). Complete-mode memory
+    * table. */
+  def streamLmBucketsTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-lm-buckets", {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.TextOps
+      tune(s)
+      val src = docsStream(s, sfDir)
+      val docs = documents(s, sfDir)
+      val stats = TextOps.lmStats(docs, "doc_id", "text").persist()
+      stats.count()
+      val thr = TextOps.lmBucketThresholds(docs, "doc_id", "text", "source").persist()
+      thr.count()
+      val srcMap = docs.select(col("doc_id"), col("source")).persist()
+      srcMap.count()
+      val perTrigger = math.max(docs.count() / 8, 1L)
+      val name = "graft_stream_lm_buckets_" + math.abs(sfDir.hashCode).toString
+      val stream = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+      val q = TextOps.lmBucketsWith(stream, "doc_id", "text", srcMap, stats, thr)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      stats.unpersist(); thr.unpersist(); srcMap.unpersist()
+      name
+    })
+
   /** STREAMING token-budget admission — "fill the data recipe as the crawl
     * arrives": the per-source running token total is the only state
     * ([[graft.operators.Sampling.tokenBudgetStream]]); delivered as ONE

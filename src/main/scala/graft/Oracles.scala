@@ -670,10 +670,13 @@ object Oracles {
   // CCNet head/middle/tail: per-source tercile thresholds are ORDER
   // STATISTICS of mean_nll (value at rank (n-1)·p div 1000 — the
   // quantilesDisc rule), so ties cannot make them engine-dependent; docs
-  // without a bigram take Long.MaxValue and land in tail
-  private val textLmBuckets =
+  // without a bigram take Long.MaxValue and land in tail. The thresholds
+  // ALWAYS derive from the full corpus; `finalFilter` only restricts the
+  // emitted rows (the streaming twin scores against the batch artifacts
+  // but cannot emit bigram-less docs).
+  private def textLmBucketsSql(finalFilter: String): String =
     s"""WITH $textLmCtes,
-       |m AS (SELECT lmx.doc_id, d.source,
+       |m AS (SELECT lmx.doc_id, d.source, lmx.n_bigrams,
        |        CASE WHEN lmx.n_bigrams > 0 THEN lmx.nll_scaled // lmx.n_bigrams
        |             ELSE 9223372036854775807 END AS mean_nll
        |      FROM lmx JOIN documents d USING (doc_id)),
@@ -686,7 +689,11 @@ object Oracles {
        |SELECT m.doc_id, m.source, CAST(m.mean_nll AS BIGINT) AS mean_nll,
        |  CASE WHEN m.mean_nll <= t.q333 THEN 'head'
        |       WHEN m.mean_nll <= t.q667 THEN 'middle' ELSE 'tail' END AS bucket
-       |FROM m JOIN thr t USING (source)""".stripMargin
+       |FROM m JOIN thr t USING (source)
+       |$finalFilter""".stripMargin
+
+  private val textLmBuckets = textLmBucketsSql("")
+  private val esStreamLmBuckets = textLmBucketsSql("WHERE m.n_bigrams > 0")
 
   private val decontaminate = {
     val bench =
@@ -2029,6 +2036,7 @@ object Oracles {
     "text_lm" -> textLm,
     "text_lm_buckets" -> textLmBuckets,
     "es_stream_lm" -> esStreamLm,
+    "es_stream_lm_buckets" -> esStreamLmBuckets,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
     "sql_topk" -> sqlTopk,

@@ -928,6 +928,13 @@ object SparkEntry {
     s.table(Fixtures.streamLmTable(s, sfDir))
       .select(col("doc_id"), col("n_bigrams"), col("nll_scaled"))
 
+  /** Streaming quality-bucket assignment against the persisted LM +
+    * threshold artifacts ([[Fixtures.streamLmBucketsTable]]) — buckets
+    * equal `text_lm_buckets`' scored rows (shared-derivation oracle). */
+  private def qEsStreamLmBuckets(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamLmBucketsTable(s, sfDir))
+      .select(col("doc_id"), col("source"), col("mean_nll"), col("bucket"))
+
   /** Corpus-estimated bigram LM negative log-likelihood per document (the
     * perplexity quality filter) — integer-scaled, engine-exact. */
   private def qTextLm(s: SparkSession, sfDir: String): DataFrame =
@@ -1692,6 +1699,7 @@ object SparkEntry {
     "text_lm" -> (qTextLm _),
     "text_lm_buckets" -> (qTextLmBuckets _),
     "es_stream_lm" -> (qEsStreamLm _),
+    "es_stream_lm_buckets" -> (qEsStreamLmBuckets _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
     "sql_topk" -> (qSqlTopk _),

@@ -447,21 +447,61 @@ object TextOps {
     * threshold join — the corpus is touched only by lmScore's one explode. */
   def lmBuckets(docs: DataFrame, idCol: String, textCol: String,
                 srcCol: String): DataFrame = {
-    val withSrc = lmScore(docs, idCol, textCol)
+    val withSrc = lmScoredWithSource(docs, idCol, textCol, srcCol)
+    withSrc.join(broadcast(lmBucketThresholdsOf(withSrc, srcCol)), Seq(srcCol))
+      .withColumn("bucket", lmBucketLabel)
+      .select(col(idCol), col(srcCol), col("mean_nll"), col("bucket"))
+  }
+
+  /** Per-doc `mean_nll` with its source label — the scored form both
+    * [[lmBuckets]] and the threshold computation consume. */
+  private def lmScoredWithSource(docs: DataFrame, idCol: String,
+                                 textCol: String, srcCol: String): DataFrame =
+    lmScore(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
       .withColumn("mean_nll",
         when(col("n_bigrams") > 0,
           call_function("div", col("nll_scaled"), col("n_bigrams")))
           .otherwise(lit(Long.MaxValue)))
-    val thr = Stats.quantilesDisc(withSrc, Seq(srcCol), "mean_nll", Seq(333, 667))
+
+  private def lmBucketThresholdsOf(scored: DataFrame, srcCol: String): DataFrame =
+    Stats.quantilesDisc(scored, Seq(srcCol), "mean_nll", Seq(333, 667))
       .groupBy(srcCol).agg(
         max(when(col("permille") === 333, col("q_value"))).as("_q333"),
         max(when(col("permille") === 667, col("q_value"))).as("_q667"))
-    withSrc.join(broadcast(thr), Seq(srcCol))
-      .withColumn("bucket",
-        when(col("mean_nll") <= col("_q333"), lit("head"))
-          .when(col("mean_nll") <= col("_q667"), lit("middle"))
-          .otherwise(lit("tail")))
+
+  private def lmBucketLabel: Column =
+    when(col("mean_nll") <= col("_q333"), lit("head"))
+      .when(col("mean_nll") <= col("_q667"), lit("middle"))
+      .otherwise(lit("tail"))
+
+  /** The per-source tercile thresholds as a PERSISTABLE artifact
+    * `(source, _q333, _q667)` — with [[lmStats]], everything
+    * [[lmBucketsWith]] needs to bucket a live stream at ingest. */
+  def lmBucketThresholds(docs: DataFrame, idCol: String, textCol: String,
+                         srcCol: String): DataFrame =
+    lmBucketThresholdsOf(lmScoredWithSource(docs, idCol, textCol, srcCol), srcCol)
+
+  /** Bucket-at-ingest against PRE-BUILT artifacts — [[lmBuckets]]'s
+    * deployment/streaming shape (CCNet assigns head/middle/tail as data
+    * arrives, against yesterday's model + thresholds): score with
+    * [[lmScoreWith]] (stream-safe), label the source via a broadcast
+    * dimension join, bucket via the broadcast threshold join. Stateless
+    * beyond the per-doc score aggregate. Docs with no scored bigram emit
+    * no row (the [[lmScoreWith]] contract); sources absent from the
+    * threshold artifact drop (inner join — score them in batch first). */
+  def lmBucketsWith(docs: DataFrame, idCol: String, textCol: String,
+                    sourceOf: DataFrame, stats: DataFrame,
+                    thresholds: DataFrame): DataFrame = {
+    require(sourceOf.columns.length == 2,
+      s"sourceOf must be a two-column (id, source) dimension: ${sourceOf.columns.mkString(",")}")
+    val srcCol = sourceOf.columns(1)
+    lmScoreWith(docs, idCol, textCol, stats)
+      .withColumn("mean_nll",
+        call_function("div", col("nll_scaled"), col("n_bigrams")))
+      .join(broadcast(sourceOf.toDF(idCol, srcCol)), Seq(idCol))
+      .join(broadcast(thresholds), Seq(srcCol))
+      .withColumn("bucket", lmBucketLabel)
       .select(col(idCol), col(srcCol), col("mean_nll"), col("bucket"))
   }
 

@@ -669,6 +669,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(oov < full, "a partial model must score fewer grams, never invent them")
   }
 
+  test("lmBucketsWith(artifacts) == lmBuckets on the scored rows") {
+    import graft.operators.TextOps
+    Fixtures.tune(spark)
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val viaCorpus = TextOps.lmBuckets(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val stats = TextOps.lmStats(docs, "doc_id", "text")
+    val thr = TextOps.lmBucketThresholds(docs, "doc_id", "text", "source")
+    val viaArtifacts = TextOps.lmBucketsWith(docs, "doc_id", "text",
+        docs.select(col("doc_id"), col("source")), stats, thr)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    // artifact path emits only scored docs; in-corpus path additionally
+    // carries bigram-less docs as tail rows
+    val scoredOnly = viaCorpus.filter(_._3 != Long.MaxValue)
+    assert(viaArtifacts == scoredOnly,
+      s"artifact bucketing must equal in-corpus bucketing: ${viaArtifacts.size} vs ${scoredOnly.size}")
+  }
+
   test("mediaDedupProbeAt: empty incoming probes nothing and returns empty") {
     import spark.implicits._
     import graft.operators.Multimodal
@@ -1296,6 +1314,7 @@ class PlanAuditSpec extends SparkTestBase {
     "text_lm" -> Seq("doc_id", "n_bigrams", "nll_scaled"),
     "text_lm_buckets" -> Seq("doc_id", "source", "mean_nll", "bucket"),
     "es_stream_lm" -> Seq("doc_id", "n_bigrams", "nll_scaled"),
+    "es_stream_lm_buckets" -> Seq("doc_id", "source", "mean_nll", "bucket"),
     "text_pack" -> Seq("doc_id", "shard", "n_tokens", "pack_id"),
     "text_quality" -> Seq("doc_id", "n_tokens", "lexical_diversity", "stopword_ratio", "digit_ratio", "punct_ratio"),
     "text_redact" -> Seq("doc_id", "text_redacted"),
