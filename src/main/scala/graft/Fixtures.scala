@@ -1415,7 +1415,7 @@ object Fixtures {
         .select(col("properties")("doc_id").cast("long").as("media_id"),
           col("payload"))
       val q = Multimodal.mediaDedupProbe(idx, stream, "media_id", "payload",
-          minShared = 4)
+          divisor = 16, minShared = 4) // fixture scale; deployment default is 16 KiB
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
@@ -1431,16 +1431,15 @@ object Fixtures {
     * (bucket-partitioned on the chunk hash) so the probe row proves the
     * on-disk deployment shape: partition-pruned, library never shuffled. */
   def mediaLibraryIndexDir(s: SparkSession, sfDir: String): String =
-    cache.getOrElseUpdate(s"$sfDir#media-library-index", {
+    fixture(sfDir, "media-library-index") { dir =>
       tune(s)
       val library = documents(s, sfDir).where(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("existing_id"),
           col("text").cast("binary").as("payload"))
-      val dir = java.nio.file.Files.createTempDirectory("media-index-").toString
       graft.operators.Multimodal.writeMediaLibraryIndex(
-        library, "existing_id", "payload", dir)
-      dir
-    })
+        library, "existing_id", "payload", dir,
+        divisor = 16) // fixture scale; the API's default is DeploymentDivisor
+    }
 
   /** STREAMING LM scoring — "score the crawl at ingest against the persisted
     * language model" (CCNet's KenLM-at-ingest role): the bigram-stats

@@ -78,7 +78,22 @@ object Bpe {
     */
   def learn(docs: DataFrame, idCol: String, textCol: String,
             numMerges: Int, minPairCount: Long = 2L,
-            maxWords: Int = 1000000): Seq[(String, String)] = {
+            maxWords: Int = 1000000): Seq[(String, String)] =
+    // the same spaced representation spacedChars builds plan-side:
+    // " w o r d " — split("") chunks to code points exactly as Spark's
+    // split(col, "", 0) does (both ride Java's regex engine)
+    learnWith(docs, textCol, numMerges, minPairCount, maxWords, "merges")(
+      w => " " + w.split("").mkString(" ") + " ")
+
+  /** The shared learn skeleton: ONE corpus pass collecting the
+    * frequency-capped word table (with the truncation probe), then the
+    * driver-side [[mergeLoop]] over `spaced(word)` representations — the
+    * char-alphabet [[learn]] and byte-alphabet [[learnBytes]] differ ONLY
+    * in `spaced` (and the probe's wording via `what`), so a future fix to
+    * the pass or the probe cannot drift between them. */
+  private def learnWith(docs: DataFrame, textCol: String, numMerges: Int,
+                        minPairCount: Long, maxWords: Int, what: String)
+                       (spaced: String => String): Seq[(String, String)] = {
     // corpus -> (word, n): the only pass over the full data. One row past
     // the cap is fetched purely as a TRUNCATION PROBE: when it comes back,
     // the vocabulary exceeded maxWords and the merges are being learned on
@@ -93,17 +108,14 @@ object Bpe {
       .collect()
     if (rows0.length > maxWords)
       System.err.println(s"[bpe] corpus has more than $maxWords distinct words — " +
-        "merges are learned on the top-" + maxWords + " frequency slice " +
+        s"$what are learned on the top-" + maxWords + " frequency slice " +
         "(raise maxWords for a full-vocabulary artifact)")
     val rows = rows0.take(maxWords)
-    // the same spaced representation spacedChars builds plan-side:
-    // " w o r d " — split("") chunks to code points exactly as Spark's
-    // split(col, "", 0) does (both ride Java's regex engine)
     val repr = new Array[String](rows.length)
     val weight = new Array[Long](rows.length)
     var wi = 0
     while (wi < rows.length) {
-      repr(wi) = " " + rows(wi).getString(0).split("").mkString(" ") + " "
+      repr(wi) = spaced(rows(wi).getString(0))
       weight(wi) = rows(wi).getLong(1)
       wi += 1
     }
@@ -195,31 +207,10 @@ object Bpe {
     * The 256-symbol alphabet means zero OOV by construction. */
   def learnBytes(docs: DataFrame, idCol: String, textCol: String,
                  numMerges: Int, minPairCount: Long = 2L,
-                 maxWords: Int = 1000000): Seq[(String, String)] = {
-    val rows0 = docs
-      .select(explode(graft.functions.Portable.words(col(textCol))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w").asc)
-      .limit(maxWords + 1)
-      .collect()
-    if (rows0.length > maxWords)
-      System.err.println(s"[bpe] corpus has more than $maxWords distinct words — " +
-        "byte merges are learned on the top-" + maxWords + " frequency slice " +
-        "(raise maxWords for a full-vocabulary artifact)")
-    val rows = rows0.take(maxWords)
-    val repr = new Array[String](rows.length)
-    val weight = new Array[Long](rows.length)
-    var wi = 0
-    while (wi < rows.length) {
-      repr(wi) = rows(wi).getString(0)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        .map(hexByte).mkString(" ", " ", " ")
-      weight(wi) = rows(wi).getLong(1)
-      wi += 1
-    }
-    mergeLoop(repr, weight, numMerges, minPairCount)
-  }
+                 maxWords: Int = 1000000): Seq[(String, String)] =
+    learnWith(docs, textCol, numMerges, minPairCount, maxWords, "byte merges")(
+      w => w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(hexByte).mkString(" ", " ", " "))
 
   /** Byte-level encode expression: spaced hex bytes, then the merge chain —
     * one codegen'd literal-replace chain, like [[encodeExpr]]. */

@@ -45,8 +45,22 @@ object Multimodal {
     * the index-size constant changes (index rows ≈ corpus_bytes / divisor) —
     * and the codegen'd chunker's throughput RISES with the divisor (fewer
     * cut tests succeed, fewer md5 digests per byte; the bench reports
-    * measured MB/s at both 16 and this value side by side). */
+    * measured MB/s at both 16 and this value side by side). The
+    * deployment-shaped APIs ([[writeMediaLibraryIndex]],
+    * [[mediaDedupProbe]]) DEFAULT to this value — fixtures pass 16
+    * explicitly — so building a corpus-scale index with the parameter
+    * omitted cannot silently produce ~16 B chunks. */
   val DeploymentDivisor: Int = 16384
+
+  /** Broadcast bound for [[mediaDedupProbeAt]]'s incoming chunk set. The
+    * probe's plan broadcasts the INCOMING chunks so the library never
+    * shuffles — correct for its upload-screen deployment (micro-batch-sized
+    * probes), but a batch caller probing a huge corpus would OOM the
+    * broadcast; 4M (id, hash) rows ≈ low hundreds of MB serialized is the
+    * sane ceiling. Past it the probe fails fast naming the knob (the
+    * [[Sampling.tokenBudgetStream]] `maxBatchRows` treatment) — the
+    * corpus-vs-corpus job is [[binaryNearDupsCdc]], not this API. */
+  val MaxProbeChunks: Long = 4000000L
 
   /** STUB decoder: deterministic fake feature extraction from payload bytes.
     * A real deployment decodes here (libjpeg/ffmpeg/...); the arithmetic is
@@ -285,10 +299,14 @@ object Multimodal {
     * catches). At corpus scale, persist the library index with
     * [[writeMediaLibraryIndex]] and probe with [[mediaDedupProbeAt]] —
     * bucket-partition-pruned, and the library never shuffles (plan-pinned
-    * in PlanAuditSpec). */
+    * in PlanAuditSpec).
+    *
+    * `divisor` defaults to [[DeploymentDivisor]] (this is a deployment
+    * API; fixtures pass 16 explicitly) and MUST match the divisor the
+    * library index was chunked with — mismatched chunking joins nothing. */
   def mediaDedupProbe(libraryIndex: DataFrame, incoming: DataFrame,
                       idCol: String, payloadCol: String,
-                      window: Int = 8, divisor: Int = 16,
+                      window: Int = 8, divisor: Int = DeploymentDivisor,
                       minShared: Int = 4): DataFrame = {
     val libId = libraryIndex.columns.filterNot(_ == "ch") match {
       case Array(one) => one
@@ -313,9 +331,15 @@ object Multimodal {
     * pmod(ch, nBuckets)` is a pure function of the join key, so a probe
     * knows exactly which `bucket=N/` directories its chunks can live in and
     * pushes them as a static partition filter. Params ride a tiny sidecar
-    * so probes can never chunk with mismatched (window, divisor). */
+    * so probes can never chunk with mismatched (window, divisor).
+    *
+    * `divisor` defaults to [[DeploymentDivisor]]: this is THE corpus-scale
+    * builder, and a fixture-scale 16 B default here would let a 100 TB
+    * caller build a chunk index a constant factor the size of the corpus
+    * by omission (fixtures pass 16 explicitly). */
   def writeMediaLibraryIndex(df: DataFrame, idCol: String, payloadCol: String,
-                             dir: String, window: Int = 8, divisor: Int = 16,
+                             dir: String, window: Int = 8,
+                             divisor: Int = DeploymentDivisor,
                              maxDf: Int = 64, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1)
     val spark = df.sparkSession
@@ -340,16 +364,31 @@ object Multimodal {
     *     by the batch size — a legal driver collect) push as a static `isin`
     *     partition filter, pruned at planning time.
     *
-    * Results are bit-identical to the in-memory probe on the same index. */
+    * Results are bit-identical to the in-memory probe on the same index.
+    *
+    * The incoming chunk set must fit a broadcast: past `maxProbeChunks`
+    * (default [[MaxProbeChunks]]) the probe FAILS FAST naming the knob
+    * rather than OOMing the driver mid-broadcast — the scaladoc's
+    * "micro-batch-sized" contract, enforced. Corpus-vs-corpus jobs belong
+    * on [[binaryNearDupsCdc]] (shuffle equi-join, no broadcast). */
   def mediaDedupProbeAt(spark: SparkSession, dir: String, incoming: DataFrame,
                         idCol: String, payloadCol: String,
-                        minShared: Int = 4): DataFrame = {
+                        minShared: Int = 4,
+                        maxProbeChunks: Long = MaxProbeChunks): DataFrame = {
     val p = spark.read.parquet(s"$dir/params").collect().head
     val (window, divisor, nBuckets) =
       (p.getAs[Int]("window"), p.getAs[Int]("divisor"), p.getAs[Int]("n_buckets"))
     val inc = OpUtil.shared(
       cdcChunkRows(incoming, idCol, payloadCol, window, divisor)
         .select(col(idCol).as("incoming"), col("ch")))
+    // inc is materialized by shared(); the count is a cheap second read of
+    // the materialization, not a second chunking pass
+    val nChunks = inc.count()
+    if (nChunks > maxProbeChunks) throw new IllegalArgumentException(
+      s"mediaDedupProbeAt: incoming batch chunked to $nChunks rows > " +
+        s"maxProbeChunks=$maxProbeChunks — the probe BROADCASTS the incoming " +
+        "chunk set (micro-batch screens only); raise maxProbeChunks if the " +
+        "driver can hold it, or use binaryNearDupsCdc for corpus-vs-corpus")
     val probed = inc
       .select(pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq

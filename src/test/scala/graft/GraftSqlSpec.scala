@@ -371,7 +371,8 @@ class GraftSqlSpec extends SparkTestBase {
     val lib = media.where(col("media_id") % 2 === 0)
       .select(col("media_id").as("existing_id"), col("payload"))
     val mroot = tmpDir("sqlmediaidx-")
-    Multimodal.writeMediaLibraryIndex(lib, "existing_id", "payload", mroot)
+    Multimodal.writeMediaLibraryIndex(lib, "existing_id", "payload", mroot,
+      divisor = 16)
     media.createOrReplaceTempView("sql_incoming")
     assert(rows(spark.sql(
         s"SELECT * FROM graft_media_probe('$mroot', 'sql_incoming', 'media_id', 'payload', 4)"))

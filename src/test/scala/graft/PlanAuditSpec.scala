@@ -560,7 +560,8 @@ class PlanAuditSpec extends SparkTestBase {
     val lib = (0 until 12).map(i => (i.toLong, blob(i))).toDF("media_id", "payload")
       .select(col("media_id"), col("payload").cast("binary").as("payload"))
     val root = java.nio.file.Files.createTempDirectory("media-idx-").toString
-    Multimodal.writeMediaLibraryIndex(lib, "media_id", "payload", root)
+    Multimodal.writeMediaLibraryIndex(lib, "media_id", "payload", root,
+      divisor = 16)
     // incoming: ONE exact re-upload of library #3 under a new id — its
     // chunk set (and hence its probed bucket set) is a small fraction of
     // the buckets on disk
@@ -575,7 +576,7 @@ class PlanAuditSpec extends SparkTestBase {
       lib.select(col("media_id").as("existing_id"), col("payload")),
       "existing_id", "payload")
     val mem = Multimodal.mediaDedupProbe(memIdx, inc, "media_id", "payload",
-        minShared = 4)
+        divisor = 16, minShared = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == mem, s"persisted probe must equal in-memory probe: $got vs $mem")
     // plan proof (AQE off so the physical scan is reachable): the library
@@ -693,10 +694,34 @@ class PlanAuditSpec extends SparkTestBase {
     val lib = Seq((1L, "abcdefghabcdefgh")).toDF("media_id", "payload")
       .select(col("media_id"), col("payload").cast("binary").as("payload"))
     val root = java.nio.file.Files.createTempDirectory("media-idx-empty-").toString
-    Multimodal.writeMediaLibraryIndex(lib, "media_id", "payload", root)
+    Multimodal.writeMediaLibraryIndex(lib, "media_id", "payload", root,
+      divisor = 16)
     val empty = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
     assert(Multimodal.mediaDedupProbeAt(spark, root, empty,
       "media_id", "payload").count() == 0L)
+  }
+
+  test("mediaDedupProbeAt: oversized incoming fails fast naming maxProbeChunks") {
+    // the probe BROADCASTS the incoming chunk set (micro-batch contract);
+    // past maxProbeChunks it must throw with the knob named, not OOM the
+    // driver mid-broadcast — enforced, not advisory (the tokenBudgetStream
+    // treatment). Tiny bound so the fixture stays tiny.
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val lib = Seq((1L, "abcdefghabcdefghabcdefghabcdefgh")).toDF("media_id", "payload")
+      .select(col("media_id"), col("payload").cast("binary").as("payload"))
+    val root = java.nio.file.Files.createTempDirectory("media-idx-big-").toString
+    Multimodal.writeMediaLibraryIndex(lib, "media_id", "payload", root,
+      divisor = 16)
+    val incoming = Seq((100L, "abcdefghabcdefghabcdefghabcdefgh"),
+      (101L, "zyxwvutszyxwvutszyxwvutszyxwvuts")).toDF("media_id", "payload")
+      .select(col("media_id"), col("payload").cast("binary").as("payload"))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.mediaDedupProbeAt(spark, root, incoming, "media_id", "payload",
+        maxProbeChunks = 1L)
+    }
+    assert(e.getMessage.contains("maxProbeChunks"), e.getMessage)
+    assert(e.getMessage.contains("binaryNearDupsCdc"), e.getMessage)
   }
 
   test("CdcChunkHashesExpr == the composed Column pipeline, incl. edge cases") {
