@@ -312,12 +312,45 @@ object MetaLog {
     val base = readLastCheckpoint(streamDir).getOrElse(StreamState.empty)
     var st = base
     var v = base.version + 1
-    while (s0.exists(versionFile(streamDir, v))) {
-      st = readVersion(streamDir, v).foldLeft(st)((s2, a) => StreamState.apply(s2, a, v))
-      v += 1
+    var settled = false
+    while (!settled) {
+      while (s0.exists(versionFile(streamDir, v))) {
+        st = readVersion(streamDir, v).foldLeft(st)((s2, a) => StreamState.apply(s2, a, v))
+        v += 1
+      }
+      // GAP BACKSTOP: the probe's contiguity contract is that versions are
+      // dense CAS tokens, so "first missing" = log tail. A version file that
+      // goes missing MID-LOG (interrupted external copy, manual deletion, a
+      // store whose exists() false-negatives) would otherwise return a
+      // silently TRUNCATED state. One tiny pointer read detects it: a
+      // _last_checkpoint at a version the fold never reached means versions
+      // beyond the gap exist. Distinguish from the benign race (commits
+      // landing DURING the load) by re-probing v — present now = race, keep
+      // folding; still absent under a later checkpoint = real gap, refuse.
+      lastCheckpointPointer(streamDir) match {
+        case Some(cp) if cp > st.version =>
+          if (!s0.exists(versionFile(streamDir, v)))
+            throw new IllegalStateException(
+              s"metadata log gap in $streamDir: version $v missing but a " +
+                s"checkpoint exists at $cp — the log's contiguous-version " +
+                "contract is broken (partial copy or deleted version file); " +
+                "refusing to serve a truncated state")
+        case _ => settled = true
+      }
     }
     st
   }
+
+  /** The `_last_checkpoint` pointer value alone (no checkpoint read) — the
+    * one-object probe [[load]]'s gap backstop uses. None when absent or
+    * unreadable (best-effort, like [[readLastCheckpoint]]). */
+  private def lastCheckpointPointer(streamDir: String): Option[Long] =
+    try {
+      val s = storeFor(streamDir)
+      val ptr = join(logDir(streamDir), LastCheckpointName)
+      if (!s.exists(ptr)) None
+      else Some(new String(s.read(ptr), StandardCharsets.UTF_8).trim.toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Time travel: the state as of log version `asOf` (inclusive). Uses the
     * newest checkpoint at or below the target when one survives retention;

@@ -321,12 +321,45 @@ class MetaLogSpec extends AnyFunSuite {
       val at10k = opsPerLoad()
       assert(at1k == at10k,
         s"load op-counts must be flat across 10x commit growth: $at1k vs $at10k")
-      assert(at10k._1 <= 2 + MetaLog.CheckpointInterval,
+      // 3 = _last_checkpoint pointer + checkpoint + the gap-backstop's
+      // second pointer read (one extra tiny object per load)
+      assert(at10k._1 <= 3 + MetaLog.CheckpointInterval,
         s"reads per load must be bounded by checkpoint + tail: $at10k")
       assert(at10k._3 == 0, s"load must not list the log directory: $at10k")
       // and the state survived: the last put is visible, version is the head
       assert(MetaLog.load(dir).kv("cursor") == "9999")
     } finally MetaLog.unroute(dir)
+  }
+
+  test("load refuses a truncated state when a mid-log gap sits below a checkpoint") {
+    // The probe-forward load's contiguity contract: "first missing version =
+    // log tail". A version file missing MID-LOG (interrupted external copy,
+    // manual deletion) with surviving checkpoints above it would otherwise
+    // fold to a silently TRUNCATED state; the pointer backstop must refuse.
+    val dir = Files.createTempDirectory("metalog-gap-").toString
+    var st = EsLogTestOps.createAndOpen(dir)
+    (0 until 25).foreach { i =>
+      st = MetaLog.commit(dir, st, Seq(KvPut("cursor", i.toString)))
+    }
+    val logDir = java.nio.file.Paths.get(MetaLog.logDir(dir))
+    // simulate the interrupted copy: the checkpoint FILES are gone (so the
+    // fold starts from version 0) and one mid-log delta is gone too
+    locally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(logDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".checkpoint.json"))
+        .toList.foreach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.delete(logDir.resolve(f"${5L}%020d.json"))
+    val e = intercept[IllegalStateException](MetaLog.load(dir))
+    assert(e.getMessage.contains("metadata log gap"), e.getMessage)
+    // whereas a clean tail (no gap, pointer at or below the fold) loads fine:
+    val dir2 = Files.createTempDirectory("metalog-nogap-").toString
+    var st2 = EsLogTestOps.createAndOpen(dir2)
+    (0 until 25).foreach { i =>
+      st2 = MetaLog.commit(dir2, st2, Seq(KvPut("cursor", i.toString)))
+    }
+    assert(MetaLog.load(dir2).kv("cursor") == "24")
   }
 
   test("json action codec roundtrips every action type") {
