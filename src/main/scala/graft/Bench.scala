@@ -283,18 +283,74 @@ object Bench {
     // work), and min-of-3 shakes off a one-off pause while a genuine host
     // slow-phase inflates all three — exactly the signal the gate wants
     def sentinelSec(): Double = (1 to 3).map(_ => sentinelOnce()).min
+    // IO-BOUND SENTINEL (the round-10 instrument gap): the CPU sentinel is
+    // pure compute, so a sustained host IO-THROTTLE phase is invisible to
+    // it — the r10 driver window timed scan_64k_batches at 33 MB/s (58.7 s
+    // vs 0.5-0.7 s re-measured) inside a segment whose CPU sentinels read
+    // clean. This probe re-reads a PINNED ~131 MB slice of the 64k stream
+    // (the first timed commit's offset range) through the SAME fetch path
+    // as the head it guards, so it feels exactly what the head feels. Only
+    // IO-heavy segments are bracketed with it (segment 0, the read-path
+    // heads); the CPU-bound registry/CDC segments stay CPU-gated only.
+    def ioSentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      graft.eslog.EsLog.fetch(spark, dir64k, warmed * n64k, (warmed + 1) * n64k)
+        .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ioSentinelSec(): Double = (1 to 3).map(_ => ioSentinelOnce()).min
     sentinelOnce(); sentinelOnce() // JIT/codegen warm, untimed
+    ioSentinelOnce(); ioSentinelOnce()
     val s0raw = { val xs = (1 to 5).map(_ => sentinelOnce()).sorted; xs(2) }
+    val s0ioRaw = { val xs = (1 to 5).map(_ => ioSentinelOnce()).sorted; xs(2) }
     val RegistryGateFactor = 1.5
+    // IO reads ride the page cache + device queue, so their quiet-window
+    // variance is wider than pure compute's: 2x before flagging (the r10
+    // phase sat at ~100x)
+    val IoGateFactor = 2.0
+
+    // -- CDC chunker throughput, fixture divisor (16 B mean chunks — what
+    //    the oracle fixtures use on few-hundred-byte payloads) vs the
+    //    deployment divisor (16 KiB mean chunks — what real media runs;
+    //    Multimodal.DeploymentDivisor). Same codegen'd expression; the
+    //    figure the docs quote must be measured at BOTH settings because
+    //    the md5-per-chunk cost scales with cut density. Corpus built here
+    //    (untimed); the timed rows run as the LAST GATED SEGMENT — they
+    //    were the one timed stretch outside every gate --
+    val cdcCorpus = spark.range(2048).select(col("id"),
+      expr("cast(repeat(uuid(), 1820) as binary)").as("payload")) // ~64 KiB/row
+    cdcCorpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cdcCorpus.count()
+    val cdcBytes = 2048L * 36L * 1820L
+    val cdcSeg: Seq[(String, () => Unit)] = Seq(
+      "cdc_chunk_div16" -> (() =>
+        force(graft.operators.Multimodal.cdcChunkRows(cdcCorpus, "id", "payload",
+          window = 8, divisor = 16))),
+      "cdc_chunk_div16k" -> (() =>
+        force(graft.operators.Multimodal.cdcChunkRows(cdcCorpus, "id", "payload",
+          window = 8, divisor = graft.operators.Multimodal.DeploymentDivisor))))
+
     // gated units: segment 0 = the read-path heads above (with fresh-sink
-    // cleanup after each pass), then the registry heads in segments of 10
+    // cleanup after each pass), the registry heads in segments of 10, then
+    // the CDC chunker segment last
     val segs: Seq[Seq[(String, () => Unit)]] =
-      frontSeg +: BenchGate.segments(heads, 10).map(_.map(n =>
-        n -> (() => force(registry(n)(spark, sfDir)))))
+      (frontSeg +: BenchGate.segments(heads, 10).map(_.map(n =>
+        n -> (() => force(registry(n)(spark, sfDir)))))) :+ cdcSeg
     def segCleanup(si: Int): Unit = if (si == 0) Fixtures.dropFresh()
+    // segments bracketed by the IO sentinel (IO-heavy heads): the read path
+    def ioGated(si: Int): Boolean = si == 0
     val gatedNames = segs.flatten.map(_._1)
     val boundaries = scala.collection.mutable.ArrayBuffer[Double]()
+    val ioBoundaries = scala.collection.mutable.ArrayBuffer[Option[Double]]()
+    def ioBoundaryAt(bi: Int): Option[Double] = {
+      // boundary bi brackets segments bi-1 (above) and bi (below); measure
+      // the IO probe when either side is IO-gated
+      val below = bi < segs.size && ioGated(bi)
+      val above = bi > 0 && ioGated(bi - 1)
+      if (below || above) Some(ioSentinelSec()) else None
+    }
     boundaries += sentinelSec()
+    ioBoundaries += ioBoundaryAt(0)
     segs.zipWithIndex.foreach { case (seg, si) =>
       seg.foreach { case (name, body) =>
         // warm pass (inside timedMedian) bills Janino + C2 compile once
@@ -305,16 +361,22 @@ object Bench {
       }
       segCleanup(si)
       boundaries += sentinelSec()
+      ioBoundaries += ioBoundaryAt(si + 1)
     }
     // effective baseline = the QUIETEST sentinel observed anywhere: if the
     // baseline window itself sat in a slow phase, a raw s0 would blind the
     // gate (everything "clean" relative to an inflated floor)
     var s0 = math.min(s0raw, boundaries.min)
-    var dirty = BenchGate.dirtySegments(boundaries.toSeq, s0, RegistryGateFactor)
+    var s0io = math.min(s0ioRaw, ioBoundaries.flatten.min)
+    def allDirty(): Set[Int] =
+      BenchGate.dirtySegments(boundaries.toSeq, s0, RegistryGateFactor) ++
+        BenchGate.dirtySegmentsSparse(ioBoundaries.toSeq, s0io, IoGateFactor)
+    var dirty = allDirty()
     val windowTag = scala.collection.mutable.LinkedHashMap[String, String]()
     gatedNames.foreach(n => windowTag(n) =
       if (dirty.exists(si => segs(si).exists(_._1 == n))) "w0-noisy" else "w0")
     val rerunSentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    val ioRerunSentinels = scala.collection.mutable.ArrayBuffer[Double]()
     var segmentsRerun = 0
     var rerunPass = 0
     while (dirty.nonEmpty && rerunPass < 2) {
@@ -322,13 +384,20 @@ object Bench {
       val stillDirty = scala.collection.mutable.Set[Int]()
       dirty.toSeq.sorted.foreach { si =>
         val before = sentinelSec(); rerunSentinels += before
+        val ioBefore = if (ioGated(si)) Some(ioSentinelSec()) else None
         val old = segs(si).map { case (n, _) => (n, results(n), best(n), spread(n)) }
         segs(si).foreach { case (name, body) => timedMedian(name) { body() } }
         segCleanup(si)
         val after = sentinelSec(); rerunSentinels += after
+        val ioAfter = if (ioGated(si)) Some(ioSentinelSec()) else None
+        (ioBefore.toSeq ++ ioAfter.toSeq).foreach { v =>
+          ioRerunSentinels += v; s0io = math.min(s0io, v)
+        }
         segmentsRerun += 1
         s0 = math.min(s0, math.min(before, after))
-        val clean = before <= s0 * RegistryGateFactor && after <= s0 * RegistryGateFactor
+        val ioClean = (ioBefore.toSeq ++ ioAfter.toSeq).forall(_ <= s0io * IoGateFactor)
+        val clean = before <= s0 * RegistryGateFactor &&
+          after <= s0 * RegistryGateFactor && ioClean
         // host noise only inflates: per query keep the window with the
         // smaller median (the engine's demonstrated capability), best-of
         // keeps the global min, and the tag records which window won
@@ -350,26 +419,6 @@ object Bench {
       dirty = stillDirty.toSet
     }
     val registryGatePassed = dirty.isEmpty
-
-    // -- CDC chunker throughput, fixture divisor (16 B mean chunks — what
-    //    the oracle fixtures use on few-hundred-byte payloads) vs the
-    //    deployment divisor (16 KiB mean chunks — what real media runs;
-    //    Multimodal.DeploymentDivisor). Same codegen'd expression; the
-    //    figure the docs quote must be measured at BOTH settings because
-    //    the md5-per-chunk cost scales with cut density --
-    val cdcCorpus = spark.range(2048).select(col("id"),
-      expr("cast(repeat(uuid(), 1820) as binary)").as("payload")) // ~64 KiB/row
-    cdcCorpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cdcCorpus.count()
-    val cdcBytes = 2048L * 36L * 1820L
-    timedMedian("cdc_chunk_div16") {
-      force(graft.operators.Multimodal.cdcChunkRows(cdcCorpus, "id", "payload",
-        window = 8, divisor = 16))
-    }
-    timedMedian("cdc_chunk_div16k") {
-      force(graft.operators.Multimodal.cdcChunkRows(cdcCorpus, "id", "payload",
-        window = 8, divisor = graft.operators.Multimodal.DeploymentDivisor))
-    }
     cdcCorpus.unpersist(blocking = false)
 
     val total = results.values.filter(_ >= 0).sum
@@ -409,6 +458,11 @@ object Bench {
       s""","registry_sentinel_baseline_raw":${f3(s0raw)}""" +
       s""","registry_sentinel_boundaries":${jlist(boundaries.toSeq)}""" +
       s""","registry_sentinel_rerun":${jlist(rerunSentinels.toSeq)}""" +
+      // IO sentinel: -1.0 marks boundaries where the IO probe was not
+      // measured (the bracketing segments are CPU-bound)
+      s""","io_sentinel_baseline_raw":${f3(s0ioRaw)}""" +
+      s""","io_sentinel_boundaries":${jlist(ioBoundaries.toSeq.map(_.getOrElse(-1.0)))}""" +
+      s""","io_sentinel_rerun":${jlist(ioRerunSentinels.toSeq)}""" +
       s""","registry_window_tags":${jmapS(windowTag)}""" +
       s""","queries_best_of_3":${jmap(best)}""" +
       s""","queries_spread":${jmap(spread)}}"""
@@ -437,6 +491,8 @@ object Bench {
       // registry noise gate: sentinel-bracketed segments, dirty ones re-run
       s""","registry_sentinel_s0":${f3(s0)}""" +
       s""","registry_gate_factor":${f3(RegistryGateFactor)}""" +
+      s""","io_sentinel_s0":${f3(s0io)}""" +
+      s""","io_gate_factor":${f3(IoGateFactor)}""" +
       s""","registry_gate_passed":$registryGatePassed""" +
       s""","registry_segments_rerun":$segmentsRerun""" +
       s""","cdc_chunk_mbps_div16":${f3(mbps("cdc_chunk_div16", cdcBytes))}""" +

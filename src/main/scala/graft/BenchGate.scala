@@ -40,6 +40,28 @@ object BenchGate {
       .toSet
   }
 
+  /** [[dirtySegments]] for a sentinel measured at only SOME boundaries —
+    * the IO sentinel, which brackets only segments whose heads are IO-heavy
+    * (`None` = not measured there, contributes nothing).
+    *
+    * Why a second sentinel exists at all (the round-10 instrument gap): the
+    * CPU sentinel is pure compute, so a sustained host IO-THROTTLE phase is
+    * invisible to it — the r10 driver window timed an IO-heavy head at
+    * 33 MB/s (58.7 s vs 0.5-0.7 s re-measured) inside a segment whose CPU
+    * sentinels read clean. An IO-bound probe (re-reading a pinned slice of
+    * the same stream through the same fetch path) feels exactly that phase.
+    * A segment is dirty if EITHER of its measured bounding probes drifted;
+    * callers union this with the CPU verdict. */
+  def dirtySegmentsSparse(boundaries: Seq[Option[Double]], s0: Double,
+                          factor: Double = 2.0): Set[Int] = {
+    require(boundaries.size >= 2, "need at least one segment (two boundaries)")
+    require(s0 > 0 && factor >= 1.0)
+    def disturbed(s: Option[Double]): Boolean = s.exists(_ > s0 * factor)
+    (0 until boundaries.size - 1)
+      .filter(i => disturbed(boundaries(i)) || disturbed(boundaries(i + 1)))
+      .toSet
+  }
+
   /** Partition `names` into segments of at most `segmentSize`, preserving
     * order: the unit the sentinel brackets. */
   def segments[A](names: Seq[A], segmentSize: Int): Seq[Seq[A]] = {

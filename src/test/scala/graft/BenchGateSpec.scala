@@ -42,6 +42,48 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.dirtySegments(boundaries, s0eff, factor = 1.5) === Set(0))
   }
 
+  test("replayed r10 IO-throttle window: CPU sentinel blind, IO sentinel flags it") {
+    // The round-10 driver window, to shape: scan_64k_batches ran at 33 MB/s
+    // (58.7 s vs 0.5-0.7 s re-measured — a sustained host IO-throttle phase
+    // over the read-path segment), while the segment's bounding CPU
+    // sentinels read CLEAN (0.103/0.114 vs s0 0.097 — the probe is pure
+    // compute, the phase was IO-only) and CPU-bound neighbors in the same
+    // segment were fast. These are the r10 BENCH_DETAIL numbers verbatim.
+    val cpuBoundaries = Seq(0.103, 0.114, 0.105, 0.100, 0.098, 0.101)
+    val cpuS0 = 0.097
+    assert(BenchGate.dirtySegments(cpuBoundaries, cpuS0, factor = 1.5).isEmpty,
+      "the CPU gate alone must (wrongly) certify the window quiet — " +
+        "that is the r10 blind spot this test pins")
+    // the IO probe re-reads a pinned 131 MB slice through the same fetch
+    // path: in the quiet baseline it runs ~0.35 s; inside the 33 MB/s
+    // phase the identical read takes ~4 s. Only segment 0 (the read-path
+    // heads) is IO-bracketed; the CPU-bound segments carry None.
+    val ioBoundaries = Seq(Some(3.9), Some(4.2), None, None, None, None)
+    val ioDirty = BenchGate.dirtySegmentsSparse(ioBoundaries, s0 = 0.35, factor = 2.0)
+    // segment 0 is the target; segment 1 rides along because its upper
+    // edge (boundary 1) was disturbed — the same conservative edge rule as
+    // the CPU gate (a phase ending mid-segment still gets caught)
+    assert(ioDirty === Set(0, 1), "the IO sentinel must flag the read-path segment")
+    // the union — what Bench gates on — would have re-measured segment 0
+    // instead of publishing the 58.7 s figure in a 'clean' window
+    val union = BenchGate.dirtySegments(cpuBoundaries, cpuS0, factor = 1.5) ++ ioDirty
+    assert(union.contains(0))
+  }
+
+  test("sparse IO boundaries: unmeasured edges contribute nothing, one-sided drift flags") {
+    // a None next to a disturbed Some still flags the segment between them
+    assert(BenchGate.dirtySegmentsSparse(Seq(None, Some(1.0), None), s0 = 0.3,
+      factor = 2.0) === Set(0, 1))
+    // all-None = no IO-gated segments = nothing flagged
+    assert(BenchGate.dirtySegmentsSparse(Seq(None, None, None), s0 = 0.3,
+      factor = 2.0).isEmpty)
+    // at the factor is clean, just above is dirty (same edge rule as CPU)
+    assert(BenchGate.dirtySegmentsSparse(Seq(Some(0.60), None), s0 = 0.3,
+      factor = 2.0).isEmpty)
+    assert(BenchGate.dirtySegmentsSparse(Seq(Some(0.61), None), s0 = 0.3,
+      factor = 2.0) === Set(0))
+  }
+
   test("segments preserves order and covers every head") {
     val heads = (1 to 47).map(i => s"q$i")
     val segs = BenchGate.segments(heads, 10)
