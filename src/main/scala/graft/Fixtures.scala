@@ -912,6 +912,34 @@ object Fixtures {
       ()
     }
 
+  /** Catalog with a fan-out pipeline CRASHED mid-apply — the stuck-pipeline
+    * shape [[graft.eslog.EsCatalog.fanOutIntents]] exists to surface: the
+    * source holds even events with group `fan` committed at half the head;
+    * a fan-out run to two destinations cut the intent `(head/2, head)`,
+    * applied destination 0, and died (the crash-injection hook) before
+    * destination 1 — so ONE in-flight intent survives, deterministically. */
+  def catalogFanOutIntentRoot(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "catalog-fanout-intent") { root =>
+      val cat = new graft.eslog.EsCatalog(root)
+      Seq("src", "d0", "d1").foreach(n => cat.createStream(n))
+      val srcDir = cat.streamDir("src")
+      EsLog.open(srcDir, 1L)
+      EsLog.append(s, srcDir, eventBatches(s, sfDir).where(col("event_id") % 2 === 0),
+        1L, sortKey = Some("event_id"), numPartitions = 2)
+      Seq("d0", "d1").foreach(n => EsLog.open(cat.streamDir(n), 1L))
+      val head = EsLog.nextOffset(srcDir)
+      require(EsLog.commitGroupOffset(srcDir, "fan", head / 2, None))
+      val crashed = try {
+        EsLog.fanOutRun(s, srcDir, Seq(cat.streamDir("d0"), cat.streamDir("d1")),
+          "fan", 1L, None,
+          afterApply = i => if (i == 0) throw new RuntimeException("seeded crash"))(
+          (slice, _) => slice.select(col("payload")))
+        false
+      } catch { case e: RuntimeException if e.getMessage == "seeded crash" => true }
+      require(crashed, "the fixture's fan-out run must crash after destination 0")
+      ()
+    }
+
   /** Catalog with three event streams (events split by `event_id % 3`,
     * stream ids 0/1/2 matching the residue) — the whole-namespace
     * subscription input. */

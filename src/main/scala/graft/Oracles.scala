@@ -125,6 +125,16 @@ object Oracles {
       |UNION ALL
       |SELECT 'lagB', 'audit', true, nb, nb, 0 FROM n""".stripMargin
 
+  /** The crashed fan-out pipeline's surviving intent: the dead run fixed the
+    * span (head/2, head) over the even-event source before dying between
+    * destinations — the sweep re-derives it from the events table alone. */
+  private val esCatalogFanOutIntents =
+    """WITH n AS (SELECT CAST(count(*) FILTER (event_id % 2 = 0) AS BIGINT) AS na
+      |           FROM events)
+      |SELECT 'src' AS stream, 'fan' AS grp, na // 2 AS intent_from,
+      |       na AS intent_up_to, na // 2 AS position, na AS next_offset
+      |FROM n""".stripMargin
+
   /** The exactly-once ETL destination: every click exactly once (the job ran
     * twice — a duplicate-producing replay would double these rows), offsets
     * dense in source order. */
@@ -1318,6 +1328,41 @@ object Oracles {
        |WHERE ${H.hash60Sql(5, "CAST(d.doc_id AS VARCHAR)")} < thr.t""".stripMargin
   }
 
+  /** Oracle for the end-to-end SQL pipeline row: re-derives the FULL chain
+    * — exact-dedup representatives ∩ quality gate, temperature draw against
+    * the spliced stage-2 threshold artifact (seed 5), token-budget
+    * admission in seeded-hash order (seed 7, 400 tokens/source) — from the
+    * documents table alone, using the per-stage expressions the individual
+    * rows already pin (textQuality / dedupExact / sampleTemperatureSql /
+    * sampleTokenBudget). */
+  def pipelineSqlOracle(thr: Seq[(String, Long)]): String = {
+    val thrRows = thr.map { case (s, t) =>
+      s"('${s.replace("'", "''")}', CAST($t AS BIGINT))"
+    }.mkString(",\n    ")
+    val budgetRows = (0 until 10).map(i => s"('src$i', CAST(400 AS BIGINT))").mkString(", ")
+    val nTok = "len(string_split(text, ' '))"
+    val digitR = "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)"
+    val lexDiv = s"CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok"
+    s"""WITH ded AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |q AS (SELECT doc_id FROM documents
+       |      WHERE $nTok BETWEEN 30 AND 90 AND $digitR <= 0.2 AND $lexDiv >= 0.35),
+       |s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       |       JOIN ded USING (doc_id) JOIN q USING (doc_id)),
+       |thr(source, t) AS (VALUES
+       |    $thrRows),
+       |s2 AS (SELECT s1.doc_id, s1.source, s1.text FROM s1 JOIN thr USING (source)
+       |       WHERE ${H.hash60Sql(5, "CAST(s1.doc_id AS VARCHAR)")} < thr.t),
+       |tk AS (SELECT doc_id, source, CAST($nTok AS BIGINT) AS n_tokens,
+       |         ${H.hash60Sql(7, "CAST(doc_id AS VARCHAR)")} AS h FROM s2),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |      FROM tk),
+       |b AS (SELECT * FROM (VALUES $budgetRows) x(source, budget))
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM c JOIN b USING (source) WHERE cum_tokens <= budget""".stripMargin
+  }
+
   def textUnigramSql(m: graft.operators.Unigram.UnigramModel): String =
     textUnigramSqlWhere(m, "WHERE doc_id % 10 = 0")
 
@@ -1970,6 +2015,7 @@ object Oracles {
     "es_etl" -> esEtl,
     "es_group_lag" -> esGroupLag,
     "es_catalog_group_lag" -> esCatalogGroupLag,
+    "es_catalog_fanout_intents" -> esCatalogFanOutIntents,
     "es_etl_fanin" -> esEtlFanIn,
     "es_etl_fanout" -> esEtlFanOut,
     // the manifest-exported external view must equal the full stream

@@ -294,6 +294,16 @@ object SparkEntry {
     s.sql(s"SELECT * FROM graft_catalog_group_lag('$root')")
   }
 
+  /** Catalog-wide fan-out intent sweep ([[graft.eslog.EsCatalog
+    * .fanOutIntents]], via its TVF): the fixture's crashed-mid-apply
+    * pipeline must surface as exactly one in-flight intent row with the
+    * span the dead run fixed — the operator's stuck-pipeline probe. */
+  private def qEsCatalogFanOutIntents(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.catalogFanOutIntentRoot(s, sfDir)
+    graft.sql.GraftFunctions.register(s)
+    s.sql(s"SELECT * FROM graft_catalog_fanout_intents('$root')")
+  }
+
   /** Symlink-format manifest export ([[EsLog.generateSymlinkManifest]]):
     * the row simulates the external engine — read the manifest text file,
     * scan exactly the listed parquet paths, no eslog code involved — and
@@ -954,6 +964,46 @@ object SparkEntry {
       .join(kept, "doc_id")
     val sampled = graft.operators.Sampling.sampleByHash(survivors, "doc_id", 8, 10)
     TextOps.truncateTokens(sampled, "doc_id", "text", maxTokens = 64)
+  }
+
+  /** Stage-2 temperature thresholds of [[qPipelineSql]], stashed per sfDir
+    * for the oracle splice (the [[temperatureThrs]] precedent — the TVF
+    * computes the identical integers from the same view internally). */
+  private val pipelineSqlThrs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  /** The SQL-surface twin of [[qPipelineExport]]'s composability claim: the
+    * curation chain — exact dedup ∩ quality gate → temperature sample →
+    * token-budget admission — driven END TO END from SQL via the TVF
+    * surface. Every stage is a `graft_*` table function over the previous
+    * stage's view; the only non-SQL here is view bookkeeping and the
+    * oracle-splice stash. One DuckDB oracle re-derives the whole chain. */
+  private def qPipelineSql(s: SparkSession, sfDir: String): DataFrame = {
+    graft.sql.GraftFunctions.register(s)
+    Fixtures.documents(s, sfDir).createOrReplaceTempView("pl_docs")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW pl_gated AS
+        |SELECT d.doc_id, d.source, d.text
+        |FROM pl_docs d
+        |JOIN (SELECT doc_id FROM graft_dedup_exact('pl_docs', 'doc_id', 'text')) dd
+        |  USING (doc_id)
+        |JOIN (SELECT doc_id FROM graft_text_quality('pl_docs', 'doc_id', 'text')
+        |      WHERE n_tokens BETWEEN 30 AND 90 AND digit_ratio <= 0.2
+        |        AND lexical_diversity >= 0.35) q
+        |  USING (doc_id)""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW pl_sampled AS
+        |SELECT doc_id, source, text
+        |FROM graft_sample_temperature('pl_gated', 'doc_id', 'source', 300, 5)""".stripMargin)
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW pl_budgets AS SELECT * FROM (VALUES " +
+      (0 until 10).map(i => s"('src$i', CAST(400 AS BIGINT))").mkString(", ") +
+      ") AS t(source, budget)")
+    pipelineSqlThrs.put(sfDir, graft.operators.Sampling.temperatureThresholds(
+      s.table("pl_gated"), "source", 0.3))
+    s.sql(
+      """SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM graft_sample_token_budget('pl_sampled', 'doc_id', 'text', 'source',
+        |                               'pl_budgets', 7)""".stripMargin)
   }
 
   /** Morton (Z-curve) values over (user_id, event_id) — the clustering key
@@ -1618,6 +1668,7 @@ object SparkEntry {
     "es_group_commit" -> (qEsGroupCommit _),
     "es_group_lag" -> (qEsGroupLag _),
     "es_catalog_group_lag" -> (qEsCatalogGroupLag _),
+    "es_catalog_fanout_intents" -> (qEsCatalogFanOutIntents _),
     "es_etl" -> (qEsEtl _),
     "es_etl_fanin" -> (qEsEtlFanIn _),
     "es_etl_fanout" -> (qEsEtlFanOut _),
@@ -1696,6 +1747,7 @@ object SparkEntry {
     "text_domains" -> (qTextDomains _),
     "layout_zorder" -> (qLayoutZorder _),
     "pipeline_export" -> (qPipelineExport _),
+    "pipeline_sql" -> (qPipelineSql _),
     "text_lm" -> (qTextLm _),
     "text_lm_buckets" -> (qTextLmBuckets _),
     "es_stream_lm" -> (qEsStreamLm _),
@@ -1768,6 +1820,9 @@ object SparkEntry {
         .map(t => Oracles.sampleTemperatureSql(t))
         .map(sql => Seq("sample_temperature" -> sql,
           "es_stream_temperature" -> sql)) // same kept set, streaming path
+        .getOrElse(Seq.empty) ++
+      Option(pipelineSqlThrs.get(sfDir))
+        .map(t => Seq("pipeline_sql" -> Oracles.pipelineSqlOracle(t)))
         .getOrElse(Seq.empty) ++
       Option(unigramModels.get(sfDir))
         .map(m => Seq(

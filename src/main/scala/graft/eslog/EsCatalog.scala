@@ -214,6 +214,39 @@ final class EsCatalog(val root: String) {
       StructField("lag", LongType, nullable = false))))
   }
 
+  /** Catalog-wide fan-out intent sweep — "every in-flight fan-out intent
+    * under this root", the stuck-pipeline twin of [[groupLags]]:
+    * [[EsLog.fanOutIntent]] answers one (stream, group); operators watching
+    * a fleet want the full list next to the lag table (a long-lived intent
+    * = a crashed or fenced run holds that group's next span; any live-epoch
+    * instance can adopt and complete it by re-running the job). One row
+    * `(stream, grp, intent_from, intent_up_to, position, next_offset)` per
+    * in-flight intent, name-ordered. Same scale shape as [[groupLags]]:
+    * each stream contributes ONE state load from the bounded-parallel
+    * [[loadStates]] sweep (never a torn per-value read); streams with no
+    * intent contribute no row; deleted streams are skipped. */
+  def fanOutIntents(spark: SparkSession): DataFrame = {
+    val rows = loadStates(registered()).sortBy(_._1)
+      .filterNot(_._2.deleted)
+      .flatMap { case (name, st) =>
+        st.kv.toSeq.collect {
+          case (k, v) if k.startsWith(EsLog.FanOutIntentPrefix) =>
+            val g = k.stripPrefix(EsLog.FanOutIntentPrefix)
+            val Array(f, u) = v.split(":", 2)
+            val pos = st.kv.get(EsLog.GroupKeyPrefix + g).map(_.toLong)
+              .getOrElse(st.startOffset)
+            Row(name, g, f.toLong, u.toLong, pos, st.nextOffset)
+        }.sortBy(_.getString(1))
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("stream", StringType, nullable = false),
+      StructField("grp", StringType, nullable = false),
+      StructField("intent_from", LongType, nullable = false),
+      StructField("intent_up_to", LongType, nullable = false),
+      StructField("position", LongType, nullable = false),
+      StructField("next_offset", LongType, nullable = false))))
+  }
+
   /** Paginated LIST_RESOURCE (the reference's ListResourceRequest carries a
     * limit and an opaque continuation token, rpc.fbs:691-778 — PD pages its
     * etcd range scan). The token is the last name of the previous page

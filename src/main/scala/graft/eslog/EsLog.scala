@@ -1438,8 +1438,11 @@ object EsLog {
   /** Reserved KV key of a fan-out pipeline's in-flight intent (in the
     * SOURCE's KV) and per-destination applied marker (in each destination's
     * KV). Distinct prefixes from [[GroupKeyPrefix]] so the lag surface's
-    * group scan never lists protocol bookkeeping as a consumer group. */
-  private def fanOutIntentKey(group: String): String = s"__fanout/$group"
+    * group scan never lists protocol bookkeeping as a consumer group.
+    * The intent prefix is package-visible for the catalog-wide sweep
+    * ([[EsCatalog.fanOutIntents]]). */
+  private[eslog] val FanOutIntentPrefix = "__fanout/"
+  private def fanOutIntentKey(group: String): String = FanOutIntentPrefix + group
   private def fanOutAppliedKey(group: String): String = s"__fanout-applied/$group"
 
   /** The in-flight fan-out intent for `group` on the source, if any — the

@@ -452,6 +452,16 @@ object GraftFunctions {
           Some(literalString(args(1), "graft_catalog_group_lag", "group")) else None
         GraftShims.analyzedPlan(
           new graft.eslog.EsCatalog(root).groupLags(active(), group)) }),
+    (FunctionIdentifier("graft_catalog_fanout_intents"),
+      info("graft_catalog_fanout_intents",
+        "graft_catalog_fanout_intents('root') - every in-flight fan-out " +
+          "intent across the registered streams (the stuck-pipeline sweep " +
+          "pairing graft_catalog_group_lag); one row (stream, grp, " +
+          "intent_from, intent_up_to, position, next_offset) per intent"),
+      (args: Seq[Expression]) => { arity("graft_catalog_fanout_intents", args, 1)
+        val root = literalString(args(0), "graft_catalog_fanout_intents", "root")
+        GraftShims.analyzedPlan(
+          new graft.eslog.EsCatalog(root).fanOutIntents(active())) }),
     (FunctionIdentifier("graft_registry_history"),
       info("graft_registry_history",
         "graft_registry_history('root') - registry events (put/del/delRange) with revisions"),

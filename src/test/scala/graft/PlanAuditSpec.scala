@@ -1223,6 +1223,8 @@ class PlanAuditSpec extends SparkTestBase {
     "es_etl_fanout" -> Seq("dst", "base_offset", "src_off", "event_type"),
     "es_group_lag" -> Seq("grp", "committed", "position", "next_offset", "lag"),
     "es_catalog_group_lag" -> Seq("stream", "grp", "committed", "position", "next_offset", "lag"),
+    "es_catalog_fanout_intents" -> Seq("stream", "grp", "intent_from", "intent_up_to", "position", "next_offset"),
+    "pipeline_sql" -> Seq("doc_id", "source", "n_tokens", "cum_tokens"),
     "es_stream_temperature" -> Seq("doc_id", "source"),
     "es_stream_token_budget" -> Seq("doc_id", "source", "n_tokens", "cum_tokens"),
     "es_stream_media_dedup" -> Seq("incoming", "existing", "n_shared"),
