@@ -203,16 +203,24 @@ object MetaLog {
 
   /** Best-effort read of the newest checkpointed state (None → fold from 0). */
   private def readLastCheckpoint(streamDir: String): Option[StreamState] =
+    readLastCheckpointWithPointer(streamDir)._1
+
+  /** [[readLastCheckpoint]] that ALSO returns the `_last_checkpoint`
+    * pointer value it saw (even when the checkpoint file itself is missing
+    * or unreadable) — [[load]]'s gap backstop compares the fold against it
+    * at zero extra store ops. Both halves best-effort. */
+  private def readLastCheckpointWithPointer(
+      streamDir: String): (Option[StreamState], Option[Long]) =
     try {
       val s = storeFor(streamDir)
       val ptr = join(logDir(streamDir), LastCheckpointName)
-      if (!s.exists(ptr)) return None
+      if (!s.exists(ptr)) return (None, None)
       val v = new String(s.read(ptr), StandardCharsets.UTF_8).trim.toLong
       val f = checkpointFile(streamDir, v)
-      if (!s.exists(f)) return None
+      if (!s.exists(f)) return (None, Some(v))
       val root = mapper.readTree(s.read(f))
-      Option(root.get("checkpoint")).map(stateFromJson)
-    } catch { case scala.util.control.NonFatal(_) => None }
+      (Option(root.get("checkpoint")).map(stateFromJson), Some(v))
+    } catch { case scala.util.control.NonFatal(_) => (None, None) }
 
   /** Write `<v>.checkpoint.json` + `_last_checkpoint`. Content is a pure
     * function of the log prefix, so concurrent writers racing here converge
@@ -309,48 +317,30 @@ object MetaLog {
     // where enumerating versions is the point. Pinned by the churn spec:
     // identical load op-counts at 10^3 and 10^4 commits.
     val s0 = storeFor(streamDir)
-    val base = readLastCheckpoint(streamDir).getOrElse(StreamState.empty)
-    var st = base
-    var v = base.version + 1
-    var settled = false
-    while (!settled) {
-      while (s0.exists(versionFile(streamDir, v))) {
-        st = readVersion(streamDir, v).foldLeft(st)((s2, a) => StreamState.apply(s2, a, v))
-        v += 1
-      }
-      // GAP BACKSTOP: the probe's contiguity contract is that versions are
-      // dense CAS tokens, so "first missing" = log tail. A version file that
-      // goes missing MID-LOG (interrupted external copy, manual deletion, a
-      // store whose exists() false-negatives) would otherwise return a
-      // silently TRUNCATED state. One tiny pointer read detects it: a
-      // _last_checkpoint at a version the fold never reached means versions
-      // beyond the gap exist. Distinguish from the benign race (commits
-      // landing DURING the load) by re-probing v — present now = race, keep
-      // folding; still absent under a later checkpoint = real gap, refuse.
-      lastCheckpointPointer(streamDir) match {
-        case Some(cp) if cp > st.version =>
-          if (!s0.exists(versionFile(streamDir, v)))
-            throw new IllegalStateException(
-              s"metadata log gap in $streamDir: version $v missing but a " +
-                s"checkpoint exists at $cp — the log's contiguous-version " +
-                "contract is broken (partial copy or deleted version file); " +
-                "refusing to serve a truncated state")
-        case _ => settled = true
-      }
+    val (base0, ptrSeen) = readLastCheckpointWithPointer(streamDir)
+    var st = base0.getOrElse(StreamState.empty)
+    var v = st.version + 1
+    while (s0.exists(versionFile(streamDir, v))) {
+      st = readVersion(streamDir, v).foldLeft(st)((s2, a) => StreamState.apply(s2, a, v))
+      v += 1
     }
+    // GAP BACKSTOP: the probe's contiguity contract is that versions are
+    // dense CAS tokens, so "first missing" = log tail. A version file that
+    // goes missing MID-LOG (interrupted external copy, manual deletion, a
+    // store whose exists() false-negatives) would otherwise return a
+    // silently TRUNCATED state. The _last_checkpoint pointer read at the
+    // START of the load detects it for free: a pointer at a version the
+    // fold never reached means versions beyond a hole exist (the pointer
+    // predates the fold, so a commit landing DURING the load can never
+    // explain it — no benign-race false positive, no extra store op).
+    if (ptrSeen.exists(_ > st.version))
+      throw new IllegalStateException(
+        s"metadata log gap in $streamDir: version $v missing but a " +
+          s"checkpoint pointer sits at ${ptrSeen.get} — the log's " +
+          "contiguous-version contract is broken (partial copy or deleted " +
+          "version file); refusing to serve a truncated state")
     st
   }
-
-  /** The `_last_checkpoint` pointer value alone (no checkpoint read) — the
-    * one-object probe [[load]]'s gap backstop uses. None when absent or
-    * unreadable (best-effort, like [[readLastCheckpoint]]). */
-  private def lastCheckpointPointer(streamDir: String): Option[Long] =
-    try {
-      val s = storeFor(streamDir)
-      val ptr = join(logDir(streamDir), LastCheckpointName)
-      if (!s.exists(ptr)) None
-      else Some(new String(s.read(ptr), StandardCharsets.UTF_8).trim.toLong)
-    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Time travel: the state as of log version `asOf` (inclusive). Uses the
     * newest checkpoint at or below the target when one survives retention;

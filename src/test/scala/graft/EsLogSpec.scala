@@ -1494,6 +1494,64 @@ class EsLogSpec extends SparkTestBase {
       "source position must sit at the head after the drain")
   }
 
+  test("fan-out model pin: one crash schedule, production store state == FanOutProtocol prediction") {
+    // the fidelity link FanOutProtocolSpec's exhaustive enumeration rests
+    // on: drive ONE concrete schedule (cut intent, apply destination 0,
+    // crash, then a recovery run) through the REAL fanOutRun and through
+    // the pure model, and assert the observable store state matches the
+    // model state at both the crash point and quiescence.
+    import graft.eslog.FanOutProtocol
+    import graft.eslog.FanOutProtocol._
+    val src = tmpDir("eslog-fanout-pin-src-")
+    EsLog.create(src, streamId = 120L); EsLog.open(src, 1L)
+    val dsts = (0 until 2).map { i =>
+      val d = tmpDir(s"eslog-fanout-pin-dst$i-")
+      EsLog.create(d, streamId = 121L + i); EsLog.open(d, 1L)
+      d
+    }
+    val n = 20L
+    EsLog.append(spark, src, spark.range(n).select(
+      col("id"), col("id").cast("string").cast("binary").as("payload")),
+      1L, sortKey = Some("id"), numPartitions = 2)
+    // model: producer appended n; writer steps to the crash point (after
+    // destination 0's apply lands)
+    var g = initial(2).copy(src = Source(None, None, n, Vector.empty))
+    var pc: Pc = IntentRead
+    while (!pc.isInstanceOf[ApplyRead] ||
+           pc.asInstanceOf[ApplyRead].i == 0) {
+      val r = FanOutProtocol.step(g, pc, (_, _) => true); g = r._1; pc = r._2
+    } // pc is now ApplyRead(span, 1): destination 0 applied, 1 not yet
+    // production: same schedule via the afterApply crash hook
+    try EsLog.fanOutRun(spark, src, dsts, "pin", 1L, Some("sk"),
+      afterApply = i => if (i == 0) throw new RuntimeException("injected")) {
+      (slice, _) => slice.select(col("base_offset").as("sk"), col("payload"))
+    } catch { case e: RuntimeException if e.getMessage == "injected" => () }
+    // crash-point state must match the model's
+    assert(EsLog.fanOutIntent(src, "pin") == g.src.intent,
+      "intent at the crash point must match the model")
+    assert(EsLog.nextOffset(dsts(0)) == g.dsts(0).delivered.map(s => s._2 - s._1).sum,
+      "destination 0 must hold exactly the model's delivered span")
+    assert(EsLog.nextOffset(dsts(1)) == g.dsts(1).delivered.map(s => s._2 - s._1).sum,
+      "destination 1 must hold nothing yet, like the model")
+    assert(EsLog.groupOffset(src, "pin").isEmpty && g.src.pos.isEmpty,
+      "the position must not have moved in either world")
+    // recovery: model's recover() vs a clean production re-run
+    val gFinal = FanOutProtocol.recover(g, (_, _) => true)
+    EsLog.fanOutRun(spark, src, dsts, "pin", 1L, Some("sk"), _ => ()) {
+      (slice, _) => slice.select(col("base_offset").as("sk"), col("payload"))
+    }
+    assert(EsLog.fanOutIntent(src, "pin").isEmpty && gFinal.src.intent.isEmpty)
+    assert(EsLog.groupOffset(src, "pin") == gFinal.src.pos)
+    dsts.zipWithIndex.foreach { case (d, i) =>
+      assert(EsLog.nextOffset(d) == gFinal.dsts(i).delivered.map(s => s._2 - s._1).sum,
+        s"destination $i at quiescence must match the model")
+      // and exactly once: offsets dense 0..n-1, no duplicates
+      val offs = EsLog.scan(spark, d).select("base_offset")
+        .collect().map(_.getLong(0)).sorted
+      assert(offs.sameElements(0L until n), s"dst $i offsets: ${offs.take(5).mkString(",")}")
+    }
+  }
+
   test("fan-out under TRUE concurrency: two same-epoch rivals, per-destination exactly-once") {
     // two instances race the same group concurrently for several rounds —
     // the intent CAS makes them agree on each span, the applied-span

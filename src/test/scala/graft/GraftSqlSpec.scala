@@ -405,6 +405,35 @@ class GraftSqlSpec extends SparkTestBase {
     assert(EsLog.nextOffset(dst) == 10L)
   }
 
+  test("graft_catalog_fanout_intents TVF: catalog-wide sweep equals the Scala surface") {
+    val root = tmpDir("sqlfanoutcat-")
+    val cat = new graft.eslog.EsCatalog(root)
+    Seq("a", "b", "dst").foreach(n => cat.createStream(n))
+    Seq("a", "b", "dst").foreach(n => EsLog.open(cat.streamDir(n), 1L))
+    Seq("a", "b").foreach { n =>
+      EsLog.append(spark, cat.streamDir(n), spark.range(6).select(
+        col("id"), col("id").cast("string").cast("binary").as("payload")),
+        1L, sortKey = Some("id"))
+    }
+    // intent in flight on 'a' only (crash inside process); 'b' untouched
+    try EsLog.fanOutRun(spark, cat.streamDir("a"), Seq(cat.streamDir("dst")),
+      "g", 1L, None, _ => ()) { (_, _) => throw new RuntimeException("injected") }
+    catch { case e: RuntimeException if e.getMessage == "injected" => () }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val sql = spark.sql(s"SELECT * FROM graft_catalog_fanout_intents('$root')")
+    assert(rows(sql) == rows(cat.fanOutIntents(spark)))
+    val got = sql.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", "g", 0L, 6L)), got.toString)
+    // completing the adopted intent empties the sweep
+    EsLog.fanOutRun(spark, cat.streamDir("a"), Seq(cat.streamDir("dst")),
+      "g", 1L, Some("sk"), _ => ()) { (s, _) =>
+      s.select(col("base_offset").as("sk"), col("payload"))
+    }
+    assert(spark.sql(s"SELECT * FROM graft_catalog_fanout_intents('$root')").count() == 0L)
+  }
+
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
     val dir = tmpDir("sqlsym-")
     EsLog.create(dir, streamId = 75L)

@@ -321,9 +321,9 @@ class MetaLogSpec extends AnyFunSuite {
       val at10k = opsPerLoad()
       assert(at1k == at10k,
         s"load op-counts must be flat across 10x commit growth: $at1k vs $at10k")
-      // 3 = _last_checkpoint pointer + checkpoint + the gap-backstop's
-      // second pointer read (one extra tiny object per load)
-      assert(at10k._1 <= 3 + MetaLog.CheckpointInterval,
+      // 2 = _last_checkpoint pointer + checkpoint (the gap backstop reuses
+      // the pointer value from that same read — zero extra ops)
+      assert(at10k._1 <= 2 + MetaLog.CheckpointInterval,
         s"reads per load must be bounded by checkpoint + tail: $at10k")
       assert(at10k._3 == 0, s"load must not list the log directory: $at10k")
       // and the state survived: the last put is visible, version is the head
