@@ -261,7 +261,7 @@ object Bench {
       "text_classify", "text_bpe", "text_unigram", "es_compact_zorder",
       "sample_diverse", "sample_temperature", "multimodal_dedup",
       "multimodal_dedup_cdc", "multimodal_probe_persisted",
-      "text_bpe_bytes", "ts_similarity")
+      "text_bpe_bytes", "ts_similarity", "pipeline_sql")
     val registry = SparkEntry.queries
 
     // REGISTRY NOISE GATE (the round-9 instrument gap): a host slow-phase

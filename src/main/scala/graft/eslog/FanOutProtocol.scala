@@ -76,8 +76,20 @@ object FanOutProtocol {
 
   /** One writer's atomic step. `route(span, i)` = "process() returns a
     * non-empty slice for destination i" (production's empty-route marker
-    * advance is the `else` branch). Returns the new (global, pc). */
-  def step(g: Global, pc: Pc, route: (Span, Int) => Boolean): (Global, Pc) = pc match {
+    * advance is the `else` branch). Returns the new (global, pc).
+    *
+    * Epoch fencing mirrors production exactly: destination applies fence
+    * (`EsLog.append` throws FencedException before anything lands; the
+    * empty-route `commitWithRetry` closure throws it too), while phase 1
+    * (intent cut/adopt) and phase 3 (complete) DELIBERATELY do not — a
+    * fenced zombie may still adopt and complete an intent whose every
+    * destination already carries an at-or-beyond marker, which is
+    * convergence to the fixed outcome, not corruption (the zombie config
+    * of the enumeration proves it). `wEpoch < logEpoch` = this writer is
+    * a zombie at every log (the enumerated scope keeps one uniform log
+    * epoch; production's per-log epochs only fence MORE). */
+  def step(g: Global, pc: Pc, route: (Span, Int) => Boolean,
+           wEpoch: Long = Long.MaxValue, logEpoch: Long = 0L): (Global, Pc) = pc match {
     case IntentRead =>
       g.src.intent match {
         case Some(span) => (g, ApplyRead(span, 0)) // adopt (recovery/rival)
@@ -104,7 +116,8 @@ object FanOutProtocol {
       }
     case ApplyCas(span, i, prevApplied) =>
       val d = g.dsts(i)
-      if (route(span, i)) {
+      if (wEpoch < logEpoch) (g, RunAborted) // FencedException, both branches
+      else if (route(span, i)) {
         // append with extraGuards: marker unchanged => data + marker land
         // in ONE commit; changed => ConcurrentCommitException, job dies
         if (d.applied == prevApplied) {

@@ -42,9 +42,13 @@ class FanOutProtocolSpec extends AnyFunSuite {
     s.zip(s.drop(1)).forall { case (a, b) => a._2 <= b._1 }
   }
 
-  /** DFS over every schedule; returns (#states, #terminals checked). */
+  /** DFS over every schedule; returns (#states, #terminals checked).
+    * `epochs(wi)` is writer wi's epoch vs a uniform `logEpoch` — a writer
+    * below it is a fenced zombie whose destination applies all abort. */
   private def enumerate(maxProduce: Int, runsPerWriter: Int,
-                        route: (Span, Int) => Boolean): (Long, Long) = {
+                        route: (Span, Int) => Boolean,
+                        epochs: Vector[Long] = Vector(0L, 0L),
+                        logEpoch: Long = 0L): (Long, Long) = {
     val seen = scala.collection.mutable.HashSet[Node]()
     var terminals = 0L
     val stack = scala.collection.mutable.ArrayDeque[Node]()
@@ -72,7 +76,8 @@ class FanOutProtocolSpec extends AnyFunSuite {
             successors ::= n.copy(ws =
               n.ws.updated(wi, W(IntentRead, w.runsLeft - 1, crashed = false)))
           else {
-            val (g2, pc2) = FanOutProtocol.step(n.g, w.pc, route)
+            val (g2, pc2) = FanOutProtocol.step(n.g, w.pc, route,
+              wEpoch = epochs(wi), logEpoch = logEpoch)
             successors ::= n.copy(g = g2, ws = n.ws.updated(wi, w.copy(pc = pc2)))
           }
         }
@@ -119,6 +124,22 @@ class FanOutProtocolSpec extends AnyFunSuite {
     info(s"explored $states states, checked $terminals terminal schedules")
     assert(states > 1000L)
     assert(terminals > 100L)
+  }
+
+  test("every schedule with a fenced ZOMBIE rival: it can adopt/complete but never corrupt") {
+    // writer 1 runs at epoch 1 against logs fenced to epoch 2: every
+    // destination apply it attempts aborts (FencedException in production
+    // — BOTH the data-append and the empty-route commit fence), yet phase
+    // 1 and phase 3 deliberately do not fence, so the zombie may cut an
+    // intent, adopt one, skip at-or-beyond markers, and even COMPLETE an
+    // intent the live writer fully applied — convergence to the fixed
+    // outcome. Every terminal schedule must still end exactly-once with
+    // the intent cleared (recovery runs live).
+    val (states, terminals) = enumerate(maxProduce = 2, runsPerWriter = 2,
+      route = (_, _) => true, epochs = Vector(2L, 1L), logEpoch = 2L)
+    info(s"explored $states states, checked $terminals terminal schedules")
+    assert(states > 500L)
+    assert(terminals > 50L)
   }
 
   test("deeper scope (3 appends, 3 runs each): still exactly-once everywhere") {
