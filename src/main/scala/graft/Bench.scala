@@ -368,10 +368,14 @@ object Bench {
     // gate (everything "clean" relative to an inflated floor)
     var s0 = math.min(s0raw, boundaries.min)
     var s0io = math.min(s0ioRaw, ioBoundaries.flatten.min)
-    def allDirty(): Set[Int] =
-      BenchGate.dirtySegments(boundaries.toSeq, s0, RegistryGateFactor) ++
-        BenchGate.dirtySegmentsSparse(ioBoundaries.toSeq, s0io, IoGateFactor)
-    var dirty = allDirty()
+    val ioDirty0 = BenchGate.dirtySegmentsSparse(ioBoundaries.toSeq, s0io, IoGateFactor)
+    var dirty =
+      BenchGate.dirtySegments(boundaries.toSeq, s0, RegistryGateFactor) ++ ioDirty0
+    // a segment the IO gate flagged (even a CPU-bound neighbor that merely
+    // shares a disturbed boundary) must be IO-bracketed on its RE-RUN too:
+    // re-certifying it with the CPU sentinel alone would re-create the
+    // exact blind spot this probe exists to close, one segment over
+    val ioSuspect = scala.collection.mutable.Set[Int]() ++= ioDirty0
     val windowTag = scala.collection.mutable.LinkedHashMap[String, String]()
     gatedNames.foreach(n => windowTag(n) =
       if (dirty.exists(si => segs(si).exists(_._1 == n))) "w0-noisy" else "w0")
@@ -383,13 +387,14 @@ object Bench {
       rerunPass += 1
       val stillDirty = scala.collection.mutable.Set[Int]()
       dirty.toSeq.sorted.foreach { si =>
+        val needIo = ioGated(si) || ioSuspect(si)
         val before = sentinelSec(); rerunSentinels += before
-        val ioBefore = if (ioGated(si)) Some(ioSentinelSec()) else None
+        val ioBefore = if (needIo) Some(ioSentinelSec()) else None
         val old = segs(si).map { case (n, _) => (n, results(n), best(n), spread(n)) }
         segs(si).foreach { case (name, body) => timedMedian(name) { body() } }
         segCleanup(si)
         val after = sentinelSec(); rerunSentinels += after
-        val ioAfter = if (ioGated(si)) Some(ioSentinelSec()) else None
+        val ioAfter = if (needIo) Some(ioSentinelSec()) else None
         (ioBefore.toSeq ++ ioAfter.toSeq).foreach { v =>
           ioRerunSentinels += v; s0io = math.min(s0io, v)
         }

@@ -20,14 +20,20 @@ package graft.eslog
   *    what production compares.
   *  - `ApplyRead(i)` = phase 2's `MetaLog.load(d)` + the at-or-beyond
   *    marker skip (`prevApplied.exists(parseSpan(_)._1 >= from)`).
-  *  - `ApplyCas(i)` = either `EsLog.append` with
-  *    `extraGuards = marker == prevApplied` — a lost guard THROWS
-  *    (ConcurrentCommitException) and kills the job run (the production
-  *    recovery is "run the job again") — or, for an EMPTY routed slice,
-  *    the `commitWithRetry` that advances the marker alone and silently
-  *    no-ops when the compare fails (the documented asymmetry: by then a
+  *  - `ApplyCas(i)` = `EsLog.append` with
+  *    `extraGuards = marker == prevApplied`: a lost guard THROWS
+  *    (ConcurrentCommitException, checked against append's own snapshot
+  *    BEFORE the zero-row early return — so the EMPTY route aborts here
+  *    too) and kills the job run (the production recovery is "run the
+  *    job again"). On the data route the same commit carries data +
+  *    marker atomically; on the empty route append commits nothing and
+  *    the step advances to [[ApplyCasEmpty]].
+  *  - `ApplyCasEmpty(i)` = the marker-alone `commitWithRetry` after the
+  *    empty append: a compare lost BETWEEN the two snapshots silently
+  *    no-ops and the job CONTINUES (the documented asymmetry: by then a
   *    rival has applied at-or-beyond, so continuing is safe; this model
-  *    is what proves that claim over every schedule).
+  *    is what proves that claim over every schedule). Its epoch fence
+  *    throws (abort), like production's closure.
   *  - `Complete` = phase 3's `commitWithRetry`: position advance + intent
   *    delete in ONE CAS, no-op if the intent is no longer ours.
   *
@@ -67,6 +73,12 @@ object FanOutProtocol {
   final case class ApplyRead(span: Span, i: Int) extends Pc
   /** About to commit to destination `i` guarded on `prevApplied`. */
   final case class ApplyCas(span: Span, i: Int, prevApplied: Option[Span]) extends Pc
+  /** Empty-route second half: production's `append()` ran first (its
+    * extraGuards check passed against append's own snapshot — that is the
+    * [[ApplyCas]] step) and committed nothing (zero rows); this is the
+    * marker-alone `commitWithRetry` that follows, whose compare failure is
+    * a SILENT no-op rather than an abort. */
+  final case class ApplyCasEmpty(span: Span, i: Int, prevApplied: Option[Span]) extends Pc
   /** Phase 3: about to complete `span` on the source. */
   final case class Complete(span: Span) extends Pc
   /** Job run finished (returned, or the caught-up early return). */
@@ -125,13 +137,22 @@ object FanOutProtocol {
           (g.copy(dsts = g.dsts.updated(i, d2)), ApplyRead(span, i + 1))
         } else (g, RunAborted)
       } else {
-        // empty routed slice: commitWithRetry advances the marker alone and
-        // silently no-ops on a changed compare — the job CONTINUES
-        if (d.applied == prevApplied) {
-          val d2 = d.copy(applied = Some(span))
-          (g.copy(dsts = g.dsts.updated(i, d2)), ApplyRead(span, i + 1))
-        } else (g, ApplyRead(span, i + 1))
+        // empty routed slice: production STILL calls append() first, whose
+        // extraGuards check throws on a lost compare (EsLog.scala, guard
+        // check before the zero-row early return) — so this first atomic
+        // observation aborts the run exactly like the data path; only the
+        // SECOND step (the marker-alone commitWithRetry) no-ops silently
+        if (d.applied == prevApplied) (g, ApplyCasEmpty(span, i, prevApplied))
+        else (g, RunAborted)
       }
+    case ApplyCasEmpty(span, i, prevApplied) =>
+      val d = g.dsts(i)
+      // the closure fences too (FencedException = abort, not no-op)
+      if (wEpoch < logEpoch) (g, RunAborted)
+      else if (d.applied == prevApplied) {
+        val d2 = d.copy(applied = Some(span))
+        (g.copy(dsts = g.dsts.updated(i, d2)), ApplyRead(span, i + 1))
+      } else (g, ApplyRead(span, i + 1)) // rival applied at-or-beyond: continue
     case Complete(span) =>
       // one CAS: position + intent delete iff the intent is still ours;
       // a rival that completed first already produced the same outcome

@@ -210,17 +210,28 @@ object MetaLog {
     * or unreadable) — [[load]]'s gap backstop compares the fold against it
     * at zero extra store ops. Both halves best-effort. */
   private def readLastCheckpointWithPointer(
-      streamDir: String): (Option[StreamState], Option[Long]) =
-    try {
-      val s = storeFor(streamDir)
-      val ptr = join(logDir(streamDir), LastCheckpointName)
-      if (!s.exists(ptr)) return (None, None)
-      val v = new String(s.read(ptr), StandardCharsets.UTF_8).trim.toLong
-      val f = checkpointFile(streamDir, v)
-      if (!s.exists(f)) return (None, Some(v))
-      val root = mapper.readTree(s.read(f))
-      (Option(root.get("checkpoint")).map(stateFromJson), Some(v))
-    } catch { case scala.util.control.NonFatal(_) => (None, None) }
+      streamDir: String): (Option[StreamState], Option[Long]) = {
+    // two nested best-efforts, NOT one: a checkpoint file that fails to
+    // read/parse (truncated by an interrupted copy — exactly the scenario
+    // the gap backstop exists for) must not discard the successfully-read
+    // pointer, or the backstop goes blind precisely when it is needed
+    val ptrSeen: Option[Long] =
+      try {
+        val s = storeFor(streamDir)
+        val ptr = join(logDir(streamDir), LastCheckpointName)
+        if (!s.exists(ptr)) None
+        else Some(new String(s.read(ptr), StandardCharsets.UTF_8).trim.toLong)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val state = ptrSeen.flatMap { v =>
+      try {
+        val s = storeFor(streamDir)
+        val f = checkpointFile(streamDir, v)
+        if (!s.exists(f)) None
+        else Option(mapper.readTree(s.read(f)).get("checkpoint")).map(stateFromJson)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    (state, ptrSeen)
+  }
 
   /** Write `<v>.checkpoint.json` + `_last_checkpoint`. Content is a pure
     * function of the log prefix, so concurrent writers racing here converge

@@ -301,12 +301,16 @@ object Multimodal {
     * bucket-partition-pruned, and the library never shuffles (plan-pinned
     * in PlanAuditSpec).
     *
-    * `divisor` defaults to [[DeploymentDivisor]] (this is a deployment
-    * API; fixtures pass 16 explicitly) and MUST match the divisor the
-    * library index was chunked with — mismatched chunking joins nothing. */
+    * `divisor` has NO default and MUST match the divisor the library index
+    * was chunked with — mismatched chunking joins nothing, silently (the
+    * [[Sampling.packGreedy]] force-a-choice precedent: [[cdcChunkHashes]]
+    * defaults to the 16 B fixture scale while the deployment constant is
+    * [[DeploymentDivisor]], so no default here is coherent with both;
+    * [[mediaDedupProbeAt]] reads it from the persisted params sidecar and
+    * cannot mismatch). */
   def mediaDedupProbe(libraryIndex: DataFrame, incoming: DataFrame,
                       idCol: String, payloadCol: String,
-                      window: Int = 8, divisor: Int = DeploymentDivisor,
+                      divisor: Int, window: Int = 8,
                       minShared: Int = 4): DataFrame = {
     val libId = libraryIndex.columns.filterNot(_ == "ch") match {
       case Array(one) => one

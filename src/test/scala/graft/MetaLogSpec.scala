@@ -353,13 +353,42 @@ class MetaLogSpec extends AnyFunSuite {
     java.nio.file.Files.delete(logDir.resolve(f"${5L}%020d.json"))
     val e = intercept[IllegalStateException](MetaLog.load(dir))
     assert(e.getMessage.contains("metadata log gap"), e.getMessage)
-    // whereas a clean tail (no gap, pointer at or below the fold) loads fine:
+    // a checkpoint file CORRUPTED (not deleted) by the interrupted copy must
+    // trigger the same refusal: the pointer read survives the parse failure
+    // (nested best-efforts in readLastCheckpointWithPointer), so the
+    // backstop still sees the pointer above the truncated fold
+    val dirC = Files.createTempDirectory("metalog-gap-corrupt-").toString
+    var stC = EsLogTestOps.createAndOpen(dirC)
+    (0 until 25).foreach { i =>
+      stC = MetaLog.commit(dirC, stC, Seq(KvPut("cursor", i.toString)))
+    }
+    val logDirC = java.nio.file.Paths.get(MetaLog.logDir(dirC))
+    locally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(logDirC).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".checkpoint.json"))
+        .toList.foreach(p => java.nio.file.Files.write(p, "{trunc".getBytes))
+    }
+    java.nio.file.Files.delete(logDirC.resolve(f"${5L}%020d.json"))
+    val eC = intercept[IllegalStateException](MetaLog.load(dirC))
+    assert(eC.getMessage.contains("metadata log gap"), eC.getMessage)
+    // whereas a clean tail (no gap, pointer at or below the fold) loads fine,
+    // and a corrupted checkpoint WITHOUT a gap just folds from zero:
     val dir2 = Files.createTempDirectory("metalog-nogap-").toString
     var st2 = EsLogTestOps.createAndOpen(dir2)
     (0 until 25).foreach { i =>
       st2 = MetaLog.commit(dir2, st2, Seq(KvPut("cursor", i.toString)))
     }
     assert(MetaLog.load(dir2).kv("cursor") == "24")
+    locally {
+      import scala.jdk.CollectionConverters._
+      val ld = java.nio.file.Paths.get(MetaLog.logDir(dir2))
+      java.nio.file.Files.list(ld).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".checkpoint.json"))
+        .toList.foreach(p => java.nio.file.Files.write(p, "{trunc".getBytes))
+    }
+    assert(MetaLog.load(dir2).kv("cursor") == "24",
+      "corrupt checkpoint with intact deltas must fold from zero, not refuse")
   }
 
   test("json action codec roundtrips every action type") {
