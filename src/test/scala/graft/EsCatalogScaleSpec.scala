@@ -191,6 +191,18 @@ class EsCatalogScaleSpec extends SparkTestBase {
       assert(lagSec < serialEstSec / ratio,
         f"groupLags sweep $lagSec%.2f s vs serial(est) $serialEstSec%.2f s — sweep claim broken")
       info(f"groupLags at N=$N: $lagSec%.2f s (serial est $serialEstSec%.1f s)")
+
+      // the fan-out intent sweep rides the same bounded-parallel pass:
+      // 10^4 streams with zero intents must answer in sweep time and
+      // return nothing (intent keys are prefix-separated from groups)
+      val tFo = System.nanoTime()
+      val intents = cat.fanOutIntents(spark).collect()
+      val foSec = (System.nanoTime() - tFo) / 1e9
+      assert(intents.isEmpty,
+        s"no stream holds an intent, got ${intents.length}")
+      assert(foSec < serialEstSec / ratio,
+        f"fanOutIntents sweep $foSec%.2f s vs serial(est) $serialEstSec%.2f s — sweep claim broken")
+      info(f"fanOutIntents at N=$N: $foSec%.2f s (serial est $serialEstSec%.1f s)")
     } finally MetaLog.unroute(root)
   }
 }
