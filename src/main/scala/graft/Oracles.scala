@@ -1225,6 +1225,12 @@ object Oracles {
   private val simIvf = ivfSql(
     "SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings ORDER BY vec_id LIMIT 16")
 
+  /** Appended-index search: the quantizer trained on the even-id BASE half
+    * only (append never re-trains), candidates span the whole corpus. */
+  private val simIvfAppend = ivfSql(
+    "SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings " +
+      "WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16")
+
   /** A double literal DuckDB parses AS DOUBLE. Bare decimal literals type as
     * DECIMAL, and a bracketed list of mixed-scale DECIMALs unifies to ONE
     * decimal type BEFORE any `::DOUBLE[]` cast — rounding some elements by
@@ -2097,6 +2103,7 @@ object Oracles {
     "dedup_semantic_probe" -> dedupSemanticProbe,
     "sim_ivf" -> simIvf,
     "sim_ivf_persisted" -> simIvf, // persisted-index roundtrip: identical result
+    "sim_ivf_append" -> simIvfAppend,
 
     "pivot_orders" -> pivotOrders,
     "window_running" -> windowRunning,

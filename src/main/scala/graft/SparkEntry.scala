@@ -1133,6 +1133,30 @@ object SparkEntry {
       "vec_id", "embedding", k = 5, nprobe = 4)
   }
 
+  /** Incremental index maintenance ([[Similarity.appendToIvfIndex]] — the
+    * FAISS `add()` contract): the index is BUILT on the even-id half (its
+    * quantizer trains there and stays fixed), the odd-id half is APPENDED
+    * without re-training, and the search must rank over the whole corpus —
+    * the oracle re-derives exactly that (base-sampled centroids, full
+    * candidate set). */
+  private val ivfAppendDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qSimIvfAppend(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val dir = ivfAppendDirs.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-append-").toString
+      val base = emb.where(col("vec_id") % 2 === 0)
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndexSampled(base, "vec_id", "embedding", nlist = 16), d)
+      Similarity.appendToIvfIndex(s, d, emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      d
+    })
+    Similarity.searchIvfIndexAt(s, dir, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 4)
+  }
+
   /** IVF with driver-side deterministic k-means centroids. The centroids are
     * deterministic literals, so they double as the oracle's coarse quantizer:
     * the query stashes them here and [[oracleSql]] (dumped by [[Verify]]
@@ -1764,6 +1788,7 @@ object SparkEntry {
     "dedup_semantic_probe" -> (qDedupSemanticProbe _),
     "sim_ivf" -> (qSimIvf _),
     "sim_ivf_persisted" -> (qSimIvfPersisted _),
+    "sim_ivf_append" -> (qSimIvfAppend _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "sim_pq" -> (qSimPq _),
     "sim_ivf_pq" -> (qSimIvfPq _),

@@ -377,6 +377,29 @@ object Similarity {
       .parquet(s"$dir/cells")
   }
 
+  /** FAISS `IVFIndex.add()` for the persisted index: assign NEW vectors to
+    * the EXISTING centroids and APPEND their cell rows under the
+    * partitioned layout — the coarse quantizer is fixed at build time (the
+    * standard IVF maintenance contract: adding does not re-train; re-train
+    * by rebuilding when the corpus distribution drifts), so a 100 TB
+    * pipeline ingesting embeddings daily extends the index with one
+    * narrow, shuffle-free pass over the new batch
+    * ([[assignCellsExpr]] — centroids ride the plan as literals; legal
+    * inside a streaming micro-batch too) instead of re-clustering the
+    * corpus. Probes ([[searchIvfIndexAt]]) see old and new rows alike,
+    * with the same planner-time partition pruning. Repeated small appends
+    * grow one file per touched cell per call — compact with a periodic
+    * read → overwrite of `cells/` (same trade as any partitioned append
+    * sink); the append itself is not transactional, so route upstream
+    * exactly-once through an eslog stream and make index adds replay-safe
+    * at the JOB level (rebuild-on-doubt), as FAISS deployments do. */
+  def appendToIvfIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
+                       idCol: String, vecCol: String): Unit = {
+    val index = readIvfIndex(spark, dir)
+    assignCellsExpr(newVecs, idCol, vecCol, index.centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** Open a persisted index. The partition column's inferred type follows
     * the directory VALUES (small cids infer INT), so re-read with the
     * inferred schema corrected to LONG — a filter must compare the

@@ -115,6 +115,38 @@ class SimilaritySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("appendToIvfIndex: added vectors searchable, quantizer fixed, equals in-memory full set") {
+    // FAISS add(): build on the even-id half (quantizer trains there and
+    // stays fixed), append the odd half with NO re-train; the persisted
+    // search must equal an in-memory index holding the base centroids and
+    // the FULL corpus's cell assignment
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val added = emb.where(col("vec_id") % 2 === 1)
+    val queries = emb.where(col("vec_id") < 3)
+    val baseIdx = Similarity.buildIvfIndexSampled(base, "vec_id", "embedding", nlist = 8)
+    val root = tmpDir("ivfappend-")
+    Similarity.writeIvfIndex(baseIdx, root)
+    Similarity.appendToIvfIndex(spark, root, added, "vec_id", "embedding")
+    // centroids on disk are untouched by the append
+    val centsAfter = spark.read.parquet(s"$root/centroids")
+      .collect().map(_.getLong(0)).sorted
+    assert(centsAfter.sameElements(baseIdx.centroids.collect().map(_.getLong(0)).sorted),
+      "append must never re-train the quantizer")
+    val viaMemory = Similarity.searchIvfIndex(
+      Similarity.IvfIndex(baseIdx.centroids,
+        baseIdx.cells.unionByName(Similarity.assignCellsExpr(
+          added, "vec_id", "embedding", baseIdx.centroids))),
+      queries, "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDisk = Similarity.searchIvfIndexAt(spark, root, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaDisk == viaMemory,
+      "appended persisted search must equal the in-memory full assignment")
+    // odd-id (appended) neighbors actually appear in some result
+    assert(viaDisk.exists(_._2 % 2 == 1), s"appended vectors never surfaced: $viaDisk")
+  }
+
   test("partition-pruned persisted LSH index: probed (tbl,bucket) dirs only, identical results") {
     val queries = emb.where(col("vec_id") < 2)
     val idx = Similarity.buildLshIndex(emb, "vec_id", "embedding", dim = 64)
