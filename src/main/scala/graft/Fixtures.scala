@@ -1142,6 +1142,52 @@ object Fixtures {
         sortKey = Some("doc_id"), numPartitions = 4)
     }
 
+  /** Streaming IVF index maintenance — the streaming half of FAISS `add()`
+    * ([[graft.operators.Similarity.appendToIvfIndex]]): the index is BUILT
+    * on the even-vec_id half (quantizer fixed), the odd half arrives as an
+    * eslog stream (payload = JSON of the float array — Jackson float
+    * round-trips are exact) and every micro-batch extends the index via
+    * `foreachBatch`. Multi-batch appends produce the same cell rows as one
+    * batch append, so the search row shares `sim_ivf_append`'s oracle.
+    * Returns the fixture root; the index lives at `<root>/index`. */
+  def streamIvfAppendRoot(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "stream-ivf-append") { root =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Similarity
+      tune(s)
+      val emb = embeddings(s, sfDir)
+      val idx = s"$root/index"
+      Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16), idx)
+      val src = s"$root/src"
+      val odd = emb.where(col("vec_id") % 2 === 1).select(
+        col("vec_id"),
+        to_json(col("embedding")).cast("binary").as("payload"),
+        map(lit("vec_id"), col("vec_id").cast("string")).as("properties"))
+      EsLog.create(src, streamId = 83L)
+      EsLog.open(src, 1L)
+      EsLog.append(s, src, odd, 1L, sortKey = Some("vec_id"), numPartitions = 2)
+      val perTrigger = math.max(emb.where(col("vec_id") % 2 === 1).count() / 4, 1L)
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(
+          col("properties")("vec_id").cast("long").as("vec_id"),
+          from_json(col("payload").cast("string"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)).as("embedding"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          Similarity.appendToIvfIndex(s, idx, batch, "vec_id", "embedding")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      ()
+    }
+
   /** A stream appended in SCRAMBLED time order — `(event_id * 48271) % n` is
     * a permutation of 0..n-1 (48271 is coprime to any n without it as a
     * factor; fixture requires it), so `base_offset = skey` exactly and the

@@ -2104,6 +2104,7 @@ object Oracles {
     "sim_ivf" -> simIvf,
     "sim_ivf_persisted" -> simIvf, // persisted-index roundtrip: identical result
     "sim_ivf_append" -> simIvfAppend,
+    "es_stream_ivf_append" -> simIvfAppend, // micro-batch appends: same cell rows
 
     "pivot_orders" -> pivotOrders,
     "window_running" -> windowRunning,

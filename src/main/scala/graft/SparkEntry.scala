@@ -1142,6 +1142,17 @@ object SparkEntry {
   private val ivfAppendDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Streaming twin of [[qSimIvfAppend]] ([[Fixtures.streamIvfAppendRoot]]):
+    * the odd half arrives as an eslog stream and every micro-batch extends
+    * the persisted index (`foreachBatch` → `appendToIvfIndex`); multi-batch
+    * appends yield the same cell rows, so the oracle is shared. */
+  private def qEsStreamIvfAppend(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.streamIvfAppendRoot(s, sfDir)
+    Similarity.searchIvfIndexAt(s, s"$root/index",
+      Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 4)
+  }
+
   private def qSimIvfAppend(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
     val dir = ivfAppendDirs.computeIfAbsent(sfDir, _ => {
@@ -1789,6 +1800,7 @@ object SparkEntry {
     "sim_ivf" -> (qSimIvf _),
     "sim_ivf_persisted" -> (qSimIvfPersisted _),
     "sim_ivf_append" -> (qSimIvfAppend _),
+    "es_stream_ivf_append" -> (qEsStreamIvfAppend _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "sim_pq" -> (qSimPq _),
     "sim_ivf_pq" -> (qSimIvfPq _),
