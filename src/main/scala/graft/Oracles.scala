@@ -2105,6 +2105,7 @@ object Oracles {
     "sim_ivf_persisted" -> simIvf, // persisted-index roundtrip: identical result
     "sim_ivf_append" -> simIvfAppend,
     "es_stream_ivf_append" -> simIvfAppend, // micro-batch appends: same cell rows
+    "sim_ivf_compact" -> simIvfAppend, // compaction changes layout, never results
 
     "pivot_orders" -> pivotOrders,
     "window_running" -> windowRunning,

@@ -1168,6 +1168,28 @@ object SparkEntry {
       "vec_id", "embedding", k = 5, nprobe = 4)
   }
 
+  /** [[qSimIvfAppend]] + [[Similarity.compactIvfIndex]]: the maintenance
+    * rewrite (one file per cell) must change NOTHING about search results
+    * — same oracle, third reuse. */
+  private val ivfCompactDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qSimIvfCompact(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val dir = ivfCompactDirs.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-compact-").toString
+      val base = emb.where(col("vec_id") % 2 === 0)
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndexSampled(base, "vec_id", "embedding", nlist = 16), d)
+      Similarity.appendToIvfIndex(s, d, emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      Similarity.compactIvfIndex(s, d)
+      d
+    })
+    Similarity.searchIvfIndexAt(s, dir, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 4)
+  }
+
   /** IVF with driver-side deterministic k-means centroids. The centroids are
     * deterministic literals, so they double as the oracle's coarse quantizer:
     * the query stashes them here and [[oracleSql]] (dumped by [[Verify]]
@@ -1801,6 +1823,7 @@ object SparkEntry {
     "sim_ivf_persisted" -> (qSimIvfPersisted _),
     "sim_ivf_append" -> (qSimIvfAppend _),
     "es_stream_ivf_append" -> (qEsStreamIvfAppend _),
+    "sim_ivf_compact" -> (qSimIvfCompact _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "sim_pq" -> (qSimPq _),
     "sim_ivf_pq" -> (qSimIvfPq _),

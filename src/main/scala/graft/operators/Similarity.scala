@@ -400,6 +400,33 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Compact a persisted index's `cells/` layout back to ONE file per cell
+    * — the maintenance pass that bounds [[appendToIvfIndex]]'s small-file
+    * growth (each append adds a file per touched cell; probe cost grows
+    * with file count, not row count, once files are small). Row content is
+    * untouched, so search results are identical before and after
+    * (oracle-pinned). Rewrite goes through a sibling staging dir + two
+    * renames — readers racing the swap window see the old or the new
+    * layout, never a partial one on a rename-atomic store (run it from the
+    * maintenance job that owns the index, like any parquet-layout
+    * compaction; the eslog format is where transactional compaction
+    * lives). */
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val cells = readIvfIndex(spark, dir).cells
+    val tmp = s"$dir/cells-compact-tmp"
+    val old = s"$dir/cells-old"
+    // one shuffle keyed by cell: partitionBy then splits the (few) cells
+    // sharing a hash partition into one file per cell directory
+    cells.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p(old), true)
+    require(fs.rename(p(s"$dir/cells"), p(old)), s"compact: cannot stage out $dir/cells")
+    require(fs.rename(p(tmp), p(s"$dir/cells")), s"compact: cannot swap in $tmp")
+    fs.delete(p(old), true)
+  }
+
   /** Open a persisted index. The partition column's inferred type follows
     * the directory VALUES (small cids infer INT), so re-read with the
     * inferred schema corrected to LONG — a filter must compare the

@@ -1159,7 +1159,7 @@ class PlanAuditSpec extends SparkTestBase {
     //  - sim_ivf_persisted: same bounded centroid broadcast as sim_ivf
     //    (the cells side is additionally partition-pruned on disk).
     val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
-      "sim_pq", "sim_ivf_pq", "sim_ivf_persisted", "sim_ivf_append", "es_stream_ivf_append",
+      "sim_pq", "sim_ivf_pq", "sim_ivf_persisted", "sim_ivf_append", "es_stream_ivf_append", "sim_ivf_compact",
       "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "text_tfidf", "text_filter", "pipeline_export",
       "ts_similarity")
@@ -1220,6 +1220,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_ivf_persisted" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_append" -> Seq("qid", "nid", "rank", "score"),
     "es_stream_ivf_append" -> Seq("qid", "nid", "rank", "score"),
+    "sim_ivf_compact" -> Seq("qid", "nid", "rank", "score"),
     "sim_lsh_persisted" -> Seq("qid", "nid", "rank", "score"),
     "es_etl_fanin" -> Seq("base_offset", "src", "src_off", "event_type"),
     "es_etl_fanout" -> Seq("dst", "base_offset", "src_off", "event_type"),

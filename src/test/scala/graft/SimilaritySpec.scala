@@ -145,6 +145,22 @@ class SimilaritySpec extends SparkTestBase {
       "appended persisted search must equal the in-memory full assignment")
     // odd-id (appended) neighbors actually appear in some result
     assert(viaDisk.exists(_._2 % 2 == 1), s"appended vectors never surfaced: $viaDisk")
+    // compaction: the append left >1 data file in some cell directory; the
+    // maintenance rewrite folds every cell to ONE file and changes nothing
+    // about search results
+    def filesPerCell(): Map[String, Int] = new java.io.File(s"$root/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.getName ->
+        d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    assert(filesPerCell().values.exists(_ > 1),
+      s"append should have left multi-file cells: ${filesPerCell()}")
+    Similarity.compactIvfIndex(spark, root)
+    assert(filesPerCell().values.forall(_ == 1),
+      s"compaction must leave one file per cell: ${filesPerCell()}")
+    val viaCompacted = Similarity.searchIvfIndexAt(spark, root, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaCompacted == viaDisk, "compaction must never change search results")
   }
 
   test("partition-pruned persisted LSH index: probed (tbl,bucket) dirs only, identical results") {
