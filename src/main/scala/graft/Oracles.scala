@@ -1897,6 +1897,28 @@ object Oracles {
        |GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin
   }
 
+  /** Probe against the APPENDED library: the even-id build slice and the
+    * `doc_id % 4 == 1` appended slice each carry their OWN df cap (the
+    * documented per-slice incremental contract), then probe as usual. */
+  private val multimodalProbeAppended = {
+    val inc = cdcChunksSql("documents", "media_id")
+    val lib = cdcChunksSql("(SELECT * FROM documents WHERE doc_id % 2 = 0)", "existing_id")
+    val add = cdcChunksSql("(SELECT * FROM documents WHERE doc_id % 4 = 1)", "existing_id")
+    s"""WITH incch AS (SELECT * FROM $inc i),
+       |libb AS (SELECT * FROM $lib l),
+       |heavyb AS (SELECT ch FROM libb GROUP BY ch HAVING count(*) > 64),
+       |capb AS (SELECT * FROM libb WHERE ch NOT IN (SELECT ch FROM heavyb)),
+       |adda AS (SELECT * FROM $add a),
+       |heavya AS (SELECT ch FROM adda GROUP BY ch HAVING count(*) > 64),
+       |capa AS (SELECT * FROM adda WHERE ch NOT IN (SELECT ch FROM heavya)),
+       |libch AS (SELECT * FROM capb UNION ALL SELECT * FROM capa)
+       |SELECT i.media_id AS incoming, l.existing_id AS existing,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM incch i JOIN libch l USING (ch)
+       |WHERE i.media_id <> l.existing_id
+       |GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin
+  }
+
   private val multimodalDedupCdc = {
     val winHash = graft.operators.Multimodal.gearPow(8).zipWithIndex
       .map { case (p, k) => s"bv[c-$k] * $p" }.mkString(" + ")
@@ -2132,6 +2154,7 @@ object Oracles {
     // (even-id docs), same incoming set, and the bucket-partitioned parquet
     // roundtrip changes no result rows
     "multimodal_probe_persisted" -> esStreamMediaDedup,
+    "multimodal_probe_appended" -> multimodalProbeAppended,
     "es_stream_media_dedup" -> esStreamMediaDedup,
     "ts_similarity" -> tsSimilarity,
     "lineitem_agg" -> lineitemAgg,

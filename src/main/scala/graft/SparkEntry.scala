@@ -1545,6 +1545,36 @@ object SparkEntry {
       "media_id", "payload", minShared = 4)
   }
 
+  /** Probe against a library EXTENDED after build
+    * ([[graft.operators.Multimodal.appendToMediaLibraryIndex]]): the index
+    * is built on the even-id docs, the `doc_id % 4 == 1` quarter is
+    * appended (chunked with the sidecar's params; df cap per slice — the
+    * documented incremental contract), and every doc probes against the
+    * combined library. The DuckDB twin re-derives both slices' capped
+    * chunk sets independently. */
+  private val mediaAppendDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qMultimodalProbeAppended(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val dir = mediaAppendDirs.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-media-append-").toString
+      val library = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("existing_id"), col("text").cast("binary").as("payload"))
+      graft.operators.Multimodal.writeMediaLibraryIndex(
+        library, "existing_id", "payload", d, divisor = 16)
+      graft.operators.Multimodal.appendToMediaLibraryIndex(s, d,
+        docs.where(col("doc_id") % 4 === 1)
+          .select(col("doc_id").as("added_id"), col("text").cast("binary").as("payload")),
+        "added_id", "payload")
+      d
+    })
+    val incoming = docs
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    graft.operators.Multimodal.mediaDedupProbeAt(s, dir, incoming,
+      "media_id", "payload", minShared = 4)
+  }
+
   /** Exact per-group discrete quantiles of l_quantity (min/quartiles/max as
     * permille ranks) — order statistics with a portable integer rank rule. */
   private def qStatsQuantiles(s: SparkSession, sfDir: String): DataFrame = {
@@ -1842,6 +1872,7 @@ object SparkEntry {
     "multimodal_dedup" -> (qMultimodalDedup _),
     "multimodal_dedup_cdc" -> (qMultimodalDedupCdc _),
     "multimodal_probe_persisted" -> (qMultimodalProbePersisted _),
+    "multimodal_probe_appended" -> (qMultimodalProbeAppended _),
     "es_stream_media_dedup" -> (qEsStreamMediaDedup _),
     "ts_similarity" -> (qTsSimilarity _),
     "stats_quantiles" -> (qStatsQuantiles _),

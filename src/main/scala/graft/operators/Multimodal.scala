@@ -357,6 +357,38 @@ object Multimodal {
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** Incremental maintenance for the persisted chunk library — the
+    * [[graft.operators.Similarity.appendToIvfIndex]] contract applied to
+    * media dedup: chunk NEW media with the params the index was BUILT with
+    * (read from the sidecar, so an append can never mismatch window/
+    * divisor/buckets) and append their rows under the same
+    * `bucket=pmod(ch,n)/` layout; probes see old and new uploads alike.
+    *
+    * df-cap semantics (documented contract): the cap applies WITHIN each
+    * appended slice, like it applied within the build corpus — a chunk
+    * that only becomes corpus-heavy ACROSS slices keeps its postings
+    * until the next full rebuild re-applies the cap globally (the
+    * standard incremental-inverted-index trade; the cap exists to bound
+    * join fan-out, and per-slice capping still bounds every slice's
+    * contribution). Appends also grow one file per touched bucket per
+    * call — fold with a periodic rebuild, or the eslog format upstream
+    * for transactional ingest. */
+  def appendToMediaLibraryIndex(spark: SparkSession, dir: String,
+                                newMedia: DataFrame, idCol: String,
+                                payloadCol: String): Unit = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    val (window, divisor, maxDf, nBuckets) = (p.getAs[Int]("window"),
+      p.getAs[Int]("divisor"), p.getAs[Int]("max_df"), p.getAs[Int]("n_buckets"))
+    // keep the id column name the BUILDER used — a different caller-side
+    // name must not fork the chunks schema
+    val libId = spark.read.parquet(s"$dir/chunks").schema.fieldNames
+      .filterNot(c => c == "ch" || c == "bucket").head
+    cdcChunkHashes(newMedia, idCol, payloadCol, window, divisor, maxDf)
+      .select(col(idCol).as(libId), col("ch"),
+        pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/chunks")
+  }
+
   /** [[mediaDedupProbe]] against a PERSISTED library index with two
     * plan-level guarantees (both pinned in PlanAuditSpec):
     *

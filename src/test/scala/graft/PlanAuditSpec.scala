@@ -1215,6 +1215,7 @@ class PlanAuditSpec extends SparkTestBase {
     "dedup_exact" -> Seq("doc_id", "h", "dups"),
     "multimodal_dedup_cdc" -> Seq("i", "j", "n_shared"),
     "multimodal_probe_persisted" -> Seq("incoming", "existing", "n_shared"),
+    "multimodal_probe_appended" -> Seq("incoming", "existing", "n_shared"),
     "text_bpe_bytes" -> Seq("token", "n"),
     "text_bpe_bytes_ids" -> Seq("doc_id", "pos", "token_id"),
     "sim_ivf_persisted" -> Seq("qid", "nid", "rank", "score"),
