@@ -2118,6 +2118,7 @@ object Oracles {
     "sim_quantize" -> simQuantize,
     "sim_lsh" -> simLsh,
     "sim_lsh_persisted" -> simLsh, // persisted-index roundtrip: identical result
+    "sim_lsh_append" -> simLsh, // positional hyperplanes: incremental == one-pass
 
     "dedup_embedding" -> dedupEmbedding,
     "dedup_cluster_best" -> dedupClusterBest,

@@ -1075,6 +1075,28 @@ object SparkEntry {
       "vec_id", "embedding", k = 5)
   }
 
+  /** [[qSimLshPersisted]]'s incrementally-built twin
+    * ([[Similarity.appendToLshIndex]]): hyperplanes are positionally
+    * derived, so an index built as even-half + appended odd-half is
+    * BIT-IDENTICAL to the single-pass build — same oracle, no caveats. */
+  private val lshAppendDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qSimLshAppend(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val dir = lshAppendDirs.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-lsh-append-").toString
+      Similarity.writeLshIndex(
+        Similarity.buildLshIndex(emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dim = 64, planes = 8, tables = 4), d)
+      Similarity.appendToLshIndex(s, d, emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      d
+    })
+    Similarity.searchLshIndexAt(s, dir, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
   /** The SQL surface end-to-end: registered scalar functions
     * ([[graft.sql.GraftFunctions]]) driving a cosine top-k written as plain
     * SQL text — the same plan shape a DataFrame user gets, proven against
@@ -1846,6 +1868,7 @@ object SparkEntry {
     "sim_quantize" -> (qSimQuantize _),
     "sim_lsh" -> (qSimLsh _),
     "sim_lsh_persisted" -> (qSimLshPersisted _),
+    "sim_lsh_append" -> (qSimLshAppend _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_semantic" -> (qDedupSemantic _),
     "dedup_semantic_probe" -> (qDedupSemanticProbe _),

@@ -518,6 +518,23 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** [[appendToIvfIndex]]'s LSH twin — and the easier one: the hyperplanes
+    * are POSITIONALLY derived (`rademacherWeights(table, plane, dim)`), so
+    * there is no trained state to hold fixed at all — an index built
+    * incrementally is BIT-IDENTICAL to one built in a single pass (no
+    * quantizer-drift caveat, no df-cap contract). New vectors bucket under
+    * the params-sidecar's (dim, planes, tables) and append under the same
+    * `tbl=T/bucket=B/` layout. Small-file growth folds with a periodic
+    * rewrite, as [[compactIvfIndex]] does for cells. */
+  def appendToLshIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
+                       idCol: String, vecCol: String): Unit = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    val (dim, planes, tables) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val c = newVecs.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    lshBucketed(c, "nid", "nvec", dim, planes, tables)
+      .write.mode("append").partitionBy("tbl", "bucket").parquet(s"$dir/buckets")
+  }
+
   /** Open a persisted LSH index (partition columns re-read as INT — the
     * type [[lshBucketed]] produces, so probe filters compare un-cast and
     * pruning engages). */

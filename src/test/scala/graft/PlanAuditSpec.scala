@@ -1223,6 +1223,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_ivf_append" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_compact" -> Seq("qid", "nid", "rank", "score"),
     "sim_lsh_persisted" -> Seq("qid", "nid", "rank", "score"),
+    "sim_lsh_append" -> Seq("qid", "nid", "rank", "score"),
     "es_etl_fanin" -> Seq("base_offset", "src", "src_off", "event_type"),
     "es_etl_fanout" -> Seq("dst", "base_offset", "src_off", "event_type"),
     "es_group_lag" -> Seq("grp", "committed", "position", "next_offset", "lag"),
