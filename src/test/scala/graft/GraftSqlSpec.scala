@@ -434,6 +434,56 @@ class GraftSqlSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT * FROM graft_catalog_fanout_intents('$root')").count() == 0L)
   }
 
+  test("index-maintenance TVFs: add/compact from SQL, searches equal the Scala surface") {
+    import graft.operators.{Multimodal, Similarity}
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // IVF: build on half the vectors, add the rest via SQL, compact via SQL
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 31 + j * 7) % 13 - 6).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val idx = tmpDir("sqlsimadd-")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      vecs.where(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 4), idx)
+    vecs.where(col("vec_id") % 2 === 1).createOrReplaceTempView("sql_new_vecs")
+    val added = spark.sql(
+      s"SELECT * FROM graft_sim_index_add('$idx', 'sql_new_vecs', 'vec_id', 'embedding')")
+      .collect().head
+    assert(added.getLong(1) == 20L, added.toString)
+    vecs.where(col("vec_id") < 4).createOrReplaceTempView("sql_q_vecs")
+    val viaSql = rows(spark.sql(
+      s"SELECT * FROM graft_sim_search('$idx', 'sql_q_vecs', 'vec_id', 'embedding', 3, 2)"))
+    assert(viaSql == rows(Similarity.searchIvfIndexAt(spark, idx,
+      vecs.where(col("vec_id") < 4), "vec_id", "embedding", k = 3, nprobe = 2)))
+    val compacted = spark.sql(
+      s"SELECT * FROM graft_sim_index_compact('$idx')").collect().head
+    assert(compacted.getBoolean(1))
+    assert(viaSql == rows(spark.sql(
+      s"SELECT * FROM graft_sim_search('$idx', 'sql_q_vecs', 'vec_id', 'embedding', 3, 2)")),
+      "compaction must not change SQL search results")
+    // media library: add via SQL, probe equals the Scala probe
+    val media = (0 until 12).map { i =>
+      (i.toLong, (0 until 50).map(j =>
+        f"${graft.functions.Portable.md5Long(s"m${i % 6}:$j")}%08x").mkString)
+    }.toDF("media_id", "payload")
+      .select(col("media_id"), col("payload").cast("binary").as("payload"))
+    val mdir = tmpDir("sqlmediaadd-")
+    Multimodal.writeMediaLibraryIndex(
+      media.where(col("media_id") < 6).withColumnRenamed("media_id", "existing_id"),
+      "existing_id", "payload", mdir, divisor = 16)
+    media.where(col("media_id") >= 6).createOrReplaceTempView("sql_new_media")
+    val madded = spark.sql(
+      s"SELECT * FROM graft_media_index_add('$mdir', 'sql_new_media', 'media_id', 'payload')")
+      .collect().head
+    assert(madded.getLong(1) == 6L, madded.toString)
+    media.createOrReplaceTempView("sql_probe_media")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_media_probe('$mdir', 'sql_probe_media', 'media_id', 'payload', 4)"))
+      == rows(Multimodal.mediaDedupProbeAt(spark, mdir, media,
+          "media_id", "payload", minShared = 4)))
+  }
+
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
     val dir = tmpDir("sqlsym-")
     EsLog.create(dir, streamId = 75L)
