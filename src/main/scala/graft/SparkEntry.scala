@@ -1175,20 +1175,30 @@ object SparkEntry {
       "vec_id", "embedding", k = 5, nprobe = 4)
   }
 
-  private def qSimIvfAppend(s: SparkSession, sfDir: String): DataFrame = {
-    val emb = Fixtures.embeddings(s, sfDir)
-    val dir = ivfAppendDirs.computeIfAbsent(sfDir, _ => {
+  /** ONE builder for every appended-index row (append, compact — and the
+    * fixture shape the streaming twin mirrors): even-half build, odd-half
+    * append, optional compaction. Shared so the three rows can never
+    * silently diverge from their shared oracle. */
+  private def appendedIvfDir(s: SparkSession, sfDir: String,
+                             memo: java.util.concurrent.ConcurrentHashMap[String, String],
+                             compact: Boolean): String =
+    memo.computeIfAbsent(sfDir, _ => {
+      val emb = Fixtures.embeddings(s, sfDir)
       val d = java.nio.file.Files.createTempDirectory("graft-ivf-append-").toString
-      val base = emb.where(col("vec_id") % 2 === 0)
       Similarity.writeIvfIndex(
-        Similarity.buildIvfIndexSampled(base, "vec_id", "embedding", nlist = 16), d)
+        Similarity.buildIvfIndexSampled(emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", nlist = 16), d)
       Similarity.appendToIvfIndex(s, d, emb.where(col("vec_id") % 2 === 1),
         "vec_id", "embedding")
+      if (compact) Similarity.compactIvfIndex(s, d)
       d
     })
-    Similarity.searchIvfIndexAt(s, dir, emb.where(col("vec_id") < 10),
+
+  private def qSimIvfAppend(s: SparkSession, sfDir: String): DataFrame =
+    Similarity.searchIvfIndexAt(s,
+      appendedIvfDir(s, sfDir, ivfAppendDirs, compact = false),
+      Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 4)
-  }
 
   /** [[qSimIvfAppend]] + [[Similarity.compactIvfIndex]]: the maintenance
     * rewrite (one file per cell) must change NOTHING about search results
@@ -1196,21 +1206,11 @@ object SparkEntry {
   private val ivfCompactDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def qSimIvfCompact(s: SparkSession, sfDir: String): DataFrame = {
-    val emb = Fixtures.embeddings(s, sfDir)
-    val dir = ivfCompactDirs.computeIfAbsent(sfDir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-ivf-compact-").toString
-      val base = emb.where(col("vec_id") % 2 === 0)
-      Similarity.writeIvfIndex(
-        Similarity.buildIvfIndexSampled(base, "vec_id", "embedding", nlist = 16), d)
-      Similarity.appendToIvfIndex(s, d, emb.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding")
-      Similarity.compactIvfIndex(s, d)
-      d
-    })
-    Similarity.searchIvfIndexAt(s, dir, emb.where(col("vec_id") < 10),
+  private def qSimIvfCompact(s: SparkSession, sfDir: String): DataFrame =
+    Similarity.searchIvfIndexAt(s,
+      appendedIvfDir(s, sfDir, ivfCompactDirs, compact = true),
+      Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 4)
-  }
 
   /** IVF with driver-side deterministic k-means centroids. The centroids are
     * deterministic literals, so they double as the oracle's coarse quantizer:

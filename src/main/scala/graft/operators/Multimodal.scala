@@ -352,8 +352,11 @@ object Multimodal {
         pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/chunks")
     import spark.implicits._
-    Seq((window, divisor, maxDf, nBuckets))
-      .toDF("window", "divisor", "max_df", "n_buckets")
+    // id name + type ride the sidecar so appendToMediaLibraryIndex can
+    // match the chunks schema without listing the growing chunks tree
+    Seq((window, divisor, maxDf, nBuckets, idCol,
+        df.schema(idCol).dataType.catalogString))
+      .toDF("window", "divisor", "max_df", "n_buckets", "id_name", "id_type")
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
@@ -379,12 +382,21 @@ object Multimodal {
     val p = spark.read.parquet(s"$dir/params").collect().head
     val (window, divisor, maxDf, nBuckets) = (p.getAs[Int]("window"),
       p.getAs[Int]("divisor"), p.getAs[Int]("max_df"), p.getAs[Int]("n_buckets"))
-    // keep the id column name the BUILDER used — a different caller-side
-    // name must not fork the chunks schema
-    val libId = spark.read.parquet(s"$dir/chunks").schema.fieldNames
-      .filterNot(c => c == "ch" || c == "bucket").head
+    // keep the id column NAME AND TYPE the builder used — a caller-side
+    // rename or narrower id type must not fork the chunks schema (mixed
+    // INT32/INT64 footers break the vectorized reader). Sidecar first
+    // (no listing of the growing chunks tree); pre-sidecar indexes fall
+    // back to one chunks schema inference.
+    val (idName, idType) =
+      if (p.schema.fieldNames.contains("id_name"))
+        (p.getAs[String]("id_name"), p.getAs[String]("id_type"))
+      else {
+        val f = spark.read.parquet(s"$dir/chunks").schema
+          .filterNot(f => f.name == "ch" || f.name == "bucket").head
+        (f.name, f.dataType.catalogString)
+      }
     cdcChunkHashes(newMedia, idCol, payloadCol, window, divisor, maxDf)
-      .select(col(idCol).as(libId), col("ch"),
+      .select(col(idCol).cast(idType).as(idName), col("ch"),
         pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/chunks")
   }

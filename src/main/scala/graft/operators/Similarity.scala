@@ -375,7 +375,23 @@ object Similarity {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     index.cells.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells")
+    // tiny params sidecar: the id column's type, so an append can cast to
+    // it WITHOUT schema-inferring the (ever-growing) cells tree — a
+    // type-forked nid (INT vs BIGINT footers under one inferred schema)
+    // breaks every subsequent vectorized read
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    Seq(index.cells.schema("nid").dataType.catalogString)
+      .toDF("id_type").write.mode("overwrite").parquet(s"$dir/params")
   }
+
+  /** The persisted id type, from the params sidecar when present (indexes
+    * written since the sidecar existed) else one cells schema inference. */
+  private def persistedIdType(spark: SparkSession, dir: String): String =
+    try spark.read.parquet(s"$dir/params").collect().head.getString(0)
+    catch { case scala.util.control.NonFatal(_) =>
+      spark.read.parquet(s"$dir/cells").schema("nid").dataType.catalogString
+    }
 
   /** FAISS `IVFIndex.add()` for the persisted index: assign NEW vectors to
     * the EXISTING centroids and APPEND their cell rows under the
@@ -395,8 +411,15 @@ object Similarity {
     * at the JOB level (rebuild-on-doubt), as FAISS deployments do. */
   def appendToIvfIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
                        idCol: String, vecCol: String): Unit = {
-    val index = readIvfIndex(spark, dir)
-    assignCellsExpr(newVecs, idCol, vecCol, index.centroids)
+    // reads ONLY the tiny centroids + params tables — never the cells tree,
+    // whose file listing grows with every prior append (the per-micro-batch
+    // cost in the foreachBatch deployment must not scale with index age).
+    // The id cast pins the persisted column type: a caller whose id column
+    // is INT must not fork an INT64 index's footers.
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val typed = newVecs.withColumn(idCol,
+      col(idCol).cast(persistedIdType(spark, dir)))
+    assignCellsExpr(typed, idCol, vecCol, cents)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -406,24 +429,36 @@ object Similarity {
     * with file count, not row count, once files are small). Row content is
     * untouched, so search results are identical before and after
     * (oracle-pinned). Rewrite goes through a sibling staging dir + two
-    * renames — readers racing the swap window see the old or the new
-    * layout, never a partial one on a rename-atomic store (run it from the
-    * maintenance job that owns the index, like any parquet-layout
-    * compaction; the eslog format is where transactional compaction
-    * lives). */
+    * renames. The swap is NOT reader-transparent: between the two renames
+    * `cells/` briefly does not exist, so run this from the maintenance job
+    * that owns the index with searches quiesced (the eslog format is where
+    * transactional compaction lives; a parquet-directory index has no
+    * commit pointer to flip). It IS crash-recoverable: a failed swap-in
+    * rolls the old layout back, and a compact that finds a previous run's
+    * half-finished swap (cells missing, cells-old present) completes the
+    * recovery before starting. */
   def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
-    val cells = readIvfIndex(spark, dir).cells
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = s"$dir/cells-compact-tmp"
     val old = s"$dir/cells-old"
+    // recover a prior run that died between its two renames
+    if (!fs.exists(p(s"$dir/cells")) && fs.exists(p(old)))
+      require(fs.rename(p(old), p(s"$dir/cells")),
+        s"compact: cannot recover $old back to $dir/cells")
+    fs.delete(p(tmp), true)
+    val cells = readIvfIndex(spark, dir).cells
     // one shuffle keyed by cell: partitionBy then splits the (few) cells
     // sharing a hash partition into one file per cell directory
     cells.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val fs = p(dir).getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p(old), true)
     require(fs.rename(p(s"$dir/cells"), p(old)), s"compact: cannot stage out $dir/cells")
-    require(fs.rename(p(tmp), p(s"$dir/cells")), s"compact: cannot swap in $tmp")
+    if (!fs.rename(p(tmp), p(s"$dir/cells"))) {
+      // roll back so the index is never left without a cells/ directory
+      fs.rename(p(old), p(s"$dir/cells"))
+      throw new IllegalStateException(s"compact: cannot swap in $tmp — rolled back")
+    }
     fs.delete(p(old), true)
   }
 
@@ -513,8 +548,11 @@ object Similarity {
       .parquet(s"$dir/buckets")
     val spark = index.buckets.sparkSession
     import spark.implicits._
-    Seq((index.dim, index.planes, index.tables))
-      .toDF("dim", "planes", "tables")
+    // id_type rides the sidecar so appendToLshIndex can cast without
+    // schema-inferring the growing buckets tree
+    Seq((index.dim, index.planes, index.tables,
+        index.buckets.schema("nid").dataType.catalogString))
+      .toDF("dim", "planes", "tables", "id_type")
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
@@ -530,7 +568,14 @@ object Similarity {
                        idCol: String, vecCol: String): Unit = {
     val p = spark.read.parquet(s"$dir/params").collect().head
     val (dim, planes, tables) = (p.getInt(0), p.getInt(1), p.getInt(2))
-    val c = newVecs.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    // id cast pins the persisted nid type (sidecar since the append API
+    // exists; older indexes fall back to one buckets schema inference) —
+    // a type-forked column breaks every later vectorized read
+    val idType =
+      if (p.length > 3) p.getString(3)
+      else spark.read.parquet(s"$dir/buckets").schema("nid").dataType.catalogString
+    val c = newVecs.select(col(idCol).cast(idType).as("nid"),
+      asDouble(col(vecCol)).as("nvec"))
     lshBucketed(c, "nid", "nvec", dim, planes, tables)
       .write.mode("append").partitionBy("tbl", "bucket").parquet(s"$dir/buckets")
   }

@@ -602,16 +602,16 @@ object GraftFunctions {
           "'vec_col') - FAISS add(): extend a persisted IVF index " +
           "(graft.operators.Similarity.writeIvfIndex) with new vectors — " +
           "assigned to the EXISTING centroids, never re-trained; returns " +
-          "(dir, added)"),
+          "(dir, ok). SIDE-EFFECTING AT ANALYSIS, like every graft_* admin " +
+          "function: run as a standalone statement (EXPLAIN or a " +
+          "re-resolved view re-runs the append)"),
       (args: Seq[Expression]) => { arity("graft_sim_index_add", args, 4)
         val dir = literalString(args(0), "graft_sim_index_add", "index_dir")
         val vref = literalString(args(1), "graft_sim_index_add", "vecs_table_or_path")
         val id = literalString(args(2), "graft_sim_index_add", "id_col")
         val vec = literalString(args(3), "graft_sim_index_add", "vec_col")
-        val vecs = resolveRef(vref)
-        val n = vecs.count()
-        graft.operators.Similarity.appendToIvfIndex(active(), dir, vecs, id, vec)
-        localRow(Seq(("dir", dir), ("added", n))) }),
+        graft.operators.Similarity.appendToIvfIndex(active(), dir, resolveRef(vref), id, vec)
+        localRow(Seq(("dir", dir), ("ok", true))) }),
     (FunctionIdentifier("graft_sim_index_compact"),
       info("graft_sim_index_compact",
         "graft_sim_index_compact('index_dir') - fold a persisted IVF " +
@@ -627,16 +627,16 @@ object GraftFunctions {
           "'payload_col') - extend a persisted media chunk library " +
           "(graft.operators.Multimodal.writeMediaLibraryIndex) with new " +
           "uploads, chunked with the index's own sidecar params; returns " +
-          "(dir, added)"),
+          "(dir, ok). SIDE-EFFECTING AT ANALYSIS: run as a standalone " +
+          "statement (EXPLAIN or a re-resolved view re-runs the append)"),
       (args: Seq[Expression]) => { arity("graft_media_index_add", args, 4)
         val dir = literalString(args(0), "graft_media_index_add", "index_dir")
         val mref = literalString(args(1), "graft_media_index_add", "media_table_or_path")
         val id = literalString(args(2), "graft_media_index_add", "id_col")
         val payload = literalString(args(3), "graft_media_index_add", "payload_col")
-        val media = resolveRef(mref)
-        val n = media.count()
-        graft.operators.Multimodal.appendToMediaLibraryIndex(active(), dir, media, id, payload)
-        localRow(Seq(("dir", dir), ("added", n))) }),
+        graft.operators.Multimodal.appendToMediaLibraryIndex(
+          active(), dir, resolveRef(mref), id, payload)
+        localRow(Seq(("dir", dir), ("ok", true))) }),
     (FunctionIdentifier("graft_sim_search"),
       info("graft_sim_search",
         "graft_sim_search('index_dir', 'queries_table_or_path', 'id_col', " +

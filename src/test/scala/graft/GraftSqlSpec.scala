@@ -450,7 +450,7 @@ class GraftSqlSpec extends SparkTestBase {
     val added = spark.sql(
       s"SELECT * FROM graft_sim_index_add('$idx', 'sql_new_vecs', 'vec_id', 'embedding')")
       .collect().head
-    assert(added.getLong(1) == 20L, added.toString)
+    assert(added.getString(0) == idx && added.getBoolean(1), added.toString)
     vecs.where(col("vec_id") < 4).createOrReplaceTempView("sql_q_vecs")
     val viaSql = rows(spark.sql(
       s"SELECT * FROM graft_sim_search('$idx', 'sql_q_vecs', 'vec_id', 'embedding', 3, 2)"))
@@ -476,7 +476,7 @@ class GraftSqlSpec extends SparkTestBase {
     val madded = spark.sql(
       s"SELECT * FROM graft_media_index_add('$mdir', 'sql_new_media', 'media_id', 'payload')")
       .collect().head
-    assert(madded.getLong(1) == 6L, madded.toString)
+    assert(madded.getString(0) == mdir && madded.getBoolean(1), madded.toString)
     media.createOrReplaceTempView("sql_probe_media")
     assert(rows(spark.sql(
         s"SELECT * FROM graft_media_probe('$mdir', 'sql_probe_media', 'media_id', 'payload', 4)"))
