@@ -48,7 +48,9 @@ class FanOutProtocolSpec extends AnyFunSuite {
   private def enumerate(maxProduce: Int, runsPerWriter: Int,
                         route: (Span, Int) => Boolean,
                         epochs: Vector[Long] = Vector(0L, 0L),
-                        logEpoch: Long = 0L): (Long, Long) = {
+                        logEpoch: Long = 0L,
+                        stepFn: (Global, Pc, (Span, Int) => Boolean, Long, Long)
+                          => (Global, Pc) = FanOutProtocol.step): (Long, Long) = {
     val seen = scala.collection.mutable.HashSet[Node]()
     var terminals = 0L
     val stack = scala.collection.mutable.ArrayDeque[Node]()
@@ -76,8 +78,7 @@ class FanOutProtocolSpec extends AnyFunSuite {
             successors ::= n.copy(ws =
               n.ws.updated(wi, W(IntentRead, w.runsLeft - 1, crashed = false)))
           else {
-            val (g2, pc2) = FanOutProtocol.step(n.g, w.pc, route,
-              wEpoch = epochs(wi), logEpoch = logEpoch)
+            val (g2, pc2) = stepFn(n.g, w.pc, route, epochs(wi), logEpoch)
             successors ::= n.copy(g = g2, ws = n.ws.updated(wi, w.copy(pc = pc2)))
           }
         }
@@ -150,6 +151,31 @@ class FanOutProtocolSpec extends AnyFunSuite {
       route = (_, _) => true)
     info(s"explored $states states, checked $terminals terminal schedules")
     assert(states > 10000L)
+  }
+
+  test("MUTATION: an exact-match-only marker skip is caught — the enumeration has teeth") {
+    // Guard against a vacuously-green model check: weaken the one rule the
+    // production scaladoc calls out as load-bearing (the AT-OR-BEYOND
+    // marker skip, EsLog's `prevApplied.exists(_._1 >= from)`) into an
+    // exact-match skip, and the enumeration MUST find the double delivery:
+    // a straggler adopting span s1 after a rival completed it and applied
+    // s2 sees marker=s2 (not an exact match), re-applies s1, and the
+    // marker guard passes because s2 IS the straggler's legitimate compare
+    // base. If this test ever goes green, the harness stopped checking.
+    def buggyStep(g: Global, pc: Pc, route: (Span, Int) => Boolean,
+                  wEpoch: Long, logEpoch: Long): (Global, Pc) = pc match {
+      case ApplyRead(span, i) if i < g.dsts.size =>
+        val prev = g.dsts(i).applied
+        if (prev.contains(span)) (g, ApplyRead(span, i + 1)) // exact only — THE BUG
+        else (g, ApplyCas(span, i, prev))
+      case _ => FanOutProtocol.step(g, pc, route, wEpoch, logEpoch)
+    }
+    val e = intercept[org.scalatest.exceptions.TestFailedException] {
+      enumerate(maxProduce = 2, runsPerWriter = 2, route = (_, _) => true,
+        stepFn = buggyStep)
+    }
+    assert(e.getMessage.contains("double delivery") ||
+      e.getMessage.contains("delivered"), e.getMessage)
   }
 
   test("a single uninterfered run delivers one span everywhere and completes") {
