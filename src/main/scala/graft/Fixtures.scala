@@ -1178,8 +1178,12 @@ object Fixtures {
               org.apache.spark.sql.types.FloatType)).as("embedding"))
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                         _: Long) =>
-          Similarity.appendToIvfIndex(s, idx, batch, "vec_id", "embedding")
+                         bid: Long) =>
+          // the micro-batch id IS the replay guard: a restarted/retried
+          // batch re-offers the same bid and the index append skips it
+          Similarity.appendToIvfIndex(s, idx, batch, "vec_id", "embedding",
+            batchId = Some(s"stream-$bid"))
+          ()
         }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow())

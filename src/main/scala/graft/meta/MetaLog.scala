@@ -53,7 +53,7 @@ object MetaLog {
   private val routes = new scala.collection.concurrent.TrieMap[String, LogStore]()
   def route(prefix: String, s: LogStore): Unit = { routes.put(prefix, s); () }
   def unroute(prefix: String): Unit = { routes.remove(prefix); () }
-  private def storeFor(streamDir: String): LogStore = {
+  private[graft] def storeFor(streamDir: String): LogStore = {
     if (routes.nonEmpty) {
       val routed = routes.filter { case (p, _) => streamDir.startsWith(p) }
         .toSeq.sortBy(-_._1.length).headOption.map(_._2)

@@ -307,10 +307,15 @@ object Multimodal {
     * defaults to the 16 B fixture scale while the deployment constant is
     * [[DeploymentDivisor]], so no default here is coherent with both;
     * [[mediaDedupProbeAt]] reads it from the persisted params sidecar and
-    * cannot mismatch). */
+    * cannot mismatch). Parameter ORDER keeps [[cdcChunkRows]]'s
+    * `(window, divisor)` convention — `window` defaulting AHEAD of the
+    * required `divisor` means a caller reaches `divisor` by name (or by
+    * spelling out `window` first), and a legacy positional
+    * `(..., 8, 16)` call still means `window=8, divisor=16` instead of
+    * silently reinterpreting. */
   def mediaDedupProbe(libraryIndex: DataFrame, incoming: DataFrame,
                       idCol: String, payloadCol: String,
-                      divisor: Int, window: Int = 8,
+                      window: Int = 8, divisor: Int,
                       minShared: Int = 4): DataFrame = {
     val libId = libraryIndex.columns.filterNot(_ == "ch") match {
       case Array(one) => one
@@ -348,9 +353,11 @@ object Multimodal {
     require(nBuckets >= 1)
     val spark = df.sparkSession
     val ch = cdcChunkHashes(df, idCol, payloadCol, window, divisor, maxDf)
-    ch.select(col(idCol), col("ch"),
-        pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/chunks")
+    IndexCommit.commitBase(dir, "chunks") { tree =>
+      ch.select(col(idCol), col("ch"),
+          pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tree)
+    }
     import spark.implicits._
     // id name + type ride the sidecar so appendToMediaLibraryIndex can
     // match the chunks schema without listing the growing chunks tree
@@ -370,15 +377,19 @@ object Multimodal {
     * df-cap semantics (documented contract): the cap applies WITHIN each
     * appended slice, like it applied within the build corpus — a chunk
     * that only becomes corpus-heavy ACROSS slices keeps its postings
-    * until the next full rebuild re-applies the cap globally (the
+    * until [[compactMediaLibraryIndex]] re-applies the cap GLOBALLY (the
     * standard incremental-inverted-index trade; the cap exists to bound
     * join fan-out, and per-slice capping still bounds every slice's
-    * contribution). Appends also grow one file per touched bucket per
-    * call — fold with a periodic rebuild, or the eslog format upstream
-    * for transactional ingest. */
+    * contribution).
+    *
+    * TRANSACTIONAL like [[graft.operators.Similarity.appendToIvfIndex]]:
+    * the slice lands as an immutable delta tree behind one CAS'd pointer
+    * commit, and a `batchId` already in the committed state is skipped
+    * (returns false) — replay-safe at the index level. */
   def appendToMediaLibraryIndex(spark: SparkSession, dir: String,
                                 newMedia: DataFrame, idCol: String,
-                                payloadCol: String): Unit = {
+                                payloadCol: String,
+                                batchId: Option[String] = None): Boolean = {
     val p = spark.read.parquet(s"$dir/params").collect().head
     val (window, divisor, maxDf, nBuckets) = (p.getAs[Int]("window"),
       p.getAs[Int]("divisor"), p.getAs[Int]("max_df"), p.getAs[Int]("n_buckets"))
@@ -391,15 +402,66 @@ object Multimodal {
       if (p.schema.fieldNames.contains("id_name"))
         (p.getAs[String]("id_name"), p.getAs[String]("id_type"))
       else {
-        val f = spark.read.parquet(s"$dir/chunks").schema
+        val f = spark.read.parquet(chunkDirs(dir).head).schema
           .filterNot(f => f.name == "ch" || f.name == "bucket").head
         (f.name, f.dataType.catalogString)
       }
-    cdcChunkHashes(newMedia, idCol, payloadCol, window, divisor, maxDf)
+    val slice = cdcChunkHashes(newMedia, idCol, payloadCol, window, divisor, maxDf)
       .select(col(idCol).cast(idType).as(idName), col("ch"),
         pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/chunks")
+    IndexCommit.appendTree(spark, dir, "chunks", batchId) { tree =>
+      slice.write.mode("overwrite").partitionBy("bucket").parquet(tree)
+    }
   }
+
+  /** The live chunks trees, resolved through the commit pointer (legacy
+    * bare `chunks/` for pre-pointer indexes). */
+  private def chunkDirs(dir: String): Seq[String] =
+    IndexCommit.resolveDirs(dir, "chunks")
+
+  /** Union of chunks trees with the partition column re-read as INT (the
+    * type the builders write, so probe filters compare un-cast and pruning
+    * engages). */
+  private def readChunkTrees(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val inferred = spark.read.parquet(dirs.head).schema
+    val fixed = StructType(inferred.map {
+      case f if f.name == "bucket" => f.copy(dataType = IntegerType)
+      case f => f
+    })
+    dirs.map(d => spark.read.schema(fixed).parquet(d)).reduce(_.unionByName(_))
+  }
+
+  /** Fold the persisted chunk library back to ONE file per bucket AND
+    * re-apply the df cap GLOBALLY — the maintenance pass the per-slice cap
+    * contract of [[appendToMediaLibraryIndex]] defers to: a chunk whose
+    * document frequency exceeds `max_df` only ACROSS appended slices kept
+    * all its postings (bounding each slice's join fan-out but not the
+    * union's); compaction recomputes df over the union and drops the
+    * now-heavy chunks, so probe results may TIGHTEN to exactly what a
+    * fresh build over the union would produce (pinned by the
+    * `multimodal_probe_compacted` oracle). Reader-transparent like
+    * [[graft.operators.Similarity.compactIvfIndex]]: one CAS'd pointer
+    * flip, no quiesce window, rival appends survive (their slices simply
+    * miss this pass's global re-cap). */
+  def compactMediaLibraryIndex(spark: SparkSession, dir: String): Unit = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    val maxDf = p.getAs[Int]("max_df")
+    IndexCommit.compactTrees(spark, dir, "chunks") { (srcs, target) =>
+      val all = OpUtil.shared(readChunkTrees(spark, srcs))
+      val heavy = all.groupBy("ch").count()
+        .where(col("count") > maxDf).select("ch")
+      all.join(heavy, Seq("ch"), "left_anti")
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(target)
+    }
+  }
+
+  /** Reclaim superseded/orphaned chunks trees — see
+    * [[graft.operators.IndexCommit.vacuum]] for the grace-period
+    * contract. */
+  def vacuumMediaLibraryIndex(spark: SparkSession, dir: String): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "chunks")
 
   /** [[mediaDedupProbe]] against a PERSISTED library index with two
     * plan-level guarantees (both pinned in PlanAuditSpec):
@@ -442,8 +504,10 @@ object Multimodal {
       .distinct().collect().map(_.getInt(0)).toSeq
     // partition-column dtype: directory values 0..nBuckets-1 infer INT, and
     // the literals must match un-cast for pruning to engage (the
-    // readIvfIndex lesson) — bucket was written as INT, probed is Seq[Int]
-    val chunks = spark.read.parquet(s"$dir/chunks")
+    // readIvfIndex lesson) — bucket was written as INT, probed is Seq[Int].
+    // Trees resolve through the commit pointer: one committed snapshot,
+    // stable under concurrent append/compact.
+    val chunks = readChunkTrees(spark, chunkDirs(dir))
     val libId = chunks.columns.filterNot(c => c == "ch" || c == "bucket") match {
       case Array(one) => one
       case other => throw new IllegalArgumentException(

@@ -370,11 +370,18 @@ object Similarity {
     * plus `cells` PARTITIONED BY `cell` — the on-disk layout that makes a
     * probe read only its cells' files (hive-style `cell=N/` directories =
     * static partition pruning at planning time, no data-file I/O for
-    * unprobed cells). Build once at write time, search many times. */
+    * unprobed cells). Build once at write time, search many times.
+    *
+    * The cells tree is registered in the index's [[IndexCommit]] pointer
+    * log, which is what makes every later maintenance op ([[appendToIvfIndex]]
+    * / [[compactIvfIndex]]) transactional; a REBUILD into a live index dir
+    * commits a fresh versioned tree, so concurrent searches keep their
+    * snapshot until [[vacuumIvfIndex]]. */
   def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    index.cells.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/cells")
+    IndexCommit.commitBase(dir, "cells") { tree =>
+      index.cells.write.mode("overwrite").partitionBy("cell").parquet(tree)
+    }
     // tiny params sidecar: the id column's type, so an append can cast to
     // it WITHOUT schema-inferring the (ever-growing) cells tree — a
     // type-forked nid (INT vs BIGINT footers under one inferred schema)
@@ -385,12 +392,18 @@ object Similarity {
       .toDF("id_type").write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** The live cells trees, resolved through the commit pointer (legacy
+    * bare `cells/` for pre-pointer indexes). */
+  private def ivfCellDirs(dir: String): Seq[String] =
+    IndexCommit.resolveDirs(dir, "cells")
+
   /** The persisted id type, from the params sidecar when present (indexes
     * written since the sidecar existed) else one cells schema inference. */
   private def persistedIdType(spark: SparkSession, dir: String): String =
     try spark.read.parquet(s"$dir/params").collect().head.getString(0)
     catch { case scala.util.control.NonFatal(_) =>
-      spark.read.parquet(s"$dir/cells").schema("nid").dataType.catalogString
+      spark.read.parquet(ivfCellDirs(dir).head)
+        .schema("nid").dataType.catalogString
     }
 
   /** FAISS `IVFIndex.add()` for the persisted index: assign NEW vectors to
@@ -404,13 +417,19 @@ object Similarity {
     * inside a streaming micro-batch too) instead of re-clustering the
     * corpus. Probes ([[searchIvfIndexAt]]) see old and new rows alike,
     * with the same planner-time partition pruning. Repeated small appends
-    * grow one file per touched cell per call — compact with a periodic
-    * read → overwrite of `cells/` (same trade as any partitioned append
-    * sink); the append itself is not transactional, so route upstream
-    * exactly-once through an eslog stream and make index adds replay-safe
-    * at the JOB level (rebuild-on-doubt), as FAISS deployments do. */
+    * grow one delta tree per call — [[compactIvfIndex]] folds them back to
+    * one file per cell.
+    *
+    * The append is TRANSACTIONAL ([[IndexCommit.appendTree]]): the batch
+    * lands as an immutable delta tree made visible by one CAS'd pointer
+    * commit — a crash before the commit leaves the index exactly as it
+    * was (plus one orphan tree for [[vacuumIvfIndex]]), and a `batchId`
+    * (pass the `foreachBatch` batch id) makes retried/duplicated
+    * micro-batch delivery append exactly once at the INDEX level: a batch
+    * id already in the committed state is skipped, returning false. */
   def appendToIvfIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
-                       idCol: String, vecCol: String): Unit = {
+                       idCol: String, vecCol: String,
+                       batchId: Option[String] = None): Boolean = {
     // reads ONLY the tiny centroids + params tables — never the cells tree,
     // whose file listing grows with every prior append (the per-micro-batch
     // cost in the foreachBatch deployment must not scale with index age).
@@ -419,63 +438,70 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
     val typed = newVecs.withColumn(idCol,
       col(idCol).cast(persistedIdType(spark, dir)))
-    assignCellsExpr(typed, idCol, vecCol, cents)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    IndexCommit.appendTree(spark, dir, "cells", batchId) { tree =>
+      assignCellsExpr(typed, idCol, vecCol, cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(tree)
+    }
   }
 
-  /** Compact a persisted index's `cells/` layout back to ONE file per cell
-    * — the maintenance pass that bounds [[appendToIvfIndex]]'s small-file
-    * growth (each append adds a file per touched cell; probe cost grows
-    * with file count, not row count, once files are small). Row content is
-    * untouched, so search results are identical before and after
-    * (oracle-pinned). Rewrite goes through a sibling staging dir + two
-    * renames. The swap is NOT reader-transparent: between the two renames
-    * `cells/` briefly does not exist, so run this from the maintenance job
-    * that owns the index with searches quiesced (the eslog format is where
-    * transactional compaction lives; a parquet-directory index has no
-    * commit pointer to flip). It IS crash-recoverable: a failed swap-in
-    * rolls the old layout back, and a compact that finds a previous run's
-    * half-finished swap (cells missing, cells-old present) completes the
-    * recovery before starting. */
+  /** Compact a persisted index's cells layout back to ONE file per cell —
+    * the maintenance pass that bounds [[appendToIvfIndex]]'s small-file /
+    * delta-tree growth (probe cost grows with file count, not row count,
+    * once files are small). Row content is untouched, so search results
+    * are identical before and after (oracle-pinned).
+    *
+    * READER-TRANSPARENT ([[IndexCommit.compactTrees]]): the merged tree is
+    * written beside the live trees and made visible by one CAS'd pointer
+    * commit — a search planned at any moment reads a consistent committed
+    * snapshot, no quiesce window; delta trees a rival appends DURING the
+    * rewrite survive in the committed set. A crash at any point leaves the
+    * pointer on the pre-compact version. Superseded trees stay on disk for
+    * in-flight readers until [[vacuumIvfIndex]]. */
   def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
+    // pre-pointer recovery: an r11-format index left mid-swap by the OLD
+    // rename-based compact (cells missing, cells-old present) is restored
+    // before the pointer log bootstraps around `cells/`
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = s"$dir/cells-compact-tmp"
-    val old = s"$dir/cells-old"
-    // recover a prior run that died between its two renames
-    if (!fs.exists(p(s"$dir/cells")) && fs.exists(p(old)))
-      require(fs.rename(p(old), p(s"$dir/cells")),
-        s"compact: cannot recover $old back to $dir/cells")
-    fs.delete(p(tmp), true)
-    val cells = readIvfIndex(spark, dir).cells
-    // one shuffle keyed by cell: partitionBy then splits the (few) cells
-    // sharing a hash partition into one file per cell directory
-    cells.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    fs.delete(p(old), true)
-    require(fs.rename(p(s"$dir/cells"), p(old)), s"compact: cannot stage out $dir/cells")
-    if (!fs.rename(p(tmp), p(s"$dir/cells"))) {
-      // roll back so the index is never left without a cells/ directory
-      fs.rename(p(old), p(s"$dir/cells"))
-      throw new IllegalStateException(s"compact: cannot swap in $tmp — rolled back")
+    if (IndexCommit.load(dir).isEmpty &&
+        !fs.exists(p(s"$dir/cells")) && fs.exists(p(s"$dir/cells-old")))
+      require(fs.rename(p(s"$dir/cells-old"), p(s"$dir/cells")),
+        s"compact: cannot recover $dir/cells-old back to $dir/cells")
+    IndexCommit.compactTrees(spark, dir, "cells") { (srcs, target) =>
+      // one shuffle keyed by cell: partitionBy then splits the (few) cells
+      // sharing a hash partition into one file per cell directory
+      readCellTrees(spark, srcs).repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(target)
     }
-    fs.delete(p(old), true)
   }
 
-  /** Open a persisted index. The partition column's inferred type follows
-    * the directory VALUES (small cids infer INT), so re-read with the
-    * inferred schema corrected to LONG — a filter must compare the
-    * partition column un-cast for pruning to engage. */
-  def readIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
+  /** Reclaim cells trees superseded by [[compactIvfIndex]] (and orphans
+    * from crashed maintenance) that no committed reader can reach — see
+    * [[IndexCommit.vacuum]] for the grace-period contract. */
+  def vacuumIvfIndex(spark: SparkSession, dir: String): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "cells")
+
+  /** Union of cells trees under one schema with the partition column's
+    * inferred type corrected to LONG (directory VALUES with small cids
+    * infer INT, and a pruning filter must compare the partition column
+    * un-cast). Trees share one write path, so the non-partition columns
+    * agree by construction. */
+  private def readCellTrees(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructType}
-    val inferred = spark.read.parquet(s"$dir/cells").schema
+    val inferred = spark.read.parquet(dirs.head).schema
     val fixed = StructType(inferred.map {
       case f if f.name == "cell" => f.copy(dataType = LongType)
       case f => f
     })
-    IvfIndex(spark.read.parquet(s"$dir/centroids"),
-      spark.read.schema(fixed).parquet(s"$dir/cells"))
+    dirs.map(d => spark.read.schema(fixed).parquet(d)).reduce(_.unionByName(_))
   }
+
+  /** Open a persisted index: centroids + the union of live cells trees
+    * resolved through the commit pointer — one committed snapshot, stable
+    * under concurrent maintenance. */
+  def readIvfIndex(spark: SparkSession, dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/centroids"),
+      readCellTrees(spark, ivfCellDirs(dir)))
 
   /** Search a PERSISTED index with guaranteed partition pruning: the
     * distinct probed cells (bounded by `nlist`, never by the query count —
@@ -544,8 +570,10 @@ object Similarity {
     * the bucket table needs storing; `dim`/`planes`/`tables` ride a tiny
     * params file. */
   def writeLshIndex(index: LshIndex, dir: String): Unit = {
-    index.buckets.write.mode("overwrite").partitionBy("tbl", "bucket")
-      .parquet(s"$dir/buckets")
+    IndexCommit.commitBase(dir, "buckets") { tree =>
+      index.buckets.write.mode("overwrite").partitionBy("tbl", "bucket")
+        .parquet(tree)
+    }
     val spark = index.buckets.sparkSession
     import spark.implicits._
     // id_type rides the sidecar so appendToLshIndex can cast without
@@ -556,44 +584,82 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** The live buckets trees, resolved through the commit pointer (legacy
+    * bare `buckets/` for pre-pointer indexes). */
+  private def lshBucketDirs(dir: String): Seq[String] =
+    IndexCommit.resolveDirs(dir, "buckets")
+
   /** [[appendToIvfIndex]]'s LSH twin — and the easier one: the hyperplanes
     * are POSITIONALLY derived (`rademacherWeights(table, plane, dim)`), so
     * there is no trained state to hold fixed at all — an index built
     * incrementally is BIT-IDENTICAL to one built in a single pass (no
     * quantizer-drift caveat, no df-cap contract). New vectors bucket under
-    * the params-sidecar's (dim, planes, tables) and append under the same
-    * `tbl=T/bucket=B/` layout. Small-file growth folds with a periodic
-    * rewrite, as [[compactIvfIndex]] does for cells. */
+    * the params-sidecar's (dim, planes, tables) and land as an immutable
+    * delta tree behind one CAS'd pointer commit — the same transactional /
+    * replay-safe contract as [[appendToIvfIndex]] (`batchId` skips an
+    * already-applied batch, returning false); [[compactLshIndex]] folds
+    * delta-tree growth. */
   def appendToLshIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
-                       idCol: String, vecCol: String): Unit = {
+                       idCol: String, vecCol: String,
+                       batchId: Option[String] = None): Boolean = {
     val p = spark.read.parquet(s"$dir/params").collect().head
-    val (dim, planes, tables) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    // by-name sidecar reads: the sidecar schema has evolved once already
+    // (id_type added) and positional reads silently misread on the next
+    // evolution
+    val (dim, planes, tables) = (p.getAs[Int]("dim"),
+      p.getAs[Int]("planes"), p.getAs[Int]("tables"))
     // id cast pins the persisted nid type (sidecar since the append API
     // exists; older indexes fall back to one buckets schema inference) —
     // a type-forked column breaks every later vectorized read
     val idType =
-      if (p.length > 3) p.getString(3)
-      else spark.read.parquet(s"$dir/buckets").schema("nid").dataType.catalogString
+      if (p.schema.fieldNames.contains("id_type")) p.getAs[String]("id_type")
+      else spark.read.parquet(lshBucketDirs(dir).head)
+        .schema("nid").dataType.catalogString
     val c = newVecs.select(col(idCol).cast(idType).as("nid"),
       asDouble(col(vecCol)).as("nvec"))
-    lshBucketed(c, "nid", "nvec", dim, planes, tables)
-      .write.mode("append").partitionBy("tbl", "bucket").parquet(s"$dir/buckets")
+    IndexCommit.appendTree(spark, dir, "buckets", batchId) { tree =>
+      lshBucketed(c, "nid", "nvec", dim, planes, tables)
+        .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(tree)
+    }
   }
 
-  /** Open a persisted LSH index (partition columns re-read as INT — the
-    * type [[lshBucketed]] produces, so probe filters compare un-cast and
-    * pruning engages). */
-  def readLshIndex(spark: SparkSession, dir: String): LshIndex = {
+  /** Fold a persisted LSH index's delta trees back to ONE file per
+    * (tbl, bucket) — the rewrite [[appendToLshIndex]]'s contract promises,
+    * reader-transparent exactly as [[compactIvfIndex]] (one CAS'd pointer
+    * flip, no quiesce window, rival appends survive). Row content is
+    * untouched, so search results are identical before and after. */
+  def compactLshIndex(spark: SparkSession, dir: String): Unit =
+    IndexCommit.compactTrees(spark, dir, "buckets") { (srcs, target) =>
+      readBucketTrees(spark, srcs).repartition(col("tbl"), col("bucket"))
+        .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(target)
+    }
+
+  /** Reclaim superseded/orphaned buckets trees — see [[IndexCommit.vacuum]]
+    * for the grace-period contract. */
+  def vacuumLshIndex(spark: SparkSession, dir: String): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "buckets")
+
+  /** Union of buckets trees with the partition columns re-read as INT —
+    * the type [[lshBucketed]] produces, so probe filters compare un-cast
+    * and pruning engages. */
+  private def readBucketTrees(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructType}
-    val p = spark.read.parquet(s"$dir/params").collect().head
-    val inferred = spark.read.parquet(s"$dir/buckets").schema
+    val inferred = spark.read.parquet(dirs.head).schema
     val fixed = StructType(inferred.map {
       case f if f.name == "tbl" || f.name == "bucket" =>
         f.copy(dataType = IntegerType)
       case f => f
     })
-    LshIndex(spark.read.schema(fixed).parquet(s"$dir/buckets"),
-      p.getInt(0), p.getInt(1), p.getInt(2))
+    dirs.map(d => spark.read.schema(fixed).parquet(d)).reduce(_.unionByName(_))
+  }
+
+  /** Open a persisted LSH index: the union of live buckets trees resolved
+    * through the commit pointer — one committed snapshot, stable under
+    * concurrent maintenance. */
+  def readLshIndex(spark: SparkSession, dir: String): LshIndex = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    LshIndex(readBucketTrees(spark, lshBucketDirs(dir)),
+      p.getAs[Int]("dim"), p.getAs[Int]("planes"), p.getAs[Int]("tables"))
   }
 
   /** Search a PERSISTED LSH index with guaranteed partition pruning: the

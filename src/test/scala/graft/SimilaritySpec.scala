@@ -145,22 +145,39 @@ class SimilaritySpec extends SparkTestBase {
       "appended persisted search must equal the in-memory full assignment")
     // odd-id (appended) neighbors actually appear in some result
     assert(viaDisk.exists(_._2 % 2 == 1), s"appended vectors never surfaced: $viaDisk")
-    // compaction: the append left >1 data file in some cell directory; the
-    // maintenance rewrite folds every cell to ONE file and changes nothing
-    // about search results
-    def filesPerCell(): Map[String, Int] = new java.io.File(s"$root/cells").listFiles()
+    // transactional append mechanism: the batch landed as an immutable
+    // DELTA TREE behind a CAS'd pointer commit (base tree + one delta in
+    // the live set); compaction folds the live set to ONE tree with ONE
+    // file per cell, changes nothing about search results, and leaves the
+    // superseded trees on disk for in-flight readers until vacuum
+    import graft.operators.IndexCommit
+    val treesAfterAppend = IndexCommit.resolveDirs(root, "cells")
+    assert(treesAfterAppend.size == 2 && treesAfterAppend.head.endsWith("/cells"),
+      s"append must commit base + one delta tree: $treesAfterAppend")
+    Similarity.compactIvfIndex(spark, root)
+    val treesAfterCompact = IndexCommit.resolveDirs(root, "cells")
+    assert(treesAfterCompact.size == 1, s"compact must fold to one tree: $treesAfterCompact")
+    def filesPerCell(tree: String): Map[String, Int] = new java.io.File(tree).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .map(d => d.getName ->
         d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
-    assert(filesPerCell().values.exists(_ > 1),
-      s"append should have left multi-file cells: ${filesPerCell()}")
-    Similarity.compactIvfIndex(spark, root)
-    assert(filesPerCell().values.forall(_ == 1),
-      s"compaction must leave one file per cell: ${filesPerCell()}")
+    assert(filesPerCell(treesAfterCompact.head).values.forall(_ == 1),
+      s"compaction must leave one file per cell: ${filesPerCell(treesAfterCompact.head)}")
+    assert(treesAfterAppend.forall(t => new java.io.File(t).exists()),
+      "superseded trees must survive until vacuum (reader transparency)")
     val viaCompacted = Similarity.searchIvfIndexAt(spark, root, queries,
       "vec_id", "embedding", k = 5, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaCompacted == viaDisk, "compaction must never change search results")
+    // vacuum reclaims exactly the superseded trees; search is unaffected
+    val dead = Similarity.vacuumIvfIndex(spark, root)
+    assert(dead.toSet == treesAfterAppend.map(_.split("/").last).toSet,
+      s"vacuum must reclaim the superseded trees: $dead")
+    assert(treesAfterAppend.forall(t => !new java.io.File(t).exists()))
+    val viaVacuumed = Similarity.searchIvfIndexAt(spark, root, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaVacuumed == viaDisk, "vacuum must never change search results")
   }
 
   test("partition-pruned persisted LSH index: probed (tbl,bucket) dirs only, identical results") {
