@@ -101,7 +101,7 @@ object Fixtures {
     s.read.parquet(s"$sfDir/embeddings.parquet")
   }
 
-  private def fixture(sfDir: String, name: String)(build: String => Unit): String =
+  private[graft] def fixture(sfDir: String, name: String)(build: String => Unit): String =
     cache.getOrElseUpdate(s"$sfDir#$name", {
       val dir = Files.createTempDirectory(s"graft-$name-").toString
       build(dir)

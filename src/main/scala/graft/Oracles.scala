@@ -1919,6 +1919,36 @@ object Oracles {
        |GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin
   }
 
+  /** Probe against the COMPACTED appended library: compaction re-applies
+    * the df cap GLOBALLY over the union of the per-slice-capped chunk sets
+    * ([[graft.operators.Multimodal.compactMediaLibraryIndex]]) — chunks a
+    * single slice's cap let through but whose df across slices exceeds the
+    * cap lose their postings, so this oracle is [[multimodalProbeAppended]]
+    * with one extra global-heavy filter over the union. (The global cap
+    * sees only postings that SURVIVED their slice's cap — a chunk dropped
+    * within a slice never reaches compaction — which is exactly how the
+    * engine's compaction reads the committed trees.) */
+  private val multimodalProbeCompacted = {
+    val inc = cdcChunksSql("documents", "media_id")
+    val lib = cdcChunksSql("(SELECT * FROM documents WHERE doc_id % 2 = 0)", "existing_id")
+    val add = cdcChunksSql("(SELECT * FROM documents WHERE doc_id % 4 = 1)", "existing_id")
+    s"""WITH incch AS (SELECT * FROM $inc i),
+       |libb AS (SELECT * FROM $lib l),
+       |heavyb AS (SELECT ch FROM libb GROUP BY ch HAVING count(*) > 64),
+       |capb AS (SELECT * FROM libb WHERE ch NOT IN (SELECT ch FROM heavyb)),
+       |adda AS (SELECT * FROM $add a),
+       |heavya AS (SELECT ch FROM adda GROUP BY ch HAVING count(*) > 64),
+       |capa AS (SELECT * FROM adda WHERE ch NOT IN (SELECT ch FROM heavya)),
+       |libu AS (SELECT * FROM capb UNION ALL SELECT * FROM capa),
+       |heavyg AS (SELECT ch FROM libu GROUP BY ch HAVING count(*) > 64),
+       |libch AS (SELECT * FROM libu WHERE ch NOT IN (SELECT ch FROM heavyg))
+       |SELECT i.media_id AS incoming, l.existing_id AS existing,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM incch i JOIN libch l USING (ch)
+       |WHERE i.media_id <> l.existing_id
+       |GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin
+  }
+
   private val multimodalDedupCdc = {
     val winHash = graft.operators.Multimodal.gearPow(8).zipWithIndex
       .map { case (p, k) => s"bv[c-$k] * $p" }.mkString(" + ")
@@ -2119,6 +2149,7 @@ object Oracles {
     "sim_lsh" -> simLsh,
     "sim_lsh_persisted" -> simLsh, // persisted-index roundtrip: identical result
     "sim_lsh_append" -> simLsh, // positional hyperplanes: incremental == one-pass
+    "sim_lsh_compact" -> simLsh, // compaction changes layout, never results
 
     "dedup_embedding" -> dedupEmbedding,
     "dedup_cluster_best" -> dedupClusterBest,
@@ -2129,6 +2160,7 @@ object Oracles {
     "sim_ivf_append" -> simIvfAppend,
     "es_stream_ivf_append" -> simIvfAppend, // micro-batch appends: same cell rows
     "sim_ivf_compact" -> simIvfAppend, // compaction changes layout, never results
+    "sim_ivf_replay" -> simIvfAppend, // replayed batch id: guard skips the duplicate
 
     "pivot_orders" -> pivotOrders,
     "window_running" -> windowRunning,
@@ -2156,6 +2188,7 @@ object Oracles {
     // roundtrip changes no result rows
     "multimodal_probe_persisted" -> esStreamMediaDedup,
     "multimodal_probe_appended" -> multimodalProbeAppended,
+    "multimodal_probe_compacted" -> multimodalProbeCompacted,
     "es_stream_media_dedup" -> esStreamMediaDedup,
     "ts_similarity" -> tsSimilarity,
     "lineitem_agg" -> lineitemAgg,

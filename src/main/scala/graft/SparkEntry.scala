@@ -1059,43 +1059,46 @@ object SparkEntry {
     * as `sim_lsh` (positionally derived), so the oracle SQL is shared —
     * the roundtrip changes nothing. Build memoized per sfDir; every run
     * reads the buckets from disk. */
-  private val lshIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def qSimLshPersisted(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
-    val dir = lshIndexDirs.computeIfAbsent(sfDir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-lsh-").toString
+    val dir = Fixtures.fixture(sfDir, "lsh-index") { d =>
       Similarity.writeLshIndex(
         Similarity.buildLshIndex(emb, "vec_id", "embedding", dim = 64,
           planes = 8, tables = 4), d)
-      d
-    })
+    }
     Similarity.searchLshIndexAt(s, dir, emb.where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5)
   }
 
-  /** [[qSimLshPersisted]]'s incrementally-built twin
-    * ([[Similarity.appendToLshIndex]]): hyperplanes are positionally
-    * derived, so an index built as even-half + appended odd-half is
-    * BIT-IDENTICAL to the single-pass build — same oracle, no caveats. */
-  private val lshAppendDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def qSimLshAppend(s: SparkSession, sfDir: String): DataFrame = {
-    val emb = Fixtures.embeddings(s, sfDir)
-    val dir = lshAppendDirs.computeIfAbsent(sfDir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-lsh-append-").toString
+  /** ONE builder for the incrementally-built LSH rows (append, compact):
+    * even-half build, odd-half append, optional fold — hyperplanes are
+    * positionally derived, so every variant is BIT-IDENTICAL to the
+    * single-pass build and shares `sim_lsh`'s oracle. */
+  private def appendedLshDir(s: SparkSession, sfDir: String, name: String,
+                             compact: Boolean): String =
+    Fixtures.fixture(sfDir, name) { d =>
+      val emb = Fixtures.embeddings(s, sfDir)
       Similarity.writeLshIndex(
         Similarity.buildLshIndex(emb.where(col("vec_id") % 2 === 0),
           "vec_id", "embedding", dim = 64, planes = 8, tables = 4), d)
       Similarity.appendToLshIndex(s, d, emb.where(col("vec_id") % 2 === 1),
         "vec_id", "embedding")
-      d
-    })
-    Similarity.searchLshIndexAt(s, dir, emb.where(col("vec_id") < 10),
+      if (compact) Similarity.compactLshIndex(s, d)
+    }
+
+  private def qSimLshAppend(s: SparkSession, sfDir: String): DataFrame =
+    Similarity.searchLshIndexAt(s, appendedLshDir(s, sfDir, "lsh-append", compact = false),
+      Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5)
-  }
+
+  /** [[qSimLshAppend]] + [[Similarity.compactLshIndex]]: the
+    * reader-transparent maintenance fold (one CAS'd pointer flip, one file
+    * per (tbl,bucket)) must change NOTHING about search results — same
+    * `sim_lsh` oracle, fourth reuse. */
+  private def qSimLshCompact(s: SparkSession, sfDir: String): DataFrame =
+    Similarity.searchLshIndexAt(s, appendedLshDir(s, sfDir, "lsh-compact", compact = true),
+      Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
 
   /** The SQL surface end-to-end: registered scalar functions
     * ([[graft.sql.GraftFunctions]]) driving a cosine top-k written as plain
@@ -1140,17 +1143,12 @@ object SparkEntry {
     * the write → read → pruned-scan roundtrip changes nothing. The index
     * build is memoized per sfDir (build-once-search-many, the deployment
     * shape); every run still reads the cells from disk. */
-  private val ivfIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def qSimIvfPersisted(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
-    val dir = ivfIndexDirs.computeIfAbsent(sfDir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    val dir = Fixtures.fixture(sfDir, "ivf-index") { d =>
       Similarity.writeIvfIndex(
         Similarity.buildIvfIndexSampled(emb, "vec_id", "embedding", nlist = 16), d)
-      d
-    })
+    }
     Similarity.searchIvfIndexAt(s, dir, emb.where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 4)
   }
@@ -1161,9 +1159,6 @@ object SparkEntry {
     * without re-training, and the search must rank over the whole corpus —
     * the oracle re-derives exactly that (base-sampled centroids, full
     * candidate set). */
-  private val ivfAppendDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Streaming twin of [[qSimIvfAppend]] ([[Fixtures.streamIvfAppendRoot]]):
     * the odd half arrives as an eslog stream and every micro-batch extends
     * the persisted index (`foreachBatch` → `appendToIvfIndex`); multi-batch
@@ -1175,40 +1170,54 @@ object SparkEntry {
       "vec_id", "embedding", k = 5, nprobe = 4)
   }
 
-  /** ONE builder for every appended-index row (append, compact — and the
-    * fixture shape the streaming twin mirrors): even-half build, odd-half
-    * append, optional compaction. Shared so the three rows can never
-    * silently diverge from their shared oracle. */
-  private def appendedIvfDir(s: SparkSession, sfDir: String,
-                             memo: java.util.concurrent.ConcurrentHashMap[String, String],
-                             compact: Boolean): String =
-    memo.computeIfAbsent(sfDir, _ => {
+  /** ONE builder for every appended-index row (append, replay, compact —
+    * and the fixture shape the streaming twin mirrors): even-half build,
+    * odd-half append, optional replayed re-delivery, optional compaction.
+    * Shared so the rows can never silently diverge from their shared
+    * oracle ([[Fixtures.fixture]] convention: memoized per (sfDir, name)). */
+  private def appendedIvfDir(s: SparkSession, sfDir: String, name: String,
+                             compact: Boolean, replay: Boolean = false): String =
+    Fixtures.fixture(sfDir, name) { d =>
       val emb = Fixtures.embeddings(s, sfDir)
-      val d = java.nio.file.Files.createTempDirectory("graft-ivf-append-").toString
       Similarity.writeIvfIndex(
         Similarity.buildIvfIndexSampled(emb.where(col("vec_id") % 2 === 0),
           "vec_id", "embedding", nlist = 16), d)
-      Similarity.appendToIvfIndex(s, d, emb.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding")
+      val odd = emb.where(col("vec_id") % 2 === 1)
+      val bid = if (replay) Some("ivf-odd-batch") else None
+      Similarity.appendToIvfIndex(s, d, odd, "vec_id", "embedding", bid)
+      if (replay) {
+        // duplicated delivery of the SAME batch id: the replay guard must
+        // skip it, or the search would double every odd-id candidate
+        val again = Similarity.appendToIvfIndex(s, d, odd, "vec_id", "embedding", bid)
+        require(!again, "replayed batch id must be skipped by the index commit log")
+      }
       if (compact) Similarity.compactIvfIndex(s, d)
-      d
-    })
+    }
 
   private def qSimIvfAppend(s: SparkSession, sfDir: String): DataFrame =
     Similarity.searchIvfIndexAt(s,
-      appendedIvfDir(s, sfDir, ivfAppendDirs, compact = false),
+      appendedIvfDir(s, sfDir, "ivf-append", compact = false),
+      Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 4)
+
+  /** [[qSimIvfAppend]] delivered TWICE under one batch id: the commit
+    * pointer's replay guard ([[graft.operators.IndexCommit.appendTree]])
+    * must skip the duplicate, so the search equals the single-delivery
+    * result — same oracle, proven end-to-end at the driver gate (a guard
+    * regression would double odd-id cell rows and flip the hash). */
+  private def qSimIvfReplay(s: SparkSession, sfDir: String): DataFrame =
+    Similarity.searchIvfIndexAt(s,
+      appendedIvfDir(s, sfDir, "ivf-replay", compact = false, replay = true),
       Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 4)
 
   /** [[qSimIvfAppend]] + [[Similarity.compactIvfIndex]]: the maintenance
-    * rewrite (one file per cell) must change NOTHING about search results
-    * — same oracle, third reuse. */
-  private val ivfCompactDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
+    * rewrite (one file per cell, reader-transparent CAS'd pointer flip)
+    * must change NOTHING about search results — same oracle, third
+    * reuse. */
   private def qSimIvfCompact(s: SparkSession, sfDir: String): DataFrame =
     Similarity.searchIvfIndexAt(s,
-      appendedIvfDir(s, sfDir, ivfCompactDirs, compact = true),
+      appendedIvfDir(s, sfDir, "ivf-compact", compact = true),
       Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 4)
 
@@ -1574,13 +1583,10 @@ object SparkEntry {
     * documented incremental contract), and every doc probes against the
     * combined library. The DuckDB twin re-derives both slices' capped
     * chunk sets independently. */
-  private val mediaAppendDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def qMultimodalProbeAppended(s: SparkSession, sfDir: String): DataFrame = {
-    val docs = Fixtures.documents(s, sfDir)
-    val dir = mediaAppendDirs.computeIfAbsent(sfDir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-media-append-").toString
+  private def appendedMediaDir(s: SparkSession, sfDir: String, name: String,
+                               compact: Boolean): String =
+    Fixtures.fixture(sfDir, name) { d =>
+      val docs = Fixtures.documents(s, sfDir)
       val library = docs.where(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("existing_id"), col("text").cast("binary").as("payload"))
       graft.operators.Multimodal.writeMediaLibraryIndex(
@@ -1589,13 +1595,30 @@ object SparkEntry {
         docs.where(col("doc_id") % 4 === 1)
           .select(col("doc_id").as("added_id"), col("text").cast("binary").as("payload")),
         "added_id", "payload")
-      d
-    })
-    val incoming = docs
+      if (compact) graft.operators.Multimodal.compactMediaLibraryIndex(s, d)
+    }
+
+  private def mediaProbeAt(s: SparkSession, sfDir: String, dir: String): DataFrame = {
+    val incoming = Fixtures.documents(s, sfDir)
       .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
     graft.operators.Multimodal.mediaDedupProbeAt(s, dir, incoming,
       "media_id", "payload", minShared = 4)
   }
+
+  private def qMultimodalProbeAppended(s: SparkSession, sfDir: String): DataFrame =
+    mediaProbeAt(s, sfDir,
+      appendedMediaDir(s, sfDir, "media-append", compact = false))
+
+  /** [[qMultimodalProbeAppended]] + [[graft.operators.Multimodal
+    * .compactMediaLibraryIndex]]: compaction folds the appended slices to
+    * one file per bucket AND re-applies the df cap GLOBALLY — a chunk
+    * heavy only ACROSS the build and appended slices loses its postings,
+    * so the probe may TIGHTEN vs the appended row. The oracle re-derives
+    * exactly that: per-slice caps, union, then the global cap over the
+    * union. */
+  private def qMultimodalProbeCompacted(s: SparkSession, sfDir: String): DataFrame =
+    mediaProbeAt(s, sfDir,
+      appendedMediaDir(s, sfDir, "media-compact", compact = true))
 
   /** Exact per-group discrete quantiles of l_quantity (min/quartiles/max as
     * permille ranks) — order statistics with a portable integer rank rule. */
@@ -1869,6 +1892,7 @@ object SparkEntry {
     "sim_lsh" -> (qSimLsh _),
     "sim_lsh_persisted" -> (qSimLshPersisted _),
     "sim_lsh_append" -> (qSimLshAppend _),
+    "sim_lsh_compact" -> (qSimLshCompact _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_semantic" -> (qDedupSemantic _),
     "dedup_semantic_probe" -> (qDedupSemanticProbe _),
@@ -1877,6 +1901,7 @@ object SparkEntry {
     "sim_ivf_append" -> (qSimIvfAppend _),
     "es_stream_ivf_append" -> (qEsStreamIvfAppend _),
     "sim_ivf_compact" -> (qSimIvfCompact _),
+    "sim_ivf_replay" -> (qSimIvfReplay _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),
     "sim_pq" -> (qSimPq _),
     "sim_ivf_pq" -> (qSimIvfPq _),
@@ -1896,6 +1921,7 @@ object SparkEntry {
     "multimodal_dedup_cdc" -> (qMultimodalDedupCdc _),
     "multimodal_probe_persisted" -> (qMultimodalProbePersisted _),
     "multimodal_probe_appended" -> (qMultimodalProbeAppended _),
+    "multimodal_probe_compacted" -> (qMultimodalProbeCompacted _),
     "es_stream_media_dedup" -> (qEsStreamMediaDedup _),
     "ts_similarity" -> (qTsSimilarity _),
     "stats_quantiles" -> (qStatsQuantiles _),

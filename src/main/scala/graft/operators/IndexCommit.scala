@@ -243,4 +243,14 @@ object IndexCommit {
     * same-version writers from colliding on a path). */
   private def freshSuffix(): String =
     java.util.UUID.randomUUID().toString.take(8)
+
+  /** Schema of the first tree that HAS parquet footers — a committed tree
+    * can be legitimately empty (a compact whose rows were all globally
+    * capped away, an append of an empty batch) and carries nothing to
+    * infer from; reading an empty tree under an explicit schema is fine. */
+  private[operators] def inferAcross(spark: org.apache.spark.sql.SparkSession,
+                                     dirs: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    dirs.view.flatMap(d =>
+      scala.util.Try(spark.read.parquet(d).schema).toOption).headOption
 }

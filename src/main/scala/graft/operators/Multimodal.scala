@@ -423,8 +423,18 @@ object Multimodal {
     * type the builders write, so probe filters compare un-cast and pruning
     * engages). */
   private def readChunkTrees(spark: SparkSession, dirs: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, StructType}
-    val inferred = spark.read.parquet(dirs.head).schema
+    import org.apache.spark.sql.types._
+    val inferred = IndexCommit.inferAcross(spark, dirs).getOrElse {
+      // EVERY live tree is empty — legitimate after a compact whose chunks
+      // were all globally df-capped away. The schema is fully determined
+      // by the params sidecar (id name/type + ch + bucket).
+      val p = dirs.head.split("/").dropRight(1).mkString("/")
+      val row = spark.read.parquet(s"$p/params").collect().head
+      val idT = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(row.getAs[String]("id_type"))
+      StructType(Seq(StructField(row.getAs[String]("id_name"), idT),
+        StructField("ch", LongType), StructField("bucket", IntegerType)))
+    }
     val fixed = StructType(inferred.map {
       case f if f.name == "bucket" => f.copy(dataType = IntegerType)
       case f => f

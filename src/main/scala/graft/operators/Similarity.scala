@@ -488,7 +488,8 @@ object Similarity {
     * agree by construction. */
   private def readCellTrees(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructType}
-    val inferred = spark.read.parquet(dirs.head).schema
+    val inferred = IndexCommit.inferAcross(spark, dirs).getOrElse(
+      spark.read.parquet(dirs.head).schema) // all-empty: surface Spark's error
     val fixed = StructType(inferred.map {
       case f if f.name == "cell" => f.copy(dataType = LongType)
       case f => f
@@ -644,7 +645,8 @@ object Similarity {
     * and pruning engages. */
   private def readBucketTrees(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructType}
-    val inferred = spark.read.parquet(dirs.head).schema
+    val inferred = IndexCommit.inferAcross(spark, dirs).getOrElse(
+      spark.read.parquet(dirs.head).schema) // all-empty: surface Spark's error
     val fixed = StructType(inferred.map {
       case f if f.name == "tbl" || f.name == "bucket" =>
         f.copy(dataType = IntegerType)

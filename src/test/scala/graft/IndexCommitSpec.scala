@@ -1,0 +1,250 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexCommit, Multimodal, Similarity}
+
+/** The transactional persisted-index contract ([[graft.operators.IndexCommit]]):
+  * reader transparency under concurrent maintenance, crash safety (pointer
+  * stays on the old version), append replay safety (batchId), CAS rivalry
+  * convergence, pre-pointer fallback, and the compaction family's
+  * search-invariance (LSH) / global-recap (media) semantics. */
+class IndexCommitSpec extends SparkTestBase {
+
+  private def emb = {
+    Fixtures.tune(spark)
+    spark.read.parquet(sf("embeddings"))
+  }
+
+  private def searchSet(dir: String, nprobe: Int = 3): Set[(Long, Long, Long)] =
+    Similarity.searchIvfIndexAt(spark, dir, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def buildAppended(root: String): Unit = {
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 8), root)
+    Similarity.appendToIvfIndex(spark, root,
+      emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    ()
+  }
+
+  test("searches run unperturbed DURING a compact (no quiesce window)") {
+    val root = tmpDir("ixc-concurrent-")
+    buildAppended(root)
+    val before = searchSet(root)
+    // a search DataFrame planned BEFORE the compact holds the pre-compact
+    // snapshot (immutable trees); it must still collect correctly AFTER
+    // the pointer flips
+    val inFlight = Similarity.searchIvfIndexAt(spark, root,
+      emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 5, nprobe = 3)
+    // and a search issued AT THE WORST MOMENT — after the merged tree is
+    // written but before the CAS lands — must see the committed (old)
+    // version, not a half-swapped layout
+    var midCompact: Option[Set[(Long, Long, Long)]] = None
+    IndexCommit.testBeforeCommit = () => {
+      if (midCompact.isEmpty) midCompact = Some(searchSet(root))
+    }
+    try Similarity.compactIvfIndex(spark, root)
+    finally IndexCommit.testBeforeCommit = () => ()
+    assert(midCompact.contains(before),
+      "search during the compact's commit window must equal the committed snapshot")
+    assert(inFlight.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == before,
+      "a pre-compact plan must stay collectible and correct after the pointer flips")
+    assert(searchSet(root) == before, "compaction must never change results")
+  }
+
+  test("crashed append: pointer stays on the old version, vacuum reclaims the orphan") {
+    val root = tmpDir("ixc-crash-")
+    buildAppended(root)
+    val v0 = IndexCommit.load(root).get
+    val before = searchSet(root)
+    IndexCommit.testBeforeCommit =
+      () => throw new RuntimeException("injected crash before CAS")
+    val crashed = intercept[RuntimeException] {
+      Similarity.appendToIvfIndex(spark, root,
+        emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        batchId = Some("b-crash"))
+    }
+    IndexCommit.testBeforeCommit = () => ()
+    assert(crashed.getMessage.contains("injected"))
+    val v1 = IndexCommit.load(root).get
+    assert(v1 == v0, "a crash before the CAS must leave the committed state untouched")
+    assert(searchSet(root) == before, "readers must not see the crashed append")
+    // the crashed append's staged tree is an unreferenced orphan on disk
+    val children = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n == "cells" || n.startsWith("cells-")).toSet
+    assert(children.size == v0.dirs.size + 1,
+      s"expected exactly one orphan tree: $children vs ${v0.dirs}")
+    val dead = Similarity.vacuumIvfIndex(spark, root)
+    assert(dead.size == 1 && !v0.dirs.contains(dead.head),
+      s"vacuum must reclaim exactly the orphan: $dead")
+    // the same batch retries cleanly after the crash (id was never committed)
+    assert(Similarity.appendToIvfIndex(spark, root,
+      emb.where(col("vec_id") < 5), "vec_id", "embedding",
+      batchId = Some("b-crash")))
+  }
+
+  test("append replay guard: a committed batchId is skipped, rows never duplicate") {
+    val root = tmpDir("ixc-replay-")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 8), root)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    assert(Similarity.appendToIvfIndex(spark, root, odd, "vec_id", "embedding",
+      batchId = Some("batch-7")), "first delivery must append")
+    val rows = Similarity.readIvfIndex(spark, root).cells.count()
+    val sr = searchSet(root)
+    assert(!Similarity.appendToIvfIndex(spark, root, odd, "vec_id", "embedding",
+      batchId = Some("batch-7")), "replayed delivery must be skipped")
+    assert(Similarity.readIvfIndex(spark, root).cells.count() == rows,
+      "a replayed batch must not duplicate cell rows")
+    assert(searchSet(root) == sr)
+    // the guard survives compaction (batch ids carry forward)
+    Similarity.compactIvfIndex(spark, root)
+    assert(!Similarity.appendToIvfIndex(spark, root, odd, "vec_id", "embedding",
+      batchId = Some("batch-7")), "replay after compact must still be skipped")
+    assert(Similarity.readIvfIndex(spark, root).cells.count() == rows)
+  }
+
+  test("CAS rivalry: a rival commit between load and CAS is retried, both appends land") {
+    val root = tmpDir("ixc-rival-")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 8), root)
+    val oddLow = emb.where(col("vec_id") % 2 === 1 && col("vec_id") < 50)
+    val oddHigh = emb.where(col("vec_id") % 2 === 1 && col("vec_id") >= 50)
+    // the hook fires inside the outer append's commit attempt and lands a
+    // RIVAL append first (hook disarms itself to avoid recursion), so the
+    // outer CAS loses version v and must retry at v+1
+    var armed = true
+    IndexCommit.testBeforeCommit = () => {
+      if (armed) {
+        armed = false
+        Similarity.appendToIvfIndex(spark, root, oddHigh, "vec_id", "embedding",
+          batchId = Some("rival"))
+        ()
+      }
+    }
+    try assert(Similarity.appendToIvfIndex(spark, root, oddLow,
+      "vec_id", "embedding", batchId = Some("loser")))
+    finally IndexCommit.testBeforeCommit = () => ()
+    val st = IndexCommit.load(root).get
+    assert(st.batchIds == Set("rival", "loser"), st.batchIds.toString)
+    assert(st.dirs.size == 3, s"base + two delta trees: ${st.dirs}")
+    // every odd id is searchable exactly once
+    val ids = Similarity.readIvfIndex(spark, root).cells
+      .select("nid").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, "no duplicate rows under rivalry")
+    assert(ids.toSet == emb.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("pre-pointer IVF index: readable, maintenance bootstraps the log") {
+    val root = tmpDir("ixc-legacy-")
+    val idx = Similarity.buildIvfIndexSampled(emb, "vec_id", "embedding", nlist = 8)
+    // write the r11 (pointer-free) layout by hand
+    idx.centroids.write.parquet(s"$root/centroids")
+    idx.cells.write.partitionBy("cell").parquet(s"$root/cells")
+    import spark.implicits._
+    Seq(idx.cells.schema("nid").dataType.catalogString)
+      .toDF("id_type").write.parquet(s"$root/params")
+    assert(IndexCommit.load(root).isEmpty)
+    val legacy = searchSet(root) // legacy fallback read
+    assert(legacy.nonEmpty)
+    // first maintenance op bootstraps version 0 around the legacy tree
+    Similarity.compactIvfIndex(spark, root)
+    val st = IndexCommit.load(root).get
+    assert(st.version >= 1 && st.dirs.size == 1 && st.dirs.head.startsWith("cells-c"))
+    assert(searchSet(root) == legacy)
+  }
+
+  test("LSH: incremental build + compact is bit-identical to one-pass, one file per (tbl,bucket)") {
+    val root = tmpDir("ixc-lsh-")
+    Similarity.writeLshIndex(Similarity.buildLshIndex(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", dim = 64), root)
+    assert(Similarity.appendToLshIndex(spark, root,
+      emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      batchId = Some("b1")))
+    assert(!Similarity.appendToLshIndex(spark, root,
+      emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      batchId = Some("b1")), "LSH append replay must be skipped")
+    def lshSearch(): Set[(Long, Long, Long)] =
+      Similarity.searchLshIndexAt(spark, root, emb.where(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val onePass = Similarity.searchLshIndex(
+      Similarity.buildLshIndex(emb, "vec_id", "embedding", dim = 64),
+      emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lshSearch() == onePass,
+      "incremental LSH must equal the single-pass build (positional hyperplanes)")
+    Similarity.compactLshIndex(spark, root)
+    val st = IndexCommit.load(root).get
+    assert(st.dirs.size == 1 && st.dirs.head.startsWith("buckets-c"))
+    assert(lshSearch() == onePass, "LSH compaction must never change results")
+    // one file per (tbl,bucket) leaf in the compacted tree
+    def leaves(f: java.io.File): Seq[java.io.File] =
+      f.listFiles().toSeq.filter(_.isDirectory).flatMap(d =>
+        if (d.getName.startsWith("bucket=")) Seq(d) else leaves(d))
+    val tree = new java.io.File(root, st.dirs.head)
+    val counts = leaves(tree).map(_.listFiles()
+      .count(f => f.getName.endsWith(".parquet")))
+    assert(counts.nonEmpty && counts.forall(_ == 1),
+      s"one file per (tbl,bucket) expected: $counts")
+    val dead = Similarity.vacuumLshIndex(spark, root)
+    assert(dead.size == 2, s"base + delta reclaimed: $dead")
+    assert(lshSearch() == onePass)
+  }
+
+  test("media library: compact re-applies the df cap GLOBALLY across appended slices") {
+    import spark.implicits._
+    // payload shared verbatim by every doc ⇒ its chunks' df == corpus size.
+    // maxDf = 3: within each 3-doc slice the shared chunks pass the cap,
+    // across the two slices df=6 > 3 — exactly the per-slice-cap leak the
+    // compaction contract closes.
+    val mk = (id: Long) => (id, ("COMMON-PAYLOAD-0123456789abcdef" * 4).getBytes("UTF-8"))
+    val sliceA = (0L until 3L).map(mk).toDF("media_id", "payload")
+    val sliceB = (3L until 6L).map(mk).toDF("media_id", "payload")
+    val root = tmpDir("ixc-media-")
+    Multimodal.writeMediaLibraryIndex(sliceA, "media_id", "payload", root,
+      window = 8, divisor = 16, maxDf = 3, nBuckets = 8)
+    assert(Multimodal.appendToMediaLibraryIndex(spark, root, sliceB,
+      "media_id", "payload", batchId = Some("s2")))
+    assert(!Multimodal.appendToMediaLibraryIndex(spark, root, sliceB,
+      "media_id", "payload", batchId = Some("s2")), "media replay must be skipped")
+    val probe = sliceA.limit(1)
+    def probed(): Long = Multimodal.mediaDedupProbeAt(spark, root, probe,
+      "media_id", "payload", minShared = 1).count()
+    assert(probed() > 0, "pre-compact: shared chunks survive per-slice caps and join")
+    Multimodal.compactMediaLibraryIndex(spark, root)
+    // globally df=6 > maxDf=3 ⇒ the shared chunks are dropped; the probe
+    // tightens to what a fresh build over the union produces
+    val freshRoot = tmpDir("ixc-media-fresh-")
+    Multimodal.writeMediaLibraryIndex(sliceA.unionByName(sliceB),
+      "media_id", "payload", freshRoot, window = 8, divisor = 16,
+      maxDf = 3, nBuckets = 8)
+    val fresh = Multimodal.mediaDedupProbeAt(spark, freshRoot, probe,
+      "media_id", "payload", minShared = 1).count()
+    assert(probed() == fresh,
+      s"compacted probe must equal a fresh global build: ${probed()} vs $fresh")
+    assert(probed() == 0, "this fixture's shared chunks must be globally capped away")
+    val dead = Multimodal.vacuumMediaLibraryIndex(spark, root)
+    assert(dead.size == 2, s"base + slice reclaimed: $dead")
+  }
+
+  test("rebuild into a live index dir commits a fresh tree (searches keep their snapshot)") {
+    val root = tmpDir("ixc-rebuild-")
+    buildAppended(root)
+    val preTrees = IndexCommit.resolveDirs(root, "cells")
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndexSampled(emb, "vec_id", "embedding", nlist = 8), root)
+    val st = IndexCommit.load(root).get
+    assert(st.dirs.size == 1 && st.dirs.head.startsWith("cells-b"),
+      s"rebuild must land in a fresh versioned tree: ${st.dirs}")
+    assert(st.batchIds.isEmpty, "rebuild must reset the replay guard")
+    assert(preTrees.forall(t => new java.io.File(t).exists()),
+      "pre-rebuild trees must survive until vacuum")
+    assert(searchSet(root).nonEmpty)
+  }
+}
