@@ -109,6 +109,9 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // (zero IO, zero tasks — see EsLogMetadataOnlyCount's exactness guards)
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftshim.EsLogMetadataOnlyCount)
+    // execution-time procedure plans (the index-maintenance TVFs)
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graftshim.GraftProcedureStrategy)
   }
 }
 
@@ -599,44 +602,60 @@ object GraftFunctions {
     (FunctionIdentifier("graft_sim_index_add"),
       info("graft_sim_index_add",
         "graft_sim_index_add('index_dir', 'vecs_table_or_path', 'id_col', " +
-          "'vec_col') - FAISS add(): extend a persisted IVF index " +
-          "(graft.operators.Similarity.writeIvfIndex) with new vectors — " +
-          "assigned to the EXISTING centroids, never re-trained; returns " +
-          "(dir, ok). SIDE-EFFECTING AT ANALYSIS, like every graft_* admin " +
-          "function: run as a standalone statement (EXPLAIN or a " +
-          "re-resolved view re-runs the append)"),
-      (args: Seq[Expression]) => { arity("graft_sim_index_add", args, 4)
+          "'vec_col'[, 'batch_id']) - FAISS add(): extend a persisted IVF " +
+          "index (graft.operators.Similarity.writeIvfIndex) with new " +
+          "vectors — assigned to the EXISTING centroids, never re-trained; " +
+          "returns (dir, ok). Runs at EXECUTION time (EXPLAIN and view " +
+          "resolution are side-effect-free); with a batch_id, a replayed " +
+          "statement is skipped (ok = false) by the index commit log"),
+      (args: Seq[Expression]) => { arity("graft_sim_index_add", args, 4, 5)
         val dir = literalString(args(0), "graft_sim_index_add", "index_dir")
         val vref = literalString(args(1), "graft_sim_index_add", "vecs_table_or_path")
         val id = literalString(args(2), "graft_sim_index_add", "id_col")
         val vec = literalString(args(3), "graft_sim_index_add", "vec_col")
-        graft.operators.Similarity.appendToIvfIndex(active(), dir, resolveRef(vref), id, vec)
-        localRow(Seq(("dir", dir), ("ok", true))) }),
+        val bid = if (args.size > 4)
+          Some(literalString(args(4), "graft_sim_index_add", "batch_id")) else None
+        val session = active()
+        procedure("graft_sim_index_add") { () =>
+          val applied = graft.operators.Similarity.appendToIvfIndex(
+            session, dir, resolveRef(vref), id, vec, bid)
+          Seq(org.apache.spark.sql.Row(dir, applied))
+        } }),
     (FunctionIdentifier("graft_sim_index_compact"),
       info("graft_sim_index_compact",
         "graft_sim_index_compact('index_dir') - fold a persisted IVF " +
-          "index's appended small files to one file per cell " +
-          "(search-invariant); returns (dir, ok)"),
+          "index's delta trees to one file per cell, reader-transparently " +
+          "(search-invariant; one CAS'd pointer flip); returns (dir, ok). " +
+          "Runs at EXECUTION time (EXPLAIN is side-effect-free)"),
       (args: Seq[Expression]) => { arity("graft_sim_index_compact", args, 1)
         val dir = literalString(args(0), "graft_sim_index_compact", "index_dir")
-        graft.operators.Similarity.compactIvfIndex(active(), dir)
-        localRow(Seq(("dir", dir), ("ok", true))) }),
+        val session = active()
+        procedure("graft_sim_index_compact") { () =>
+          graft.operators.Similarity.compactIvfIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
     (FunctionIdentifier("graft_media_index_add"),
       info("graft_media_index_add",
         "graft_media_index_add('index_dir', 'media_table_or_path', 'id_col', " +
-          "'payload_col') - extend a persisted media chunk library " +
-          "(graft.operators.Multimodal.writeMediaLibraryIndex) with new " +
-          "uploads, chunked with the index's own sidecar params; returns " +
-          "(dir, ok). SIDE-EFFECTING AT ANALYSIS: run as a standalone " +
-          "statement (EXPLAIN or a re-resolved view re-runs the append)"),
-      (args: Seq[Expression]) => { arity("graft_media_index_add", args, 4)
+          "'payload_col'[, 'batch_id']) - extend a persisted media chunk " +
+          "library (graft.operators.Multimodal.writeMediaLibraryIndex) with " +
+          "new uploads, chunked with the index's own sidecar params; returns " +
+          "(dir, ok). Runs at EXECUTION time (EXPLAIN and view resolution " +
+          "are side-effect-free); with a batch_id, a replayed statement is " +
+          "skipped (ok = false)"),
+      (args: Seq[Expression]) => { arity("graft_media_index_add", args, 4, 5)
         val dir = literalString(args(0), "graft_media_index_add", "index_dir")
         val mref = literalString(args(1), "graft_media_index_add", "media_table_or_path")
         val id = literalString(args(2), "graft_media_index_add", "id_col")
         val payload = literalString(args(3), "graft_media_index_add", "payload_col")
-        graft.operators.Multimodal.appendToMediaLibraryIndex(
-          active(), dir, resolveRef(mref), id, payload)
-        localRow(Seq(("dir", dir), ("ok", true))) }),
+        val bid = if (args.size > 4)
+          Some(literalString(args(4), "graft_media_index_add", "batch_id")) else None
+        val session = active()
+        procedure("graft_media_index_add") { () =>
+          val applied = graft.operators.Multimodal.appendToMediaLibraryIndex(
+            session, dir, resolveRef(mref), id, payload, bid)
+          Seq(org.apache.spark.sql.Row(dir, applied))
+        } }),
     (FunctionIdentifier("graft_sim_search"),
       info("graft_sim_search",
         "graft_sim_search('index_dir', 'queries_table_or_path', 'id_col', " +
@@ -691,6 +710,14 @@ object GraftFunctions {
                       fn: String, pos: String): Long =
     if (args.size > i) literalLong(args(i), fn, pos) else default
 
+  /** Deferred (dir, ok) procedure plan: the thunk runs when the statement
+    * EXECUTES, not when it resolves — see
+    * [[org.apache.spark.sql.graftshim.GraftProcedureCall]]. */
+  private def procedure(name: String)
+                       (run: () => Seq[org.apache.spark.sql.Row]): LogicalPlan =
+    org.apache.spark.sql.graftshim.GraftProcedureCall(name,
+      org.apache.spark.sql.graftshim.GraftProcedureCall.dirOkOutput(), run)
+
   /** One-row LocalRelation result for the procedure-style DDL functions. */
   private def localRow(fields: Seq[(String, Any)]): LogicalPlan = {
     val spark = active()
@@ -718,5 +745,13 @@ object GraftFunctions {
       GraftShims.registerSqlFunction(spark, id.funcName, i, b) }
     table.foreach { case (id, i, b) =>
       GraftShims.registerSqlTableFunction(spark, id.funcName, i, b) }
+    // live-session twin of injectPlannerStrategy: the execution-time
+    // procedure plans must be plannable on sessions that never saw the
+    // extensions hook (Verify, notebooks)
+    if (!spark.experimental.extraStrategies
+        .contains(org.apache.spark.sql.graftshim.GraftProcedureStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          org.apache.spark.sql.graftshim.GraftProcedureStrategy
   }
 }

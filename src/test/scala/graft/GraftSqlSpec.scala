@@ -484,6 +484,43 @@ class GraftSqlSpec extends SparkTestBase {
           "media_id", "payload", minShared = 4)))
   }
 
+  test("index-maintenance procedures run at EXECUTION time: EXPLAIN is side-effect-free, batch_id replays skip") {
+    import graft.operators.{IndexCommit, Similarity}
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 31 + j * 7) % 13 - 6).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val idx = tmpDir("sqlproc-")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      vecs.where(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 4), idx)
+    vecs.where(col("vec_id") % 2 === 1).createOrReplaceTempView("sql_proc_vecs")
+    val stmt =
+      s"SELECT * FROM graft_sim_index_add('$idx', 'sql_proc_vecs', 'vec_id', 'embedding', 'b1')"
+    val v0 = IndexCommit.load(idx).get.version
+    // EXPLAIN resolves + plans but never executes: the index must not move
+    spark.sql(s"EXPLAIN $stmt").collect()
+    spark.sql(s"EXPLAIN EXTENDED $stmt").collect()
+    assert(IndexCommit.load(idx).get.version == v0,
+      "EXPLAIN of an index-maintenance procedure must be side-effect-free")
+    // building the DataFrame (analysis) is also inert; collect() executes
+    val df = spark.sql(stmt)
+    assert(IndexCommit.load(idx).get.version == v0,
+      "analysis of an index-maintenance procedure must be side-effect-free")
+    val row = df.collect().head
+    assert(row.getString(0) == idx && row.getBoolean(1))
+    assert(IndexCommit.load(idx).get.version == v0 + 1)
+    // a replayed statement with the same batch_id is skipped: ok = false
+    val replay = spark.sql(stmt).collect().head
+    assert(!replay.getBoolean(1), "replayed batch_id must report ok=false")
+    assert(IndexCommit.load(idx).get.version == v0 + 1)
+    // compact procedure: EXPLAIN inert, execution folds to one tree
+    val cstmt = s"SELECT * FROM graft_sim_index_compact('$idx')"
+    spark.sql(s"EXPLAIN $cstmt").collect()
+    assert(IndexCommit.load(idx).get.version == v0 + 1)
+    assert(spark.sql(cstmt).collect().head.getBoolean(1))
+    assert(IndexCommit.load(idx).get.dirs.size == 1)
+  }
+
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
     val dir = tmpDir("sqlsym-")
     EsLog.create(dir, streamId = 75L)
