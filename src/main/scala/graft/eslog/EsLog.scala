@@ -1335,10 +1335,18 @@ object EsLog {
                             sortKey: Option[String] = None)
                            (process: DataFrame => DataFrame): (Long, Long) = {
     val key = groupKey(group)
-    val srcSt = MetaLog.load(srcDir)
-    if (srcSt.deleted) throw new IllegalStateException(s"stream $srcDir deleted")
+    val srcSt0 = MetaLog.load(srcDir)
+    if (srcSt0.deleted) throw new IllegalStateException(s"stream $srcDir deleted")
     val prev0 = getKV(dstDir, key)
-    val from = prev0.map(_.toLong).getOrElse(srcSt.startOffset)
+    val from = prev0.map(_.toLong).getOrElse(srcSt0.startOffset)
+    // A same-epoch rival can advance the position past OUR source snapshot
+    // (its head read was fresher) between the two loads above — that is a
+    // benign race, not corruption. Re-load the source once before letting
+    // checkGroupPosition conclude the latter: heads only grow, so a
+    // position still beyond the FRESH head is genuine (stream recreated).
+    // (Surfaced by the FanInProtocol enumeration — the stale-head schedule
+    // used to die with a "reset the position explicitly" misdiagnosis.)
+    val srcSt = if (from > srcSt0.nextOffset) MetaLog.load(srcDir) else srcSt0
     val upTo = srcSt.nextOffset
     checkGroupPosition(group, from, upTo)
     if (upTo <= from) return (from, from)
@@ -1394,10 +1402,10 @@ object EsLog {
                                  sortKey: Option[String] = None)
                                 (process: Seq[DataFrame] => DataFrame): Seq[(Long, Long)] = {
     require(srcDirs.nonEmpty, "fan-in needs at least one source")
-    val srcSts = srcDirs.map(MetaLog.load)
-    srcDirs.zip(srcSts).foreach { case (d, s) =>
+    val srcSts0 = srcDirs.map(MetaLog.load)
+    srcDirs.zip(srcSts0).foreach { case (d, s) =>
       if (s.deleted) throw new IllegalStateException(s"stream $d deleted") }
-    val sids = srcSts.map(_.streamId)
+    val sids = srcSts0.map(_.streamId)
     require(sids.forall(_ >= 0) && sids.distinct.size == sids.size,
       s"fan-in sources must carry distinct non-negative stream ids (got $sids): " +
         "positions are keyed by source identity, not list order")
@@ -1406,8 +1414,14 @@ object EsLog {
     // a torn view across another instance's atomic multi-put
     val dstKv = MetaLog.load(dstDir).kv
     val prevs = keys.map(dstKv.get)
-    val froms = prevs.zip(srcSts).map { case (p, s) =>
+    val froms = prevs.zip(srcSts0).map { case (p, s) =>
       p.map(_.toLong).getOrElse(s.startOffset) }
+    // a rival advancing a position past OUR stale head snapshot is a race,
+    // not corruption: re-load that source once before checkGroupPosition
+    // concludes the latter (the single-source path's comment has the full
+    // story; surfaced by the FanInProtocol enumeration)
+    val srcSts = froms.lazyZip(srcSts0).lazyZip(srcDirs).map { case (f, s, d) =>
+      if (f > s.nextOffset) MetaLog.load(d) else s }
     val upTos = srcSts.map(_.nextOffset)
     froms.lazyZip(upTos).lazyZip(sids).foreach { case (f, u, id) =>
       checkGroupPosition(s"$group@src$id", f, u) }
