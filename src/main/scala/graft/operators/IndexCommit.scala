@@ -63,25 +63,56 @@ object IndexCommit {
   private def versionFile(indexDir: String, v: Long): String =
     MetaLog.join(logDir(indexDir), f"$v%020d.json")
 
-  private def parse(bytes: Array[Byte], v: Long): IndexState = {
+  /** One log entry as written: state plus the commit's own metadata —
+    * `info` is a small opaque string map the committer may attach (the
+    * IVF drift statistics ride here), `kind` is base/append/compact. */
+  final case class CommitEntry(version: Long, kind: String,
+                               dirs: Vector[String], batchIds: Set[String],
+                               info: Map[String, String])
+
+  private def parseEntry(bytes: Array[Byte], v: Long): CommitEntry = {
     val n = mapper.readTree(bytes)
     val dirs = Vector.newBuilder[String]
     n.get("dirs").forEach(d => dirs += d.asText())
     val ids = Set.newBuilder[String]
     val bi = n.get("batch_ids")
     if (bi != null) bi.forEach(b => ids += b.asText())
-    IndexState(v, dirs.result(), ids.result())
+    val info = Map.newBuilder[String, String]
+    val in = n.get("info")
+    if (in != null) in.properties().forEach(e => info += e.getKey -> e.getValue.asText())
+    val kind = Option(n.get("kind")).map(_.asText()).getOrElse("")
+    CommitEntry(v, kind, dirs.result(), ids.result(), info.result())
+  }
+
+  private def parse(bytes: Array[Byte], v: Long): IndexState = {
+    val e = parseEntry(bytes, v)
+    IndexState(v, e.dirs, e.batchIds)
   }
 
   private def render(dirs: Seq[String], batchIds: Set[String],
-                     kind: String): Array[Byte] = {
+                     kind: String, info: Map[String, String]): Array[Byte] = {
     val n: ObjectNode = mapper.createObjectNode()
     n.put("kind", kind)
     val da = n.putArray("dirs")
     dirs.foreach(da.add)
     val ba = n.putArray("batch_ids")
     batchIds.toSeq.sorted.foreach(ba.add)
+    if (info.nonEmpty) {
+      val io = n.putObject("info")
+      info.toSeq.sortBy(_._1).foreach { case (k, v2) => io.put(k, v2) }
+    }
     mapper.writeValueAsBytes(n)
+  }
+
+  /** Every commit in version order — the maintenance audit surface (the
+    * drift TVF reads append commits' info maps from here). O(#commits)
+    * reads; commits are per-maintenance-op, not per-row. */
+  def history(indexDir: String): Seq[CommitEntry] = {
+    val store = MetaLog.storeFor(indexDir)
+    store.list(logDir(indexDir))
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption).sorted
+      .map(v => parseEntry(store.read(versionFile(indexDir, v)), v))
   }
 
   /** The latest committed state, or None when the index has no pointer log
@@ -101,12 +132,13 @@ object IndexCommit {
   /** CAS-commit `expected.version + 1`; false when a rival won the slot. */
   private def tryCommit(indexDir: String, expected: IndexState,
                         dirs: Seq[String], batchIds: Set[String],
-                        kind: String): Boolean = {
+                        kind: String,
+                        info: Map[String, String] = Map.empty): Boolean = {
     val store = MetaLog.storeFor(indexDir)
     store.mkdirs(logDir(indexDir))
     testBeforeCommit()
     store.putIfAbsent(versionFile(indexDir, expected.version + 1),
-      render(dirs, batchIds, kind))
+      render(dirs, batchIds, kind, info))
   }
 
   /** Latest state, bootstrapping version 0 around the legacy tree when no
@@ -163,7 +195,8 @@ object IndexCommit {
     * before the CAS leaves the pointer unmoved and one orphan tree for
     * [[vacuum]]. */
   def appendTree(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-                 legacyName: String, batchId: Option[String])
+                 legacyName: String, batchId: Option[String],
+                 info: Map[String, String] = Map.empty)
                 (write: String => Unit): Boolean = {
     var st = loadOrBootstrap(indexDir, legacyName)
     if (batchId.exists(st.batchIds.contains)) return false
@@ -171,7 +204,7 @@ object IndexCommit {
     write(MetaLog.join(indexDir, tree))
     while (true) {
       if (tryCommit(indexDir, st, st.dirs :+ tree,
-          st.batchIds ++ batchId, "append")) return true
+          st.batchIds ++ batchId, "append", info)) return true
       st = load(indexDir).get
       if (batchId.exists(st.batchIds.contains)) {
         deleteTree(spark, indexDir, tree) // a rival replay of the same batch won

@@ -302,7 +302,16 @@ object Similarity {
     * (max of `(s, -cid)` picks the higher score, then the lower cid), so
     * the two paths are bit-equal (unit-pinned in SimilaritySpec). */
   def assignCellsExpr(df: DataFrame, idCol: String, vecCol: String,
-                      centroids: DataFrame): DataFrame = {
+                      centroids: DataFrame): DataFrame =
+    assignCellsExprScored(df, idCol, vecCol, centroids).drop("cscore")
+
+  /** [[assignCellsExpr]] keeping the winning cosine score as `cscore` —
+    * the per-row statistic the drift probe aggregates (same single
+    * codegen'd argmax; the score is a field of the struct already in
+    * hand). */
+  private[operators] def assignCellsExprScored(df: DataFrame, idCol: String,
+                                               vecCol: String,
+                                               centroids: DataFrame): DataFrame = {
     val cents: Array[(Long, Seq[Double])] = centroids
       .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -311,8 +320,9 @@ object Similarity {
     val scored = cents.map { case (cid, cv) =>
       struct(cosine(v, typedlit(cv)).as("s"), lit(-cid).as("nc"))
     }
+    val best = array_max(array(scored.toSeq: _*))
     df.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"),
-      (-array_max(array(scored.toSeq: _*)).getField("nc")).as("cell"))
+      (-best.getField("nc")).as("cell"), best.getField("s").as("cscore"))
   }
 
   /** Embedding-diversity sample: nearest-centroid cell assignment + a seeded
@@ -390,6 +400,18 @@ object Similarity {
     import spark.implicits._
     Seq(index.cells.schema("nid").dataType.catalogString)
       .toDF("id_type").write.mode("overwrite").parquet(s"$dir/params")
+    // drift baseline: the build corpus's per-cell assignment quality (mean
+    // cosine of each member to its centroid — one broadcast join + one
+    // nlist-key aggregate over rows already materialized above). Appends
+    // compare their batch against this to answer "has the corpus drifted
+    // from the quantizer?" from SQL ([[ivfDrift]]).
+    val cents = index.centroids
+      .select(col("cid"), col("cvec").cast("array<double>").as("cvec"))
+    index.cells.join(broadcast(cents), index.cells("cell") === cents("cid"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        avg(cosine(col("nvec"), col("cvec"))).as("mean_score"))
+      .write.mode("overwrite").parquet(s"$dir/drift")
   }
 
   /** The live cells trees, resolved through the commit pointer (legacy
@@ -438,10 +460,62 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
     val typed = newVecs.withColumn(idCol,
       col(idCol).cast(persistedIdType(spark, dir)))
-    IndexCommit.appendTree(spark, dir, "cells", batchId) { tree =>
-      assignCellsExpr(typed, idCol, vecCol, cents)
+    // materialize the scored assignment ONCE: the tree write and the drift
+    // aggregate both read it (OpUtil.shared), so the batch is chunked and
+    // argmax'd a single time
+    val scored = OpUtil.shared(
+      assignCellsExprScored(typed, idCol, vecCol, cents))
+    // the drift statistic: this batch's mean assignment cosine, recorded
+    // in the append commit's info map — one bounded aggregate over rows
+    // already in hand; [[ivfDrift]] compares it to the build baseline
+    val stat = scored.agg(count(lit(1)), avg(col("cscore"))).collect().head
+    val info = Map(
+      "batch_n" -> stat.getLong(0).toString,
+      "batch_mean_score" ->
+        (if (stat.isNullAt(1)) "NaN" else stat.getDouble(1).toString))
+    IndexCommit.appendTree(spark, dir, "cells", batchId, info) { tree =>
+      scored.drop("cscore")
         .write.mode("overwrite").partitionBy("cell").parquet(tree)
     }
+  }
+
+  /** The operator's answer to "when should this index re-train?": one row
+    * per append commit, comparing the batch's mean assignment cosine
+    * (recorded in the commit's info map at append time) against the BUILD
+    * corpus's baseline (the `drift/` sidecar [[writeIvfIndex]] persists).
+    * `drift` = baseline − batch mean: near 0 for batches drawn from the
+    * build distribution, clearly positive when the corpus has moved away
+    * from the fixed quantizer (vectors land far from every centroid).
+    * Surfaced in SQL as `graft_sim_index_drift('dir')`. Pre-drift-sidecar
+    * indexes report a null baseline. Driver-side O(#commits) — commits
+    * are per-maintenance-op. */
+  def ivfDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base: Option[Double] =
+      try {
+        val r = spark.read.parquet(s"$dir/drift")
+          .agg(sum(col("mean_score") * col("n")) / sum(col("n")))
+          .collect().head
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val rows = IndexCommit.history(dir)
+      .filter(e => e.kind == "append" && e.info.contains("batch_mean_score"))
+      .map { e =>
+        val mean = e.info("batch_mean_score").toDouble
+        org.apache.spark.sql.Row(e.version,
+          e.info.get("batch_n").map(_.toLong).getOrElse(0L),
+          mean,
+          base.map(java.lang.Double.valueOf).orNull,
+          base.map(b => java.lang.Double.valueOf(b - mean)).orNull)
+      }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("batch_n", LongType, nullable = false),
+      StructField("batch_mean_score", DoubleType, nullable = false),
+      StructField("base_mean_score", DoubleType, nullable = true),
+      StructField("drift", DoubleType, nullable = true)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
   /** Compact a persisted index's cells layout back to ONE file per cell —

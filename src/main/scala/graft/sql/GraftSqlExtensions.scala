@@ -634,6 +634,18 @@ object GraftFunctions {
           graft.operators.Similarity.compactIvfIndex(session, dir)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
+    (FunctionIdentifier("graft_sim_index_drift"),
+      info("graft_sim_index_drift",
+        "graft_sim_index_drift('index_dir') - per-append quantizer-drift " +
+          "report for a persisted IVF index: each append commit's mean " +
+          "assignment cosine vs the build corpus baseline; a clearly " +
+          "positive drift means the corpus moved away from the fixed " +
+          "quantizer and the index should be re-trained (rebuilt); returns " +
+          "(version, batch_n, batch_mean_score, base_mean_score, drift)"),
+      (args: Seq[Expression]) => { arity("graft_sim_index_drift", args, 1)
+        val dir = literalString(args(0), "graft_sim_index_drift", "index_dir")
+        GraftShims.analyzedPlan(
+          graft.operators.Similarity.ivfDrift(active(), dir)) }),
     (FunctionIdentifier("graft_media_index_add"),
       info("graft_media_index_add",
         "graft_media_index_add('index_dir', 'media_table_or_path', 'id_col', " +

@@ -233,6 +233,54 @@ class IndexCommitSpec extends SparkTestBase {
     assert(dead.size == 2, s"base + slice reclaimed: $dead")
   }
 
+  test("drift probe: an in-distribution append reads ~0, a shifted batch is flagged") {
+    import spark.implicits._
+    // strongly clustered corpus: 4 clusters on distinct one-hot axes with a
+    // small deterministic perturbation — the quantizer's centroids sit on
+    // the cluster means, so in-distribution assignment cosine is ~1
+    def clustered(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map { i =>
+        val axis = (i % 4) * 16
+        val v = Array.fill(64)(0.0f)
+        v(axis) = 1.0f
+        v(axis + 1 + (i % 5)) = 0.1f
+        (i.toLong, v.toSeq)
+      }.toDF("vec_id", "embedding")
+    val root = tmpDir("ixc-drift-")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      clustered(0 until 64), "vec_id", "embedding", nlist = 4), root)
+    // append 1: more members of the SAME clusters — the distribution the
+    // quantizer trained on
+    Similarity.appendToIvfIndex(spark, root, clustered(64 until 96),
+      "vec_id", "embedding")
+    // append 2: a SHIFTED batch — spikes on axes no cluster ever used are
+    // near-orthogonal to every centroid (low best-cosine), the canonical
+    // distribution move
+    val shifted = (1000 until 1020).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v((i % 4) * 16 + 8) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, root, shifted, "vec_id", "embedding")
+    val report = Similarity.ivfDrift(spark, root)
+      .orderBy("version").collect()
+    assert(report.length == 2, report.mkString(","))
+    val inDist = report(0)
+    val moved = report(1)
+    assert(!inDist.isNullAt(3), "build baseline must be present")
+    val driftIn = inDist.getDouble(4)
+    val driftMoved = moved.getDouble(4)
+    assert(math.abs(driftIn) < 0.2,
+      s"in-distribution append must sit near the baseline: $driftIn")
+    assert(driftMoved > 0.5,
+      s"a shifted batch must be clearly flagged: $driftMoved")
+    // SQL surface reads the same report
+    graft.sql.GraftFunctions.register(spark)
+    val viaSql = spark.sql(s"SELECT * FROM graft_sim_index_drift('$root')")
+      .orderBy("version").collect()
+    assert(viaSql.map(_.getDouble(4)).toSeq == report.map(_.getDouble(4)).toSeq)
+  }
+
   test("rebuild into a live index dir commits a fresh tree (searches keep their snapshot)") {
     val root = tmpDir("ixc-rebuild-")
     buildAppended(root)

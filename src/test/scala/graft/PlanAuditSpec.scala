@@ -1160,6 +1160,7 @@ class PlanAuditSpec extends SparkTestBase {
     //    (the cells side is additionally partition-pruned on disk).
     val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
       "sim_pq", "sim_ivf_pq", "sim_ivf_persisted", "sim_ivf_append", "es_stream_ivf_append", "sim_ivf_compact",
+      "sim_ivf_replay",
       "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "text_tfidf", "text_filter", "pipeline_export",
       "ts_similarity")
@@ -1216,14 +1217,17 @@ class PlanAuditSpec extends SparkTestBase {
     "multimodal_dedup_cdc" -> Seq("i", "j", "n_shared"),
     "multimodal_probe_persisted" -> Seq("incoming", "existing", "n_shared"),
     "multimodal_probe_appended" -> Seq("incoming", "existing", "n_shared"),
+    "multimodal_probe_compacted" -> Seq("incoming", "existing", "n_shared"),
     "text_bpe_bytes" -> Seq("token", "n"),
     "text_bpe_bytes_ids" -> Seq("doc_id", "pos", "token_id"),
     "sim_ivf_persisted" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_append" -> Seq("qid", "nid", "rank", "score"),
     "es_stream_ivf_append" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_compact" -> Seq("qid", "nid", "rank", "score"),
+    "sim_ivf_replay" -> Seq("qid", "nid", "rank", "score"),
     "sim_lsh_persisted" -> Seq("qid", "nid", "rank", "score"),
     "sim_lsh_append" -> Seq("qid", "nid", "rank", "score"),
+    "sim_lsh_compact" -> Seq("qid", "nid", "rank", "score"),
     "es_etl_fanin" -> Seq("base_offset", "src", "src_off", "event_type"),
     "es_etl_fanout" -> Seq("dst", "base_offset", "src_off", "event_type"),
     "es_group_lag" -> Seq("grp", "committed", "position", "next_offset", "lag"),
