@@ -96,8 +96,32 @@ object Bench {
     // queries "regressed" 3-4x with untouched code paths) took a whole
     // verdict cycle to call noise; this field answers it in-band.
     val spread = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def timedMedian(name: String)(body: => Unit): Unit = {
+    // extra converged warms actually taken per head (JSON forensics field:
+    // distinguishes "converged immediately" from "needed the full cap")
+    val convergedWarms = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timedMedian(name: String, converge: Boolean = false)(body: => Unit): Unit = {
       try body catch { case _: Throwable => () } // failure surfaces timed
+      if (converge) {
+        // DRIVER-LOOP heads (BPE/Unigram learn: a collect + driver merge
+        // loop re-entered every run) decay over several runs as C2 finishes
+        // compiling the loop — one warm pass leaves the timed window
+        // mid-decay (r11 verdict: text_bpe_bytes benched 1.9-2.3 s vs a
+        // converged 1.04-1.12 s steady state). Warm UNTIL two consecutive
+        // passes agree within 25% (cap 4 extra), so the timed window
+        // measures the steady state the 100 TB path actually runs at.
+        var prev = -1.0
+        var extra = 0
+        var steadyW = false
+        while (!steadyW && extra < 4) {
+          val t0 = System.nanoTime()
+          try body catch { case _: Throwable => () }
+          val sec = (System.nanoTime() - t0) / 1e9
+          steadyW = prev > 0 && math.abs(sec - prev) <= 0.25 * math.min(sec, prev)
+          prev = sec
+          extra += 1
+        }
+        convergedWarms(name) = extra.toDouble
+      }
       val runs = (1 to 3).flatMap { _ =>
         timed(name)(body); results.remove(name)
       }
@@ -263,6 +287,9 @@ object Bench {
       "multimodal_dedup_cdc", "multimodal_probe_persisted",
       "text_bpe_bytes", "ts_similarity", "pipeline_sql")
     val registry = SparkEntry.queries
+    // heads whose cost is a driver-side loop re-entered per run: timed only
+    // after converged warm-up (see timedMedian's converge branch)
+    val convergedHeads = Set("text_bpe", "text_bpe_bytes", "text_unigram")
 
     // REGISTRY NOISE GATE (the round-9 instrument gap): a host slow-phase
     // spanning a whole stretch of registry queries makes all three timed runs
@@ -357,7 +384,7 @@ object Bench {
         // (observed 5.4 s first run vs 0.56 s steady on text_filter) — the
         // 100 TB path pays that once per executor lifetime, not per
         // partition; steady state is the honest figure
-        timedMedian(name) { body() }
+        timedMedian(name, converge = convergedHeads(name)) { body() }
       }
       segCleanup(si)
       boundaries += sentinelSec()
@@ -391,7 +418,8 @@ object Bench {
         val before = sentinelSec(); rerunSentinels += before
         val ioBefore = if (needIo) Some(ioSentinelSec()) else None
         val old = segs(si).map { case (n, _) => (n, results(n), best(n), spread(n)) }
-        segs(si).foreach { case (name, body) => timedMedian(name) { body() } }
+        segs(si).foreach { case (name, body) =>
+          timedMedian(name, converge = convergedHeads(name)) { body() } }
         segCleanup(si)
         val after = sentinelSec(); rerunSentinels += after
         val ioAfter = if (needIo) Some(ioSentinelSec()) else None
@@ -468,6 +496,7 @@ object Bench {
       s""","io_sentinel_baseline_raw":${f3(s0ioRaw)}""" +
       s""","io_sentinel_boundaries":${jlist(ioBoundaries.toSeq.map(_.getOrElse(-1.0)))}""" +
       s""","io_sentinel_rerun":${jlist(ioRerunSentinels.toSeq)}""" +
+      s""","converged_warms":${jmap(convergedWarms)}""" +
       s""","registry_window_tags":${jmapS(windowTag)}""" +
       s""","queries_best_of_3":${jmap(best)}""" +
       s""","queries_spread":${jmap(spread)}}"""
