@@ -634,6 +634,47 @@ object GraftFunctions {
           graft.operators.Similarity.compactIvfIndex(session, dir)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
+    (FunctionIdentifier("graft_sim_index_vacuum"),
+      info("graft_sim_index_vacuum",
+        "graft_sim_index_vacuum('index_dir') - reclaim IVF index trees no " +
+          "committed reader can reach (superseded by compaction, or " +
+          "orphaned by a crashed append); run AFTER a grace period longer " +
+          "than any in-flight query and never concurrently with an append; " +
+          "returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_sim_index_vacuum", args, 1)
+        val dir = literalString(args(0), "graft_sim_index_vacuum", "index_dir")
+        val session = active()
+        procedure("graft_sim_index_vacuum") { () =>
+          graft.operators.Similarity.vacuumIvfIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_media_index_compact"),
+      info("graft_media_index_compact",
+        "graft_media_index_compact('index_dir') - fold a persisted media " +
+          "chunk library's appended slices to one file per bucket AND " +
+          "re-apply the df cap GLOBALLY across slices (probe results may " +
+          "tighten to a fresh global build); reader-transparent (one CAS'd " +
+          "pointer flip); returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_media_index_compact", args, 1)
+        val dir = literalString(args(0), "graft_media_index_compact", "index_dir")
+        val session = active()
+        procedure("graft_media_index_compact") { () =>
+          graft.operators.Multimodal.compactMediaLibraryIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_media_index_vacuum"),
+      info("graft_media_index_vacuum",
+        "graft_media_index_vacuum('index_dir') - reclaim media chunk " +
+          "library trees no committed reader can reach; same grace-period " +
+          "contract as graft_sim_index_vacuum; returns (dir, ok). Runs at " +
+          "EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_media_index_vacuum", args, 1)
+        val dir = literalString(args(0), "graft_media_index_vacuum", "index_dir")
+        val session = active()
+        procedure("graft_media_index_vacuum") { () =>
+          graft.operators.Multimodal.vacuumMediaLibraryIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
     (FunctionIdentifier("graft_sim_index_drift"),
       info("graft_sim_index_drift",
         "graft_sim_index_drift('index_dir') - per-append quantizer-drift " +

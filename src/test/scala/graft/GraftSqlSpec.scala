@@ -519,6 +519,18 @@ class GraftSqlSpec extends SparkTestBase {
     assert(IndexCommit.load(idx).get.version == v0 + 1)
     assert(spark.sql(cstmt).collect().head.getBoolean(1))
     assert(IndexCommit.load(idx).get.dirs.size == 1)
+    // vacuum procedure reclaims the superseded trees; search still works
+    assert(spark.sql(s"SELECT * FROM graft_sim_index_vacuum('$idx')")
+      .collect().head.getBoolean(1))
+    val live = IndexCommit.load(idx).get.dirs.toSet
+    val onDisk = new java.io.File(idx).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n == "cells" || n.startsWith("cells-")).toSet
+    assert(onDisk == live, s"vacuum must leave exactly the live trees: $onDisk vs $live")
+    vecs.where(col("vec_id") < 4).createOrReplaceTempView("sql_proc_q")
+    assert(spark.sql(
+      s"SELECT * FROM graft_sim_search('$idx', 'sql_proc_q', 'vec_id', 'embedding', 3, 2)")
+      .count() > 0)
   }
 
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
