@@ -493,6 +493,39 @@ object Oracles {
        | AND bo.doc_id <> bn.doc_id""".stripMargin
   }
 
+  /** Probe against the APPENDED persisted MinHash index: the `h % 20 < 13`
+    * build slice and the `13 <= h % 20 < 19` appended slice each carry
+    * their OWN stop-shingle cap (the documented per-slice incremental
+    * contract — the cap acts before signatures, so it is slice-local by
+    * construction), then the 5% batch probes the union. */
+  private val dedupIncrementalAppended = {
+    val r = 4
+    def bandRows(m: String) = (0 until 4).map { b =>
+      val sig = (0 until r).map(i => s"CAST(m${b * r + i} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM $m"
+    }.mkString("\nUNION ALL\n")
+    val h = H.hash60Sql("CAST(doc_id AS VARCHAR)")
+    val base = s"(SELECT doc_id, text FROM documents WHERE $h % 20 < 13)"
+    val added = s"(SELECT doc_id, text FROM documents WHERE $h % 20 >= 13 AND $h % 20 < 19)"
+    val nw = s"(SELECT doc_id, text FROM documents WHERE $h % 20 >= 19)"
+    s"""WITH ${shingleCte(base, "sb", 3)},
+       |${shingleCte(added, "sa", 3)},
+       |${shingleCte(nw, "sn", 3)},
+       |mb AS (SELECT doc_id, ${minhashCols(16)} FROM sb GROUP BY doc_id),
+       |ma AS (SELECT doc_id, ${minhashCols(16)} FROM sa GROUP BY doc_id),
+       |mn AS (SELECT doc_id, ${minhashCols(16)} FROM sn GROUP BY doc_id),
+       |bb AS (
+       |${bandRows("mb")}),
+       |ba AS (
+       |${bandRows("ma")}),
+       |bi AS (SELECT * FROM bb UNION ALL SELECT * FROM ba),
+       |bn AS (
+       |${bandRows("mn")})
+       |SELECT DISTINCT bi.doc_id AS existing, bn.doc_id AS incoming
+       |FROM bi JOIN bn ON bi.band = bn.band AND bi.sig = bn.sig
+       | AND bi.doc_id <> bn.doc_id""".stripMargin
+  }
+
   /** Connected components over the Jaccard pairs via transitive closure
     * (recursive CTE) — min reachable id per doc, mirroring
     * [[graft.operators.Dedup.nearDupClusters]]'s converged labels. */
@@ -2103,6 +2136,8 @@ object Oracles {
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_persisted" -> dedupIncremental, // persisted roundtrip: identical
+    "dedup_incremental_appended" -> dedupIncrementalAppended,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
     "text_stats" -> textStats,

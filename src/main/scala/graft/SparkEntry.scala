@@ -580,6 +580,39 @@ object SparkEntry {
     Dedup.probeMinHashIndex(idx, docs.where(h % 20 >= 19), "doc_id", "text")
   }
 
+  /** [[qDedupIncremental]] against the index PERSISTED to disk and
+    * partition-pruned ([[Dedup.writeMinHashIndex]]/[[Dedup
+    * .probeMinHashIndexAt]]): same 95% index slice and 5% probe, so the
+    * oracle SQL is shared verbatim — the (band, bucket)-partitioned parquet
+    * roundtrip changes nothing. What this row adds is the deployment
+    * shape: the probe broadcasts against a partition-PRUNED index scan. */
+  private def qDedupIncrementalPersisted(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val h = graft.functions.Portable.hash60(col("doc_id").cast("string"))
+    val dir = Fixtures.fixture(sfDir, "minhash-index") { d =>
+      Dedup.writeMinHashIndex(docs.where(h % 20 < 19), "doc_id", "text", d)
+    }
+    Dedup.probeMinHashIndexAt(s, dir, docs.where(h % 20 >= 19), "doc_id", "text")
+  }
+
+  /** The persisted dedup index EXTENDED after build
+    * ([[Dedup.appendToMinHashIndex]]): built on the `h % 20 < 13` slice,
+    * the `13 <= h % 20 < 19` slice appended (signed with the sidecar's
+    * params; stop-shingle cap per slice — the documented incremental
+    * contract), the 5% batch probes the combined index. The DuckDB twin
+    * re-derives both slices' capped signature sets independently. */
+  private def qDedupIncrementalAppended(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val h = graft.functions.Portable.hash60(col("doc_id").cast("string"))
+    val dir = Fixtures.fixture(sfDir, "minhash-append") { d =>
+      Dedup.writeMinHashIndex(docs.where(h % 20 < 13), "doc_id", "text", d)
+      Dedup.appendToMinHashIndex(s, d,
+        docs.where(h % 20 >= 13 && h % 20 < 19), "doc_id", "text")
+      Dedup.compactMinHashIndex(s, d) // layout-only: results must not move
+    }
+    Dedup.probeMinHashIndexAt(s, dir, docs.where(h % 20 >= 19), "doc_id", "text")
+  }
+
   private def qDedupSimHash(s: SparkSession, sfDir: String): DataFrame =
     Dedup.simHash(Fixtures.documents(s, sfDir), "doc_id", "text")
       .withColumnRenamed("doc", "doc_id")
@@ -1836,6 +1869,8 @@ object SparkEntry {
     "dedup_jaccard" -> (qDedupJaccard _),
     "dedup_minhash" -> (qDedupMinHash _),
     "dedup_incremental" -> (qDedupIncremental _),
+    "dedup_incremental_persisted" -> (qDedupIncrementalPersisted _),
+    "dedup_incremental_appended" -> (qDedupIncrementalAppended _),
     "dedup_simhash" -> (qDedupSimHash _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_cluster_best" -> (qDedupClusterBest _),

@@ -150,13 +150,163 @@ object Dedup {
                         maxDf: Long = DefaultMaxDf): DataFrame =
     bandedSignatures(cappedShingles(docs, idCol, textCol, k, maxDf), numHashes, bands)
 
+  /** Broadcast bound of [[probeMinHashIndexAt]]'s incoming signature set
+    * (docs × bands rows): past it the probe fails fast naming the knob
+    * instead of OOMing the driver mid-broadcast — the
+    * [[Multimodal.MaxProbeChunks]] contract applied here. */
+  val MaxProbeSigs: Long = 4000000L
+
+  /** Persist a banded MinHash dedup index PARTITIONED BY (band, bucket =
+    * pmod(hash60(sig), nBuckets)) — the on-disk deployment shape of the
+    * incremental-dedup production path ([[buildMinHashIndex]]'s scaladoc:
+    * "the index appends, each ingest batch probes"), given the
+    * [[graft.operators.Similarity.writeIvfIndex]] treatment: build once
+    * over the corpus, probe every ingest batch without ever shuffling the
+    * index ([[probeMinHashIndexAt]] prunes to the probed (band, bucket)
+    * directories — bounded by bands × nBuckets, never the batch size).
+    * Params ride a tiny sidecar so probes and appends can never mismatch
+    * (k, numHashes, bands). The sigs tree is registered in an
+    * [[IndexCommit]] pointer log: appends and compaction are transactional
+    * exactly as the ANN/media indexes' ([[appendToMinHashIndex]] /
+    * [[compactMinHashIndex]] / [[vacuumMinHashIndex]]). */
+  def writeMinHashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        dir: String, k: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4, maxDf: Long = DefaultMaxDf,
+                        nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1)
+    val spark = docs.sparkSession
+    val idx = buildMinHashIndex(docs, idCol, textCol, k, numHashes, bands, maxDf)
+    IndexCommit.commitBase(dir, "sigs") { tree =>
+      idx.select(col("doc"), col("sig"), col("band"),
+          pmod(Portable.hash60(col("sig")), lit(nBuckets.toLong)).cast("int").as("bucket"))
+        .write.mode("overwrite").partitionBy("band", "bucket").parquet(tree)
+    }
+    import spark.implicits._
+    Seq((k, numHashes, bands, maxDf, nBuckets,
+        docs.schema(idCol).dataType.catalogString))
+      .toDF("k", "num_hashes", "bands", "max_df", "n_buckets", "id_type")
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** The live sigs trees, resolved through the commit pointer. */
+  private def sigDirs(dir: String): Seq[String] =
+    IndexCommit.resolveDirs(dir, "sigs")
+
+  /** Union of sigs trees with the partition columns re-read as INT (the
+    * types the builder writes, so probe filters compare un-cast and
+    * pruning engages). */
+  private def readSigTrees(spark: org.apache.spark.sql.SparkSession,
+                           dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val inferred = IndexCommit.inferAcross(spark, dirs).getOrElse(
+      spark.read.parquet(dirs.head).schema)
+    val fixed = StructType(inferred.map {
+      case f if f.name == "band" || f.name == "bucket" =>
+        f.copy(dataType = IntegerType)
+      case f => f
+    })
+    dirs.map(d => spark.read.schema(fixed).parquet(d)).reduce(_.unionByName(_))
+  }
+
+  /** Incremental maintenance for the persisted dedup index: shingle + sign
+    * NEW documents with the params the index was BUILT with (sidecar —
+    * an append can never mismatch k/numHashes/bands/buckets) and land them
+    * as an immutable delta tree behind one CAS'd pointer commit — the
+    * [[graft.operators.Similarity.appendToIvfIndex]] contract (`batchId`
+    * replays are skipped, returning false).
+    *
+    * df-cap semantics (the [[Multimodal.appendToMediaLibraryIndex]]
+    * trade, stated plainly): the stop-shingle cap applies WITHIN the
+    * appended slice, like it applied within the build corpus — and unlike
+    * the media index, compaction CANNOT re-apply it globally, because the
+    * cap acts BEFORE signatures (a global re-cap would change existing
+    * docs' signatures, which needs their text — a rebuild, not a
+    * compaction). A per-slice cap only affects candidate RECALL at the
+    * margin (a shingle heavy only across slices still contributes to
+    * min-hashes); rebuild on that margin's cadence. */
+  def appendToMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, newDocs: DataFrame, idCol: String,
+                           textCol: String,
+                           batchId: Option[String] = None): Boolean = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    val (k, nh, bands, maxDf, nBuckets) = (p.getAs[Int]("k"),
+      p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
+      p.getAs[Long]("max_df"), p.getAs[Int]("n_buckets"))
+    val idType = p.getAs[String]("id_type")
+    val typed = newDocs.withColumn(idCol, col(idCol).cast(idType))
+    val slice = buildMinHashIndex(typed, idCol, textCol, k, nh, bands, maxDf)
+      .select(col("doc"), col("sig"), col("band"),
+        pmod(Portable.hash60(col("sig")), lit(nBuckets.toLong)).cast("int").as("bucket"))
+    IndexCommit.appendTree(spark, dir, "sigs", batchId) { tree =>
+      slice.write.mode("overwrite").partitionBy("band", "bucket").parquet(tree)
+    }
+  }
+
+  /** Fold the persisted dedup index back to ONE file per (band, bucket) —
+    * reader-transparent (one CAS'd pointer flip, rival appends survive).
+    * Layout-only: signature rows are untouched (see
+    * [[appendToMinHashIndex]] for why a global re-cap is a rebuild, not a
+    * compaction), so probe results are identical before and after. */
+  def compactMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit =
+    IndexCommit.compactTrees(spark, dir, "sigs") { (srcs, target) =>
+      readSigTrees(spark, srcs).repartition(col("band"), col("bucket"))
+        .write.mode("overwrite").partitionBy("band", "bucket").parquet(target)
+    }
+
+  /** Reclaim superseded/orphaned sigs trees — see [[IndexCommit.vacuum]]
+    * for the grace-period contract. */
+  def vacuumMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "sigs")
+
+  /** [[probeMinHashIndex]] against a PERSISTED index with the
+    * [[Multimodal.mediaDedupProbeAt]] plan guarantees: the index NEVER
+    * shuffles (the micro-batch-sized probe signatures broadcast), and the
+    * index scan plans over ONLY the probed (band, bucket) partitions —
+    * bounded by bands × nBuckets by construction, never the batch size
+    * (a legal driver collect). Results are identical to the in-memory
+    * probe on the same index. Past `maxProbeSigs` signature rows the
+    * probe fails fast naming the knob (corpus-vs-corpus jobs belong on
+    * [[minHashNearDups]]). */
+  def probeMinHashIndexAt(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, newDocs: DataFrame, idCol: String,
+                          textCol: String,
+                          maxProbeSigs: Long = MaxProbeSigs): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    val (k, nh, bands, maxDf, nBuckets) = (p.getAs[Int]("k"),
+      p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
+      p.getAs[Long]("max_df"), p.getAs[Int]("n_buckets"))
+    val probe = OpUtil.shared(
+      buildMinHashIndex(newDocs, idCol, textCol, k, nh, bands, maxDf)
+        .select(col("doc").as("incoming"), col("band"), col("sig"),
+          pmod(Portable.hash60(col("sig")), lit(nBuckets.toLong)).cast("int").as("bucket")))
+    val nSigs = probe.count()
+    if (nSigs > maxProbeSigs) throw new IllegalArgumentException(
+      s"probeMinHashIndexAt: incoming batch signed to $nSigs rows > " +
+        s"maxProbeSigs=$maxProbeSigs — the probe BROADCASTS the incoming " +
+        "signatures (micro-batch probes only); raise maxProbeSigs if the " +
+        "driver can hold it, or use minHashNearDups for corpus-vs-corpus")
+    val probed = probe.select("band", "bucket").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val lib = readSigTrees(spark, sigDirs(dir)).where(
+      probed.map { case (b, bk) => col("band") === b && col("bucket") === bk }
+        .reduceOption(_ || _).getOrElse(lit(false)))
+    lib.as("a").join(broadcast(probe).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc") =!= col("b.incoming"))
+      .select(col("a.doc").as("existing"), col("b.incoming").as("incoming"))
+      .distinct()
+  }
+
   /** Incremental dedup: probe NEW documents against a [[buildMinHashIndex]]
     * index built with the same (k, numHashes, bands) — distinct (existing,
     * incoming) candidate pairs from a (band, sig) equi-join. Only the new
     * slice is shingled; the existing corpus's text is never re-read. At
     * 100 TB this is the production path for a growing corpus: the index
     * appends, each ingest batch probes, and the full self-join never runs
-    * again. */
+    * again — [[writeMinHashIndex]] / [[probeMinHashIndexAt]] is that path's
+    * persisted, partition-pruned deployment shape. */
   def probeMinHashIndex(index: DataFrame, newDocs: DataFrame,
                         idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 16, bands: Int = 4,

@@ -634,6 +634,53 @@ object GraftFunctions {
           graft.operators.Similarity.compactIvfIndex(session, dir)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
+    (FunctionIdentifier("graft_dedup_index_add"),
+      info("graft_dedup_index_add",
+        "graft_dedup_index_add('index_dir', 'docs_table_or_path', 'id_col', " +
+          "'text_col'[, 'batch_id']) - extend a persisted banded-MinHash " +
+          "dedup index (graft.operators.Dedup.writeMinHashIndex) with new " +
+          "documents, signed with the index's own sidecar params; returns " +
+          "(dir, ok). Runs at EXECUTION time; with a batch_id, a replayed " +
+          "statement is skipped (ok = false)"),
+      (args: Seq[Expression]) => { arity("graft_dedup_index_add", args, 4, 5)
+        val dir = literalString(args(0), "graft_dedup_index_add", "index_dir")
+        val dref = literalString(args(1), "graft_dedup_index_add", "docs_table_or_path")
+        val id = literalString(args(2), "graft_dedup_index_add", "id_col")
+        val text = literalString(args(3), "graft_dedup_index_add", "text_col")
+        val bid = if (args.size > 4)
+          Some(literalString(args(4), "graft_dedup_index_add", "batch_id")) else None
+        val session = active()
+        procedure("graft_dedup_index_add") { () =>
+          val applied = graft.operators.Dedup.appendToMinHashIndex(
+            session, dir, resolveRef(dref), id, text, bid)
+          Seq(org.apache.spark.sql.Row(dir, applied))
+        } }),
+    (FunctionIdentifier("graft_dedup_index_compact"),
+      info("graft_dedup_index_compact",
+        "graft_dedup_index_compact('index_dir') - fold a persisted MinHash " +
+          "dedup index's delta trees to one file per (band, bucket), " +
+          "reader-transparently (probe-invariant; one CAS'd pointer flip); " +
+          "returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_dedup_index_compact", args, 1)
+        val dir = literalString(args(0), "graft_dedup_index_compact", "index_dir")
+        val session = active()
+        procedure("graft_dedup_index_compact") { () =>
+          graft.operators.Dedup.compactMinHashIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_dedup_probe"),
+      info("graft_dedup_probe",
+        "graft_dedup_probe('index_dir', 'docs_table_or_path', 'id_col', " +
+          "'text_col') - probe NEW documents against a PERSISTED " +
+          "partition-pruned MinHash dedup index " +
+          "(graft.operators.Dedup.writeMinHashIndex): distinct candidate " +
+          "pairs from the (band, sig) bucket join; the index never " +
+          "shuffles; returns (existing, incoming)"),
+      (args: Seq[Expression]) => { arity("graft_dedup_probe", args, 4)
+        val dir = literalString(args(0), "graft_dedup_probe", "index_dir")
+        val (df, id, text) = opInput("graft_dedup_probe", args.drop(1))
+        GraftShims.analyzedPlan(graft.operators.Dedup.probeMinHashIndexAt(
+          active(), dir, df, id, text)) }),
     (FunctionIdentifier("graft_sim_index_vacuum"),
       info("graft_sim_index_vacuum",
         "graft_sim_index_vacuum('index_dir') - reclaim IVF index trees no " +

@@ -533,6 +533,41 @@ class GraftSqlSpec extends SparkTestBase {
       .count() > 0)
   }
 
+  test("dedup index SQL surface: add/compact procedures + pruned probe TVF") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      // four base texts, each present in the indexed (i%3==0) AND probe
+      // (i%3==2) slices (gcd(3,4)=1 => both slices cover all i%4 classes)
+      (i.toLong, (0 until 30).map(j => s"w${i % 4}t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = tmpDir("sqldedupidx-")
+    Dedup.writeMinHashIndex(docs.where(col("doc_id") % 3 === 0),
+      "doc_id", "text", dir, nBuckets = 8)
+    docs.where(col("doc_id") % 3 === 1).createOrReplaceTempView("sql_dedup_add")
+    docs.where(col("doc_id") % 3 === 2).createOrReplaceTempView("sql_dedup_probe")
+    val added = spark.sql(
+      s"SELECT * FROM graft_dedup_index_add('$dir', 'sql_dedup_add', 'doc_id', 'text', 'b1')")
+      .collect().head
+    assert(added.getString(0) == dir && added.getBoolean(1))
+    assert(!spark.sql(
+      s"SELECT * FROM graft_dedup_index_add('$dir', 'sql_dedup_add', 'doc_id', 'text', 'b1')")
+      .collect().head.getBoolean(1), "replayed batch_id must report ok=false")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_dedup_probe('$dir', 'sql_dedup_probe', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaScala = Dedup.probeMinHashIndexAt(spark, dir,
+      docs.where(col("doc_id") % 3 === 2), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    assert(spark.sql(s"SELECT * FROM graft_dedup_index_compact('$dir')")
+      .collect().head.getBoolean(1))
+    assert(spark.sql(
+      s"SELECT * FROM graft_dedup_probe('$dir', 'sql_dedup_probe', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == viaSql,
+      "compaction must not change probe results")
+  }
+
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
     val dir = tmpDir("sqlsym-")
     EsLog.create(dir, streamId = 75L)

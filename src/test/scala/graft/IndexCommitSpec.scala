@@ -281,6 +281,57 @@ class IndexCommitSpec extends SparkTestBase {
     assert(viaSql.map(_.getDouble(4)).toSeq == report.map(_.getDouble(4)).toSeq)
   }
 
+  test("persisted MinHash dedup index: probe == in-memory, pruned scan, replay, compaction-invariant") {
+    import graft.operators.Dedup
+    val docs = {
+      Fixtures.tune(spark)
+      spark.read.parquet(sf("documents"))
+    }
+    val half = docs.where(col("doc_id") % 2 === 0)
+    val probeDocs = docs.where(col("doc_id") % 2 === 1).limit(40)
+    val root = tmpDir("ixc-minhash-")
+    Dedup.writeMinHashIndex(half.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", root, nBuckets = 16)
+    assert(Dedup.appendToMinHashIndex(spark, root,
+      half.where(col("doc_id") % 4 === 2), "doc_id", "text", batchId = Some("s2")))
+    assert(!Dedup.appendToMinHashIndex(spark, root,
+      half.where(col("doc_id") % 4 === 2), "doc_id", "text", batchId = Some("s2")),
+      "minhash append replay must be skipped")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // in-memory twin: per-slice-capped signatures, like the two appends
+    val mem = Dedup.buildMinHashIndex(half.where(col("doc_id") % 4 === 0), "doc_id", "text")
+      .unionByName(Dedup.buildMinHashIndex(half.where(col("doc_id") % 4 === 2), "doc_id", "text"))
+    val expected = pairs(Dedup.probeMinHashIndex(mem, probeDocs, "doc_id", "text"))
+    val got = Dedup.probeMinHashIndexAt(spark, root, probeDocs, "doc_id", "text")
+    assert(pairs(got) == expected, "persisted probe must equal the in-memory probe")
+    assert(expected.nonEmpty, "fixture must produce candidates")
+    // plan: the index never shuffles (broadcast probe) and scans only the
+    // probed (band, bucket) partitions — across BOTH the base and delta tree
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val again = Dedup.probeMinHashIndexAt(spark, root, probeDocs, "doc_id", "text")
+      val scans = again.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("/sigs")) => sc
+      }
+      assert(scans.size == 2, s"base + delta tree scans expected: ${scans.size}")
+      val parts = scans.flatMap(_.selectedPartitions.toPartitionArray.toSeq)
+        .map(_.filePath.toString)
+      assert(parts.nonEmpty && parts.forall(_.contains("/band=")),
+        "scans must plan partition directories only")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // compaction: layout-only, results identical; vacuum reclaims
+    Dedup.compactMinHashIndex(spark, root)
+    assert(pairs(Dedup.probeMinHashIndexAt(spark, root, probeDocs, "doc_id", "text"))
+      == expected, "minhash compaction must never change probe results")
+    val st = IndexCommit.load(root).get
+    assert(st.dirs.size == 1 && st.dirs.head.startsWith("sigs-c"))
+    assert(Dedup.vacuumMinHashIndex(spark, root).size == 2)
+    assert(pairs(Dedup.probeMinHashIndexAt(spark, root, probeDocs, "doc_id", "text"))
+      == expected)
+  }
+
   test("rebuild into a live index dir commits a fresh tree (searches keep their snapshot)") {
     val root = tmpDir("ixc-rebuild-")
     buildAppended(root)

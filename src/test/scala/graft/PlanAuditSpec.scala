@@ -1238,6 +1238,8 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_token_budget" -> Seq("doc_id", "source", "n_tokens", "cum_tokens"),
     "es_stream_media_dedup" -> Seq("incoming", "existing", "n_shared"),
     "dedup_incremental" -> Seq("existing", "incoming"),
+    "dedup_incremental_persisted" -> Seq("existing", "incoming"),
+    "dedup_incremental_appended" -> Seq("existing", "incoming"),
     "dedup_jaccard" -> Seq("i", "j", "jaccard"),
     "dedup_minhash" -> Seq("i", "j"),
     "dedup_simhash" -> Seq("doc_id", "simhash"),
