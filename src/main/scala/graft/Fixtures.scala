@@ -1192,6 +1192,58 @@ object Fixtures {
       ()
     }
 
+  /** Streaming MinHash-index maintenance — the ingest-cadence half of the
+    * incremental-dedup production path ("the index appends, each ingest
+    * batch probes", [[graft.operators.Dedup.writeMinHashIndex]]): the index
+    * is BUILT on the `h % 20 < 13` slice, the `13 <= h % 20 < 19` slice
+    * arrives as an eslog stream in exactly 4 micro-batches
+    * (`maxOffsetsPerTrigger = ceil(n/4)`, offsets sorted by doc_id so batch
+    * membership is pure arithmetic) and every batch extends the persisted
+    * index via `foreachBatch` → [[graft.operators.Dedup.appendToMinHashIndex]]
+    * with the micro-batch id as the replay guard. The stop-shingle cap is
+    * per MICRO-batch here (each append slice caps itself — the documented
+    * incremental contract), which the oracle re-derives with one capped
+    * CTE per batch. Returns the fixture root; the index lives at
+    * `<root>/index`. */
+  def streamMinHashAppendRoot(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "stream-minhash-append") { root =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Dedup
+      tune(s)
+      val docs = documents(s, sfDir)
+      val h = graft.functions.Portable.hash60(col("doc_id").cast("string"))
+      val idx = s"$root/index"
+      Dedup.writeMinHashIndex(docs.where(h % 20 < 13), "doc_id", "text", idx)
+      val src = s"$root/src"
+      val mid = docs.where(h % 20 >= 13 && h % 20 < 19).select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+      EsLog.create(src, streamId = 84L)
+      EsLog.open(src, 1L)
+      EsLog.append(s, src, mid, 1L, sortKey = Some("doc_id"), numPartitions = 2)
+      val n = docs.where(h % 20 >= 13 && h % 20 < 19).count()
+      val perTrigger = math.max((n + 3) / 4, 1L) // ceil: exactly 4 batches
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(
+          col("properties")("doc_id").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         bid: Long) =>
+          Dedup.appendToMinHashIndex(s, idx, batch, "doc_id", "text",
+            batchId = Some(s"stream-$bid"))
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      ()
+    }
+
   /** A stream appended in SCRAMBLED time order — `(event_id * 48271) % n` is
     * a permutation of 0..n-1 (48271 is coprime to any n without it as a
     * factor; fixture requires it), so `base_offset = skey` exactly and the

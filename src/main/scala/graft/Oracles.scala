@@ -526,6 +526,53 @@ object Oracles {
        | AND bi.doc_id <> bn.doc_id""".stripMargin
   }
 
+  /** Probe against the STREAM-appended persisted MinHash index: the build
+    * slice carries its own cap; the appended slice arrives in exactly 4
+    * micro-batches (`ceil(n/4)` offsets each, offsets sorted by doc_id —
+    * so batch membership is `(row_number - 1) // per`), and EACH batch
+    * caps itself ([[graft.Fixtures.streamMinHashAppendRoot]]'s
+    * `foreachBatch` contract). */
+  private val esStreamDedupAppend = {
+    val r = 4
+    def bandRows(m: String) = (0 until 4).map { b =>
+      val sig = (0 until r).map(i => s"CAST(m${b * r + i} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM $m"
+    }.mkString("\nUNION ALL\n")
+    val h = H.hash60Sql("CAST(doc_id AS VARCHAR)")
+    val base = s"(SELECT doc_id, text FROM documents WHERE $h % 20 < 13)"
+    val nw = s"(SELECT doc_id, text FROM documents WHERE $h % 20 >= 19)"
+    // the 4 micro-batch slices: rank within the appended slice by doc_id,
+    // ceil(n/4) rows per batch — exactly the fixture's maxOffsetsPerTrigger
+    val mid =
+      s"""mid AS (
+         |  SELECT doc_id, text,
+         |    CAST((row_number() OVER (ORDER BY doc_id) - 1)
+         |      // greatest((count(*) OVER () + 3) // 4, 1) AS BIGINT) AS bk
+         |  FROM documents WHERE $h % 20 >= 13 AND $h % 20 < 19)""".stripMargin
+    def batchSrc(k: Int) = s"(SELECT doc_id, text FROM mid WHERE bk = $k)"
+    val batchCtes = (0 until 4).map(k =>
+      s"""${shingleCte(batchSrc(k), s"sm$k", 3)},
+         |mm$k AS (SELECT doc_id, ${minhashCols(16)} FROM sm$k GROUP BY doc_id),
+         |bm$k AS (
+         |${bandRows(s"mm$k")})""".stripMargin).mkString(",\n")
+    s"""WITH $mid,
+       |${shingleCte(base, "sb", 3)},
+       |$batchCtes,
+       |${shingleCte(nw, "sn", 3)},
+       |mb AS (SELECT doc_id, ${minhashCols(16)} FROM sb GROUP BY doc_id),
+       |mn AS (SELECT doc_id, ${minhashCols(16)} FROM sn GROUP BY doc_id),
+       |bb AS (
+       |${bandRows("mb")}),
+       |bi AS (SELECT * FROM bb UNION ALL SELECT * FROM bm0
+       |  UNION ALL SELECT * FROM bm1 UNION ALL SELECT * FROM bm2
+       |  UNION ALL SELECT * FROM bm3),
+       |bn AS (
+       |${bandRows("mn")})
+       |SELECT DISTINCT bi.doc_id AS existing, bn.doc_id AS incoming
+       |FROM bi JOIN bn ON bi.band = bn.band AND bi.sig = bn.sig
+       | AND bi.doc_id <> bn.doc_id""".stripMargin
+  }
+
   /** Connected components over the Jaccard pairs via transitive closure
     * (recursive CTE) — min reachable id per doc, mirroring
     * [[graft.operators.Dedup.nearDupClusters]]'s converged labels. */
@@ -2138,6 +2185,7 @@ object Oracles {
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_persisted" -> dedupIncremental, // persisted roundtrip: identical
     "dedup_incremental_appended" -> dedupIncrementalAppended,
+    "es_stream_dedup_append" -> esStreamDedupAppend,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
     "text_stats" -> textStats,

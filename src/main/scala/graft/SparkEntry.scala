@@ -613,6 +613,21 @@ object SparkEntry {
     Dedup.probeMinHashIndexAt(s, dir, docs.where(h % 20 >= 19), "doc_id", "text")
   }
 
+  /** Streaming twin of [[qDedupIncrementalAppended]]
+    * ([[Fixtures.streamMinHashAppendRoot]]): the appended slice arrives as
+    * an eslog stream in 4 deterministic micro-batches, each extending the
+    * persisted index through `foreachBatch` with the batch id as the
+    * replay guard; the 5% batch probes the result. The stop-shingle cap is
+    * per MICRO-batch (each append caps itself), which the oracle
+    * re-derives batch by batch. */
+  private def qEsStreamDedupAppend(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.streamMinHashAppendRoot(s, sfDir)
+    val docs = Fixtures.documents(s, sfDir)
+    val h = graft.functions.Portable.hash60(col("doc_id").cast("string"))
+    Dedup.probeMinHashIndexAt(s, s"$root/index",
+      docs.where(h % 20 >= 19), "doc_id", "text")
+  }
+
   private def qDedupSimHash(s: SparkSession, sfDir: String): DataFrame =
     Dedup.simHash(Fixtures.documents(s, sfDir), "doc_id", "text")
       .withColumnRenamed("doc", "doc_id")
@@ -1871,6 +1886,7 @@ object SparkEntry {
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_incremental_persisted" -> (qDedupIncrementalPersisted _),
     "dedup_incremental_appended" -> (qDedupIncrementalAppended _),
+    "es_stream_dedup_append" -> (qEsStreamDedupAppend _),
     "dedup_simhash" -> (qDedupSimHash _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_cluster_best" -> (qDedupClusterBest _),

@@ -722,6 +722,30 @@ object GraftFunctions {
           graft.operators.Multimodal.vacuumMediaLibraryIndex(session, dir)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
+    (FunctionIdentifier("graft_index_describe"),
+      info("graft_index_describe",
+        "graft_index_describe('index_dir') - the commit history of any " +
+          "persisted graft index (IVF cells / LSH buckets / media chunks / " +
+          "MinHash sigs): one row per committed version with its kind " +
+          "(base/append/compact), live tree count, cumulative applied batch " +
+          "count, and the latest flag; returns (version, kind, n_trees, " +
+          "n_batches, is_latest)"),
+      (args: Seq[Expression]) => { arity("graft_index_describe", args, 1)
+        val dir = literalString(args(0), "graft_index_describe", "index_dir")
+        val spark = active()
+        val hist = graft.operators.IndexCommit.history(dir)
+        val latest = hist.lastOption.map(_.version).getOrElse(-1L)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("n_trees", IntegerType, nullable = false),
+          StructField("n_batches", IntegerType, nullable = false),
+          StructField("is_latest", BooleanType, nullable = false)))
+        val rows = hist.map(e => org.apache.spark.sql.Row(
+          e.version, e.kind, e.dirs.size, e.batchIds.size, e.version == latest))
+        GraftShims.analyzedPlan(spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)) }),
     (FunctionIdentifier("graft_sim_index_drift"),
       info("graft_sim_index_drift",
         "graft_sim_index_drift('index_dir') - per-append quantizer-drift " +

@@ -566,6 +566,14 @@ class GraftSqlSpec extends SparkTestBase {
       s"SELECT * FROM graft_dedup_probe('$dir', 'sql_dedup_probe', 'doc_id', 'text')")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == viaSql,
       "compaction must not change probe results")
+    // the index history reads from SQL: base -> append -> compact
+    val hist = spark.sql(s"SELECT * FROM graft_index_describe('$dir')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getBoolean(4))).toSeq
+    assert(hist.map(h => (h._1, h._2, h._3, h._4)) ==
+      Seq((0L, "base", 1, 0), (1L, "append", 2, 1), (2L, "compact", 1, 1)),
+      hist.toString)
+    assert(hist.count(_._5) == 1 && hist.last._5)
   }
 
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {

@@ -1240,6 +1240,7 @@ class PlanAuditSpec extends SparkTestBase {
     "dedup_incremental" -> Seq("existing", "incoming"),
     "dedup_incremental_persisted" -> Seq("existing", "incoming"),
     "dedup_incremental_appended" -> Seq("existing", "incoming"),
+    "es_stream_dedup_append" -> Seq("existing", "incoming"),
     "dedup_jaccard" -> Seq("i", "j", "jaccard"),
     "dedup_minhash" -> Seq("i", "j"),
     "dedup_simhash" -> Seq("doc_id", "simhash"),
