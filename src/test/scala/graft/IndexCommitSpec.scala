@@ -233,6 +233,31 @@ class IndexCommitSpec extends SparkTestBase {
     assert(dead.size == 2, s"base + slice reclaimed: $dead")
   }
 
+  test("appended IVF index: partition pruning engages on EVERY live tree") {
+    // the 100 TB claim behind the union read: a probe filter pushes through
+    // the tree union into each FileSourceScanExec, so base AND delta trees
+    // plan only the probed cell=N/ directories
+    val root = tmpDir("ixc-prune-")
+    buildAppended(root)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = Similarity.searchIvfIndexAt(spark, root,
+        emb.where(col("vec_id") < 2), "vec_id", "embedding", k = 5, nprobe = 2)
+      val scans = q.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("/cells")) => sc
+      }
+      assert(scans.size == 2, s"base + delta tree scans expected: ${scans.size}")
+      scans.foreach { sc =>
+        val dirs = sc.selectedPartitions.toPartitionArray.toSeq
+          .map(_.filePath.toString.split("/").reverse.find(_.startsWith("cell=")).get)
+          .toSet
+        assert(dirs.nonEmpty && dirs.size <= 2 * 2,
+          s"each tree must plan only probed cells: $dirs")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("drift probe: an in-distribution append reads ~0, a shifted batch is flagged") {
     import spark.implicits._
     // strongly clustered corpus: 4 clusters on distinct one-hot axes with a
