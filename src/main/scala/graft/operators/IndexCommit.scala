@@ -218,7 +218,14 @@ object IndexCommit {
     * merges the trees read at entry into one new tree; the commit replaces
     * exactly those trees, so delta trees a rival appends DURING the rewrite
     * survive in the committed set. Readers never see a missing tree: the
-    * old trees stay on disk until [[vacuum]]. */
+    * old trees stay on disk until [[vacuum]].
+    *
+    * A rival COMPACT or REBUILD that lands mid-rewrite is detected and
+    * aborts this one loudly (staged tree deleted): once any source tree has
+    * left the committed set, committing our target would DUPLICATE its rows
+    * (the rival's target holds them too) or resurrect pre-rebuild rows —
+    * run one compactor per index; on the abort, the rival's work already
+    * folded the layout. Rival APPENDS retry and survive, as documented. */
   def compactTrees(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                    legacyName: String)
                   (rewrite: (Seq[String], String) => Unit): Unit = {
@@ -227,8 +234,16 @@ object IndexCommit {
     rewrite(st0.dirs.map(MetaLog.join(indexDir, _)), MetaLog.join(indexDir, tree))
     var st = st0
     while (!tryCommit(indexDir, st, tree +: (st.dirs.diff(st0.dirs)),
-        st.batchIds, "compact"))
+        st.batchIds, "compact")) {
       st = load(indexDir).get
+      if (!st0.dirs.forall(st.dirs.contains)) {
+        deleteTree(spark, indexDir, tree)
+        throw new graft.meta.ConcurrentCommitException(
+          s"rival compact/rebuild replaced source trees in $indexDir while " +
+            "this compact was rewriting — committing would duplicate rows; " +
+            "aborted (staged tree deleted). Run one compactor per index")
+      }
+    }
   }
 
   /** Reclaim data trees no committed reader can reach: children of the

@@ -795,7 +795,84 @@ object GraftFunctions {
         val k = literalLong(args(4), "graft_sim_search", "k").toInt
         val nprobe = optLong(args, 5, 4L, "graft_sim_search", "nprobe").toInt
         GraftShims.analyzedPlan(graft.operators.Similarity.searchIvfIndexAt(
-          active(), dir, resolveRef(qref), qid, vec, k, nprobe)) }))
+          active(), dir, resolveRef(qref), qid, vec, k, nprobe)) }),
+    (FunctionIdentifier("graft_lsh_search"),
+      info("graft_lsh_search",
+        "graft_lsh_search('index_dir', 'queries_table_or_path', 'id_col', " +
+          "'vec_col', k) - ANN top-k over a PERSISTED partition-pruned " +
+          "hyperplane-LSH index (graft.operators.Similarity.writeLshIndex); " +
+          "probed (tbl, bucket) pairs push as a static partition filter; " +
+          "returns (qid, nid, rank, score)"),
+      (args: Seq[Expression]) => { arity("graft_lsh_search", args, 5)
+        val dir = literalString(args(0), "graft_lsh_search", "index_dir")
+        val qref = literalString(args(1), "graft_lsh_search", "queries_table_or_path")
+        val qid = literalString(args(2), "graft_lsh_search", "id_col")
+        val vec = literalString(args(3), "graft_lsh_search", "vec_col")
+        val k = literalLong(args(4), "graft_lsh_search", "k").toInt
+        GraftShims.analyzedPlan(graft.operators.Similarity.searchLshIndexAt(
+          active(), dir, resolveRef(qref), qid, vec, k)) }),
+    (FunctionIdentifier("graft_lsh_index_add"),
+      info("graft_lsh_index_add",
+        "graft_lsh_index_add('index_dir', 'vecs_table_or_path', 'id_col', " +
+          "'vec_col'[, 'batch_id']) - extend a persisted LSH index with new " +
+          "vectors, bucketed under the index's own sidecar params " +
+          "(positionally-derived hyperplanes: the result is bit-identical " +
+          "to a one-pass build); returns (dir, ok). Runs at EXECUTION time; " +
+          "with a batch_id, a replayed statement is skipped (ok = false)"),
+      (args: Seq[Expression]) => { arity("graft_lsh_index_add", args, 4, 5)
+        val dir = literalString(args(0), "graft_lsh_index_add", "index_dir")
+        val vref = literalString(args(1), "graft_lsh_index_add", "vecs_table_or_path")
+        val id = literalString(args(2), "graft_lsh_index_add", "id_col")
+        val vec = literalString(args(3), "graft_lsh_index_add", "vec_col")
+        val bid = if (args.size > 4)
+          Some(literalString(args(4), "graft_lsh_index_add", "batch_id")) else None
+        val session = active()
+        procedure("graft_lsh_index_add") { () =>
+          val applied = graft.operators.Similarity.appendToLshIndex(
+            session, dir, resolveRef(vref), id, vec, bid)
+          Seq(org.apache.spark.sql.Row(dir, applied))
+        } }),
+    (FunctionIdentifier("graft_lsh_index_compact"),
+      info("graft_lsh_index_compact",
+        "graft_lsh_index_compact('index_dir') - fold a persisted LSH " +
+          "index's delta trees to one file per (tbl, bucket), reader-" +
+          "transparently (search-invariant; one CAS'd pointer flip); " +
+          "returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_lsh_index_compact", args, 1)
+        val dir = literalString(args(0), "graft_lsh_index_compact", "index_dir")
+        val session = active()
+        procedure("graft_lsh_index_compact") { () =>
+          graft.operators.Similarity.compactLshIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_lsh_index_vacuum"),
+      info("graft_lsh_index_vacuum",
+        "graft_lsh_index_vacuum('index_dir') - reclaim LSH index trees no " +
+          "committed reader can reach (superseded by compaction, or " +
+          "orphaned by a crashed append); run AFTER a grace period longer " +
+          "than any in-flight query and never concurrently with an append; " +
+          "returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_lsh_index_vacuum", args, 1)
+        val dir = literalString(args(0), "graft_lsh_index_vacuum", "index_dir")
+        val session = active()
+        procedure("graft_lsh_index_vacuum") { () =>
+          graft.operators.Similarity.vacuumLshIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_dedup_index_vacuum"),
+      info("graft_dedup_index_vacuum",
+        "graft_dedup_index_vacuum('index_dir') - reclaim MinHash dedup " +
+          "index trees no committed reader can reach (superseded by " +
+          "compaction, or orphaned by a crashed append); run AFTER a grace " +
+          "period longer than any in-flight query and never concurrently " +
+          "with an append; returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_dedup_index_vacuum", args, 1)
+        val dir = literalString(args(0), "graft_dedup_index_vacuum", "index_dir")
+        val session = active()
+        procedure("graft_dedup_index_vacuum") { () =>
+          graft.operators.Dedup.vacuumMinHashIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }))
 
   /** Shared input resolution of the pipeline-operator TVFs: first arg names
     * the corpus — a '/'-containing path (an eslog STREAM dir if it carries

@@ -574,6 +574,61 @@ class GraftSqlSpec extends SparkTestBase {
       Seq((0L, "base", 1, 0), (1L, "append", 2, 1), (2L, "compact", 1, 1)),
       hist.toString)
     assert(hist.count(_._5) == 1 && hist.last._5)
+    // vacuum procedure reclaims the superseded sigs trees; probe unchanged
+    assert(spark.sql(s"SELECT * FROM graft_dedup_index_vacuum('$dir')")
+      .collect().head.getBoolean(1))
+    val live = graft.operators.IndexCommit.load(dir).get.dirs.toSet
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n == "sigs" || n.startsWith("sigs-")).toSet
+    assert(onDisk == live, s"vacuum must leave exactly the live trees: $onDisk vs $live")
+    assert(spark.sql(
+      s"SELECT * FROM graft_dedup_probe('$dir', 'sql_dedup_probe', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == viaSql,
+      "vacuum must not change probe results")
+  }
+
+  test("LSH index SQL surface: add/compact/vacuum procedures + pruned search TVF") {
+    import graft.operators.{IndexCommit, Similarity}
+    import spark.implicits._
+    val vecs = (0 until 48).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 17 + j * 5) % 11 - 5).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val dir = tmpDir("sqllshidx-")
+    Similarity.writeLshIndex(Similarity.buildLshIndex(
+      vecs.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      dim = 8, planes = 4, tables = 2), dir)
+    vecs.where(col("vec_id") % 2 === 1).createOrReplaceTempView("sql_lsh_add")
+    val added = spark.sql(
+      s"SELECT * FROM graft_lsh_index_add('$dir', 'sql_lsh_add', 'vec_id', 'embedding', 'b1')")
+      .collect().head
+    assert(added.getString(0) == dir && added.getBoolean(1))
+    assert(!spark.sql(
+      s"SELECT * FROM graft_lsh_index_add('$dir', 'sql_lsh_add', 'vec_id', 'embedding', 'b1')")
+      .collect().head.getBoolean(1), "replayed batch_id must report ok=false")
+    // hyperplanes are positionally derived: the incrementally-built index
+    // must search bit-identically to a one-pass build over the full corpus
+    vecs.where(col("vec_id") < 4).createOrReplaceTempView("sql_lsh_q")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaSql = res(spark.sql(
+      s"SELECT * FROM graft_lsh_search('$dir', 'sql_lsh_q', 'vec_id', 'embedding', 3)"))
+    val onePass = res(Similarity.searchLshIndex(
+      Similarity.buildLshIndex(vecs, "vec_id", "embedding", dim = 8, planes = 4, tables = 2),
+      vecs.where(col("vec_id") < 4), "vec_id", "embedding", 3))
+    assert(viaSql == onePass && viaSql.nonEmpty)
+    assert(spark.sql(s"SELECT * FROM graft_lsh_index_compact('$dir')")
+      .collect().head.getBoolean(1))
+    assert(spark.sql(s"SELECT * FROM graft_lsh_index_vacuum('$dir')")
+      .collect().head.getBoolean(1))
+    val live = IndexCommit.load(dir).get.dirs.toSet
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n == "buckets" || n.startsWith("buckets-")).toSet
+    assert(onDisk == live, s"vacuum must leave exactly the live trees: $onDisk vs $live")
+    assert(res(spark.sql(
+      s"SELECT * FROM graft_lsh_search('$dir', 'sql_lsh_q', 'vec_id', 'embedding', 3)"))
+      == viaSql, "compact+vacuum must not change search results")
   }
 
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {

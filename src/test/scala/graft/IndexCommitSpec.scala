@@ -357,6 +357,40 @@ class IndexCommitSpec extends SparkTestBase {
       == expected)
   }
 
+  test("rival compact mid-rewrite aborts loudly instead of duplicating rows") {
+    val root = tmpDir("ixc-rivalcompact-")
+    buildAppended(root)
+    val before = searchSet(root)
+    // the hook fires inside the loser's commit attempt and lands a COMPLETE
+    // rival compact first (disarming itself) — the loser's source trees have
+    // left the committed set, so committing its target would put every row
+    // in the index twice; it must abort and delete the staged tree
+    var armed = true
+    IndexCommit.testBeforeCommit = () => {
+      if (armed) { armed = false; Similarity.compactIvfIndex(spark, root) }
+    }
+    val e = intercept[graft.meta.ConcurrentCommitException] {
+      try Similarity.compactIvfIndex(spark, root)
+      finally IndexCommit.testBeforeCommit = () => ()
+    }
+    assert(e.getMessage.contains("rival compact"), e.getMessage)
+    // committed state is the rival's fold; no row appears twice
+    val st = IndexCommit.load(root).get
+    assert(st.dirs.size == 1 && st.dirs.head.startsWith("cells-c"), st.dirs.toString)
+    val ids = Similarity.readIvfIndex(spark, root).cells
+      .select("nid").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, "no duplicate rows after the abort")
+    assert(searchSet(root) == before, "search results unchanged")
+    // the loser's staged tree is gone: everything on disk is referenced by
+    // some commit (the pre-compact trees stay until vacuum, as documented)
+    val referenced = IndexCommit.history(root).flatMap(_.dirs).toSet
+    val onDisk = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n == "cells" || n.startsWith("cells-")).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"staged tree must be deleted on abort: ${onDisk.diff(referenced)}")
+  }
+
   test("rebuild into a live index dir commits a fresh tree (searches keep their snapshot)") {
     val root = tmpDir("ixc-rebuild-")
     buildAppended(root)
