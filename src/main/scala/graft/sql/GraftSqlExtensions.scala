@@ -796,6 +796,88 @@ object GraftFunctions {
         val nprobe = optLong(args, 5, 4L, "graft_sim_search", "nprobe").toInt
         GraftShims.analyzedPlan(graft.operators.Similarity.searchIvfIndexAt(
           active(), dir, resolveRef(qref), qid, vec, k, nprobe)) }),
+    (FunctionIdentifier("graft_sim_index_build"),
+      info("graft_sim_index_build",
+        "graft_sim_index_build('index_dir', 'vecs_table_or_path', 'id_col', " +
+          "'vec_col'[, nlist]) - build and persist a partition-pruned IVF " +
+          "ANN index (k-means coarse quantizer; cells partitioned by cell) " +
+          "— the full index lifecycle from SQL: build here, then " +
+          "graft_sim_search / graft_sim_index_add / _compact / _vacuum / " +
+          "_drift; returns (dir, ok). Runs at EXECUTION time; building " +
+          "into a LIVE index dir is a rebuild (fresh versioned tree, " +
+          "running searches keep their snapshot, replay guard reset)"),
+      (args: Seq[Expression]) => { arity("graft_sim_index_build", args, 4, 5)
+        val dir = literalString(args(0), "graft_sim_index_build", "index_dir")
+        val vref = literalString(args(1), "graft_sim_index_build", "vecs_table_or_path")
+        val id = literalString(args(2), "graft_sim_index_build", "id_col")
+        val vec = literalString(args(3), "graft_sim_index_build", "vec_col")
+        val nlist = optLong(args, 4, 16L, "graft_sim_index_build", "nlist").toInt
+        procedure("graft_sim_index_build") { () =>
+          Similarity.writeIvfIndex(
+            Similarity.buildIvfIndex(resolveRef(vref), id, vec, nlist), dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_lsh_index_build"),
+      info("graft_lsh_index_build",
+        "graft_lsh_index_build('index_dir', 'vecs_table_or_path', 'id_col', " +
+          "'vec_col', dim[, planes, tables]) - build and persist a " +
+          "partition-pruned hyperplane-LSH ANN index ((tbl, bucket) " +
+          "directories); returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_lsh_index_build", args, 5, 7)
+        val dir = literalString(args(0), "graft_lsh_index_build", "index_dir")
+        val vref = literalString(args(1), "graft_lsh_index_build", "vecs_table_or_path")
+        val id = literalString(args(2), "graft_lsh_index_build", "id_col")
+        val vec = literalString(args(3), "graft_lsh_index_build", "vec_col")
+        val dim = literalLong(args(4), "graft_lsh_index_build", "dim").toInt
+        val planes = optLong(args, 5, 8L, "graft_lsh_index_build", "planes").toInt
+        val tables = optLong(args, 6, 4L, "graft_lsh_index_build", "tables").toInt
+        procedure("graft_lsh_index_build") { () =>
+          Similarity.writeLshIndex(
+            Similarity.buildLshIndex(resolveRef(vref), id, vec, dim, planes, tables), dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_dedup_index_build"),
+      info("graft_dedup_index_build",
+        "graft_dedup_index_build('index_dir', 'docs_table_or_path', " +
+          "'id_col', 'text_col'[, k, num_hashes, bands, n_buckets]) - " +
+          "build and persist a partition-pruned banded-MinHash dedup index " +
+          "((band, bucket) directories, params sidecar); returns (dir, " +
+          "ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_dedup_index_build", args, 4, 8)
+        val dir = literalString(args(0), "graft_dedup_index_build", "index_dir")
+        val dref = literalString(args(1), "graft_dedup_index_build", "docs_table_or_path")
+        val id = literalString(args(2), "graft_dedup_index_build", "id_col")
+        val text = literalString(args(3), "graft_dedup_index_build", "text_col")
+        val k = optLong(args, 4, 3L, "graft_dedup_index_build", "k").toInt
+        val nh = optLong(args, 5, 16L, "graft_dedup_index_build", "num_hashes").toInt
+        val bands = optLong(args, 6, 4L, "graft_dedup_index_build", "bands").toInt
+        val nBuckets = optLong(args, 7, 64L, "graft_dedup_index_build", "n_buckets").toInt
+        procedure("graft_dedup_index_build") { () =>
+          graft.operators.Dedup.writeMinHashIndex(resolveRef(dref), id, text,
+            dir, k = k, numHashes = nh, bands = bands, nBuckets = nBuckets)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_media_index_build"),
+      info("graft_media_index_build",
+        "graft_media_index_build('index_dir', 'media_table_or_path', " +
+          "'id_col', 'payload_col'[, divisor]) - build and persist a " +
+          "bucket-partitioned CDC chunk-library media dedup index; divisor " +
+          "defaults to the 16 KiB deployment mean-chunk size (pass 16 only " +
+          "for few-hundred-byte test payloads); returns (dir, ok). Runs at " +
+          "EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_media_index_build", args, 4, 5)
+        val dir = literalString(args(0), "graft_media_index_build", "index_dir")
+        val mref = literalString(args(1), "graft_media_index_build", "media_table_or_path")
+        val id = literalString(args(2), "graft_media_index_build", "id_col")
+        val payload = literalString(args(3), "graft_media_index_build", "payload_col")
+        val divisor = optLong(args, 4,
+          graft.operators.Multimodal.DeploymentDivisor.toLong,
+          "graft_media_index_build", "divisor").toInt
+        procedure("graft_media_index_build") { () =>
+          graft.operators.Multimodal.writeMediaLibraryIndex(
+            resolveRef(mref), id, payload, dir, divisor = divisor)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
     (FunctionIdentifier("graft_lsh_search"),
       info("graft_lsh_search",
         "graft_lsh_search('index_dir', 'queries_table_or_path', 'id_col', " +

@@ -631,6 +631,77 @@ class GraftSqlSpec extends SparkTestBase {
       == viaSql, "compact+vacuum must not change search results")
   }
 
+  test("index BUILD from SQL: all four families, results pinned against the Scala surface") {
+    import graft.operators.{Dedup, IndexCommit, Multimodal, Similarity}
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 23 + j * 3) % 9 - 4).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    vecs.createOrReplaceTempView("sql_build_vecs")
+    vecs.where(col("vec_id") < 4).createOrReplaceTempView("sql_build_q")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // IVF: EXPLAIN of the build is inert; the built index searches
+    // identically to a Scala-side build (k-means quantizer is deterministic)
+    val ivfDir = tmpDir("sqlbuild-ivf-")
+    val bstmt =
+      s"SELECT * FROM graft_sim_index_build('$ivfDir', 'sql_build_vecs', 'vec_id', 'embedding', 4)"
+    spark.sql(s"EXPLAIN $bstmt").collect()
+    assert(IndexCommit.load(ivfDir).isEmpty, "EXPLAIN of a build must not create the index")
+    assert(spark.sql(bstmt).collect().head.getBoolean(1))
+    val scalaIvf = tmpDir("sqlbuild-ivf2-")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(vecs, "vec_id", "embedding", 4), scalaIvf)
+    assert(res(spark.sql(
+        s"SELECT * FROM graft_sim_search('$ivfDir', 'sql_build_q', 'vec_id', 'embedding', 3, 2)"))
+      == res(Similarity.searchIvfIndexAt(spark, scalaIvf,
+          vecs.where(col("vec_id") < 4), "vec_id", "embedding", 3, 2)))
+    // LSH
+    val lshDir = tmpDir("sqlbuild-lsh-")
+    assert(spark.sql(
+      s"SELECT * FROM graft_lsh_index_build('$lshDir', 'sql_build_vecs', 'vec_id', 'embedding', 8, 4, 2)")
+      .collect().head.getBoolean(1))
+    assert(res(spark.sql(
+        s"SELECT * FROM graft_lsh_search('$lshDir', 'sql_build_q', 'vec_id', 'embedding', 3)"))
+      == res(Similarity.searchLshIndex(
+          Similarity.buildLshIndex(vecs, "vec_id", "embedding", dim = 8, planes = 4, tables = 2),
+          vecs.where(col("vec_id") < 4), "vec_id", "embedding", 3)))
+    // MinHash dedup
+    val docs = (0 until 40).map { i =>
+      // gcd(2, 3) = 1: both the even (indexed) and odd (probe) slices cover
+      // every i%3 text class, so cross-slice candidates exist
+      (i.toLong, (0 until 30).map(j => s"w${i % 3}t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    docs.where(col("doc_id") % 2 === 0).createOrReplaceTempView("sql_build_docs")
+    docs.where(col("doc_id") % 2 === 1).createOrReplaceTempView("sql_build_probe")
+    val dDir = tmpDir("sqlbuild-dedup-")
+    assert(spark.sql(
+      s"SELECT * FROM graft_dedup_index_build('$dDir', 'sql_build_docs', 'doc_id', 'text', 3, 16, 4, 8)")
+      .collect().head.getBoolean(1))
+    val scalaD = tmpDir("sqlbuild-dedup2-")
+    Dedup.writeMinHashIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+      scalaD, nBuckets = 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSql = pairs(spark.sql(
+      s"SELECT * FROM graft_dedup_probe('$dDir', 'sql_build_probe', 'doc_id', 'text')"))
+    assert(viaSql == pairs(Dedup.probeMinHashIndexAt(spark, scalaD,
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text")) && viaSql.nonEmpty)
+    // media chunk library (test divisor for few-hundred-byte payloads)
+    val media = (0 until 12).map { i =>
+      (i.toLong, (s"hdr$i" + ("pqrs" * 60 + (i % 3).toString) * 2).getBytes("UTF-8"))
+    }.toDF("media_id", "payload")
+    media.createOrReplaceTempView("sql_build_media")
+    val mDir = tmpDir("sqlbuild-media-")
+    assert(spark.sql(
+      s"SELECT * FROM graft_media_index_build('$mDir', 'sql_build_media', 'media_id', 'payload', 16)")
+      .collect().head.getBoolean(1))
+    assert(pairs(spark.sql(
+        s"SELECT existing, incoming FROM graft_media_probe('$mDir', 'sql_build_media', 'media_id', 'payload', 4)"))
+      == pairs(Multimodal.mediaDedupProbeAt(spark, mDir, media,
+          "media_id", "payload", minShared = 4)
+          .select("existing", "incoming")))
+  }
+
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
     val dir = tmpDir("sqlsym-")
     EsLog.create(dir, streamId = 75L)
