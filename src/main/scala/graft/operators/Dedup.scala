@@ -176,21 +176,21 @@ object Dedup {
     require(nBuckets >= 1)
     val spark = docs.sparkSession
     val idx = buildMinHashIndex(docs, idCol, textCol, k, numHashes, bands, maxDf)
-    IndexCommit.commitBase(dir, "sigs") { tree =>
+    // params BEFORE the pointer flip, under a generation-unique name (see
+    // Similarity.writeIvfIndex): snapshot readers never pair one build's
+    // k/bands with another's sig trees
+    import spark.implicits._
+    val paramsName = IndexCommit.sidecarName(dir, "params")
+    Seq((k, numHashes, bands, maxDf, nBuckets,
+        docs.schema(idCol).dataType.catalogString))
+      .toDF("k", "num_hashes", "bands", "max_df", "n_buckets", "id_type")
+      .write.mode("overwrite").parquet(s"$dir/$paramsName")
+    IndexCommit.commitBase(dir, "sigs", Map("params" -> paramsName)) { tree =>
       idx.select(col("doc"), col("sig"), col("band"),
           pmod(Portable.hash60(col("sig")), lit(nBuckets.toLong)).cast("int").as("bucket"))
         .write.mode("overwrite").partitionBy("band", "bucket").parquet(tree)
     }
-    import spark.implicits._
-    Seq((k, numHashes, bands, maxDf, nBuckets,
-        docs.schema(idCol).dataType.catalogString))
-      .toDF("k", "num_hashes", "bands", "max_df", "n_buckets", "id_type")
-      .write.mode("overwrite").parquet(s"$dir/params")
   }
-
-  /** The live sigs trees, resolved through the commit pointer. */
-  private def sigDirs(dir: String): Seq[String] =
-    IndexCommit.resolveDirs(dir, "sigs")
 
   /** Union of sigs trees with the partition columns re-read as INT (the
     * types the builder writes, so probe filters compare un-cast and
@@ -228,7 +228,11 @@ object Dedup {
                            dir: String, newDocs: DataFrame, idCol: String,
                            textCol: String,
                            batchId: Option[String] = None): Boolean = {
-    val p = spark.read.parquet(s"$dir/params").collect().head
+    // params resolve from ONE snapshot whose generation fences the commit:
+    // a rebuild landing after this read aborts the append instead of
+    // letting old-k/bands signatures onto the new index
+    val snap = IndexCommit.readSnapshot(dir, "sigs")
+    val p = spark.read.parquet(snap.sidecar("params")).collect().head
     val (k, nh, bands, maxDf, nBuckets) = (p.getAs[Int]("k"),
       p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
       p.getAs[Long]("max_df"), p.getAs[Int]("n_buckets"))
@@ -237,7 +241,8 @@ object Dedup {
     val slice = buildMinHashIndex(typed, idCol, textCol, k, nh, bands, maxDf)
       .select(col("doc"), col("sig"), col("band"),
         pmod(Portable.hash60(col("sig")), lit(nBuckets.toLong)).cast("int").as("bucket"))
-    IndexCommit.appendTree(spark, dir, "sigs", batchId) { tree =>
+    IndexCommit.appendTree(spark, dir, "sigs", batchId,
+        derivedFromBase = if (snap.version >= 0) Some(snap.baseVersion) else None) { tree =>
       slice.write.mode("overwrite").partitionBy("band", "bucket").parquet(tree)
     }
   }
@@ -273,7 +278,8 @@ object Dedup {
                           dir: String, newDocs: DataFrame, idCol: String,
                           textCol: String,
                           maxProbeSigs: Long = MaxProbeSigs): DataFrame = {
-    val p = spark.read.parquet(s"$dir/params").collect().head
+    val snap = IndexCommit.readSnapshot(dir, "sigs")
+    val p = spark.read.parquet(snap.sidecar("params")).collect().head
     val (k, nh, bands, maxDf, nBuckets) = (p.getAs[Int]("k"),
       p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
       p.getAs[Long]("max_df"), p.getAs[Int]("n_buckets"))
@@ -289,7 +295,7 @@ object Dedup {
         "driver can hold it, or use minHashNearDups for corpus-vs-corpus")
     val probed = probe.select("band", "bucket").distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1)))
-    val lib = readSigTrees(spark, sigDirs(dir)).where(
+    val lib = readSigTrees(spark, snap.dirs).where(
       probed.map { case (b, bk) => col("band") === b && col("bucket") === bk }
         .reduceOption(_ || _).getOrElse(lit(false)))
     lib.as("a").join(broadcast(probe).as("b"),

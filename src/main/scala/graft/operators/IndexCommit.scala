@@ -50,9 +50,16 @@ object IndexCommit {
   private val mapper = new ObjectMapper()
 
   /** One committed index version: the live data-tree names (relative to the
-    * index dir, in commit order) and every append batch id applied so far. */
+    * index dir, in commit order), every append batch id applied so far, the
+    * SIDECAR files this snapshot reads (key → relative path; key doubles as
+    * the legacy bare name readers fall back to), and the version of the
+    * base/rebuild commit this state derives from (`baseVersion` — the
+    * quantizer/params generation: appends derived against one generation
+    * must never land on another, see [[appendTree]]'s fence). */
   final case class IndexState(version: Long, dirs: Vector[String],
-                              batchIds: Set[String])
+                              batchIds: Set[String],
+                              sidecars: Map[String, String] = Map.empty,
+                              baseVersion: Long = 0L)
 
   /** Test seam: runs immediately before every CAS attempt (crash-injection
     * and rival-commit interleavings in IndexCommitSpec). */
@@ -68,7 +75,9 @@ object IndexCommit {
     * IVF drift statistics ride here), `kind` is base/append/compact. */
   final case class CommitEntry(version: Long, kind: String,
                                dirs: Vector[String], batchIds: Set[String],
-                               info: Map[String, String])
+                               info: Map[String, String],
+                               sidecars: Map[String, String],
+                               baseVersion: Long)
 
   private def parseEntry(bytes: Array[Byte], v: Long): CommitEntry = {
     val n = mapper.readTree(bytes)
@@ -80,19 +89,29 @@ object IndexCommit {
     val info = Map.newBuilder[String, String]
     val in = n.get("info")
     if (in != null) in.properties().forEach(e => info += e.getKey -> e.getValue.asText())
+    val side = Map.newBuilder[String, String]
+    val sn = n.get("sidecars")
+    if (sn != null) sn.properties().forEach(e => side += e.getKey -> e.getValue.asText())
     val kind = Option(n.get("kind")).map(_.asText()).getOrElse("")
-    CommitEntry(v, kind, dirs.result(), ids.result(), info.result())
+    // pre-sidecar entries (r12-early logs) carry neither field: empty
+    // sidecar map = bare-name fallback, base generation 0
+    val baseV = Option(n.get("base_version")).map(_.asLong()).getOrElse(0L)
+    CommitEntry(v, kind, dirs.result(), ids.result(), info.result(),
+      side.result(), baseV)
   }
 
   private def parse(bytes: Array[Byte], v: Long): IndexState = {
     val e = parseEntry(bytes, v)
-    IndexState(v, e.dirs, e.batchIds)
+    IndexState(v, e.dirs, e.batchIds, e.sidecars, e.baseVersion)
   }
 
   private def render(dirs: Seq[String], batchIds: Set[String],
-                     kind: String, info: Map[String, String]): Array[Byte] = {
+                     kind: String, info: Map[String, String],
+                     sidecars: Map[String, String],
+                     baseVersion: Long): Array[Byte] = {
     val n: ObjectNode = mapper.createObjectNode()
     n.put("kind", kind)
+    n.put("base_version", baseVersion)
     val da = n.putArray("dirs")
     dirs.foreach(da.add)
     val ba = n.putArray("batch_ids")
@@ -100,6 +119,10 @@ object IndexCommit {
     if (info.nonEmpty) {
       val io = n.putObject("info")
       info.toSeq.sortBy(_._1).foreach { case (k, v2) => io.put(k, v2) }
+    }
+    if (sidecars.nonEmpty) {
+      val so = n.putObject("sidecars")
+      sidecars.toSeq.sortBy(_._1).foreach { case (k, v2) => so.put(k, v2) }
     }
     mapper.writeValueAsBytes(n)
   }
@@ -129,22 +152,30 @@ object IndexCommit {
     }
   }
 
-  /** CAS-commit `expected.version + 1`; false when a rival won the slot. */
+  /** CAS-commit `expected.version + 1`; false when a rival won the slot.
+    * Base commits stamp their own version as the new `baseVersion`
+    * generation; append/compact carry the expected state's forward. */
   private def tryCommit(indexDir: String, expected: IndexState,
                         dirs: Seq[String], batchIds: Set[String],
                         kind: String,
-                        info: Map[String, String] = Map.empty): Boolean = {
+                        info: Map[String, String] = Map.empty,
+                        sidecars: Map[String, String] = Map.empty): Boolean = {
     val store = MetaLog.storeFor(indexDir)
     store.mkdirs(logDir(indexDir))
     testBeforeCommit()
-    store.putIfAbsent(versionFile(indexDir, expected.version + 1),
-      render(dirs, batchIds, kind, info))
+    val v = expected.version + 1
+    val (side, baseV) =
+      if (kind == "base") (sidecars, v)
+      else (expected.sidecars, expected.baseVersion)
+    store.putIfAbsent(versionFile(indexDir, v),
+      render(dirs, batchIds, kind, info, side, baseV))
   }
 
   /** Latest state, bootstrapping version 0 around the legacy tree when no
     * log exists yet (a pre-pointer index touched by pointer-aware
     * maintenance for the first time). */
-  private def loadOrBootstrap(indexDir: String, legacyName: String): IndexState = {
+  private[operators] def loadOrBootstrap(indexDir: String,
+                                         legacyName: String): IndexState = {
     load(indexDir) match {
       case Some(st) => st
       case None =>
@@ -156,36 +187,72 @@ object IndexCommit {
     }
   }
 
+  /** One committed snapshot for READERS: tree paths + sidecar resolution
+    * from the SAME state, so a commit landing between two separate loads
+    * can never pair one generation's sidecars (centroids, params) with
+    * another's trees. `version == -1` marks the pre-pointer fallback. */
+  final case class ReadSnapshot(indexDir: String, version: Long,
+                                baseVersion: Long, dirs: Seq[String],
+                                sidecars: Map[String, String]) {
+    /** Absolute path of sidecar `key` — the committed name, or the bare
+      * legacy name (`key` itself) for pre-sidecar snapshots. */
+    def sidecar(key: String): String =
+      MetaLog.join(indexDir, sidecars.getOrElse(key, key))
+  }
+
+  /** Load one snapshot for a read path (never bootstraps — reads must stay
+    * side-effect-free on pre-pointer indexes). */
+  def readSnapshot(indexDir: String, legacyName: String): ReadSnapshot =
+    load(indexDir) match {
+      case Some(st) => ReadSnapshot(indexDir, st.version, st.baseVersion,
+        st.dirs.map(MetaLog.join(indexDir, _)), st.sidecars)
+      case None => ReadSnapshot(indexDir, -1L, 0L,
+        Seq(MetaLog.join(indexDir, legacyName)), Map.empty)
+    }
+
   /** The live data-tree ABSOLUTE paths to read, snapshot-consistent: the
     * latest commit's trees, or the bare legacy tree for pre-pointer
     * indexes. Trees are immutable, so a plan built over this resolution
     * stays valid however many maintenance commits land afterwards (until
-    * [[vacuum]] reclaims superseded trees). */
+    * [[vacuum]] reclaims superseded trees). Paths that ALSO read a sidecar
+    * must use [[readSnapshot]] so both resolve from one state. */
   def resolveDirs(indexDir: String, legacyName: String): Seq[String] =
-    load(indexDir) match {
-      case Some(st) => st.dirs.map(MetaLog.join(indexDir, _))
-      case None => Seq(MetaLog.join(indexDir, legacyName))
-    }
+    readSnapshot(indexDir, legacyName).dirs
+
+  /** A collision-proof sidecar file name for a REBUILD into a live index
+    * (`key` stays the bare legacy name on a first build, so pre-pointer
+    * tooling keeps reading it). */
+  def sidecarName(indexDir: String, key: String): String =
+    if (load(indexDir).isEmpty) key else s"$key-r${freshSuffix()}"
 
   /** Commit a full index BUILD: the first build writes the bare legacy tree
     * name (readable by pre-pointer tooling); a REBUILD into a live index dir
     * writes a fresh versioned tree so running searches keep their snapshot.
     * `write` receives the absolute tree path to produce. Resets
     * `batch_ids` — a rebuild re-reads the corpus, so prior appends are
-    * subsumed, and their ids must not suppress future batches. */
-  def commitBase(indexDir: String, legacyName: String)(write: String => Unit): Unit =
+    * subsumed, and their ids must not suppress future batches — and stamps
+    * a NEW `baseVersion` generation, which fences any in-flight append
+    * derived against the old quantizer/params ([[appendTree]]). `sidecars`
+    * names the generation's sidecar files (written by the caller BEFORE
+    * this call, under [[sidecarName]] names, so the pointer flip reveals a
+    * complete consistent snapshot). */
+  def commitBase(indexDir: String, legacyName: String,
+                 sidecars: Map[String, String] = Map.empty)
+                (write: String => Unit): Unit =
     load(indexDir) match {
       case None =>
         write(MetaLog.join(indexDir, legacyName))
         val boot = IndexState(-1L, Vector.empty, Set.empty)
-        if (!tryCommit(indexDir, boot, Vector(legacyName), Set.empty, "base"))
+        if (!tryCommit(indexDir, boot, Vector(legacyName), Set.empty, "base",
+            sidecars = sidecars))
           throw new graft.meta.ConcurrentCommitException(
             s"index version 0 already committed in $indexDir")
       case Some(st0) =>
         val tree = s"$legacyName-b${st0.version + 1}-${freshSuffix()}"
         write(MetaLog.join(indexDir, tree))
         var st = st0
-        while (!tryCommit(indexDir, st, Vector(tree), Set.empty, "base"))
+        while (!tryCommit(indexDir, st, Vector(tree), Set.empty, "base",
+            sidecars = sidecars))
           st = load(indexDir).get
     }
 
@@ -193,19 +260,43 @@ object IndexCommit {
     * live set. Returns false (after deleting the staged tree, when one was
     * written) iff `batchId` was already applied — the replay guard. A crash
     * before the CAS leaves the pointer unmoved and one orphan tree for
-    * [[vacuum]]. */
+    * [[vacuum]].
+    *
+    * `derivedFromBase` is the REBUILD FENCE: the `baseVersion` of the
+    * snapshot the caller derived this batch's rows from (the state whose
+    * centroids/params it read). If a rebuild lands between that read and
+    * the commit, the rows were computed with a superseded quantizer/params
+    * generation — committing them onto the new index would silently mix
+    * generations (stale-centroid cell assignments, old-k signatures), so
+    * the append deletes its staged tree and aborts loudly instead. Callers
+    * that read no sidecars may pass None (the fence still applies between
+    * this function's own load and its CAS). */
   def appendTree(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                  legacyName: String, batchId: Option[String],
-                 info: Map[String, String] = Map.empty)
+                 info: Map[String, String] = Map.empty,
+                 derivedFromBase: Option[Long] = None)
                 (write: String => Unit): Boolean = {
     var st = loadOrBootstrap(indexDir, legacyName)
+    val derived0 = derivedFromBase.getOrElse(st.baseVersion)
+    def fence(at: IndexState, staged: Option[String]): Unit =
+      if (at.baseVersion != derived0) {
+        staged.foreach(deleteTree(spark, indexDir, _))
+        throw new graft.meta.ConcurrentCommitException(
+          s"index rebuilt under this append in $indexDir (generation " +
+            s"$derived0 -> ${at.baseVersion}) — the batch was derived with " +
+            "superseded sidecars; aborted (staged tree deleted). Re-run " +
+            "the append against the new index")
+      }
+    fence(st, None)
     if (batchId.exists(st.batchIds.contains)) return false
     val tree = s"$legacyName-a${st.version + 1}-${freshSuffix()}"
     write(MetaLog.join(indexDir, tree))
     while (true) {
       if (tryCommit(indexDir, st, st.dirs :+ tree,
           st.batchIds ++ batchId, "append", info)) return true
-      st = load(indexDir).get
+      val st2 = load(indexDir).get
+      fence(st2, Some(tree))
+      st = st2
       if (batchId.exists(st.batchIds.contains)) {
         deleteTree(spark, indexDir, tree) // a rival replay of the same batch won
         return false
@@ -228,8 +319,19 @@ object IndexCommit {
     * folded the layout. Rival APPENDS retry and survive, as documented. */
   def compactTrees(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                    legacyName: String)
-                  (rewrite: (Seq[String], String) => Unit): Unit = {
-    val st0 = loadOrBootstrap(indexDir, legacyName)
+                  (rewrite: (Seq[String], String) => Unit): Unit =
+    compactTreesFrom(spark, indexDir, legacyName,
+      loadOrBootstrap(indexDir, legacyName))(rewrite)
+
+  /** [[compactTrees]] against an explicitly-loaded entry snapshot — for
+    * compactors that ALSO read a sidecar (the media library's df cap):
+    * resolving params and source trees from ONE state closes the window
+    * where a rebuild lands between the two loads and the rewrite applies
+    * one generation's params to another's trees. Load the snapshot with
+    * [[loadOrBootstrap]]-via-[[compactTrees]] or pass [[load]]'s result. */
+  def compactTreesFrom(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, legacyName: String, st0: IndexState)
+                      (rewrite: (Seq[String], String) => Unit): Unit = {
     val tree = s"$legacyName-c${st0.version + 1}-${freshSuffix()}"
     rewrite(st0.dirs.map(MetaLog.join(indexDir, _)), MetaLog.join(indexDir, tree))
     var st = st0
@@ -249,24 +351,28 @@ object IndexCommit {
   /** Reclaim data trees no committed reader can reach: children of the
     * index dir named `<legacyName>` or `<legacyName>-*` that the LATEST
     * commit does not reference — superseded pre-compact trees and orphans
-    * from crashed maintenance. Run it from the maintenance cadence AFTER a
-    * grace period longer than any in-flight query (the Delta VACUUM
-    * contract: a search planned against a pre-compact version keeps
+    * from crashed maintenance — plus SIDECAR generations superseded by a
+    * rebuild (children named `<key>-*` for each sidecar key the latest
+    * commit carries, keeping only the referenced one; bare pre-pointer
+    * sidecar names are never touched). Run it from the maintenance cadence
+    * AFTER a grace period longer than any in-flight query (the Delta
+    * VACUUM contract: a search planned against a pre-compact version keeps
     * reading the old trees until vacuumed), and never concurrently with an
     * append (an append's tree is unreferenced until its CAS lands).
-    * Returns the deleted tree names. No-op for pre-pointer indexes. */
+    * Returns the deleted names. No-op for pre-pointer indexes. */
   def vacuum(spark: org.apache.spark.sql.SparkSession, indexDir: String,
              legacyName: String): Seq[String] =
     load(indexDir) match {
       case None => Seq.empty
       case Some(st) =>
-        val live = st.dirs.toSet
+        val live = st.dirs.toSet ++ st.sidecars.values
         val fs = hadoopFs(spark, indexDir)
         val base = new org.apache.hadoop.fs.Path(indexDir)
         if (!fs.exists(base)) return Seq.empty
+        val prefixes = legacyName +: st.sidecars.keys.toSeq
         val dead = fs.listStatus(base).toSeq
           .filter(_.isDirectory).map(_.getPath.getName)
-          .filter(n => n == legacyName || n.startsWith(s"$legacyName-"))
+          .filter(n => prefixes.exists(p => n == p || n.startsWith(s"$p-")))
           .filterNot(live.contains)
         dead.foreach(n =>
           fs.delete(new org.apache.hadoop.fs.Path(base, n), true))

@@ -353,18 +353,22 @@ object Multimodal {
     require(nBuckets >= 1)
     val spark = df.sparkSession
     val ch = cdcChunkHashes(df, idCol, payloadCol, window, divisor, maxDf)
-    IndexCommit.commitBase(dir, "chunks") { tree =>
+    import spark.implicits._
+    // id name + type ride the sidecar so appendToMediaLibraryIndex can
+    // match the chunks schema without listing the growing chunks tree.
+    // The sidecar is written BEFORE the pointer flip under a
+    // generation-unique name (see Similarity.writeIvfIndex): snapshot
+    // readers never pair one build's window/divisor with another's trees
+    val paramsName = IndexCommit.sidecarName(dir, "params")
+    Seq((window, divisor, maxDf, nBuckets, idCol,
+        df.schema(idCol).dataType.catalogString))
+      .toDF("window", "divisor", "max_df", "n_buckets", "id_name", "id_type")
+      .write.mode("overwrite").parquet(s"$dir/$paramsName")
+    IndexCommit.commitBase(dir, "chunks", Map("params" -> paramsName)) { tree =>
       ch.select(col(idCol), col("ch"),
           pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tree)
     }
-    import spark.implicits._
-    // id name + type ride the sidecar so appendToMediaLibraryIndex can
-    // match the chunks schema without listing the growing chunks tree
-    Seq((window, divisor, maxDf, nBuckets, idCol,
-        df.schema(idCol).dataType.catalogString))
-      .toDF("window", "divisor", "max_df", "n_buckets", "id_name", "id_type")
-      .write.mode("overwrite").parquet(s"$dir/params")
   }
 
   /** Incremental maintenance for the persisted chunk library — the
@@ -390,7 +394,11 @@ object Multimodal {
                                 newMedia: DataFrame, idCol: String,
                                 payloadCol: String,
                                 batchId: Option[String] = None): Boolean = {
-    val p = spark.read.parquet(s"$dir/params").collect().head
+    // params resolve from ONE snapshot whose generation fences the commit:
+    // a rebuild landing after this read aborts the append instead of
+    // letting old-divisor chunks onto the new index
+    val snap = IndexCommit.readSnapshot(dir, "chunks")
+    val p = spark.read.parquet(snap.sidecar("params")).collect().head
     val (window, divisor, maxDf, nBuckets) = (p.getAs[Int]("window"),
       p.getAs[Int]("divisor"), p.getAs[Int]("max_df"), p.getAs[Int]("n_buckets"))
     // keep the id column NAME AND TYPE the builder used — a caller-side
@@ -402,34 +410,30 @@ object Multimodal {
       if (p.schema.fieldNames.contains("id_name"))
         (p.getAs[String]("id_name"), p.getAs[String]("id_type"))
       else {
-        val f = spark.read.parquet(chunkDirs(dir).head).schema
+        val f = spark.read.parquet(snap.dirs.head).schema
           .filterNot(f => f.name == "ch" || f.name == "bucket").head
         (f.name, f.dataType.catalogString)
       }
     val slice = cdcChunkHashes(newMedia, idCol, payloadCol, window, divisor, maxDf)
       .select(col(idCol).cast(idType).as(idName), col("ch"),
         pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("bucket"))
-    IndexCommit.appendTree(spark, dir, "chunks", batchId) { tree =>
+    IndexCommit.appendTree(spark, dir, "chunks", batchId,
+        derivedFromBase = if (snap.version >= 0) Some(snap.baseVersion) else None) { tree =>
       slice.write.mode("overwrite").partitionBy("bucket").parquet(tree)
     }
   }
 
-  /** The live chunks trees, resolved through the commit pointer (legacy
-    * bare `chunks/` for pre-pointer indexes). */
-  private def chunkDirs(dir: String): Seq[String] =
-    IndexCommit.resolveDirs(dir, "chunks")
-
   /** Union of chunks trees with the partition column re-read as INT (the
     * type the builders write, so probe filters compare un-cast and pruning
     * engages). */
-  private def readChunkTrees(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+  private def readChunkTrees(spark: SparkSession, dirs: Seq[String],
+                             paramsPath: String): DataFrame = {
     import org.apache.spark.sql.types._
     val inferred = IndexCommit.inferAcross(spark, dirs).getOrElse {
       // EVERY live tree is empty — legitimate after a compact whose chunks
       // were all globally df-capped away. The schema is fully determined
       // by the params sidecar (id name/type + ch + bucket).
-      val p = dirs.head.split("/").dropRight(1).mkString("/")
-      val row = spark.read.parquet(s"$p/params").collect().head
+      val row = spark.read.parquet(paramsPath).collect().head
       val idT = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseDataType(row.getAs[String]("id_type"))
       StructType(Seq(StructField(row.getAs[String]("id_name"), idT),
@@ -455,10 +459,17 @@ object Multimodal {
     * flip, no quiesce window, rival appends survive (their slices simply
     * miss this pass's global re-cap). */
   def compactMediaLibraryIndex(spark: SparkSession, dir: String): Unit = {
-    val p = spark.read.parquet(s"$dir/params").collect().head
+    // params + source trees from ONE snapshot (IndexCommit.compactTreesFrom):
+    // a rebuild landing between the two reads can never make this pass
+    // apply one generation's df cap to another's trees — and the commit's
+    // source-tree guard aborts if a rebuild lands during the rewrite
+    val st0 = IndexCommit.loadOrBootstrap(dir, "chunks")
+    val paramsPath = graft.meta.MetaLog.join(dir,
+      st0.sidecars.getOrElse("params", "params"))
+    val p = spark.read.parquet(paramsPath).collect().head
     val maxDf = p.getAs[Int]("max_df")
-    IndexCommit.compactTrees(spark, dir, "chunks") { (srcs, target) =>
-      val all = OpUtil.shared(readChunkTrees(spark, srcs))
+    IndexCommit.compactTreesFrom(spark, dir, "chunks", st0) { (srcs, target) =>
+      val all = OpUtil.shared(readChunkTrees(spark, srcs, paramsPath))
       val heavy = all.groupBy("ch").count()
         .where(col("count") > maxDf).select("ch")
       all.join(heavy, Seq("ch"), "left_anti")
@@ -495,7 +506,10 @@ object Multimodal {
                         idCol: String, payloadCol: String,
                         minShared: Int = 4,
                         maxProbeChunks: Long = MaxProbeChunks): DataFrame = {
-    val p = spark.read.parquet(s"$dir/params").collect().head
+    // params + trees from ONE snapshot: a rebuild flipping the pointer
+    // mid-probe can never pair new-divisor probe chunks with old trees
+    val snap = IndexCommit.readSnapshot(dir, "chunks")
+    val p = spark.read.parquet(snap.sidecar("params")).collect().head
     val (window, divisor, nBuckets) =
       (p.getAs[Int]("window"), p.getAs[Int]("divisor"), p.getAs[Int]("n_buckets"))
     val inc = OpUtil.shared(
@@ -517,7 +531,7 @@ object Multimodal {
     // readIvfIndex lesson) — bucket was written as INT, probed is Seq[Int].
     // Trees resolve through the commit pointer: one committed snapshot,
     // stable under concurrent append/compact.
-    val chunks = readChunkTrees(spark, chunkDirs(dir))
+    val chunks = readChunkTrees(spark, snap.dirs, snap.sidecar("params"))
     val libId = chunks.columns.filterNot(c => c == "ch" || c == "bucket") match {
       case Array(one) => one
       case other => throw new IllegalArgumentException(

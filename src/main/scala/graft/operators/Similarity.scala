@@ -388,10 +388,17 @@ object Similarity {
     * commits a fresh versioned tree, so concurrent searches keep their
     * snapshot until [[vacuumIvfIndex]]. */
   def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
-    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    IndexCommit.commitBase(dir, "cells") { tree =>
-      index.cells.write.mode("overwrite").partitionBy("cell").parquet(tree)
-    }
+    // every sidecar is written BEFORE the pointer flip under a
+    // generation-unique name (bare on a first build, fresh-suffixed on a
+    // REBUILD into a live index), and the commit carries the names — so a
+    // reader resolving one committed snapshot can never pair this build's
+    // centroids/params with another generation's cells trees
+    // (IndexCommit.ReadSnapshot), and old snapshots keep their sidecars
+    // until vacuum
+    val centName = IndexCommit.sidecarName(dir, "centroids")
+    val paramsName = IndexCommit.sidecarName(dir, "params")
+    val driftName = IndexCommit.sidecarName(dir, "drift")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/$centName")
     // tiny params sidecar: the id column's type, so an append can cast to
     // it WITHOUT schema-inferring the (ever-growing) cells tree — a
     // type-forked nid (INT vs BIGINT footers under one inferred schema)
@@ -399,7 +406,7 @@ object Similarity {
     val spark = index.cells.sparkSession
     import spark.implicits._
     Seq(index.cells.schema("nid").dataType.catalogString)
-      .toDF("id_type").write.mode("overwrite").parquet(s"$dir/params")
+      .toDF("id_type").write.mode("overwrite").parquet(s"$dir/$paramsName")
     // drift baseline: the build corpus's per-cell assignment quality (mean
     // cosine of each member to its centroid — one broadcast join + one
     // nlist-key aggregate over rows already materialized above). Appends
@@ -411,20 +418,26 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"),
         avg(cosine(col("nvec"), col("cvec"))).as("mean_score"))
-      .write.mode("overwrite").parquet(s"$dir/drift")
+      .write.mode("overwrite").parquet(s"$dir/$driftName")
+    IndexCommit.commitBase(dir, "cells", Map("centroids" -> centName,
+        "params" -> paramsName, "drift" -> driftName)) { tree =>
+      index.cells.write.mode("overwrite").partitionBy("cell").parquet(tree)
+    }
   }
 
-  /** The live cells trees, resolved through the commit pointer (legacy
-    * bare `cells/` for pre-pointer indexes). */
-  private def ivfCellDirs(dir: String): Seq[String] =
-    IndexCommit.resolveDirs(dir, "cells")
+  /** One committed snapshot of the IVF index — trees AND sidecars resolved
+    * from the same state (legacy bare names for pre-pointer indexes). */
+  private def ivfSnapshot(dir: String): IndexCommit.ReadSnapshot =
+    IndexCommit.readSnapshot(dir, "cells")
 
-  /** The persisted id type, from the params sidecar when present (indexes
-    * written since the sidecar existed) else one cells schema inference. */
-  private def persistedIdType(spark: SparkSession, dir: String): String =
-    try spark.read.parquet(s"$dir/params").collect().head.getString(0)
+  /** The persisted id type, from the snapshot's params sidecar when present
+    * (indexes written since the sidecar existed) else one cells schema
+    * inference. */
+  private def persistedIdType(spark: SparkSession,
+                              snap: IndexCommit.ReadSnapshot): String =
+    try spark.read.parquet(snap.sidecar("params")).collect().head.getString(0)
     catch { case scala.util.control.NonFatal(_) =>
-      spark.read.parquet(ivfCellDirs(dir).head)
+      spark.read.parquet(snap.dirs.head)
         .schema("nid").dataType.catalogString
     }
 
@@ -456,10 +469,14 @@ object Similarity {
     // whose file listing grows with every prior append (the per-micro-batch
     // cost in the foreachBatch deployment must not scale with index age).
     // The id cast pins the persisted column type: a caller whose id column
-    // is INT must not fork an INT64 index's footers.
-    val cents = spark.read.parquet(s"$dir/centroids")
+    // is INT must not fork an INT64 index's footers. Sidecars resolve
+    // through ONE snapshot whose generation fences the commit below: a
+    // REBUILD landing after this read aborts the append instead of letting
+    // stale-centroid assignments onto the new index.
+    val snap = ivfSnapshot(dir)
+    val cents = spark.read.parquet(snap.sidecar("centroids"))
     val typed = newVecs.withColumn(idCol,
-      col(idCol).cast(persistedIdType(spark, dir)))
+      col(idCol).cast(persistedIdType(spark, snap)))
     // materialize the scored assignment ONCE: the tree write and the drift
     // aggregate both read it (OpUtil.shared), so the batch is chunked and
     // argmax'd a single time
@@ -473,7 +490,8 @@ object Similarity {
       "batch_n" -> stat.getLong(0).toString,
       "batch_mean_score" ->
         (if (stat.isNullAt(1)) "NaN" else stat.getDouble(1).toString))
-    IndexCommit.appendTree(spark, dir, "cells", batchId, info) { tree =>
+    IndexCommit.appendTree(spark, dir, "cells", batchId, info,
+        derivedFromBase = if (snap.version >= 0) Some(snap.baseVersion) else None) { tree =>
       scored.drop("cscore")
         .write.mode("overwrite").partitionBy("cell").parquet(tree)
     }
@@ -493,7 +511,7 @@ object Similarity {
     import org.apache.spark.sql.types._
     val base: Option[Double] =
       try {
-        val r = spark.read.parquet(s"$dir/drift")
+        val r = spark.read.parquet(ivfSnapshot(dir).sidecar("drift"))
           .agg(sum(col("mean_score") * col("n")) / sum(col("n")))
           .collect().head
         if (r.isNullAt(0)) None else Some(r.getDouble(0))
@@ -574,9 +592,11 @@ object Similarity {
   /** Open a persisted index: centroids + the union of live cells trees
     * resolved through the commit pointer — one committed snapshot, stable
     * under concurrent maintenance. */
-  def readIvfIndex(spark: SparkSession, dir: String): IvfIndex =
-    IvfIndex(spark.read.parquet(s"$dir/centroids"),
-      readCellTrees(spark, ivfCellDirs(dir)))
+  def readIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    val snap = ivfSnapshot(dir)
+    IvfIndex(spark.read.parquet(snap.sidecar("centroids")),
+      readCellTrees(spark, snap.dirs))
+  }
 
   /** Search a PERSISTED index with guaranteed partition pruning: the
     * distinct probed cells (bounded by `nlist`, never by the query count —
@@ -645,24 +665,22 @@ object Similarity {
     * the bucket table needs storing; `dim`/`planes`/`tables` ride a tiny
     * params file. */
   def writeLshIndex(index: LshIndex, dir: String): Unit = {
-    IndexCommit.commitBase(dir, "buckets") { tree =>
-      index.buckets.write.mode("overwrite").partitionBy("tbl", "bucket")
-        .parquet(tree)
-    }
     val spark = index.buckets.sparkSession
     import spark.implicits._
     // id_type rides the sidecar so appendToLshIndex can cast without
-    // schema-inferring the growing buckets tree
+    // schema-inferring the growing buckets tree; the sidecar is written
+    // BEFORE the pointer flip under a generation-unique name (see
+    // writeIvfIndex) so snapshot readers never mix generations
+    val paramsName = IndexCommit.sidecarName(dir, "params")
     Seq((index.dim, index.planes, index.tables,
         index.buckets.schema("nid").dataType.catalogString))
       .toDF("dim", "planes", "tables", "id_type")
-      .write.mode("overwrite").parquet(s"$dir/params")
+      .write.mode("overwrite").parquet(s"$dir/$paramsName")
+    IndexCommit.commitBase(dir, "buckets", Map("params" -> paramsName)) { tree =>
+      index.buckets.write.mode("overwrite").partitionBy("tbl", "bucket")
+        .parquet(tree)
+    }
   }
-
-  /** The live buckets trees, resolved through the commit pointer (legacy
-    * bare `buckets/` for pre-pointer indexes). */
-  private def lshBucketDirs(dir: String): Seq[String] =
-    IndexCommit.resolveDirs(dir, "buckets")
 
   /** [[appendToIvfIndex]]'s LSH twin — and the easier one: the hyperplanes
     * are POSITIONALLY derived (`rademacherWeights(table, plane, dim)`), so
@@ -677,7 +695,11 @@ object Similarity {
   def appendToLshIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
                        idCol: String, vecCol: String,
                        batchId: Option[String] = None): Boolean = {
-    val p = spark.read.parquet(s"$dir/params").collect().head
+    // params + trees resolve from ONE snapshot; its generation fences the
+    // commit (a rebuild landing after this read aborts the append instead
+    // of letting old-params buckets onto the new index)
+    val snap = IndexCommit.readSnapshot(dir, "buckets")
+    val p = spark.read.parquet(snap.sidecar("params")).collect().head
     // by-name sidecar reads: the sidecar schema has evolved once already
     // (id_type added) and positional reads silently misread on the next
     // evolution
@@ -688,11 +710,12 @@ object Similarity {
     // a type-forked column breaks every later vectorized read
     val idType =
       if (p.schema.fieldNames.contains("id_type")) p.getAs[String]("id_type")
-      else spark.read.parquet(lshBucketDirs(dir).head)
+      else spark.read.parquet(snap.dirs.head)
         .schema("nid").dataType.catalogString
     val c = newVecs.select(col(idCol).cast(idType).as("nid"),
       asDouble(col(vecCol)).as("nvec"))
-    IndexCommit.appendTree(spark, dir, "buckets", batchId) { tree =>
+    IndexCommit.appendTree(spark, dir, "buckets", batchId,
+        derivedFromBase = if (snap.version >= 0) Some(snap.baseVersion) else None) { tree =>
       lshBucketed(c, "nid", "nvec", dim, planes, tables)
         .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(tree)
     }
@@ -733,8 +756,9 @@ object Similarity {
     * through the commit pointer — one committed snapshot, stable under
     * concurrent maintenance. */
   def readLshIndex(spark: SparkSession, dir: String): LshIndex = {
-    val p = spark.read.parquet(s"$dir/params").collect().head
-    LshIndex(readBucketTrees(spark, lshBucketDirs(dir)),
+    val snap = IndexCommit.readSnapshot(dir, "buckets")
+    val p = spark.read.parquet(snap.sidecar("params")).collect().head
+    LshIndex(readBucketTrees(spark, snap.dirs),
       p.getAs[Int]("dim"), p.getAs[Int]("planes"), p.getAs[Int]("tables"))
   }
 

@@ -6,25 +6,28 @@ import graft.operators.IndexCommitProtocol._
 
 /** EXHAUSTIVE model check of the persisted-index maintenance protocol —
   * [[IndexCommitProtocol]]'s pure transitions, which mirror
-  * `IndexCommit.appendTree` / `compactTrees` store round-trip by store
-  * round-trip (the FanOut/FanIn harness applied to the third commit
-  * protocol in the engine; the r12 self-review found a REAL silent
-  * row-duplication under rival compacts in this family — the mutation
-  * test below pins that exact bug class as caught).
+  * `IndexCommit.appendTree` / `compactTrees` / `commitBase` store
+  * round-trip by store round-trip (the FanOut/FanIn harness applied to the
+  * third commit protocol in the engine; the r12 self-review found TWO real
+  * silent-corruption classes in this family — row duplication under rival
+  * compacts, stale-sidecar rows under rebuild-racing-append — and the
+  * mutation tests below pin both as caught).
   *
-  * Scope per config: 3 maintenance jobs (appenders with distinct or
-  * deliberately DUPLICATED batch ids — the foreachBatch-retry twin — and
-  * compactors), each with a CRASH action at every point — DFS over every
-  * interleaving of the atomic steps. At EVERY reachable state: no
-  * committed snapshot (ANY version a reader may hold) contains a row
-  * label twice, and no commit references a deleted tree. At every
-  * TERMINAL state: the latest snapshot holds exactly base + each applied
-  * batch once, completed appends are durable, and vacuum reclaims
+  * Scope per config: 3–5 maintenance jobs (appenders with distinct or
+  * deliberately DUPLICATED batch ids — the foreachBatch-retry twin —
+  * compactors, and rebuilders), each with a CRASH action at every point —
+  * DFS over every interleaving of the atomic steps. At EVERY reachable
+  * state: no committed snapshot (ANY version a reader may hold) contains a
+  * row label twice, references a deleted tree, or mixes sidecar
+  * GENERATIONS (every live tree derived against the snapshot's own
+  * baseVersion). At every TERMINAL state: the latest snapshot holds
+  * exactly its generation's base + each applied batch once, completed
+  * appends are durable (rebuild-free configs), and vacuum reclaims
   * precisely the unreferenced trees without touching the live content.
   *
   * The live-system twins (real Spark, real CAS log, hook-injected rivals)
-  * are IndexCommitSpec's rivalry suites; this spec closes the gap between
-  * "the schedules we thought to seed" and "all of them".
+  * are IndexCommitSpec's rivalry/fence suites; this spec closes the gap
+  * between "the schedules we thought to seed" and "all of them".
   */
 class IndexCommitProtocolSpec extends AnyFunSuite {
 
@@ -33,22 +36,29 @@ class IndexCommitProtocolSpec extends AnyFunSuite {
   }
   private case class Node(g: Global, ws: Vector[W])
 
-  /** Every committed snapshot must stay readable and duplicate-free. */
+  /** Every committed snapshot must stay readable, duplicate-free, and
+    * generation-pure. */
   private def safety(g: Global): Unit = {
     g.log.indices.foreach { v =>
-      assert(g.log(v).dirs.forall(g.disk.contains),
-        s"commit v$v references a deleted tree: ${g.log(v)} disk=${g.disk.keySet}")
+      val e = g.log(v)
+      assert(e.dirs.forall(g.disk.contains),
+        s"commit v$v references a deleted tree: $e disk=${g.disk.keySet}")
       val c = content(g, v)
       assert(c.distinct.size == c.size,
         s"committed snapshot v$v holds a row twice: $c")
+      assert(e.dirs.forall(t => g.disk(t).gen == e.baseVersion),
+        s"committed snapshot v$v mixes sidecar generations: " +
+          s"${e.dirs.map(t => t -> g.disk(t).gen)} vs base ${e.baseVersion}")
     }
   }
 
   /** DFS over every schedule of `jobs` (+ crash at every point). Returns
     * (#states, #terminals, #aborts-observed, #replay-skips-observed). */
   private def enumerate(jobs: Vector[Pc], compactGuard: Boolean = true,
-                        replayRecheck: Boolean = true)
+                        replayRecheck: Boolean = true,
+                        rebuildFence: Boolean = true)
       : (Long, Long, Long, Long) = {
+    val withRebuild = jobs.contains(BLoad)
     val seen = scala.collection.mutable.HashSet[Node]()
     var terminals = 0L
     var aborts = 0L
@@ -64,7 +74,8 @@ class IndexCommitProtocolSpec extends AnyFunSuite {
         val w = n.ws(wi)
         if (!w.dead) {
           successors ::= n.copy(ws = n.ws.updated(wi, w.copy(crashed = true)))
-          val (g2, pc2) = step(n.g, w.pc, compactGuard, replayRecheck)
+          val (g2, pc2) = step(n.g, w.pc, compactGuard, replayRecheck,
+            rebuildFence)
           successors ::= n.copy(g = g2, ws = n.ws.updated(wi, w.copy(pc = pc2)))
         }
       }
@@ -73,14 +84,16 @@ class IndexCommitProtocolSpec extends AnyFunSuite {
         aborts += n.ws.count(_.pc == Aborted)
         skips += n.ws.count(_.pc == Done(false))
         val g = n.g
-        // the latest snapshot: base + every applied batch, each exactly once
+        // the latest snapshot: its generation's base + every applied batch,
+        // each exactly once
         val c = content(g, g.latestVersion)
         assert(c.sorted ==
           ("base" +: g.latest.batchIds.toVector).sorted,
           s"latest snapshot must hold base + applied batches once: $c vs ${g.latest}")
-        // durability: a COMPLETED append run implies its batch is applied
-        // (Done(true) = this run landed it; Done(false) = a rival already had)
-        n.ws.zip(jobs).foreach {
+        // durability: a COMPLETED append run implies its batch is applied —
+        // except under a rebuild, which legitimately subsumes prior appends
+        // (batch ids reset by design)
+        if (!withRebuild) n.ws.zip(jobs).foreach {
           case (W(Done(_), false), ALoad(b)) =>
             assert(g.latest.batchIds.contains(b),
               s"completed append of $b must be durable: ${g.latest}")
@@ -122,12 +135,29 @@ class IndexCommitProtocolSpec extends AnyFunSuite {
     assert(aborts > 0L, "some schedule must exercise the rival-compact abort")
   }
 
+  test("rebuild × append × compact: the generation fence keeps every snapshot sidecar-pure") {
+    val (states, terminals, aborts, _) = enumerate(
+      Vector(ALoad("b1"), CLoad, BLoad))
+    info(s"explored $states states, $terminals terminals, $aborts loud aborts")
+    assert(states > 500L)
+    assert(aborts > 0L, "some schedule must exercise the rebuild fence")
+  }
+
   test("deeper config: 2 appends (one duplicated) × 2 rival compacts") {
     val (states, terminals, aborts, skips) = enumerate(
       Vector(ALoad("b1"), ALoad("b1"), ALoad("b2"), CLoad, CLoad))
     info(s"explored $states states, $terminals terminals, " +
       s"$aborts aborts, $skips skips")
     assert(states > 10000L)
+    assert(aborts > 0L && skips > 0L)
+  }
+
+  test("deeper config: duplicated appends × compact × rebuild") {
+    val (states, terminals, aborts, skips) = enumerate(
+      Vector(ALoad("b1"), ALoad("b1"), CLoad, BLoad))
+    info(s"explored $states states, $terminals terminals, " +
+      s"$aborts aborts, $skips skips")
+    assert(states > 5000L)
     assert(aborts > 0L && skips > 0L)
   }
 
@@ -144,5 +174,12 @@ class IndexCommitProtocolSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("holds a row twice") ||
       e.getMessage.contains("once"), e.getMessage)
+  }
+
+  test("MUTATION: dropping the rebuild fence must surface generation mixing") {
+    val e = intercept[org.scalatest.exceptions.TestFailedException] {
+      enumerate(Vector(ALoad("b1"), BLoad), rebuildFence = false)
+    }
+    assert(e.getMessage.contains("mixes sidecar generations"), e.getMessage)
   }
 }

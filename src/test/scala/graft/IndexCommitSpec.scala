@@ -391,6 +391,106 @@ class IndexCommitSpec extends SparkTestBase {
       s"staged tree must be deleted on abort: ${onDisk.diff(referenced)}")
   }
 
+  test("rebuild racing an append aborts on the generation fence (no stale-quantizer rows)") {
+    val root = tmpDir("ixc-fence-")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 8), root)
+    // the hook fires inside the append's commit attempt and lands a COMPLETE
+    // REBUILD first (different quantizer: nlist = 4) — the append's cell
+    // assignments were computed against the OLD centroids, so committing
+    // them onto the new index would silently mix quantizer generations
+    var armed = true
+    IndexCommit.testBeforeCommit = () => {
+      if (armed) {
+        armed = false
+        Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+          emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 4), root)
+      }
+    }
+    val e = intercept[graft.meta.ConcurrentCommitException] {
+      try Similarity.appendToIvfIndex(spark, root,
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      finally IndexCommit.testBeforeCommit = () => ()
+    }
+    assert(e.getMessage.contains("rebuilt under this append"), e.getMessage)
+    // the committed state is the rebuild alone; the staged stale tree is gone
+    val st = IndexCommit.load(root).get
+    assert(st.dirs.size == 1 && st.dirs.head.startsWith("cells-b"), st.dirs.toString)
+    val referenced = IndexCommit.history(root).flatMap(_.dirs).toSet
+    val onDisk = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n == "cells" || n.startsWith("cells-")).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"staged tree must be deleted on abort: ${onDisk.diff(referenced)}")
+    // a RE-RUN append (deriving against the new generation) succeeds
+    assert(Similarity.appendToIvfIndex(spark, root,
+      emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding"))
+    assert(searchSet(root).nonEmpty)
+  }
+
+  test("sidecars ride the commit: rebuild versions them, old generation stays readable until vacuum") {
+    val root = tmpDir("ixc-sidecar-")
+    buildAppended(root)
+    val snap0 = IndexCommit.readSnapshot(root, "cells")
+    // first build uses the bare legacy names (pre-pointer tooling compat)
+    assert(snap0.sidecar("centroids").endsWith("/centroids"))
+    val cents0 = spark.read.parquet(snap0.sidecar("centroids"))
+      .collect().map(_.getLong(0)).toSet
+    // rebuild with a DIFFERENT quantizer: sidecars land under fresh names,
+    // the pointer flip publishes trees + sidecars as one snapshot
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      emb, "vec_id", "embedding", nlist = 4), root)
+    val snap1 = IndexCommit.readSnapshot(root, "cells")
+    assert(snap1.sidecars("centroids").startsWith("centroids-r"),
+      snap1.sidecars.toString)
+    assert(spark.read.parquet(snap1.sidecar("centroids")).count() == 4L)
+    // the OLD generation's sidecars are untouched: a search planned against
+    // the pre-rebuild snapshot keeps its centroids AND its trees
+    assert(spark.read.parquet(snap0.sidecar("centroids"))
+      .collect().map(_.getLong(0)).toSet == cents0)
+    assert(snap0.dirs.forall(d => new java.io.File(d).exists()))
+    // searches against the live index use the new quantizer end to end
+    assert(searchSet(root).nonEmpty)
+    // vacuum reclaims the superseded generation: old trees AND old sidecars
+    val dead = Similarity.vacuumIvfIndex(spark, root)
+    assert(dead.contains("centroids") && dead.contains("params") &&
+      dead.contains("drift"), s"vacuum must reclaim superseded sidecars: $dead")
+    assert(!new java.io.File(snap0.sidecar("centroids")).exists())
+    assert(new java.io.File(snap1.sidecar("centroids")).exists())
+    assert(searchSet(root).nonEmpty, "the live generation survives vacuum")
+  }
+
+  test("MinHash params rebuild: probes resolve the new generation through the pointer") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until 24).map(j => s"w${i % 3}t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val root = tmpDir("ixc-mhrebuild-")
+    Dedup.writeMinHashIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", root, numHashes = 16, bands = 4, nBuckets = 8)
+    val probe = docs.where(col("doc_id") % 2 === 1)
+    val before = Dedup.probeMinHashIndexAt(spark, root, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty)
+    // rebuild with DIFFERENT banding: the probe must sign with the new
+    // params against the new trees — one consistent snapshot
+    Dedup.writeMinHashIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", root, numHashes = 16, bands = 8, nBuckets = 8)
+    val snap = IndexCommit.readSnapshot(root, "sigs")
+    assert(snap.sidecars("params").startsWith("params-r"))
+    val after = Dedup.probeMinHashIndexAt(spark, root, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same candidate pairs for this synthetic corpus (identical texts
+    // collide under any banding) — the point is the probe RAN consistently
+    // against the 8-band generation
+    assert(after == before)
+    val sigs = spark.read.schema(
+        spark.read.parquet(snap.dirs.head).schema).parquet(snap.dirs.head)
+    assert(sigs.select("band").distinct().count() == 8L,
+      "probe must run against the rebuilt 8-band trees")
+  }
+
   test("rebuild into a live index dir commits a fresh tree (searches keep their snapshot)") {
     val root = tmpDir("ixc-rebuild-")
     buildAppended(root)
