@@ -1283,8 +1283,8 @@ object Oracles {
 
   /** IVF search oracle, parameterized on the coarse-quantizer source:
     * `centSql` must yield `(cid BIGINT, cvec DOUBLE[])`. */
-  private def ivfSql(centSql: String): String =
-    s"""WITH c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings),
+  private def ivfSql(centSql: String, candWhere: String = ""): String =
+    s"""WITH c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec FROM embeddings$candWhere),
        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
        |cent AS ($centSql),
        |cc AS (SELECT nid, nvec, cid,
@@ -1310,6 +1310,14 @@ object Oracles {
   private val simIvfAppend = ivfSql(
     "SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings " +
       "WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16")
+
+  /** TIME TRAVEL to the appended index's version 0 (the pre-append build):
+    * same even-trained quantizer, but the CANDIDATE set is the even half
+    * alone — the odd delta tree is not in that committed snapshot. */
+  private val simIvfTimeTravel = ivfSql(
+    "SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings " +
+      "WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16",
+    candWhere = " WHERE vec_id % 2 = 0")
 
   /** A double literal DuckDB parses AS DOUBLE. Bare decimal literals type as
     * DECIMAL, and a bracketed list of mixed-scale DECIMALs unifies to ONE
@@ -2241,6 +2249,7 @@ object Oracles {
     "sim_ivf" -> simIvf,
     "sim_ivf_persisted" -> simIvf, // persisted-index roundtrip: identical result
     "sim_ivf_append" -> simIvfAppend,
+    "sim_ivf_time_travel" -> simIvfTimeTravel,
     "es_stream_ivf_append" -> simIvfAppend, // micro-batch appends: same cell rows
     "sim_ivf_compact" -> simIvfAppend, // compaction changes layout, never results
     "sim_ivf_replay" -> simIvfAppend, // replayed batch id: guard skips the duplicate

@@ -1248,6 +1248,19 @@ object SparkEntry {
       Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 4)
 
+  /** TIME TRAVEL on [[qSimIvfAppend]]'s index: the same search pinned to
+    * version 0 — the pre-append build — must see ONLY the even-id half
+    * (the odd delta tree is not in that committed snapshot), reproducing
+    * yesterday's results exactly ([[graft.operators.IndexCommit
+    * .readSnapshotAt]]; the `graft_scan('dir', version)` contract applied
+    * to indexes). Shares the fixture; its own oracle restricts the
+    * candidate set to even ids. */
+  private def qSimIvfTimeTravel(s: SparkSession, sfDir: String): DataFrame =
+    Similarity.searchIvfIndexAt(s,
+      appendedIvfDir(s, sfDir, "ivf-append", compact = false),
+      Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 4, version = Some(0L))
+
   /** [[qSimIvfAppend]] delivered TWICE under one batch id: the commit
     * pointer's replay guard ([[graft.operators.IndexCommit.appendTree]])
     * must skip the duplicate, so the search equals the single-delivery
@@ -1950,6 +1963,7 @@ object SparkEntry {
     "sim_ivf" -> (qSimIvf _),
     "sim_ivf_persisted" -> (qSimIvfPersisted _),
     "sim_ivf_append" -> (qSimIvfAppend _),
+    "sim_ivf_time_travel" -> (qSimIvfTimeTravel _),
     "es_stream_ivf_append" -> (qEsStreamIvfAppend _),
     "sim_ivf_compact" -> (qSimIvfCompact _),
     "sim_ivf_replay" -> (qSimIvfReplay _),

@@ -277,8 +277,9 @@ object Dedup {
   def probeMinHashIndexAt(spark: org.apache.spark.sql.SparkSession,
                           dir: String, newDocs: DataFrame, idCol: String,
                           textCol: String,
-                          maxProbeSigs: Long = MaxProbeSigs): DataFrame = {
-    val snap = IndexCommit.readSnapshot(dir, "sigs")
+                          maxProbeSigs: Long = MaxProbeSigs,
+                          version: Option[Long] = None): DataFrame = {
+    val snap = IndexCommit.readSnapshot(dir, "sigs", version)
     val p = spark.read.parquet(snap.sidecar("params")).collect().head
     val (k, nh, bands, maxDf, nBuckets) = (p.getAs[Int]("k"),
       p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),

@@ -210,6 +210,35 @@ object IndexCommit {
         Seq(MetaLog.join(indexDir, legacyName)), Map.empty)
     }
 
+  /** [[readSnapshot]] with an optional TIME-TRAVEL version — the reader
+    * plumbing every index family's search/probe shares. */
+  def readSnapshot(indexDir: String, legacyName: String,
+                   version: Option[Long]): ReadSnapshot =
+    version.map(readSnapshotAt(indexDir, _))
+      .getOrElse(readSnapshot(indexDir, legacyName))
+
+  /** TIME TRAVEL: the snapshot at a PAST commit `version` — every commit
+    * entry is a complete generation-pure state (trees + sidecars), so
+    * yesterday's search/probe reproduces exactly, as long as [[vacuum]]
+    * hasn't reclaimed that version's trees yet (the stream `graft_scan
+    * ('dir', version)` contract applied to indexes; version ids from
+    * [[history]] / `graft_index_describe`). Fails loudly on an unknown
+    * version or a pre-pointer index. */
+  def readSnapshotAt(indexDir: String, version: Long): ReadSnapshot = {
+    val store = MetaLog.storeFor(indexDir)
+    val bytes =
+      try store.read(versionFile(indexDir, version))
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"index version $version does not exist in $indexDir " +
+            "(version ids come from graft_index_describe; pre-pointer " +
+            "indexes have no versions)", e)
+      }
+    val st = parse(bytes, version)
+    ReadSnapshot(indexDir, st.version, st.baseVersion,
+      st.dirs.map(MetaLog.join(indexDir, _)), st.sidecars)
+  }
+
   /** The live data-tree ABSOLUTE paths to read, snapshot-consistent: the
     * latest commit's trees, or the bare legacy tree for pre-pointer
     * indexes. Trees are immutable, so a plan built over this resolution

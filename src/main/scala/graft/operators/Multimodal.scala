@@ -505,10 +505,11 @@ object Multimodal {
   def mediaDedupProbeAt(spark: SparkSession, dir: String, incoming: DataFrame,
                         idCol: String, payloadCol: String,
                         minShared: Int = 4,
-                        maxProbeChunks: Long = MaxProbeChunks): DataFrame = {
+                        maxProbeChunks: Long = MaxProbeChunks,
+                        version: Option[Long] = None): DataFrame = {
     // params + trees from ONE snapshot: a rebuild flipping the pointer
     // mid-probe can never pair new-divisor probe chunks with old trees
-    val snap = IndexCommit.readSnapshot(dir, "chunks")
+    val snap = IndexCommit.readSnapshot(dir, "chunks", version)
     val p = spark.read.parquet(snap.sidecar("params")).collect().head
     val (window, divisor, nBuckets) =
       (p.getAs[Int]("window"), p.getAs[Int]("divisor"), p.getAs[Int]("n_buckets"))

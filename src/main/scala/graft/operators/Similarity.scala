@@ -592,8 +592,9 @@ object Similarity {
   /** Open a persisted index: centroids + the union of live cells trees
     * resolved through the commit pointer — one committed snapshot, stable
     * under concurrent maintenance. */
-  def readIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
-    val snap = ivfSnapshot(dir)
+  def readIvfIndex(spark: SparkSession, dir: String,
+                   version: Option[Long] = None): IvfIndex = {
+    val snap = IndexCommit.readSnapshot(dir, "cells", version)
     IvfIndex(spark.read.parquet(snap.sidecar("centroids")),
       readCellTrees(spark, snap.dirs))
   }
@@ -606,8 +607,9 @@ object Similarity {
     * bit-identical to [[searchIvfIndex]] on the in-memory index. */
   def searchIvfIndexAt(spark: SparkSession, dir: String, queries: DataFrame,
                        idCol: String, vecCol: String, k: Int,
-                       nprobe: Int = 4): DataFrame = {
-    val index = readIvfIndex(spark, dir)
+                       nprobe: Int = 4,
+                       version: Option[Long] = None): DataFrame = {
+    val index = readIvfIndex(spark, dir, version)
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     val probes = rankCells(q, "qid", "qvec", index.centroids)
       .where(col("crank") <= nprobe)
@@ -755,8 +757,9 @@ object Similarity {
   /** Open a persisted LSH index: the union of live buckets trees resolved
     * through the commit pointer — one committed snapshot, stable under
     * concurrent maintenance. */
-  def readLshIndex(spark: SparkSession, dir: String): LshIndex = {
-    val snap = IndexCommit.readSnapshot(dir, "buckets")
+  def readLshIndex(spark: SparkSession, dir: String,
+                   version: Option[Long] = None): LshIndex = {
+    val snap = IndexCommit.readSnapshot(dir, "buckets", version)
     val p = spark.read.parquet(snap.sidecar("params")).collect().head
     LshIndex(readBucketTrees(spark, snap.dirs),
       p.getAs[Int]("dim"), p.getAs[Int]("planes"), p.getAs[Int]("tables"))
@@ -769,8 +772,9 @@ object Similarity {
     * `tbl=T/bucket=B/` directories. Results are bit-identical to
     * [[searchLshIndex]] on the in-memory index. */
   def searchLshIndexAt(spark: SparkSession, dir: String, queries: DataFrame,
-                       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val index = readLshIndex(spark, dir)
+                       idCol: String, vecCol: String, k: Int,
+                       version: Option[Long] = None): DataFrame = {
+    val index = readLshIndex(spark, dir, version)
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     val qb = lshBucketed(q, "qid", "qvec", index.dim, index.planes, index.tables)
     val probed = qb.select("tbl", "bucket").distinct().collect()

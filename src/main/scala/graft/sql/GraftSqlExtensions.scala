@@ -586,19 +586,22 @@ object GraftFunctions {
     (FunctionIdentifier("graft_media_probe"),
       info("graft_media_probe",
         "graft_media_probe('index_dir', 'incoming_table_or_path', 'id_col', " +
-          "'payload_col'[, min_shared]) - screen incoming media against a " +
-          "PERSISTED bucket-partitioned CDC chunk library index " +
+          "'payload_col'[, min_shared, version]) - screen incoming media " +
+          "against a PERSISTED bucket-partitioned CDC chunk library index " +
           "(graft.operators.Multimodal.writeMediaLibraryIndex); the library " +
-          "is partition-pruned and never shuffles; returns " +
-          "(incoming, existing, n_shared)"),
-      (args: Seq[Expression]) => { arity("graft_media_probe", args, 4, 5)
+          "is partition-pruned and never shuffles; with a version, TIME " +
+          "TRAVEL to that commit; returns (incoming, existing, n_shared)"),
+      (args: Seq[Expression]) => { arity("graft_media_probe", args, 4, 5, 6)
         val dir = literalString(args(0), "graft_media_probe", "index_dir")
         val iref = literalString(args(1), "graft_media_probe", "incoming_table_or_path")
         val id = literalString(args(2), "graft_media_probe", "id_col")
         val payload = literalString(args(3), "graft_media_probe", "payload_col")
         val ms = optLong(args, 4, 4L, "graft_media_probe", "min_shared").toInt
+        val ver = if (args.size > 5)
+          Some(literalLong(args(5), "graft_media_probe", "version")) else None
         GraftShims.analyzedPlan(graft.operators.Multimodal.mediaDedupProbeAt(
-          active(), dir, resolveRef(iref), id, payload, minShared = ms)) }),
+          active(), dir, resolveRef(iref), id, payload, minShared = ms,
+          version = ver)) }),
     (FunctionIdentifier("graft_sim_index_add"),
       info("graft_sim_index_add",
         "graft_sim_index_add('index_dir', 'vecs_table_or_path', 'id_col', " +
@@ -671,16 +674,19 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dedup_probe"),
       info("graft_dedup_probe",
         "graft_dedup_probe('index_dir', 'docs_table_or_path', 'id_col', " +
-          "'text_col') - probe NEW documents against a PERSISTED " +
+          "'text_col'[, version]) - probe NEW documents against a PERSISTED " +
           "partition-pruned MinHash dedup index " +
           "(graft.operators.Dedup.writeMinHashIndex): distinct candidate " +
           "pairs from the (band, sig) bucket join; the index never " +
-          "shuffles; returns (existing, incoming)"),
-      (args: Seq[Expression]) => { arity("graft_dedup_probe", args, 4)
+          "shuffles; with a version, TIME TRAVEL to that commit; returns " +
+          "(existing, incoming)"),
+      (args: Seq[Expression]) => { arity("graft_dedup_probe", args, 4, 5)
         val dir = literalString(args(0), "graft_dedup_probe", "index_dir")
-        val (df, id, text) = opInput("graft_dedup_probe", args.drop(1))
+        val (df, id, text) = opInput("graft_dedup_probe", args.slice(1, 4))
+        val ver = if (args.size > 4)
+          Some(literalLong(args(4), "graft_dedup_probe", "version")) else None
         GraftShims.analyzedPlan(graft.operators.Dedup.probeMinHashIndexAt(
-          active(), dir, df, id, text)) }),
+          active(), dir, df, id, text, version = ver)) }),
     (FunctionIdentifier("graft_sim_index_vacuum"),
       info("graft_sim_index_vacuum",
         "graft_sim_index_vacuum('index_dir') - reclaim IVF index trees no " +
@@ -783,19 +789,23 @@ object GraftFunctions {
     (FunctionIdentifier("graft_sim_search"),
       info("graft_sim_search",
         "graft_sim_search('index_dir', 'queries_table_or_path', 'id_col', " +
-          "'vec_col', k[, nprobe]) - ANN top-k over a PERSISTED partition-" +
-          "pruned IVF index (graft.operators.Similarity.writeIvfIndex); " +
-          "probed cells push as a static partition filter; returns " +
-          "(qid, nid, rank, score)"),
-      (args: Seq[Expression]) => { arity("graft_sim_search", args, 5, 6)
+          "'vec_col', k[, nprobe, version]) - ANN top-k over a PERSISTED " +
+          "partition-pruned IVF index (graft.operators.Similarity" +
+          ".writeIvfIndex); probed cells push as a static partition " +
+          "filter; with a version (from graft_index_describe), TIME TRAVEL: " +
+          "search the index exactly as committed then (valid until vacuum); " +
+          "returns (qid, nid, rank, score)"),
+      (args: Seq[Expression]) => { arity("graft_sim_search", args, 5, 6, 7)
         val dir = literalString(args(0), "graft_sim_search", "index_dir")
         val qref = literalString(args(1), "graft_sim_search", "queries_table_or_path")
         val qid = literalString(args(2), "graft_sim_search", "id_col")
         val vec = literalString(args(3), "graft_sim_search", "vec_col")
         val k = literalLong(args(4), "graft_sim_search", "k").toInt
         val nprobe = optLong(args, 5, 4L, "graft_sim_search", "nprobe").toInt
+        val ver = if (args.size > 6)
+          Some(literalLong(args(6), "graft_sim_search", "version")) else None
         GraftShims.analyzedPlan(graft.operators.Similarity.searchIvfIndexAt(
-          active(), dir, resolveRef(qref), qid, vec, k, nprobe)) }),
+          active(), dir, resolveRef(qref), qid, vec, k, nprobe, ver)) }),
     (FunctionIdentifier("graft_sim_index_build"),
       info("graft_sim_index_build",
         "graft_sim_index_build('index_dir', 'vecs_table_or_path', 'id_col', " +
@@ -823,7 +833,7 @@ object GraftFunctions {
           "'vec_col', dim[, planes, tables]) - build and persist a " +
           "partition-pruned hyperplane-LSH ANN index ((tbl, bucket) " +
           "directories); returns (dir, ok). Runs at EXECUTION time"),
-      (args: Seq[Expression]) => { arity("graft_lsh_index_build", args, 5, 7)
+      (args: Seq[Expression]) => { arity("graft_lsh_index_build", args, 5, 6, 7)
         val dir = literalString(args(0), "graft_lsh_index_build", "index_dir")
         val vref = literalString(args(1), "graft_lsh_index_build", "vecs_table_or_path")
         val id = literalString(args(2), "graft_lsh_index_build", "id_col")
@@ -843,7 +853,7 @@ object GraftFunctions {
           "build and persist a partition-pruned banded-MinHash dedup index " +
           "((band, bucket) directories, params sidecar); returns (dir, " +
           "ok). Runs at EXECUTION time"),
-      (args: Seq[Expression]) => { arity("graft_dedup_index_build", args, 4, 8)
+      (args: Seq[Expression]) => { arity("graft_dedup_index_build", args, 4, 5, 6, 7, 8)
         val dir = literalString(args(0), "graft_dedup_index_build", "index_dir")
         val dref = literalString(args(1), "graft_dedup_index_build", "docs_table_or_path")
         val id = literalString(args(2), "graft_dedup_index_build", "id_col")
@@ -881,18 +891,21 @@ object GraftFunctions {
     (FunctionIdentifier("graft_lsh_search"),
       info("graft_lsh_search",
         "graft_lsh_search('index_dir', 'queries_table_or_path', 'id_col', " +
-          "'vec_col', k) - ANN top-k over a PERSISTED partition-pruned " +
-          "hyperplane-LSH index (graft.operators.Similarity.writeLshIndex); " +
-          "probed (tbl, bucket) pairs push as a static partition filter; " +
+          "'vec_col', k[, version]) - ANN top-k over a PERSISTED partition-" +
+          "pruned hyperplane-LSH index (graft.operators.Similarity" +
+          ".writeLshIndex); probed (tbl, bucket) pairs push as a static " +
+          "partition filter; with a version, TIME TRAVEL to that commit; " +
           "returns (qid, nid, rank, score)"),
-      (args: Seq[Expression]) => { arity("graft_lsh_search", args, 5)
+      (args: Seq[Expression]) => { arity("graft_lsh_search", args, 5, 6)
         val dir = literalString(args(0), "graft_lsh_search", "index_dir")
         val qref = literalString(args(1), "graft_lsh_search", "queries_table_or_path")
         val qid = literalString(args(2), "graft_lsh_search", "id_col")
         val vec = literalString(args(3), "graft_lsh_search", "vec_col")
         val k = literalLong(args(4), "graft_lsh_search", "k").toInt
+        val ver = if (args.size > 5)
+          Some(literalLong(args(5), "graft_lsh_search", "version")) else None
         GraftShims.analyzedPlan(graft.operators.Similarity.searchLshIndexAt(
-          active(), dir, resolveRef(qref), qid, vec, k)) }),
+          active(), dir, resolveRef(qref), qid, vec, k, ver)) }),
     (FunctionIdentifier("graft_lsh_index_add"),
       info("graft_lsh_index_add",
         "graft_lsh_index_add('index_dir', 'vecs_table_or_path', 'id_col', " +

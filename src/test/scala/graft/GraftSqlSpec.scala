@@ -560,6 +560,13 @@ class GraftSqlSpec extends SparkTestBase {
       docs.where(col("doc_id") % 3 === 2), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaSql == viaScala && viaSql.nonEmpty)
+    // TIME TRAVEL from SQL: version 0 = the pre-append index, so the probe
+    // must see only base (i%3==0) candidates — no appended (i%3==1) docs
+    val atV0 = spark.sql(
+      s"SELECT * FROM graft_dedup_probe('$dir', 'sql_dedup_probe', 'doc_id', 'text', 0)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atV0.nonEmpty && atV0.forall(_._1 % 3 == 0), atV0.toString)
+    assert(atV0 != viaSql && atV0.subsetOf(viaSql))
     assert(spark.sql(s"SELECT * FROM graft_dedup_index_compact('$dir')")
       .collect().head.getBoolean(1))
     assert(spark.sql(

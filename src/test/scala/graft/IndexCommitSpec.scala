@@ -391,6 +391,38 @@ class IndexCommitSpec extends SparkTestBase {
       s"staged tree must be deleted on abort: ${onDisk.diff(referenced)}")
   }
 
+  test("index time travel: a version pins the search to that commit's snapshot") {
+    val root = tmpDir("ixc-timetravel-")
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 8), root)
+    val atBuild = searchSet(root)
+    Similarity.appendToIvfIndex(spark, root,
+      emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val atAppend = searchSet(root)
+    assert(atAppend != atBuild, "the append must change live results")
+    // version 0 = the build: yesterday's search reproduces exactly
+    def searchAt(v: Long) = Similarity.searchIvfIndexAt(spark, root,
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 5,
+        nprobe = 3, version = Some(v))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(searchAt(0L) == atBuild)
+    assert(searchAt(1L) == atAppend)
+    // compaction changes the layout, not any version's results — and the
+    // PRE-compact versions stay readable (trees live until vacuum)
+    Similarity.compactIvfIndex(spark, root)
+    assert(searchAt(0L) == atBuild && searchAt(1L) == atAppend)
+    assert(searchAt(2L) == atAppend && searchSet(root) == atAppend)
+    // vacuum reclaims the superseded trees: the LATEST version survives,
+    // time travel to reclaimed versions is gone (the documented contract)
+    Similarity.vacuumIvfIndex(spark, root)
+    assert(searchSet(root) == atAppend)
+    // an unknown version fails loudly, naming the describe surface
+    val e = intercept[IllegalArgumentException] {
+      Similarity.readIvfIndex(spark, root, version = Some(99L))
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+  }
+
   test("rebuild racing an append aborts on the generation fence (no stale-quantizer rows)") {
     val root = tmpDir("ixc-fence-")
     Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
