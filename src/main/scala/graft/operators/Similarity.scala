@@ -509,15 +509,22 @@ object Similarity {
     * are per-maintenance-op. */
   def ivfDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    val snap = ivfSnapshot(dir)
     val base: Option[Double] =
       try {
-        val r = spark.read.parquet(ivfSnapshot(dir).sidecar("drift"))
+        val r = spark.read.parquet(snap.sidecar("drift"))
           .agg(sum(col("mean_score") * col("n")) / sum(col("n")))
           .collect().head
         if (r.isNullAt(0)) None else Some(r.getDouble(0))
       } catch { case scala.util.control.NonFatal(_) => None }
     val rows = IndexCommit.history(dir)
       .filter(e => e.kind == "append" && e.info.contains("batch_mean_score"))
+      // the baseline is THIS generation's build corpus: appends subsumed by
+      // a rebuild compare against a quantizer that no longer serves them —
+      // drop them rather than report drift against the wrong baseline
+      // (pre-generation logs carry baseVersion 0 on every entry, so this
+      // filter is a no-op there)
+      .filter(_.baseVersion == snap.baseVersion)
       .map { e =>
         val mean = e.info("batch_mean_score").toDouble
         org.apache.spark.sql.Row(e.version,

@@ -304,6 +304,19 @@ class IndexCommitSpec extends SparkTestBase {
     val viaSql = spark.sql(s"SELECT * FROM graft_sim_index_drift('$root')")
       .orderBy("version").collect()
     assert(viaSql.map(_.getDouble(4)).toSeq == report.map(_.getDouble(4)).toSeq)
+    // a REBUILD starts a new generation: the old generation's appends must
+    // drop from the report (their means would compare against a baseline
+    // whose quantizer no longer serves them), and a post-rebuild append
+    // reports against the NEW baseline
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      clustered(0 until 96), "vec_id", "embedding", nlist = 4), root)
+    assert(Similarity.ivfDrift(spark, root).count() == 0L,
+      "pre-rebuild appends must not report against the new baseline")
+    Similarity.appendToIvfIndex(spark, root, clustered(96 until 112),
+      "vec_id", "embedding")
+    val post = Similarity.ivfDrift(spark, root).collect()
+    assert(post.length == 1 && math.abs(post.head.getDouble(4)) < 0.2,
+      post.mkString(","))
   }
 
   test("persisted MinHash dedup index: probe == in-memory, pruned scan, replay, compaction-invariant") {
