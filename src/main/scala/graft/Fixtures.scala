@@ -1192,6 +1192,56 @@ object Fixtures {
       ()
     }
 
+  /** Streaming LSH index maintenance — [[streamIvfAppendRoot]]'s twin on
+    * the hyperplane-LSH family ([[graft.operators.Similarity
+    * .appendToLshIndex]]): index built on the even-vec_id half, the odd
+    * half arrives as an eslog stream and every micro-batch extends the
+    * index via `foreachBatch` (micro-batch id = replay guard). The
+    * hyperplanes are POSITIONALLY derived, so the streamed index is
+    * BIT-IDENTICAL to a one-pass build over the full corpus — the search
+    * row shares `sim_lsh`'s oracle. Returns the fixture root; the index
+    * lives at `<root>/index`. */
+  def streamLshAppendRoot(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "stream-lsh-append") { root =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Similarity
+      tune(s)
+      val emb = embeddings(s, sfDir)
+      val idx = s"$root/index"
+      Similarity.writeLshIndex(Similarity.buildLshIndex(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        dim = 64, planes = 8, tables = 4), idx)
+      val src = s"$root/src"
+      val odd = emb.where(col("vec_id") % 2 === 1).select(
+        col("vec_id"),
+        to_json(col("embedding")).cast("binary").as("payload"),
+        map(lit("vec_id"), col("vec_id").cast("string")).as("properties"))
+      EsLog.create(src, streamId = 85L)
+      EsLog.open(src, 1L)
+      EsLog.append(s, src, odd, 1L, sortKey = Some("vec_id"), numPartitions = 2)
+      val perTrigger = math.max(emb.where(col("vec_id") % 2 === 1).count() / 4, 1L)
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(
+          col("properties")("vec_id").cast("long").as("vec_id"),
+          from_json(col("payload").cast("string"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)).as("embedding"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         bid: Long) =>
+          Similarity.appendToLshIndex(s, idx, batch, "vec_id", "embedding",
+            batchId = Some(s"stream-$bid"))
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      ()
+    }
+
   /** Streaming MinHash-index maintenance — the ingest-cadence half of the
     * incremental-dedup production path ("the index appends, each ingest
     * batch probes", [[graft.operators.Dedup.writeMinHashIndex]]): the index

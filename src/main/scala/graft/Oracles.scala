@@ -2251,6 +2251,7 @@ object Oracles {
     "sim_ivf_append" -> simIvfAppend,
     "sim_ivf_time_travel" -> simIvfTimeTravel,
     "es_stream_ivf_append" -> simIvfAppend, // micro-batch appends: same cell rows
+    "es_stream_lsh_append" -> simLsh, // positional hyperplanes: streamed == one-pass
     "sim_ivf_compact" -> simIvfAppend, // compaction changes layout, never results
     "sim_ivf_replay" -> simIvfAppend, // replayed batch id: guard skips the duplicate
 

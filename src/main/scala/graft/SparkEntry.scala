@@ -1218,6 +1218,17 @@ object SparkEntry {
       "vec_id", "embedding", k = 5, nprobe = 4)
   }
 
+  /** Streaming twin of [[qSimLshAppend]] ([[Fixtures.streamLshAppendRoot]]):
+    * every micro-batch extends the persisted LSH index — positionally
+    * derived hyperplanes make the streamed index BIT-IDENTICAL to a
+    * one-pass build, so the row shares `sim_lsh`'s oracle. */
+  private def qEsStreamLshAppend(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.streamLshAppendRoot(s, sfDir)
+    Similarity.searchLshIndexAt(s, s"$root/index",
+      Fixtures.embeddings(s, sfDir).where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
   /** ONE builder for every appended-index row (append, replay, compact —
     * and the fixture shape the streaming twin mirrors): even-half build,
     * odd-half append, optional replayed re-delivery, optional compaction.
@@ -1965,6 +1976,7 @@ object SparkEntry {
     "sim_ivf_append" -> (qSimIvfAppend _),
     "sim_ivf_time_travel" -> (qSimIvfTimeTravel _),
     "es_stream_ivf_append" -> (qEsStreamIvfAppend _),
+    "es_stream_lsh_append" -> (qEsStreamLshAppend _),
     "sim_ivf_compact" -> (qSimIvfCompact _),
     "sim_ivf_replay" -> (qSimIvfReplay _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),

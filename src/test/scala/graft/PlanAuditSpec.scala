@@ -1224,6 +1224,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_ivf_append" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_time_travel" -> Seq("qid", "nid", "rank", "score"),
     "es_stream_ivf_append" -> Seq("qid", "nid", "rank", "score"),
+    "es_stream_lsh_append" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_compact" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_replay" -> Seq("qid", "nid", "rank", "score"),
     "sim_lsh_persisted" -> Seq("qid", "nid", "rank", "score"),
