@@ -1242,6 +1242,59 @@ object Fixtures {
       ()
     }
 
+  /** Streaming media chunk-library maintenance — the fourth
+    * stream-mutates-the-artifact member ([[graft.operators.Multimodal
+    * .appendToMediaLibraryIndex]]): the library is BUILT on the even-id
+    * docs, the `doc_id % 4 == 1` quarter arrives as an eslog stream in
+    * exactly 4 deterministic micro-batches (`maxOffsetsPerTrigger =
+    * ceil(n/4)`, offsets doc_id-sorted so batch membership is row_number
+    * arithmetic) and every micro-batch extends the persisted index via
+    * `foreachBatch` (batch id = replay guard). The df cap applies per
+    * MICRO-BATCH slice — the documented incremental contract at ingest
+    * cadence — so the oracle re-derives each batch's own cap. Returns the
+    * fixture root; the index lives at `<root>/index`. */
+  def streamMediaAppendRoot(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "stream-media-append") { root =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Multimodal
+      tune(s)
+      val docs = documents(s, sfDir)
+      val idx = s"$root/index"
+      Multimodal.writeMediaLibraryIndex(
+        docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("existing_id"),
+            col("text").cast("binary").as("payload")),
+        "existing_id", "payload", idx, divisor = 16)
+      val src = s"$root/src"
+      val quarter = docs.where(col("doc_id") % 4 === 1).select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+      EsLog.create(src, streamId = 86L)
+      EsLog.open(src, 1L)
+      EsLog.append(s, src, quarter, 1L, sortKey = Some("doc_id"), numPartitions = 2)
+      val n = docs.where(col("doc_id") % 4 === 1).count()
+      val perTrigger = math.max((n + 3) / 4, 1L) // ceil: exactly 4 batches
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(
+          col("properties")("doc_id").cast("long").as("added_id"),
+          col("payload"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         bid: Long) =>
+          Multimodal.appendToMediaLibraryIndex(s, idx, batch,
+            "added_id", "payload", batchId = Some(s"stream-$bid"))
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      ()
+    }
+
   /** Streaming MinHash-index maintenance — the ingest-cadence half of the
     * incremental-dedup production path ("the index appends, each ingest
     * batch probes", [[graft.operators.Dedup.writeMinHashIndex]]): the index

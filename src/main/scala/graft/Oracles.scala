@@ -573,6 +573,40 @@ object Oracles {
        | AND bi.doc_id <> bn.doc_id""".stripMargin
   }
 
+  /** Probe against the STREAM-appended library: the appended quarter
+    * arrived in 4 deterministic micro-batches (row_number arithmetic over
+    * doc_id mirroring the fixture's maxOffsetsPerTrigger), and the df cap
+    * applies per MICRO-BATCH slice — each batch's own cap re-derived. */
+  private val esStreamMediaAppend = {
+    val inc = cdcChunksSql("documents", "media_id")
+    val lib = cdcChunksSql("(SELECT * FROM documents WHERE doc_id % 2 = 0)", "existing_id")
+    def slice(b: Int) = cdcChunksSql(
+      s"""(SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      CAST((row_number() OVER (ORDER BY doc_id) - 1)
+         |        // greatest((count(*) OVER () + 3) // 4, 1) AS BIGINT) AS bk
+         |    FROM documents WHERE doc_id % 4 = 1) WHERE bk = $b)""".stripMargin,
+      "existing_id")
+    val addParts = (0 until 4).map { b =>
+      s"""add$b AS (SELECT * FROM ${slice(b)} s$b),
+         |heavy$b AS (SELECT ch FROM add$b GROUP BY ch HAVING count(*) > 64),
+         |cap$b AS (SELECT * FROM add$b WHERE ch NOT IN (SELECT ch FROM heavy$b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH incch AS (SELECT * FROM $inc i),
+       |libb AS (SELECT * FROM $lib l),
+       |heavyb AS (SELECT ch FROM libb GROUP BY ch HAVING count(*) > 64),
+       |capb AS (SELECT * FROM libb WHERE ch NOT IN (SELECT ch FROM heavyb)),
+       |$addParts,
+       |libch AS (SELECT * FROM capb
+       |  UNION ALL SELECT * FROM cap0 UNION ALL SELECT * FROM cap1
+       |  UNION ALL SELECT * FROM cap2 UNION ALL SELECT * FROM cap3)
+       |SELECT i.media_id AS incoming, l.existing_id AS existing,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM incch i JOIN libch l USING (ch)
+       |WHERE i.media_id <> l.existing_id
+       |GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin
+  }
+
   /** Connected components over the Jaccard pairs via transitive closure
     * (recursive CTE) — min reachable id per doc, mirroring
     * [[graft.operators.Dedup.nearDupClusters]]'s converged labels. */
@@ -2281,6 +2315,7 @@ object Oracles {
     // roundtrip changes no result rows
     "multimodal_probe_persisted" -> esStreamMediaDedup,
     "multimodal_probe_appended" -> multimodalProbeAppended,
+    "es_stream_media_append" -> esStreamMediaAppend,
     "multimodal_probe_compacted" -> multimodalProbeCompacted,
     "es_stream_media_dedup" -> esStreamMediaDedup,
     "ts_similarity" -> tsSimilarity,

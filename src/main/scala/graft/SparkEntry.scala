@@ -1681,6 +1681,16 @@ object SparkEntry {
     mediaProbeAt(s, sfDir,
       appendedMediaDir(s, sfDir, "media-append", compact = false))
 
+  /** Streaming twin of [[qMultimodalProbeAppended]]
+    * ([[Fixtures.streamMediaAppendRoot]]): the appended quarter arrives as
+    * an eslog stream in 4 deterministic micro-batches, each extending the
+    * persisted chunk library via foreachBatch (batch id = replay guard);
+    * the df cap applies per micro-batch, and the oracle re-derives each
+    * batch's own cap (batch membership = row_number arithmetic mirroring
+    * maxOffsetsPerTrigger). */
+  private def qEsStreamMediaAppend(s: SparkSession, sfDir: String): DataFrame =
+    mediaProbeAt(s, sfDir, s"${Fixtures.streamMediaAppendRoot(s, sfDir)}/index")
+
   /** [[qMultimodalProbeAppended]] + [[graft.operators.Multimodal
     * .compactMediaLibraryIndex]]: compaction folds the appended slices to
     * one file per bucket AND re-applies the df cap GLOBALLY — a chunk
@@ -1977,6 +1987,7 @@ object SparkEntry {
     "sim_ivf_time_travel" -> (qSimIvfTimeTravel _),
     "es_stream_ivf_append" -> (qEsStreamIvfAppend _),
     "es_stream_lsh_append" -> (qEsStreamLshAppend _),
+    "es_stream_media_append" -> (qEsStreamMediaAppend _),
     "sim_ivf_compact" -> (qSimIvfCompact _),
     "sim_ivf_replay" -> (qSimIvfReplay _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),

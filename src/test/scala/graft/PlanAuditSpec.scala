@@ -1217,6 +1217,7 @@ class PlanAuditSpec extends SparkTestBase {
     "multimodal_dedup_cdc" -> Seq("i", "j", "n_shared"),
     "multimodal_probe_persisted" -> Seq("incoming", "existing", "n_shared"),
     "multimodal_probe_appended" -> Seq("incoming", "existing", "n_shared"),
+    "es_stream_media_append" -> Seq("incoming", "existing", "n_shared"),
     "multimodal_probe_compacted" -> Seq("incoming", "existing", "n_shared"),
     "text_bpe_bytes" -> Seq("token", "n"),
     "text_bpe_bytes_ids" -> Seq("doc_id", "pos", "token_id"),
