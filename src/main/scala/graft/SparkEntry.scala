@@ -1352,6 +1352,36 @@ object SparkEntry {
       k = 5, books)
   }
 
+  /** The persisted-PQ append row's even-trained codebooks, stashed per
+    * sfDir for the generated oracle (the [[pqBooks]] pattern). */
+  private val pqAppendBooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** Persisted PQ index EXTENDED after build ([[Similarity
+    * .appendToPqIndex]] — the fifth transactional index family): codebooks
+    * trained on the even-id half only (books fixed at build, the FAISS
+    * add() contract), the odd half appended as a delta tree, every query
+    * ADC-scored over the union. Encoding is deterministic per row, so the
+    * appended index is BIT-IDENTICAL to a one-pass encode of the full
+    * corpus under the same books — the oracle splices the even-trained
+    * books and scores the full candidate set. */
+  private def qSimPqAppend(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val books = Similarity.pqCodebooks(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", m = 8, ksub = 16)
+    pqAppendBooks.put(sfDir, books)
+    val dir = Fixtures.fixture(sfDir, "pq-append") { d =>
+      Similarity.writePqIndex(Similarity.PqIndex(
+        Similarity.pqBooksToDF(s, books),
+        Similarity.pqEncode(emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", books).select(col("vec_id").as("nid"), col("codes"))), d)
+      Similarity.appendToPqIndex(s, d, emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+    }
+    Similarity.searchPqIndexAt(s, dir, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
   /** IVF-PQ composed search ([[Similarity.ivfPqTopK]]): cells prune, codes
     * compress. Both quantizers stashed for the generated oracle. */
   private val ivfPqParams = new java.util.concurrent.ConcurrentHashMap[
@@ -1977,6 +2007,7 @@ object SparkEntry {
     "sim_lsh" -> (qSimLsh _),
     "sim_lsh_persisted" -> (qSimLshPersisted _),
     "sim_lsh_append" -> (qSimLshAppend _),
+    "sim_pq_append" -> (qSimPqAppend _),
     "sim_lsh_compact" -> (qSimLshCompact _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_semantic" -> (qDedupSemantic _),
@@ -2036,6 +2067,8 @@ object SparkEntry {
       .map(c => "sim_ivf_kmeans" -> Oracles.simIvfKmeansSql(c)) ++
       Option(pqBooks.get(sfDir))
         .map(b => "sim_pq" -> Oracles.simPqSql(b)) ++
+      Option(pqAppendBooks.get(sfDir))
+        .map(b => "sim_pq_append" -> Oracles.simPqSql(b)) ++
       Option(diverseCents.get(sfDir))
         .map(c => "sample_diverse" -> Oracles.sampleDiverseSql(c)) ++
       Option(ivfPqParams.get(sfDir))

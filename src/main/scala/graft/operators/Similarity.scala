@@ -992,6 +992,95 @@ object Similarity {
     pqSearchCodes(index.codes, queries, idCol, vecCol, k,
       pqBooksFromDF(index.books))
 
+  /** Persist a [[PqIndex]] as the FIFTH transactional index family: a
+    * `codes/` tree behind an [[IndexCommit]] pointer (append/compact/
+    * vacuum/time-travel like the IVF/LSH/MinHash/media layouts) with the
+    * codebooks + id-type riding generation-named sidecars. No partition
+    * columns — ADC is deliberately a full sweep over `m` ints per vector
+    * (the compression IS the 100 TB lever; for sublinear probing compose
+    * with IVF cells, [[ivfPqTopK]]). */
+  def writePqIndex(index: PqIndex, dir: String): Unit = {
+    val booksName = IndexCommit.sidecarName(dir, "books")
+    val paramsName = IndexCommit.sidecarName(dir, "params")
+    index.books.write.mode("overwrite").parquet(s"$dir/$booksName")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    Seq(index.codes.schema("nid").dataType.catalogString)
+      .toDF("id_type").write.mode("overwrite").parquet(s"$dir/$paramsName")
+    IndexCommit.commitBase(dir, "codes",
+        Map("books" -> booksName, "params" -> paramsName)) { tree =>
+      index.codes.write.mode("overwrite").parquet(tree)
+    }
+  }
+
+  /** Union of codes trees under one schema (a committed tree can be
+    * legitimately empty and carry no footers — infer from the first that
+    * has one). */
+  private def readCodeTrees(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val schema = IndexCommit.inferAcross(spark, dirs).getOrElse(
+      spark.read.parquet(dirs.head).schema) // all-empty: surface Spark's error
+    dirs.map(d => spark.read.schema(schema).parquet(d)).reduce(_.unionByName(_))
+  }
+
+  /** Open a persisted PQ index — books and codes resolved from ONE
+    * committed snapshot (optionally a PAST one: time travel, valid until
+    * [[vacuumPqIndex]]). */
+  def readPqIndex(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): PqIndex = {
+    val snap = IndexCommit.readSnapshot(dir, "codes", version)
+    PqIndex(spark.read.parquet(snap.sidecar("books")),
+      readCodeTrees(spark, snap.dirs))
+  }
+
+  /** [[appendToIvfIndex]]'s PQ twin: encode NEW vectors with the EXISTING
+    * codebooks (fixed at build time — the FAISS add() contract; re-train by
+    * rebuilding when the corpus distribution drifts) and land them as an
+    * immutable delta tree behind one CAS'd pointer commit. Encoding is
+    * deterministic per row, so an incrementally-extended index ADC-scores
+    * BIT-IDENTICALLY to a one-pass encode of the union under the same
+    * books. `batchId` replays are skipped (returns false); a rebuild
+    * landing mid-append aborts on the generation fence (rows encoded with
+    * superseded books must not mix into the new index). */
+  def appendToPqIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
+                      idCol: String, vecCol: String,
+                      batchId: Option[String] = None): Boolean = {
+    val snap = IndexCommit.readSnapshot(dir, "codes")
+    val books = pqBooksFromDF(spark.read.parquet(snap.sidecar("books")))
+    val idType =
+      try spark.read.parquet(snap.sidecar("params")).collect().head.getString(0)
+      catch { case scala.util.control.NonFatal(_) =>
+        spark.read.parquet(snap.dirs.head).schema("nid").dataType.catalogString
+      }
+    val typed = newVecs.withColumn(idCol, col(idCol).cast(idType))
+    val slice = pqEncode(typed, idCol, vecCol, books)
+      .select(col(idCol).as("nid"), col("codes"))
+    IndexCommit.appendTree(spark, dir, "codes", batchId,
+        derivedFromBase = if (snap.version >= 0) Some(snap.baseVersion) else None) { tree =>
+      slice.write.mode("overwrite").parquet(tree)
+    }
+  }
+
+  /** Fold a persisted PQ index's delta trees back to ONE tree —
+    * reader-transparent (one CAS'd pointer flip, rival appends survive).
+    * Row content untouched, so searches are identical before and after. */
+  def compactPqIndex(spark: SparkSession, dir: String): Unit =
+    IndexCommit.compactTrees(spark, dir, "codes") { (srcs, target) =>
+      readCodeTrees(spark, srcs).write.mode("overwrite").parquet(target)
+    }
+
+  /** Reclaim superseded/orphaned codes trees + sidecar generations — see
+    * [[IndexCommit.vacuum]] for the grace-period contract. */
+  def vacuumPqIndex(spark: SparkSession, dir: String): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "codes")
+
+  /** ADC top-k over a PERSISTED PQ index; `version` pins the search to a
+    * past commit (time travel). Results are bit-identical to
+    * [[searchPqIndex]] on the equivalent in-memory index. */
+  def searchPqIndexAt(spark: SparkSession, dir: String, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      version: Option[Long] = None): DataFrame =
+    searchPqIndex(readPqIndex(spark, dir, version), queries, idCol, vecCol, k)
+
   /** IVF-PQ — the standard billion-scale ANN split, both halves composed:
     * the IVF coarse quantizer PRUNES (a query touches only its `nprobe`
     * nearest cells' rows, sublinear candidate generation) and PQ codes

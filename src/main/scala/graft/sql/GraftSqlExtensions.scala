@@ -888,6 +888,90 @@ object GraftFunctions {
             resolveRef(mref), id, payload, dir, divisor = divisor)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
+    (FunctionIdentifier("graft_pq_index_build"),
+      info("graft_pq_index_build",
+        "graft_pq_index_build('index_dir', 'vecs_table_or_path', 'id_col', " +
+          "'vec_col'[, m, ksub]) - build and persist a product-quantization " +
+          "ANN index (codebooks + m-code compressed corpus; ~3% of the " +
+          "float bytes, ADC full-sweep search); returns (dir, ok). Runs at " +
+          "EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_pq_index_build", args, 4, 5, 6)
+        val dir = literalString(args(0), "graft_pq_index_build", "index_dir")
+        val vref = literalString(args(1), "graft_pq_index_build", "vecs_table_or_path")
+        val id = literalString(args(2), "graft_pq_index_build", "id_col")
+        val vec = literalString(args(3), "graft_pq_index_build", "vec_col")
+        val m = optLong(args, 4, 8L, "graft_pq_index_build", "m").toInt
+        val ksub = optLong(args, 5, 16L, "graft_pq_index_build", "ksub").toInt
+        procedure("graft_pq_index_build") { () =>
+          Similarity.writePqIndex(
+            Similarity.buildPqIndex(resolveRef(vref), id, vec, m, ksub), dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_pq_index_add"),
+      info("graft_pq_index_add",
+        "graft_pq_index_add('index_dir', 'vecs_table_or_path', 'id_col', " +
+          "'vec_col'[, 'batch_id']) - extend a persisted PQ index with new " +
+          "vectors encoded under the index's own codebooks (fixed at " +
+          "build; a rebuild mid-append aborts on the generation fence); " +
+          "returns (dir, ok). Runs at EXECUTION time; with a batch_id, a " +
+          "replayed statement is skipped (ok = false)"),
+      (args: Seq[Expression]) => { arity("graft_pq_index_add", args, 4, 5)
+        val dir = literalString(args(0), "graft_pq_index_add", "index_dir")
+        val vref = literalString(args(1), "graft_pq_index_add", "vecs_table_or_path")
+        val id = literalString(args(2), "graft_pq_index_add", "id_col")
+        val vec = literalString(args(3), "graft_pq_index_add", "vec_col")
+        val bid = if (args.size > 4)
+          Some(literalString(args(4), "graft_pq_index_add", "batch_id")) else None
+        val session = active()
+        procedure("graft_pq_index_add") { () =>
+          val applied = Similarity.appendToPqIndex(
+            session, dir, resolveRef(vref), id, vec, bid)
+          Seq(org.apache.spark.sql.Row(dir, applied))
+        } }),
+    (FunctionIdentifier("graft_pq_index_compact"),
+      info("graft_pq_index_compact",
+        "graft_pq_index_compact('index_dir') - fold a persisted PQ index's " +
+          "delta trees to one, reader-transparently (search-invariant; one " +
+          "CAS'd pointer flip); returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_pq_index_compact", args, 1)
+        val dir = literalString(args(0), "graft_pq_index_compact", "index_dir")
+        val session = active()
+        procedure("graft_pq_index_compact") { () =>
+          Similarity.compactPqIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_pq_index_vacuum"),
+      info("graft_pq_index_vacuum",
+        "graft_pq_index_vacuum('index_dir') - reclaim PQ index trees and " +
+          "sidecar generations no committed reader can reach; run AFTER a " +
+          "grace period longer than any in-flight query and never " +
+          "concurrently with an append; returns (dir, ok). Runs at " +
+          "EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_pq_index_vacuum", args, 1)
+        val dir = literalString(args(0), "graft_pq_index_vacuum", "index_dir")
+        val session = active()
+        procedure("graft_pq_index_vacuum") { () =>
+          Similarity.vacuumPqIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_pq_search"),
+      info("graft_pq_search",
+        "graft_pq_search('index_dir', 'queries_table_or_path', 'id_col', " +
+          "'vec_col', k[, version]) - ADC top-k over a PERSISTED PQ index " +
+          "(graft.operators.Similarity.writePqIndex); the corpus side " +
+          "scans m small codes per vector, never the floats; with a " +
+          "version, TIME TRAVEL to that commit; returns " +
+          "(qid, nid, rank, adist)"),
+      (args: Seq[Expression]) => { arity("graft_pq_search", args, 5, 6)
+        val dir = literalString(args(0), "graft_pq_search", "index_dir")
+        val qref = literalString(args(1), "graft_pq_search", "queries_table_or_path")
+        val qid = literalString(args(2), "graft_pq_search", "id_col")
+        val vec = literalString(args(3), "graft_pq_search", "vec_col")
+        val k = literalLong(args(4), "graft_pq_search", "k").toInt
+        val ver = if (args.size > 5)
+          Some(literalLong(args(5), "graft_pq_search", "version")) else None
+        GraftShims.analyzedPlan(Similarity.searchPqIndexAt(
+          active(), dir, resolveRef(qref), qid, vec, k, ver)) }),
     (FunctionIdentifier("graft_lsh_search"),
       info("graft_lsh_search",
         "graft_lsh_search('index_dir', 'queries_table_or_path', 'id_col', " +

@@ -709,6 +709,44 @@ class GraftSqlSpec extends SparkTestBase {
           .select("existing", "incoming")))
   }
 
+  test("PQ index SQL surface: build/add/compact/vacuum procedures + search TVF") {
+    import graft.operators.{IndexCommit, Similarity}
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 13 + j * 7) % 10 - 5).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    vecs.where(col("vec_id") % 2 === 0).createOrReplaceTempView("sql_pq_base")
+    vecs.where(col("vec_id") % 2 === 1).createOrReplaceTempView("sql_pq_add")
+    vecs.where(col("vec_id") < 4).createOrReplaceTempView("sql_pq_q")
+    val dir = tmpDir("sqlpqidx-")
+    assert(spark.sql(
+      s"SELECT * FROM graft_pq_index_build('$dir', 'sql_pq_base', 'vec_id', 'embedding', 4, 8)")
+      .collect().head.getBoolean(1))
+    assert(spark.sql(
+      s"SELECT * FROM graft_pq_index_add('$dir', 'sql_pq_add', 'vec_id', 'embedding', 'b1')")
+      .collect().head.getBoolean(1))
+    assert(!spark.sql(
+      s"SELECT * FROM graft_pq_index_add('$dir', 'sql_pq_add', 'vec_id', 'embedding', 'b1')")
+      .collect().head.getBoolean(1), "replayed batch_id must report ok=false")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // bit-equal to a one-pass encode of the union under the base-trained books
+    val books = Similarity.pqCodebooks(vecs.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", m = 4, ksub = 8)
+    val viaSql = res(spark.sql(
+      s"SELECT * FROM graft_pq_search('$dir', 'sql_pq_q', 'vec_id', 'embedding', 3)"))
+    assert(viaSql == res(Similarity.pqTopK(vecs, vecs.where(col("vec_id") < 4),
+      "vec_id", "embedding", k = 3, books)) && viaSql.nonEmpty)
+    assert(spark.sql(s"SELECT * FROM graft_pq_index_compact('$dir')")
+      .collect().head.getBoolean(1))
+    assert(spark.sql(s"SELECT * FROM graft_pq_index_vacuum('$dir')")
+      .collect().head.getBoolean(1))
+    assert(IndexCommit.load(dir).get.dirs.size == 1)
+    assert(res(spark.sql(
+      s"SELECT * FROM graft_pq_search('$dir', 'sql_pq_q', 'vec_id', 'embedding', 3)"))
+      == viaSql, "compact+vacuum must not change search results")
+  }
+
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
     val dir = tmpDir("sqlsym-")
     EsLog.create(dir, streamId = 75L)

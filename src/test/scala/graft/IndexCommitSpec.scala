@@ -536,6 +536,41 @@ class IndexCommitSpec extends SparkTestBase {
       "probe must run against the rebuilt 8-band trees")
   }
 
+  test("persisted PQ index: append bit-equal to one-pass, replay skip, compact-invariant, vacuum, time travel") {
+    import graft.operators.Similarity
+    val root = tmpDir("ixc-pq-")
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val books = Similarity.pqCodebooks(even, "vec_id", "embedding", m = 8, ksub = 16)
+    Similarity.writePqIndex(Similarity.PqIndex(
+      Similarity.pqBooksToDF(spark, books),
+      Similarity.pqEncode(even, "vec_id", "embedding", books)
+        .select(col("vec_id").as("nid"), col("codes"))), root)
+    val q = emb.where(col("vec_id") < 3)
+    def res(v: Option[Long] = None) = Similarity.searchPqIndexAt(
+        spark, root, q, "vec_id", "embedding", k = 5, version = v)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val atBuild = res()
+    assert(Similarity.appendToPqIndex(spark, root,
+      emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      batchId = Some("odd")))
+    // encoding is deterministic per row: the appended index must score
+    // bit-identically to a one-pass encode of the FULL corpus (same books)
+    val onePass = Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 5, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val appended = res()
+    assert(appended == onePass && appended != atBuild)
+    // replay skip, time travel, compact invariance, vacuum
+    assert(!Similarity.appendToPqIndex(spark, root,
+      emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      batchId = Some("odd")))
+    assert(res(Some(0L)) == atBuild, "version 0 must reproduce the build")
+    Similarity.compactPqIndex(spark, root)
+    assert(res() == appended, "compaction must never change search results")
+    assert(IndexCommit.load(root).get.dirs.size == 1)
+    assert(Similarity.vacuumPqIndex(spark, root).nonEmpty)
+    assert(res() == appended)
+  }
+
   test("rebuild into a live index dir commits a fresh tree (searches keep their snapshot)") {
     val root = tmpDir("ixc-rebuild-")
     buildAppended(root)
