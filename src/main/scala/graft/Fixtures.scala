@@ -1242,6 +1242,60 @@ object Fixtures {
       ()
     }
 
+  /** Streaming PQ index maintenance — the fifth stream-mutates-the-artifact
+    * member ([[graft.operators.Similarity.appendToPqIndex]]): codebooks
+    * trained on the even-vec_id half (books fixed at build), the odd half
+    * arrives as an eslog stream and every micro-batch extends the persisted
+    * index via `foreachBatch` (batch id = replay guard). Encoding is
+    * deterministic per row, so the streamed index ADC-scores BIT-IDENTICALLY
+    * to the batch-appended one — the search row shares `sim_pq_append`'s
+    * oracle. The even-trained books are recomputed by the QUERY (they must
+    * feed the oracle stash every run), so this fixture takes them as input.
+    * Returns the fixture root; the index lives at `<root>/index`. */
+  def streamPqAppendRoot(s: SparkSession, sfDir: String,
+                         books: Array[Array[Array[Double]]]): String =
+    fixture(sfDir, "stream-pq-append") { root =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Similarity
+      tune(s)
+      val emb = embeddings(s, sfDir)
+      val idx = s"$root/index"
+      Similarity.writePqIndex(Similarity.PqIndex(
+        Similarity.pqBooksToDF(s, books),
+        Similarity.pqEncode(emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", books)
+          .select(col("vec_id").as("nid"), col("codes"))), idx)
+      val src = s"$root/src"
+      val odd = emb.where(col("vec_id") % 2 === 1).select(
+        col("vec_id"),
+        to_json(col("embedding")).cast("binary").as("payload"),
+        map(lit("vec_id"), col("vec_id").cast("string")).as("properties"))
+      EsLog.create(src, streamId = 87L)
+      EsLog.open(src, 1L)
+      EsLog.append(s, src, odd, 1L, sortKey = Some("vec_id"), numPartitions = 2)
+      val perTrigger = math.max(emb.where(col("vec_id") % 2 === 1).count() / 4, 1L)
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(
+          col("properties")("vec_id").cast("long").as("vec_id"),
+          from_json(col("payload").cast("string"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)).as("embedding"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         bid: Long) =>
+          Similarity.appendToPqIndex(s, idx, batch, "vec_id", "embedding",
+            batchId = Some(s"stream-$bid"))
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      ()
+    }
+
   /** Streaming media chunk-library maintenance — the fourth
     * stream-mutates-the-artifact member ([[graft.operators.Multimodal
     * .appendToMediaLibraryIndex]]): the library is BUILT on the even-id

@@ -1382,6 +1382,20 @@ object SparkEntry {
       "vec_id", "embedding", k = 5)
   }
 
+  /** Streaming twin of [[qSimPqAppend]] ([[Fixtures.streamPqAppendRoot]]):
+    * every micro-batch extends the persisted PQ index — per-row
+    * deterministic encoding makes the streamed index bit-identical to the
+    * batch-appended one, so the row shares `sim_pq_append`'s oracle. */
+  private def qEsStreamPqAppend(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val books = Similarity.pqCodebooks(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", m = 8, ksub = 16)
+    pqAppendBooks.put(sfDir, books)
+    val root = Fixtures.streamPqAppendRoot(s, sfDir, books)
+    Similarity.searchPqIndexAt(s, s"$root/index",
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
   /** IVF-PQ composed search ([[Similarity.ivfPqTopK]]): cells prune, codes
     * compress. Both quantizers stashed for the generated oracle. */
   private val ivfPqParams = new java.util.concurrent.ConcurrentHashMap[
@@ -2008,6 +2022,7 @@ object SparkEntry {
     "sim_lsh_persisted" -> (qSimLshPersisted _),
     "sim_lsh_append" -> (qSimLshAppend _),
     "sim_pq_append" -> (qSimPqAppend _),
+    "es_stream_pq_append" -> (qEsStreamPqAppend _),
     "sim_lsh_compact" -> (qSimLshCompact _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_semantic" -> (qDedupSemantic _),
@@ -2068,7 +2083,9 @@ object SparkEntry {
       Option(pqBooks.get(sfDir))
         .map(b => "sim_pq" -> Oracles.simPqSql(b)) ++
       Option(pqAppendBooks.get(sfDir))
-        .map(b => "sim_pq_append" -> Oracles.simPqSql(b)) ++
+        .map(b => Seq("sim_pq_append" -> Oracles.simPqSql(b),
+          "es_stream_pq_append" -> Oracles.simPqSql(b)))
+        .getOrElse(Seq.empty) ++
       Option(diverseCents.get(sfDir))
         .map(c => "sample_diverse" -> Oracles.sampleDiverseSql(c)) ++
       Option(ivfPqParams.get(sfDir))
