@@ -1411,6 +1411,50 @@ object SparkEntry {
       k = 5, cents, books, nprobe = 4)
   }
 
+  /** PERSISTED IVF-PQ — the billion-scale composed deployment shape
+    * ([[Similarity.writeIvfPqIndex]]): cells prune at the planner (static
+    * partition filter on the probed cells), PQ codes compress what they
+    * store. Same quantizers as [[qSimIvfPq]], so the roundtrip changes
+    * nothing and the generated oracle is shared. */
+  private def qSimIvfPqPersisted(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    ivfPqParams.put(sfDir, (cents, books))
+    val dir = Fixtures.fixture(sfDir, "ivfpq-index") { d =>
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", d, cents, books)
+    }
+    Similarity.searchIvfPqIndexAt(s, dir, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 4)
+  }
+
+  /** The appended-IVF-PQ row's even-trained quantizers, stashed per sfDir
+    * for the generated oracle. */
+  private val ivfPqAppendParams = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** Persisted IVF-PQ EXTENDED after build ([[Similarity
+    * .appendToIvfPqIndex]] — FAISS add() twice over: centroids AND
+    * codebooks fixed at build): both quantizers trained on the even-id
+    * half, the odd half appended as a delta tree; assignment and encoding
+    * are deterministic per row, so the extended index searches
+    * bit-identically to a one-pass build over the union — the oracle
+    * splices the even-trained quantizers over the full candidate set. */
+  private def qSimIvfPqAppend(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val cents = Similarity.kmeansCentroids(even, "vec_id", "embedding", nlist = 16)
+    val books = Similarity.pqCodebooks(even, "vec_id", "embedding", m = 8, ksub = 16)
+    ivfPqAppendParams.put(sfDir, (cents, books))
+    val dir = Fixtures.fixture(sfDir, "ivfpq-append") { d =>
+      Similarity.writeIvfPqIndex(even, "vec_id", "embedding", d, cents, books)
+      Similarity.appendToIvfPqIndex(s, d, emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+    }
+    Similarity.searchIvfPqIndexAt(s, dir, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 4)
+  }
+
   /** Backward as-of join: each view event picks the user's most recent click
     * at or within the hour before it — one keyed shuffle + ordered sweep,
     * never a per-row lookup join ([[graft.operators.AsOfJoin]]). */
@@ -2022,6 +2066,8 @@ object SparkEntry {
     "sim_lsh_persisted" -> (qSimLshPersisted _),
     "sim_lsh_append" -> (qSimLshAppend _),
     "sim_pq_append" -> (qSimPqAppend _),
+    "sim_ivf_pq_persisted" -> (qSimIvfPqPersisted _),
+    "sim_ivf_pq_append" -> (qSimIvfPqAppend _),
     "es_stream_pq_append" -> (qEsStreamPqAppend _),
     "sim_lsh_compact" -> (qSimLshCompact _),
     "dedup_embedding" -> (qDedupEmbedding _),
@@ -2089,7 +2135,11 @@ object SparkEntry {
       Option(diverseCents.get(sfDir))
         .map(c => "sample_diverse" -> Oracles.sampleDiverseSql(c)) ++
       Option(ivfPqParams.get(sfDir))
-        .map { case (c, b) => "sim_ivf_pq" -> Oracles.simIvfPqSql(c, b) } ++
+        .map { case (c, b) => Oracles.simIvfPqSql(c, b) }
+        .map(sql => Seq("sim_ivf_pq" -> sql, "sim_ivf_pq_persisted" -> sql))
+        .getOrElse(Seq.empty) ++
+      Option(ivfPqAppendParams.get(sfDir))
+        .map { case (c, b) => "sim_ivf_pq_append" -> Oracles.simIvfPqSql(c, b) } ++
       Option(classifierModels.get(sfDir))
         .map(m => Oracles.textClassifySql(m))
         .map(sql => Seq("text_classify" -> sql, "es_stream_classify" -> sql))

@@ -1118,4 +1118,119 @@ object Similarity {
       .where(col("rank") <= k)
       .select("qid", "nid", "rank", "adist")
   }
+
+  // --------------------------------------------------- persisted IVF-PQ
+
+  /** Persist the composed IVF-PQ index — the billion-scale ANN deployment
+    * shape (FAISS `IndexIVFPQ` on disk): `(nid, codes)` rows PARTITIONED
+    * BY their IVF cell, so a search PRUNES to its `nprobe` cells'
+    * directories at planning time AND scores `m` small ints per vector
+    * (never the floats) — sublinear candidate generation times ~30×
+    * compression, the two levers multiplied. Centroids, codebooks, and
+    * id-type ride generation-named sidecars behind the same
+    * [[IndexCommit]] pointer as every other family (transactional
+    * append/compact/vacuum, time travel, rebuild fencing). */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      dir: String, cents: Array[Array[Double]],
+                      books: Array[Array[Array[Double]]]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+    val centName = IndexCommit.sidecarName(dir, "centroids")
+    val booksName = IndexCommit.sidecarName(dir, "books")
+    val paramsName = IndexCommit.sidecarName(dir, "params")
+    cdf.write.mode("overwrite").parquet(s"$dir/$centName")
+    pqBooksToDF(spark, books).write.mode("overwrite").parquet(s"$dir/$booksName")
+    Seq(corpus.schema(idCol).dataType.catalogString)
+      .toDF("id_type").write.mode("overwrite").parquet(s"$dir/$paramsName")
+    IndexCommit.commitBase(dir, "pqcells", Map("centroids" -> centName,
+        "books" -> booksName, "params" -> paramsName)) { tree =>
+      assignCells(corpus, idCol, vecCol, cdf)
+        .select(col("nid"), pqCodesCol(books, col("nvec")).as("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tree)
+    }
+  }
+
+  /** Union of pqcells trees with the partition column re-read as LONG (the
+    * [[assignCells]] cell id type, so probe filters prune un-cast). */
+  private def readPqCellTrees(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val inferred = IndexCommit.inferAcross(spark, dirs).getOrElse(
+      spark.read.parquet(dirs.head).schema)
+    val fixed = StructType(inferred.map {
+      case f if f.name == "cell" => f.copy(dataType = LongType)
+      case f => f
+    })
+    dirs.map(d => spark.read.schema(fixed).parquet(d)).reduce(_.unionByName(_))
+  }
+
+  /** [[appendToIvfIndex]] and [[appendToPqIndex]] composed: assign NEW
+    * vectors to the EXISTING centroids and encode them with the EXISTING
+    * codebooks (both fixed at build — the FAISS add() contract twice
+    * over), landing one replay-guarded, rebuild-fenced delta tree. Reads
+    * only the tiny sidecars, never the growing cells listing; both the
+    * assignment and the encoding are deterministic per row, so the
+    * extended index searches BIT-IDENTICALLY to a one-pass build over the
+    * union under the same quantizers. */
+  def appendToIvfPqIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
+                         idCol: String, vecCol: String,
+                         batchId: Option[String] = None): Boolean = {
+    val snap = IndexCommit.readSnapshot(dir, "pqcells")
+    val cdf = spark.read.parquet(snap.sidecar("centroids"))
+    val books = pqBooksFromDF(spark.read.parquet(snap.sidecar("books")))
+    val idType =
+      try spark.read.parquet(snap.sidecar("params")).collect().head.getString(0)
+      catch { case scala.util.control.NonFatal(_) =>
+        spark.read.parquet(snap.dirs.head).schema("nid").dataType.catalogString
+      }
+    val typed = newVecs.withColumn(idCol, col(idCol).cast(idType))
+    val slice = assignCellsExpr(typed, idCol, vecCol, cdf)
+      .select(col("nid"), pqCodesCol(books, col("nvec")).as("codes"), col("cell"))
+    IndexCommit.appendTree(spark, dir, "pqcells", batchId,
+        derivedFromBase = if (snap.version >= 0) Some(snap.baseVersion) else None) { tree =>
+      slice.write.mode("overwrite").partitionBy("cell").parquet(tree)
+    }
+  }
+
+  /** Fold a persisted IVF-PQ index back to ONE file per cell —
+    * reader-transparent, search-invariant (one CAS'd pointer flip). */
+  def compactIvfPqIndex(spark: SparkSession, dir: String): Unit =
+    IndexCommit.compactTrees(spark, dir, "pqcells") { (srcs, target) =>
+      readPqCellTrees(spark, srcs).repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(target)
+    }
+
+  /** Reclaim superseded/orphaned pqcells trees + sidecar generations. */
+  def vacuumIvfPqIndex(spark: SparkSession, dir: String): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "pqcells")
+
+  /** Search a PERSISTED IVF-PQ index: the query ranks the (broadcast)
+    * centroids, its `nprobe` cells push as a static partition filter
+    * (bounded by nlist, never query count), and ADC scores only those
+    * cells' codes. Bit-identical to the inline [[ivfPqTopK]] under the
+    * same quantizers; `version` pins a past commit (time travel). */
+  def searchIvfPqIndexAt(spark: SparkSession, dir: String, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nprobe: Int = 4,
+                         version: Option[Long] = None): DataFrame = {
+    val snap = IndexCommit.readSnapshot(dir, "pqcells", version)
+    val cdf = spark.read.parquet(snap.sidecar("centroids"))
+    val books = pqBooksFromDF(spark.read.parquet(snap.sidecar("books")))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"),
+      pqDistTableCol(books, asDouble(col(vecCol))).as("dt"))
+    val probes = rankCells(q, "qid", "qvec", cdf)
+      .where(col("crank") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"), col("dt"))
+    val probed = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val codes = readPqCellTrees(spark, snap.dirs)
+      .where(col("cell").isin(probed.toSeq: _*))
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adcCol(col("codes"), col("dt")).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "adist")
+  }
 }

@@ -954,6 +954,96 @@ object GraftFunctions {
           Similarity.vacuumPqIndex(session, dir)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
+    (FunctionIdentifier("graft_ivf_pq_index_build"),
+      info("graft_ivf_pq_index_build",
+        "graft_ivf_pq_index_build('index_dir', 'vecs_table_or_path', " +
+          "'id_col', 'vec_col'[, nlist, m, ksub]) - build and persist the " +
+          "composed IVF-PQ ANN index (cells prune at the planner, PQ codes " +
+          "compress what they store - the billion-scale deployment shape); " +
+          "returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_ivf_pq_index_build", args, 4, 5, 6, 7)
+        val dir = literalString(args(0), "graft_ivf_pq_index_build", "index_dir")
+        val vref = literalString(args(1), "graft_ivf_pq_index_build", "vecs_table_or_path")
+        val id = literalString(args(2), "graft_ivf_pq_index_build", "id_col")
+        val vec = literalString(args(3), "graft_ivf_pq_index_build", "vec_col")
+        val nlist = optLong(args, 4, 16L, "graft_ivf_pq_index_build", "nlist").toInt
+        val m = optLong(args, 5, 8L, "graft_ivf_pq_index_build", "m").toInt
+        val ksub = optLong(args, 6, 16L, "graft_ivf_pq_index_build", "ksub").toInt
+        procedure("graft_ivf_pq_index_build") { () =>
+          val corpus = resolveRef(vref)
+          Similarity.writeIvfPqIndex(corpus, id, vec, dir,
+            Similarity.kmeansCentroids(corpus, id, vec, nlist),
+            Similarity.pqCodebooks(corpus, id, vec, m, ksub))
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_ivf_pq_index_add"),
+      info("graft_ivf_pq_index_add",
+        "graft_ivf_pq_index_add('index_dir', 'vecs_table_or_path', " +
+          "'id_col', 'vec_col'[, 'batch_id']) - extend a persisted IVF-PQ " +
+          "index: new vectors assigned to the EXISTING centroids and " +
+          "encoded with the EXISTING codebooks (FAISS add(); rebuilds " +
+          "fence in-flight appends); returns (dir, ok). Runs at EXECUTION " +
+          "time; with a batch_id, a replayed statement is skipped " +
+          "(ok = false)"),
+      (args: Seq[Expression]) => { arity("graft_ivf_pq_index_add", args, 4, 5)
+        val dir = literalString(args(0), "graft_ivf_pq_index_add", "index_dir")
+        val vref = literalString(args(1), "graft_ivf_pq_index_add", "vecs_table_or_path")
+        val id = literalString(args(2), "graft_ivf_pq_index_add", "id_col")
+        val vec = literalString(args(3), "graft_ivf_pq_index_add", "vec_col")
+        val bid = if (args.size > 4)
+          Some(literalString(args(4), "graft_ivf_pq_index_add", "batch_id")) else None
+        val session = active()
+        procedure("graft_ivf_pq_index_add") { () =>
+          val applied = Similarity.appendToIvfPqIndex(
+            session, dir, resolveRef(vref), id, vec, bid)
+          Seq(org.apache.spark.sql.Row(dir, applied))
+        } }),
+    (FunctionIdentifier("graft_ivf_pq_index_compact"),
+      info("graft_ivf_pq_index_compact",
+        "graft_ivf_pq_index_compact('index_dir') - fold a persisted IVF-PQ " +
+          "index's delta trees to one file per cell, reader-transparently " +
+          "(search-invariant; one CAS'd pointer flip); returns (dir, ok). " +
+          "Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_ivf_pq_index_compact", args, 1)
+        val dir = literalString(args(0), "graft_ivf_pq_index_compact", "index_dir")
+        val session = active()
+        procedure("graft_ivf_pq_index_compact") { () =>
+          Similarity.compactIvfPqIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_ivf_pq_index_vacuum"),
+      info("graft_ivf_pq_index_vacuum",
+        "graft_ivf_pq_index_vacuum('index_dir') - reclaim IVF-PQ index " +
+          "trees and sidecar generations no committed reader can reach; " +
+          "run AFTER a grace period longer than any in-flight query and " +
+          "never concurrently with an append; returns (dir, ok). Runs at " +
+          "EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_ivf_pq_index_vacuum", args, 1)
+        val dir = literalString(args(0), "graft_ivf_pq_index_vacuum", "index_dir")
+        val session = active()
+        procedure("graft_ivf_pq_index_vacuum") { () =>
+          Similarity.vacuumIvfPqIndex(session, dir)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_ivf_pq_search"),
+      info("graft_ivf_pq_search",
+        "graft_ivf_pq_search('index_dir', 'queries_table_or_path', " +
+          "'id_col', 'vec_col', k[, nprobe, version]) - ANN top-k over a " +
+          "PERSISTED IVF-PQ index: the query's nprobe cells push as a " +
+          "static partition filter AND scoring reads m small codes per " +
+          "vector, never the floats; with a version, TIME TRAVEL to that " +
+          "commit; returns (qid, nid, rank, adist)"),
+      (args: Seq[Expression]) => { arity("graft_ivf_pq_search", args, 5, 6, 7)
+        val dir = literalString(args(0), "graft_ivf_pq_search", "index_dir")
+        val qref = literalString(args(1), "graft_ivf_pq_search", "queries_table_or_path")
+        val qid = literalString(args(2), "graft_ivf_pq_search", "id_col")
+        val vec = literalString(args(3), "graft_ivf_pq_search", "vec_col")
+        val k = literalLong(args(4), "graft_ivf_pq_search", "k").toInt
+        val nprobe = optLong(args, 5, 4L, "graft_ivf_pq_search", "nprobe").toInt
+        val ver = if (args.size > 6)
+          Some(literalLong(args(6), "graft_ivf_pq_search", "version")) else None
+        GraftShims.analyzedPlan(Similarity.searchIvfPqIndexAt(
+          active(), dir, resolveRef(qref), qid, vec, k, nprobe, ver)) }),
     (FunctionIdentifier("graft_pq_search"),
       info("graft_pq_search",
         "graft_pq_search('index_dir', 'queries_table_or_path', 'id_col', " +

@@ -747,6 +747,45 @@ class GraftSqlSpec extends SparkTestBase {
       == viaSql, "compact+vacuum must not change search results")
   }
 
+  test("IVF-PQ index SQL surface: build/add/compact/vacuum procedures + pruned search TVF") {
+    import graft.operators.{IndexCommit, Similarity}
+    import spark.implicits._
+    val vecs = (0 until 48).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 11 + j * 5) % 12 - 6).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    vecs.where(col("vec_id") % 2 === 0).createOrReplaceTempView("sql_ivfpq_base")
+    vecs.where(col("vec_id") % 2 === 1).createOrReplaceTempView("sql_ivfpq_add")
+    vecs.where(col("vec_id") < 4).createOrReplaceTempView("sql_ivfpq_q")
+    val dir = tmpDir("sqlivfpq-")
+    assert(spark.sql(
+      s"SELECT * FROM graft_ivf_pq_index_build('$dir', 'sql_ivfpq_base', 'vec_id', 'embedding', 4, 4, 8)")
+      .collect().head.getBoolean(1))
+    assert(spark.sql(
+      s"SELECT * FROM graft_ivf_pq_index_add('$dir', 'sql_ivfpq_add', 'vec_id', 'embedding', 'b1')")
+      .collect().head.getBoolean(1))
+    assert(!spark.sql(
+      s"SELECT * FROM graft_ivf_pq_index_add('$dir', 'sql_ivfpq_add', 'vec_id', 'embedding', 'b1')")
+      .collect().head.getBoolean(1), "replayed batch_id must report ok=false")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // bit-equal to the inline composition under the base-trained quantizers
+    val base = vecs.where(col("vec_id") % 2 === 0)
+    val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding", nlist = 4)
+    val books = Similarity.pqCodebooks(base, "vec_id", "embedding", m = 4, ksub = 8)
+    val viaSql = res(spark.sql(
+      s"SELECT * FROM graft_ivf_pq_search('$dir', 'sql_ivfpq_q', 'vec_id', 'embedding', 3, 2)"))
+    assert(viaSql == res(Similarity.ivfPqTopK(vecs, vecs.where(col("vec_id") < 4),
+      "vec_id", "embedding", k = 3, cents, books, nprobe = 2)) && viaSql.nonEmpty)
+    assert(spark.sql(s"SELECT * FROM graft_ivf_pq_index_compact('$dir')")
+      .collect().head.getBoolean(1))
+    assert(spark.sql(s"SELECT * FROM graft_ivf_pq_index_vacuum('$dir')")
+      .collect().head.getBoolean(1))
+    assert(IndexCommit.load(dir).get.dirs.size == 1)
+    assert(res(spark.sql(
+      s"SELECT * FROM graft_ivf_pq_search('$dir', 'sql_ivfpq_q', 'vec_id', 'embedding', 3, 2)"))
+      == viaSql, "compact+vacuum must not change search results")
+  }
+
   test("graft_symlink_manifest TVF: export from SQL, external read equals scan") {
     val dir = tmpDir("sqlsym-")
     EsLog.create(dir, streamId = 75L)

@@ -571,6 +571,62 @@ class IndexCommitSpec extends SparkTestBase {
     assert(res() == appended)
   }
 
+  test("persisted IVF-PQ: inline-equal, append bit-equal to one-pass, pruned scan, replay, compact, time travel") {
+    import graft.operators.Similarity
+    val root = tmpDir("ixc-ivfpq-")
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val cents = Similarity.kmeansCentroids(even, "vec_id", "embedding", nlist = 8)
+    val books = Similarity.pqCodebooks(even, "vec_id", "embedding", m = 8, ksub = 16)
+    Similarity.writeIvfPqIndex(even, "vec_id", "embedding", root, cents, books)
+    val q = emb.where(col("vec_id") < 3)
+    def res(v: Option[Long] = None) = Similarity.searchIvfPqIndexAt(
+        spark, root, q, "vec_id", "embedding", k = 5, nprobe = 3, version = v)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def inline(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(corpus, q, "vec_id", "embedding", k = 5,
+        cents, books, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // persisted == inline under the same quantizers
+    val atBuild = res()
+    assert(atBuild == inline(even) && atBuild.nonEmpty)
+    // append: assignment + encoding deterministic per row => union one-pass
+    assert(Similarity.appendToIvfPqIndex(spark, root,
+      emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      batchId = Some("odd")))
+    assert(res() == inline(emb) && res() != atBuild)
+    assert(!Similarity.appendToIvfPqIndex(spark, root,
+      emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      batchId = Some("odd")), "replayed batch id must be skipped")
+    assert(res(Some(0L)) == atBuild, "version 0 must reproduce the build")
+    // the probed cells push as a static partition filter into EACH tree's
+    // scan (base + delta both plan only probed cell=N/ directories)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.searchIvfPqIndexAt(spark, root, q,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("pqcells")) => f
+      }
+      assert(scans.size == 2, s"base + delta scans expected: ${scans.size}")
+      scans.foreach { sc =>
+        val dirs = sc.selectedPartitions.toPartitionArray.toSeq
+          .map(_.filePath.toString.split("/").reverse.find(_.startsWith("cell=")).get)
+          .toSet
+        // 3 queries x nprobe 2 = at most 6 of the 8 cells planned
+        assert(dirs.nonEmpty && dirs.size <= 3 * 2,
+          s"each tree must plan only probed cells: $dirs")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val appended = res()
+    Similarity.compactIvfPqIndex(spark, root)
+    assert(res() == appended, "compaction must never change search results")
+    assert(IndexCommit.load(root).get.dirs.size == 1)
+    assert(Similarity.vacuumIvfPqIndex(spark, root).nonEmpty)
+    assert(res() == appended)
+  }
+
   test("rebuild into a live index dir commits a fresh tree (searches keep their snapshot)") {
     val root = tmpDir("ixc-rebuild-")
     buildAppended(root)
