@@ -1296,6 +1296,58 @@ object Fixtures {
       ()
     }
 
+  /** Streaming IVF-PQ index maintenance — the sixth
+    * stream-mutates-the-artifact member ([[graft.operators.Similarity
+    * .appendToIvfPqIndex]]): both quantizers trained on the even-vec_id
+    * half (fixed at build), the odd half arrives as an eslog stream and
+    * every micro-batch extends the persisted composed index via
+    * `foreachBatch` (batch id = replay guard). Assignment and encoding are
+    * deterministic per row, so the streamed index searches BIT-IDENTICALLY
+    * to the batch-appended one — the search row shares
+    * `sim_ivf_pq_append`'s oracle. Quantizers arrive as input (the QUERY
+    * recomputes them every run to feed the oracle stash). */
+  def streamIvfPqAppendRoot(s: SparkSession, sfDir: String,
+                            cents: Array[Array[Double]],
+                            books: Array[Array[Array[Double]]]): String =
+    fixture(sfDir, "stream-ivfpq-append") { root =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Similarity
+      tune(s)
+      val emb = embeddings(s, sfDir)
+      val idx = s"$root/index"
+      Similarity.writeIvfPqIndex(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idx, cents, books)
+      val src = s"$root/src"
+      val odd = emb.where(col("vec_id") % 2 === 1).select(
+        col("vec_id"),
+        to_json(col("embedding")).cast("binary").as("payload"),
+        map(lit("vec_id"), col("vec_id").cast("string")).as("properties"))
+      EsLog.create(src, streamId = 88L)
+      EsLog.open(src, 1L)
+      EsLog.append(s, src, odd, 1L, sortKey = Some("vec_id"), numPartitions = 2)
+      val perTrigger = math.max(emb.where(col("vec_id") % 2 === 1).count() / 4, 1L)
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(
+          col("properties")("vec_id").cast("long").as("vec_id"),
+          from_json(col("payload").cast("string"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)).as("embedding"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         bid: Long) =>
+          Similarity.appendToIvfPqIndex(s, idx, batch, "vec_id", "embedding",
+            batchId = Some(s"stream-$bid"))
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      ()
+    }
+
   /** Streaming media chunk-library maintenance — the fourth
     * stream-mutates-the-artifact member ([[graft.operators.Multimodal
     * .appendToMediaLibraryIndex]]): the library is BUILT on the even-id

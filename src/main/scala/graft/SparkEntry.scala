@@ -1455,6 +1455,22 @@ object SparkEntry {
       "vec_id", "embedding", k = 5, nprobe = 4)
   }
 
+  /** Streaming twin of [[qSimIvfPqAppend]]
+    * ([[Fixtures.streamIvfPqAppendRoot]]): micro-batches extend the
+    * persisted composed index; deterministic per-row assignment + encoding
+    * make the streamed index bit-identical to the batch-appended one, so
+    * the row shares `sim_ivf_pq_append`'s oracle. */
+  private def qEsStreamIvfPqAppend(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val cents = Similarity.kmeansCentroids(even, "vec_id", "embedding", nlist = 16)
+    val books = Similarity.pqCodebooks(even, "vec_id", "embedding", m = 8, ksub = 16)
+    ivfPqAppendParams.put(sfDir, (cents, books))
+    val root = Fixtures.streamIvfPqAppendRoot(s, sfDir, cents, books)
+    Similarity.searchIvfPqIndexAt(s, s"$root/index",
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, nprobe = 4)
+  }
+
   /** Backward as-of join: each view event picks the user's most recent click
     * at or within the hour before it — one keyed shuffle + ordered sweep,
     * never a per-row lookup join ([[graft.operators.AsOfJoin]]). */
@@ -2068,6 +2084,7 @@ object SparkEntry {
     "sim_pq_append" -> (qSimPqAppend _),
     "sim_ivf_pq_persisted" -> (qSimIvfPqPersisted _),
     "sim_ivf_pq_append" -> (qSimIvfPqAppend _),
+    "es_stream_ivf_pq_append" -> (qEsStreamIvfPqAppend _),
     "es_stream_pq_append" -> (qEsStreamPqAppend _),
     "sim_lsh_compact" -> (qSimLshCompact _),
     "dedup_embedding" -> (qDedupEmbedding _),
@@ -2139,7 +2156,10 @@ object SparkEntry {
         .map(sql => Seq("sim_ivf_pq" -> sql, "sim_ivf_pq_persisted" -> sql))
         .getOrElse(Seq.empty) ++
       Option(ivfPqAppendParams.get(sfDir))
-        .map { case (c, b) => "sim_ivf_pq_append" -> Oracles.simIvfPqSql(c, b) } ++
+        .map { case (c, b) => Oracles.simIvfPqSql(c, b) }
+        .map(sql => Seq("sim_ivf_pq_append" -> sql,
+          "es_stream_ivf_pq_append" -> sql))
+        .getOrElse(Seq.empty) ++
       Option(classifierModels.get(sfDir))
         .map(m => Oracles.textClassifySql(m))
         .map(sql => Seq("text_classify" -> sql, "es_stream_classify" -> sql))

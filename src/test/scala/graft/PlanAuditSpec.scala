@@ -1159,7 +1159,7 @@ class PlanAuditSpec extends SparkTestBase {
     //  - sim_ivf_persisted: same bounded centroid broadcast as sim_ivf
     //    (the cells side is additionally partition-pruned on disk).
     val bnljOk = Set("sim_exact", "sql_topk", "sim_ivf", "sim_ivf_kmeans",
-      "sim_pq", "sim_pq_append", "es_stream_pq_append", "sim_ivf_pq", "sim_ivf_pq_persisted", "sim_ivf_pq_append", "sim_ivf_persisted", "sim_ivf_append", "es_stream_ivf_append", "sim_ivf_compact",
+      "sim_pq", "sim_pq_append", "es_stream_pq_append", "sim_ivf_pq", "sim_ivf_pq_persisted", "sim_ivf_pq_append", "es_stream_ivf_pq_append", "sim_ivf_persisted", "sim_ivf_append", "es_stream_ivf_append", "sim_ivf_compact",
       "sim_ivf_replay", "sim_ivf_time_travel",
       "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "text_tfidf", "text_filter", "pipeline_export",
@@ -1227,6 +1227,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_pq_append" -> Seq("qid", "nid", "rank", "adist"),
     "sim_ivf_pq_persisted" -> Seq("qid", "nid", "rank", "adist"),
     "sim_ivf_pq_append" -> Seq("qid", "nid", "rank", "adist"),
+    "es_stream_ivf_pq_append" -> Seq("qid", "nid", "rank", "adist"),
     "sim_ivf_time_travel" -> Seq("qid", "nid", "rank", "score"),
     "es_stream_ivf_append" -> Seq("qid", "nid", "rank", "score"),
     "es_stream_lsh_append" -> Seq("qid", "nid", "rank", "score"),
