@@ -13,8 +13,78 @@ import org.apache.spark.sql.functions._
   *  - append_mbps: payload MB/s through the eslog append-commit path
   *    (BASELINE.md's ingest figure at this scale);
   *  - scan_rows_per_sec: committed-batch scan rate through the source.
+  *
+  * SELF-REJECTING RUN (round 13): a run whose append gate fails on EVERY
+  * window (all three windows over the rel-IQR threshold) does not publish
+  * its own headline — the whole suite auto re-runs ONCE and the published
+  * JSON carries `"rerun_of":0` plus the discarded attempt's append figure,
+  * so a verdict never again has to adjudicate a gate-failed headline
+  * (BENCH_r12.json). Two more instrument layers ride alongside:
+  *  - a MEMORY-BANDWIDTH sentinel (fixed ~256 MiB cached-columnar
+  *    aggregate) joins the CPU + IO gate union — the r12 slow phase sat
+  *    INSIDE a segment and inflated the sketch family 6-12x while both the
+  *    CPU probe (no memory traffic) and the sparse IO probe read clean;
+  *  - a PRIOR-ENVELOPE check: each head's best-of-3 is compared against the
+  *    last GATED run's best-of-3 (BENCH_PRIOR.json, written by the bench
+  *    itself whenever both gates pass); a head >3x over its prior gets one
+  *    end-of-suite re-measure in a freshly sentinel-bracketed segment, so a
+  *    within-segment phase the sentinels missed still gets a second look
+  *    in-band instead of a verdict-cycle investigation.
   */
 object Bench {
+
+  private def f3(x: Double): String = f"$x%.3f"
+  private def jmap(m: scala.collection.Map[String, Double]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+  private def jmapS(m: scala.collection.Map[String, String]): String =
+    m.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+  private def jlist(xs: Seq[Double]): String = xs.map(f3).mkString("[", ",", "]")
+  private def jlistS(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** Last gated run's per-head best-of-3 (the prior-envelope reference).
+    * Written by the bench itself on both-gates-green runs; absent or
+    * unreadable = no envelope check (first gated run seeds it). */
+  private val PriorPath = "BENCH_PRIOR.json"
+  /** Figures only compare within one scale factor: a sf0.1 head against a
+    * sf0.01 prior would flag every scan as a "regression". */
+  private def readPrior(sfDir: String): Map[String, Double] =
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PriorPath))
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val sf = Option(n.get("sf")).map(_.asText()).getOrElse("")
+      if (sf != sfDir) return Map.empty
+      val b = Map.newBuilder[String, Double]
+      val q = n.get("queries_best_of_3")
+      if (q != null) q.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
+      b.result()
+    } catch { case _: Throwable => Map.empty }
+  private def writePrior(sfDir: String,
+                         best: scala.collection.Map[String, Double],
+                         medians: scala.collection.Map[String, Double],
+                         appendMbps: Double): Unit =
+    try {
+      val body =
+        s"""{"written_by":"bench (both gates green)"""" +
+        s""","sf":"$sfDir"""" +
+        s""","append_mbps":${f3(appendMbps)}""" +
+        s""","queries_best_of_3":${jmap(best)}""" +
+        s""","queries":${jmap(medians)}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(PriorPath),
+        body.getBytes("UTF-8"))
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] prior write failed: $e") }
+
+  /** One full suite measurement. `headlineCore` omits the closing brace so
+    * the caller can append rerun provenance. */
+  private final case class SuiteResult(
+      detail: String, headlineCore: String,
+      appendGatePassed: Boolean, registryGatePassed: Boolean,
+      appendMbps: Double,
+      medians: scala.collection.Map[String, Double],
+      best: scala.collection.Map[String, Double])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,6 +139,51 @@ object Bench {
       graft.eslog.EsLog.scan(spark, wdir).agg(count(lit(1))).collect()
     }
 
+    // MEMORY-BANDWIDTH sentinel corpus: a fixed ~256 MiB cached-columnar
+    // block, aggregated end to end per probe. The CPU sentinel generates
+    // its longs on the fly (register-resident — no memory traffic), so a
+    // host phase that throttles memory bandwidth / page-cache pressure is
+    // invisible to it (the r12 within-segment gap); sweeping a fixed cached
+    // block feels exactly that. Built ONCE, outside every timing.
+    val memProbeDf = spark.range(16L * 1000 * 1000).select(
+      col("id"),
+      (col("id") % 1000).cast("float").as("x"),
+      (col("id") % 97).cast("float").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    memProbeDf.count()
+
+    val attempt0 = runSuite(spark, sfDir, memProbeDf, force)
+    val rerun = !attempt0.appendGatePassed
+    val fin =
+      if (!rerun) attempt0
+      else {
+        // the append gate failed on EVERY window: this host window cannot
+        // certify a headline — re-run the whole suite once and publish THAT,
+        // with provenance (VERDICT r12 #1a)
+        System.err.println("[bench] append gate failed on all windows — " +
+          "auto re-running the full suite once")
+        runSuite(spark, sfDir, memProbeDf, force)
+      }
+
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(p, fin.detail.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(fin.detail)
+    val provenance =
+      if (!rerun) ""
+      else s""","rerun_of":0,"discarded_append_mbps":${f3(attempt0.appendMbps)}""" +
+        s""","discarded_append_gate_passed":${attempt0.appendGatePassed}"""
+    println(fin.headlineCore + provenance + "}")
+    // a both-gates-green run becomes the next run's prior envelope
+    if (fin.appendGatePassed && fin.registryGatePassed)
+      writePrior(sfDir, fin.best, fin.medians, fin.appendMbps)
+    spark.stop()
+  }
+
+  private def runSuite(spark: SparkSession, sfDir: String,
+                       memProbeDf: DataFrame,
+                       force: DataFrame => Unit): SuiteResult = {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
@@ -326,15 +441,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def ioSentinelSec(): Double = (1 to 3).map(_ => ioSentinelOnce()).min
+    // MEMORY-BANDWIDTH SENTINEL (the round-12 instrument gap): sweep a fixed
+    // ~256 MiB cached-columnar block end to end. The CPU probe's longs are
+    // register-resident and the IO probe brackets only the read-path
+    // segment, so the r12 phase (sketch family 6-12x inflated inside a
+    // segment whose bounding CPU sentinels read 0.067-0.096 s) slipped both.
+    // Memory traffic feels cache/bandwidth pressure; measured at EVERY
+    // boundary (one sweep is ~100 ms) and unioned into the same gate.
+    def memSentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      memProbeDf.agg(expr("bit_xor(xxhash64(id, x, y))"), sum(col("x"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def memSentinelSec(): Double = (1 to 3).map(_ => memSentinelOnce()).min
     sentinelOnce(); sentinelOnce() // JIT/codegen warm, untimed
     ioSentinelOnce(); ioSentinelOnce()
+    memSentinelOnce(); memSentinelOnce()
     val s0raw = { val xs = (1 to 5).map(_ => sentinelOnce()).sorted; xs(2) }
     val s0ioRaw = { val xs = (1 to 5).map(_ => ioSentinelOnce()).sorted; xs(2) }
+    val s0memRaw = { val xs = (1 to 5).map(_ => memSentinelOnce()).sorted; xs(2) }
     val RegistryGateFactor = 1.5
     // IO reads ride the page cache + device queue, so their quiet-window
     // variance is wider than pure compute's: 2x before flagging (the r10
     // phase sat at ~100x)
     val IoGateFactor = 2.0
+    // cached-block sweeps share the executor heap with the queries they
+    // bracket (GC debt shows as one slow run — min-of-3 absorbs it); 2x
+    // like the IO probe, against phases that sat at 6-12x
+    val MemGateFactor = 2.0
 
     // -- CDC chunker throughput, fixture divisor (16 B mean chunks — what
     //    the oracle fixtures use on few-hundred-byte payloads) vs the
@@ -368,6 +502,7 @@ object Bench {
     def ioGated(si: Int): Boolean = si == 0
     val gatedNames = segs.flatten.map(_._1)
     val boundaries = scala.collection.mutable.ArrayBuffer[Double]()
+    val memBoundaries = scala.collection.mutable.ArrayBuffer[Double]()
     val ioBoundaries = scala.collection.mutable.ArrayBuffer[Option[Double]]()
     def ioBoundaryAt(bi: Int): Option[Double] = {
       // boundary bi brackets segments bi-1 (above) and bi (below); measure
@@ -377,6 +512,7 @@ object Bench {
       if (below || above) Some(ioSentinelSec()) else None
     }
     boundaries += sentinelSec()
+    memBoundaries += memSentinelSec()
     ioBoundaries += ioBoundaryAt(0)
     segs.zipWithIndex.foreach { case (seg, si) =>
       seg.foreach { case (name, body) =>
@@ -388,6 +524,7 @@ object Bench {
       }
       segCleanup(si)
       boundaries += sentinelSec()
+      memBoundaries += memSentinelSec()
       ioBoundaries += ioBoundaryAt(si + 1)
     }
     // effective baseline = the QUIETEST sentinel observed anywhere: if the
@@ -395,9 +532,12 @@ object Bench {
     // gate (everything "clean" relative to an inflated floor)
     var s0 = math.min(s0raw, boundaries.min)
     var s0io = math.min(s0ioRaw, ioBoundaries.flatten.min)
+    var s0mem = math.min(s0memRaw, memBoundaries.min)
     val ioDirty0 = BenchGate.dirtySegmentsSparse(ioBoundaries.toSeq, s0io, IoGateFactor)
     var dirty =
-      BenchGate.dirtySegments(boundaries.toSeq, s0, RegistryGateFactor) ++ ioDirty0
+      BenchGate.dirtySegments(boundaries.toSeq, s0, RegistryGateFactor) ++
+        BenchGate.dirtySegments(memBoundaries.toSeq, s0mem, MemGateFactor) ++
+        ioDirty0
     // a segment the IO gate flagged (even a CPU-bound neighbor that merely
     // shares a disturbed boundary) must be IO-bracketed on its RE-RUN too:
     // re-certifying it with the CPU sentinel alone would re-create the
@@ -408,6 +548,7 @@ object Bench {
       if (dirty.exists(si => segs(si).exists(_._1 == n))) "w0-noisy" else "w0")
     val rerunSentinels = scala.collection.mutable.ArrayBuffer[Double]()
     val ioRerunSentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    val memRerunSentinels = scala.collection.mutable.ArrayBuffer[Double]()
     var segmentsRerun = 0
     var rerunPass = 0
     while (dirty.nonEmpty && rerunPass < 2) {
@@ -416,21 +557,26 @@ object Bench {
       dirty.toSeq.sorted.foreach { si =>
         val needIo = ioGated(si) || ioSuspect(si)
         val before = sentinelSec(); rerunSentinels += before
+        val memBefore = memSentinelSec(); memRerunSentinels += memBefore
         val ioBefore = if (needIo) Some(ioSentinelSec()) else None
         val old = segs(si).map { case (n, _) => (n, results(n), best(n), spread(n)) }
         segs(si).foreach { case (name, body) =>
           timedMedian(name, converge = convergedHeads(name)) { body() } }
         segCleanup(si)
         val after = sentinelSec(); rerunSentinels += after
+        val memAfter = memSentinelSec(); memRerunSentinels += memAfter
         val ioAfter = if (needIo) Some(ioSentinelSec()) else None
         (ioBefore.toSeq ++ ioAfter.toSeq).foreach { v =>
           ioRerunSentinels += v; s0io = math.min(s0io, v)
         }
         segmentsRerun += 1
         s0 = math.min(s0, math.min(before, after))
+        s0mem = math.min(s0mem, math.min(memBefore, memAfter))
         val ioClean = (ioBefore.toSeq ++ ioAfter.toSeq).forall(_ <= s0io * IoGateFactor)
+        val memClean = memBefore <= s0mem * MemGateFactor &&
+          memAfter <= s0mem * MemGateFactor
         val clean = before <= s0 * RegistryGateFactor &&
-          after <= s0 * RegistryGateFactor && ioClean
+          after <= s0 * RegistryGateFactor && ioClean && memClean
         // host noise only inflates: per query keep the window with the
         // smaller median (the engine's demonstrated capability), best-of
         // keeps the global min, and the tag records which window won
@@ -452,6 +598,44 @@ object Bench {
       dirty = stillDirty.toSet
     }
     val registryGatePassed = dirty.isEmpty
+
+    // PRIOR-ENVELOPE RE-MEASURE (the r12 within-segment gap, belt half): a
+    // head whose best-of-3 landed >3x over the last GATED run's best-of-3
+    // gets ONE end-of-suite re-measure in its own freshly sentinel-bracketed
+    // (CPU + mem) segment. A real regression reproduces here and stays in
+    // the figures with its flag; a within-segment host phase the sentinels
+    // could not feel does not, and the min window wins. Names + prior
+    // figures ride the detail JSON either way.
+    val PriorEnvelopeFactor = 3.0
+    val prior = readPrior(sfDir)
+    val priorFlagged = gatedNames.filter { n =>
+      val p = prior.getOrElse(n, -1.0)
+      p > 0 && best.getOrElse(n, -1.0) > PriorEnvelopeFactor * p
+    }
+    val priorTag = scala.collection.mutable.LinkedHashMap[String, String]()
+    if (priorFlagged.nonEmpty) {
+      val bodyOf: Map[String, () => Unit] = segs.flatten.toMap
+      priorFlagged.foreach { n =>
+        val before = sentinelSec(); val memBefore = memSentinelSec()
+        val (om, ob, os) = (results(n), best(n), spread(n))
+        timedMedian(n, converge = convergedHeads(n)) { bodyOf(n)() }
+        if (gatedNames.take(frontSeg.size).contains(n)) Fixtures.dropFresh()
+        val after = sentinelSec(); val memAfter = memSentinelSec()
+        s0 = math.min(s0, math.min(before, after))
+        s0mem = math.min(s0mem, math.min(memBefore, memAfter))
+        val clean = before <= s0 * RegistryGateFactor &&
+          after <= s0 * RegistryGateFactor &&
+          memBefore <= s0mem * MemGateFactor && memAfter <= s0mem * MemGateFactor
+        if (om >= 0 && (results(n) < 0 || om <= results(n))) {
+          results(n) = om; spread(n) = os
+          priorTag(n) = "suite-min" // the suite window already was the min
+        } else {
+          priorTag(n) = "remeasured" + (if (clean) "" else "-noisy")
+          windowTag(n) = windowTag(n) + "+prior"
+        }
+        if (ob >= 0 && (best(n) < 0 || ob < best(n))) best(n) = ob
+      }
+    }
     cdcCorpus.unpersist(blocking = false)
 
     val total = results.values.filter(_ >= 0).sum
@@ -465,12 +649,6 @@ object Bench {
     // for that workload (MB/s is dominated by per-batch bookkeeping)
     val appendSec = results.getOrElse("append_events", -1.0)
     val appendRps = if (appendSec > 0) nEvents / appendSec else -1.0
-    def f3(x: Double): String = f"$x%.3f"
-    def jmap(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    def jmapS(m: scala.collection.Map[String, String]): String =
-      m.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    def jlist(xs: Seq[Double]): String = xs.map(f3).mkString("[", ",", "]")
     val qs = jmap(results)
     val perCommitMbps = commitSecs.map(s => payload64k / 1e6 / s).sorted
     val medianMbps = if (perCommitMbps.isEmpty) -1.0 else perCommitMbps(perCommitMbps.size / 2)
@@ -496,22 +674,24 @@ object Bench {
       s""","io_sentinel_baseline_raw":${f3(s0ioRaw)}""" +
       s""","io_sentinel_boundaries":${jlist(ioBoundaries.toSeq.map(_.getOrElse(-1.0)))}""" +
       s""","io_sentinel_rerun":${jlist(ioRerunSentinels.toSeq)}""" +
+      s""","mem_sentinel_baseline_raw":${f3(s0memRaw)}""" +
+      s""","mem_sentinel_boundaries":${jlist(memBoundaries.toSeq)}""" +
+      s""","mem_sentinel_rerun":${jlist(memRerunSentinels.toSeq)}""" +
       s""","converged_warms":${jmap(convergedWarms)}""" +
       s""","registry_window_tags":${jmapS(windowTag)}""" +
+      s""","prior_envelope":${jmap(prior.filter { case (k, _) => gatedNames.contains(k) })}""" +
+      s""","prior_flagged":${jlistS(priorFlagged)}""" +
+      s""","prior_tags":${jmapS(priorTag)}""" +
       s""","queries_best_of_3":${jmap(best)}""" +
       s""","queries_spread":${jmap(spread)}}"""
-    try {
-      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
-      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(detail)
     // headline append figure = the MEDIAN steady-state commit: one
     // vCPU-steal outlier distorts the mean of 16 identical commits by 2x;
     // the median is the steady-state rate (mean rides alongside).
     // append_mbps = MEDIAN per-commit rate since r5; scan_mbps = fetch over
     // ONLY the 16 timed commits' offsets (fixed byte count) since r7 —
     // cross-round deltas must compare matching definitions.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+    val headlineCore =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","append_mbps":${f3(medianMbps)}""" +
       s""","append_mbps_def":"median_per_commit_64k"""" +
       s""","append_mbps_mean":${f3(mbps("append_64k_steady", nCommits * payload64k))}""" +
@@ -527,8 +707,11 @@ object Bench {
       s""","registry_gate_factor":${f3(RegistryGateFactor)}""" +
       s""","io_sentinel_s0":${f3(s0io)}""" +
       s""","io_gate_factor":${f3(IoGateFactor)}""" +
+      s""","mem_sentinel_s0":${f3(s0mem)}""" +
+      s""","mem_gate_factor":${f3(MemGateFactor)}""" +
       s""","registry_gate_passed":$registryGatePassed""" +
       s""","registry_segments_rerun":$segmentsRerun""" +
+      s""","prior_flagged_n":${priorFlagged.size}""" +
       s""","cdc_chunk_mbps_div16":${f3(mbps("cdc_chunk_div16", cdcBytes))}""" +
       s""","cdc_chunk_mbps_div16k":${f3(mbps("cdc_chunk_div16k", cdcBytes))}""" +
       s""","scan_mbps":${f3(mbps("scan_64k_batches", nCommits * payload64k))}""" +
@@ -537,7 +720,8 @@ object Bench {
       s""","append_events_rows_per_sec":${f3(appendRps)}""" +
       s""","scan_rows_per_sec":${f3(scanRps)},"n_events":$nEvents,"payload_bytes":$payloadBytes""" +
       s""","batch_64k_payload_bytes":$payload64k""" +
-      s""","detail":"BENCH_DETAIL.json"}""")
-    spark.stop()
+      s""","detail":"BENCH_DETAIL.json""""
+    SuiteResult(detail, headlineCore, gatePassed, registryGatePassed,
+      medianMbps, results, best)
   }
 }

@@ -1421,7 +1421,14 @@ object EsLog {
     // concludes the latter (the single-source path's comment has the full
     // story; surfaced by the FanInProtocol enumeration)
     val srcSts = froms.lazyZip(srcSts0).lazyZip(srcDirs).map { case (f, s, d) =>
-      if (f > s.nextOffset) MetaLog.load(d) else s }
+      if (f > s.nextOffset) {
+        val s2 = MetaLog.load(d)
+        // same deleted check the FIRST load applied: a stream deleted
+        // between the two loads must fail here, not proceed into
+        // checkGroupPosition with the tombstone state's nextOffset
+        if (s2.deleted) throw new IllegalStateException(s"stream $d deleted")
+        s2
+      } else s }
     val upTos = srcSts.map(_.nextOffset)
     froms.lazyZip(upTos).lazyZip(sids).foreach { case (f, u, id) =>
       checkGroupPosition(s"$group@src$id", f, u) }

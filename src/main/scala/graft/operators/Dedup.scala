@@ -262,8 +262,8 @@ object Dedup {
   /** Reclaim superseded/orphaned sigs trees — see [[IndexCommit.vacuum]]
     * for the grace-period contract. */
   def vacuumMinHashIndex(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): Seq[String] =
-    IndexCommit.vacuum(spark, dir, "sigs")
+                         dir: String, graceMs: Long = 0L): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "sigs", graceMs)
 
   /** [[probeMinHashIndex]] against a PERSISTED index with the
     * [[Multimodal.mediaDedupProbeAt]] plan guarantees: the index NEVER

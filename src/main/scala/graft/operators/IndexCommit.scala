@@ -270,12 +270,61 @@ object IndexCommit {
                 (write: String => Unit): Unit =
     load(indexDir) match {
       case None =>
-        write(MetaLog.join(indexDir, legacyName))
-        val boot = IndexState(-1L, Vector.empty, Set.empty)
-        if (!tryCommit(indexDir, boot, Vector(legacyName), Set.empty, "base",
-            sidecars = sidecars))
-          throw new graft.meta.ConcurrentCommitException(
-            s"index version 0 already committed in $indexDir")
+        // Stage under a fresh name, then ATOMICALLY claim the bare legacy
+        // name with a rename (rename refuses an existing destination):
+        // writing the bare name directly would let a LOSING rival first
+        // build overwrite the winner's already-committed tree bytes before
+        // its own CAS throws — silent generation mixing. The rename loser
+        // deletes its staged tree and aborts without touching the winner's
+        // data; a crash between rename and CAS leaves exactly the
+        // pre-pointer layout (bare tree, no log), readable via the legacy
+        // fallback and bootstrapped by the next maintenance op. Caller-side
+        // SIDECARS keep bare names on first builds (pre-pointer tooling
+        // compat), so on stores without atomic rename (S3) run ONE initial
+        // builder per index — the one-compactor contract's first-build twin.
+        val staged = s"$legacyName-s${freshSuffix()}"
+        write(MetaLog.join(indexDir, staged))
+        val fs = fsFor(indexDir)
+        val base = new org.apache.hadoop.fs.Path(indexDir)
+        val stagedP = new org.apache.hadoop.fs.Path(base, staged)
+        val bareP = new org.apache.hadoop.fs.Path(base, legacyName)
+        // Claim the bare name by rename. Hadoop rename has POSIX mv
+        // semantics — onto an EXISTING directory it nests the source inside
+        // it — so an existing bare tree (pre-pointer rebuild, or a rival
+        // that raced ahead) is checked first, and a rename that nested
+        // anyway (rival won between the check and the rename) is detected
+        // by the fresh-suffixed name and undone; the winner's bytes are
+        // never touched either way.
+        val nestedP = new org.apache.hadoop.fs.Path(bareP, staged)
+        val claimed =
+          !fs.exists(bareP) && fs.rename(stagedP, bareP) && {
+            if (fs.exists(nestedP)) { fs.rename(nestedP, stagedP); false }
+            else true
+          }
+        if (claimed) {
+          val boot = IndexState(-1L, Vector.empty, Set.empty)
+          if (!tryCommit(indexDir, boot, Vector(legacyName), Set.empty,
+              "base", sidecars = sidecars))
+            // Only a concurrent maintenance bootstrap can win v0 here (a
+            // rival first build could not have claimed the bare name), and
+            // its v0 references exactly the tree this rename installed —
+            // but with an EMPTY sidecar map where this build committed
+            // names. Maintenance concurrent with a first build is outside
+            // the contract; fail loudly rather than guess.
+            throw new graft.meta.ConcurrentCommitException(
+              s"index version 0 already committed in $indexDir")
+        } else {
+          // The bare name is already taken: a rival first build won it, or
+          // this is a PRE-POINTER index being rebuilt in place. Either way
+          // the staged tree is a complete build — commit it as a rebuild on
+          // top of whatever state exists (bootstrapping version 0 around
+          // the bare tree when no log does), never overwriting the bare
+          // tree's bytes.
+          var st = loadOrBootstrap(indexDir, legacyName)
+          while (!tryCommit(indexDir, st, Vector(staged), Set.empty, "base",
+              sidecars = sidecars))
+            st = load(indexDir).get
+        }
       case Some(st0) =>
         val tree = s"$legacyName-b${st0.version + 1}-${freshSuffix()}"
         write(MetaLog.join(indexDir, tree))
@@ -386,11 +435,18 @@ object IndexCommit {
     * sidecar names are never touched). Run it from the maintenance cadence
     * AFTER a grace period longer than any in-flight query (the Delta
     * VACUUM contract: a search planned against a pre-compact version keeps
-    * reading the old trees until vacuumed), and never concurrently with an
-    * append (an append's tree is unreferenced until its CAS lands).
-    * Returns the deleted names. No-op for pre-pointer indexes. */
+    * reading the old trees until vacuumed), and never concurrently with
+    * ANY other maintenance op — an append's delta tree AND a compact's or
+    * rebuild's staged target tree are all unreferenced until their CAS
+    * lands, and vacuum cannot tell them from crash orphans by name alone.
+    * `graceMs > 0` is the belt for that suspender: candidates modified
+    * within the last `graceMs` are skipped, so staged trees of in-flight
+    * maintenance (and trees a just-superseded reader may still be
+    * scanning) survive; size it above the longest maintenance op plus the
+    * longest query. Returns the deleted names. No-op for pre-pointer
+    * indexes. */
   def vacuum(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-             legacyName: String): Seq[String] =
+             legacyName: String, graceMs: Long = 0L): Seq[String] =
     load(indexDir) match {
       case None => Seq.empty
       case Some(st) =>
@@ -399,8 +455,13 @@ object IndexCommit {
         val base = new org.apache.hadoop.fs.Path(indexDir)
         if (!fs.exists(base)) return Seq.empty
         val prefixes = legacyName +: st.sidecars.keys.toSeq
+        val cutoff =
+          if (graceMs <= 0L) Long.MaxValue
+          else System.currentTimeMillis() - graceMs
         val dead = fs.listStatus(base).toSeq
-          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.isDirectory)
+          .filter(_.getModificationTime < cutoff)
+          .map(_.getPath.getName)
           .filter(n => prefixes.exists(p => n == p || n.startsWith(s"$p-")))
           .filterNot(live.contains)
         dead.foreach(n =>
@@ -415,6 +476,15 @@ object IndexCommit {
       new org.apache.hadoop.fs.Path(indexDir), tree), true)
     ()
   }
+
+  /** Hadoop FS without a caller-provided session — the active session's
+    * conf when one exists (executor-side settings ride along), a bare
+    * Configuration otherwise ([[commitBase]] has no session parameter). */
+  private def fsFor(dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
                        dir: String): org.apache.hadoop.fs.FileSystem =

@@ -308,11 +308,14 @@ object Multimodal {
     * [[DeploymentDivisor]], so no default here is coherent with both;
     * [[mediaDedupProbeAt]] reads it from the persisted params sidecar and
     * cannot mismatch). Parameter ORDER keeps [[cdcChunkRows]]'s
-    * `(window, divisor)` convention — `window` defaulting AHEAD of the
-    * required `divisor` means a caller reaches `divisor` by name (or by
-    * spelling out `window` first), and a legacy positional
-    * `(..., 8, 16)` call still means `window=8, divisor=16` instead of
-    * silently reinterpreting. */
+    * `(window, divisor)` convention, matching every release EXCEPT the
+    * round-11 one, which briefly shipped `(divisor, window = 8)`.
+    * MIGRATION HAZARD, stated plainly: a two-positional-arg call like
+    * `(..., 8, 16)` means `window=8, divisor=16` here and in every
+    * pre-r11 release, but meant `divisor=8, window=16` under the r11
+    * signature — a caller written against r11 is silently reinterpreted
+    * by this restore. Pass `divisor` BY NAME (as every in-repo caller
+    * does); a named call has meant the same thing in every release. */
   def mediaDedupProbe(libraryIndex: DataFrame, incoming: DataFrame,
                       idCol: String, payloadCol: String,
                       window: Int = 8, divisor: Int,
@@ -481,8 +484,9 @@ object Multimodal {
   /** Reclaim superseded/orphaned chunks trees — see
     * [[graft.operators.IndexCommit.vacuum]] for the grace-period
     * contract. */
-  def vacuumMediaLibraryIndex(spark: SparkSession, dir: String): Seq[String] =
-    IndexCommit.vacuum(spark, dir, "chunks")
+  def vacuumMediaLibraryIndex(spark: SparkSession, dir: String,
+                              graceMs: Long = 0L): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "chunks", graceMs)
 
   /** [[mediaDedupProbe]] against a PERSISTED library index with two
     * plan-level guarantees (both pinned in PlanAuditSpec):

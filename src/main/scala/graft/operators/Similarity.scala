@@ -577,8 +577,9 @@ object Similarity {
   /** Reclaim cells trees superseded by [[compactIvfIndex]] (and orphans
     * from crashed maintenance) that no committed reader can reach — see
     * [[IndexCommit.vacuum]] for the grace-period contract. */
-  def vacuumIvfIndex(spark: SparkSession, dir: String): Seq[String] =
-    IndexCommit.vacuum(spark, dir, "cells")
+  def vacuumIvfIndex(spark: SparkSession, dir: String,
+                     graceMs: Long = 0L): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "cells", graceMs)
 
   /** Union of cells trees under one schema with the partition column's
     * inferred type corrected to LONG (directory VALUES with small cids
@@ -743,8 +744,9 @@ object Similarity {
 
   /** Reclaim superseded/orphaned buckets trees — see [[IndexCommit.vacuum]]
     * for the grace-period contract. */
-  def vacuumLshIndex(spark: SparkSession, dir: String): Seq[String] =
-    IndexCommit.vacuum(spark, dir, "buckets")
+  def vacuumLshIndex(spark: SparkSession, dir: String,
+                     graceMs: Long = 0L): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "buckets", graceMs)
 
   /** Union of buckets trees with the partition columns re-read as INT —
     * the type [[lshBucketed]] produces, so probe filters compare un-cast
@@ -1070,8 +1072,9 @@ object Similarity {
 
   /** Reclaim superseded/orphaned codes trees + sidecar generations — see
     * [[IndexCommit.vacuum]] for the grace-period contract. */
-  def vacuumPqIndex(spark: SparkSession, dir: String): Seq[String] =
-    IndexCommit.vacuum(spark, dir, "codes")
+  def vacuumPqIndex(spark: SparkSession, dir: String,
+                    graceMs: Long = 0L): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "codes", graceMs)
 
   /** ADC top-k over a PERSISTED PQ index; `version` pins the search to a
     * past commit (time travel). Results are bit-identical to
@@ -1202,8 +1205,9 @@ object Similarity {
     }
 
   /** Reclaim superseded/orphaned pqcells trees + sidecar generations. */
-  def vacuumIvfPqIndex(spark: SparkSession, dir: String): Seq[String] =
-    IndexCommit.vacuum(spark, dir, "pqcells")
+  def vacuumIvfPqIndex(spark: SparkSession, dir: String,
+                       graceMs: Long = 0L): Seq[String] =
+    IndexCommit.vacuum(spark, dir, "pqcells", graceMs)
 
   /** Search a PERSISTED IVF-PQ index: the query ranks the (broadcast)
     * centroids, its `nprobe` cells push as a static partition filter

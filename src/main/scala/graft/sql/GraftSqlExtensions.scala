@@ -621,7 +621,7 @@ object GraftFunctions {
         val session = active()
         procedure("graft_sim_index_add") { () =>
           val applied = graft.operators.Similarity.appendToIvfIndex(
-            session, dir, resolveRef(vref), id, vec, bid)
+            session, dir, resolveRef(session, vref), id, vec, bid)
           Seq(org.apache.spark.sql.Row(dir, applied))
         } }),
     (FunctionIdentifier("graft_sim_index_compact"),
@@ -655,7 +655,7 @@ object GraftFunctions {
         val session = active()
         procedure("graft_dedup_index_add") { () =>
           val applied = graft.operators.Dedup.appendToMinHashIndex(
-            session, dir, resolveRef(dref), id, text, bid)
+            session, dir, resolveRef(session, dref), id, text, bid)
           Seq(org.apache.spark.sql.Row(dir, applied))
         } }),
     (FunctionIdentifier("graft_dedup_index_compact"),
@@ -783,7 +783,7 @@ object GraftFunctions {
         val session = active()
         procedure("graft_media_index_add") { () =>
           val applied = graft.operators.Multimodal.appendToMediaLibraryIndex(
-            session, dir, resolveRef(mref), id, payload, bid)
+            session, dir, resolveRef(session, mref), id, payload, bid)
           Seq(org.apache.spark.sql.Row(dir, applied))
         } }),
     (FunctionIdentifier("graft_sim_search"),
@@ -822,9 +822,10 @@ object GraftFunctions {
         val id = literalString(args(2), "graft_sim_index_build", "id_col")
         val vec = literalString(args(3), "graft_sim_index_build", "vec_col")
         val nlist = optLong(args, 4, 16L, "graft_sim_index_build", "nlist").toInt
+        val session = active()
         procedure("graft_sim_index_build") { () =>
           Similarity.writeIvfIndex(
-            Similarity.buildIvfIndex(resolveRef(vref), id, vec, nlist), dir)
+            Similarity.buildIvfIndex(resolveRef(session, vref), id, vec, nlist), dir)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
     (FunctionIdentifier("graft_lsh_index_build"),
@@ -841,9 +842,10 @@ object GraftFunctions {
         val dim = literalLong(args(4), "graft_lsh_index_build", "dim").toInt
         val planes = optLong(args, 5, 8L, "graft_lsh_index_build", "planes").toInt
         val tables = optLong(args, 6, 4L, "graft_lsh_index_build", "tables").toInt
+        val session = active()
         procedure("graft_lsh_index_build") { () =>
           Similarity.writeLshIndex(
-            Similarity.buildLshIndex(resolveRef(vref), id, vec, dim, planes, tables), dir)
+            Similarity.buildLshIndex(resolveRef(session, vref), id, vec, dim, planes, tables), dir)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
     (FunctionIdentifier("graft_dedup_index_build"),
@@ -862,8 +864,9 @@ object GraftFunctions {
         val nh = optLong(args, 5, 16L, "graft_dedup_index_build", "num_hashes").toInt
         val bands = optLong(args, 6, 4L, "graft_dedup_index_build", "bands").toInt
         val nBuckets = optLong(args, 7, 64L, "graft_dedup_index_build", "n_buckets").toInt
+        val session = active()
         procedure("graft_dedup_index_build") { () =>
-          graft.operators.Dedup.writeMinHashIndex(resolveRef(dref), id, text,
+          graft.operators.Dedup.writeMinHashIndex(resolveRef(session, dref), id, text,
             dir, k = k, numHashes = nh, bands = bands, nBuckets = nBuckets)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
@@ -883,9 +886,10 @@ object GraftFunctions {
         val divisor = optLong(args, 4,
           graft.operators.Multimodal.DeploymentDivisor.toLong,
           "graft_media_index_build", "divisor").toInt
+        val session = active()
         procedure("graft_media_index_build") { () =>
           graft.operators.Multimodal.writeMediaLibraryIndex(
-            resolveRef(mref), id, payload, dir, divisor = divisor)
+            resolveRef(session, mref), id, payload, dir, divisor = divisor)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
     (FunctionIdentifier("graft_pq_index_build"),
@@ -902,9 +906,10 @@ object GraftFunctions {
         val vec = literalString(args(3), "graft_pq_index_build", "vec_col")
         val m = optLong(args, 4, 8L, "graft_pq_index_build", "m").toInt
         val ksub = optLong(args, 5, 16L, "graft_pq_index_build", "ksub").toInt
+        val session = active()
         procedure("graft_pq_index_build") { () =>
           Similarity.writePqIndex(
-            Similarity.buildPqIndex(resolveRef(vref), id, vec, m, ksub), dir)
+            Similarity.buildPqIndex(resolveRef(session, vref), id, vec, m, ksub), dir)
           Seq(org.apache.spark.sql.Row(dir, true))
         } }),
     (FunctionIdentifier("graft_pq_index_add"),
@@ -925,7 +930,7 @@ object GraftFunctions {
         val session = active()
         procedure("graft_pq_index_add") { () =>
           val applied = Similarity.appendToPqIndex(
-            session, dir, resolveRef(vref), id, vec, bid)
+            session, dir, resolveRef(session, vref), id, vec, bid)
           Seq(org.apache.spark.sql.Row(dir, applied))
         } }),
     (FunctionIdentifier("graft_pq_index_compact"),
@@ -969,8 +974,9 @@ object GraftFunctions {
         val nlist = optLong(args, 4, 16L, "graft_ivf_pq_index_build", "nlist").toInt
         val m = optLong(args, 5, 8L, "graft_ivf_pq_index_build", "m").toInt
         val ksub = optLong(args, 6, 16L, "graft_ivf_pq_index_build", "ksub").toInt
+        val session = active()
         procedure("graft_ivf_pq_index_build") { () =>
-          val corpus = resolveRef(vref)
+          val corpus = resolveRef(session, vref)
           Similarity.writeIvfPqIndex(corpus, id, vec, dir,
             Similarity.kmeansCentroids(corpus, id, vec, nlist),
             Similarity.pqCodebooks(corpus, id, vec, m, ksub))
@@ -995,7 +1001,7 @@ object GraftFunctions {
         val session = active()
         procedure("graft_ivf_pq_index_add") { () =>
           val applied = Similarity.appendToIvfPqIndex(
-            session, dir, resolveRef(vref), id, vec, bid)
+            session, dir, resolveRef(session, vref), id, vec, bid)
           Seq(org.apache.spark.sql.Row(dir, applied))
         } }),
     (FunctionIdentifier("graft_ivf_pq_index_compact"),
@@ -1098,7 +1104,7 @@ object GraftFunctions {
         val session = active()
         procedure("graft_lsh_index_add") { () =>
           val applied = graft.operators.Similarity.appendToLshIndex(
-            session, dir, resolveRef(vref), id, vec, bid)
+            session, dir, resolveRef(session, vref), id, vec, bid)
           Seq(org.apache.spark.sql.Row(dir, applied))
         } }),
     (FunctionIdentifier("graft_lsh_index_compact"),
@@ -1172,9 +1178,18 @@ object GraftFunctions {
     * metadata log) or a parquet dir; anything else is a catalog table /
     * temp view name. */
   private def resolveRef(ref: String): org.apache.spark.sql.DataFrame =
-    if (!ref.contains("/")) active().table(ref)
-    else if (graft.meta.MetaLog.exists(ref)) EsLog.scan(active(), ref)
-    else active().read.parquet(ref)
+    resolveRef(active(), ref)
+
+  /** Session-explicit [[resolveRef]] — DEFERRED procedure thunks must use
+    * this with a session captured at BUILDER time: a thunk runs when the
+    * plan executes, possibly on a thread whose active session differs (or
+    * is unset), and resolving the corpus there would read the wrong
+    * catalog. */
+  private def resolveRef(spark: SparkSession,
+                         ref: String): org.apache.spark.sql.DataFrame =
+    if (!ref.contains("/")) spark.table(ref)
+    else if (graft.meta.MetaLog.exists(ref)) EsLog.scan(spark, ref)
+    else spark.read.parquet(ref)
 
   private def optLong(args: Seq[Expression], i: Int, default: Long,
                       fn: String, pos: String): Long =

@@ -70,6 +70,38 @@ class BenchGateSpec extends AnyFunSuite {
     assert(union.contains(0))
   }
 
+  test("replayed r12 within-segment phase: CPU+IO blind, prior envelope flags the heads") {
+    // The round-12 driver window, to shape: sketch_hll timed 17.3 s
+    // (best-of-3 10.4 s) vs 0.87 s in r11, sketch_bloom 6.91 s with spread
+    // 0.086 (three CONSISTENT slow runs), sketch_cms 5.50 s — all on
+    // untouched code — while the segment's bounding CPU sentinels read
+    // 0.067-0.096 s against a 0.077 s baseline (CLEAN) and the IO probe
+    // does not bracket the registry segments at all. The phase sat INSIDE
+    // one segment and was invisible to both existing probes.
+    val cpuBoundaries = Seq(0.077, 0.082, 0.067, 0.096, 0.071)
+    assert(BenchGate.dirtySegments(cpuBoundaries, s0 = 0.067, factor = 1.5).isEmpty,
+      "the CPU gate alone must (wrongly) certify the r12 window quiet — " +
+        "that is the r12 blind spot this test pins")
+    // Layer 1 (probabilistic): the MEMORY-BANDWIDTH sentinel now measured at
+    // every boundary — a bandwidth/page-cache phase that inflates a cached
+    // 256 MiB sweep 6x at the sketch segment's edges gets the segment
+    // re-measured like any other dirty segment
+    val memBoundaries = Seq(0.11, 0.12, 0.68, 0.71, 0.10)
+    val memDirty = BenchGate.dirtySegments(memBoundaries, s0 = 0.10, factor = 2.0)
+    assert(memDirty === Set(1, 2, 3),
+      "the mem sentinel must flag the segments the bandwidth phase covers")
+    // Layer 2 (deterministic backstop): even a phase contained STRICTLY
+    // within a segment — every sentinel quiet — trips the prior envelope:
+    // best-of-3 vs the last gated run's best-of-3, factor 3
+    val prior = Map("sketch_hll" -> 0.80, "sketch_bloom" -> 0.95,
+      "sketch_cms" -> 0.72, "sketch_kmv" -> 0.35)
+    val best = Map("sketch_hll" -> 10.4, "sketch_bloom" -> 6.38,
+      "sketch_cms" -> 5.1, "sketch_kmv" -> 0.37)
+    val flagged = prior.keys.filter(n => best(n) > 3.0 * prior(n)).toSet
+    assert(flagged === Set("sketch_hll", "sketch_bloom", "sketch_cms"),
+      "the r12 sketch regressions must all land in the end-of-suite re-measure")
+  }
+
   test("sparse IO boundaries: unmeasured edges contribute nothing, one-sided drift flags") {
     // a None next to a disturbed Some still flags the segment between them
     assert(BenchGate.dirtySegmentsSparse(Seq(None, Some(1.0), None), s0 = 0.3,

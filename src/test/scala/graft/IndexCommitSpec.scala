@@ -159,6 +159,52 @@ class IndexCommitSpec extends SparkTestBase {
     assert(searchSet(root) == legacy)
   }
 
+  test("rebuild into a pre-pointer index never overwrites the bare tree's bytes") {
+    val root = tmpDir("ixc-prerebuild-")
+    val idx = Similarity.buildIvfIndexSampled(emb, "vec_id", "embedding", nlist = 8)
+    idx.centroids.write.parquet(s"$root/centroids")
+    idx.cells.write.partitionBy("cell").parquet(s"$root/cells")
+    import spark.implicits._
+    Seq(idx.cells.schema("nid").dataType.catalogString)
+      .toDF("id_type").write.parquet(s"$root/params")
+    def bareFiles(): Set[String] = {
+      val d = new java.io.File(s"$root/cells")
+      d.listFiles().map(_.getName).toSet
+    }
+    val before = bareFiles()
+    // rebuild IN PLACE with only the even half: the first-build path loses
+    // the bare-name rename (the pre-pointer tree owns it) and must commit
+    // its staged tree as a new version instead of clobbering the bare bytes
+    Similarity.writeIvfIndex(Similarity.buildIvfIndexSampled(
+      emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 8), root)
+    assert(bareFiles() == before,
+      "the pre-pointer bare tree's files must be byte-untouched by the rebuild")
+    val st = IndexCommit.load(root).get
+    assert(st.dirs.size == 1 && st.dirs.head.startsWith("cells-s"),
+      s"latest version must reference the staged rebuild tree, got ${st.dirs}")
+    val nids = searchSet(root).map(_._2)
+    assert(nids.nonEmpty && nids.forall(_ % 2 == 0),
+      "searches must see ONLY the rebuilt (even-id) corpus, never a mix")
+  }
+
+  test("vacuum grace period: recent staged/orphan trees survive, stale ones are reclaimed") {
+    val root = tmpDir("ixc-grace-")
+    buildAppended(root)
+    // a staged tree of an in-flight compact looks like an orphan until its
+    // CAS lands — a graced vacuum must not eat it
+    val staged = new java.io.File(s"$root/cells-c99-feedbeef")
+    assert(staged.mkdirs())
+    java.nio.file.Files.write(staged.toPath.resolve("part-0"), Array[Byte](1, 2, 3))
+    val graced = Similarity.vacuumIvfIndex(spark, root, graceMs = 3600L * 1000)
+    assert(!graced.contains("cells-c99-feedbeef"),
+      s"grace period must protect the fresh staged tree, deleted: $graced")
+    assert(staged.exists())
+    val eager = Similarity.vacuumIvfIndex(spark, root)
+    assert(eager.contains("cells-c99-feedbeef"),
+      s"grace 0 must reclaim the orphan, deleted: $eager")
+    assert(!staged.exists())
+  }
+
   test("LSH: incremental build + compact is bit-identical to one-pass, one file per (tbl,bucket)") {
     val root = tmpDir("ixc-lsh-")
     Similarity.writeLshIndex(Similarity.buildLshIndex(
