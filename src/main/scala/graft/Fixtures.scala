@@ -1974,4 +1974,127 @@ object Fixtures {
       EsLog.ingestRaw(s, dir, frames, 1L)
       ()
     }
+
+  // Events rows in the executor-side shape both interop fixtures need:
+  // 4 range partitions sorted by event_id, as (id, payload, event_type, ts).
+  private def interopEventSlices(s: SparkSession, sfDir: String) = {
+    import s.implicits._
+    eventBatches(s, sfDir)
+      .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id")
+      .select(col("event_id"), col("payload"),
+        col("properties")("event_type").as("et"), col("base_timestamp"))
+      .as[(Long, Array[Byte], String, Long)]
+  }
+
+  private def interopFrame(id: Long, payload: Array[Byte], et: String,
+                           ts: Long): Array[Byte] =
+    graft.model.FlatRecordBatch.encode(graft.model.RecordBatchRow(
+      42L, 0, 0.toShort, id, 1, ts, Map("event_type" -> et), payload))
+
+  /** Events round-tripped through the reference's TIERED-OBJECT layout
+    * (`data | 0x66 | sparse index | footer`): four golden objects built
+    * byte-by-byte on the executors ([[graft.model.TieredObject.encode]],
+    * 4 KiB index granularity so each object carries a real multi-entry
+    * sparse index), then ingested by [[EsLog.ingestObjects]]. Embedded
+    * base offsets = event ids, preserved across objects by the ingest's
+    * embedded-offset sort, so the scan's base_offset == event_id. */
+  def tieredObjectStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "tiered-object") { dir =>
+      import s.implicits._
+      val objs = interopEventSlices(s, sfDir).mapPartitions { it =>
+        val rows = it.toVector
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val frames = rows.map { case (id, p, et, ts) => interopFrame(id, p, et, ts) }
+          val (bytes, _) = graft.model.TieredObject.encode(
+            frames, startOffset = rows.head._1, sparseBytes = 4096)
+          Iterator.single(Tuple1(bytes))
+        }
+      }.toDF("obj")
+      EsLog.create(dir, streamId = 95L)
+      EsLog.open(dir, 1L)
+      EsLog.ingestObjects(s, dir, objs, 1L, sortByEmbeddedOffset = true)
+      ()
+    }
+
+  /** Deterministic REAL WAV payload for doc `id`: a genuine RIFF/WAVE file
+    * (PCM16 mono, 8 kHz), n = 64 + id % 128 samples,
+    * s_i = ((id·31 + i·17) mod 2048) − 1024 — closed-form, so the DuckDB
+    * oracle recomputes the decoded features from the same arithmetic. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (64 + id % 128).toInt
+    graft.operators.MediaCodecs.encodeWavPcm16(8000, 1,
+      Array.tabulate(n)(i => (((id * 31 + i * 17) % 2048) - 1024).toShort))
+  }
+
+  /** Deterministic REAL BMP payload for doc `id`: 24-bit bottom-up BMP,
+    * w = 4 + id % 8, h = 3 + id % 5, channel c at (x, y) =
+    * (id + 3x + 7y + c) mod 256 for c in {0=R, 1=G, 2=B}. */
+  def syntheticBmp(id: Long): Array[Byte] = {
+    val w = (4 + id % 8).toInt
+    val h = (3 + id % 5).toInt
+    graft.operators.MediaCodecs.encodeBmp24(w, h, (x, y) => (
+      ((id + 3 * x + 7 * y) % 256).toInt,
+      ((id + 3 * x + 7 * y + 1) % 256).toInt,
+      ((id + 3 * x + 7 * y + 2) % 256).toInt))
+  }
+
+  /** Batch-admin fixture: a fresh catalog driven through a mixed
+    * success/already-exists create batch, a mixed delete batch, and a batch
+    * describe — the captured responses land in `<dir>/responses` parquet so
+    * the query row is pure-read and repeatable (the driver may invoke a
+    * query more than once; re-running the batch would flip OK to
+    * ALREADY_EXISTS). Ids are pinned by the one-CAS block allocator:
+    * create1 [ba=0, bb=1], create2 burns 2 for the existing bb and gives
+    * bc=3 — deterministic under the parallel fan-out. */
+  def catalogBatchDir(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "catalog-batch") { dir =>
+      import graft.eslog.EsCatalog.StreamSpec
+      val cat = new graft.eslog.EsCatalog(MetaLog.join(dir, "root"))
+      val r1 = cat.createStreams(s, Seq(
+        StreamSpec("ba"), StreamSpec("bb", retentionMs = 86400000L)))
+      val r2 = cat.createStreams(s, Seq(StreamSpec("bb"), StreamSpec("bc")))
+      val del = cat.deleteStreams(s, Seq("ba", "missing"))
+      val desc = cat.describeStreams(s, Seq("bb", "ba", "bc"))
+        .select(col("name"), col("stream_id"), col("status"))
+      r1.withColumn("batch", lit("create1"))
+        .unionByName(r2.withColumn("batch", lit("create2")))
+        .unionByName(del.withColumn("batch", lit("delete")))
+        .unionByName(desc.withColumn("batch", lit("describe")))
+        .coalesce(1)
+        .write.parquet(MetaLog.join(dir, "responses"))
+      ()
+    }
+
+  /** Events round-tripped through the reference's WAL-SEGMENT layout
+    * (`CRC | Size(3B) | Type | Payload` records + Zero footer): four golden
+    * segments built on the executors ([[graft.model.WalSegment
+    * .writeSegment]]) — each WAL record carries a 16-entry append payload
+    * and a 512-byte block size forces real First/Middle/Last fragment
+    * chains — then recovered by [[EsLog.ingestWal]]'s CRC-checked scan. */
+  def walIngestStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "wal-ingest") { dir =>
+      import s.implicits._
+      val segs = interopEventSlices(s, sfDir).mapPartitions { it =>
+        val rows = it.toVector
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val payloads = rows.grouped(16).map { g =>
+            graft.model.FlatRecordBatch.encodeAll(
+              g.map { case (id, p, et, ts) =>
+                graft.model.RecordBatchRow(42L, 0, 0.toShort, id, 1, ts,
+                  Map("event_type" -> et), p)
+              })
+          }.toSeq
+          val walOffset = org.apache.spark.TaskContext.getPartitionId().toLong << 30
+          val bytes = graft.model.WalSegment.writeSegment(
+            payloads, walOffset, blockSize = 512)
+          Iterator.single((walOffset, bytes))
+        }
+      }.toDF("wal_offset", "seg")
+      EsLog.create(dir, streamId = 96L)
+      EsLog.open(dir, 1L)
+      EsLog.ingestWal(s, dir, segs, 1L, sortByEmbeddedOffset = true)
+      ()
+    }
 }

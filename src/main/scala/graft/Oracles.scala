@@ -54,6 +54,31 @@ object Oracles {
   private val esAppendScan =
     "SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props FROM events"
 
+  // Both interop ingests round-trip the events table bit-for-bit (offsets
+  // re-assigned in embedded order == event_id), so the oracle is the same
+  // projection the append/scan lifecycle proves.
+  private val esIngestObject =
+    "SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props FROM events"
+
+  private val esIngestWal =
+    "SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props FROM events"
+
+  // The batch-admin lifecycle is deterministic end-to-end (block-allocated
+  // ids in spec order, per-stream statuses), so the oracle is the expected
+  // response table itself.
+  private val esCatalogBatch =
+    """SELECT * FROM (VALUES
+      |  ('create1', 'ba', CAST(0 AS BIGINT), 'OK'),
+      |  ('create1', 'bb', CAST(1 AS BIGINT), 'OK'),
+      |  ('create2', 'bb', CAST(1 AS BIGINT), 'ALREADY_EXISTS'),
+      |  ('create2', 'bc', CAST(3 AS BIGINT), 'OK'),
+      |  ('delete', 'ba', CAST(0 AS BIGINT), 'OK'),
+      |  ('delete', 'missing', CAST(-1 AS BIGINT), 'NOT_FOUND'),
+      |  ('describe', 'bb', CAST(1 AS BIGINT), 'OK'),
+      |  ('describe', 'ba', CAST(-1 AS BIGINT), 'NOT_FOUND'),
+      |  ('describe', 'bc', CAST(3 AS BIGINT), 'OK')
+      |) AS t(batch, name, stream_id, status)""".stripMargin
+
   private val esFetchRange =
     """SELECT event_id AS base_offset, event_type FROM events
       |WHERE event_id >= (SELECT count(*) // 10 FROM events)
@@ -670,9 +695,17 @@ object Oracles {
   }
 
   private val textLangId = {
+    val classes = graft.operators.TextOps.langCharClasses.toMap
     val scoreCols = stopList.map { case (lang, markers) =>
       val set = markers.map(w => s"'$w'").mkString(", ")
-      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS BIGINT) AS s_$lang"
+      val words = s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))"
+      // + the character-class half of the score (TextOps.langCharClasses):
+      // same plain-class/\x{...} patterns, identical in Java regex and RE2
+      val chars = classes.getOrElse(lang, "") match {
+        case ""  => ""
+        case cls => s" + len(regexp_extract_all(text, '$cls'))"
+      }
+      s"CAST($words$chars AS BIGINT) AS s_$lang"
     }.mkString(",\n  ")
     val langs = stopList.map(_._1)
     val pred = langs.init.map { lang =>
@@ -1948,6 +1981,31 @@ object Oracles {
       |       ELSE ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, -1, 1)) END AS BIGINT) AS checksum
       |FROM documents""".stripMargin
 
+  /** [[graft.Fixtures.syntheticWav]]'s closed form re-derived in SQL: the
+    * decoder's output must equal the generator's arithmetic — n samples of
+    * ((id·31 + i·17) mod 2048) − 1024 at 8 kHz mono PCM16. */
+  private val multimodalDecodeWav =
+    """WITH d AS (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+      |e AS (SELECT doc_id, n, unnest(range(n)) AS i FROM d)
+      |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS channels,
+      |       CAST(8000 AS BIGINT) AS sample_rate, n AS n_samples,
+      |       n * 1000 // 8000 AS duration_ms,
+      |       CAST(sum(abs((doc_id*31 + i*17) % 2048 - 1024)) AS BIGINT) AS sum_abs,
+      |       CAST(max(abs((doc_id*31 + i*17) % 2048 - 1024)) AS BIGINT) AS peak
+      |FROM e GROUP BY 1,2,3,4,5""".stripMargin
+
+  /** [[graft.Fixtures.syntheticBmp]]'s closed form: channel c at (x, y) =
+    * (id + 3x + 7y + c) mod 256 over a w×h grid. */
+  private val multimodalDecodeBmp =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
+      |pxy AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM px)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(sum((doc_id + 3*x + 7*y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id + 3*x + 7*y + 1) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id + 3*x + 7*y + 2) % 256) AS BIGINT) AS sum_b
+      |FROM pxy GROUP BY 1,2,3""".stripMargin
+
   private val multimodalFrames =
     """WITH f AS (
       |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -2178,6 +2236,9 @@ object Oracles {
     "es_delete" -> esDelete,
     "es_idempotent" -> esIdempotent,
     "es_codec" -> esCodec,
+    "es_ingest_object" -> esIngestObject,
+    "es_ingest_wal" -> esIngestWal,
+    "es_catalog_batch" -> esCatalogBatch,
     "es_window_hourly" -> esWindowHourly,
     "es_agg_by_type" -> esAggByType,
     "es_compact" -> esCompact,
@@ -2307,6 +2368,8 @@ object Oracles {
     "sketch_kmv_overlap" -> sketchKmvOverlap,
     "text_datacard" -> textDatacard,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_decode_wav" -> multimodalDecodeWav,
+    "multimodal_decode_bmp" -> multimodalDecodeBmp,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_dedup" -> multimodalDedup,
     "multimodal_dedup_cdc" -> multimodalDedupCdc,

@@ -33,13 +33,20 @@ final class EsCatalog(val root: String) {
   private def streamKey(name: String) = s"stream.$name"
 
   /** Monotonic unique id via CAS increment on the catalog log. */
-  def allocateId(): Long = {
-    var id = -1L
+  def allocateId(): Long = allocateIds(1)
+
+  /** Contiguous id BLOCK in one CAS — the batch-import shape (one commit
+    * allocates n ids instead of n commits racing the counter; the PD's id
+    * allocator hands out ranges the same way). Returns the first id;
+    * `[first, first + n)` belongs to the caller. */
+  def allocateIds(n: Int): Long = {
+    require(n >= 1, s"need n >= 1 ids, got $n")
+    var first = -1L
     MetaLog.commitWithRetry(root) { st =>
-      id = st.kv.get(IdKey).map(_.toLong).getOrElse(0L)
-      Seq(KvPut(IdKey, (id + 1).toString))
+      first = st.kv.get(IdKey).map(_.toLong).getOrElse(0L)
+      Seq(KvPut(IdKey, (first + n).toString))
     }
-    id
+    first
   }
 
   def streamDir(name: String): String = MetaLog.join(MetaLog.join(root, "streams"), name)
@@ -51,8 +58,12 @@ final class EsCatalog(val root: String) {
     * registered name whose dir is created on first use of EsLog.create —
     * never a dangling unregistered dir.) */
   def createStream(name: String, replica: Int = 1, ackCount: Int = 1,
-                   retentionMs: Long = -1L): Long = {
-    val id = allocateId()
+                   retentionMs: Long = -1L): Long =
+    createStreamWith(allocateId(), name, replica, ackCount, retentionMs)
+
+  /** [[createStream]] with a caller-owned id from [[allocateIds]]. */
+  private def createStreamWith(id: Long, name: String, replica: Int,
+                               ackCount: Int, retentionMs: Long): Long = {
     var reserved = false
     MetaLog.commitWithRetry(root) { st =>
       reserved = !st.kv.contains(streamKey(name))
@@ -76,11 +87,13 @@ final class EsCatalog(val root: String) {
     * path must be idempotent, like `CREATE TABLE IF NOT EXISTS`). Returns
     * (id, created); a lost creation race resolves to the winner's id. */
   def createStreamIfAbsent(name: String, replica: Int = 1, ackCount: Int = 1,
-                           retentionMs: Long = -1L): (Long, Boolean) =
+                           retentionMs: Long = -1L,
+                           withId: Option[Long] = None): (Long, Boolean) =
     getStream(name) match {
       case Some(id) => (id, false)
       case None =>
-        try (createStream(name, replica, ackCount, retentionMs), true)
+        try (createStreamWith(withId.getOrElse(allocateId()), name, replica,
+          ackCount, retentionMs), true)
         catch {
           case e: IllegalArgumentException
               if e.getMessage != null && e.getMessage.contains("already exists") =>
@@ -270,6 +283,87 @@ final class EsCatalog(val root: String) {
     (spark.createDataFrame(pageRows(ids, loadStates(page)).asJava, ListSchema), next)
   }
 
+  // ---- batch admin ----
+  // The reference's create/delete stream frames are documented as batch
+  // RPCs ("this frame with batch ability is very useful for importing
+  // metadata from other systems", rpc.fbs:494-496) and every response
+  // carries a per-stream Status (rpc.fbs:504-533). Same contract here:
+  // each stream is ONE independent CAS — no cross-stream transaction, like
+  // the PD where each create is its own etcd txn — and partial failure is
+  // REPORTED per stream (status column), never thrown, so a 10k-stream
+  // metadata import survives the duplicates instead of dying at the first.
+  // Work fans out through the same bounded pool as [[loadStates]]: the
+  // registry CAS is the serialization point (contenders retry), the
+  // per-stream filesystem work overlaps.
+
+  private def batched[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Seq.empty
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val threads = math.min(16, items.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.traverse(items)(a => Future(f(a))), 10.minutes)
+    finally pool.shutdown()
+  }
+
+  private val AdminSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("stream_id", LongType, nullable = false),
+    StructField("status", StringType, nullable = false)))
+
+  /** Batch CREATE_STREAM: one row `(name, stream_id, status)` per spec, in
+    * spec order — status `OK` (created by this call) or `ALREADY_EXISTS`
+    * (the id reported is the existing stream's). Duplicate names WITHIN the
+    * batch race like concurrent creators: exactly one wins OK. */
+  def createStreams(spark: SparkSession, specs: Seq[EsCatalog.StreamSpec]): DataFrame = {
+    if (specs.isEmpty)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), AdminSchema)
+    // ONE CAS allocates the whole batch's ids in spec order — deterministic
+    // ids under the parallel fan-out, and 1 + n commits instead of 2n.
+    val firstId = allocateIds(specs.size)
+    val rows = batched(specs.zipWithIndex) { case (sp, i) =>
+      val (id, created) = createStreamIfAbsent(sp.name, sp.replica, sp.ackCount,
+        sp.retentionMs, withId = Some(firstId + i))
+      Row(sp.name, id, if (created) "OK" else "ALREADY_EXISTS")
+    }
+    spark.createDataFrame(rows.asJava, AdminSchema)
+  }
+
+  /** Batch DELETE_STREAM: `(name, stream_id, status)` per name, status `OK`
+    * or `NOT_FOUND` (id -1 then — the response omits the stream when "the
+    * stream is not deleted", rpc.fbs:526-529). */
+  def deleteStreams(spark: SparkSession, names: Seq[String]): DataFrame = {
+    val rows = batched(names) { n =>
+      getStream(n) match {
+        case Some(id) => dropStream(n); Row(n, id, "OK")
+        case None     => Row(n, -1L, "NOT_FOUND")
+      }
+    }
+    spark.createDataFrame(rows.asJava, AdminSchema)
+  }
+
+  /** Batch DESCRIBE_STREAM: live metadata per name; unknown names report
+    * `NOT_FOUND` with zeroed fields instead of failing the batch. */
+  def describeStreams(spark: SparkSession, names: Seq[String]): DataFrame = {
+    val rows = batched(names) { n =>
+      getStream(n) match {
+        case Some(id) =>
+          val st = MetaLog.load(streamDir(n))
+          Row(n, id, st.epoch, st.startOffset, st.nextOffset, st.deleted, "OK")
+        case None => Row(n, -1L, 0L, 0L, 0L, false, "NOT_FOUND")
+      }
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("stream_id", LongType, nullable = false),
+      StructField("epoch", LongType, nullable = false),
+      StructField("start_offset", LongType, nullable = false),
+      StructField("next_offset", LongType, nullable = false),
+      StructField("deleted", BooleanType, nullable = false),
+      StructField("status", StringType, nullable = false))))
+  }
+
   private val ListSchema = StructType(Seq(
     StructField("name", StringType), StructField("stream_id", LongType),
     StructField("epoch", LongType), StructField("start_offset", LongType),
@@ -281,4 +375,11 @@ final class EsCatalog(val root: String) {
       Row(name, ids(s"stream.$name").toLong, st.epoch, st.startOffset,
         st.nextOffset, st.deleted)
     }
+}
+
+object EsCatalog {
+  /** One stream to create — the reference's `Stream` table (rpc.fbs:479-492)
+    * plus the name the registry keys on. */
+  final case class StreamSpec(name: String, replica: Int = 1, ackCount: Int = 1,
+                              retentionMs: Long = -1L)
 }

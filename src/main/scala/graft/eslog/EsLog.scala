@@ -570,6 +570,59 @@ object EsLog {
       .toDF("base_offset", "frame")
   }
 
+  /** Ingest reference-layout tiered-storage OBJECTS — the interop read of a
+    * range server's offloaded S3 objects (`data | 0x66 | sparse index |
+    * footer`, components/object-storage/src/range_offload.rs:324-451). Each
+    * row of `objects` carries the full object bytes in binary column `obj`;
+    * framing is validated (footer magic, delimiter) and every record decoded
+    * ON THE EXECUTORS — one task per object, the natural 100 TB unit (the
+    * reference caps objects at a bounded size, so a million-object migration
+    * is a million bounded tasks, no driver involvement). Base offsets are
+    * re-assigned by the commit; `sortByEmbeddedOffset = true` range-sorts on
+    * the objects' embedded base offsets first, so the original logical order
+    * survives the re-assignment across objects. */
+  def ingestObjects(spark: SparkSession, streamDir: String, objects: DataFrame,
+                    epoch: Long, sortByEmbeddedOffset: Boolean = false): (Long, Long) = {
+    import spark.implicits._
+    val rows = objects.select(col("obj").cast(BinaryType)).as[Array[Byte]]
+      .flatMap(bytes => graft.model.TieredObject.decodeAll(bytes))
+    append(spark, streamDir, orderForIngest(rows.toDF(), sortByEmbeddedOffset), epoch)
+  }
+
+  // Embedded-offset global order for the interop ingests: the range-sort
+  // must happen BEFORE append's normalize (which drops base_offset — commit
+  // re-assigns offsets); range partitions land in key order, so partition
+  // structure == global order and the commit's prefix sums preserve it.
+  private def orderForIngest(df: DataFrame, sort: Boolean): DataFrame =
+    if (!sort) df
+    else df.repartitionByRange(
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4),
+      col("base_offset")).sortWithinPartitions(col("base_offset"))
+
+  /** Ingest reference-layout WAL SEGMENTS — migration forensics over a
+    * decommissioned range server's store directory
+    * (components/store/src/io/record.rs:3-38 framing, wal.rs:166-244
+    * recovery scan). Each row of `segments` carries `(wal_offset, seg)`:
+    * the segment's base WAL offset (its filename, segment.rs:204-208) and
+    * the raw bytes. Records are CRC-verified against the segment's own WAL
+    * offset and scanned to the recovered write boundary — a torn tail is
+    * dropped exactly like recovery drops it; record payloads are append
+    * entries ([[graft.model.FlatRecordBatch]] frames) and decode to rows on
+    * the executors, one task per segment (segments are fixed-size — 1 GiB
+    * in the reference — so the migration is size-bounded per task). */
+  def ingestWal(spark: SparkSession, streamDir: String, segments: DataFrame,
+                epoch: Long, sortByEmbeddedOffset: Boolean = false): (Long, Long) = {
+    import spark.implicits._
+    val rows = segments
+      .select(col("wal_offset").cast(LongType), col("seg").cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (walOffset, bytes) =>
+        graft.model.WalSegment.scanSegment(bytes, walOffset).payloads
+          .flatMap(p => graft.model.FlatRecordBatch.decodeAll(p))
+      }
+    append(spark, streamDir, orderForIngest(rows.toDF(), sortByEmbeddedOffset), epoch)
+  }
+
   /** SEAL_RANGE on the open segment: fix `end` = confirmed end. */
   def seal(streamDir: String): StreamState =
     MetaLog.commitWithRetry(streamDir) { st =>

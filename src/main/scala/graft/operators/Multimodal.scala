@@ -12,6 +12,16 @@ final case class MediaRecord(
     payload: Array[Byte],
     meta: Map[String, String])
 
+/** REAL decode output ([[Multimodal.decodeMedia]]): container fields parsed
+  * from genuine bytes. Integer features only (sums, not means) —
+  * bit-reproducible under any partitioning and recomputable by the SQL
+  * oracle. Fields not applicable to a container are 0. */
+final case class DecodedMedia(
+    media_id: Long, content_type: String, n_bytes: Long,
+    width: Long, height: Long,
+    channels: Long, sample_rate: Long, n_samples: Long, duration_ms: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long, sum_abs: Long, peak: Long)
+
 /** Extracted (stub-decoded) features for one media payload. */
 final case class MediaFeatures(
     media_id: Long,
@@ -610,5 +620,38 @@ object Multimodal {
       col(textCol).cast("binary").as("payload"),
       map(lit("origin"), lit("documents")).as("meta"))
       .as[MediaRecord]
+  }
+
+  /** One decoded record via the REAL pure-JVM codecs ([[MediaCodecs]]):
+    * `audio/wav` → RIFF chunk walk + PCM16 sample stats, `image/bmp` →
+    * BITMAPINFOHEADER + channel sums. Any other content type falls back to
+    * the documented [[stubDecode]] arithmetic (those containers need native
+    * codecs this build doesn't ship), mapped into the same shape. */
+  def decodeOneMedia(r: MediaRecord): DecodedMedia = {
+    val n = if (r.payload == null) 0L else r.payload.length.toLong
+    r.content_type match {
+      case "audio/wav" =>
+        val w = MediaCodecs.decodeWav(r.payload)
+        DecodedMedia(r.media_id, r.content_type, n, 0L, 0L,
+          w.channels, w.sampleRate, w.nSamples, w.durationMs,
+          0L, 0L, 0L, w.sumAbs, w.peak)
+      case "image/bmp" =>
+        val b = MediaCodecs.decodeBmp(r.payload)
+        DecodedMedia(r.media_id, r.content_type, n, b.width, b.height,
+          0L, 0L, 0L, 0L, b.sumR, b.sumG, b.sumB, 0L, 0L)
+      case _ =>
+        val f = stubDecode(r)
+        DecodedMedia(r.media_id, r.content_type, n, f.width, f.height,
+          0L, 0L, 0L, f.duration_ms, 0L, 0L, 0L, 0L, f.checksum)
+    }
+  }
+
+  /** Distributed REAL decode — same mapPartitions batch shape as
+    * [[decodeFeatures]] (one decoder per partition, streaming iterator);
+    * only the per-record decode differs: [[MediaCodecs]] for WAV/BMP,
+    * stub for the rest. */
+  def decodeMedia(records: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(decodeOneMedia))
   }
 }

@@ -13,14 +13,44 @@ import graft.functions.Portable
   */
 object TextOps {
 
-  /** Per-language marker stopwords for the n-gram/stopword language-ID
-    * heuristic. Unambiguous across the five lists. */
+  /** Per-language marker stopwords for the stopword-voting language-ID —
+    * standard public function-word lists, CULLED to be unambiguous across
+    * the five languages: a form shared between two of them ("in", "was",
+    * "es", "que", "de", "la", "a", ...) would vote for both, so only forms
+    * unique to one list ship (pinned by TextOpsSpec's disjointness test and
+    * its ≥95% accuracy floor on a labeled real-language fixture). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("und", "der", "das"),
-    "en" -> Seq("the", "and", "of"),
-    "es" -> Seq("y", "los", "las"),
-    "fr" -> Seq("et", "les", "dans"),
-    "zh" -> Seq("的", "是", "了"))
+    "de" -> Seq("und", "der", "das", "die", "den", "dem", "ist", "nicht",
+      "mit", "ein", "eine", "auch", "für", "von", "zu", "werden", "sind",
+      "aber", "wie", "nach", "bei", "aus", "wird", "oder", "durch"),
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "for", "with",
+      "as", "they", "at", "be", "this", "have", "from", "his", "her", "are",
+      "not", "you", "which", "their", "would", "been"),
+    "es" -> Seq("y", "los", "las", "el", "está", "pero", "más", "por",
+      "para", "con", "una", "del", "al", "muy", "sin", "sobre", "cuando",
+      "también", "años", "dos", "entre", "hasta", "desde", "porque", "ya"),
+    "fr" -> Seq("et", "les", "dans", "est", "qui", "pas", "avec", "pour",
+      "nous", "vous", "être", "cette", "mais", "aussi", "leur", "sont",
+      "fait", "comme", "tout", "ses", "plus", "même", "bien", "où", "ces"),
+    "zh" -> Seq("的", "是", "了", "在", "有", "我", "他", "这", "中", "大",
+      "为", "上", "个", "国", "说", "们", "和", "不", "就", "人"))
+
+  /** Per-language marker CHARACTER CLASSES — the character-distribution half
+    * of the language-ID signal (the reference of the mechanism: CLD-style
+    * script detection). One regex character class per language, counted over
+    * the raw text, so space-free scripts (zh) and short texts with few
+    * function words still identify. Classes are pairwise disjoint like the
+    * word lists (é lands in neither es nor fr — both use it heavily; ü is
+    * German-only here, culled from es). Patterns use only plain classes and
+    * `\x{...}` code points — identical semantics in Java regex (Spark) and
+    * RE2 (DuckDB). Empty = no character signal (en: ASCII is everyone's
+    * substrate, so it gets none). */
+  val langCharClasses: Seq[(String, String)] = Seq(
+    "de" -> "[äöüßÄÖÜ]",
+    "en" -> "",
+    "es" -> "[ñ¿¡ÑáíóúÁÍÓÚ]",
+    "fr" -> "[èêçàùûîôœëÈÊÇÀÙ]",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]")
 
   /** Total token characters: for a single-char-separator split this is
     * exactly `length(text) - (n_tokens - 1)` (the separators partition the
@@ -61,15 +91,28 @@ object TextOps {
         / length(col(textCol))).as("punct_ratio"))
   }
 
-  /** Language ID via marker-stopword voting: score = marker-token occurrences
-    * per language; prediction = argmax, alphabetical tie-break. A real corpus
-    * would use char n-gram profiles; the mechanism (score columns + argmax)
-    * is identical and the scoring is engine-portable. */
+  /** Language ID via marker-stopword voting PLUS a character-class signal:
+    * `score(lang) = marker-token occurrences + marker-character occurrences`
+    * ([[langMarkers]] + [[langCharClasses]]); prediction = argmax,
+    * alphabetical tie-break. The two signals cover each other's blind spots
+    * — function words identify space-separated text, character classes
+    * identify space-free scripts (zh) and short texts — and both are plain
+    * codegen'd counting, engine-portable to the SQL oracle. Accuracy is
+    * pinned ≥95% on a labeled REAL-language fixture in TextOpsSpec (the
+    * synthetic corpus's text is language-blind; the oracle row there checks
+    * the mechanism, the fixture checks the signal). */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Portable.words(col(textCol))
+    val classes = langCharClasses.toMap
     val scored = docs.select(
       (col(idCol) +: langMarkers.map { case (lang, markers) =>
-        size(filter(toks, t => t.isin(markers.map(x => x: Any): _*))).cast("long").as(s"s_$lang")
+        val words =
+          size(filter(toks, t => t.isin(markers.map(x => x: Any): _*))).cast("long")
+        val cls = classes.getOrElse(lang, "")
+        val chars =
+          if (cls.isEmpty) lit(0L)
+          else size(regexp_extract_all(col(textCol), lit(cls), lit(0))).cast("long")
+        (words + chars).as(s"s_$lang")
       }): _*)
     // argmax with alphabetical tie-break: first lang whose score >= all others
     val langs = langMarkers.map(_._1)

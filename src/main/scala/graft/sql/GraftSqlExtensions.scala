@@ -70,6 +70,15 @@ import graft.operators.Similarity
   *    (name, stream_id, created). Append to the new stream with
   *    `CREATE TABLE t USING eslog OPTIONS (path '<root>/streams/<name>')
   *    AS SELECT ...` or `df.write.format("eslog")`.
+  *  - `graft_create_streams('root', 'n1,n2,...'[, retention_ms])` — BATCH
+  *    create-if-absent (the reference's batch-import frame, rpc.fbs:494-496):
+  *    one `(name, stream_id, status)` row per name, ids allocated as one
+  *    contiguous CAS block, status OK / ALREADY_EXISTS per stream — partial
+  *    failure is reported, never thrown
+  *  - `graft_delete_streams('root', 'n1,n2,...')` — batch delete;
+  *    status OK / NOT_FOUND per name
+  *  - `graft_describe_streams('root', 'n1,n2,...')` — batch describe;
+  *    unknown names report NOT_FOUND rows instead of failing the batch
   *  - `graft_drop_stream('root', 'name')`     — idempotent; (name, dropped)
   *  - `graft_alter_stream('root', 'name', replica, ack_count,
   *    retention_ms)` — UPDATE_STREAM; NULL leaves a field unchanged
@@ -109,9 +118,12 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // (zero IO, zero tasks — see EsLogMetadataOnlyCount's exactness guards)
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftshim.EsLogMetadataOnlyCount)
-    // execution-time procedure plans (the index-maintenance TVFs)
+    // execution-time procedure plans (the index-maintenance TVFs + DDL)
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graftshim.GraftProcedureStrategy)
+    // real stream DDL: CREATE/ALTER/DROP/DESCRIBE STREAM, SHOW STREAMS
+    // (everything else delegates to Spark's parser — see GraftSqlParser)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 
@@ -377,6 +389,41 @@ object GraftFunctions {
         val path = EsLog.generateSymlinkManifest(dir, v)
         val n = active().read.textFile(path).count()
         localRow(Seq(("dir", dir), ("manifest_path", path), ("n_files", n))) }),
+    (FunctionIdentifier("graft_create_streams"),
+      info("graft_create_streams",
+        "graft_create_streams('root', 'n1,n2,...'[, retention_ms]) - batch " +
+          "create-if-absent (the reference's batch import frame, rpc.fbs:494-496); " +
+          "one row (name, stream_id, status) per name, status OK/ALREADY_EXISTS"),
+      (args: Seq[Expression]) => { arity("graft_create_streams", args, 2, 3)
+        val root = literalString(args(0), "graft_create_streams", "root")
+        val names = literalString(args(1), "graft_create_streams", "names")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val retention = if (args.size == 3)
+          literalLong(args(2), "graft_create_streams", "retention_ms") else -1L
+        val session = active()
+        GraftShims.analyzedPlan(new graft.eslog.EsCatalog(root).createStreams(
+          session, names.map(n =>
+            graft.eslog.EsCatalog.StreamSpec(n, retentionMs = retention)))) }),
+    (FunctionIdentifier("graft_delete_streams"),
+      info("graft_delete_streams",
+        "graft_delete_streams('root', 'n1,n2,...') - batch delete; one row " +
+          "(name, stream_id, status) per name, status OK/NOT_FOUND"),
+      (args: Seq[Expression]) => { arity("graft_delete_streams", args, 2)
+        val root = literalString(args(0), "graft_delete_streams", "root")
+        val names = literalString(args(1), "graft_delete_streams", "names")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        GraftShims.analyzedPlan(
+          new graft.eslog.EsCatalog(root).deleteStreams(active(), names)) }),
+    (FunctionIdentifier("graft_describe_streams"),
+      info("graft_describe_streams",
+        "graft_describe_streams('root', 'n1,n2,...') - batch describe; unknown " +
+          "names report status NOT_FOUND instead of failing the batch"),
+      (args: Seq[Expression]) => { arity("graft_describe_streams", args, 2)
+        val root = literalString(args(0), "graft_describe_streams", "root")
+        val names = literalString(args(1), "graft_describe_streams", "names")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        GraftShims.analyzedPlan(
+          new graft.eslog.EsCatalog(root).describeStreams(active(), names)) }),
     (FunctionIdentifier("graft_drop_stream"),
       info("graft_drop_stream",
         "graft_drop_stream('root', 'name') - idempotent drop; returns (name, dropped)"),

@@ -937,6 +937,39 @@ class GraftSqlSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT * FROM graft_list_streams('$root')").collect().isEmpty)
   }
 
+  test("DDL statements: CREATE/ALTER/DESCRIBE/DROP STREAM, SHOW STREAMS round-trip") {
+    val root = tmpDir("graft-sql-ddl-")
+    // CREATE with options
+    val c = spark.sql(
+      s"CREATE STREAM ddl1 IN '$root' WITH (retention_ms = 86400000, replica = 3)")
+      .collect().head
+    assert(c.getString(0) == "ddl1" && c.getBoolean(2))
+    // bare CREATE on an existing stream FAILS (real DDL semantics) ...
+    intercept[Exception](spark.sql(s"CREATE STREAM ddl1 IN '$root'").collect())
+    // ... IF NOT EXISTS is the no-op form
+    val c2 = spark.sql(s"CREATE STREAM IF NOT EXISTS ddl1 IN '$root'").collect().head
+    assert(!c2.getBoolean(2) && c2.getLong(1) == c.getLong(1))
+    // EXPLAIN must NOT create (execution-time side effect — the r12 contract)
+    spark.sql(s"EXPLAIN CREATE STREAM ddl_explain_only IN '$root'").collect()
+    assert(spark.sql(s"SELECT * FROM graft_list_streams('$root')")
+      .collect().map(_.getString(0)).toSet == Set("ddl1"))
+    // ALTER SET + DESCRIBE read-back
+    spark.sql(s"ALTER STREAM ddl1 IN '$root' SET (retention_ms = 1000)").collect()
+    val d = spark.sql(s"DESCRIBE STREAM ddl1 IN '$root'").collect().head
+    assert(d.getLong(7) == 1000L && d.getLong(5) == 3L) // retention altered, replica kept
+    // SHOW STREAMS
+    spark.sql(s"CREATE STREAM ddl2 IN '$root'").collect()
+    assert(spark.sql(s"SHOW STREAMS IN '$root'").collect()
+      .map(_.getString(0)).toSet == Set("ddl1", "ddl2"))
+    // DROP: bare drop of a missing stream fails; IF EXISTS is the no-op form
+    assert(spark.sql(s"DROP STREAM ddl2 IN '$root'").collect().head.getBoolean(1))
+    intercept[Exception](spark.sql(s"DROP STREAM ddl2 IN '$root'").collect())
+    val dr = spark.sql(s"DROP STREAM IF EXISTS ddl2 IN '$root'").collect().head
+    assert(!dr.getBoolean(1))
+    // ordinary SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
+  }
+
   test("session built with spark.sql.extensions=GraftSqlExtensions has the functions") {
     // newSession() shares the SparkContext but NOT the function registry;
     // building a separate session with the extensions class proves the

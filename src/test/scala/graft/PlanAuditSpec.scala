@@ -1256,7 +1256,10 @@ class PlanAuditSpec extends SparkTestBase {
     "es_append_scan" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_catalog" -> Seq("name", "stream_id", "epoch", "start_offset", "next_offset", "deleted"),
     "es_catalog_scan" -> Seq("stream_id", "base_offset", "payload_str"),
+    "es_catalog_batch" -> Seq("batch", "name", "stream_id", "status"),
     "es_codec" -> Seq("doc_id", "text"),
+    "es_ingest_object" -> Seq("base_offset", "ts_ms", "event_type", "props"),
+    "es_ingest_wal" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_compact" -> Seq("base_offset", "last_offset_delta", "payload_str"),
     "es_delete" -> Seq("deleted", "n_live_files"),
     "es_describe" -> Seq("stream_id", "epoch", "start_offset", "next_offset", "replica", "ack_count"),
@@ -1306,6 +1309,8 @@ class PlanAuditSpec extends SparkTestBase {
     "layout_zorder" -> Seq("event_id", "z_value"),
     "lineitem_agg" -> Seq("l_returnflag", "l_linestatus", "sum_qty", "n", "avg_qty", "min_ship_ms", "max_ship_ms"),
     "multimodal_decode" -> Seq("media_id", "content_type", "n_bytes", "width", "height", "duration_ms", "checksum"),
+    "multimodal_decode_wav" -> Seq("media_id", "channels", "sample_rate", "n_samples", "duration_ms", "sum_abs", "peak"),
+    "multimodal_decode_bmp" -> Seq("media_id", "width", "height", "sum_r", "sum_g", "sum_b"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
     "multimodal_dedup" -> Seq("i", "j", "n_shared"),
     "ts_similarity" -> Seq("qid", "nid", "rank", "score"),
