@@ -2017,6 +2017,40 @@ object Fixtures {
       ()
     }
 
+  /** The events stream round-tripped OUT through [[EsLog.exportObjects]]
+    * and back in through [[EsLog.ingestObjects]] — the migration-out twin of
+    * [[tieredObjectStream]]. A 64 KiB object cap forces real multi-object
+    * rolls and a 4 KiB index granularity real multi-entry sparse indexes at
+    * every SF; embedded base offsets (= event ids on the source stream)
+    * survive the re-ingest's embedded-offset sort, so the scan's
+    * base_offset == event_id. */
+  def exportObjectStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "export-object") { dir =>
+      val src = eventsStream(s, sfDir)
+      val objs = EsLog.exportObjects(s, src,
+        maxObjectBytes = 64 * 1024, sparseBytes = 4096)
+      EsLog.create(dir, streamId = 97L)
+      EsLog.open(dir, 1L)
+      EsLog.ingestObjects(s, dir, objs, 1L, sortByEmbeddedOffset = true)
+      ()
+    }
+
+  /** The events stream round-tripped OUT through [[EsLog.exportWal]] and
+    * back in through [[EsLog.ingestWal]] — the migration-out twin of
+    * [[walIngestStream]]. 64 KiB fixed-size sealed segments with contiguous
+    * WAL offsets; a 512-byte block size forces real First/Middle/Last
+    * fragment chains through the CRC-checked recovery scan. */
+  def exportWalStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "export-wal") { dir =>
+      val src = eventsStream(s, sfDir)
+      val segs = EsLog.exportWal(s, src,
+        segmentBytes = 64 * 1024, blockSize = 512)
+      EsLog.create(dir, streamId = 98L)
+      EsLog.open(dir, 1L)
+      EsLog.ingestWal(s, dir, segs, 1L, sortByEmbeddedOffset = true)
+      ()
+    }
+
   /** Deterministic REAL WAV payload for doc `id`: a genuine RIFF/WAVE file
     * (PCM16 mono, 8 kHz), n = 64 + id % 128 samples,
     * s_i = ((id·31 + i·17) mod 2048) − 1024 — closed-form, so the DuckDB

@@ -63,6 +63,14 @@ object Oracles {
   private val esIngestWal =
     "SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props FROM events"
 
+  // migration-out round trips re-assign offsets contiguously after the
+  // embedded-offset sort, so base_offset == event_id again
+  private val esExportObject =
+    "SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props FROM events"
+
+  private val esExportWal =
+    "SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props FROM events"
+
   // The batch-admin lifecycle is deterministic end-to-end (block-allocated
   // ids in spec order, per-stream statuses), so the oracle is the expected
   // response table itself.
@@ -1214,6 +1222,43 @@ object Oracles {
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM s)
        |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
 
+  /** One JL projected coordinate: the md5-derived ±1 Rademacher fold over
+    * `vec`, scaled by 1/√16 = 0.25 (exact in IEEE, so the multiply is
+    * bit-safe) — same values as [[graft.operators.Similarity.randomProject]]
+    * (left-to-right `list_reduce` fold == the codegen'd loop). */
+  private def rprojectTermSql(t: Int, p: Int, outDim: Int, vec: String): String =
+    s"(list_reduce(list_transform(range(1, len($vec) + 1), " +
+      s"d -> CASE WHEN (${H.hash60Sql(s"concat('$t:$p:', CAST(d - 1 AS VARCHAR))")} & 1) = 1 " +
+      s"THEN $vec[d] ELSE -$vec[d] END), (acc, x) -> acc + x) " +
+      // reciprocal-then-multiply, NOT divide-by-sqrt: mirrors the Spark
+      // expression's `s * (1.0 / sqrt(outDim))` for bit-identical doubles
+      s"* (1.0 / sqrt($outDim.0)))"
+
+  private def rprojectListSql(t: Int, outDim: Int, vec: String): String =
+    (0 until outDim).map(p => rprojectTermSql(t, p, outDim, vec))
+      .mkString("list_value(", ",\n      ", ")")
+
+  private val simProject =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id, ${rprojectListSql(0, 16, "v")} AS y FROM e)
+       |SELECT vec_id, CAST(generate_subscripts(y, 1) - 1 AS INT) AS i, unnest(y) AS yi
+       |FROM p""".stripMargin
+
+  private val simProjectTopk =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, ${rprojectListSql(0, 32, "v")} AS y FROM e0),
+       |q AS (SELECT vec_id AS qid, v AS qvec, y AS qproj FROM e WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, v AS nvec, y AS nproj FROM e),
+       |s AS (SELECT qid, nid, qvec, nvec, ${cosineSql("qproj", "nproj")} AS pscore
+       |      FROM q, c WHERE nid <> qid),
+       |pr AS (SELECT qid, nid, qvec, nvec,
+       |         row_number() OVER (PARTITION BY qid ORDER BY pscore DESC, nid ASC) AS prank
+       |       FROM s),
+       |sv AS (SELECT qid, nid, ${cosineSql("qvec", "nvec")} AS score FROM pr WHERE prank <= 128),
+       |r AS (SELECT qid, nid, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM sv)
+       |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
+
   /** SQL-surface top-k (graft_cosine in SQL text == CosineSim == this). */
   private val sqlTopk =
     s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings
@@ -2238,6 +2283,8 @@ object Oracles {
     "es_codec" -> esCodec,
     "es_ingest_object" -> esIngestObject,
     "es_ingest_wal" -> esIngestWal,
+    "es_export_object" -> esExportObject,
+    "es_export_wal" -> esExportWal,
     "es_catalog_batch" -> esCatalogBatch,
     "es_window_hourly" -> esWindowHourly,
     "es_agg_by_type" -> esAggByType,
@@ -2329,6 +2376,8 @@ object Oracles {
     "es_stream_lm_buckets" -> esStreamLmBuckets,
     "text_pack" -> textPack,
     "sim_exact" -> simExact,
+    "sim_project" -> simProject,
+    "sim_project_topk" -> simProjectTopk,
     "sql_topk" -> sqlTopk,
     "sql_fetch" -> sqlFetch,
     "sim_quantize" -> simQuantize,

@@ -211,6 +211,33 @@ object SparkEntry {
       col("payload").cast("string").as("props"))
   }
 
+  /** Migration-OUT round trip through the reference tiered-object layout
+    * ([[EsLog.exportObjects]] → [[EsLog.ingestObjects]]): the events stream
+    * exported as `data | 0x66 | sparse index | footer` objects on the
+    * executors, re-ingested, and scanned back — hash-identical to the
+    * events table. */
+  private def qEsExportObject(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.exportObjectStream(s, sfDir)
+    EsLog.scan(s, dir).select(
+      col("base_offset"),
+      col("base_timestamp").as("ts_ms"),
+      col("properties")("event_type").as("event_type"),
+      col("payload").cast("string").as("props"))
+  }
+
+  /** Migration-OUT round trip through the reference WAL-segment layout
+    * ([[EsLog.exportWal]] → [[EsLog.ingestWal]]): fixed-size sealed
+    * segments with contiguous WAL offsets and real fragment chains,
+    * recovered by the CRC-checked scan — hash-identical. */
+  private def qEsExportWal(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = Fixtures.exportWalStream(s, sfDir)
+    EsLog.scan(s, dir).select(
+      col("base_offset"),
+      col("base_timestamp").as("ts_ms"),
+      col("properties")("event_type").as("event_type"),
+      col("payload").cast("string").as("props"))
+  }
+
   /** Batch admin parity ([[graft.eslog.EsCatalog.createStreams]] /
     * deleteStreams / describeStreams — the reference's batch RPC shapes,
     * rpc.fbs:479-533): a mixed success/already-exists create batch, a mixed
@@ -1133,6 +1160,26 @@ object SparkEntry {
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** JL random projection 64→16 ([[Similarity.projectEmbeddings]]): every
+    * projected coordinate bit-exact against the oracle's md5-derived ±1
+    * fold, unnested to scalar rows. */
+  private def qSimProject(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    Similarity.projectEmbeddings(emb, "vec_id", "embedding", dim = 64, outDim = 16)
+      .select(col("vec_id"),
+        posexplode(col("proj")).as(Seq("i", "yi")))
+      .select(col("vec_id"), col("i").cast("int").as("i"), col("yi"))
+  }
+
+  /** Projected-space candidate generation + exact re-rank
+    * ([[Similarity.projectedTopK]]): 32-d cheap pass keeps 128 candidates
+    * per query, full-precision cosine re-ranks to top 5. */
+  private def qSimProjectTopk(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    Similarity.projectedTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+      "embedding", dim = 64, outDim = 32, k = 5, candidates = 128)
+  }
+
   private def qSimLsh(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
     Similarity.hyperplaneLshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
@@ -2040,6 +2087,8 @@ object SparkEntry {
     "es_codec" -> (qEsCodec _),
     "es_ingest_object" -> (qEsIngestObject _),
     "es_ingest_wal" -> (qEsIngestWal _),
+    "es_export_object" -> (qEsExportObject _),
+    "es_export_wal" -> (qEsExportWal _),
     "es_catalog_batch" -> (qEsCatalogBatch _),
     "es_window_hourly" -> (qEsWindowHourly _),
     "es_agg_by_type" -> (qEsAggByType _),
@@ -2141,6 +2190,8 @@ object SparkEntry {
     "es_stream_lm_buckets" -> (qEsStreamLmBuckets _),
     "text_pack" -> (qTextPack _),
     "sim_exact" -> (qSimExact _),
+    "sim_project" -> (qSimProject _),
+    "sim_project_topk" -> (qSimProjectTopk _),
     "sql_topk" -> (qSqlTopk _),
     "sql_fetch" -> (qSqlFetch _),
     "sim_quantize" -> (qSimQuantize _),

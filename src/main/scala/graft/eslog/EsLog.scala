@@ -623,6 +623,163 @@ object EsLog {
     append(spark, streamDir, orderForIngest(rows.toDF(), sortByEmbeddedOffset), epoch)
   }
 
+  /** Export committed data `[start, end)` as reference-layout tiered-storage
+    * OBJECTS — the migration-OUT twin of [[ingestObjects]]: each output row
+    * carries one complete object (`data | 0x66 | sparse index | footer`,
+    * components/object-storage/src/range_offload.rs:324-451) whose data block
+    * is back-to-back FlatRecordBatch entries, directly readable by the
+    * reference's object_reader.rs and re-ingestible by [[ingestObjects]].
+    *
+    * Objects roll at `maxObjectBytes` — a SOFT cap, exactly like the
+    * offloader's `object_size` threshold (range_offload.rs:80-98): a batch is
+    * never split, so one object may overshoot by at most one batch. Encoding
+    * runs entirely on the executors (one task per scan partition, objects
+    * bounded by the cap) — the 100 TB posture is a million bounded tasks, no
+    * driver involvement. Each object is self-describing (`start_offset` =
+    * its first batch's offset rides both the row and the sparse index), so
+    * objects need no global order; `ingestObjects(sortByEmbeddedOffset =
+    * true)` restores logical order on the way back in.
+    *
+    * @return columns `(start_offset LONG, end_offset LONG, data_len INT,
+    *         obj BINARY)` — the [[graft.model.TieredObject.ObjectMeta]]
+    *         fields the reference's offloader would COMMIT_OBJECT, plus the
+    *         object bytes.
+    */
+  def exportObjects(spark: SparkSession, streamDir: String, start: Long = 0L,
+                    end: Long = Long.MaxValue,
+                    maxObjectBytes: Int = 128 * 1024 * 1024,
+                    sparseBytes: Int = graft.model.TieredObject.DefaultSparseBytes): DataFrame = {
+    import spark.implicits._
+    require(maxObjectBytes > 0, "maxObjectBytes must be positive")
+    fetch(spark, streamDir, start, end)
+      .sortWithinPartitions("base_offset")
+      .as[RecordBatchRow]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Long, Int, Array[Byte])] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Long, Int, Array[Byte]) = {
+            val startOff = rows.head.base_offset
+            val frames = Vector.newBuilder[Array[Byte]]
+            var bytes = 0
+            while (rows.hasNext && (bytes == 0 || bytes < maxObjectBytes)) {
+              val f = graft.model.FlatRecordBatch.encode(rows.next())
+              frames += f
+              bytes += f.length
+            }
+            val (obj, meta) =
+              graft.model.TieredObject.encode(frames.result(), startOff, sparseBytes)
+            (meta.startOffset, meta.endOffset, meta.dataLen, obj)
+          }
+        }
+      }.toDF("start_offset", "end_offset", "data_len", "obj")
+  }
+
+  /** Export committed data `[start, end)` as reference-layout WAL SEGMENTS —
+    * the migration-OUT twin of [[ingestWal]]: fixed-size sealed segments in
+    * the store's record framing (`CRC | Size(3B) | Type | Payload` +
+    * Zero footer, components/store/src/io/record.rs:3-38), each WAL record
+    * one FlatRecordBatch frame (one append's payload), fragmented into
+    * First/Middle/Last chains past `blockSize`. Every segment is padded to
+    * exactly `segmentBytes` and sealed, and WAL offsets are CONTIGUOUS
+    * (`segment k` starts at `k * segmentBytes`) — the invariant the
+    * reference's recovery scan expects of a store directory
+    * (segment.rs:204-208 names files by accumulated offset). Segment
+    * footers carry the true earliest/latest batch timestamps.
+    *
+    * Global segment numbering uses the same per-partition prefix-sum idiom
+    * as the append path's offset assignment: pass 1 plans each partition's
+    * segment count (exact frame lengths, no bytes retained), the driver
+    * prefix-sums the bounded per-partition counts, pass 2 encodes. Both
+    * passes run the SAME materialized plan, so partition contents are
+    * identical by construction.
+    *
+    * @return columns `(wal_offset LONG, n_records LONG, seg BINARY)` —
+    *         directly re-ingestible by [[ingestWal]].
+    */
+  def exportWal(spark: SparkSession, streamDir: String, start: Long = 0L,
+                end: Long = Long.MaxValue, segmentBytes: Int = 64 * 1024 * 1024,
+                blockSize: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    import graft.model.WalSegment
+    val budget = segmentBytes - WalSegment.PrefixLen - WalSegment.FooterBodyLen
+    require(budget > 0, s"segmentBytes $segmentBytes below the footer minimum")
+    require(blockSize > 0, "blockSize must be positive")
+    // physical bytes of one WAL record holding an L-byte payload: fragment
+    // chains add one prefix per blockSize slice (record.rs:14-16)
+    def physicalLen(payloadLen: Int): Int = {
+      val nFrag = math.max(1L, (payloadLen.toLong + blockSize - 1) / blockSize)
+      (nFrag * WalSegment.PrefixLen + payloadLen).toInt
+    }
+    // the roll plan both passes share: sizes in, per-segment record counts out
+    def plan(lens: Iterator[Int]): Iterator[Int] = new Iterator[Int] {
+      private val it = lens.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): Int = {
+        var n = 0
+        var body = 0L
+        var more = true
+        while (more && it.hasNext) {
+          val p = physicalLen(it.head)
+          require(p <= budget,
+            s"one ${it.head}-byte record exceeds segmentBytes=$segmentBytes")
+          if (n > 0 && body + p > budget) more = false
+          else { it.next(); n += 1; body += p }
+        }
+        n
+      }
+    }
+    val ds = fetch(spark, streamDir, start, end)
+      .sortWithinPartitions("base_offset")
+      .as[RecordBatchRow]
+    // pass 1: per-partition segment counts (exact frame lengths, bytes dropped)
+    val counts = ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val lens = it.map(r => graft.model.FlatRecordBatch.encode(r).length)
+      Iterator.single((pid, plan(lens).size.toLong))
+    }.collect().toMap // bounded: one entry per partition
+    val base: Map[Int, Long] = {
+      var acc = 0L
+      counts.toSeq.sortBy(_._1).map { case (pid, n) =>
+        val b = acc; acc += n; (pid, b)
+      }.toMap
+    }
+    val baseB = spark.sparkContext.broadcast(base)
+    // pass 2: encode, wal_offset = global segment index * segmentBytes
+    ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var segIdx = baseB.value.getOrElse(pid, 0L)
+      val rows = it.buffered
+      new Iterator[(Long, Long, Array[Byte])] {
+        def hasNext: Boolean = rows.hasNext
+        def next(): (Long, Long, Array[Byte]) = {
+          val payloads = Vector.newBuilder[Array[Byte]]
+          var n = 0
+          var body = 0L
+          var earliest = Long.MaxValue
+          var latest = Long.MinValue
+          var more = true
+          while (more && rows.hasNext) {
+            val f = graft.model.FlatRecordBatch.encode(rows.head)
+            val p = physicalLen(f.length)
+            if (n > 0 && body + p > budget) more = false
+            else {
+              val r = rows.next()
+              payloads += f; n += 1; body += p
+              earliest = math.min(earliest, r.base_timestamp)
+              latest = math.max(latest, r.base_timestamp)
+            }
+          }
+          val walOffset = segIdx * segmentBytes
+          segIdx += 1
+          (walOffset, n.toLong, WalSegment.writeSegment(
+            payloads.result(), walOffset, segmentSize = segmentBytes,
+            blockSize = blockSize, earliestTs = earliest, latestTs = latest))
+        }
+      }
+    }.toDF("wal_offset", "n_records", "seg")
+  }
+
   /** SEAL_RANGE on the open segment: fix `end` = confirmed end. */
   def seal(streamDir: String): StreamState =
     MetaLog.commitWithRetry(streamDir) { st =>

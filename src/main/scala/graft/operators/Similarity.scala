@@ -116,6 +116,63 @@ object Similarity {
       GraftShims.expr(vec.cast("array<double>")), w.map(_.toSeq).toSeq))
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions: `y_p =
+    * (Σ_d w(t,p,d)·v[d]) / √outDim` under the same deterministic Rademacher
+    * family as [[lshBucket]] — the LSH bucket keeps the signs, this keeps the
+    * folded values. One codegen'd pass over the vector
+    * ([[org.apache.spark.sql.graftshim.RandomProjectExpr]]); every component
+    * is a left-to-right IEEE fold, so an independent engine reproduces each
+    * double bit-exactly. The 100 TB lever: a 64→16 projection cuts embedding
+    * bytes 4× and JL preserves pairwise geometry to O(√(log n / outDim)) —
+    * project once at write time, generate candidates in projected space,
+    * re-rank survivors against the full-precision column. */
+  def randomProject(vec: Column, outDim: Int, dim: Int, table: Int = 0): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    val w = rademacherWeights(table, outDim, dim)
+    GraftShims.column(org.apache.spark.sql.graftshim.RandomProjectExpr(
+      GraftShims.expr(vec.cast("array<double>")), w.map(_.toSeq).toSeq,
+      1.0 / math.sqrt(outDim.toDouble)))
+  }
+
+  /** Corpus-level [[randomProject]]: `(id, proj)` with `proj` the `outDim`-d
+    * projection of `vecCol`. A write-path map — no shuffle, no state. */
+  def projectEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, outDim: Int, table: Int = 0): DataFrame =
+    df.select(col(idCol),
+      randomProject(col(vecCol), outDim, dim, table).as("proj"))
+
+  /** Projected-space candidate generation with exact re-rank: score ALL
+    * candidates cheaply in `outDim`-d projected space, keep each query's
+    * `candidates` best, then re-rank ONLY those against the full-precision
+    * vectors and emit top `k`. The cheap pass does the quadratic work on
+    * vectors `dim/outDim`× smaller; the exact pass is O(candidates) per
+    * query. Queries broadcast both passes — the corpus never shuffles on
+    * anything but the final per-query window. Deterministic: projected
+    * scores are bit-exact (see [[randomProject]]), ties break by id. */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, dim: Int, outDim: Int, k: Int,
+                    candidates: Int, table: Int = 0): DataFrame = {
+    require(candidates >= k, s"candidates $candidates < k $k")
+    val c = OpUtil.rebalance(corpus).select(
+      col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"),
+      randomProject(col(vecCol), outDim, dim, table).as("nproj"))
+    val q = queries.select(
+      col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"),
+      randomProject(col(vecCol), outDim, dim, table).as("qproj"))
+    val cheap = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("qvec"), col("nvec"),
+        cosine(col("qproj"), col("nproj")).as("pscore"))
+    val wP = Window.partitionBy("qid").orderBy(col("pscore").desc, col("nid").asc)
+    val survivors = cheap.withColumn("prank", row_number().over(wP))
+      .where(col("prank") <= candidates)
+    val wE = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    survivors
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("score"))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "score")
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact: all (i < j) with cosine >=
     * threshold via an all-pairs broadcast pass. O(N²/2) scoring — this is the
     * small-scale recall oracle ONLY; the scale path is

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.eslog.EsLog
+import graft.model.{FlatRecordBatch, TieredObject, WalSegment}
+
+/** The migration-OUT half of the interop surface: [[EsLog.exportObjects]] /
+  * [[EsLog.exportWal]] must emit artifacts byte-valid under the reference's
+  * own layouts (readable by the same decoders the ingest path uses on real
+  * reference output) and round-trip hash-identically through the ingest
+  * twins. Layout invariants are asserted on the exported bytes themselves,
+  * not just round-tripped. */
+class InteropExportSpec extends SparkTestBase {
+
+  private lazy val srcDir: String = {
+    val dir = tmpDir("graft-export-src-")
+    val s = spark
+    import s.implicits._
+    val in = (0L until 400L).map { i =>
+      (s"payload-$i-" + ("x" * (i % 64).toInt), Map("k" -> s"v$i"), 1000L + i)
+    }.toDF("text", "properties", "base_timestamp")
+      .select(col("text").cast("binary").as("payload"), col("properties"),
+        col("base_timestamp"))
+    EsLog.create(dir, streamId = 7L)
+    EsLog.open(dir, 1L)
+    EsLog.append(spark, dir, in, 1L)
+    dir
+  }
+
+  // ------------------------------------------------------------- objects
+
+  test("exportObjects: every object byte-valid, rolls at the soft cap, all rows covered") {
+    val objs = EsLog.exportObjects(spark, srcDir,
+      maxObjectBytes = 4 * 1024, sparseBytes = 1024).collect()
+    assert(objs.length > 1, "4 KiB cap over ~400 records must roll")
+    var total = 0
+    var sawIndexEntries = false
+    objs.foreach { r =>
+      val startOff = r.getAs[Long]("start_offset")
+      val endOff = r.getAs[Long]("end_offset")
+      val bytes = r.getAs[Array[Byte]]("obj")
+      // self-describing: footer magic + delimiter + index recoverable
+      val meta = TieredObject.readMeta(bytes, startOff)
+      assert(meta.dataLen === r.getAs[Int]("data_len"))
+      assert(meta.endOffset === endOff)
+      if (meta.sparseIndex.nonEmpty) sawIndexEntries = true
+      val rows = TieredObject.decodeAll(bytes)
+      assert(rows.head.base_offset === startOff)
+      assert(rows.map(x => x.base_offset + x.last_offset_delta).max === endOff)
+      // soft cap: overshoot bounded by one batch
+      val maxFrame = rows.map(x => FlatRecordBatch.encode(x).length).max
+      assert(meta.dataLen <= 4 * 1024 + maxFrame)
+      total += rows.size
+    }
+    assert(total === 400)
+    assert(sawIndexEntries, "1 KiB granularity must produce sparse-index entries")
+    // objects tile the offset space disjointly
+    val spans = objs.map(r => (r.getAs[Long]("start_offset"), r.getAs[Long]("end_offset")))
+      .sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(e1 <= s2)
+      case _ =>
+    }
+  }
+
+  test("exportObjects -> ingestObjects round-trips hash-identically") {
+    val objs = EsLog.exportObjects(spark, srcDir,
+      maxObjectBytes = 4 * 1024, sparseBytes = 1024)
+    val dst = tmpDir("graft-export-obj-rt-")
+    EsLog.create(dst, streamId = 8L)
+    EsLog.open(dst, 1L)
+    EsLog.ingestObjects(spark, dst, objs, 1L, sortByEmbeddedOffset = true)
+    val a = EsLog.scan(spark, srcDir)
+      .select("base_offset", "base_timestamp", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), new String(r.getAs[Array[Byte]](2))))
+      .sortBy(_._1)
+    val b = EsLog.scan(spark, dst)
+      .select("base_offset", "base_timestamp", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), new String(r.getAs[Array[Byte]](2))))
+      .sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("exportObjects honors [start, end) with straddle semantics") {
+    val objs = EsLog.exportObjects(spark, srcDir, start = 100L, end = 150L,
+      maxObjectBytes = 1024 * 1024).collect()
+    val rows = objs.flatMap(r =>
+      TieredObject.decodeAll(r.getAs[Array[Byte]]("obj")))
+    assert(rows.map(_.base_offset).min === 100L)
+    assert(rows.map(_.base_offset).max === 149L)
+  }
+
+  // ----------------------------------------------------------------- WAL
+
+  test("exportWal: fixed-size sealed segments, contiguous WAL offsets, CRC-scannable") {
+    val segBytes = 16 * 1024
+    val segs = EsLog.exportWal(spark, srcDir,
+      segmentBytes = segBytes, blockSize = 256).collect()
+    assert(segs.length > 1, "16 KiB segments over ~400 records must roll")
+    // contiguous offsets: exactly {0..k-1} * segmentBytes
+    val offs = segs.map(_.getAs[Long]("wal_offset")).sorted
+    assert(offs.toSeq === (0 until segs.length).map(_.toLong * segBytes))
+    var total = 0L
+    segs.foreach { r =>
+      val off = r.getAs[Long]("wal_offset")
+      val bytes = r.getAs[Array[Byte]]("seg")
+      assert(bytes.length === segBytes, "padded to exactly segmentBytes")
+      val scan = WalSegment.scanSegment(bytes, off)
+      assert(scan.isSealed && !scan.torn)
+      assert(scan.payloads.size.toLong === r.getAs[Long]("n_records"))
+      total += scan.payloads.size
+      // every payload is a decodable FlatRecordBatch frame
+      scan.payloads.foreach { p =>
+        assert(FlatRecordBatch.decodeAll(p).nonEmpty)
+      }
+    }
+    assert(total === 400L)
+    // a segment scanned under the WRONG wal offset fails its CRC (recycled-
+    // segment protection, segment.rs:310-328) and recovers nothing
+    val first = segs.find(_.getAs[Long]("wal_offset") === 0L).get
+    val wrong = WalSegment.scanSegment(first.getAs[Array[Byte]]("seg"), 12345L)
+    assert(wrong.torn && wrong.payloads.isEmpty)
+  }
+
+  test("exportWal footer carries true earliest/latest batch timestamps") {
+    val segBytes = 16 * 1024
+    val segs = EsLog.exportWal(spark, srcDir,
+      segmentBytes = segBytes, blockSize = 256).collect()
+    segs.foreach { r =>
+      val off = r.getAs[Long]("wal_offset")
+      val bytes = r.getAs[Array[Byte]]("seg")
+      val ts = WalSegment.scanSegment(bytes, off).payloads
+        .flatMap(p => FlatRecordBatch.decodeAll(p)).map(_.base_timestamp)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      val earliest = bb.getLong(bytes.length - 16)
+      val latest = bb.getLong(bytes.length - 8)
+      assert(earliest === ts.min)
+      assert(latest === ts.max)
+    }
+  }
+
+  test("exportWal -> ingestWal round-trips hash-identically") {
+    val segs = EsLog.exportWal(spark, srcDir,
+      segmentBytes = 16 * 1024, blockSize = 256)
+    val dst = tmpDir("graft-export-wal-rt-")
+    EsLog.create(dst, streamId = 9L)
+    EsLog.open(dst, 1L)
+    EsLog.ingestWal(spark, dst, segs, 1L, sortByEmbeddedOffset = true)
+    val a = EsLog.scan(spark, srcDir)
+      .select("base_offset", "base_timestamp", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), new String(r.getAs[Array[Byte]](2))))
+      .sortBy(_._1)
+    val b = EsLog.scan(spark, dst)
+      .select("base_offset", "base_timestamp", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), new String(r.getAs[Array[Byte]](2))))
+      .sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("exportWal rejects a segmentBytes too small for one record") {
+    val e = intercept[org.apache.spark.SparkException] {
+      EsLog.exportWal(spark, srcDir, segmentBytes = 64).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}

@@ -1163,7 +1163,11 @@ class PlanAuditSpec extends SparkTestBase {
       "sim_ivf_replay", "sim_ivf_time_travel",
       "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "text_tfidf", "text_filter", "pipeline_export",
-      "ts_similarity")
+      "ts_similarity",
+      // sim_project_topk: the cheap projected-space pass broadcasts the same
+      // bounded query set as sim_exact (the whole point is that the
+      // non-equi scoring runs on 32-d vectors instead of 64-d)
+      "sim_project_topk")
     val sfDir = "/root/testdata/sf0.001"
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -1259,6 +1263,8 @@ class PlanAuditSpec extends SparkTestBase {
     "es_catalog_batch" -> Seq("batch", "name", "stream_id", "status"),
     "es_codec" -> Seq("doc_id", "text"),
     "es_ingest_object" -> Seq("base_offset", "ts_ms", "event_type", "props"),
+    "es_export_object" -> Seq("base_offset", "ts_ms", "event_type", "props"),
+    "es_export_wal" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_ingest_wal" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_compact" -> Seq("base_offset", "last_offset_delta", "payload_str"),
     "es_delete" -> Seq("deleted", "n_live_files"),
@@ -1338,6 +1344,8 @@ class PlanAuditSpec extends SparkTestBase {
     "sample_token_budget" -> Seq("doc_id", "source", "n_tokens", "cum_tokens"),
     "shuffle_shards" -> Seq("doc_id", "shuffle_key", "shard", "shard_pos"),
     "sim_exact" -> Seq("qid", "nid", "rank", "score"),
+    "sim_project" -> Seq("vec_id", "i", "yi"),
+    "sim_project_topk" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_kmeans" -> Seq("qid", "nid", "rank", "score"),
     "sim_pq" -> Seq("qid", "nid", "rank", "adist"),

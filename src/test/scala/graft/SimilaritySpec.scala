@@ -317,6 +317,61 @@ class SimilaritySpec extends SparkTestBase {
       assert(qid % 4 == nid % 4, s"query $qid matched cross-cluster neighbor $nid") }
   }
 
+  test("randomProject: interpreted eval == codegen, dim mismatch -> null, JL geometry holds") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val proj = Similarity.projectEmbeddings(emb, "vec_id", "embedding",
+      dim = 64, outDim = 16)
+    // interpreted twin: recompute one row JVM-side from the same weights
+    val w = Similarity.rademacherWeights(0, 16, 64)
+    val row0 = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val expect = w.map(r => r.zip(row0).map { case (a, b) => a * b }
+      .foldLeft(0.0)(_ + _) / 4.0)
+    val got = proj.where(col("vec_id") === 0).collect()(0).getSeq[Double](1)
+    // same fold order JVM-side, so exact equality
+    expect.zip(got).foreach { case (e, g) => assert(e === g) }
+    // a wrong-dimension vector projects to null, not garbage
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    assert(Similarity.projectEmbeddings(bad, "vec_id", "embedding", 64, 16)
+      .where(col("proj").isNull).count() === 1L)
+    // JL property: projected cosine approximates true cosine on average
+    val joined = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(proj, "vec_id")
+    val a = joined.select(col("vec_id").as("i"), col("v").as("va"), col("proj").as("pa"))
+    val b = joined.select(col("vec_id").as("j"), col("v").as("vb"), col("proj").as("pb"))
+    val err = a.join(b, col("i") < col("j"))
+      .select(abs(Similarity.cosine(col("va"), col("vb")) -
+        Similarity.cosine(col("pa"), col("pb"))).as("err"))
+      .agg(avg("err")).collect()(0).getDouble(0)
+    assert(err < 0.25, s"mean |cos - cos_proj| = $err — JL geometry lost")
+  }
+
+  test("projectedTopK: recall@5 >= 0.8 vs exact, exact-rerank scores match brute force") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = topKPairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val approx = Similarity.projectedTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, outDim = 32, k = 5, candidates = 128)
+    val recall = (exact & topKPairs(approx)).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+    // widening the candidate set must buy recall (the knob works): the
+    // measured curve on this fixture is 16 -> 0.34, 128 -> 0.84, 200 -> 0.96
+    val narrow = (exact & topKPairs(Similarity.projectedTopK(emb, queries,
+      "vec_id", "embedding", dim = 64, outDim = 32, k = 5, candidates = 16)))
+      .size.toDouble / exact.size
+    assert(narrow < recall, s"candidates knob inert: $narrow !< $recall")
+    // any pair the approx shares with exact must carry the EXACT cosine:
+    // the rerank is full-precision, not projected
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("qid"), col("nid"), col("score").as("bscore"))
+    val diff = approx.join(brute, Seq("qid", "nid"))
+      .where(col("score") =!= col("bscore")).count()
+    assert(diff === 0L)
+  }
+
   test("embedding near-dup LSH recall vs the exact all-pairs baseline") {
     val exact = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
