@@ -2051,6 +2051,29 @@ object Fixtures {
       ()
     }
 
+  /** Continuous offload ([[EsLog.offloadStream]]): the events stream drains
+    * micro-batch by micro-batch (8 triggers) into a bucket directory of
+    * reference-layout object files, which then bootstrap a NEW stream via
+    * [[EsLog.ingestObjectDir]] — the full replicate-to-reference-then-
+    * migrate-back cycle at streaming cadence. Returns the destination
+    * stream dir. */
+  def streamExportStream(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "stream-export") { dir =>
+      val src = eventsStream(s, sfDir)
+      val objDir = MetaLog.join(dir, "objects")
+      val ckpt = MetaLog.join(dir, "ckpt")
+      val perTrigger = math.max(events(s, sfDir).count() / 8, 1L)
+      val q = EsLog.offloadStream(s, src, objDir, ckpt,
+        maxObjectBytes = 64 * 1024, sparseBytes = 4096,
+        maxOffsetsPerTrigger = perTrigger)
+      q.awaitTermination(300000)
+      val dst = MetaLog.join(dir, "dst")
+      EsLog.create(dst, streamId = 99L)
+      EsLog.open(dst, 1L)
+      EsLog.ingestObjectDir(s, dst, objDir, 1L)
+      ()
+    }
+
   /** Deterministic REAL WAV payload for doc `id`: a genuine RIFF/WAVE file
     * (PCM16 mono, 8 kHz), n = 64 + id % 128 samples,
     * s_i = ((id·31 + i·17) mod 2048) − 1024 — closed-form, so the DuckDB

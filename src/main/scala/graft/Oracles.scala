@@ -71,6 +71,12 @@ object Oracles {
   private val esExportWal =
     "SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props FROM events"
 
+  // streaming offload drains the whole stream (AvailableNow) and the
+  // bootstrap re-ingest restores logical order, so the round trip is the
+  // identity over events
+  private val esStreamExport =
+    "SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props FROM events"
+
   // The batch-admin lifecycle is deterministic end-to-end (block-allocated
   // ids in spec order, per-stream statuses), so the oracle is the expected
   // response table itself.
@@ -2285,6 +2291,7 @@ object Oracles {
     "es_ingest_wal" -> esIngestWal,
     "es_export_object" -> esExportObject,
     "es_export_wal" -> esExportWal,
+    "es_stream_export" -> esStreamExport,
     "es_catalog_batch" -> esCatalogBatch,
     "es_window_hourly" -> esWindowHourly,
     "es_agg_by_type" -> esAggByType,

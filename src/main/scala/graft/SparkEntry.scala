@@ -238,6 +238,19 @@ object SparkEntry {
       col("payload").cast("string").as("props"))
   }
 
+  /** Continuous offload round trip ([[EsLog.offloadStream]] →
+    * [[EsLog.ingestObjectDir]]): the events stream replicated to a bucket
+    * of reference-layout objects at micro-batch cadence, then a new stream
+    * bootstrapped from the bucket — hash-identical to the events table. */
+  private def qEsStreamExport(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.streamExportStream(s, sfDir)
+    EsLog.scan(s, graft.meta.MetaLog.join(root, "dst")).select(
+      col("base_offset"),
+      col("base_timestamp").as("ts_ms"),
+      col("properties")("event_type").as("event_type"),
+      col("payload").cast("string").as("props"))
+  }
+
   /** Batch admin parity ([[graft.eslog.EsCatalog.createStreams]] /
     * deleteStreams / describeStreams — the reference's batch RPC shapes,
     * rpc.fbs:479-533): a mixed success/already-exists create batch, a mixed
@@ -2089,6 +2102,7 @@ object SparkEntry {
     "es_ingest_wal" -> (qEsIngestWal _),
     "es_export_object" -> (qEsExportObject _),
     "es_export_wal" -> (qEsExportWal _),
+    "es_stream_export" -> (qEsStreamExport _),
     "es_catalog_batch" -> (qEsCatalogBatch _),
     "es_window_hourly" -> (qEsWindowHourly _),
     "es_agg_by_type" -> (qEsAggByType _),

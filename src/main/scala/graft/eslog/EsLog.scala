@@ -650,20 +650,31 @@ object EsLog {
                     maxObjectBytes: Int = 128 * 1024 * 1024,
                     sparseBytes: Int = graft.model.TieredObject.DefaultSparseBytes): DataFrame = {
     import spark.implicits._
+    encodeObjectRows(fetch(spark, streamDir, start, end).as[RecordBatchRow],
+      maxObjectBytes, sparseBytes)
+  }
+
+  /** Executor-side object encoder shared by the batch export and the
+    * streaming offload sink: record-batch rows (offset-sorted within each
+    * partition here) roll into reference-layout objects at the soft cap. */
+  private def encodeObjectRows(
+      rows: org.apache.spark.sql.Dataset[RecordBatchRow],
+      maxObjectBytes: Int, sparseBytes: Int): DataFrame = {
     require(maxObjectBytes > 0, "maxObjectBytes must be positive")
-    fetch(spark, streamDir, start, end)
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
       .sortWithinPartitions("base_offset")
-      .as[RecordBatchRow]
       .mapPartitions { it =>
-        val rows = it.buffered
+        val rs = it.buffered
         new Iterator[(Long, Long, Int, Array[Byte])] {
-          def hasNext: Boolean = rows.hasNext
+          def hasNext: Boolean = rs.hasNext
           def next(): (Long, Long, Int, Array[Byte]) = {
-            val startOff = rows.head.base_offset
+            val startOff = rs.head.base_offset
             val frames = Vector.newBuilder[Array[Byte]]
             var bytes = 0
-            while (rows.hasNext && (bytes == 0 || bytes < maxObjectBytes)) {
-              val f = graft.model.FlatRecordBatch.encode(rows.next())
+            while (rs.hasNext && (bytes == 0 || bytes < maxObjectBytes)) {
+              val f = graft.model.FlatRecordBatch.encode(rs.next())
               frames += f
               bytes += f.length
             }
@@ -673,6 +684,66 @@ object EsLog {
           }
         }
       }.toDF("start_offset", "end_offset", "data_len", "obj")
+  }
+
+  /** Write `(start_offset, end_offset, obj)` rows as one raw file per
+    * object under `outDir` (`obj-<start20>-<end20>`), on the executors.
+    * Overwrites an existing key — offsets name the content, so a rewrite is
+    * byte-identical and the write is idempotent. Returns objects written. */
+  private def writeObjectFilesRows(objs: DataFrame, outDir: String): Long = {
+    val spark = objs.sparkSession
+    import spark.implicits._
+    val confT = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
+    objs.select("start_offset", "end_offset", "obj")
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        var n = 0L
+        it.foreach { case (s0, e0, bytes) =>
+          val p = new org.apache.hadoop.fs.Path(outDir, f"obj-$s0%020d-$e0%020d")
+          val fs = p.getFileSystem(confT())
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+          n += 1
+        }
+        Iterator.single(n)
+      }.collect().sum // bounded: one partial count per partition
+  }
+
+  /** Continuous offload — the reference's commit→offload pipeline
+    * (components/object-storage/src/range_offload.rs driven by the commit
+    * hook) as a Structured Streaming sink: new appends stream out of the
+    * eslog source and every micro-batch's rows encode to reference-layout
+    * objects under `outDir`, one raw file per object keyed by offset span.
+    * A retried micro-batch re-offers the same offsets and rewrites the
+    * same keys byte-identically, so delivery is idempotent at the bucket
+    * level — no index or commit log needed on the export side.
+    *
+    * `availableNow = true` drains the current head and terminates (the
+    * catch-up/backfill mode); `false` runs continuously. Returns the
+    * started query; the caller owns `awaitTermination`. */
+  def offloadStream(spark: SparkSession, streamDir: String, outDir: String,
+                    checkpointDir: String,
+                    maxObjectBytes: Int = 128 * 1024 * 1024,
+                    sparseBytes: Int = graft.model.TieredObject.DefaultSparseBytes,
+                    maxOffsetsPerTrigger: Long = 0L,
+                    availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val reader = spark.readStream.format("eslog")
+    val src =
+      (if (maxOffsetsPerTrigger > 0)
+        reader.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      else reader).load(streamDir)
+    val w = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val objs = encodeObjectRows(batch.as[RecordBatchRow],
+          maxObjectBytes, sparseBytes)
+        writeObjectFilesRows(objs, outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
   }
 
   /** Export committed data `[start, end)` as reference-layout WAL SEGMENTS —
@@ -778,6 +849,72 @@ object EsLog {
         }
       }
     }.toDF("wal_offset", "n_records", "seg")
+  }
+
+  /** [[exportObjects]] to the BUCKET layout itself: one raw file per object
+    * under `outDir`, named `obj-<start20>-<end20>` (zero-padded so a plain
+    * key listing sorts in offset order, the property the reference's
+    * object key scheme relies on for range routing). Writes happen on the
+    * executors through the session's Hadoop FS — `outDir` can be `file:/`,
+    * `hdfs://` or `s3a://`. Returns the number of objects written. */
+  def exportObjectFiles(spark: SparkSession, streamDir: String, outDir: String,
+                        start: Long = 0L, end: Long = Long.MaxValue,
+                        maxObjectBytes: Int = 128 * 1024 * 1024,
+                        sparseBytes: Int = graft.model.TieredObject.DefaultSparseBytes): Long =
+    writeObjectFilesRows(
+      exportObjects(spark, streamDir, start, end, maxObjectBytes, sparseBytes),
+      outDir)
+
+  /** Ingest a directory of RAW reference tiered objects — one object per
+    * file, the bucket layout a real deployment offloads to. Spark's
+    * binaryFile source streams each file whole into one task; everything
+    * after that is [[ingestObjects]]. */
+  def ingestObjectDir(spark: SparkSession, streamDir: String, objDir: String,
+                      epoch: Long, sortByEmbeddedOffset: Boolean = true): (Long, Long) = {
+    val objs = spark.read.format("binaryFile").load(objDir)
+      .select(col("content").as("obj"))
+    ingestObjects(spark, streamDir, objs, epoch, sortByEmbeddedOffset)
+  }
+
+  /** [[exportWal]] to the store-directory layout itself: one raw file per
+    * segment under `outDir`, named by its base WAL offset in zero-padded
+    * decimal — exactly how the reference's store names segment files
+    * (components/store/src/io/segment.rs:204-208), so a decommissioned-node
+    * forensics pass and this export produce interchangeable directories.
+    * Returns the number of segments written. */
+  def exportWalFiles(spark: SparkSession, streamDir: String, outDir: String,
+                     start: Long = 0L, end: Long = Long.MaxValue,
+                     segmentBytes: Int = 64 * 1024 * 1024,
+                     blockSize: Int = Int.MaxValue): Long = {
+    import spark.implicits._
+    val confT = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
+    exportWal(spark, streamDir, start, end, segmentBytes, blockSize)
+      .select("wal_offset", "seg")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        var n = 0L
+        it.foreach { case (off, bytes) =>
+          val p = new org.apache.hadoop.fs.Path(outDir, f"$off%020d")
+          val fs = p.getFileSystem(confT())
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+          n += 1
+        }
+        Iterator.single(n)
+      }.collect().sum
+  }
+
+  /** Ingest a store directory of RAW WAL segment files (names = base WAL
+    * offsets in decimal, the reference's own naming): binaryFile streams
+    * each segment to one task, the filename supplies the CRC-folded WAL
+    * offset, and [[ingestWal]]'s recovery scan does the rest. */
+  def ingestWalDir(spark: SparkSession, streamDir: String, walDir: String,
+                   epoch: Long, sortByEmbeddedOffset: Boolean = true): (Long, Long) = {
+    val segs = spark.read.format("binaryFile").load(walDir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)$", 1).cast(LongType).as("wal_offset"),
+        col("content").as("seg"))
+    ingestWal(spark, streamDir, segs, epoch, sortByEmbeddedOffset)
   }
 
   /** SEAL_RANGE on the open segment: fix `end` = confirmed end. */

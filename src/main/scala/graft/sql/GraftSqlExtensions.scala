@@ -30,6 +30,9 @@ import graft.operators.Similarity
   *    [[graft.operators.Sketch.bloomSketch]] family, SQL-composable)
   *    (t/planes/dim: literal ints; same Rademacher family as
   *    [[graft.operators.Similarity.lshBucket]])
+  *  - `graft_rproject(v, out_dim, dim[, t])` — Johnson–Lindenstrauss
+  *    Rademacher projection to `out_dim` dims (same family as the LSH
+  *    bucket; [[graft.operators.Similarity.randomProject]])
   *  - `graft_kmv(hash, k)`       — KMV distinct-count sketch AGGREGATE: the
   *    k smallest distinct hashes, ascending (bounded state, map-side partials)
   *  - `graft_topk(key, val, k)`  — bounded-state top-k AGGREGATE: k smallest
@@ -49,6 +52,10 @@ import graft.operators.Similarity
   *    versions (offset-delimited incremental read, stable under compaction)
   *  - `graft_fetch_time('dir', from_ms, until_ms)` — time-windowed fetch
   *    through the manifest time index (file pruning + row-group skipping)
+  *  - `graft_export_objects('dir'[, lo, hi[, max_bytes]])` — migration-out:
+  *    committed data as reference-layout tiered objects
+  *  - `graft_export_wal('dir'[, lo, hi[, seg_bytes]])` — migration-out:
+  *    fixed-size sealed reference WAL segments, contiguous offsets
   *  - `graft_offset_for_time('dir', ts_ms)` — ListOffsets-by-timestamp:
   *    earliest readable offset with base_timestamp >= ts_ms, one file read
   *  - `graft_group_offset('dir', 'group')` — consumer group's committed
@@ -180,6 +187,17 @@ object GraftFunctions {
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two double arrays"),
       (args: Seq[Expression]) => { arity("graft_cosine", args, 2)
         CosineSim(args(0), args(1)) }),
+    (FunctionIdentifier("graft_rproject"),
+      info("graft_rproject",
+        "graft_rproject(vec, out_dim, dim[, table]) - Johnson-Lindenstrauss " +
+          "Rademacher projection of a double array to out_dim dims, scaled " +
+          "1/sqrt(out_dim) (out_dim/dim/table literals)"),
+      (args: Seq[Expression]) => { arity("graft_rproject", args, 3, 4)
+        val outDim = literalInt(args(1), "graft_rproject", "out_dim")
+        val dim = literalInt(args(2), "graft_rproject", "dim")
+        val t = if (args.size == 4) literalInt(args(3), "graft_rproject", "table") else 0
+        GraftShims.convertedExpr(Similarity.randomProject(
+          GraftShims.column(args(0)), outDim, dim, t)) }),
     (FunctionIdentifier("graft_hash60"),
       info("graft_hash60",
         "graft_hash60(x) / graft_hash60(seed, x) - portable 60-bit md5 hash as non-negative BIGINT"),
@@ -268,6 +286,34 @@ object GraftFunctions {
         val from = literalLong(args(1), "graft_fetch_time", "from_ms")
         val until = literalLong(args(2), "graft_fetch_time", "until_ms")
         GraftShims.analyzedPlan(EsLog.fetchByTime(active(), dir, from, until)) }),
+    (FunctionIdentifier("graft_export_objects"),
+      info("graft_export_objects",
+        "graft_export_objects('dir'[, start, end[, max_object_bytes]]) - " +
+          "committed data [start, end) re-encoded as reference-layout " +
+          "tiered objects; one row (start_offset, end_offset, data_len, " +
+          "obj) per object, re-ingestible by graft_ingest paths"),
+      (args: Seq[Expression]) => { arity("graft_export_objects", args, 1, 3, 4)
+        val dir = literalString(args(0), "graft_export_objects", "dir")
+        val lo = if (args.size >= 3) literalLong(args(1), "graft_export_objects", "start") else 0L
+        val hi = if (args.size >= 3) literalLong(args(2), "graft_export_objects", "end") else Long.MaxValue
+        val cap = if (args.size == 4)
+          literalInt(args(3), "graft_export_objects", "max_object_bytes")
+        else 128 * 1024 * 1024
+        GraftShims.analyzedPlan(EsLog.exportObjects(active(), dir, lo, hi, cap)) }),
+    (FunctionIdentifier("graft_export_wal"),
+      info("graft_export_wal",
+        "graft_export_wal('dir'[, start, end[, segment_bytes]]) - committed " +
+          "data [start, end) re-encoded as fixed-size sealed reference WAL " +
+          "segments with contiguous offsets; one row (wal_offset, " +
+          "n_records, seg) per segment"),
+      (args: Seq[Expression]) => { arity("graft_export_wal", args, 1, 3, 4)
+        val dir = literalString(args(0), "graft_export_wal", "dir")
+        val lo = if (args.size >= 3) literalLong(args(1), "graft_export_wal", "start") else 0L
+        val hi = if (args.size >= 3) literalLong(args(2), "graft_export_wal", "end") else Long.MaxValue
+        val seg = if (args.size == 4)
+          literalInt(args(3), "graft_export_wal", "segment_bytes")
+        else 64 * 1024 * 1024
+        GraftShims.analyzedPlan(EsLog.exportWal(active(), dir, lo, hi, seg)) }),
     (FunctionIdentifier("graft_offset_for_time"),
       info("graft_offset_for_time",
         "graft_offset_for_time('dir', ts_ms) - earliest readable offset with " +
@@ -670,6 +716,37 @@ object GraftFunctions {
           val applied = graft.operators.Similarity.appendToIvfIndex(
             session, dir, resolveRef(session, vref), id, vec, bid)
           Seq(org.apache.spark.sql.Row(dir, applied))
+        } }),
+    (FunctionIdentifier("graft_ingest_objects"),
+      info("graft_ingest_objects",
+        "graft_ingest_objects('stream_dir', 'obj_dir', epoch) - ingest a " +
+          "directory of RAW reference tiered objects (one object per file, " +
+          "the bucket layout) into the stream, logical order restored from " +
+          "embedded offsets; returns (dir, ok). Runs at EXECUTION time " +
+          "(EXPLAIN is side-effect-free)"),
+      (args: Seq[Expression]) => { arity("graft_ingest_objects", args, 3)
+        val sd = literalString(args(0), "graft_ingest_objects", "stream_dir")
+        val od = literalString(args(1), "graft_ingest_objects", "obj_dir")
+        val ep = literalLong(args(2), "graft_ingest_objects", "epoch")
+        val session = active()
+        procedure("graft_ingest_objects") { () =>
+          EsLog.ingestObjectDir(session, sd, od, ep)
+          Seq(org.apache.spark.sql.Row(sd, true))
+        } }),
+    (FunctionIdentifier("graft_ingest_wal"),
+      info("graft_ingest_wal",
+        "graft_ingest_wal('stream_dir', 'wal_dir', epoch) - ingest a store " +
+          "directory of RAW WAL segment files (names = base WAL offsets, " +
+          "the reference's naming) through the CRC-checked recovery scan; " +
+          "returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_ingest_wal", args, 3)
+        val sd = literalString(args(0), "graft_ingest_wal", "stream_dir")
+        val wd = literalString(args(1), "graft_ingest_wal", "wal_dir")
+        val ep = literalLong(args(2), "graft_ingest_wal", "epoch")
+        val session = active()
+        procedure("graft_ingest_wal") { () =>
+          EsLog.ingestWalDir(session, sd, wd, ep)
+          Seq(org.apache.spark.sql.Row(sd, true))
         } }),
     (FunctionIdentifier("graft_sim_index_compact"),
       info("graft_sim_index_compact",

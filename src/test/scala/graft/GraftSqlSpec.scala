@@ -62,6 +62,67 @@ class GraftSqlSpec extends SparkTestBase {
     assert(viaSql.map(_.toSeq).toSet == viaDf.map(_.toSeq).toSet)
   }
 
+  test("graft_rproject matches Similarity.randomProject, composes with graft_cosine") {
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_rproject(embedding, 16, 64) AS y FROM emb_sql")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaDf = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), outDim = 16, dim = 64).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSql.keySet == viaDf.keySet)
+    viaSql.foreach { case (id, y) => assert(y == viaDf(id), s"vec $id") }
+    // composes in-query with the other registered scalars
+    val cos = spark.sql(
+      """SELECT graft_cosine(graft_rproject(a.embedding, 16, 64),
+        |                    graft_rproject(b.embedding, 16, 64)) AS c
+        |FROM emb_sql a JOIN emb_sql b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 5""".stripMargin).collect()
+    assert(cos.length == 5 && cos.forall(r => math.abs(r.getDouble(0)) <= 1.0 + 1e-12))
+  }
+
+  test("graft_export_objects / graft_export_wal TVFs equal the Scala export surface") {
+    val dir = tmpDir("sqlexport-")
+    EsLog.create(dir, streamId = 78L)
+    EsLog.open(dir, 1L)
+    val in = spark.range(300).select(
+      col("id"), concat(lit("payload-"), col("id")).cast("binary").as("payload"))
+    EsLog.append(spark, dir, in, 1L, sortKey = Some("id"), numPartitions = 4)
+
+    val objSql = spark.sql(
+      s"""SELECT count(*) AS n, sum(data_len) AS bytes, min(start_offset) AS lo
+         |FROM graft_export_objects('$dir', 0, 9223372036854775807, 4096)""".stripMargin)
+      .collect().head
+    val objApi = EsLog.exportObjects(spark, dir, maxObjectBytes = 4096)
+      .agg(count(lit(1)), sum("data_len"), min("start_offset")).collect().head
+    assert(objSql.getLong(0) == objApi.getLong(0) && objSql.getLong(0) > 1)
+    assert(objSql.getLong(1) == objApi.getLong(1))
+    assert(objSql.getLong(2) == 0L)
+
+    val walSql = spark.sql(
+      s"""SELECT count(*) AS n, sum(n_records) AS recs
+         |FROM graft_export_wal('$dir', 0, 9223372036854775807, 16384)""".stripMargin)
+      .collect().head
+    val walApi = EsLog.exportWal(spark, dir, segmentBytes = 16384)
+      .agg(count(lit(1)), sum("n_records")).collect().head
+    assert(walSql.getLong(0) == walApi.getLong(0) && walSql.getLong(0) > 1)
+    assert(walSql.getLong(1) == 300L && walApi.getLong(1) == 300L)
+
+    // pure-SQL migration round trip: bucket-layout files in, new stream out,
+    // and the ingest fires at EXECUTION time only
+    val objDir = tmpDir("sqlexport-objs-")
+    EsLog.exportObjectFiles(spark, dir, objDir, maxObjectBytes = 4096)
+    val dst = tmpDir("sqlexport-dst-")
+    EsLog.create(dst, streamId = 79L)
+    EsLog.open(dst, 1L)
+    val stmt = s"SELECT * FROM graft_ingest_objects('$dst', '$objDir', 1)"
+    spark.sql(stmt).explain() // analysis + EXPLAIN must not ingest
+    assert(EsLog.nextOffset(dst) == 0L, "EXPLAIN must be side-effect-free")
+    val res = spark.sql(stmt).collect()
+    assert(res.head.getBoolean(1))
+    assert(EsLog.scan(spark, dst).count() == 300L)
+  }
+
   test("graft_bloom_slots matches the Sketch.bloomSketch slot family") {
     import spark.implicits._
     val vals = Seq("alpha", "beta", "gamma").toDF("v")

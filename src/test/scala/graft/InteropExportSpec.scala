@@ -158,6 +158,64 @@ class InteropExportSpec extends SparkTestBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  private def scanTriples(dir: String): Seq[(Long, Long, String)] =
+    EsLog.scan(spark, dir)
+      .select("base_offset", "base_timestamp", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), new String(r.getAs[Array[Byte]](2))))
+      .sortBy(_._1).toSeq
+
+  test("file-level round trip: object bucket layout and WAL store-directory layout") {
+    // objects: one raw file per object, names sort in offset order
+    val objDir = tmpDir("graft-objdir-")
+    val nObj = EsLog.exportObjectFiles(spark, srcDir, objDir,
+      maxObjectBytes = 4 * 1024, sparseBytes = 1024)
+    val objFiles = new java.io.File(objDir).listFiles.map(_.getName)
+      .filter(_.startsWith("obj-")).sorted
+    assert(objFiles.length.toLong === nObj && nObj > 1)
+    val starts = objFiles.map(_.split("-")(1).toLong)
+    assert(starts.toSeq === starts.sorted.toSeq, "key listing must sort by offset")
+    val dst1 = tmpDir("graft-objdir-rt-")
+    EsLog.create(dst1, streamId = 10L); EsLog.open(dst1, 1L)
+    EsLog.ingestObjectDir(spark, dst1, objDir, 1L)
+    assert(scanTriples(dst1) === scanTriples(srcDir))
+
+    // WAL: one raw file per segment, named by base WAL offset in decimal —
+    // the reference store's own naming, parsed back by ingestWalDir
+    val walDir = tmpDir("graft-waldir-")
+    val nSeg = EsLog.exportWalFiles(spark, srcDir, walDir,
+      segmentBytes = 16 * 1024, blockSize = 256)
+    val segFiles = new java.io.File(walDir).listFiles.map(_.getName)
+      .filter(_.forall(_.isDigit))
+    assert(segFiles.length.toLong === nSeg && nSeg > 1)
+    val dst2 = tmpDir("graft-waldir-rt-")
+    EsLog.create(dst2, streamId = 11L); EsLog.open(dst2, 1L)
+    EsLog.ingestWalDir(spark, dst2, walDir, 1L)
+    assert(scanTriples(dst2) === scanTriples(srcDir))
+  }
+
+  test("offloadStream: micro-batched offload drains the head; same-checkpoint re-run is a no-op") {
+    val root = tmpDir("graft-offload-")
+    val objDir = s"$root/objects"
+    val ckpt = s"$root/ckpt"
+    val q = EsLog.offloadStream(spark, srcDir, objDir, ckpt,
+      maxObjectBytes = 8 * 1024, sparseBytes = 2048, maxOffsetsPerTrigger = 100)
+    q.awaitTermination(300000)
+    val files = new java.io.File(objDir).listFiles.filter(_.getName.startsWith("obj-"))
+    assert(files.length >= 4, s"4 triggers x >=1 object each, got ${files.length}")
+    // every object parses and the union covers the whole stream exactly once
+    val rows = files.flatMap(f => TieredObject.decodeAll(
+      java.nio.file.Files.readAllBytes(f.toPath)))
+    assert(rows.length === 400)
+    assert(rows.map(_.base_offset).sorted.toSeq === (0L until 400L))
+    // checkpointed: a second run sees no new offsets, writes no new keys
+    val q2 = EsLog.offloadStream(spark, srcDir, objDir, ckpt,
+      maxObjectBytes = 8 * 1024, sparseBytes = 2048, maxOffsetsPerTrigger = 100)
+    q2.awaitTermination(300000)
+    val names2 = new java.io.File(objDir).listFiles
+      .filter(_.getName.startsWith("obj-")).map(_.getName).sorted
+    assert(names2.toSeq === files.map(_.getName).sorted.toSeq)
+  }
+
   test("exportWal rejects a segmentBytes too small for one record") {
     val e = intercept[org.apache.spark.SparkException] {
       EsLog.exportWal(spark, srcDir, segmentBytes = 64).collect()

@@ -1265,6 +1265,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_ingest_object" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_export_object" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_export_wal" -> Seq("base_offset", "ts_ms", "event_type", "props"),
+    "es_stream_export" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_ingest_wal" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_compact" -> Seq("base_offset", "last_offset_delta", "payload_str"),
     "es_delete" -> Seq("deleted", "n_live_files"),
