@@ -1455,6 +1455,29 @@ object Oracles {
   private def doubleArrayLit(v: Array[Double]): String =
     s"[${v.map(doubleLit).mkString(", ")}]::DOUBLE[]"
 
+  /** Oracle for the PCA projection: the driver-trained components + bias
+    * spliced as literal rows; [[dotSql]]'s index-order fold equals
+    * AffineProjectExpr's loop and the bias subtracts once — bit-identical
+    * doubles, like the kmeans/PQ oracles. */
+  def simPcaSql(comps: Array[Array[Double]], bias: Array[Double]): String = {
+    val rows = comps.zipWithIndex.map { case (w, p) =>
+      s"(CAST($p AS INT), ${doubleArrayLit(w)}, ${doubleLit(bias(p))})"
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |w AS (SELECT * FROM (VALUES
+       |    $rows) AS t(p, w, b))
+       |SELECT vec_id, p AS i, ${dotSql("v", "w")} - b AS yi FROM e, w""".stripMargin
+  }
+
+  /** Oracle for the PCA variance report: the model's eigenvalues are the
+    * expected table itself (deterministic sample + driver eigensolve). */
+  def simPcaVarianceSql(evar: Array[Double], ratio: Array[Double]): String = {
+    val rows = evar.indices.map(i =>
+      s"(CAST($i AS INT), ${doubleLit(evar(i))}, ${doubleLit(ratio(i))})")
+      .mkString(",\n    ")
+    s"SELECT * FROM (VALUES\n    $rows) AS t(i, evar, ratio)"
+  }
+
   /** Oracle for the k-means IVF variant: the driver-computed centroids are
     * deterministic literals ([[graft.operators.Similarity.kmeansCentroids]]),
     * so splicing them into a VALUES quantizer reproduces the search

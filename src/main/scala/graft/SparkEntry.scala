@@ -1406,6 +1406,34 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
   @volatile private var lastKmeansSf: Option[String] = None
 
+  private val pcaModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PcaModel]()
+  private def pcaModelFor(s: SparkSession, sfDir: String): Similarity.PcaModel =
+    pcaModels.computeIfAbsent(sfDir, _ => Similarity.pcaTrain(
+      Fixtures.embeddings(s, sfDir), "vec_id", "embedding", k = 8))
+
+  /** PCA projection 64→8 ([[Similarity.pcaTrain]]/[[Similarity.pcaProject]]):
+    * components trained on the deterministic sorted sample (the IVF
+    * quantizer posture), projection one codegen'd affine pass; oracle
+    * splices the components + bias as literals (kmeans convention) and
+    * every projected double is bit-exact. */
+  private def qSimPca(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    Similarity.pcaProject(emb, "vec_id", "embedding", pcaModelFor(s, sfDir))
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("i", "yi")))
+      .select(col("vec_id"), col("i").cast("int").as("i"), col("yi"))
+  }
+
+  /** Explained-variance report of the same model — "how many dims does
+    * this corpus need" answerable from the driver surface. */
+  private def qSimPcaVariance(s: SparkSession, sfDir: String): DataFrame = {
+    val m = pcaModelFor(s, sfDir)
+    import s.implicits._
+    m.explainedVariance.zip(m.explainedRatio).zipWithIndex
+      .map { case ((v, r), i) => (i, v, r) }.toSeq
+      .toDF("i", "evar", "ratio")
+  }
+
   private def qSimIvfKmeans(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 16)
@@ -2206,6 +2234,8 @@ object SparkEntry {
     "sim_exact" -> (qSimExact _),
     "sim_project" -> (qSimProject _),
     "sim_project_topk" -> (qSimProjectTopk _),
+    "sim_pca" -> (qSimPca _),
+    "sim_pca_variance" -> (qSimPcaVariance _),
     "sql_topk" -> (qSqlTopk _),
     "sql_fetch" -> (qSqlFetch _),
     "sim_quantize" -> (qSimQuantize _),
@@ -2276,6 +2306,12 @@ object SparkEntry {
   def oracleSqlFor(sfDir: String): Map[String, String] =
     Oracles.all ++ Option(kmeansCents.get(sfDir))
       .map(c => "sim_ivf_kmeans" -> Oracles.simIvfKmeansSql(c)) ++
+      Option(pcaModels.get(sfDir))
+        .map(m => Seq(
+          "sim_pca" -> Oracles.simPcaSql(m.components, m.bias),
+          "sim_pca_variance" -> Oracles.simPcaVarianceSql(
+            m.explainedVariance, m.explainedRatio)))
+        .getOrElse(Seq.empty) ++
       Option(pqBooks.get(sfDir))
         .map(b => "sim_pq" -> Oracles.simPqSql(b)) ++
       Option(pqAppendBooks.get(sfDir))

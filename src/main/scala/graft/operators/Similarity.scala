@@ -173,6 +173,146 @@ object Similarity {
       .select("qid", "nid", "rank", "score")
   }
 
+  /** A trained PCA projection: `components` is k×d with ORTHONORMAL rows
+    * (eigenvectors of the sample covariance, eigenvalue-descending, sign
+    * fixed so each row's largest-|coefficient| entry is positive),
+    * `explainedVariance(p)` its eigenvalue, `totalVariance` the trace. */
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            explainedVariance: Array[Double],
+                            totalVariance: Double) {
+    def k: Int = components.length
+    def dim: Int = mean.length
+    /** `bias_p = Σ_d w_pd·μ_d` — the affine offset `y = Wx − Wμ` needs. */
+    def bias: Array[Double] = components.map { row =>
+      var s = 0.0; var d = 0
+      while (d < mean.length) { s += row(d) * mean(d); d += 1 }
+      s
+    }
+    def explainedRatio: Array[Double] =
+      explainedVariance.map(v => if (totalVariance == 0) 0.0 else v / totalVariance)
+  }
+
+  /** Train PCA on a bounded deterministic sample — the same posture as the
+    * IVF quantizer ([[kmeansCentroids]]): collect the first `sampleN`
+    * vectors by id (deterministic at any SF, O(sampleN·d²) driver work,
+    * never corpus-proportional), mean-center, eigendecompose the sample
+    * covariance with cyclic Jacobi (exact for symmetric d×d; d ≤ 1024
+    * guard). The DISTRIBUTED half is [[pcaProject]] — one codegen'd pass.
+    * Unlike [[randomProject]]'s data-oblivious JL matrix, these axes chase
+    * the corpus's actual variance, so the same k keeps more geometry. */
+  def pcaTrain(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               sampleN: Int = 4096): PcaModel = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy("id").limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty sample")
+    val d = sample.head.length
+    require(k >= 1 && k <= d, s"k $k out of range for dim $d")
+    require(d <= 1024, s"dim $d past the driver eigensolve guard")
+    val n = sample.length
+    val mean = new Array[Double](d)
+    sample.foreach { v => var i = 0; while (i < d) { mean(i) += v(i); i += 1 } }
+    var i = 0
+    while (i < d) { mean(i) /= n; i += 1 }
+    // covariance (upper triangle, then mirror)
+    val cov = Array.ofDim[Double](d, d)
+    sample.foreach { v =>
+      var a = 0
+      while (a < d) {
+        val xa = v(a) - mean(a)
+        var b = a
+        while (b < d) { cov(a)(b) += xa * (v(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < d) {
+      var b = a
+      while (b < d) { cov(a)(b) /= n; cov(b)(a) = cov(a)(b); b += 1 }
+      a += 1
+    }
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val (evals, evecs) = jacobiEigSym(cov) // descending, columns = vectors
+    val order = evals.indices.sortBy(i => (-evals(i), i)).take(k)
+    val comps = order.map { ei =>
+      val row = Array.tabulate(d)(j => evecs(j)(ei))
+      // deterministic sign: largest-|coefficient| entry positive
+      var mi = 0
+      var m = 0.0
+      var j = 0
+      while (j < d) { if (math.abs(row(j)) > m) { m = math.abs(row(j)); mi = j }; j += 1 }
+      if (row(mi) < 0) row.map(-_) else row
+    }.toArray
+    PcaModel(mean, comps, order.map(evals).toArray, trace)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector matrix V with V(:,i) the i-th vector).
+    * O(d³) per sweep, converges quadratically; bounded sweeps with an
+    * off-diagonal tolerance — plenty for the ≤1024-dim guard. */
+  private def jacobiEigSym(m0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = m0.map(_.clone)
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case x => x
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Distributed PCA projection `y = W(x − μ)` — one shuffle-free codegen'd
+    * pass ([[org.apache.spark.sql.graftshim.AffineProjectExpr]], the bias
+    * `W·μ` folded in driver-side). Write-path map, like [[projectEmbeddings]]. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 model: PcaModel): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    df.select(col(idCol),
+      GraftShims.column(org.apache.spark.sql.graftshim.AffineProjectExpr(
+        GraftShims.expr(col(vecCol).cast("array<double>")),
+        model.components.map(_.toSeq).toSeq, model.bias.toSeq)).as("proj"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact: all (i < j) with cosine >=
     * threshold via an all-pairs broadcast pass. O(N²/2) scoring — this is the
     * small-scale recall oracle ONLY; the scale path is

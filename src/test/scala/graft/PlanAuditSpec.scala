@@ -1347,6 +1347,8 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_exact" -> Seq("qid", "nid", "rank", "score"),
     "sim_project" -> Seq("vec_id", "i", "yi"),
     "sim_project_topk" -> Seq("qid", "nid", "rank", "score"),
+    "sim_pca" -> Seq("vec_id", "i", "yi"),
+    "sim_pca_variance" -> Seq("i", "evar", "ratio"),
     "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_kmeans" -> Seq("qid", "nid", "rank", "score"),
     "sim_pq" -> Seq("qid", "nid", "rank", "adist"),

@@ -372,6 +372,88 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff === 0L)
   }
 
+  test("pcaTrain: orthonormal components, descending eigenvalues, deterministic, eigen-residual ~ 0") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val m = Similarity.pcaTrain(emb, "vec_id", "embedding", k = 8)
+    assert(m.k == 8 && m.dim == 64)
+    // rows orthonormal
+    for (i <- 0 until 8; j <- i until 8) {
+      val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"<w$i, w$j> = $dot")
+    }
+    // eigenvalues descending, positive, ratios within (0, 1]
+    m.explainedVariance.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+    assert(m.explainedVariance.forall(_ >= 0))
+    val cum = m.explainedRatio.sum
+    assert(cum > 0 && cum <= 1.0 + 1e-12, s"cum ratio $cum")
+    // deterministic: a second train is bit-identical
+    val m2 = Similarity.pcaTrain(emb, "vec_id", "embedding", k = 8)
+    m.components.zip(m2.components).foreach { case (a, b) => assert(a.sameElements(b)) }
+    assert(m.explainedVariance.sameElements(m2.explainedVariance))
+    // each component is a true eigenvector of the sample covariance:
+    // ||C·w − λ·w|| ~ 0, recomputing C independently from the same sample
+    val sample = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .orderBy("vec_id").limit(4096).collect().map(_.getSeq[Double](1).toArray)
+    val n = sample.length
+    val d = 64
+    val mean = Array.tabulate(d)(j => sample.map(_(j)).sum / n)
+    val cov = Array.tabulate(d, d)((a, b) =>
+      sample.map(v => (v(a) - mean(a)) * (v(b) - mean(b))).sum / n)
+    m.components.zip(m.explainedVariance).foreach { case (w, lambda) =>
+      val cw = Array.tabulate(d)(a => w.zipWithIndex.map { case (x, b) => cov(a)(b) * x }.sum)
+      val resid = math.sqrt(cw.zip(w).map { case (c, x) => (c - lambda * x) * (c - lambda * x) }.sum)
+      assert(resid < 1e-6, s"eigen residual $resid for lambda $lambda")
+    }
+    assert(mean.zip(m.mean).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("pcaProject: codegen equals the JVM fold exactly; full-k round trip reconstructs the input") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val m = Similarity.pcaTrain(emb, "vec_id", "embedding", k = 8)
+    val got = Similarity.pcaProject(emb, "vec_id", "embedding", m)
+      .where(col("vec_id") === 3).collect()(0).getSeq[Double](1)
+    val x = emb.where(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val bias = m.bias
+    m.components.zipWithIndex.foreach { case (w, p) =>
+      var s = 0.0
+      var i = 0
+      while (i < 64) { s += x(i) * w(i); i += 1 }
+      assert(s - bias(p) === got(p)) // identical fold order => exact
+    }
+    // k = d: y = W(x - mu) with orthonormal W reconstructs x = mu + W'y
+    val full = Similarity.pcaTrain(emb, "vec_id", "embedding", k = 64)
+    val y = Similarity.pcaProject(emb, "vec_id", "embedding", full)
+      .where(col("vec_id") === 3).collect()(0).getSeq[Double](1).toArray
+    val xhat = Array.tabulate(64)(i =>
+      full.mean(i) + full.components.zipWithIndex.map { case (w, p) => w(i) * y(p) }.sum)
+    val err = math.sqrt(x.zip(xhat).map { case (a, b) => (a - b) * (a - b) }.sum)
+    assert(err < 1e-6, s"reconstruction error $err")
+    // data-adaptive beats data-oblivious at equal k on this corpus: PCA-8
+    // captures more pairwise-cosine geometry than JL-8
+    val proj8 = Similarity.pcaProject(emb, "vec_id", "embedding", m)
+    val jl8 = Similarity.projectEmbeddings(emb, "vec_id", "embedding", dim = 64, outDim = 8)
+    def meanCosErr(p: org.apache.spark.sql.DataFrame): Double = {
+      val joined = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")).join(p, "vec_id")
+      val a = joined.select(col("vec_id").as("i"), col("v").as("va"), col("proj").as("pa"))
+      val b = joined.select(col("vec_id").as("j"), col("v").as("vb"), col("proj").as("pb"))
+      a.join(b, col("i") < col("j"))
+        .select(abs(Similarity.cosine(col("va"), col("vb")) -
+          Similarity.cosine(col("pa"), col("pb"))).as("e"))
+        .agg(avg("e")).collect()(0).getDouble(0)
+    }
+    val pcaErr = meanCosErr(proj8)
+    val jlErr = meanCosErr(jl8)
+    assert(pcaErr < jlErr, s"PCA-8 err $pcaErr !< JL-8 err $jlErr")
+  }
+
   test("embedding near-dup LSH recall vs the exact all-pairs baseline") {
     val exact = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
