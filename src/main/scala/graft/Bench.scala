@@ -52,28 +52,59 @@ object Bench {
   private val PriorPath = "BENCH_PRIOR.json"
   /** Figures only compare within one scale factor: a sf0.1 head against a
     * sf0.01 prior would flag every scan as a "regression". */
+  /** One per-SF section so a local small-SF iteration run can never
+    * clobber the driver-scale envelope (the r13 near-miss: an sf0.01
+    * gated run overwrote the committed sf0.1 prior). Old flat files
+    * (single `sf` field) are still read. */
+  private def priorNodeFor(n: com.fasterxml.jackson.databind.JsonNode,
+                           sfDir: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val bySf = n.get("by_sf")
+    if (bySf != null) Option(bySf.get(sfDir))
+    else if (Option(n.get("sf")).exists(_.asText() == sfDir)) Some(n)
+    else None
+  }
   private def readPrior(sfDir: String): Map[String, Double] =
     try {
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PriorPath))
-      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-      val sf = Option(n.get("sf")).map(_.asText()).getOrElse("")
-      if (sf != sfDir) return Map.empty
-      val b = Map.newBuilder[String, Double]
-      val q = n.get("queries_best_of_3")
-      if (q != null) q.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
-      b.result()
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      priorNodeFor(root, sfDir) match {
+        case None => Map.empty
+        case Some(n) =>
+          val b = Map.newBuilder[String, Double]
+          val q = n.get("queries_best_of_3")
+          if (q != null) q.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
+          b.result()
+      }
     } catch { case _: Throwable => Map.empty }
   private def writePrior(sfDir: String,
                          best: scala.collection.Map[String, Double],
                          medians: scala.collection.Map[String, Double],
                          appendMbps: Double): Unit =
     try {
-      val body =
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // carry the OTHER SFs' sections forward (flat legacy files migrate:
+      // their one section keys under its own sf)
+      val kept = scala.collection.mutable.LinkedHashMap[String, String]()
+      try {
+        val root = mapper.readTree(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PriorPath)))
+        val bySf = root.get("by_sf")
+        if (bySf != null)
+          bySf.properties().forEach(e =>
+            if (e.getKey != sfDir) kept += e.getKey -> e.getValue.toString)
+        else {
+          val oldSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+          if (oldSf.nonEmpty && oldSf != sfDir) kept += oldSf -> root.toString
+        }
+      } catch { case _: Throwable => () }
+      val section =
         s"""{"written_by":"bench (both gates green)"""" +
-        s""","sf":"$sfDir"""" +
         s""","append_mbps":${f3(appendMbps)}""" +
         s""","queries_best_of_3":${jmap(best)}""" +
         s""","queries":${jmap(medians)}}"""
+      val body = (kept.toSeq :+ (sfDir -> section))
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{\"by_sf\":{", ",", "}}")
       java.nio.file.Files.write(java.nio.file.Paths.get(PriorPath),
         body.getBytes("UTF-8"))
       ()
@@ -385,6 +416,17 @@ object Bench {
         graft.eslog.EsLog.fetchByTime(spark, Fixtures.eventsStream(spark, sfDir),
             ts0 + (ts1 - ts0) / 4, ts0 + (ts1 - ts0) / 2)
           .agg(expr("bit_xor(xxhash64(payload))"), count(lit(1))).collect()
+        ()
+      }),
+      // migration-out throughput: re-encode the 16 timed commits as
+      // reference-layout tiered objects (fetch + per-batch FlatRecordBatch
+      // encode + object framing); forced by the metadata aggregate so no
+      // object bytes cross to the driver. Same fixed denominator as the
+      // scan head -> export_mbps headline.
+      "export_objects_64k" -> (() => {
+        graft.eslog.EsLog.exportObjects(spark, dir64k,
+            warmed * n64k, (warmed + nCommits) * n64k)
+          .agg(sum(col("data_len")), count(lit(1))).collect()
         ()
       }))
 
@@ -741,6 +783,8 @@ object Bench {
       s""","cdc_chunk_mbps_div16k":${f3(mbps("cdc_chunk_div16k", cdcBytes))}""" +
       s""","scan_mbps":${f3(mbps("scan_64k_batches", nCommits * payload64k))}""" +
       s""","scan_mbps_def":"timed_commits_fetch_64k"""" +
+      s""","export_mbps":${f3(mbps("export_objects_64k", nCommits * payload64k))}""" +
+      s""","export_mbps_def":"timed_commits_to_tiered_objects"""" +
       s""","append_events_mbps":${f3(mbps("append_events", payloadBytes))}""" +
       s""","append_events_rows_per_sec":${f3(appendRps)}""" +
       s""","scan_rows_per_sec":${f3(scanRps)},"n_events":$nEvents,"payload_bytes":$payloadBytes""" +

@@ -1469,6 +1469,30 @@ object Oracles {
        |SELECT vec_id, p AS i, ${dotSql("v", "w")} - b AS yi FROM e, w""".stripMargin
   }
 
+  /** Oracle for the PCA-space candidate generation + exact re-rank: the
+    * projected vector is built per component from the spliced literals
+    * (index-order fold − bias, bit-identical to AffineProjectExpr), then
+    * the same candidate/re-rank shape as [[simProjectTopk]]. */
+  def simPcaTopkSql(comps: Array[Array[Double]], bias: Array[Double],
+                    candidates: Int): String = {
+    val terms = comps.zipWithIndex.map { case (w, p) =>
+      s"(${dotSql("v", s"(${doubleArrayLit(w)})")} - ${doubleLit(bias(p))})"
+    }.mkString("list_value(", ",\n      ", ")")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, $terms AS y FROM e0),
+       |q AS (SELECT vec_id AS qid, v AS qvec, y AS qproj FROM e WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, v AS nvec, y AS nproj FROM e),
+       |s AS (SELECT qid, nid, qvec, nvec, ${cosineSql("qproj", "nproj")} AS pscore
+       |      FROM q, c WHERE nid <> qid),
+       |pr AS (SELECT qid, nid, qvec, nvec,
+       |         row_number() OVER (PARTITION BY qid ORDER BY pscore DESC, nid ASC) AS prank
+       |       FROM s),
+       |sv AS (SELECT qid, nid, ${cosineSql("qvec", "nvec")} AS score FROM pr WHERE prank <= $candidates),
+       |r AS (SELECT qid, nid, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rk FROM sv)
+       |SELECT qid, nid, CAST(rk AS BIGINT) AS rank, score FROM r WHERE rk <= 5""".stripMargin
+  }
+
   /** Oracle for the PCA variance report: the model's eigenvalues are the
     * expected table itself (deterministic sample + driver eigensolve). */
   def simPcaVarianceSql(evar: Array[Double], ratio: Array[Double]): String = {

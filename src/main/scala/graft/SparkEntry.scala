@@ -1434,6 +1434,16 @@ object SparkEntry {
       .toDF("i", "evar", "ratio")
   }
 
+  /** PCA-space candidate generation + exact re-rank
+    * ([[Similarity.pcaTopK]]): 8 adaptive dims do the cheap scoring that
+    * JL needed 32 oblivious dims for (SimilaritySpec pins the recall
+    * comparison), full-precision cosine re-ranks 64 candidates to top 5. */
+  private def qSimPcaTopk(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Fixtures.embeddings(s, sfDir)
+    Similarity.pcaTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+      "embedding", pcaModelFor(s, sfDir), k = 5, candidates = 64)
+  }
+
   private def qSimIvfKmeans(s: SparkSession, sfDir: String): DataFrame = {
     val emb = Fixtures.embeddings(s, sfDir)
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 16)
@@ -2236,6 +2246,7 @@ object SparkEntry {
     "sim_project_topk" -> (qSimProjectTopk _),
     "sim_pca" -> (qSimPca _),
     "sim_pca_variance" -> (qSimPcaVariance _),
+    "sim_pca_topk" -> (qSimPcaTopk _),
     "sql_topk" -> (qSqlTopk _),
     "sql_fetch" -> (qSqlFetch _),
     "sim_quantize" -> (qSimQuantize _),
@@ -2310,7 +2321,8 @@ object SparkEntry {
         .map(m => Seq(
           "sim_pca" -> Oracles.simPcaSql(m.components, m.bias),
           "sim_pca_variance" -> Oracles.simPcaVarianceSql(
-            m.explainedVariance, m.explainedRatio)))
+            m.explainedVariance, m.explainedRatio),
+          "sim_pca_topk" -> Oracles.simPcaTopkSql(m.components, m.bias, 64)))
         .getOrElse(Seq.empty) ++
       Option(pqBooks.get(sfDir))
         .map(b => "sim_pq" -> Oracles.simPqSql(b)) ++

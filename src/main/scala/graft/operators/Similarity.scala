@@ -151,14 +151,38 @@ object Similarity {
     * scores are bit-exact (see [[randomProject]]), ties break by id. */
   def projectedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, dim: Int, outDim: Int, k: Int,
-                    candidates: Int, table: Int = 0): DataFrame = {
+                    candidates: Int, table: Int = 0): DataFrame =
+    projectedTopKWith(corpus, queries, idCol, vecCol,
+      v => randomProject(v, outDim, dim, table), k, candidates)
+
+  /** [[projectedTopK]] with a PCA projection ([[pcaTrain]]) as the cheap
+    * space — data-adaptive axes, so the same projected dimension keeps
+    * more of the candidate ordering than the data-oblivious JL matrix
+    * (pinned comparatively in SimilaritySpec). */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, model: PcaModel, k: Int,
+              candidates: Int): DataFrame =
+    projectedTopKWith(corpus, queries, idCol, vecCol,
+      v => pcaProjectCol(v, model), k, candidates)
+
+  private def pcaProjectCol(vec: Column, model: PcaModel): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    GraftShims.column(org.apache.spark.sql.graftshim.AffineProjectExpr(
+      GraftShims.expr(vec.cast("array<double>")),
+      model.components.map(_.toSeq).toSeq, model.bias.toSeq))
+  }
+
+  private def projectedTopKWith(corpus: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String,
+                                proj: Column => Column, k: Int,
+                                candidates: Int): DataFrame = {
     require(candidates >= k, s"candidates $candidates < k $k")
     val c = OpUtil.rebalance(corpus).select(
       col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"),
-      randomProject(col(vecCol), outDim, dim, table).as("nproj"))
+      proj(col(vecCol)).as("nproj"))
     val q = queries.select(
       col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"),
-      randomProject(col(vecCol), outDim, dim, table).as("qproj"))
+      proj(col(vecCol)).as("qproj"))
     val cheap = c.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), col("qvec"), col("nvec"),
         cosine(col("qproj"), col("nproj")).as("pscore"))
@@ -305,13 +329,8 @@ object Similarity {
     * pass ([[org.apache.spark.sql.graftshim.AffineProjectExpr]], the bias
     * `W·μ` folded in driver-side). Write-path map, like [[projectEmbeddings]]. */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String,
-                 model: PcaModel): DataFrame = {
-    import org.apache.spark.sql.graftshim.GraftShims
-    df.select(col(idCol),
-      GraftShims.column(org.apache.spark.sql.graftshim.AffineProjectExpr(
-        GraftShims.expr(col(vecCol).cast("array<double>")),
-        model.components.map(_.toSeq).toSeq, model.bias.toSeq)).as("proj"))
-  }
+                 model: PcaModel): DataFrame =
+    df.select(col(idCol), pcaProjectCol(col(vecCol), model).as("proj"))
 
   /** Embedding-cosine near-duplicate pairs, exact: all (i < j) with cosine >=
     * threshold via an all-pairs broadcast pass. O(N²/2) scoring — this is the

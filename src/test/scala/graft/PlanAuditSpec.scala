@@ -1164,10 +1164,10 @@ class PlanAuditSpec extends SparkTestBase {
       "dedup_semantic", "dedup_semantic_probe",
       "sample_mix", "text_tfidf", "text_filter", "pipeline_export",
       "ts_similarity",
-      // sim_project_topk: the cheap projected-space pass broadcasts the same
-      // bounded query set as sim_exact (the whole point is that the
-      // non-equi scoring runs on 32-d vectors instead of 64-d)
-      "sim_project_topk")
+      // sim_project_topk / sim_pca_topk: the cheap projected-space pass
+      // broadcasts the same bounded query set as sim_exact (the whole point
+      // is that the non-equi scoring runs on 32-d/8-d vectors, not 64-d)
+      "sim_project_topk", "sim_pca_topk")
     val sfDir = "/root/testdata/sf0.001"
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -1349,6 +1349,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_project_topk" -> Seq("qid", "nid", "rank", "score"),
     "sim_pca" -> Seq("vec_id", "i", "yi"),
     "sim_pca_variance" -> Seq("i", "evar", "ratio"),
+    "sim_pca_topk" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_kmeans" -> Seq("qid", "nid", "rank", "score"),
     "sim_pq" -> Seq("qid", "nid", "rank", "adist"),

@@ -454,6 +454,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(pcaErr < jlErr, s"PCA-8 err $pcaErr !< JL-8 err $jlErr")
   }
 
+  test("pcaTopK: adaptive axes beat JL at EQUAL dims; 8 PCA dims ~ 32 JL dims") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = topKPairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val m = Similarity.pcaTrain(emb, "vec_id", "embedding", k = 8)
+    def recall(pairs: Set[(Long, Long)]): Double = (exact & pairs).size.toDouble / exact.size
+    val pca8 = recall(topKPairs(Similarity.pcaTopK(emb, queries, "vec_id",
+      "embedding", m, k = 5, candidates = 64)))
+    val jl8 = recall(topKPairs(Similarity.projectedTopK(emb, queries, "vec_id",
+      "embedding", dim = 64, outDim = 8, k = 5, candidates = 64)))
+    val jl32 = recall(topKPairs(Similarity.projectedTopK(emb, queries, "vec_id",
+      "embedding", dim = 64, outDim = 32, k = 5, candidates = 64)))
+    // equal dims: data-adaptive must win clearly
+    assert(pca8 > jl8, s"PCA-8 recall $pca8 !> JL-8 recall $jl8")
+    // the 4x-cheaper PCA space lands within 10 points of JL-32
+    // (measured on this fixture: pca8 0.58, jl8 well below, jl32 0.62)
+    assert(pca8 >= jl32 - 0.10, s"PCA-8 $pca8 far below JL-32 $jl32")
+    assert(pca8 >= 0.5, s"PCA-8 recall $pca8")
+  }
+
   test("embedding near-dup LSH recall vs the exact all-pairs baseline") {
     val exact = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
