@@ -1434,6 +1434,22 @@ object SparkEntry {
       .toDF("i", "evar", "ratio")
   }
 
+  /** Persisted-model twin of [[qSimPca]]: the SAME trained model written
+    * to parquet ([[Similarity.writePcaModel]], doubles bit-exact), read
+    * back, and projected through — shares sim_pca's spliced oracle, so a
+    * round-trip perturbation of any coefficient hash-mismatches. */
+  private def qSimPcaPersisted(s: SparkSession, sfDir: String): DataFrame = {
+    val m = pcaModelFor(s, sfDir)
+    val root = Fixtures.fixture(sfDir, "pca-model") { d =>
+      Similarity.writePcaModel(s, graft.meta.MetaLog.join(d, "model"), m)
+    }
+    val loaded = Similarity.readPcaModel(s, graft.meta.MetaLog.join(root, "model"))
+    val emb = Fixtures.embeddings(s, sfDir)
+    Similarity.pcaProject(emb, "vec_id", "embedding", loaded)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("i", "yi")))
+      .select(col("vec_id"), col("i").cast("int").as("i"), col("yi"))
+  }
+
   /** PCA-space candidate generation + exact re-rank
     * ([[Similarity.pcaTopK]]): 8 adaptive dims do the cheap scoring that
     * JL needed 32 oblivious dims for (SimilaritySpec pins the recall
@@ -2247,6 +2263,7 @@ object SparkEntry {
     "sim_pca" -> (qSimPca _),
     "sim_pca_variance" -> (qSimPcaVariance _),
     "sim_pca_topk" -> (qSimPcaTopk _),
+    "sim_pca_persisted" -> (qSimPcaPersisted _),
     "sql_topk" -> (qSqlTopk _),
     "sql_fetch" -> (qSqlFetch _),
     "sim_quantize" -> (qSimQuantize _),
@@ -2322,7 +2339,9 @@ object SparkEntry {
           "sim_pca" -> Oracles.simPcaSql(m.components, m.bias),
           "sim_pca_variance" -> Oracles.simPcaVarianceSql(
             m.explainedVariance, m.explainedRatio),
-          "sim_pca_topk" -> Oracles.simPcaTopkSql(m.components, m.bias, 64)))
+          "sim_pca_topk" -> Oracles.simPcaTopkSql(m.components, m.bias, 64),
+          // persisted round trip is bit-exact, so the same spliced oracle
+          "sim_pca_persisted" -> Oracles.simPcaSql(m.components, m.bias)))
         .getOrElse(Seq.empty) ++
       Option(pqBooks.get(sfDir))
         .map(b => "sim_pq" -> Oracles.simPqSql(b)) ++

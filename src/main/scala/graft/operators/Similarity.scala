@@ -325,6 +325,35 @@ object Similarity {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** Persist a [[PcaModel]] as one tiny parquet dataset under `dir`
+    * (scheme-aware — any Hadoop FS): rows `(p, w, b, evar)` per component
+    * plus a `p = -1` row carrying `(mean, 0, totalVariance)`. Parquet
+    * doubles round-trip bit-exactly, so a projection through the reloaded
+    * model equals the in-memory one to the last bit. A trained model is a
+    * single immutable artifact (no appends — retrain = rewrite), so this
+    * deliberately does NOT ride the IndexCommit pointer machinery. */
+  def writePcaModel(spark: SparkSession, dir: String, model: PcaModel): Unit = {
+    import spark.implicits._
+    val rows = model.components.zipWithIndex.map { case (w, p) =>
+      (p, w.toSeq, model.bias(p), model.explainedVariance(p))
+    }.toSeq :+ ((-1, model.mean.toSeq, 0.0, model.totalVariance))
+    rows.toDF("p", "w", "b", "evar")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a model written by [[writePcaModel]]. */
+  def readPcaModel(spark: SparkSession, dir: String): PcaModel = {
+    val rows = spark.read.parquet(dir)
+      .select(col("p"), col("w").cast("array<double>"), col("b"), col("evar"))
+      .collect() // bounded: k + 1 rows
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val (meanRow, compRows) = rows.partition(_._1 == -1)
+    require(meanRow.length == 1 && compRows.nonEmpty, s"corrupt PCA model at $dir")
+    PcaModel(meanRow.head._2, compRows.map(_._2),
+      compRows.map(_._4), meanRow.head._4)
+  }
+
   /** Distributed PCA projection `y = W(x − μ)` — one shuffle-free codegen'd
     * pass ([[org.apache.spark.sql.graftshim.AffineProjectExpr]], the bias
     * `W·μ` folded in driver-side). Write-path map, like [[projectEmbeddings]]. */

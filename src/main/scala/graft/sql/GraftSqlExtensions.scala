@@ -717,6 +717,53 @@ object GraftFunctions {
             session, dir, resolveRef(session, vref), id, vec, bid)
           Seq(org.apache.spark.sql.Row(dir, applied))
         } }),
+    (FunctionIdentifier("graft_pca_build"),
+      info("graft_pca_build",
+        "graft_pca_build('model_dir', 'vecs_table_or_path', 'id_col', " +
+          "'vec_col', k[, sample_n]) - train a PCA model on the " +
+          "deterministic sorted sample and persist it (parquet, doubles " +
+          "bit-exact); returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_pca_build", args, 5, 6)
+        val dir = literalString(args(0), "graft_pca_build", "model_dir")
+        val vref = literalString(args(1), "graft_pca_build", "vecs_table_or_path")
+        val id = literalString(args(2), "graft_pca_build", "id_col")
+        val vec = literalString(args(3), "graft_pca_build", "vec_col")
+        val k = literalInt(args(4), "graft_pca_build", "k")
+        val sn = if (args.size == 6)
+          literalInt(args(5), "graft_pca_build", "sample_n") else 4096
+        val session = active()
+        procedure("graft_pca_build") { () =>
+          val m = Similarity.pcaTrain(resolveRef(session, vref), id, vec, k, sn)
+          Similarity.writePcaModel(session, dir, m)
+          Seq(org.apache.spark.sql.Row(dir, true))
+        } }),
+    (FunctionIdentifier("graft_pca_project"),
+      info("graft_pca_project",
+        "graft_pca_project('model_dir', 'vecs_table_or_path', 'id_col', " +
+          "'vec_col') - project vectors through a persisted PCA model; one " +
+          "codegen'd affine pass, rows (id, proj)"),
+      (args: Seq[Expression]) => { arity("graft_pca_project", args, 4)
+        val dir = literalString(args(0), "graft_pca_project", "model_dir")
+        val vref = literalString(args(1), "graft_pca_project", "vecs_table_or_path")
+        val id = literalString(args(2), "graft_pca_project", "id_col")
+        val vec = literalString(args(3), "graft_pca_project", "vec_col")
+        val session = active()
+        GraftShims.analyzedPlan(Similarity.pcaProject(
+          resolveRef(session, vref), id, vec,
+          Similarity.readPcaModel(session, dir))) }),
+    (FunctionIdentifier("graft_pca_describe"),
+      info("graft_pca_describe",
+        "graft_pca_describe('model_dir') - a persisted PCA model's " +
+          "explained-variance report; rows (i, evar, ratio)"),
+      (args: Seq[Expression]) => { arity("graft_pca_describe", args, 1)
+        val dir = literalString(args(0), "graft_pca_describe", "model_dir")
+        val session = active()
+        val m = Similarity.readPcaModel(session, dir)
+        import session.implicits._
+        GraftShims.analyzedPlan(
+          m.explainedVariance.zip(m.explainedRatio).zipWithIndex
+            .map { case ((v, r), i) => (i, v, r) }.toSeq
+            .toDF("i", "evar", "ratio")) }),
     (FunctionIdentifier("graft_ingest_objects"),
       info("graft_ingest_objects",
         "graft_ingest_objects('stream_dir', 'obj_dir', epoch) - ingest a " +

@@ -123,6 +123,30 @@ class GraftSqlSpec extends SparkTestBase {
     assert(EsLog.scan(spark, dst).count() == 300L)
   }
 
+  test("PCA SQL surface: build procedure (EXPLAIN-safe) + project/describe TVFs equal the Scala path") {
+    val dir = tmpDir("sqlpca-") + "/model"
+    val stmt = s"SELECT * FROM graft_pca_build('$dir', 'emb_sql', 'vec_id', 'embedding', 8)"
+    spark.sql(stmt).explain() // EXPLAIN must not train or write
+    assert(!new java.io.File(dir).exists(), "EXPLAIN of a build wrote the model")
+    assert(spark.sql(stmt).collect().head.getBoolean(1))
+    val viaSql = spark.sql(
+      s"SELECT vec_id, proj FROM graft_pca_project('$dir', 'emb_sql', 'vec_id', 'embedding')")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val m = Similarity.pcaTrain(spark.read.parquet(sf("embeddings")),
+      "vec_id", "embedding", k = 8)
+    val viaDf = Similarity.pcaProject(spark.read.parquet(sf("embeddings")),
+      "vec_id", "embedding", m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSql.keySet == viaDf.keySet)
+    viaSql.foreach { case (id, y) => assert(y == viaDf(id), s"vec $id") }
+    val desc = spark.sql(s"SELECT * FROM graft_pca_describe('$dir')").collect()
+    assert(desc.length == 8)
+    desc.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i)
+      assert(r.getDouble(1) == m.explainedVariance(i))
+    }
+  }
+
   test("graft_bloom_slots matches the Sketch.bloomSketch slot family") {
     import spark.implicits._
     val vals = Seq("alpha", "beta", "gamma").toDF("v")
