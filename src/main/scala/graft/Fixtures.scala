@@ -1611,6 +1611,42 @@ object Fixtures {
       name
     })
 
+  /** STREAMING PCA projection — "compress embeddings at ingest": the model
+    * is trained ONCE in batch (the caller's, so it equals `sim_pca`'s) and
+    * each micro-batch of incoming vectors projects through the codegen'd
+    * affine pass — completely STATELESS (the components are plan literals;
+    * the write-path-map shape of [[graft.operators.Similarity.pcaProject]]
+    * at streaming cadence). */
+  def streamPcaTable(s: SparkSession, sfDir: String,
+                     model: graft.operators.Similarity.PcaModel): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-pca", {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import graft.operators.Similarity
+      tune(s)
+      val src = embeddingsStream(s, sfDir)
+      val emb = embeddings(s, sfDir)
+      val perTrigger = math.max(emb.where(col("vec_id") >= 400).count() / 6, 1L)
+      val name = "graft_stream_pca_" + math.abs(sfDir.hashCode).toString
+      val payloadSchema = new StructType()
+        .add("embedding", ArrayType(FloatType))
+      val stream = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("vec_id").cast("long").as("vec_id"),
+          from_json(col("payload").cast("string"), payloadSchema)
+            .getField("embedding").as("embedding"))
+      val q = Similarity.pcaProject(stream, "vec_id", "embedding", model)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("i", "yi")))
+        .select(col("vec_id"), col("i").cast("int").as("i"), col("yi"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** STREAMING diversity draw — "keep a cluster-balanced reservoir of the
     * incoming embedding stream": the sampled coarse quantizer is built ONCE
     * in batch from the existing corpus (vec_id < 400, the

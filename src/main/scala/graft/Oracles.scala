@@ -1459,11 +1459,12 @@ object Oracles {
     * spliced as literal rows; [[dotSql]]'s index-order fold equals
     * AffineProjectExpr's loop and the bias subtracts once — bit-identical
     * doubles, like the kmeans/PQ oracles. */
-  def simPcaSql(comps: Array[Array[Double]], bias: Array[Double]): String = {
+  def simPcaSql(comps: Array[Array[Double]], bias: Array[Double],
+                where: String = ""): String = {
     val rows = comps.zipWithIndex.map { case (w, p) =>
       s"(CAST($p AS INT), ${doubleArrayLit(w)}, ${doubleLit(bias(p))})"
     }.mkString(",\n    ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings$where),
        |w AS (SELECT * FROM (VALUES
        |    $rows) AS t(p, w, b))
        |SELECT vec_id, p AS i, ${dotSql("v", "w")} - b AS yi FROM e, w""".stripMargin

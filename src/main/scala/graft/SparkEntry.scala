@@ -1450,6 +1450,15 @@ object SparkEntry {
       .select(col("vec_id"), col("i").cast("int").as("i"), col("yi"))
   }
 
+  /** Streaming twin of [[qSimPca]] over the tail of the embeddings stream
+    * (vec_id >= 400): same model, projected micro-batch by micro-batch
+    * ([[Fixtures.streamPcaTable]]) — write-path compression at ingest
+    * cadence, stateless. */
+  private def qEsStreamPca(s: SparkSession, sfDir: String): DataFrame = {
+    val table = Fixtures.streamPcaTable(s, sfDir, pcaModelFor(s, sfDir))
+    s.table(table)
+  }
+
   /** PCA-space candidate generation + exact re-rank
     * ([[Similarity.pcaTopK]]): 8 adaptive dims do the cheap scoring that
     * JL needed 32 oblivious dims for (SimilaritySpec pins the recall
@@ -2264,6 +2273,7 @@ object SparkEntry {
     "sim_pca_variance" -> (qSimPcaVariance _),
     "sim_pca_topk" -> (qSimPcaTopk _),
     "sim_pca_persisted" -> (qSimPcaPersisted _),
+    "es_stream_pca" -> (qEsStreamPca _),
     "sql_topk" -> (qSqlTopk _),
     "sql_fetch" -> (qSqlFetch _),
     "sim_quantize" -> (qSimQuantize _),
@@ -2341,7 +2351,10 @@ object SparkEntry {
             m.explainedVariance, m.explainedRatio),
           "sim_pca_topk" -> Oracles.simPcaTopkSql(m.components, m.bias, 64),
           // persisted round trip is bit-exact, so the same spliced oracle
-          "sim_pca_persisted" -> Oracles.simPcaSql(m.components, m.bias)))
+          "sim_pca_persisted" -> Oracles.simPcaSql(m.components, m.bias),
+          // streamed projection = the same literals over the stream's slice
+          "es_stream_pca" -> Oracles.simPcaSql(m.components, m.bias,
+            where = " WHERE vec_id >= 400")))
         .getOrElse(Seq.empty) ++
       Option(pqBooks.get(sfDir))
         .map(b => "sim_pq" -> Oracles.simPqSql(b)) ++

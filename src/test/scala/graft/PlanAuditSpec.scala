@@ -1351,6 +1351,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_pca_variance" -> Seq("i", "evar", "ratio"),
     "sim_pca_topk" -> Seq("qid", "nid", "rank", "score"),
     "sim_pca_persisted" -> Seq("vec_id", "i", "yi"),
+    "es_stream_pca" -> Seq("vec_id", "i", "yi"),
     "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_kmeans" -> Seq("qid", "nid", "rank", "score"),
     "sim_pq" -> Seq("qid", "nid", "rank", "adist"),
