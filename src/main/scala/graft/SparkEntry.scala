@@ -760,6 +760,19 @@ object SparkEntry {
     * [[qDecontaminate]], but the benchmark side collapses to a broadcast
     * slot table instead of a join relation. Deterministic bit-exact hashes
     * make even a false positive reproduce identically in the oracle. */
+  /** Fuzzy benchmark-leak scan ([[graft.operators.Dedup.decontaminateFuzzy]]):
+    * MinHash-banded candidates against the benchmark slice, true-Jaccard
+    * verified, best match per flagged doc. Benchmark docs live in the
+    * corpus too, so each self-matches at jaccard 1.0 — leakage by
+    * construction that the exact-gram count only expresses as a raw
+    * overlap number. */
+  private def qDecontaminateFuzzy(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val bench = graft.operators.Sampling.sampleByHash(docs, "doc_id", num = 1, den = 20)
+    graft.operators.Dedup.decontaminateFuzzy(docs, bench, "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4, threshold = 0.5)
+  }
+
   private def qDecontaminateBloom(s: SparkSession, sfDir: String): DataFrame = {
     val docs = Fixtures.documents(s, sfDir)
     val bench = graft.operators.Sampling.sampleByHash(docs, "doc_id", num = 1, den = 20)
@@ -2232,6 +2245,7 @@ object SparkEntry {
     "text_repetition" -> (qTextRepetition _),
     "decontaminate" -> (qDecontaminate _),
     "decontaminate_bloom" -> (qDecontaminateBloom _),
+    "decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "decontaminate_report" -> (qDecontaminateReport _),
     "dedup_lines" -> (qDedupLines _),
     "dedup_spans" -> (qDedupSpans _),

@@ -407,6 +407,48 @@ object Dedup {
     * `n_flagged >= n_shared` with equality at sane `m` (unit-pinned). No df
     * cap needed: the probe is per (doc, gram) against a broadcast — there
     * is no posting-list self-join to blow up. */
+  /** FUZZY decontamination: corpus documents near-duplicating any BENCHMARK
+    * document at shingle-Jaccard ≥ `threshold` — the MinHash-banded
+    * complement of [[decontaminate]]'s exact shared-gram count, for the
+    * reworded/partially-copied eval leakage a raw n-gram intersection
+    * under-weights. Candidates come from a CROSS-frame (band, sig)
+    * equi-join — the benchmark's banded signatures are benchmark-sized and
+    * broadcast — and each candidate pair is verified with the true Jaccard
+    * through the same inverted-index intersection as [[minHashNearDups]]
+    * (linear in the candidates' shingle lists, never |si|×|sj|).
+    *
+    * @return one row per flagged corpus doc: `(idCol, bench_doc, jaccard)`
+    *         with its best-matching benchmark doc (max jaccard, ties to
+    *         the smaller benchmark id). */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, k: Int = 3,
+                         numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.5,
+                         maxDf: Long = DefaultMaxDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = cappedShingles(corpus, idCol, textCol, k, maxDf)
+    val bsh = cappedShingles(benchmark, idCol, textCol, k, maxDf)
+    val cands = bandedSignatures(c, numHashes, bands).as("a")
+      .join(broadcast(bandedSignatures(bsh, numHashes, bands).as("b")),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"))
+      .distinct()
+    val sizesC = c.groupBy("doc").agg(count(lit(1)).as("n"))
+    val sizesB = bsh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(c.as("x"), col("i") === col("x.doc"))
+      .join(bsh.as("y"), col("j") === col("y.doc") && col("x.hm") === col("y.hm"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizesC.withColumnRenamed("doc", "i").withColumnRenamed("n", "ni"), "i")
+      .join(sizesB.withColumnRenamed("doc", "j").withColumnRenamed("n", "nj"), "j")
+      .withColumn("jaccard", col("inter") / (col("ni") + col("nj") - col("inter")))
+      .where(col("jaccard") >= threshold)
+    val w = Window.partitionBy("i").orderBy(col("jaccard").desc, col("j").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("i").as(idCol), col("j").as("bench_doc"), col("jaccard"))
+  }
+
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                          textCol: String, k: Int = 8, m: Int = 1 << 20,
                          hashes: Int = 5): DataFrame = {
