@@ -112,6 +112,11 @@ import graft.operators.Similarity
   *  - `graft_text_langid('t', 'id', 'text')`   — marker-voting language id
   *  - `graft_media_dedup_cdc('t', 'id', 'payload'[, ...])` — CDC media
   *    near-dup pairs over opaque binary columns
+  *  - `graft_decontaminate('corpus', 'bench', 'id', 'text'[, k])` — exact
+  *    shared-gram benchmark overlap per doc
+  *  - `graft_decontaminate_fuzzy('corpus', 'bench', 'id', 'text'[, k,
+  *    num_hashes, bands, threshold_permille])` — MinHash-banded
+  *    benchmark-leak scan, true-Jaccard verified
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -591,6 +596,38 @@ object GraftFunctions {
         val b = optLong(args, 5, 4L, "graft_dedup_minhash", "bands").toInt
         GraftShims.analyzedPlan(graft.operators.Dedup.minHashLshCandidates(
           df, id, text, k = k, numHashes = nh, bands = b)) }),
+    (FunctionIdentifier("graft_decontaminate"),
+      info("graft_decontaminate",
+        "graft_decontaminate('corpus_table_or_path', 'bench_table_or_path', " +
+          "'id_col', 'text_col'[, k]) - corpus docs sharing k-gram shingles " +
+          "with the benchmark; rows (id, n_shared)"),
+      (args: Seq[Expression]) => { arity("graft_decontaminate", args, 4, 5)
+        val corpus = resolveRef(literalString(args(0), "graft_decontaminate", "corpus"))
+        val bench = resolveRef(literalString(args(1), "graft_decontaminate", "bench"))
+        val id = literalString(args(2), "graft_decontaminate", "id_col")
+        val text = literalString(args(3), "graft_decontaminate", "text_col")
+        val k = optLong(args, 4, 8L, "graft_decontaminate", "k").toInt
+        GraftShims.analyzedPlan(graft.operators.Dedup.decontaminate(
+          corpus, bench, id, text, k = k)) }),
+    (FunctionIdentifier("graft_decontaminate_fuzzy"),
+      info("graft_decontaminate_fuzzy",
+        "graft_decontaminate_fuzzy('corpus_table_or_path', " +
+          "'bench_table_or_path', 'id_col', 'text_col'[, k, num_hashes, " +
+          "bands, threshold_permille]) - MinHash-banded benchmark-leak " +
+          "scan, true-Jaccard verified; rows (id, bench_doc, jaccard)"),
+      (args: Seq[Expression]) => {
+        arity("graft_decontaminate_fuzzy", args, 4, 5, 6, 7, 8)
+        val corpus = resolveRef(literalString(args(0), "graft_decontaminate_fuzzy", "corpus"))
+        val bench = resolveRef(literalString(args(1), "graft_decontaminate_fuzzy", "bench"))
+        val id = literalString(args(2), "graft_decontaminate_fuzzy", "id_col")
+        val text = literalString(args(3), "graft_decontaminate_fuzzy", "text_col")
+        val k = optLong(args, 4, 3L, "graft_decontaminate_fuzzy", "k").toInt
+        val nh = optLong(args, 5, 16L, "graft_decontaminate_fuzzy", "num_hashes").toInt
+        val b = optLong(args, 6, 4L, "graft_decontaminate_fuzzy", "bands").toInt
+        val tp = optLong(args, 7, 500L, "graft_decontaminate_fuzzy", "threshold_permille")
+        GraftShims.analyzedPlan(graft.operators.Dedup.decontaminateFuzzy(
+          corpus, bench, id, text, k = k, numHashes = nh, bands = b,
+          threshold = tp / 1000.0)) }),
     (FunctionIdentifier("graft_text_stats"),
       info("graft_text_stats",
         "graft_text_stats('table_or_path', 'id_col', 'text_col') - token " +

@@ -147,6 +147,31 @@ class GraftSqlSpec extends SparkTestBase {
     }
   }
 
+  test("graft_decontaminate / graft_decontaminate_fuzzy equal the Dedup operator path") {
+    val docs = spark.read.parquet(sf("documents"))
+    docs.createOrReplaceTempView("docs_sql")
+    val bench = graft.operators.Sampling.sampleByHash(docs, "doc_id", num = 1, den = 20)
+    bench.createOrReplaceTempView("bench_sql")
+    val exactSql = spark.sql(
+      "SELECT * FROM graft_decontaminate('docs_sql', 'bench_sql', 'doc_id', 'text', 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactDf = graft.operators.Dedup.decontaminate(docs, bench, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactSql == exactDf && exactSql.nonEmpty)
+    val fuzzySql = spark.sql(
+      "SELECT * FROM graft_decontaminate_fuzzy('docs_sql', 'bench_sql', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fuzzyDf = graft.operators.Dedup.decontaminateFuzzy(docs, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fuzzySql == fuzzyDf && fuzzySql.nonEmpty)
+    // benchmark members live in the corpus, so each self-matches at 1.0
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    benchIds.foreach { b =>
+      assert(fuzzyDf.exists { case (i, j, jac) => i == b && j == b && jac == 1.0 },
+        s"bench doc $b not self-flagged")
+    }
+  }
+
   test("graft_bloom_slots matches the Sketch.bloomSketch slot family") {
     import spark.implicits._
     val vals = Seq("alpha", "beta", "gamma").toDF("v")
