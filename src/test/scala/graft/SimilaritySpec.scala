@@ -454,6 +454,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(pcaErr < jlErr, s"PCA-8 err $pcaErr !< JL-8 err $jlErr")
   }
 
+  test("projection exprs survive CODEGEN_ONLY with fallback disabled (no silent eval path)") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val m = Similarity.pcaTrain(emb, "vec_id", "embedding", k = 8)
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFall = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val jl = Similarity.projectEmbeddings(emb, "vec_id", "embedding", 64, 16).collect()
+      assert(jl.length.toLong == emb.count() && jl.forall(!_.isNullAt(1)))
+      val pc = Similarity.pcaProject(emb, "vec_id", "embedding", m).collect()
+      assert(pc.forall(!_.isNullAt(1)))
+      // null contract holds under codegen too
+      val s = spark
+      import s.implicits._
+      val bad = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+      assert(Similarity.projectEmbeddings(bad, "vec_id", "embedding", 64, 16)
+        .collect()(0).isNullAt(1))
+      assert(Similarity.pcaProject(bad, "vec_id", "embedding", m)
+        .collect()(0).isNullAt(1))
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+      restore("spark.sql.codegen.factoryMode", prevMode)
+      restore("spark.sql.codegen.fallback", prevFall)
+    }
+  }
+
   test("pcaTopK: adaptive axes beat JL at EQUAL dims; 8 PCA dims ~ 32 JL dims") {
     val emb = spark.read.parquet(sf("embeddings"))
     val queries = emb.where(col("vec_id") < 10)
