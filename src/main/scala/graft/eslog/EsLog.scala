@@ -800,7 +800,11 @@ object EsLog {
         n
       }
     }
-    val ds = fetch(spark, streamDir, start, end)
+    // pin BOTH passes to ONE committed snapshot: a concurrent append landing
+    // between the count pass and the encode pass would otherwise grow the
+    // scan and shift the roll plan, colliding segment numbers
+    val version = MetaLog.load(streamDir).version
+    val ds = fetchAt(spark, streamDir, version, start, end)
       .sortWithinPartitions("base_offset")
       .as[RecordBatchRow]
     // pass 1: per-partition segment counts (exact frame lengths, bytes dropped)
