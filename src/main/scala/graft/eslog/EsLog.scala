@@ -640,10 +640,15 @@ object EsLog {
     * objects need no global order; `ingestObjects(sortByEmbeddedOffset =
     * true)` restores logical order on the way back in.
     *
-    * @return columns `(start_offset LONG, end_offset LONG, data_len INT,
-    *         obj BINARY)` — the [[graft.model.TieredObject.ObjectMeta]]
-    *         fields the reference's offloader would COMMIT_OBJECT, plus the
-    *         object bytes.
+    * Objects are RANGE-ALIGNED: a roll also happens at every `range_index`
+    * change, because the reference offloads per range and keys objects by
+    * (stream, range) — an exported object maps one-to-one onto a key the
+    * reference's object manager could serve.
+    *
+    * @return columns `(stream_id LONG, range_index INT, start_offset LONG,
+    *         end_offset LONG, data_len INT, obj BINARY)` — the
+    *         [[graft.model.TieredObject.ObjectMeta]] fields the reference's
+    *         offloader would COMMIT_OBJECT, plus the object bytes.
     */
   def exportObjects(spark: SparkSession, streamDir: String, start: Long = 0L,
                     end: Long = Long.MaxValue,
@@ -656,7 +661,10 @@ object EsLog {
 
   /** Executor-side object encoder shared by the batch export and the
     * streaming offload sink: record-batch rows (offset-sorted within each
-    * partition here) roll into reference-layout objects at the soft cap. */
+    * partition here) roll into reference-layout objects at the soft cap,
+    * and ALWAYS at a range boundary — the reference's offloader works
+    * per-range (object_manager.rs keys objects by (stream, range)), so an
+    * exported object never spans a `range_index` change. */
   private def encodeObjectRows(
       rows: org.apache.spark.sql.Dataset[RecordBatchRow],
       maxObjectBytes: Int, sparseBytes: Int): DataFrame = {
@@ -667,39 +675,52 @@ object EsLog {
       .sortWithinPartitions("base_offset")
       .mapPartitions { it =>
         val rs = it.buffered
-        new Iterator[(Long, Long, Int, Array[Byte])] {
+        new Iterator[(Long, Int, Long, Long, Int, Array[Byte])] {
           def hasNext: Boolean = rs.hasNext
-          def next(): (Long, Long, Int, Array[Byte]) = {
+          def next(): (Long, Int, Long, Long, Int, Array[Byte]) = {
             val startOff = rs.head.base_offset
+            val sid = rs.head.stream_id
+            val range = rs.head.range_index
             val frames = Vector.newBuilder[Array[Byte]]
             var bytes = 0
-            while (rs.hasNext && (bytes == 0 || bytes < maxObjectBytes)) {
+            while (rs.hasNext && rs.head.range_index == range &&
+              (bytes == 0 || bytes < maxObjectBytes)) {
               val f = graft.model.FlatRecordBatch.encode(rs.next())
               frames += f
               bytes += f.length
             }
             val (obj, meta) =
               graft.model.TieredObject.encode(frames.result(), startOff, sparseBytes)
-            (meta.startOffset, meta.endOffset, meta.dataLen, obj)
+            (sid, range, meta.startOffset, meta.endOffset, meta.dataLen, obj)
           }
         }
-      }.toDF("start_offset", "end_offset", "data_len", "obj")
+      }.toDF("stream_id", "range_index", "start_offset", "end_offset",
+        "data_len", "obj")
   }
 
-  /** Write `(start_offset, end_offset, obj)` rows as one raw file per
-    * object under `outDir` (`obj-<start20>-<end20>`), on the executors.
+  /** Write exported-object rows as one raw file per object under `outDir`,
+    * on the executors. Default key: `obj-<start20>-<end20>` (zero-padded so
+    * a plain listing sorts by offset). `referenceKeys = true` uses the
+    * reference offloader's own key scheme instead —
+    * `<stream_id>-<range_index>/<start_offset>`
+    * (components/object-storage/src/object_manager.rs:49-53; the export is
+    * range-aligned, see [[encodeObjectRows]], so the key is exact).
     * Overwrites an existing key — offsets name the content, so a rewrite is
     * byte-identical and the write is idempotent. Returns objects written. */
-  private def writeObjectFilesRows(objs: DataFrame, outDir: String): Long = {
+  private def writeObjectFilesRows(objs: DataFrame, outDir: String,
+                                   referenceKeys: Boolean = false): Long = {
     val spark = objs.sparkSession
     import spark.implicits._
     val confT = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
-    objs.select("start_offset", "end_offset", "obj")
-      .as[(Long, Long, Array[Byte])]
+    objs.select("stream_id", "range_index", "start_offset", "end_offset", "obj")
+      .as[(Long, Int, Long, Long, Array[Byte])]
       .mapPartitions { it =>
         var n = 0L
-        it.foreach { case (s0, e0, bytes) =>
-          val p = new org.apache.hadoop.fs.Path(outDir, f"obj-$s0%020d-$e0%020d")
+        it.foreach { case (sid, range, s0, e0, bytes) =>
+          val name =
+            if (referenceKeys) s"$sid-$range/$s0"
+            else f"obj-$s0%020d-$e0%020d"
+          val p = new org.apache.hadoop.fs.Path(outDir, name)
           val fs = p.getFileSystem(confT())
           val out = fs.create(p, true)
           try out.write(bytes) finally out.close()
@@ -864,10 +885,11 @@ object EsLog {
   def exportObjectFiles(spark: SparkSession, streamDir: String, outDir: String,
                         start: Long = 0L, end: Long = Long.MaxValue,
                         maxObjectBytes: Int = 128 * 1024 * 1024,
-                        sparseBytes: Int = graft.model.TieredObject.DefaultSparseBytes): Long =
+                        sparseBytes: Int = graft.model.TieredObject.DefaultSparseBytes,
+                        referenceKeys: Boolean = false): Long =
     writeObjectFilesRows(
       exportObjects(spark, streamDir, start, end, maxObjectBytes, sparseBytes),
-      outDir)
+      outDir, referenceKeys)
 
   /** Ingest a directory of RAW reference tiered objects — one object per
     * file, the bucket layout a real deployment offloads to. Spark's
@@ -875,7 +897,10 @@ object EsLog {
     * after that is [[ingestObjects]]. */
   def ingestObjectDir(spark: SparkSession, streamDir: String, objDir: String,
                       epoch: Long, sortByEmbeddedOffset: Boolean = true): (Long, Long) = {
-    val objs = spark.read.format("binaryFile").load(objDir)
+    // recursive: the reference's key scheme nests objects one level down
+    // (`<stream>-<range>/<offset>`); flat layouts are unaffected
+    val objs = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(objDir)
       .select(col("content").as("obj"))
     ingestObjects(spark, streamDir, objs, epoch, sortByEmbeddedOffset)
   }

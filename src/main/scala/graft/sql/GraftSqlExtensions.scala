@@ -295,8 +295,9 @@ object GraftFunctions {
       info("graft_export_objects",
         "graft_export_objects('dir'[, start, end[, max_object_bytes]]) - " +
           "committed data [start, end) re-encoded as reference-layout " +
-          "tiered objects; one row (start_offset, end_offset, data_len, " +
-          "obj) per object, re-ingestible by graft_ingest paths"),
+          "tiered objects, range-aligned; one row (stream_id, range_index, " +
+          "start_offset, end_offset, data_len, obj) per object, " +
+          "re-ingestible by graft_ingest paths"),
       (args: Seq[Expression]) => { arity("graft_export_objects", args, 1, 3, 4)
         val dir = literalString(args(0), "graft_export_objects", "dir")
         val lo = if (args.size >= 3) literalLong(args(1), "graft_export_objects", "start") else 0L

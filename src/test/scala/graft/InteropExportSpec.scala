@@ -216,6 +216,54 @@ class InteropExportSpec extends SparkTestBase {
     assert(names2.toSeq === files.map(_.getName).sorted.toSeq)
   }
 
+  test("range-aligned export + reference key scheme: <stream>-<range>/<offset>, round-trips") {
+    // a 2-range stream: epoch 1 first half, seal-on-open, epoch 2 second half
+    val dir = tmpDir("graft-export-2seg-")
+    val s = spark
+    import s.implicits._
+    def half(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (s"p-$i", Map("k" -> s"v$i"), 100L + i))
+      .toDF("text", "properties", "base_timestamp")
+      .select(col("text").cast("binary").as("payload"), col("properties"),
+        col("base_timestamp"))
+    EsLog.create(dir, streamId = 12L)
+    EsLog.open(dir, 1L)
+    EsLog.append(spark, dir, half(0, 100), 1L)
+    EsLog.open(dir, 2L) // seal-on-open: range 0 closes, range 1 opens
+    EsLog.append(spark, dir, half(100, 200), 2L)
+
+    // every object holds exactly one range_index
+    val objs = EsLog.exportObjects(spark, dir, maxObjectBytes = 1024 * 1024).collect()
+    assert(objs.map(_.getAs[Int]("range_index")).distinct.sorted.toSeq === Seq(0, 1))
+    objs.foreach { r =>
+      val ranges = TieredObject.decodeAll(r.getAs[Array[Byte]]("obj"))
+        .map(_.range_index).distinct
+      assert(ranges === Seq(r.getAs[Int]("range_index")))
+    }
+
+    // reference keys: <stream_id>-<range_index>/<start_offset>
+    val out = tmpDir("graft-export-refkeys-")
+    EsLog.exportObjectFiles(spark, dir, out, referenceKeys = true)
+    // drop the local FS's hidden .crc checksum siblings — Spark's file
+    // listing (and any object store) never sees dot-files
+    val keys = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .flatMap(d => d.listFiles.filterNot(_.getName.startsWith("."))
+        .map(f => s"${d.getName}/${f.getName}")).sorted
+    assert(keys.exists(_.startsWith("12-0/")) && keys.exists(_.startsWith("12-1/")),
+      keys.mkString(", "))
+    keys.foreach(k => assert(k.matches("12-[01]/[0-9]+"), k))
+
+    // the nested layout round-trips through the recursive directory ingest
+    val dst = tmpDir("graft-export-refkeys-rt-")
+    EsLog.create(dst, streamId = 13L); EsLog.open(dst, 1L)
+    EsLog.ingestObjectDir(spark, dst, out, 1L)
+    val a = EsLog.scan(spark, dir).select("base_offset", "payload").collect()
+      .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1)))).sortBy(_._1)
+    val b = EsLog.scan(spark, dst).select("base_offset", "payload").collect()
+      .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1)))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("exportWal rejects a segmentBytes too small for one record") {
     val e = intercept[org.apache.spark.SparkException] {
       EsLog.exportWal(spark, srcDir, segmentBytes = 64).collect()
