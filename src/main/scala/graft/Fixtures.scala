@@ -1647,6 +1647,52 @@ object Fixtures {
       name
     })
 
+  /** STREAMING fuzzy decontamination — "screen the crawl stream against
+    * the benchmark as it arrives": the benchmark is static; each
+    * micro-batch of incoming docs runs the banded-candidate + true-Jaccard
+    * probe as a batch job per trigger (`foreachBatch` — the probe's
+    * verify needs a per-batch groupBy/window, so it is not stream-legal
+    * inline; stateless ACROSS triggers, results append to parquet). The
+    * corpus-side stop-shingle cap is disabled (`maxDf = MaxValue`): a cap
+    * computed per micro-batch would make results depend on trigger
+    * boundaries, and a probe's candidate count is bounded by the
+    * benchmark side regardless — the documented slice-local-cap contract
+    * applied by REMOVING the slice-dependence. Micro-batch boundaries
+    * therefore cannot change the flagged set: every per-doc verdict
+    * depends only on the doc and the static benchmark. */
+  def streamDecontaminateFuzzyDir(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "stream-decon-fuzzy") { dir =>
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.{Dedup, Sampling}
+      tune(s)
+      val src = docsStream(s, sfDir)
+      val docs = documents(s, sfDir)
+      val bench = Sampling.sampleByHash(docs, "doc_id", num = 1, den = 20).persist()
+      bench.count() // static side materialized once, reused per trigger
+      val out = MetaLog.join(dir, "flagged")
+      val perTrigger = math.max(docs.count() / 8, 1L)
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", perTrigger.toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          Dedup.decontaminateFuzzy(batch, bench, "doc_id", "text",
+            k = 3, numHashes = 16, bands = 4, threshold = 0.5,
+            maxDf = Long.MaxValue)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", MetaLog.join(dir, "ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      bench.unpersist()
+      ()
+    }
+
   /** STREAMING diversity draw — "keep a cluster-balanced reservoir of the
     * incoming embedding stream": the sampled coarse quantizer is built ONCE
     * in batch from the existing corpus (vec_id < 400, the

@@ -915,6 +915,53 @@ object Oracles {
        |SELECT i AS doc_id, j AS bench_doc, jaccard FROM rr WHERE rk = 1""".stripMargin
   }
 
+  /** Uncapped shingle cte — the streaming fuzzy probe disables the
+    * stop-shingle cap so trigger boundaries cannot change results. */
+  private def shingleCteNoCap(src: String, alias: String, k: Int): String =
+    s"""${alias}0 AS (
+       |  SELECT doc_id, unnest(${H.wordShinglesSql(k)}) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src t)),
+       |$alias AS (SELECT DISTINCT doc_id, ${H.uhashBaseSql("s")} AS hm FROM ${alias}0)""".stripMargin
+
+  /** Streaming fuzzy-decontamination oracle: identical probe math with
+    * BOTH shingle lattices uncapped (the fixture's `maxDf = MaxValue`) —
+    * per-doc verdicts depend only on the doc and the static benchmark, so
+    * the micro-batched union equals this one-shot form. */
+  private val esStreamDecontaminateFuzzy = {
+    val r = 4
+    def bandRows(m: String) = (0 until 4).map { b =>
+      val sig = (0 until r).map(i => s"CAST(m${b * r + i} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM $m"
+    }.mkString("\nUNION ALL\n")
+    val bench =
+      s"(SELECT doc_id, text FROM documents WHERE ${H.hash60Sql("CAST(doc_id AS VARCHAR)")} % 20 < 1)"
+    s"""WITH ${shingleCteNoCap("documents", "cs", 3)},
+       |${shingleCteNoCap(bench, "bs", 3)},
+       |mc AS (SELECT doc_id, ${minhashCols(16)} FROM cs GROUP BY doc_id),
+       |mb AS (SELECT doc_id, ${minhashCols(16)} FROM bs GROUP BY doc_id),
+       |bc AS (
+       |${bandRows("mc")}),
+       |bb AS (
+       |${bandRows("mb")}),
+       |cand AS (SELECT DISTINCT bc.doc_id AS i, bb.doc_id AS j
+       |  FROM bc JOIN bb ON bc.band = bb.band AND bc.sig = bb.sig),
+       |szc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cs GROUP BY doc_id),
+       |szb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT cand.i, cand.j, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand JOIN cs x ON x.doc_id = cand.i
+       |            JOIN bs y ON y.doc_id = cand.j AND y.hm = x.hm
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT i, j, inter / (ci.n + bj.n - inter) AS jaccard
+       |  FROM inter JOIN szc ci ON inter.i = ci.doc_id
+       |             JOIN szb bj ON inter.j = bj.doc_id
+       |  WHERE inter / (ci.n + bj.n - inter) >= 0.5),
+       |rr AS (SELECT i, j, jaccard,
+       |        row_number() OVER (PARTITION BY i ORDER BY jaccard DESC, j ASC) AS rk FROM sc)
+       |SELECT i AS doc_id, j AS bench_doc, jaccard FROM rr WHERE rk = 1""".stripMargin
+  }
+
   /** decontaminateReport twin: same df-capped shingle lattice as
     * `decontaminate`, but a LEFT join so every doc reports (n_grams,
     * n_shared, integer permille). */
@@ -2445,6 +2492,7 @@ object Oracles {
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "decontaminate_fuzzy" -> decontaminateFuzzy,
+    "es_stream_decontaminate_fuzzy" -> esStreamDecontaminateFuzzy,
     "es_stream_decontaminate" -> esStreamDecontaminate,
     // the streaming semantic screen's flagged pair set IS the batch probe's
     "es_stream_semantic" -> dedupSemanticProbe,

@@ -773,6 +773,18 @@ object SparkEntry {
       k = 3, numHashes = 16, bands = 4, threshold = 0.5)
   }
 
+  /** Streaming twin of [[qDecontaminateFuzzy]]
+    * ([[Fixtures.streamDecontaminateFuzzyDir]]): the docs stream screened
+    * micro-batch by micro-batch against the static benchmark via
+    * foreachBatch; per-doc verdicts are trigger-boundary-independent
+    * (corpus-side cap disabled), so the appended union equals the
+    * one-shot probe. */
+  private def qEsStreamDecontaminateFuzzy(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.streamDecontaminateFuzzyDir(s, sfDir)
+    s.read.parquet(graft.meta.MetaLog.join(root, "flagged"))
+      .select(col("doc_id"), col("bench_doc"), col("jaccard"))
+  }
+
   private def qDecontaminateBloom(s: SparkSession, sfDir: String): DataFrame = {
     val docs = Fixtures.documents(s, sfDir)
     val bench = graft.operators.Sampling.sampleByHash(docs, "doc_id", num = 1, den = 20)
@@ -2246,6 +2258,7 @@ object SparkEntry {
     "decontaminate" -> (qDecontaminate _),
     "decontaminate_bloom" -> (qDecontaminateBloom _),
     "decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
+    "es_stream_decontaminate_fuzzy" -> (qEsStreamDecontaminateFuzzy _),
     "decontaminate_report" -> (qDecontaminateReport _),
     "dedup_lines" -> (qDedupLines _),
     "dedup_spans" -> (qDedupSpans _),

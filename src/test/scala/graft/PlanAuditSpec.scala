@@ -1353,6 +1353,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_pca_persisted" -> Seq("vec_id", "i", "yi"),
     "es_stream_pca" -> Seq("vec_id", "i", "yi"),
     "decontaminate_fuzzy" -> Seq("doc_id", "bench_doc", "jaccard"),
+    "es_stream_decontaminate_fuzzy" -> Seq("doc_id", "bench_doc", "jaccard"),
     "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_kmeans" -> Seq("qid", "nid", "rank", "score"),
     "sim_pq" -> Seq("qid", "nid", "rank", "adist"),
