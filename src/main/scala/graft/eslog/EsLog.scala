@@ -734,10 +734,20 @@ object EsLog {
     * (components/object-storage/src/range_offload.rs driven by the commit
     * hook) as a Structured Streaming sink: new appends stream out of the
     * eslog source and every micro-batch's rows encode to reference-layout
-    * objects under `outDir`, one raw file per object keyed by offset span.
-    * A retried micro-batch re-offers the same offsets and rewrites the
-    * same keys byte-identically, so delivery is idempotent at the bucket
-    * level — no index or commit log needed on the export side.
+    * objects under `outDir`, one raw file per object keyed by offset span
+    * inside a per-trigger `batch-<id>/` directory.
+    *
+    * Replay safety: a retried micro-batch re-offers the same offsets, and
+    * with unchanged session config the eslog source plans the same file
+    * splits, so the rewrite is byte-identical key-for-key. But object ROLL
+    * boundaries (hence keys) are partition-dependent — a replay planned
+    * under different splits (a restart with changed `maxPartitionBytes`/
+    * AQE conf) would produce different keys, and stale overlapping objects
+    * would sit beside the new ones. Each trigger therefore owns its own
+    * `batch-<id>` directory, DELETED before rewrite: a divergent replay
+    * converges to exactly its own objects, and [[ingestObjectDir]]'s
+    * recursive listing (+ embedded-offset sort) reads the bucket the same
+    * as a flat layout. No index or commit log needed on the export side.
     *
     * `availableNow = true` drains the current head and terminates (the
     * catch-up/backfill mode); `false` runs continuously. Returns the
@@ -755,10 +765,15 @@ object EsLog {
         reader.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
       else reader).load(streamDir)
     val w = src.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val batchDir = join(outDir, s"batch-$batchId")
+        // replay hygiene (see scaladoc): clear this trigger's directory so
+        // a replay planned under different partition splits can never leave
+        // stale overlapping objects next to its rewrite
+        deleteRecursively(batchDir)
         val objs = encodeObjectRows(batch.as[RecordBatchRow],
           maxObjectBytes, sparseBytes)
-        writeObjectFilesRows(objs, outDir)
+        writeObjectFilesRows(objs, batchDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -791,7 +806,7 @@ object EsLog {
     */
   def exportWal(spark: SparkSession, streamDir: String, start: Long = 0L,
                 end: Long = Long.MaxValue, segmentBytes: Int = 64 * 1024 * 1024,
-                blockSize: Int = Int.MaxValue): DataFrame = {
+                blockSize: Int = graft.model.WalSegment.MaxRecordLen): DataFrame = {
     import spark.implicits._
     import graft.model.WalSegment
     val budget = segmentBytes - WalSegment.PrefixLen - WalSegment.FooterBodyLen
@@ -828,10 +843,13 @@ object EsLog {
     val ds = fetchAt(spark, streamDir, version, start, end)
       .sortWithinPartitions("base_offset")
       .as[RecordBatchRow]
-    // pass 1: per-partition segment counts (exact frame lengths, bytes dropped)
+    // pass 1: per-partition segment counts. Frame lengths come from the
+    // size-only arithmetic simulation (FlatRecordBatch.frameLength, pinned
+    // == encode(...).length by property test) — this pass never pays the
+    // encode CPU; only pass 2 serializes each frame, once.
     val counts = ds.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val lens = it.map(r => graft.model.FlatRecordBatch.encode(r).length)
+      val lens = it.map(r => graft.model.FlatRecordBatch.frameLength(r))
       Iterator.single((pid, plan(lens).size.toLong))
     }.collect().toMap // bounded: one entry per partition
     val base: Map[Int, Long] = {
@@ -856,12 +874,14 @@ object EsLog {
           var latest = Long.MinValue
           var more = true
           while (more && rows.hasNext) {
-            val f = graft.model.FlatRecordBatch.encode(rows.head)
-            val p = physicalLen(f.length)
+            // fit-check on the arithmetic length; encode only on acceptance,
+            // so every frame is serialized exactly once (a boundary row used
+            // to be encoded again by the next segment's first probe)
+            val p = physicalLen(graft.model.FlatRecordBatch.frameLength(rows.head))
             if (n > 0 && body + p > budget) more = false
             else {
               val r = rows.next()
-              payloads += f; n += 1; body += p
+              payloads += graft.model.FlatRecordBatch.encode(r); n += 1; body += p
               earliest = math.min(earliest, r.base_timestamp)
               latest = math.max(latest, r.base_timestamp)
             }
@@ -914,7 +934,7 @@ object EsLog {
   def exportWalFiles(spark: SparkSession, streamDir: String, outDir: String,
                      start: Long = 0L, end: Long = Long.MaxValue,
                      segmentBytes: Int = 64 * 1024 * 1024,
-                     blockSize: Int = Int.MaxValue): Long = {
+                     blockSize: Int = graft.model.WalSegment.MaxRecordLen): Long = {
     import spark.implicits._
     val confT = org.apache.spark.sql.graftshim.GraftShims.shippableHadoopConf(spark)
     exportWal(spark, streamDir, start, end, segmentBytes, blockSize)

@@ -77,6 +77,76 @@ object FlatRecordBatch {
     fbb.sizedByteArray()
   }
 
+  /** Exact byte length [[encode]] would produce, WITHOUT encoding — a
+    * faithful size-only simulation of the FlatBufferBuilder's write
+    * sequence in [[encodeMeta]] (downward writes, `prep` alignment, vtable
+    * dedup, final minalign padding). Export planning passes (e.g.
+    * [[graft.eslog.EsLog.exportWal]]'s roll plan) call this instead of
+    * paying a second full encode; FlatRecordBatchSpec property-pins
+    * `frameLength(r) == encode(r).length` over random rows. */
+  def frameLength(r: RecordBatchRow): Int = {
+    val payload = if (r.payload == null) 0 else r.payload.length
+    1 + 4 + metaLength(r) + 4 + payload
+  }
+
+  private[model] def metaLength(r: RecordBatchRow): Int = {
+    var t = 0        // bytes written, counted from the buffer's end
+    var minalign = 1
+    def prep(size: Int, additional: Int): Unit = {
+      if (size > minalign) minalign = size
+      t += (size - ((t + additional) % size)) % size
+    }
+    def put(n: Int): Unit = t += n
+    // createString: terminator byte, align for the data, data, length prefix
+    def string(s: String): Unit = {
+      val len = s.getBytes(StandardCharsets.UTF_8).length
+      prep(1, 0); put(1)
+      prep(4, len); prep(1, len); put(len)
+      put(4) // endVector's count
+    }
+    val seenVtables = scala.collection.mutable.Set.empty[Vector[Int]]
+    // end a table given (slotId -> fieldOffset) records; returns nothing,
+    // advances t; rewinds if an identical vtable was already written
+    def endTable(objectStart: Int, fields: Map[Int, Int], nSlots: Int): Unit = {
+      prep(4, 0); put(4) // soffset placeholder
+      val vtableloc = t
+      val trimmed = (0 until nSlots).lastIndexWhere(fields.contains) + 1
+      val shorts = Vector((trimmed + 2) * 2, vtableloc - objectStart) ++
+        (0 until trimmed).map(i => fields.get(i).map(vtableloc - _).getOrElse(0))
+      val t0 = t
+      shorts.foreach { _ => prep(2, 0); put(2) }
+      if (seenVtables.contains(shorts)) t = vtableloc // dedup rewind
+      else { seenVtables += shorts; require(t >= t0, "vtable sim underflow") }
+    }
+    val props = if (r.properties == null) Seq.empty else r.properties.toSeq.sortBy(_._1)
+    if (props.nonEmpty) {
+      props.foreach { case (k, v) =>
+        string(k); string(v)
+        val objectStart = t
+        prep(4, 0); put(4); val f0 = t
+        prep(4, 0); put(4); val f1 = t
+        endTable(objectStart, Map(0 -> f0, 1 -> f1), 2)
+      }
+      prep(4, 4 * props.size); prep(4, 4 * props.size)
+      props.foreach(_ => put(4))
+      put(4) // endVector's count
+    }
+    val objectStart = t
+    var fields = Map.empty[Int, Int]
+    def addScalar(id: Int, size: Int, nonDefault: Boolean): Unit =
+      if (nonDefault) { prep(size, 0); put(size); fields += (id -> t) }
+    addScalar(FStreamId, 8, r.stream_id != 0L)
+    addScalar(FRangeIndex, 4, r.range_index != 0)
+    addScalar(FFlags, 2, r.flags != 0)
+    addScalar(FBaseOffset, 8, r.base_offset != -1L)
+    addScalar(FLastOffsetDelta, 4, r.last_offset_delta != 0)
+    addScalar(FBaseTimestamp, 8, r.base_timestamp != 0L)
+    addScalar(FProperties, 4, props.nonEmpty)
+    endTable(objectStart, fields, 7)
+    prep(minalign, 4); put(4) // finish: align, then the root uoffset
+    t
+  }
+
   def encode(r: RecordBatchRow): Array[Byte] = {
     val meta = encodeMeta(r)
     val payload = if (r.payload == null) Array.emptyByteArray else r.payload

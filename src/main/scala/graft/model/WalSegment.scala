@@ -43,6 +43,13 @@ object WalSegment {
   val PrefixLen: Int = 8 // CRC(4) + Size(3) + Type(1), record.rs:4
   val FooterBodyLen: Int = 16 // earliest(8) + latest(8), record.rs:25-31
 
+  /** The Size field is 3 bytes (`len << 8 | type`, record.rs:42-55), so no
+    * single physical record — fragment, whole record or footer — may exceed
+    * this; a longer length would silently truncate mod 2^24 and read back as
+    * a torn tail (the reference never hits it because its writer fragments
+    * at block granularity far below 16 MiB). Writers here enforce it. */
+  val MaxRecordLen: Int = 0xFFFFFF
+
   val TypeZero: Int = 0
   val TypeFull: Int = 1
   val TypeFirst: Int = 2
@@ -103,14 +110,26 @@ object WalSegment {
         }
       }
     }
+    records.foreach { case (_, _, _, len) =>
+      require(len <= MaxRecordLen,
+        s"record slice of $len bytes exceeds the 3-byte Size field " +
+          s"(max $MaxRecordLen) — use a blockSize <= $MaxRecordLen so long " +
+          "payloads fragment into First/Middle/Last chains")
+    }
     val bodyLen = records.iterator.map { case (_, _, _, len) => PrefixLen + len }.sum
-    val footerPayloadLen =
+    // Footer padding is a record payload too, so it shares the 3-byte Size
+    // limit: a mostly-empty large segment caps the footer record at
+    // MaxRecordLen and fills the remainder with raw zeros AFTER it — readers
+    // stop at the Zero footer (wal.rs:225-234), so trailing bytes are never
+    // scanned and the segment still occupies exactly `segmentSize` bytes.
+    val (footerPayloadLen, trailingZeros) =
       if (segmentSize > 0) {
         val pad = segmentSize - bodyLen - PrefixLen - FooterBodyLen
         require(pad >= 0, s"segmentSize $segmentSize too small for $bodyLen record bytes")
-        pad + FooterBodyLen
-      } else FooterBodyLen
-    val total = bodyLen + PrefixLen + footerPayloadLen
+        val fp = math.min(pad + FooterBodyLen, MaxRecordLen)
+        (fp, pad + FooterBodyLen - fp)
+      } else (FooterBodyLen, 0)
+    val total = bodyLen + PrefixLen + footerPayloadLen + trailingZeros
     val buf = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
     records.foreach { case (t, p, from, len) =>
       buf.putInt(checksumRecord(p, from, len, walOffset))

@@ -123,6 +123,31 @@ class FlatRecordBatchSpec extends AnyFunSuite {
     }
   }
 
+  test("property: frameLength equals encode().length (size-only simulation)") {
+    forAll(genRow, n = 400) { row =>
+      assert(FlatRecordBatch.frameLength(row) == FlatRecordBatch.encode(row).length,
+        s"frameLength mismatch for $row")
+    }
+    // default-valued fields are OMITTED from the table — exercise every
+    // combination the generator's ranges never hit (zeros, base_offset = -1,
+    // empty props, multi-byte UTF-8 keys)
+    val edges = Seq(
+      RecordBatchRow(0L, 0, 0, -1L, 0, 0L, Map.empty, Array.emptyByteArray),
+      RecordBatchRow(1L, 0, 0, -1L, 0, 0L, Map.empty, Array[Byte](1)),
+      RecordBatchRow(0L, 1, 0, 0L, 0, 0L, Map.empty, Array.emptyByteArray),
+      RecordBatchRow(0L, 0, 1, -1L, 1, 0L, Map.empty, Array[Byte](1, 2, 3)),
+      RecordBatchRow(0L, 0, 0, -1L, 0, 1L, Map("" -> ""), Array.emptyByteArray),
+      RecordBatchRow(7L, 2, 3, 100L, 5, 9L, Map("κλειδί" -> "τιμή✓", "a" -> "б"), Array[Byte](9)),
+      RecordBatchRow(0L, 0, 0, -1L, 0, 0L, Map("x" -> "y"), null),
+      RecordBatchRow(Long.MaxValue, Int.MaxValue, Short.MaxValue, Long.MaxValue - 1,
+        Int.MaxValue, Long.MaxValue, (1 to 20).map(i => s"k$i" -> s"v$i").toMap,
+        new Array[Byte](1000)))
+    edges.foreach { row =>
+      assert(FlatRecordBatch.frameLength(row) == FlatRecordBatch.encode(row).length,
+        s"frameLength mismatch for edge row $row")
+    }
+  }
+
   test("bad magic rejected") {
     val bytes = FlatRecordBatch.encode(RecordBatchRow(1, 0, 0, 0, 1, 0, Map.empty, Array[Byte](1)))
     bytes(0) = 0x23

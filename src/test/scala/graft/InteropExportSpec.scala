@@ -200,7 +200,14 @@ class InteropExportSpec extends SparkTestBase {
     val q = EsLog.offloadStream(spark, srcDir, objDir, ckpt,
       maxObjectBytes = 8 * 1024, sparseBytes = 2048, maxOffsetsPerTrigger = 100)
     q.awaitTermination(300000)
-    val files = new java.io.File(objDir).listFiles.filter(_.getName.startsWith("obj-"))
+    // objects land in per-trigger batch-<id>/ dirs (replay hygiene — a
+    // divergent replay rewrites exactly its own directory)
+    def objFiles() = new java.io.File(objDir).listFiles
+      .filter(d => d.isDirectory && d.getName.startsWith("batch-"))
+      .flatMap(_.listFiles).filter(_.getName.startsWith("obj-"))
+    val files = objFiles()
+    val batchDirs = new java.io.File(objDir).listFiles.filter(_.isDirectory).length
+    assert(batchDirs >= 4, s"4 triggers -> 4 batch dirs, got $batchDirs")
     assert(files.length >= 4, s"4 triggers x >=1 object each, got ${files.length}")
     // every object parses and the union covers the whole stream exactly once
     val rows = files.flatMap(f => TieredObject.decodeAll(
@@ -211,9 +218,9 @@ class InteropExportSpec extends SparkTestBase {
     val q2 = EsLog.offloadStream(spark, srcDir, objDir, ckpt,
       maxObjectBytes = 8 * 1024, sparseBytes = 2048, maxOffsetsPerTrigger = 100)
     q2.awaitTermination(300000)
-    val names2 = new java.io.File(objDir).listFiles
-      .filter(_.getName.startsWith("obj-")).map(_.getName).sorted
-    assert(names2.toSeq === files.map(_.getName).sorted.toSeq)
+    val names2 = objFiles().map(f => f.getParentFile.getName + "/" + f.getName).sorted
+    assert(names2.toSeq ===
+      files.map(f => f.getParentFile.getName + "/" + f.getName).sorted.toSeq)
   }
 
   test("range-aligned export + reference key scheme: <stream>-<range>/<offset>, round-trips") {

@@ -230,4 +230,31 @@ class InteropSpec extends AnyFunSuite {
         payloads.take(part.payloads.size).map(_.toSeq), s"trial $trial cut $cut")
     }
   }
+
+  test("WAL 3-byte Size field: an over-long record slice is rejected loudly, never truncated") {
+    // A 16 MiB+ payload with no fragmentation would write len mod 2^24 and
+    // read back as a torn tail (silent data loss on re-ingest) — the writer
+    // must fail instead.
+    val big = new Array[Byte](WalSegment.MaxRecordLen + 1)
+    val e = intercept[IllegalArgumentException](
+      WalSegment.writeSegment(Seq(big), 0L, blockSize = Int.MaxValue))
+    assert(e.getMessage.contains("3-byte Size field"))
+    // the default export block size fragments the same payload fine
+    val seg = WalSegment.writeSegment(Seq(big), 0L, blockSize = WalSegment.MaxRecordLen)
+    val r = WalSegment.scanSegment(seg, 0L)
+    assert(r.payloads.size == 1 && r.payloads.head.length == big.length && !r.torn)
+  }
+
+  test("WAL footer padding past 16 MiB: footer record caps at MaxRecordLen, scan still sees sealed") {
+    // a mostly-empty LARGE sealed segment: footer padding exceeds the 3-byte
+    // Size field; the footer record caps and raw zeros fill the remainder
+    val segmentSize = 20 * 1024 * 1024
+    val payloads = Seq(Array.fill(100)(7.toByte))
+    val seg = WalSegment.writeSegment(payloads, 4096L, segmentSize = segmentSize,
+      earliestTs = 11L, latestTs = 22L)
+    assert(seg.length == segmentSize) // still exactly segment-sized
+    val r = WalSegment.scanSegment(seg, 4096L)
+    assert(r.isSealed && !r.torn)
+    assert(r.payloads.map(_.toSeq) === payloads.map(_.toSeq))
+  }
 }
