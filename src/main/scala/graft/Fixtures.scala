@@ -1678,17 +1678,22 @@ object Fixtures {
           col("payload").cast("string").as("text"))
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                         _: Long) =>
+                         batchId: Long) =>
+          // batchId-keyed OVERWRITE, not a flat append: foreachBatch offers
+          // at-least-once — a replayed trigger rewrites its own directory
+          // byte-equivalently instead of appending duplicate flagged rows
           Dedup.decontaminateFuzzy(batch, bench, "doc_id", "text",
             k = 3, numHashes = 16, bands = 4, threshold = 0.5,
             maxDf = Long.MaxValue)
-            .write.mode("append").parquet(out)
+            .write.mode("overwrite").parquet(MetaLog.join(out, s"batch=$batchId"))
           ()
         }
         .option("checkpointLocation", MetaLog.join(dir, "ckpt"))
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      require(q.awaitTermination(300000),
+        "streamDecontaminateFuzzyDir: query did not drain within 300 s — " +
+          "a partial 'flagged' table would fail the oracle confusingly")
       bench.unpersist()
       ()
     }

@@ -2492,6 +2492,7 @@ object Oracles {
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "decontaminate_fuzzy" -> decontaminateFuzzy,
+    "decontaminate_fuzzy_persisted" -> decontaminateFuzzy, // artifact probe ≡ in-memory probe
     "es_stream_decontaminate_fuzzy" -> esStreamDecontaminateFuzzy,
     "es_stream_decontaminate" -> esStreamDecontaminate,
     // the streaming semantic screen's flagged pair set IS the batch probe's

@@ -773,6 +773,22 @@ object SparkEntry {
       k = 3, numHashes = 16, bands = 4, threshold = 0.5)
   }
 
+  /** Persisted-artifact twin of [[qDecontaminateFuzzy]]: the benchmark
+    * suite is shingled + signed ONCE into a [[Dedup.writeFuzzyDecontIndex]]
+    * artifact, and the corpus screens against the artifact without touching
+    * benchmark text ([[Dedup.decontaminateFuzzyAt]]) — same flags, same
+    * scores, same oracle as the in-memory probe. */
+  private def qDecontaminateFuzzyPersisted(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(s, sfDir)
+    val bench = graft.operators.Sampling.sampleByHash(docs, "doc_id", num = 1, den = 20)
+    val dir = Fixtures.fixture(sfDir, "fuzzy-decont-index") { d =>
+      graft.operators.Dedup.writeFuzzyDecontIndex(bench, "doc_id", "text", d,
+        k = 3, numHashes = 16, bands = 4)
+    }
+    graft.operators.Dedup.decontaminateFuzzyAt(s, dir, docs, "doc_id", "text",
+      threshold = 0.5)
+  }
+
   /** Streaming twin of [[qDecontaminateFuzzy]]
     * ([[Fixtures.streamDecontaminateFuzzyDir]]): the docs stream screened
     * micro-batch by micro-batch against the static benchmark via
@@ -781,6 +797,8 @@ object SparkEntry {
     * one-shot probe. */
   private def qEsStreamDecontaminateFuzzy(s: SparkSession, sfDir: String): DataFrame = {
     val root = Fixtures.streamDecontaminateFuzzyDir(s, sfDir)
+    // the fixture writes batchId-partitioned dirs (`batch=N`, replay-safe
+    // overwrite) — the discovered `batch` partition column is dropped here
     s.read.parquet(graft.meta.MetaLog.join(root, "flagged"))
       .select(col("doc_id"), col("bench_doc"), col("jaccard"))
   }
@@ -2258,6 +2276,7 @@ object SparkEntry {
     "decontaminate" -> (qDecontaminate _),
     "decontaminate_bloom" -> (qDecontaminateBloom _),
     "decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
+    "decontaminate_fuzzy_persisted" -> (qDecontaminateFuzzyPersisted _),
     "es_stream_decontaminate_fuzzy" -> (qEsStreamDecontaminateFuzzy _),
     "decontaminate_report" -> (qDecontaminateReport _),
     "dedup_lines" -> (qDedupLines _),

@@ -156,6 +156,11 @@ object Dedup {
     * [[Multimodal.MaxProbeChunks]] contract applied here. */
   val MaxProbeSigs: Long = 4000000L
 
+  /** Fail-fast ceiling on the benchmark side of the fuzzy decontamination
+    * family ([[decontaminateFuzzy]]/[[decontaminateFuzzyAt]]): the
+    * benchmark's banded signatures broadcast to every corpus task. */
+  val MaxBenchSigs: Long = 4000000L
+
   /** Persist a banded MinHash dedup index PARTITIONED BY (band, bucket =
     * pmod(hash60(sig), nBuckets)) — the on-disk deployment shape of the
     * incremental-dedup production path ([[buildMinHashIndex]]'s scaladoc:
@@ -424,12 +429,35 @@ object Dedup {
                          idCol: String, textCol: String, k: Int = 3,
                          numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.5,
-                         maxDf: Long = DefaultMaxDf): DataFrame = {
+                         maxDf: Long = DefaultMaxDf,
+                         maxBenchSigs: Long = MaxBenchSigs): DataFrame = {
+    val bsh = OpUtil.shared(cappedShingles(benchmark, idCol, textCol, k, maxDf))
+    val bSigs = OpUtil.shared(bandedSignatures(bsh, numHashes, bands))
+    fuzzyDecontCore(cappedShingles(corpus, idCol, textCol, k, maxDf),
+      bSigs, bsh, idCol, numHashes, bands, threshold, maxBenchSigs)
+  }
+
+  /** Shared verify-join core of the fuzzy decontamination family: corpus
+    * shingles vs a (signatures, shingles) benchmark artifact — in memory
+    * ([[decontaminateFuzzy]]) or from a persisted index
+    * ([[decontaminateFuzzyAt]]). The benchmark's banded signatures
+    * BROADCAST, so like every input-proportional broadcast in this repo the
+    * size is contract-capped with a named knob (`maxBenchSigs`, house style
+    * of `maxProbeSigs`/`maxProbeChunks`): a pathological "benchmark suite"
+    * fails fast instead of OOMing the broadcast silently. */
+  private def fuzzyDecontCore(c: DataFrame, bSigs: DataFrame, bsh: DataFrame,
+                              idCol: String, numHashes: Int, bands: Int,
+                              threshold: Double, maxBenchSigs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = cappedShingles(corpus, idCol, textCol, k, maxDf)
-    val bsh = cappedShingles(benchmark, idCol, textCol, k, maxDf)
+    val nSigs = bSigs.count() // bSigs arrives shared/persisted — one cheap job
+    if (nSigs > maxBenchSigs) throw new IllegalArgumentException(
+      s"decontaminateFuzzy: benchmark side signed to $nSigs banded-signature " +
+        s"rows > maxBenchSigs=$maxBenchSigs — the benchmark's signatures " +
+        "BROADCAST to every corpus task (benchmark suites only); raise " +
+        "maxBenchSigs if every executor can hold it, or use minHashNearDups " +
+        "for corpus-vs-corpus near-dup joins")
     val cands = bandedSignatures(c, numHashes, bands).as("a")
-      .join(broadcast(bandedSignatures(bsh, numHashes, bands).as("b")),
+      .join(broadcast(bSigs.as("b")),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc").as("i"), col("b.doc").as("j"))
       .distinct()
@@ -447,6 +475,50 @@ object Dedup {
     val w = Window.partitionBy("i").orderBy(col("jaccard").desc, col("j").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
       .select(col("i").as(idCol), col("j").as("bench_doc"), col("jaccard"))
+  }
+
+  /** Persist the BENCHMARK half of [[decontaminateFuzzy]] as a transactional
+    * index — the [[decontaminateBloom]] posture applied to the fuzzy family:
+    * shingle + sign the benchmark suite ONCE, then screen tomorrow's crawl
+    * against the artifact without re-reading benchmark text. Two trees ride
+    * one [[IndexCommit]] pointer: the banded signatures (main, broadcast at
+    * probe time) and the benchmark shingles (sidecar, the Jaccard-verify
+    * side), plus a params sidecar so a probe can never mismatch
+    * k/numHashes/bands with the build. */
+  def writeFuzzyDecontIndex(benchmark: DataFrame, idCol: String, textCol: String,
+                            dir: String, k: Int = 3, numHashes: Int = 16,
+                            bands: Int = 4, maxDf: Long = DefaultMaxDf): Unit = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val bsh = OpUtil.shared(cappedShingles(benchmark, idCol, textCol, k, maxDf))
+    val paramsName = IndexCommit.sidecarName(dir, "params")
+    Seq((k, numHashes, bands, maxDf, benchmark.schema(idCol).dataType.catalogString))
+      .toDF("k", "num_hashes", "bands", "max_df", "id_type")
+      .write.mode("overwrite").parquet(s"$dir/$paramsName")
+    val shinglesName = IndexCommit.sidecarName(dir, "shingles")
+    bsh.write.mode("overwrite").parquet(s"$dir/$shinglesName")
+    IndexCommit.commitBase(dir, "sigs",
+      Map("params" -> paramsName, "shingles" -> shinglesName)) { tree =>
+      bandedSignatures(bsh, numHashes, bands)
+        .write.mode("overwrite").parquet(tree)
+    }
+  }
+
+  /** [[decontaminateFuzzy]] against a [[writeFuzzyDecontIndex]] artifact:
+    * same flags, same scores — the benchmark text is never touched. */
+  def decontaminateFuzzyAt(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, corpus: DataFrame, idCol: String,
+                           textCol: String, threshold: Double = 0.5,
+                           maxBenchSigs: Long = MaxBenchSigs,
+                           version: Option[Long] = None): DataFrame = {
+    val snap = IndexCommit.readSnapshot(dir, "sigs", version)
+    val p = spark.read.parquet(snap.sidecar("params")).collect().head
+    val (k, nh, bands, maxDf) = (p.getAs[Int]("k"), p.getAs[Int]("num_hashes"),
+      p.getAs[Int]("bands"), p.getAs[Long]("max_df"))
+    val bSigs = snap.dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val bsh = spark.read.parquet(snap.sidecar("shingles"))
+    fuzzyDecontCore(cappedShingles(corpus, idCol, textCol, k, maxDf),
+      bSigs, bsh, idCol, nh, bands, threshold, maxBenchSigs)
   }
 
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,

@@ -282,7 +282,12 @@ object Similarity {
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
     var off = Double.MaxValue
-    while (sweep < 64 && off > 1e-14) {
+    // RELATIVE convergence: an absolute 1e-14 would never converge for
+    // large-magnitude feature scales (off-diagonals bottom out at
+    // eps·‖A‖, not at eps) and over-iterate for tiny ones
+    val frob = math.sqrt(m0.iterator.flatMap(_.iterator).map(x => x * x).sum)
+    val tol = 1e-14 * math.max(1.0, frob)
+    while (sweep < 64 && off > tol) {
       off = 0.0
       var p = 0
       while (p < d - 1) {
@@ -292,10 +297,15 @@ object Similarity {
           off = math.max(off, math.abs(apq))
           if (math.abs(apq) > 1e-300) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
-              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
-              case x => x
-            }
+            // |theta| past ~1e150: theta² overflows, and the -Inf fallback
+            // would compute 1/(-Inf + Inf) = NaN, poisoning the whole
+            // decomposition — use the asymptotic rotation t = 1/(2θ)
+            val t =
+              if (math.abs(theta) > 1e150) 1.0 / (2.0 * theta)
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case x => x
+              }
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var i = 0

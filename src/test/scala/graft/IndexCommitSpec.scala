@@ -687,4 +687,31 @@ class IndexCommitSpec extends SparkTestBase {
       "pre-rebuild trees must survive until vacuum")
     assert(searchSet(root).nonEmpty)
   }
+
+  test("fuzzy decont index: persisted probe ≡ in-memory probe; oversized benchmark fails naming maxBenchSigs") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf("documents")).limit(200)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val root = tmpDir("ixc-fuzzy-")
+    Dedup.writeFuzzyDecontIndex(bench, "doc_id", "text", root, k = 3,
+      numHashes = 16, bands = 4)
+    def keyed(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+    val persisted = keyed(Dedup.decontaminateFuzzyAt(spark, root, docs,
+      "doc_id", "text", threshold = 0.4))
+    val inMemory = keyed(Dedup.decontaminateFuzzy(docs, bench, "doc_id",
+      "text", k = 3, numHashes = 16, bands = 4, threshold = 0.4))
+    assert(persisted == inMemory && persisted.nonEmpty)
+    // the benchmark side BROADCASTS — past the contract cap the probe must
+    // fail fast naming the knob, never OOM the broadcast silently
+    val e = intercept[IllegalArgumentException](
+      Dedup.decontaminateFuzzyAt(spark, root, docs, "doc_id", "text",
+        threshold = 0.4, maxBenchSigs = 1L).collect())
+    assert(e.getMessage.contains("maxBenchSigs"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.decontaminateFuzzy(docs, bench, "doc_id", "text",
+        maxBenchSigs = 1L).collect())
+    assert(e2.getMessage.contains("maxBenchSigs"))
+  }
 }
