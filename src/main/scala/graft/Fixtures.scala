@@ -2161,6 +2161,36 @@ object Fixtures {
       ()
     }
 
+  /** Full PD-metadata migration-in ([[graft.eslog.EsCatalog.ingestPdSnapshot]]
+    * + [[EsLog.backfillObjects]]): the source deployment's state is a
+    * synthetic etcd dump — stream 95 with replica 2, a 1-day retention, trim
+    * at n/5, a sealed range `[n/5, n/2)` under epoch 3 and an open range
+    * `[n/2, -1)` under epoch 4 (official-FlatBufferBuilder values, the PD's
+    * exact key formats) — plus the source's offload bucket (the events
+    * stream exported as reference-layout objects, embedded offsets ==
+    * event ids). Metadata ingests FIRST (boundaries, epochs, trim, config),
+    * then the bucket backfills AT ORIGINAL OFFSETS under those boundaries:
+    * pre-trim objects drop, everything else lands in its declared range.
+    * Returns the catalog root; the migrated stream is `pd-95`. */
+  def pdMigrationCatalog(s: SparkSession, sfDir: String): String =
+    fixture(sfDir, "pd-migration") { dir =>
+      import graft.model.PdSnapshot
+      import graft.model.PdSnapshot.{PdRange, PdStream}
+      import s.implicits._
+      val src = eventsStream(s, sfDir)
+      val objs = EsLog.exportObjects(s, src,
+        maxObjectBytes = 64 * 1024, sparseBytes = 4096)
+      val n = events(s, sfDir).count()
+      val kvs = PdSnapshot.renderStream(PdStream(95L, 2, 1, 86400000L), Seq(
+        PdRange(95L, 3L, 0, n / 5, n / 2, Seq(1, 2)),
+        PdRange(95L, 4L, 1, n / 2, -1L, Seq(2))))
+      val cat = new graft.eslog.EsCatalog(MetaLog.join(dir, "cat"))
+      cat.ingestPdSnapshot(s, kvs.toDF("key", "value"))
+      EsLog.backfillObjects(s, cat.streamDir("pd-95"),
+        objs.select(col("obj")), epoch = 4L)
+      ()
+    }
+
   /** Deterministic REAL WAV payload for doc `id`: a genuine RIFF/WAVE file
     * (PCM16 mono, 8 kHz), n = 64 + id % 128 samples,
     * s_i = ((id·31 + i·17) mod 2048) − 1024 — closed-form, so the DuckDB

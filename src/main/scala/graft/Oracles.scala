@@ -63,6 +63,32 @@ object Oracles {
   private val esIngestWal =
     "SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props FROM events"
 
+  // PD metadata migration (Fixtures.pdMigrationCatalog): stream 95, replica
+  // 2, 1-day retention; trim = n/5 (the first range's start), sealed range
+  // [n/5, n/2) under epoch 3, open range [n/2, -1) under epoch 4; stream
+  // epoch = the last range's. After backfill, per-range record counts are
+  // the range spans (single-record batches).
+  private val esIngestPd =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events)
+      |SELECT CAST(95 AS BIGINT) AS stream_id, CAST(4 AS BIGINT) AS epoch,
+      |       CAST(2 AS BIGINT) AS replica, CAST(1 AS BIGINT) AS ack_count,
+      |       CAST(86400000 AS BIGINT) AS retention_ms,
+      |       c // 5 AS start_offset, c AS next_offset,
+      |       CAST(0 AS BIGINT) AS seg_index, c // 5 AS seg_start,
+      |       c // 2 AS seg_end, true AS sealed, c // 2 - c // 5 AS n_records
+      |FROM n
+      |UNION ALL
+      |SELECT CAST(95 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT),
+      |       CAST(1 AS BIGINT), CAST(86400000 AS BIGINT),
+      |       c // 5, c, CAST(1 AS BIGINT), c // 2, CAST(-1 AS BIGINT),
+      |       false, c - c // 2
+      |FROM n""".stripMargin
+
+  // the data half: original offsets survive the migration, pre-trim drops
+  private val esPdBackfill =
+    """SELECT event_id AS base_offset, epoch_ms(ts) AS ts_ms, event_type, props
+      |FROM events WHERE event_id >= (SELECT count(*) // 5 FROM events)""".stripMargin
+
   // migration-out round trips re-assign offsets contiguously after the
   // embedded-offset sort, so base_offset == event_id again
   private val esExportObject =
@@ -2422,6 +2448,8 @@ object Oracles {
     "es_idempotent" -> esIdempotent,
     "es_codec" -> esCodec,
     "es_ingest_object" -> esIngestObject,
+    "es_ingest_pd" -> esIngestPd,
+    "es_pd_backfill" -> esPdBackfill,
     "es_ingest_wal" -> esIngestWal,
     "es_export_object" -> esExportObject,
     "es_export_wal" -> esExportWal,

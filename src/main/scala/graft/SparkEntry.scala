@@ -198,6 +198,39 @@ object SparkEntry {
       col("payload").cast("string").as("props"))
   }
 
+  /** PD etcd metadata snapshot ingest ([[Fixtures.pdMigrationCatalog]]):
+    * the migrated stream's metadata — config, epochs, trim, per-range
+    * boundaries and per-range record counts — exactly as the source
+    * deployment's PD declared them. One row per imported segment. */
+  private def qEsIngestPd(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.pdMigrationCatalog(s, sfDir)
+    val cat = new graft.eslog.EsCatalog(graft.meta.MetaLog.join(root, "cat"))
+    val st = graft.meta.MetaLog.load(cat.streamDir("pd-95"))
+    import s.implicits._
+    st.segments.map { seg =>
+      (st.streamId, st.epoch, st.replica.toLong, st.ackCount.toLong, st.retentionMs,
+        st.startOffset, st.nextOffset, seg.index.toLong, seg.start,
+        seg.sealedEnd.getOrElse(-1L), seg.sealedEnd.isDefined,
+        seg.files.map(_.rows).sum)
+    }.toDF("stream_id", "epoch", "replica", "ack_count", "retention_ms",
+      "start_offset", "next_offset", "seg_index", "seg_start", "seg_end",
+      "sealed", "n_records")
+  }
+
+  /** The data half of the PD migration: the backfilled stream scans at its
+    * ORIGINAL offsets (base_offset == source event id), pre-trim records
+    * dropped — consumer positions and offset-addressed readers survive the
+    * migration unmoved. */
+  private def qEsPdBackfill(s: SparkSession, sfDir: String): DataFrame = {
+    val root = Fixtures.pdMigrationCatalog(s, sfDir)
+    val cat = new graft.eslog.EsCatalog(graft.meta.MetaLog.join(root, "cat"))
+    EsLog.scan(s, cat.streamDir("pd-95")).select(
+      col("base_offset"),
+      col("base_timestamp").as("ts_ms"),
+      col("properties")("event_type").as("event_type"),
+      col("payload").cast("string").as("props"))
+  }
+
   /** Reference WAL-segment interop ([[EsLog.ingestWal]]): golden segments in
     * the store's record framing (CRC | Size(3B) | Type | Payload,
     * record.rs:3-38) recovered through the CRC-checked scan — with real
@@ -2206,6 +2239,8 @@ object SparkEntry {
     "es_codec" -> (qEsCodec _),
     "es_ingest_object" -> (qEsIngestObject _),
     "es_ingest_wal" -> (qEsIngestWal _),
+    "es_ingest_pd" -> (qEsIngestPd _),
+    "es_pd_backfill" -> (qEsPdBackfill _),
     "es_export_object" -> (qEsExportObject _),
     "es_export_wal" -> (qEsExportWal _),
     "es_stream_export" -> (qEsStreamExport _),

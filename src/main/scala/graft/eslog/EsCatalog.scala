@@ -364,6 +364,139 @@ final class EsCatalog(val root: String) {
       StructField("status", StringType, nullable = false))))
   }
 
+  // ---- PD metadata snapshot: migration-in (and its export twin) ----
+
+  /** Ingest a PD etcd metadata snapshot — the METADATA half of migration-in.
+    *
+    * `kv` carries the dump as `(key, value)` rows (key string or binary,
+    * value binary — the shape any etcd export tool emits). Recognized keys
+    * ([[graft.model.PdSnapshot]]): stream records under `streams/<id>`
+    * (FlatBuffers `Stream`, endpoint/stream.go:17-24), range records under
+    * `s/<id>/ranges/<idx>` (FlatBuffers `Range`, endpoint/range.go:20-33).
+    * The by-server index keys (`rs/...`, nil values) and any other PD keys
+    * (cluster id, server registrations, leases) are IGNORED — they describe
+    * the source cluster's topology, which has no analogue here.
+    *
+    * Per stream: a catalog entry `<namePrefix><id>` is created PRESERVING
+    * the PD stream id, replica/ack/retention config rides along, and the
+    * range records replay as [[graft.meta.ImportSegment]] actions — epochs,
+    * boundaries, trim (= first range's start, the PD's trim semantics) and
+    * next offset (= last range's sealed end) all land exactly as the source
+    * deployment declared them. The catalog's id allocator is bumped past
+    * the largest ingested id so future creations can never collide. Data
+    * then arrives through [[EsLog.backfillObjectDir]]/[[EsLog
+    * .backfillWalDir]] at its ORIGINAL offsets, under this metadata.
+    *
+    * The dump is metadata-scale (streams + ranges, not data) and is
+    * collected to the driver under the house fail-fast knob `maxEntries`.
+    *
+    * @return one row per ingested stream `(name, stream_id, replica,
+    *         ack_count, retention_ms, epoch, start_offset, next_offset,
+    *         n_ranges, status)` — status `OK`, `ALREADY_EXISTS` (idempotent
+    *         re-ingest: stream + segments already present), or
+    *         `ORPHAN_RANGES` (ranges with no stream record: nothing
+    *         created, reported loudly). Name-ordered. */
+  def ingestPdSnapshot(spark: SparkSession, kv: DataFrame,
+                       rootPath: String = "", namePrefix: String = "pd-",
+                       maxEntries: Long = 1000000L): DataFrame = {
+    import graft.model.PdSnapshot
+    import graft.model.PdSnapshot.{PdKey, PdRange, PdStream}
+    import org.apache.spark.sql.functions.col
+    val n = kv.count()
+    if (n > maxEntries) throw new IllegalArgumentException(
+      s"ingestPdSnapshot: $n etcd entries > maxEntries=$maxEntries — the " +
+        "metadata snapshot collects to the driver (streams + ranges are " +
+        "metadata-scale); raise maxEntries if the driver can hold it, or " +
+        "pre-filter the dump to the streams/ and s/ keyspaces")
+    val prefix = if (rootPath.isEmpty) "" else rootPath.stripSuffix("/") + "/"
+    val entries = kv.select(col(kv.columns(0)).cast("string").as("k"),
+        col(kv.columns(1)).cast("binary").as("v"))
+      .collect()
+      .flatMap { r =>
+        val key = r.getString(0)
+        if (key == null) None
+        else if (prefix.nonEmpty && !key.startsWith(prefix)) None
+        else Some((PdSnapshot.parseKey(key.stripPrefix(prefix)), r.getAs[Array[Byte]](1)))
+      }
+    val streams: Map[Long, PdStream] = entries.collect {
+      case (PdKey.Stream(id), v) if v != null && v.nonEmpty =>
+        id -> PdSnapshot.decodeStream(v)
+    }.toMap
+    val rangesByStream: Map[Long, Seq[PdRange]] = entries.collect {
+      case (PdKey.Range(sid, _), v) if v != null && v.nonEmpty =>
+        sid -> PdSnapshot.decodeRange(v)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_.index)).toMap
+
+    // bump the id allocator past every ingested id, ONE CAS
+    val maxId = (streams.keys ++ rangesByStream.keys).foldLeft(-1L)(math.max)
+    if (maxId >= 0) MetaLog.commitWithRetry(root) { st =>
+      val cur = st.kv.get(IdKey).map(_.toLong).getOrElse(0L)
+      if (cur <= maxId) Seq(KvPut(IdKey, (maxId + 1).toString)) else Seq.empty
+    }
+
+    val rows = streams.toSeq.sortBy(_._1).map { case (id, ps) =>
+      val name = s"$namePrefix$id"
+      val ranges = rangesByStream.getOrElse(id, Seq.empty)
+      val (_, created) = createStreamIfAbsent(name, math.max(ps.replica, 1),
+        math.max(ps.ackCount, 1), ps.retentionMs, withId = Some(id))
+      val dir = streamDir(name)
+      val status =
+        if (created) {
+          if (ranges.nonEmpty) MetaLog.commitWithRetry(dir) { st =>
+            if (st.segments.nonEmpty) Seq.empty // lost a race to a twin ingest
+            else ranges.map(r => ImportSegment(r.index, r.start,
+              if (r.end >= 0) Some(r.end) else None, math.max(r.epoch, 0L)))
+          }
+          "OK"
+        } else "ALREADY_EXISTS"
+      val st = MetaLog.load(dir)
+      Row(name, id, ps.replica, ps.ackCount, ps.retentionMs, st.epoch,
+        st.startOffset, st.nextOffset, ranges.size.toLong, status)
+    }
+    val orphans = (rangesByStream.keySet -- streams.keySet).toSeq.sorted.map { id =>
+      Row(s"$namePrefix$id", id, 0, 0, 0L, 0L, 0L, 0L,
+        rangesByStream(id).size.toLong, "ORPHAN_RANGES")
+    }
+    spark.createDataFrame((rows ++ orphans).sortBy(_.getString(0)).asJava, PdIngestSchema)
+  }
+
+  /** Export this catalog's metadata AS a PD etcd snapshot — the migration-
+    * OUT twin of [[ingestPdSnapshot]]: every registered stream renders to
+    * its `streams/<id>` record and `s/<id>/ranges/<idx>` range records in
+    * the PD's exact key/value layout ([[graft.model.PdSnapshot
+    * .renderStream]]), so a reference deployment (or another graft catalog)
+    * can adopt this catalog's streams. Round-trips through
+    * [[ingestPdSnapshot]] losslessly (PdSnapshotSpec pins it). */
+  def exportPdSnapshot(spark: SparkSession): DataFrame = {
+    import graft.model.PdSnapshot
+    import graft.model.PdSnapshot.{PdRange, PdStream}
+    val kvs = namedStates().sortBy(_._2.streamId).filterNot(_._2.deleted)
+      .flatMap { case (_, st) =>
+        val ps = PdStream(st.streamId, st.replica, st.ackCount, st.retentionMs)
+        val ranges = st.segments.map { seg =>
+          PdRange(st.streamId, seg.epoch, seg.index, seg.start,
+            seg.sealedEnd.getOrElse(-1L), Seq.empty)
+        }
+        PdSnapshot.renderStream(ps, ranges)
+      }
+    spark.createDataFrame(
+      kvs.map { case (k, v) => Row(k, v) }.asJava,
+      StructType(Seq(StructField("key", StringType, nullable = false),
+        StructField("value", BinaryType, nullable = false))))
+  }
+
+  private val PdIngestSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("stream_id", LongType, nullable = false),
+    StructField("replica", IntegerType, nullable = false),
+    StructField("ack_count", IntegerType, nullable = false),
+    StructField("retention_ms", LongType, nullable = false),
+    StructField("epoch", LongType, nullable = false),
+    StructField("start_offset", LongType, nullable = false),
+    StructField("next_offset", LongType, nullable = false),
+    StructField("n_ranges", LongType, nullable = false),
+    StructField("status", StringType, nullable = false)))
+
   private val ListSchema = StructType(Seq(
     StructField("name", StringType), StructField("stream_id", LongType),
     StructField("epoch", LongType), StructField("start_offset", LongType),

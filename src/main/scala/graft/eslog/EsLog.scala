@@ -966,6 +966,293 @@ object EsLog {
     ingestWal(spark, streamDir, segs, epoch, sortByEmbeddedOffset)
   }
 
+  // ---- migration-in: offset-preserving backfill under imported metadata ----
+
+  /** Boundary-aligned range partitioner for [[backfill]]: ascending cut
+    * points (segment attach points + size-targeted internal splits);
+    * partition p holds offsets in `[cuts(p), cuts(p+1))`, so no partition
+    * ever straddles a segment boundary. */
+  private final class OffsetCutPartitioner(cuts: Array[Long])
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = cuts.length
+    def getPartition(key: Any): Int = {
+      var i = java.util.Arrays.binarySearch(cuts, key.asInstanceOf[Long])
+      if (i < 0) i = -i - 2
+      math.max(0, i)
+    }
+  }
+
+  /** Offset-PRESERVING ingest under imported segment boundaries — the data
+    * half of migration-in. Where [[ingestObjects]]/[[ingestWal]] RE-ASSIGN
+    * offsets through the normal append path (right for bootstrapping a fresh
+    * stream), a real migration first ingests the PD's metadata snapshot
+    * ([[EsCatalog.ingestPdSnapshot]] — stream config, range boundaries,
+    * epochs, trim) and then needs the bucket/WAL data to land AT ITS
+    * ORIGINAL OFFSETS inside those boundaries, so consumer-group positions,
+    * time-index entries and offset-addressed readers keep working unmoved.
+    *
+    * Input rows must carry `base_offset` (embedded in the source's objects/
+    * WAL frames); `payload`/`properties`/`last_offset_delta`/
+    * `base_timestamp`/`flags` follow [[append]]'s normalize rules. Per row:
+    *  - offsets below the trim point (pre-trim leftovers in the bucket) are
+    *    DROPPED silently — the source already considered them gone;
+    *  - offsets inside a segment's already-backfilled prefix are DROPPED
+    *    (idempotent re-ingest of the same bucket);
+    *  - offsets beyond the last imported boundary FAIL the job — data the
+    *    metadata never declared is a mixed-up migration, not a tail.
+    *
+    * Scale shape: one boundary-aligned shuffle. Rows classify to segments
+    * executor-side against the broadcast boundary table (metadata-scale),
+    * partition cut points align to segment attach points plus size-targeted
+    * internal splits, and the two post-shuffle passes (stats, write) reuse
+    * one shuffle exactly like [[append]]'s prefix-sum idiom. Contiguity is
+    * validated in-pass (executor) and across partitions (driver) BEFORE any
+    * file is written; the manifest commit is one CAS carrying one
+    * [[graft.meta.BackfillFiles]] action per touched segment.
+    *
+    * @return number of record batches backfilled (0 = everything already
+    *         present). */
+  def backfill(spark: SparkSession, streamDir: String, input: DataFrame,
+               epoch: Long,
+               targetFileBytes: Long = DefaultTargetFileBytes): Long = {
+    val st = MetaLog.load(streamDir)
+    if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
+    if (epoch < st.epoch) throw new FencedException(s"backfill epoch $epoch < ${st.epoch}")
+    require(st.segments.nonEmpty,
+      s"backfill into $streamDir needs segments (EsCatalog.ingestPdSnapshot or open first)")
+
+    // (index, start, endExclusive, attachPoint) per segment, start-ordered —
+    // bounded by segment count (metadata-scale), broadcast below
+    val spans = st.segments
+      .map(s => (s.index, s.start, s.sealedEnd.getOrElse(Long.MaxValue), s.confirmedEnd))
+      .sortBy(_._2).toArray
+    val streamId = if (st.streamId >= 0) st.streamId else DefaultStreamId
+
+    def have(n: String) = input.columns.exists(_.equalsIgnoreCase(n))
+    require(have("base_offset"), "backfill requires embedded base_offset")
+    def get(n: String, d: org.apache.spark.sql.Column) = if (have(n)) col(n) else d
+    val batches = input.select(
+      lit(streamId).as("stream_id"),
+      get("flags", lit(0)).cast(ShortType).as("flags"),
+      col("base_offset").cast(LongType).as("base_offset"),
+      get("last_offset_delta", lit(1)).cast(IntegerType).as("last_offset_delta"),
+      get("base_timestamp", lit(0L)).cast(LongType).as("base_timestamp"),
+      get("properties", map()).cast(MapType(StringType, StringType)).as("properties"),
+      col("payload").cast(BinaryType).as("payload"))
+    val fileCountEst = sizeTargetedCount(batches, targetFileBytes)
+
+    val offIdx = 2; val deltaIdx = 3; val tsIdx = 4
+    val sc = spark.sparkContext
+    val spansB = sc.broadcast(spans)
+    // classify + drop covered/pre-trim rows; key by embedded offset
+    val kept = org.apache.spark.sql.graftshim.GraftShims.internalRdd(batches)
+      .mapPartitions { it =>
+        val sp = spansB.value
+        val startsL = sp.map(_._2)
+        it.flatMap { r =>
+          val off = r.getLong(offIdx)
+          var i = java.util.Arrays.binarySearch(startsL, off)
+          if (i < 0) i = -i - 2
+          if (i < 0) None // below the trim point: the source dropped these
+          else {
+            val (idx, _, e0, attach) = sp(i)
+            if (off >= e0)
+              throw new OutOfOrderException(
+                s"record at offset $off beyond the last imported boundary $e0 " +
+                  s"(segment $idx) — data the metadata snapshot never declared")
+            else if (off < attach) None // already backfilled: idempotent re-run
+            else Some((off, r.copy()))
+          }
+        }
+      }
+
+    // pass 0: per-segment (count, minOff, maxEndOff) for split planning —
+    // bounded output: partitions × segments
+    val segAgg = kept.mapPartitions { it =>
+      val sp = spansB.value
+      val startsL = sp.map(_._2)
+      def segAt(off: Long): Int = {
+        var i = java.util.Arrays.binarySearch(startsL, off)
+        if (i < 0) i = -i - 2
+        i
+      }
+      val m = scala.collection.mutable.Map.empty[Int, (Long, Long, Long)]
+      it.foreach { case (off, r) =>
+        val si = segAt(off)
+        val end = off + r.getInt(deltaIdx)
+        val cur = m.getOrElse(si, (0L, Long.MaxValue, Long.MinValue))
+        m(si) = (cur._1 + 1, math.min(cur._2, off), math.max(cur._3, end))
+      }
+      m.iterator
+    }.collect()
+      .groupBy(_._1).map { case (si, parts) =>
+        si -> ((parts.map(_._2._1).sum, parts.map(_._2._2).min, parts.map(_._2._3).max))
+      }
+    if (segAgg.isEmpty) return 0L
+    val totalCnt = segAgg.values.map(_._1).sum
+
+    // cut points: each segment's attach point, plus offset-uniform internal
+    // splits proportional to its row share (offsets are near-dense, so
+    // offset-uniform ≈ row-uniform)
+    val totalFiles = fileCountEst.getOrElse(
+      math.max(1L, totalCnt / 500000L).min(1 << 16).toInt)
+    val cuts = Array.newBuilder[Long]
+    spans.indices.foreach { si =>
+      segAgg.get(si).foreach { case (cnt, mn, mx) =>
+        val k = math.max(1, math.round(totalFiles.toDouble * cnt / totalCnt).toInt)
+        val lo = math.max(mn, spans(si)._4)
+        cuts += lo
+        (1 until k).foreach(j => cuts += lo + (mx - lo) / k * j)
+      }
+    }
+    val cutArr = cuts.result().distinct.sorted
+    val shuffled = kept.repartitionAndSortWithinPartitions(new OffsetCutPartitioner(cutArr))
+
+    // pass 1 (stats + in-partition contiguity): one bounded row per partition
+    val partStats = shuffled.mapPartitionsWithIndex { (pid, it) =>
+      val sp = spansB.value
+      val startsL = sp.map(_._2)
+      def segAt(off: Long): Int = {
+        var i = java.util.Arrays.binarySearch(startsL, off)
+        if (i < 0) i = -i - 2
+        i
+      }
+      var n = 0L; var minOff = -1L; var expect = -1L; var segIdx = -1
+      var minTs = Long.MaxValue; var maxTs = Long.MinValue; var maxD = 0
+      it.foreach { case (off, r) =>
+        if (n == 0L) { minOff = off; segIdx = segAt(off) }
+        else if (off != expect)
+          throw new OutOfOrderException(
+            s"gap inside backfill partition $pid: expected offset $expect, got $off")
+        val d = r.getInt(deltaIdx)
+        expect = off + d; n += 1
+        if (d > maxD) maxD = d
+        val ts = r.getLong(tsIdx)
+        if (ts < minTs) minTs = ts
+        if (ts > maxTs) maxTs = ts
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.single((pid, segIdx, n, minOff, expect, minTs, maxTs, maxD))
+    }.collect().sortBy(_._4)
+
+    // driver validation BEFORE any file is written: per segment the
+    // partition chain must attach exactly at the segment's confirmed end,
+    // be gap-free across partitions, and respect the imported sealed end
+    partStats.groupBy(_._2).foreach { case (si, parts) =>
+      val ordered = parts.sortBy(_._4)
+      val (idx, _, e0, attach) = spans(si)
+      if (ordered.head._4 != attach)
+        throw new OutOfOrderException(
+          s"backfill of segment $idx starts at ${ordered.head._4}, " +
+            s"confirmed end is $attach — gap or missing prefix in the source data")
+      ordered.toSeq.sliding(2).foreach {
+        case Seq(a, b) if a._5 != b._4 =>
+          throw new OutOfOrderException(
+            s"gap between backfill partitions of segment $idx: ${a._5} != ${b._4}")
+        case _ => ()
+      }
+      if (e0 != Long.MaxValue && ordered.last._5 > e0)
+        throw new OutOfOrderException(
+          s"backfill of segment $idx runs to ${ordered.last._5}, past its sealed end $e0")
+    }
+
+    // pass 2 (write): same shuffle output, one parquet file per partition
+    val outRel = s"backfill/${UUID.randomUUID().toString.take(8)}"
+    val outAbs = join(streamDir, outRel)
+    val assigned = shuffled.mapPartitions { it =>
+      val sp = spansB.value
+      val startsL = sp.map(_._2)
+      def segAt(off: Long): Int = {
+        var i = java.util.Arrays.binarySearch(startsL, off)
+        if (i < 0) i = -i - 2
+        i
+      }
+      it.map { case (off, r) =>
+        val values = new Array[Any](8)
+        values(0) = if (r.isNullAt(0)) null else r.getLong(0)
+        values(1) = sp(segAt(off))._1
+        values(2) = if (r.isNullAt(1)) null else r.getShort(1)
+        values(3) = off
+        values(4) = r.getInt(deltaIdx)
+        values(5) = if (r.isNullAt(tsIdx)) null else r.getLong(tsIdx)
+        values(6) = if (r.isNullAt(5)) null else r.getMap(5)
+        values(7) = if (r.isNullAt(6)) null else r.getBinary(6)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.graftshim.GraftShims
+      .dfFromInternalRdd(spark, assigned, RecordBatchRow.schema)
+      .write.mode("errorifexists")
+      .option("parquet.block.size", (16L * 1024 * 1024).toString)
+      .option("maxRecordsPerFile", "0")
+      .parquet(outAbs)
+
+    try {
+      val files = commitFileMetas(spark, streamDir, outRel, outAbs,
+        partStats.toSeq.map { case (pid, _, n, mn, end, minTs, maxTs, maxD) =>
+          (pid, n, mn, end, minTs, maxTs, maxD)
+        })
+      // one BackfillFiles per touched segment, all in ONE CAS commit
+      val bySeg = partStats.map(p => p._4 -> p._2).toMap // minOff -> segIdx
+      val actions = files.groupBy(f => spans(bySeg(f.startOffset))._1)
+        .toSeq.sortBy(_._1)
+        .map { case (segIndex, fs) => BackfillFiles(segIndex, epoch, fs.sortBy(_.startOffset)) }
+      MetaLog.commit(streamDir, st, actions)
+      partStats.map(_._3).sum
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val landed = MetaLog.load(streamDir).allFiles.map(_.path).toSet
+        if (!landed.exists(_.startsWith(outRel))) deleteRecursively(outAbs)
+        throw e
+    }
+  }
+
+  /** [[backfill]] from RAW reference tiered objects (the bucket a source
+    * deployment offloaded to) — decode on the executors, offsets preserved. */
+  def backfillObjects(spark: SparkSession, streamDir: String, objects: DataFrame,
+                      epoch: Long): Long = {
+    import spark.implicits._
+    backfill(spark, streamDir,
+      objects.select(col("obj").cast(BinaryType)).as[Array[Byte]]
+        .flatMap(bytes => graft.model.TieredObject.decodeAll(bytes)).toDF(), epoch)
+  }
+
+  /** [[backfillObjects]] over a bucket DIRECTORY (recursive, like
+    * [[ingestObjectDir]] — the reference's nested key scheme). */
+  def backfillObjectDir(spark: SparkSession, streamDir: String, objDir: String,
+                        epoch: Long): Long = {
+    val objs = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(objDir)
+      .select(col("content").as("obj"))
+    backfillObjects(spark, streamDir, objs, epoch)
+  }
+
+  /** [[backfill]] from RAW WAL segment rows `(wal_offset, seg)` — the
+    * CRC-checked recovery scan of [[ingestWal]], offsets preserved. */
+  def backfillWal(spark: SparkSession, streamDir: String, segments: DataFrame,
+                  epoch: Long): Long = {
+    import spark.implicits._
+    backfill(spark, streamDir, segments
+      .select(col("wal_offset").cast(LongType), col("seg").cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (walOffset, bytes) =>
+        graft.model.WalSegment.scanSegment(bytes, walOffset).payloads
+          .flatMap(p => graft.model.FlatRecordBatch.decodeAll(p))
+      }.toDF(), epoch)
+  }
+
+  /** [[backfillWal]] over a store DIRECTORY (names = base WAL offsets,
+    * the reference's own naming — like [[ingestWalDir]]). */
+  def backfillWalDir(spark: SparkSession, streamDir: String, walDir: String,
+                     epoch: Long): Long = {
+    val segs = spark.read.format("binaryFile").load(walDir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)$", 1).cast(LongType).as("wal_offset"),
+        col("content").as("seg"))
+    backfillWal(spark, streamDir, segs, epoch)
+  }
+
   /** SEAL_RANGE on the open segment: fix `end` = confirmed end. */
   def seal(streamDir: String): StreamState =
     MetaLog.commitWithRetry(streamDir) { st =>

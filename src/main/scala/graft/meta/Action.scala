@@ -68,6 +68,35 @@ final case class ReplaceFiles(index: Int, removed: Seq[String],
   val action = "replaceFiles"
 }
 
+/** Metadata-only segment materialization — the migration-in bootstrap
+  * ([[graft.eslog.EsCatalog.ingestPdSnapshot]]): a PD range record
+  * (rpc.fbs:392-425, etcd key `s/<streamID>/ranges/<rangeID>`) becomes a
+  * segment with EXPLICIT boundaries before any data exists. Unlike
+  * [[OpenSegment]]/[[SealSegment]] — which derive ends from committed
+  * files — an imported segment carries the SOURCE deployment's sealed end
+  * (`end = Some`) or openness (`end = None`); data arrives later through
+  * [[BackfillFiles]]. Only legal while the stream holds no data at all
+  * (pure-metadata phase), so the import can never contradict files. The
+  * first import also fixes the trim point: the source's start offsets are
+  * authoritative (PD trim advances the first range's start). */
+final case class ImportSegment(index: Int, start: Long, end: Option[Long],
+                               epoch: Long) extends Action {
+  val action = "importSegment"
+}
+
+/** Offset-PRESERVING file attach into an existing (possibly sealed,
+  * possibly non-last) segment — the data half of migration-in. The same
+  * window-contiguity rules as [[CommitFiles]] (gap-free, attaches exactly
+  * at the segment's confirmed end, idempotent retry of a committed span),
+  * but anchored at the TARGET segment instead of the open head and bounded
+  * by its imported sealed end — so bucket objects and WAL segments land
+  * under the metadata boundaries the PD snapshot declared, with their
+  * original offsets. */
+final case class BackfillFiles(index: Int, epoch: Long,
+                               files: Seq[FileMeta]) extends Action {
+  val action = "backfillFiles"
+}
+
 final case class DeleteStream() extends Action { val action = "deleteStream" }
 
 final case class UpdateStream(replica: Option[Int], ackCount: Option[Int],

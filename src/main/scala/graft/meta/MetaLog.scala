@@ -111,6 +111,12 @@ object MetaLog {
         o.put("index", i); o.put("epoch", e)
         val arr = o.putArray("files"); files.foreach(f => arr.add(fileToJson(f)))
       case SealSegment(i, end, e) => o.put("index", i); o.put("end", end); o.put("epoch", e)
+      case ImportSegment(i, st, end, e) =>
+        o.put("index", i); o.put("start", st); o.put("epoch", e)
+        end.foreach(o.put("end", _))
+      case BackfillFiles(i, e, files) =>
+        o.put("index", i); o.put("epoch", e)
+        val arr = o.putArray("files"); files.foreach(f => arr.add(fileToJson(f)))
       case Trim(m) => o.put("minOffset", m)
       case ReplaceFiles(i, removed, added) =>
         o.put("index", i)
@@ -135,6 +141,11 @@ object MetaLog {
       val files = n.get("files").elements().asScala.map(fileFromJson).toSeq
       CommitFiles(n.get("index").asInt(), n.get("epoch").asLong(), files)
     case "sealSegment" => SealSegment(n.get("index").asInt(), n.get("end").asLong(), n.get("epoch").asLong())
+    case "importSegment" => ImportSegment(n.get("index").asInt(), n.get("start").asLong(),
+      Option(n.get("end")).map(_.asLong()), n.get("epoch").asLong())
+    case "backfillFiles" =>
+      BackfillFiles(n.get("index").asInt(), n.get("epoch").asLong(),
+        n.get("files").elements().asScala.map(fileFromJson).toSeq)
     case "trim" => Trim(n.get("minOffset").asLong())
     case "replaceFiles" => ReplaceFiles(n.get("index").asInt(),
       n.get("removed").elements().asScala.map(_.asText()).toSeq,

@@ -117,6 +117,64 @@ object StreamState {
         }
         s.copy(segments = s.segments.init :+ seg.copy(files = seg.files ++ sorted))
 
+      case ImportSegment(index, start, end, epoch) =>
+        // Metadata bootstrap only (migration-in): importing boundaries into
+        // a stream that already holds data could contradict committed files.
+        require(s.segments.forall(_.files.isEmpty),
+          "segment import into a stream with data (metadata bootstrap only)")
+        end.foreach(e => require(e >= start, s"import end $e < start $start"))
+        val seg = SegmentState(index, start, epoch, end, Vector.empty)
+        val next0 = s.segments.lastOption match {
+          case Some(last) =>
+            // same chain invariants as CREATE_RANGE (range.go:188-240),
+            // against the IMPORTED ends instead of confirmed ones
+            if (!last.sealed_)
+              throw new SealedException(s"segment ${last.index} still open")
+            // MONOTONIC index (not +1): the PD deletes empty droppable
+            // ranges `[N, N)` (rpc.fbs:408-412), so a snapshot may have
+            // index gaps — offsets stay contiguous regardless
+            require(index > last.index, s"segment index $index <= ${last.index}")
+            require(start == last.sealedEnd.get, s"segment start $start != ${last.sealedEnd.get}")
+            if (epoch < last.epoch)
+              throw new FencedException(s"import epoch $epoch < previous segment's ${last.epoch}")
+            s.copy(segments = s.segments :+ seg)
+          case None =>
+            // the FIRST import fixes the trim point: offsets below the
+            // source's first range start were trimmed at the source
+            require(start >= s.startOffset, s"import start $start < trim ${s.startOffset}")
+            s.copy(startOffset = start, segments = Vector(seg))
+        }
+        // the stream epoch follows its ranges' epochs, like the PD's view
+        next0.copy(epoch = math.max(next0.epoch, epoch))
+
+      case BackfillFiles(index, epoch, files) =>
+        if (epoch < s.epoch) throw new FencedException(s"backfill epoch $epoch < stream epoch ${s.epoch}")
+        val i = s.segments.indexWhere(_.index == index)
+        require(i >= 0, s"no segment $index")
+        val seg = s.segments(i)
+        require(files.nonEmpty, "empty backfill")
+        val sorted = files.sortBy(_.startOffset)
+        val first = sorted.head.startOffset
+        if (first < seg.confirmedEnd) {
+          if (sorted.last.endOffset <= seg.confirmedEnd)
+            throw new CommittedException(s"span [$first,${sorted.last.endOffset}) already backfilled")
+          else
+            throw new OutOfOrderException(s"overlapping backfill at $first < ${seg.confirmedEnd}")
+        }
+        if (first > seg.confirmedEnd)
+          throw new OutOfOrderException(s"gap: backfill starts at $first, confirmed end ${seg.confirmedEnd}")
+        sorted.sliding(2).foreach {
+          case Seq(a0, b0) =>
+            if (a0.endOffset != b0.startOffset)
+              throw new OutOfOrderException(s"gap inside backfill: ${a0.endOffset} != ${b0.startOffset}")
+          case _ => ()
+        }
+        seg.sealedEnd.foreach { e =>
+          require(sorted.last.endOffset <= e,
+            s"backfill past sealed end: ${sorted.last.endOffset} > $e")
+        }
+        s.copy(segments = s.segments.updated(i, seg.copy(files = seg.files ++ sorted)))
+
       case SealSegment(index, end, epoch) =>
         if (epoch < s.epoch) throw new FencedException(s"seal epoch $epoch < stream epoch ${s.epoch}")
         val i = s.segments.indexWhere(_.index == index)
