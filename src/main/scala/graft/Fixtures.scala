@@ -2213,6 +2213,20 @@ object Fixtures {
       ((id + 3 * x + 7 * y + 2) % 256).toInt))
   }
 
+  /** Deterministic REAL PNG payload for doc `id`: encoded by the JDK's own
+    * pure-Java PNG writer, w = 5 + id % 7, h = 4 + id % 6, channel c at
+    * (x, y) = (id·5 + 2x + 11y + 3c) mod 256 — PNG is lossless, so the
+    * DuckDB oracle recomputes the decoded channel sums from the same
+    * arithmetic. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (5 + id % 7).toInt
+    val h = (4 + id % 6).toInt
+    graft.operators.MediaCodecs.encodePng(w, h, (x, y) => (
+      ((id * 5 + 2 * x + 11 * y) % 256).toInt,
+      ((id * 5 + 2 * x + 11 * y + 3) % 256).toInt,
+      ((id * 5 + 2 * x + 11 * y + 6) % 256).toInt))
+  }
+
   /** Batch-admin fixture: a fresh catalog driven through a mixed
     * success/already-exists create batch, a mixed delete batch, and a batch
     * describe — the captured responses land in `<dir>/responses` parquet so

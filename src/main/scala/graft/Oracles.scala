@@ -2207,6 +2207,18 @@ object Oracles {
 
   /** [[graft.Fixtures.syntheticBmp]]'s closed form: channel c at (x, y) =
     * (id + 3x + 7y + c) mod 256 over a w×h grid. */
+  // PNG is lossless, so the JDK ImageIO decode reproduces the generator's
+  // channel arithmetic exactly (Fixtures.syntheticPng)
+  private val multimodalDecodePng =
+    """WITH d AS (SELECT doc_id, 5 + doc_id % 7 AS w, 4 + doc_id % 6 AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
+      |pxy AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM px)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(sum((doc_id*5 + 2*x + 11*y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id*5 + 2*x + 11*y + 3) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id*5 + 2*x + 11*y + 6) % 256) AS BIGINT) AS sum_b
+      |FROM pxy GROUP BY 1,2,3""".stripMargin
+
   private val multimodalDecodeBmp =
     """WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h FROM documents),
       |px AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
@@ -2591,6 +2603,7 @@ object Oracles {
     "multimodal_decode" -> multimodalDecode,
     "multimodal_decode_wav" -> multimodalDecodeWav,
     "multimodal_decode_bmp" -> multimodalDecodeBmp,
+    "multimodal_decode_png" -> multimodalDecodePng,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_dedup" -> multimodalDedup,
     "multimodal_dedup_cdc" -> multimodalDedupCdc,

@@ -1933,6 +1933,19 @@ object SparkEntry {
   /** REAL BMP decode ([[graft.operators.MediaCodecs.decodeBmp]]): genuine
     * 24-bit BMP bytes per doc ([[Fixtures.syntheticBmp]]), header-validated,
     * bottom-up padded rows walked to per-channel integer sums. */
+  /** REAL PNG decode through the JDK's bundled ImageIO reader: genuine PNG
+    * bytes per doc ([[Fixtures.syntheticPng]] — written by the JDK's
+    * pure-Java PNG encoder), decoded distributed, sRGB channel sums
+    * recomputed closed-form by the oracle (PNG is lossless). */
+  private def qMultimodalDecodePng(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    val recs = Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, "image/png", Fixtures.syntheticPng(id), Map.empty))
+    Multimodal.decodeMedia(recs).toDF().select(
+      col("media_id"), col("width"), col("height"),
+      col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
   private def qMultimodalDecodeBmp(s: SparkSession, sfDir: String): DataFrame = {
     import s.implicits._
     val recs = Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
@@ -2395,6 +2408,7 @@ object SparkEntry {
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_decode_wav" -> (qMultimodalDecodeWav _),
     "multimodal_decode_bmp" -> (qMultimodalDecodeBmp _),
+    "multimodal_decode_png" -> (qMultimodalDecodePng _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),
     "multimodal_dedup_cdc" -> (qMultimodalDedupCdc _),

@@ -3,18 +3,22 @@ package graft.operators
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM codecs for the two self-describing media containers a stock JVM
-  * can parse without native libraries: RIFF/WAVE (PCM) and BMP
-  * (BITMAPINFOHEADER, 24-bit uncompressed). These give
-  * [[Multimodal.decodeMedia]] a REAL decode path — genuine header walking,
-  * sample/pixel extraction, integer feature math — alongside the documented
-  * stub for container formats whose codecs aren't in this build (JPEG/MP4/
-  * FLAC need native decoders).
+/** Pure-JVM media codecs for [[Multimodal.decodeMedia]]'s REAL decode path:
   *
-  * Both formats are public specifications (RIFF: Microsoft/IBM Multimedia
-  * Programming Interface 1991; BMP: Windows BITMAPINFOHEADER). All
-  * extracted features are integer sums, so results are bit-reproducible
-  * under any partitioning and recomputable by the SQL oracle.
+  *  - hand-walked RIFF/WAVE (PCM) and BMP (BITMAPINFOHEADER, 24-bit) —
+  *    public specifications, genuine header validation + integer feature
+  *    math;
+  *  - PNG and JPEG through `javax.imageio.ImageIO`, which SHIPS IN EVERY
+  *    STOCK JDK (the PNG codec is pure Java, the JPEG codec is
+  *    JDK-bundled) — no native libraries, no extra dependencies. PNG is
+  *    lossless, so decoded pixel sums are exactly the generator's
+  *    closed-form arithmetic and oracle-checkable; JPEG decode is exact
+  *    per JDK build but decoder-version-dependent across JDKs, so its
+  *    features are unit-pinned rather than oracle'd.
+  *
+  * Only genuinely codec-less CONTAINERS (MP4, FLAC) remain on the
+  * documented stub. All extracted features are integer sums, so results
+  * are bit-reproducible under any partitioning.
   */
 object MediaCodecs {
 
@@ -183,5 +187,73 @@ object MediaCodecs {
       y += 1
     }
     BmpInfo(width, height, bpp, sumR, sumG, sumB)
+  }
+
+  // -------------------------------------------------------- PNG/JPEG (JDK)
+
+  /** Decoded raster image: dimensions + per-channel sRGB integer sums. */
+  final case class ImageInfo(
+      width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  /** Decode any ImageIO-recognized raster (PNG, JPEG, GIF, BMP — the
+    * readers bundled with the JDK) and sum sRGB channels row by row.
+    * Rejects unrecognized bytes loudly. */
+  def decodeImage(bytes: Array[Byte]): ImageInfo = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "no JDK ImageIO reader recognized the payload")
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageInfo(w, h, sr, sg, sb)
+  }
+
+  private def rasterOf(width: Int, height: Int,
+                       pixel: (Int, Int) => (Int, Int, Int)): java.awt.image.BufferedImage = {
+    require(width > 0 && height > 0)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode as PNG with the JDK's pure-Java writer — lossless, so
+    * `decodeImage(encodePng(...))` reproduces the generator arithmetic
+    * bit-exactly (the oracle contract). */
+  def encodePng(width: Int, height: Int,
+                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(rasterOf(width, height, pixel), "png", bos),
+      "JDK PNG writer missing")
+    bos.toByteArray
+  }
+
+  /** Encode as JPEG with the JDK-bundled writer (lossy — decode features
+    * are unit-pinned, not oracle'd). */
+  def encodeJpeg(width: Int, height: Int,
+                 pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(rasterOf(width, height, pixel), "jpg", bos),
+      "JDK JPEG writer missing")
+    bos.toByteArray
   }
 }

@@ -624,9 +624,11 @@ object Multimodal {
 
   /** One decoded record via the REAL pure-JVM codecs ([[MediaCodecs]]):
     * `audio/wav` → RIFF chunk walk + PCM16 sample stats, `image/bmp` →
-    * BITMAPINFOHEADER + channel sums. Any other content type falls back to
-    * the documented [[stubDecode]] arithmetic (those containers need native
-    * codecs this build doesn't ship), mapped into the same shape. */
+    * BITMAPINFOHEADER + channel sums, `image/png`/`image/jpeg` → the JDK's
+    * own ImageIO readers (bundled with every stock JDK — no native libs) →
+    * sRGB channel sums. Only genuinely codec-less containers (MP4, FLAC)
+    * fall back to the documented [[stubDecode]] arithmetic, mapped into the
+    * same shape. */
   def decodeOneMedia(r: MediaRecord): DecodedMedia = {
     val n = if (r.payload == null) 0L else r.payload.length.toLong
     r.content_type match {
@@ -639,6 +641,10 @@ object Multimodal {
         val b = MediaCodecs.decodeBmp(r.payload)
         DecodedMedia(r.media_id, r.content_type, n, b.width, b.height,
           0L, 0L, 0L, 0L, b.sumR, b.sumG, b.sumB, 0L, 0L)
+      case "image/png" | "image/jpeg" =>
+        val i = MediaCodecs.decodeImage(r.payload)
+        DecodedMedia(r.media_id, r.content_type, n, i.width, i.height,
+          0L, 0L, 0L, 0L, i.sumR, i.sumG, i.sumB, 0L, 0L)
       case _ =>
         val f = stubDecode(r)
         DecodedMedia(r.media_id, r.content_type, n, f.width, f.height,

@@ -112,5 +112,46 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(b.sumR === ps.map(_ % 256).sum)
     assert(b.sumG === ps.map(p => (p + 1) % 256).sum)
     assert(b.sumB === ps.map(p => (p + 2) % 256).sum)
+    // PNG: lossless ⇒ the JDK ImageIO decode reproduces the generator
+    val png = MediaCodecs.decodeImage(Fixtures.syntheticPng(id))
+    assert(png.width === 5 + id % 7)
+    assert(png.height === 4 + id % 6)
+    val qs = for { y <- 0L until png.height; x <- 0L until png.width }
+      yield (id * 5 + 2 * x + 11 * y)
+    assert(png.sumR === qs.map(_ % 256).sum)
+    assert(png.sumG === qs.map(p => (p + 3) % 256).sum)
+    assert(png.sumB === qs.map(p => (p + 6) % 256).sum)
+  }
+
+  test("PNG: encode/decode round-trip is bit-exact for arbitrary rasters") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val info = MediaCodecs.decodeImage(
+        MediaCodecs.encodePng(w, h, (x, y) => px(y)(x)))
+      assert(info.width == w && info.height == h)
+      assert(info.sumR === px.flatten.map(_._1.toLong).sum)
+      assert(info.sumG === px.flatten.map(_._2.toLong).sum)
+      assert(info.sumB === px.flatten.map(_._3.toLong).sum)
+    }
+  }
+
+  test("JPEG: JDK-bundled decode — exact dims, deterministic per JVM, lossy-close sums") {
+    val w = 16; val h = 12
+    def pixel(x: Int, y: Int) = { val v = (x * 13 + y * 29) % 256; (v, v, v) }
+    val jpg = MediaCodecs.encodeJpeg(w, h, pixel)
+    val a = MediaCodecs.decodeImage(jpg)
+    assert(a.width == w && a.height == h)
+    assert(a == MediaCodecs.decodeImage(jpg), "same-JVM decode must be deterministic")
+    // lossy but bounded: mean absolute channel error under ~32/255
+    val exact = (for { y <- 0 until h; x <- 0 until w } yield pixel(x, y)._1.toLong).sum
+    assert(math.abs(a.sumR - exact) < 32L * w * h, s"sumR ${a.sumR} vs exact $exact")
+  }
+
+  test("decodeImage rejects bytes no JDK reader recognizes") {
+    val e = intercept[IllegalArgumentException](
+      MediaCodecs.decodeImage(Array.fill[Byte](64)(0x5a)))
+    assert(e.getMessage.contains("ImageIO"))
   }
 }
