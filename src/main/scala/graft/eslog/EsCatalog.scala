@@ -116,6 +116,10 @@ final class EsCatalog(val root: String) {
     }
   }
 
+  /** Registered stream names, sorted — ONE registry log read (the SQL
+    * catalog plugin's `SHOW TABLES` surface, [[graft.sql.EsCatalogPlugin]]). */
+  def streamNames(): Seq[String] = registered()
+
   /** Registered stream names, sorted. */
   private def registered(): Seq[String] =
     MetaLog.load(root).kv.keys.filter(_.startsWith("stream."))

@@ -1,0 +1,150 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.eslog.EsCatalog
+
+/** V2 `TableCatalog` plugin — name-based SQL over streams:
+  *
+  * {{{
+  *   spark.sql.catalog.es      = graft.sql.EsCatalogPlugin
+  *   spark.sql.catalog.es.root = /data/streams        # the EsCatalog root
+  *
+  *   SELECT properties['event_type'], count(*) FROM es.default.events GROUP BY 1;
+  *   INSERT INTO es.default.events SELECT payload, properties FROM staged;
+  *   CREATE TABLE es.default.clicks TBLPROPERTIES ('retention_ms'='86400000');
+  *   SHOW TABLES IN es.default;  DROP TABLE es.default.clicks;
+  * }}}
+  *
+  * Delegates to [[graft.eslog.EsCatalog]] (the PD-equivalent registry: CAS
+  * id allocation, name reservation, per-stream metadata logs) — every
+  * catalog operation is the SAME linearizable commit the programmatic API
+  * performs; SQL and code users share one registry. Reads/writes land on
+  * the V1 fast paths via [[org.apache.spark.sql.graftshim
+  * .EsLogV2FallbackRule]] (manifest-pruned parquet scan, epoch-fenced
+  * commit-protocol append), so the catalog identity costs nothing at
+  * execution time. Streams are single-namespace (`default`) — the PD has no
+  * namespace notion either; stream-specific verbs (TRIM, SEAL, epochs)
+  * remain on the parser-injected STREAM DDL ([[GraftSqlParser]]).
+  *
+  * Table properties on CREATE: `replica`, `ack_count`, `retention_ms`
+  * (rpc.fbs:479-492's stream config). The schema is the fixed record-batch
+  * relation ([[graft.model.RecordBatchRow]]); a CREATE may omit columns or
+  * restate them exactly.
+  */
+class EsCatalogPlugin extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var cat: EsCatalog = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"spark.sql.catalog.$name.root must point at the catalog root directory")
+    cat = new EsCatalog(root)
+  }
+
+  override def name(): String = catName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def checkNs(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || ns.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(ns.toSeq)
+
+  // ---- namespaces (single flat "default", like the PD's keyspace) ----
+
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    checkNs(namespace)
+    if (namespace.isEmpty) Array(Array("default")) else Array.empty
+  }
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default"))
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    checkNs(namespace)
+    util.Collections.emptyMap()
+  }
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "eslog catalog has a single fixed namespace 'default'")
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("eslog namespaces are immutable")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "eslog catalog has a single fixed namespace 'default'")
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    checkNs(namespace)
+    cat.streamNames().map(n => Identifier.of(Array("default"), n)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    checkNs(ident.namespace)
+    cat.getStream(ident.name) match {
+      case Some(id) =>
+        org.apache.spark.sql.graftshim.EsLogV2Table(
+          s"$catName.default.${ident.name}", cat.streamDir(ident.name), id)
+      case None => throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
+      cat.getStream(ident.name).isDefined
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    createTable(ident, StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
+      partitions, properties)
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    checkNs(ident.namespace)
+    require(partitions.isEmpty,
+      "eslog streams are not partitioned tables (offset order IS the layout)")
+    // the relation schema is fixed; a CREATE may omit it or restate exactly
+    val want = graft.model.RecordBatchRow.schema.map(_.name.toLowerCase)
+    val got = schema.map(_.name.toLowerCase)
+    require(got.isEmpty || got == want,
+      s"eslog tables have the fixed record-batch schema (${want.mkString(", ")}); " +
+        "omit the column list or restate it exactly")
+    val props = properties.asScala
+    if (tableExists(ident)) throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    val (_, created) = cat.createStreamIfAbsent(ident.name,
+      replica = props.get("replica").map(_.toInt).getOrElse(1),
+      ackCount = props.get("ack_count").map(_.toInt).getOrElse(1),
+      retentionMs = props.get("retention_ms").map(_.toLong).getOrElse(-1L))
+    if (!created) throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is unsupported on eslog streams — use ALTER STREAM " +
+        "(replica/ack/retention) from the STREAM DDL surface")
+
+  override def dropTable(ident: Identifier): Boolean =
+    (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
+      cat.dropStreamIfExists(ident.name)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME is unsupported: a stream's name is its registry reservation " +
+        "(consumers address it by name+offset); clone to a new name instead")
+}

@@ -126,6 +126,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // (see org.apache.spark.sql.graftshim.EsLogInsertRewrite)
     ext.injectResolutionRule(_ =>
       org.apache.spark.sql.graftshim.EsLogInsertRewrite.rule)
+    // name-addressed streams (spark.sql.catalog.<n> = graft.sql.EsCatalogPlugin):
+    // land V2-catalog relations and write shapes on the V1 fast paths
+    ext.injectResolutionRule(session =>
+      org.apache.spark.sql.graftshim.EsLogV2FallbackRule(session))
     // unfiltered count(*) over an eslog relation answers from the manifest
     // (zero IO, zero tasks — see EsLogMetadataOnlyCount's exactness guards)
     ext.injectOptimizerRule(_ =>

@@ -33,44 +33,53 @@ object EsLogInsertRewrite {
         require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
           "eslog INSERT does not take a PARTITION spec (streams are not partitioned tables)")
         val (dir, table) = eslogDir(i.table).get
-        // an explicit column list renames the query's output positionally
-        // (standard INSERT (cols...) semantics) before the by-name append
-        val q =
-          if (i.userSpecifiedCols.isEmpty) i.query
-          else {
-            require(i.userSpecifiedCols.size == i.query.output.size,
-              s"INSERT column list has ${i.userSpecifiedCols.size} names but the " +
-                s"query produces ${i.query.output.size} columns")
-            org.apache.spark.sql.catalyst.plans.logical.Project(
-              i.query.output.zip(i.userSpecifiedCols).map { case (a, n) =>
-                org.apache.spark.sql.catalyst.expressions.Alias(a, n)()
-              }, i.query)
-          }
-        // rows are matched BY NAME downstream (EsLog.append normalize), which
-        // silently defaults absent fields — so reject the silent cases HERE:
-        // a query column the append would drop, or a missing payload, is a
-        // user mistake that must fail analysis, not commit corrupted rows.
-        // Matching is case-insensitive (Spark's default resolution is).
-        // Engine-assigned read columns (stream_id, range_index, base_offset)
-        // are ACCEPTED and ignored: `INSERT INTO dst SELECT * FROM src`
-        // between two eslog tables is well-defined (the append reassigns
-        // them), not a mistake.
-        val writable = Set("payload", "properties", "base_timestamp",
-          "last_offset_delta", "flags")
-        val engineAssigned = Set("stream_id", "range_index", "base_offset")
-        val names = q.output.map(_.name)
-        require(names.exists(_.equalsIgnoreCase("payload")),
-          s"eslog INSERT must produce a 'payload' column; got (${names.mkString(", ")}) — " +
-            "columns are matched by name, alias your SELECT")
-        val unknown = names.filterNot { n =>
-          val lc = n.toLowerCase(java.util.Locale.ROOT)
-          writable.contains(lc) || engineAssigned.contains(lc)
-        }
-        require(unknown.isEmpty,
-          s"eslog INSERT produced unrecognized column(s) (${unknown.mkString(", ")}); " +
-            s"writable columns are (${writable.toSeq.sorted.mkString(", ")}), matched by name")
-        EsLogInsertCommand(dir, table, q)
+        insertCommand(dir, table, i.query, i.userSpecifiedCols)
     }
+  }
+
+  /** Shared INSERT validation + command construction — used by the
+    * path-addressed rule above and the V2-catalog write shapes
+    * ([[EsLogV2FallbackRule]]). */
+  private[graftshim] def insertCommand(dir: String, table: Option[String],
+                                       query: LogicalPlan,
+                                       userSpecifiedCols: Seq[String]): EsLogInsertCommand = {
+    // an explicit column list renames the query's output positionally
+    // (standard INSERT (cols...) semantics) before the by-name append
+    val q =
+      if (userSpecifiedCols.isEmpty) query
+      else {
+        require(userSpecifiedCols.size == query.output.size,
+          s"INSERT column list has ${userSpecifiedCols.size} names but the " +
+            s"query produces ${query.output.size} columns")
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          query.output.zip(userSpecifiedCols).map { case (a, n) =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, n)()
+          }, query)
+      }
+    // rows are matched BY NAME downstream (EsLog.append normalize), which
+    // silently defaults absent fields — so reject the silent cases HERE:
+    // a query column the append would drop, or a missing payload, is a
+    // user mistake that must fail analysis, not commit corrupted rows.
+    // Matching is case-insensitive (Spark's default resolution is).
+    // Engine-assigned read columns (stream_id, range_index, base_offset)
+    // are ACCEPTED and ignored: `INSERT INTO dst SELECT * FROM src`
+    // between two eslog tables is well-defined (the append reassigns
+    // them), not a mistake.
+    val writable = Set("payload", "properties", "base_timestamp",
+      "last_offset_delta", "flags")
+    val engineAssigned = Set("stream_id", "range_index", "base_offset")
+    val names = q.output.map(_.name)
+    require(names.exists(_.equalsIgnoreCase("payload")),
+      s"eslog INSERT must produce a 'payload' column; got (${names.mkString(", ")}) — " +
+        "columns are matched by name, alias your SELECT")
+    val unknown = names.filterNot { n =>
+      val lc = n.toLowerCase(java.util.Locale.ROOT)
+      writable.contains(lc) || engineAssigned.contains(lc)
+    }
+    require(unknown.isEmpty,
+      s"eslog INSERT produced unrecognized column(s) (${unknown.mkString(", ")}); " +
+        s"writable columns are (${writable.toSeq.sorted.mkString(", ")}), matched by name")
+    EsLogInsertCommand(dir, table, q)
   }
 
   private def eslogDir(table: LogicalPlan): Option[(String, Option[String])] =

@@ -1100,4 +1100,60 @@ class GraftSqlSpec extends SparkTestBase {
       SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("V2 catalog plugin: name-addressed SELECT/INSERT/SHOW/CREATE/DROP round-trip") {
+    val root = tmpDir("es-cat-plugin-")
+    spark.conf.set("spark.sql.catalog.es2", classOf[graft.sql.EsCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.es2.root", root)
+    val cat = new graft.eslog.EsCatalog(root)
+    cat.createStream("events")
+    val dir = cat.streamDir("events")
+    graft.eslog.EsLog.open(dir, 1L)
+    import spark.implicits._
+    graft.eslog.EsLog.append(spark,  dir,
+      (0 until 100).map(i => (s"p$i", Map("k" -> s"v${i % 3}"), i.toLong))
+        .toDF("payload", "properties", "base_timestamp"), 1L)
+
+    // SELECT by name — and the plan must be the V1 manifest fast path
+    val sel = spark.sql(
+      "SELECT base_offset, cast(payload AS STRING) AS p FROM es2.default.events")
+    assert(sel.count() == 100)
+    assert(sel.where(col("base_offset") === 7).collect().head.getString(1) == "p7")
+    val optimized = sel.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("RelationV2"),
+      s"catalog read must land on the V1 fast path, got:\n$optimized")
+    // pushdown survives the catalog identity: filter reaches parquet
+    val pushed = spark.sql(
+      "SELECT payload FROM es2.default.events WHERE base_offset = 42")
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") && pushed.contains("base_offset"),
+      s"offset filter must push into the scan:\n$pushed")
+
+    // INSERT by name goes through the commit protocol (offsets assigned)
+    spark.sql(
+      "INSERT INTO es2.default.events SELECT cast('x' AS BINARY) AS payload, map('k','w') AS properties")
+    assert(spark.sql("SELECT count(*) FROM es2.default.events").collect().head.getLong(0) == 101)
+    assert(graft.meta.MetaLog.load(dir).nextOffset == 101L)
+    // overwrite rejected loudly
+    val e = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE es2.default.events SELECT cast('y' AS BINARY) AS payload"))
+    assert(e.getMessage.contains("append-only"))
+    // by-name validation still applies (unknown column fails analysis)
+    val e2 = intercept[Exception](spark.sql(
+      "INSERT INTO es2.default.events SELECT cast('y' AS BINARY) AS nonsense"))
+    assert(e2.getMessage.contains("payload"))
+
+    // SHOW TABLES / CREATE / DROP
+    assert(spark.sql("SHOW TABLES IN es2.default").collect()
+      .map(_.getString(1)).contains("events"))
+    spark.sql("CREATE TABLE es2.default.clicks TBLPROPERTIES ('retention_ms'='86400000')")
+    assert(cat.getStream("clicks").isDefined)
+    assert(graft.meta.MetaLog.load(cat.streamDir("clicks")).retentionMs == 86400000L)
+    val e3 = intercept[Exception](spark.sql("CREATE TABLE es2.default.clicks"))
+    assert(e3.getMessage.toLowerCase.contains("already exists"))
+    spark.sql("DROP TABLE es2.default.clicks")
+    assert(cat.getStream("clicks").isEmpty)
+    // programmatic and SQL surfaces share ONE registry
+    assert(spark.sql("SHOW TABLES IN es2.default").count() == cat.streamNames().size)
+  }
 }
