@@ -193,6 +193,10 @@ object FlatRecordBatch {
     private def string(p: Int): String = {
       val s = indirect(p)
       val n = bb.getInt(s)
+      // bound BEFORE allocating: a corrupt length field must reject loudly,
+      // not reserve gigabytes
+      require(n >= 0 && n <= bb.limit() - s - 4,
+        s"string length $n overruns the meta table (${bb.limit() - s - 4} bytes left)")
       val arr = new Array[Byte](n)
       val dup = bb.duplicate(); dup.position(s + 4); dup.get(arr)
       new String(arr, StandardCharsets.UTF_8)
@@ -204,6 +208,8 @@ object FlatRecordBatch {
       if (p == 0) return Map.empty
       val vec = indirect(p)
       val n = bb.getInt(vec)
+      require(n >= 0 && n.toLong * 4 <= bb.limit().toLong - vec - 4,
+        s"properties vector length $n overruns the meta table")
       (0 until n).map { i =>
         val elemP = vec + 4 + 4 * i
         val kv = indirect(elemP)
@@ -222,17 +228,25 @@ object FlatRecordBatch {
     }
   }
 
-  /** Decode one entry starting at `offset`; returns (row, bytesConsumed). */
+  /** Decode one entry starting at `offset`; returns (row, bytesConsumed).
+    * Declared lengths are validated against the REMAINING bytes before any
+    * allocation — adversarial frames (fuzzed objects, torn migrations) must
+    * reject loudly, never over-allocate on a forged 2 GB length field. */
   def decodeOne(bytes: Array[Byte], offset: Int): (RecordBatchRow, Int) = {
+    require(bytes.length - offset >= 9, s"frame truncated at $offset (${bytes.length - offset} bytes)")
     val buf = ByteBuffer.wrap(bytes, offset, bytes.length - offset)
       .order(ByteOrder.BIG_ENDIAN)
     val magic = buf.get()
     require(magic == Magic, s"bad magic $magic at $offset (want $Magic)")
     val metaLen = buf.getInt
     val metaStart = buf.position()
+    require(metaLen >= 0 && metaLen <= bytes.length - metaStart - 4,
+      s"declared meta length $metaLen overruns the ${bytes.length - metaStart} remaining bytes")
     val meta = new Meta(bytes, metaStart, metaLen)
     buf.position(metaStart + metaLen)
     val payloadLen = buf.getInt
+    require(payloadLen >= 0 && payloadLen <= buf.remaining(),
+      s"declared payload length $payloadLen overruns the ${buf.remaining()} remaining bytes")
     val payload = new Array[Byte](payloadLen)
     buf.get(payload)
     val row = RecordBatchRow(

@@ -130,7 +130,8 @@ object TieredObject {
     val indexPos = bb.getInt(footerBase)
     val indexLen = bb.getInt(footerBase + 4)
     val dataLen = indexPos - 1
-    require(dataLen >= 0 && indexPos + indexLen <= footerBase,
+    require(dataLen >= 0 && indexLen >= 0 &&
+        indexPos.toLong + indexLen <= footerBase,
       s"corrupt footer: indexPos=$indexPos indexLen=$indexLen len=${bytes.length}")
     require(bytes(dataLen) == BlockDelimiter,
       f"bad block delimiter 0x${bytes(dataLen)}%02x at $dataLen")
@@ -208,11 +209,15 @@ object TieredObject {
         require(bytes(pos) == FlatRecordBatch.Magic,
           f"bad record magic 0x${bytes(pos)}%02x at $pos")
         val metaLen = ByteBuffer.wrap(bytes, pos + 1, 4).order(ByteOrder.BIG_ENDIAN).getInt
-        if (pos + 5 + metaLen + 4 > until) reachEnd = true
+        // negative declared lengths are corruption, not a truncated tail —
+        // reject loudly (and guard the additions against Int overflow)
+        require(metaLen >= 0, s"negative meta length $metaLen at $pos")
+        if (pos + 5 + metaLen.toLong + 4 > until) reachEnd = true
         else {
           val payloadLen =
             ByteBuffer.wrap(bytes, pos + 5 + metaLen, 4).order(ByteOrder.BIG_ENDIAN).getInt
-          if (pos + 9 + metaLen + payloadLen > until) reachEnd = true
+          require(payloadLen >= 0, s"negative payload length $payloadLen at $pos")
+          if (pos + 9 + metaLen.toLong + payloadLen > until) reachEnd = true
           else {
             val (row, n) = FlatRecordBatch.decodeOne(bytes, pos)
             out += row
