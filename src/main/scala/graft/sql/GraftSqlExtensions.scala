@@ -837,6 +837,72 @@ object GraftFunctions {
           EsLog.ingestWalDir(session, sd, wd, ep)
           Seq(org.apache.spark.sql.Row(sd, true))
         } }),
+    (FunctionIdentifier("graft_ingest_pd"),
+      info("graft_ingest_pd",
+        "graft_ingest_pd('catalog_root', 'kv_table_or_path'[, 'root_path', " +
+          "'name_prefix']) - ingest a PD etcd metadata snapshot (key/value " +
+          "rows: streams/<id> + s/<id>/ranges/<idx> FlatBuffers records) " +
+          "into the catalog: stream config, range boundaries, epochs and " +
+          "trim land as imported segment manifests; data then backfills at " +
+          "ORIGINAL offsets (graft_backfill_objects/_wal). Returns " +
+          "(dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_ingest_pd", args, 2, 4)
+        val root = literalString(args(0), "graft_ingest_pd", "catalog_root")
+        val ref = literalString(args(1), "graft_ingest_pd", "kv_table_or_path")
+        val rootPath = if (args.size > 2)
+          literalString(args(2), "graft_ingest_pd", "root_path") else ""
+        val prefix = if (args.size > 3)
+          literalString(args(3), "graft_ingest_pd", "name_prefix") else "pd-"
+        val session = active()
+        procedure("graft_ingest_pd") { () =>
+          new graft.eslog.EsCatalog(root).ingestPdSnapshot(session,
+            resolveRef(session, ref), rootPath, prefix)
+          Seq(org.apache.spark.sql.Row(root, true))
+        } }),
+    (FunctionIdentifier("graft_export_pd"),
+      info("graft_export_pd",
+        "graft_export_pd('catalog_root') - render the catalog's metadata " +
+          "as a PD etcd snapshot: (key, value) rows in the placement " +
+          "driver's exact key formats and FlatBuffers Stream/Range values " +
+          "(the migration-OUT metadata twin; round-trips through " +
+          "graft_ingest_pd)"),
+      (args: Seq[Expression]) => { arity("graft_export_pd", args, 1)
+        val root = literalString(args(0), "graft_export_pd", "catalog_root")
+        val session = active()
+        GraftShims.analyzedPlan(
+          new graft.eslog.EsCatalog(root).exportPdSnapshot(session)) }),
+    (FunctionIdentifier("graft_backfill_objects"),
+      info("graft_backfill_objects",
+        "graft_backfill_objects('stream_dir', 'obj_dir', epoch) - " +
+          "OFFSET-PRESERVING ingest of a bucket of RAW reference tiered " +
+          "objects under the stream's imported segment boundaries " +
+          "(graft_ingest_pd first): records land at their original " +
+          "offsets, pre-trim objects drop, re-runs are idempotent. " +
+          "Returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_backfill_objects", args, 3)
+        val sd = literalString(args(0), "graft_backfill_objects", "stream_dir")
+        val od = literalString(args(1), "graft_backfill_objects", "obj_dir")
+        val ep = literalLong(args(2), "graft_backfill_objects", "epoch")
+        val session = active()
+        procedure("graft_backfill_objects") { () =>
+          EsLog.backfillObjectDir(session, sd, od, ep)
+          Seq(org.apache.spark.sql.Row(sd, true))
+        } }),
+    (FunctionIdentifier("graft_backfill_wal"),
+      info("graft_backfill_wal",
+        "graft_backfill_wal('stream_dir', 'wal_dir', epoch) - " +
+          "OFFSET-PRESERVING ingest of RAW WAL segment files through the " +
+          "CRC-checked recovery scan, under the stream's imported segment " +
+          "boundaries. Returns (dir, ok). Runs at EXECUTION time"),
+      (args: Seq[Expression]) => { arity("graft_backfill_wal", args, 3)
+        val sd = literalString(args(0), "graft_backfill_wal", "stream_dir")
+        val wd = literalString(args(1), "graft_backfill_wal", "wal_dir")
+        val ep = literalLong(args(2), "graft_backfill_wal", "epoch")
+        val session = active()
+        procedure("graft_backfill_wal") { () =>
+          EsLog.backfillWalDir(session, sd, wd, ep)
+          Seq(org.apache.spark.sql.Row(sd, true))
+        } }),
     (FunctionIdentifier("graft_sim_index_compact"),
       info("graft_sim_index_compact",
         "graft_sim_index_compact('index_dir') - fold a persisted IVF " +

@@ -1101,6 +1101,44 @@ class GraftSqlSpec extends SparkTestBase {
     }
   }
 
+  test("PD migration SQL surface: graft_ingest_pd / graft_export_pd / graft_backfill_objects") {
+    import graft.model.PdSnapshot
+    import graft.model.PdSnapshot.{PdRange, PdStream}
+    import spark.implicits._
+    // a source stream whose export bucket will backfill the migrated one
+    val src = tmpDir("sqlpd-src-")
+    graft.eslog.EsLog.create(src, streamId = 33L)
+    graft.eslog.EsLog.open(src, 1L)
+    graft.eslog.EsLog.append(spark, src,
+      spark.range(120).select(col("id"),
+        col("id").cast("string").cast("binary").as("payload")),
+      1L, sortKey = Some("id"))
+    val objDir = tmpDir("sqlpd-bucket-")
+    graft.eslog.EsLog.exportObjectFiles(spark, src, objDir, maxObjectBytes = 2048)
+    // the PD dump as a temp view
+    PdSnapshot.renderStream(PdStream(33L, 1, 1, -1L), Seq(
+      PdRange(33L, 1L, 0, 30L, 90L, Seq.empty),
+      PdRange(33L, 2L, 1, 90L, -1L, Seq.empty)))
+      .toDF("key", "value").createOrReplaceTempView("pd_dump")
+    val catRoot = tmpDir("sqlpd-cat-")
+    assert(spark.sql(s"SELECT * FROM graft_ingest_pd('$catRoot', 'pd_dump')")
+      .collect().head.getBoolean(1))
+    val dst = new graft.eslog.EsCatalog(catRoot).streamDir("pd-33")
+    assert(spark.sql(s"SELECT * FROM graft_backfill_objects('$dst', '$objDir', 2)")
+      .collect().head.getBoolean(1))
+    val st = graft.meta.MetaLog.load(dst)
+    assert(st.startOffset == 30L && st.nextOffset == 120L)
+    // export twin round-trips: keys in the PD's exact formats
+    val keys = spark.sql(s"SELECT key FROM graft_export_pd('$catRoot')")
+      .collect().map(_.getString(0))
+    assert(keys.contains("streams/00000000000000000033"))
+    assert(keys.contains("s/00000000000000000033/ranges/00000000001"))
+    // EXPLAIN never mutates: a fresh catalog root stays empty
+    val fresh = tmpDir("sqlpd-fresh-")
+    spark.sql(s"EXPLAIN SELECT * FROM graft_ingest_pd('$fresh', 'pd_dump')").collect()
+    assert(new graft.eslog.EsCatalog(fresh).streamNames().isEmpty)
+  }
+
   test("V2 catalog plugin: name-addressed SELECT/INSERT/SHOW/CREATE/DROP round-trip") {
     val root = tmpDir("es-cat-plugin-")
     spark.conf.set("spark.sql.catalog.es2", classOf[graft.sql.EsCatalogPlugin].getName)

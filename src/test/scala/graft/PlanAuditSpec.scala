@@ -1263,6 +1263,10 @@ class PlanAuditSpec extends SparkTestBase {
     "es_catalog_batch" -> Seq("batch", "name", "stream_id", "status"),
     "es_codec" -> Seq("doc_id", "text"),
     "es_ingest_object" -> Seq("base_offset", "ts_ms", "event_type", "props"),
+    "es_ingest_pd" -> Seq("stream_id", "epoch", "replica", "ack_count",
+      "retention_ms", "start_offset", "next_offset", "seg_index", "seg_start",
+      "seg_end", "sealed", "n_records"),
+    "es_pd_backfill" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_export_object" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_export_wal" -> Seq("base_offset", "ts_ms", "event_type", "props"),
     "es_stream_export" -> Seq("base_offset", "ts_ms", "event_type", "props"),
@@ -1318,6 +1322,7 @@ class PlanAuditSpec extends SparkTestBase {
     "multimodal_decode" -> Seq("media_id", "content_type", "n_bytes", "width", "height", "duration_ms", "checksum"),
     "multimodal_decode_wav" -> Seq("media_id", "channels", "sample_rate", "n_samples", "duration_ms", "sum_abs", "peak"),
     "multimodal_decode_bmp" -> Seq("media_id", "width", "height", "sum_r", "sum_g", "sum_b"),
+    "multimodal_decode_png" -> Seq("media_id", "width", "height", "sum_r", "sum_g", "sum_b"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
     "multimodal_dedup" -> Seq("i", "j", "n_shared"),
     "ts_similarity" -> Seq("qid", "nid", "rank", "score"),
@@ -1353,6 +1358,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_pca_persisted" -> Seq("vec_id", "i", "yi"),
     "es_stream_pca" -> Seq("vec_id", "i", "yi"),
     "decontaminate_fuzzy" -> Seq("doc_id", "bench_doc", "jaccard"),
+    "decontaminate_fuzzy_persisted" -> Seq("doc_id", "bench_doc", "jaccard"),
     "es_stream_decontaminate_fuzzy" -> Seq("doc_id", "bench_doc", "jaccard"),
     "sim_ivf" -> Seq("qid", "nid", "rank", "score"),
     "sim_ivf_kmeans" -> Seq("qid", "nid", "rank", "score"),
