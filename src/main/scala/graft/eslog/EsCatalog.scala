@@ -413,8 +413,12 @@ final class EsCatalog(val root: String) {
         "metadata-scale); raise maxEntries if the driver can hold it, or " +
         "pre-filter the dump to the streams/ and s/ keyspaces")
     val prefix = if (rootPath.isEmpty) "" else rootPath.stripSuffix("/") + "/"
-    val entries = kv.select(col(kv.columns(0)).cast("string").as("k"),
-        col(kv.columns(1)).cast("binary").as("v"))
+    // prefer NAMED key/value columns (any case) over positional order — an
+    // etcd export with (value, key) column order must not silently swap
+    def named(n: String, fallback: Int): String =
+      kv.columns.find(_.equalsIgnoreCase(n)).getOrElse(kv.columns(fallback))
+    val entries = kv.select(col(named("key", 0)).cast("string").as("k"),
+        col(named("value", 1)).cast("binary").as("v"))
       .collect()
       .flatMap { r =>
         val key = r.getString(0)

@@ -41,7 +41,8 @@ final case class EsLogV2Table(ident: String, streamDir: String, streamId: Long)
     * Spark's streaming resolution (readStream.table / writeStream.toTable)
     * routes through this to the registered `eslog` source. */
   override def v1Table: CatalogTable = CatalogTable(
-    identifier = TableIdentifier(ident.split('.').last),
+    // fully qualified: UnresolvedCatalogRelation asserts a database part
+    identifier = TableIdentifier(ident.split('.').last, Some("default")),
     tableType = CatalogTableType.EXTERNAL,
     storage = CatalogStorageFormat.empty.copy(
       locationUri = Some(CatalogUtils.stringToURI(streamDir)),

@@ -1194,4 +1194,26 @@ class GraftSqlSpec extends SparkTestBase {
     // programmatic and SQL surfaces share ONE registry
     assert(spark.sql("SHOW TABLES IN es2.default").count() == cat.streamNames().size)
   }
+
+  test("V2 catalog plugin: STREAMING read by name through the V1 fallback") {
+    val root = tmpDir("es-cat-stream-")
+    spark.conf.set("spark.sql.catalog.es3", classOf[graft.sql.EsCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.es3.root", root)
+    val cat = new graft.eslog.EsCatalog(root)
+    cat.createStream("feed")
+    val dir = cat.streamDir("feed")
+    graft.eslog.EsLog.open(dir, 1L)
+    import spark.implicits._
+    graft.eslog.EsLog.append(spark, dir,
+      (0 until 60).map(i => Tuple1(s"m$i")).toDF("payload"), 1L)
+    val ckpt = tmpDir("es-cat-stream-ckpt-")
+    val q = spark.readStream.table("es3.default.feed")
+      .writeStream.format("memory").queryName("cat_feed")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000))
+    val got = spark.sql("SELECT count(*) FROM cat_feed").collect().head.getLong(0)
+    assert(got == 60L, s"streaming read by catalog name drained $got of 60 rows")
+  }
 }

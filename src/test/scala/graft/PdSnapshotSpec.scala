@@ -179,6 +179,25 @@ class PdSnapshotSpec extends SparkTestBase {
     assert(MetaLog.load(dst).allFiles.isEmpty)
   }
 
+  test("backfillWal: WAL segments land at original offsets under imported boundaries") {
+    val src = sourceStream(200)
+    val segs = EsLog.exportWal(spark, src, segmentBytes = 8 * 1024, blockSize = 512)
+      .select(col("wal_offset"), col("seg"))
+    val cat = new EsCatalog(tmpDir("pd-cat-wal-"))
+    cat.ingestPdSnapshot(spark, dumpDf(
+      PdSnapshot.renderStream(PdStream(21L, 1, 1, -1L), Seq(
+        PdRange(21L, 1L, 0, 40L, 120L, Seq.empty),
+        PdRange(21L, 2L, 1, 120L, -1L, Seq.empty)))))
+    val dst = cat.streamDir("pd-21")
+    assert(EsLog.backfillWal(spark, dst, segs, 2L) == 160L)
+    val st = MetaLog.load(dst)
+    assert(st.startOffset == 40L && st.nextOffset == 200L)
+    val back = EsLog.scan(spark, dst)
+      .select(col("base_offset"), col("payload").cast("string").cast("long").as("pid"))
+    assert(back.where(col("base_offset") =!= col("pid")).count() == 0)
+    assert(EsLog.backfillWal(spark, dst, segs, 2L) == 0L) // idempotent
+  }
+
   test("exportPdSnapshot round-trips a catalog's metadata into a fresh catalog") {
     val catA = new EsCatalog(tmpDir("pd-cat-a-"))
     catA.ingestPdSnapshot(spark, dumpDf(
