@@ -442,22 +442,31 @@ final class EsCatalog(val root: String) {
       if (cur <= maxId) Seq(KvPut(IdKey, (maxId + 1).toString)) else Seq.empty
     }
 
+    // per-stream status isolation (the batch-admin house contract,
+    // rpc.fbs:504-533): one stream's malformed ranges must not fail the
+    // other 10k streams of the import. The segment import itself is ONE
+    // commit per stream — all ranges land or none do.
     val rows = streams.toSeq.sortBy(_._1).map { case (id, ps) =>
       val name = s"$namePrefix$id"
       val ranges = rangesByStream.getOrElse(id, Seq.empty)
-      val (_, created) = createStreamIfAbsent(name, math.max(ps.replica, 1),
-        math.max(ps.ackCount, 1), ps.retentionMs, withId = Some(id))
       val dir = streamDir(name)
       val status =
-        if (created) {
-          if (ranges.nonEmpty) MetaLog.commitWithRetry(dir) { st =>
-            if (st.segments.nonEmpty) Seq.empty // lost a race to a twin ingest
-            else ranges.map(r => ImportSegment(r.index, r.start,
-              if (r.end >= 0) Some(r.end) else None, math.max(r.epoch, 0L)))
-          }
-          "OK"
-        } else "ALREADY_EXISTS"
-      val st = MetaLog.load(dir)
+        try {
+          val (_, created) = createStreamIfAbsent(name, math.max(ps.replica, 1),
+            math.max(ps.ackCount, 1), ps.retentionMs, withId = Some(id))
+          if (created) {
+            if (ranges.nonEmpty) MetaLog.commitWithRetry(dir) { st =>
+              if (st.segments.nonEmpty) Seq.empty // lost a race to a twin ingest
+              else ranges.map(r => ImportSegment(r.index, r.start,
+                if (r.end >= 0) Some(r.end) else None, math.max(r.epoch, 0L)))
+            }
+            "OK"
+          } else "ALREADY_EXISTS"
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            s"ERROR: ${Option(e.getMessage).getOrElse(e.getClass.getName)}"
+        }
+      val st = if (MetaLog.exists(dir)) MetaLog.load(dir) else StreamState.empty
       Row(name, id, ps.replica, ps.ackCount, ps.retentionMs, st.epoch,
         st.startOffset, st.nextOffset, ranges.size.toLong, status)
     }

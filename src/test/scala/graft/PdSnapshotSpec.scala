@@ -179,6 +179,24 @@ class PdSnapshotSpec extends SparkTestBase {
     assert(MetaLog.load(dst).allFiles.isEmpty)
   }
 
+  test("ingestPdSnapshot: one stream's malformed ranges fail ITS row, not the batch") {
+    val cat = new EsCatalog(tmpDir("pd-cat-err-"))
+    val kvs =
+      // stream 4: OVERLAPPING ranges — rejected by the ImportSegment chain
+      PdSnapshot.renderStream(PdStream(4L, 1, 1, -1L), Seq(
+        PdRange(4L, 1L, 0, 0L, 100L, Seq.empty),
+        PdRange(4L, 2L, 1, 50L, 150L, Seq.empty))) ++
+      PdSnapshot.renderStream(PdStream(5L, 1, 1, -1L), Seq(
+        PdRange(5L, 1L, 0, 0L, 10L, Seq.empty)))
+    val rep = cat.ingestPdSnapshot(spark, dumpDf(kvs)).collect()
+      .map(r => r.getString(0) -> r.getString(9)).toMap
+    assert(rep("pd-4").startsWith("ERROR:"), s"got ${rep("pd-4")}")
+    assert(rep("pd-5") == "OK")
+    assert(MetaLog.load(cat.streamDir("pd-5")).nextOffset == 10L)
+    // the failed stream imported NO segments (per-stream commit is atomic)
+    assert(MetaLog.load(cat.streamDir("pd-4")).segments.isEmpty)
+  }
+
   test("backfillWal: WAL segments land at original offsets under imported boundaries") {
     val src = sourceStream(200)
     val segs = EsLog.exportWal(spark, src, segmentBytes = 8 * 1024, blockSize = 512)
