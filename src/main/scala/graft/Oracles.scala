@@ -2205,10 +2205,9 @@ object Oracles {
       |       CAST(max(abs((doc_id*31 + i*17) % 2048 - 1024)) AS BIGINT) AS peak
       |FROM e GROUP BY 1,2,3,4,5""".stripMargin
 
-  /** [[graft.Fixtures.syntheticBmp]]'s closed form: channel c at (x, y) =
-    * (id + 3x + 7y + c) mod 256 over a w×h grid. */
-  // PNG is lossless, so the JDK ImageIO decode reproduces the generator's
-  // channel arithmetic exactly (Fixtures.syntheticPng)
+  /** [[graft.Fixtures.syntheticPng]]'s closed form: channel c at (x, y) =
+    * (id·5 + 2x + 11y + 3c) mod 256 — PNG is lossless, so the JDK ImageIO
+    * decode reproduces the generator's arithmetic exactly. */
   private val multimodalDecodePng =
     """WITH d AS (SELECT doc_id, 5 + doc_id % 7 AS w, 4 + doc_id % 6 AS h FROM documents),
       |px AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
@@ -2219,6 +2218,8 @@ object Oracles {
       |  CAST(sum((doc_id*5 + 2*x + 11*y + 6) % 256) AS BIGINT) AS sum_b
       |FROM pxy GROUP BY 1,2,3""".stripMargin
 
+  /** [[graft.Fixtures.syntheticBmp]]'s closed form: channel c at (x, y) =
+    * (id + 3x + 7y + c) mod 256 over a w×h grid. */
   private val multimodalDecodeBmp =
     """WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h FROM documents),
       |px AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),

@@ -1930,9 +1930,6 @@ object SparkEntry {
       col("duration_ms"), col("sum_abs"), col("peak"))
   }
 
-  /** REAL BMP decode ([[graft.operators.MediaCodecs.decodeBmp]]): genuine
-    * 24-bit BMP bytes per doc ([[Fixtures.syntheticBmp]]), header-validated,
-    * bottom-up padded rows walked to per-channel integer sums. */
   /** REAL PNG decode through the JDK's bundled ImageIO reader: genuine PNG
     * bytes per doc ([[Fixtures.syntheticPng]] — written by the JDK's
     * pure-Java PNG encoder), decoded distributed, sRGB channel sums
@@ -1946,6 +1943,9 @@ object SparkEntry {
       col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
+  /** REAL BMP decode ([[graft.operators.MediaCodecs.decodeBmp]]): genuine
+    * 24-bit BMP bytes per doc ([[Fixtures.syntheticBmp]]), header-validated,
+    * bottom-up padded rows walked to per-channel integer sums. */
   private def qMultimodalDecodeBmp(s: SparkSession, sfDir: String): DataFrame = {
     import s.implicits._
     val recs = Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]

@@ -406,34 +406,46 @@ final class EsCatalog(val root: String) {
     import graft.model.PdSnapshot
     import graft.model.PdSnapshot.{PdKey, PdRange, PdStream}
     import org.apache.spark.sql.functions.col
-    val n = kv.count()
-    if (n > maxEntries) throw new IllegalArgumentException(
-      s"ingestPdSnapshot: $n etcd entries > maxEntries=$maxEntries — the " +
-        "metadata snapshot collects to the driver (streams + ranges are " +
-        "metadata-scale); raise maxEntries if the driver can hold it, or " +
-        "pre-filter the dump to the streams/ and s/ keyspaces")
     val prefix = if (rootPath.isEmpty) "" else rootPath.stripSuffix("/") + "/"
     // prefer NAMED key/value columns (any case) over positional order — an
     // etcd export with (value, key) column order must not silently swap
     def named(n: String, fallback: Int): String =
       kv.columns.find(_.equalsIgnoreCase(n)).getOrElse(kv.columns(fallback))
-    val entries = kv.select(col(named("key", 0)).cast("string").as("k"),
+    // ONE job: collect maxEntries+1 rows and check the size, instead of a
+    // separate count() pass over the dump source
+    val raw = kv.select(col(named("key", 0)).cast("string").as("k"),
         col(named("value", 1)).cast("binary").as("v"))
+      .limit(math.toIntExact(math.min(maxEntries + 1, Int.MaxValue.toLong)))
       .collect()
-      .flatMap { r =>
-        val key = r.getString(0)
-        if (key == null) None
-        else if (prefix.nonEmpty && !key.startsWith(prefix)) None
-        else Some((PdSnapshot.parseKey(key.stripPrefix(prefix)), r.getAs[Array[Byte]](1)))
-      }
-    val streams: Map[Long, PdStream] = entries.collect {
+    if (raw.length > maxEntries) throw new IllegalArgumentException(
+      s"ingestPdSnapshot: more than maxEntries=$maxEntries etcd entries — " +
+        "the metadata snapshot collects to the driver (streams + ranges " +
+        "are metadata-scale); raise maxEntries if the driver can hold it, " +
+        "or pre-filter the dump to the streams/ and s/ keyspaces")
+    val entries = raw.iterator.flatMap { r =>
+      val key = r.getString(0)
+      if (key == null) None
+      else if (prefix.nonEmpty && !key.startsWith(prefix)) None
+      else Some((PdSnapshot.parseKey(key.stripPrefix(prefix)), r.getAs[Array[Byte]](1)))
+    }.toSeq
+    // decode per VALUE with isolation: one bit-flipped record must fail its
+    // own stream's status row, never the other 10k streams of the import
+    val streams = scala.collection.mutable.Map.empty[Long, PdStream]
+    val rangesRaw = scala.collection.mutable.ArrayBuffer.empty[(Long, PdRange)]
+    val decodeErr = scala.collection.mutable.Map.empty[Long, String]
+    entries.foreach {
       case (PdKey.Stream(id), v) if v != null && v.nonEmpty =>
-        id -> PdSnapshot.decodeStream(v)
-    }.toMap
-    val rangesByStream: Map[Long, Seq[PdRange]] = entries.collect {
-      case (PdKey.Range(sid, _), v) if v != null && v.nonEmpty =>
-        sid -> PdSnapshot.decodeRange(v)
-    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_.index)).toMap
+        try streams(id) = PdSnapshot.decodeStream(v)
+        catch { case scala.util.control.NonFatal(e) =>
+          decodeErr.getOrElseUpdate(id, s"ERROR: undecodable stream record: ${e.getMessage}") }
+      case (PdKey.Range(sid, idx), v) if v != null && v.nonEmpty =>
+        try rangesRaw += sid -> PdSnapshot.decodeRange(v)
+        catch { case scala.util.control.NonFatal(e) =>
+          decodeErr.getOrElseUpdate(sid, s"ERROR: undecodable range record $idx: ${e.getMessage}") }
+      case _ => () // rs/ index keys, foreign keys, nil values
+    }
+    val rangesByStream: Map[Long, Seq[PdRange]] =
+      rangesRaw.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_.index)).toMap
 
     // bump the id allocator past every ingested id, ONE CAS
     val maxId = (streams.keys ++ rangesByStream.keys).foldLeft(-1L)(math.max)
@@ -445,36 +457,56 @@ final class EsCatalog(val root: String) {
     // per-stream status isolation (the batch-admin house contract,
     // rpc.fbs:504-533): one stream's malformed ranges must not fail the
     // other 10k streams of the import. The segment import itself is ONE
-    // commit per stream — all ranges land or none do.
-    val rows = streams.toSeq.sortBy(_._1).map { case (id, ps) =>
+    // commit per stream — all ranges land or none do. Work fans out through
+    // the same bounded pool as the batch admin surface (the registry CAS is
+    // the serialization point; per-stream log IO overlaps).
+    val rows = batched(streams.toSeq.sortBy(_._1)) { case (id, ps) =>
       val name = s"$namePrefix$id"
       val ranges = rangesByStream.getOrElse(id, Seq.empty)
       val dir = streamDir(name)
-      val status =
+      val status = decodeErr.get(id).getOrElse {
         try {
-          val (_, created) = createStreamIfAbsent(name, math.max(ps.replica, 1),
+          val (gotId, created) = createStreamIfAbsent(name, math.max(ps.replica, 1),
             math.max(ps.ackCount, 1), ps.retentionMs, withId = Some(id))
-          if (created) {
-            if (ranges.nonEmpty) MetaLog.commitWithRetry(dir) { st =>
-              if (st.segments.nonEmpty) Seq.empty // lost a race to a twin ingest
-              else ranges.map(r => ImportSegment(r.index, r.start,
-                if (r.end >= 0) Some(r.end) else None, math.max(r.epoch, 0L)))
-            }
-            "OK"
-          } else "ALREADY_EXISTS"
+          if (gotId != id)
+            s"ERROR: name '$name' already maps to stream $gotId, dump says $id"
+          else {
+            // resume-safe: a crash between the registry CAS and the segment
+            // commit (or a metadata-only pre-existing stream) must not skip
+            // the boundary import forever — import whenever the stream still
+            // has no segments; the in-commit guard makes racing twins safe
+            val imported =
+              if (ranges.isEmpty) false
+              else {
+                var did = false
+                MetaLog.commitWithRetry(dir) { st =>
+                  if (st.segments.nonEmpty) { did = false; Seq.empty }
+                  else {
+                    did = true
+                    ranges.map(r => ImportSegment(r.index, r.start,
+                      if (r.end >= 0) Some(r.end) else None, math.max(r.epoch, 0L)))
+                  }
+                }
+                did
+              }
+            if (created || imported) "OK" else "ALREADY_EXISTS"
+          }
         } catch {
           case scala.util.control.NonFatal(e) =>
             s"ERROR: ${Option(e.getMessage).getOrElse(e.getClass.getName)}"
         }
+      }
       val st = if (MetaLog.exists(dir)) MetaLog.load(dir) else StreamState.empty
       Row(name, id, ps.replica, ps.ackCount, ps.retentionMs, st.epoch,
         st.startOffset, st.nextOffset, ranges.size.toLong, status)
     }
-    val orphans = (rangesByStream.keySet -- streams.keySet).toSeq.sorted.map { id =>
-      Row(s"$namePrefix$id", id, 0, 0, 0L, 0L, 0L, 0L,
-        rangesByStream(id).size.toLong, "ORPHAN_RANGES")
-    }
-    spark.createDataFrame((rows ++ orphans).sortBy(_.getString(0)).asJava, PdIngestSchema)
+    val others = (rangesByStream.keySet ++ decodeErr.keySet -- streams.keySet)
+      .toSeq.sorted.map { id =>
+        Row(s"$namePrefix$id", id, 0, 0, 0L, 0L, 0L, 0L,
+          rangesByStream.get(id).map(_.size.toLong).getOrElse(0L),
+          decodeErr.getOrElse(id, "ORPHAN_RANGES"))
+      }
+    spark.createDataFrame((rows ++ others).sortBy(_.getString(0)).asJava, PdIngestSchema)
   }
 
   /** Export this catalog's metadata AS a PD etcd snapshot — the migration-
@@ -483,7 +515,13 @@ final class EsCatalog(val root: String) {
     * the PD's exact key/value layout ([[graft.model.PdSnapshot
     * .renderStream]]), so a reference deployment (or another graft catalog)
     * can adopt this catalog's streams. Round-trips through
-    * [[ingestPdSnapshot]] losslessly (PdSnapshotSpec pins it). */
+    * [[ingestPdSnapshot]] losslessly (PdSnapshotSpec pins it).
+    *
+    * Range records carry NO `RangeServer` entries and therefore no `rs/`
+    * by-server index keys: this architecture has no range servers (object
+    * storage replaces them), so there is no server topology to export — an
+    * adopting PD assigns its own placement, as it does for ranges whose
+    * servers decommissioned. */
   def exportPdSnapshot(spark: SparkSession): DataFrame = {
     import graft.model.PdSnapshot
     import graft.model.PdSnapshot.{PdRange, PdStream}

@@ -999,7 +999,12 @@ object EsLog {
     *  - offsets inside a segment's already-backfilled prefix are DROPPED
     *    (idempotent re-ingest of the same bucket);
     *  - offsets beyond the last imported boundary FAIL the job — data the
-    *    metadata never declared is a mixed-up migration, not a tail.
+    *    metadata never declared is a mixed-up migration, not a tail;
+    *  - holes FAIL the job, within a segment AND across segments: data for
+    *    a later segment while an earlier sealed segment is not fully
+    *    covered would commit rows beyond a scan-silent gap. Prefix-ordered
+    *    incremental imports (today bucket A, tomorrow its continuation)
+    *    remain legal.
     *
     * Scale shape: one boundary-aligned shuffle. Rows classify to segments
     * executor-side against the broadcast boundary table (metadata-scale),
@@ -1154,6 +1159,25 @@ object EsLog {
       if (e0 != Long.MaxValue && ordered.last._5 > e0)
         throw new OutOfOrderException(
           s"backfill of segment $idx runs to ${ordered.last._5}, past its sealed end $e0")
+    }
+    // CROSS-segment holes are rejected too: if a later segment receives
+    // data in this call, every earlier sealed segment must end the call
+    // FULLY covered — otherwise committed data would sit beyond a hole the
+    // scan reports as empty (indistinguishable from deleted). Prefix-ordered
+    // incremental imports stay legal; an out-of-order per-range bucket must
+    // arrive in one call (backfillObjectDir) or in prefix order.
+    val maxTouched = partStats.map(_._2).max
+    (0 until maxTouched).foreach { si =>
+      val (idx, _, e0, attach) = spans(si)
+      val postEnd = partStats.filter(_._2 == si) match {
+        case a if a.nonEmpty => a.map(_._5).max
+        case _               => attach // untouched: coverage unchanged
+      }
+      if (postEnd != e0)
+        throw new OutOfOrderException(
+          s"backfill would leave a hole: segment $idx covered only to $postEnd " +
+            s"of its sealed end $e0 while a later segment receives data — " +
+            "supply the whole bucket, or import in prefix order")
     }
 
     // pass 2 (write): same shuffle output, one parquet file per partition

@@ -119,10 +119,14 @@ class EsCatalogPlugin extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty,
       "eslog streams are not partitioned tables (offset order IS the layout)")
     // the relation schema is fixed; a CREATE may omit it or restate exactly
-    val want = graft.model.RecordBatchRow.schema.map(_.name.toLowerCase)
-    val got = schema.map(_.name.toLowerCase)
+    // — NAMES (case-insensitive) and TYPES both, else the user's declared
+    // types would be silently discarded
+    val want = graft.model.RecordBatchRow.schema
+      .map(f => (f.name.toLowerCase, f.dataType))
+    val got = schema.map(f => (f.name.toLowerCase, f.dataType))
     require(got.isEmpty || got == want,
-      s"eslog tables have the fixed record-batch schema (${want.mkString(", ")}); " +
+      "eslog tables have the fixed record-batch schema " +
+        s"(${want.map { case (n, t) => s"$n ${t.simpleString}" }.mkString(", ")}); " +
         "omit the column list or restate it exactly")
     val props = properties.asScala
     if (tableExists(ident)) throw new TableAlreadyExistsException((ident.namespace :+ ident.name).toSeq)

@@ -216,6 +216,62 @@ class PdSnapshotSpec extends SparkTestBase {
     assert(EsLog.backfillWal(spark, dst, segs, 2L) == 0L) // idempotent
   }
 
+  test("backfill rejects CROSS-segment holes; prefix-ordered incremental imports stay legal") {
+    val src = sourceStream(200)
+    val cat = new EsCatalog(tmpDir("pd-cat-hole-"))
+    cat.ingestPdSnapshot(spark, dumpDf(
+      PdSnapshot.renderStream(PdStream(21L, 1, 1, -1L), Seq(
+        PdRange(21L, 1L, 0, 0L, 100L, Seq.empty),
+        PdRange(21L, 2L, 1, 100L, -1L, Seq.empty)))))
+    val dst = cat.streamDir("pd-21")
+    // data ONLY for the later segment while seg0 is uncovered → rejected,
+    // and the failed attempt leaves nothing behind
+    val late = EsLog.exportObjects(spark, src, start = 100L,
+      maxObjectBytes = 1024, sparseBytes = 512).select(col("obj"))
+    val e = intercept[Exception](EsLog.backfillObjects(spark, dst, late, 2L))
+    assert(e.getMessage != null && e.getMessage.contains("hole"), s"got: ${e.getMessage}")
+    assert(MetaLog.load(dst).allFiles.isEmpty)
+    // prefix-ordered increments are fine: seg0 fully, then the tail
+    val early = EsLog.exportObjects(spark, src, end = 100L,
+      maxObjectBytes = 1024, sparseBytes = 512).select(col("obj"))
+    assert(EsLog.backfillObjects(spark, dst, early, 2L) == 100L)
+    assert(EsLog.backfillObjects(spark, dst, late, 2L) == 100L)
+    assert(MetaLog.load(dst).nextOffset == 200L)
+  }
+
+  test("ingestPdSnapshot: an undecodable value fails its own row; resume after a metadata-only stream") {
+    val cat = new EsCatalog(tmpDir("pd-cat-dec-"))
+    val good = PdSnapshot.renderStream(PdStream(8L, 1, 1, -1L), Seq(
+      PdRange(8L, 1L, 0, 0L, 20L, Seq.empty)))
+    val corruptStream = Seq(
+      PdSnapshot.streamKey(6L) -> Array.fill[Byte](40)(0x41)) // garbage value
+    val corruptRange = Seq(
+      PdSnapshot.streamKey(12L) -> PdSnapshot.encodeStream(PdStream(12L, 1, 1, -1L)),
+      PdSnapshot.rangeKey(12L, 0) -> Array.fill[Byte](12)(0x17))
+    val rep = cat.ingestPdSnapshot(spark, dumpDf(good ++ corruptStream ++ corruptRange))
+      .collect().map(r => r.getString(0) -> r.getString(9)).toMap
+    assert(rep("pd-8") == "OK")
+    assert(rep("pd-6").startsWith("ERROR: undecodable stream"), rep("pd-6"))
+    assert(rep("pd-12").startsWith("ERROR: undecodable range"), rep("pd-12"))
+    assert(cat.getStream("pd-6").isEmpty && cat.getStream("pd-12").isEmpty)
+
+    // resume: a stream REGISTERED but (crash) without segments imports its
+    // boundaries on re-ingest instead of reporting ALREADY_EXISTS forever
+    cat.createStreamIfAbsent("pd-9", withId = Some(9L))
+    val rep2 = cat.ingestPdSnapshot(spark, dumpDf(
+      PdSnapshot.renderStream(PdStream(9L, 1, 1, -1L), Seq(
+        PdRange(9L, 1L, 0, 0L, 50L, Seq.empty)))))
+      .collect().map(r => r.getString(0) -> r.getString(9)).toMap
+    assert(rep2("pd-9") == "OK")
+    assert(MetaLog.load(cat.streamDir("pd-9")).nextOffset == 50L)
+    // id mismatch between registry and dump reports, never corrupts
+    cat.createStreamIfAbsent("pd-77", withId = Some(1077L))
+    val rep3 = cat.ingestPdSnapshot(spark, dumpDf(
+      PdSnapshot.renderStream(PdStream(77L, 1, 1, -1L), Seq.empty)),
+      namePrefix = "pd-")
+    assert(rep3.collect().head.getString(9).startsWith("ERROR: name 'pd-77' already maps"))
+  }
+
   test("exportPdSnapshot round-trips a catalog's metadata into a fresh catalog") {
     val catA = new EsCatalog(tmpDir("pd-cat-a-"))
     catA.ingestPdSnapshot(spark, dumpDf(
