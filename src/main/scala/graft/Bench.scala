@@ -386,6 +386,16 @@ object Bench {
     val tsBounds = Fixtures.events(spark, sfDir)
       .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).collect().head
     val (ts0, ts1) = (tsBounds.getLong(0), tsBounds.getLong(1))
+    // backfill head's source bucket, materialized ONCE outside every timing:
+    // the 16 timed commits as RAW reference-layout object files — the real
+    // bucket shape a migration reads (one blob per file through binaryFile;
+    // a parquet of 8 MiB blobs would put 4096-row columnar batches of them
+    // in memory at read time). 8 MiB objects -> ~260 files.
+    val bfObjDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-bfobj-").toString + "/bucket"
+    graft.eslog.EsLog.exportObjectFiles(spark, dir64k, bfObjDir,
+      warmed * n64k, (warmed + nCommits) * n64k,
+      maxObjectBytes = 8 * 1024 * 1024)
     val frontSeg: Seq[(String, () => Unit)] = Seq(
       // scan exactly the 16 TIMED commits' offset range (manifest pruning
       // keeps warmup commits out): denominator fixed at nCommits*payload64k
@@ -427,6 +437,20 @@ object Bench {
         graft.eslog.EsLog.exportObjects(spark, dir64k,
             warmed * n64k, (warmed + nCommits) * n64k)
           .agg(sum(col("data_len")), count(lit(1))).collect()
+        ()
+      }),
+      // migration-IN throughput (the PD-metadata path): the 16 timed
+      // commits' pre-exported reference objects land AT ORIGINAL OFFSETS
+      // under a fresh imported-boundary stream — object decode, the
+      // boundary-aligned shuffle, sorted parquet write, per-segment
+      // BackfillFiles commit. Objects were materialized ONCE (untimed);
+      // each run backfills a FRESH destination (backfill is idempotent, a
+      // re-run into the same stream would measure a no-op), reclaimed by
+      // the per-segment dropFresh. Same fixed denominator as the scan
+      // head -> backfill_mbps headline.
+      "backfill_objects_64k" -> (() => {
+        val dst = Fixtures.importedStreamFresh(spark, warmed * n64k)
+        graft.eslog.EsLog.backfillObjectDir(spark, dst, bfObjDir, 1L)
         ()
       }))
 
@@ -785,6 +809,8 @@ object Bench {
       s""","scan_mbps_def":"timed_commits_fetch_64k"""" +
       s""","export_mbps":${f3(mbps("export_objects_64k", nCommits * payload64k))}""" +
       s""","export_mbps_def":"timed_commits_to_tiered_objects"""" +
+      s""","backfill_mbps":${f3(mbps("backfill_objects_64k", nCommits * payload64k))}""" +
+      s""","backfill_mbps_def":"tiered_objects_to_imported_boundaries"""" +
       s""","append_events_mbps":${f3(mbps("append_events", payloadBytes))}""" +
       s""","append_events_rows_per_sec":${f3(appendRps)}""" +
       s""","scan_rows_per_sec":${f3(scanRps)},"n_events":$nEvents,"payload_bytes":$payloadBytes""" +

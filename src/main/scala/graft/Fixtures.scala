@@ -54,6 +54,18 @@ object Fixtures {
     }
   }
 
+  /** UNMEMOIZED migration-in destination: a fresh stream whose metadata
+    * declares ONE open imported segment starting at `start` — the boundary
+    * shape a PD snapshot ingest leaves — ready for offset-preserving
+    * [[EsLog.backfill]]. Registered for [[dropFresh]] reclamation (the
+    * bench's backfill head creates one per timed run). */
+  def importedStreamFresh(s: SparkSession, start: Long): String = {
+    val dir = freshDir("graft-pd-dst-")
+    EsLog.create(dir, streamId = 96L)
+    MetaLog.commitWithRetry(dir)(_ => Seq(graft.meta.ImportSegment(0, start, None, 1L)))
+    dir
+  }
+
   /** Session settings every query needs: an INT64-nanos `events.ts` should
     * read as a plain long (portable, timezone-free), and timestamp math must
     * be UTC so a TIMESTAMP_NTZ `ts` normalizes identically everywhere. */
