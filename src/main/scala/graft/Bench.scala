@@ -50,6 +50,11 @@ object Bench {
     * Written by the bench itself on both-gates-green runs; absent or
     * unreadable = no envelope check (first gated run seeds it). */
   private val PriorPath = "BENCH_PRIOR.json"
+  /** Cross-run sentinel drift threshold ([[BenchGate.sentinelDrift]]): the
+    * r14 degraded host sat at 17.7x on the IO sentinel; healthy-host
+    * run-to-run variation on these median-of-5 baselines has measured
+    * within ~1.3x. 2x separates them with margin on both sides. */
+  private val HostSuspectFactor = 2.0
   /** Figures only compare within one scale factor: a sf0.1 head against a
     * sf0.01 prior would flag every scan as a "regression". */
   /** One per-SF section so a local small-SF iteration run can never
@@ -76,10 +81,28 @@ object Bench {
           b.result()
       }
     } catch { case _: Throwable => Map.empty }
+  /** Last gated run's sentinel baselines (the r14 instrument gap:
+    * within-run gates cannot see a host that is uniformly degraded for the
+    * whole run — see [[BenchGate.sentinelDrift]]). Absent section (pre-r15
+    * prior files) = no cross-run check; the first r15 gated run seeds it. */
+  private def readPriorSentinels(sfDir: String): Map[String, Double] =
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PriorPath))
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      priorNodeFor(root, sfDir) match {
+        case None => Map.empty
+        case Some(n) =>
+          val b = Map.newBuilder[String, Double]
+          val s = n.get("sentinels")
+          if (s != null) s.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
+          b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
   private def writePrior(sfDir: String,
                          best: scala.collection.Map[String, Double],
                          medians: scala.collection.Map[String, Double],
-                         appendMbps: Double): Unit =
+                         appendMbps: Double,
+                         sentinels: scala.collection.Map[String, Double]): Unit =
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       // carry the OTHER SFs' sections forward (flat legacy files migrate:
@@ -100,6 +123,7 @@ object Bench {
       val section =
         s"""{"written_by":"bench (both gates green)"""" +
         s""","append_mbps":${f3(appendMbps)}""" +
+        s""","sentinels":${jmap(sentinels)}""" +
         s""","queries_best_of_3":${jmap(best)}""" +
         s""","queries":${jmap(medians)}}"""
       val body = (kept.toSeq :+ (sfDir -> section))
@@ -118,7 +142,8 @@ object Bench {
       appendGatePassed: Boolean, registryGatePassed: Boolean,
       appendMbps: Double,
       medians: scala.collection.Map[String, Double],
-      best: scala.collection.Map[String, Double])
+      best: scala.collection.Map[String, Double],
+      sentinels: Map[String, Double])
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -209,10 +234,34 @@ object Bench {
       if (!rerun) ""
       else s""","rerun_of":0,"discarded_append_mbps":${f3(attempt0.appendMbps)}""" +
         s""","discarded_append_gate_passed":${attempt0.appendGatePassed}"""
-    println(fin.headlineCore + provenance + "}")
-    // a both-gates-green run becomes the next run's prior envelope
-    if (fin.appendGatePassed && fin.registryGatePassed)
-      writePrior(sfDir, fin.best, fin.medians, fin.appendMbps)
+    // CROSS-RUN HOST-HEALTH CHECK (r14 instrument gap): compare this run's
+    // sentinel baselines against the last GATED run's (persisted in the
+    // prior file). A >2x drift on any sentinel marks the WHOLE run
+    // host-suspect — the within-run gates measured their baselines on the
+    // same degraded host and cannot see it (r14: io_sentinel_s0 1.596 s vs
+    // the prior run's 0.090 s while every gate read green). The run still
+    // publishes (flagged), but never overwrites the prior envelope: a
+    // poisoned baseline would certify the NEXT degraded run as clean.
+    val priorSents = readPriorSentinels(sfDir)
+    val drifted = BenchGate.sentinelDrift(priorSents, fin.sentinels,
+      HostSuspectFactor)
+    val hostSuspect = drifted.nonEmpty
+    if (hostSuspect)
+      System.err.println(s"[bench] HOST SUSPECT: sentinel(s) ${drifted.mkString(",")} " +
+        s"drifted >${HostSuspectFactor}x over the last gated run's baseline " +
+        s"(prior ${drifted.map(k => f3(priorSents(k))).mkString(",")} vs " +
+        s"current ${drifted.map(k => f3(fin.sentinels(k))).mkString(",")}) — " +
+        "figures publish flagged; prior envelope NOT overwritten")
+    val hostFields =
+      s""","host_suspect":$hostSuspect""" +
+      s""","host_suspect_sentinels":${jlistS(drifted)}""" +
+      s""","host_suspect_factor":${f3(HostSuspectFactor)}""" +
+      s""","prior_sentinels":${jmap(priorSents)}"""
+    println(fin.headlineCore + hostFields + provenance + "}")
+    // a both-gates-green run on a healthy host becomes the next run's prior
+    // envelope (figures AND sentinel baselines)
+    if (fin.appendGatePassed && fin.registryGatePassed && !hostSuspect)
+      writePrior(sfDir, fin.best, fin.medians, fin.appendMbps, fin.sentinels)
     spark.stop()
   }
 
@@ -817,6 +866,11 @@ object Bench {
       s""","batch_64k_payload_bytes":$payload64k""" +
       s""","detail":"BENCH_DETAIL.json""""
     SuiteResult(detail, headlineCore, gatePassed, registryGatePassed,
-      medianMbps, results, best)
+      medianMbps, results, best,
+      // the run's FINAL sentinel baselines (post-rerun minima — the quietest
+      // this host demonstrated anywhere in the run): what the cross-run
+      // host-health check compares and what a publishing run persists
+      Map("registry_sentinel_s0" -> s0, "io_sentinel_s0" -> s0io,
+        "mem_sentinel_s0" -> s0mem))
   }
 }

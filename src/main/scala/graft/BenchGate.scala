@@ -68,4 +68,31 @@ object BenchGate {
     require(segmentSize >= 1)
     names.grouped(segmentSize).toSeq
   }
+
+  /** CROSS-RUN host-health check (the round-14 instrument gap): every
+    * within-run gate above compares sentinels against a baseline measured on
+    * the SAME host window, so a host that is uniformly degraded for the whole
+    * run passes every gate — the r14 driver host ran the IO sentinel at
+    * 1.596 s vs the prior gated run's 0.090 s (17.7x) and certified a window
+    * in which every IO-latency head was 2.3-3.6x inflated. The fix is to
+    * persist each run's final sentinel baselines (`registry_sentinel_s0`,
+    * `io_sentinel_s0`, `mem_sentinel_s0`) in BENCH_PRIOR.json next to the
+    * per-head envelope, and compare the CURRENT run's baselines against the
+    * last gated run's at run end.
+    *
+    * Returns the names of sentinels that drifted above `factor` x their
+    * prior value. A non-empty result marks the whole run HOST-SUSPECT:
+    * its figures publish (with the flag) but it must NOT overwrite the
+    * prior file — a degraded run that overwrote the envelope would make the
+    * NEXT degraded run read "clean" against it (baseline poisoning).
+    * Sentinels absent from `prior` (first gated run, or a newly added probe)
+    * contribute nothing; a FASTER current sentinel is never drift (host got
+    * quieter — the new prior records it when the run publishes). */
+  def sentinelDrift(prior: Map[String, Double], current: Map[String, Double],
+                    factor: Double = 2.0): Seq[String] = {
+    require(factor >= 1.0)
+    current.keys.toSeq.sorted.filter { k =>
+      prior.get(k).exists(p => p > 0 && current(k) > p * factor)
+    }
+  }
 }

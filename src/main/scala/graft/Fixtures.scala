@@ -2239,6 +2239,42 @@ object Fixtures {
       ((id * 5 + 2 * x + 11 * y + 6) % 256).toInt))
   }
 
+  /** Deterministic REAL MP4 payload for doc `id`: a genuine ISO-BMFF box
+    * tree (ftyp 'isom' | moov(mvhd, trak*) | mdat) with closed-form
+    * container fields so the DuckDB oracle recomputes the decoded metadata:
+    * movie timescale 600, duration 600·(1 + id mod 10) (→ exactly
+    * 1000·(1 + id mod 10) ms), one 'avc1' video track of
+    * 16·(4 + id mod 9) × 16·(3 + id mod 7) with 30·(1 + id mod 10)
+    * samples, plus — for odd ids — an 'mp4a' audio track at 48 kHz mdhd
+    * timescale with 48·(1 + id mod 10) samples. */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    import graft.operators.MediaCodecs.{Mp4Track, encodeMp4Meta}
+    val k = 1 + id % 10
+    val dur = 600L * k
+    val video = Mp4Track("vide", "avc1",
+      (16 * (4 + id % 9)).toInt, (16 * (3 + id % 7)).toInt,
+      mediaTimescale = 600L, mediaDuration = dur, sampleCount = 30L * k)
+    val tracks =
+      if (id % 2 == 1)
+        Seq(video, Mp4Track("soun", "mp4a", 0, 0,
+          mediaTimescale = 48000L, mediaDuration = 48000L * k,
+          sampleCount = 48L * k))
+      else Seq(video)
+    encodeMp4Meta("isom", timescale = 600L, duration = dur, tracks,
+      mdat = Array.tabulate((8 + id % 32).toInt)(i => ((id + i) % 251).toByte))
+  }
+
+  /** Deterministic REAL FLAC payload for doc `id`: genuine fLaC magic +
+    * bit-packed STREAMINFO + padding block + frame sync, with closed-form
+    * fields: rate 8000 + 4000·(id mod 3), channels 1 + id mod 2, bits
+    * 8 + 4·(id mod 3), total samples 1000·(1 + id mod 8). */
+  def syntheticFlac(id: Long): Array[Byte] =
+    graft.operators.MediaCodecs.encodeFlacMeta(
+      sampleRate = (8000 + 4000 * (id % 3)).toInt,
+      channels = (1 + id % 2).toInt,
+      bitsPerSample = (8 + 4 * (id % 3)).toInt,
+      totalSamples = 1000L * (1 + id % 8))
+
   /** Batch-admin fixture: a fresh catalog driven through a mixed
     * success/already-exists create batch, a mixed delete batch, and a batch
     * describe — the captured responses land in `<dir>/responses` parquet so

@@ -2230,6 +2230,35 @@ object Oracles {
       |  CAST(sum((doc_id + 3*x + 7*y + 2) % 256) AS BIGINT) AS sum_b
       |FROM pxy GROUP BY 1,2,3""".stripMargin
 
+  /** [[graft.Fixtures.syntheticMp4]]'s closed form: the box walk must
+    * return exactly the generator's container fields — timescale 600 with
+    * duration 600·k makes duration_ms = 1000·k exactly; sample counts sum
+    * the video track's 30·k with the odd-id audio track's 48·k. */
+  private val multimodalDecodeMp4 =
+    """SELECT doc_id AS media_id, 'isom' AS brand,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+      |  CAST(16 * (4 + doc_id % 9) AS BIGINT) AS width,
+      |  CAST(16 * (3 + doc_id % 7) AS BIGINT) AS height,
+      |  CAST(1000 * (1 + doc_id % 10) AS BIGINT) AS duration_ms,
+      |  CAST(30 * (1 + doc_id % 10)
+      |       + (doc_id % 2) * 48 * (1 + doc_id % 10) AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN doc_id % 2 = 1 THEN 48000 ELSE 0 END AS BIGINT) AS audio_rate,
+      |  CASE WHEN doc_id % 2 = 1 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs
+      |FROM documents""".stripMargin
+
+  /** [[graft.Fixtures.syntheticFlac]]'s closed form: STREAMINFO bit-field
+    * unpack must return the generator's fields; duration_ms is floor
+    * integer division on both engines (`//` here, Long division there). */
+  private val multimodalDecodeFlac =
+    """SELECT doc_id AS media_id,
+      |  CAST(8000 + 4000 * (doc_id % 3) AS BIGINT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |  CAST(8 + 4 * (doc_id % 3) AS BIGINT) AS bits_per_sample,
+      |  CAST(1000 * (1 + doc_id % 8) AS BIGINT) AS n_samples,
+      |  CAST(1000 * (1 + doc_id % 8) * 1000
+      |       // (8000 + 4000 * (doc_id % 3)) AS BIGINT) AS duration_ms
+      |FROM documents""".stripMargin
+
   private val multimodalFrames =
     """WITH f AS (
       |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -2605,6 +2634,8 @@ object Oracles {
     "multimodal_decode_wav" -> multimodalDecodeWav,
     "multimodal_decode_bmp" -> multimodalDecodeBmp,
     "multimodal_decode_png" -> multimodalDecodePng,
+    "multimodal_decode_mp4" -> multimodalDecodeMp4,
+    "multimodal_decode_flac" -> multimodalDecodeFlac,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_dedup" -> multimodalDedup,
     "multimodal_dedup_cdc" -> multimodalDedupCdc,

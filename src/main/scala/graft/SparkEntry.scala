@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.eslog.EsLog
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Dedup, MediaRecord, Multimodal, RangeJoin, Similarity, Sketch, TextOps}
+import graft.operators.{AsOfJoin, Dedup, MediaCodecs, MediaRecord, Multimodal, RangeJoin, Similarity, Sketch, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1955,6 +1955,40 @@ object SparkEntry {
       col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
+  /** REAL MP4 container decode ([[graft.operators.MediaCodecs.decodeMp4]]):
+    * genuine ISO-BMFF bytes per doc ([[Fixtures.syntheticMp4]]) are
+    * box-walked — ftyp brand, mvhd duration, tkhd display dims, stsd codec
+    * fourccs, stsz sample counts — all closed-form integers the oracle
+    * recomputes. The per-track shape (codec list) rides as one CSV string
+    * column; decode distributes mapPartitions like every media row. */
+  private def qMultimodalDecodeMp4(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val m = MediaCodecs.decodeMp4(Fixtures.syntheticMp4(id))
+        (id, m.brand, m.nTracks.toLong, m.width.toLong, m.height.toLong,
+          m.durationMs, m.nSamples, m.audioRate, m.codecs.mkString(","))
+      })
+      .toDF("media_id", "brand", "n_tracks", "width", "height",
+        "duration_ms", "n_samples", "audio_rate", "codecs")
+  }
+
+  /** REAL FLAC header decode ([[graft.operators.MediaCodecs.decodeFlac]]):
+    * genuine fLaC bytes per doc ([[Fixtures.syntheticFlac]]) — metadata
+    * block walk, STREAMINFO bit-field unpack, frame-sync sanity — reduced
+    * to the closed-form integers the oracle recomputes. */
+  private def qMultimodalDecodeFlac(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val f = MediaCodecs.decodeFlac(Fixtures.syntheticFlac(id))
+        (id, f.sampleRate.toLong, f.channels.toLong, f.bitsPerSample.toLong,
+          f.totalSamples, f.durationMs)
+      })
+      .toDF("media_id", "sample_rate", "channels", "bits_per_sample",
+        "n_samples", "duration_ms")
+  }
+
   private def qMultimodalDecode(s: SparkSession, sfDir: String): DataFrame =
     Multimodal.decodeFeatures(
       Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text")).toDF()
@@ -2409,6 +2443,8 @@ object SparkEntry {
     "multimodal_decode_wav" -> (qMultimodalDecodeWav _),
     "multimodal_decode_bmp" -> (qMultimodalDecodeBmp _),
     "multimodal_decode_png" -> (qMultimodalDecodePng _),
+    "multimodal_decode_mp4" -> (qMultimodalDecodeMp4 _),
+    "multimodal_decode_flac" -> (qMultimodalDecodeFlac _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),
     "multimodal_dedup_cdc" -> (qMultimodalDedupCdc _),

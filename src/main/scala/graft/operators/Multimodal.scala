@@ -22,7 +22,8 @@ final case class DecodedMedia(
     channels: Long, sample_rate: Long, n_samples: Long, duration_ms: Long,
     sum_r: Long, sum_g: Long, sum_b: Long, sum_abs: Long, peak: Long)
 
-/** Extracted (stub-decoded) features for one media payload. */
+/** Fake-featureized ([[Multimodal.decodeFeatures]]) shape for one media
+  * payload — closed-form arithmetic, NOT a decode (that is [[DecodedMedia]]). */
 final case class MediaFeatures(
     media_id: Long,
     content_type: String,
@@ -35,12 +36,17 @@ final case class MediaFeatures(
 /** Multimodal-column operators: images/audio/video as opaque BINARY columns
   * with typed metadata, decoded/feature-extracted in distributed batches.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * codecs in this build): it derives fake dimensions from the byte length.
-  * Everything around it — the schema, the typed Dataset plumbing, the
-  * mapPartitions batch shape (one decoder instance per partition, streaming
-  * iterator, no per-row setup), partition sizing — is the real 100 TB design:
-  * swap `stubDecode` for a JNI/FFmpeg call and nothing else changes.
+  * Two decode surfaces, by design:
+  *  - [[decodeMedia]] — the REAL path: pure-JVM container/codec decode
+  *    ([[MediaCodecs]]: WAV, BMP, PNG, JPEG, MP4 box walk, FLAC
+  *    STREAMINFO), loud on unrecognized bytes;
+  *  - [[decodeFeatures]] — a clearly-marked deterministic FAKE featureizer
+  *    (closed-form arithmetic over byte lengths) kept for exercising the
+  *    pipeline SHAPE cheaply and oracle-checkably.
+  * Both share the 100 TB batch design: schema, typed Dataset plumbing, the
+  * mapPartitions shape (one decoder instance per partition, streaming
+  * iterator, no per-row setup) — swap in a JNI/FFmpeg sample decoder and
+  * nothing else changes.
   */
 object Multimodal {
 
@@ -626,9 +632,15 @@ object Multimodal {
     * `audio/wav` → RIFF chunk walk + PCM16 sample stats, `image/bmp` →
     * BITMAPINFOHEADER + channel sums, `image/png`/`image/jpeg` → the JDK's
     * own ImageIO readers (bundled with every stock JDK — no native libs) →
-    * sRGB channel sums. Only genuinely codec-less containers (MP4, FLAC)
-    * fall back to the documented [[stubDecode]] arithmetic, mapped into the
-    * same shape. */
+    * sRGB channel sums, `video/mp4` → the ISO-BMFF box walk (display dims,
+    * mvhd duration, total stsz samples; sample_rate = the first audio
+    * track's mdhd timescale, 0 if video-only — per-track codec fourccs
+    * live on the dedicated `multimodal_decode_mp4` query shape),
+    * `audio/flac` → STREAMINFO bit-fields. Container-level for MP4/FLAC:
+    * sample payloads need native codecs, but the fields a curation
+    * pipeline filters on are all here. An unrecognized content type
+    * throws — the deterministic fake featureizer is [[decodeFeatures]],
+    * by explicit choice, never a silent fallback of the REAL path. */
   def decodeOneMedia(r: MediaRecord): DecodedMedia = {
     val n = if (r.payload == null) 0L else r.payload.length.toLong
     r.content_type match {
@@ -645,10 +657,19 @@ object Multimodal {
         val i = MediaCodecs.decodeImage(r.payload)
         DecodedMedia(r.media_id, r.content_type, n, i.width, i.height,
           0L, 0L, 0L, 0L, i.sumR, i.sumG, i.sumB, 0L, 0L)
-      case _ =>
-        val f = stubDecode(r)
-        DecodedMedia(r.media_id, r.content_type, n, f.width, f.height,
-          0L, 0L, 0L, f.duration_ms, 0L, 0L, 0L, 0L, f.checksum)
+      case "video/mp4" =>
+        val m = MediaCodecs.decodeMp4(r.payload)
+        DecodedMedia(r.media_id, r.content_type, n, m.width, m.height,
+          0L, m.audioRate, m.nSamples, m.durationMs, 0L, 0L, 0L, 0L, 0L)
+      case "audio/flac" =>
+        val f = MediaCodecs.decodeFlac(r.payload)
+        DecodedMedia(r.media_id, r.content_type, n, 0L, 0L,
+          f.channels, f.sampleRate, f.totalSamples, f.durationMs,
+          0L, 0L, 0L, 0L, 0L)
+      case other => throw new IllegalArgumentException(
+        s"no pure-JVM decoder for content type '$other' (wav/bmp/png/jpeg/" +
+          "mp4/flac decode for real; use decodeFeatures for the " +
+          "deterministic pipeline-shape featureizer)")
     }
   }
 

@@ -138,10 +138,43 @@ class EsCatalogPlugin extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is unsupported on eslog streams — use ALTER STREAM " +
-        "(replica/ack/retention) from the STREAM DDL surface")
+  /** `ALTER TABLE es.default.s SET TBLPROPERTIES(...)` IS UPDATE_STREAM
+    * (`pd/pkg/server/cluster/stream.go:79-96` — the PD's UpdateStream
+    * patches exactly replica/ack/retention): the three stream-config
+    * properties map onto [[graft.eslog.EsLog.update]]'s linearizable
+    * metadata commit, same as the parser-injected `ALTER STREAM ... SET`.
+    * `UNSET ('retention_ms')` restores the infinite-retention default
+    * (-1, rpc.fbs:491's "less than 0 implies unlimited"). Anything else —
+    * column changes, renames, other properties — throws: the record-batch
+    * schema is fixed and a silently-ignored property would lie to the
+    * user. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    checkNs(ident.namespace)
+    if (!tableExists(ident))
+      throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    var replica: Option[Int] = None
+    var ack: Option[Int] = None
+    var retention: Option[Long] = None
+    changes.foreach {
+      case s: TableChange.SetProperty => s.property match {
+        case "replica" => replica = Some(s.value.toInt)
+        case "ack_count" => ack = Some(s.value.toInt)
+        case "retention_ms" => retention = Some(s.value.toLong)
+        case other => throw new UnsupportedOperationException(
+          s"unknown eslog table property '$other' — ALTER TABLE SET " +
+            "TBLPROPERTIES supports replica, ack_count, retention_ms " +
+            "(UPDATE_STREAM's config surface)")
+      }
+      case r: TableChange.RemoveProperty if r.property == "retention_ms" =>
+        retention = Some(-1L) // back to unlimited (rpc.fbs:491)
+      case other => throw new UnsupportedOperationException(
+        s"eslog streams have a fixed record-batch schema; only SET/UNSET " +
+          s"TBLPROPERTIES(replica|ack_count|retention_ms) is supported, got $other")
+    }
+    if (replica.isDefined || ack.isDefined || retention.isDefined)
+      graft.eslog.EsLog.update(cat.streamDir(ident.name), replica, ack, retention)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&

@@ -41,8 +41,14 @@ final case class EsLogV2Table(ident: String, streamDir: String, streamId: Long)
     * Spark's streaming resolution (readStream.table / writeStream.toTable)
     * routes through this to the registered `eslog` source. */
   override def v1Table: CatalogTable = CatalogTable(
-    // fully qualified: UnresolvedCatalogRelation asserts a database part
-    identifier = TableIdentifier(ident.split('.').last, Some("default")),
+    // FULLY qualified, catalog part included: UnresolvedCatalogRelation
+    // asserts a database part, and the streaming write path refreshes
+    // `identifier.quotedString` through the SESSION resolver after every
+    // micro-batch (MicroBatchExecution) — without the catalog part that
+    // refresh resolves `default.<name>` against the session catalog and
+    // dies TABLE_OR_VIEW_NOT_FOUND on the first batch
+    identifier = TableIdentifier(ident.split('.').last, Some("default"),
+      Some(ident.split('.').head)),
     tableType = CatalogTableType.EXTERNAL,
     storage = CatalogStorageFormat.empty.copy(
       locationUri = Some(CatalogUtils.stringToURI(streamDir)),
@@ -80,7 +86,12 @@ final case class EsLogV2FallbackRule(session: SparkSession) extends Rule[Logical
     val params = Map("path" -> t.streamDir) ++ r.options.asScala
     val base = new graft.sources.EsLogSourceProvider()
       .createRelation(session.sqlContext, params)
-    LogicalRelation(base, r.output, None, isStreaming = false, stream = None)
+    // carry the V1 catalog-table face: Catalog.refreshTable's cache walk
+    // reads `catalogTable.get` off every LogicalRelation it meets (the
+    // streaming write path refreshes the destination after each
+    // micro-batch), and a bare None there is a None.get crash
+    LogicalRelation(base, r.output, Some(t.v1Table), isStreaming = false,
+      stream = None)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {

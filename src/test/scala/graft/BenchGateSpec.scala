@@ -116,6 +116,39 @@ class BenchGateSpec extends AnyFunSuite {
       factor = 2.0) === Set(0))
   }
 
+  test("replayed r14 degraded host: within-run gates blind, cross-run sentinel drift flags it") {
+    // The round-14 driver run, to shape: the host's small-IO latency was
+    // ~17x degraded for the WHOLE run (io_sentinel_s0 1.596 s vs the r13
+    // gated run's 0.090 s), so every within-run gate — whose baselines are
+    // measured on the same degraded host — read green while the IO-latency
+    // heads ran 2.3-3.6x inflated. The cross-run check compares the run's
+    // FINAL baselines against the last gated run's persisted ones.
+    val r13 = Map("registry_sentinel_s0" -> 0.059,
+      "io_sentinel_s0" -> 0.090, "mem_sentinel_s0" -> 0.074)
+    val r14 = Map("registry_sentinel_s0" -> 0.065,
+      "io_sentinel_s0" -> 1.596, "mem_sentinel_s0" -> 0.086)
+    assert(BenchGate.sentinelDrift(r13, r14, factor = 2.0) === Seq("io_sentinel_s0"),
+      "exactly the degraded sentinel must flag (CPU/mem were healthy)")
+  }
+
+  test("sentinel drift: missing priors and faster-than-prior sentinels never flag") {
+    // first gated run (no priors) — nothing to compare against
+    assert(BenchGate.sentinelDrift(Map.empty,
+      Map("io_sentinel_s0" -> 1.596)).isEmpty)
+    // a probe added after the prior was written contributes nothing
+    assert(BenchGate.sentinelDrift(Map("io_sentinel_s0" -> 0.09),
+      Map("io_sentinel_s0" -> 0.10, "new_probe_s0" -> 9.9)).isEmpty)
+    // host got QUIETER — never drift (the next publish records the new floor)
+    assert(BenchGate.sentinelDrift(Map("io_sentinel_s0" -> 0.09),
+      Map("io_sentinel_s0" -> 0.03)).isEmpty)
+    // at the factor is clean; just above is dirty (same edge rule as the
+    // within-run gates)
+    assert(BenchGate.sentinelDrift(Map("s" -> 0.10), Map("s" -> 0.20),
+      factor = 2.0).isEmpty)
+    assert(BenchGate.sentinelDrift(Map("s" -> 0.10), Map("s" -> 0.201),
+      factor = 2.0) === Seq("s"))
+  }
+
   test("segments preserves order and covers every head") {
     val heads = (1 to 47).map(i => s"q$i")
     val segs = BenchGate.segments(heads, 10)

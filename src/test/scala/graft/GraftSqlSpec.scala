@@ -1216,4 +1216,82 @@ class GraftSqlSpec extends SparkTestBase {
     val got = spark.sql("SELECT count(*) FROM cat_feed").collect().head.getLong(0)
     assert(got == 60L, s"streaming read by catalog name drained $got of 60 rows")
   }
+
+  test("V2 catalog plugin: ALTER TABLE SET/UNSET TBLPROPERTIES is UPDATE_STREAM") {
+    val root = tmpDir("es-cat-alter-")
+    spark.conf.set("spark.sql.catalog.es4", classOf[graft.sql.EsCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.es4.root", root)
+    val cat = new graft.eslog.EsCatalog(root)
+    cat.createStream("cfg")
+    val dir = cat.streamDir("cfg")
+    assert(graft.meta.MetaLog.load(dir).retentionMs == -1L)
+
+    // SET maps replica/ack_count/retention_ms onto the UPDATE_STREAM commit
+    spark.sql("ALTER TABLE es4.default.cfg SET TBLPROPERTIES(" +
+      "'retention_ms'='86400000', 'replica'='3', 'ack_count'='2')")
+    val st = graft.meta.MetaLog.load(dir)
+    assert(st.retentionMs == 86400000L && st.replica == 3 && st.ackCount == 2)
+    // ... and the STREAM DDL surface sees the same registry state
+    val desc = spark.sql(s"DESCRIBE STREAM cfg IN '$root'").collect().head
+    assert(desc.getAs[Long]("retention_ms") == 86400000L)
+    assert(desc.getAs[Long]("replica") == 3L)
+
+    // UNSET retention restores the unlimited default (-1)
+    spark.sql("ALTER TABLE es4.default.cfg UNSET TBLPROPERTIES('retention_ms')")
+    assert(graft.meta.MetaLog.load(dir).retentionMs == -1L)
+
+    // unknown property and schema changes throw, never silently ignore
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE es4.default.cfg SET TBLPROPERTIES('compression'='zstd')"))
+    assert(e1.getMessage.contains("compression"))
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE es4.default.cfg ADD COLUMN extra STRING"))
+    assert(e2.getMessage.toLowerCase.contains("schema"))
+    // missing table fails as NoSuchTable, not NPE
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE es4.default.missing SET TBLPROPERTIES('replica'='2')"))
+    assert(e3.getMessage.toLowerCase.contains("not") ||
+      e3.getMessage.toLowerCase.contains("missing"))
+  }
+
+  test("V2 catalog plugin: writeStream.toTable lands on the epoch-fenced exactly-once sink") {
+    val root = tmpDir("es-cat-wstream-")
+    spark.conf.set("spark.sql.catalog.es5", classOf[graft.sql.EsCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.es5.root", root)
+    val cat = new graft.eslog.EsCatalog(root)
+    cat.createStream("src")
+    cat.createStream("dst")
+    val srcDir = cat.streamDir("src")
+    graft.eslog.EsLog.open(srcDir, 1L)
+    import spark.implicits._
+    graft.eslog.EsLog.append(spark, srcDir,
+      (0 until 80).map(i => Tuple1(s"w$i")).toDF("payload"), 1L)
+
+    val ckpt = tmpDir("es-cat-wstream-ckpt-")
+    def drain(): Unit = {
+      val q = spark.readStream.table("es5.default.src")
+        .select(col("payload"), col("properties"), col("base_timestamp"))
+        .writeStream
+        // Spark's V1-fallback toTable requires the writer's format to match
+        // the table's provider (writeToV1Table rejects the session default
+        // 'parquet' loudly — no silent wrong-sink path exists)
+        .format("eslog")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("es5.default.dst")
+      assert(q.awaitTermination(300000))
+    }
+    drain()
+    val dstDir = cat.streamDir("dst")
+    assert(graft.meta.MetaLog.load(dstDir).nextOffset == 80L,
+      "first drain must land all 80 rows through the commit protocol")
+    // restart on the SAME checkpoint: replayed batches are metadata no-ops
+    // (the sink's idempotent-retry semantics) — exactly-once, not at-least-once
+    drain()
+    assert(graft.meta.MetaLog.load(dstDir).nextOffset == 80L,
+      "restart with the same checkpoint must not duplicate rows")
+    // the landed bytes read back by catalog name
+    assert(spark.sql("SELECT count(*) FROM es5.default.dst")
+      .collect().head.getLong(0) == 80L)
+  }
 }

@@ -154,4 +154,150 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.decodeImage(Array.fill[Byte](64)(0x5a)))
     assert(e.getMessage.contains("ImageIO"))
   }
+
+  // ------------------------------------------------------ MP4 (ISO-BMFF)
+
+  test("MP4: encode/decode round-trip over the box tree") {
+    val tracks = Seq(
+      MediaCodecs.Mp4Track("vide", "avc1", 640, 480, 600L, 1800L, 90L),
+      MediaCodecs.Mp4Track("soun", "mp4a", 0, 0, 48000L, 144000L, 141L))
+    val mp4 = MediaCodecs.encodeMp4Meta("isom", 600L, 1800L, tracks,
+      mdat = Array[Byte](1, 2, 3, 4))
+    assert(new String(mp4.slice(4, 8), "US-ASCII") === "ftyp")
+    val m = MediaCodecs.decodeMp4(mp4)
+    assert(m.brand === "isom")
+    assert(m.timescale === 600L && m.duration === 1800L)
+    assert(m.durationMs === 3000L) // 1800/600 s exactly
+    assert(m.nTracks === 2)
+    assert(m.width === 640 && m.height === 480)
+    assert(m.codecs === Seq("avc1", "mp4a"))
+    assert(m.nSamples === 90L + 141L)
+    assert(m.audioRate === 48000L) // the audio trak's mdhd timescale
+  }
+
+  test("MP4: version-1 mvhd (64-bit duration) and unknown boxes are handled") {
+    val mp4 = MediaCodecs.encodeMp4Meta("mp42", 1000L, 2500L,
+      Seq(MediaCodecs.Mp4Track("vide", "hvc1", 320, 240, 1000L, 2500L, 75L)))
+    // rewrite the mvhd in place as version 1: locate it, grow creation/
+    // modification/duration to 64-bit (payload 96 -> 108)
+    val moovAt = mp4.indexOfSlice("moov".getBytes("US-ASCII")) - 4
+    val mvhdAt = mp4.indexOfSlice("mvhd".getBytes("US-ASCII")) - 4
+    val oldMvhdLen = ByteBuffer.wrap(mp4, mvhdAt, 4).getInt
+    val v1 = ByteBuffer.allocate(8 + 4 + 108)
+    v1.putInt(8 + 4 + 108).put("mvhd".getBytes("US-ASCII"))
+    v1.putInt(1 << 24)            // version 1
+    v1.putLong(0).putLong(0)      // creation, modification (64-bit)
+    v1.putInt(1000).putLong(2500) // timescale 32-bit, duration 64-bit
+    v1.putInt(0x00010000).putShort(0x0100.toShort).putShort(0).putLong(0)
+    (0 until 9).foreach(_ => v1.putInt(0)) // matrix (values unread)
+    (0 until 6).foreach(_ => v1.putInt(0)) // pre_defined
+    v1.putInt(2)
+    val grown = v1.array().length - oldMvhdLen
+    val out = ByteBuffer.allocate(mp4.length + grown + 12)
+    out.put(mp4, 0, moovAt)
+    out.putInt(ByteBuffer.wrap(mp4, moovAt, 4).getInt + grown + 12)
+    out.put("moov".getBytes("US-ASCII"))
+    // an unknown box inside moov, skipped by declared size
+    out.putInt(12).put("skip".getBytes("US-ASCII")).putInt(0xdead)
+    out.put(v1.array())
+    out.put(mp4, mvhdAt + oldMvhdLen, mp4.length - mvhdAt - oldMvhdLen)
+    val m = MediaCodecs.decodeMp4(out.array())
+    assert(m.timescale === 1000L && m.duration === 2500L && m.durationMs === 2500L)
+    assert(m.codecs === Seq("hvc1"))
+  }
+
+  test("MP4: truncated and forged boxes are rejected, never read wild") {
+    val mp4 = MediaCodecs.encodeMp4Meta("isom", 600L, 600L,
+      Seq(MediaCodecs.Mp4Track("vide", "avc1", 64, 48, 600L, 600L, 30L)))
+    // not ISO-BMFF at all
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeMp4(Array.fill[Byte](32)(0x11))).getMessage.contains("ftyp"))
+    // truncated mid-moov: some inner box's declared size overruns
+    val cut = java.util.Arrays.copyOf(mp4, mp4.length / 2)
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeMp4(cut)).getMessage.matches(".*(overruns|truncated).*"))
+    // forged box size pointing past the enclosure
+    val forged = mp4.clone()
+    val trakAt = forged.indexOfSlice("trak".getBytes("US-ASCII")) - 4
+    ByteBuffer.wrap(forged, trakAt, 4).putInt(1 << 30)
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeMp4(forged)).getMessage.contains("overruns"))
+    // forged stsz table count on the variable-size form
+    val stszAt = forged.indexOfSlice("stsz".getBytes("US-ASCII")) - 4
+    val fixed = mp4.clone()
+    ByteBuffer.wrap(fixed, stszAt + 12, 8).putInt(0).putInt(1 << 20) // size=0, count huge
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeMp4(fixed)).getMessage.contains("stsz"))
+    // a moov with no mvhd (zero timescale) is rejected
+    val noMvhd = mp4.clone()
+    val mvhdAt2 = noMvhd.indexOfSlice("mvhd".getBytes("US-ASCII"))
+    System.arraycopy("free".getBytes("US-ASCII"), 0, noMvhd, mvhdAt2, 4)
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeMp4(noMvhd)).getMessage.contains("mvhd"))
+  }
+
+  // ------------------------------------------------------------------ FLAC
+
+  test("FLAC: encode/decode round-trip over STREAMINFO bit-fields") {
+    val flac = MediaCodecs.encodeFlacMeta(44100, 2, 16, 441000L)
+    assert(new String(flac.slice(0, 4), "US-ASCII") === "fLaC")
+    val f = MediaCodecs.decodeFlac(flac)
+    assert(f.sampleRate === 44100 && f.channels === 2 && f.bitsPerSample === 16)
+    assert(f.totalSamples === 441000L)
+    assert(f.durationMs === 10000L)
+    assert(f.minBlock === 4096 && f.maxBlock === 4096)
+    // edge values of the bit-packed fields survive the round trip
+    val edge = MediaCodecs.decodeFlac(
+      MediaCodecs.encodeFlacMeta(655349, 8, 32, (1L << 36) - 1))
+    assert(edge.sampleRate === 655349 && edge.channels === 8 && edge.bitsPerSample === 32)
+    assert(edge.totalSamples === (1L << 36) - 1)
+  }
+
+  test("FLAC: forged magic, misplaced STREAMINFO, overrunning lengths, bad sync rejected") {
+    val flac = MediaCodecs.encodeFlacMeta(8000, 1, 8, 1000L)
+    val bad = flac.clone(); bad(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeFlac(bad)).getMessage.contains("magic"))
+    // first block forged to type 4 (VORBIS_COMMENT): spec mandates STREAMINFO first
+    val misplaced = flac.clone(); misplaced(4) = 4.toByte
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeFlac(misplaced)).getMessage.contains("STREAMINFO"))
+    // forged 24-bit block length overrunning the file
+    val overrun = flac.clone(); overrun(5) = 0x7f.toByte
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeFlac(overrun)).getMessage.contains("overruns"))
+    // truncated mid-STREAMINFO
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeFlac(java.util.Arrays.copyOf(flac, 20)))
+      .getMessage.matches(".*(short|overruns).*"))
+    // frame bytes after the metadata blocks must open with the sync code
+    val badSync = flac.clone(); badSync(flac.length - 4) = 0x00.toByte
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeFlac(badSync)).getMessage.contains("sync"))
+    // zero sample rate is meaningless (division guard)
+    val zeroRate = flac.clone()
+    ByteBuffer.wrap(zeroRate, 18, 8).putLong(0L)
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeFlac(zeroRate)).getMessage.contains("rate"))
+  }
+
+  test("synthetic MP4/FLAC fixture payloads decode to their closed forms") {
+    (0L to 20L).foreach { id =>
+      val m = MediaCodecs.decodeMp4(Fixtures.syntheticMp4(id))
+      val k = 1 + id % 10
+      assert(m.brand === "isom")
+      assert(m.nTracks === 1 + id % 2)
+      assert(m.width === 16 * (4 + id % 9) && m.height === 16 * (3 + id % 7))
+      assert(m.durationMs === 1000 * k)
+      assert(m.nSamples === 30 * k + (id % 2) * 48 * k)
+      assert(m.audioRate === (if (id % 2 == 1) 48000L else 0L))
+      assert(m.codecs === (if (id % 2 == 1) Seq("avc1", "mp4a") else Seq("avc1")))
+      val f = MediaCodecs.decodeFlac(Fixtures.syntheticFlac(id))
+      assert(f.sampleRate === 8000 + 4000 * (id % 3))
+      assert(f.channels === 1 + id % 2)
+      assert(f.bitsPerSample === 8 + 4 * (id % 3))
+      assert(f.totalSamples === 1000 * (1 + id % 8))
+      assert(f.durationMs === f.totalSamples * 1000 / f.sampleRate)
+    }
+  }
 }
