@@ -1788,6 +1788,54 @@ object Fixtures {
       name
     })
 
+  /** STREAMING container decode — "screen the crawl's media as it
+    * arrives": a stream whose record payloads ARE genuine ISO-BMFF bytes
+    * ([[syntheticMp4]] appended as the binary payload column), drained in
+    * 8 rate-limited micro-batches through a stateless typed mapPartitions
+    * decode (one decoder instance per partition — the deployment batch
+    * shape, [[graft.operators.Multimodal.decodeMedia]]'s plumbing), NO
+    * streaming state anywhere. The streaming sibling of
+    * `multimodal_decode_mp4` — identical result set, same oracle. */
+  def streamMediaDecodeTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-media-decode", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = fixture(sfDir, "media-decode-src") { d =>
+        import s.implicits._
+        val recs = documents(s, sfDir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, syntheticMp4(id))))
+          .toDF("doc_id", "payload")
+          .select(col("payload"),
+            map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+        EsLog.create(d, streamId = 77L)
+        EsLog.open(d, 1L)
+        EsLog.append(s, d, recs, 1L)
+        ()
+      }
+      val n = documents(s, sfDir).count()
+      val name = "graft_stream_media_decode_" + math.abs(sfDir.hashCode).toString
+      import s.implicits._
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", math.max(n / 8, 1L).toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("media_id"),
+          col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val m = graft.operators.MediaCodecs.decodeMp4(bytes)
+          (id, m.brand, m.nTracks.toLong, m.width.toLong, m.height.toLong,
+            m.durationMs, m.nSamples, m.audioRate, m.codecs.mkString(","))
+        })
+        .toDF("media_id", "brand", "n_tracks", "width", "height",
+          "duration_ms", "n_samples", "audio_rate", "codecs")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** STREAMING temperature rebalancing — "α-sample the crawl as it
     * arrives": the (source, threshold) artifact is computed ONCE in batch
     * ([[graft.operators.Sampling.temperatureThresholds]] — a static

@@ -2636,6 +2636,9 @@ object Oracles {
     "multimodal_decode_png" -> multimodalDecodePng,
     "multimodal_decode_mp4" -> multimodalDecodeMp4,
     "multimodal_decode_flac" -> multimodalDecodeFlac,
+    // streaming twin: stateless per-micro-batch decode of the same
+    // generated containers — the batch closed form IS the oracle
+    "es_stream_media_decode" -> multimodalDecodeMp4,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_dedup" -> multimodalDedup,
     "multimodal_dedup_cdc" -> multimodalDedupCdc,

@@ -2104,6 +2104,13 @@ object SparkEntry {
   private def qEsStreamMediaAppend(s: SparkSession, sfDir: String): DataFrame =
     mediaProbeAt(s, sfDir, s"${Fixtures.streamMediaAppendRoot(s, sfDir)}/index")
 
+  /** Streaming twin of [[qMultimodalDecodeMp4]] ([[Fixtures
+    * .streamMediaDecodeTable]]): genuine ISO-BMFF payload bytes flow
+    * through the eslog stream and are box-walked per micro-batch by a
+    * stateless typed mapPartitions — same result set, same oracle. */
+  private def qEsStreamMediaDecode(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamMediaDecodeTable(s, sfDir))
+
   /** [[qMultimodalProbeAppended]] + [[graft.operators.Multimodal
     * .compactMediaLibraryIndex]]: compaction folds the appended slices to
     * one file per bucket AND re-applies the df cap GLOBALLY — a chunk
@@ -2424,6 +2431,7 @@ object SparkEntry {
     "es_stream_ivf_append" -> (qEsStreamIvfAppend _),
     "es_stream_lsh_append" -> (qEsStreamLshAppend _),
     "es_stream_media_append" -> (qEsStreamMediaAppend _),
+    "es_stream_media_decode" -> (qEsStreamMediaDecode _),
     "sim_ivf_compact" -> (qSimIvfCompact _),
     "sim_ivf_replay" -> (qSimIvfReplay _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),

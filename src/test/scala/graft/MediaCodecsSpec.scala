@@ -281,6 +281,72 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.decodeFlac(zeroRate)).getMessage.contains("rate"))
   }
 
+  // --- adversarial-bytes fuzz (the TieredObjectFuzzSpec treatment): the
+  // contract under corruption is reject LOUDLY (IllegalArgumentException /
+  // bounded runtime exceptions) or parse a still-valid container — never an
+  // Error (OOM from a forged length, stack overflow), never a wild read.
+
+  private def fuzzSafely[A](decode: Array[Byte] => A)(bytes: Array[Byte]): Option[A] =
+    try Some(decode(bytes))
+    catch {
+      case _: IllegalArgumentException => None
+      case _: IndexOutOfBoundsException => None
+      case _: java.nio.BufferUnderflowException => None
+      case e: Throwable =>
+        fail(s"decoder escaped the loud-rejection contract: ${e.getClass} ${e.getMessage}")
+    }
+
+  test("MP4/FLAC fuzz: random truncations never escape the loud-rejection contract") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 300).foreach { _ =>
+      val id = rnd.nextLong().abs % 1000
+      val mp4 = Fixtures.syntheticMp4(id)
+      fuzzSafely(MediaCodecs.decodeMp4)(
+        java.util.Arrays.copyOf(mp4, 1 + rnd.nextInt(mp4.length - 1)))
+      val flac = Fixtures.syntheticFlac(id)
+      fuzzSafely(MediaCodecs.decodeFlac)(
+        java.util.Arrays.copyOf(flac, 1 + rnd.nextInt(flac.length - 1)))
+    }
+  }
+
+  test("MP4/FLAC fuzz: random byte corruption anywhere — loud or consistent, never wild") {
+    val rnd = new scala.util.Random(777)
+    (1 to 500).foreach { _ =>
+      val id = rnd.nextLong().abs % 1000
+      val mp4 = Fixtures.syntheticMp4(id)
+      (1 to 3).foreach(_ => mp4(rnd.nextInt(mp4.length)) = rnd.nextInt(256).toByte)
+      // a surviving parse must still respect the output invariants the
+      // closed form guarantees structurally (never negative fields)
+      fuzzSafely(MediaCodecs.decodeMp4)(mp4).foreach { m =>
+        assert(m.nTracks >= 1 && m.timescale > 0 && m.nSamples >= 0)
+      }
+      val flac = Fixtures.syntheticFlac(id)
+      (1 to 3).foreach(_ => flac(rnd.nextInt(flac.length)) = rnd.nextInt(256).toByte)
+      fuzzSafely(MediaCodecs.decodeFlac)(flac).foreach { f =>
+        assert(f.sampleRate > 0 && f.channels >= 1 && f.channels <= 8 &&
+          f.bitsPerSample >= 1 && f.totalSamples >= 0)
+      }
+    }
+  }
+
+  test("MP4/FLAC fuzz: pure garbage and forged size fields never over-allocate or hang") {
+    val rnd = new scala.util.Random(31337)
+    (1 to 300).foreach { _ =>
+      val garbage = Array.fill(8 + rnd.nextInt(256))(rnd.nextInt(256).toByte)
+      fuzzSafely(MediaCodecs.decodeMp4)(garbage)
+      fuzzSafely(MediaCodecs.decodeFlac)(garbage)
+      // spliced: a valid prefix with forged 32-bit sizes at random 4-aligned
+      // offsets — the classic parser trap (sizes pointing backwards, to 0,
+      // past the file, or at Int.MaxValue)
+      val mp4 = Fixtures.syntheticMp4(rnd.nextInt(500).toLong)
+      val forged = mp4.clone()
+      val at = (rnd.nextInt(forged.length / 4)) * 4
+      val evil = Seq(0, 1, 2, 7, -1, Int.MaxValue, forged.length + 1)(rnd.nextInt(7))
+      java.nio.ByteBuffer.wrap(forged, at, 4).putInt(evil)
+      fuzzSafely(MediaCodecs.decodeMp4)(forged)
+    }
+  }
+
   test("synthetic MP4/FLAC fixture payloads decode to their closed forms") {
     (0L to 20L).foreach { id =>
       val m = MediaCodecs.decodeMp4(Fixtures.syntheticMp4(id))

@@ -1324,6 +1324,7 @@ class PlanAuditSpec extends SparkTestBase {
     "multimodal_decode_bmp" -> Seq("media_id", "width", "height", "sum_r", "sum_g", "sum_b"),
     "multimodal_decode_png" -> Seq("media_id", "width", "height", "sum_r", "sum_g", "sum_b"),
     "multimodal_decode_mp4" -> Seq("media_id", "brand", "n_tracks", "width", "height", "duration_ms", "n_samples", "audio_rate", "codecs"),
+    "es_stream_media_decode" -> Seq("media_id", "brand", "n_tracks", "width", "height", "duration_ms", "n_samples", "audio_rate", "codecs"),
     "multimodal_decode_flac" -> Seq("media_id", "sample_rate", "channels", "bits_per_sample", "n_samples", "duration_ms"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
     "multimodal_dedup" -> Seq("i", "j", "n_shared"),
