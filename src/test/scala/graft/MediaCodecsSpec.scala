@@ -206,6 +206,30 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(m.codecs === Seq("hvc1"))
   }
 
+  test("MP4: 64-bit largesize and to-end-of-file size forms are walked per spec") {
+    val mp4 = MediaCodecs.encodeMp4Meta("isom", 600L, 1200L,
+      Seq(MediaCodecs.Mp4Track("vide", "av01", 128, 96, 600L, 1200L, 60L)),
+      mdat = Array[Byte](9, 9, 9))
+    // rewrite the trailing mdat in the spec's two alternate size forms
+    val mdatAt = mp4.lastIndexOfSlice("mdat".getBytes("US-ASCII")) - 4
+    val head = java.util.Arrays.copyOf(mp4, mdatAt)
+    // form 1: size==1, 64-bit largesize follows the fourcc
+    val large = ByteBuffer.allocate(16 + 3)
+    large.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(16 + 3)
+    large.put(Array[Byte](9, 9, 9))
+    val withLarge = head ++ large.array()
+    assert(MediaCodecs.decodeMp4(withLarge) === MediaCodecs.decodeMp4(mp4))
+    // form 2: size==0, box extends to the end of the file
+    val toEnd = ByteBuffer.allocate(8 + 3)
+    toEnd.putInt(0).put("mdat".getBytes("US-ASCII")).put(Array[Byte](9, 9, 9))
+    assert(MediaCodecs.decodeMp4(head ++ toEnd.array()) === MediaCodecs.decodeMp4(mp4))
+    // forged largesize past the file is loud
+    val bad = withLarge.clone()
+    ByteBuffer.wrap(bad, mdatAt + 8, 8).putLong(1L << 40)
+    assert(intercept[IllegalArgumentException](
+      MediaCodecs.decodeMp4(bad)).getMessage.contains("overruns"))
+  }
+
   test("MP4: truncated and forged boxes are rejected, never read wild") {
     val mp4 = MediaCodecs.encodeMp4Meta("isom", 600L, 600L,
       Seq(MediaCodecs.Mp4Track("vide", "avc1", 64, 48, 600L, 600L, 30L)))
