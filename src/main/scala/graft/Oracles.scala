@@ -2259,6 +2259,23 @@ object Oracles {
       |       // (8000 + 4000 * (doc_id % 3)) AS BIGINT) AS duration_ms
       |FROM documents""".stripMargin
 
+  /** The curation filter over [[multimodalDecodeMp4]]'s closed form: the
+    * WHERE recomputes the predicate from the generator arithmetic —
+    * width ≥ 96 ⇔ doc_id mod 9 ≥ 2, duration ∈ [3 s, 8 s] ⇔
+    * doc_id mod 10 ∈ [2, 7], has-audio ⇔ odd id. */
+  private val multimodalCurate =
+    """SELECT doc_id AS media_id,
+      |  CAST(16 * (4 + doc_id % 9) AS BIGINT) AS width,
+      |  CAST(16 * (3 + doc_id % 7) AS BIGINT) AS height,
+      |  CAST(1000 * (1 + doc_id % 10) AS BIGINT) AS duration_ms,
+      |  CAST(48000 AS BIGINT) AS audio_rate,
+      |  CAST(30 * (1 + doc_id % 10)
+      |       + 48 * (1 + doc_id % 10) AS BIGINT) AS n_samples
+      |FROM documents
+      |WHERE 16 * (4 + doc_id % 9) >= 96
+      |  AND 1000 * (1 + doc_id % 10) BETWEEN 3000 AND 8000
+      |  AND doc_id % 2 = 1""".stripMargin
+
   private val multimodalFrames =
     """WITH f AS (
       |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -2639,6 +2656,7 @@ object Oracles {
     // streaming twin: stateless per-micro-batch decode of the same
     // generated containers — the batch closed form IS the oracle
     "es_stream_media_decode" -> multimodalDecodeMp4,
+    "multimodal_curate" -> multimodalCurate,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_dedup" -> multimodalDedup,
     "multimodal_dedup_cdc" -> multimodalDedupCdc,

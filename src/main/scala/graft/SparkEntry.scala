@@ -1989,6 +1989,25 @@ object SparkEntry {
         "n_samples", "duration_ms")
   }
 
+  /** Container-metadata CURATION filter — the deployment story the
+    * decoders exist for: screen a crawled-video corpus by what its
+    * containers DECLARE (display dims, duration, has-audio), no sample
+    * decode anywhere. One stateless decode projection + a codegen'd
+    * filter; at 100 TB this is a full-scan-shaped map with no shuffle. */
+  private def qMultimodalCurate(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val m = MediaCodecs.decodeMp4(Fixtures.syntheticMp4(id))
+        (id, m.width.toLong, m.height.toLong, m.durationMs, m.audioRate,
+          m.nSamples)
+      })
+      .toDF("media_id", "width", "height", "duration_ms", "audio_rate",
+        "n_samples")
+      .where(col("width") >= 96 && col("duration_ms").between(3000, 8000) &&
+        col("audio_rate") > 0)
+  }
+
   private def qMultimodalDecode(s: SparkSession, sfDir: String): DataFrame =
     Multimodal.decodeFeatures(
       Multimodal.fromDocuments(s, Fixtures.documents(s, sfDir), "doc_id", "text")).toDF()
@@ -2453,6 +2472,7 @@ object SparkEntry {
     "multimodal_decode_png" -> (qMultimodalDecodePng _),
     "multimodal_decode_mp4" -> (qMultimodalDecodeMp4 _),
     "multimodal_decode_flac" -> (qMultimodalDecodeFlac _),
+    "multimodal_curate" -> (qMultimodalCurate _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),
     "multimodal_dedup_cdc" -> (qMultimodalDedupCdc _),

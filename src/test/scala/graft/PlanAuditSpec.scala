@@ -1326,6 +1326,7 @@ class PlanAuditSpec extends SparkTestBase {
     "multimodal_decode_mp4" -> Seq("media_id", "brand", "n_tracks", "width", "height", "duration_ms", "n_samples", "audio_rate", "codecs"),
     "es_stream_media_decode" -> Seq("media_id", "brand", "n_tracks", "width", "height", "duration_ms", "n_samples", "audio_rate", "codecs"),
     "multimodal_decode_flac" -> Seq("media_id", "sample_rate", "channels", "bits_per_sample", "n_samples", "duration_ms"),
+    "multimodal_curate" -> Seq("media_id", "width", "height", "duration_ms", "audio_rate", "n_samples"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
     "multimodal_dedup" -> Seq("i", "j", "n_shared"),
     "ts_similarity" -> Seq("qid", "nid", "rank", "score"),
