@@ -206,6 +206,40 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(m.codecs === Seq("hvc1"))
   }
 
+  test("MP4: version-1 tkhd (64-bit times) display dims parse at the v1 offsets") {
+    val mp4 = MediaCodecs.encodeMp4Meta("isom", 600L, 600L,
+      Seq(MediaCodecs.Mp4Track("vide", "avc1", 256, 192, 600L, 600L, 30L)))
+    val tkhdAt = mp4.indexOfSlice("tkhd".getBytes("US-ASCII")) - 4
+    val oldLen = ByteBuffer.wrap(mp4, tkhdAt, 4).getInt
+    // v1 payload: verflags + creation(8) + mod(8) + trackId + reserved +
+    // duration(8) + reserved(8) + layer/alt/vol/res + matrix + dims = 96
+    val v1 = ByteBuffer.allocate(8 + 96)
+    v1.putInt(8 + 96).put("tkhd".getBytes("US-ASCII"))
+    v1.putInt((1 << 24) | 7)
+    v1.putLong(0).putLong(0)           // creation, modification
+    v1.putInt(1).putInt(0)             // track_ID, reserved
+    v1.putLong(600L)                   // duration (64-bit)
+    v1.putLong(0)                      // reserved
+    v1.putShort(0).putShort(0).putShort(0).putShort(0)
+    (0 until 9).foreach(_ => v1.putInt(0))
+    v1.putInt(256 << 16).putInt(192 << 16)
+    val grown = (8 + 96) - oldLen
+    val out = ByteBuffer.allocate(mp4.length + grown)
+    out.put(mp4, 0, tkhdAt)
+    out.put(v1.array())
+    out.put(mp4, tkhdAt + oldLen, mp4.length - tkhdAt - oldLen)
+    // grow every enclosing container size (moov, trak precede tkhd)
+    val bytes = out.array()
+    Seq("moov", "trak").foreach { b =>
+      val at = bytes.indexOfSlice(b.getBytes("US-ASCII")) - 4
+      ByteBuffer.wrap(bytes, at, 4).putInt(
+        ByteBuffer.wrap(bytes, at, 4).getInt + grown)
+    }
+    val m = MediaCodecs.decodeMp4(bytes)
+    assert(m.width === 256 && m.height === 192)
+    assert(m.codecs === Seq("avc1"))
+  }
+
   test("MP4: 64-bit largesize and to-end-of-file size forms are walked per spec") {
     val mp4 = MediaCodecs.encodeMp4Meta("isom", 600L, 1200L,
       Seq(MediaCodecs.Mp4Track("vide", "av01", 128, 96, 600L, 1200L, 60L)),
