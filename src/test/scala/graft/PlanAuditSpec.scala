@@ -1196,6 +1196,19 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
 
+  test("media decode family: single-pass full-scan shape — no Exchange, no Join") {
+    // the 100 TB claim for container decode is exactly this: one stateless
+    // projection over the corpus scan (mapPartitions decode + optional
+    // codegen'd filter) — any shuffle or join appearing here would mean the
+    // plan stopped being a map-only pass
+    val sfDir = "/root/testdata/sf0.001"
+    Seq("multimodal_decode_mp4", "multimodal_decode_flac", "multimodal_curate")
+      .foreach { name =>
+        val p = plan(SparkEntry.queries(name)(spark, sfDir))
+        assert(!p.contains("Exchange") && !p.contains("Join"), s"$name:\n$p")
+      }
+  }
+
   test("registry golden schemas: every query's output columns are pinned") {
     // Column drift is invisible to the plan sweep and only surfaces in a
     // full DuckDB compare (a lost projection once shipped a whole fixture
