@@ -50,6 +50,18 @@ object Bench {
     * Written by the bench itself on both-gates-green runs; absent or
     * unreadable = no envelope check (first gated run seeds it). */
   private val PriorPath = "BENCH_PRIOR.json"
+  /** Rolling-envelope depth: the per-head envelope is the min over this many
+    * recent gated runs (plus the ratchet guard, [[BenchGate.priorStoreValue]]).
+    * 5 covers roughly a round of builder iteration plus the driver run. */
+  private val PriorHistoryN = 5
+  /** One factor serves both halves of the envelope instrument: a head
+    * >factor x the rolling envelope is flagged + re-measured in-run, and its
+    * stored envelope contribution is capped at factor x unless the
+    * regression reproduced clean ([[BenchGate.priorStoreValue]]). 2.0 per
+    * the r15 grading bar ("a head >2x its prior committed number is weak"):
+    * the r15 slide's individual steps (1.14x, 1.20x, 2.75x) flag at the
+    * third step against the rolling min instead of never. */
+  private val PriorStoreFactor = 2.0
   /** Cross-run sentinel drift threshold ([[BenchGate.sentinelDrift]]): the
     * r14 degraded host sat at 17.7x on the IO sentinel; healthy-host
     * run-to-run variation on these median-of-5 baselines has measured
@@ -68,6 +80,17 @@ object Bench {
     else if (Option(n.get("sf")).exists(_.asText() == sfDir)) Some(n)
     else None
   }
+  private def queriesBestOf(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    val q = n.get("queries_best_of_3")
+    if (q != null) q.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
+    b.result()
+  }
+  /** ROLLING envelope (r15 instrument gap): per-head MIN over the last
+    * [[PriorHistoryN]] gated runs' (ratchet-guarded) best-of-3 entries in the
+    * section's `history` list, unioned with the section's own latest figures
+    * (also the migration path for pre-r16 single-entry files). See
+    * [[BenchGate.rollingEnvelope]] for why last-run-only was a ratchet. */
   private def readPrior(sfDir: String): Map[String, Double] =
     try {
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PriorPath))
@@ -75,12 +98,33 @@ object Bench {
       priorNodeFor(root, sfDir) match {
         case None => Map.empty
         case Some(n) =>
-          val b = Map.newBuilder[String, Double]
-          val q = n.get("queries_best_of_3")
-          if (q != null) q.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
-          b.result()
+          val entries = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+          val h = n.get("history")
+          if (h != null) h.forEach(e => entries += queriesBestOf(e))
+          entries += queriesBestOf(n)
+          BenchGate.rollingEnvelope(entries.takeRight(PriorHistoryN).toSeq)
       }
     } catch { case _: Throwable => Map.empty }
+  /** The section's raw history entries (JSON strings), oldest first — carried
+    * forward verbatim on write so the rolling window and the forensic trail
+    * survive every publish. A pre-r16 file (no `history`) migrates: its
+    * single top-level figure set becomes the first history entry. */
+  private def readPriorHistory(sfDir: String): Seq[String] =
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PriorPath))
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      priorNodeFor(root, sfDir) match {
+        case None => Seq.empty
+        case Some(n) =>
+          val h = n.get("history")
+          if (h != null) {
+            val b = Seq.newBuilder[String]
+            h.forEach(e => b += e.toString)
+            b.result()
+          } else if (n.get("queries_best_of_3") != null) Seq(n.toString)
+          else Seq.empty
+      }
+    } catch { case _: Throwable => Seq.empty }
   /** Last gated run's sentinel baselines (the r14 instrument gap:
     * within-run gates cannot see a host that is uniformly degraded for the
     * whole run — see [[BenchGate.sentinelDrift]]). Absent section (pre-r15
@@ -98,11 +142,21 @@ object Bench {
           b.result()
       }
     } catch { case _: Throwable => Map.empty }
+  /** Publish a gated run into the prior file: the section's top-level fields
+    * are the LATEST run (back-compat, human-readable), and the `history`
+    * list keeps the last [[PriorHistoryN]] gated entries (oldest first,
+    * carried forward verbatim) so the rolling envelope and the next
+    * instrument question can be answered from the artifact instead of git
+    * archaeology (r15 verdict #6). `storedBest` is the ratchet-guarded
+    * figure set ([[BenchGate.priorStoreValue]]); `capped`/`reproduced` name
+    * the heads the guard touched, riding each entry as provenance. */
   private def writePrior(sfDir: String,
-                         best: scala.collection.Map[String, Double],
+                         storedBest: scala.collection.Map[String, Double],
                          medians: scala.collection.Map[String, Double],
                          appendMbps: Double,
-                         sentinels: scala.collection.Map[String, Double]): Unit =
+                         sentinels: scala.collection.Map[String, Double],
+                         capped: Seq[String],
+                         reproduced: Seq[String]): Unit =
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       // carry the OTHER SFs' sections forward (flat legacy files migrate:
@@ -120,12 +174,17 @@ object Bench {
           if (oldSf.nonEmpty && oldSf != sfDir) kept += oldSf -> root.toString
         }
       } catch { case _: Throwable => () }
-      val section =
+      val entry =
         s"""{"written_by":"bench (both gates green)"""" +
         s""","append_mbps":${f3(appendMbps)}""" +
         s""","sentinels":${jmap(sentinels)}""" +
-        s""","queries_best_of_3":${jmap(best)}""" +
+        s""","prior_capped":${jlistS(capped)}""" +
+        s""","prior_reproduced":${jlistS(reproduced)}""" +
+        s""","queries_best_of_3":${jmap(storedBest)}""" +
         s""","queries":${jmap(medians)}}"""
+      val history = (readPriorHistory(sfDir) :+ entry).takeRight(PriorHistoryN)
+      val section = entry.dropRight(1) +
+        s""","history":${history.mkString("[", ",", "]")}}"""
       val body = (kept.toSeq :+ (sfDir -> section))
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{\"by_sf\":{", ",", "}}")
@@ -143,7 +202,14 @@ object Bench {
       appendMbps: Double,
       medians: scala.collection.Map[String, Double],
       best: scala.collection.Map[String, Double],
-      sentinels: Map[String, Double])
+      sentinels: Map[String, Double],
+      // the rolling envelope this run was judged against, heads whose
+      // prior-flag re-measure ran in a CLEAN sentinel-bracketed segment,
+      // and heads still >factor x envelope after it — what the publish-time
+      // ratchet guard (BenchGate.priorStoreValue) needs
+      priorEnvelope: Map[String, Double],
+      priorCleanRemeasure: Set[String],
+      priorRegressed: Seq[(String, Double)])
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -259,9 +325,24 @@ object Bench {
       s""","prior_sentinels":${jmap(priorSents)}"""
     println(fin.headlineCore + hostFields + provenance + "}")
     // a both-gates-green run on a healthy host becomes the next run's prior
-    // envelope (figures AND sentinel baselines)
-    if (fin.appendGatePassed && fin.registryGatePassed && !hostSuspect)
-      writePrior(sfDir, fin.best, fin.medians, fin.appendMbps, fin.sentinels)
+    // envelope (figures AND sentinel baselines) — through the ratchet guard:
+    // a head still >factor x the rolling envelope stores AT the factor cap
+    // (keeping the old envelope alive and the flag persistent) unless its
+    // regression reproduced in a clean re-measure segment, in which case the
+    // honest new figure publishes, named in the entry's prior_reproduced
+    if (fin.appendGatePassed && fin.registryGatePassed && !hostSuspect) {
+      val regressedNames = fin.priorRegressed.map(_._1).toSet
+      val reproduced = fin.priorRegressed.map(_._1)
+        .filter(fin.priorCleanRemeasure.contains)
+      val storedBest = fin.best.map { case (n, b) =>
+        n -> BenchGate.priorStoreValue(b, fin.priorEnvelope.get(n),
+          PriorStoreFactor, remeasuredClean = fin.priorCleanRemeasure.contains(n))
+      }
+      val capped = regressedNames.toSeq.sorted
+        .filter(n => storedBest.get(n) != fin.best.get(n))
+      writePrior(sfDir, storedBest, fin.medians, fin.appendMbps, fin.sentinels,
+        capped, reproduced)
+    }
     spark.stop()
   }
 
@@ -295,6 +376,19 @@ object Bench {
     // queries "regressed" 3-4x with untouched code paths) took a whole
     // verdict cycle to call noise; this field answers it in-band.
     val spread = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-head GC share of the timed window: (collector-time delta) / (wall
+    // time of the three timed runs). The r15 weak heads (sketch_kmv_overlap
+    // 3.8x with 0.085 spread, standalone-clean) were a SUITE-CONTEXT effect
+    // the sentinels could not attribute — a head consistently slow only
+    // deep into the suite smells like accumulated heap/GC debt, and this
+    // field answers that in-band instead of a verdict-cycle investigation.
+    val gcFrac = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def gcMillis(): Long = {
+      var t = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(b => if (b.getCollectionTime > 0) t += b.getCollectionTime)
+      t
+    }
     // extra converged warms actually taken per head (JSON forensics field:
     // distinguishes "converged immediately" from "needed the full cap")
     val convergedWarms = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -321,9 +415,12 @@ object Bench {
         }
         convergedWarms(name) = extra.toDouble
       }
+      val gc0 = gcMillis(); val w0 = System.nanoTime()
       val runs = (1 to 3).flatMap { _ =>
         timed(name)(body); results.remove(name)
       }
+      val wallSec = (System.nanoTime() - w0) / 1e9
+      gcFrac(name) = if (wallSec > 0) (gcMillis() - gc0) / 1e3 / wallSec else -1.0
       val ok = runs.filter(_ >= 0).sorted
       // any failed run is loud: the median slot reports -1.0 rather than the
       // median of the survivors masking it; best-of keeps the surviving min
@@ -740,19 +837,24 @@ object Bench {
     val registryGatePassed = dirty.isEmpty
 
     // PRIOR-ENVELOPE RE-MEASURE (the r12 within-segment gap, belt half): a
-    // head whose best-of-3 landed >3x over the last GATED run's best-of-3
-    // gets ONE end-of-suite re-measure in its own freshly sentinel-bracketed
-    // (CPU + mem) segment. A real regression reproduces here and stays in
-    // the figures with its flag; a within-segment host phase the sentinels
-    // could not feel does not, and the min window wins. Names + prior
-    // figures ride the detail JSON either way.
-    val PriorEnvelopeFactor = 3.0
+    // head whose best-of-3 landed >2x over the ROLLING gated envelope (the
+    // per-head min over the last N gated runs — r16: last-run-only at 3x
+    // was a ratchet, see BenchGate.rollingEnvelope) gets ONE end-of-suite
+    // re-measure in its own freshly sentinel-bracketed (CPU + mem) segment.
+    // A real regression reproduces here and stays in the figures with its
+    // flag; a within-segment host phase the sentinels could not feel does
+    // not, and the min window wins. Names + prior figures ride the detail
+    // JSON either way, and a flagged head that reproduces in a CLEAN
+    // remeasure segment is the only way the stored envelope may rise past
+    // the factor (BenchGate.priorStoreValue).
+    val PriorEnvelopeFactor = PriorStoreFactor
     val prior = readPrior(sfDir)
     val priorFlagged = gatedNames.filter { n =>
       val p = prior.getOrElse(n, -1.0)
       p > 0 && best.getOrElse(n, -1.0) > PriorEnvelopeFactor * p
     }
     val priorTag = scala.collection.mutable.LinkedHashMap[String, String]()
+    val priorCleanRemeasure = scala.collection.mutable.Set[String]()
     if (priorFlagged.nonEmpty) {
       val bodyOf: Map[String, () => Unit] = segs.flatten.toMap
       priorFlagged.foreach { n =>
@@ -766,6 +868,7 @@ object Bench {
         val clean = before <= s0 * RegistryGateFactor &&
           after <= s0 * RegistryGateFactor &&
           memBefore <= s0mem * MemGateFactor && memAfter <= s0mem * MemGateFactor
+        if (clean) priorCleanRemeasure += n
         if (om >= 0 && (results(n) < 0 || om <= results(n))) {
           results(n) = om; spread(n) = os
           priorTag(n) = "suite-min" // the suite window already was the min
@@ -776,6 +879,9 @@ object Bench {
         if (ob >= 0 && (best(n) < 0 || ob < best(n))) best(n) = ob
       }
     }
+    // the in-band weak-head flag: heads STILL above the factor after their
+    // re-measure (the figure the verdict previously reconstructed from git)
+    val priorRegressed = BenchGate.regressedHeads(best, prior, PriorEnvelopeFactor)
     cdcCorpus.unpersist(blocking = false)
 
     val total = results.values.filter(_ >= 0).sum
@@ -822,6 +928,8 @@ object Bench {
       s""","prior_envelope":${jmap(prior.filter { case (k, _) => gatedNames.contains(k) })}""" +
       s""","prior_flagged":${jlistS(priorFlagged)}""" +
       s""","prior_tags":${jmapS(priorTag)}""" +
+      s""","prior_regressed":${jmap(scala.collection.immutable.ListMap(priorRegressed: _*))}""" +
+      s""","queries_gc_frac":${jmap(gcFrac)}""" +
       s""","queries_best_of_3":${jmap(best)}""" +
       s""","queries_spread":${jmap(spread)}}"""
     // headline append figure = the MEDIAN steady-state commit: one
@@ -852,6 +960,10 @@ object Bench {
       s""","registry_gate_passed":$registryGatePassed""" +
       s""","registry_segments_rerun":$segmentsRerun""" +
       s""","prior_flagged_n":${priorFlagged.size}""" +
+      // weak heads, in-band: names still >factor x the ROLLING gated
+      // envelope after their end-of-suite re-measure (ratios in the detail)
+      s""","prior_regressed_n":${priorRegressed.size}""" +
+      s""","prior_regressed_names":${jlistS(priorRegressed.map(_._1))}""" +
       s""","cdc_chunk_mbps_div16":${f3(mbps("cdc_chunk_div16", cdcBytes))}""" +
       s""","cdc_chunk_mbps_div16k":${f3(mbps("cdc_chunk_div16k", cdcBytes))}""" +
       s""","scan_mbps":${f3(mbps("scan_64k_batches", nCommits * payload64k))}""" +
@@ -871,6 +983,7 @@ object Bench {
       // this host demonstrated anywhere in the run): what the cross-run
       // host-health check compares and what a publishing run persists
       Map("registry_sentinel_s0" -> s0, "io_sentinel_s0" -> s0io,
-        "mem_sentinel_s0" -> s0mem))
+        "mem_sentinel_s0" -> s0mem),
+      prior, priorCleanRemeasure.toSet, priorRegressed)
   }
 }

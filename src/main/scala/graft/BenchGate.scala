@@ -95,4 +95,51 @@ object BenchGate {
       prior.get(k).exists(p => p > 0 && current(k) > p * factor)
     }
   }
+
+  /** ROLLING prior envelope (the round-15 instrument gap — the ratchet):
+    * comparing each run only against the IMMEDIATELY previous gated run, at
+    * a flag factor F, lets a head degrade <F per run indefinitely with no
+    * flag — r15 recorded exactly this: `sketch_kmv_overlap` slid
+    * 0.825 → 0.937 → 1.126 → 3.099 s across four consecutive gated runs,
+    * each step under the 3x factor, each run overwriting the prior, so a
+    * 3.8x cumulative regression was silently enshrined as the baseline.
+    *
+    * The envelope is therefore the per-head MIN across the last N gated
+    * runs' (already ratchet-guarded, see [[priorStoreValue]]) best-of-3
+    * figures. Entries with non-positive values (failed heads) contribute
+    * nothing; a head absent from every entry has no envelope (new head —
+    * its first gated figure seeds it). */
+  def rollingEnvelope(history: Seq[Map[String, Double]]): Map[String, Double] =
+    history.flatten.filter(_._2 > 0).groupMapReduce(_._1)(_._2)(math.min)
+
+  /** Heads whose current best-of-3 landed above `factor` x the rolling
+    * envelope, with their ratios — the in-band "this head is weak" flag the
+    * r15 verdict had to reconstruct from git archaeology. Sorted by name so
+    * the JSON field is diff-stable. */
+  def regressedHeads(best: scala.collection.Map[String, Double],
+                     envelope: Map[String, Double],
+                     factor: Double): Seq[(String, Double)] = {
+    require(factor >= 1.0)
+    best.toSeq.sortBy(_._1).flatMap { case (n, b) =>
+      envelope.get(n).filter(p => p > 0 && b > p * factor).map(p => n -> b / p)
+    }
+  }
+
+  /** The value a new gated history entry stores for one head — the ratchet
+    * guard's second half: a head's stored envelope contribution may not rise
+    * past `factor` x the rolling min UNLESS the regression reproduced in a
+    * fresh, clean sentinel-bracketed end-of-suite re-measure
+    * (`remeasuredClean`). Without that guard the rolling window only slows
+    * the ratchet (after N runs the old min rotates out); with it, every
+    * envelope raise beyond the factor requires an in-band reproduction and
+    * is loudly tagged in the run's JSON. A capped entry keeps the OLD
+    * envelope alive (at factor x) while the flag persists run over run
+    * until the head is fixed or the regression is reproduced-and-accepted. */
+  def priorStoreValue(measured: Double, envelope: Option[Double],
+                      factor: Double, remeasuredClean: Boolean): Double =
+    envelope match {
+      case Some(p) if p > 0 && measured > p * factor && !remeasuredClean =>
+        p * factor
+      case _ => measured
+    }
 }

@@ -155,4 +155,83 @@ class BenchGateSpec extends AnyFunSuite {
     assert(segs.map(_.size) === Seq(10, 10, 10, 10, 7))
     assert(segs.flatten === heads)
   }
+
+  test("replayed r15 ratchet: the kmv_overlap slide flags against the rolling envelope") {
+    // The round-15 failure, to shape: sketch_kmv_overlap slid 0.825 ->
+    // 0.937 -> 1.126 -> 3.099 s across four consecutive gated runs. Against
+    // a last-run-only prior at factor 3.0, every step was under the bar
+    // (1.14x, 1.20x, 2.75x) and each run overwrote the prior — a 3.8x
+    // cumulative regression enshrined with no flag. Against the rolling
+    // min, the third step flags.
+    val slide = Seq(0.825, 0.937, 1.126, 3.099)
+    // last-run-only at 3.0 (the r15 instrument): silent at every step
+    slide.sliding(2).foreach { case Seq(p, c) =>
+      assert(BenchGate.regressedHeads(Map("kmv" -> c), Map("kmv" -> p), 3.0).isEmpty,
+        s"the ratchet: $c vs last-run $p never flagged")
+    }
+    // rolling min at 2.0 (the r16 instrument): the 3.099 run flags at 3.76x
+    val hist = slide.init.map(v => Map("kmv" -> v))
+    val env = BenchGate.rollingEnvelope(hist)
+    assert(env("kmv") === 0.825)
+    val reg = BenchGate.regressedHeads(Map("kmv" -> 3.099), env, 2.0)
+    assert(reg.map(_._1) === Seq("kmv"))
+    assert(math.abs(reg.head._2 - 3.099 / 0.825) < 1e-9)
+    // earlier steps stay quiet (1.36x at worst) — no false flag
+    assert(BenchGate.regressedHeads(Map("kmv" -> 1.126),
+      BenchGate.rollingEnvelope(hist.init), 2.0).isEmpty)
+  }
+
+  test("rolling envelope: per-head min, failed runs and absent heads contribute nothing") {
+    val env = BenchGate.rollingEnvelope(Seq(
+      Map("a" -> 1.0, "b" -> -1.0), // b failed that run
+      Map("a" -> 0.4, "c" -> 2.0),
+      Map("a" -> 0.9, "b" -> 0.7)))
+    assert(env === Map("a" -> 0.4, "b" -> 0.7, "c" -> 2.0))
+    assert(BenchGate.rollingEnvelope(Seq.empty).isEmpty)
+  }
+
+  test("prior store value: the ratchet guard caps un-reproduced raises at the factor") {
+    // regressed + NOT reproduced clean: stored at factor x envelope, so the
+    // old envelope survives (at 2x) and the flag persists next run
+    assert(BenchGate.priorStoreValue(3.099, Some(0.825), 2.0,
+      remeasuredClean = false) === 1.65)
+    // regressed + reproduced in a clean re-measure segment: the honest new
+    // figure publishes (the only sanctioned way the envelope rises >factor)
+    assert(BenchGate.priorStoreValue(3.099, Some(0.825), 2.0,
+      remeasuredClean = true) === 3.099)
+    // within the factor: stored as measured (faster runs lower the envelope)
+    assert(BenchGate.priorStoreValue(0.9, Some(0.825), 2.0,
+      remeasuredClean = false) === 0.9)
+    assert(BenchGate.priorStoreValue(0.5, Some(0.825), 2.0,
+      remeasuredClean = false) === 0.5)
+    // new head (no envelope) or failed prior: measured value seeds it
+    assert(BenchGate.priorStoreValue(4.2, None, 2.0,
+      remeasuredClean = false) === 4.2)
+    assert(BenchGate.priorStoreValue(4.2, Some(-1.0), 2.0,
+      remeasuredClean = false) === 4.2)
+    // a failed CURRENT run stores its -1 sentinel untouched (loud, not capped)
+    assert(BenchGate.priorStoreValue(-1.0, Some(0.825), 2.0,
+      remeasuredClean = false) === -1.0)
+  }
+
+  test("creeping regression under the factor: the cap bounds envelope growth per gated run") {
+    // a head degrading 1.9x per run never flags the per-run check, but with
+    // min-of-N history the envelope lags N runs behind; verify the window
+    // actually keeps the old min alive for N entries
+    val runs = Seq(1.0, 1.9, 3.6, 6.9, 13.1)
+    val hist = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    runs.foreach { v =>
+      val env = BenchGate.rollingEnvelope(hist.toSeq)
+      val flagged = BenchGate.regressedHeads(Map("h" -> v), env, 2.0).nonEmpty
+      val stored = BenchGate.priorStoreValue(v, env.get("h"), 2.0,
+        remeasuredClean = false)
+      hist += Map("h" -> stored)
+      if (hist.size > 5) hist.remove(0)
+      // every step past the first two IS flagged against the rolling min
+      if (v >= 3.6) assert(flagged, s"$v must flag against rolling min")
+    }
+    // stored values: 1.0, 1.9, then capped at 2x the rolling min each run —
+    // growth is bounded by the factor per gated run AND every step was loud
+    assert(hist.map(_("h")) === Seq(1.0, 1.9, 2.0, 2.0, 2.0))
+  }
 }
