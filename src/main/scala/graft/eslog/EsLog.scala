@@ -1312,6 +1312,44 @@ object EsLog {
   def scanAt(spark: SparkSession, streamDir: String, version: Long): DataFrame =
     fetchAt(spark, streamDir, version)
 
+  /** Resolve `TIMESTAMP AS OF` to a metadata-log version: the newest
+    * snapshot none of whose committed files carries data past `tsMs`.
+    *
+    * DATA-time semantics, deliberately: the metadata log records no wall
+    * clock (the reference's stream metadata doesn't either — its time
+    * surface is the record-timestamp index behind fetchByTime/
+    * offsetForTimestamp, api/Stream.java), so "the stream as of time T"
+    * here means "every snapshot record's timestamp is <= T" — the same
+    * notion of time [[fetchByTime]] and [[offsetForTimestamp]] already
+    * expose, and the manifest's per-file `maxTimestamp` answers it in one
+    * O(versions) driver fold with no data read. Files without timestamp
+    * info (maxTimestamp <= 0) never advance the clock. A timestamp before
+    * any committed data resolves to the created-but-empty snapshot (no
+    * record has ts <= T — the table WAS empty at that clock); it throws
+    * only when the stream's very first version already commits later-
+    * stamped data (ingest/backfill of a pre-built manifest). */
+  def versionForTimestamp(streamDir: String, tsMs: Long): Long = {
+    var best = -1L
+    var maxSeen = Long.MinValue
+    MetaLog.actionsSince(streamDir, -1L).foreach { case (v, actions) =>
+      actions.foreach { a =>
+        val files = a match {
+          case c: CommitFiles => c.files
+          case b: BackfillFiles => b.files
+          case r: ReplaceFiles => r.added
+          case _ => Seq.empty
+        }
+        files.foreach(f => if (f.maxTimestamp > 0) maxSeen = math.max(maxSeen, f.maxTimestamp))
+      }
+      if (maxSeen <= tsMs || maxSeen == Long.MinValue) best = v
+    }
+    if (best < 0) throw new IllegalArgumentException(
+      s"no snapshot of $streamDir at or before timestamp $tsMs ms: the " +
+        "earliest committed data already carries later record timestamps " +
+        "(eslog TIMESTAMP AS OF is record-time, the same clock as fetchByTime)")
+    best
+  }
+
   /** CLONE: copy a stream — metadata log AND the data files its snapshot
     * references — into a fresh dir (Delta's deep CLONE; cheap here because
     * both halves are immutable, so "copy" needs no coordination with

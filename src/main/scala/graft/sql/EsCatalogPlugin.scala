@@ -101,6 +101,52 @@ class EsCatalogPlugin extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** `SELECT * FROM es.default.s VERSION AS OF 3` — the standard-syntax twin
+    * of `graft_scan('dir', 3)`: the returned table pins the manifest
+    * snapshot at metadata-log version `version`
+    * ([[graft.eslog.EsLog.fetchAt]]'s read, routed through the V1 fallback
+    * with the provider's `asOfVersion` option). Unknown versions fail loudly
+    * with the valid range — the log's versions are the contiguous CAS
+    * sequence 0..latest. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    checkNs(ident.namespace)
+    cat.getStream(ident.name) match {
+      case Some(id) =>
+        val dir = cat.streamDir(ident.name)
+        val v =
+          try version.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"eslog VERSION AS OF takes a numeric metadata-log version, got '$version'")
+          }
+        val latest = graft.meta.MetaLog.latestVersion(dir)
+        if (v < 0 || v > latest) throw new IllegalArgumentException(
+          s"unknown version $v for $catName.default.${ident.name}: the " +
+            s"metadata log holds versions 0..$latest")
+        org.apache.spark.sql.graftshim.EsLogV2Table(
+          s"$catName.default.${ident.name}", dir, id, asOfVersion = Some(v))
+      case None => throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    }
+  }
+
+  /** `SELECT * FROM es.default.s TIMESTAMP AS OF '...'` — Spark hands the
+    * timestamp as MICROSECONDS since epoch; it resolves to the newest
+    * snapshot none of whose records carries a later timestamp
+    * ([[graft.eslog.EsLog.versionForTimestamp]] — record-time, the same
+    * clock as the time index behind fetchByTime/offsetForTimestamp, since
+    * the metadata log records no wall clock). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    checkNs(ident.namespace)
+    cat.getStream(ident.name) match {
+      case Some(id) =>
+        val dir = cat.streamDir(ident.name)
+        val v = graft.eslog.EsLog.versionForTimestamp(dir, timestamp / 1000L)
+        org.apache.spark.sql.graftshim.EsLogV2Table(
+          s"$catName.default.${ident.name}", dir, id, asOfVersion = Some(v))
+      case None => throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    }
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
       cat.getStream(ident.name).isDefined
@@ -144,7 +190,9 @@ class EsCatalogPlugin extends TableCatalog with SupportsNamespaces {
     * properties map onto [[graft.eslog.EsLog.update]]'s linearizable
     * metadata commit, same as the parser-injected `ALTER STREAM ... SET`.
     * `UNSET ('retention_ms')` restores the infinite-retention default
-    * (-1, rpc.fbs:491's "less than 0 implies unlimited"). Anything else —
+    * (-1 — [[graft.eslog.EsLog.create]]'s `retentionMs = -1L`, the repo's
+    * MetaLog convention: trim-by-retention is skipped when < 0). Anything
+    * else —
     * column changes, renames, other properties — throws: the record-batch
     * schema is fixed and a silently-ignored property would lie to the
     * user. */
@@ -155,18 +203,27 @@ class EsCatalogPlugin extends TableCatalog with SupportsNamespaces {
     var replica: Option[Int] = None
     var ack: Option[Int] = None
     var retention: Option[Long] = None
+    // parse failures carry the property name + expected type — a bare
+    // NumberFormatException from `"abc".toInt` gives the SQL user nothing
+    def numeric[A](prop: String, value: String, kind: String)(parse: String => A): A =
+      try parse(value)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"eslog table property '$prop' expects $kind, got '$value'")
+      }
     changes.foreach {
       case s: TableChange.SetProperty => s.property match {
-        case "replica" => replica = Some(s.value.toInt)
-        case "ack_count" => ack = Some(s.value.toInt)
-        case "retention_ms" => retention = Some(s.value.toLong)
+        case "replica" => replica = Some(numeric("replica", s.value, "an INT")(_.toInt))
+        case "ack_count" => ack = Some(numeric("ack_count", s.value, "an INT")(_.toInt))
+        case "retention_ms" =>
+          retention = Some(numeric("retention_ms", s.value, "a BIGINT (millis)")(_.toLong))
         case other => throw new UnsupportedOperationException(
           s"unknown eslog table property '$other' — ALTER TABLE SET " +
             "TBLPROPERTIES supports replica, ack_count, retention_ms " +
             "(UPDATE_STREAM's config surface)")
       }
       case r: TableChange.RemoveProperty if r.property == "retention_ms" =>
-        retention = Some(-1L) // back to unlimited (rpc.fbs:491)
+        retention = Some(-1L) // back to unlimited (EsLog.create's default)
       case other => throw new UnsupportedOperationException(
         s"eslog streams have a fixed record-batch schema; only SET/UNSET " +
           s"TBLPROPERTIES(replica|ack_count|retention_ms) is supported, got $other")

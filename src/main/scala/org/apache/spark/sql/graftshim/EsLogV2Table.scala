@@ -24,9 +24,11 @@ import org.apache.spark.sql.types.StructType
   * [[EsLogInsertRewrite]]'s validation (the same contract as path-addressed
   * `USING eslog` tables). Streaming reads/writes resolve through
   * [[V2TableWithV1Fallback]] to the registered `eslog` source provider. */
-final case class EsLogV2Table(ident: String, streamDir: String, streamId: Long)
+final case class EsLogV2Table(ident: String, streamDir: String, streamId: Long,
+                              asOfVersion: Option[Long] = None)
     extends Table with V2TableWithV1Fallback {
-  override def name(): String = ident
+  override def name(): String =
+    asOfVersion.fold(ident)(v => s"$ident@v$v")
   override def schema(): StructType = graft.model.RecordBatchRow.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
@@ -83,7 +85,12 @@ final case class EsLogV2FallbackRule(session: SparkSession) extends Rule[Logical
   }
 
   private def toV1(r: DataSourceV2Relation, t: EsLogV2Table): LogicalPlan = {
-    val params = Map("path" -> t.streamDir) ++ r.options.asScala
+    // a `VERSION AS OF` / `TIMESTAMP AS OF` table (EsCatalogPlugin's
+    // loadTable(ident, version/timestamp)) pins the manifest snapshot the
+    // V1 relation reads — the provider's existing asOfVersion option, the
+    // same read graft_scan('dir', v) performs
+    val params = Map("path" -> t.streamDir) ++
+      t.asOfVersion.map(v => "asOfVersion" -> v.toString) ++ r.options.asScala
     val base = new graft.sources.EsLogSourceProvider()
       .createRelation(session.sqlContext, params)
     // carry the V1 catalog-table face: Catalog.refreshTable's cache walk
@@ -97,6 +104,9 @@ final case class EsLogV2FallbackRule(session: SparkSession) extends Rule[Logical
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case a: AppendData if esTable(a.table).isDefined && a.query.resolved =>
       val t = esTable(a.table).get
+      require(t.asOfVersion.isEmpty,
+        s"cannot INSERT into a time-travel snapshot of ${t.ident}: " +
+          "VERSION/TIMESTAMP AS OF pins a read-only historical state")
       // table = None: V2-catalog relations resolve FRESH each query (no
       // session-catalog relation cache to invalidate — refreshTable's V2
       // cache walk chokes on a never-cached ident)

@@ -1254,6 +1254,76 @@ class GraftSqlSpec extends SparkTestBase {
       e3.getMessage.toLowerCase.contains("missing"))
   }
 
+  test("V2 catalog plugin: VERSION AS OF / TIMESTAMP AS OF pin the manifest snapshot") {
+    val root = tmpDir("es-cat-tt-")
+    spark.conf.set("spark.sql.catalog.es6", classOf[graft.sql.EsCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.es6.root", root)
+    val cat = new graft.eslog.EsCatalog(root)
+    cat.createStream("tt")
+    val dir = cat.streamDir("tt")
+    graft.eslog.EsLog.open(dir, 1L)
+    import spark.implicits._
+    // first commit: record timestamps 0..99 ms
+    graft.eslog.EsLog.append(spark, dir,
+      (0 until 100).map(i => (s"a$i", i.toLong)).toDF("payload", "base_timestamp"), 1L)
+    val v1 = graft.meta.MetaLog.latestVersion(dir)
+    // second commit: record timestamps 100000..100049 ms
+    graft.eslog.EsLog.append(spark, dir,
+      (0 until 50).map(i => (s"b$i", 100000L + i)).toDF("payload", "base_timestamp"), 1L)
+
+    // VERSION AS OF sees only the first commit, matching graft_scan('dir', v)
+    assert(spark.sql(s"SELECT count(*) FROM es6.default.tt").collect().head.getLong(0) == 150)
+    assert(spark.sql(s"SELECT count(*) FROM es6.default.tt VERSION AS OF $v1")
+      .collect().head.getLong(0) == 100)
+    assert(spark.sql(s"SELECT count(*) FROM graft_scan('$dir', $v1)")
+      .collect().head.getLong(0) == 100)
+    // identical row set, not just identical counts
+    assert(spark.sql(s"SELECT cast(payload AS STRING) p FROM es6.default.tt VERSION AS OF $v1")
+      .collect().map(_.getString(0)).sorted.toSeq ===
+      spark.sql(s"SELECT cast(payload AS STRING) p FROM graft_scan('$dir', $v1)")
+        .collect().map(_.getString(0)).sorted.toSeq)
+    // ... and the pinned read still lands on the V1 fast path
+    val opt = spark.sql(s"SELECT payload FROM es6.default.tt VERSION AS OF $v1")
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("RelationV2"), s"pinned read must use the V1 path:\n$opt")
+
+    // TIMESTAMP AS OF is record-time (the fetchByTime clock): a moment
+    // between the two commits' record spans resolves to the first snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM es6.default.tt TIMESTAMP AS OF '1970-01-01 00:00:30'")
+      .collect().head.getLong(0) == 100)
+    // ... and after both spans, to the full stream
+    assert(spark.sql(
+      "SELECT count(*) FROM es6.default.tt TIMESTAMP AS OF '1970-01-01 01:00:00'")
+      .collect().head.getLong(0) == 150)
+    // before any data: the stream-created-but-empty snapshot (record-time
+    // semantics — no committed record has ts <= T, so the table is empty)
+    assert(spark.sql(
+      "SELECT count(*) FROM es6.default.tt TIMESTAMP AS OF '1969-06-01 00:00:00'")
+      .collect().head.getLong(0) == 0)
+
+    // unknown version is loud and names the valid range
+    val latest = graft.meta.MetaLog.latestVersion(dir)
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM es6.default.tt VERSION AS OF ${latest + 100}").collect())
+    assert(e1.getMessage.contains("unknown version") &&
+      e1.getMessage.contains(s"0..$latest"), e1.getMessage)
+    // a snapshot is read-only: Spark's own grammar refuses INSERT with a
+    // time-travel clause (the fallback rule carries a belt-and-braces guard
+    // for any API path that would hand AppendData a pinned table)
+    val e2 = intercept[Exception](spark.sql(
+      s"INSERT INTO es6.default.tt VERSION AS OF $v1 " +
+        "SELECT cast('x' AS BINARY) AS payload"))
+    assert(e2.getMessage.toLowerCase.contains("syntax error") ||
+      e2.getMessage.toLowerCase.contains("time-travel"), e2.getMessage)
+
+    // ALTER TABLE numeric-property parse failures carry name + expected type
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE es6.default.tt SET TBLPROPERTIES('replica'='abc')"))
+    assert(e3.getMessage.contains("replica") && e3.getMessage.contains("INT"),
+      e3.getMessage)
+  }
+
   test("V2 catalog plugin: writeStream.toTable lands on the epoch-fenced exactly-once sink") {
     val root = tmpDir("es-cat-wstream-")
     spark.conf.set("spark.sql.catalog.es5", classOf[graft.sql.EsCatalogPlugin].getName)
