@@ -2323,6 +2323,48 @@ object Fixtures {
       bitsPerSample = (8 + 4 * (id % 3)).toInt,
       totalSamples = 1000L * (1 + id % 8))
 
+  /** Deterministic MP4 with REAL sample tables for doc `id` (the stbl-walk
+    * fixture): video track of `3 + id mod 6` samples sized
+    * `1 + (id + i) mod 7`, chunked 2 per chunk; odd ids add an audio track
+    * of `2 + id mod 4` samples sized `1 + (2·id + i) mod 5`, chunked 3 per
+    * chunk; every 5th id uses co64 offsets. Track-contiguous layout, so a
+    * sample's mdat-relative offset is the closed-form prefix sum the
+    * oracle recomputes; stts deltas are 100 (video) / 1024 (audio). */
+  def syntheticMp4Samples(id: Long): Array[Byte] = {
+    import graft.operators.MediaCodecs.{Mp4SampleSpec, Mp4Track, encodeMp4Samples}
+    val n1 = (3 + id % 6).toInt
+    val sizes1 = (0 until n1).map(i => (1 + ((id + i) % 7)).toInt)
+    val video = Mp4SampleSpec(Mp4Track("vide", "avc1", 64, 48,
+      mediaTimescale = 600L, mediaDuration = 100L * n1, sampleCount = n1.toLong),
+      sizes1, samplesPerChunk = 2)
+    val specs =
+      if (id % 2 == 1) {
+        val n2 = (2 + id % 4).toInt
+        val sizes2 = (0 until n2).map(i => (1 + ((2 * id + i) % 5)).toInt)
+        Seq(video, Mp4SampleSpec(Mp4Track("soun", "mp4a", 0, 0,
+          mediaTimescale = 48000L, mediaDuration = 1024L * n2,
+          sampleCount = n2.toLong), sizes2, samplesPerChunk = 3))
+      } else Seq(video)
+    encodeMp4Samples("isom", timescale = 600L, duration = 100L * n1, specs,
+      useCo64 = id % 5 == 0)
+  }
+
+  /** Deterministic FLAC with REAL frame headers for doc `id` (the
+    * frame-index fixture): `3 + id mod 6` fixed-blocksize (4096) frames,
+    * frame `i` followed by `4 + (id + i) mod 9` filler bytes. STREAMINFO
+    * is the sole metadata block, so the audio stream starts at byte 42 and
+    * frame `i`'s offset is the closed form `42 + 6·i + prefix-sum(sizes)`
+    * (headers are 6 bytes while frame numbers stay under 128). */
+  def syntheticFlacFrames(id: Long): Array[Byte] = {
+    val n = (3 + id % 6).toInt
+    graft.operators.MediaCodecs.encodeFlacFrames(
+      sampleRate = (8000 + 4000 * (id % 3)).toInt,
+      channels = (1 + id % 2).toInt,
+      bitsPerSample = 16,
+      blockSize = 4096,
+      frameSizes = (0 until n).map(i => (4 + ((id + i) % 9)).toInt))
+  }
+
   /** Batch-admin fixture: a fresh catalog driven through a mixed
     * success/already-exists create batch, a mixed delete batch, and a batch
     * describe — the captured responses land in `<dir>/responses` parquet so

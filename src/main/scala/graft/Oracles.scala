@@ -2259,6 +2259,49 @@ object Oracles {
       |       // (8000 + 4000 * (doc_id % 3)) AS BIGINT) AS duration_ms
       |FROM documents""".stripMargin
 
+  /** [[graft.Fixtures.syntheticMp4Samples]]' closed form: the stbl walk
+    * (stsz table + stts + stsc + stco/co64 expansion) must land every
+    * sample at the track-contiguous prefix-sum offset the generator laid
+    * out — video track of `3 + id mod 6` samples sized `1 + (id+i) mod 7`
+    * at dts `100·i`; odd ids add an audio track of `2 + id mod 4` samples
+    * sized `1 + (2·id+i) mod 5` at dts `1024·i`, offset past the whole
+    * video track. The window sum ordered (track, i) IS that layout. */
+  private val multimodalMp4Samples =
+    """WITH v AS (
+      |  SELECT doc_id, 1 AS track_id, unnest(range(0, 3 + doc_id % 6)) AS i
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id, 2 AS track_id, unnest(range(0, 2 + doc_id % 4)) AS i
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |u AS (
+      |  SELECT doc_id, track_id, i, 1 + (doc_id + i) % 7 AS sz, 100 * i AS dts FROM v
+      |  UNION ALL
+      |  SELECT doc_id, track_id, i, 1 + (2 * doc_id + i) % 5 AS sz, 1024 * i AS dts FROM a)
+      |SELECT doc_id AS media_id,
+      |  CAST(track_id AS BIGINT) AS track_id,
+      |  CAST(i AS BIGINT) AS sample_idx,
+      |  CAST(SUM(sz) OVER (PARTITION BY doc_id ORDER BY track_id, i
+      |                     ROWS UNBOUNDED PRECEDING) - sz AS BIGINT) AS rel_offset,
+      |  CAST(sz AS BIGINT) AS size,
+      |  CAST(dts AS BIGINT) AS dts
+      |FROM u""".stripMargin
+
+  /** [[graft.Fixtures.syntheticFlacFrames]]' closed form: the frame-header
+    * walk must index frame `i` at `42 + 6·i + prefix-sum(payload sizes)`
+    * (fixed 42-byte fLaC+STREAMINFO head, 6-byte headers while frame
+    * numbers stay under 128) with sample offset `4096·i`. */
+  private val multimodalFlacFrames =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(0, 3 + doc_id % 6)) AS i FROM documents),
+      |s AS (SELECT doc_id, i, 4 + (doc_id + i) % 9 AS sz FROM f)
+      |SELECT doc_id AS media_id,
+      |  CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(42 + 6 * i + SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+      |                                  ROWS UNBOUNDED PRECEDING) - sz
+      |       AS BIGINT) AS byte_offset,
+      |  CAST(4096 * i AS BIGINT) AS sample_offset
+      |FROM s""".stripMargin
+
   /** The curation filter over [[multimodalDecodeMp4]]'s closed form: the
     * WHERE recomputes the predicate from the generator arithmetic —
     * width ≥ 96 ⇔ doc_id mod 9 ≥ 2, duration ∈ [3 s, 8 s] ⇔
@@ -2653,6 +2696,8 @@ object Oracles {
     "multimodal_decode_png" -> multimodalDecodePng,
     "multimodal_decode_mp4" -> multimodalDecodeMp4,
     "multimodal_decode_flac" -> multimodalDecodeFlac,
+    "multimodal_mp4_samples" -> multimodalMp4Samples,
+    "multimodal_flac_frames" -> multimodalFlacFrames,
     // streaming twin: stateless per-micro-batch decode of the same
     // generated containers — the batch closed form IS the oracle
     "es_stream_media_decode" -> multimodalDecodeMp4,

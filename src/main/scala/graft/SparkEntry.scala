@@ -1989,6 +1989,40 @@ object SparkEntry {
         "n_samples", "duration_ms")
   }
 
+  /** MP4 sample-table walk ([[graft.operators.MediaCodecs.mp4SampleTable]]):
+    * stsz + stts + stsc + stco/co64 resolved to per-sample byte ranges —
+    * the step past container metadata that lets a curation pipeline slice
+    * REAL frame bytes without a codec. One stateless flatMap (map-only at
+    * 100 TB, like every decode row); offsets emitted mdat-relative so the
+    * oracle recomputes them as closed-form prefix sums
+    * ([[Fixtures.syntheticMp4Samples]]' track-contiguous layout). */
+  private def qMultimodalMp4Samples(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val t = MediaCodecs.mp4SampleTable(Fixtures.syntheticMp4Samples(id))
+        t.samples.map(sm => (id, sm.trackId.toLong, sm.sampleIdx,
+          sm.byteOffset - t.mdatStart, sm.size, sm.dts))
+      })
+      .toDF("media_id", "track_id", "sample_idx", "rel_offset", "size", "dts")
+  }
+
+  /** FLAC frame index ([[graft.operators.MediaCodecs.flacFrameIndex]]):
+    * frame headers walked by the resync rule real decoders use (sync code +
+    * validating CRC-8) to `(frame_idx, byte_offset, sample_offset)` rows —
+    * the audio twin of the sample-table walk. Offsets are absolute: the
+    * fixture's header is a fixed 42 bytes and headers are 6, so the oracle
+    * recomputes them closed-form ([[Fixtures.syntheticFlacFrames]]). */
+  private def qMultimodalFlacFrames(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        MediaCodecs.flacFrameIndex(Fixtures.syntheticFlacFrames(id))
+          .map(f => (id, f.frameIdx, f.byteOffset, f.sampleOffset))
+      })
+      .toDF("media_id", "frame_idx", "byte_offset", "sample_offset")
+  }
+
   /** Container-metadata CURATION filter — the deployment story the
     * decoders exist for: screen a crawled-video corpus by what its
     * containers DECLARE (display dims, duration, has-audio), no sample
@@ -2472,6 +2506,8 @@ object SparkEntry {
     "multimodal_decode_png" -> (qMultimodalDecodePng _),
     "multimodal_decode_mp4" -> (qMultimodalDecodeMp4 _),
     "multimodal_decode_flac" -> (qMultimodalDecodeFlac _),
+    "multimodal_mp4_samples" -> (qMultimodalMp4Samples _),
+    "multimodal_flac_frames" -> (qMultimodalFlacFrames _),
     "multimodal_curate" -> (qMultimodalCurate _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),

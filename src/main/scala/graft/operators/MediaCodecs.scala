@@ -318,60 +318,24 @@ object MediaCodecs {
                     tracks: Seq[Mp4Track],
                     mdat: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     require(brand.length == 4 && timescale > 0 && tracks.nonEmpty)
-    val ftyp = mp4Box("ftyp",
-      asciiBytes(brand),
-      ByteBuffer.allocate(4).putInt(0x200).array(), // minor version
-      asciiBytes("isom"), asciiBytes("mp42"))       // compatible brands
-    val mvhd = mp4Box("mvhd", fullBoxHeader(0, 0), {
-      val b = ByteBuffer.allocate(96)
-      b.putInt(0).putInt(0)                       // creation, modification
-      b.putInt(timescale.toInt).putInt(duration.toInt)
-      b.putInt(0x00010000)                        // rate 1.0
-      b.putShort(0x0100.toShort).putShort(0)      // volume 1.0, reserved
-      b.putLong(0)                                // reserved
-      b.put(mp4IdentityMatrix)
-      (0 until 6).foreach(_ => b.putInt(0))       // pre_defined
-      b.putInt(tracks.size + 1)                   // next_track_ID
-      b.array()
-    })
+    // v0 boxes hold these as unsigned 32-bit; a silent .toInt truncation
+    // above 0xffffffff would corrupt the round-trip
+    require(timescale <= 0xffffffffL, s"timescale $timescale exceeds the mvhd v0 u32 field")
+    require(duration >= 0 && duration <= 0xffffffffL,
+      s"duration $duration exceeds the mvhd/tkhd v0 u32 field")
+    tracks.foreach { t =>
+      require(t.mediaTimescale >= 0 && t.mediaTimescale <= 0xffffffffL,
+        s"mediaTimescale ${t.mediaTimescale} exceeds the mdhd v0 u32 field")
+      require(t.mediaDuration >= 0 && t.mediaDuration <= 0xffffffffL,
+        s"mediaDuration ${t.mediaDuration} exceeds the mdhd v0 u32 field")
+      require(t.sampleCount >= 0 && t.sampleCount <= 0xffffffffL,
+        s"sampleCount ${t.sampleCount} exceeds the stts/stsz u32 field")
+    }
+    val ftyp = ftypBox(brand)
+    val mvhd = mvhdBox(timescale, duration, tracks.size)
     val traks = tracks.zipWithIndex.map { case (t, i) =>
-      val tkhd = mp4Box("tkhd", fullBoxHeader(0, 7), { // enabled|in-movie|in-preview
-        val b = ByteBuffer.allocate(80)
-        b.putInt(0).putInt(0)                     // creation, modification
-        b.putInt(i + 1).putInt(0)                 // track_ID, reserved
-        b.putInt(duration.toInt)
-        b.putLong(0)                              // reserved
-        b.putShort(0).putShort(0)                 // layer, alternate_group
-        b.putShort(if (t.handler == "soun") 0x0100.toShort else 0).putShort(0)
-        b.put(mp4IdentityMatrix)
-        b.putInt(t.width << 16).putInt(t.height << 16) // 16.16 fixed
-        b.array()
-      })
-      val mdhd = mp4Box("mdhd", fullBoxHeader(0, 0), {
-        val b = ByteBuffer.allocate(20)
-        b.putInt(0).putInt(0)                     // creation, modification
-        b.putInt(t.mediaTimescale.toInt).putInt(t.mediaDuration.toInt)
-        b.putShort(0x55c4.toShort).putShort(0)    // language 'und', pre_defined
-        b.array()
-      })
-      val hdlr = mp4Box("hdlr", fullBoxHeader(0, 0),
-        ByteBuffer.allocate(4).array(),           // pre_defined
-        asciiBytes(t.handler),
-        new Array[Byte](12),                      // reserved
-        Array[Byte](0))                           // empty null-terminated name
-      // sample description: entry fourcc is all the walk reads; the entry
-      // body keeps the SampleEntry base fields (6 reserved + data_ref_index)
-      val stsd = mp4Box("stsd", fullBoxHeader(0, 0),
-        ByteBuffer.allocate(4).putInt(1).array(), // entry_count
-        mp4Box(t.codec, new Array[Byte](6),
-          ByteBuffer.allocate(2).putShort(1).array()))
-      val stts = mp4Box("stts", fullBoxHeader(0, 0), {
-        val b = ByteBuffer.allocate(12)
-        b.putInt(1)                               // entry_count
-        b.putInt(t.sampleCount.toInt)
-        b.putInt(if (t.sampleCount > 0) (t.mediaDuration / math.max(t.sampleCount, 1)).toInt else 0)
-        b.array()
-      })
+      val stts = sttsBox(t.sampleCount,
+        if (t.sampleCount > 0) t.mediaDuration / math.max(t.sampleCount, 1) else 0L)
       // constant-size form: sample_size != 0 => sample_count field, no table
       val stsz = mp4Box("stsz", fullBoxHeader(0, 0), {
         val b = ByteBuffer.allocate(8)
@@ -380,14 +344,182 @@ object MediaCodecs {
       })
       val stco = mp4Box("stco", fullBoxHeader(0, 0),
         ByteBuffer.allocate(4).array())           // entry_count 0
-      val stbl = mp4Box("stbl", stsd, stts, stsz, stco)
-      val minf = mp4Box("minf", stbl)
-      val mdia = mp4Box("mdia", mdhd, hdlr, minf)
-      mp4Box("trak", tkhd, mdia)
+      val stbl = mp4Box("stbl", stsdBox(t.codec), stts, stsz, stco)
+      trakBox(t, i + 1, duration, stbl)
     }
     val moov = mp4Box("moov", (mvhd +: traks): _*)
     val mdatBox = mp4Box("mdat", mdat)
     ftyp ++ moov ++ mdatBox
+  }
+
+  private def ftypBox(brand: String): Array[Byte] = mp4Box("ftyp",
+    asciiBytes(brand),
+    ByteBuffer.allocate(4).putInt(0x200).array(), // minor version
+    asciiBytes("isom"), asciiBytes("mp42"))       // compatible brands
+
+  private def mvhdBox(timescale: Long, duration: Long, nTracks: Int): Array[Byte] =
+    mp4Box("mvhd", fullBoxHeader(0, 0), {
+      val b = ByteBuffer.allocate(96)
+      b.putInt(0).putInt(0)                       // creation, modification
+      b.putInt(timescale.toInt).putInt(duration.toInt)
+      b.putInt(0x00010000)                        // rate 1.0
+      b.putShort(0x0100.toShort).putShort(0)      // volume 1.0, reserved
+      b.putLong(0)                                // reserved
+      b.put(mp4IdentityMatrix)
+      (0 until 6).foreach(_ => b.putInt(0))       // pre_defined
+      b.putInt(nTracks + 1)                       // next_track_ID
+      b.array()
+    })
+
+  private def sttsBox(sampleCount: Long, delta: Long): Array[Byte] =
+    mp4Box("stts", fullBoxHeader(0, 0), {
+      val b = ByteBuffer.allocate(12)
+      b.putInt(1)                                 // entry_count
+      b.putInt(sampleCount.toInt)
+      b.putInt(delta.toInt)
+      b.array()
+    })
+
+  /** sample description: entry fourcc is all the walk reads; the entry
+    * body keeps the SampleEntry base fields (6 reserved + data_ref_index) */
+  private def stsdBox(codec: String): Array[Byte] =
+    mp4Box("stsd", fullBoxHeader(0, 0),
+      ByteBuffer.allocate(4).putInt(1).array(),   // entry_count
+      mp4Box(codec, new Array[Byte](6),
+        ByteBuffer.allocate(2).putShort(1).array()))
+
+  /** One trak box around a caller-built stbl: tkhd (16.16 display dims),
+    * mdia(mdhd, hdlr, minf(stbl)). */
+  private def trakBox(t: Mp4Track, trackId: Int, duration: Long,
+                      stbl: Array[Byte]): Array[Byte] = {
+    val tkhd = mp4Box("tkhd", fullBoxHeader(0, 7), { // enabled|in-movie|in-preview
+      val b = ByteBuffer.allocate(80)
+      b.putInt(0).putInt(0)                       // creation, modification
+      b.putInt(trackId).putInt(0)                 // track_ID, reserved
+      b.putInt(duration.toInt)
+      b.putLong(0)                                // reserved
+      b.putShort(0).putShort(0)                   // layer, alternate_group
+      b.putShort(if (t.handler == "soun") 0x0100.toShort else 0).putShort(0)
+      b.put(mp4IdentityMatrix)
+      b.putInt(t.width << 16).putInt(t.height << 16) // 16.16 fixed
+      b.array()
+    })
+    val mdhd = mp4Box("mdhd", fullBoxHeader(0, 0), {
+      val b = ByteBuffer.allocate(20)
+      b.putInt(0).putInt(0)                       // creation, modification
+      b.putInt(t.mediaTimescale.toInt).putInt(t.mediaDuration.toInt)
+      b.putShort(0x55c4.toShort).putShort(0)      // language 'und', pre_defined
+      b.array()
+    })
+    val hdlr = mp4Box("hdlr", fullBoxHeader(0, 0),
+      ByteBuffer.allocate(4).array(),             // pre_defined
+      asciiBytes(t.handler),
+      new Array[Byte](12),                        // reserved
+      Array[Byte](0))                             // empty null-terminated name
+    val minf = mp4Box("minf", stbl)
+    val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+    mp4Box("trak", tkhd, mdia)
+  }
+
+  /** One track's REAL sample layout for [[encodeMp4Samples]]: the stsz
+    * per-sample size table, uniform chunking (`samplesPerChunk` per chunk,
+    * the last chunk short). `track.sampleCount` must equal
+    * `sampleSizes.length`. */
+  final case class Mp4SampleSpec(track: Mp4Track, sampleSizes: Seq[Int],
+                                 samplesPerChunk: Int)
+
+  /** Deterministic content byte `j` of sample `i` of track ordinal `t` —
+    * what [[encodeMp4Samples]] writes and what a sample-range test reads
+    * back to prove the resolved byte ranges land on the right bytes. */
+  def mp4SampleByte(t: Int, i: Int, j: Int): Byte =
+    ((t * 31 + i * 7 + j) % 251).toByte
+
+  /** Encode an MP4 whose sample tables are REAL: stsz in the per-sample
+    * table form, stsc sample-to-chunk runs, stco (or co64) chunk offsets
+    * pointing into a genuine mdat laid out track-contiguously (all of
+    * track 1's chunks, then track 2's, ...). stts keeps the single-run
+    * form (delta = mediaDuration / sampleCount). Two-pass: the moov's size
+    * depends only on table COUNTS, so it is built once with zero offsets
+    * to measure, then rebuilt with the real ones. Sample content bytes are
+    * [[mp4SampleByte]]'s closed form. */
+  def encodeMp4Samples(brand: String, timescale: Long, duration: Long,
+                       specs: Seq[Mp4SampleSpec],
+                       useCo64: Boolean = false): Array[Byte] = {
+    require(brand.length == 4 && timescale > 0 && specs.nonEmpty)
+    require(timescale <= 0xffffffffL && duration >= 0 && duration <= 0xffffffffL)
+    specs.foreach { sp =>
+      require(sp.track.sampleCount == sp.sampleSizes.length.toLong,
+        s"track.sampleCount ${sp.track.sampleCount} != sizes ${sp.sampleSizes.length}")
+      require(sp.samplesPerChunk >= 1 && sp.sampleSizes.forall(_ >= 0))
+      require(sp.sampleSizes.nonEmpty, "a sample-table track needs samples")
+    }
+    def chunksOf(sp: Mp4SampleSpec): Seq[Seq[Int]] =
+      sp.sampleSizes.grouped(sp.samplesPerChunk).toSeq
+    def buildMoov(chunkOffsets: Seq[Seq[Long]]): Array[Byte] = {
+      val traks = specs.zip(chunkOffsets).zipWithIndex.map {
+        case ((sp, offs), i) =>
+          val t = sp.track
+          val n = sp.sampleSizes.length
+          val stts = sttsBox(n.toLong, t.mediaDuration / math.max(n, 1))
+          val stsz = mp4Box("stsz", fullBoxHeader(0, 0), {
+            val b = ByteBuffer.allocate(8 + 4 * n)
+            b.putInt(0).putInt(n)                 // table form: sizes follow
+            sp.sampleSizes.foreach(b.putInt)
+            b.array()
+          })
+          // stsc runs: a new entry whenever the per-chunk sample count
+          // changes (uniform chunking => at most two: the run + short tail)
+          val chunkLens = chunksOf(sp).map(_.length)
+          val runs = chunkLens.zipWithIndex
+            .filter { case (len, k) => k == 0 || chunkLens(k - 1) != len }
+            .map { case (len, k) => (k + 1, len) } // first_chunk is 1-based
+          val stsc = mp4Box("stsc", fullBoxHeader(0, 0), {
+            val b = ByteBuffer.allocate(4 + 12 * runs.size)
+            b.putInt(runs.size)
+            runs.foreach { case (first, len) =>
+              b.putInt(first).putInt(len).putInt(1) // sample_description_index
+            }
+            b.array()
+          })
+          val co = if (useCo64)
+            mp4Box("co64", fullBoxHeader(0, 0), {
+              val b = ByteBuffer.allocate(4 + 8 * offs.size)
+              b.putInt(offs.size); offs.foreach(b.putLong); b.array()
+            })
+          else
+            mp4Box("stco", fullBoxHeader(0, 0), {
+              val b = ByteBuffer.allocate(4 + 4 * offs.size)
+              b.putInt(offs.size)
+              offs.foreach { o =>
+                require(o <= 0xffffffffL, s"chunk offset $o needs co64")
+                b.putInt(o.toInt)
+              }
+              b.array()
+            })
+          val stbl = mp4Box("stbl", stsdBox(t.codec), stts, stsz, stsc, co)
+          trakBox(t, i + 1, duration, stbl)
+      }
+      mp4Box("moov", (mvhdBox(timescale, duration, specs.size) +: traks): _*)
+    }
+    val ftyp = ftypBox(brand)
+    val zeroOffs = specs.map(sp => chunksOf(sp).map(_ => 0L))
+    val moov0 = buildMoov(zeroOffs)
+    val mdatStart = ftyp.length.toLong + moov0.length + 8L
+    var off = mdatStart
+    val realOffs = specs.map { sp =>
+      chunksOf(sp).map { ch => val o = off; off += ch.map(_.toLong).sum; o }
+    }
+    val moov = buildMoov(realOffs)
+    require(moov.length == moov0.length, "moov size must not depend on offsets")
+    val payload = new Array[Byte]((off - mdatStart).toInt)
+    var p = 0
+    specs.zipWithIndex.foreach { case (sp, t) =>
+      sp.sampleSizes.zipWithIndex.foreach { case (sz, i) =>
+        var j = 0
+        while (j < sz) { payload(p) = mp4SampleByte(t, i, j); p += 1; j += 1 }
+      }
+    }
+    ftyp ++ moov ++ mp4Box("mdat", payload)
   }
 
   /** Walk `bytes[from, to)` as a run of sibling boxes, invoking `f(fourcc,
@@ -406,7 +538,16 @@ object MediaCodecs {
         val a = new Array[Byte](4); bb.get(a); new String(a, StandardCharsets.US_ASCII)
       }
       val (payloadStart, boxEnd) =
-        if (size32 == 0) (p + 8, to) // to end of enclosure
+        if (size32 == 0) {
+          // "extends to end of file" — the spec permits this ONLY for the
+          // last top-level box (ISO 14496-12 §4.2); honoring it inside a
+          // container would let one corrupt inner box silently swallow all
+          // remaining siblings (later trak boxes) instead of failing loudly
+          require(from == 0,
+            s"box '$fourcc' at $p declares size 0 (to-end-of-file) inside " +
+              "an enclosing box — only the last top-level box may")
+          (p + 8, to)
+        }
         else if (size32 == 1) {      // 64-bit largesize
           require(to - p >= 16, s"truncated largesize box at $p")
           val size64 = bb.getLong
@@ -445,6 +586,7 @@ object MediaCodecs {
     var timescale = 0L; var duration = 0L
     var nTracks = 0
     var width = 0; var height = 0
+    var videoSeen = false
     val codecs = scala.collection.mutable.ArrayBuffer[String]()
     var nSamples = 0L
     var audioRate = 0L
@@ -515,7 +657,12 @@ object MediaCodecs {
               case _ => ()
             }
             if (handler == "soun" && audioRate == 0L) audioRate = mediaTs
-            if (handler == "vide" && width == 0 && trkW > 0) { width = trkW; height = trkH }
+            // FIRST video track's dims, by a seen flag — keying on
+            // width == 0 would skip a leading video track that declares
+            // 0x0 display dims and misreport a later track's
+            if (handler == "vide" && !videoSeen) {
+              videoSeen = true; width = trkW; height = trkH
+            }
           case _ => ()
         }
       case _ => () // mdat, free, ... — skipped by declared size
@@ -524,6 +671,162 @@ object MediaCodecs {
     require(nTracks > 0, "no trak boxes")
     Mp4Info(brand, timescale, duration, duration * 1000L / timescale,
       nTracks, width, height, codecs.toSeq, nSamples, audioRate)
+  }
+
+  /** One resolved sample: absolute byte range in the file plus its decode
+    * timestamp in media-timescale units. */
+  final case class Mp4Sample(trackId: Int, sampleIdx: Long, byteOffset: Long,
+                             size: Long, dts: Long)
+
+  /** The resolved sample table plus the mdat payload's absolute start
+    * (callers that want container-relative offsets subtract it). */
+  final case class Mp4SampleTable(samples: Seq[Mp4Sample], mdatStart: Long)
+
+  /** Walk the sample tables (stsz + stts + stsc + stco/co64) to per-sample
+    * byte ranges — the JVM-feasible step past container metadata: a
+    * curation pipeline can slice REAL frame bytes out of the file without
+    * a codec. Per track:
+    *
+    *  - stsz gives per-sample sizes (constant and table forms);
+    *  - stsc's (first_chunk, samples_per_chunk) runs say how samples pack
+    *    into chunks (run extends to the next entry's first_chunk);
+    *  - stco/co64 give each chunk's absolute file offset; within a chunk
+    *    samples are contiguous, so sample byte offsets are chunk offset +
+    *    prefix sums of the sizes;
+    *  - stts's (count, delta) runs accumulate to each sample's dts.
+    *
+    * Every declared count and every resolved [offset, offset+size) range is
+    * bounds-checked against the file — a forged table fails loudly, never
+    * reads wild. Tracks without sample tables (stsz count 0) emit nothing. */
+  def mp4SampleTable(bytes: Array[Byte]): Mp4SampleTable = {
+    require(bytes.length >= 16, s"MP4 too short: ${bytes.length}")
+    require(new String(bytes, 4, 4, StandardCharsets.US_ASCII) == "ftyp",
+      "not an ISO-BMFF file (no leading ftyp)")
+    val out = scala.collection.mutable.ArrayBuffer[Mp4Sample]()
+    var mdatStart = -1L
+    walkBoxes(bytes, 0, bytes.length) {
+      case ("mdat", s, _) => if (mdatStart < 0) mdatStart = s.toLong
+      case ("moov", moovS, moovE) =>
+        walkBoxes(bytes, moovS, moovE) {
+          case ("trak", trakS, trakE) =>
+            var trackId = 0
+            var sizes: IndexedSeq[Long] = IndexedSeq.empty
+            var sttsRuns: Seq[(Long, Long)] = Seq.empty
+            var stscRuns: Seq[(Long, Long)] = Seq.empty // (first_chunk 1-based, samples/chunk)
+            var chunkOffs: IndexedSeq[Long] = IndexedSeq.empty
+            walkBoxes(bytes, trakS, trakE) {
+              case ("tkhd", s, e) =>
+                val v = bytes(s) & 0xff
+                val idAt = if (v == 0) s + 12 else s + 20
+                require(e >= idAt + 4, "tkhd too short for track_ID")
+                trackId = be32(bytes, idAt).toInt
+              case ("mdia", mdiaS, mdiaE) =>
+                walkBoxes(bytes, mdiaS, mdiaE) {
+                  case ("minf", minfS, minfE) =>
+                    walkBoxes(bytes, minfS, minfE) {
+                      case ("stbl", stblS, stblE) =>
+                        walkBoxes(bytes, stblS, stblE) {
+                          case ("stsz", s, e) =>
+                            require(e - s >= 12, "stsz too short")
+                            val const = be32(bytes, s + 4)
+                            val count = be32(bytes, s + 8)
+                            // allocation bomb guard: a forged constant-size
+                            // count can't be bounded by the table length, so
+                            // bound it by the file (zero-size samples aside,
+                            // a sane count never exceeds the byte count)
+                            require(count <= bytes.length.toLong,
+                              s"stsz declares $count samples in a ${bytes.length}-byte file")
+                            sizes =
+                              if (const != 0) IndexedSeq.fill(count.toInt)(const)
+                              else {
+                                require(e - s >= 12 + 4 * count,
+                                  s"stsz table overruns: $count entries")
+                                (0 until count.toInt)
+                                  .map(i => be32(bytes, s + 12 + 4 * i))
+                              }
+                          case ("stts", s, e) =>
+                            require(e - s >= 8, "stts too short")
+                            val n = be32(bytes, s + 4)
+                            require(e - s >= 8 + 8 * n, s"stts table overruns: $n entries")
+                            sttsRuns = (0 until n.toInt).map(i =>
+                              (be32(bytes, s + 8 + 8 * i), be32(bytes, s + 12 + 8 * i)))
+                          case ("stsc", s, e) =>
+                            require(e - s >= 8, "stsc too short")
+                            val n = be32(bytes, s + 4)
+                            require(e - s >= 8 + 12 * n, s"stsc table overruns: $n entries")
+                            stscRuns = (0 until n.toInt).map(i =>
+                              (be32(bytes, s + 8 + 12 * i), be32(bytes, s + 12 + 12 * i)))
+                            stscRuns.zipWithIndex.foreach { case ((first, spc), i) =>
+                              require(first >= 1 && spc >= 1,
+                                s"stsc entry $i: first_chunk $first / samples_per_chunk $spc")
+                              require(i == 0 || first > stscRuns(i - 1)._1,
+                                s"stsc first_chunk not increasing at entry $i")
+                            }
+                          case ("stco", s, e) =>
+                            require(e - s >= 8, "stco too short")
+                            val n = be32(bytes, s + 4)
+                            require(e - s >= 8 + 4 * n, s"stco table overruns: $n entries")
+                            chunkOffs = (0 until n.toInt).map(i => be32(bytes, s + 8 + 4 * i))
+                          case ("co64", s, e) =>
+                            require(e - s >= 8, "co64 too short")
+                            val n = be32(bytes, s + 4)
+                            require(e - s >= 8 + 8 * n, s"co64 table overruns: $n entries")
+                            chunkOffs = (0 until n.toInt).map { i =>
+                              val o = be64(bytes, s + 8 + 8 * i)
+                              require(o >= 0, s"negative co64 offset at $i"); o
+                            }
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            val nSamples = sizes.length
+            if (nSamples > 0) {
+              require(stscRuns.nonEmpty && chunkOffs.nonEmpty,
+                s"track $trackId has ${nSamples} stsz samples but no stsc/stco tables")
+              // dts per sample from the stts runs
+              val dts = new Array[Long](nSamples)
+              var di = 0; var t = 0L
+              sttsRuns.foreach { case (count, delta) =>
+                var c = 0L
+                while (c < count && di < nSamples) {
+                  dts(di) = t; t += delta; di += 1; c += 1
+                }
+              }
+              require(di == nSamples,
+                s"stts covers $di samples, stsz declares $nSamples (track $trackId)")
+              // expand chunks: stsc run k applies from its first_chunk up to
+              // the next run's (exclusive)
+              var si = 0
+              var runIdx = 0
+              var chunk = 1L // 1-based
+              while (si < nSamples) {
+                require(chunk <= chunkOffs.length,
+                  s"track $trackId: chunk structure exhausts at sample $si/$nSamples")
+                while (runIdx + 1 < stscRuns.length && stscRuns(runIdx + 1)._1 <= chunk)
+                  runIdx += 1
+                val spc = stscRuns(runIdx)._2
+                var off = chunkOffs((chunk - 1).toInt)
+                var j = 0L
+                while (j < spc && si < nSamples) {
+                  val sz = sizes(si)
+                  require(off >= 0 && sz >= 0 && off + sz <= bytes.length,
+                    s"track $trackId sample $si range [$off, ${off + sz}) " +
+                      s"outside the ${bytes.length}-byte file")
+                  out += Mp4Sample(trackId, si.toLong, off, sz, dts(si))
+                  off += sz; si += 1; j += 1
+                }
+                chunk += 1
+              }
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    Mp4SampleTable(out.toSeq, mdatStart)
   }
 
   // ------------------------------------------------------------------ FLAC
@@ -614,5 +917,194 @@ object MediaCodecs {
       require((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xfc) == 0xf8,
         "bytes after the metadata blocks do not start with a frame sync code")
     info.get
+  }
+
+  /** CRC-8 (poly 0x07, init 0) over `bytes[from, until)` — the checksum a
+    * FLAC frame header carries over its own bytes. */
+  def flacCrc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** FLAC's UTF-8-style coded number (frame/sample number): standard UTF-8
+    * byte shapes extended past the Unicode range (up to 36 bits / 7 bytes). */
+  private def flacUtf8Encode(n: Long): Array[Byte] = {
+    require(n >= 0 && n < (1L << 36))
+    if (n < 0x80) Array(n.toByte)
+    else {
+      // k continuation bytes carry 6 bits each; the lead byte carries
+      // (6 - k) bits under a (k+1)-one prefix
+      var k = 1
+      while (k < 6 && n >= (1L << (6 - k + 6 * k))) k += 1
+      val lead = (0xff << (7 - k)) & 0xff // k+1 ones then a zero
+      val out = new Array[Byte](k + 1)
+      out(0) = (lead | (n >>> (6 * k)).toInt).toByte
+      var i = 1
+      while (i <= k) {
+        out(i) = (0x80 | ((n >>> (6 * (k - i))) & 0x3f).toInt).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Decode the coded number at `at`; returns (value, bytesConsumed). */
+  private def flacUtf8Decode(bytes: Array[Byte], at: Int): (Long, Int) = {
+    require(at < bytes.length, "coded number past end of file")
+    val b0 = bytes(at) & 0xff
+    if ((b0 & 0x80) == 0) (b0.toLong, 1)
+    else {
+      var k = 0
+      var mask = 0x40
+      while (k < 7 && (b0 & mask) != 0) { k += 1; mask >>= 1 }
+      require(k >= 1 && k <= 6, s"malformed coded-number lead byte 0x${b0.toHexString}")
+      require(at + k < bytes.length, "coded number truncated")
+      var v = (b0 & (0x3f >> k)).toLong
+      var i = 1
+      while (i <= k) {
+        val c = bytes(at + i) & 0xff
+        require((c & 0xc0) == 0x80, s"malformed coded-number continuation at ${at + i}")
+        v = (v << 6) | (c & 0x3f)
+        i += 1
+      }
+      (v, k + 1)
+    }
+  }
+
+  private def flacBlocksizeCode(blockSize: Int): Int = {
+    require(blockSize >= 256 && blockSize <= 32768 &&
+      Integer.bitCount(blockSize) == 1,
+      s"encoder supports power-of-two block sizes 256..32768, got $blockSize")
+    8 + Integer.numberOfTrailingZeros(blockSize) - 8 // 256<<(n-8) form
+  }
+
+  /** Encode a FLAC with REAL frame headers: `fLaC` + STREAMINFO (sole
+    * metadata block, so the audio stream starts at byte 42), then one
+    * fixed-blocksize frame per entry of `frameSizes` — sync 0xFF 0xF8,
+    * blocksize code (256<<n form), rate/bits codes 0 (from STREAMINFO),
+    * channel assignment, the UTF-8-coded frame number, CRC-8 over the
+    * header — followed by that many filler payload bytes (closed-form
+    * content, never 0xFF, so resync scans are unambiguous). Audio samples
+    * are not encoded; the frame INDEX is the decode target. */
+  def encodeFlacFrames(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                       blockSize: Int, frameSizes: Seq[Int]): Array[Byte] = {
+    require(frameSizes.forall(_ >= 0))
+    val totalSamples = blockSize.toLong * frameSizes.length
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(channels >= 1 && channels <= 8)
+    require(bitsPerSample >= 4 && bitsPerSample <= 32)
+    val bsCode = flacBlocksizeCode(blockSize)
+    val head = ByteBuffer.allocate(4 + 4 + 34)
+    head.put(asciiBytes("fLaC"))
+    head.put(0x80.toByte)                  // LAST | type 0 = STREAMINFO
+    head.put(0.toByte).put(0.toByte).put(34.toByte)
+    head.putShort(blockSize.toShort).putShort(blockSize.toShort)
+    head.put(new Array[Byte](6))
+    head.putLong((sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bitsPerSample - 1).toLong << 36) | totalSamples)
+    head.put(new Array[Byte](16))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head.array(), 0, head.array().length)
+    frameSizes.zipWithIndex.foreach { case (sz, i) =>
+      val num = flacUtf8Encode(i.toLong)
+      val hdr = new Array[Byte](4 + num.length + 1)
+      hdr(0) = 0xff.toByte
+      hdr(1) = 0xf8.toByte                 // sync + fixed-blocksize strategy
+      hdr(2) = ((bsCode << 4) | 0).toByte  // rate code 0: from STREAMINFO
+      hdr(3) = (((channels - 1) << 4) | 0).toByte // size code 0, reserved 0
+      System.arraycopy(num, 0, hdr, 4, num.length)
+      hdr(hdr.length - 1) = flacCrc8(hdr, 0, hdr.length - 1).toByte
+      out.write(hdr, 0, hdr.length)
+      var j = 0
+      while (j < sz) { out.write((i * 13 + j) % 0x7f); j += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** One indexed frame: position in the frame sequence, the header's coded
+    * frame number, its absolute byte offset, the first sample it carries,
+    * and its block size. */
+  final case class FlacFrame(frameIdx: Long, frameNumber: Long,
+                             byteOffset: Long, sampleOffset: Long,
+                             blockSize: Int)
+
+  /** Walk the frame headers to a frame index — the audio-side twin of the
+    * MP4 sample-table walk: `(frame_idx, byte_offset, sample_offset)` rows
+    * let a pipeline slice real frames without a codec. FLAC frames carry
+    * no length field, so the walk is the resync scan real decoders use:
+    * from the end of the metadata blocks, a frame starts wherever the
+    * 14-bit sync code is followed by a header whose CRC-8 validates (a
+    * random sync-shaped byte pair survives only with a matching CRC);
+    * blocksize/rate/sample-size codes are decoded per spec (inline values
+    * for codes 6/7 and 12-14, STREAMINFO fallbacks otherwise), the coded
+    * number is the frame number (fixed strategy, sample offset = n x
+    * block size) or the sample offset itself (variable strategy). */
+  def flacFrameIndex(bytes: Array[Byte]): Seq[FlacFrame] = {
+    val si = decodeFlac(bytes) // validates magic + blocks, gives fallbacks
+    // end of metadata blocks (same walk decodeFlac performed)
+    var p = 4
+    var last = false
+    while (!last) {
+      last = (bytes(p) & 0x80) != 0
+      p += 4 + (((bytes(p + 1) & 0xff) << 16) | ((bytes(p + 2) & 0xff) << 8) |
+        (bytes(p + 3) & 0xff))
+    }
+    val out = scala.collection.mutable.ArrayBuffer[FlacFrame]()
+    // try to parse a frame header at `at`; None = not a frame start
+    def headerAt(at: Int): Option[(Long, Boolean, Int, Int)] = {
+      if (at + 5 > bytes.length) return None
+      if ((bytes(at) & 0xff) != 0xff || (bytes(at + 1) & 0xfc) != 0xf8) return None
+      val variable = (bytes(at + 1) & 0x01) != 0
+      val bsCode = (bytes(at + 2) >>> 4) & 0xf
+      val rateCode = bytes(at + 2) & 0xf
+      if (bsCode == 0 || rateCode == 15) return None // reserved/invalid
+      if ((bytes(at + 3) & 0x01) != 0) return None   // reserved bit must be 0
+      val (num, numLen) =
+        try flacUtf8Decode(bytes, at + 4)
+        catch { case _: IllegalArgumentException => return None }
+      var q = at + 4 + numLen
+      val blockSize = bsCode match {
+        case 1 => 192
+        case 6 => if (q + 1 > bytes.length) return None
+          else { val v = (bytes(q) & 0xff) + 1; q += 1; v }
+        case 7 => if (q + 2 > bytes.length) return None
+          else { val v = (((bytes(q) & 0xff) << 8) | (bytes(q + 1) & 0xff)) + 1; q += 2; v }
+        case n if n >= 2 && n <= 5 => 576 << (n - 2)
+        case n => 256 << (n - 8)
+      }
+      rateCode match {
+        case 12 => q += 1
+        case 13 | 14 => q += 2
+        case _ => ()
+      }
+      if (q + 1 > bytes.length) return None
+      if (flacCrc8(bytes, at, q) != (bytes(q) & 0xff)) return None
+      Some((num, variable, blockSize, q + 1 - at))
+    }
+    var idx = 0L
+    while (p < bytes.length) {
+      headerAt(p) match {
+        case Some((num, variable, bs, hdrLen)) =>
+          val sampleOffset = if (variable) num else num * bs
+          out += FlacFrame(idx, num, p.toLong, sampleOffset, bs)
+          idx += 1
+          p += hdrLen
+        case None =>
+          require(out.nonEmpty,
+            s"bytes after the metadata blocks at $p are not a valid frame header")
+          p += 1 // resync scan between frames (no length field in FLAC)
+      }
+    }
+    out.toSeq
   }
 }

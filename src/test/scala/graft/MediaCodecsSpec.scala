@@ -264,6 +264,56 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.decodeMp4(bad)).getMessage.contains("overruns"))
   }
 
+  test("MP4: size-0 (to-end) form is refused inside an enclosing box") {
+    // ISO 14496-12 §4.2 permits size==0 only for the LAST TOP-LEVEL box; a
+    // corrupt inner box declaring it would silently swallow all remaining
+    // siblings (e.g. later trak boxes) instead of failing loudly
+    val mp4 = MediaCodecs.encodeMp4Meta("isom", 600L, 1200L, Seq(
+      MediaCodecs.Mp4Track("vide", "avc1", 64, 48, 600L, 1200L, 60L),
+      MediaCodecs.Mp4Track("soun", "mp4a", 0, 0, 48000L, 96000L, 100L)))
+    // forge the FIRST trak's size field to 0 (trak follows mvhd inside moov)
+    val trakAt = mp4.indexOfSlice("trak".getBytes("US-ASCII")) - 4
+    val bad = mp4.clone()
+    java.nio.ByteBuffer.wrap(bad, trakAt, 4).putInt(0)
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeMp4(bad))
+    assert(e.getMessage.contains("top-level"), e.getMessage)
+  }
+
+  test("MP4 encode: values past the v0 u32 fields are refused, not truncated") {
+    def track(samples: Long = 60L, mts: Long = 600L, mdur: Long = 1200L) =
+      MediaCodecs.Mp4Track("vide", "avc1", 64, 48, mts, mdur, samples)
+    // at the u32 ceiling round-trips exactly (be32 reads unsigned)
+    val atMax = MediaCodecs.encodeMp4Meta("isom", 0xffffffffL, 0xffffffffL, Seq(track()))
+    val m = MediaCodecs.decodeMp4(atMax)
+    assert(m.timescale === 0xffffffffL && m.duration === 0xffffffffL)
+    // one past it is loud (a silent .toInt would corrupt the round-trip)
+    assert(intercept[IllegalArgumentException](MediaCodecs.encodeMp4Meta(
+      "isom", 0x100000000L, 10L, Seq(track()))).getMessage.contains("timescale"))
+    assert(intercept[IllegalArgumentException](MediaCodecs.encodeMp4Meta(
+      "isom", 600L, 0x100000000L, Seq(track()))).getMessage.contains("duration"))
+    assert(intercept[IllegalArgumentException](MediaCodecs.encodeMp4Meta(
+      "isom", 600L, 10L, Seq(track(samples = 0x100000000L))))
+      .getMessage.contains("sampleCount"))
+    assert(intercept[IllegalArgumentException](MediaCodecs.encodeMp4Meta(
+      "isom", 600L, 10L, Seq(track(mts = 0x100000000L))))
+      .getMessage.contains("mediaTimescale"))
+    assert(intercept[IllegalArgumentException](MediaCodecs.encodeMp4Meta(
+      "isom", 600L, 10L, Seq(track(mdur = 0x100000000L))))
+      .getMessage.contains("mediaDuration"))
+  }
+
+  test("MP4: a leading video track with 0x0 display dims IS the reported track") {
+    // Mp4Info promises the FIRST video track's dims; keying on width == 0
+    // used to skip a 0x0 leading track and misreport the second's
+    val mp4 = MediaCodecs.encodeMp4Meta("isom", 600L, 1200L, Seq(
+      MediaCodecs.Mp4Track("vide", "avc1", 0, 0, 600L, 1200L, 60L),
+      MediaCodecs.Mp4Track("vide", "av01", 256, 192, 600L, 1200L, 60L)))
+    val m = MediaCodecs.decodeMp4(mp4)
+    assert(m.width === 0 && m.height === 0,
+      s"first video track declares 0x0; got ${m.width}x${m.height}")
+    assert(m.codecs === Seq("avc1", "av01"))
+  }
+
   test("MP4: truncated and forged boxes are rejected, never read wild") {
     val mp4 = MediaCodecs.encodeMp4Meta("isom", 600L, 600L,
       Seq(MediaCodecs.Mp4Track("vide", "avc1", 64, 48, 600L, 600L, 30L)))
@@ -422,6 +472,129 @@ class MediaCodecsSpec extends AnyFunSuite {
       assert(f.bitsPerSample === 8 + 4 * (id % 3))
       assert(f.totalSamples === 1000 * (1 + id % 8))
       assert(f.durationMs === f.totalSamples * 1000 / f.sampleRate)
+    }
+  }
+
+  test("MP4 sample table: resolved byte ranges land on the exact sample bytes") {
+    // two tracks, short last chunks, both stco and co64 — and the proof is
+    // ABSOLUTE: slicing the file at each resolved range must reproduce the
+    // encoder's closed-form sample content byte for byte
+    Seq(false, true).foreach { co64 =>
+      val specs = Seq(
+        MediaCodecs.Mp4SampleSpec(MediaCodecs.Mp4Track("vide", "avc1", 64, 48,
+          600L, 500L, 5L), Seq(3, 1, 4, 1, 5), samplesPerChunk = 2),
+        MediaCodecs.Mp4SampleSpec(MediaCodecs.Mp4Track("soun", "mp4a", 0, 0,
+          48000L, 3072L, 3L), Seq(2, 6, 2), samplesPerChunk = 3))
+      val mp4 = MediaCodecs.encodeMp4Samples("isom", 600L, 500L, specs, useCo64 = co64)
+      val t = MediaCodecs.mp4SampleTable(mp4)
+      assert(t.samples.size === 8)
+      assert(t.mdatStart > 0 && t.mdatStart < mp4.length)
+      // per-track shape: ids, indices, dts from the single stts run
+      val v = t.samples.filter(_.trackId == 1)
+      assert(v.map(_.sampleIdx) === Seq(0L, 1L, 2L, 3L, 4L))
+      assert(v.map(_.size) === Seq(3L, 1L, 4L, 1L, 5L))
+      assert(v.map(_.dts) === Seq(0L, 100L, 200L, 300L, 400L))
+      val a = t.samples.filter(_.trackId == 2)
+      assert(a.map(_.size) === Seq(2L, 6L, 2L))
+      assert(a.map(_.dts) === Seq(0L, 1024L, 2048L))
+      // track-contiguous layout: video then audio, contiguous from mdatStart
+      assert(t.samples.map(_.byteOffset).min === t.mdatStart)
+      assert(v.head.byteOffset === t.mdatStart)
+      assert(a.head.byteOffset === t.mdatStart + 14)
+      // absolute correctness: the resolved range IS the sample's content
+      t.samples.foreach { s =>
+        val trackOrd = s.trackId - 1
+        (0 until s.size.toInt).foreach { j =>
+          assert(mp4((s.byteOffset + j).toInt) ===
+            MediaCodecs.mp4SampleByte(trackOrd, s.sampleIdx.toInt, j),
+            s"track ${s.trackId} sample ${s.sampleIdx} byte $j")
+        }
+      }
+    }
+  }
+
+  test("MP4 sample table: forged stsc/stco/stsz tables fail loudly, never read wild") {
+    val rnd = new scala.util.Random(777)
+    (1 to 200).foreach { _ =>
+      val mp4 = Fixtures.syntheticMp4Samples(rnd.nextInt(500).toLong)
+      // sanity: the honest file parses
+      MediaCodecs.mp4SampleTable(mp4)
+      val forged = mp4.clone()
+      val at = (rnd.nextInt(forged.length / 4)) * 4
+      val evil = Seq(0, 1, -1, Int.MaxValue, forged.length, 1 << 30)(rnd.nextInt(6))
+      java.nio.ByteBuffer.wrap(forged, at, 4).putInt(evil)
+      fuzzSafely(MediaCodecs.mp4SampleTable)(forged).foreach { t =>
+        // a parse that survives the forgery must still be in-bounds
+        t.samples.foreach(s =>
+          assert(s.byteOffset >= 0 && s.byteOffset + s.size <= forged.length))
+      }
+      fuzzSafely(MediaCodecs.mp4SampleTable)(
+        java.util.Arrays.copyOf(mp4, rnd.nextInt(mp4.length)))
+    }
+    // chunk structure that exhausts before the declared samples is loud
+    val specs = Seq(MediaCodecs.Mp4SampleSpec(
+      MediaCodecs.Mp4Track("vide", "avc1", 64, 48, 600L, 300L, 3L),
+      Seq(2, 2, 2), samplesPerChunk = 3))
+    val ok = MediaCodecs.encodeMp4Samples("isom", 600L, 300L, specs)
+    // stsz count 3 -> forge to 9: more samples than the one chunk holds
+    val stszAt = ok.indexOfSlice("stsz".getBytes("US-ASCII"))
+    val bad = ok.clone()
+    java.nio.ByteBuffer.wrap(bad, stszAt + 12, 4).putInt(9)
+    val e = intercept[IllegalArgumentException](MediaCodecs.mp4SampleTable(bad))
+    assert(e.getMessage.contains("overruns") || e.getMessage.contains("exhausts") ||
+      e.getMessage.contains("covers"), e.getMessage)
+  }
+
+  test("FLAC frame index: offsets, sample offsets, multi-byte frame numbers, CRC resync") {
+    val sizes = (0 until 140).map(i => 4 + (i % 9)) // crosses the 128 UTF-8 boundary
+    val flac = MediaCodecs.encodeFlacFrames(16000, 2, 16, 4096, sizes)
+    val idx = MediaCodecs.flacFrameIndex(flac)
+    assert(idx.size === 140)
+    // closed form while frame numbers fit one byte (header = 6 bytes)...
+    var off = 42L
+    (0 until 128).foreach { i =>
+      assert(idx(i).byteOffset === off, s"frame $i")
+      assert(idx(i).frameNumber === i.toLong)
+      assert(idx(i).sampleOffset === 4096L * i)
+      assert(idx(i).blockSize === 4096)
+      off += 6 + sizes(i)
+    }
+    // ...then 7-byte headers (2-byte UTF-8 coded numbers)
+    (128 until 140).foreach { i =>
+      assert(idx(i).byteOffset === off, s"frame $i")
+      assert(idx(i).sampleOffset === 4096L * i)
+      off += 7 + sizes(i)
+    }
+    assert(off === flac.length.toLong)
+    // a corrupted header CRC drops exactly that frame (resync finds the next)
+    val bad = flac.clone()
+    bad(idx(5).byteOffset.toInt + 2) = 0x10.toByte // blocksize code 1 = 192: CRC now wrong
+    val re = MediaCodecs.flacFrameIndex(bad)
+    assert(re.size === 139 && !re.exists(_.frameNumber == 5L))
+    // garbage and truncations stay inside the loud-rejection contract
+    val rnd = new scala.util.Random(9999)
+    (1 to 200).foreach { _ =>
+      fuzzSafely(MediaCodecs.flacFrameIndex)(
+        Array.fill(8 + rnd.nextInt(200))(rnd.nextInt(256).toByte))
+      fuzzSafely(MediaCodecs.flacFrameIndex)(
+        java.util.Arrays.copyOf(flac, rnd.nextInt(flac.length)))
+      val forged = flac.clone()
+      forged(rnd.nextInt(forged.length)) = rnd.nextInt(256).toByte
+      fuzzSafely(MediaCodecs.flacFrameIndex)(forged)
+    }
+  }
+
+  test("FLAC frame index: fixture closed form across ids") {
+    (0L to 30L).foreach { id =>
+      val idx = MediaCodecs.flacFrameIndex(Fixtures.syntheticFlacFrames(id))
+      val n = (3 + id % 6).toInt
+      assert(idx.size === n, s"id $id")
+      var off = 42L
+      (0 until n).foreach { i =>
+        assert(idx(i).byteOffset === off, s"id $id frame $i")
+        assert(idx(i).sampleOffset === 4096L * i)
+        off += 6 + 4 + ((id + i) % 9)
+      }
     }
   }
 }

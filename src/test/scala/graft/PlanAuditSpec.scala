@@ -1202,7 +1202,8 @@ class PlanAuditSpec extends SparkTestBase {
     // codegen'd filter) — any shuffle or join appearing here would mean the
     // plan stopped being a map-only pass
     val sfDir = "/root/testdata/sf0.001"
-    Seq("multimodal_decode_mp4", "multimodal_decode_flac", "multimodal_curate")
+    Seq("multimodal_decode_mp4", "multimodal_decode_flac", "multimodal_curate",
+      "multimodal_mp4_samples", "multimodal_flac_frames")
       .foreach { name =>
         val p = plan(SparkEntry.queries(name)(spark, sfDir))
         assert(!p.contains("Exchange") && !p.contains("Join"), s"$name:\n$p")
@@ -1339,6 +1340,8 @@ class PlanAuditSpec extends SparkTestBase {
     "multimodal_decode_mp4" -> Seq("media_id", "brand", "n_tracks", "width", "height", "duration_ms", "n_samples", "audio_rate", "codecs"),
     "es_stream_media_decode" -> Seq("media_id", "brand", "n_tracks", "width", "height", "duration_ms", "n_samples", "audio_rate", "codecs"),
     "multimodal_decode_flac" -> Seq("media_id", "sample_rate", "channels", "bits_per_sample", "n_samples", "duration_ms"),
+    "multimodal_mp4_samples" -> Seq("media_id", "track_id", "sample_idx", "rel_offset", "size", "dts"),
+    "multimodal_flac_frames" -> Seq("media_id", "frame_idx", "byte_offset", "sample_offset"),
     "multimodal_curate" -> Seq("media_id", "width", "height", "duration_ms", "audio_rate", "n_samples"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
     "multimodal_dedup" -> Seq("i", "j", "n_shared"),
