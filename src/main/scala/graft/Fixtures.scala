@@ -1836,6 +1836,51 @@ object Fixtures {
       name
     })
 
+  /** STREAMING sample-table walk — "index the crawl's media samples as it
+    * arrives": record payloads are genuine stsc/stco-tabled MP4s
+    * ([[syntheticMp4Samples]]), each micro-batch flatMapped through
+    * [[graft.operators.MediaCodecs.mp4SampleTable]] to per-sample byte
+    * ranges, stateless. The streaming sibling of `multimodal_mp4_samples` —
+    * identical result set, same oracle. */
+  def streamMp4SamplesTable(s: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#stream-mp4-samples", {
+      import org.apache.spark.sql.streaming.Trigger
+      tune(s)
+      val src = fixture(sfDir, "mp4-samples-src") { d =>
+        import s.implicits._
+        val recs = documents(s, sfDir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, syntheticMp4Samples(id))))
+          .toDF("doc_id", "payload")
+          .select(col("payload"),
+            map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+        EsLog.create(d, streamId = 78L)
+        EsLog.open(d, 1L)
+        EsLog.append(s, d, recs, 1L)
+        ()
+      }
+      val n = documents(s, sfDir).count()
+      val name = "graft_stream_mp4_samples_" + math.abs(sfDir.hashCode).toString
+      import s.implicits._
+      val q = s.readStream.format("eslog")
+        .option("maxOffsetsPerTrigger", math.max(n / 8, 1L).toString)
+        .load(src)
+        .select(col("properties")("doc_id").cast("long").as("media_id"),
+          col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val t = graft.operators.MediaCodecs.mp4SampleTable(bytes)
+          t.samples.map(sm => (id, sm.trackId.toLong, sm.sampleIdx,
+            sm.byteOffset - t.mdatStart, sm.size, sm.dts))
+        })
+        .toDF("media_id", "track_id", "sample_idx", "rel_offset", "size", "dts")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      name
+    })
+
   /** STREAMING temperature rebalancing — "α-sample the crawl as it
     * arrives": the (source, threshold) artifact is computed ONCE in batch
     * ([[graft.operators.Sampling.temperatureThresholds]] — a static

@@ -2701,6 +2701,7 @@ object Oracles {
     // streaming twin: stateless per-micro-batch decode of the same
     // generated containers — the batch closed form IS the oracle
     "es_stream_media_decode" -> multimodalDecodeMp4,
+    "es_stream_mp4_samples" -> multimodalMp4Samples,
     "multimodal_curate" -> multimodalCurate,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_dedup" -> multimodalDedup,

@@ -2164,6 +2164,13 @@ object SparkEntry {
   private def qEsStreamMediaDecode(s: SparkSession, sfDir: String): DataFrame =
     s.table(Fixtures.streamMediaDecodeTable(s, sfDir))
 
+  /** Streaming twin of [[qMultimodalMp4Samples]] ([[Fixtures
+    * .streamMp4SamplesTable]]): sample-tabled MP4 payloads flow through the
+    * eslog stream and each micro-batch is stbl-walked to per-sample byte
+    * ranges by a stateless flatMap — same result set, same oracle. */
+  private def qEsStreamMp4Samples(s: SparkSession, sfDir: String): DataFrame =
+    s.table(Fixtures.streamMp4SamplesTable(s, sfDir))
+
   /** [[qMultimodalProbeAppended]] + [[graft.operators.Multimodal
     * .compactMediaLibraryIndex]]: compaction folds the appended slices to
     * one file per bucket AND re-applies the df cap GLOBALLY — a chunk
@@ -2485,6 +2492,7 @@ object SparkEntry {
     "es_stream_lsh_append" -> (qEsStreamLshAppend _),
     "es_stream_media_append" -> (qEsStreamMediaAppend _),
     "es_stream_media_decode" -> (qEsStreamMediaDecode _),
+    "es_stream_mp4_samples" -> (qEsStreamMp4Samples _),
     "sim_ivf_compact" -> (qSimIvfCompact _),
     "sim_ivf_replay" -> (qSimIvfReplay _),
     "sim_ivf_kmeans" -> (qSimIvfKmeans _),

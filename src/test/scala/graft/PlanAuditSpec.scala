@@ -1341,6 +1341,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_media_decode" -> Seq("media_id", "brand", "n_tracks", "width", "height", "duration_ms", "n_samples", "audio_rate", "codecs"),
     "multimodal_decode_flac" -> Seq("media_id", "sample_rate", "channels", "bits_per_sample", "n_samples", "duration_ms"),
     "multimodal_mp4_samples" -> Seq("media_id", "track_id", "sample_idx", "rel_offset", "size", "dts"),
+    "es_stream_mp4_samples" -> Seq("media_id", "track_id", "sample_idx", "rel_offset", "size", "dts"),
     "multimodal_flac_frames" -> Seq("media_id", "frame_idx", "byte_offset", "sample_offset"),
     "multimodal_curate" -> Seq("media_id", "width", "height", "duration_ms", "audio_rate", "n_samples"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
