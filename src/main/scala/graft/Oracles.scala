@@ -2302,6 +2302,42 @@ object Oracles {
       |  CAST(4096 * i AS BIGINT) AS sample_offset
       |FROM s""".stripMargin
 
+  /** Slice checksums over [[multimodalMp4Samples]]' layout: sample content
+    * byte j of (track ordinal t, sample i) is `t·31 + i·7 + j` — the
+    * generator's mod-251 never binds at fixture scale (max 86) — so
+    * `byte_sum = sz·(t·31 + i·7) + sz·(sz−1)/2`, arithmetic-series exact. */
+  private val multimodalMp4Slice =
+    """WITH v AS (
+      |  SELECT doc_id, 1 AS track_id, unnest(range(0, 3 + doc_id % 6)) AS i
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id, 2 AS track_id, unnest(range(0, 2 + doc_id % 4)) AS i
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |u AS (
+      |  SELECT doc_id, track_id, i, 1 + (doc_id + i) % 7 AS sz FROM v
+      |  UNION ALL
+      |  SELECT doc_id, track_id, i, 1 + (2 * doc_id + i) % 5 AS sz FROM a)
+      |SELECT doc_id AS media_id,
+      |  CAST(track_id AS BIGINT) AS track_id,
+      |  CAST(i AS BIGINT) AS sample_idx,
+      |  CAST(sz AS BIGINT) AS n_bytes,
+      |  CAST(sz * ((track_id - 1) * 31 + i * 7) + sz * (sz - 1) // 2
+      |       AS BIGINT) AS byte_sum
+      |FROM u""".stripMargin
+
+  /** Slice checksums over [[multimodalFlacFrames]]' layout: payload byte j
+    * of frame i is `i·13 + j` (mod-127 never binds at fixture scale, max
+    * 103), so `byte_sum = sz·i·13 + sz·(sz−1)/2`. */
+  private val multimodalFlacSlice =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(0, 3 + doc_id % 6)) AS i FROM documents),
+      |s AS (SELECT doc_id, i, 4 + (doc_id + i) % 9 AS sz FROM f)
+      |SELECT doc_id AS media_id,
+      |  CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(sz AS BIGINT) AS n_bytes,
+      |  CAST(sz * i * 13 + sz * (sz - 1) // 2 AS BIGINT) AS byte_sum
+      |FROM s""".stripMargin
+
   /** The curation filter over [[multimodalDecodeMp4]]'s closed form: the
     * WHERE recomputes the predicate from the generator arithmetic —
     * width ≥ 96 ⇔ doc_id mod 9 ≥ 2, duration ∈ [3 s, 8 s] ⇔
@@ -2698,6 +2734,8 @@ object Oracles {
     "multimodal_decode_flac" -> multimodalDecodeFlac,
     "multimodal_mp4_samples" -> multimodalMp4Samples,
     "multimodal_flac_frames" -> multimodalFlacFrames,
+    "multimodal_mp4_slice" -> multimodalMp4Slice,
+    "multimodal_flac_slice" -> multimodalFlacSlice,
     // streaming twin: stateless per-micro-batch decode of the same
     // generated containers — the batch closed form IS the oracle
     "es_stream_media_decode" -> multimodalDecodeMp4,

@@ -2023,6 +2023,35 @@ object SparkEntry {
       .toDF("media_id", "frame_idx", "byte_offset", "sample_offset")
   }
 
+  /** MP4 sample SLICING ([[graft.operators.Multimodal.mp4SampleSlices]]):
+    * the walk's ranges actually CUT the sample bytes out of the container;
+    * the row reduces each slice to `(n_bytes, byte_sum)` so the oracle can
+    * recompute both from the encoder's closed-form content (values stay
+    * under the mod, so the sum is arithmetic-series exact). Slice content
+    * itself is byte-for-byte unit-pinned in MediaCodecsSpec. */
+  private def qMultimodalMp4Slice(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    val recs = Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, "video/mp4", Fixtures.syntheticMp4Samples(id), Map.empty))
+    Multimodal.mp4SampleSlices(recs)
+      .map(sl => (sl.media_id, sl.track_id, sl.item_idx, sl.bytes.length.toLong,
+        sl.bytes.foldLeft(0L)((a, b) => a + (b & 0xff))))
+      .toDF("media_id", "track_id", "sample_idx", "n_bytes", "byte_sum")
+  }
+
+  /** FLAC frame SLICING ([[graft.operators.Multimodal.flacFrameSlices]]):
+    * frame payloads cut between header end and the next sync — reduced to
+    * `(n_bytes, byte_sum)` for the oracle like the MP4 row. */
+  private def qMultimodalFlacSlice(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    val recs = Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, "audio/flac", Fixtures.syntheticFlacFrames(id), Map.empty))
+    Multimodal.flacFrameSlices(recs)
+      .map(sl => (sl.media_id, sl.item_idx, sl.bytes.length.toLong,
+        sl.bytes.foldLeft(0L)((a, b) => a + (b & 0xff))))
+      .toDF("media_id", "frame_idx", "n_bytes", "byte_sum")
+  }
+
   /** Container-metadata CURATION filter — the deployment story the
     * decoders exist for: screen a crawled-video corpus by what its
     * containers DECLARE (display dims, duration, has-audio), no sample
@@ -2516,6 +2545,8 @@ object SparkEntry {
     "multimodal_decode_flac" -> (qMultimodalDecodeFlac _),
     "multimodal_mp4_samples" -> (qMultimodalMp4Samples _),
     "multimodal_flac_frames" -> (qMultimodalFlacFrames _),
+    "multimodal_mp4_slice" -> (qMultimodalMp4Slice _),
+    "multimodal_flac_slice" -> (qMultimodalFlacSlice _),
     "multimodal_curate" -> (qMultimodalCurate _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),

@@ -1033,10 +1033,11 @@ object MediaCodecs {
 
   /** One indexed frame: position in the frame sequence, the header's coded
     * frame number, its absolute byte offset, the first sample it carries,
-    * and its block size. */
+    * its block size, and the parsed header's length (the frame's payload
+    * starts at `byteOffset + headerLen`). */
   final case class FlacFrame(frameIdx: Long, frameNumber: Long,
                              byteOffset: Long, sampleOffset: Long,
-                             blockSize: Int)
+                             blockSize: Int, headerLen: Int)
 
   /** Walk the frame headers to a frame index — the audio-side twin of the
     * MP4 sample-table walk: `(frame_idx, byte_offset, sample_offset)` rows
@@ -1096,7 +1097,7 @@ object MediaCodecs {
       headerAt(p) match {
         case Some((num, variable, bs, hdrLen)) =>
           val sampleOffset = if (variable) num else num * bs
-          out += FlacFrame(idx, num, p.toLong, sampleOffset, bs)
+          out += FlacFrame(idx, num, p.toLong, sampleOffset, bs, hdrLen)
           idx += 1
           p += hdrLen
         case None =>

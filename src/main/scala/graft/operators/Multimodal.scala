@@ -22,6 +22,16 @@ final case class DecodedMedia(
     channels: Long, sample_rate: Long, n_samples: Long, duration_ms: Long,
     sum_r: Long, sum_g: Long, sum_b: Long, sum_abs: Long, peak: Long)
 
+/** One sliced media item ([[Multimodal.mp4SampleSlices]] /
+  * [[Multimodal.flacFrameSlices]]): the ACTUAL payload bytes of one MP4
+  * sample or FLAC frame, cut out of the container by the resolved byte
+  * ranges — the deployment operation the table walks exist for. For MP4,
+  * `track_id`/`item_idx`/`ts` are the sample's track, index and dts; for
+  * FLAC, `track_id` is 0 and `ts` is the frame's first sample offset. */
+final case class MediaSlice(
+    media_id: Long, track_id: Long, item_idx: Long, ts: Long,
+    bytes: Array[Byte])
+
 /** Fake-featureized ([[Multimodal.decodeFeatures]]) shape for one media
   * payload — closed-form arithmetic, NOT a decode (that is [[DecodedMedia]]). */
 final case class MediaFeatures(
@@ -680,5 +690,38 @@ object Multimodal {
   def decodeMedia(records: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map(decodeOneMedia))
+  }
+
+  /** Slice every MP4 sample's ACTUAL bytes out of its container
+    * ([[MediaCodecs.mp4SampleTable]]'s resolved ranges) — codec-free frame
+    * extraction, the deployment op the stbl walk exists for. Same 100 TB
+    * shape as [[decodeMedia]]: a stateless flatMap over the corpus scan
+    * (map-only — output bytes are bounded by input bytes, so no skew a
+    * shuffle would fix). */
+  def mp4SampleSlices(records: Dataset[MediaRecord]): Dataset[MediaSlice] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap { r =>
+      val t = MediaCodecs.mp4SampleTable(r.payload)
+      t.samples.map(s => MediaSlice(r.media_id, s.trackId.toLong, s.sampleIdx,
+        s.dts, java.util.Arrays.copyOfRange(r.payload,
+          s.byteOffset.toInt, (s.byteOffset + s.size).toInt)))
+    })
+  }
+
+  /** Slice every FLAC frame's payload bytes (header end to the next frame's
+    * sync) — the audio twin of [[mp4SampleSlices]], same map-only shape. */
+  def flacFrameSlices(records: Dataset[MediaRecord]): Dataset[MediaSlice] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap { r =>
+      val frames = MediaCodecs.flacFrameIndex(r.payload)
+      frames.zipWithIndex.map { case (f, i) =>
+        val start = (f.byteOffset + f.headerLen).toInt
+        val end =
+          if (i + 1 < frames.size) frames(i + 1).byteOffset.toInt
+          else r.payload.length
+        MediaSlice(r.media_id, 0L, f.frameIdx, f.sampleOffset,
+          java.util.Arrays.copyOfRange(r.payload, start, end))
+      }
+    })
   }
 }

@@ -566,6 +566,15 @@ class MediaCodecsSpec extends AnyFunSuite {
       off += 7 + sizes(i)
     }
     assert(off === flac.length.toLong)
+    // payload slicing (header end -> next sync) reproduces the encoder's
+    // closed-form content byte for byte — what Multimodal.flacFrameSlices cuts
+    idx.zipWithIndex.foreach { case (f, i) =>
+      val start = (f.byteOffset + f.headerLen).toInt
+      val end = if (i + 1 < idx.size) idx(i + 1).byteOffset.toInt else flac.length
+      assert(end - start === sizes(i), s"frame $i payload length")
+      (start until end).foreach(p =>
+        assert(flac(p) === ((i * 13 + (p - start)) % 0x7f).toByte))
+    }
     // a corrupted header CRC drops exactly that frame (resync finds the next)
     val bad = flac.clone()
     bad(idx(5).byteOffset.toInt + 2) = 0x10.toByte // blocksize code 1 = 192: CRC now wrong

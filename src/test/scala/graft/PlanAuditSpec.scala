@@ -1203,7 +1203,8 @@ class PlanAuditSpec extends SparkTestBase {
     // plan stopped being a map-only pass
     val sfDir = "/root/testdata/sf0.001"
     Seq("multimodal_decode_mp4", "multimodal_decode_flac", "multimodal_curate",
-      "multimodal_mp4_samples", "multimodal_flac_frames")
+      "multimodal_mp4_samples", "multimodal_flac_frames",
+      "multimodal_mp4_slice", "multimodal_flac_slice")
       .foreach { name =>
         val p = plan(SparkEntry.queries(name)(spark, sfDir))
         assert(!p.contains("Exchange") && !p.contains("Join"), s"$name:\n$p")
@@ -1343,6 +1344,8 @@ class PlanAuditSpec extends SparkTestBase {
     "multimodal_mp4_samples" -> Seq("media_id", "track_id", "sample_idx", "rel_offset", "size", "dts"),
     "es_stream_mp4_samples" -> Seq("media_id", "track_id", "sample_idx", "rel_offset", "size", "dts"),
     "multimodal_flac_frames" -> Seq("media_id", "frame_idx", "byte_offset", "sample_offset"),
+    "multimodal_mp4_slice" -> Seq("media_id", "track_id", "sample_idx", "n_bytes", "byte_sum"),
+    "multimodal_flac_slice" -> Seq("media_id", "frame_idx", "n_bytes", "byte_sum"),
     "multimodal_curate" -> Seq("media_id", "width", "height", "duration_ms", "audio_rate", "n_samples"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
     "multimodal_dedup" -> Seq("i", "j", "n_shared"),
