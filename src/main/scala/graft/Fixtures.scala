@@ -2379,9 +2379,14 @@ object Fixtures {
     import graft.operators.MediaCodecs.{Mp4SampleSpec, Mp4Track, encodeMp4Samples}
     val n1 = (3 + id % 6).toInt
     val sizes1 = (0 until n1).map(i => (1 + ((id + i) % 7)).toInt)
+    // keyframe cadence 2 + id mod 3 (stss), composition offsets 10·(i mod 3)
+    // (ctts) — pts = 100·i + that; the audio track keeps the spec defaults
+    // (no stss = all sync, no ctts = pts = dts)
     val video = Mp4SampleSpec(Mp4Track("vide", "avc1", 64, 48,
       mediaTimescale = 600L, mediaDuration = 100L * n1, sampleCount = n1.toLong),
-      sizes1, samplesPerChunk = 2)
+      sizes1, samplesPerChunk = 2,
+      syncEvery = (2 + id % 3).toInt,
+      cttsOffsets = (0 until n1).map(i => 10 * (i % 3)))
     val specs =
       if (id % 2 == 1) {
         val n2 = (2 + id % 4).toInt

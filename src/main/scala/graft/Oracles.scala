@@ -2302,6 +2302,31 @@ object Oracles {
       |  CAST(4096 * i AS BIGINT) AS sample_offset
       |FROM s""".stripMargin
 
+  /** Keyframe/pts closed form over [[multimodalMp4Samples]]' fixture: the
+    * video track's stss marks every `2 + id mod 3`-th sample (1-based, so
+    * 0-based idx i is sync iff i mod k = 0) and its ctts offsets are
+    * `10·(i mod 3)` (pts = 100·i + that); the audio track has neither box,
+    * so every sample is sync and pts = dts = 1024·i. */
+  private val multimodalMp4Keyframes =
+    """WITH v AS (
+      |  SELECT doc_id, 1 AS track_id, unnest(range(0, 3 + doc_id % 6)) AS i
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id, 2 AS track_id, unnest(range(0, 2 + doc_id % 4)) AS i
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |u AS (
+      |  SELECT doc_id, track_id, i, 100 * i + 10 * (i % 3) AS pts,
+      |         CASE WHEN i % (2 + doc_id % 3) = 0 THEN 1 ELSE 0 END AS is_sync
+      |  FROM v
+      |  UNION ALL
+      |  SELECT doc_id, track_id, i, 1024 * i AS pts, 1 AS is_sync FROM a)
+      |SELECT doc_id AS media_id,
+      |  CAST(track_id AS BIGINT) AS track_id,
+      |  CAST(i AS BIGINT) AS sample_idx,
+      |  CAST(pts AS BIGINT) AS pts,
+      |  CAST(is_sync AS BIGINT) AS is_sync
+      |FROM u""".stripMargin
+
   /** Slice checksums over [[multimodalMp4Samples]]' layout: sample content
     * byte j of (track ordinal t, sample i) is `t·31 + i·7 + j` — the
     * generator's mod-251 never binds at fixture scale (max 86) — so
@@ -2734,6 +2759,7 @@ object Oracles {
     "multimodal_decode_flac" -> multimodalDecodeFlac,
     "multimodal_mp4_samples" -> multimodalMp4Samples,
     "multimodal_flac_frames" -> multimodalFlacFrames,
+    "multimodal_mp4_keyframes" -> multimodalMp4Keyframes,
     "multimodal_mp4_slice" -> multimodalMp4Slice,
     "multimodal_flac_slice" -> multimodalFlacSlice,
     // streaming twin: stateless per-micro-batch decode of the same

@@ -2023,6 +2023,23 @@ object SparkEntry {
       .toDF("media_id", "frame_idx", "byte_offset", "sample_offset")
   }
 
+  /** MP4 keyframe/pts table ([[graft.operators.MediaCodecs.mp4SampleTable]]
+    * with stss + ctts decoded): per sample, presentation timestamp
+    * (pts = dts + the ctts composition offset) and sync-sample flag (stss;
+    * a track without stss is all-sync per spec) — what a video curation
+    * pipeline samples KEYFRAMES by. `is_sync` rides as 0/1 BIGINT so the
+    * oracle compares integers. */
+  private def qMultimodalMp4Keyframes(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        MediaCodecs.mp4SampleTable(Fixtures.syntheticMp4Samples(id)).samples
+          .map(sm => (id, sm.trackId.toLong, sm.sampleIdx, sm.pts,
+            if (sm.isSync) 1L else 0L))
+      })
+      .toDF("media_id", "track_id", "sample_idx", "pts", "is_sync")
+  }
+
   /** MP4 sample SLICING ([[graft.operators.Multimodal.mp4SampleSlices]]):
     * the walk's ranges actually CUT the sample bytes out of the container;
     * the row reduces each slice to `(n_bytes, byte_sum)` so the oracle can
@@ -2545,6 +2562,7 @@ object SparkEntry {
     "multimodal_decode_flac" -> (qMultimodalDecodeFlac _),
     "multimodal_mp4_samples" -> (qMultimodalMp4Samples _),
     "multimodal_flac_frames" -> (qMultimodalFlacFrames _),
+    "multimodal_mp4_keyframes" -> (qMultimodalMp4Keyframes _),
     "multimodal_mp4_slice" -> (qMultimodalMp4Slice _),
     "multimodal_flac_slice" -> (qMultimodalFlacSlice _),
     "multimodal_curate" -> (qMultimodalCurate _),

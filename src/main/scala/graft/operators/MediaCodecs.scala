@@ -424,9 +424,16 @@ object MediaCodecs {
   /** One track's REAL sample layout for [[encodeMp4Samples]]: the stsz
     * per-sample size table, uniform chunking (`samplesPerChunk` per chunk,
     * the last chunk short). `track.sampleCount` must equal
-    * `sampleSizes.length`. */
+    * `sampleSizes.length`. `syncEvery` > 1 emits an stss box marking every
+    * `syncEvery`-th sample (1-based 1, 1+k, ...) as a sync sample /
+    * keyframe (1 = no stss box = ALL samples sync, the spec default);
+    * `cttsOffsets` (per-sample, same length as sizes) emits a ctts
+    * composition-offset table, run-length-compressed, so pts = dts +
+    * offset. */
   final case class Mp4SampleSpec(track: Mp4Track, sampleSizes: Seq[Int],
-                                 samplesPerChunk: Int)
+                                 samplesPerChunk: Int,
+                                 syncEvery: Int = 1,
+                                 cttsOffsets: Seq[Int] = Nil)
 
   /** Deterministic content byte `j` of sample `i` of track ordinal `t` —
     * what [[encodeMp4Samples]] writes and what a sample-range test reads
@@ -452,6 +459,10 @@ object MediaCodecs {
         s"track.sampleCount ${sp.track.sampleCount} != sizes ${sp.sampleSizes.length}")
       require(sp.samplesPerChunk >= 1 && sp.sampleSizes.forall(_ >= 0))
       require(sp.sampleSizes.nonEmpty, "a sample-table track needs samples")
+      require(sp.syncEvery >= 1, s"syncEvery ${sp.syncEvery}")
+      require(sp.cttsOffsets.isEmpty ||
+        sp.cttsOffsets.length == sp.sampleSizes.length,
+        s"cttsOffsets ${sp.cttsOffsets.length} != sizes ${sp.sampleSizes.length}")
     }
     def chunksOf(sp: Mp4SampleSpec): Seq[Seq[Int]] =
       sp.sampleSizes.grouped(sp.samplesPerChunk).toSeq
@@ -496,7 +507,38 @@ object MediaCodecs {
               }
               b.array()
             })
-          val stbl = mp4Box("stbl", stsdBox(t.codec), stts, stsz, stsc, co)
+          // stss: sync-sample numbers (1-based), only when not all-sync —
+          // a track WITHOUT stss is all-keyframe per spec
+          val stss =
+            if (sp.syncEvery <= 1) Array.emptyByteArray
+            else {
+              val syncs = (1 to n by sp.syncEvery).toSeq
+              mp4Box("stss", fullBoxHeader(0, 0), {
+                val b = ByteBuffer.allocate(4 + 4 * syncs.size)
+                b.putInt(syncs.size); syncs.foreach(b.putInt); b.array()
+              })
+            }
+          // ctts: composition offsets (pts = dts + offset), run-length
+          // compressed like a real muxer writes it
+          val ctts =
+            if (sp.cttsOffsets.isEmpty) Array.emptyByteArray
+            else {
+              val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+              sp.cttsOffsets.foreach { o =>
+                if (runs.nonEmpty && runs.last._2 == o)
+                  runs(runs.size - 1) = (runs.last._1 + 1, o)
+                else runs += ((1, o))
+              }
+              mp4Box("ctts", fullBoxHeader(0, 0), {
+                val b = ByteBuffer.allocate(4 + 8 * runs.size)
+                b.putInt(runs.size)
+                runs.foreach { case (c, o) => b.putInt(c).putInt(o) }
+                b.array()
+              })
+            }
+          val stbl = mp4Box("stbl",
+            (Seq(stsdBox(t.codec), stts, stsz, stsc, co, stss, ctts)
+              .filter(_.nonEmpty)): _*)
           trakBox(t, i + 1, duration, stbl)
       }
       mp4Box("moov", (mvhdBox(timescale, duration, specs.size) +: traks): _*)
@@ -673,10 +715,14 @@ object MediaCodecs {
       nTracks, width, height, codecs.toSeq, nSamples, audioRate)
   }
 
-  /** One resolved sample: absolute byte range in the file plus its decode
-    * timestamp in media-timescale units. */
+  /** One resolved sample: absolute byte range in the file, decode and
+    * presentation timestamps in media-timescale units (pts = dts + the
+    * ctts composition offset; equal when the track has no ctts), and
+    * whether it is a sync sample / keyframe (stss; a track without stss
+    * is all-sync per spec). */
   final case class Mp4Sample(trackId: Int, sampleIdx: Long, byteOffset: Long,
-                             size: Long, dts: Long)
+                             size: Long, dts: Long, pts: Long,
+                             isSync: Boolean)
 
   /** The resolved sample table plus the mdat payload's absolute start
     * (callers that want container-relative offsets subtract it). */
@@ -714,6 +760,8 @@ object MediaCodecs {
             var sttsRuns: Seq[(Long, Long)] = Seq.empty
             var stscRuns: Seq[(Long, Long)] = Seq.empty // (first_chunk 1-based, samples/chunk)
             var chunkOffs: IndexedSeq[Long] = IndexedSeq.empty
+            var syncSet: Option[Set[Long]] = None // 1-based sample numbers; None = all sync
+            var cttsRuns: Seq[(Long, Long)] = Seq.empty // (count, offset)
             walkBoxes(bytes, trakS, trakE) {
               case ("tkhd", s, e) =>
                 val v = bytes(s) & 0xff
@@ -775,6 +823,21 @@ object MediaCodecs {
                               val o = be64(bytes, s + 8 + 8 * i)
                               require(o >= 0, s"negative co64 offset at $i"); o
                             }
+                          case ("stss", s, e) =>
+                            require(e - s >= 8, "stss too short")
+                            val n = be32(bytes, s + 4)
+                            require(e - s >= 8 + 4 * n, s"stss table overruns: $n entries")
+                            syncSet = Some((0 until n.toInt)
+                              .map(i => be32(bytes, s + 8 + 4 * i)).toSet)
+                          case ("ctts", s, e) =>
+                            require(e - s >= 8, "ctts too short")
+                            val n = be32(bytes, s + 4)
+                            require(e - s >= 8 + 8 * n, s"ctts table overruns: $n entries")
+                            // offsets are signed in v1, unsigned in v0; the
+                            // signed read covers both at sane magnitudes
+                            cttsRuns = (0 until n.toInt).map(i =>
+                              (be32(bytes, s + 8 + 8 * i),
+                                ByteBuffer.wrap(bytes, s + 12 + 8 * i, 4).getInt.toLong))
                           case _ => ()
                         }
                       case _ => ()
@@ -798,6 +861,20 @@ object MediaCodecs {
               }
               require(di == nSamples,
                 s"stts covers $di samples, stsz declares $nSamples (track $trackId)")
+              // pts = dts + ctts composition offset (runs expand per sample;
+              // a track without ctts presents in decode order)
+              val pts = dts.clone()
+              if (cttsRuns.nonEmpty) {
+                var ci = 0
+                cttsRuns.foreach { case (count, offset) =>
+                  var c = 0L
+                  while (c < count && ci < nSamples) {
+                    pts(ci) = dts(ci) + offset; ci += 1; c += 1
+                  }
+                }
+                require(ci == nSamples,
+                  s"ctts covers $ci samples, stsz declares $nSamples (track $trackId)")
+              }
               // expand chunks: stsc run k applies from its first_chunk up to
               // the next run's (exclusive)
               var si = 0
@@ -816,7 +893,8 @@ object MediaCodecs {
                   require(off >= 0 && sz >= 0 && off + sz <= bytes.length,
                     s"track $trackId sample $si range [$off, ${off + sz}) " +
                       s"outside the ${bytes.length}-byte file")
-                  out += Mp4Sample(trackId, si.toLong, off, sz, dts(si))
+                  out += Mp4Sample(trackId, si.toLong, off, sz, dts(si), pts(si),
+                    isSync = syncSet.forall(_.contains(si + 1L)))
                   off += sz; si += 1; j += 1
                 }
                 chunk += 1

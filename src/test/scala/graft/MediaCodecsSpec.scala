@@ -497,6 +497,9 @@ class MediaCodecsSpec extends AnyFunSuite {
       val a = t.samples.filter(_.trackId == 2)
       assert(a.map(_.size) === Seq(2L, 6L, 2L))
       assert(a.map(_.dts) === Seq(0L, 1024L, 2048L))
+      // spec defaults: no stss = all sync, no ctts = pts = dts
+      assert(t.samples.forall(_.isSync))
+      assert(t.samples.forall(s => s.pts == s.dts))
       // track-contiguous layout: video then audio, contiguous from mdatStart
       assert(t.samples.map(_.byteOffset).min === t.mdatStart)
       assert(v.head.byteOffset === t.mdatStart)
@@ -511,6 +514,31 @@ class MediaCodecsSpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("MP4 sample table: stss keyframes and ctts composition offsets decode per spec") {
+    // stss every 3rd sample (1-based 1, 4, 7); ctts offsets with real runs
+    // (7,7,7,0,0,30,30) so the run-length compression round-trips
+    val offs = Seq(7, 7, 7, 0, 0, 30, 30)
+    val spec = MediaCodecs.Mp4SampleSpec(
+      MediaCodecs.Mp4Track("vide", "avc1", 64, 48, 600L, 700L, 7L),
+      Seq(2, 3, 2, 4, 1, 2, 3), samplesPerChunk = 3,
+      syncEvery = 3, cttsOffsets = offs)
+    val mp4 = MediaCodecs.encodeMp4Samples("isom", 600L, 700L, Seq(spec))
+    // the ctts run table really is compressed (3 runs, not 7 entries)
+    val cttsAt = mp4.indexOfSlice("ctts".getBytes("US-ASCII"))
+    assert(cttsAt > 0)
+    assert(ByteBuffer.wrap(mp4, cttsAt + 8, 4).getInt === 3)
+    val t = MediaCodecs.mp4SampleTable(mp4)
+    assert(t.samples.map(_.isSync) ===
+      Seq(true, false, false, true, false, false, true))
+    assert(t.samples.map(_.dts) === (0 until 7).map(_ * 100L))
+    assert(t.samples.map(s => s.pts - s.dts) === offs.map(_.toLong))
+    // forged ctts covering fewer samples than stsz is loud
+    val bad = mp4.clone()
+    ByteBuffer.wrap(bad, cttsAt + 8 + 4, 4).putInt(1) // first run count 3 -> 1
+    val e = intercept[IllegalArgumentException](MediaCodecs.mp4SampleTable(bad))
+    assert(e.getMessage.contains("ctts covers"), e.getMessage)
   }
 
   test("MP4 sample table: forged stsc/stco/stsz tables fail loudly, never read wild") {

@@ -1204,7 +1204,8 @@ class PlanAuditSpec extends SparkTestBase {
     val sfDir = "/root/testdata/sf0.001"
     Seq("multimodal_decode_mp4", "multimodal_decode_flac", "multimodal_curate",
       "multimodal_mp4_samples", "multimodal_flac_frames",
-      "multimodal_mp4_slice", "multimodal_flac_slice")
+      "multimodal_mp4_slice", "multimodal_flac_slice",
+      "multimodal_mp4_keyframes")
       .foreach { name =>
         val p = plan(SparkEntry.queries(name)(spark, sfDir))
         assert(!p.contains("Exchange") && !p.contains("Join"), s"$name:\n$p")
@@ -1345,6 +1346,7 @@ class PlanAuditSpec extends SparkTestBase {
     "es_stream_mp4_samples" -> Seq("media_id", "track_id", "sample_idx", "rel_offset", "size", "dts"),
     "multimodal_flac_frames" -> Seq("media_id", "frame_idx", "byte_offset", "sample_offset"),
     "multimodal_mp4_slice" -> Seq("media_id", "track_id", "sample_idx", "n_bytes", "byte_sum"),
+    "multimodal_mp4_keyframes" -> Seq("media_id", "track_id", "sample_idx", "pts", "is_sync"),
     "multimodal_flac_slice" -> Seq("media_id", "frame_idx", "n_bytes", "byte_sum"),
     "multimodal_curate" -> Seq("media_id", "width", "height", "duration_ms", "audio_rate", "n_samples"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
