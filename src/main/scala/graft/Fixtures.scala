@@ -2415,6 +2415,22 @@ object Fixtures {
       frameSizes = (0 until n).map(i => (4 + ((id + i) % 9)).toInt))
   }
 
+  /** [[syntheticFlacFrames]]' sibling WITH a SEEKTABLE metadata block:
+    * `4 + id mod 5` frames sized `5 + (id + i) mod 8`, one seek point per
+    * 2 frames — point for frame i carries sample `4096·i` and the
+    * closed-form byte offset from the first frame (`6·i + prefix-sum`,
+    * headers 6 bytes while frame numbers stay under 128). */
+  def syntheticFlacSeekable(id: Long): Array[Byte] = {
+    val n = (4 + id % 5).toInt
+    graft.operators.MediaCodecs.encodeFlacFrames(
+      sampleRate = (8000 + 4000 * (id % 3)).toInt,
+      channels = (1 + id % 2).toInt,
+      bitsPerSample = 16,
+      blockSize = 4096,
+      frameSizes = (0 until n).map(i => (5 + ((id + i) % 8)).toInt),
+      seekEvery = 2)
+  }
+
   /** Batch-admin fixture: a fresh catalog driven through a mixed
     * success/already-exists create batch, a mixed delete batch, and a batch
     * describe — the captured responses land in `<dir>/responses` parquet so

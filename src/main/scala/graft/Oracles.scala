@@ -2363,6 +2363,25 @@ object Oracles {
       |  CAST(sz * i * 13 + sz * (sz - 1) // 2 AS BIGINT) AS byte_sum
       |FROM s""".stripMargin
 
+  /** [[graft.Fixtures.syntheticFlacSeekable]]' closed form: one point per
+    * 2 frames; point for frame i carries sample `4096·i` and byte offset
+    * `6·i + prefix-sum(sizes)` from the first frame (6-byte headers while
+    * frame numbers stay under 128), frame_samples = the 4096 block size. */
+  private val multimodalFlacSeektable =
+    """WITH f AS (
+      |  SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS i FROM documents),
+      |s AS (SELECT doc_id, i, 5 + (doc_id + i) % 8 AS sz FROM f),
+      |c AS (SELECT doc_id, i,
+      |        6 * i + SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+      |                              ROWS UNBOUNDED PRECEDING) - sz AS off
+      |      FROM s)
+      |SELECT doc_id AS media_id,
+      |  CAST(i // 2 AS BIGINT) AS point_idx,
+      |  CAST(4096 * i AS BIGINT) AS sample_number,
+      |  CAST(off AS BIGINT) AS byte_offset,
+      |  CAST(4096 AS BIGINT) AS frame_samples
+      |FROM c WHERE i % 2 = 0""".stripMargin
+
   /** The curation filter over [[multimodalDecodeMp4]]'s closed form: the
     * WHERE recomputes the predicate from the generator arithmetic —
     * width ≥ 96 ⇔ doc_id mod 9 ≥ 2, duration ∈ [3 s, 8 s] ⇔
@@ -2762,6 +2781,7 @@ object Oracles {
     "multimodal_mp4_keyframes" -> multimodalMp4Keyframes,
     "multimodal_mp4_slice" -> multimodalMp4Slice,
     "multimodal_flac_slice" -> multimodalFlacSlice,
+    "multimodal_flac_seektable" -> multimodalFlacSeektable,
     // streaming twin: stateless per-micro-batch decode of the same
     // generated containers — the batch closed form IS the oracle
     "es_stream_media_decode" -> multimodalDecodeMp4,

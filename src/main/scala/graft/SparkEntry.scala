@@ -2069,6 +2069,24 @@ object SparkEntry {
       .toDF("media_id", "frame_idx", "n_bytes", "byte_sum")
   }
 
+  /** FLAC seek table ([[graft.operators.MediaCodecs.decodeFlacSeekTable]]):
+    * the SEEKTABLE metadata block's points — target sample number, byte
+    * offset from the first frame, frame sample count — the audio seek
+    * index a player/curator jumps by. Unit-pinned to land exactly on
+    * [[graft.operators.MediaCodecs.flacFrameIndex]]'s frames; the oracle
+    * recomputes the closed forms ([[Fixtures.syntheticFlacSeekable]]). */
+  private def qMultimodalFlacSeektable(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        MediaCodecs.decodeFlacSeekTable(Fixtures.syntheticFlacSeekable(id))
+          .zipWithIndex.map { case (pt, i) =>
+            (id, i.toLong, pt.sampleNumber, pt.byteOffset, pt.frameSamples.toLong)
+          }
+      })
+      .toDF("media_id", "point_idx", "sample_number", "byte_offset", "frame_samples")
+  }
+
   /** Container-metadata CURATION filter — the deployment story the
     * decoders exist for: screen a crawled-video corpus by what its
     * containers DECLARE (display dims, duration, has-audio), no sample
@@ -2565,6 +2583,7 @@ object SparkEntry {
     "multimodal_mp4_keyframes" -> (qMultimodalMp4Keyframes _),
     "multimodal_mp4_slice" -> (qMultimodalMp4Slice _),
     "multimodal_flac_slice" -> (qMultimodalFlacSlice _),
+    "multimodal_flac_seektable" -> (qMultimodalFlacSeektable _),
     "multimodal_curate" -> (qMultimodalCurate _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),

@@ -1075,16 +1075,20 @@ object MediaCodecs {
     * content, never 0xFF, so resync scans are unambiguous). Audio samples
     * are not encoded; the frame INDEX is the decode target. */
   def encodeFlacFrames(sampleRate: Int, channels: Int, bitsPerSample: Int,
-                       blockSize: Int, frameSizes: Seq[Int]): Array[Byte] = {
+                       blockSize: Int, frameSizes: Seq[Int],
+                       seekEvery: Int = 0): Array[Byte] = {
     require(frameSizes.forall(_ >= 0))
     val totalSamples = blockSize.toLong * frameSizes.length
     require(sampleRate > 0 && sampleRate < (1 << 20))
     require(channels >= 1 && channels <= 8)
     require(bitsPerSample >= 4 && bitsPerSample <= 32)
+    require(seekEvery >= 0)
     val bsCode = flacBlocksizeCode(blockSize)
+    val withSeek = seekEvery > 0 && frameSizes.nonEmpty
     val head = ByteBuffer.allocate(4 + 4 + 34)
     head.put(asciiBytes("fLaC"))
-    head.put(0x80.toByte)                  // LAST | type 0 = STREAMINFO
+    // STREAMINFO is last only when no SEEKTABLE follows
+    head.put((if (withSeek) 0x00 else 0x80).toByte) // [last] | type 0
     head.put(0.toByte).put(0.toByte).put(34.toByte)
     head.putShort(blockSize.toShort).putShort(blockSize.toShort)
     head.put(new Array[Byte](6))
@@ -1093,6 +1097,29 @@ object MediaCodecs {
     head.put(new Array[Byte](16))
     val out = new java.io.ByteArrayOutputStream()
     out.write(head.array(), 0, head.array().length)
+    if (withSeek) {
+      // SEEKTABLE (type 3, marked last): one 18-byte point per every
+      // seekEvery-th frame — target sample number, byte offset FROM THE
+      // FIRST FRAME, and the frame's sample count (spec layout)
+      val points = frameSizes.indices.by(seekEvery)
+      val st = ByteBuffer.allocate(4 + 18 * points.size)
+      st.put(0x83.toByte)                  // LAST | type 3 = SEEKTABLE
+      val len = 18 * points.size
+      st.put(((len >> 16) & 0xff).toByte).put(((len >> 8) & 0xff).toByte)
+        .put((len & 0xff).toByte)
+      var byteOff = 0L
+      var next = 0
+      frameSizes.zipWithIndex.foreach { case (sz, i) =>
+        if (next < points.size && i == points(next)) {
+          st.putLong(blockSize.toLong * i)
+          st.putLong(byteOff)
+          st.putShort(blockSize.toShort)
+          next += 1
+        }
+        byteOff += (4 + flacUtf8Encode(i.toLong).length + 1) + sz
+      }
+      out.write(st.array(), 0, st.array().length)
+    }
     frameSizes.zipWithIndex.foreach { case (sz, i) =>
       val num = flacUtf8Encode(i.toLong)
       val hdr = new Array[Byte](4 + num.length + 1)
@@ -1107,6 +1134,45 @@ object MediaCodecs {
       while (j < sz) { out.write((i * 13 + j) % 0x7f); j += 1 }
     }
     out.toByteArray
+  }
+
+  /** One SEEKTABLE point: target sample number, byte offset of its frame
+    * header FROM THE FIRST FRAME (the spec's convention — add the
+    * metadata-blocks length for an absolute position), and the frame's
+    * sample count. Placeholder points (sample 0xFFFFFFFFFFFFFFFF) are
+    * skipped. */
+  final case class FlacSeekPoint(sampleNumber: Long, byteOffset: Long,
+                                 frameSamples: Int)
+
+  /** Decode the SEEKTABLE metadata block (type 3) — the audio seek index:
+    * walk the metadata blocks like [[decodeFlac]], parse 18-byte points.
+    * Returns empty when the file carries no SEEKTABLE. A seek consumer
+    * cross-checks against [[flacFrameIndex]]: every point must land
+    * exactly on an indexed frame (unit-pinned). */
+  def decodeFlacSeekTable(bytes: Array[Byte]): Seq[FlacSeekPoint] = {
+    decodeFlac(bytes) // validates magic + block walk bounds
+    val out = scala.collection.mutable.ArrayBuffer[FlacSeekPoint]()
+    var p = 4
+    var last = false
+    while (!last) {
+      val hdr = bytes(p) & 0xff
+      last = (hdr & 0x80) != 0
+      val blockType = hdr & 0x7f
+      val len = ((bytes(p + 1) & 0xff) << 16) | ((bytes(p + 2) & 0xff) << 8) |
+        (bytes(p + 3) & 0xff)
+      if (blockType == 3) {
+        require(len % 18 == 0, s"SEEKTABLE length $len not a multiple of 18")
+        (0 until len / 18).foreach { i =>
+          val at = p + 4 + 18 * i
+          val sample = be64(bytes, at)
+          if (sample != -1L) // 0xFFF...F = placeholder point
+            out += FlacSeekPoint(sample, be64(bytes, at + 8),
+              (((bytes(at + 16) & 0xff) << 8) | (bytes(at + 17) & 0xff)))
+        }
+      }
+      p += 4 + len
+    }
+    out.toSeq
   }
 
   /** One indexed frame: position in the frame sequence, the header's coded

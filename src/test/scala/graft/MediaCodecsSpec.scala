@@ -621,6 +621,40 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC seek table: points land exactly on indexed frames; frames-only files have none") {
+    (0L to 25L).foreach { id =>
+      val flac = Fixtures.syntheticFlacSeekable(id)
+      val points = MediaCodecs.decodeFlacSeekTable(flac)
+      val idx = MediaCodecs.flacFrameIndex(flac)
+      val n = (4 + id % 5).toInt
+      assert(idx.size === n, s"id $id")
+      assert(points.size === (n + 1) / 2, s"id $id")
+      // spec convention: point byte offsets are FROM THE FIRST FRAME; the
+      // first frame's absolute offset is the metadata-blocks length
+      val firstFrame = idx.head.byteOffset
+      assert(firstFrame === 42L + 4L + 18L * points.size, s"id $id")
+      points.zipWithIndex.foreach { case (pt, k) =>
+        val frame = idx(2 * k)
+        assert(pt.sampleNumber === frame.sampleOffset, s"id $id point $k")
+        assert(firstFrame + pt.byteOffset === frame.byteOffset, s"id $id point $k")
+        assert(pt.frameSamples === frame.blockSize, s"id $id point $k")
+      }
+    }
+    // a file without a SEEKTABLE block decodes to an empty seq, loudly not wrongly
+    assert(MediaCodecs.decodeFlacSeekTable(Fixtures.syntheticFlacFrames(3L)).isEmpty)
+    // placeholder points (sample 0xFF..F) are skipped per spec
+    val flac = Fixtures.syntheticFlacSeekable(0L)
+    val forged = flac.clone()
+    // first point's sample number -> placeholder
+    java.nio.ByteBuffer.wrap(forged, 42 + 4, 8).putLong(-1L)
+    assert(MediaCodecs.decodeFlacSeekTable(forged).size ===
+      MediaCodecs.decodeFlacSeekTable(flac).size - 1)
+    // corrupted SEEKTABLE length (not a multiple of 18) is loud
+    val bad = flac.clone()
+    bad(42 + 3) = (bad(42 + 3) + 1).toByte
+    intercept[IllegalArgumentException](MediaCodecs.decodeFlacSeekTable(bad))
+  }
+
   test("FLAC frame index: fixture closed form across ids") {
     (0L to 30L).foreach { id =>
       val idx = MediaCodecs.flacFrameIndex(Fixtures.syntheticFlacFrames(id))
