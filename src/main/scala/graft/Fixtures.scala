@@ -2431,6 +2431,28 @@ object Fixtures {
       seekEvery = 2)
   }
 
+  /** FLAC with REAL PCM for doc `id` ([[graft.operators.MediaCodecs
+    * .encodeFlacPcm]]): `2 + id mod 3` frames of 256 samples,
+    * `1 + id mod 2` channels, 16-bit. Sample `i` of (frame f, channel c)
+    * is the closed form `(id·7 + f·131 + c·17 + i·29) mod 121`, except
+    * when `(id + f + c) mod 4 = 0` the whole channel holds the constant
+    * `id mod 121` — so both VERBATIM and CONSTANT subframes are exercised
+    * and the oracle recomputes every sample. */
+  def syntheticFlacPcm(id: Long): Array[Byte] = {
+    val nFrames = (2 + id % 3).toInt
+    val nCh = (1 + id % 2).toInt
+    val frames = (0 until nFrames).map { f =>
+      (0 until nCh).map { c =>
+        if ((id + f + c) % 4 == 0) Array.fill(256)((id % 121).toInt)
+        else Array.tabulate(256)(i =>
+          ((id * 7 + f * 131 + c * 17 + i * 29) % 121).toInt)
+      }
+    }
+    graft.operators.MediaCodecs.encodeFlacPcm(
+      sampleRate = (8000 + 4000 * (id % 3)).toInt,
+      channels = nCh, bitsPerSample = 16, blockSize = 256, samples = frames)
+  }
+
   /** Batch-admin fixture: a fresh catalog driven through a mixed
     * success/already-exists create batch, a mixed delete batch, and a batch
     * describe — the captured responses land in `<dir>/responses` parquet so

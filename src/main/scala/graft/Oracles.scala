@@ -2382,6 +2382,31 @@ object Oracles {
       |  CAST(4096 AS BIGINT) AS frame_samples
       |FROM c WHERE i % 2 = 0""".stripMargin
 
+  /** [[graft.Fixtures.syntheticFlacPcm]]' closed form: the bit-unpacked
+    * samples must equal the generator's — sample `i` of (frame f,
+    * channel c) is `(id·7 + f·131 + c·17 + i·29) mod 121`, or the
+    * constant `id mod 121` when `(id+f+c) mod 4 = 0` (the CONSTANT
+    * subframe case). The oracle regenerates all 256 samples per channel
+    * and aggregates — REAL sample decode checked sample-by-sample in
+    * aggregate. */
+  private val multimodalFlacPcm =
+    """WITH fr AS (
+      |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS f FROM documents),
+      |ch AS (SELECT doc_id, f, unnest(range(0, 1 + doc_id % 2)) AS c FROM fr),
+      |sm AS (SELECT doc_id, f, c, unnest(range(0, 256)) AS i FROM ch),
+      |v AS (SELECT doc_id, f, c, i,
+      |        CASE WHEN (doc_id + f + c) % 4 = 0 THEN doc_id % 121
+      |             ELSE (doc_id * 7 + f * 131 + c * 17 + i * 29) % 121
+      |        END AS s
+      |      FROM sm)
+      |SELECT doc_id AS media_id,
+      |  CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(c AS BIGINT) AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(SUM(s) AS BIGINT) AS sum_pcm,
+      |  CAST(MAX(s) AS BIGINT) AS peak
+      |FROM v GROUP BY doc_id, f, c""".stripMargin
+
   /** The curation filter over [[multimodalDecodeMp4]]'s closed form: the
     * WHERE recomputes the predicate from the generator arithmetic —
     * width ≥ 96 ⇔ doc_id mod 9 ≥ 2, duration ∈ [3 s, 8 s] ⇔
@@ -2782,6 +2807,7 @@ object Oracles {
     "multimodal_mp4_slice" -> multimodalMp4Slice,
     "multimodal_flac_slice" -> multimodalFlacSlice,
     "multimodal_flac_seektable" -> multimodalFlacSeektable,
+    "multimodal_flac_pcm" -> multimodalFlacPcm,
     // streaming twin: stateless per-micro-batch decode of the same
     // generated containers — the batch closed form IS the oracle
     "es_stream_media_decode" -> multimodalDecodeMp4,

@@ -2087,6 +2087,26 @@ object SparkEntry {
       .toDF("media_id", "point_idx", "sample_number", "byte_offset", "frame_samples")
   }
 
+  /** REAL FLAC PCM decode ([[graft.operators.MediaCodecs.decodeFlacPcm]]):
+    * genuine frames with spec-true CONSTANT/VERBATIM subframes are
+    * bit-unpacked to actual samples (frame CRC-16 validated), reduced per
+    * (frame, channel) to `(n_samples, sum_pcm, peak)` the oracle
+    * recomputes from the generator's closed form — sample-level decode,
+    * not container metadata. FIXED/LPC stays the loud codec boundary. */
+  private def qMultimodalFlacPcm(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        MediaCodecs.decodeFlacPcm(Fixtures.syntheticFlacPcm(id)).flatMap { fr =>
+          fr.channels.zipWithIndex.map { case (pcm, c) =>
+            (id, fr.frameIdx, c.toLong, pcm.length.toLong,
+              pcm.foldLeft(0L)(_ + _), pcm.max.toLong)
+          }
+        }
+      })
+      .toDF("media_id", "frame_idx", "channel", "n_samples", "sum_pcm", "peak")
+  }
+
   /** Container-metadata CURATION filter — the deployment story the
     * decoders exist for: screen a crawled-video corpus by what its
     * containers DECLARE (display dims, duration, has-audio), no sample
@@ -2584,6 +2604,7 @@ object SparkEntry {
     "multimodal_mp4_slice" -> (qMultimodalMp4Slice _),
     "multimodal_flac_slice" -> (qMultimodalFlacSlice _),
     "multimodal_flac_seektable" -> (qMultimodalFlacSeektable _),
+    "multimodal_flac_pcm" -> (qMultimodalFlacPcm _),
     "multimodal_curate" -> (qMultimodalCurate _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_dedup" -> (qMultimodalDedup _),

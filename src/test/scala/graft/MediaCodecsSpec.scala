@@ -655,6 +655,88 @@ class MediaCodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodecs.decodeFlacSeekTable(bad))
   }
 
+  test("FLAC PCM: CONSTANT/VERBATIM subframes round-trip bit-exactly, CRC-16 enforced") {
+    // 2 channels, NEGATIVE samples included (sign extension), one channel
+    // constant (CONSTANT subframe) — exact PCM equality
+    val f0 = Seq(
+      Array.tabulate(256)(i => ((i * 37) % 401) - 200), // verbatim, signed
+      Array.fill(256)(-7))                              // constant
+    val f1 = Seq(
+      Array.tabulate(256)(i => ((i * 91) % 129) - 64),
+      Array.tabulate(256)(i => if (i % 2 == 0) 1000 else -1000))
+    val flac = MediaCodecs.encodeFlacPcm(16000, 2, 16, 256, Seq(f0, f1))
+    val frames = MediaCodecs.decodeFlacPcm(flac)
+    assert(frames.size === 2)
+    assert(frames(0).sampleOffset === 0L && frames(1).sampleOffset === 256L)
+    frames.zip(Seq(f0, f1)).foreach { case (got, want) =>
+      got.channels.zip(want).foreach { case (g, w) => assert(g.toSeq === w.toSeq) }
+    }
+    // STREAMINFO agrees with the frame walk
+    val si = MediaCodecs.decodeFlac(flac)
+    assert(si.totalSamples === 512L && si.channels === 2)
+    // the generic frame index walks the same file (real subframe bytes)
+    assert(MediaCodecs.flacFrameIndex(flac).size === 2)
+    // a flipped PCM bit is caught by the frame CRC-16
+    val bad = flac.clone()
+    val payloadAt = MediaCodecs.flacFrameIndex(flac).head.byteOffset.toInt + 8
+    bad(payloadAt) = (bad(payloadAt) ^ 0x04).toByte
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeFlacPcm(bad))
+    assert(e.getMessage.contains("CRC-16"), e.getMessage)
+  }
+
+  test("FLAC PCM: non-byte-aligned bits-per-sample and the codec boundary") {
+    // bps 12: subframes are NOT byte-aligned — exercises the bit reader's
+    // cross-byte path; values span the signed 12-bit range
+    val ch = Array.tabulate(256)(i => ((i * 53) % 4001) - 2000)
+    val flac = MediaCodecs.encodeFlacPcm(8000, 1, 12, 256, Seq(Seq(ch)))
+    val frames = MediaCodecs.decodeFlacPcm(flac)
+    assert(frames.head.channels.head.toSeq === ch.toSeq)
+    // a FIXED/LPC subframe type is a loud boundary, not a wrong answer
+    val forged = flac.clone()
+    val subframeAt = MediaCodecs.flacFrameIndex(flac).head.byteOffset.toInt + 6
+    forged(subframeAt) = 0x10.toByte // type 001000 = FIXED order 0
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeFlacPcm(forged))
+    assert(e.getMessage.contains("codec"), e.getMessage)
+    // stereo-decorrelation channel assignments are likewise loud
+    val fl2 = MediaCodecs.encodeFlacPcm(8000, 2, 16, 256,
+      Seq(Seq(Array.fill(256)(1), Array.fill(256)(2))))
+    val forged2 = fl2.clone()
+    val hdrAt = MediaCodecs.flacFrameIndex(fl2).head.byteOffset.toInt
+    forged2(hdrAt + 3) = 0x80.toByte // channel code 8 = left/side
+    // header CRC-8 must be refreshed for the forged byte to reach the check
+    forged2(hdrAt + 5) = MediaCodecs.flacCrc8(forged2, hdrAt, hdrAt + 5).toByte
+    val e2 = intercept[IllegalArgumentException](MediaCodecs.decodeFlacPcm(forged2))
+    assert(e2.getMessage.contains("codec"), e2.getMessage)
+    // fuzz: garbage/truncation stays inside the loud-rejection contract
+    val rnd = new scala.util.Random(2024)
+    (1 to 150).foreach { _ =>
+      fuzzSafely(MediaCodecs.decodeFlacPcm)(
+        Array.fill(8 + rnd.nextInt(200))(rnd.nextInt(256).toByte))
+      fuzzSafely(MediaCodecs.decodeFlacPcm)(
+        java.util.Arrays.copyOf(flac, rnd.nextInt(flac.length)))
+      val t = flac.clone(); t(rnd.nextInt(t.length)) = rnd.nextInt(256).toByte
+      fuzzSafely(MediaCodecs.decodeFlacPcm)(t)
+    }
+  }
+
+  test("FLAC PCM: fixture closed form across ids") {
+    (0L to 20L).foreach { id =>
+      val frames = MediaCodecs.decodeFlacPcm(Fixtures.syntheticFlacPcm(id))
+      assert(frames.size === (2 + id % 3).toInt, s"id $id")
+      frames.zipWithIndex.foreach { case (fr, f) =>
+        assert(fr.channels.size === (1 + id % 2).toInt)
+        fr.channels.zipWithIndex.foreach { case (pcm, c) =>
+          (0 until 256).foreach { i =>
+            val want =
+              if ((id + f + c) % 4 == 0) (id % 121).toInt
+              else ((id * 7 + f * 131 + c * 17 + i * 29) % 121).toInt
+            assert(pcm(i) === want, s"id $id f $f c $c i $i")
+          }
+        }
+      }
+    }
+  }
+
   test("FLAC frame index: fixture closed form across ids") {
     (0L to 30L).foreach { id =>
       val idx = MediaCodecs.flacFrameIndex(Fixtures.syntheticFlacFrames(id))

@@ -1205,7 +1205,8 @@ class PlanAuditSpec extends SparkTestBase {
     Seq("multimodal_decode_mp4", "multimodal_decode_flac", "multimodal_curate",
       "multimodal_mp4_samples", "multimodal_flac_frames",
       "multimodal_mp4_slice", "multimodal_flac_slice",
-      "multimodal_mp4_keyframes", "multimodal_flac_seektable")
+      "multimodal_mp4_keyframes", "multimodal_flac_seektable",
+      "multimodal_flac_pcm")
       .foreach { name =>
         val p = plan(SparkEntry.queries(name)(spark, sfDir))
         assert(!p.contains("Exchange") && !p.contains("Join"), s"$name:\n$p")
@@ -1349,6 +1350,7 @@ class PlanAuditSpec extends SparkTestBase {
     "multimodal_mp4_keyframes" -> Seq("media_id", "track_id", "sample_idx", "pts", "is_sync"),
     "multimodal_flac_slice" -> Seq("media_id", "frame_idx", "n_bytes", "byte_sum"),
     "multimodal_flac_seektable" -> Seq("media_id", "point_idx", "sample_number", "byte_offset", "frame_samples"),
+    "multimodal_flac_pcm" -> Seq("media_id", "frame_idx", "channel", "n_samples", "sum_pcm", "peak"),
     "multimodal_curate" -> Seq("media_id", "width", "height", "duration_ms", "audio_rate", "n_samples"),
     "multimodal_frames" -> Seq("media_id", "n_frames", "frame_idx"),
     "multimodal_dedup" -> Seq("i", "j", "n_shared"),
