@@ -2448,9 +2448,15 @@ object Fixtures {
           ((id * 7 + f * 131 + c * 17 + i * 29) % 121).toInt)
       }
     }
+    // odd ids encode FIXED-predictor subframes (order id mod 5, rice-coded
+    // residuals, 2^((id/2) mod 3) partitions); even ids stay VERBATIM — the
+    // oracle is decode-side, so BOTH encodings must reproduce the same
+    // closed-form samples (constant channels encode CONSTANT either way)
     graft.operators.MediaCodecs.encodeFlacPcm(
       sampleRate = (8000 + 4000 * (id % 3)).toInt,
-      channels = nCh, bitsPerSample = 16, blockSize = 256, samples = frames)
+      channels = nCh, bitsPerSample = 16, blockSize = 256, samples = frames,
+      fixedOrder = if (id % 2 == 1) (id % 5).toInt else -1,
+      riceK = 6, partitionOrder = ((id / 2) % 3).toInt)
   }
 
   /** Batch-admin fixture: a fresh catalog driven through a mixed

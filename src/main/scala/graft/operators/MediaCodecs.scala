@@ -1238,15 +1238,26 @@ object MediaCodecs {
     * VERBATIM (raw signed bps-bit samples) or, when a channel's block is
     * one repeated value, CONSTANT. Independent channel assignment, frame
     * footer CRC-16 over the whole frame, header CRC-8 as always. `samples`
-    * is per frame, per channel, `blockSize` values each. This is the
-    * honest subset of FLAC a pure-JVM codec can speak (FIXED/LPC residual
-    * coding stays out of scope, loudly). */
+    * is per frame, per channel, `blockSize` values each. With
+    * `fixedOrder` 0-4, non-constant channels encode as FIXED-predictor
+    * subframes: warm-up samples raw, order-k residuals rice-coded
+    * (zigzag fold, unary quotient + `riceK` low bits) in
+    * `2^partitionOrder` partitions — the spec's method-00 layout. LPC
+    * stays out of scope, loudly. */
   def encodeFlacPcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
                     blockSize: Int,
-                    samples: Seq[Seq[Array[Int]]]): Array[Byte] = {
+                    samples: Seq[Seq[Array[Int]]],
+                    fixedOrder: Int = -1, riceK: Int = 6,
+                    partitionOrder: Int = 0): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20))
     require(channels >= 1 && channels <= 8)
     require(bitsPerSample >= 4 && bitsPerSample <= 24)
+    require(fixedOrder <= 4 && riceK >= 0 && riceK <= 14 && partitionOrder >= 0)
+    if (fixedOrder >= 0) {
+      require(blockSize % (1 << partitionOrder) == 0 &&
+        (blockSize >> partitionOrder) > fixedOrder,
+        s"partition order $partitionOrder does not divide $blockSize past order $fixedOrder")
+    }
     samples.foreach { fr =>
       require(fr.size == channels, s"frame has ${fr.size} channels, want $channels")
       fr.foreach(ch => require(ch.length == blockSize,
@@ -1280,6 +1291,27 @@ object MediaCodecs {
         if (constant) {
           bw.write(0L, 1); bw.write(0L, 6); bw.write(0L, 1) // CONSTANT, no wasted bits
           bw.write(ch(0).toLong & ((1L << bitsPerSample) - 1), bitsPerSample)
+        } else if (fixedOrder >= 0) {
+          // FIXED predictor: warm-up samples raw, then rice-coded residuals
+          // in 2^partitionOrder partitions (method 00 = 4-bit rice params)
+          bw.write(0L, 1); bw.write((8 + fixedOrder).toLong, 6); bw.write(0L, 1)
+          val coefs = FixedCoefs(fixedOrder)
+          (0 until fixedOrder).foreach(i =>
+            bw.write(ch(i).toLong & ((1L << bitsPerSample) - 1), bitsPerSample))
+          val res = (fixedOrder until blockSize).map { i =>
+            ch(i).toLong - coefs.zipWithIndex.map { case (c, j) =>
+              c.toLong * ch(i - 1 - j) }.sum
+          }
+          bw.write(0L, 2)                          // rice, 4-bit params
+          bw.write(partitionOrder.toLong, 4)
+          val partSize = blockSize >> partitionOrder
+          var at = 0
+          (0 until (1 << partitionOrder)).foreach { p =>
+            val count = if (p == 0) partSize - fixedOrder else partSize
+            bw.write(riceK.toLong, 4)
+            riceWrite(bw, res.slice(at, at + count), riceK)
+            at += count
+          }
         } else {
           bw.write(0L, 1); bw.write(1L, 6); bw.write(0L, 1) // VERBATIM
           ch.foreach(s =>
@@ -1303,13 +1335,47 @@ object MediaCodecs {
   final case class FlacPcmFrame(frameIdx: Long, sampleOffset: Long,
                                 channels: Seq[Array[Int]])
 
-  /** REAL FLAC sample decode for the entropy-free subframe types: walk
-    * frame headers (sync + CRC-8 like [[flacFrameIndex]]), then decode
-    * each channel's subframe bit-exactly — CONSTANT (one value) and
-    * VERBATIM (raw signed bps-bit PCM) per spec, wasted-bits shifts
-    * honored — and validate the frame footer CRC-16 over the whole frame.
-    * FIXED/LPC subframes (rice-coded residuals) throw loudly: that is the
-    * codec boundary, stated, not faked. Unlike [[flacFrameIndex]]'s resync
+  /** FIXED-predictor coefficients by order: s[i] is predicted from the
+    * previous `order` samples and the rice-coded residual corrects it
+    * (order 0 = the residuals ARE the samples). */
+  private val FixedCoefs: Array[Array[Int]] = Array(
+    Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
+
+  private def zigzag(r: Long): Long = (r << 1) ^ (r >> 63)
+  private def unzigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
+
+  /** Rice-encode `residuals` into `bw`: unary quotient + k low bits over
+    * the zigzag fold (the spec's mapping). */
+  private def riceWrite(bw: BitWriter, residuals: Seq[Long], k: Int): Unit =
+    residuals.foreach { r =>
+      val u = zigzag(r)
+      val q = u >>> k
+      require(q < (1L << 20), s"residual $r needs a $q-bit unary quotient — raise k")
+      var i = 0L
+      while (i < q) { bw.write(0L, 1); i += 1 }
+      bw.write(1L, 1)
+      if (k > 0) bw.write(u & ((1L << k) - 1), k)
+    }
+
+  private def riceRead(br: BitReader, k: Int): Long = {
+    var q = 0L
+    while (br.read(1) == 0L) {
+      q += 1
+      require(q < (1L << 24), "runaway rice unary quotient (corrupt stream)")
+    }
+    val rem = if (k > 0) br.read(k) else 0L
+    unzigzag((q << k) | rem)
+  }
+
+  /** REAL FLAC sample decode: walk frame headers (sync + CRC-8 like
+    * [[flacFrameIndex]]), then decode each channel's subframe bit-exactly
+    * — CONSTANT (one value), VERBATIM (raw signed bps-bit PCM), and
+    * FIXED orders 0-4 (warm-ups + rice-coded residuals in 2^p partitions,
+    * both 4- and 5-bit parameter methods, integrated through the spec's
+    * fixed polynomial predictors) — wasted-bits shifts honored — and
+    * validate the frame footer CRC-16 over the whole frame. LPC subframes
+    * and escape-coded partitions throw loudly: that is the codec
+    * boundary, stated, not faked. Unlike [[flacFrameIndex]]'s resync
     * scan, this walk KNOWS each frame's length (it decoded the bits), so
     * it steps frame to frame exactly. */
   def decodeFlacPcm(bytes: Array[Byte]): Seq[FlacPcmFrame] = {
@@ -1375,10 +1441,51 @@ object MediaCodecs {
             Array.fill(blockSize)(v)
           case 1 => // VERBATIM
             Array.fill(blockSize)((br.readSigned(bps) << wasted).toInt)
+          case t if t >= 8 && t <= 12 => // FIXED, order 0-4
+            val order = t - 8
+            require(order < blockSize, s"FIXED order $order >= block size $blockSize")
+            val s = new Array[Long](blockSize)
+            (0 until order).foreach(i => s(i) = br.readSigned(bps))
+            val method = br.read(2)
+            require(method <= 1L,
+              s"reserved residual coding method $method at $frameStart")
+            val paramBits = if (method == 0L) 4 else 5
+            val escape = (1 << paramBits) - 1
+            val pOrder = br.read(4).toInt
+            require(blockSize % (1 << pOrder) == 0,
+              s"partition order $pOrder does not divide block size $blockSize")
+            val partSize = blockSize >> pOrder
+            require(partSize > order,
+              s"first partition underflows: 2^$pOrder partitions of $partSize " +
+                s"vs FIXED order $order")
+            var at = order
+            (0 until (1 << pOrder)).foreach { p =>
+              val k = br.read(paramBits).toInt
+              require(k != escape,
+                "escape-coded (raw-bits) rice partitions are out of the " +
+                  "supported subset — a real codec's job, stated loudly")
+              val count = if (p == 0) partSize - order else partSize
+              var i = 0
+              while (i < count) { s(at) = riceRead(br, k); at += 1; i += 1 }
+            }
+            // integrate the prediction (residuals were stored at `at` slots)
+            val coefs = FixedCoefs(order)
+            var i = order
+            while (i < blockSize) {
+              var pred = 0L
+              var j = 0
+              while (j < order) { pred += coefs(j) * s(i - 1 - j); j += 1 }
+              s(i) += pred
+              i += 1
+            }
+            val out = new Array[Int](blockSize)
+            i = 0
+            while (i < blockSize) { out(i) = (s(i) << wasted).toInt; i += 1 }
+            out
           case t =>
             throw new IllegalArgumentException(
-              s"subframe type $t (FIXED/LPC rice-coded residuals) needs a " +
-                "real codec — PCM decode speaks CONSTANT/VERBATIM only")
+              s"subframe type $t (LPC rice-coded residuals) needs a real " +
+                "codec — PCM decode speaks CONSTANT/VERBATIM/FIXED")
         }
         pcm
       }

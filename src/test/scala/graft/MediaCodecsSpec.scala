@@ -691,10 +691,10 @@ class MediaCodecsSpec extends AnyFunSuite {
     val flac = MediaCodecs.encodeFlacPcm(8000, 1, 12, 256, Seq(Seq(ch)))
     val frames = MediaCodecs.decodeFlacPcm(flac)
     assert(frames.head.channels.head.toSeq === ch.toSeq)
-    // a FIXED/LPC subframe type is a loud boundary, not a wrong answer
+    // an LPC subframe type is a loud boundary, not a wrong answer
     val forged = flac.clone()
     val subframeAt = MediaCodecs.flacFrameIndex(flac).head.byteOffset.toInt + 6
-    forged(subframeAt) = 0x10.toByte // type 001000 = FIXED order 0
+    forged(subframeAt) = 0x40.toByte // type 100000 = LPC order 1
     val e = intercept[IllegalArgumentException](MediaCodecs.decodeFlacPcm(forged))
     assert(e.getMessage.contains("codec"), e.getMessage)
     // stereo-decorrelation channel assignments are likewise loud
@@ -717,6 +717,44 @@ class MediaCodecsSpec extends AnyFunSuite {
       val t = flac.clone(); t(rnd.nextInt(t.length)) = rnd.nextInt(256).toByte
       fuzzSafely(MediaCodecs.decodeFlacPcm)(t)
     }
+  }
+
+  test("FLAC PCM: FIXED predictors round-trip bit-exactly, all orders and partitions") {
+    // every FIXED order x several partition orders, negative samples, two
+    // channels — rice-coded residuals must integrate back to exact PCM
+    val ch0 = Array.tabulate(256)(i => ((i * 37) % 401) - 200)
+    val ch1 = Array.tabulate(256)(i => ((i * i) % 257) - 128) // quadratic: order-2 friendly
+    (0 to 4).foreach { order =>
+      Seq(0, 1, 3).foreach { pOrder =>
+        val flac = MediaCodecs.encodeFlacPcm(16000, 2, 16, 256,
+          Seq(Seq(ch0, ch1)), fixedOrder = order, riceK = 8,
+          partitionOrder = pOrder)
+        val frames = MediaCodecs.decodeFlacPcm(flac)
+        assert(frames.head.channels(0).toSeq === ch0.toSeq, s"o=$order p=$pOrder")
+        assert(frames.head.channels(1).toSeq === ch1.toSeq, s"o=$order p=$pOrder")
+      }
+    }
+    // FIXED is materially smaller than VERBATIM on smooth content — proves
+    // the residual path actually rice-codes rather than storing raw
+    val smooth = Array.tabulate(256)(i => 1000 + i * 3)
+    val fixed2 = MediaCodecs.encodeFlacPcm(16000, 1, 16, 256,
+      Seq(Seq(smooth)), fixedOrder = 2, riceK = 2)
+    val verbatim = MediaCodecs.encodeFlacPcm(16000, 1, 16, 256, Seq(Seq(smooth)))
+    assert(fixed2.length < verbatim.length / 3,
+      s"fixed ${fixed2.length} vs verbatim ${verbatim.length}")
+    // an escape-coded partition is a loud boundary (param 15 under method 00)
+    val flac = MediaCodecs.encodeFlacPcm(16000, 1, 16, 256,
+      Seq(Seq(ch0)), fixedOrder = 1, riceK = 8)
+    val hdrAt = MediaCodecs.flacFrameIndex(flac).head.byteOffset.toInt
+    // subframe header (1B at +6) + warm-up (2B) + method+partition (6 bits)
+    // + 4-bit param starting at bit 6 of byte +9: set param bits to 1111
+    val forged = flac.clone()
+    forged(hdrAt + 9) = (forged(hdrAt + 9) | 0x03).toByte
+    forged(hdrAt + 10) = (forged(hdrAt + 10) | 0xc0).toByte
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeFlacPcm(forged))
+    assert(e.getMessage.contains("escape") || e.getMessage.contains("CRC-16") ||
+      e.getMessage.contains("exhausted") || e.getMessage.contains("runaway"),
+      e.getMessage)
   }
 
   test("FLAC PCM: fixture closed form across ids") {
