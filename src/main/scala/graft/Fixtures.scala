@@ -2448,15 +2448,20 @@ object Fixtures {
           ((id * 7 + f * 131 + c * 17 + i * 29) % 121).toInt)
       }
     }
-    // odd ids encode FIXED-predictor subframes (order id mod 5, rice-coded
-    // residuals, 2^((id/2) mod 3) partitions); even ids stay VERBATIM — the
-    // oracle is decode-side, so BOTH encodings must reproduce the same
-    // closed-form samples (constant channels encode CONSTANT either way)
+    // the encoding VARIES by id while the oracle stays decode-side — every
+    // layout must reproduce the same closed-form samples: odd ids encode
+    // FIXED (order id mod 5) or, when id mod 7 = 3, LPC (coefs [2,-1],
+    // shift 0); rice residuals in 2^((id/2) mod 3) partitions; 2-channel
+    // ids with id mod 3 > 0 stereo-decorrelate (left/side, side/right,
+    // mid/side cycling); even ids stay VERBATIM; constant channels encode
+    // CONSTANT everywhere
     graft.operators.MediaCodecs.encodeFlacPcm(
       sampleRate = (8000 + 4000 * (id % 3)).toInt,
       channels = nCh, bitsPerSample = 16, blockSize = 256, samples = frames,
       fixedOrder = if (id % 2 == 1) (id % 5).toInt else -1,
-      riceK = 6, partitionOrder = ((id / 2) % 3).toInt)
+      riceK = 6, partitionOrder = ((id / 2) % 3).toInt,
+      lpc = if (id % 7 == 3) Some((Seq(2, -1), 0, 5)) else None,
+      stereo = if (nCh == 2 && id % 3 > 0) (8 + ((id / 3) % 3)).toInt else -1)
   }
 
   /** Batch-admin fixture: a fresh catalog driven through a mixed

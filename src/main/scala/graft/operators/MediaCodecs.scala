@@ -1248,16 +1248,27 @@ object MediaCodecs {
                     blockSize: Int,
                     samples: Seq[Seq[Array[Int]]],
                     fixedOrder: Int = -1, riceK: Int = 6,
-                    partitionOrder: Int = 0): Array[Byte] = {
+                    partitionOrder: Int = 0,
+                    lpc: Option[(Seq[Int], Int, Int)] = None,
+                    stereo: Int = -1): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20))
     require(channels >= 1 && channels <= 8)
     require(bitsPerSample >= 4 && bitsPerSample <= 24)
     require(fixedOrder <= 4 && riceK >= 0 && riceK <= 14 && partitionOrder >= 0)
-    if (fixedOrder >= 0) {
+    val predOrder = lpc.map(_._1.size).getOrElse(math.max(fixedOrder, 0))
+    if (fixedOrder >= 0 || lpc.isDefined) {
       require(blockSize % (1 << partitionOrder) == 0 &&
-        (blockSize >> partitionOrder) > fixedOrder,
-        s"partition order $partitionOrder does not divide $blockSize past order $fixedOrder")
+        (blockSize >> partitionOrder) > predOrder,
+        s"partition order $partitionOrder does not divide $blockSize past order $predOrder")
     }
+    lpc.foreach { case (coefs, shift, precision) =>
+      require(coefs.nonEmpty && coefs.size <= 32, s"LPC order ${coefs.size}")
+      require(shift >= 0 && shift <= 15 && precision >= 2 && precision <= 15)
+      coefs.foreach(c => require(c >= -(1 << (precision - 1)) &&
+        c < (1 << (precision - 1)), s"coef $c exceeds $precision-bit signed"))
+    }
+    require(stereo == -1 || (stereo >= 8 && stereo <= 10 && channels == 2),
+      s"stereo decorrelation code $stereo needs exactly 2 channels")
     samples.foreach { fr =>
       require(fr.size == channels, s"frame has ${fr.size} channels, want $channels")
       fr.foreach(ch => require(ch.length == blockSize,
@@ -1282,40 +1293,77 @@ object MediaCodecs {
       hdr(0) = 0xff.toByte
       hdr(1) = 0xf8.toByte
       hdr(2) = ((bsCode << 4) | 0).toByte
-      hdr(3) = (((channels - 1) << 4) | 0).toByte
+      val chanCode = if (stereo >= 8) stereo else channels - 1
+      hdr(3) = ((chanCode << 4) | 0).toByte
       System.arraycopy(num, 0, hdr, 4, num.length)
       hdr(hdr.length - 1) = flacCrc8(hdr, 0, hdr.length - 1).toByte
+      // stereo decorrelation transforms the two channels before subframe
+      // coding; the side (difference) channel carries one extra bit
+      val enc: Seq[(Array[Int], Int)] = stereo match {
+        case 8 => // left/side
+          val Seq(l, r) = fr
+          Seq((l, bitsPerSample),
+            (Array.tabulate(blockSize)(j => l(j) - r(j)), bitsPerSample + 1))
+        case 9 => // side/right (stored side first per spec)
+          val Seq(l, r) = fr
+          Seq((Array.tabulate(blockSize)(j => l(j) - r(j)), bitsPerSample + 1),
+            (r, bitsPerSample))
+        case 10 => // mid/side
+          val Seq(l, r) = fr
+          Seq((Array.tabulate(blockSize)(j => (l(j) + r(j)) >> 1), bitsPerSample),
+            (Array.tabulate(blockSize)(j => l(j) - r(j)), bitsPerSample + 1))
+        case _ => fr.map(ch => (ch, bitsPerSample))
+      }
       val bw = new BitWriter
-      fr.foreach { ch =>
-        val constant = ch.forall(_ == ch(0))
-        if (constant) {
-          bw.write(0L, 1); bw.write(0L, 6); bw.write(0L, 1) // CONSTANT, no wasted bits
-          bw.write(ch(0).toLong & ((1L << bitsPerSample) - 1), bitsPerSample)
-        } else if (fixedOrder >= 0) {
-          // FIXED predictor: warm-up samples raw, then rice-coded residuals
-          // in 2^partitionOrder partitions (method 00 = 4-bit rice params)
-          bw.write(0L, 1); bw.write((8 + fixedOrder).toLong, 6); bw.write(0L, 1)
-          val coefs = FixedCoefs(fixedOrder)
-          (0 until fixedOrder).foreach(i =>
-            bw.write(ch(i).toLong & ((1L << bitsPerSample) - 1), bitsPerSample))
-          val res = (fixedOrder until blockSize).map { i =>
-            ch(i).toLong - coefs.zipWithIndex.map { case (c, j) =>
-              c.toLong * ch(i - 1 - j) }.sum
-          }
+      enc.foreach { case (ch, bps) =>
+        def writeResiduals(order: Int, res: Seq[Long]): Unit = {
           bw.write(0L, 2)                          // rice, 4-bit params
           bw.write(partitionOrder.toLong, 4)
           val partSize = blockSize >> partitionOrder
           var at = 0
           (0 until (1 << partitionOrder)).foreach { p =>
-            val count = if (p == 0) partSize - fixedOrder else partSize
+            val count = if (p == 0) partSize - order else partSize
             bw.write(riceK.toLong, 4)
             riceWrite(bw, res.slice(at, at + count), riceK)
             at += count
           }
+        }
+        val constant = ch.forall(_ == ch(0))
+        if (constant) {
+          bw.write(0L, 1); bw.write(0L, 6); bw.write(0L, 1) // CONSTANT, no wasted bits
+          bw.write(ch(0).toLong & ((1L << bps) - 1), bps)
+        } else if (lpc.isDefined) {
+          // LPC: warm-ups, 4-bit precision-1, 5-bit shift, order signed
+          // precision-bit coefficients, then the shared residual layout
+          val (coefs, shift, precision) = lpc.get
+          val order = coefs.size
+          bw.write(0L, 1); bw.write((32 + order - 1).toLong, 6); bw.write(0L, 1)
+          (0 until order).foreach(j =>
+            bw.write(ch(j).toLong & ((1L << bps) - 1), bps))
+          bw.write((precision - 1).toLong, 4)
+          bw.write(shift.toLong, 5)
+          coefs.foreach(c => bw.write(c.toLong & ((1L << precision) - 1), precision))
+          val res = (order until blockSize).map { j =>
+            val pred = coefs.zipWithIndex.map { case (c, t) =>
+              c.toLong * ch(j - 1 - t) }.sum >> shift
+            ch(j).toLong - pred
+          }
+          writeResiduals(order, res)
+        } else if (fixedOrder >= 0) {
+          // FIXED predictor: warm-up samples raw, then rice-coded residuals
+          // in 2^partitionOrder partitions (method 00 = 4-bit rice params)
+          bw.write(0L, 1); bw.write((8 + fixedOrder).toLong, 6); bw.write(0L, 1)
+          val coefs = FixedCoefs(fixedOrder)
+          (0 until fixedOrder).foreach(j =>
+            bw.write(ch(j).toLong & ((1L << bps) - 1), bps))
+          val res = (fixedOrder until blockSize).map { j =>
+            ch(j).toLong - coefs.zipWithIndex.map { case (c, t) =>
+              c.toLong * ch(j - 1 - t) }.sum
+          }
+          writeResiduals(fixedOrder, res)
         } else {
           bw.write(0L, 1); bw.write(1L, 6); bw.write(0L, 1) // VERBATIM
-          ch.foreach(s =>
-            bw.write(s.toLong & ((1L << bitsPerSample) - 1), bitsPerSample))
+          ch.foreach(s => bw.write(s.toLong & ((1L << bps) - 1), bps))
         }
       }
       val body = bw.toBytes // padded to byte
@@ -1399,9 +1447,17 @@ object MediaCodecs {
       val bsCode = (bytes(p + 2) >>> 4) & 0xf
       val rateCode = bytes(p + 2) & 0xf
       val chanCode = (bytes(p + 3) >>> 4) & 0xf
-      require(chanCode <= 7, s"stereo-decorrelation channel assignments " +
-        s"(code $chanCode) need the full codec")
-      val nCh = chanCode + 1
+      require(chanCode <= 10,
+        s"reserved channel assignment code $chanCode at $p")
+      // 0-7 = that many independent channels; 8/9/10 = stereo
+      // decorrelation (left/side, side/right, mid/side) — two coded
+      // channels, the side (difference) channel one bit wider
+      val nCh = if (chanCode <= 7) chanCode + 1 else 2
+      def sideBit(c: Int): Int = chanCode match {
+        case 8 | 10 => if (c == 1) 1 else 0
+        case 9 => if (c == 0) 1 else 0
+        case _ => 0
+      }
       val (num, numLen) = flacUtf8Decode(bytes, p + 4)
       var q = p + 4 + numLen
       val blockSize = bsCode match {
@@ -1422,7 +1478,7 @@ object MediaCodecs {
       q += 1
       // subframes, bit-packed back to back
       val br = new BitReader(bytes, q, bytes.length)
-      val chans = (0 until nCh).map { _ =>
+      val coded = (0 until nCh).map { c =>
         require(br.read(1) == 0L, "subframe header pad bit must be 0")
         val tpe = br.read(6).toInt
         val wastedFlag = br.read(1)
@@ -1433,8 +1489,40 @@ object MediaCodecs {
             while (br.read(1) == 0L) k += 1
             k
           }
-        val bps = si.bitsPerSample - wasted
+        val bps = si.bitsPerSample + sideBit(c) - wasted
         require(bps >= 1, s"wasted bits $wasted exceed bits/sample")
+        // shared residual layout (FIXED and LPC): rice partitions decoded
+        // into s(order until blockSize)
+        def readResiduals(s: Array[Long], order: Int): Unit = {
+          val method = br.read(2)
+          require(method <= 1L,
+            s"reserved residual coding method $method at $frameStart")
+          val paramBits = if (method == 0L) 4 else 5
+          val escape = (1 << paramBits) - 1
+          val pOrder = br.read(4).toInt
+          require(blockSize % (1 << pOrder) == 0,
+            s"partition order $pOrder does not divide block size $blockSize")
+          val partSize = blockSize >> pOrder
+          require(partSize > order,
+            s"first partition underflows: 2^$pOrder partitions of $partSize " +
+              s"vs predictor order $order")
+          var at = order
+          (0 until (1 << pOrder)).foreach { p =>
+            val k = br.read(paramBits).toInt
+            require(k != escape,
+              "escape-coded (raw-bits) rice partitions are out of the " +
+                "supported subset — a real codec's job, stated loudly")
+            val count = if (p == 0) partSize - order else partSize
+            var i = 0
+            while (i < count) { s(at) = riceRead(br, k); at += 1; i += 1 }
+          }
+        }
+        def shifted(s: Array[Long]): Array[Int] = {
+          val out = new Array[Int](blockSize)
+          var i = 0
+          while (i < blockSize) { out(i) = (s(i) << wasted).toInt; i += 1 }
+          out
+        }
         val pcm = tpe match {
           case 0 => // CONSTANT
             val v = (br.readSigned(bps) << wasted).toInt
@@ -1446,29 +1534,7 @@ object MediaCodecs {
             require(order < blockSize, s"FIXED order $order >= block size $blockSize")
             val s = new Array[Long](blockSize)
             (0 until order).foreach(i => s(i) = br.readSigned(bps))
-            val method = br.read(2)
-            require(method <= 1L,
-              s"reserved residual coding method $method at $frameStart")
-            val paramBits = if (method == 0L) 4 else 5
-            val escape = (1 << paramBits) - 1
-            val pOrder = br.read(4).toInt
-            require(blockSize % (1 << pOrder) == 0,
-              s"partition order $pOrder does not divide block size $blockSize")
-            val partSize = blockSize >> pOrder
-            require(partSize > order,
-              s"first partition underflows: 2^$pOrder partitions of $partSize " +
-                s"vs FIXED order $order")
-            var at = order
-            (0 until (1 << pOrder)).foreach { p =>
-              val k = br.read(paramBits).toInt
-              require(k != escape,
-                "escape-coded (raw-bits) rice partitions are out of the " +
-                  "supported subset — a real codec's job, stated loudly")
-              val count = if (p == 0) partSize - order else partSize
-              var i = 0
-              while (i < count) { s(at) = riceRead(br, k); at += 1; i += 1 }
-            }
-            // integrate the prediction (residuals were stored at `at` slots)
+            readResiduals(s, order)
             val coefs = FixedCoefs(order)
             var i = order
             while (i < blockSize) {
@@ -1478,16 +1544,56 @@ object MediaCodecs {
               s(i) += pred
               i += 1
             }
-            val out = new Array[Int](blockSize)
-            i = 0
-            while (i < blockSize) { out(i) = (s(i) << wasted).toInt; i += 1 }
-            out
+            shifted(s)
+          case t if t >= 32 => // LPC, order 1-32
+            val order = t - 32 + 1
+            require(order < blockSize, s"LPC order $order >= block size $blockSize")
+            val s = new Array[Long](blockSize)
+            (0 until order).foreach(i => s(i) = br.readSigned(bps))
+            val precision = br.read(4).toInt + 1
+            require(precision <= 15, s"invalid qlp precision code at $frameStart")
+            val shift = {
+              // 5-bit SIGNED shift; the spec reserves negative values
+              val v = br.read(5)
+              val sv = if ((v & 0x10) != 0) v - 32 else v
+              require(sv >= 0, s"negative LPC shift $sv is reserved")
+              sv.toInt
+            }
+            val coefs = Array.fill(order)(br.readSigned(precision))
+            readResiduals(s, order)
+            var i = order
+            while (i < blockSize) {
+              var pred = 0L
+              var j = 0
+              while (j < order) { pred += coefs(j) * s(i - 1 - j); j += 1 }
+              s(i) += (pred >> shift)
+              i += 1
+            }
+            shifted(s)
           case t =>
             throw new IllegalArgumentException(
-              s"subframe type $t (LPC rice-coded residuals) needs a real " +
-                "codec — PCM decode speaks CONSTANT/VERBATIM/FIXED")
+              s"reserved subframe type $t at $frameStart")
         }
         pcm
+      }
+      // undo stereo decorrelation into (left, right)
+      val chans: Seq[Array[Int]] = chanCode match {
+        case 8 => // left/side: R = L - side
+          val Seq(l, side) = coded
+          Seq(l, Array.tabulate(blockSize)(j => l(j) - side(j)))
+        case 9 => // side/right: L = side + R
+          val Seq(side, r) = coded
+          Seq(Array.tabulate(blockSize)(j => side(j) + r(j)), r)
+        case 10 => // mid/side: recover L/R from floor-mid + side parity
+          val Seq(mid, side) = coded
+          Seq(
+            Array.tabulate(blockSize) { j =>
+              (((mid(j).toLong << 1) | (side(j) & 1L)) + side(j)).toInt >> 1
+            },
+            Array.tabulate(blockSize) { j =>
+              (((mid(j).toLong << 1) | (side(j) & 1L)) - side(j)).toInt >> 1
+            })
+        case _ => coded
       }
       val frameEnd = br.alignToByte()
       require(frameEnd + 2 <= bytes.length, s"frame at $frameStart truncated before CRC-16")

@@ -691,22 +691,22 @@ class MediaCodecsSpec extends AnyFunSuite {
     val flac = MediaCodecs.encodeFlacPcm(8000, 1, 12, 256, Seq(Seq(ch)))
     val frames = MediaCodecs.decodeFlacPcm(flac)
     assert(frames.head.channels.head.toSeq === ch.toSeq)
-    // an LPC subframe type is a loud boundary, not a wrong answer
+    // a RESERVED subframe type is a loud boundary, not a wrong answer
     val forged = flac.clone()
     val subframeAt = MediaCodecs.flacFrameIndex(flac).head.byteOffset.toInt + 6
-    forged(subframeAt) = 0x40.toByte // type 100000 = LPC order 1
+    forged(subframeAt) = 0x04.toByte // type 000010 = reserved
     val e = intercept[IllegalArgumentException](MediaCodecs.decodeFlacPcm(forged))
-    assert(e.getMessage.contains("codec"), e.getMessage)
-    // stereo-decorrelation channel assignments are likewise loud
+    assert(e.getMessage.contains("reserved subframe"), e.getMessage)
+    // reserved channel assignment codes are likewise loud
     val fl2 = MediaCodecs.encodeFlacPcm(8000, 2, 16, 256,
       Seq(Seq(Array.fill(256)(1), Array.fill(256)(2))))
     val forged2 = fl2.clone()
     val hdrAt = MediaCodecs.flacFrameIndex(fl2).head.byteOffset.toInt
-    forged2(hdrAt + 3) = 0x80.toByte // channel code 8 = left/side
+    forged2(hdrAt + 3) = 0xb0.toByte // channel code 11 = reserved
     // header CRC-8 must be refreshed for the forged byte to reach the check
     forged2(hdrAt + 5) = MediaCodecs.flacCrc8(forged2, hdrAt, hdrAt + 5).toByte
     val e2 = intercept[IllegalArgumentException](MediaCodecs.decodeFlacPcm(forged2))
-    assert(e2.getMessage.contains("codec"), e2.getMessage)
+    assert(e2.getMessage.contains("reserved channel"), e2.getMessage)
     // fuzz: garbage/truncation stays inside the loud-rejection contract
     val rnd = new scala.util.Random(2024)
     (1 to 150).foreach { _ =>
@@ -755,6 +755,43 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("escape") || e.getMessage.contains("CRC-16") ||
       e.getMessage.contains("exhausted") || e.getMessage.contains("runaway"),
       e.getMessage)
+  }
+
+  test("FLAC PCM: LPC subframes and stereo decorrelation round-trip bit-exactly") {
+    val l = Array.tabulate(256)(i => ((i * 37) % 401) - 200)
+    val r = Array.tabulate(256)(i => ((i * 53) % 337) - 168)
+    // LPC at several orders/shifts/precisions, independent channels
+    Seq((Seq(1), 0, 4), (Seq(2, -1), 0, 5), (Seq(3, -3, 1), 1, 6),
+        (Seq(5, -4, 2, -1, 1, -1, 2, 1), 2, 7)).foreach { case (coefs, shift, prec) =>
+      val flac = MediaCodecs.encodeFlacPcm(16000, 2, 16, 256, Seq(Seq(l, r)),
+        lpc = Some((coefs, shift, prec)), riceK = 9, partitionOrder = 1)
+      val got = MediaCodecs.decodeFlacPcm(flac).head.channels
+      assert(got(0).toSeq === l.toSeq, s"lpc $coefs shift $shift")
+      assert(got(1).toSeq === r.toSeq, s"lpc $coefs shift $shift")
+    }
+    // all three stereo decorrelation modes (odd L+R sums exercise the
+    // mid/side parity bit; negatives exercise the side channel's sign)
+    Seq(8, 9, 10).foreach { mode =>
+      val flac = MediaCodecs.encodeFlacPcm(16000, 2, 16, 256, Seq(Seq(l, r)),
+        stereo = mode)
+      val got = MediaCodecs.decodeFlacPcm(flac).head.channels
+      assert(got(0).toSeq === l.toSeq, s"stereo mode $mode")
+      assert(got(1).toSeq === r.toSeq, s"stereo mode $mode")
+      // decorrelation + FIXED residual coding compose
+      val flac2 = MediaCodecs.encodeFlacPcm(16000, 2, 16, 256, Seq(Seq(l, r)),
+        stereo = mode, fixedOrder = 2, riceK = 9)
+      assert(MediaCodecs.decodeFlacPcm(flac2).head.channels(1).toSeq === r.toSeq)
+      // ... and + LPC
+      val flac3 = MediaCodecs.encodeFlacPcm(16000, 2, 16, 256, Seq(Seq(l, r)),
+        stereo = mode, lpc = Some((Seq(2, -1), 0, 5)), riceK = 9)
+      assert(MediaCodecs.decodeFlacPcm(flac3).head.channels(0).toSeq === l.toSeq)
+    }
+    // mid/side is genuinely smaller than independent on correlated stereo
+    val corr = Array.tabulate(256)(i => l(i) + 3)
+    val ms = MediaCodecs.encodeFlacPcm(16000, 2, 16, 256, Seq(Seq(l, corr)),
+      stereo = 10, fixedOrder = 1, riceK = 7)
+    val ind = MediaCodecs.encodeFlacPcm(16000, 2, 16, 256, Seq(Seq(l, corr)))
+    assert(ms.length < ind.length / 2, s"ms ${ms.length} vs ind ${ind.length}")
   }
 
   test("FLAC PCM: fixture closed form across ids") {
