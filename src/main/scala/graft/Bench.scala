@@ -86,6 +86,38 @@ object Bench {
     if (q != null) q.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
     b.result()
   }
+  /** One history entry's throughput headlines (MB/s, higher is better).
+    * Pre-r17 entries carry only `append_mbps` at top level — migrated here
+    * so the append envelope reaches back through the existing history. */
+  private def throughputsOf(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    val t = n.get("throughputs")
+    if (t != null) t.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
+    else {
+      val a = n.get("append_mbps")
+      if (a != null && a.asDouble() > 0) b += "append_mbps" -> a.asDouble()
+    }
+    b.result()
+  }
+  /** ROLLING throughput envelope (r16 instrument gap): per-headline MAX over
+    * the last [[PriorHistoryN]] gated runs — the best throughput the engine
+    * has demonstrated. The r16 append slide (632 → 552 → 525 → 271 → 143
+    * MB/s across five gated runs) produced zero flags because these four
+    * headlines were stored in history but never compared. */
+  private def readPriorThroughputs(sfDir: String): Map[String, Double] =
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(PriorPath))
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      priorNodeFor(root, sfDir) match {
+        case None => Map.empty
+        case Some(n) =>
+          val entries = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+          val h = n.get("history")
+          if (h != null) h.forEach(e => entries += throughputsOf(e))
+          else entries += throughputsOf(n)
+          BenchGate.rollingEnvelopeMax(entries.takeRight(PriorHistoryN).toSeq)
+      }
+    } catch { case _: Throwable => Map.empty }
   /** ROLLING envelope (r15 instrument gap): per-head MIN over the last
     * [[PriorHistoryN]] gated runs' (ratchet-guarded) best-of-3 entries in the
     * section's `history` list, unioned with the section's own latest figures
@@ -100,8 +132,12 @@ object Bench {
         case Some(n) =>
           val entries = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
           val h = n.get("history")
+          // the top-level figures DUPLICATE the last history element (the
+          // writer stores the latest run in both places) — counting both
+          // would shrink the rolling window to N-1 distinct runs; the
+          // top-level read is only the migration path for pre-r16 files
           if (h != null) h.forEach(e => entries += queriesBestOf(e))
-          entries += queriesBestOf(n)
+          else entries += queriesBestOf(n)
           BenchGate.rollingEnvelope(entries.takeRight(PriorHistoryN).toSeq)
       }
     } catch { case _: Throwable => Map.empty }
@@ -156,7 +192,10 @@ object Bench {
                          appendMbps: Double,
                          sentinels: scala.collection.Map[String, Double],
                          capped: Seq[String],
-                         reproduced: Seq[String]): Unit =
+                         reproduced: Seq[String],
+                         throughputs: scala.collection.Map[String, Double],
+                         tpCapped: Seq[String],
+                         tpReproduced: Seq[String]): Unit =
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       // carry the OTHER SFs' sections forward (flat legacy files migrate:
@@ -177,6 +216,9 @@ object Bench {
       val entry =
         s"""{"written_by":"bench (both gates green)"""" +
         s""","append_mbps":${f3(appendMbps)}""" +
+        s""","throughputs":${jmap(throughputs)}""" +
+        s""","tp_capped":${jlistS(tpCapped)}""" +
+        s""","tp_reproduced":${jlistS(tpReproduced)}""" +
         s""","sentinels":${jmap(sentinels)}""" +
         s""","prior_capped":${jlistS(capped)}""" +
         s""","prior_reproduced":${jlistS(reproduced)}""" +
@@ -209,7 +251,15 @@ object Bench {
       // ratchet guard (BenchGate.priorStoreValue) needs
       priorEnvelope: Map[String, Double],
       priorCleanRemeasure: Set[String],
-      priorRegressed: Seq[(String, Double)])
+      priorRegressed: Seq[(String, Double)],
+      // throughput-headline envelope (r16 gap): current figures, the
+      // rolling-max envelope they were judged against, heads below
+      // envelope/factor after any re-measure, and heads whose re-measure
+      // bracket was clean (the only license to store a lower envelope)
+      tpCurrent: Map[String, Double],
+      tpEnvelope: Map[String, Double],
+      tpRegressed: Seq[(String, Double)],
+      tpRemeasuredClean: Set[String])
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -340,8 +390,20 @@ object Bench {
       }
       val capped = regressedNames.toSeq.sorted
         .filter(n => storedBest.get(n) != fin.best.get(n))
+      // throughput headlines go through the SAME ratchet guard, mirrored
+      // for higher-is-better: a regressed head stores AT envelope/factor
+      // (keeping the old envelope alive at the cap) unless its regression
+      // reproduced inside a clean write-sentinel-bracketed re-measure
+      val storedTp = fin.tpCurrent.map { case (n, v) =>
+        n -> BenchGate.priorStoreValueThroughput(v, fin.tpEnvelope.get(n),
+          PriorStoreFactor, remeasuredClean = fin.tpRemeasuredClean.contains(n))
+      }
+      val tpCapped = fin.tpRegressed.map(_._1).sorted
+        .filter(n => storedTp.get(n) != fin.tpCurrent.get(n))
+      val tpReproduced = fin.tpRegressed.map(_._1)
+        .filter(fin.tpRemeasuredClean.contains)
       writePrior(sfDir, storedBest, fin.medians, fin.appendMbps, fin.sentinels,
-        capped, reproduced)
+        capped, reproduced, storedTp, tpCapped, tpReproduced)
     }
     spark.stop()
   }
@@ -515,7 +577,44 @@ object Bench {
     // append_64k_steady keeps its historical meaning: the headline window's
     // wall time (the JSON also carries every window for forensics)
     results("append_64k_steady") = commitSecs.sum
-    batches64k.unpersist(blocking = false)
+    // batches64k stays persisted to the end of the suite: it is the WRITE
+    // sentinel's pinned payload (below) and the append-envelope re-measure's
+
+    // WRITE-PATH SENTINEL (the round-16 instrument gap): the CPU probe is
+    // register-resident, the IO probe is a pinned READ, and the mem probe
+    // sweeps cache — so a host phase degrading only the write path (r16:
+    // append 632 → 143 MB/s across five gated runs, export 13x, backfill
+    // 3.6x, while every read/CPU sentinel sat at record bests in the same
+    // run) is invisible to all three, within-run AND cross-run. This probe
+    // pushes the SAME pinned ~131 MB commit through the SAME append-commit
+    // sink path as the append head (offset assignment, parquet write,
+    // footer audit, CAS commit) into a throwaway stream, created and
+    // reclaimed outside the timing. Median-of-5 like the others; brackets
+    // the write-heavy segment within-run and persists per SF for the
+    // cross-run host_suspect drift check.
+    def deleteRecursively(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    }
+    def writeSentinelOnce(): Double = {
+      val d = java.nio.file.Files.createTempDirectory("bench-wsent-").toString
+      graft.eslog.EsLog.create(d, streamId = 97L)
+      graft.eslog.EsLog.open(d, 1L)
+      val t0 = System.nanoTime()
+      graft.eslog.EsLog.append(spark, d, batches64k, 1L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      deleteRecursively(d) // reclaim outside the timing
+      sec
+    }
+    def writeSentinelSec(): Double =
+      (1 to 5).map(_ => writeSentinelOnce()).sorted.apply(2)
+    // baseline taken HERE — the same host window that produced the append
+    // headline, so a drift between them is meaningful (the path is already
+    // warm: the append windows just ran it 16+ times)
+    val s0wrRaw = writeSentinelSec()
     // scan exactly the 16 TIMED commits' offset range (manifest pruning keeps
     // the warmup commits' files out of the read): the denominator is then the
     // fixed nCommits * payload64k, comparable across rounds — the whole-dir
@@ -706,6 +805,9 @@ object Bench {
     // bracket (GC debt shows as one slow run — the median absorbs it); 2x
     // like the IO probe, against phases that sat at 6-12x
     val MemGateFactor = 2.0
+    // write commits ride the page cache + device write-back queue like the
+    // IO reads; 2x like the IO probe, against a phase that sat at 4-13x
+    val WriteGateFactor = 2.0
 
     // -- CDC chunker throughput, fixture divisor (16 B mean chunks — what
     //    the oracle fixtures use on few-hundred-byte payloads) vs the
@@ -741,6 +843,7 @@ object Bench {
     val boundaries = scala.collection.mutable.ArrayBuffer[Double]()
     val memBoundaries = scala.collection.mutable.ArrayBuffer[Double]()
     val ioBoundaries = scala.collection.mutable.ArrayBuffer[Option[Double]]()
+    val wrBoundaries = scala.collection.mutable.ArrayBuffer[Option[Double]]()
     def ioBoundaryAt(bi: Int): Option[Double] = {
       // boundary bi brackets segments bi-1 (above) and bi (below); measure
       // the IO probe when either side is IO-gated
@@ -748,9 +851,18 @@ object Bench {
       val above = bi > 0 && ioGated(bi - 1)
       if (below || above) Some(ioSentinelSec()) else None
     }
+    // the write probe brackets the same segments as the IO probe: the
+    // write-heavy heads (stream_roundtrip, export, backfill) live in
+    // segment 0 alongside the read heads
+    def wrBoundaryAt(bi: Int): Option[Double] = {
+      val below = bi < segs.size && ioGated(bi)
+      val above = bi > 0 && ioGated(bi - 1)
+      if (below || above) Some(writeSentinelSec()) else None
+    }
     boundaries += sentinelSec()
     memBoundaries += memSentinelSec()
     ioBoundaries += ioBoundaryAt(0)
+    wrBoundaries += wrBoundaryAt(0)
     segs.zipWithIndex.foreach { case (seg, si) =>
       seg.foreach { case (name, body) =>
         // warm pass (inside timedMedian) bills Janino + C2 compile once
@@ -763,6 +875,7 @@ object Bench {
       boundaries += sentinelSec()
       memBoundaries += memSentinelSec()
       ioBoundaries += ioBoundaryAt(si + 1)
+      wrBoundaries += wrBoundaryAt(si + 1)
     }
     // effective baseline = the QUIETEST sentinel observed anywhere: if the
     // baseline window itself sat in a slow phase, a raw s0 would blind the
@@ -770,22 +883,26 @@ object Bench {
     var s0 = math.min(s0raw, boundaries.min)
     var s0io = math.min(s0ioRaw, ioBoundaries.flatten.min)
     var s0mem = math.min(s0memRaw, memBoundaries.min)
+    var s0wr = math.min(s0wrRaw, wrBoundaries.flatten.min)
     val ioDirty0 = BenchGate.dirtySegmentsSparse(ioBoundaries.toSeq, s0io, IoGateFactor)
+    val wrDirty0 = BenchGate.dirtySegmentsSparse(wrBoundaries.toSeq, s0wr, WriteGateFactor)
     var dirty =
       BenchGate.dirtySegments(boundaries.toSeq, s0, RegistryGateFactor) ++
         BenchGate.dirtySegments(memBoundaries.toSeq, s0mem, MemGateFactor) ++
-        ioDirty0
+        ioDirty0 ++ wrDirty0
     // a segment the IO gate flagged (even a CPU-bound neighbor that merely
     // shares a disturbed boundary) must be IO-bracketed on its RE-RUN too:
     // re-certifying it with the CPU sentinel alone would re-create the
     // exact blind spot this probe exists to close, one segment over
     val ioSuspect = scala.collection.mutable.Set[Int]() ++= ioDirty0
+    val wrSuspect = scala.collection.mutable.Set[Int]() ++= wrDirty0
     val windowTag = scala.collection.mutable.LinkedHashMap[String, String]()
     gatedNames.foreach(n => windowTag(n) =
       if (dirty.exists(si => segs(si).exists(_._1 == n))) "w0-noisy" else "w0")
     val rerunSentinels = scala.collection.mutable.ArrayBuffer[Double]()
     val ioRerunSentinels = scala.collection.mutable.ArrayBuffer[Double]()
     val memRerunSentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    val wrRerunSentinels = scala.collection.mutable.ArrayBuffer[Double]()
     var segmentsRerun = 0
     var rerunPass = 0
     while (dirty.nonEmpty && rerunPass < 2) {
@@ -793,9 +910,11 @@ object Bench {
       val stillDirty = scala.collection.mutable.Set[Int]()
       dirty.toSeq.sorted.foreach { si =>
         val needIo = ioGated(si) || ioSuspect(si)
+        val needWr = ioGated(si) || wrSuspect(si)
         val before = sentinelSec(); rerunSentinels += before
         val memBefore = memSentinelSec(); memRerunSentinels += memBefore
         val ioBefore = if (needIo) Some(ioSentinelSec()) else None
+        val wrBefore = if (needWr) Some(writeSentinelSec()) else None
         val old = segs(si).map { case (n, _) => (n, results(n), best(n), spread(n)) }
         segs(si).foreach { case (name, body) =>
           timedMedian(name, converge = convergedHeads(name)) { body() } }
@@ -803,17 +922,22 @@ object Bench {
         val after = sentinelSec(); rerunSentinels += after
         val memAfter = memSentinelSec(); memRerunSentinels += memAfter
         val ioAfter = if (needIo) Some(ioSentinelSec()) else None
+        val wrAfter = if (needWr) Some(writeSentinelSec()) else None
         (ioBefore.toSeq ++ ioAfter.toSeq).foreach { v =>
           ioRerunSentinels += v; s0io = math.min(s0io, v)
+        }
+        (wrBefore.toSeq ++ wrAfter.toSeq).foreach { v =>
+          wrRerunSentinels += v; s0wr = math.min(s0wr, v)
         }
         segmentsRerun += 1
         s0 = math.min(s0, math.min(before, after))
         s0mem = math.min(s0mem, math.min(memBefore, memAfter))
         val ioClean = (ioBefore.toSeq ++ ioAfter.toSeq).forall(_ <= s0io * IoGateFactor)
+        val wrClean = (wrBefore.toSeq ++ wrAfter.toSeq).forall(_ <= s0wr * WriteGateFactor)
         val memClean = memBefore <= s0mem * MemGateFactor &&
           memAfter <= s0mem * MemGateFactor
         val clean = before <= s0 * RegistryGateFactor &&
-          after <= s0 * RegistryGateFactor && ioClean && memClean
+          after <= s0 * RegistryGateFactor && ioClean && memClean && wrClean
         // host noise only inflates: per query keep the window with the
         // smaller median (the engine's demonstrated capability), best-of
         // keeps the global min, and the tag records which window won
@@ -858,16 +982,30 @@ object Bench {
     if (priorFlagged.nonEmpty) {
       val bodyOf: Map[String, () => Unit] = segs.flatten.toMap
       priorFlagged.foreach { n =>
+        // front-segment (IO/write-path) heads get the IO + WRITE probes in
+        // their re-measure bracket too: r16's export_objects_64k regression
+        // "reproduced in a clean re-measure" whose gate (CPU + mem only)
+        // was blind to the write-degraded host — exactly the certification
+        // this bracket exists to prevent
+        val isFront = gatedNames.take(frontSeg.size).contains(n)
         val before = sentinelSec(); val memBefore = memSentinelSec()
+        val ioBefore = if (isFront) Some(ioSentinelSec()) else None
+        val wrBefore = if (isFront) Some(writeSentinelSec()) else None
         val (om, ob, os) = (results(n), best(n), spread(n))
         timedMedian(n, converge = convergedHeads(n)) { bodyOf(n)() }
-        if (gatedNames.take(frontSeg.size).contains(n)) Fixtures.dropFresh()
+        if (isFront) Fixtures.dropFresh()
         val after = sentinelSec(); val memAfter = memSentinelSec()
+        val ioAfter = if (isFront) Some(ioSentinelSec()) else None
+        val wrAfter = if (isFront) Some(writeSentinelSec()) else None
         s0 = math.min(s0, math.min(before, after))
         s0mem = math.min(s0mem, math.min(memBefore, memAfter))
+        (ioBefore.toSeq ++ ioAfter.toSeq).foreach(v => s0io = math.min(s0io, v))
+        (wrBefore.toSeq ++ wrAfter.toSeq).foreach(v => s0wr = math.min(s0wr, v))
         val clean = before <= s0 * RegistryGateFactor &&
           after <= s0 * RegistryGateFactor &&
-          memBefore <= s0mem * MemGateFactor && memAfter <= s0mem * MemGateFactor
+          memBefore <= s0mem * MemGateFactor && memAfter <= s0mem * MemGateFactor &&
+          (ioBefore.toSeq ++ ioAfter.toSeq).forall(_ <= s0io * IoGateFactor) &&
+          (wrBefore.toSeq ++ wrAfter.toSeq).forall(_ <= s0wr * WriteGateFactor)
         if (clean) priorCleanRemeasure += n
         if (om >= 0 && (results(n) < 0 || om <= results(n))) {
           results(n) = om; spread(n) = os
@@ -884,6 +1022,49 @@ object Bench {
     val priorRegressed = BenchGate.regressedHeads(best, prior, PriorEnvelopeFactor)
     cdcCorpus.unpersist(blocking = false)
 
+    // APPEND-THROUGHPUT ENVELOPE RE-MEASURE (r16 gap, head-specific half):
+    // the append headline is not a timedMedian head, so the prior-envelope
+    // re-measure above never touches it. If its median-per-commit rate fell
+    // below envelope/factor of the rolling-max over gated history, run ONE
+    // extra 16-commit window at end of suite, bracketed by the write
+    // sentinel. Host noise only inflates: the BETTER window becomes the
+    // headline; a clean bracket is the only license for the publish-time
+    // ratchet guard to store a lower envelope (reproduced regression).
+    val tpEnvelope = readPriorThroughputs(sfDir)
+    def windowMedianMbps(secs: Seq[Double]): Double = {
+      val rates = secs.filter(_ > 0).map(s => payload64k / 1e6 / s).sorted
+      if (rates.isEmpty) -1.0 else rates(rates.size / 2)
+    }
+    var headlineCommitSecs: Seq[Double] = commitSecs.toSeq
+    var appendMbpsFinal = windowMedianMbps(headlineCommitSecs)
+    val tpRemeasuredClean = scala.collection.mutable.Set[String]()
+    var appendTpTag = "in-envelope"
+    var appendTpRemeasure: Seq[Double] = Seq.empty
+    if (tpEnvelope.get("append_mbps")
+          .exists(p => p > 0 && appendMbpsFinal > 0 &&
+            appendMbpsFinal * PriorStoreFactor < p)) {
+      val wb = writeSentinelSec()
+      val w = timedWindow()
+      val wa = writeSentinelSec()
+      appendTpRemeasure = w
+      s0wr = math.min(s0wr, math.min(wb, wa))
+      val clean = wb <= s0wr * WriteGateFactor && wa <= s0wr * WriteGateFactor
+      val m = windowMedianMbps(w)
+      if (m > appendMbpsFinal) {
+        headlineCommitSecs = w; appendMbpsFinal = m
+        appendTpTag = "remeasured" + (if (clean) "" else "-noisy")
+      } else appendTpTag = "suite-min" + (if (clean) "" else "-noisy")
+      if (clean) tpRemeasuredClean += "append_mbps"
+    }
+    // the derived throughput headlines re-use the seconds heads' clean
+    // re-measure verdicts (same timing, fixed denominators) — now earned
+    // against the full sentinel union including the write probe
+    Seq("scan_mbps" -> "scan_64k_batches", "export_mbps" -> "export_objects_64k",
+        "backfill_mbps" -> "backfill_objects_64k").foreach { case (tp, h) =>
+      if (priorCleanRemeasure.contains(h)) tpRemeasuredClean += tp
+    }
+    batches64k.unpersist(blocking = false)
+
     val total = results.values.filter(_ >= 0).sum
     def mbps(name: String, bytes: Long): Double = {
       val sec = results.getOrElse(name, -1.0)
@@ -896,9 +1077,19 @@ object Bench {
     val appendSec = results.getOrElse("append_events", -1.0)
     val appendRps = if (appendSec > 0) nEvents / appendSec else -1.0
     val qs = jmap(results)
-    val perCommitMbps = commitSecs.map(s => payload64k / 1e6 / s).sorted
-    val medianMbps = if (perCommitMbps.isEmpty) -1.0 else perCommitMbps(perCommitMbps.size / 2)
+    // headline window = the better of the suite window and (if the append
+    // envelope flagged) the end-of-suite re-measure window
+    val perCommitMbps = headlineCommitSecs.map(s => payload64k / 1e6 / s).sorted
+    val medianMbps = appendMbpsFinal
     val maxMbps = if (perCommitMbps.isEmpty) -1.0 else perCommitMbps.last
+    // throughput headlines as judged against the rolling-max envelope
+    val tpCurrent = Map(
+      "append_mbps" -> medianMbps,
+      "scan_mbps" -> mbps("scan_64k_batches", nCommits * payload64k),
+      "export_mbps" -> mbps("export_objects_64k", nCommits * payload64k),
+      "backfill_mbps" -> mbps("backfill_objects_64k", nCommits * payload64k))
+    val tpRegressed = BenchGate.regressedThroughput(tpCurrent, tpEnvelope,
+      PriorStoreFactor)
 
     // OUTPUT SHAPE (round 10): the harness captures only the TAIL of the run
     // output, and the round-9 headline line had grown past that window — the
@@ -923,6 +1114,15 @@ object Bench {
       s""","mem_sentinel_baseline_raw":${f3(s0memRaw)}""" +
       s""","mem_sentinel_boundaries":${jlist(memBoundaries.toSeq)}""" +
       s""","mem_sentinel_rerun":${jlist(memRerunSentinels.toSeq)}""" +
+      // write sentinel: -1.0 marks boundaries where the write probe was
+      // not measured (the bracketing segments are CPU-bound)
+      s""","write_sentinel_baseline_raw":${f3(s0wrRaw)}""" +
+      s""","write_sentinel_boundaries":${jlist(wrBoundaries.toSeq.map(_.getOrElse(-1.0)))}""" +
+      s""","write_sentinel_rerun":${jlist(wrRerunSentinels.toSeq)}""" +
+      s""","prior_tp_envelope":${jmap(tpEnvelope)}""" +
+      s""","prior_regressed_tp":${jmap(scala.collection.immutable.ListMap(tpRegressed: _*))}""" +
+      s""","append_tp_tag":"$appendTpTag"""" +
+      s""","append_tp_remeasure_secs":${jlist(appendTpRemeasure)}""" +
       s""","converged_warms":${jmap(convergedWarms)}""" +
       s""","registry_window_tags":${jmapS(windowTag)}""" +
       s""","prior_envelope":${jmap(prior.filter { case (k, _) => gatedNames.contains(k) })}""" +
@@ -957,6 +1157,8 @@ object Bench {
       s""","io_gate_factor":${f3(IoGateFactor)}""" +
       s""","mem_sentinel_s0":${f3(s0mem)}""" +
       s""","mem_gate_factor":${f3(MemGateFactor)}""" +
+      s""","write_sentinel_s0":${f3(s0wr)}""" +
+      s""","write_gate_factor":${f3(WriteGateFactor)}""" +
       s""","registry_gate_passed":$registryGatePassed""" +
       s""","registry_segments_rerun":$segmentsRerun""" +
       s""","prior_flagged_n":${priorFlagged.size}""" +
@@ -964,6 +1166,10 @@ object Bench {
       // envelope after their end-of-suite re-measure (ratios in the detail)
       s""","prior_regressed_n":${priorRegressed.size}""" +
       s""","prior_regressed_names":${jlistS(priorRegressed.map(_._1))}""" +
+      // weak THROUGHPUT headlines, in-band: figures below 1/factor of the
+      // rolling-max gated envelope after any re-measure (ratios in detail)
+      s""","prior_regressed_tp_n":${tpRegressed.size}""" +
+      s""","prior_regressed_tp_names":${jlistS(tpRegressed.map(_._1))}""" +
       s""","cdc_chunk_mbps_div16":${f3(mbps("cdc_chunk_div16", cdcBytes))}""" +
       s""","cdc_chunk_mbps_div16k":${f3(mbps("cdc_chunk_div16k", cdcBytes))}""" +
       s""","scan_mbps":${f3(mbps("scan_64k_batches", nCommits * payload64k))}""" +
@@ -983,7 +1189,8 @@ object Bench {
       // this host demonstrated anywhere in the run): what the cross-run
       // host-health check compares and what a publishing run persists
       Map("registry_sentinel_s0" -> s0, "io_sentinel_s0" -> s0io,
-        "mem_sentinel_s0" -> s0mem),
-      prior, priorCleanRemeasure.toSet, priorRegressed)
+        "mem_sentinel_s0" -> s0mem, "write_sentinel_s0" -> s0wr),
+      prior, priorCleanRemeasure.toSet, priorRegressed,
+      tpCurrent, tpEnvelope, tpRegressed, tpRemeasuredClean.toSet)
   }
 }

@@ -125,6 +125,45 @@ object BenchGate {
     }
   }
 
+  /** ROLLING envelope for HIGHER-is-better THROUGHPUT headlines (the
+    * round-16 instrument gap): `append_mbps`/`scan_mbps`/`export_mbps`/
+    * `backfill_mbps` were stored in history but never compared — r16's
+    * append slid 632 → 552 → 525 → 271 → 143 MB/s across five gated runs
+    * with zero flags, because the rolling envelope covered only the
+    * per-head SECONDS (and the append headline is not a timedMedian
+    * head). The envelope is the per-head MAX across the last N gated
+    * runs — the best throughput the engine has demonstrated. */
+  def rollingEnvelopeMax(history: Seq[Map[String, Double]]): Map[String, Double] =
+    history.flatten.filter(_._2 > 0).groupMapReduce(_._1)(_._2)(math.max)
+
+  /** Throughput heads whose current figure fell BELOW envelope/factor,
+    * with their ratios (envelope / current — how many times slower than
+    * the demonstrated best). The mirror of [[regressedHeads]] for
+    * higher-is-better figures; sorted by name for diff-stable JSON. */
+  def regressedThroughput(current: scala.collection.Map[String, Double],
+                          envelope: Map[String, Double],
+                          factor: Double): Seq[(String, Double)] = {
+    require(factor >= 1.0)
+    current.toSeq.sortBy(_._1).flatMap { case (n, v) =>
+      envelope.get(n).filter(p => p > 0 && v > 0 && v * factor < p)
+        .map(p => n -> p / v)
+    }
+  }
+
+  /** [[priorStoreValue]]'s mirror for throughput headlines: a regressed
+    * head's stored envelope contribution may not FALL below
+    * envelope/factor (which would let the envelope ratchet downward and
+    * certify the next degraded run) unless the regression reproduced in a
+    * clean re-measure. */
+  def priorStoreValueThroughput(measured: Double, envelope: Option[Double],
+                                factor: Double,
+                                remeasuredClean: Boolean): Double =
+    envelope match {
+      case Some(p) if p > 0 && measured > 0 && measured * factor < p &&
+          !remeasuredClean => p / factor
+      case _ => measured
+    }
+
   /** The value a new gated history entry stores for one head — the ratchet
     * guard's second half: a head's stored envelope contribution may not rise
     * past `factor` x the rolling min UNLESS the regression reproduced in a

@@ -2432,7 +2432,9 @@ object Fixtures {
   }
 
   /** FLAC with REAL PCM for doc `id` ([[graft.operators.MediaCodecs
-    * .encodeFlacPcm]]): `2 + id mod 3` frames of 256 samples,
+    * .encodeFlacPcm]]): `2 + id mod 3` frames of 256 samples — except
+    * ids with `id mod 5 = 4`, whose LAST frame carries only 192 (the
+    * spec's short-tail case, headed with the inline blocksize code) —
     * `1 + id mod 2` channels, 16-bit. Sample `i` of (frame f, channel c)
     * is the closed form `(id·7 + f·131 + c·17 + i·29) mod 121`, except
     * when `(id + f + c) mod 4 = 0` the whole channel holds the constant
@@ -2442,16 +2444,18 @@ object Fixtures {
     val nFrames = (2 + id % 3).toInt
     val nCh = (1 + id % 2).toInt
     val frames = (0 until nFrames).map { f =>
+      val bs = if (id % 5 == 4 && f == nFrames - 1) 192 else 256
       (0 until nCh).map { c =>
-        if ((id + f + c) % 4 == 0) Array.fill(256)((id % 121).toInt)
-        else Array.tabulate(256)(i =>
+        if ((id + f + c) % 4 == 0) Array.fill(bs)((id % 121).toInt)
+        else Array.tabulate(bs)(i =>
           ((id * 7 + f * 131 + c * 17 + i * 29) % 121).toInt)
       }
     }
     // the encoding VARIES by id while the oracle stays decode-side — every
     // layout must reproduce the same closed-form samples: odd ids encode
     // FIXED (order id mod 5) or, when id mod 7 = 3, LPC (coefs [2,-1],
-    // shift 0); rice residuals in 2^((id/2) mod 3) partitions; 2-channel
+    // shift 0); rice residuals in 2^((id/2) mod 3) partitions — ESCAPE
+    // (raw 13-bit) coded for odd ids with id mod 10 = 7; 2-channel
     // ids with id mod 3 > 0 stereo-decorrelate (left/side, side/right,
     // mid/side cycling); even ids stay VERBATIM; constant channels encode
     // CONSTANT everywhere
@@ -2461,7 +2465,8 @@ object Fixtures {
       fixedOrder = if (id % 2 == 1) (id % 5).toInt else -1,
       riceK = 6, partitionOrder = ((id / 2) % 3).toInt,
       lpc = if (id % 7 == 3) Some((Seq(2, -1), 0, 5)) else None,
-      stereo = if (nCh == 2 && id % 3 > 0) (8 + ((id / 3) % 3)).toInt else -1)
+      stereo = if (nCh == 2 && id % 3 > 0) (8 + ((id / 3) % 3)).toInt else -1,
+      escapeBits = if (id % 10 == 7) 13 else -1)
   }
 
   /** Batch-admin fixture: a fresh catalog driven through a mixed

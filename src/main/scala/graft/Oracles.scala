@@ -2386,14 +2386,20 @@ object Oracles {
     * samples must equal the generator's — sample `i` of (frame f,
     * channel c) is `(id·7 + f·131 + c·17 + i·29) mod 121`, or the
     * constant `id mod 121` when `(id+f+c) mod 4 = 0` (the CONSTANT
-    * subframe case). The oracle regenerates all 256 samples per channel
-    * and aggregates — REAL sample decode checked sample-by-sample in
-    * aggregate. */
+    * subframe case). Ids with `id mod 5 = 4` end in a SHORT 192-sample
+    * last frame (inline-blocksize header); ids with `id mod 10 = 7`
+    * encode ESCAPE (raw-bits) rice partitions — the oracle stays
+    * decode-side, so every layout must reproduce the same samples. The
+    * oracle regenerates all samples per channel and aggregates — REAL
+    * sample decode checked sample-by-sample in aggregate. */
   private val multimodalFlacPcm =
     """WITH fr AS (
       |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS f FROM documents),
       |ch AS (SELECT doc_id, f, unnest(range(0, 1 + doc_id % 2)) AS c FROM fr),
-      |sm AS (SELECT doc_id, f, c, unnest(range(0, 256)) AS i FROM ch),
+      |sm AS (SELECT doc_id, f, c,
+      |         unnest(range(0, CASE WHEN doc_id % 5 = 4 AND f = 1 + doc_id % 3
+      |                              THEN 192 ELSE 256 END)) AS i
+      |       FROM ch),
       |v AS (SELECT doc_id, f, c, i,
       |        CASE WHEN (doc_id + f + c) % 4 = 0 THEN doc_id % 121
       |             ELSE (doc_id * 7 + f * 131 + c * 17 + i * 29) % 121

@@ -116,7 +116,19 @@ object Soak {
     Seq("dedup_minhash", "sim_ivf_pq").foreach { q =>
       head(q) { dir => force(SparkEntry.queries(q)(spark, dir)) }
     }
-    // 5. backfill: export reference-layout objects (untimed), land them at
+    // 5. export: re-encode the committed stream as reference-layout tiered
+    //    objects (fetch + per-batch FlatRecordBatch encode), forced by the
+    //    metadata aggregate so no object bytes cross to the driver — the
+    //    r16 bench's worst head joins the soak so a super-linear export
+    //    path can never hide behind the other heads again
+    head("export_objects") { dir =>
+      val st = streamOf(dir)
+      graft.eslog.EsLog.exportObjects(spark, st, 0L,
+        graft.meta.MetaLog.load(st).nextOffset)
+        .agg(sum(col("data_len")), count(lit(1))).collect()
+      ()
+    }
+    // 6. backfill: export reference-layout objects (untimed), land them at
     //    original offsets under imported boundaries (timed)
     val obj1 = java.nio.file.Files.createTempDirectory("soak-obj1-").toString + "/b"
     val objN = java.nio.file.Files.createTempDirectory("soak-objN-").toString + "/b"

@@ -2088,11 +2088,14 @@ object SparkEntry {
   }
 
   /** REAL FLAC PCM decode ([[graft.operators.MediaCodecs.decodeFlacPcm]]):
-    * genuine frames with spec-true CONSTANT/VERBATIM subframes are
-    * bit-unpacked to actual samples (frame CRC-16 validated), reduced per
-    * (frame, channel) to `(n_samples, sum_pcm, peak)` the oracle
-    * recomputes from the generator's closed form — sample-level decode,
-    * not container metadata. FIXED/LPC stays the loud codec boundary. */
+    * genuine frames with spec-true CONSTANT/VERBATIM/FIXED/LPC subframes
+    * — rice residuals in partitions, including ESCAPE (raw-bits) coded
+    * ones, all three stereo decorrelations, short inline-blocksize last
+    * frames — are bit-unpacked to actual samples (frame CRC-16
+    * validated), reduced per (frame, channel) to `(n_samples, sum_pcm,
+    * peak)` the oracle recomputes from the generator's closed form —
+    * sample-level decode, not container metadata. The loud boundary is
+    * reserved codes and variable-blocksize streams. */
   private def qMultimodalFlacPcm(s: SparkSession, sfDir: String): DataFrame = {
     import s.implicits._
     Fixtures.documents(s, sfDir).select(col("doc_id")).as[Long]

@@ -682,15 +682,21 @@ object EsLog {
             val sid = rs.head.stream_id
             val range = rs.head.range_index
             val frames = Vector.newBuilder[Array[Byte]]
+            val ends = Vector.newBuilder[Long]
             var bytes = 0
             while (rs.hasNext && rs.head.range_index == range &&
               (bytes == 0 || bytes < maxObjectBytes)) {
-              val f = graft.model.FlatRecordBatch.encode(rs.next())
+              val r = rs.next()
+              val f = graft.model.FlatRecordBatch.encode(r)
               frames += f
+              // the end offset is in hand — encodeWithOffsets skips the
+              // per-frame re-decode (a second full-corpus payload copy;
+              // measured ~23% GC share on the export head before r17)
+              ends += r.base_offset + r.last_offset_delta
               bytes += f.length
             }
-            val (obj, meta) =
-              graft.model.TieredObject.encode(frames.result(), startOff, sparseBytes)
+            val (obj, meta) = graft.model.TieredObject.encodeWithOffsets(
+              frames.result(), ends.result(), startOff, sparseBytes)
             (sid, range, meta.startOffset, meta.endOffset, meta.dataLen, obj)
           }
         }

@@ -82,17 +82,38 @@ object TieredObject {
     */
   def encode(entries: Seq[Array[Byte]], startOffset: Long,
              sparseBytes: Int = DefaultSparseBytes): (Array[Byte], ObjectMeta) = {
+    // entries of unknown provenance: recover each end offset by decoding
+    // the frame (validates framing as a side effect). Callers that already
+    // KNOW the offsets should use [[encodeWithOffsets]] — this path copies
+    // every payload once more just to read two meta fields, which measured
+    // as ~a quarter of the export head's time in GC (round 17).
+    val ends = entries.map { e =>
+      val (row, consumed) = FlatRecordBatch.decodeOne(e, 0)
+      require(consumed == e.length, s"entry has trailing bytes: $consumed != ${e.length}")
+      row.base_offset + row.last_offset_delta
+    }
+    encodeWithOffsets(entries, ends, startOffset, sparseBytes)
+  }
+
+  /** [[encode]] for callers that already know each entry's logical END
+    * offset (`base_offset + last_offset_delta`) — the export/offload path
+    * encodes rows it holds in hand, so re-decoding every frame (a full
+    * payload copy + FlatBuffers walk per entry, allocating the corpus a
+    * second time) was pure churn. Byte-identical output to [[encode]]. */
+  def encodeWithOffsets(entries: Seq[Array[Byte]], endOffsets: Seq[Long],
+                        startOffset: Long,
+                        sparseBytes: Int = DefaultSparseBytes): (Array[Byte], ObjectMeta) = {
     require(entries.nonEmpty, "empty object")
+    require(entries.size == endOffsets.size,
+      s"${entries.size} entries vs ${endOffsets.size} end offsets")
     val dataLen = entries.iterator.map(_.length).sum
     val index = ByteBuffer.allocate(16 * (dataLen / math.max(1, sparseBytes) + 1))
       .order(ByteOrder.BIG_ENDIAN)
     var passThrough = 0L
     var position = 0
     var endOffset = startOffset
-    entries.foreach { e =>
-      val (row, consumed) = FlatRecordBatch.decodeOne(e, 0)
-      require(consumed == e.length, s"entry has trailing bytes: $consumed != ${e.length}")
-      endOffset = row.base_offset + row.last_offset_delta
+    entries.zip(endOffsets).foreach { case (e, eo) =>
+      endOffset = eo
       if (passThrough >= sparseBytes) {
         index.putInt((endOffset - startOffset).toInt)
         index.putInt(position)

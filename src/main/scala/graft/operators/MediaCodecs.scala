@@ -821,7 +821,15 @@ object MediaCodecs {
                             require(e - s >= 8 + 8 * n, s"co64 table overruns: $n entries")
                             chunkOffs = (0 until n.toInt).map { i =>
                               val o = be64(bytes, s + 8 + 8 * i)
-                              require(o >= 0, s"negative co64 offset at $i"); o
+                              // bound at parse time: a forged offset near
+                              // Long.MaxValue would otherwise overflow the
+                              // later off+sz range check into a negative
+                              // (passing) sum — the range require below is
+                              // also written overflow-free, but failing at
+                              // the forged table is the louder message
+                              require(o >= 0 && o <= bytes.length,
+                                s"co64 offset $o at $i outside the ${bytes.length}-byte file")
+                              o
                             }
                           case ("stss", s, e) =>
                             require(e - s >= 8, "stss too short")
@@ -890,8 +898,12 @@ object MediaCodecs {
                 var j = 0L
                 while (j < spc && si < nSamples) {
                   val sz = sizes(si)
-                  require(off >= 0 && sz >= 0 && off + sz <= bytes.length,
-                    s"track $trackId sample $si range [$off, ${off + sz}) " +
+                  // overflow-free form: `off + sz <= length` wraps negative
+                  // (and passes) for a forged off near Long.MaxValue; every
+                  // term here compares against the file length directly
+                  require(off >= 0 && off <= bytes.length &&
+                    sz >= 0 && sz <= bytes.length - off,
+                    s"track $trackId sample $si range [$off, +$sz) " +
                       s"outside the ${bytes.length}-byte file")
                   out += Mp4Sample(trackId, si.toLong, off, sz, dts(si), pts(si),
                     isSync = syncSet.forall(_.contains(si + 1L)))
@@ -1242,19 +1254,26 @@ object MediaCodecs {
     * `fixedOrder` 0-4, non-constant channels encode as FIXED-predictor
     * subframes: warm-up samples raw, order-k residuals rice-coded
     * (zigzag fold, unary quotient + `riceK` low bits) in
-    * `2^partitionOrder` partitions — the spec's method-00 layout. LPC
-    * stays out of scope, loudly. */
+    * `2^partitionOrder` partitions — the spec's method-00 layout. With
+    * `escapeBits` >= 0, every partition is ESCAPE-coded instead: the
+    * parameter field carries the all-ones escape, 5 bits give n =
+    * escapeBits, and the residuals follow as raw n-bit signed numbers.
+    * The LAST frame may carry fewer than `blockSize` samples — it is
+    * then headed with the inline 16-bit blocksize code (7), the way a
+    * real fixed-blocksize stream ends mid-block. */
   def encodeFlacPcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
                     blockSize: Int,
                     samples: Seq[Seq[Array[Int]]],
                     fixedOrder: Int = -1, riceK: Int = 6,
                     partitionOrder: Int = 0,
                     lpc: Option[(Seq[Int], Int, Int)] = None,
-                    stereo: Int = -1): Array[Byte] = {
+                    stereo: Int = -1,
+                    escapeBits: Int = -1): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20))
     require(channels >= 1 && channels <= 8)
     require(bitsPerSample >= 4 && bitsPerSample <= 24)
     require(fixedOrder <= 4 && riceK >= 0 && riceK <= 14 && partitionOrder >= 0)
+    require(escapeBits <= 31, s"escape n is a 5-bit field, got $escapeBits")
     val predOrder = lpc.map(_._1.size).getOrElse(math.max(fixedOrder, 0))
     if (fixedOrder >= 0 || lpc.isDefined) {
       require(blockSize % (1 << partitionOrder) == 0 &&
@@ -1269,13 +1288,17 @@ object MediaCodecs {
     }
     require(stereo == -1 || (stereo >= 8 && stereo <= 10 && channels == 2),
       s"stereo decorrelation code $stereo needs exactly 2 channels")
-    samples.foreach { fr =>
+    samples.zipWithIndex.foreach { case (fr, i) =>
       require(fr.size == channels, s"frame has ${fr.size} channels, want $channels")
-      fr.foreach(ch => require(ch.length == blockSize,
-        s"channel carries ${ch.length} samples, want $blockSize"))
+      val frBs = fr.head.length
+      fr.foreach(ch => require(ch.length == frBs,
+        s"frame $i channels disagree on sample count"))
+      require(frBs == blockSize ||
+        (i == samples.size - 1 && frBs >= 1 && frBs < blockSize),
+        s"frame $i carries $frBs samples, want $blockSize (only the last may be short)")
     }
     val bsCode = flacBlocksizeCode(blockSize)
-    val totalSamples = blockSize.toLong * samples.size
+    val totalSamples = samples.map(_.head.length.toLong).sum
     val head = ByteBuffer.allocate(4 + 4 + 34)
     head.put(asciiBytes("fLaC"))
     head.put(0x80.toByte)                  // LAST | type 0 = STREAMINFO
@@ -1288,14 +1311,23 @@ object MediaCodecs {
     val out = new java.io.ByteArrayOutputStream()
     out.write(head.array(), 0, head.array().length)
     samples.zipWithIndex.foreach { case (fr, i) =>
+      val frBs = fr.head.length
+      val shortFrame = frBs != blockSize
       val num = flacUtf8Encode(i.toLong)
-      val hdr = new Array[Byte](4 + num.length + 1)
+      // a short (last) frame heads with the inline 16-bit blocksize code;
+      // the inline value rides AFTER the coded frame number, per spec
+      val inline: Array[Byte] =
+        if (!shortFrame) Array.emptyByteArray
+        else Array((((frBs - 1) >> 8) & 0xff).toByte, ((frBs - 1) & 0xff).toByte)
+      val frameBsCode = if (shortFrame) 7 else bsCode
+      val hdr = new Array[Byte](4 + num.length + inline.length + 1)
       hdr(0) = 0xff.toByte
       hdr(1) = 0xf8.toByte
-      hdr(2) = ((bsCode << 4) | 0).toByte
+      hdr(2) = ((frameBsCode << 4) | 0).toByte
       val chanCode = if (stereo >= 8) stereo else channels - 1
       hdr(3) = ((chanCode << 4) | 0).toByte
       System.arraycopy(num, 0, hdr, 4, num.length)
+      System.arraycopy(inline, 0, hdr, 4 + num.length, inline.length)
       hdr(hdr.length - 1) = flacCrc8(hdr, 0, hdr.length - 1).toByte
       // stereo decorrelation transforms the two channels before subframe
       // coding; the side (difference) channel carries one extra bit
@@ -1303,15 +1335,15 @@ object MediaCodecs {
         case 8 => // left/side
           val Seq(l, r) = fr
           Seq((l, bitsPerSample),
-            (Array.tabulate(blockSize)(j => l(j) - r(j)), bitsPerSample + 1))
+            (Array.tabulate(frBs)(j => l(j) - r(j)), bitsPerSample + 1))
         case 9 => // side/right (stored side first per spec)
           val Seq(l, r) = fr
-          Seq((Array.tabulate(blockSize)(j => l(j) - r(j)), bitsPerSample + 1),
+          Seq((Array.tabulate(frBs)(j => l(j) - r(j)), bitsPerSample + 1),
             (r, bitsPerSample))
         case 10 => // mid/side
           val Seq(l, r) = fr
-          Seq((Array.tabulate(blockSize)(j => (l(j) + r(j)) >> 1), bitsPerSample),
-            (Array.tabulate(blockSize)(j => l(j) - r(j)), bitsPerSample + 1))
+          Seq((Array.tabulate(frBs)(j => (l(j) + r(j)) >> 1), bitsPerSample),
+            (Array.tabulate(frBs)(j => l(j) - r(j)), bitsPerSample + 1))
         case _ => fr.map(ch => (ch, bitsPerSample))
       }
       val bw = new BitWriter
@@ -1319,12 +1351,32 @@ object MediaCodecs {
         def writeResiduals(order: Int, res: Seq[Long]): Unit = {
           bw.write(0L, 2)                          // rice, 4-bit params
           bw.write(partitionOrder.toLong, 4)
-          val partSize = blockSize >> partitionOrder
+          require(frBs % (1 << partitionOrder) == 0,
+            s"partition order $partitionOrder does not divide the $frBs-sample frame")
+          val partSize = frBs >> partitionOrder
           var at = 0
           (0 until (1 << partitionOrder)).foreach { p =>
             val count = if (p == 0) partSize - order else partSize
-            bw.write(riceK.toLong, 4)
-            riceWrite(bw, res.slice(at, at + count), riceK)
+            if (escapeBits >= 0) {
+              // escape-coded partition: all-ones parameter, then 5-bit n,
+              // then raw n-bit signed residuals (n = 0 writes nothing and
+              // means all-zero — only valid if the residuals ARE zero)
+              bw.write(0xfL, 4)
+              bw.write(escapeBits.toLong, 5)
+              res.slice(at, at + count).foreach { r =>
+                if (escapeBits == 0) require(r == 0L,
+                  s"escape n=0 encodes only zero residuals, got $r")
+                else {
+                  require(r >= -(1L << (escapeBits - 1)) &&
+                    r < (1L << (escapeBits - 1)),
+                    s"residual $r exceeds $escapeBits-bit signed")
+                  bw.write(r & ((1L << escapeBits) - 1), escapeBits)
+                }
+              }
+            } else {
+              bw.write(riceK.toLong, 4)
+              riceWrite(bw, res.slice(at, at + count), riceK)
+            }
             at += count
           }
         }
@@ -1343,7 +1395,7 @@ object MediaCodecs {
           bw.write((precision - 1).toLong, 4)
           bw.write(shift.toLong, 5)
           coefs.foreach(c => bw.write(c.toLong & ((1L << precision) - 1), precision))
-          val res = (order until blockSize).map { j =>
+          val res = (order until frBs).map { j =>
             val pred = coefs.zipWithIndex.map { case (c, t) =>
               c.toLong * ch(j - 1 - t) }.sum >> shift
             ch(j).toLong - pred
@@ -1356,7 +1408,7 @@ object MediaCodecs {
           val coefs = FixedCoefs(fixedOrder)
           (0 until fixedOrder).foreach(j =>
             bw.write(ch(j).toLong & ((1L << bps) - 1), bps))
-          val res = (fixedOrder until blockSize).map { j =>
+          val res = (fixedOrder until frBs).map { j =>
             ch(j).toLong - coefs.zipWithIndex.map { case (c, t) =>
               c.toLong * ch(j - 1 - t) }.sum
           }
@@ -1417,15 +1469,17 @@ object MediaCodecs {
 
   /** REAL FLAC sample decode: walk frame headers (sync + CRC-8 like
     * [[flacFrameIndex]]), then decode each channel's subframe bit-exactly
-    * — CONSTANT (one value), VERBATIM (raw signed bps-bit PCM), and
-    * FIXED orders 0-4 (warm-ups + rice-coded residuals in 2^p partitions,
-    * both 4- and 5-bit parameter methods, integrated through the spec's
-    * fixed polynomial predictors) — wasted-bits shifts honored — and
-    * validate the frame footer CRC-16 over the whole frame. LPC subframes
-    * and escape-coded partitions throw loudly: that is the codec
-    * boundary, stated, not faked. Unlike [[flacFrameIndex]]'s resync
-    * scan, this walk KNOWS each frame's length (it decoded the bits), so
-    * it steps frame to frame exactly. */
+    * — CONSTANT (one value), VERBATIM (raw signed bps-bit PCM), FIXED
+    * orders 0-4, and LPC orders 1-32 (warm-ups + quantized coefficients +
+    * rice-coded residuals in 2^p partitions, both 4- and 5-bit parameter
+    * methods INCLUDING escape-coded (raw n-bit verbatim) partitions,
+    * integrated through the predictor) — wasted-bits shifts and all three
+    * stereo decorrelation modes honored — and validate the frame footer
+    * CRC-16 over the whole frame. The remaining loud boundary is reserved
+    * subframe/residual-method codes and variable-blocksize streams.
+    * Unlike [[flacFrameIndex]]'s resync scan, this walk KNOWS each
+    * frame's length (it decoded the bits), so it steps frame to frame
+    * exactly. */
   def decodeFlacPcm(bytes: Array[Byte]): Seq[FlacPcmFrame] = {
     val si = decodeFlac(bytes)
     var p = 4
@@ -1460,10 +1514,15 @@ object MediaCodecs {
       }
       val (num, numLen) = flacUtf8Decode(bytes, p + 4)
       var q = p + 4 + numLen
+      // a truncated file must fail with the module's messaged require, not
+      // a bare ArrayIndexOutOfBounds from the inline-field reads below
+      // (headerAt in flacFrameIndex already had this bounds discipline)
+      def needHdr(k: Int): Unit = require(q + k <= bytes.length,
+        s"frame header at $frameStart truncated at byte $q")
       val blockSize = bsCode match {
         case 1 => 192
-        case 6 => { val v = (bytes(q) & 0xff) + 1; q += 1; v }
-        case 7 => { val v = (((bytes(q) & 0xff) << 8) | (bytes(q + 1) & 0xff)) + 1; q += 2; v }
+        case 6 => { needHdr(1); val v = (bytes(q) & 0xff) + 1; q += 1; v }
+        case 7 => { needHdr(2); val v = (((bytes(q) & 0xff) << 8) | (bytes(q + 1) & 0xff)) + 1; q += 2; v }
         case n if n >= 2 && n <= 5 => 576 << (n - 2)
         case n if n >= 8 => 256 << (n - 8)
         case _ => throw new IllegalArgumentException(s"reserved blocksize code at $p")
@@ -1473,6 +1532,7 @@ object MediaCodecs {
         case 13 | 14 => q += 2
         case _ => ()
       }
+      needHdr(1)
       require(flacCrc8(bytes, frameStart, q) == (bytes(q) & 0xff),
         s"frame header CRC-8 mismatch at $frameStart")
       q += 1
@@ -1509,12 +1569,21 @@ object MediaCodecs {
           var at = order
           (0 until (1 << pOrder)).foreach { p =>
             val k = br.read(paramBits).toInt
-            require(k != escape,
-              "escape-coded (raw-bits) rice partitions are out of the " +
-                "supported subset — a real codec's job, stated loudly")
             val count = if (p == 0) partSize - order else partSize
-            var i = 0
-            while (i < count) { s(at) = riceRead(br, k); at += 1; i += 1 }
+            if (k == escape) {
+              // escape-coded partition: the 5 bits after the escape give n,
+              // then the residuals are raw n-bit signed numbers (n = 0 means
+              // every residual in the partition is zero — no bits follow)
+              val n = br.read(5).toInt
+              var i = 0
+              while (i < count) {
+                s(at) = if (n == 0) 0L else br.readSigned(n)
+                at += 1; i += 1
+              }
+            } else {
+              var i = 0
+              while (i < count) { s(at) = riceRead(br, k); at += 1; i += 1 }
+            }
           }
         }
         def shifted(s: Array[Long]): Array[Int] = {
@@ -1601,7 +1670,11 @@ object MediaCodecs {
       val stored = ((bytes(frameEnd) & 0xff) << 8) | (bytes(frameEnd + 1) & 0xff)
       require(crc == stored,
         f"frame CRC-16 mismatch at $frameStart: computed $crc%04x stored $stored%04x")
-      val sampleOffset = if (variable) num else num * blockSize
+      // fixed strategy: offset = frame number x the STREAM's constant block
+      // size (STREAMINFO), not this frame's own — the LAST frame of a
+      // fixed-blocksize stream may be shorter (inline code 6/7), and
+      // num x shortBlock would misplace it
+      val sampleOffset = if (variable) num else num * si.maxBlock
       out += FlacPcmFrame(out.size.toLong, sampleOffset, chans)
       p = frameEnd + 2
     }
@@ -1673,7 +1746,13 @@ object MediaCodecs {
     while (p < bytes.length) {
       headerAt(p) match {
         case Some((num, variable, bs, hdrLen)) =>
-          val sampleOffset = if (variable) num else num * bs
+          // fixed strategy: offset = frame number x the STREAM block size
+          // (a fixed-blocksize stream's LAST frame may be shorter, coded
+          // inline — multiplying by its own bs would misplace it). The
+          // STREAMINFO constant is authoritative when it is known; a
+          // degenerate header (maxBlock 0 = unknown) falls back to bs.
+          val streamBs = if (si.maxBlock > 0) si.maxBlock else bs
+          val sampleOffset = if (variable) num else num * streamBs
           out += FlacFrame(idx, num, p.toLong, sampleOffset, bs, hdrLen)
           idx += 1
           p += hdrLen

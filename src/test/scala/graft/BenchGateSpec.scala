@@ -214,6 +214,64 @@ class BenchGateSpec extends AnyFunSuite {
       remeasuredClean = false) === -1.0)
   }
 
+  test("replayed r16 append slide: the throughput envelope flags it at the third slide step") {
+    // The round-16 failure, to shape: append_mbps slid 632 -> 552 -> 525 ->
+    // 271 -> 143 MB/s across five consecutive gated runs with ZERO flags —
+    // the throughput headlines were stored in history but never compared
+    // (the rolling envelope covered only per-head seconds, and the append
+    // headline is not a timedMedian head). Against the rolling MAX at
+    // factor 2.0, the 271 run (third slide step) flags at 2.33x.
+    val slide = Seq(632.0, 552.0, 525.0, 271.0, 143.0)
+    var hist = Seq.empty[Map[String, Double]]
+    val flaggedAt = scala.collection.mutable.ArrayBuffer[Int]()
+    slide.zipWithIndex.foreach { case (v, i) =>
+      val env = BenchGate.rollingEnvelopeMax(hist)
+      if (BenchGate.regressedThroughput(Map("append_mbps" -> v), env, 2.0).nonEmpty)
+        flaggedAt += i
+      // un-reproduced regressions store at the envelope/factor FLOOR, so a
+      // degraded run cannot drag the envelope down for the next one
+      val stored = BenchGate.priorStoreValueThroughput(v, env.get("append_mbps"),
+        2.0, remeasuredClean = false)
+      hist = (hist :+ Map("append_mbps" -> stored)).takeRight(5)
+    }
+    assert(flaggedAt.toSeq === Seq(3, 4), s"271 and 143 must flag, got $flaggedAt")
+    // the floor guard held the envelope at 316 (632/2) through both
+    // regressed runs — the 143 run was judged against the healthy best
+    assert(BenchGate.rollingEnvelopeMax(hist)("append_mbps") === 632.0)
+    // ratios name the magnitude: 632/143 = 4.4x for the artifact-of-record run
+    val reg = BenchGate.regressedThroughput(Map("append_mbps" -> 143.0),
+      BenchGate.rollingEnvelopeMax(hist), 2.0)
+    assert(math.abs(reg.head._2 - 632.0 / 143.0) < 1e-9)
+  }
+
+  test("throughput store value: regressions floor at envelope/factor unless reproduced clean") {
+    // regressed + NOT reproduced: stored at the floor, envelope protected
+    assert(BenchGate.priorStoreValueThroughput(143.0, Some(632.0), 2.0,
+      remeasuredClean = false) === 316.0)
+    // regressed + reproduced in a clean write-sentinel bracket: honest store
+    assert(BenchGate.priorStoreValueThroughput(143.0, Some(632.0), 2.0,
+      remeasuredClean = true) === 143.0)
+    // within the factor / faster: stored as measured (envelope may rise)
+    assert(BenchGate.priorStoreValueThroughput(525.0, Some(632.0), 2.0,
+      remeasuredClean = false) === 525.0)
+    assert(BenchGate.priorStoreValueThroughput(700.0, Some(632.0), 2.0,
+      remeasuredClean = false) === 700.0)
+    // new headline (no envelope) or failed figures: measured seeds / loud -1
+    assert(BenchGate.priorStoreValueThroughput(500.0, None, 2.0,
+      remeasuredClean = false) === 500.0)
+    assert(BenchGate.priorStoreValueThroughput(-1.0, Some(632.0), 2.0,
+      remeasuredClean = false) === -1.0)
+    // rolling max ignores failed entries and keeps the best demonstrated
+    assert(BenchGate.rollingEnvelopeMax(Seq(
+      Map("a" -> 100.0, "b" -> -1.0),
+      Map("a" -> 250.0, "b" -> 80.0))) === Map("a" -> 250.0, "b" -> 80.0))
+    // faster-than-envelope figures never flag; exactly at the bar is clean
+    assert(BenchGate.regressedThroughput(Map("a" -> 316.0),
+      Map("a" -> 632.0), 2.0).isEmpty)
+    assert(BenchGate.regressedThroughput(Map("a" -> 315.9),
+      Map("a" -> 632.0), 2.0).map(_._1) === Seq("a"))
+  }
+
   test("creeping regression under the factor: the cap bounds envelope growth per gated run") {
     // a head degrading 1.9x per run never flags the per-run check, but with
     // min-of-N history the envelope lags N runs behind; verify the window

@@ -39,6 +39,28 @@ class InteropSpec extends AnyFunSuite {
     assert(TieredObject.FooterMagic === 0x88e241b785f4cff7L) // object.rs:5
   }
 
+  test("encodeWithOffsets is byte-identical to encode (the export fast path)") {
+    // the export path hands encode the end offsets it already knows; the
+    // output (index entries included) must not differ by a byte from the
+    // decode-recovered path — varied payload sizes so the sparse index
+    // actually places entries
+    val rows = (0L until 9L).map(i => RecordBatchRow(
+      7L, 0, 0, i * 3, 3, 1000L + i, Map("k" -> s"v$i"),
+      Array.fill[Byte](20 + (i % 4).toInt * 33)((i % 97).toByte)))
+    val frames = rows.map(FlatRecordBatch.encode)
+    val ends = rows.map(r => r.base_offset + r.last_offset_delta)
+    Seq(1, 64, 100000).foreach { sb =>
+      val (a, ma) = TieredObject.encode(frames, startOffset = 0L, sparseBytes = sb)
+      val (b, mb) = TieredObject.encodeWithOffsets(frames, ends, 0L, sparseBytes = sb)
+      assert(a.toSeq === b.toSeq, s"sparseBytes=$sb")
+      assert(ma === mb.copy(sparseIndex = ma.sparseIndex), s"sparseBytes=$sb")
+      assert(ma.sparseIndex.toSeq === mb.sparseIndex.toSeq, s"sparseBytes=$sb")
+    }
+    // mismatched lengths are loud
+    intercept[IllegalArgumentException](
+      TieredObject.encodeWithOffsets(frames, ends.init, 0L))
+  }
+
   test("object sparse index: entries land after sparseBytes pass through, like gen_sparse_index") {
     // 5 equal records; sparseBytes = 2 records' worth => pass-through resets
     // exactly as range_offload.rs:383-427 walks it

@@ -571,6 +571,21 @@ class MediaCodecsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](MediaCodecs.mp4SampleTable(bad))
     assert(e.getMessage.contains("overruns") || e.getMessage.contains("exhausts") ||
       e.getMessage.contains("covers"), e.getMessage)
+    // a forged co64 offset near Long.MaxValue must fail LOUDLY at parse —
+    // the naive `off + sz <= length` range check would Long-overflow to a
+    // negative (passing) sum and emit samples with wild byte ranges
+    val specs64 = Seq(MediaCodecs.Mp4SampleSpec(
+      MediaCodecs.Mp4Track("vide", "avc1", 64, 48, 600L, 300L, 3L),
+      Seq(2, 2, 2), samplesPerChunk = 3))
+    val ok64 = MediaCodecs.encodeMp4Samples("isom", 600L, 300L, specs64,
+      useCo64 = true)
+    val co64At = ok64.indexOfSlice("co64".getBytes("US-ASCII"))
+    assert(co64At > 0)
+    val evil64 = ok64.clone()
+    // fourcc(4) + version/flags(4) + entry_count(4) -> first 64-bit entry
+    java.nio.ByteBuffer.wrap(evil64, co64At + 12, 8).putLong(Long.MaxValue - 1)
+    val e64 = intercept[IllegalArgumentException](MediaCodecs.mp4SampleTable(evil64))
+    assert(e64.getMessage.contains("co64 offset"), e64.getMessage)
   }
 
   test("FLAC frame index: offsets, sample offsets, multi-byte frame numbers, CRC resync") {
@@ -742,19 +757,61 @@ class MediaCodecsSpec extends AnyFunSuite {
     val verbatim = MediaCodecs.encodeFlacPcm(16000, 1, 16, 256, Seq(Seq(smooth)))
     assert(fixed2.length < verbatim.length / 3,
       s"fixed ${fixed2.length} vs verbatim ${verbatim.length}")
-    // an escape-coded partition is a loud boundary (param 15 under method 00)
-    val flac = MediaCodecs.encodeFlacPcm(16000, 1, 16, 256,
-      Seq(Seq(ch0)), fixedOrder = 1, riceK = 8)
-    val hdrAt = MediaCodecs.flacFrameIndex(flac).head.byteOffset.toInt
-    // subframe header (1B at +6) + warm-up (2B) + method+partition (6 bits)
-    // + 4-bit param starting at bit 6 of byte +9: set param bits to 1111
-    val forged = flac.clone()
-    forged(hdrAt + 9) = (forged(hdrAt + 9) | 0x03).toByte
-    forged(hdrAt + 10) = (forged(hdrAt + 10) | 0xc0).toByte
-    val e = intercept[IllegalArgumentException](MediaCodecs.decodeFlacPcm(forged))
-    assert(e.getMessage.contains("escape") || e.getMessage.contains("CRC-16") ||
-      e.getMessage.contains("exhausted") || e.getMessage.contains("runaway"),
-      e.getMessage)
+    // ESCAPE-coded (raw n-bit verbatim) partitions round-trip bit-exactly —
+    // the one residual layout that used to be a loud boundary, now decoded:
+    // param = all-ones, 5-bit n, then raw n-bit signed residuals
+    (0 to 4).foreach { order =>
+      Seq(0, 2).foreach { pOrder =>
+        Seq(13, 15).foreach { nBits => // order-4 residuals reach ~±3200
+          val flac = MediaCodecs.encodeFlacPcm(16000, 2, 16, 256,
+            Seq(Seq(ch0, ch1)), fixedOrder = order, partitionOrder = pOrder,
+            escapeBits = nBits)
+          val frames = MediaCodecs.decodeFlacPcm(flac)
+          assert(frames.head.channels(0).toSeq === ch0.toSeq,
+            s"escape o=$order p=$pOrder n=$nBits")
+          assert(frames.head.channels(1).toSeq === ch1.toSeq,
+            s"escape o=$order p=$pOrder n=$nBits")
+        }
+      }
+    }
+    // escape composes with LPC and with stereo decorrelation
+    val l = ch0; val r = Array.tabulate(256)(i => ((i * 53) % 337) - 168)
+    Seq(8, 9, 10).foreach { mode =>
+      val flac = MediaCodecs.encodeFlacPcm(16000, 2, 16, 256, Seq(Seq(l, r)),
+        stereo = mode, lpc = Some((Seq(2, -1), 0, 5)), escapeBits = 12)
+      val got = MediaCodecs.decodeFlacPcm(flac).head.channels
+      assert(got(0).toSeq === l.toSeq, s"escape+lpc stereo $mode")
+      assert(got(1).toSeq === r.toSeq, s"escape+lpc stereo $mode")
+    }
+    // escape n=0 means an all-zero partition with NO residual bits: a
+    // constant-slope ramp has exactly zero order-1... order-2 residuals
+    val ramp = Array.tabulate(256)(i => 100 + 5 * i)
+    val z = MediaCodecs.encodeFlacPcm(16000, 1, 16, 256, Seq(Seq(ramp)),
+      fixedOrder = 2, escapeBits = 0)
+    assert(MediaCodecs.decodeFlacPcm(z).head.channels.head.toSeq === ramp.toSeq)
+    // ... and is materially smaller than verbatim (no bits per residual)
+    val zv = MediaCodecs.encodeFlacPcm(16000, 1, 16, 256, Seq(Seq(ramp)))
+    assert(z.length < zv.length / 4, s"escape0 ${z.length} vs verbatim ${zv.length}")
+  }
+
+  test("FLAC PCM: short inline-blocksize last frame decodes at the right offsets") {
+    // a fixed-blocksize stream whose LAST frame is short (inline code 7):
+    // both walks must place it at frameNumber x the STREAM block size, not
+    // frameNumber x its own short size
+    val full = Array.tabulate(256)(i => ((i * 37) % 401) - 200)
+    val tail = Array.tabulate(192)(i => ((i * 91) % 129) - 64)
+    Seq(-1, 2).foreach { order => // verbatim and FIXED paths both
+      val flac = MediaCodecs.encodeFlacPcm(16000, 1, 16, 256,
+        Seq(Seq(full), Seq(full), Seq(tail)), fixedOrder = order, riceK = 8)
+      assert(MediaCodecs.decodeFlac(flac).totalSamples === 704L)
+      val frames = MediaCodecs.decodeFlacPcm(flac)
+      assert(frames.map(_.sampleOffset) === Seq(0L, 256L, 512L), s"order $order")
+      assert(frames(2).channels.head.toSeq === tail.toSeq, s"order $order")
+      // the resync-scan index agrees: last frame at 2 x 256, NOT 2 x 192
+      val idx = MediaCodecs.flacFrameIndex(flac)
+      assert(idx.map(_.sampleOffset) === Seq(0L, 256L, 512L), s"order $order")
+      assert(idx(2).blockSize === 192, s"order $order")
+    }
   }
 
   test("FLAC PCM: LPC subframes and stereo decorrelation round-trip bit-exactly") {
@@ -795,13 +852,20 @@ class MediaCodecsSpec extends AnyFunSuite {
   }
 
   test("FLAC PCM: fixture closed form across ids") {
+    // 0-20 covers every layout arm: VERBATIM/FIXED/LPC, all stereo modes,
+    // escape-coded partitions (ids 7, 17) and the short 192-sample last
+    // frame (ids with id mod 5 = 4)
     (0L to 20L).foreach { id =>
+      val nFrames = (2 + id % 3).toInt
       val frames = MediaCodecs.decodeFlacPcm(Fixtures.syntheticFlacPcm(id))
-      assert(frames.size === (2 + id % 3).toInt, s"id $id")
+      assert(frames.size === nFrames, s"id $id")
       frames.zipWithIndex.foreach { case (fr, f) =>
+        assert(fr.sampleOffset === 256L * f, s"id $id f $f")
         assert(fr.channels.size === (1 + id % 2).toInt)
+        val bs = if (id % 5 == 4 && f == nFrames - 1) 192 else 256
         fr.channels.zipWithIndex.foreach { case (pcm, c) =>
-          (0 until 256).foreach { i =>
+          assert(pcm.length === bs, s"id $id f $f c $c")
+          (0 until bs).foreach { i =>
             val want =
               if ((id + f + c) % 4 == 0) (id % 121).toInt
               else ((id * 7 + f * 131 + c * 17 + i * 29) % 121).toInt
