@@ -1021,11 +1021,25 @@ object EsLog {
     * file is written; the manifest commit is one CAS carrying one
     * [[graft.meta.BackfillFiles]] action per touched segment.
     *
+    * `statsInput` (r17, optimization guide §8 — decide with small rows,
+    * move heavy bytes once): a caller that can derive `(base_offset,
+    * last_offset_delta, base_timestamp)` per input row WITHOUT
+    * materializing payloads (e.g. [[backfillObjects]]' frame-header walk)
+    * supplies it here, and the cut-planning pass, the per-partition stats
+    * pass and ALL contiguity validation run over those metadata-sized rows
+    * — the heavy input is then decoded exactly once (the shuffle map) and
+    * its shuffle output read exactly once (the write). Safety is unchanged:
+    * [[commitFileMetas]]' footer audit compares every written file's row
+    * count and offset span against the light-derived stats, so a light/heavy
+    * divergence aborts the commit before the CAS. Without `statsInput` the
+    * original two-pass-over-one-shuffle flow runs unchanged.
+    *
     * @return number of record batches backfilled (0 = everything already
     *         present). */
   def backfill(spark: SparkSession, streamDir: String, input: DataFrame,
                epoch: Long,
-               targetFileBytes: Long = DefaultTargetFileBytes): Long = {
+               targetFileBytes: Long = DefaultTargetFileBytes,
+               statsInput: Option[DataFrame] = None): Long = {
     val st = MetaLog.load(streamDir)
     if (st.deleted) throw new IllegalStateException(s"stream $streamDir deleted")
     if (epoch < st.epoch) throw new FencedException(s"backfill epoch $epoch < ${st.epoch}")
@@ -1077,9 +1091,52 @@ object EsLog {
         }
       }
 
+    // METADATA-ONLY twin of `kept` when the caller supplied a light
+    // projection: same classification (drop pre-trim/covered, fail loudly
+    // beyond the last boundary), rows are (off, (delta, ts)) — planning and
+    // validation never touch payloads
+    val lightKept: Option[org.apache.spark.rdd.RDD[(Long, (Int, Long))]] =
+      statsInput.map { sdf =>
+        val light = sdf.select(
+          col("base_offset").cast(LongType),
+          col("last_offset_delta").cast(IntegerType),
+          col("base_timestamp").cast(LongType))
+        org.apache.spark.sql.graftshim.GraftShims.internalRdd(light)
+          .mapPartitions { it =>
+            val sp = spansB.value
+            val startsL = sp.map(_._2)
+            it.flatMap { r =>
+              val off = r.getLong(0)
+              var i = java.util.Arrays.binarySearch(startsL, off)
+              if (i < 0) i = -i - 2
+              if (i < 0) None // below the trim point: the source dropped these
+              else {
+                val (idx, _, e0, attach) = sp(i)
+                if (off >= e0)
+                  throw new OutOfOrderException(
+                    s"record at offset $off beyond the last imported boundary $e0 " +
+                      s"(segment $idx) — data the metadata snapshot never declared")
+                else if (off < attach) None // already backfilled: idempotent re-run
+                else Some((off, (r.getInt(1), r.getLong(2))))
+              }
+            }
+          }
+          // materialized ONCE: two light jobs consume it (cut planning, the
+          // stats shuffle) and the statsInput's lineage usually re-reads the
+          // heavy source bytes (the bucket) — without the persist the light
+          // path would ADD a source read instead of removing one. Rows are
+          // ~24 B per record batch (never payloads), spill-safe, unpersisted
+          // before the heavy write below.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+
     // pass 0: per-segment (count, minOff, maxEndOff) for split planning —
-    // bounded output: partitions × segments
-    val segAgg = kept.mapPartitions { it =>
+    // bounded output: partitions × segments. Over the light rows when
+    // supplied (no payload decode), else over the heavy classified rows.
+    val segAgg = (lightKept match {
+      case Some(lk) => lk.map { case (off, dt) => (off, dt._1) }
+      case None     => kept.map { case (off, r) => (off, r.getInt(deltaIdx)) }
+    }).mapPartitions { it =>
       val sp = spansB.value
       val startsL = sp.map(_._2)
       def segAt(off: Long): Int = {
@@ -1088,9 +1145,9 @@ object EsLog {
         i
       }
       val m = scala.collection.mutable.Map.empty[Int, (Long, Long, Long)]
-      it.foreach { case (off, r) =>
+      it.foreach { case (off, d) =>
         val si = segAt(off)
-        val end = off + r.getInt(deltaIdx)
+        val end = off + d
         val cur = m.getOrElse(si, (0L, Long.MaxValue, Long.MinValue))
         m(si) = (cur._1 + 1, math.min(cur._2, off), math.max(cur._3, end))
       }
@@ -1099,7 +1156,7 @@ object EsLog {
       .groupBy(_._1).map { case (si, parts) =>
         si -> ((parts.map(_._2._1).sum, parts.map(_._2._2).min, parts.map(_._2._3).max))
       }
-    if (segAgg.isEmpty) return 0L
+    if (segAgg.isEmpty) { lightKept.foreach(_.unpersist(false)); return 0L }
     val totalCnt = segAgg.values.map(_._1).sum
 
     // cut points: each segment's attach point, plus offset-uniform internal
@@ -1117,10 +1174,12 @@ object EsLog {
       }
     }
     val cutArr = cuts.result().distinct.sorted
-    val shuffled = kept.repartitionAndSortWithinPartitions(new OffsetCutPartitioner(cutArr))
+    val partitioner = new OffsetCutPartitioner(cutArr)
+    val shuffled = kept.repartitionAndSortWithinPartitions(partitioner)
 
-    // pass 1 (stats + in-partition contiguity): one bounded row per partition
-    val partStats = shuffled.mapPartitionsWithIndex { (pid, it) =>
+    // pass 1 (stats + in-partition contiguity): one bounded row per
+    // partition, over (off, (delta, ts)) rows — shared by both flows
+    val statsFn = (pid: Int, it: Iterator[(Long, (Int, Long))]) => {
       val sp = spansB.value
       val startsL = sp.map(_._2)
       def segAt(off: Long): Int = {
@@ -1130,21 +1189,37 @@ object EsLog {
       }
       var n = 0L; var minOff = -1L; var expect = -1L; var segIdx = -1
       var minTs = Long.MaxValue; var maxTs = Long.MinValue; var maxD = 0
-      it.foreach { case (off, r) =>
+      it.foreach { case (off, dt) =>
         if (n == 0L) { minOff = off; segIdx = segAt(off) }
         else if (off != expect)
           throw new OutOfOrderException(
             s"gap inside backfill partition $pid: expected offset $expect, got $off")
-        val d = r.getInt(deltaIdx)
+        val d = dt._1
         expect = off + d; n += 1
         if (d > maxD) maxD = d
-        val ts = r.getLong(tsIdx)
+        val ts = dt._2
         if (ts < minTs) minTs = ts
         if (ts > maxTs) maxTs = ts
       }
-      if (n == 0L) Iterator.empty
+      if (n == 0L) Iterator.empty[(Int, Int, Long, Long, Long, Long, Long, Int)]
       else Iterator.single((pid, segIdx, n, minOff, expect, minTs, maxTs, maxD))
-    }.collect().sortBy(_._4)
+    }
+    // light flow: stats + validation ride a metadata-sized shuffle through
+    // the SAME partitioner (identical partition membership by construction);
+    // the heavy shuffle is then consumed exactly once, by the write pass.
+    // Heavy flow (no statsInput): stats read the heavy shuffle output, which
+    // the write pass reuses — the original two-passes-over-one-shuffle idiom.
+    val partStats = (lightKept match {
+      case Some(lk) =>
+        lk.repartitionAndSortWithinPartitions(partitioner)
+          .mapPartitionsWithIndex((pid, it) => statsFn(pid, it))
+      case None =>
+        shuffled.mapPartitionsWithIndex { (pid, it) =>
+          statsFn(pid, it.map { case (off, r) =>
+            (off, (r.getInt(deltaIdx), r.getLong(tsIdx))) })
+        }
+    }).collect().sortBy(_._4)
+    lightKept.foreach(_.unpersist(false))
 
     // driver validation BEFORE any file is written: per segment the
     // partition chain must attach exactly at the segment's confirmed end,
@@ -1243,9 +1318,16 @@ object EsLog {
   def backfillObjects(spark: SparkSession, streamDir: String, objects: DataFrame,
                       epoch: Long): Long = {
     import spark.implicits._
+    val objBytes = objects.select(col("obj").cast(BinaryType)).as[Array[Byte]]
     backfill(spark, streamDir,
-      objects.select(col("obj").cast(BinaryType)).as[Array[Byte]]
-        .flatMap(bytes => graft.model.TieredObject.decodeAll(bytes)).toDF(), epoch)
+      objBytes.flatMap(bytes => graft.model.TieredObject.decodeAll(bytes)).toDF(),
+      epoch,
+      // planning/stats/validation run over a frame-HEADER walk of the same
+      // objects (no payload materialization) — the full decode then happens
+      // exactly once, in the boundary-aligned shuffle's map stage
+      statsInput = Some(
+        objBytes.flatMap(bytes => graft.model.TieredObject.decodeOffsets(bytes))
+          .toDF("base_offset", "last_offset_delta", "base_timestamp")))
   }
 
   /** [[backfillObjects]] over a bucket DIRECTORY (recursive, like

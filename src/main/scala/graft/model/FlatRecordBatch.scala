@@ -263,6 +263,37 @@ object FlatRecordBatch {
 
   def decode(bytes: Array[Byte]): RecordBatchRow = decodeOne(bytes, 0)._1
 
+  /** Frame walk WITHOUT payload materialization: validates the framing
+    * exactly like [[decodeOne]] (magic, meta/payload length bounds — same
+    * requires, same messages) and reads ONLY the three offset-planning
+    * fields from the FlatBuffers meta. No payload copy, no properties
+    * decode — the metadata pass a planning step needs costs O(frames) of
+    * arithmetic instead of a full corpus allocation (measured: the r16
+    * backfill head decoded its 2.1 GB payload FOUR times per run, twice of
+    * it purely to read these fields — optimization guide §8: decide with
+    * small rows, move heavy bytes once).
+    *
+    * @return (base_offset, last_offset_delta, base_timestamp, bytesConsumed)
+    */
+  def decodeOffsetMeta(bytes: Array[Byte], offset: Int): (Long, Int, Long, Int) = {
+    require(bytes.length - offset >= 9, s"frame truncated at $offset (${bytes.length - offset} bytes)")
+    val buf = ByteBuffer.wrap(bytes, offset, bytes.length - offset)
+      .order(ByteOrder.BIG_ENDIAN)
+    val magic = buf.get()
+    require(magic == Magic, s"bad magic $magic at $offset (want $Magic)")
+    val metaLen = buf.getInt
+    val metaStart = buf.position()
+    require(metaLen >= 0 && metaLen <= bytes.length - metaStart - 4,
+      s"declared meta length $metaLen overruns the ${bytes.length - metaStart} remaining bytes")
+    val meta = new Meta(bytes, metaStart, metaLen)
+    buf.position(metaStart + metaLen)
+    val payloadLen = buf.getInt
+    require(payloadLen >= 0 && payloadLen <= buf.remaining(),
+      s"declared payload length $payloadLen overruns the ${buf.remaining()} remaining bytes")
+    (meta.getLong(FBaseOffset, -1L), meta.getInt(FLastOffsetDelta, 0),
+      meta.getLong(FBaseTimestamp, 0L), buf.position() - offset + payloadLen)
+  }
+
   /** Parse a back-to-back sequence of flat entries (an append-frame payload,
     * payload.rs:30-79). */
   def decodeAll(bytes: Array[Byte]): Seq[RecordBatchRow] = {

@@ -157,15 +157,40 @@ object TieredObject {
     require(bytes(dataLen) == BlockDelimiter,
       f"bad block delimiter 0x${bytes(dataLen)}%02x at $dataLen")
     val index = java.util.Arrays.copyOfRange(bytes, indexPos, indexPos + indexLen)
-    // end offset = last record's base_offset + last_offset_delta
+    // end offset = last record's base_offset + last_offset_delta. Framing is
+    // validated per frame (same requires as decodeOne) but payloads are NOT
+    // materialized: the old full decodeOne walk allocated the whole data
+    // block a second time just to read two meta fields — readMeta sits under
+    // every decodeAll/ingest/backfill, so that was a full extra corpus copy
+    // per object read (r17 optimization; parseEntries still fully decodes
+    // the records actually returned to callers).
     var pos = 0
     var end = startOffset
     while (pos < dataLen) {
-      val (row, n) = FlatRecordBatch.decodeOne(bytes, pos)
-      end = row.base_offset + row.last_offset_delta
+      val (bo, d, _, n) = FlatRecordBatch.decodeOffsetMeta(bytes, pos)
+      end = bo + d
       pos += n
     }
     ObjectMeta(startOffset, (end - startOffset).toInt, dataLen, index)
+  }
+
+  /** Per-record `(base_offset, last_offset_delta, base_timestamp)` WITHOUT
+    * materializing payloads — the metadata-only projection a planning pass
+    * needs (EsLog.backfill's cut planning + stats: decide with small rows,
+    * move the heavy bytes exactly once). Validates the same framing as
+    * [[decodeAll]] (footer magic, delimiter, per-frame magic + lengths);
+    * row-for-row aligned with [[decodeAll]]'s output on well-formed
+    * objects (property-pinned in InteropSpec). */
+  def decodeOffsets(bytes: Array[Byte]): Seq[(Long, Int, Long)] = {
+    val meta = readMeta(bytes, 0L)
+    val out = Seq.newBuilder[(Long, Int, Long)]
+    var pos = 0
+    while (pos < meta.dataLen) {
+      val (bo, d, ts, n) = FlatRecordBatch.decodeOffsetMeta(bytes, pos)
+      out += ((bo, d, ts))
+      pos += n
+    }
+    out.result()
   }
 
   /** Map an offset window to the byte range the read must touch — the

@@ -524,11 +524,20 @@ object Dedup {
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                          textCol: String, k: Int = 8, m: Int = 1 << 20,
                          hashes: Int = 5): DataFrame = {
+    // NO pre-distinct on either gram side (r17, guide §2.4 — remove
+    // shuffles outright): [[Sketch.bloomSketch]] ends in a slot-level
+    // distinct (duplicate grams set the same slots) and [[Sketch.bloomProbe]]
+    // ends in a groupBy over the candidate columns (duplicate (doc, gram)
+    // occurrences collapse there, with map-side partial aggregation doing
+    // the dedup before the exchange) — the pre-distincts were full
+    // gram-string shuffles that bought nothing. Results are identical:
+    // distinct-then-probe == probe-then-group for a per-(doc, g)
+    // deterministic membership predicate.
     val bGrams = OpUtil.explodedWordShingles(benchmark, idCol, textCol, k)
-      .select(col("g")).distinct()
+      .select(col("g"))
     val sketch = Sketch.bloomSketch(bGrams, col("g"), m, hashes)
     val cGrams = OpUtil.explodedWordShingles(corpus, idCol, textCol, k)
-      .select(col("doc"), col("g")).distinct()
+      .select(col("doc"), col("g"))
     Sketch.bloomProbe(cGrams, col("g"), sketch, m, hashes)
       .where(col("maybe_present"))
       .groupBy("doc").agg(count(lit(1)).as("n_flagged"))

@@ -88,6 +88,41 @@ class InteropSpec extends AnyFunSuite {
     assert(rows(3).payload.length === 13)
   }
 
+  test("decodeOffsets / decodeOffsetMeta align row-for-row with the full decode") {
+    // varied payloads, deltas, timestamps and property shapes — the light
+    // frame-header walk (no payload materialization) must report exactly
+    // the (base_offset, last_offset_delta, base_timestamp) triple and the
+    // byte consumption of the full decode, frame by frame
+    val rows = (0L until 11L).map(i => RecordBatchRow(
+      7L, (i % 3).toInt, (i % 2).toShort, i * 5, 5, (i * 37) % 11,
+      if (i % 4 == 0) Map.empty[String, String] else Map("k" -> s"v$i", "x" -> "y"),
+      Array.fill[Byte](10 + (i % 5).toInt * 17)((i % 89).toByte)))
+    val frames = rows.map(FlatRecordBatch.encode)
+    // frame-level walk == decodeOne, per frame
+    frames.zip(rows).foreach { case (f, r) =>
+      val (bo, d, ts, n) = FlatRecordBatch.decodeOffsetMeta(f, 0)
+      val (full, nFull) = FlatRecordBatch.decodeOne(f, 0)
+      assert((bo, d, ts) === ((full.base_offset, full.last_offset_delta,
+        full.base_timestamp)))
+      assert((bo, d, ts) === ((r.base_offset, r.last_offset_delta,
+        r.base_timestamp)))
+      assert(n === nFull && n === f.length)
+    }
+    // object-level walk == decodeAll's projection, and readMeta (now a
+    // header walk itself) still recovers the exact end offset
+    val (bytes, meta) = TieredObject.encode(frames, startOffset = 0L, sparseBytes = 64)
+    val light = TieredObject.decodeOffsets(bytes)
+    val full = TieredObject.decodeAll(bytes)
+    assert(light === full.map(r =>
+      (r.base_offset, r.last_offset_delta, r.base_timestamp)))
+    assert(TieredObject.readMeta(bytes, 0L).endOffset === meta.endOffset)
+    // truncated frames stay loud in the light walk too
+    intercept[IllegalArgumentException](
+      FlatRecordBatch.decodeOffsetMeta(frames.head.take(8), 0))
+    intercept[IllegalArgumentException](
+      FlatRecordBatch.decodeOffsetMeta(frames.head.take(frames.head.length - 1), 0))
+  }
+
   test("object footer validation rejects a corrupted magic") {
     val (bytes, _) = TieredObject.encode(Seq(frame(0L, 8)), 0L)
     bytes(bytes.length - 1) = 0x00
