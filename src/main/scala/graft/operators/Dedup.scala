@@ -563,17 +563,17 @@ object Dedup {
     * [[Similarity.embeddingNearDupsLsh]] when cross-cell recall matters. */
   def semantic(corpus: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = OpUtil.rebalance(corpus)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val cents = e.select(col("id").as("cid"), col("v").as("cvec"))
       .orderBy("cid").limit(nlist)
-    val w = Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)
-    val cells = OpUtil.shared(e.crossJoin(broadcast(cents))
-      .withColumn("cscore", Similarity.cosine(col("v"), col("cvec")))
-      .withColumn("r", row_number().over(w))
-      .where(col("r") === 1)
-      .select(col("id"), col("v"), col("cid").as("cell")))
+    // nearest-cell assignment through [[Similarity.assignCells]] (r17):
+    // integral-id corpora get the window-free codegen'd argmax projection —
+    // no crossJoin, no corpus-wide window shuffle — with the identical
+    // (cscore DESC, cid ASC) tie-break; non-integral ids keep the window
+    // twin inside assignCells. Same cells, bit-for-bit (SimilaritySpec pin).
+    val cells = OpUtil.shared(Similarity.assignCells(e, "id", "v", cents)
+      .select(col("nid").as("id"), col("nvec").as("v"), col("cell")))
     val dropped = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)

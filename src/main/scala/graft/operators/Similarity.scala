@@ -542,6 +542,29 @@ object Similarity {
 
   private[operators] def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                           cents: DataFrame): DataFrame = {
+    // CORPUS-side assignment is the one corpus-wide pass of every IVF
+    // build/search — r17 (guide §2.4, remove shuffles outright): route it
+    // through the window-free argmax expression whenever the cell ids are
+    // integral (every index this repo builds), so assignment is a pure
+    // per-row codegen'd projection instead of crossJoin + row_number —
+    // no corpus shuffle, no sort. Bit-equal by construction (score DESC,
+    // cid ASC tie-break both ways) and pinned in SimilaritySpec against
+    // [[assignCellsWindow]], which stays as the executable spec (and the
+    // fallback for exotic non-integral cell-id tables).
+    val integralCid = cents.schema.fields.find(_.name == "cid").exists(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.ShortType ||
+        f.dataType == org.apache.spark.sql.types.ByteType)
+    if (integralCid) assignCellsExpr(OpUtil.rebalance(corpus), idCol, vecCol, cents)
+    else assignCellsWindow(corpus, idCol, vecCol, cents)
+  }
+
+  /** The window formulation of [[assignCells]] (crossJoin + row_number over
+    * (cscore DESC, cid ASC)) — kept as the executable spec the expression
+    * path is pinned against, and the path for non-integral cell ids. */
+  private[graft] def assignCellsWindow(corpus: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame): DataFrame = {
     val c = OpUtil.rebalance(corpus)
       .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
     rankCells(c, "nid", "nvec", cents).where(col("crank") === 1)

@@ -522,12 +522,19 @@ class SimilaritySpec extends SparkTestBase {
     import graft.operators.Similarity
     val emb = spark.read.parquet(sf("embeddings"))
     val idx = Similarity.buildIvfIndexSampled(emb, "vec_id", "embedding", nlist = 16)
+    // the WINDOW formulation is the executable spec (assignCells itself now
+    // routes integral-cid tables through the expression — r17): pin the
+    // expression path against it explicitly, and the production cells too
+    val w = Similarity.assignCellsWindow(emb, "vec_id", "embedding", idx.centroids)
+      .select("nid", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
     val a = idx.cells.select("nid", "cell").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val b = Similarity.assignCellsExpr(emb, "vec_id", "embedding", idx.centroids)
       .select("nid", "cell").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
+    assert(w == b)
   }
 
   test("semanticProbeStream == semanticProbe on a batch, and the JSON payload round-trips floats") {
