@@ -681,22 +681,21 @@ object EsLog {
             val startOff = rs.head.base_offset
             val sid = rs.head.stream_id
             val range = rs.head.range_index
-            val frames = Vector.newBuilder[Array[Byte]]
-            val ends = Vector.newBuilder[Long]
+            // roll on frameLength (property-pinned == encode(r).length): no
+            // frame is materialized here — encodeRows streams each payload
+            // straight into the object buffer, so the export never holds a
+            // standalone frame copy of the corpus (the former per-frame
+            // encode + copy-into-object measured ~23% GC on the head)
+            val batch = Vector.newBuilder[graft.model.RecordBatchRow]
             var bytes = 0
             while (rs.hasNext && rs.head.range_index == range &&
               (bytes == 0 || bytes < maxObjectBytes)) {
               val r = rs.next()
-              val f = graft.model.FlatRecordBatch.encode(r)
-              frames += f
-              // the end offset is in hand — encodeWithOffsets skips the
-              // per-frame re-decode (a second full-corpus payload copy;
-              // measured ~23% GC share on the export head before r17)
-              ends += r.base_offset + r.last_offset_delta
-              bytes += f.length
+              batch += r
+              bytes += graft.model.FlatRecordBatch.frameLength(r)
             }
-            val (obj, meta) = graft.model.TieredObject.encodeWithOffsets(
-              frames.result(), ends.result(), startOff, sparseBytes)
+            val (obj, meta) = graft.model.TieredObject.encodeRows(
+              batch.result(), startOff, sparseBytes)
             (sid, range, meta.startOffset, meta.endOffset, meta.dataLen, obj)
           }
         }

@@ -47,7 +47,7 @@ object FlatRecordBatch {
 
   /** Serialize the meta table with the official builder. Properties are
     * sorted by key so encoding is deterministic. */
-  private def encodeMeta(r: RecordBatchRow): Array[Byte] = {
+  private[model] def encodeMeta(r: RecordBatchRow): Array[Byte] = {
     val fbb = new FlatBufferBuilder(256)
     val props = if (r.properties == null) Seq.empty else r.properties.toSeq.sortBy(_._1)
     val propsVec =
@@ -152,12 +152,23 @@ object FlatRecordBatch {
     val payload = if (r.payload == null) Array.emptyByteArray else r.payload
     val buf = ByteBuffer.allocate(1 + 4 + meta.length + 4 + payload.length)
       .order(ByteOrder.BIG_ENDIAN) // framing lengths are BE (bytes crate put_i32)
+    encodeInto(meta, payload, buf)
+    buf.array()
+  }
+
+  /** Write one frame (magic | metaLen | meta | payloadLen | payload) into
+    * `buf` at its current position, from a pre-encoded meta and the payload
+    * ref — the copy-free half of [[encode]]. `buf` must be BIG_ENDIAN
+    * (framing lengths are BE). [[graft.model.TieredObject.encodeRows]]
+    * streams frames straight into the object buffer with this, so the
+    * export path never materializes a standalone frame array per batch. */
+  private[model] def encodeInto(meta: Array[Byte], payload: Array[Byte],
+                                buf: ByteBuffer): Unit = {
     buf.put(Magic)
     buf.putInt(meta.length)
     buf.put(meta)
     buf.putInt(payload.length)
     buf.put(payload)
-    buf.array()
   }
 
   // ---- FlatBuffers binary walk (spec layout; all FB internals are LE) ----

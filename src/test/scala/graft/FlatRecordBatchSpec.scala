@@ -148,6 +148,31 @@ class FlatRecordBatchSpec extends AnyFunSuite {
     }
   }
 
+  test("property: TieredObject.encodeRows is byte-identical to encodeWithOffsets over encoded frames") {
+    import graft.model.TieredObject
+    forAll(Gen.listOfN(4, genRow), n = 100) { rows0 =>
+      // contiguous end offsets, the export path's shape
+      var off = 100L
+      val rows = rows0.map { r =>
+        val withOff = r.copy(base_offset = off, last_offset_delta = math.max(1, r.last_offset_delta))
+        off += withOff.last_offset_delta
+        withOff
+      }
+      val startOff = rows.head.base_offset
+      val entries = rows.map(FlatRecordBatch.encode)
+      val ends = rows.map(r => r.base_offset + r.last_offset_delta)
+      // tiny sparseBytes so the sparse index is exercised, not empty
+      val (oldBytes, oldMeta) = TieredObject.encodeWithOffsets(entries, ends, startOff, sparseBytes = 64)
+      val (newBytes, newMeta) = TieredObject.encodeRows(rows, startOff, sparseBytes = 64)
+      assert(java.util.Arrays.equals(oldBytes, newBytes), "object bytes differ")
+      assert(oldMeta.startOffset == newMeta.startOffset &&
+        oldMeta.endOffset == newMeta.endOffset &&
+        oldMeta.dataLen == newMeta.dataLen &&
+        java.util.Arrays.equals(oldMeta.sparseIndex, newMeta.sparseIndex),
+        "object meta differs")
+    }
+  }
+
   test("bad magic rejected") {
     val bytes = FlatRecordBatch.encode(RecordBatchRow(1, 0, 0, 0, 1, 0, Map.empty, Array[Byte](1)))
     bytes(0) = 0x23
