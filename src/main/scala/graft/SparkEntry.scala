@@ -1182,16 +1182,21 @@ object SparkEntry {
   private def qPipelineSql(s: SparkSession, sfDir: String): DataFrame = {
     graft.sql.GraftFunctions.register(s)
     Fixtures.documents(s, sfDir).createOrReplaceTempView("pl_docs")
-    s.sql(
-      """CREATE OR REPLACE TEMPORARY VIEW pl_gated AS
-        |SELECT d.doc_id, d.source, d.text
+    // The gate stage is consumed THREE times per call: the oracle-splice
+    // threshold stash collects over it, graft_sample_temperature's own
+    // threshold aggregate collects over it at analysis, and the final query
+    // executes it. Root the view on a shared() frame so the dedup+quality
+    // gate computes once (r17, §1.2 step 1); the chain itself is unchanged —
+    // every stage still consumes the named view through the TVF surface.
+    graft.operators.OpUtil.shared(s.sql(
+      """SELECT d.doc_id, d.source, d.text
         |FROM pl_docs d
         |JOIN (SELECT doc_id FROM graft_dedup_exact('pl_docs', 'doc_id', 'text')) dd
         |  USING (doc_id)
         |JOIN (SELECT doc_id FROM graft_text_quality('pl_docs', 'doc_id', 'text')
         |      WHERE n_tokens BETWEEN 30 AND 90 AND digit_ratio <= 0.2
         |        AND lexical_diversity >= 0.35) q
-        |  USING (doc_id)""".stripMargin)
+        |  USING (doc_id)""".stripMargin)).createOrReplaceTempView("pl_gated")
     s.sql(
       """CREATE OR REPLACE TEMPORARY VIEW pl_sampled AS
         |SELECT doc_id, source, text
@@ -1810,10 +1815,13 @@ object SparkEntry {
   private def qTextDatacard(s: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Fixtures.documents(s, sfDir)
-    val base = docs.select(col("lang"), col("doc_id"),
+    // shared(): per-language counts, dup counts and the median all read the
+    // same doc-level projection — one scan + split + md5 instead of three
+    // (r17, §1.2 step 1)
+    val base = graft.operators.OpUtil.shared(docs.select(col("lang"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"),
       length(col("text")).cast("long").as("n_chars"),
-      Portable.hash60(col("text")).as("h"))
+      Portable.hash60(col("text")).as("h")))
     val per = base.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum("n_tok").as("n_tokens"),
@@ -1822,16 +1830,25 @@ object SparkEntry {
     val dup = base.groupBy("lang", "h").agg(count(lit(1)).as("c"))
       .groupBy("lang").agg(
         coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("n_dup_docs"))
-    // exact lower median of document token counts (value at a fixed rank is
-    // deterministic whatever the tie order)
-    val w = Window.partitionBy("lang").orderBy(col("n_tok").asc)
-    val med = base.withColumn("_rn", row_number().over(w))
-      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("lang")))
-      .where(col("_rn") === call_function("div", col("_cnt") + 1, lit(2L)))
+    // exact lower median of document token counts, read off VALUE COUNTS:
+    // the value at rank r = div(cnt+1, 2) is the one whose cumulative range
+    // [cum-c+1, cum] contains r — identical to the former per-doc
+    // row_number() window, but the window now sorts distinct (lang, n_tok)
+    // value rows instead of every document (r17, §2.5: whole-language
+    // single-partition sorts don't scale; [[graft.operators.Stats
+    // .quantilesFromHistogram]] pattern)
+    val vc = base.groupBy("lang", "n_tok").agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy("lang").orderBy(col("n_tok").asc)
+    val med = vc.withColumn("_cum", sum(col("c")).over(wv))
+      .withColumn("_tot", sum(col("c")).over(Window.partitionBy("lang")))
+      .withColumn("_r", call_function("div", col("_tot") + 1, lit(2L)))
+      .where(col("_cum") - col("c") < col("_r") && col("_r") <= col("_cum"))
       .select(col("lang"), col("n_tok").as("median_doc_tokens"))
     val toks = docs.select(col("lang"), explode(Portable.words(col("text"))).as("tok"))
       .where(col("tok") =!= "")
-    val voc = Sketch.kmvDistinct(toks, Seq("lang"), col("tok"), k = 256)
+    // bounded-state vocabulary sketch (same estimator, same k minima — the
+    // kmvDistinctAgg/kmvDistinct equality is unit-pinned)
+    val voc = Sketch.kmvDistinctAgg(toks, Seq("lang"), col("tok"), k = 256)
       .select(col("lang"), col("n_distinct_est").as("vocab_est"))
     per.join(dup, "lang").join(med, "lang").join(voc, "lang")
   }
@@ -1846,9 +1863,13 @@ object SparkEntry {
       .where(col("tok") =!= "")
     val docs = Fixtures.documents(s, sfDir)
     val k = 256
+    // bounded-state kept-hash build (KmvAgg + explode): the window twin
+    // shuffled every distinct (lang, hash) and sorted whole-language
+    // partitions; the kept SET is identical (r17, §2.3/§2.4 — the oracle
+    // reproduces the same estimator from the same k minima)
     Sketch.kmvOverlap(
-      Sketch.kmvKeptHashes(toks(docs.where(col("doc_id") % 2 === 0)), Seq("lang"), col("tok"), k),
-      Sketch.kmvKeptHashes(toks(docs.where(col("doc_id") % 2 =!= 0)), Seq("lang"), col("tok"), k),
+      Sketch.kmvKeptHashesAgg(toks(docs.where(col("doc_id") % 2 === 0)), Seq("lang"), col("tok"), k),
+      Sketch.kmvKeptHashesAgg(toks(docs.where(col("doc_id") % 2 =!= 0)), Seq("lang"), col("tok"), k),
       Seq("lang"), k)
   }
 

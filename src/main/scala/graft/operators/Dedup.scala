@@ -54,8 +54,17 @@ object Dedup {
     * document frequency > maxDf are dropped before the join — the heavy set
     * is tiny by construction, so it broadcasts, and the anti join costs one
     * map-side-combined aggregate. maxDf <= 0 disables the cap. */
+  /** @param cacheCapped also [[OpUtil.shared]]-cache the CAPPED postings.
+    *   The raw-postings cache feeds exactly two subtrees (the heavy-hitter
+    *   build and the anti-join probe side); a caller that consumes the
+    *   capped output N > 1 times otherwise re-runs the df aggregate AND the
+    *   anti-join once PER consumer — dedup_jaccard's plan carried four
+    *   copies of that subtree before r17 (§2.4: a full corpus-sized
+    *   aggregate exchange per copy). Leave false for single-consumer
+    *   callers, where the second cache is a wasted materialization. */
   private[graft] def cappedShingles(docs: DataFrame, idCol: String, textCol: String,
-                                    k: Int, maxDf: Long): DataFrame = {
+                                    k: Int, maxDf: Long,
+                                    cacheCapped: Boolean = false): DataFrame = {
     // Codegen-friendly shingle explode (OpUtil.explodedWordShingles — the
     // HOF transform lambda interpreter dominated this stage before).
     // shared(): the postings feed the heavy-hitter build, both self-join
@@ -67,7 +76,8 @@ object Dedup {
     else {
       val heavy = sh.groupBy("hm").agg(count(lit(1)).as("df"))
         .where(col("df") > maxDf).select("hm")
-      sh.join(broadcast(heavy), Seq("hm"), "left_anti")
+      val capped = sh.join(broadcast(heavy), Seq("hm"), "left_anti")
+      if (cacheCapped) OpUtil.shared(capped) else capped
     }
   }
 
@@ -80,7 +90,7 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = DefaultMaxDf): DataFrame = {
-    val sh = cappedShingles(docs, idCol, textCol, k, maxDf)
+    val sh = cappedShingles(docs, idCol, textCol, k, maxDf, cacheCapped = true)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.hm") === col("b.hm") && col("a.doc") < col("b.doc"))
@@ -391,13 +401,66 @@ object Dedup {
     * never joined to itself — cost is corpus-shingles × lookup. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, k: Int = 8,
-                    maxDf: Long = DefaultMaxDf): DataFrame = {
+                    maxDf: Long = DefaultMaxDf,
+                    maxBenchGrams: Long = MaxBenchGrams): DataFrame = {
     val c = cappedShingles(corpus, idCol, textCol, k, maxDf)
-    val b = cappedShingles(benchmark, idCol, textCol, k, maxDf)
-      .select("hm").distinct()
-    // c is distinct (doc, hm), so the per-doc count IS distinct shared grams
-    c.join(b, "hm").groupBy("doc").agg(count(lit(1)).as("n_shared"))
+    val b = benchGramSet(benchmark, idCol, textCol, k, maxDf, maxBenchGrams)
+    // c is distinct (doc, hm), so the per-doc count IS distinct shared grams.
+    // b BROADCASTS (benchmark suites only, contract-capped): the corpus gram
+    // table — the operator's largest relation — is never shuffled for the
+    // join; the only corpus-sized exchange left is the groupBy(doc) over
+    // match rows (r17, guide §2.4/§3.1).
+    c.join(broadcast(b), "hm").groupBy("doc").agg(count(lit(1)).as("n_shared"))
       .select(col("doc").as(idCol), col("n_shared"))
+  }
+
+  /** Fail-fast ceiling on the benchmark gram set [[decontaminate]] /
+    * [[decontaminateReport]] broadcast to every corpus task (house style of
+    * [[MaxBenchSigs]]): 8-byte gram hashes, so 32M rows is a sub-GB hash
+    * relation; a pathological "benchmark" fails loudly naming the knob
+    * instead of OOMing the broadcast. */
+  val MaxBenchGrams: Long = 32000000L
+
+  /** The benchmark side's distinct capped gram-hash set — exactly
+    * `cappedShingles(benchmark, ...).select("hm").distinct()`, derived in
+    * ONE linear lineage: the df aggregate that the cap already needs IS the
+    * distinct gram table, so `df <= maxDf` replaces the heavy-set anti-join
+    * plus a second distinct exchange (r17, §2.4).
+    *
+    * Every caller broadcasts the result, so the `maxBenchGrams` contract is
+    * enforced INLINE while the broadcast's child evaluates — a dedicated
+    * count() job cost ~25% of the whole operator at bench scale. The rows
+    * leave the df aggregate hash-partitioned by an md5-derived key, so
+    * partitions are balanced by construction and a per-partition cap of 2x
+    * the fair share fails loudly (naming the knob) before the driver
+    * accumulates a pathological "benchmark suite" mid-broadcast. */
+  private def benchGramSet(benchmark: DataFrame, idCol: String, textCol: String,
+                           k: Int, maxDf: Long, maxBenchGrams: Long): DataFrame = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val byGram = OpUtil.explodedWordShingles(benchmark, idCol, textCol, k)
+      .select(col("doc"), Portable.uhashBase(col("g")).as("hm"))
+      .distinct()
+      .groupBy("hm").agg(count(lit(1)).as("df"))
+    val b = (if (maxDf <= 0) byGram else byGram.where(col("df") <= maxDf))
+      .select("hm").as[Long]
+    b.mapPartitions { it =>
+      val ctx = org.apache.spark.TaskContext.get()
+      val nParts = if (ctx == null) 1 else math.max(1, ctx.numPartitions())
+      val cap = maxBenchGrams / nParts * 2 + 64
+      var n = 0L
+      it.map { hm =>
+        n += 1
+        if (n > cap) throw new IllegalArgumentException(
+          s"decontaminate: benchmark side exceeds maxBenchGrams=$maxBenchGrams " +
+            s"distinct capped grams (partition ${if (ctx == null) -1 else ctx.partitionId()} " +
+            s"alone holds > $cap of $nParts balanced partitions) — the " +
+            "benchmark gram set BROADCASTS to every corpus task (benchmark " +
+            "suites only); raise maxBenchGrams if every executor can hold " +
+            "it, or use ngramJaccard for corpus-vs-corpus overlap")
+        hm
+      }
+    }.toDF("hm")
   }
 
   /** Decontamination via a Bloom sketch of the benchmark's k-grams
@@ -431,9 +494,12 @@ object Dedup {
                          threshold: Double = 0.5,
                          maxDf: Long = DefaultMaxDf,
                          maxBenchSigs: Long = MaxBenchSigs): DataFrame = {
-    val bsh = OpUtil.shared(cappedShingles(benchmark, idCol, textCol, k, maxDf))
+    val bsh = cappedShingles(benchmark, idCol, textCol, k, maxDf, cacheCapped = true)
     val bSigs = OpUtil.shared(bandedSignatures(bsh, numHashes, bands))
-    fuzzyDecontCore(cappedShingles(corpus, idCol, textCol, k, maxDf),
+    fuzzyDecontCore(
+      // corpus postings feed three subtrees in the core (signatures, sizes,
+      // the verify join) — cache the CAPPED output once (r17, §2.4)
+      cappedShingles(corpus, idCol, textCol, k, maxDf, cacheCapped = true),
       bSigs, bsh, idCol, numHashes, bands, threshold, maxBenchSigs)
   }
 
@@ -490,7 +556,7 @@ object Dedup {
                             bands: Int = 4, maxDf: Long = DefaultMaxDf): Unit = {
     val spark = benchmark.sparkSession
     import spark.implicits._
-    val bsh = OpUtil.shared(cappedShingles(benchmark, idCol, textCol, k, maxDf))
+    val bsh = cappedShingles(benchmark, idCol, textCol, k, maxDf, cacheCapped = true)
     val paramsName = IndexCommit.sidecarName(dir, "params")
     Seq((k, numHashes, bands, maxDf, benchmark.schema(idCol).dataType.catalogString))
       .toDF("k", "num_hashes", "bands", "max_df", "id_type")
@@ -517,7 +583,10 @@ object Dedup {
       p.getAs[Int]("bands"), p.getAs[Long]("max_df"))
     val bSigs = snap.dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
     val bsh = spark.read.parquet(snap.sidecar("shingles"))
-    fuzzyDecontCore(cappedShingles(corpus, idCol, textCol, k, maxDf),
+    fuzzyDecontCore(
+      // corpus postings feed three subtrees in the core (signatures, sizes,
+      // the verify join) — cache the CAPPED output once (r17, §2.4)
+      cappedShingles(corpus, idCol, textCol, k, maxDf, cacheCapped = true),
       bSigs, bsh, idCol, nh, bands, threshold, maxBenchSigs)
   }
 
@@ -670,7 +739,7 @@ object Dedup {
                       threshold: Double = 0.5,
                       maxDf: Long = DefaultMaxDf): DataFrame = {
     // one shared postings frame feeds candidates, sizes, and the verify join
-    val sh = cappedShingles(docs, idCol, textCol, k, maxDf)
+    val sh = cappedShingles(docs, idCol, textCol, k, maxDf, cacheCapped = true)
     val cands = bandedCandidates(sh, numHashes, bands)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     // intersection via composite equi-join (doc, shingle hash) — linear in
@@ -866,10 +935,13 @@ object Dedup {
     * outputs are integers, bit-reproducible by the SQL oracle. */
   def decontaminateReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String, k: Int = 8,
-                          maxDf: Long = DefaultMaxDf): DataFrame = {
+                          maxDf: Long = DefaultMaxDf,
+                          maxBenchGrams: Long = MaxBenchGrams): DataFrame = {
     val c = cappedShingles(corpus, idCol, textCol, k, maxDf)
-    val b = cappedShingles(benchmark, idCol, textCol, k, maxDf)
-      .select("hm").distinct().withColumn("_hit", lit(1))
+    // broadcast bench gram set: same reasoning as [[decontaminate]] (the
+    // left-outer probe builds on the broadcast right side)
+    val b = broadcast(benchGramSet(benchmark, idCol, textCol, k, maxDf,
+      maxBenchGrams).withColumn("_hit", lit(1)))
     val per = c.join(b, Seq("hm"), "left")
       .groupBy("doc")
       .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_shared"))

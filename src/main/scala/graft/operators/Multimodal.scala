@@ -145,7 +145,8 @@ object Multimodal {
     * exactly and cheaply; content-defined chunking is the alignment-robust
     * refinement and shares this plan shape. */
   def binaryChunkHashes(df: DataFrame, idCol: String, payloadCol: String,
-                        chunkBytes: Int = 64, maxDf: Int = 64): DataFrame = {
+                        chunkBytes: Int = 64, maxDf: Int = 64,
+                        cacheCapped: Boolean = false): DataFrame = {
     require(maxDf >= 1)
     // shared(): the df-cap anti-join reads the chunk pipeline TWICE (main
     // side + heavy side) and the pair join twice more — materialize the
@@ -155,8 +156,15 @@ object Multimodal {
     // cluster scale it's a no-op.
     val ch = OpUtil.shared(
       binaryChunkRows(OpUtil.rebalance(df), idCol, payloadCol, chunkBytes))
+    // broadcast: the heavy set is tiny by construction (chunks in > maxDf
+    // medias); without the hint the anti-join was an SMJ that exchanged and
+    // sorted the FULL postings per consumer (r17, §2.4/§3.1). cacheCapped:
+    // the self-join callers consume the capped postings twice — cache them
+    // once instead of re-running the cap per side (Dedup.cappedShingles'
+    // r17 fix applied here).
     val heavy = ch.groupBy("ch").count().where(col("count") > maxDf).select("ch")
-    ch.join(heavy, Seq("ch"), "left_anti")
+    val capped = ch.join(broadcast(heavy), Seq("ch"), "left_anti")
+    if (cacheCapped) OpUtil.shared(capped) else capped
   }
 
   /** Per-row fixed-grid chunk rows `(id, ch)` — one codegen'd pass over
@@ -301,7 +309,7 @@ object Multimodal {
 
   def cdcChunkHashes(df: DataFrame, idCol: String, payloadCol: String,
                      window: Int = 8, divisor: Int = 16,
-                     maxDf: Int = 64): DataFrame = {
+                     maxDf: Int = 64, cacheCapped: Boolean = false): DataFrame = {
     require(maxDf >= 1)
     // shared(): the df-cap anti-join and the pair join re-read the chunk
     // pipeline up to 4x — materialize the (id, ch) rows once. rebalance:
@@ -309,8 +317,10 @@ object Multimodal {
     // interpreted chunking; at cluster scale it's a no-op.
     val ch = OpUtil.shared(
       cdcChunkRows(OpUtil.rebalance(df), idCol, payloadCol, window, divisor))
+    // broadcast + cacheCapped: see [[binaryChunkHashes]] (r17)
     val heavy = ch.groupBy("ch").count().where(col("count") > maxDf).select("ch")
-    ch.join(heavy, Seq("ch"), "left_anti")
+    val capped = ch.join(broadcast(heavy), Seq("ch"), "left_anti")
+    if (cacheCapped) OpUtil.shared(capped) else capped
   }
 
   /** Screen incoming media against a STATIC library chunk index — the
@@ -582,7 +592,8 @@ object Multimodal {
   def binaryNearDupsCdc(df: DataFrame, idCol: String, payloadCol: String,
                         window: Int = 8, divisor: Int = 16,
                         minShared: Int = 2, maxDf: Int = 64): DataFrame = {
-    val ch = cdcChunkHashes(df, idCol, payloadCol, window, divisor, maxDf)
+    val ch = cdcChunkHashes(df, idCol, payloadCol, window, divisor, maxDf,
+      cacheCapped = true)
     val a = ch.select(col(idCol).as("i"), col("ch"))
     val b = ch.select(col(idCol).as("j"), col("ch"))
     a.join(b, Seq("ch")).where(col("i") < col("j"))
@@ -605,7 +616,8 @@ object Multimodal {
   def binaryNearDups(df: DataFrame, idCol: String, payloadCol: String,
                      chunkBytes: Int = 64, minShared: Int = 2,
                      maxDf: Int = 64): DataFrame = {
-    val ch = binaryChunkHashes(df, idCol, payloadCol, chunkBytes, maxDf)
+    val ch = binaryChunkHashes(df, idCol, payloadCol, chunkBytes, maxDf,
+      cacheCapped = true)
     val a = ch.select(col(idCol).as("i"), col("ch"))
     val b = ch.select(col(idCol).as("j"), col("ch"))
     a.join(b, Seq("ch")).where(col("i") < col("j"))

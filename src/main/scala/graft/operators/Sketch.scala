@@ -82,6 +82,27 @@ object Sketch {
       .drop("_rn")
   }
 
+  /** [[kmvKeptHashes]] executed through the bounded-state
+    * [[org.apache.spark.sql.graftshim.KmvAgg]] aggregate — the 100 TB path
+    * for building the sketch-as-data table (the [[kmvDistinctAgg]] reasoning
+    * applied to kept hashes): the declarative twin shuffles EVERY distinct
+    * hash and window-sorts each group in full; this one holds ≤ k longs per
+    * group per partition and map-side partial-aggregates, then explodes the
+    * ascending kept array back to rows. The kept SET is exactly the k
+    * smallest distinct hashes either way (unit-pinned against the window
+    * twin), so downstream [[kmvOverlap]] / [[kmvFromKept]] results are
+    * bit-identical. */
+  def kmvKeptHashesAgg(df: DataFrame, groupCols: Seq[String], value: Column,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.{GraftShims, KmvAgg}
+    require(k >= 2, "k must be at least 2")
+    val grp = groupCols.map(col)
+    val kept = GraftShims.column(
+      KmvAgg(GraftShims.expr(Portable.hash60(value)), k).toAggregateExpression())
+    OpUtil.rebalance(df).groupBy(grp: _*).agg(kept.as("_ks"))
+      .select(grp :+ explode(col("_ks")).as("_h"): _*)
+  }
+
   /** Finalize (or merge) kept-hash rows into the per-group summary. Input may
     * be a UNION of shard sketches: hashes shared by shards dedupe, then the
     * k smallest survive — exactly the KMV union rule. */

@@ -297,6 +297,31 @@ class JoinOpsSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("kmvKeptHashesAgg: identical kept-hash rows to the window twin, no Window in plan") {
+    val data = (0 until 30000).map(i => (s"g${i % 7}", s"v${(i * 31) % 4000}")).toDF("g", "v")
+    val viaAgg = Sketch.kmvKeptHashesAgg(data, Seq("g"), col("v"), k = 64)
+    val viaWindow = Sketch.kmvKeptHashes(data, Seq("g"), col("v"), k = 64)
+    val a = viaAgg.orderBy("g", "_h").collect().map(_.toSeq).toSeq
+    val w = viaWindow.orderBy("g", "_h").collect().map(_.toSeq).toSeq
+    assert(a === w)
+    val p = viaAgg.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    // overlap estimates are then bit-identical whichever build path made
+    // the sketches (the downstream estimator sees the same kept sets)
+    val half1 = data.where(length(col("v")) % 2 === 0)
+    val half2 = data.where(length(col("v")) % 2 === 1)
+    val viaA = Sketch.kmvOverlap(
+      Sketch.kmvKeptHashesAgg(half1, Seq("g"), col("v"), 64),
+      Sketch.kmvKeptHashesAgg(half2, Seq("g"), col("v"), 64), Seq("g"), 64)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val viaW = Sketch.kmvOverlap(
+      Sketch.kmvKeptHashes(half1, Seq("g"), col("v"), 64),
+      Sketch.kmvKeptHashes(half2, Seq("g"), col("v"), 64), Seq("g"), 64)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(viaA === viaW)
+  }
+
   test("sampleKPerGroup (TopKAgg): equals the window twin; seeds independent") {
     import graft.operators.Sampling
     val data = (0 until 20000).map(i => (s"g${i % 5}", i.toLong)).toDF("g", "id")
