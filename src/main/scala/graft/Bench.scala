@@ -38,6 +38,62 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   private def f3(x: Double): String = f"$x%.3f"
+
+  /** The FINAL stdout line, sans closing brace (main appends host_suspect +
+    * rerun provenance + "}"). ONLY the driver-contract fields plus the four
+    * throughput headlines and the two gate booleans live here: the harness
+    * captures the LAST ~2000 chars of output, and every field beyond these
+    * belongs in the detail record (r18 — the r13..r17 headline had regrown
+    * past the capture window and published unparseable for five rounds).
+    * The length budget is pinned in BenchGateSpec against the current head
+    * list, so a head addition that would re-break the contract fails tests
+    * instead of silently blinding the driver again. */
+  private[graft] def headlineFor(total: Double,
+      queries: scala.collection.Map[String, Double], sfDir: String,
+      appendMbps: Double, scanMbps: Double, exportMbps: Double,
+      backfillMbps: Double, appendGatePassed: Boolean,
+      registryGatePassed: Boolean): String =
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
+    s""","queries":${jmap(queries)},"sf":"$sfDir"""" +
+    s""","append_mbps":${f3(appendMbps)}""" +
+    s""","scan_mbps":${f3(scanMbps)}""" +
+    s""","export_mbps":${f3(exportMbps)}""" +
+    s""","backfill_mbps":${f3(backfillMbps)}""" +
+    s""","append_gate_passed":$appendGatePassed""" +
+    s""","registry_gate_passed":$registryGatePassed""" +
+    s""","detail":"BENCH_DETAIL.json""""
+
+  /** Registry heads the suite times (object-level so the BenchGateSpec
+    * headline-budget pin sees additions: a new head that pushes the final
+    * line past the harness tail capture fails the spec, not the driver). */
+  private[graft] val RegistryHeads: Seq[String] = Seq(
+    "lineitem_agg", "join_agg", "topk_orders",
+    "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
+    "sim_exact", "sim_lsh", "text_stats", "text_langid", "text_repetition",
+    "text_filter", "pipeline_export",
+    "decontaminate", "decontaminate_bloom", "multimodal_decode",
+    "es_window_hourly", "es_agg_by_type",
+    "join_asof", "join_range", "join_overlap",
+    "sketch_kmv", "sketch_cms", "sketch_bloom", "sketch_hll",
+    "sketch_kmv_overlap", "stats_quantiles_approx",
+    "stats_quantiles_sample", "dedup_semantic", "dedup_semantic_probe",
+    "sample_mix", "dedup_lines", "decontaminate_report", "text_datacard",
+    "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split",
+    "text_classify", "text_bpe", "text_unigram", "es_compact_zorder",
+    "sample_diverse", "sample_temperature", "multimodal_dedup",
+    "multimodal_dedup_cdc", "multimodal_probe_persisted",
+    "text_bpe_bytes", "ts_similarity", "pipeline_sql")
+
+  /** EVERY name the suite's `queries` map carries, in emit order — the
+    * population the headline-budget pin renders. Front-segment and CDC
+    * names are fixed here (their bodies are built inline in runSuite). */
+  private[graft] val AllTimedHeads: Seq[String] =
+    Seq("append_events", "append_64k_steady",
+      "scan_64k_batches", "stream_roundtrip", "scan_events",
+      "fetch_mid_range", "fetch_time_mid", "export_objects_64k",
+      "backfill_objects_64k") ++ RegistryHeads ++
+      Seq("cdc_chunk_div16", "cdc_chunk_div16k")
+
   private def jmap(m: scala.collection.Map[String, Double]): String =
     m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
   private def jmapS(m: scala.collection.Map[String, String]): String =
@@ -341,15 +397,6 @@ object Bench {
         runSuite(spark, sfDir, memProbeDf, force)
       }
 
-    try {
-      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
-      java.nio.file.Files.write(p, fin.detail.getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(fin.detail)
-    val provenance =
-      if (!rerun) ""
-      else s""","rerun_of":0,"discarded_append_mbps":${f3(attempt0.appendMbps)}""" +
-        s""","discarded_append_gate_passed":${attempt0.appendGatePassed}"""
     // CROSS-RUN HOST-HEALTH CHECK (r14 instrument gap): compare this run's
     // sentinel baselines against the last GATED run's (persisted in the
     // prior file). A >2x drift on any sentinel marks the WHOLE run
@@ -368,12 +415,22 @@ object Bench {
         s"(prior ${drifted.map(k => f3(priorSents(k))).mkString(",")} vs " +
         s"current ${drifted.map(k => f3(fin.sentinels(k))).mkString(",")}) — " +
         "figures publish flagged; prior envelope NOT overwritten")
-    val hostFields =
-      s""","host_suspect":$hostSuspect""" +
+    // host-suspect forensics ride the DETAIL record (r18: only the boolean
+    // fits the headline's tail-capture budget)
+    val detailFull = fin.detail.dropRight(1) +
       s""","host_suspect_sentinels":${jlistS(drifted)}""" +
       s""","host_suspect_factor":${f3(HostSuspectFactor)}""" +
-      s""","prior_sentinels":${jmap(priorSents)}"""
-    println(fin.headlineCore + hostFields + provenance + "}")
+      s""","prior_sentinels":${jmap(priorSents)}""" +
+      (if (!rerun) "" else s""","discarded_append_mbps":${f3(attempt0.appendMbps)}""" +
+        s""","discarded_append_gate_passed":${attempt0.appendGatePassed}""") +
+      "}"
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(p, detailFull.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(detailFull)
+    val provenance = if (!rerun) "" else s""","rerun_of":0"""
+    println(fin.headlineCore + s""","host_suspect":$hostSuspect""" + provenance + "}")
     // a both-gates-green run on a healthy host becomes the next run's prior
     // envelope (figures AND sentinel baselines) — through the ratchet guard:
     // a head still >factor x the rolling envelope stores AT the factor cap
@@ -700,22 +757,7 @@ object Bench {
       }))
 
     // -- relational / LLM-pipeline headline queries (registry plans) --
-    val heads = Seq("lineitem_agg", "join_agg", "topk_orders",
-      "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
-      "sim_exact", "sim_lsh", "text_stats", "text_langid", "text_repetition",
-      "text_filter", "pipeline_export",
-      "decontaminate", "decontaminate_bloom", "multimodal_decode",
-      "es_window_hourly", "es_agg_by_type",
-      "join_asof", "join_range", "join_overlap",
-      "sketch_kmv", "sketch_cms", "sketch_bloom", "sketch_hll",
-      "sketch_kmv_overlap", "stats_quantiles_approx",
-      "stats_quantiles_sample", "dedup_semantic", "dedup_semantic_probe",
-      "sample_mix", "dedup_lines", "decontaminate_report", "text_datacard",
-      "sim_pq", "sim_ivf_pq", "text_vocab", "sample_split",
-      "text_classify", "text_bpe", "text_unigram", "es_compact_zorder",
-      "sample_diverse", "sample_temperature", "multimodal_dedup",
-      "multimodal_dedup_cdc", "multimodal_probe_persisted",
-      "text_bpe_bytes", "ts_similarity", "pipeline_sql")
+    val heads = RegistryHeads
     val registry = SparkEntry.queries
     // heads whose cost is a driver-side loop re-entered per run: timed only
     // after converged warm-up (see timedMedian's converge branch)
@@ -840,6 +882,10 @@ object Bench {
     // segments bracketed by the IO sentinel (IO-heavy heads): the read path
     def ioGated(si: Int): Boolean = si == 0
     val gatedNames = segs.flatten.map(_._1)
+    // keep the spec's headline-budget population honest: a head added to the
+    // suite but not to AllTimedHeads would dodge the length pin
+    require("append_events" +: "append_64k_steady" +: gatedNames == AllTimedHeads,
+      "Bench.AllTimedHeads is out of sync with the timed suite")
     val boundaries = scala.collection.mutable.ArrayBuffer[Double]()
     val memBoundaries = scala.collection.mutable.ArrayBuffer[Double]()
     val ioBoundaries = scala.collection.mutable.ArrayBuffer[Option[Double]]()
@@ -1076,7 +1122,6 @@ object Bench {
     // for that workload (MB/s is dominated by per-batch bookkeeping)
     val appendSec = results.getOrElse("append_events", -1.0)
     val appendRps = if (appendSec > 0) nEvents / appendSec else -1.0
-    val qs = jmap(results)
     // headline window = the better of the suite window and (if the append
     // envelope flagged) the end-of-suite re-measure window
     val perCommitMbps = headlineCommitSecs.map(s => payload64k / 1e6 / s).sorted
@@ -1091,14 +1136,17 @@ object Bench {
     val tpRegressed = BenchGate.regressedThroughput(tpCurrent, tpEnvelope,
       PriorStoreFactor)
 
-    // OUTPUT SHAPE (round 10): the harness captures only the TAIL of the run
-    // output, and the round-9 headline line had grown past that window — the
-    // capture sliced off the line's head, dropping every append_* field and
-    // leaving unparseable JSON. So: forensics (per-commit lists, every
-    // append window, best-of-3, spreads, sentinels, window tags) go to a
-    // separate detail line printed FIRST (and to BENCH_DETAIL.json on disk),
-    // and the headline line stays compact — scalars + the per-query median
-    // map only — printed LAST so the tail always contains it whole.
+    // OUTPUT SHAPE (round 10, re-slimmed round 18): the harness captures only
+    // the last ~2000 chars of the run output, and the headline line had
+    // regrown past that window — every round since r13 published with its
+    // head sliced off (`parsed: null` in BENCH_r13..r17.json; the driver was
+    // blind to per-query round-over-round for five rounds). So the FINAL
+    // line now carries ONLY the contract fields (metric/value/unit, the
+    // per-query median map, sf) plus the four throughput headlines and the
+    // two gate booleans — measured ~1.75 KB with the current 61 heads
+    // (BenchGateSpec pins the budget) — and EVERY other scalar (gate
+    // forensics, sentinel baselines, derived rates, envelope verdicts)
+    // rides the detail line printed FIRST and BENCH_DETAIL.json on disk.
     val detail =
       s"""{"bench_detail":1""" +
       s""","append_64k_commit_secs":${jlist(commitSecs.toSeq)}""" +
@@ -1131,26 +1179,17 @@ object Bench {
       s""","prior_regressed":${jmap(scala.collection.immutable.ListMap(priorRegressed: _*))}""" +
       s""","queries_gc_frac":${jmap(gcFrac)}""" +
       s""","queries_best_of_3":${jmap(best)}""" +
-      s""","queries_spread":${jmap(spread)}}"""
-    // headline append figure = the MEDIAN steady-state commit: one
-    // vCPU-steal outlier distorts the mean of 16 identical commits by 2x;
-    // the median is the steady-state rate (mean rides alongside).
-    // append_mbps = MEDIAN per-commit rate since r5; scan_mbps = fetch over
-    // ONLY the 16 timed commits' offsets (fixed byte count) since r7 —
-    // cross-round deltas must compare matching definitions.
-    val headlineCore =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","append_mbps":${f3(medianMbps)}""" +
+      s""","queries_spread":${jmap(spread)}""" +
+      // scalars formerly on the headline line (r18: moved here so the final
+      // line fits the harness's 2000-char tail capture — same figures, same
+      // definitions, just demoted to the forensics record)
       s""","append_mbps_def":"median_per_commit_64k"""" +
       s""","append_mbps_mean":${f3(mbps("append_64k_steady", nCommits * payload64k))}""" +
       s""","append_mbps_max":${f3(maxMbps)}""" +
-      // quiet-window gate scalars (per-commit lists live in the detail line)
       s""","append_gate_rel_iqr":${f3(gateSpreads(winIdx))}""" +
       s""","append_gate_threshold":${f3(GateRelIqr)}""" +
-      s""","append_gate_passed":$gatePassed""" +
       s""","append_window_used":$winIdx""" +
       s""","append_windows_n":${windows.size}""" +
-      // registry noise gate: sentinel-bracketed segments, dirty ones re-run
       s""","registry_sentinel_s0":${f3(s0)}""" +
       s""","registry_gate_factor":${f3(RegistryGateFactor)}""" +
       s""","io_sentinel_s0":${f3(s0io)}""" +
@@ -1159,30 +1198,35 @@ object Bench {
       s""","mem_gate_factor":${f3(MemGateFactor)}""" +
       s""","write_sentinel_s0":${f3(s0wr)}""" +
       s""","write_gate_factor":${f3(WriteGateFactor)}""" +
-      s""","registry_gate_passed":$registryGatePassed""" +
       s""","registry_segments_rerun":$segmentsRerun""" +
       s""","prior_flagged_n":${priorFlagged.size}""" +
-      // weak heads, in-band: names still >factor x the ROLLING gated
-      // envelope after their end-of-suite re-measure (ratios in the detail)
       s""","prior_regressed_n":${priorRegressed.size}""" +
       s""","prior_regressed_names":${jlistS(priorRegressed.map(_._1))}""" +
-      // weak THROUGHPUT headlines, in-band: figures below 1/factor of the
-      // rolling-max gated envelope after any re-measure (ratios in detail)
       s""","prior_regressed_tp_n":${tpRegressed.size}""" +
       s""","prior_regressed_tp_names":${jlistS(tpRegressed.map(_._1))}""" +
       s""","cdc_chunk_mbps_div16":${f3(mbps("cdc_chunk_div16", cdcBytes))}""" +
       s""","cdc_chunk_mbps_div16k":${f3(mbps("cdc_chunk_div16k", cdcBytes))}""" +
-      s""","scan_mbps":${f3(mbps("scan_64k_batches", nCommits * payload64k))}""" +
       s""","scan_mbps_def":"timed_commits_fetch_64k"""" +
-      s""","export_mbps":${f3(mbps("export_objects_64k", nCommits * payload64k))}""" +
       s""","export_mbps_def":"timed_commits_to_tiered_objects"""" +
-      s""","backfill_mbps":${f3(mbps("backfill_objects_64k", nCommits * payload64k))}""" +
       s""","backfill_mbps_def":"tiered_objects_to_imported_boundaries"""" +
       s""","append_events_mbps":${f3(mbps("append_events", payloadBytes))}""" +
       s""","append_events_rows_per_sec":${f3(appendRps)}""" +
-      s""","scan_rows_per_sec":${f3(scanRps)},"n_events":$nEvents,"payload_bytes":$payloadBytes""" +
-      s""","batch_64k_payload_bytes":$payload64k""" +
-      s""","detail":"BENCH_DETAIL.json""""
+      s""","scan_rows_per_sec":${f3(scanRps)}""" +
+      s""","n_events":$nEvents""" +
+      s""","payload_bytes":$payloadBytes""" +
+      s""","batch_64k_payload_bytes":$payload64k}"""
+    // headline append figure = the MEDIAN steady-state commit: one
+    // vCPU-steal outlier distorts the mean of 16 identical commits by 2x;
+    // the median is the steady-state rate (mean rides alongside in detail).
+    // append_mbps = MEDIAN per-commit rate since r5; scan_mbps = fetch over
+    // ONLY the 16 timed commits' offsets (fixed byte count) since r7 —
+    // cross-round deltas must compare matching definitions (the *_def
+    // strings ride the detail record).
+    val headlineCore = headlineFor(total, results, sfDir, medianMbps,
+      mbps("scan_64k_batches", nCommits * payload64k),
+      mbps("export_objects_64k", nCommits * payload64k),
+      mbps("backfill_objects_64k", nCommits * payload64k),
+      gatePassed, registryGatePassed)
     SuiteResult(detail, headlineCore, gatePassed, registryGatePassed,
       medianMbps, results, best,
       // the run's FINAL sentinel baselines (post-rerun minima — the quietest

@@ -1779,8 +1779,17 @@ object SparkEntry {
     val toks = Fixtures.documents(s, sfDir)
       .select(explode(Portable.words(col("text"))).as("tok"))
       .where(col("tok") =!= "")
-    val sketch = Sketch.cmsSketch(toks, col("tok"))
-    val candidates = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+    // ONE corpus pass (r18, §1.2 step 1): the per-token occurrence counts
+    // feed BOTH the sketch (cmsSketchFromCounts — a cell's count is the sum
+    // of its tokens' counts, bit-equal to sketching occurrences and
+    // unit-pinned) and the true-top-10 candidates. Before r18 the sketch
+    // re-scanned the corpus and md5-hashed every OCCURRENCE; now the slot
+    // family derives once per distinct token. shared(): both consumers read
+    // the counts once (vocabulary-sized, not corpus-sized).
+    val counts = graft.operators.OpUtil.shared(
+      toks.groupBy("tok").agg(count(lit(1)).as("true_cnt")))
+    val sketch = Sketch.cmsSketchFromCounts(counts, col("tok"), col("true_cnt"))
+    val candidates = counts
       .orderBy(col("true_cnt").desc, col("tok").asc).limit(10)
     Sketch.cmsEstimate(candidates, col("tok"), sketch)
       .select("tok", "true_cnt", "est_cnt")
@@ -1794,14 +1803,25 @@ object SparkEntry {
     * graded row also prove the union-distinct merge law end-to-end. */
   private def qSketchBloom(s: SparkSession, sfDir: String): DataFrame = {
     import s.implicits._
-    def toks(docs: DataFrame) = docs
-      .select(explode(Portable.words(col("text"))).as("tok"))
-      .where(col("tok") =!= "")
     val docs = Fixtures.documents(s, sfDir)
-    val sketch = Sketch.bloomMerge(Seq(
-      Sketch.bloomSketch(toks(docs.where(col("doc_id") % 2 === 0)), col("tok")),
-      Sketch.bloomSketch(toks(docs.where(col("doc_id") % 2 =!= 0)), col("tok"))))
-    val top = toks(docs).groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+    // ONE corpus pass (r18, §1.2 step 1): per-(shard, token) counts feed
+    // the two shard sketches AND the true-top-20 candidates — before r18
+    // the corpus was scanned + word-exploded THREE times and Bloom slots
+    // were md5-derived per OCCURRENCE; now once per distinct (shard, token)
+    // row. shared(): vocabulary-sized, three consumers.
+    val perShard = graft.operators.OpUtil.shared(docs
+      .select((col("doc_id") % 2 === 0).as("even"),
+        explode(Portable.words(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("even", "tok").agg(count(lit(1)).as("c")))
+    // the two parity-shard sketches (distinct slot set per shard), then
+    // bloomMerge's union-distinct — same merge-law shape, one pass earlier;
+    // duplicate-token collapse is unchanged (slots dedupe at the end)
+    val sketch = perShard
+      .select(col("even"), explode(Sketch.bloomSlots(col("tok"))).as("slot"))
+      .distinct() // per-shard slot sets = the shard sketches
+      .select("slot").distinct() // the merge: union distinct
+    val top = perShard.groupBy("tok").agg(sum("c").as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("tok").asc).limit(20).select("tok")
     val absent = (1 to 5).map(i => s"__graft_absent_$i").toDF("tok")
     Sketch.bloomProbe(top.unionByName(absent), col("tok"), sketch)
@@ -1880,14 +1900,24 @@ object SparkEntry {
     * float estimator rides [[graft.operators.Sketch.hllEstimate]] and is
     * accuracy-pinned in units. */
   private def qSketchHll(s: SparkSession, sfDir: String): DataFrame = {
-    def toks(docs: DataFrame) = docs
-      .select(col("lang"), explode(Portable.words(col("text"))).as("tok"))
-      .where(col("tok") =!= "")
     val docs = Fixtures.documents(s, sfDir)
-    Sketch.hllMerge(Seq(
-      Sketch.hllSketch(toks(docs.where(col("doc_id") % 2 === 0)), Seq("lang"), col("tok"), p = 6),
-      Sketch.hllSketch(toks(docs.where(col("doc_id") % 2 =!= 0)), Seq("lang"), col("tok"), p = 6)),
-      Seq("lang"))
+    // ONE corpus pass (r18, §1.2 step 1): tokens tagged with their doc
+    // parity, per-(lang, shard) registers built by the same bounded hash
+    // aggregate, then the per-bucket max across shards IS hllMerge's merge
+    // law — before r18 each shard sketch re-scanned and re-exploded the
+    // whole corpus. The register rows per shard are identical to the
+    // two-scan build (bit-equality is set by the hash, not the plan), so
+    // the merged output is unchanged.
+    // (measured, not kept: a distinct-first pass — md5 once per distinct
+    // token — costs MORE than the per-occurrence md5 it saves, because the
+    // distinct shuffles vocabulary STRINGS while the register aggregate
+    // shuffles ≤ 2·langs·2^p rows; QTime 0.96 s vs 0.66 s)
+    val toks = docs
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("even"),
+        explode(Portable.words(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    Sketch.hllSketch(toks, Seq("lang", "even"), col("tok"), p = 6)
+      .groupBy("lang", "bucket").agg(max("rho").as("rho"))
   }
 
   /** Streaming as-of enrichment ([[graft.operators.AsOfJoin.streamingEnrich]]):

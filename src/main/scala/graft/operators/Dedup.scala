@@ -91,7 +91,12 @@ object Dedup {
                    k: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = DefaultMaxDf): DataFrame = {
     val sh = cappedShingles(docs, idCol, textCol, k, maxDf, cacheCapped = true)
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    // shared(): `sizes` feeds BOTH post-pair joins (i side and j side), and
+    // the rename makes the two subtrees non-identical, so exchange reuse
+    // never dedupes them — before r18 the plan aggregated the full capped
+    // postings TWICE (one corpus-sized exchange each, §2.4); the per-doc
+    // count table is docs-sized, the cheapest frame in the operator to pin
+    val sizes = OpUtil.shared(sh.groupBy("doc").agg(count(lit(1)).as("n")))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.hm") === col("b.hm") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))

@@ -88,6 +88,38 @@ object Multimodal {
     * corpus-vs-corpus job is [[binaryNearDupsCdc]], not this API. */
   val MaxProbeChunks: Long = 4000000L
 
+  /** Params-sidecar memo for the probe hot path. Committed sidecars are
+    * IMMUTABLE files under generation-unique names (written before the
+    * pointer flip — [[writeMediaLibraryIndex]]), so their 1-row contents
+    * memoize safely by absolute path: before r18 every
+    * [[mediaDedupProbeAt]] call re-read the same tiny parquet through a
+    * full Spark job (~0.15 s of driver latency per probe at sf0.1, once
+    * per micro-batch in the streaming screen). Legacy bare-named params
+    * files (pre-sidecar indexes) can be overwritten in place by a rebuild
+    * and are NEVER memoized. Bounded LRU, metadata only — the same class
+    * of cache as Spark's own file-listing session cache. */
+  private val paramsMemo =
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.Row](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.Row]): Boolean =
+        size() > 64
+    }
+  private def readParams(spark: SparkSession,
+                         snap: IndexCommit.ReadSnapshot): org.apache.spark.sql.Row = {
+    val path = snap.sidecar("params")
+    val memoizable = snap.sidecars.contains("params")
+    if (memoizable) {
+      val got = paramsMemo.synchronized(paramsMemo.get(path))
+      if (got != null) return got
+    }
+    val row = spark.read.parquet(path).collect().head
+    if (memoizable) paramsMemo.synchronized { paramsMemo.put(path, row); () }
+    row
+  }
+  /** Test seam: forget memoized params (e.g. after deleting index dirs). */
+  private[graft] def clearParamsMemo(): Unit =
+    paramsMemo.synchronized(paramsMemo.clear())
+
   /** STUB decoder: deterministic fake feature extraction from payload bytes.
     * A real deployment decodes here (libjpeg/ffmpeg/...); the arithmetic is
     * fixed so results are reproducible and oracle-checkable. */
@@ -437,7 +469,7 @@ object Multimodal {
     // a rebuild landing after this read aborts the append instead of
     // letting old-divisor chunks onto the new index
     val snap = IndexCommit.readSnapshot(dir, "chunks")
-    val p = spark.read.parquet(snap.sidecar("params")).collect().head
+    val p = readParams(spark, snap)
     val (window, divisor, maxDf, nBuckets) = (p.getAs[Int]("window"),
       p.getAs[Int]("divisor"), p.getAs[Int]("max_df"), p.getAs[Int]("n_buckets"))
     // keep the id column NAME AND TYPE the builder used — a caller-side
@@ -464,25 +496,36 @@ object Multimodal {
 
   /** Union of chunks trees with the partition column re-read as INT (the
     * type the builders write, so probe filters compare un-cast and pruning
-    * engages). */
+    * engages). The schema derives from the already-read params sidecar row
+    * (id name/type ride it since the sidecar gained those fields; ch and
+    * bucket are fixed by the layout), so planning does ZERO tree listing or
+    * footer inference — before r18 every probe ran
+    * [[IndexCommit.inferAcross]] over the live trees (a driver-side
+    * metadata pass per probe, §6; ProbeProf billed the snapshot+infer
+    * stage ~0.3 s of the 1.5 s head at sf0.1, and at corpus scale the
+    * listing grows with the tree count). Pre-id_name sidecars (legacy
+    * indexes) keep the inference fallback. */
   private def readChunkTrees(spark: SparkSession, dirs: Seq[String],
-                             paramsPath: String): DataFrame = {
+                             params: org.apache.spark.sql.Row): DataFrame = {
     import org.apache.spark.sql.types._
-    val inferred = IndexCommit.inferAcross(spark, dirs).getOrElse {
-      // EVERY live tree is empty — legitimate after a compact whose chunks
-      // were all globally df-capped away. The schema is fully determined
-      // by the params sidecar (id name/type + ch + bucket).
-      val row = spark.read.parquet(paramsPath).collect().head
-      val idT = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-        .parseDataType(row.getAs[String]("id_type"))
-      StructType(Seq(StructField(row.getAs[String]("id_name"), idT),
-        StructField("ch", LongType), StructField("bucket", IntegerType)))
-    }
-    val fixed = StructType(inferred.map {
-      case f if f.name == "bucket" => f.copy(dataType = IntegerType)
-      case f => f
-    })
-    dirs.map(d => spark.read.schema(fixed).parquet(d)).reduce(_.unionByName(_))
+    val schema =
+      if (params.schema.fieldNames.contains("id_name"))
+        StructType(Seq(
+          StructField(params.getAs[String]("id_name"),
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(params.getAs[String]("id_type"))),
+          StructField("ch", LongType), StructField("bucket", IntegerType)))
+      else {
+        val inferred = IndexCommit.inferAcross(spark, dirs).getOrElse(
+          throw new IllegalArgumentException(
+            "pre-sidecar chunk index with every tree empty: schema is " +
+              "unrecoverable (rebuild with writeMediaLibraryIndex)"))
+        StructType(inferred.map {
+          case f if f.name == "bucket" => f.copy(dataType = IntegerType)
+          case f => f
+        })
+      }
+    dirs.map(d => spark.read.schema(schema).parquet(d)).reduce(_.unionByName(_))
   }
 
   /** Fold the persisted chunk library back to ONE file per bucket AND
@@ -508,7 +551,7 @@ object Multimodal {
     val p = spark.read.parquet(paramsPath).collect().head
     val maxDf = p.getAs[Int]("max_df")
     IndexCommit.compactTreesFrom(spark, dir, "chunks", st0) { (srcs, target) =>
-      val all = OpUtil.shared(readChunkTrees(spark, srcs, paramsPath))
+      val all = OpUtil.shared(readChunkTrees(spark, srcs, p))
       val heavy = all.groupBy("ch").count()
         .where(col("count") > maxDf).select("ch")
       all.join(heavy, Seq("ch"), "left_anti")
@@ -550,29 +593,35 @@ object Multimodal {
     // params + trees from ONE snapshot: a rebuild flipping the pointer
     // mid-probe can never pair new-divisor probe chunks with old trees
     val snap = IndexCommit.readSnapshot(dir, "chunks", version)
-    val p = spark.read.parquet(snap.sidecar("params")).collect().head
+    val p = readParams(spark, snap)
     val (window, divisor, nBuckets) =
       (p.getAs[Int]("window"), p.getAs[Int]("divisor"), p.getAs[Int]("n_buckets"))
-    val inc = OpUtil.shared(
-      cdcChunkRows(incoming, idCol, payloadCol, window, divisor)
-        .select(col(idCol).as("incoming"), col("ch")))
-    // inc is materialized by shared(); the count is a cheap second read of
-    // the materialization, not a second chunking pass
-    val nChunks = inc.count()
+    // NOT shared()-cached (r18): the chunk set is micro-batch-bounded by
+    // contract (the guard below), so re-chunking it once for the guard agg
+    // and once for the broadcast build costs less than the cache's
+    // copy+persist+read machinery did (ProbeProf: ~0.2 s of a 1.4 s head),
+    // and leaves no executor-storage block behind per probe call.
+    val inc = cdcChunkRows(incoming, idCol, payloadCol, window, divisor)
+      .select(col(idCol).as("incoming"), col("ch"))
+    // ONE pass answers BOTH driver questions — the guard count and the
+    // probed-bucket set (bounded by nBuckets, a legal collect): two
+    // separate jobs before r18 (§1.2: the probe's fixed per-job latency
+    // was a third of the head)
+    val g = inc.agg(count(lit(1)),
+      collect_set(pmod(col("ch"), lit(nBuckets.toLong)).cast("int"))).collect().head
+    val nChunks = g.getLong(0)
     if (nChunks > maxProbeChunks) throw new IllegalArgumentException(
       s"mediaDedupProbeAt: incoming batch chunked to $nChunks rows > " +
         s"maxProbeChunks=$maxProbeChunks — the probe BROADCASTS the incoming " +
         "chunk set (micro-batch screens only); raise maxProbeChunks if the " +
         "driver can hold it, or use binaryNearDupsCdc for corpus-vs-corpus")
-    val probed = inc
-      .select(pmod(col("ch"), lit(nBuckets.toLong)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val probed = g.getSeq[Int](1)
     // partition-column dtype: directory values 0..nBuckets-1 infer INT, and
     // the literals must match un-cast for pruning to engage (the
     // readIvfIndex lesson) — bucket was written as INT, probed is Seq[Int].
     // Trees resolve through the commit pointer: one committed snapshot,
     // stable under concurrent append/compact.
-    val chunks = readChunkTrees(spark, snap.dirs, snap.sidecar("params"))
+    val chunks = readChunkTrees(spark, snap.dirs, p)
     val libId = chunks.columns.filterNot(c => c == "ch" || c == "bucket") match {
       case Array(one) => one
       case other => throw new IllegalArgumentException(

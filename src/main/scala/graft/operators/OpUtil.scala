@@ -53,6 +53,22 @@ private[graft] object OpUtil {
     * the session's. */
   def shared(df: DataFrame): DataFrame = sharedWithHandle(df)._1
 
+  /** Ceiling on LIVE [[shared]] caches before the oldest is unpersisted
+    * eagerly (`spark.graft.sharedCacheMaxLive` overrides). ContextCleaner
+    * unpersist needs the backing RDD to be garbage-collected first, so a
+    * long-lived session stacking operator calls accumulated
+    * MEMORY_AND_DISK blocks until a GC happened to run (r17 verdict item).
+    * Eviction is correctness-neutral: an unpersisted shared RDD recomputes
+    * from its lineage on next use — the worst case is the pre-cache
+    * recompute cost, never a wrong result. The default comfortably covers
+    * one query's caches (≤4) times a realistically concurrent query count;
+    * SharedCacheSpec pins both the bound and post-eviction recompute. */
+  private val SharedCacheMaxLiveKey = "spark.graft.sharedCacheMaxLive"
+  private val SharedCacheMaxLiveDefault = 64
+  private val liveShared = new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()
+  /** Live shared-cache count (test seam). */
+  private[graft] def liveSharedCount: Int = liveShared.synchronized(liveShared.size)
+
   /** [[shared]], also returning the backing RDD so an iterative caller can
     * unpersist each round's cache EXPLICITLY once the next round is
     * materialized — waiting for the ContextCleaner means O(iterations)
@@ -61,6 +77,15 @@ private[graft] object OpUtil {
     val spark = df.sparkSession
     val rdd = GraftShims.internalRdd(df).map(_.copy())
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val cap = try spark.conf.get(SharedCacheMaxLiveKey,
+      SharedCacheMaxLiveDefault.toString).toInt
+    catch { case _: NumberFormatException => SharedCacheMaxLiveDefault }
+    liveShared.synchronized {
+      liveShared.addLast(rdd)
+      while (liveShared.size > math.max(1, cap)) {
+        liveShared.removeFirst().unpersist(blocking = false); ()
+      }
+    }
     (GraftShims.dfFromInternalRdd(spark, rdd, df.schema), rdd)
   }
   /** Re-balance a frame about to enter a CPU-bound expansion stage (shingle /

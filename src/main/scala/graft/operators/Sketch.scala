@@ -349,6 +349,25 @@ object Sketch {
     sketches.reduce(_.unionByName(_)).groupBy("d", "slot").agg(sum("cnt").as("cnt"))
   }
 
+  /** [[cmsSketch]] built from PRE-AGGREGATED occurrence counts `(value,
+    * cnt)` rows — bit-identical to sketching the raw occurrences (a cell's
+    * count is the sum of its values' occurrence counts; unit-pinned in
+    * JoinOpsSpec), for callers that already hold per-value counts: the md5
+    * slot family then derives once per DISTINCT value instead of once per
+    * occurrence, and no second corpus pass is paid (r18, §1.2 step 1 /
+    * §2.3 aggregate-before-shuffle). */
+  def cmsSketchFromCounts(counts: DataFrame, value: Column, cnt: Column,
+                          depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val hm = Portable.uhashBase(value)
+    OpUtil.rebalance(counts)
+      .select(explode(array((0 until depth).map(i =>
+          struct(lit(i).as("d"), (Portable.uhash(i, hm) % width).as("slot"))): _*)).as("cell"),
+        cnt.as("_c"))
+      .groupBy(col("cell.d").as("d"), col("cell.slot").as("slot"))
+      .agg(sum(col("_c")).as("cnt"))
+  }
+
   /** Bloom membership sketch: each DISTINCT value sets `k` slot indices in
     * `[0, m)` (the [[Portable.uhash]] family); the sketch is the distinct
     * set-slot rows `(slot)` — at most `min(m, n_distinct * k)` rows
@@ -363,11 +382,19 @@ object Sketch {
   def bloomSketch(df: DataFrame, value: Column, m: Int = 1 << 20,
                   k: Int = 5): DataFrame = {
     require(m >= 2 && k >= 1)
-    val hm = Portable.uhashBase(value)
     OpUtil.rebalance(df)
-      .select(explode(array((0 until k).map(i =>
-        Portable.uhash(i, hm) % m): _*)).as("slot"))
+      .select(explode(bloomSlots(value, m, k)).as("slot"))
       .distinct()
+  }
+
+  /** The k slot indices one value sets, as an array column — the single
+    * definition of the Bloom cell rule, shared by [[bloomSketch]],
+    * [[bloomProbe]] and shard-tagged builders (e.g. a one-pass build of
+    * several parity-shard sketches). */
+  def bloomSlots(value: Column, m: Int = 1 << 20, k: Int = 5): Column = {
+    require(m >= 2 && k >= 1)
+    val hm = Portable.uhashBase(value)
+    array((0 until k).map(i => Portable.uhash(i, hm) % m): _*)
   }
 
   /** Merge shard Bloom sketches built with identical (m, k): union of set
@@ -388,9 +415,7 @@ object Sketch {
     * value's `k` hash functions collide on one slot. */
   def bloomProbe(candidates: DataFrame, value: Column, sketch: DataFrame,
                  m: Int = 1 << 20, k: Int = 5): DataFrame = {
-    val hm = Portable.uhashBase(value)
-    val cells = candidates.withColumn("slot", explode(array((0 until k).map(i =>
-      Portable.uhash(i, hm) % m): _*)))
+    val cells = candidates.withColumn("slot", explode(bloomSlots(value, m, k)))
     cells.join(broadcast(sketch.withColumn("_set", lit(1))), Seq("slot"), "left")
       .groupBy(candidates.columns.toIndexedSeq.map(col): _*)
       .agg((count(when(col("_set").isNull, lit(1))) === 0).as("maybe_present"))

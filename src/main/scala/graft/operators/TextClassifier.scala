@@ -134,7 +134,15 @@ object TextClassifier {
         .toDF("_b", "_wm"))
     docs
       .select(col(idCol), explode(Portable.words(col(textCol))).as("_tok"))
-      .withColumn("_b", bucket(col("_tok"), model.nFeatures).cast("long"))
+      // coalesce marks the bucket non-nullable (it never IS null: split
+      // yields non-null tokens and md5 of a non-null string is non-null;
+      // were it ever null, -1 matches no weight row exactly as a null
+      // drops from the inner join). Without it the join's inferred
+      // IsNotNull(_b) pushed BELOW this projection as a filter on the md5
+      // EXPRESSION — every token paid the digest twice, once in the filter
+      // and once here (r18, §1.2 step 2; plan-pinned in plans/r18/).
+      .withColumn("_b",
+        coalesce(bucket(col("_tok"), model.nFeatures).cast("long"), lit(-1L)))
       .join(weights, "_b")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("_wm")).as("_sw"))

@@ -292,4 +292,25 @@ class BenchGateSpec extends AnyFunSuite {
     // growth is bounded by the factor per gated run AND every step was loud
     assert(hist.map(_("h")) === Seq(1.0, 1.9, 2.0, 2.0, 2.0))
   }
+
+  test("headline line fits the harness tail capture with every timed head") {
+    // The harness keeps only the LAST ~2000 chars of run output; sbt appends
+    // a ~75-char "[success] Total time..." line after the headline. Every
+    // round r13-r17 published with the line's head sliced off (parsed: null
+    // in BENCH_r*.json) because the headline had grown past that window.
+    // Render the real final line with every timed head at worst-case field
+    // widths and pin the budget. AllTimedHeads is require()d in sync with
+    // the suite at bench runtime, so a new head lands in this population.
+    val qs = scala.collection.immutable.ListMap(
+      Bench.AllTimedHeads.map(_ -> 8888.888): _*)
+    val line = Bench.headlineFor(88888.888, qs, "/root/testdata/sf0.1",
+      appendMbps = 8888.888, scanMbps = 8888.888, exportMbps = 8888.888,
+      backfillMbps = 8888.888, appendGatePassed = false,
+      registryGatePassed = false) +
+      s""","host_suspect":false,"rerun_of":0}""" // main's worst-case suffix
+    assert(line.length <= 1900,
+      s"headline is ${line.length} chars — would overflow the harness's " +
+        "2000-char tail capture (with sbt's trailing success line); move " +
+        "fields to the detail record instead")
+  }
 }

@@ -279,6 +279,35 @@ class IndexCommitSpec extends SparkTestBase {
     assert(dead.size == 2, s"base + slice reclaimed: $dead")
   }
 
+  test("media library rebuild with new chunk params: probes use the NEW divisor (params memo safe)") {
+    import spark.implicits._
+    // r18 memoizes the immutable params sidecar by path; a REBUILD commits a
+    // NEW generation-unique sidecar, so probes must pick up the new divisor
+    // through the pointer, never a stale memo entry
+    val docs = (0L until 6L).map(i =>
+      (i, (s"payload-$i-" + "x" * 200).getBytes("UTF-8"))).toDF("media_id", "payload")
+    val root = tmpDir("ixc-media-params-")
+    Multimodal.writeMediaLibraryIndex(docs, "media_id", "payload", root,
+      window = 8, divisor = 16, maxDf = 64, nBuckets = 8)
+    val probe = docs.limit(2)
+    def viaIndex() = Multimodal.mediaDedupProbeAt(spark, root, probe,
+      "media_id", "payload", minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    def inMemory(divisor: Int) = Multimodal.mediaDedupProbe(
+      graft.operators.Multimodal.cdcChunkHashes(docs, "media_id", "payload",
+        window = 8, divisor = divisor, maxDf = 64)
+        .select(col("media_id").as("existing_id"), col("ch")),
+      probe, "media_id", "payload", window = 8, divisor = divisor,
+      minShared = 1).as[(Long, Long, Long)].collect().toSet
+    assert(viaIndex() === inMemory(16))
+    // rebuild the SAME dir with a different divisor: the probe must chunk
+    // with 32 (sidecar of the new generation), not a memoized 16
+    Multimodal.writeMediaLibraryIndex(docs, "media_id", "payload", root,
+      window = 8, divisor = 32, maxDf = 64, nBuckets = 8)
+    assert(viaIndex() === inMemory(32),
+      "probe after rebuild must use the rebuilt generation's divisor")
+  }
+
   test("appended IVF index: partition pruning engages on EVERY live tree") {
     // the 100 TB claim behind the union read: a probe filter pushes through
     // the tree union into each FileSourceScanExec, so base AND delta trees

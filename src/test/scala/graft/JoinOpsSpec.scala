@@ -371,6 +371,13 @@ class JoinOpsSpec extends SparkTestBase {
     val whole = sk.select("d", "slot", "cnt").as[(Int, Long, Long)].collect().toSet
     val merged = mergedCells.select("d", "slot", "cnt").as[(Int, Long, Long)].collect().toSet
     assert(merged === whole)
+
+    // counts-weighted build (r18): sketching pre-aggregated (value, cnt)
+    // rows — slot family once per DISTINCT value — is cell-for-cell equal
+    // to sketching the raw occurrences
+    val viaCounts = Sketch.cmsSketchFromCounts(cand, col("v"), col("true_cnt"))
+      .select("d", "slot", "cnt").as[(Int, Long, Long)].collect().toSet
+    assert(viaCounts === whole)
   }
 
   test("Bloom: no false negatives, absent stays absent at sane m, shards merge by union") {
