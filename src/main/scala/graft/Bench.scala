@@ -320,6 +320,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Envelope sections key by CORE COUNT as well as SF (r18): the driver
+    // re-benches the same SF at a lower core count, and at fixture scale
+    // many heads run FASTER with fewer cores (sub-scale inversion — task
+    // scheduling and 32-way shuffles dominate sub-second heads), so one
+    // clean c8 publish would seed best-of envelopes the c32 runs are then
+    // falsely flagged against, and vice versa for the genuinely parallel
+    // heads. cpus=32 keeps the bare-SF key so committed history stays live.
+    val priorKey = if (cpus == "32") sfDir else s"$sfDir#c$cpus"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -384,7 +392,7 @@ object Bench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     memProbeDf.count()
 
-    val attempt0 = runSuite(spark, sfDir, memProbeDf, force)
+    val attempt0 = runSuite(spark, sfDir, priorKey, memProbeDf, force)
     val rerun = !attempt0.appendGatePassed
     val fin =
       if (!rerun) attempt0
@@ -394,7 +402,7 @@ object Bench {
         // with provenance (VERDICT r12 #1a)
         System.err.println("[bench] append gate failed on all windows — " +
           "auto re-running the full suite once")
-        runSuite(spark, sfDir, memProbeDf, force)
+        runSuite(spark, sfDir, priorKey, memProbeDf, force)
       }
 
     // CROSS-RUN HOST-HEALTH CHECK (r14 instrument gap): compare this run's
@@ -405,7 +413,7 @@ object Bench {
     // the prior run's 0.090 s while every gate read green). The run still
     // publishes (flagged), but never overwrites the prior envelope: a
     // poisoned baseline would certify the NEXT degraded run as clean.
-    val priorSents = readPriorSentinels(sfDir)
+    val priorSents = readPriorSentinels(priorKey)
     val drifted = BenchGate.sentinelDrift(priorSents, fin.sentinels,
       HostSuspectFactor)
     val hostSuspect = drifted.nonEmpty
@@ -459,14 +467,14 @@ object Bench {
         .filter(n => storedTp.get(n) != fin.tpCurrent.get(n))
       val tpReproduced = fin.tpRegressed.map(_._1)
         .filter(fin.tpRemeasuredClean.contains)
-      writePrior(sfDir, storedBest, fin.medians, fin.appendMbps, fin.sentinels,
+      writePrior(priorKey, storedBest, fin.medians, fin.appendMbps, fin.sentinels,
         capped, reproduced, storedTp, tpCapped, tpReproduced)
     }
     spark.stop()
   }
 
   private def runSuite(spark: SparkSession, sfDir: String,
-                       memProbeDf: DataFrame,
+                       priorKey: String, memProbeDf: DataFrame,
                        force: DataFrame => Unit): SuiteResult = {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed(name: String)(body: => Unit): Unit = {
@@ -1018,7 +1026,7 @@ object Bench {
     // remeasure segment is the only way the stored envelope may rise past
     // the factor (BenchGate.priorStoreValue).
     val PriorEnvelopeFactor = PriorStoreFactor
-    val prior = readPrior(sfDir)
+    val prior = readPrior(priorKey)
     val priorFlagged = gatedNames.filter { n =>
       val p = prior.getOrElse(n, -1.0)
       p > 0 && best.getOrElse(n, -1.0) > PriorEnvelopeFactor * p
@@ -1076,7 +1084,7 @@ object Bench {
     // sentinel. Host noise only inflates: the BETTER window becomes the
     // headline; a clean bracket is the only license for the publish-time
     // ratchet guard to store a lower envelope (reproduced regression).
-    val tpEnvelope = readPriorThroughputs(sfDir)
+    val tpEnvelope = readPriorThroughputs(priorKey)
     def windowMedianMbps(secs: Seq[Double]): Double = {
       val rates = secs.filter(_ > 0).map(s => payload64k / 1e6 / s).sorted
       if (rates.isEmpty) -1.0 else rates(rates.size / 2)

@@ -148,7 +148,13 @@ object Dedup {
   }
 
   private def bandedCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val exploded = bandedSignatures(sh, numHashes, bands)
+    // shared(): BOTH bucket-self-join sides read the same banded-signature
+    // rows — without it the whole signature aggregate (numHashes
+    // uhash-mins over every posting row) and the band explode ran TWICE
+    // (r18; the plan carried the full signature subtree once per side,
+    // §2.4). The cache is docs × bands rows — the smallest frame in the
+    // operator, and far cheaper than the duplicated aggregate.
+    val exploded = OpUtil.shared(bandedSignatures(sh, numHashes, bands))
     exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc") < col("b.doc"))
