@@ -91,12 +91,12 @@ object Dedup {
                    k: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = DefaultMaxDf): DataFrame = {
     val sh = cappedShingles(docs, idCol, textCol, k, maxDf, cacheCapped = true)
-    // shared(): `sizes` feeds BOTH post-pair joins (i side and j side), and
-    // the rename makes the two subtrees non-identical, so exchange reuse
-    // never dedupes them — before r18 the plan aggregated the full capped
-    // postings TWICE (one corpus-sized exchange each, §2.4); the per-doc
-    // count table is docs-sized, the cheapest frame in the operator to pin
-    val sizes = OpUtil.shared(sh.groupBy("doc").agg(count(lit(1)).as("n")))
+    // `sizes` feeds both post-pair joins, and the static plan shows its
+    // aggregate once per side — but the renames sit ABOVE an identical
+    // hashpartitioning(doc) exchange, which AQE's runtime stage reuse
+    // executes once; a shared() cache here measured x1.02 (nothing) and
+    // was reverted (r18 — same finding as dedup_minhash's band join).
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.hm") === col("b.hm") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
@@ -148,13 +148,15 @@ object Dedup {
   }
 
   private def bandedCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    // shared(): BOTH bucket-self-join sides read the same banded-signature
-    // rows — without it the whole signature aggregate (numHashes
-    // uhash-mins over every posting row) and the band explode ran TWICE
-    // (r18; the plan carried the full signature subtree once per side,
-    // §2.4). The cache is docs × bands rows — the smallest frame in the
-    // operator, and far cheaper than the duplicated aggregate.
-    val exploded = OpUtil.shared(bandedSignatures(sh, numHashes, bands))
+    // NOT shared()-cached (measured r18): the static plan shows the
+    // signature subtree once per self-join side, but both sides feed the
+    // SAME hashpartitioning(band, sig) exchange, and AQE's runtime stage
+    // reuse already executes it once — a materialized cache here traded
+    // that free dedup for copy+persist+read machinery and REGRESSED the
+    // bench head 0.78 → 0.99 s (reverted; contrast ts_similarity, where
+    // the duplicate sits behind a BroadcastExchange boundary stage reuse
+    // cannot cross and a shared() cache wins).
+    val exploded = bandedSignatures(sh, numHashes, bands)
     exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc") < col("b.doc"))
